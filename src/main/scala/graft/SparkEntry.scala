@@ -1,13 +1,603 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.GraftFunctions
+import graft.operators._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
+  *
+  * Every entry in [[queries]] has a matching ANSI-SQL oracle in
+  * [[oracleSql]] run by DuckDB over the same parquet tables (column names
+  * and types aligned; doubles rounded identically on both sides). Queries
+  * whose semantics are not SQL-expressible (KMeans IVF, the chunker, the
+  * hash embedder) are declared without an oracle → rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: hash-embed the documents corpus, run a text query through
+    * embed → exact k-NN → dynamic-threshold retrieval (the reference's
+    * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = t(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("embedding", GraftFunctions.hashEmbed(col("text"), lit(64)))
+    val qVec = graft.functions.HashEmbedder.embed("spark join vector stream merge", 64)
+    val hits = VectorSearch.knnSingle(docs, qVec, k = 10, idCol = "doc_id")
+    val scores = hits.select("score").collect().map(_.getDouble(0)).toSeq
+    val stats = VectorSearch.dynamicThresholdSelect(scores, hitTarget = 3, step = 0.05)
+    hits.filter(col("score") >= stats.final_threshold)
+      .select(col("doc_id"), col("text"), col("source"),
+        round(col("score"), 4).as("score"),
+        lit(stats.final_threshold).as("final_threshold"),
+        lit(stats.target_reached).as("target_reached"))
+  }
+
+  // ====================================================================
+  // Relational core (scans, filters, joins, aggs, windows — SURVEY §2.2,
+  // §2.3 J4, §2.4, §2.5 W2/W3, §2.6)
+  // ====================================================================
+
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private def q2BrandStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  private val q2Sql =
+    """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  private def q3ShippingPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  private def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val late = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+    orders.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > TIMESTAMP '1997-01-01')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def q5RegionRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  private val q5Sql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  private def q6RevenueFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 25)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val q6Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 25""".stripMargin
+
+  private def q7OrderRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"), col("rnk"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  private val q7Sql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |      FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
+  // ====================================================================
+  // Events (SURVEY §2.10 event surface; sessionization, JSON extraction)
+  // ====================================================================
+
+  private def q8EventStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+
+  private val q8Sql =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+      |  round(avg(value), 4) AS avg_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private def q9Sessions(s: SparkSession, dir: String): DataFrame = {
+    // ts is int64 nanoseconds (nanosAsLong); 30-min gap = 1.8e12 ns.
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("gap", col("ts") - lag("ts", 1).over(w))
+      .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800000000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val q9Sql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_ns(ts) - lag(epoch_ns(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT user_id,
+      |  sum(CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private def q10EventJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 4).as("avg_k"), sum("k").cast("long").as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val q10Sql =
+    """SELECT event_type,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ====================================================================
+  // Text analysis over documents (token counts, quality, lang-id,
+  // fingerprints — north-star pipeline operators)
+  // ====================================================================
+
+  private def q11DocStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("stop_ratio", TextAnalysis.stopwordRatio(col("text")))
+      .withColumn("mean_wl", TextAnalysis.meanWordLen(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg("stop_ratio"), 4).as("avg_stop_ratio"),
+        round(avg("mean_wl"), 4).as("avg_word_len"))
+      .orderBy("lang")
+  }
+
+  private val q11Sql = {
+    val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT lang, n_chars,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                     x -> list_contains($stopList, x))) AS DOUBLE)
+       |              / len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stop_ratio,
+       |    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |                     x -> len(x))) AS DOUBLE)
+       |              / len(regexp_split_to_array(trim(text), '\\s+')) END AS mean_wl
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(avg(n_chars), 4) AS avg_chars,
+       |  round(avg(stop_ratio), 4) AS avg_stop_ratio,
+       |  round(avg(mean_wl), 4) AS avg_word_len
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  private def q12LangPred(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  private val q12Sql = {
+    def markers(l: String) =
+      TextAnalysis.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    // Tie-break must mirror Spark's greatest(struct(n, lang)): max n, then
+    // lexicographically greatest language code.
+    s"""WITH sc AS (
+       |  SELECT lang,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> list_contains(${markers("de")}, x))) AS n_de,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> list_contains(${markers("en")}, x))) AS n_en,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> list_contains(${markers("es")}, x))) AS n_es,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> list_contains(${markers("fr")}, x))) AS n_fr
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN n_de = 0 AND n_en = 0 AND n_es = 0 AND n_fr = 0 THEN 'und'
+       |         WHEN n_fr >= n_es AND n_fr >= n_en AND n_fr >= n_de THEN 'fr'
+       |         WHEN n_es >= n_en AND n_es >= n_de THEN 'es'
+       |         WHEN n_en >= n_de THEN 'en'
+       |         ELSE 'de' END AS lang_pred
+       |  FROM sc)
+       |SELECT lang, lang_pred, count(*) AS n FROM p
+       |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  private def q13Fingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_unique"))
+      .orderBy("source")
+
+  private val q13Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_unique
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  private def q14DedupKeepFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+
+  private val q14Sql =
+    """WITH fps AS (
+      |  SELECT doc_id, source, n_chars,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |  FROM documents),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp)
+      |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM fps JOIN keep USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ====================================================================
+  // Near-dup detection: MinHash-LSH + exact Jaccard (md5-deterministic,
+  // so the full LSH pipeline is oracle-checkable)
+  // ====================================================================
+
+  private def q15MinhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, bands = 4, minJaccard = 0.15)
+      .select(col("id_a"), col("id_b"), col("n_inter").cast("long").as("n_inter"),
+        col("n_union").cast("long").as("n_union"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  private val q15Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(md5(band.b || ':' || s.sh_el)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_intersect(x.sh, y.sh)) AS n_inter,
+      |    len(list_distinct(list_concat(x.sh, y.sh))) AS n_union
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+      |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+      |  CAST(n_union AS BIGINT) AS n_union,
+      |  round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+      |FROM verified
+      |WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.15
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ====================================================================
+  // Vector search (J1 exact single + batch, W1 dynamic threshold,
+  // embedding near-dup) over the embeddings table
+  // ====================================================================
+
+  private def q16KnnExact(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    VectorSearch.knnSingle(emb.filter(col("vec_id") =!= 0), qVec, 10, idCol = "vec_id")
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
+  private val q16Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id, round(list_dot_product(e.embedding, q.qe), 4) AS score
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  private def q17KnnBatch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    VectorSearch.knnBatch(queries, emb.filter(col("vec_id") >= 8), 5, idCol = "vec_id")
+      .select(col("query_id"), col("vec_id"), col("doc_rank").cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val q17Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 8)
+      |SELECT query_id, vec_id, rnk FROM (
+      |  SELECT q.query_id, e.vec_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id) AS rnk
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id >= 8)
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  private def q18KnnBatchAgg(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    VectorSearch.knnBatchAggregated(queries, emb.filter(col("vec_id") >= 8), 5, idCol = "vec_id")
+      .select(col("query_id"), col("vec_id"), col("doc_rank").cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private def q19DynamicThreshold(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val hits = VectorSearch.knnBatch(queries, emb.filter(col("vec_id") >= 8), 20, idCol = "vec_id")
+    VectorSearch.dynamicThresholdBatch(hits, hitTarget = 3, step = 0.05)
+      .select(col("query_id"), col("final_threshold"),
+        col("final_hits").cast("long").as("final_hits"),
+        col("target_reached"), col("attempts").cast("long").as("attempts"))
+      .orderBy("query_id")
+  }
+
+  private val q19Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 8),
+      |hits AS (
+      |  SELECT query_id, score FROM (
+      |    SELECT q.query_id, list_dot_product(e.embedding, q.qe) AS score,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id) AS rnk
+      |    FROM embeddings e CROSS JOIN q
+      |    WHERE e.vec_id >= 8)
+      |  WHERE rnk <= 20),
+      |grid AS (SELECT (1000 - 50 * i) / 1000.0 AS t, i + 1 AS attempt
+      |         FROM range(0, 21) r(i)),
+      |counts AS (
+      |  SELECT h.query_id, g.t, g.attempt,
+      |    count(CASE WHEN h.score >= g.t THEN 1 END) AS hits_at_t
+      |  FROM hits h CROSS JOIN grid g
+      |  GROUP BY h.query_id, g.t, g.attempt),
+      |best AS (SELECT query_id, max(hits_at_t) AS best_hits FROM counts GROUP BY query_id),
+      |reached AS (
+      |  SELECT query_id, max(t) AS r_t, min(attempt) AS r_attempt
+      |  FROM counts WHERE hits_at_t >= 3 GROUP BY query_id),
+      |fallback AS (
+      |  SELECT c.query_id, max(c.t) AS f_t
+      |  FROM counts c JOIN best b ON c.query_id = b.query_id AND c.hits_at_t = b.best_hits
+      |  GROUP BY c.query_id)
+      |SELECT c.query_id,
+      |  coalesce(r.r_t, f.f_t) AS final_threshold,
+      |  CAST(max(CASE WHEN c.t = coalesce(r.r_t, f.f_t) THEN c.hits_at_t END) AS BIGINT) AS final_hits,
+      |  r.query_id IS NOT NULL AS target_reached,
+      |  CAST(coalesce(r.r_attempt, 21) AS BIGINT) AS attempts
+      |FROM counts c
+      |LEFT JOIN reached r ON c.query_id = r.query_id
+      |LEFT JOIN fallback f ON c.query_id = f.query_id
+      |GROUP BY c.query_id, r.r_t, f.f_t, r.query_id, r.r_attempt
+      |ORDER BY c.query_id""".stripMargin
+
+  private def q20EmbNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "label", "vec_id",
+        "embedding", minCos = 0.3)
+      .select(col("block").cast("long").as("block"), col("id_a"), col("id_b"), col("cos"))
+      .orderBy("block", "id_a", "id_b")
+
+  private val q20Sql =
+    """SELECT CAST(a.label AS BIGINT) AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.embedding, b.embedding), 4) AS cos
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.embedding, b.embedding) >= 0.3
+      |ORDER BY block, id_a, id_b""".stripMargin
+
+  // ====================================================================
+  // Non-SQL-expressible operators (rows-only driver check): IVF/KMeans,
+  // chunker pipeline, hash-embedder semantic search
+  // ====================================================================
+
+  private def q21IvfSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val (withCells, ivf) = IvfIndex.build(emb, nlist = 16)
+    val qVec = emb.filter(col("doc_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(withCells, ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id"), round(col("score"), 4).as("score"))
+  }
+
+  private def q22CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    // Documents concatenated per source simulate multi-paragraph files;
+    // chunk + embed into the canonical corpus schema (FIXTURES.md §1).
+    val files = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(concat_ws("\n\n", collect_list(col("text"))).as("content"))
+      .withColumnRenamed("source", "filename")
+    graft.sources.TextIngest.buildCorpus(files)
+      .select(col("doc_id"), col("filename"), col("chunk_index"),
+        col("size"), col("start_line"), col("end_line"))
+  }
+
+  private def q23DocSemanticSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("embedding", GraftFunctions.hashEmbed(col("text"), lit(64)))
+    val queries = s.createDataFrame(Seq(
+      (0L, "spark join vector stream merge"),
+      (1L, "customer order line query"),
+      (2L, "window batch group sort"))).toDF("query_id", "qtext")
+      .withColumn("q_embedding", GraftFunctions.hashEmbed(col("qtext"), lit(64)))
+    VectorSearch.knnBatch(queries, docs, 5, idCol = "doc_id")
+      .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"),
+        col("doc_rank"))
+      .orderBy("query_id", "doc_rank")
+  }
+
+  // ====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_brand_stats" -> (q2BrandStats _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q6_revenue_filter" -> (q6RevenueFilter _),
+    "q7_order_rank" -> (q7OrderRank _),
+    "q8_event_stats" -> (q8EventStats _),
+    "q9_sessions" -> (q9Sessions _),
+    "q10_event_json" -> (q10EventJson _),
+    "q11_doc_stats" -> (q11DocStats _),
+    "q12_lang_pred" -> (q12LangPred _),
+    "q13_fingerprints" -> (q13Fingerprints _),
+    "q14_dedup_keep_first" -> (q14DedupKeepFirst _),
+    "q15_minhash_neardup" -> (q15MinhashNearDup _),
+    "q16_knn_exact" -> (q16KnnExact _),
+    "q17_knn_batch" -> (q17KnnBatch _),
+    "q18_knn_batch_agg" -> (q18KnnBatchAgg _),
+    "q19_dynamic_threshold" -> (q19DynamicThreshold _),
+    "q20_emb_neardup" -> (q20EmbNearDup _),
+    "q21_ivf_search" -> (q21IvfSearch _),
+    "q22_corpus_build" -> (q22CorpusBuild _),
+    "q23_doc_semantic_search" -> (q23DocSemanticSearch _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_brand_stats" -> q2Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q4_order_priority" -> q4Sql,
+    "q5_region_revenue" -> q5Sql,
+    "q6_revenue_filter" -> q6Sql,
+    "q7_order_rank" -> q7Sql,
+    "q8_event_stats" -> q8Sql,
+    "q9_sessions" -> q9Sql,
+    "q10_event_json" -> q10Sql,
+    "q11_doc_stats" -> q11Sql,
+    "q12_lang_pred" -> q12Sql,
+    "q13_fingerprints" -> q13Sql,
+    "q14_dedup_keep_first" -> q14Sql,
+    "q15_minhash_neardup" -> q15Sql,
+    "q16_knn_exact" -> q16Sql,
+    "q17_knn_batch" -> q17Sql,
+    "q18_knn_batch_agg" -> q17Sql, // same contract, aggregated physical plan
+    "q19_dynamic_threshold" -> q19Sql,
+    "q20_emb_neardup" -> q20Sql,
+  )
 }

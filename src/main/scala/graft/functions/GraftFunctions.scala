@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** SQL + Column surface for graft's native expressions.
+  *
+  * Spark 4 no longer exposes a public `Column(Expression)` constructor, so
+  * the expressions are registered in the session `FunctionRegistry` and
+  * invoked through `call_function` — which keeps them fully codegen-capable
+  * (they are real Catalyst expressions, not UDFs).
+  *
+  * `register` is idempotent; every graft entry point calls it.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "dot_f32", exprs => DotProductF32(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_distance_f32", exprs => L2DistanceF32(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_normalize_f32", exprs => L2NormalizeF32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "norm_f32", exprs => NormF32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hash_embed", exprs => HashEmbedExpression(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Inner product of two `array<float>` columns (double accumulation). */
+  def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+
+  /** Euclidean distance between two `array<float>` columns. */
+  def l2DistanceF32(a: Column, b: Column): Column =
+    call_function("l2_distance_f32", a, b)
+
+  /** L2-normalize an `array<float>` column. */
+  def l2NormalizeF32(a: Column): Column = call_function("l2_normalize_f32", a)
+
+  /** Euclidean norm of an `array<float>` column. */
+  def normF32(a: Column): Column = call_function("norm_f32", a)
+
+  /** Deterministic feature-hash embedding of a string column. */
+  def hashEmbed(text: Column, dim: Column): Column =
+    call_function("hash_embed", text, dim)
+
+  /** Similarity from distance, matching the reference's transform
+    * (`components/core/search_service.py:336-349`): identity for inner
+    * product on normalized vectors, `1/(1+d)` for L2. */
+  def l2Similarity(dist: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    lit(1.0) / (lit(1.0) + dist)
+  }
+}

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for float-vector math.
+  *
+  * The reference computes inner products / L2 distances inside FAISS
+  * (`components/core/index_service.py:84-98`, search at `:205-235`); here the
+  * same kernels are whole-stage-codegen Spark expressions over
+  * `array<float>` columns, so a brute-force k-NN scan stays inside one
+  * codegen stage (no boxing, no UDF serialization).
+  *
+  * Accumulation is in double precision over float elements, sequentially in
+  * index order — this matches DuckDB's `list_dot_product` on `FLOAT[]`
+  * inputs, which the correctness oracle relies on.
+  */
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared-L2 / L2 distance between two float vectors (see
+  * `components/core/index_service.py:88-90` IndexFlatL2 and the
+  * `1/(1+d)` similarity transform at
+  * `components/core/search_service.py:336-349`). */
+case class L2DistanceF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_distance_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      sum += d * d
+      i += 1
+    }
+    math.sqrt(sum)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i);
+         |  $sum += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($sum);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2DistanceF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2-normalize a float vector — the reference normalizes at encode time so
+  * inner product == cosine (`components/core/embedding_service.py:92-102`).
+  * Used at ingest (not the per-query hot path), so interpreted eval via
+  * CodegenFallback is fine. Zero vectors pass through unchanged. */
+case class L2NormalizeF32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "l2_normalize_f32"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) { val v = x.getFloat(i).toDouble; sum += v * v; i += 1 }
+    val norm = math.sqrt(sum)
+    val out = new Array[Float](n)
+    i = 0
+    if (norm > 0) {
+      while (i < n) { out(i) = (x.getFloat(i).toDouble / norm).toFloat; i += 1 }
+    } else {
+      while (i < n) { out(i) = x.getFloat(i); i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2NormalizeF32 =
+    copy(child = newChild)
+}
+
+/** Euclidean norm of a float vector. */
+case class NormF32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm_f32"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) { val v = x.getFloat(i).toDouble; sum += v * v; i += 1 }
+    math.sqrt(sum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormF32 =
+    copy(child = newChild)
+}

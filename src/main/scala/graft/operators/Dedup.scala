@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication for training-data pipelines: exact, MinHash-LSH,
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Everything is hash-deterministic across engines: signatures are built
+  * from `md5` hex strings (identical in Spark and DuckDB) rather than
+  * engine-private hash functions, so every stage is oracle-checkable.
+  * The pipeline shape is the scale-correct one: shingle → per-band min-hash
+  * (map-side aggregable) → equality self-join on (band, signature) — never
+  * an all-pairs cross join.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per content fingerprint.
+    * (hash-groupBy; the canonical 100 TB exact-dedup plan). */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
+    docs.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("fp", "rn")
+  }
+
+  /** Distinct word-n-gram shingles of a document. */
+  def shingles(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(0), count - 1),
+          i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*))))
+  }
+
+  /** Per-document MinHash band signatures: for band b, the signature is
+    * `min(md5(b || ':' || shingle))` over the document's shingles — b
+    * independent permutation approximations from one md5 family.
+    * Output: (id, band, sig). */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, bands: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandDf = (0 until bands).toDF("band")
+    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .filter(col("shingle") =!= "")
+      .crossJoin(broadcast(bandDf))
+      .groupBy(col("id"), col("band"))
+      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("shingle")))).as("sig"))
+  }
+
+  /** Candidate near-dup pairs: documents sharing any (band, signature)
+    * bucket. Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val a = signatures.select(col("band"), col("sig"), col("id").as("id_a"))
+    val b = signatures.select(col("band"), col("sig"), col("id").as("id_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs via shingle-set overlap
+    * (integer set sizes → exact cross-engine reproducible ratios). */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame, textCol: String,
+                    idCol: String, n: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 4))
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → band signatures →
+    * bucket join → exact Jaccard ≥ `minJaccard`. */
+  def nearDupPairs(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
+                   minJaccard: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, n, bands)
+    val cands = lshCandidates(sigs)
+    jaccardVerify(docs, cands, textCol, idCol, n)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 64-bit SimHash over word tokens: md5-derived token hashes vote ±1 per
+    * bit, weighted by term frequency; the sign pattern is the fingerprint.
+    * Near-dups are pairs within a small Hamming distance. */
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val votes = new Array[Int](64)
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    toks.foreach { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      var bit = 0
+      while (bit < 64) {
+        val byte = d(bit / 8)
+        if (((byte >> (7 - bit % 8)) & 1) == 1) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+    }
+    var h = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) h |= (1L << bit); bit += 1 }
+    h
+  }
+
+  /** SimHash column via Dataset.map (provenance-free deterministic). */
+  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val fn = udf((s: String) => simhash64(s))
+    docs.withColumn("simhash", fn(col(textCol)))
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking key (e.g. a label or
+    * IVF cell): equality-join on the block, codegen dot product, keep pairs
+    * above `minCos`. Blocking keeps the join linear-ish instead of
+    * all-pairs. */
+  def embeddingNearDups(vecs: DataFrame, blockCol: String, idCol: String = "vec_id",
+                        embCol: String = "embedding", minCos: Double = 0.95): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val a = vecs.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = vecs.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", GraftFunctions.dotF32(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting. All are
+  * pure `functions._` compositions (codegen'd, no UDFs) so they stay inside
+  * whole-stage codegen over a 100 TB documents scan, and each has an exact
+  * ANSI-SQL equivalent for the DuckDB oracle. */
+object TextAnalysis {
+
+  /** Whitespace token count (SURVEY A6 analog,
+    * `components2/workflow_executor.py:324` `len(output.split())`). */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword-token estimate: word tokens weighted by
+    * ceil(len/4) — a deterministic proxy for subword tokenizers. */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      transform(split(trim(text), "\\s+"), w => ceil(length(w) / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Punctuation ratio: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text))
+
+  /** Stopword ratio over a fixed English stopword list. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this", "be")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stop = filter(toks, t => t.isInCollection(Stopwords))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stop).cast("double") / size(toks))
+  }
+
+  /** Mean word length in characters. */
+  def meanWordLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with low
+    * punctuation noise and a natural stopword rate. Deterministic and
+    * SQL-expressible; the weights are engine policy, not reference
+    * semantics. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3, 4)
+  }
+
+  /** Language-ID by stopword evidence: score each candidate language by
+    * matched marker words, argmax with 'und' (undetermined) fallback. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "qui", "sur"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    size(filter(toks, t => t.isInCollection(LangMarkers(lang))))
+  }
+
+  /** Predicted language: highest marker count wins (ties broken by language
+    * code order via the struct comparison); 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.keys.toSeq.sorted.map { lang =>
+      struct(langScore(text, lang).as("n"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("n") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 over lowercased text stripped of all
+    * non-alphanumerics — the exact-dedup key (whitespace/punct-insensitive).
+    * md5 hex matches across Spark and DuckDB, so dedup results are
+    * oracle-checkable. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** All analysis columns at once over a documents table. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpe", bpeTokenEstimate(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("mean_word_len", round(meanWordLen(t), 4))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

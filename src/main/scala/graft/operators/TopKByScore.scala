@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** A hit retained by the top-k accumulator. */
+case class ScoredId(id: Long, score: Double)
+
+/** Bounded top-k typed aggregator (SURVEY §4 "custom Aggregator").
+  *
+  * Replaces the full sort+window for batch k-NN: Spark's partial
+  * aggregation keeps at most ~2k candidates per (partition, group) before
+  * the shuffle, so the exchange carries O(k · partitions) rows per query
+  * instead of the whole scored corpus — the property that makes brute-force
+  * search viable at cluster scale. Order within equals is the engine-wide
+  * total order (score DESC, id ASC).
+  */
+class TopKByScore(k: Int) extends Aggregator[(Long, Double), Array[ScoredId], Seq[ScoredId]] {
+  require(k > 0)
+  private val ord: Ordering[ScoredId] =
+    Ordering.by((h: ScoredId) => (-h.score, h.id))
+
+  private def compact(buf: Array[ScoredId]): Array[ScoredId] =
+    if (buf.length <= k) buf else buf.sorted(ord).take(k)
+
+  override def zero: Array[ScoredId] = Array.empty
+
+  override def reduce(buf: Array[ScoredId], in: (Long, Double)): Array[ScoredId] = {
+    val appended = buf :+ ScoredId(in._1, in._2)
+    // Amortize the sort: only compact once the buffer doubles past k.
+    if (appended.length >= 2 * k) compact(appended) else appended
+  }
+
+  override def merge(a: Array[ScoredId], b: Array[ScoredId]): Array[ScoredId] =
+    compact(a ++ b)
+
+  override def finish(buf: Array[ScoredId]): Seq[ScoredId] =
+    buf.sorted(ord).take(k).toSeq
+
+  override def bufferEncoder: Encoder[Array[ScoredId]] = Encoders.kryo[Array[ScoredId]]
+  override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
+}

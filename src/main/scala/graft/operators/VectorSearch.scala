@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Exact k-NN search + threshold retrieval (SURVEY §2.3 J1/J2, §2.5 W1/W2,
+  * §2.6 T1).
+  *
+  * The reference's default index is brute-force `IndexFlatIP` over
+  * L2-normalized vectors (`components/core/index_service.py:84-98`), i.e.
+  * exact search is a scan — which in Spark is simply a (codegen'd)
+  * dot-product projection + top-k, no index structure at all. Identity is an
+  * explicit `doc_id` column, replacing the reference's fragile positional
+  * FAISS-row ↔ metadata contract (`components/core/search_service.py:232`).
+  *
+  * Ordering is the engine-wide total order `(score DESC, id ASC)` so results
+  * are deterministic under score ties (FIXTURES.md §8).
+  */
+object VectorSearch {
+
+  /** Single-query exact top-k: scan + codegen dot + TakeOrderedAndProject
+    * (partial top-k per partition, merge at driver — no shuffle). Mirrors
+    * `index.search(query, k)` at `components/core/index_service.py:205-235`
+    * including the `k = min(k, ntotal)` clamp (`limit` is naturally
+    * clamping). */
+  def knnSingle(corpus: DataFrame, queryVec: Array[Float], k: Int,
+                embCol: String = "embedding", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .withColumn("score", GraftFunctions.dotF32(col(embCol), typedLit(queryVec)))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch exact top-k: broadcast the (small) query set against the corpus
+    * scan, score inside one codegen stage, rank per query.
+    *
+    * Scale note: the window shuffles n_corpus × n_queries scored rows on
+    * query_id. Fine for moderate query batches; for large fan-outs prefer
+    * [[knnBatchAggregated]], which map-side-combines to k rows per
+    * (partition, query) before any shuffle. */
+  def knnBatch(queries: DataFrame, corpus: DataFrame, k: Int,
+               embCol: String = "embedding", idCol: String = "doc_id",
+               queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(queryIdCol), col(queryEmbCol))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(desc("score"), col(idCol).asc)
+    corpus.crossJoin(broadcast(q))
+      .withColumn("score", GraftFunctions.dotF32(col(embCol), col(queryEmbCol)))
+      .withColumn("doc_rank", row_number().over(w))
+      .filter(col("doc_rank") <= k)
+      .drop(queryEmbCol)
+  }
+
+  /** Batch exact top-k via a typed partial aggregator: each input partition
+    * keeps only its local top-k per query (map-side combine), so the shuffle
+    * carries ≤ k·partitions rows per query instead of the whole scored
+    * corpus — the 100 TB-safe plan. */
+  def knnBatchAggregated(queries: DataFrame, corpus: DataFrame, k: Int,
+                         embCol: String = "embedding", idCol: String = "doc_id",
+                         queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val topk = udaf(new TopKByScore(k))
+    val q = queries.select(col(queryIdCol), col(queryEmbCol))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("score", GraftFunctions.dotF32(col(embCol), col(queryEmbCol)))
+      .select(col(queryIdCol), col(idCol).cast("long").as("id"), col("score"))
+      .groupBy(col(queryIdCol))
+      .agg(topk(col("id"), col("score")).as("hits"))
+      .select(col(queryIdCol), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col(queryIdCol),
+        col("hit.id").as(idCol),
+        col("hit.score").as("score"),
+        (col("rank0") + 1).cast("int").as("doc_rank"))
+  }
+
+  /** Fixed-threshold filter (P6, `components/core/search_service.py:300-302`;
+    * gate at `components/rag_system.py:303-304`). */
+  def fixedThreshold(hits: DataFrame, threshold: Double): DataFrame =
+    hits.filter(col("score") >= lit(threshold))
+
+  // ---------------------------------------------------------------------
+  // Dynamic-threshold retrieval (W1) — the reference's signature operator,
+  // `components/core/search_service.py:41-184`: ONE top-k search, then a
+  // descending threshold grid scan 1.0, 1.0-step, …, 0.0 over the k cached
+  // hits; stop at the first threshold with ≥ hit_target hits, else fall
+  // back to the max-hit set seen.
+  //
+  // Grid thresholds are exact 3-decimal values computed by integer
+  // milli-arithmetic ((1000 - i·stepMilli)/1000.0) so the Scala, Spark-SQL
+  // and DuckDB-oracle forms agree bit-for-bit (matches the reference's
+  // round(·, 3) in stats, search_service.py:110,159).
+  // ---------------------------------------------------------------------
+
+  case class ThresholdAttempt(threshold: Double, hits: Int, target_reached: Boolean)
+  case class ThresholdStats(
+      hit_target: Int, step: Double,
+      final_threshold: Double, final_hits: Int,
+      target_reached: Boolean, attempts: Int,
+      progression: Seq[ThresholdAttempt])
+
+  /** The exact 3-decimal descending threshold grid for a step. */
+  def thresholdGrid(step: Double): Seq[Double] = {
+    val stepMilli = math.round(step * 1000).toInt
+    require(stepMilli > 0, s"step too small: $step")
+    (1000 to 0 by -stepMilli).map(_ / 1000.0)
+  }
+
+  /** Driver-side selection over collected top-k scores — interactive parity
+    * path (k ≤ 20, so this is O(k·|grid|) on the driver, exactly like the
+    * reference's loop over cached FAISS hits). */
+  def dynamicThresholdSelect(scores: Seq[Double], hitTarget: Int, step: Double): ThresholdStats = {
+    val grid = thresholdGrid(step)
+    val progression = scala.collection.mutable.ArrayBuffer.empty[ThresholdAttempt]
+    var bestT = grid.head
+    var bestHits = -1
+    var i = 0
+    while (i < grid.length) {
+      val t = grid(i)
+      val hits = scores.count(_ >= t)
+      val reached = hits >= hitTarget
+      progression += ThresholdAttempt(t, hits, reached)
+      if (reached)
+        return ThresholdStats(hitTarget, step, t, hits, target_reached = true,
+          attempts = i + 1, progression = progression.toSeq)
+      if (hits > bestHits) { bestHits = hits; bestT = t }
+      i += 1
+    }
+    ThresholdStats(hitTarget, step, bestT, math.max(bestHits, 0),
+      target_reached = false, attempts = grid.length, progression = progression.toSeq)
+  }
+
+  /** Distributed form of W1 for query batches: given per-query top-k hits
+    * `(query_id, score, …)`, compute per-query
+    * `(final_threshold, final_hits, target_reached, attempts)` fully
+    * declaratively (grid theta-join + conditional aggregation — no UDF, no
+    * collect). The progression array is equivalent to re-deriving counts per
+    * grid step; headline stats match [[dynamicThresholdSelect]] exactly. */
+  def dynamicThresholdBatch(hits: DataFrame, hitTarget: Int, step: Double,
+                            queryIdCol: String = "query_id"): DataFrame = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    val grid = thresholdGrid(step).zipWithIndex
+      .map { case (t, i) => (t, i + 1) }.toDF("t", "attempt")
+    val qids = hits.select(col(queryIdCol)).distinct()
+    // Per (query, grid step): hits at that threshold, from the top-k set.
+    val counts = qids.crossJoin(broadcast(grid))
+      .join(hits.select(col(queryIdCol).as("h_qid"), col("score")),
+        col(queryIdCol) === col("h_qid") && col("score") >= col("t"), "left")
+      .groupBy(col(queryIdCol), col("t"), col("attempt"))
+      .agg(count(col("score")).cast("int").as("hits_at_t"))
+      .withColumn("reached", col("hits_at_t") >= lit(hitTarget))
+    // First (highest-t) reaching step, else the max-hit (highest-t tiebreak)
+    // fallback; attempts = steps scanned until stop (full grid on fallback).
+    val nSteps = thresholdGrid(step).length
+    counts
+      .groupBy(col(queryIdCol))
+      .agg(
+        max(when(col("reached"), struct(col("t"), col("hits_at_t"), col("attempt")))).as("firstReached"),
+        max(struct(col("hits_at_t"), col("t"))).as("bestSeen"))
+      .select(
+        col(queryIdCol),
+        coalesce(col("firstReached.t"), col("bestSeen.t")).as("final_threshold"),
+        coalesce(col("firstReached.hits_at_t"), col("bestSeen.hits_at_t")).as("final_hits"),
+        col("firstReached").isNotNull.as("target_reached"),
+        coalesce(col("firstReached.attempt"), lit(nSteps)).cast("int").as("attempts"))
+  }
+}

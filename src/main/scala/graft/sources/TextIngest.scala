@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.functions.GraftFunctions
+import graft.operators.Chunker
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus ingestion (SURVEY §2.1 S1/S3/S4/S5 + §2.2 P1–P4 + §2.9 E1):
+  * text files → non-empty guard → chunk → embed → one Parquet corpus table
+  * where the embedding is a column (replacing the reference's
+  * FAISS-file + pickle-sidecar pair, `components/core/index_service.py:48-125`).
+  */
+object TextIngest {
+
+  /** S1: whole-file text scan over a directory of .txt/.md/.text files
+    * (`components/index_manager.py:95-130`), with the empty/unreadable
+    * guard (P10). */
+  def readTextDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("text")
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.{txt,md,text}")
+      .load(dir)
+      .withColumn("file_path", input_file_name())
+      .withColumn("filename", regexp_extract(col("file_path"), "[^/\\\\]+$", 0))
+      .withColumnRenamed("value", "content")
+      .filter(length(trim(col("content"))) > 0)
+
+  /** Chunk + embed documents into the canonical corpus schema
+    * (FIXTURES.md §1). `flatMap` keeps the chunker a typed generator;
+    * embedding and doc_id assignment stay columnar. */
+  def buildCorpus(docs: DataFrame, textCol: String = "content",
+                  filenameCol: String = "filename", dim: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val chunked = docs
+      .select(col(filenameCol).as("filename"), col(textCol).as("content"))
+      .as[(String, String)]
+      .flatMap { case (filename, content) =>
+        Chunker.chunk(content).zipWithIndex.map { case (c, i) =>
+          (filename, i, c.text, c.startLine, c.endLine)
+        }
+      }
+      .toDF("filename", "chunk_index", "content", "start_line", "end_line")
+    // Deterministic distributed id: no global window/shuffle at scale.
+    chunked
+      .withColumn("doc_id", xxhash64(col("filename"), col("chunk_index")))
+      .withColumn("size", length(col("content")))
+      .withColumn("embedding", GraftFunctions.hashEmbed(col("content"), lit(dim)))
+  }
+}
