@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("exactDedup keeps lowest id per normalized content") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),      // same after normalization
+      (3L, "different text")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val df = Seq("a b c d").toDF("text")
+    val sh = df.select(Dedup.shingles($"text", 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    // short doc -> empty
+    val none = Seq("a b").toDF("text")
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].head()
+    assert(none.isEmpty)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"word$i").mkString(" ") + " extra1 extra2 extra3"
+    val others = (0 until 20).map { d =>
+      (10L + d, (1 to 60).map(i => s"tok${d}_$i").mkString(" "))
+    }
+    val docs = (Seq((1L, base), (2L, nearDup)) ++ others).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.size == 1) // unrelated docs do not pair
+  }
+
+  test("simhash: identical texts equal, similar texts near in hamming") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    val c = Dedup.simhash64("the quick brown fox jumps over a lazy cat")
+    val d = Dedup.simhash64("completely unrelated words describing spark plans")
+    assert(a == b)
+    assert(hamming(a, c) < hamming(a, d))
+    assert(Dedup.simhash64("") == 0L)
+  }
+
+  test("embeddingNearDups only pairs within a block and above threshold") {
+    val v1 = Array(1.0f, 0.0f)
+    val v2 = Array(0.999f, 0.045f)
+    val v3 = Array(0.0f, 1.0f)
+    val df = Seq(
+      (1L, 0, v1), (2L, 0, v2), (3L, 0, v3), (4L, 1, v1)
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "label", "vec_id", "embedding", minCos = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // v3 orthogonal; v1-in-block-1 unreachable
+  }
+}

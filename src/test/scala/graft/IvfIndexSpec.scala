@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.{IvfIndex, VectorSearch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def randVec(seed: Int, dim: Int = 8): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    val v = Array.fill(dim)(r.nextGaussian().toFloat)
+    val n = math.sqrt(v.map(x => x * x.toDouble).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  test("below TrainMin stays untrained with cell_id 0") {
+    val small = (0 until 50).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(small, nlist = 8)
+    assert(!ivf.isTrained)
+    assert(withCells.select("cell_id").distinct().as[Int].collect().toSeq == Seq(0))
+    // search still exact over everything
+    assert(IvfIndex.search(withCells, ivf, randVec(99), 5, nprobe = 2).count() == 5)
+  }
+
+  test("trained index assigns cells and prunes probes") {
+    val corpus = (0 until 200).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
+    assert(ivf.isTrained)
+    val nCells = withCells.select("cell_id").distinct().count()
+    assert(nCells > 1 && nCells <= 8)
+    val q = randVec(5)
+    val probed = IvfIndex.probeCells(ivf, q, 3)
+    assert(probed.length == 3 && probed.distinct.length == 3)
+    val hits = IvfIndex.search(withCells, ivf, q, 5, nprobe = 8)
+    // probing ALL cells == exact search
+    val exact = VectorSearch.knnSingle(corpus, q, 5).select("doc_id").as[Long].collect().toSeq
+    assert(hits.select("doc_id").as[Long].collect().toSeq == exact)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String)(implicit e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(text).toDF("text").select(c.as("v")).as[T].head()
+
+  test("tokenCount splits on whitespace") {
+    assert(one[Int](TextAnalysis.tokenCount($"text"), "one two  three\tfour") == 4)
+    assert(one[Int](TextAnalysis.tokenCount($"text"), "  padded  ") == 1)
+  }
+
+  test("stopwordRatio counts exact stopword tokens") {
+    assert(one[Double](TextAnalysis.stopwordRatio($"text"), "the cat and the dog") == 0.6)
+    assert(one[Double](TextAnalysis.stopwordRatio($"text"), "zebra quark") == 0.0)
+  }
+
+  test("punctRatio and meanWordLen") {
+    assert(one[Double](TextAnalysis.punctRatio($"text"), "ab,cd!") == 2.0 / 6)
+    assert(one[Double](TextAnalysis.meanWordLen($"text"), "ab cdef") == 3.0)
+  }
+
+  test("bpeTokenEstimate: ceil(len/4) per word") {
+    // "spark"(2) "a"(1) "streaming"(3)
+    assert(one[Long](TextAnalysis.bpeTokenEstimate($"text"), "spark a streaming") == 6L)
+  }
+
+  test("langId picks language with most marker hits, und fallback") {
+    assert(one[String](TextAnalysis.langId($"text"), "the cat is in the house and it sleeps") == "en")
+    assert(one[String](TextAnalysis.langId($"text"), "el perro y la casa de los gatos") == "es")
+    assert(one[String](TextAnalysis.langId($"text"), "zzz qqq xxx") == "und")
+  }
+
+  test("fingerprint is case/punct/whitespace insensitive") {
+    val f1 = one[String](TextAnalysis.fingerprint($"text"), "Hello, World!")
+    val f2 = one[String](TextAnalysis.fingerprint($"text"), "hello world")
+    val f3 = one[String](TextAnalysis.fingerprint($"text"), "hello worlds")
+    assert(f1 == f2 && f1 != f3)
+  }
+
+  test("qualityScore within [0,1] and favors natural text") {
+    val natural = ("the quick brown fox jumps over the lazy dog and runs to the house " * 10)
+    val junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    val qn = one[Double](TextAnalysis.qualityScore($"text"), natural)
+    val qj = one[Double](TextAnalysis.qualityScore($"text"), junk)
+    assert(qn > qj)
+    assert(qn >= 0.0 && qn <= 1.0 && qj >= 0.0 && qj <= 1.0)
+  }
+
+  test("analyze attaches all columns") {
+    val df = TextAnalysis.analyze(Seq((1L, "the small test text")).toDF("doc_id", "text"))
+    val cols = df.columns.toSet
+    assert(Set("n_tokens", "n_tokens_bpe", "punct_ratio", "stopword_ratio",
+      "mean_word_len", "quality", "lang_pred", "fingerprint").subsetOf(cols))
+    assert(df.count() == 1)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{TopKByScore, VectorSearch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorSearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def randVec(seed: Int, dim: Int = 8): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    val v = Array.fill(dim)(r.nextGaussian().toFloat)
+    val n = math.sqrt(v.map(x => x * x.toDouble).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  private lazy val corpus = (0 until 100).map(i => (i.toLong, randVec(i)))
+    .toDF("doc_id", "embedding")
+
+  test("knnSingle matches brute-force scala ranking") {
+    val q = randVec(999)
+    val got = VectorSearch.knnSingle(corpus, q, 5)
+      .select("doc_id").as[Long].collect().toSeq
+    val expected = (0 until 100)
+      .map(i => (i.toLong, randVec(i).zip(q).map { case (a, b) => a * b.toDouble }.sum))
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got == expected)
+  }
+
+  test("knnSingle clamps k to corpus size") {
+    assert(VectorSearch.knnSingle(corpus.limit(3), randVec(7), 10).count() == 3)
+  }
+
+  test("knnBatch and knnBatchAggregated agree") {
+    val queries = (900 to 903).map(i => (i.toLong, randVec(i)))
+      .toDF("query_id", "q_embedding")
+    val a = VectorSearch.knnBatch(queries, corpus, 7)
+      .select("query_id", "doc_id", "doc_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = VectorSearch.knnBatchAggregated(queries, corpus, 7)
+      .select("query_id", "doc_id", "doc_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+    assert(a.size == 4 * 7)
+  }
+
+  test("dynamic threshold: reaches target at the first satisfying step") {
+    val scores = Seq(0.92, 0.87, 0.81, 0.4, 0.1)
+    val st = VectorSearch.dynamicThresholdSelect(scores, hitTarget = 3, step = 0.05)
+    assert(st.target_reached)
+    assert(st.final_threshold == 0.8)
+    assert(st.final_hits == 3)
+    // grid: 1.0, 0.95, 0.9, 0.85, 0.8 -> 5 attempts
+    assert(st.attempts == 5)
+    assert(st.progression.length == 5)
+    assert(st.progression.last.target_reached)
+  }
+
+  test("dynamic threshold: fallback to best-seen when target unreachable") {
+    val scores = Seq(0.9, 0.2)
+    val st = VectorSearch.dynamicThresholdSelect(scores, hitTarget = 5, step = 0.05)
+    assert(!st.target_reached)
+    assert(st.final_hits == 2)
+    // first threshold where count hit its max (2): t = 0.2
+    assert(st.final_threshold == 0.2)
+    assert(st.attempts == 21)
+  }
+
+  test("dynamic threshold: empty scores") {
+    val st = VectorSearch.dynamicThresholdSelect(Nil, 3, 0.05)
+    assert(!st.target_reached && st.final_hits == 0 && st.attempts == 21)
+  }
+
+  test("batch threshold form matches driver-loop form per query") {
+    val hits = Seq(
+      (1L, 0.92), (1L, 0.87), (1L, 0.81), (1L, 0.4),
+      (2L, 0.3), (2L, 0.1)
+    ).toDF("query_id", "score")
+    val got = VectorSearch.dynamicThresholdBatch(hits, hitTarget = 3, step = 0.05)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getInt(2), r.getBoolean(3), r.getInt(4))))
+      .toMap
+    val exp1 = VectorSearch.dynamicThresholdSelect(Seq(0.92, 0.87, 0.81, 0.4), 3, 0.05)
+    val exp2 = VectorSearch.dynamicThresholdSelect(Seq(0.3, 0.1), 3, 0.05)
+    assert(got(1L) == ((exp1.final_threshold, exp1.final_hits, exp1.target_reached, exp1.attempts)))
+    assert(got(2L) == ((exp2.final_threshold, exp2.final_hits, exp2.target_reached, exp2.attempts)))
+  }
+
+  test("threshold grid is exact decimals") {
+    val g = VectorSearch.thresholdGrid(0.05)
+    assert(g.length == 21 && g.head == 1.0 && g.last == 0.0)
+    assert(g.contains(0.85) && g.contains(0.05))
+    assert(VectorSearch.thresholdGrid(0.01).length == 101)
+  }
+
+  test("TopKByScore keeps bounded buffer and total order") {
+    val agg = new TopKByScore(3)
+    var buf = agg.zero
+    Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7), (6L, 0.95), (7L, 0.2))
+      .foreach(x => buf = agg.reduce(buf, x))
+    val out = agg.finish(buf)
+    assert(out.map(_.id) == Seq(6L, 2L, 3L)) // 0.95, then 0.9 tie broken by id
+  }
+
+  test("fixedThreshold filters on score") {
+    val hits = Seq((1L, 0.9), (2L, 0.5)).toDF("doc_id", "score")
+    assert(VectorSearch.fixedThreshold(hits, 0.55).count() == 1)
+  }
+}
