@@ -250,11 +250,17 @@ object SparkEntry {
   // ====================================================================
 
   private def q11DocStats(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    docs
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
-      .withColumn("stop_ratio", TextAnalysis.stopwordRatio(col("text")))
-      .withColumn("mean_wl", TextAnalysis.meanWordLen(col("text")))
+    GraftFunctions.register(s)
+    val st = col("st")
+    val nTok = st.getField("n_tokens")
+    t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        GraftFunctions.textStats(col("text")).as("st"))
+      .withColumn("n_tokens", nTok)
+      .withColumn("stop_ratio",
+        when(nTok === 0, lit(0.0)).otherwise(st.getField("n_stop").cast("double") / nTok))
+      .withColumn("mean_wl",
+        when(nTok === 0, lit(0.0)).otherwise(st.getField("sum_word_len").cast("double") / nTok))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("sum_tokens"),
@@ -285,12 +291,15 @@ object SparkEntry {
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   }
 
-  private def q12LangPred(s: SparkSession, dir: String): DataFrame =
+  private def q12LangPred(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     t(s, dir, "documents")
-      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .select(col("lang"), GraftFunctions.textStats(col("text")).as("st"))
+      .withColumn("lang_pred", TextAnalysis.langIdFromStats(col("st")))
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
+  }
 
   private val q12Sql = {
     def markers(l: String) =

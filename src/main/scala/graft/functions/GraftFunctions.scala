@@ -26,6 +26,10 @@ object GraftFunctions {
       "norm_f32", exprs => NormF32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "hash_embed", exprs => HashEmbedExpression(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "text_stats", exprs => TextStatsExpression(exprs.head), "built-in")
   }
 
   /** Inner product of two `array<float>` columns (double accumulation). */
@@ -44,6 +48,13 @@ object GraftFunctions {
   /** Deterministic feature-hash embedding of a string column. */
   def hashEmbed(text: Column, dim: Column): Column =
     call_function("hash_embed", text, dim)
+
+  /** Distinct word n-gram shingles (single-pass tokenization). */
+  def wordShingles(text: Column, n: Column): Column =
+    call_function("word_shingles", text, n)
+
+  /** All per-document text metrics as one struct (single-pass). */
+  def textStats(text: Column): Column = call_function("text_stats", text)
 
   /** Similarity from distance, matching the reference's transform
     * (`components/core/search_service.py:336-349`): identity for inner

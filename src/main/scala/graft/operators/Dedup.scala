@@ -28,15 +28,10 @@ object Dedup {
       .drop("fp", "rn")
   }
 
-  /** Distinct word-n-gram shingles of a document. */
-  def shingles(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val count = size(toks) - (n - 1)
-    when(count <= 0, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(0), count - 1),
-          i => concat_ws(" ", (0 until n).map(j => toks.getItem(i + j)): _*))))
-  }
+  /** Distinct word-n-gram shingles of a document (native expression —
+    * see [[graft.functions.WordShingles]] for why not a transform lambda). */
+  def shingles(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.wordShingles(text, lit(n))
 
   /** Per-document MinHash band signatures: for band b, the signature is
     * `min(md5(b || ':' || shingle))` over the document's shingles — b
@@ -44,14 +39,21 @@ object Dedup {
     * Output: (id, band, sig). */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, bands: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bandDf = (0 until bands).toDF("band")
-    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+    GraftFunctions.register(docs.sparkSession)
+    // All band hashes in ONE groupBy pass: b min-aggregates get map-side
+    // partial aggregation, so the shuffle carries one b-wide row per doc
+    // instead of shingles×bands rows (the naive band-crossJoin plan).
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
       .filter(col("shingle") =!= "")
-      .crossJoin(broadcast(bandDf))
-      .groupBy(col("id"), col("band"))
-      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("shingle")))).as("sig"))
+    val aggs = (0 until bands).map { b =>
+      min(md5(concat(lit(s"$b:"), col("shingle")))).as(s"sig_$b")
+    }
+    exploded.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"sig_$b")): _*))
+          .as(Seq("band", "sig")))
   }
 
   /** Candidate near-dup pairs: documents sharing any (band, signature)
@@ -68,6 +70,7 @@ object Dedup {
     * (integer set sizes → exact cross-engine reproducible ratios). */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, textCol: String,
                     idCol: String, n: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
     candidates

@@ -88,17 +88,45 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
-  /** All analysis columns at once over a documents table. */
+  /** Language prediction from a `text_stats` struct column (same
+    * greatest-struct tie-break as [[langId]]). */
+  def langIdFromStats(st: Column): Column = {
+    val scored = LangMarkers.keys.toSeq.sorted.map { lang =>
+      struct(st.getField(s"n_$lang").as("n"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("n") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** All analysis columns at once over a documents table — metrics derive
+    * from ONE `text_stats` pass per row (the composed per-metric column
+    * functions above re-tokenize per metric; fine for a single metric,
+    * ~10× slower for the full profile). */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val t = col(textCol)
+    val st = col("__st")
+    val nTok = st.getField("n_tokens")
+    val nChars = st.getField("n_chars")
+    val punctR = when(nChars === 0, lit(0.0))
+      .otherwise(st.getField("n_punct").cast("double") / nChars)
+    val stopR = when(nTok === 0, lit(0.0))
+      .otherwise(st.getField("n_stop").cast("double") / nTok)
+    val lenScore = least(nChars.cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctR * 4.0)
+    val stopScore = least(stopR * 5.0, lit(1.0))
     docs
-      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("__st", graft.functions.GraftFunctions.textStats(t))
+      .withColumn("n_tokens", nTok)
       .withColumn("n_tokens_bpe", bpeTokenEstimate(t))
-      .withColumn("punct_ratio", round(punctRatio(t), 4))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
-      .withColumn("mean_word_len", round(meanWordLen(t), 4))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("lang_pred", langId(t))
+      .withColumn("punct_ratio", round(punctR, 4))
+      .withColumn("stopword_ratio", round(stopR, 4))
+      .withColumn("mean_word_len", round(
+        when(nTok === 0, lit(0.0))
+          .otherwise(st.getField("sum_word_len").cast("double") / nTok), 4))
+      .withColumn("quality", round(lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3, 4))
+      .withColumn("lang_pred", langIdFromStats(st))
       .withColumn("fingerprint", fingerprint(t))
+      .drop("__st")
   }
 }

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
+  graft.functions.GraftFunctions.register(SparkTestBase.spark)
 
   test("exactDedup keeps lowest id per normalized content") {
     val docs = Seq(
