@@ -518,6 +518,118 @@ object SparkEntry {
       |ORDER BY block, id_a, id_b""".stripMargin
 
   // ====================================================================
+  // LLM-pipeline operators (F4 score parse, F5 JSON extraction, W3
+  // context accumulation, A3 argmax) — deterministic payloads are
+  // synthesized from testdata columns so both engines parse identical
+  // inputs.
+  // ====================================================================
+
+  private def q24ScoreParse(s: SparkSession, dir: String): DataFrame = {
+    val resp = when(col("doc_id") % 7 === 0,
+        concat(lit("Perustelut: "), substring(col("text"), 1, 40)))
+      .when(col("doc_id") % 11 === 0,
+        concat(lit("Perustelut: "), substring(col("text"), 1, 40), lit(" Pisteet: 1.75")))
+      .otherwise(concat(lit("Perustelut: "), substring(col("text"), 1, 40),
+        lit(" Pisteet: 0."), lpad((col("n_chars") % 100).cast("string"), 2, "0")))
+    t(s, dir, "documents")
+      .withColumn("resp", resp)
+      .select(col("doc_id"), LlmParsing.parseScore(col("resp")).as("score"))
+      .orderBy("doc_id")
+  }
+
+  private val q24Sql =
+    """WITH resp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'Perustelut: ' || substr(text, 1, 40)
+      |         WHEN doc_id % 11 = 0 THEN 'Perustelut: ' || substr(text, 1, 40) || ' Pisteet: 1.75'
+      |         ELSE 'Perustelut: ' || substr(text, 1, 40) || ' Pisteet: 0.' ||
+      |              lpad(CAST(n_chars % 100 AS VARCHAR), 2, '0') END AS resp
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN regexp_extract(resp, 'Pisteet:\s*([0-9]+\.[0-9]+)', 1) = ''
+      |       THEN 0.5
+      |       ELSE least(greatest(CAST(regexp_extract(resp, 'Pisteet:\s*([0-9]+\.[0-9]+)', 1) AS DOUBLE), 0.0), 1.0)
+      |  END AS score
+      |FROM resp ORDER BY doc_id""".stripMargin
+
+  private def q25JsonTasks(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("doc_id") % 7 === 0, lit("not json at all"))
+      .when(col("doc_id") % 2 === 0,
+        concat(lit("```json\n{\"goal\": \"goal_"), col("doc_id"),
+          lit("\", \"tasks\": [{\"id\": 1, \"name\": \"research\"}, {\"id\": 2, \"name\": \"write\"}]}\n```")))
+      .otherwise(concat(lit("{\"goal\": \"goal_"), col("doc_id"),
+        lit("\", \"tasks\": [{\"id\": 1, \"name\": \"plan\"}]}")))
+    t(s, dir, "documents")
+      .withColumn("parsed", LlmParsing.parseTasklist(raw))
+      .filter(col("parsed").isNotNull)
+      .select(col("doc_id"), col("parsed.goal").as("goal"),
+        explode(col("parsed.tasks")).as("task"))
+      .select(col("doc_id"), col("goal"), col("task.id").as("task_id"),
+        col("task.name").as("task_name"))
+      .orderBy("doc_id", "task_id")
+  }
+
+  private val q25Sql =
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'not json at all'
+      |         WHEN doc_id % 2 = 0 THEN '```json' || chr(10) ||
+      |           '{"goal": "goal_' || doc_id || '", "tasks": [{"id": 1, "name": "research"}, {"id": 2, "name": "write"}]}' || chr(10) || '```'
+      |         ELSE '{"goal": "goal_' || doc_id || '", "tasks": [{"id": 1, "name": "plan"}]}'
+      |    END AS raw
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, regexp_extract(raw, '(?s)\{.*\}', 0) AS body FROM j
+      |  WHERE regexp_extract(raw, '(?s)\{.*\}', 0) <> ''
+      |    AND json_valid(regexp_extract(raw, '(?s)\{.*\}', 0))),
+      |x AS (
+      |  SELECT doc_id, json_extract_string(body, '$.goal') AS goal,
+      |    unnest(CAST(json_extract(body, '$.tasks') AS JSON[])) AS task
+      |  FROM b)
+      |SELECT doc_id, goal, CAST(json_extract(task, '$.id') AS BIGINT) AS task_id,
+      |  json_extract_string(task, '$.name') AS task_name
+      |FROM x ORDER BY doc_id, task_id""".stripMargin
+
+  private def q26PrevContext(s: SparkSession, dir: String): DataFrame = {
+    // W3 (`components2/task_executor.py:229-271`): for item i, accumulate
+    // all prior items' ids in id order within the group.
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_prev"),
+        coalesce(concat_ws(",", collect_list(col("o_orderkey").cast("string")).over(w)), lit(""))
+          .as("prev_ids"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q26Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_prev,
+      |  coalesce(string_agg(CAST(o_orderkey AS VARCHAR), ',') OVER w, '') AS prev_ids
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  private def q27BestOrder(s: SparkSession, dir: String): DataFrame =
+    // A3 argmax (`components/optimization/temperature_optimizer.py:98-102`):
+    // track the best-scoring candidate per group.
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("best"))
+      .select(col("o_custkey"), col("best.o_orderkey").as("best_order"),
+        round(col("best.o_totalprice"), 2).as("best_price"))
+      .orderBy("o_custkey")
+
+  private val q27Sql =
+    """SELECT o_custkey, o_orderkey AS best_order,
+      |  round(o_totalprice, 2) AS best_price
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // ====================================================================
   // Non-SQL-expressible operators (rows-only driver check): IVF/KMeans,
   // chunker pipeline, hash-embedder semantic search
   // ====================================================================
@@ -582,6 +694,10 @@ object SparkEntry {
     "q18_knn_batch_agg" -> (q18KnnBatchAgg _),
     "q19_dynamic_threshold" -> (q19DynamicThreshold _),
     "q20_emb_neardup" -> (q20EmbNearDup _),
+    "q24_score_parse" -> (q24ScoreParse _),
+    "q25_json_tasks" -> (q25JsonTasks _),
+    "q26_prev_context" -> (q26PrevContext _),
+    "q27_best_order" -> (q27BestOrder _),
     "q21_ivf_search" -> (q21IvfSearch _),
     "q22_corpus_build" -> (q22CorpusBuild _),
     "q23_doc_semantic_search" -> (q23DocSemanticSearch _),
@@ -608,5 +724,9 @@ object SparkEntry {
     "q18_knn_batch_agg" -> q17Sql, // same contract, aggregated physical plan
     "q19_dynamic_threshold" -> q19Sql,
     "q20_emb_neardup" -> q20Sql,
+    "q24_score_parse" -> q24Sql,
+    "q25_json_tasks" -> q25Sql,
+    "q26_prev_context" -> q26Sql,
+    "q27_best_order" -> q27Sql,
   )
 }
