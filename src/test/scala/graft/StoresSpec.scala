@@ -1,0 +1,49 @@
+package graft
+
+import graft.sources.{CorpusStore, SessionSink}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StoresSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-test").toString
+
+  test("corpus save / loadOrCreate / append round-trip") {
+    val path = tmp() + "/corpus"
+    val corpus = Seq((1L, "alpha", Array(1.0f)), (2L, "beta", Array(0.5f)))
+      .toDF("doc_id", "content", "embedding")
+    // missing path -> empty frame with same schema
+    val empty = CorpusStore.loadOrCreate(spark, path, corpus)
+    assert(empty.count() == 0 && empty.schema == corpus.schema)
+    CorpusStore.save(corpus, path)
+    val loaded = CorpusStore.loadOrCreate(spark, path, corpus)
+    assert(loaded.count() == 2)
+    // append dedups on doc_id
+    val more = Seq((2L, "beta-dup", Array(0.5f)), (3L, "gamma", Array(0.1f)))
+      .toDF("doc_id", "content", "embedding")
+    val appended = CorpusStore.append(loaded, more)
+    assert(appended.count() == 3)
+    assert(appended.filter(col("doc_id") === 2 && col("content") === "beta-dup").count() == 0)
+    // rebuild overwrites
+    val rebuilt = CorpusStore.rebuild(spark, path, more)
+    assert(rebuilt.count() == 2)
+  }
+
+  test("session sink: record, summarize, find stale sessions") {
+    val path = tmp() + "/sessions"
+    SessionSink.record(spark, path, "s1", "prompt", "prompt_1", "what is spark?")
+    SessionSink.record(spark, path, "s1", "result", "result_1", "a framework",
+      Map("mode" -> "faiss"))
+    SessionSink.record(spark, path, "s2", "prompt", "prompt_1", "hello")
+    val sum = SessionSink.summary(SessionSink.load(spark, path)).collect()
+    assert(sum.length == 2)
+    val s1 = sum.find(_.getString(0) == "s1").get
+    assert(s1.getLong(1) == 1 && s1.getLong(2) == 1)
+    assert(s1.getSeq[String](3).sorted == Seq("prompt_1", "result_1"))
+    val stale = SessionSink.staleSessions(SessionSink.load(spark, path), maxSessions = 1)
+    assert(stale.length == 1)
+  }
+}

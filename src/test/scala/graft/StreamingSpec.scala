@@ -1,0 +1,50 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.RawEvent
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("windowed counts over a parquet-fed stream match the batch result") {
+    // Feed the real testdata events through a streaming scan (ts converted
+    // to µs timestamps in a staging dir; the raw files are int64-nanos).
+    val staging = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .write.mode("overwrite").parquet(staging)
+
+    val stream = EventStream.windowedCounts(EventStream.readEvents(spark, staging))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.sql("SELECT sum(n) FROM win_counts").as[Long].head()
+    assert(got == 1000)
+    val types = spark.sql("SELECT count(DISTINCT event_type) FROM win_counts").as[Long].head()
+    assert(types == 5)
+    spark.sql("DROP TABLE IF EXISTS win_counts")
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    val base = 1700000000000L
+    val events = Seq(
+      RawEvent(1, new java.sql.Timestamp(base), 1L, "click", 1.0, "{}"),
+      RawEvent(2, new java.sql.Timestamp(base + 60000), 1L, "view", 1.0, "{}"),
+      // 2h gap -> closes session 1 (2 events)
+      RawEvent(3, new java.sql.Timestamp(base + 7200000), 1L, "click", 1.0, "{}"),
+      // 3h gap -> closes session 2 (1 event)
+      RawEvent(4, new java.sql.Timestamp(base + 18000000), 1L, "view", 1.0, "{}"),
+      RawEvent(5, new java.sql.Timestamp(base + 100), 2L, "click", 1.0, "{}")
+    ).toDS()
+    val sessions = EventStream.sessionize(events, gapMinutes = 30)
+      .collect().map(s => (s.user_id, s.n_events)).toSet
+    // open sessions (last per user) are retained in state, not emitted
+    assert(sessions == Set((1L, 2), (1L, 1)))
+  }
+}
