@@ -38,8 +38,10 @@ object IvfIndex {
     } else {
       val k = math.min(nlist, n).toInt
       val featurized = corpus.withColumn("__features", array_to_vector(col(embCol)))
+      // 10 iterations: coarse-quantizer cells need locality, not converged
+      // centroids; each extra iteration is a full pass over the corpus.
       val model = new KMeans()
-        .setK(k).setSeed(Seed).setMaxIter(20)
+        .setK(k).setSeed(Seed).setMaxIter(10)
         .setFeaturesCol("__features").setPredictionCol("cell_id")
         .fit(featurized)
       (model.transform(featurized).drop("__features"), Ivf(Some(model), nlist))

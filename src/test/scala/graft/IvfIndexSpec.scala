@@ -24,6 +24,20 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.search(withCells, ivf, randVec(99), 5, nprobe = 2).count() == 5)
   }
 
+  test("cell-partitioned corpus gets parquet partition pruning on probe") {
+    val corpus = (0 until 300).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/corpus"
+    withCells.write.partitionBy("cell_id").parquet(path)
+    val stored = spark.read.parquet(path)
+    val probed = IvfIndex.probeCells(ivf, randVec(7), 2)
+    val pruned = stored.filter(col("cell_id").isin(probed: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"))
+    // pruned scan reads strictly fewer rows than the full corpus
+    assert(pruned.count() < 300 && pruned.count() > 0)
+  }
+
   test("trained index assigns cells and prunes probes") {
     val corpus = (0 until 200).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
     val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
