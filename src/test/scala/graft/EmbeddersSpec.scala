@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{Embedders, HashEmbedder}
+import graft.operators.Cancellation
+import org.scalatest.funsuite.AnyFunSuite
+
+class EmbeddersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("embedPartitioned matches the scalar embedder, any partitioning") {
+    val docs = (0 until 50).map(i => (i.toLong, s"text number $i about topic ${i % 5}"))
+      .toDF("doc_id", "text").repartition(7)
+    val got = Embedders.embedPartitioned(docs, "text", "doc_id", dim = 32, batchSize = 8)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(got.size == 50)
+    (0 until 50).foreach { i =>
+      assert(got(i.toLong).toSeq == HashEmbedder.embed(s"text number $i about topic ${i % 5}", 32).toSeq)
+    }
+  }
+
+  test("dimension mismatch from a bad encoder fails loudly") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val bad = () => new Embedders.Encoder {
+      def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =
+        texts.map(_ => new Array[Float](3))
+    }
+    val ex = intercept[Exception] {
+      Embedders.embedPartitioned(docs, "text", "doc_id", dim = 8,
+        makeEncoder = Some(bad)).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      ex.getCause != null)
+  }
+
+  test("cancellation: job group cancel aborts a running job") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    CancelProbe.started = false
+    val fut = Future {
+      Cancellation.runCancellable(spark, "cancel-test", "slow job") {
+        spark.range(1000000000L).mapPartitions { it =>
+          CancelProbe.started = true
+          it.map { i => if (i % 1000 == 0) Thread.sleep(1); i }
+        }.count()
+      }
+    }
+    val deadline = System.currentTimeMillis() + 30000
+    while (!CancelProbe.started && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(CancelProbe.started)
+    Cancellation.cancel(spark, "cancel-test")
+    val ex = intercept[Exception](Await.result(fut, 60.seconds))
+    assert(ex.getMessage.toLowerCase.contains("cancel"))
+    // checkpoint helper
+    intercept[InterruptedException](Cancellation.checkpoint(() => true))
+    Cancellation.checkpoint(() => false) // no-op
+  }
+}
+
+/** Static probe — object access compiles to a static call, so the task
+  * closure captures nothing unserializable (local mode = same JVM). */
+object CancelProbe { @volatile var started = false }
