@@ -517,6 +517,63 @@ object SparkEntry {
       |WHERE list_dot_product(a.embedding, b.embedding) >= 0.3
       |ORDER BY block, id_a, id_b""".stripMargin
 
+  /** J2+F1: exact k-NN under the L2 metric with the reference's
+    * `1/(1+d)` similarity transform
+    * (`components/core/search_service.py:336-349`). */
+  private def q28KnnL2(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    emb.filter(col("vec_id") =!= 0)
+      .withColumn("dist", GraftFunctions.l2DistanceF32(col("embedding"), typedLit(qVec)))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("dist"), 4).as("dist"),
+        round(GraftFunctions.l2Similarity(col("dist")), 4).as("sim"))
+  }
+
+  // Distance recomputed in explicit double arithmetic (DuckDB's
+  // list_distance returns FLOAT, which would diverge from the engine's
+  // double accumulation).
+  private val q28Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (
+      |  SELECT e.vec_id,
+      |    sqrt(list_sum(list_transform(list_zip(e.embedding, q.qe),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+      |           (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS dist
+      |  FROM embeddings e, q WHERE e.vec_id <> 0)
+      |SELECT vec_id, round(dist, 4) AS dist, round(1.0 / (1.0 + dist), 4) AS sim
+      |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** P6: fixed-threshold retrieval mode (dynamic thresholding off,
+    * `components/rag_system.py:303-304`). */
+  private def q29FixedThreshold(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val hits = VectorSearch.knnBatch(queries, emb.filter(col("vec_id") >= 8), 20, idCol = "vec_id")
+    VectorSearch.fixedThreshold(hits, 0.2)
+      .select(col("query_id"), col("vec_id"), round(col("score"), 4).as("score"))
+      .orderBy("query_id", "vec_id")
+  }
+
+  private val q29Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 8),
+      |hits AS (
+      |  SELECT query_id, vec_id, score FROM (
+      |    SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS score,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id) AS rnk
+      |    FROM embeddings e CROSS JOIN q
+      |    WHERE e.vec_id >= 8)
+      |  WHERE rnk <= 20)
+      |SELECT query_id, vec_id, round(score, 4) AS score
+      |FROM hits WHERE score >= 0.2 ORDER BY query_id, vec_id""".stripMargin
+
   // ====================================================================
   // LLM-pipeline operators (F4 score parse, F5 JSON extraction, W3
   // context accumulation, A3 argmax) — deterministic payloads are
@@ -694,6 +751,8 @@ object SparkEntry {
     "q18_knn_batch_agg" -> (q18KnnBatchAgg _),
     "q19_dynamic_threshold" -> (q19DynamicThreshold _),
     "q20_emb_neardup" -> (q20EmbNearDup _),
+    "q28_knn_l2" -> (q28KnnL2 _),
+    "q29_fixed_threshold" -> (q29FixedThreshold _),
     "q24_score_parse" -> (q24ScoreParse _),
     "q25_json_tasks" -> (q25JsonTasks _),
     "q26_prev_context" -> (q26PrevContext _),
@@ -724,6 +783,8 @@ object SparkEntry {
     "q18_knn_batch_agg" -> q17Sql, // same contract, aggregated physical plan
     "q19_dynamic_threshold" -> q19Sql,
     "q20_emb_neardup" -> q20Sql,
+    "q28_knn_l2" -> q28Sql,
+    "q29_fixed_threshold" -> q29Sql,
     "q24_score_parse" -> q24Sql,
     "q25_json_tasks" -> q25Sql,
     "q26_prev_context" -> q26Sql,
