@@ -574,6 +574,60 @@ object SparkEntry {
       |SELECT query_id, vec_id, round(score, 4) AS score
       |FROM hits WHERE score >= 0.2 ORDER BY query_id, vec_id""".stripMargin
 
+  /** A2: the full per-attempt threshold progression table
+    * (`components/core/search_service.py:108-113,155-164`) — every grid
+    * step up to and including the stopping step, with hit counts. */
+  private def q30ThresholdProgression(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val hits = VectorSearch.knnBatch(queries, emb.filter(col("vec_id") >= 8), 20, idCol = "vec_id")
+    val spark = s
+    import spark.implicits._
+    val grid = VectorSearch.thresholdGrid(0.05).zipWithIndex
+      .map { case (tr, i) => (tr, i + 1) }.toDF("t", "attempt")
+    val counts = hits.select(col("query_id"), col("score"))
+      .crossJoin(broadcast(grid))
+      .groupBy("query_id", "t", "attempt")
+      .agg(count(when(col("score") >= col("t"), 1)).cast("long").as("hits_at_t"))
+      .withColumn("reached", col("hits_at_t") >= 3)
+    val stopAt = counts.filter(col("reached"))
+      .groupBy(col("query_id").as("sq")).agg(min("attempt").as("stop_attempt"))
+    counts.join(stopAt, col("query_id") === col("sq"), "left")
+      .filter(col("stop_attempt").isNull || col("attempt") <= col("stop_attempt"))
+      .select(col("query_id"), col("t").as("threshold"), col("attempt").cast("long").as("attempt"),
+        col("hits_at_t"), col("reached"))
+      .orderBy("query_id", "attempt")
+  }
+
+  private val q30Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 8),
+      |hits AS (
+      |  SELECT query_id, score FROM (
+      |    SELECT q.query_id, list_dot_product(e.embedding, q.qe) AS score,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id) AS rnk
+      |    FROM embeddings e CROSS JOIN q
+      |    WHERE e.vec_id >= 8)
+      |  WHERE rnk <= 20),
+      |grid AS (SELECT (1000 - 50 * i) / 1000.0 AS t, i + 1 AS attempt
+      |         FROM range(0, 21) r(i)),
+      |counts AS (
+      |  SELECT h.query_id, g.t, g.attempt,
+      |    count(CASE WHEN h.score >= g.t THEN 1 END) AS hits_at_t
+      |  FROM hits h CROSS JOIN grid g
+      |  GROUP BY h.query_id, g.t, g.attempt),
+      |stop_at AS (
+      |  SELECT query_id AS sq, min(attempt) AS stop_attempt
+      |  FROM counts WHERE hits_at_t >= 3 GROUP BY query_id)
+      |SELECT c.query_id, c.t AS threshold, CAST(c.attempt AS BIGINT) AS attempt,
+      |  CAST(c.hits_at_t AS BIGINT) AS hits_at_t, c.hits_at_t >= 3 AS reached
+      |FROM counts c LEFT JOIN stop_at s ON c.query_id = s.sq
+      |WHERE s.stop_attempt IS NULL OR c.attempt <= s.stop_attempt
+      |ORDER BY c.query_id, c.attempt""".stripMargin
+
   // ====================================================================
   // LLM-pipeline operators (F4 score parse, F5 JSON extraction, W3
   // context accumulation, A3 argmax) — deterministic payloads are
@@ -752,6 +806,7 @@ object SparkEntry {
     "q19_dynamic_threshold" -> (q19DynamicThreshold _),
     "q20_emb_neardup" -> (q20EmbNearDup _),
     "q28_knn_l2" -> (q28KnnL2 _),
+    "q30_threshold_progression" -> (q30ThresholdProgression _),
     "q29_fixed_threshold" -> (q29FixedThreshold _),
     "q24_score_parse" -> (q24ScoreParse _),
     "q25_json_tasks" -> (q25JsonTasks _),
@@ -784,6 +839,7 @@ object SparkEntry {
     "q19_dynamic_threshold" -> q19Sql,
     "q20_emb_neardup" -> q20Sql,
     "q28_knn_l2" -> q28Sql,
+    "q30_threshold_progression" -> q30Sql,
     "q29_fixed_threshold" -> q29Sql,
     "q24_score_parse" -> q24Sql,
     "q25_json_tasks" -> q25Sql,
