@@ -67,17 +67,30 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs via shingle-set overlap
-    * (integer set sizes → exact cross-engine reproducible ratios). */
+    * (integer set sizes → exact cross-engine reproducible ratios).
+    *
+    * Inverted-index form: intersections are counted by joining exploded
+    * (id, shingle) rows, never by shipping whole shingle arrays through a
+    * join — a candidate row with two ~300-string arrays is ~12 KB, which
+    * at scale turns the verify join into a memory/shuffle hazard; exploded
+    * rows stay ~40 B. |A∪B| = |A| + |B| − |A∩B| from precomputed sizes. */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, textCol: String,
                     idCol: String, n: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
+    val expl = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val inter = candidates
+      .join(expl.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(expl.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("int").as("n_inter"))
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0)))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 4))
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
   }
