@@ -2,10 +2,50 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+
+/** Shared codegen specialization: when one side of a vector op is a
+  * foldable literal (the query vector), bake it into the generated class
+  * as a primitive `float[]`. A `typedLit(Array[Float])` otherwise lands as
+  * `GenericArrayData` whose `getFloat` unboxes a heap `java.lang.Float`
+  * per element — ~10× slower than primitive access in the scan hot loop. */
+private[functions] object VecCodegen {
+  def literalFloats(e: Expression): Option[Array[Float]] = e match {
+    case Literal(v: ArrayData, ArrayType(FloatType, _)) if v != null =>
+      Some(v.toFloatArray())
+    case _ => None
+  }
+
+  /** Generate `ev` as a loop over (child array, literal float[]);
+    * `step(arr, ref, i)` yields the Java expression added to the double
+    * accumulator, `finish(acc)` the final value expression. */
+  def genWithLiteral(ctx: CodegenContext, ev: ExprCode, child: Expression,
+                     lit: Array[Float],
+                     step: (String, String, String) => String,
+                     finish: String => String): ExprCode = {
+    val ref = ctx.addReferenceObj("queryVec", lit, "float[]")
+    val childGen = child.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      double ${ev.value} = 0.0;
+      if (!${ev.isNull}) {
+        int $n = java.lang.Math.min(${childGen.value}.numElements(), $ref.length);
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ${step(childGen.value.toString, ref, i)};
+        }
+        ${ev.value} = ${finish(acc)};
+      }""")
+  }
+}
 
 /** Native Catalyst expressions for float-vector math.
   *
@@ -24,33 +64,52 @@ case class DotProductF32(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
 
+  @transient private lazy val rightLit: Option[Array[Float]] =
+    VecCodegen.literalFloats(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var sum = 0.0
-    var i = 0
-    while (i < n) {
-      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    rightLit match {
+      case Some(q) =>
+        val n = math.min(x.numElements(), q.length)
+        var sum = 0.0
+        var i = 0
+        while (i < n) { sum += x.getFloat(i).toDouble * q(i).toDouble; i += 1 }
+        sum
+      case None =>
+        val y = b.asInstanceOf[ArrayData]
+        val n = math.min(x.numElements(), y.numElements())
+        var sum = 0.0
+        var i = 0
+        while (i < n) {
+          sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+          i += 1
+        }
+        sum
     }
-    sum
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val sum = ctx.freshName("sum")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += (double)$a.getFloat($i) * (double)$b.getFloat($i);
-         |}
-         |${ev.value} = $sum;
-       """.stripMargin
-    })
+    VecCodegen.literalFloats(right) match {
+      case Some(lit) =>
+        VecCodegen.genWithLiteral(ctx, ev, left, lit,
+          (arr, ref, i) => s"(double)$arr.getFloat($i) * (double)$ref[$i]",
+          acc => acc)
+      case None =>
+        nullSafeCodeGen(ctx, ev, (a, b) => {
+          val n = ctx.freshName("n")
+          val i = ctx.freshName("i")
+          val sum = ctx.freshName("sum")
+          s"""
+             |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+             |double $sum = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $sum += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+             |}
+             |${ev.value} = $sum;
+           """.stripMargin
+        })
+    }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductF32 =
@@ -81,21 +140,29 @@ case class L2DistanceF32(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val sum = ctx.freshName("sum")
-      val d = ctx.freshName("d")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i);
-         |  $sum += $d * $d;
-         |}
-         |${ev.value} = java.lang.Math.sqrt($sum);
-       """.stripMargin
-    })
+    VecCodegen.literalFloats(right) match {
+      case Some(lit) =>
+        VecCodegen.genWithLiteral(ctx, ev, left, lit,
+          (arr, ref, i) =>
+            s"((double)$arr.getFloat($i) - (double)$ref[$i]) * ((double)$arr.getFloat($i) - (double)$ref[$i])",
+          acc => s"java.lang.Math.sqrt($acc)")
+      case None =>
+        nullSafeCodeGen(ctx, ev, (a, b) => {
+          val n = ctx.freshName("n")
+          val i = ctx.freshName("i")
+          val sum = ctx.freshName("sum")
+          val d = ctx.freshName("d")
+          s"""
+             |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+             |double $sum = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i);
+             |  $sum += $d * $d;
+             |}
+             |${ev.value} = java.lang.Math.sqrt($sum);
+           """.stripMargin
+        })
+    }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2DistanceF32 =

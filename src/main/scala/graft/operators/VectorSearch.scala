@@ -28,10 +28,17 @@ object VectorSearch {
   def knnSingle(corpus: DataFrame, queryVec: Array[Float], k: Int,
                 embCol: String = "embedding", idCol: String = "doc_id"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    corpus
-      .withColumn("score", GraftFunctions.dotF32(col(embCol), typedLit(queryVec)))
+    // Two-phase: top-k over narrow (id, score) rows — TakeOrderedAndProject
+    // copies every candidate row per partition, so carrying the embedding
+    // (or document text) through it costs ~10× — then one broadcast join
+    // back for the k full rows.
+    val top = corpus
+      .select(col(idCol),
+        GraftFunctions.dotF32(col(embCol), typedLit(queryVec)).as("score"))
       .orderBy(desc("score"), col(idCol).asc)
       .limit(k)
+    corpus.join(broadcast(top), Seq(idCol))
+      .orderBy(desc("score"), col(idCol).asc)
   }
 
   /** Batch exact top-k: broadcast the (small) query set against the corpus
