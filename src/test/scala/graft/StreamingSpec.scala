@@ -31,6 +31,19 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS win_counts")
   }
 
+  test("EventLog emits the retrieval lifecycle matching the stats") {
+    val stats = graft.operators.VectorSearch.dynamicThresholdSelect(
+      Seq(0.92, 0.87, 0.81, 0.4), hitTarget = 3, step = 0.05)
+    val ev = graft.streaming.EventLog.retrievalEvents(spark, 7L, stats).collect()
+    assert(ev.head.getString(0) == "retrieval_start")
+    assert(ev.last.getString(0) == "retrieval_complete")
+    assert(ev.count(_.getString(0) == "threshold_attempt") == stats.attempts)
+    assert(ev.last.getString(5).contains("\"final_threshold\": 0.8"))
+    assert(ev.forall(_.getLong(4) == 7L))
+    assert(ev.head.schema.fieldNames.toSeq ==
+      Seq("event_type", "ts", "agent_id", "task_id", "query_id", "data"))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     val base = 1700000000000L
     val events = Seq(
