@@ -740,6 +740,76 @@ object SparkEntry {
       |        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders)
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** Multimodal plumbing against real data: documents' text bytes as the
+    * opaque binary payload, frame-sampled through the batched generator
+    * (`Multimodal.sampleVideoFrames`); frame counts are integer-exact so
+    * the full binary pipeline is oracle-checkable. */
+  private def q31MultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val assets = t(s, dir, "documents")
+      .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("payload"))
+    Multimodal.sampleVideoFrames(assets, everyN = 2, frameBytes = 64)
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).as("n_frame_bytes"))
+      .orderBy("asset_id")
+  }
+
+  private val q31Sql =
+    """SELECT doc_id AS asset_id,
+      |  CAST(ceil(ceil(length(text) / 64.0) / 2.0) AS BIGINT) AS n_frames,
+      |  CAST(CASE
+      |    -- full 128-byte strides except a possibly-short last sampled frame
+      |    WHEN (length(text) - 1) % 128 < 64 AND length(text) % 128 <> 0
+      |      THEN (ceil(ceil(length(text) / 64.0) / 2.0) - 1) * 64
+      |           + ((length(text) - 1) % 128) + 1
+      |    ELSE ceil(ceil(length(text) / 64.0) / 2.0) * 64
+      |  END AS BIGINT) AS n_frame_bytes
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** Quality-score distribution over documents (the training-data quality
+    * filter as an oracle-backed aggregation). */
+  private def q32QualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val st = col("st")
+    val nTok = st.getField("n_tokens")
+    val nChars = st.getField("n_chars")
+    val punctR = when(nChars === 0, lit(0.0))
+      .otherwise(st.getField("n_punct").cast("double") / nChars)
+    val stopR = when(nTok === 0, lit(0.0))
+      .otherwise(st.getField("n_stop").cast("double") / nTok)
+    val quality = least(nChars.cast("double") / lit(500.0), lit(1.0)) * 0.4 +
+      greatest(lit(0.0), lit(1.0) - punctR * 4.0) * 0.3 +
+      least(stopR * 5.0, lit(1.0)) * 0.3
+    t(s, dir, "documents")
+      .select(col("lang"), GraftFunctions.textStats(col("text")).as("st"))
+      .withColumn("bucket", floor(quality * 10).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val q32Sql = {
+    val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> list_contains($stopList, x))) AS n_stop,
+       |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+       |    length(text) AS n_chars
+       |  FROM documents),
+       |q AS (
+       |  SELECT lang,
+       |    least(n_chars / 500.0, 1.0) * 0.4 +
+       |    greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+       |      ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 4.0) * 0.3 +
+       |    least((CASE WHEN n_tokens = 0 THEN 0.0
+       |      ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0, 1.0) * 0.3 AS quality
+       |  FROM d)
+       |SELECT lang, CAST(floor(quality * 10) AS BIGINT) AS bucket, count(*) AS n
+       |FROM q GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+  }
+
   // ====================================================================
   // Non-SQL-expressible operators (rows-only driver check): IVF/KMeans,
   // chunker pipeline, hash-embedder semantic search
@@ -807,6 +877,8 @@ object SparkEntry {
     "q20_emb_neardup" -> (q20EmbNearDup _),
     "q28_knn_l2" -> (q28KnnL2 _),
     "q30_threshold_progression" -> (q30ThresholdProgression _),
+    "q31_multimodal_frames" -> (q31MultimodalFrames _),
+    "q32_quality_buckets" -> (q32QualityBuckets _),
     "q29_fixed_threshold" -> (q29FixedThreshold _),
     "q24_score_parse" -> (q24ScoreParse _),
     "q25_json_tasks" -> (q25JsonTasks _),
@@ -840,6 +912,8 @@ object SparkEntry {
     "q20_emb_neardup" -> q20Sql,
     "q28_knn_l2" -> q28Sql,
     "q30_threshold_progression" -> q30Sql,
+    "q31_multimodal_frames" -> q31Sql,
+    "q32_quality_buckets" -> q32Sql,
     "q29_fixed_threshold" -> q29Sql,
     "q24_score_parse" -> q24Sql,
     "q25_json_tasks" -> q25Sql,
