@@ -18,7 +18,9 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.driver.memory", "24g")
+      // NOTE: heap comes from the forked JVM's -Xmx (build.sbt honors
+      // SPARK_DRIVER_MEM); spark.driver.memory set here would be ignored
+      // in an already-running local JVM.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,17 +24,23 @@ object SparkEntry {
     * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
   def entry(spark: SparkSession): DataFrame = {
     GraftFunctions.register(spark)
+    import spark.implicits._
     val docs = t(spark, "/root/testdata/sf0.001", "documents")
       .withColumn("embedding", GraftFunctions.hashEmbed(col("text"), lit(64)))
     val qVec = graft.functions.HashEmbedder.embed("spark join vector stream merge", 64)
-    val hits = VectorSearch.knnSingle(docs, qVec, k = 10, idCol = "doc_id")
-    val scores = hits.select("score").collect().map(_.getDouble(0)).toSeq
-    val stats = VectorSearch.dynamicThresholdSelect(scores, hitTarget = 3, step = 0.05)
-    hits.filter(col("score") >= stats.final_threshold)
-      .select(col("doc_id"), col("text"), col("source"),
-        round(col("score"), 4).as("score"),
-        lit(stats.final_threshold).as("final_threshold"),
-        lit(stats.target_reached).as("target_reached"))
+    // One cluster pass: collect the top-k (k=10 rows), then run the
+    // threshold scan and final projection at the driver — re-filtering the
+    // uncollected plan would re-run the whole embed+scan pipeline.
+    val top = VectorSearch.knnSingle(docs, qVec, k = 10, idCol = "doc_id")
+      .select("doc_id", "text", "source", "score").collect()
+    val stats = VectorSearch.dynamicThresholdSelect(
+      top.map(_.getDouble(3)).toSeq, hitTarget = 3, step = 0.05)
+    top.toSeq
+      .filter(_.getDouble(3) >= stats.final_threshold)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        stats.final_threshold, stats.target_reached))
+      .toDF("doc_id", "text", "source", "score", "final_threshold", "target_reached")
   }
 
   // ====================================================================
@@ -657,9 +663,13 @@ object SparkEntry {
       |              lpad(CAST(n_chars % 100 AS VARCHAR), 2, '0') END AS resp
       |  FROM documents)
       |SELECT doc_id,
-      |  CASE WHEN regexp_extract(resp, 'Pisteet:\s*([0-9]+\.[0-9]+)', 1) = ''
+      |  CASE WHEN coalesce(nullif(regexp_extract(resp, '(?i)Pisteet:\s*(0?\.[0-9]+|1\.0+|[01])', 1), ''),
+      |                     nullif(regexp_extract(resp, '(0?\.[0-9]+|1\.0+|[01])', 1), '')) IS NULL
       |       THEN 0.5
-      |       ELSE least(greatest(CAST(regexp_extract(resp, 'Pisteet:\s*([0-9]+\.[0-9]+)', 1) AS DOUBLE), 0.0), 1.0)
+      |       ELSE least(greatest(CAST(
+      |              coalesce(nullif(regexp_extract(resp, '(?i)Pisteet:\s*(0?\.[0-9]+|1\.0+|[01])', 1), ''),
+      |                       nullif(regexp_extract(resp, '(0?\.[0-9]+|1\.0+|[01])', 1), ''))
+      |            AS DOUBLE), 0.0), 1.0)
       |  END AS score
       |FROM resp ORDER BY doc_id""".stripMargin
 
@@ -747,10 +757,17 @@ object SparkEntry {
   private def q31MultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     val assets = t(s, dir, "documents")
       .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("payload"))
-    Multimodal.sampleVideoFrames(assets, everyN = 2, frameBytes = 64)
+    val frames = Multimodal.sampleVideoFrames(assets, everyN = 2, frameBytes = 64)
       .groupBy("asset_id")
       .agg(count(lit(1)).as("n_frames"),
         sum(length(col("frame"))).as("n_frame_bytes"))
+    // Left join keeps zero-frame (empty-payload) assets — the oracle emits
+    // a row with n_frames = 0 for them.
+    assets.select("asset_id")
+      .join(frames, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("n_frame_bytes"), lit(0L)).as("n_frame_bytes"))
       .orderBy("asset_id")
   }
 
@@ -828,10 +845,13 @@ object SparkEntry {
   private def q22CorpusBuild(s: SparkSession, dir: String): DataFrame = {
     // Documents concatenated per source simulate multi-paragraph files;
     // chunk + embed into the canonical corpus schema (FIXTURES.md §1).
+    // collect_list order is partitioning-dependent — sort by doc_id so the
+    // concatenated content (and thus chunk ids) is deterministic.
     val files = t(s, dir, "documents")
       .groupBy("source")
-      .agg(concat_ws("\n\n", collect_list(col("text"))).as("content"))
-      .withColumnRenamed("source", "filename")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("docs"))
+      .select(col("source").as("filename"),
+        concat_ws("\n\n", transform(col("docs"), d => d.getField("text"))).as("content"))
     graft.sources.TextIngest.buildCorpus(files)
       .select(col("doc_id"), col("filename"), col("chunk_index"),
         col("size"), col("start_line"), col("end_line"))

@@ -26,7 +26,7 @@ object HashEmbedder {
   def embed(text: String, dim: Int = DefaultDim): Array[Float] = {
     val acc = new Array[Double](dim)
     if (text != null) {
-      val tokens = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+      val tokens = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
       var i = 0
       while (i < tokens.length) {
         addFeature(acc, tokens(i), dim)

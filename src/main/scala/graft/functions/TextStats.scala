@@ -40,8 +40,10 @@ case class TextStatsExpression(child: Expression)
     var i = 0
     while (i < toks.length) {
       val tok = toks(i)
-      sumWordLen += tok.length
-      val lower = tok.toLowerCase
+      // code points, matching SQL length()/len() (UTF-16 units over-count
+      // astral chars)
+      sumWordLen += tok.codePointCount(0, tok.length)
+      val lower = tok.toLowerCase(java.util.Locale.ROOT)
       if (TextStatsExpression.stopSet.contains(lower)) nStop += 1
       if (TextStatsExpression.deSet.contains(lower)) nDe += 1
       if (TextStatsExpression.enSet.contains(lower)) nEn += 1
@@ -58,7 +60,8 @@ case class TextStatsExpression(child: Expression)
           (ch >= '[' && ch <= '`') || (ch >= '{' && ch <= '~')) nPunct += 1
       c += 1
     }
-    InternalRow(nTokens, sumWordLen, nStop, nPunct, text.length.toLong,
+    InternalRow(nTokens, sumWordLen, nStop, nPunct,
+      text.codePointCount(0, text.length).toLong,
       nDe, nEn, nEs, nFr)
   }
 

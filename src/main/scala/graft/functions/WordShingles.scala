@@ -25,7 +25,7 @@ case class WordShingles(left: Expression, right: Expression)
   override def nullSafeEval(text: Any, nAny: Any): Any = {
     val n = nAny.asInstanceOf[Int]
     val toks = text.asInstanceOf[UTF8String].toString
-      .trim.toLowerCase.split("\\s+")
+      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0

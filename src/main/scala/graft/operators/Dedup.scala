@@ -112,10 +112,13 @@ object Dedup {
   def simhash64(text: String): Long = {
     if (text == null) return 0L
     val votes = new Array[Int](64)
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    // One digest instance per document, reset per token — getInstance is a
+    // JCA provider lookup and would otherwise run once per token.
+    val md = java.security.MessageDigest.getInstance("MD5")
     toks.foreach { t =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8"))
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
       var bit = 0
       while (bit < 64) {
         val byte = d(bit / 8)
@@ -129,7 +132,7 @@ object Dedup {
     h
   }
 
-  /** SimHash column via Dataset.map (provenance-free deterministic). */
+  /** SimHash column (deterministic UDF over the text column). */
   def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     val fn = udf((s: String) => simhash64(s))

@@ -10,20 +10,26 @@ import org.apache.spark.sql.types._
 object LlmParsing {
 
   /** F4: evaluator score extraction
-    * (`components/optimization/response_evaluator.py:159-195`):
-    * `Pisteet: 0.XX` parsed from the judge response, clamped to [0,1],
-    * 0.5 fallback when absent. */
-  val ScorePattern = "Pisteet:\\s*([0-9]+\\.[0-9]+)"
+    * (`components/optimization/response_evaluator.py:176-189`): primary
+    * pattern `Pisteet: <0?.dd | 1.0+ | 0 | 1>` (case-insensitive), else the
+    * first bare score-shaped number anywhere in the text, else 0.5; always
+    * clamped to [0,1] — exact reference semantics including both fallbacks. */
+  val ScoreShape = "0?\\.[0-9]+|1\\.0+|[01]"
+  val ScorePattern = s"(?i)Pisteet:\\s*($ScoreShape)"
 
   def parseScore(response: Column): Column = {
-    val raw = regexp_extract(response, ScorePattern, 1)
+    val primary = regexp_extract(response, ScorePattern, 1)
+    val fallback = regexp_extract(response, s"($ScoreShape)", 1)
+    val raw = when(primary =!= "", primary).otherwise(fallback)
     when(raw === "", lit(0.5))
       .otherwise(least(greatest(raw.cast("double"), lit(0.0)), lit(1.0)))
   }
 
-  /** F4: the `Perustelut:` reasoning text preceding the score. */
+  /** F4: the `Perustelut:` reasoning text preceding the score (DOTALL +
+    * case-insensitive, `response_evaluator.py:177`; empty-match fallback
+    * is the caller's concern as in the reference's "Ei perustelua"). */
   def parseReasoning(response: Column): Column =
-    regexp_extract(response, "Perustelut:\\s*(.*?)\\s*(?:Pisteet:|$)", 1)
+    regexp_extract(response, "(?is)Perustelut:\\s*(.+?)(?=Pisteet:|$)", 1)
 
   /** F5: tasklist-JSON schema
     * (`components2/workflow_executor.py:405-452`). */

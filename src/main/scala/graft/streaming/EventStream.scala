@@ -72,7 +72,11 @@ object EventStream {
           incoming.foreach { t =>
             sessions.lastOption match {
               case Some(s) if t - s.last <= gapMs =>
-                sessions(sessions.length - 1) = s.copy(last = t, n = s.n + 1)
+                // Guard monotonicity: a cross-batch late event (t < last)
+                // merges without moving the session end backwards.
+                sessions(sessions.length - 1) =
+                  s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1)
               case _ => sessions += SessionState(t, t, 1)
             }
           }
