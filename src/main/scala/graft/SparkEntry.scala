@@ -827,10 +827,61 @@ object SparkEntry {
        |FROM q GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   }
 
+  /** §2.7 set ops: incremental corpus append (id-disjoint unionByName —
+    * `CorpusStore.append`) exercised as an oracle query: documents plus a
+    * re-keyed copy of the first 100, overlapping ids dropped. */
+  private def q33CorpusAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val incoming = docs.filter(col("doc_id") < 150)
+      .withColumn("doc_id",
+        when(col("doc_id") < 50, col("doc_id")) // overlaps -> dropped
+          .otherwise(col("doc_id") + 1000000))  // new ids -> appended
+    graft.sources.CorpusStore.append(docs, incoming, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
+  private val q33Sql =
+    """WITH incoming AS (
+      |  SELECT CASE WHEN doc_id < 50 THEN doc_id ELSE doc_id + 1000000 END AS doc_id,
+      |         text, lang, source, n_chars
+      |  FROM documents WHERE doc_id < 150),
+      |appended AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT i.* FROM incoming i
+      |  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = i.doc_id))
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM appended GROUP BY source ORDER BY source""".stripMargin
+
   // ====================================================================
   // Non-SQL-expressible operators (rows-only driver check): IVF/KMeans,
   // chunker pipeline, hash-embedder semantic search
   // ====================================================================
+
+  /** IVF quality metric (rows-only: KMeans cells aren't SQL-replicable):
+    * recall@10 of IVF search vs the exact scan, per probed query. */
+  private def q34IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val (withCells, ivf) = IvfIndex.build(emb, nlist = 16)
+    withCells.cache()
+    val queries = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rows = queries.map { case (qid, qVec) =>
+      val exact = VectorSearch.knnSingle(emb, qVec, 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val approx = IvfIndex.search(withCells, ivf, qVec, 10, nprobe = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (qid, exact.intersect(approx).size.toLong,
+        BigDecimal(exact.intersect(approx).size.toDouble / exact.size)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    withCells.unpersist()
+    rows.toSeq.toDF("query_id", "n_overlap", "recall_at_10").orderBy("query_id")
+  }
 
   private def q21IvfSearch(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -904,6 +955,8 @@ object SparkEntry {
     "q25_json_tasks" -> (q25JsonTasks _),
     "q26_prev_context" -> (q26PrevContext _),
     "q27_best_order" -> (q27BestOrder _),
+    "q33_corpus_append" -> (q33CorpusAppend _),
+    "q34_ivf_recall" -> (q34IvfRecall _),
     "q21_ivf_search" -> (q21IvfSearch _),
     "q22_corpus_build" -> (q22CorpusBuild _),
     "q23_doc_semantic_search" -> (q23DocSemanticSearch _),
@@ -939,5 +992,6 @@ object SparkEntry {
     "q25_json_tasks" -> q25Sql,
     "q26_prev_context" -> q26Sql,
     "q27_best_order" -> q27Sql,
+    "q33_corpus_append" -> q33Sql,
   )
 }
