@@ -31,13 +31,15 @@ object VectorSearch {
     // Two-phase: top-k over narrow (id, score) rows — TakeOrderedAndProject
     // copies every candidate row per partition, so carrying the embedding
     // (or document text) through it costs ~10× — then one broadcast join
-    // back for the k full rows.
+    // back for the k full rows. When the corpus has no payload columns
+    // beyond (id, embedding), the rejoin buys nothing: go direct.
     val top = corpus
       .select(col(idCol),
         GraftFunctions.dotF32(col(embCol), typedLit(queryVec)).as("score"))
       .orderBy(desc("score"), col(idCol).asc)
       .limit(k)
-    corpus.join(broadcast(top), Seq(idCol))
+    if (corpus.columns.toSet.subsetOf(Set(idCol, embCol))) top
+    else corpus.join(broadcast(top), Seq(idCol))
       .orderBy(desc("score"), col(idCol).asc)
   }
 

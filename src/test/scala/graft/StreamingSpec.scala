@@ -31,6 +31,53 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS win_counts")
   }
 
+  test("watermark drops late data in append mode across micro-batches") {
+    import graft.streaming.EventStream
+    val staging = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val base = 1700000000000L
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.map { case (id, ts, uid, et, v, p) =>
+        (id, new java.sql.Timestamp(ts), uid, et, v, p)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(staging)
+
+    // batch 1: events in windows [0,5m) and [5m,10m)
+    write(Seq(
+      (1L, base + 60000, 1L, "click", 1.0, "{}"),
+      (2L, base + 360000, 1L, "click", 1.0, "{}")))
+    val out = EventStream.windowedCounts(
+      EventStream.readEvents(spark, staging), "5 minutes", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("late_counts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: watermark jumps far ahead (watermark trails by one batch,
+      // so the late event must come in a LATER batch to be dropped)
+      write(Seq((3L, base + 7200000, 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // batch 3: a very late event for window [0,5m) — now below the
+      // advanced watermark — plus an advancer that closes the 2h window
+      write(Seq(
+        (4L, base + 30000, 1L, "late", 1.0, "{}"),
+        (5L, base + 14400000, 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // batch 4: close the 4h window too (not asserted, just flushes)
+      write(Seq((6L, base + 21600000, 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      val emitted = spark.sql(
+        "SELECT event_type, sum(n) FROM late_counts GROUP BY event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(emitted.get("click").contains(2L))
+      assert(emitted.get("view").contains(2L))   // 2h and 4h windows closed
+      assert(!emitted.contains("late"))          // dropped by the watermark
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS late_counts")
+    }
+  }
+
   test("EventLog emits the retrieval lifecycle matching the stats") {
     val stats = graft.operators.VectorSearch.dynamicThresholdSelect(
       Seq(0.92, 0.87, 0.81, 0.4), hitTarget = 3, step = 0.05)
