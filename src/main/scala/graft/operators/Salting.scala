@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting (SURVEY §7 scale toolkit; complements
+  * AQE's runtime skew-join splitting when skew is known a priori).
+  *
+  * - [[saltedAggregate]]: two-phase aggregation — partial per (key, salt)
+  *   spreads one hot key over `buckets` reducers, final re-aggregates per
+  *   key. Works for decomposable aggregates (sum/count/min/max).
+  * - [[saltedJoin]]: the skewed (large) side gets a random-ish salt; the
+  *   small side is exploded `buckets`× so every (key, salt) pair matches —
+  *   a hot key's rows land on `buckets` tasks instead of one.
+  *
+  * Salt is `pmod(hash(monotonically_increasing_id()), buckets)` — spread
+  * does not depend on data values, deterministic per partition layout.
+  */
+object Salting {
+
+  private def salt(buckets: Int): Column =
+    pmod(hash(monotonically_increasing_id()), lit(buckets))
+
+  /** Two-phase salted sum/count aggregation: `aggs` maps output column
+    * name → (valueColumn, "sum" | "count" | "min" | "max"). */
+  def saltedAggregate(df: DataFrame, keyCols: Seq[String], buckets: Int,
+                      aggs: Map[String, (Column, String)]): DataFrame = {
+    val partialAggs = aggs.map { case (name, (valueCol, kind)) =>
+      (kind match {
+        case "sum" => sum(valueCol)
+        case "count" => count(valueCol)
+        case "min" => min(valueCol)
+        case "max" => max(valueCol)
+        case other => throw new IllegalArgumentException(
+          s"non-decomposable aggregate: $other")
+      }).as(s"__p_$name")
+    }.toSeq
+    val finalAggs = aggs.map { case (name, (_, kind)) =>
+      (kind match {
+        case "sum" | "count" => sum(col(s"__p_$name"))
+        case "min" => min(col(s"__p_$name"))
+        case "max" => max(col(s"__p_$name"))
+      }).as(name)
+    }.toSeq
+    df.withColumn("__salt", salt(buckets))
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Salted equi-join: `large` is salted, `small` exploded buckets×. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    val saltedLarge = large.withColumn("__salt", salt(buckets))
+    val explodedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLarge.join(explodedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}
