@@ -416,9 +416,7 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val qVec = emb.filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
-    VectorSearch.knnSingle(
-        emb.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-        qVec, 10, idCol = "vec_id")
+    VectorSearch.knnScores(emb.filter(col("vec_id") =!= 0), qVec, 10, idCol = "vec_id")
       .select(col("vec_id"), round(col("score"), 4).as("score"))
   }
 
@@ -870,22 +868,23 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
     val (withCells, ivf) = IvfIndex.build(emb, nlist = 16)
     withCells.cache()
-    val queries = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
+    val queries = probes.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     // Exact side for ALL probes in one aggregated batch job; only the
     // per-query IVF probes (different cell prunes) loop.
-    val qDf = emb.filter(col("doc_id") < 8)
-      .select(col("doc_id").as("query_id"), col("embedding").as("q_embedding"))
     val exactAll = VectorSearch
-      .knnBatchAggregated(qDf, emb.select("doc_id", "embedding"), 10)
+      .knnBatchAggregated(
+        probes.select(col("doc_id").as("query_id"), col("embedding").as("q_embedding")),
+        emb.select("doc_id", "embedding"), 10)
       .select("query_id", "doc_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val rows = queries.map { case (qid, qVec) =>
       val exact = exactAll(qid)
       val approx = IvfIndex.search(withCells, ivf, qVec, 10, nprobe = 4)
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      (qid, exact.intersect(approx).size.toLong,
-        BigDecimal(exact.intersect(approx).size.toDouble / exact.size)
+      val overlap = exact.intersect(approx).size
+      (qid, overlap.toLong,
+        BigDecimal(overlap.toDouble / exact.size)
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     withCells.unpersist()

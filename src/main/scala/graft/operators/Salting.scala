@@ -25,6 +25,8 @@ object Salting {
     * name → (valueColumn, "sum" | "count" | "min" | "max"). */
   def saltedAggregate(df: DataFrame, keyCols: Seq[String], buckets: Int,
                       aggs: Map[String, (Column, String)]): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(aggs.nonEmpty, "at least one aggregate required")
     val partialAggs = aggs.map { case (name, (valueCol, kind)) =>
       (kind match {
         case "sum" => sum(valueCol)
@@ -52,6 +54,7 @@ object Salting {
   /** Salted equi-join: `large` is salted, `small` exploded buckets×. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
     val saltedLarge = large.withColumn("__salt", salt(buckets))
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

@@ -27,20 +27,26 @@ object VectorSearch {
     * clamping). */
   def knnSingle(corpus: DataFrame, queryVec: Array[Float], k: Int,
                 embCol: String = "embedding", idCol: String = "doc_id"): DataFrame = {
+    // Two-phase: narrow top-k then one broadcast join back for the k full
+    // rows — the output contract is always corpus columns + score.
+    val top = knnScores(corpus, queryVec, k, embCol, idCol)
+    corpus.join(broadcast(top), Seq(idCol))
+      .orderBy(desc("score"), col(idCol).asc)
+  }
+
+  /** Single-query exact top-k returning ONLY `(idCol, score)` — the narrow
+    * form of [[knnSingle]] without the fetch-back join. Top-k runs over
+    * narrow rows because TakeOrderedAndProject copies every candidate row
+    * per partition (carrying an embedding or document text through it costs
+    * ~10×). Use this when hit payloads aren't needed. */
+  def knnScores(corpus: DataFrame, queryVec: Array[Float], k: Int,
+                embCol: String = "embedding", idCol: String = "doc_id"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    // Two-phase: top-k over narrow (id, score) rows — TakeOrderedAndProject
-    // copies every candidate row per partition, so carrying the embedding
-    // (or document text) through it costs ~10× — then one broadcast join
-    // back for the k full rows. When the corpus has no payload columns
-    // beyond (id, embedding), the rejoin buys nothing: go direct.
-    val top = corpus
+    corpus
       .select(col(idCol),
         GraftFunctions.dotF32(col(embCol), typedLit(queryVec)).as("score"))
       .orderBy(desc("score"), col(idCol).asc)
       .limit(k)
-    if (corpus.columns.toSet.subsetOf(Set(idCol, embCol))) top
-    else corpus.join(broadcast(top), Seq(idCol))
-      .orderBy(desc("score"), col(idCol).asc)
   }
 
   /** Batch exact top-k: broadcast the (small) query set against the corpus

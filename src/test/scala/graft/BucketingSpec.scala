@@ -28,7 +28,9 @@ class BucketingSpec extends AnyFunSuite {
         .groupBy("o_orderstatus").agg(sum("l_quantity"))
       val plan = joined.queryExecution.executedPlan.toString
       // the join itself reads co-located buckets: no exchange below the join
-      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a SortMergeJoin in:\n$plan")
+      val joinPart = plan.substring(joinIdx)
       assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
         !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
         s"unexpected shuffle under the bucketed join:\n$plan")

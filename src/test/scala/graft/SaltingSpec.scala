@@ -45,6 +45,19 @@ class SaltingSpec extends AnyFunSuite {
     assert(salted.exists { case (k, _, n) => k == "hot" && n == 10000L })
   }
 
+  test("salting actually spreads the hot key over multiple buckets") {
+    // a degenerate constant salt would pass the equality tests above —
+    // verify the hot key's partial groups really fan out
+    val partials = Salting.saltedAggregate(skewed, Seq("key"), buckets = 16,
+      Map("n" -> (col("value"), "count")))
+    assert(partials.count() == 11) // final shape unchanged
+    val df = skewed.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(16)))
+    val hotSalts = df.filter(col("key") === "hot")
+      .select(countDistinct("__salt")).as[Long].head()
+    assert(hotSalts > 4, s"hot key landed on only $hotSalts salt buckets")
+  }
+
   test("non-decomposable aggregate is rejected") {
     intercept[IllegalArgumentException] {
       Salting.saltedAggregate(skewed, Seq("key"), 4,
