@@ -916,6 +916,19 @@ object SparkEntry {
         col("size"), col("start_line"), col("end_line"))
   }
 
+  /** E1 execution shape: per-partition encoder with 256-row batches
+    * (`Embedders.embedPartitioned`) over the documents table; rows-only
+    * (embedding values aren't SQL-expressible). */
+  private def q35EmbedPartitioned(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.functions.Embedders
+      .embedPartitioned(t(s, dir, "documents"), "text", "doc_id", dim = 64)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.normF32(col("embedding")).as("norm"))
+      .filter(col("norm") > 0.999 && col("norm") < 1.001)
+      .orderBy("doc_id")
+  }
+
   private def q23DocSemanticSearch(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val docs = t(s, dir, "documents")
@@ -968,6 +981,7 @@ object SparkEntry {
     "q21_ivf_search" -> (q21IvfSearch _),
     "q22_corpus_build" -> (q22CorpusBuild _),
     "q23_doc_semantic_search" -> (q23DocSemanticSearch _),
+    "q35_embed_partitioned" -> (q35EmbedPartitioned _),
   )
 
   def oracleSql: Map[String, String] = Map(
