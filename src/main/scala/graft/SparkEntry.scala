@@ -634,6 +634,76 @@ object SparkEntry {
       |WHERE s.stop_attempt IS NULL OR c.attempt <= s.stop_attempt
       |ORDER BY c.query_id, c.attempt""".stripMargin
 
+  /** W1 at System-1's finer grid (`config_example.json`: hit_target=5,
+    * step=0.01 ⇒ 101 attempts max). */
+  private def q36DynamicThresholdFine(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val hits = VectorSearch.knnBatch(queries, emb.filter(col("vec_id") >= 8), 20, idCol = "vec_id")
+    VectorSearch.dynamicThresholdBatch(hits, hitTarget = 5, step = 0.01)
+      .select(col("query_id"), col("final_threshold"),
+        col("final_hits").cast("long").as("final_hits"),
+        col("target_reached"), col("attempts").cast("long").as("attempts"))
+      .orderBy("query_id")
+  }
+
+  private val q36Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 8),
+      |hits AS (
+      |  SELECT query_id, score FROM (
+      |    SELECT q.query_id, list_dot_product(e.embedding, q.qe) AS score,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id) AS rnk
+      |    FROM embeddings e CROSS JOIN q
+      |    WHERE e.vec_id >= 8)
+      |  WHERE rnk <= 20),
+      |grid AS (SELECT (1000 - 10 * i) / 1000.0 AS t, i + 1 AS attempt
+      |         FROM range(0, 101) r(i)),
+      |counts AS (
+      |  SELECT h.query_id, g.t, g.attempt,
+      |    count(CASE WHEN h.score >= g.t THEN 1 END) AS hits_at_t
+      |  FROM hits h CROSS JOIN grid g
+      |  GROUP BY h.query_id, g.t, g.attempt),
+      |best AS (SELECT query_id, max(hits_at_t) AS best_hits FROM counts GROUP BY query_id),
+      |reached AS (
+      |  SELECT query_id, max(t) AS r_t, min(attempt) AS r_attempt
+      |  FROM counts WHERE hits_at_t >= 5 GROUP BY query_id),
+      |fallback AS (
+      |  SELECT c.query_id, max(c.t) AS f_t
+      |  FROM counts c JOIN best b ON c.query_id = b.query_id AND c.hits_at_t = b.best_hits
+      |  GROUP BY c.query_id)
+      |SELECT c.query_id,
+      |  coalesce(r.r_t, f.f_t) AS final_threshold,
+      |  CAST(max(CASE WHEN c.t = coalesce(r.r_t, f.f_t) THEN c.hits_at_t END) AS BIGINT) AS final_hits,
+      |  r.query_id IS NOT NULL AS target_reached,
+      |  CAST(coalesce(r.r_attempt, 101) AS BIGINT) AS attempts
+      |FROM counts c
+      |LEFT JOIN reached r ON c.query_id = r.query_id
+      |LEFT JOIN fallback f ON c.query_id = f.query_id
+      |GROUP BY c.query_id, r.r_t, f.f_t, r.query_id, r.r_attempt
+      |ORDER BY c.query_id""".stripMargin
+
+  /** Event-time tumbling windows in batch form (the batch twin of
+    * `EventStream.windowedCounts`; ts is int64 nanos). */
+  private def q37EventWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      // integer division — ts (~1.7e18 ns) exceeds double's exact range,
+      // so `/` then cast would mis-bucket boundary values
+      .withColumn("window_start", expr("ts div 300000000000"))
+      .groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  private val q37Sql =
+    """SELECT CAST(epoch_ns(ts) // 300000000000 AS BIGINT) AS window_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   // ====================================================================
   // LLM-pipeline operators (F4 score parse, F5 JSON extraction, W3
   // context accumulation, A3 argmax) — deterministic payloads are
@@ -916,6 +986,36 @@ object SparkEntry {
         col("size"), col("start_line"), col("end_line"))
   }
 
+  /** S2→P1→E1 end-to-end: deterministic .docx fixtures (built once into a
+    * temp dir from documents text) → docx-to-markdown conversion →
+    * chunk + embed into the corpus schema. Rows-only (binary ingest). */
+  private def q38DocxPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docxDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-docx-fixture")
+    if (!java.nio.file.Files.exists(docxDir)) {
+      java.nio.file.Files.createDirectories(docxDir)
+      val texts = t(s, dir, "documents").filter(col("doc_id") < 6)
+        .select("doc_id", "text").collect()
+      texts.foreach { r =>
+        val paras = r.getString(1).split("(?<=\\G.{120})") // 120-char paras
+          .map(p => s"<w:p><w:r><w:t>${p.trim}</w:t></w:r></w:p>").mkString
+        val xml =
+          s"""<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body><w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Doc ${r.getLong(0)}</w:t></w:r></w:p>$paras</w:body></w:document>"""
+        val bos = new java.io.ByteArrayOutputStream()
+        val zos = new java.util.zip.ZipOutputStream(bos)
+        zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+        zos.write(xml.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+        java.nio.file.Files.write(
+          docxDir.resolve(s"doc_${r.getLong(0)}.docx"), bos.toByteArray)
+      }
+    }
+    val docs = graft.sources.DocxIngest.readDocxDir(s, docxDir.toString)
+    graft.sources.TextIngest.buildCorpus(docs)
+      .select(col("doc_id"), col("filename"), col("chunk_index"), col("size"),
+        graft.functions.GraftFunctions.normF32(col("embedding")).as("norm"))
+      .orderBy("filename", "chunk_index")
+  }
+
   /** E1 execution shape: per-partition encoder with 256-row batches
     * (`Embedders.embedPartitioned`) over the documents table; rows-only
     * (embedding values aren't SQL-expressible). */
@@ -969,6 +1069,8 @@ object SparkEntry {
     "q20_emb_neardup" -> (q20EmbNearDup _),
     "q28_knn_l2" -> (q28KnnL2 _),
     "q30_threshold_progression" -> (q30ThresholdProgression _),
+    "q36_dynamic_threshold_fine" -> (q36DynamicThresholdFine _),
+    "q37_event_windows" -> (q37EventWindows _),
     "q31_multimodal_frames" -> (q31MultimodalFrames _),
     "q32_quality_buckets" -> (q32QualityBuckets _),
     "q29_fixed_threshold" -> (q29FixedThreshold _),
@@ -982,6 +1084,7 @@ object SparkEntry {
     "q22_corpus_build" -> (q22CorpusBuild _),
     "q23_doc_semantic_search" -> (q23DocSemanticSearch _),
     "q35_embed_partitioned" -> (q35EmbedPartitioned _),
+    "q38_docx_pipeline" -> (q38DocxPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1015,5 +1118,7 @@ object SparkEntry {
     "q26_prev_context" -> q26Sql,
     "q27_best_order" -> q27Sql,
     "q33_corpus_append" -> q33Sql,
+    "q36_dynamic_threshold_fine" -> q36Sql,
+    "q37_event_windows" -> q37Sql,
   )
 }
