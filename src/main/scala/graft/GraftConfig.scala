@@ -1,0 +1,82 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Typed engine configuration (SURVEY §1.1 "Configuration"): the nested
+  * JSON the reference hot-reloads per query with in-place deep-update
+  * (`components/rag_system.py:99-127`, reload-per-query at
+  * `components/execution/query_executor.py:57-59`). Here: immutable case
+  * classes re-read from the config source before plan construction —
+  * [[reload]] is the per-query hook; unknown keys are ignored and missing
+  * keys keep reference defaults. */
+final case class RetrievalConfig(
+    topK: Int = 10,             // settings.json retrieval.top_k
+    hitTarget: Int = 3,         // dynamic-threshold stop target
+    step: Double = 0.05,        // threshold grid step
+    dynamicEnabled: Boolean = true,
+    similarityThreshold: Double = 0.55, // fixed mode only
+    indexType: String = "flat_ip")      // flat_ip | flat_l2 | ivf
+
+final case class EmbeddingConfig(
+    dimension: Int = 64,
+    batchSize: Int = 256)
+
+final case class GraftConfig(
+    retrieval: RetrievalConfig = RetrievalConfig(),
+    embedding: EmbeddingConfig = EmbeddingConfig())
+
+object GraftConfig {
+  private val mapper = new ObjectMapper()
+
+  /** Parse a config JSON string; absent fields fall back to defaults
+    * (the reference's deep-update-over-current behavior for a fresh
+    * base). Malformed JSON → defaults. */
+  def fromJson(json: String): GraftConfig =
+    try {
+      val root = mapper.readTree(json)
+      def i(path: String, default: Int): Int = {
+        val parts = path.split('.')
+        var n = root
+        parts.foreach(p => n = if (n != null) n.get(p) else null)
+        if (n != null && n.isNumber) n.asInt else default
+      }
+      def d(path: String, default: Double): Double = {
+        val parts = path.split('.')
+        var n = root
+        parts.foreach(p => n = if (n != null) n.get(p) else null)
+        if (n != null && n.isNumber) n.asDouble else default
+      }
+      def s(path: String, default: String): String = {
+        val parts = path.split('.')
+        var n = root
+        parts.foreach(p => n = if (n != null) n.get(p) else null)
+        if (n != null && n.isTextual) n.asText else default
+      }
+      def b(path: String, default: Boolean): Boolean = {
+        val parts = path.split('.')
+        var n = root
+        parts.foreach(p => n = if (n != null) n.get(p) else null)
+        if (n != null && n.isBoolean) n.asBoolean else default
+      }
+      val defaults = GraftConfig()
+      GraftConfig(
+        retrieval = RetrievalConfig(
+          topK = i("retrieval.top_k", defaults.retrieval.topK),
+          hitTarget = i("retrieval.hit_target", defaults.retrieval.hitTarget),
+          step = d("retrieval.step", defaults.retrieval.step),
+          dynamicEnabled = b("retrieval.dynamic_enabled", defaults.retrieval.dynamicEnabled),
+          similarityThreshold = d("retrieval.similarity_threshold", defaults.retrieval.similarityThreshold),
+          indexType = s("retrieval.index_type", defaults.retrieval.indexType)),
+        embedding = EmbeddingConfig(
+          dimension = i("embedding.dimension", defaults.embedding.dimension),
+          batchSize = i("embedding.batch_size", defaults.embedding.batchSize)))
+    } catch { case _: Exception => GraftConfig() }
+
+  /** Per-query hot-reload: re-read the file if present, else defaults. */
+  def reload(path: String): GraftConfig = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      fromJson(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    else GraftConfig()
+  }
+}
