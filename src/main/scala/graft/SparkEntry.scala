@@ -23,23 +23,14 @@ object SparkEntry {
     * embed → exact k-NN → dynamic-threshold retrieval (the reference's
     * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
   def entry(spark: SparkSession): DataFrame = {
-    GraftFunctions.register(spark)
     import spark.implicits._
-    val docs = t(spark, "/root/testdata/sf0.001", "documents")
-      .withColumn("embedding", GraftFunctions.hashEmbed(col("text"), lit(64)))
-    val qVec = graft.functions.HashEmbedder.embed("spark join vector stream merge", 64)
-    // One cluster pass: collect the top-k (k=10 rows), then run the
-    // threshold scan and final projection at the driver — re-filtering the
-    // uncollected plan would re-run the whole embed+scan pipeline.
-    val top = VectorSearch.knnSingle(docs, qVec, k = 10, idCol = "doc_id")
-      .select("doc_id", "text", "source", "score").collect()
-    val stats = VectorSearch.dynamicThresholdSelect(
-      top.map(_.getDouble(3)).toSeq, hitTarget = 3, step = 0.05)
-    top.toSeq
-      .filter(_.getDouble(3) >= stats.final_threshold)
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        stats.final_threshold, stats.target_reached))
+    val res = RagPipeline.query(spark,
+      t(spark, "/root/testdata/sf0.001", "documents"),
+      "spark join vector stream merge")
+    res.docs
+      .map(d => (d.docId, d.text, d.source,
+        BigDecimal(d.score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        res.stats.final_threshold, res.stats.target_reached))
       .toDF("doc_id", "text", "source", "score", "final_threshold", "target_reached")
   }
 

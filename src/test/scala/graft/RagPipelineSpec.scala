@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RagPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark vector search with embeddings and joins", "a.txt"),
+    (2L, "vector search and nearest neighbor retrieval", "b.txt"),
+    (3L, "completely unrelated cooking recipe for soup", "c.txt"),
+    (4L, "spark streaming watermarks and windows", "d.txt"),
+    (5L, "search engines rank documents by relevance", "e.txt")
+  ).toDF("doc_id", "text", "source")
+
+  test("dynamic query end-to-end: ranked docs, stats, context, events") {
+    val res = RagPipeline.query(spark, corpus, "vector search retrieval",
+      GraftConfig(retrieval = RetrievalConfig(topK = 5, hitTarget = 2, step = 0.05)))
+    assert(res.docs.nonEmpty && res.docs.size >= 2)
+    assert(res.docs.map(_.score) == res.docs.map(_.score).sorted.reverse)
+    assert(res.docs.head.rank == 1)
+    assert(res.stats.target_reached)
+    assert(res.contextBlock.contains("[Document 1] (Source: "))
+    val ev = res.events.collect().map(_.getString(0))
+    assert(ev.head == "retrieval_start" && ev.last == "retrieval_complete")
+    val prompt = RagPipeline.buildPrompt(
+      "Answer {query} using:\n{context}", res)
+    assert(prompt.startsWith("Answer vector search retrieval using:"))
+    assert(prompt.contains(res.docs.head.text))
+  }
+
+  test("fixed-threshold mode filters at the configured threshold") {
+    val res = RagPipeline.query(spark, corpus, "vector search retrieval",
+      GraftConfig(retrieval = RetrievalConfig(
+        topK = 5, dynamicEnabled = false, similarityThreshold = 0.2)))
+    assert(res.stats.attempts == 1)
+    assert(res.stats.final_threshold == 0.2)
+    assert(res.docs.forall(_.score >= 0.2))
+  }
+
+  test("pre-embedded corpus is not re-embedded") {
+    val pre = RagPipeline.embedCorpus(corpus)
+    assert(RagPipeline.embedCorpus(pre).columns.count(_ == "embedding") == 1)
+  }
+}
