@@ -34,30 +34,19 @@ object GraftConfig {
   def fromJson(json: String): GraftConfig =
     try {
       val root = mapper.readTree(json)
-      def i(path: String, default: Int): Int = {
-        val parts = path.split('.')
+      def node(path: String): com.fasterxml.jackson.databind.JsonNode = {
         var n = root
-        parts.foreach(p => n = if (n != null) n.get(p) else null)
-        if (n != null && n.isNumber) n.asInt else default
+        path.split('.').foreach(p => n = if (n != null) n.get(p) else null)
+        n
       }
-      def d(path: String, default: Double): Double = {
-        val parts = path.split('.')
-        var n = root
-        parts.foreach(p => n = if (n != null) n.get(p) else null)
-        if (n != null && n.isNumber) n.asDouble else default
-      }
-      def s(path: String, default: String): String = {
-        val parts = path.split('.')
-        var n = root
-        parts.foreach(p => n = if (n != null) n.get(p) else null)
-        if (n != null && n.isTextual) n.asText else default
-      }
-      def b(path: String, default: Boolean): Boolean = {
-        val parts = path.split('.')
-        var n = root
-        parts.foreach(p => n = if (n != null) n.get(p) else null)
-        if (n != null && n.isBoolean) n.asBoolean else default
-      }
+      def i(path: String, default: Int): Int =
+        Option(node(path)).filter(_.isNumber).map(_.asInt).getOrElse(default)
+      def d(path: String, default: Double): Double =
+        Option(node(path)).filter(_.isNumber).map(_.asDouble).getOrElse(default)
+      def s(path: String, default: String): String =
+        Option(node(path)).filter(_.isTextual).map(_.asText).getOrElse(default)
+      def b(path: String, default: Boolean): Boolean =
+        Option(node(path)).filter(_.isBoolean).map(_.asBoolean).getOrElse(default)
       val defaults = GraftConfig()
       GraftConfig(
         retrieval = RetrievalConfig(

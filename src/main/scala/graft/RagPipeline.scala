@@ -34,16 +34,43 @@ object RagPipeline {
   }
 
   /** One interactive query end-to-end. `corpus` needs (doc_id, text,
-    * source[, embedding]) — embeddings are derived when absent. */
+    * source[, embedding]) — embeddings are derived when absent; a
+    * pre-embedded corpus must match the configured dimension (the
+    * reference's load-time validation, `embedding_service.py:46-55`).
+    * Metric follows `config.retrieval.indexType`: flat_ip (dot over
+    * normalized vectors) or flat_l2 (1/(1+d) similarity); IVF search needs
+    * a prebuilt index — use [[graft.operators.IvfIndex]] directly. */
   def query(spark: SparkSession, corpus: DataFrame, queryText: String,
             config: GraftConfig = GraftConfig(),
             queryId: Long = 0L,
             textCol: String = "text", sourceCol: String = "source"): QueryResult = {
     val r = config.retrieval
-    val embedded = embedCorpus(corpus, textCol, config.embedding.dimension)
-    val qVec = HashEmbedder.embed(queryText, config.embedding.dimension)
-    val top = VectorSearch.knnSingle(embedded, qVec, r.topK)
-      .select(col("doc_id"), col(textCol), col(sourceCol), col("score"))
+    val dim = config.embedding.dimension
+    val embedded = embedCorpus(corpus, textCol, dim)
+    if (corpus.columns.contains("embedding"))
+      embedded.select(size(col("embedding"))).head(1).foreach { row =>
+        require(row.getInt(0) == dim,
+          s"corpus embedding dimension ${row.getInt(0)} != configured $dim")
+      }
+    val qVec = HashEmbedder.embed(queryText, dim)
+    val scored = r.indexType match {
+      case "flat_ip" =>
+        VectorSearch.knnSingle(embedded, qVec, r.topK)
+      case "flat_l2" =>
+        // distance-ranked top-k, similarity = 1/(1+d) (F1)
+        val top = embedded
+          .select(col("doc_id"),
+            GraftFunctions.l2Similarity(
+              GraftFunctions.l2DistanceF32(col("embedding"), typedLit(qVec))).as("score"))
+          .orderBy(desc("score"), col("doc_id").asc)
+          .limit(r.topK)
+        embedded.join(broadcast(top), Seq("doc_id"))
+          .orderBy(desc("score"), col("doc_id").asc)
+      case other => throw new IllegalArgumentException(
+        s"indexType '$other' not supported here (ivf: build with IvfIndex and call IvfIndex.search)")
+    }
+    val top = scored
+      .select(col("doc_id").cast("long"), col(textCol), col(sourceCol), col("score"))
       .collect()
     val scores = top.map(_.getDouble(3)).toSeq
     val stats =
@@ -61,8 +88,11 @@ object RagPipeline {
       .zipWithIndex
       .map { case (row, i) => RetrievedDoc(row.getLong(0), row.getString(1),
         row.getString(2), row.getDouble(3), i + 1) }
+    // Locale.US matches Spark's format_string (a German-locale JVM would
+    // otherwise print "0,59" for the relevance).
     val context = docs.map(d =>
-      f"[Document ${d.rank}] (Source: ${d.source}, Relevance: ${d.score}%.2f)%n${d.text}")
+      String.format(java.util.Locale.US, PromptAssembly.EntryFormat,
+        Int.box(d.rank), d.source, Double.box(d.score), d.text))
       .mkString("\n\n")
     QueryResult(queryText, docs, stats, context,
       EventLog.retrievalEvents(spark, queryId, stats))

@@ -981,15 +981,21 @@ object SparkEntry {
     * temp dir from documents text) → docx-to-markdown conversion →
     * chunk + embed into the corpus schema. Rows-only (binary ingest). */
   private def q38DocxPipeline(s: SparkSession, dir: String): DataFrame = {
+    // Fixture dir keyed by the source sfDir (different dirs → different
+    // texts) and built atomically: write into a temp dir, rename into
+    // place, so a killed/concurrent run never leaves a partial cache.
+    val key = java.lang.Integer.toHexString(dir.hashCode)
     val docxDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-docx-fixture")
+      System.getProperty("java.io.tmpdir"), s"graft-docx-fixture-$key")
     if (!java.nio.file.Files.exists(docxDir)) {
-      java.nio.file.Files.createDirectories(docxDir)
+      val staging = java.nio.file.Files.createTempDirectory("graft-docx-build")
+      def esc(x: String): String =
+        x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       val texts = t(s, dir, "documents").filter(col("doc_id") < 6)
         .select("doc_id", "text").collect()
       texts.foreach { r =>
         val paras = r.getString(1).split("(?<=\\G.{120})") // 120-char paras
-          .map(p => s"<w:p><w:r><w:t>${p.trim}</w:t></w:r></w:p>").mkString
+          .map(p => s"<w:p><w:r><w:t>${esc(p.trim)}</w:t></w:r></w:p>").mkString
         val xml =
           s"""<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body><w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Doc ${r.getLong(0)}</w:t></w:r></w:p>$paras</w:body></w:document>"""
         val bos = new java.io.ByteArrayOutputStream()
@@ -997,8 +1003,12 @@ object SparkEntry {
         zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
         zos.write(xml.getBytes("UTF-8")); zos.closeEntry(); zos.close()
         java.nio.file.Files.write(
-          docxDir.resolve(s"doc_${r.getLong(0)}.docx"), bos.toByteArray)
+          staging.resolve(s"doc_${r.getLong(0)}.docx"), bos.toByteArray)
       }
+      try java.nio.file.Files.move(staging, docxDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.FileSystemException => () } // lost the race: use winner's
     }
     val docs = graft.sources.DocxIngest.readDocxDir(s, docxDir.toString)
     graft.sources.TextIngest.buildCorpus(docs)
@@ -1016,7 +1026,9 @@ object SparkEntry {
       .embedPartitioned(t(s, dir, "documents"), "text", "doc_id", dim = 64)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.normF32(col("embedding")).as("norm"))
-      .filter(col("norm") > 0.999 && col("norm") < 1.001)
+      // invariant surfaced as a column (a filter would silently shrink the
+      // result on an embedder regression)
+      .withColumn("unit_norm", col("norm") > 0.999 && col("norm") < 1.001)
       .orderBy("doc_id")
   }
 

@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object PromptAssembly {
 
+  /** Shared entry format — used by both the distributed and driver-side
+    * context builders so the two can't drift ("\n", not platform %n). */
+  val EntryFormat = "[Document %d] (Source: %s, Relevance: %.2f)\n%s"
+
   /** Per-hit context entry; `doc_rank` must be 1-based (W2 ordering). */
   def contextEntry(rank: Column, source: Column, score: Column, text: Column): Column =
-    format_string("[Document %d] (Source: %s, Relevance: %.2f)\n%s",
-      rank, source, score, text)
+    format_string(EntryFormat, rank, source, score, text)
 
   /** Assemble one context block per query from ranked hits
     * (`(query_id, doc_rank, source, score, text)`). Order inside

@@ -43,4 +43,26 @@ class RagPipelineSpec extends AnyFunSuite {
     val pre = RagPipeline.embedCorpus(corpus)
     assert(RagPipeline.embedCorpus(pre).columns.count(_ == "embedding") == 1)
   }
+
+  test("flat_l2 metric ranks by distance with 1/(1+d) similarity") {
+    val res = RagPipeline.query(spark, corpus, "vector search retrieval",
+      GraftConfig(retrieval = RetrievalConfig(topK = 5, hitTarget = 1,
+        indexType = "flat_l2")))
+    assert(res.docs.nonEmpty)
+    assert(res.docs.forall(d => d.score > 0 && d.score <= 1.0))
+    assert(res.docs.map(_.score) == res.docs.map(_.score).sorted.reverse)
+  }
+
+  test("dimension mismatch on pre-embedded corpus fails loudly; bad indexType rejected") {
+    val pre = RagPipeline.embedCorpus(corpus, dim = 32)
+    val ex = intercept[IllegalArgumentException] {
+      RagPipeline.query(spark, pre, "q",
+        GraftConfig(embedding = EmbeddingConfig(dimension = 64)))
+    }
+    assert(ex.getMessage.contains("dimension"))
+    intercept[IllegalArgumentException] {
+      RagPipeline.query(spark, corpus, "q",
+        GraftConfig(retrieval = RetrievalConfig(indexType = "hnsw")))
+    }
+  }
 }
