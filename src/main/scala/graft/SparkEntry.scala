@@ -941,7 +941,7 @@ object SparkEntry {
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val rows = queries.map { case (qid, qVec) =>
       val exact = exactAll(qid)
-      val approx = IvfIndex.search(withCells, ivf, qVec, 10, nprobe = 4)
+      val approx = IvfIndex.searchScores(withCells, ivf, qVec, 10, nprobe = 4)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val overlap = exact.intersect(approx).size
       (qid, overlap.toLong,

@@ -77,4 +77,16 @@ object IvfIndex {
     val pruned = corpusWithCells.filter(col("cell_id").isin(cells: _*))
     VectorSearch.knnSingle(pruned, queryVec, k, embCol, idCol)
   }
+
+  /** Narrow IVF search returning only `(idCol, score)` — skips the
+    * fetch-back join when hit payloads aren't needed. */
+  def searchScores(corpusWithCells: DataFrame, ivf: Ivf, queryVec: Array[Float],
+                   k: Int, nprobe: Int, embCol: String = "embedding",
+                   idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(corpusWithCells.sparkSession)
+    val cells = probeCells(ivf, queryVec, nprobe)
+    VectorSearch.knnScores(
+      corpusWithCells.filter(col("cell_id").isin(cells: _*)),
+      queryVec, k, embCol, idCol)
+  }
 }
