@@ -1,0 +1,141 @@
+package graft
+
+/** Generators for the DuckDB oracle SQL of queries whose results derive
+  * from graft's deterministic kernels (md5 feature-hash embedding, md5
+  * chunk ids). Everything here exists so the driver's hash-compare gate
+  * can check those queries exactly instead of rows-only: the Scala kernels
+  * were designed around md5 (cross-engine identical) and sequential double
+  * arithmetic (IEEE-identical) precisely so these SQL replicas are
+  * bit-for-bit equivalent.
+  */
+object OracleSqlGen {
+
+  /** DuckDB expression for the value of one hex digit of `m` (a lowercase
+    * md5 hex string) at 1-based position `pos`. */
+  private def hexDigit(m: String, pos: Int): String =
+    s"(strpos('0123456789abcdef', substr($m, $pos, 1)) - 1)"
+
+  /** DuckDB expression parsing the first `nChars` hex chars of `m` into a
+    * BIGINT (big-endian, matching Spark's `conv(substr(md5, 1, n), 16, 10)`). */
+  def hexPrefixToBigint(m: String, nChars: Int): String =
+    (1 to nChars).map(hexDigit(m, _))
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+
+  /** The md5-derived chunk id assigned by `TextIngest.buildCorpus`:
+    * first 15 hex chars (60 bits) of md5(filename:chunk_index). */
+  def chunkDocId(filenameExpr: String, chunkIndexExpr: String): String =
+    "CAST(" + hexPrefixToBigint(
+      s"md5($filenameExpr || ':' || CAST($chunkIndexExpr AS VARCHAR))", 15) +
+      " AS BIGINT)"
+
+  /** CTE chain replicating `HashEmbedder.embed` over a relation
+    * `__docs(id BIGINT, txt VARCHAR)` (which the caller must define as the
+    * first CTE). Produces `__emb(id, embedding DOUBLE[])` whose values are
+    * exactly the float32 embedding components widened to double:
+    *
+    *  - tokens: lowercase split on non-alphanumeric runs (RE2 `\p{L}\p{N}`
+    *    == Java's on this ASCII corpus), empty tokens dropped;
+    *  - features: unigrams + space-joined bigrams;
+    *  - bucket/sign from the md5 hex prefix: first 16 bits mod dim, sign
+    *    from the 5th hex digit's top bit — mirroring the byte arithmetic
+    *    in `HashEmbedder.addFeature`;
+    *  - signed counts accumulate exactly (integers in doubles), the norm
+    *    is sqrt of an exact integer sum, and each component rounds to
+    *    float32 once — the identical IEEE operation sequence as the Scala
+    *    kernel, hence bit-for-bit equality.
+    */
+  def embedCtes(dim: Int): String = {
+    val b01 = s"(${hexDigit("md5(f)", 1)} * 4096 + ${hexDigit("md5(f)", 2)} * 256 + " +
+      s"${hexDigit("md5(f)", 3)} * 16 + ${hexDigit("md5(f)", 4)})"
+    s"""__toks AS (
+       |  SELECT id, list_filter(
+       |    regexp_split_to_array(lower(txt), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS ts
+       |  FROM __docs),
+       |__feats AS (
+       |  SELECT id, unnest(ts) AS f FROM __toks
+       |  UNION ALL
+       |  SELECT id, unnest(list_transform(range(1, len(ts)),
+       |                                   i -> ts[i] || ' ' || ts[i + 1])) AS f
+       |  FROM __toks),
+       |__acc AS (
+       |  SELECT id, $b01 % $dim AS idx,
+       |    sum(CASE WHEN ${hexDigit("md5(f)", 5)} < 8 THEN 1.0 ELSE -1.0 END) AS v
+       |  FROM __feats GROUP BY 1, 2),
+       |__dense AS (
+       |  SELECT t.id, g.range AS j, coalesce(a.v, 0.0) AS v
+       |  FROM __toks t CROSS JOIN range(0, $dim) g
+       |  LEFT JOIN __acc a ON a.id = t.id AND a.idx = g.range),
+       |__vec AS (
+       |  SELECT id, list(v ORDER BY j) AS raw, sqrt(sum(v * v)) AS nrm
+       |  FROM __dense GROUP BY id),
+       |__emb AS (
+       |  SELECT id, CASE WHEN nrm > 0
+       |    THEN list_transform(raw, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE))
+       |    ELSE list_transform(raw, x -> 0.0) END AS embedding
+       |  FROM __vec)""".stripMargin
+  }
+
+  /** CTE chain replicating the regular chunker (`Chunker.chunkRegular`) over
+    * per-source files whose paragraph blocks are the `documents` rows sorted
+    * by doc_id and joined with blank lines (`SparkEntry.q22CorpusBuild`'s
+    * input shape — every document text is newline-free and under
+    * `MaxChunkChars`, so `splitOversized` is the identity and a block's line
+    * span is a single line).
+    *
+    * The greedy packing loop (`Chunker.packBlocks`) is a recursive CTE
+    * stepping block-by-block per source (depth = blocks per file); the tail
+    * merge and the 100-char overlap's size contribution are closed-form
+    * post-passes. Produces
+    * `__chunks(filename, chunk_index, size, start_line, end_line)`. */
+  def regularChunkCtes(maxChars: Int = 2000, minChars: Int = 500,
+                       overlap: Int = 100): String =
+    s"""__blocks AS (
+       |  SELECT source,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i,
+       |    length(trim(text)) AS len,
+       |    2 * row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS line
+       |  FROM documents WHERE trim(text) <> ''),
+       |__rec AS (
+       |  SELECT source, i, 1 AS chunk_no, len AS cur_len,
+       |         line AS start_line, line AS end_line
+       |  FROM __blocks WHERE i = 1
+       |  UNION ALL
+       |  SELECT b.source, b.i,
+       |    CASE WHEN r.cur_len + 2 + b.len > $maxChars AND r.cur_len >= $minChars
+       |         THEN r.chunk_no + 1 ELSE r.chunk_no END,
+       |    CASE WHEN r.cur_len + 2 + b.len > $maxChars AND r.cur_len >= $minChars
+       |         THEN b.len ELSE r.cur_len + 2 + b.len END,
+       |    CASE WHEN r.cur_len + 2 + b.len > $maxChars AND r.cur_len >= $minChars
+       |         THEN b.line ELSE r.start_line END,
+       |    b.line
+       |  FROM __rec r JOIN __blocks b ON b.source = r.source AND b.i = r.i + 1),
+       |__packed AS (
+       |  SELECT r.source, r.chunk_no, r.cur_len AS len, r.start_line, r.end_line
+       |  FROM __rec r
+       |  JOIN (SELECT source, chunk_no, max(i) AS last_i
+       |        FROM __rec GROUP BY 1, 2) lst
+       |    ON r.source = lst.source AND r.chunk_no = lst.chunk_no
+       |   AND r.i = lst.last_i),
+       |__tailinfo AS (
+       |  SELECT p.source, s.nc, p.len AS tail_len, p.end_line AS tail_end
+       |  FROM __packed p
+       |  JOIN (SELECT source, max(chunk_no) AS nc FROM __packed GROUP BY 1) s
+       |    ON p.source = s.source AND p.chunk_no = s.nc),
+       |__merged AS (
+       |  SELECT p.source, p.chunk_no,
+       |    CASE WHEN t.nc > 1 AND t.tail_len < $minChars AND p.chunk_no = t.nc - 1
+       |         THEN p.len + 2 + t.tail_len ELSE p.len END AS len,
+       |    p.start_line,
+       |    CASE WHEN t.nc > 1 AND t.tail_len < $minChars AND p.chunk_no = t.nc - 1
+       |         THEN t.tail_end ELSE p.end_line END AS end_line
+       |  FROM __packed p JOIN __tailinfo t ON p.source = t.source
+       |  WHERE NOT (t.nc > 1 AND t.tail_len < $minChars AND p.chunk_no = t.nc)),
+       |__chunks AS (
+       |  SELECT source AS filename, chunk_no - 1 AS chunk_index,
+       |    len + CASE WHEN chunk_no = 1 THEN 0
+       |          ELSE least($overlap,
+       |                     lag(len) OVER (PARTITION BY source ORDER BY chunk_no)) + 1
+       |          END AS size,
+       |    start_line, end_line
+       |  FROM __merged)""".stripMargin
+}

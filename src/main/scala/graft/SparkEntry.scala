@@ -222,7 +222,7 @@ object SparkEntry {
       |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
       |  FROM events)
       |SELECT user_id,
-      |  sum(CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |  count(*) AS n_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -834,13 +834,13 @@ object SparkEntry {
 
   private val q31Sql =
     """SELECT doc_id AS asset_id,
-      |  CAST(ceil(ceil(length(text) / 64.0) / 2.0) AS BIGINT) AS n_frames,
+      |  CAST(ceil(ceil(octet_length(CAST(text AS BLOB)) / 64.0) / 2.0) AS BIGINT) AS n_frames,
       |  CAST(CASE
       |    -- full 128-byte strides except a possibly-short last sampled frame
-      |    WHEN (length(text) - 1) % 128 < 64 AND length(text) % 128 <> 0
-      |      THEN (ceil(ceil(length(text) / 64.0) / 2.0) - 1) * 64
-      |           + ((length(text) - 1) % 128) + 1
-      |    ELSE ceil(ceil(length(text) / 64.0) / 2.0) * 64
+      |    WHEN (octet_length(CAST(text AS BLOB)) - 1) % 128 < 64 AND octet_length(CAST(text AS BLOB)) % 128 <> 0
+      |      THEN (ceil(ceil(octet_length(CAST(text AS BLOB)) / 64.0) / 2.0) - 1) * 64
+      |           + ((octet_length(CAST(text AS BLOB)) - 1) % 128) + 1
+      |    ELSE ceil(ceil(octet_length(CAST(text AS BLOB)) / 64.0) / 2.0) * 64
       |  END AS BIGINT) AS n_frame_bytes
       |FROM documents ORDER BY asset_id""".stripMargin
 
@@ -973,9 +973,25 @@ object SparkEntry {
       .select(col("source").as("filename"),
         concat_ws("\n\n", transform(col("docs"), d => d.getField("text"))).as("content"))
     graft.sources.TextIngest.buildCorpus(files)
-      .select(col("doc_id"), col("filename"), col("chunk_index"),
-        col("size"), col("start_line"), col("end_line"))
+      .select(col("doc_id"), col("filename"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("size").cast("long").as("size"),
+        col("start_line").cast("long").as("start_line"),
+        col("end_line").cast("long").as("end_line"))
+      .orderBy("filename", "chunk_index")
   }
+
+  /** q22's oracle: the full S11 chain in SQL — the greedy chunker as a
+    * recursive CTE over per-source blocks, chunk sizes adjusted for tail
+    * merge + overlap, and the md5-derived chunk id (`OracleSqlGen`). */
+  private def q22Sql: String =
+    s"""WITH RECURSIVE ${OracleSqlGen.regularChunkCtes()}
+       |SELECT ${OracleSqlGen.chunkDocId("filename", "chunk_index")} AS doc_id,
+       |  filename, CAST(chunk_index AS BIGINT) AS chunk_index,
+       |  CAST(size AS BIGINT) AS size,
+       |  CAST(start_line AS BIGINT) AS start_line,
+       |  CAST(end_line AS BIGINT) AS end_line
+       |FROM __chunks ORDER BY filename, chunk_index""".stripMargin
 
   /** S2→P1→E1 end-to-end: deterministic .docx fixtures (built once into a
     * temp dir from documents text) → docx-to-markdown conversion →
@@ -1018,33 +1034,78 @@ object SparkEntry {
   }
 
   /** E1 execution shape: per-partition encoder with 256-row batches
-    * (`Embedders.embedPartitioned`) over the documents table; rows-only
-    * (embedding values aren't SQL-expressible). */
+    * (`Embedders.embedPartitioned`) over the documents table. The output is
+    * a per-vector structural fingerprint (nonzero count, argmax position,
+    * max component, norm) — integer-exact or 4-dp-rounded values the DuckDB
+    * oracle recomputes from the md5 embedding replica, so the whole batch
+    * encode path is hash-checked, not rows-only. */
   private def q35EmbedPartitioned(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     graft.functions.Embedders
       .embedPartitioned(t(s, dir, "documents"), "text", "doc_id", dim = 64)
+      .withColumn("nrm", graft.functions.GraftFunctions.normF32(col("embedding")))
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.normF32(col("embedding")).as("norm"))
-      // invariant surfaced as a column (a filter would silently shrink the
-      // result on an embedder regression)
-      .withColumn("unit_norm", col("norm") > 0.999 && col("norm") < 1.001)
+        size(filter(col("embedding"), x => x =!= lit(0.0f))).cast("long").as("n_nonzero"),
+        array_position(col("embedding"), array_max(col("embedding"))).as("argmax_j"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
+        round(col("nrm"), 4).as("norm"),
+        // invariant surfaced as a column (a filter would silently shrink
+        // the result on an embedder regression)
+        (col("nrm") > 0.999 && col("nrm") < 1.001).as("unit_norm"))
       .orderBy("doc_id")
   }
+
+  private def q35Sql: String =
+    s"""WITH __docs AS (SELECT doc_id AS id, text AS txt FROM documents),
+       |${OracleSqlGen.embedCtes(64)}
+       |SELECT id AS doc_id,
+       |  CAST(len(list_filter(embedding, x -> x <> 0.0)) AS BIGINT) AS n_nonzero,
+       |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_j,
+       |  round(list_max(embedding), 4) AS max_val,
+       |  round(sqrt(list_sum(list_transform(embedding, x -> x * x))), 4) AS norm,
+       |  (sqrt(list_sum(list_transform(embedding, x -> x * x))) > 0.999 AND
+       |   sqrt(list_sum(list_transform(embedding, x -> x * x))) < 1.001) AS unit_norm
+       |FROM __emb ORDER BY doc_id""".stripMargin
 
   private def q23DocSemanticSearch(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val docs = t(s, dir, "documents")
       .withColumn("embedding", GraftFunctions.hashEmbed(col("text"), lit(64)))
-    val queries = s.createDataFrame(Seq(
-      (0L, "spark join vector stream merge"),
-      (1L, "customer order line query"),
-      (2L, "window batch group sort"))).toDF("query_id", "qtext")
+    val queries = s.createDataFrame(q23QueryTexts).toDF("query_id", "qtext")
       .withColumn("q_embedding", GraftFunctions.hashEmbed(col("qtext"), lit(64)))
     VectorSearch.knnBatch(queries, docs, 5, idCol = "doc_id")
       .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"),
-        col("doc_rank"))
+        col("doc_rank").cast("long").as("doc_rank"))
       .orderBy("query_id", "doc_rank")
+  }
+
+  private val q23QueryTexts = Seq(
+    (0L, "spark join vector stream merge"),
+    (1L, "customer order line query"),
+    (2L, "window batch group sort"))
+
+  /** q23's oracle: hash-embed documents AND the literal query texts in SQL
+    * (query rows ride along with negative ids), then exact batch top-5 by
+    * inner product with the engine-wide (score DESC, id ASC) tie order. */
+  private def q23Sql: String = {
+    val qVals = q23QueryTexts
+      .map { case (qid, txt) => s"(${-qid - 1}, '${txt}')" }.mkString(", ")
+    s"""WITH __docs AS (
+       |  SELECT doc_id AS id, text AS txt FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $qVals) v(id, txt)),
+       |${OracleSqlGen.embedCtes(64)},
+       |q AS (SELECT -id - 1 AS query_id, embedding AS qe FROM __emb WHERE id < 0),
+       |d AS (SELECT id AS doc_id, embedding FROM __emb WHERE id >= 0),
+       |ranked AS (
+       |  SELECT q.query_id, d.doc_id,
+       |    list_dot_product(d.embedding, q.qe) AS score,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_dot_product(d.embedding, q.qe) DESC, d.doc_id) AS doc_rank
+       |  FROM d CROSS JOIN q)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  round(score, 4) AS score, CAST(doc_rank AS BIGINT) AS doc_rank
+       |FROM ranked WHERE doc_rank <= 5 ORDER BY query_id, doc_rank""".stripMargin
   }
 
   // ====================================================================
@@ -1123,5 +1184,8 @@ object SparkEntry {
     "q33_corpus_append" -> q33Sql,
     "q36_dynamic_threshold_fine" -> q36Sql,
     "q37_event_windows" -> q37Sql,
+    "q22_corpus_build" -> q22Sql,
+    "q23_doc_semantic_search" -> q23Sql,
+    "q35_embed_partitioned" -> q35Sql,
   )
 }

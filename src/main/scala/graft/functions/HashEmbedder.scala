@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import scala.util.hashing.MurmurHash3
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
 
 /** Deterministic feature-hashing text embedder.
   *
@@ -18,19 +19,26 @@ import scala.util.hashing.MurmurHash3
   * hashing-trick into `dim` buckets, then L2 normalization, mirroring the
   * normalize-at-encode-time convention that makes inner product == cosine
   * (`components/core/embedding_service.py:92-96`).
+  *
+  * The feature hash is MD5 (not a JVM-private hash): the bucket is the
+  * first two digest bytes mod `dim`, the sign is the top bit of the third
+  * byte. MD5 hex agrees across engines, so a SQL oracle (DuckDB `md5`)
+  * can replicate every vector bit-for-bit — the same choice the minhash
+  * pipeline makes (`Dedup`), making embedding-derived query results
+  * hash-checkable instead of rows-only.
   */
 object HashEmbedder {
   val DefaultDim = 64
-  private val Seed = 42
 
   def embed(text: String, dim: Int = DefaultDim): Array[Float] = {
     val acc = new Array[Double](dim)
     if (text != null) {
+      val md = MessageDigest.getInstance("MD5")
       val tokens = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
       var i = 0
       while (i < tokens.length) {
-        addFeature(acc, tokens(i), dim)
-        if (i + 1 < tokens.length) addFeature(acc, tokens(i) + " " + tokens(i + 1), dim)
+        addFeature(md, acc, tokens(i), dim)
+        if (i + 1 < tokens.length) addFeature(md, acc, tokens(i) + " " + tokens(i + 1), dim)
         i += 1
       }
     }
@@ -46,11 +54,13 @@ object HashEmbedder {
     out
   }
 
-  private def addFeature(acc: Array[Double], feature: String, dim: Int): Unit = {
-    val h = MurmurHash3.stringHash(feature, Seed)
-    val idx = math.floorMod(h, dim)
-    // An independent bit decides the sign (hashing-trick variance reduction).
-    val sign = if (((h >>> 16) & 1) == 0) 1.0 else -1.0
+  private def addFeature(md: MessageDigest, acc: Array[Double], feature: String, dim: Int): Unit = {
+    md.reset()
+    val h = md.digest(feature.getBytes(StandardCharsets.UTF_8))
+    // First 16 bits -> bucket, top bit of byte 2 -> sign; both derivable
+    // from the md5 hex prefix in SQL (see SparkEntry's embedding oracle).
+    val idx = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % dim
+    val sign = if ((h(2) & 0x80) == 0) 1.0 else -1.0
     acc(idx) += sign
   }
 }

@@ -43,8 +43,11 @@ object TextIngest {
       }
       .toDF("filename", "chunk_index", "content", "start_line", "end_line")
     // Deterministic distributed id: no global window/shuffle at scale.
+    // md5-derived (first 60 bits) rather than xxhash64 so a SQL oracle can
+    // recompute it — md5 hex agrees across engines, xxhash64 is Spark-only.
     chunked
-      .withColumn("doc_id", xxhash64(col("filename"), col("chunk_index")))
+      .withColumn("doc_id", expr(
+        "cast(conv(substr(md5(cast(concat(filename, ':', chunk_index) as binary)), 1, 15), 16, 10) as bigint)"))
       .withColumn("size", length(col("content")))
       .withColumn("embedding", GraftFunctions.hashEmbed(col("content"), lit(dim)))
   }
