@@ -75,6 +75,83 @@ object OracleSqlGen {
        |  FROM __vec)""".stripMargin
   }
 
+  /** CTE chain replicating IVF cell assignment over the `embeddings` table
+    * given the trained centroids (inlined as literals — the quantizer is
+    * model state, not data, so the oracle receives it the same way a query
+    * session does: from the persisted index). Assignment is argmin of the
+    * naive sequential squared-L2 sum — the exact arithmetic of graft's
+    * `nearest_centroid_f32`, so near-tie assignments cannot diverge.
+    * Produces `__cents(cell_id, c)` and `__assigned(doc_id, embedding,
+    * cell_id)`. */
+  def ivfAssignCtes(cents: Seq[Array[Double]]): String = {
+    val values = cents.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+      .mkString(",\n      ")
+    s"""__cents(cell_id, c) AS (VALUES
+       |      $values),
+       |__assigned AS (
+       |  SELECT doc_id, embedding, cell_id FROM (
+       |    SELECT e.vec_id AS doc_id, e.embedding, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(e.embedding, c.c),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN __cents c)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** q21's oracle: assign cells, probe the `nprobe` centroids nearest the
+    * query by inner product, exact top-k within probed cells. */
+  def ivfSearchSql(cents: Seq[Array[Double]], k: Int, nprobe: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q)
+       |SELECT a.doc_id, CAST(a.cell_id AS BIGINT) AS cell_id,
+       |  round(list_dot_product(a.embedding, q.qe), 4) AS score
+       |FROM __assigned a, q
+       |WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)
+       |ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id
+       |LIMIT $k""".stripMargin
+
+  /** q34's oracle: recall@k of IVF search vs the exact scan for the first
+    * `nq` vectors as queries. */
+  def ivfRecallSql(cents: Seq[Array[Double]], k: Int, nprobe: Int, nq: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |qs AS (SELECT vec_id AS query_id, embedding AS qe
+       |       FROM embeddings WHERE vec_id < $nq),
+       |probe AS (
+       |  SELECT q.query_id, c.cell_id, row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c CROSS JOIN qs q),
+       |exact AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT q.query_id, e.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id ASC) AS rnk
+       |    FROM embeddings e CROSS JOIN qs q)
+       |  WHERE rnk <= $k),
+       |approx AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT p.query_id, a.doc_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id ASC) AS rnk
+       |    FROM __assigned a
+       |    JOIN probe p ON a.cell_id = p.cell_id AND p.pr <= $nprobe
+       |    JOIN qs q ON q.query_id = p.query_id)
+       |  WHERE rnk <= $k),
+       |ov AS (
+       |  SELECT e.query_id, count(*) AS n FROM exact e
+       |  JOIN approx x ON e.query_id = x.query_id AND e.doc_id = x.doc_id
+       |  GROUP BY 1)
+       |SELECT q.query_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+       |  round(coalesce(ov.n, 0) / $k.0, 2) AS recall_at_$k
+       |FROM (SELECT DISTINCT query_id FROM qs) q LEFT JOIN ov USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   /** CTE chain replicating the regular chunker (`Chunker.chunkRegular`) over
     * per-source files whose paragraph blocks are the `documents` rows sorted
     * by doc_id and joined with blank lines (`SparkEntry.q22CorpusBuild`'s

@@ -30,6 +30,9 @@ object GraftFunctions {
       "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "text_stats", exprs => TextStatsExpression(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nearest_centroid_f32",
+      exprs => NearestCentroidF32(exprs(0), exprs(1)), "built-in")
   }
 
   /** Inner product of two `array<float>` columns (double accumulation). */
@@ -55,6 +58,10 @@ object GraftFunctions {
 
   /** All per-document text metrics as one struct (single-pass). */
   def textStats(text: Column): Column = call_function("text_stats", text)
+
+  /** IVF cell assignment: argmin squared-L2 over a centroid literal. */
+  def nearestCentroidF32(emb: Column, centroids: Column): Column =
+    call_function("nearest_centroid_f32", emb, centroids)
 
   /** Similarity from distance, matching the reference's transform
     * (`components/core/search_service.py:336-349`): identity for inner

@@ -199,6 +199,85 @@ case class L2NormalizeF32(child: Expression)
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment for IVF cells: argmin over squared L2
+  * distance to a (foldable) `array<array<double>>` centroid literal, ties
+  * to the lowest cell index. Distances accumulate sequentially in double —
+  * deliberately NOT MLlib's norm-based `fastSquaredDistance`, so a SQL
+  * oracle's naive `(x-c)^2` sum is bit-for-bit identical and assignment
+  * can never diverge on a near-tie. Codegen bakes the centroids in as a
+  * primitive `double[][]`, keeping the scan one whole-stage loop. */
+case class NearestCentroidF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_f32"
+
+  @transient private lazy val cents: Array[Array[Double]] = right match {
+    case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) if v != null =>
+      v.toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray())
+    case other =>
+      throw new IllegalArgumentException(
+        s"nearest_centroid_f32 needs a foldable array<array<double>> centroid literal, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(x.numElements(), c.length)
+      var d2 = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - c(i)
+        d2 += d * d
+        i += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "double[][]")
+    val childGen = left.genCode(ctx)
+    val j = ctx.freshName("j")
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val d = ctx.freshName("d")
+    val d2 = ctx.freshName("d2")
+    val best = ctx.freshName("best")
+    val bestD = ctx.freshName("bestD")
+    val c = ctx.freshName("c")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      int ${ev.value} = 0;
+      if (!${ev.isNull}) {
+        int $best = 0;
+        double $bestD = Double.MAX_VALUE;
+        for (int $j = 0; $j < $ref.length; $j++) {
+          double[] $c = $ref[$j];
+          int $n = java.lang.Math.min(${childGen.value}.numElements(), $c.length);
+          double $d2 = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $d = (double)${childGen.value}.getFloat($i) - $c[$i];
+            $d2 += $d * $d;
+          }
+          if ($d2 < $bestD) { $bestD = $d2; $best = $j; }
+        }
+        ${ev.value} = $best;
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidF32 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Euclidean norm of a float vector. */
 case class NormF32(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -1,62 +1,143 @@
 package graft.operators
 
 import graft.functions.GraftFunctions
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-style approximate search (SURVEY §2.3 J3): the Spark analog of
   * `IndexIVFFlat(quantizer, d, nlist=100)` at
   * `components/core/index_service.py:91-95`.
   *
-  * MLlib KMeans learns the coarse quantizer; every corpus row gets a
-  * `cell_id` column. A query then probes only the `nprobe` nearest cells —
-  * an ordinary `filter(cell_id IN …)`, which Catalyst turns into partition
-  * pruning when the corpus is written `partitionBy("cell_id")`. Training
-  * follows the reference's policy: only when the corpus has ≥ `TrainMin`
-  * vectors (`components/core/index_service.py:179-185`); below that the
-  * "index" stays untrained and search degrades to the exact scan.
+  * MLlib KMeans learns the coarse quantizer, but the quantizer itself is
+  * just the centroid matrix — persisted as a small engine-owned text file
+  * (the analog of the reference's saved FAISS index,
+  * `components/core/index_service.py:103-125`) so it trains once and every
+  * later session loads it. Cell assignment is graft's own codegen'd
+  * `nearest_centroid_f32` expression (naive sequential squared-L2, ties to
+  * the lowest cell), NOT `KMeansModel.transform`: it needs no ml-Vector
+  * conversion, stays inside whole-stage codegen, and its arithmetic is
+  * replicable bit-for-bit by the SQL oracle.
+  *
+  * A query probes only the `nprobe` nearest cells — a `cell_id` filter,
+  * which becomes parquet partition pruning when the corpus is written
+  * `partitionBy("cell_id")`. Training follows the reference's policy: only
+  * when the corpus has ≥ `TrainMin` vectors
+  * (`components/core/index_service.py:179-185`); below that the "index"
+  * stays untrained and search degrades to the exact scan.
   */
 object IvfIndex {
   val DefaultNlist = 100
   val TrainMin = 100 // reference trains IVF only at ≥100 vectors
   val Seed = 42L
 
-  final case class Ivf(model: Option[KMeansModel], nlist: Int) {
-    def isTrained: Boolean = model.isDefined
+  final case class Ivf(centroids: Option[Array[Array[Double]]], nlist: Int) {
+    def isTrained: Boolean = centroids.isDefined
   }
 
-  /** Train the coarse quantizer and assign `cell_id` to every row.
-    * Returns the augmented corpus plus the model; an untrained corpus gets
-    * constant `cell_id = 0`. */
-  def build(corpus: DataFrame, nlist: Int = DefaultNlist,
-            embCol: String = "embedding"): (DataFrame, Ivf) = {
+  /** Train the coarse quantizer (KMeans on the corpus embeddings). */
+  def train(corpus: DataFrame, nlist: Int = DefaultNlist,
+            embCol: String = "embedding"): Ivf = {
     val n = corpus.count()
-    if (n < TrainMin) {
-      (corpus.withColumn("cell_id", lit(0)), Ivf(None, nlist))
-    } else {
+    if (n < TrainMin) Ivf(None, nlist)
+    else {
       val k = math.min(nlist, n).toInt
-      val featurized = corpus.withColumn("__features", array_to_vector(col(embCol)))
+      val featurized = corpus.select(array_to_vector(col(embCol)).as("__features"))
       // 10 iterations: coarse-quantizer cells need locality, not converged
       // centroids; each extra iteration is a full pass over the corpus.
       val model = new KMeans()
         .setK(k).setSeed(Seed).setMaxIter(10)
         .setFeaturesCol("__features").setPredictionCol("cell_id")
         .fit(featurized)
-      (model.transform(featurized).drop("__features"), Ivf(Some(model), nlist))
+      Ivf(Some(model.clusterCenters.map(_.toArray)), nlist)
     }
   }
+
+  /** Assign every row its `cell_id` (argmin squared-L2 to the centroids;
+    * untrained index ⇒ the single cell 0). */
+  def assign(corpus: DataFrame, ivf: Ivf, embCol: String = "embedding"): DataFrame =
+    ivf.centroids match {
+      case None => corpus.withColumn("cell_id", lit(0))
+      case Some(cs) =>
+        GraftFunctions.register(corpus.sparkSession)
+        corpus.withColumn("cell_id",
+          GraftFunctions.nearestCentroidF32(col(embCol),
+            typedLit(cs.map(_.toSeq).toSeq)))
+    }
+
+  /** Train + assign in one call (compat shape of the original API). */
+  def build(corpus: DataFrame, nlist: Int = DefaultNlist,
+            embCol: String = "embedding"): (DataFrame, Ivf) = {
+    val ivf = train(corpus, nlist, embCol)
+    (assign(corpus, ivf, embCol), ivf)
+  }
+
+  // -------------------------------------------------------------------
+  // Quantizer persistence (S4 parity with the reference's saved index,
+  // `components/core/index_service.py:103-125`): a tiny text artifact —
+  // header line `nlist dim`, one line of space-separated doubles per
+  // centroid (Double.toString round-trips exactly). Hadoop FS API so the
+  // path may be local, HDFS, or object storage on a real cluster.
+  // -------------------------------------------------------------------
+
+  def save(spark: SparkSession, ivf: Ivf, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      ivf.centroids match {
+        case None => sb.append(s"${ivf.nlist} 0\n")
+        case Some(cs) =>
+          sb.append(s"${ivf.nlist} ${if (cs.isEmpty) 0 else cs(0).length}\n")
+          cs.foreach { c => sb.append(c.mkString(" ")).append('\n') }
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  def load(spark: SparkSession, path: String): Ivf = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try {
+      val Array(nlist, dim) = in.readLine().split(" ").map(_.toInt)
+      if (dim == 0) Ivf(None, nlist)
+      else {
+        val cs = Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .map(_.split(" ").map(_.toDouble)).toArray
+        Ivf(Some(cs), nlist)
+      }
+    } finally in.close()
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Load the persisted quantizer if present, else train once and save —
+    * the index lifecycle split the reference has (build at ingest, load at
+    * query time) so no query ever pays the KMeans cost. */
+  def buildOrLoad(spark: SparkSession, corpus: DataFrame, nlist: Int,
+                  path: String, embCol: String = "embedding"): Ivf =
+    if (exists(spark, path)) load(spark, path)
+    else {
+      val ivf = train(corpus, nlist, embCol)
+      save(spark, ivf, path)
+      ivf
+    }
 
   /** Cells to probe for a query vector: the `nprobe` centroids nearest by
     * inner product (centroid table is tiny — ranked at the driver). */
   def probeCells(ivf: Ivf, queryVec: Array[Float], nprobe: Int): Seq[Int] =
-    ivf.model match {
+    ivf.centroids match {
       case None => Seq(0)
-      case Some(m) =>
-        m.clusterCenters.zipWithIndex
-          .map { case (c, i) =>
-            val arr = c.toArray
+      case Some(cs) =>
+        cs.zipWithIndex
+          .map { case (arr, i) =>
             var dot = 0.0
             var j = 0
             while (j < math.min(arr.length, queryVec.length)) {
@@ -88,5 +169,36 @@ object IvfIndex {
     VectorSearch.knnScores(
       corpusWithCells.filter(col("cell_id").isin(cells: _*)),
       queryVec, k, embCol, idCol)
+  }
+
+  /** Batch IVF search as ONE Spark job: per-query probe cells (driver-side,
+    * centroid table is tiny) become a broadcast `(query_id, cell_id)` pair
+    * table; a corpus row joins only the queries probing its cell, scores in
+    * one codegen stage, and `TopKByScore` map-side-combines to k rows per
+    * (partition, query) before the single shuffle. On a cell-partitioned
+    * corpus the broadcast join drives dynamic partition pruning, so
+    * unprobed cells are never read. Replaces a per-query collect loop —
+    * 1 job instead of |queries| scheduler round-trips. */
+  def searchBatch(corpusWithCells: DataFrame, ivf: Ivf,
+                  queries: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+                  embCol: String = "embedding", idCol: String = "doc_id"): DataFrame = {
+    val spark = corpusWithCells.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val pairs = queries
+      .flatMap { case (qid, v) => probeCells(ivf, v, nprobe).map(c => (qid, c)) }
+      .toDF("query_id", "cell_id")
+    val qdf = queries.toDF("query_id", "q_embedding")
+    val topk = udaf(new TopKByScore(k))
+    corpusWithCells
+      .join(broadcast(pairs), Seq("cell_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .withColumn("score", GraftFunctions.dotF32(col(embCol), col("q_embedding")))
+      .select(col("query_id"), col(idCol).cast("long").as("id"), col("score"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(col("query_id"), col("hit.id").as(idCol), col("hit.score").as("score"),
+        (col("rank0") + 1).cast("int").as("doc_rank"))
   }
 }

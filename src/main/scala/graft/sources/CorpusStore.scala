@@ -54,12 +54,6 @@ object CorpusStore {
     val appended = append(corpusWithCells.drop("cell_id"), newRows, idCol)
     if (!ivf.isTrained && appended.count() >= IvfIndex.TrainMin)
       IvfIndex.build(appended, nlist, embCol)
-    else ivf.model match {
-      case Some(m) =>
-        import org.apache.spark.ml.functions.array_to_vector
-        (m.transform(appended.withColumn("__features", array_to_vector(col(embCol))))
-          .drop("__features"), ivf)
-      case None => (appended.withColumn("cell_id", lit(0)), ivf)
-    }
+    else (IvfIndex.assign(appended, ivf, embCol), ivf)
   }
 }

@@ -38,6 +38,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(pruned.count() < 300 && pruned.count() > 0)
   }
 
+  test("quantizer save/load round-trip preserves assignment exactly") {
+    val corpus = (0 until 200).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val ivf = IvfIndex.train(corpus, nlist = 8)
+    assert(ivf.isTrained)
+    val path = java.nio.file.Files.createTempDirectory("graft-q").toString + "/quantizer.txt"
+    IvfIndex.save(spark, ivf, path)
+    val loaded = IvfIndex.load(spark, path)
+    // Double.toString round-trips: centroids identical bit-for-bit...
+    assert(loaded.nlist == ivf.nlist)
+    assert(loaded.centroids.get.map(_.toSeq).toSeq == ivf.centroids.get.map(_.toSeq).toSeq)
+    // ...hence identical cell assignment for every row.
+    val a = IvfIndex.assign(corpus, ivf).select("doc_id", "cell_id")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val b = IvfIndex.assign(corpus, loaded).select("doc_id", "cell_id")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // buildOrLoad takes the load path (no retrain) once the file exists
+    assert(IvfIndex.buildOrLoad(spark, corpus, 8, path).centroids.get.head.toSeq ==
+      ivf.centroids.get.head.toSeq)
+  }
+
+  test("searchBatch matches per-query searchScores") {
+    val corpus = (0 until 300).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
+    val queries = (900 to 903).map(s => (s.toLong, randVec(s)))
+    val batch = IvfIndex.searchBatch(withCells, ivf, queries, k = 5, nprobe = 3)
+      .select("query_id", "doc_id", "doc_rank")
+      .as[(Long, Long, Int)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap
+    queries.foreach { case (qid, v) =>
+      val loop = IvfIndex.searchScores(withCells, ivf, v, 5, nprobe = 3)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(batch(qid) == loop, s"query $qid")
+    }
+  }
+
   test("trained index assigns cells and prunes probes") {
     val corpus = (0 until 200).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
     val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
