@@ -21,9 +21,21 @@ final case class EmbeddingConfig(
     dimension: Int = 64,
     batchSize: Int = 256)
 
+/** Temperature sweep grid (`components/optimization/temperature_optimizer.py:42`). */
+final case class OptimizationConfig(
+    temperatures: Seq[Double] = Seq(0.25, 0.5, 0.75, 1.0, 1.25))
+
+/** Iterative-improvement stop rules
+  * (`components/improvement/improvement_coordinator.py:60-61`). */
+final case class ImprovementConfig(
+    targetScore: Double = 1.0,
+    maxIterations: Int = 50)
+
 final case class GraftConfig(
     retrieval: RetrievalConfig = RetrievalConfig(),
-    embedding: EmbeddingConfig = EmbeddingConfig())
+    embedding: EmbeddingConfig = EmbeddingConfig(),
+    optimization: OptimizationConfig = OptimizationConfig(),
+    improvement: ImprovementConfig = ImprovementConfig())
 
 object GraftConfig {
   private val mapper = new ObjectMapper()
@@ -58,7 +70,15 @@ object GraftConfig {
           indexType = s("retrieval.index_type", defaults.retrieval.indexType)),
         embedding = EmbeddingConfig(
           dimension = i("embedding.dimension", defaults.embedding.dimension),
-          batchSize = i("embedding.batch_size", defaults.embedding.batchSize)))
+          batchSize = i("embedding.batch_size", defaults.embedding.batchSize)),
+        optimization = OptimizationConfig(
+          temperatures = Option(node("optimization.temperature_values"))
+            .filter(_.isArray)
+            .map(a => (0 until a.size).map(j => a.get(j).asDouble))
+            .getOrElse(defaults.optimization.temperatures)),
+        improvement = ImprovementConfig(
+          targetScore = d("improvement.target_score", defaults.improvement.targetScore),
+          maxIterations = i("improvement.max_iterations", defaults.improvement.maxIterations)))
     } catch { case _: Exception => GraftConfig() }
 
   /** Per-query hot-reload: re-read the file if present, else defaults. */

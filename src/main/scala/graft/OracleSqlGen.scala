@@ -152,6 +152,118 @@ object OracleSqlGen {
        |FROM (SELECT DISTINCT query_id FROM qs) q LEFT JOIN ov USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  /** Oracle for the full-mode pipeline's event log (`FullMode.fullQuery`
+    * with the deterministic LLM fakes of `SparkEntry.q39FullEvents`): the
+    * retrieval side (embed → top-10 → descending threshold grid) is
+    * replicated from first principles; the sweep/improvement/stream event
+    * counts and value sums follow from the fakes' closed forms — response
+    * length = (100·t mod 80) + 3·final_hits, score = min(len, 200)/200,
+    * +7 chars per improvement iteration until score 1.0, 32-byte stream
+    * chunks. `qVals` are the `(id, txt)` literal query rows (negative ids). */
+  def fullEventsSql(qVals: String, temps: Seq[Double], dim: Int = 64,
+                    topK: Int = 10, hitTarget: Int = 3, stepMilli: Int = 50,
+                    baseMod: Int = 80, perDoc: Int = 3, divisor: Int = 200,
+                    improveStep: Int = 7, maxIter: Int = 50,
+                    chunkSize: Int = 32): String = {
+    val nSteps = 1000 / stepMilli // grid 1.000 … 0.000 inclusive
+    val tempVals = temps.zipWithIndex
+      .map { case (t, i) => s"(${i + 1}, ${math.round(t * 100)})" }.mkString(", ")
+    s"""WITH __docs AS (
+       |  SELECT doc_id AS id, text AS txt FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $qVals) v(id, txt)),
+       |${embedCtes(dim)},
+       |q AS (SELECT -id - 1 AS query_id, embedding AS qe FROM __emb WHERE id < 0),
+       |d AS (SELECT id AS doc_id, embedding FROM __emb WHERE id >= 0),
+       |topk AS (
+       |  SELECT query_id, score FROM (
+       |    SELECT q.query_id, list_dot_product(d.embedding, q.qe) AS score,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(d.embedding, q.qe) DESC, d.doc_id ASC) AS rnk
+       |    FROM d CROSS JOIN q)
+       |  WHERE rnk <= $topK),
+       |grid AS (
+       |  SELECT CAST(1000 - $stepMilli * t.gs AS BIGINT) AS t_milli,
+       |         t.gs + 1 AS attempt
+       |  FROM generate_series(0, $nSteps) t(gs)),
+       |counts AS (
+       |  SELECT qg.query_id, qg.t_milli, qg.attempt, count(h.score) AS hits
+       |  FROM (SELECT query_id, t_milli, attempt
+       |        FROM (SELECT DISTINCT query_id FROM q) CROSS JOIN grid) qg
+       |  LEFT JOIN topk h ON h.query_id = qg.query_id
+       |                  AND h.score >= qg.t_milli / 1000.0
+       |  GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT query_id,
+       |    min(CASE WHEN hits >= $hitTarget THEN attempt END) AS ra,
+       |    max(hits) AS max_hits
+       |  FROM counts GROUP BY 1),
+       |st2 AS (
+       |  SELECT s.query_id,
+       |    coalesce(s.ra, ${nSteps + 1}) AS attempts,
+       |    CASE WHEN s.ra IS NOT NULL THEN 1000 - $stepMilli * (s.ra - 1)
+       |         ELSE (SELECT max(c.t_milli) FROM counts c
+       |               WHERE c.query_id = s.query_id AND c.hits = s.max_hits)
+       |    END AS final_milli,
+       |    CASE WHEN s.ra IS NOT NULL THEN
+       |           (SELECT c.hits FROM counts c
+       |            WHERE c.query_id = s.query_id AND c.attempt = s.ra)
+       |         ELSE s.max_hits END AS f
+       |  FROM st s),
+       |thr AS (
+       |  SELECT c.query_id, count(*) AS n, sum(c.t_milli) AS sv
+       |  FROM counts c JOIN st2 ON c.query_id = st2.query_id
+       |                        AND c.attempt <= st2.attempts
+       |  GROUP BY 1),
+       |temps(tno, t100) AS (VALUES $tempVals),
+       |tl AS (
+       |  SELECT s.query_id, t.tno, t.t100,
+       |         (t.t100 % $baseMod) + $perDoc * s.f AS len
+       |  FROM st2 s CROSS JOIN temps t),
+       |tb AS (
+       |  SELECT query_id, len AS len0 FROM (
+       |    SELECT query_id, len, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY least(len, $divisor) DESC, tno ASC) AS r FROM tl)
+       |  WHERE r = 1),
+       |imp AS (
+       |  SELECT query_id, len0,
+       |    CASE WHEN len0 >= $divisor THEN 0
+       |         ELSE least($maxIter,
+       |                CAST(ceil(($divisor - len0) / $improveStep.0) AS INT)) END AS n_iter
+       |  FROM tb),
+       |iters AS (
+       |  SELECT i.query_id, g.it, i.len0 + $improveStep * g.it AS len
+       |  FROM imp i CROSS JOIN generate_series(1, $maxIter) g(it)
+       |  WHERE g.it <= i.n_iter),
+       |fin AS (SELECT query_id, len0 + $improveStep * n_iter AS L FROM imp),
+       |ev AS (
+       |  SELECT query_id, 'retrieval_start' AS event_type, 1 AS n,
+       |         $hitTarget AS sv FROM st2
+       |  UNION ALL SELECT query_id, 'threshold_attempt', n, sv FROM thr
+       |  UNION ALL SELECT query_id, 'retrieval_complete', 1, final_milli FROM st2
+       |  UNION ALL SELECT query_id, 'temperature_test', count(*), sum(t100)
+       |    FROM tl GROUP BY 1
+       |  UNION ALL SELECT query_id, 'temperature_response', count(*), sum(len)
+       |    FROM tl GROUP BY 1
+       |  UNION ALL SELECT query_id, 'temperature_evaluation', count(*),
+       |      sum(round((least(len, $divisor) / $divisor.0) * 1000))
+       |    FROM tl GROUP BY 1
+       |  UNION ALL SELECT query_id, 'improvement_iteration', 2 * count(*),
+       |      2 * sum(it) FROM iters GROUP BY 1
+       |  UNION ALL SELECT query_id, 'improvement_response', count(*), sum(len)
+       |    FROM iters GROUP BY 1
+       |  UNION ALL SELECT query_id, 'improvement_evaluation', count(*),
+       |      sum(round((least(len, $divisor) / $divisor.0) * 1000))
+       |    FROM iters GROUP BY 1
+       |  UNION ALL SELECT query_id, 'llm_stream_start', 1, 0 FROM st2
+       |  UNION ALL SELECT query_id, 'llm_stream_chunk',
+       |      CAST(ceil(L / $chunkSize.0) AS BIGINT), L FROM fin
+       |  UNION ALL SELECT query_id, 'llm_stream_complete', 1, L FROM fin)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, event_type,
+       |  CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS sum_value
+       |FROM ev ORDER BY query_id, event_type""".stripMargin
+  }
+
   /** CTE chain replicating the regular chunker (`Chunker.chunkRegular`) over
     * per-source files whose paragraph blocks are the `documents` rows sorted
     * by doc_id and joined with blank lines (`SparkEntry.q22CorpusBuild`'s

@@ -42,9 +42,13 @@ object Smoke {
     GraftFunctions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("embedding", GraftFunctions.hashEmbed(col("text"), lit(64)))
-    val retrieve: String => String = { q =>
-      VectorSearch.knnSingle(docs, HashEmbedder.embed(q, 64), 3, idCol = "doc_id")
-        .select("text").collect().map(_.getString(0).take(60)).mkString(" | ")
+    val retrieve: String => WorkflowExecutor.TaskRetrieval = { q =>
+      val t0 = System.nanoTime()
+      val hits = VectorSearch.knnSingle(docs, HashEmbedder.embed(q, 64), 3, idCol = "doc_id")
+        .select("text").collect().map(_.getString(0).take(60))
+      WorkflowExecutor.TaskRetrieval(hits.mkString(" | "),
+        WorkflowExecutor.ToolCall("faiss_retrieval", q, hits.length, 0.0,
+          (System.nanoTime() - t0) / 1e9))
     }
     val result = WorkflowExecutor.execute(
       WorkflowExecutor.AgentState("smoke-agent", "analyst", "analyze the corpus",

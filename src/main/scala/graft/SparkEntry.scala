@@ -1134,6 +1134,43 @@ object SparkEntry {
        |FROM ranked WHERE doc_rank <= 5 ORDER BY query_id, doc_rank""".stripMargin
   }
 
+  /** Full-mode lifecycle (retrieve → temperature sweep → iterative
+    * improvement → streamed response) with deterministic LLM fakes whose
+    * outputs are pure arithmetic over what the engine computed (response
+    * length = f(temperature, retrieved-doc count parsed back out of the
+    * assembled prompt)), so the COMPLETE ST1 event catalog — counts and
+    * canonical value sums per event type — is hash-checked against a
+    * first-principles SQL replica. */
+  private def q39FullEvents(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val corpus = t(s, dir, "documents")
+    // Doc count recovered from the prompt itself: proves the real context
+    // block (one "[Document i]" header per retained hit) reached the LLM.
+    def countDocs(prompt: String): Int = {
+      var c = 0
+      var i = prompt.indexOf("[Document ")
+      while (i >= 0) { c += 1; i = prompt.indexOf("[Document ", i + 1) }
+      c
+    }
+    val generate = (prompt: String, temp: Double) =>
+      "x" * (((temp * 100).toInt % 80) + 3 * countDocs(prompt))
+    val evaluate = (r: String) => math.min(r.length, 200).toDouble / 200.0
+    val improve = (cur: String, _score: Double) => cur + ("x" * 7)
+    val events = q23QueryTexts.map { case (qid, txt) =>
+      FullMode.fullQuery(s, corpus, txt, generate, evaluate, improve,
+        queryId = qid).events
+    }.reduce(_ unionByName _)
+    events.groupBy("query_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum("value").cast("long").as("sum_value"))
+      .orderBy("query_id", "event_type")
+  }
+
+  private def q39Sql: String = {
+    val qVals = q23QueryTexts
+      .map { case (qid, txt) => s"(${-qid - 1}, '$txt')" }.mkString(", ")
+    OracleSqlGen.fullEventsSql(qVals, GraftConfig().optimization.temperatures)
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1175,6 +1212,7 @@ object SparkEntry {
     "q23_doc_semantic_search" -> (q23DocSemanticSearch _),
     "q35_embed_partitioned" -> (q35EmbedPartitioned _),
     "q38_docx_pipeline" -> (q38DocxPipeline _),
+    "q39_full_events" -> (q39FullEvents _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1213,6 +1251,7 @@ object SparkEntry {
     "q22_corpus_build" -> q22Sql,
     "q23_doc_semantic_search" -> q23Sql,
     "q35_embed_partitioned" -> q35Sql,
+    "q39_full_events" -> q39Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

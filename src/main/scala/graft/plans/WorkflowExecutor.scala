@@ -19,9 +19,20 @@ object WorkflowExecutor {
       id: Int, name: String, description: String, expectedOutput: String,
       status: String = "created",      // created|running|completed|failed|cancelled
       output: String = "",
-      validation: Option[Validation] = None)
+      validation: Option[Validation] = None,
+      toolCall: Option[ToolCall] = None)
 
   final case class Validation(isValid: Boolean, score: Int, reason: String)
+
+  /** Per-task tool-call record (`components2/workflow_executor.py:249-262`
+    * stores the FAISS retrieval made for a task on the task itself;
+    * `components2/task_executor.py:361-400` is the emit site). */
+  final case class ToolCall(
+      toolType: String, query: String, numDocuments: Int,
+      thresholdUsed: Double, retrievalTime: Double)
+
+  /** A task's retrieval outcome: the context string plus its record. */
+  final case class TaskRetrieval(context: String, toolCall: ToolCall)
 
   final case class AgentState(
       agentId: String, name: String, context: String, goal: String,
@@ -57,7 +68,7 @@ object WorkflowExecutor {
   def execute(agentIn: AgentState,
               runTask: (Task, String) => String,           // (task, contextBlock) => output
               validateTask: (Task, String) => Validation,  // (task, output) => verdict
-              retrieve: Option[String => String] = None,   // query => retrieved context
+              retrieve: Option[String => TaskRetrieval] = None, // query => context + record
               haltCheck: () => Boolean = () => false): WorkflowResult = {
     val agent = repair(agentIn)
     var tasks = agent.tasks.sortBy(_.id)
@@ -72,14 +83,15 @@ object WorkflowExecutor {
         val retrieved = retrieve.map(r => r(agent.context + "\n\n" + task.description))
         val contextBlock = (prev.map { case (id, name, out) =>
           s"[Task $id: $name]\n$out"
-        } ++ retrieved.toSeq).mkString("\n\n")
+        } ++ retrieved.map(_.context).toSeq).mkString("\n\n")
         val running = task.copy(status = "running")
         tasks = tasks.updated(idx, running)
         val output = runTask(running, contextBlock)
         val verdict = validateTask(running, output)
         val done = running.copy(
           status = if (verdict.isValid) "completed" else "failed",
-          output = output, validation = Some(verdict))
+          output = output, validation = Some(verdict),
+          toolCall = retrieved.map(_.toolCall))
         tasks = tasks.updated(idx, done)
         results += TaskResult(done, prev)
         if (!verdict.isValid) failed = true

@@ -50,14 +50,19 @@ class WorkflowExecutorSpec extends AnyFunSuite {
     assert(res.halted && res.agent.status == "halted")
   }
 
-  test("retrieval context is appended to the prompt block") {
+  test("retrieval context is appended to the prompt block and recorded as a tool call") {
     var got = ""
-    WorkflowExecutor.execute(
+    val res = WorkflowExecutor.execute(
       agent(Task(1, "t1", "find facts", "e")),
       runTask = (_, ctx) => { got = ctx; "out" },
       validateTask = okValidate,
-      retrieve = Some(q => s"RETRIEVED<$q>"))
+      retrieve = Some(q => WorkflowExecutor.TaskRetrieval(s"RETRIEVED<$q>",
+        WorkflowExecutor.ToolCall("faiss_retrieval", q, 3, 0.7, 0.01))))
     assert(got.contains("RETRIEVED<ctx\n\nfind facts>"))
+    // tool_call stored on the task (`components2/workflow_executor.py:260-262`)
+    val tc = res.taskResults.head.task.toolCall.get
+    assert(tc.toolType == "faiss_retrieval" && tc.numDocuments == 3 &&
+      tc.query.contains("find facts"))
   }
 
   test("repair: running->created, completed-but-invalid->failed") {
