@@ -264,6 +264,76 @@ object OracleSqlGen {
        |FROM ev ORDER BY query_id, event_type""".stripMargin
   }
 
+  /** CTE chain replicating the conversational chunker
+    * (`Chunker.chunkConversational`) over per-source K:/V: dialogs whose
+    * turns are the `documents` rows sorted by doc_id, each prefixed
+    * `"K: "`/`"V: "` (alternating) and newline-joined
+    * (`SparkEntry.q40ConvChunks`'s fixture shape — every turn is one line
+    * of `3 + len(text)` chars, texts are pre-trimmed and under the max).
+    *
+    * Same greedy recursive packing as the regular dialect but with the
+    * `"\n"` joiner (separator cost 1) and a 1-TURN overlap: each chunk
+    * after the first is prefixed with the previous chunk's final turn,
+    * so its size grows by that turn's length + 1. Produces
+    * `__chunks(filename, chunk_index, size, start_line, end_line)`. */
+  def conversationalChunkCtes(maxChars: Int = 2000, minChars: Int = 500): String =
+    s"""__blocks AS (
+       |  SELECT source,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i,
+       |    length(trim(text)) + 3 AS len,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS line
+       |  FROM documents WHERE trim(text) <> ''),
+       |__rec AS (
+       |  SELECT source, i, 1 AS chunk_no, len AS cur_len,
+       |         line AS start_line, line AS end_line
+       |  FROM __blocks WHERE i = 1
+       |  UNION ALL
+       |  SELECT b.source, b.i,
+       |    CASE WHEN r.cur_len + 1 + b.len > $maxChars AND r.cur_len >= $minChars
+       |         THEN r.chunk_no + 1 ELSE r.chunk_no END,
+       |    CASE WHEN r.cur_len + 1 + b.len > $maxChars AND r.cur_len >= $minChars
+       |         THEN b.len ELSE r.cur_len + 1 + b.len END,
+       |    CASE WHEN r.cur_len + 1 + b.len > $maxChars AND r.cur_len >= $minChars
+       |         THEN b.line ELSE r.start_line END,
+       |    b.line
+       |  FROM __rec r JOIN __blocks b ON b.source = r.source AND b.i = r.i + 1),
+       |__packed AS (
+       |  SELECT r.source, r.chunk_no, r.cur_len AS len, r.start_line,
+       |         r.end_line, lst.last_i
+       |  FROM __rec r
+       |  JOIN (SELECT source, chunk_no, max(i) AS last_i
+       |        FROM __rec GROUP BY 1, 2) lst
+       |    ON r.source = lst.source AND r.chunk_no = lst.chunk_no
+       |   AND r.i = lst.last_i),
+       |__tailinfo AS (
+       |  SELECT p.source, s.nc, p.len AS tail_len, p.end_line AS tail_end,
+       |         p.last_i AS tail_last_i
+       |  FROM __packed p
+       |  JOIN (SELECT source, max(chunk_no) AS nc FROM __packed GROUP BY 1) s
+       |    ON p.source = s.source AND p.chunk_no = s.nc),
+       |__merged AS (
+       |  SELECT p.source, p.chunk_no,
+       |    CASE WHEN t.nc > 1 AND t.tail_len < $minChars AND p.chunk_no = t.nc - 1
+       |         THEN p.len + 1 + t.tail_len ELSE p.len END AS len,
+       |    p.start_line,
+       |    CASE WHEN t.nc > 1 AND t.tail_len < $minChars AND p.chunk_no = t.nc - 1
+       |         THEN t.tail_end ELSE p.end_line END AS end_line,
+       |    CASE WHEN t.nc > 1 AND t.tail_len < $minChars AND p.chunk_no = t.nc - 1
+       |         THEN t.tail_last_i ELSE p.last_i END AS last_i
+       |  FROM __packed p JOIN __tailinfo t ON p.source = t.source
+       |  WHERE NOT (t.nc > 1 AND t.tail_len < $minChars AND p.chunk_no = t.nc)),
+       |__withprev AS (
+       |  SELECT *, lag(last_i) OVER (PARTITION BY source ORDER BY chunk_no)
+       |    AS prev_last_i
+       |  FROM __merged),
+       |__chunks AS (
+       |  SELECT w.source AS filename, w.chunk_no - 1 AS chunk_index,
+       |    w.len + CASE WHEN w.prev_last_i IS NULL THEN 0
+       |            ELSE pb.len + 1 END AS size,
+       |    w.start_line, w.end_line
+       |  FROM __withprev w
+       |  LEFT JOIN __blocks pb ON pb.source = w.source AND pb.i = w.prev_last_i)""".stripMargin
+
   /** CTE chain replicating the regular chunker (`Chunker.chunkRegular`) over
     * per-source files whose paragraph blocks are the `documents` rows sorted
     * by doc_id and joined with blank lines (`SparkEntry.q22CorpusBuild`'s

@@ -24,6 +24,25 @@ object RagPipeline {
       contextBlock: String,
       events: DataFrame)
 
+  /** Load-time dimension validation (`embedding_service.py:46-55`), run
+    * ONCE per corpus plan: the check is a (tiny) Spark job, so repeat
+    * queries against the same corpus must not re-pay it. Keyed weakly on
+    * the analyzed plan — a new corpus (or re-derived plan) re-validates. */
+  private val dimValidated =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]())
+
+  private def validateDimension(embedded: DataFrame, dim: Int): Unit = {
+    val key = embedded.queryExecution.analyzed
+    if (dimValidated.get(key) != Integer.valueOf(dim)) {
+      embedded.select(size(col("embedding"))).head(1).foreach { row =>
+        require(row.getInt(0) == dim,
+          s"corpus embedding dimension ${row.getInt(0)} != configured $dim")
+      }
+      dimValidated.put(key, dim)
+    }
+  }
+
   /** Attach an `embedding` column to a text corpus (idempotent helper). */
   def embedCorpus(corpus: DataFrame, textCol: String = "text",
                   dim: Int = HashEmbedder.DefaultDim): DataFrame = {
@@ -47,11 +66,7 @@ object RagPipeline {
     val r = config.retrieval
     val dim = config.embedding.dimension
     val embedded = embedCorpus(corpus, textCol, dim)
-    if (corpus.columns.contains("embedding"))
-      embedded.select(size(col("embedding"))).head(1).foreach { row =>
-        require(row.getInt(0) == dim,
-          s"corpus embedding dimension ${row.getInt(0)} != configured $dim")
-      }
+    if (corpus.columns.contains("embedding")) validateDimension(embedded, dim)
     val qVec = HashEmbedder.embed(queryText, dim)
     val scored = r.indexType match {
       case "flat_ip" =>

@@ -1134,6 +1134,61 @@ object SparkEntry {
        |FROM ranked WHERE doc_rank <= 5 ORDER BY query_id, doc_rank""".stripMargin
   }
 
+  /** P2 conversational chunker end-to-end: per-source K:/V: dialogs built
+    * from the documents rows (alternating speaker prefixes, one turn per
+    * line) through the full `buildCorpus` chain — `Chunker.chunk` detects
+    * the dialect and packs turn-granular with 1-turn overlap
+    * (`preprocessing/chunk_text_files.py:85-164`). Chunk boundaries, sizes
+    * and line spans hash-check against the recursive-CTE SQL replica. */
+  private def q40ConvChunks(s: SparkSession, dir: String): DataFrame = {
+    val files = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("docs"))
+      .select(col("source").as("filename"),
+        concat_ws("\n", transform(col("docs"),
+          (d, i) => concat(when(i % 2 === 0, lit("K: ")).otherwise(lit("V: ")),
+            d.getField("text")))).as("content"))
+    graft.sources.TextIngest.buildCorpus(files)
+      .select(col("doc_id"), col("filename"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("size").cast("long").as("size"),
+        col("start_line").cast("long").as("start_line"),
+        col("end_line").cast("long").as("end_line"))
+      .orderBy("filename", "chunk_index")
+  }
+
+  private def q40Sql: String =
+    s"""WITH RECURSIVE ${OracleSqlGen.conversationalChunkCtes()}
+       |SELECT ${OracleSqlGen.chunkDocId("filename", "chunk_index")} AS doc_id,
+       |  filename, CAST(chunk_index AS BIGINT) AS chunk_index,
+       |  CAST(size AS BIGINT) AS size,
+       |  CAST(start_line AS BIGINT) AS start_line,
+       |  CAST(end_line AS BIGINT) AS end_line
+       |FROM __chunks ORDER BY filename, chunk_index""".stripMargin
+
+  /** F8 + F9 (+ S10 shape): the reference's upload endpoint as a batch
+    * ingest — base64 wire content decoded, path components stripped from
+    * the filename, size + content digest reported
+    * (`server.py:498-525`: `Path(filename).name`, `base64.b64decode`). */
+  private def q41UploadIngest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("raw_name",
+        concat(lit("data/"), col("source"), lit("/doc_"), col("doc_id"), lit(".txt")))
+      .withColumn("b64", base64(col("text").cast("binary"))) // wire format
+      .select(col("doc_id"),
+        regexp_extract(col("raw_name"), "[^/\\\\]+$", 0).as("safe_name"), // F8
+        length(unbase64(col("b64"))).cast("long").as("n_bytes"),          // F9
+        md5(unbase64(col("b64"))).as("content_md5"))
+      .orderBy("doc_id")
+
+  private val q41Sql =
+    """SELECT doc_id,
+      |  regexp_extract('data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt',
+      |                 '[^/\\]+$', 0) AS safe_name,
+      |  CAST(octet_length(from_base64(to_base64(CAST(text AS BLOB)))) AS BIGINT) AS n_bytes,
+      |  md5(decode(from_base64(to_base64(CAST(text AS BLOB))))) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Full-mode lifecycle (retrieve → temperature sweep → iterative
     * improvement → streamed response) with deterministic LLM fakes whose
     * outputs are pure arithmetic over what the engine computed (response
@@ -1213,6 +1268,8 @@ object SparkEntry {
     "q35_embed_partitioned" -> (q35EmbedPartitioned _),
     "q38_docx_pipeline" -> (q38DocxPipeline _),
     "q39_full_events" -> (q39FullEvents _),
+    "q40_conv_chunks" -> (q40ConvChunks _),
+    "q41_upload_ingest" -> (q41UploadIngest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1252,6 +1309,8 @@ object SparkEntry {
     "q23_doc_semantic_search" -> q23Sql,
     "q35_embed_partitioned" -> q35Sql,
     "q39_full_events" -> q39Sql,
+    "q40_conv_chunks" -> q40Sql,
+    "q41_upload_ingest" -> q41Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 /** Text chunking (SURVEY §2.2 P1–P4).
   *
-  * Reproduces the reference chunker's semantics
+  * Follows the reference chunker's structure
   * (`preprocessing/chunk_text_files.py:191-273` regular path, `:85-164`
   * conversational path, `:44-50` sentence splitter): paragraph-first split
   * on blank lines, greedy packing into 500–2000 char chunks, sentence-level
@@ -12,6 +12,19 @@ import scala.collection.mutable.ArrayBuffer
   * 100-char overlap between consecutive chunks (1-turn overlap in the
   * conversational dialect, detected by `K:`/`V:` speaker markers). Each
   * chunk carries 1-based start/end line provenance.
+  *
+  * Deliberate deviations from the reference (not parity bugs):
+  *  - the 100-char overlap is a post-pass prefix joined with `"\n"`; the
+  *    reference folds `current_chunk[-100:] + "\n\n"` into the NEXT chunk
+  *    mid-packing (`:223`), making the overlap count against its capacity;
+  *  - oversized blocks sentence-split BEFORE packing with a `". "` joiner;
+  *    the reference post-splits packed chunks joining with `" "`
+  *    (`:247-271`);
+  *  - line provenance tracks block positions directly; the reference
+  *    re-FINDS the chunk text in the original (`find_line_positions`),
+  *    which silently mis-attributes repeated text and overlap prefixes.
+  * Boundaries are deterministic either way; ours are additionally
+  * order-robust at scale, and hash-verified by the q22/q40 SQL oracles.
   *
   * Pure Scala — used from `Dataset.flatMap` so Catalyst sees a typed
   * generator (1 document row → N chunk rows).

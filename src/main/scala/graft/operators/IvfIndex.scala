@@ -185,6 +185,7 @@ object IvfIndex {
     val spark = corpusWithCells.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
+    VectorSearch.requireIntegralId(corpusWithCells, idCol)
     val pairs = queries
       .flatMap { case (qid, v) => probeCells(ivf, v, nprobe).map(c => (qid, c)) }
       .toDF("query_id", "cell_id")

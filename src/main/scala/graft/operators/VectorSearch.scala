@@ -74,10 +74,22 @@ object VectorSearch {
     * keeps only its local top-k per query (map-side combine), so the shuffle
     * carries ≤ k·partitions rows per query instead of the whole scored
     * corpus — the 100 TB-safe plan. */
+  /** Fail fast on a non-integral id column: the aggregated path carries ids
+    * as longs through the TopKByScore buffer — a silent cast of e.g. string
+    * ids would yield all-null ids with no error. */
+  private[operators] def requireIntegralId(corpus: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val t = corpus.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"aggregated top-k requires an integral '$idCol' column, got $t " +
+        "(use knnBatch for non-numeric ids)")
+  }
+
   def knnBatchAggregated(queries: DataFrame, corpus: DataFrame, k: Int,
                          embCol: String = "embedding", idCol: String = "doc_id",
                          queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    requireIntegralId(corpus, idCol)
     val topk = udaf(new TopKByScore(k))
     val q = queries.select(col(queryIdCol), col(queryEmbCol))
     corpus.crossJoin(broadcast(q))
