@@ -44,7 +44,11 @@ object Bench {
     try SparkEntry.prepareIndexes(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
 
+    // Optional comma-separated query filter for local profiling; the
+    // driver leaves it unset and measures everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -326,12 +326,14 @@ object SparkEntry {
        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
   }
 
-  private def q13Fingerprints(s: SparkSession, dir: String): DataFrame =
+  private def q13Fingerprints(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     t(s, dir, "documents")
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_unique"))
       .orderBy("source")
+  }
 
   private val q13Sql =
     """SELECT source, count(*) AS n_docs,
@@ -378,7 +380,7 @@ object SparkEntry {
       |  FROM toks),
       |sig AS (
       |  SELECT doc_id, band.b AS band,
-      |    min(md5(band.b || ':' || s.sh_el)) AS sig
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
       |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
       |  GROUP BY doc_id, band.b),
       |cand AS (

@@ -33,6 +33,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "nearest_centroid_f32",
       exprs => NearestCentroidF32(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinhashSigs(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "strip_non_alnum", exprs => StripNonAlnum(exprs.head), "built-in")
   }
 
   /** Inner product of two `array<float>` columns (double accumulation). */
@@ -62,6 +66,13 @@ object GraftFunctions {
   /** IVF cell assignment: argmin squared-L2 over a centroid literal. */
   def nearestCentroidF32(emb: Column, centroids: Column): Column =
     call_function("nearest_centroid_f32", emb, centroids)
+
+  /** Per-document MinHash band signatures (single pass, one md5/shingle). */
+  def minhashSigs(text: Column, n: Column, bands: Column): Column =
+    call_function("minhash_sigs", text, n, bands)
+
+  /** Drop every byte outside `[a-z0-9]` (fingerprint normalizer). */
+  def stripNonAlnum(s: Column): Column = call_function("strip_non_alnum", s)
 
   /** Similarity from distance, matching the reference's transform
     * (`components/core/search_service.py:336-349`): identity for inner

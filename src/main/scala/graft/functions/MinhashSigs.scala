@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `minhash_sigs(text, n, bands)`: per-document MinHash band signatures in a
+  * single pass — the signature for band `b` is the minimum of
+  * `substr(md5(shingle), b*w+1, w)` over the document's word n-gram
+  * shingles, where `w = 32/bands` hex chars.
+  *
+  * This replaces the explode → groupBy(id) → `min(md5(b || ':' || shingle))`
+  * pipeline stage: one md5 per shingle instead of one per (shingle, band),
+  * and zero shuffle — the signatures come out as a per-row array, so at
+  * 100 TB the LSH stage is a narrow map over the corpus scan. Disjoint
+  * hex slices of one md5 digest serve as the `bands` independent hash
+  * families (32 bits per band at bands=4 — ample for min-hashing).
+  *
+  * Cross-engine deterministic: DuckDB reproduces each signature as
+  * `min(substr(md5(shingle), b*8 + 1, 8))`, so LSH candidate generation is
+  * oracle-checkable (reference near-dup behavior anchor:
+  * `components/core/index_service.py` stores exact vectors; near-dup is an
+  * engine extension for training-data pipelines).
+  *
+  * Returns an empty array when the document has fewer than `n` tokens
+  * (no shingles → the doc can never appear in a candidate pair).
+  */
+case class MinhashSigs(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(text: Any, nAny: Any, bandsAny: Any): Any = {
+    val n = nAny.asInstanceOf[Int]
+    val bands = bandsAny.asInstanceOf[Int]
+    val toks = text.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val width = math.max(1, 32 / bands)
+    val mins = new Array[String](bands)
+    // One digest instance per row, reset per shingle (getInstance is a JCA
+    // provider lookup — too costly per shingle).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      md.reset()
+      val hex = MinhashSigs.hex(
+        md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      var b = 0
+      while (b < bands) {
+        val slice = hex.substring(b * width, b * width + width)
+        if (mins(b) == null || slice.compareTo(mins(b)) < 0) mins(b) = slice
+        b += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(s => UTF8String.fromString(s): Any))
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): MinhashSigs =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object MinhashSigs {
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a digest — identical to Spark's and DuckDB's `md5`
+    * output encoding. */
+  def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}
+
+/** `strip_non_alnum(s)`: drop every byte outside `[a-z0-9]` — the
+  * fingerprint normalizer, byte-loop form of
+  * `regexp_replace(lower(s), '[^a-z0-9]', '')` for already-lowercased
+  * input. Byte-level filtering is exact: in UTF-8, bytes of multi-byte
+  * sequences are ≥ 0x80 and can never alias an ASCII `[a-z0-9]` byte, so
+  * dropping per byte equals dropping per code point. Replaces a per-match
+  * regex appendReplacement loop in the exact-dedup hot path (the oracle
+  * keeps the regexp form — semantics are identical).
+  */
+case class StripNonAlnum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_non_alnum"
+
+  override def nullSafeEval(input: Any): Any =
+    StripNonAlnum.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StripNonAlnum.strip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripNonAlnum =
+    copy(child = newChild)
+}
+
+object StripNonAlnum {
+  def strip(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val out = new Array[Byte](bytes.length)
+    var i = 0
+    var k = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) { out(k) = b; k += 1 }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, k)
+  }
+}

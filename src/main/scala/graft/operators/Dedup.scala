@@ -21,6 +21,7 @@ object Dedup {
     * (hash-groupBy; the canonical 100 TB exact-dedup plan). */
   def exactDedup(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
     docs.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("rn", row_number().over(w))
@@ -34,26 +35,22 @@ object Dedup {
     graft.functions.GraftFunctions.wordShingles(text, lit(n))
 
   /** Per-document MinHash band signatures: for band b, the signature is
-    * `min(md5(b || ':' || shingle))` over the document's shingles — b
-    * independent permutation approximations from one md5 family.
-    * Output: (id, band, sig). */
+    * `min(substr(md5(shingle), b*w+1, w))` over the document's shingles —
+    * disjoint hex slices of one digest as the band hash families.
+    * Output: (id, band, sig).
+    *
+    * Computed by the [[graft.functions.MinhashSigs]] native expression: a
+    * narrow per-row map over the corpus scan (one md5 per shingle, no
+    * explode → groupBy shuffle). The earlier pipeline form shuffled one
+    * row per doc AND hashed every shingle once per band — 4× the digest
+    * work plus a corpus-wide exchange that this version simply doesn't
+    * have; at 100 TB the signature stage is now embarrassingly parallel. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, bands: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    // All band hashes in ONE groupBy pass: b min-aggregates get map-side
-    // partial aggregation, so the shuffle carries one b-wide row per doc
-    // instead of shingles×bands rows (the naive band-crossJoin plan).
-    val exploded = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .filter(col("shingle") =!= "")
-    val aggs = (0 until bands).map { b =>
-      min(md5(concat(lit(s"$b:"), col("shingle")))).as(s"sig_$b")
-    }
-    exploded.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        posexplode(array((0 until bands).map(b => col(s"sig_$b")): _*))
-          .as(Seq("band", "sig")))
+    docs.select(col(idCol).as("id"),
+      posexplode(GraftFunctions.minhashSigs(col(textCol), lit(n), lit(bands)))
+        .as(Seq("band", "sig")))
   }
 
   /** Candidate near-dup pairs: documents sharing any (band, signature)

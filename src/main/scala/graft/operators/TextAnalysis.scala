@@ -84,9 +84,12 @@ object TextAnalysis {
   /** Content fingerprint: md5 over lowercased text stripped of all
     * non-alphanumerics — the exact-dedup key (whitespace/punct-insensitive).
     * md5 hex matches across Spark and DuckDB, so dedup results are
-    * oracle-checkable. */
+    * oracle-checkable. The strip is the native byte-loop
+    * [[graft.functions.StripNonAlnum]] (≡ `regexp_replace(…, '[^a-z0-9]',
+    * '')`, which the oracle keeps, minus the per-match regex overhead);
+    * callers must have run `GraftFunctions.register`. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+    md5(graft.functions.GraftFunctions.stripNonAlnum(lower(text)))
 
   /** Language prediction from a `text_stats` struct column (same
     * greatest-struct tie-break as [[langId]]). */

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
+  graft.functions.GraftFunctions.register(SparkTestBase.spark)
 
   private def one[T](c: org.apache.spark.sql.Column, text: String)(implicit e: org.apache.spark.sql.Encoder[T]): T =
     Seq(text).toDF("text").select(c.as("v")).as[T].head()
