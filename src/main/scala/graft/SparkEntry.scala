@@ -1228,6 +1228,52 @@ object SparkEntry {
     OracleSqlGen.fullEventsSql(qVals, GraftConfig().optimization.temperatures)
   }
 
+  /** SimHash near-dup detection over documents (the third dedup family
+    * beside exact-fp and MinHash-LSH), fully oracle-checked: the oracle
+    * recomputes every per-bit vote from `md5(token)` hex, rebuilds the
+    * `%016x` rendering, forms the same 4×16-bit band buckets, and takes
+    * nibble-wise popcount Hamming distances. */
+  private def q42SimhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+
+  private val q42Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+      |    FROM documents)
+      |  WHERE t <> ''),
+      |votes AS (
+      |  SELECT doc_id, b.bit,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), CAST(b.bit // 4 AS INT) + 1, 1)) - 1)
+      |                   >> CAST(3 - b.bit % 4 AS INT)) & 1 = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM toks, (SELECT unnest(range(0, 64)) AS bit) AS b
+      |  GROUP BY doc_id, b.bit),
+      |nibs AS (
+      |  SELECT doc_id, (63 - bit) // 4 AS nib,
+      |    sum(CASE WHEN v > 0 THEN 1 << CAST(3 - ((63 - bit) % 4) AS INT) ELSE 0 END) AS nv
+      |  FROM votes GROUP BY doc_id, (63 - bit) // 4),
+      |hexes AS (
+      |  SELECT doc_id,
+      |    string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' ORDER BY nib) AS hex
+      |  FROM nibs GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, bb.b AS band, substr(hex, 13 - 4 * CAST(bb.b AS INT), 4) AS key, hex
+      |  FROM hexes, (SELECT unnest([0,1,2,3]) AS b) AS bb),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.hex AS hex_a, b.hex AS hex_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |  WHERE a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT id_a, id_b,
+      |    sum(bit_count(xor(strpos('0123456789abcdef', substr(hex_a, CAST(p.i AS INT), 1)) - 1,
+      |                      strpos('0123456789abcdef', substr(hex_b, CAST(p.i AS INT), 1)) - 1))) AS hamming
+      |  FROM cand, (SELECT unnest(range(1, 17)) AS i) AS p
+      |  GROUP BY id_a, id_b)
+      |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+      |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1272,6 +1318,7 @@ object SparkEntry {
     "q39_full_events" -> (q39FullEvents _),
     "q40_conv_chunks" -> (q40ConvChunks _),
     "q41_upload_ingest" -> (q41UploadIngest _),
+    "q42_simhash_neardup" -> (q42SimhashNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1313,6 +1360,7 @@ object SparkEntry {
     "q39_full_events" -> q39Sql,
     "q40_conv_chunks" -> q40Sql,
     "q41_upload_ingest" -> q41Sql,
+    "q42_simhash_neardup" -> q42Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

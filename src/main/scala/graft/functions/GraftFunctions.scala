@@ -37,6 +37,8 @@ object GraftFunctions {
       "minhash_sigs", exprs => MinhashSigs(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "strip_non_alnum", exprs => StripNonAlnum(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
   }
 
   /** Inner product of two `array<float>` columns (double accumulation). */
@@ -73,6 +75,9 @@ object GraftFunctions {
 
   /** Drop every byte outside `[a-z0-9]` (fingerprint normalizer). */
   def stripNonAlnum(s: Column): Column = call_function("strip_non_alnum", s)
+
+  /** 64-bit SimHash over word tokens (md5-derived, oracle-replicable). */
+  def simhash64(text: Column): Column = call_function("simhash64", text)
 
   /** Similarity from distance, matching the reference's transform
     * (`components/core/search_service.py:336-349`): identity for inner

@@ -122,3 +122,50 @@ object StripNonAlnum {
     UTF8String.fromBytes(out, 0, k)
   }
 }
+
+/** `simhash64(text)`: 64-bit SimHash over whitespace word tokens —
+  * md5-derived token hashes vote ±1 per bit (every occurrence votes, so
+  * votes are term-frequency-weighted); bit `p` of the result is set when
+  * votes(p) > 0, where bit `p` reads the token digest MSB-first (byte
+  * p/8, shift 7−p%8 — i.e. hex char p/4, nibble bit 3−p%4). A SQL oracle
+  * can therefore recompute every vote from `md5(token)` hex and rebuild
+  * the `format_string("%016x", h)` rendering nibble-by-nibble — the whole
+  * SimHash near-dup pipeline is oracle-checkable (an engine extension;
+  * the reference dedups only by exact FAISS vectors).
+  *
+  * Native expression rather than a Scala UDF: no encoder
+  * serialization boundary in a 100 TB corpus scan. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.simhash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def simhash(text: String): Long = {
+    if (text == null) return 0L
+    val votes = new Array[Int](64)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    // One digest instance per document, reset per token.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    toks.foreach { t =>
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
+      var bit = 0
+      while (bit < 64) {
+        val byte = d(bit / 8)
+        if (((byte >> (7 - bit % 8)) & 1) == 1) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+    }
+    var h = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) h |= (1L << bit); bit += 1 }
+    h
+  }
+}

@@ -105,35 +105,41 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens: md5-derived token hashes vote ±1 per
     * bit, weighted by term frequency; the sign pattern is the fingerprint.
-    * Near-dups are pairs within a small Hamming distance. */
-  def simhash64(text: String): Long = {
-    if (text == null) return 0L
-    val votes = new Array[Int](64)
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
-    // One digest instance per document, reset per token — getInstance is a
-    // JCA provider lookup and would otherwise run once per token.
-    val md = java.security.MessageDigest.getInstance("MD5")
-    toks.foreach { t =>
-      md.reset()
-      val d = md.digest(t.getBytes("UTF-8"))
-      var bit = 0
-      while (bit < 64) {
-        val byte = d(bit / 8)
-        if (((byte >> (7 - bit % 8)) & 1) == 1) votes(bit) += 1 else votes(bit) -= 1
-        bit += 1
-      }
-    }
-    var h = 0L
-    var bit = 0
-    while (bit < 64) { if (votes(bit) > 0) h |= (1L << bit); bit += 1 }
-    h
+    * Near-dups are pairs within a small Hamming distance.
+    * (Delegates to the [[graft.functions.SimHash64]] native expression's
+    * kernel.) */
+  def simhash64(text: String): Long = graft.functions.SimHash64.simhash(text)
+
+  /** SimHash column (native expression over the text column). */
+  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.withColumn("simhash", GraftFunctions.simhash64(col(textCol)))
   }
 
-  /** SimHash column (deterministic UDF over the text column). */
-  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    val fn = udf((s: String) => simhash64(s))
-    docs.withColumn("simhash", fn(col(textCol)))
+  /** SimHash near-dup pairs: 4 bands of 16 bits as the LSH blocking key
+    * (pigeonhole: any pair within Hamming distance 3 must agree on at
+    * least one band; larger distances are found best-effort, the standard
+    * SimHash-banding trade), exact Hamming distance on candidates, keep
+    * pairs ≤ `maxHamming`. Band keys are 4-hex-char substrings of the
+    * `%016x` rendering so a SQL oracle forms identical buckets. Never
+    * all-pairs: the self-join is an equality join on (band, key). */
+  def simhashNearDups(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", maxHamming: Int = 6): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val hashed = docs.select(col(idCol).as("id"),
+        GraftFunctions.simhash64(col(textCol)).as("sh"))
+      .withColumn("hex", format_string("%016x", col("sh")))
+    val bands = hashed.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b => substring(col("hex"), 13 - 4 * b, 4)): _*))
+        .as(Seq("band", "key")))
+    val a = bands.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = bands.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (e.g. a label or

@@ -54,6 +54,30 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhash64("") == 0L)
   }
 
+  test("simhashNearDups pairs exact dups at distance 0 and near texts within threshold") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                               // exact dup -> hamming 0
+      (3L, base.replace("tok40", "changed")),   // near dup -> small hamming
+      (4L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)) == pairs.contains((2L, 3L)))
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash64 native expression equals the scala kernel") {
+    val texts = Seq("the quick brown fox", "", "a b a b a", "über café tokens")
+    val df = texts.toDF("text")
+    val fromExpr = df.select(graft.functions.GraftFunctions.simhash64($"text"))
+      .as[Long].collect().toSeq
+    assert(fromExpr == texts.map(Dedup.simhash64))
+  }
+
   test("embeddingNearDups only pairs within a block and above threshold") {
     val v1 = Array(1.0f, 0.0f)
     val v2 = Array(0.999f, 0.045f)
