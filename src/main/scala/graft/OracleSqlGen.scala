@@ -334,6 +334,83 @@ object OracleSqlGen {
        |  FROM __withprev w
        |  LEFT JOIN __blocks pb ON pb.source = w.source AND pb.i = w.prev_last_i)""".stripMargin
 
+  /** Full q38 oracle: the S2→P1→E1 docx pipeline in SQL. The docx
+    * fixtures are themselves synthesized from `documents` rows with
+    * `doc_id < 6` (heading "Doc N" + 120-char paragraph slices), and the
+    * XML-escape → parse round trip is the identity, so the oracle can
+    * rebuild the exact Markdown each fixture converts to, re-run the
+    * greedy chunker WITH text reconstruction (chunk body = blocks joined
+    * by blank lines, tail merge, 100-char overlap prefix), and embed each
+    * chunk via [[embedCtes]] — making the one remaining binary-ingest
+    * query hash-checked instead of rows-only.
+    *
+    * Text reconstruction stays non-recursive: the recursive CTE carries
+    * only running lengths (the greedy boundary decision needs nothing
+    * else); chunk bodies are then a `string_agg` over each chunk's block
+    * range, so the string work is one ordered aggregation per chunk. */
+  def docxPipelineSql(dim: Int = 64, maxChars: Int = 2000, minChars: Int = 500,
+                      overlap: Int = 100): String = {
+    val docId = chunkDocId("filename", "chunk_index")
+    s"""WITH RECURSIVE __files AS (
+       |  SELECT doc_id, 'doc_' || CAST(doc_id AS VARCHAR) || '.docx' AS source, text
+       |  FROM documents WHERE doc_id < 6),
+       |__slices AS (
+       |  SELECT source, s.i AS ord,
+       |    trim(substr(text, CAST((s.i - 1) * 120 + 1 AS INT), 120)) AS txt
+       |  FROM __files, (SELECT unnest(range(1, 200)) AS i) AS s
+       |  WHERE (s.i - 1) * 120 < length(text)),
+       |__blockraw AS (
+       |  SELECT source, 0 AS ord, '# Doc ' || CAST(doc_id AS VARCHAR) AS txt FROM __files
+       |  UNION ALL
+       |  SELECT source, CAST(ord AS INT), txt FROM __slices WHERE txt <> ''),
+       |__blocks AS (
+       |  SELECT source, row_number() OVER (PARTITION BY source ORDER BY ord) AS i,
+       |    length(txt) AS len, txt
+       |  FROM __blockraw),
+       |__rec AS (
+       |  SELECT source, i, 1 AS chunk_no, len AS cur_len FROM __blocks WHERE i = 1
+       |  UNION ALL
+       |  SELECT b.source, b.i,
+       |    CASE WHEN r.cur_len + 2 + b.len > $maxChars AND r.cur_len >= $minChars
+       |         THEN r.chunk_no + 1 ELSE r.chunk_no END,
+       |    CASE WHEN r.cur_len + 2 + b.len > $maxChars AND r.cur_len >= $minChars
+       |         THEN b.len ELSE r.cur_len + 2 + b.len END
+       |  FROM __rec r JOIN __blocks b ON b.source = r.source AND b.i = r.i + 1),
+       |__ranges AS (
+       |  SELECT source, chunk_no, min(i) AS first_i, max(i) AS last_i
+       |  FROM __rec GROUP BY 1, 2),
+       |__packedtxt AS (
+       |  SELECT g.source, g.chunk_no,
+       |    string_agg(b.txt, chr(10) || chr(10) ORDER BY b.i) AS body
+       |  FROM __ranges g JOIN __blocks b
+       |    ON b.source = g.source AND b.i BETWEEN g.first_i AND g.last_i
+       |  GROUP BY 1, 2),
+       |__nc AS (SELECT source, max(chunk_no) AS nc FROM __packedtxt GROUP BY 1),
+       |__mergedtxt AS (
+       |  SELECT p.source, p.chunk_no,
+       |    CASE WHEN t.nc > 1 AND length(tl.body) < $minChars AND p.chunk_no = t.nc - 1
+       |         THEN p.body || chr(10) || chr(10) || tl.body ELSE p.body END AS body
+       |  FROM __packedtxt p
+       |  JOIN __nc t ON t.source = p.source
+       |  LEFT JOIN __packedtxt tl ON tl.source = p.source AND tl.chunk_no = t.nc
+       |  WHERE NOT (t.nc > 1 AND length(tl.body) < $minChars AND p.chunk_no = t.nc)),
+       |__chunktext AS (
+       |  SELECT source AS filename, chunk_no - 1 AS chunk_index,
+       |    CASE WHEN chunk_no = 1 THEN body
+       |         ELSE right(lag_body, $overlap) || chr(10) || body END AS ctext
+       |  FROM (SELECT *, lag(body) OVER (PARTITION BY source ORDER BY chunk_no) AS lag_body
+       |        FROM __mergedtxt)),
+       |__docs AS (
+       |  SELECT $docId AS id, ctext AS txt FROM __chunktext),
+       |${embedCtes(dim)}
+       |SELECT $docId AS doc_id, filename,
+       |  CAST(chunk_index AS BIGINT) AS chunk_index,
+       |  CAST(length(ctext) AS BIGINT) AS size,
+       |  round(sqrt(list_sum(list_transform(e.embedding, x -> x * x))), 4) AS norm
+       |FROM __chunktext c JOIN __emb e ON e.id = $docId
+       |ORDER BY filename, chunk_index""".stripMargin
+  }
+
   /** CTE chain replicating the regular chunker (`Chunker.chunkRegular`) over
     * per-source files whose paragraph blocks are the `documents` rows sorted
     * by doc_id and joined with blank lines (`SparkEntry.q22CorpusBuild`'s

@@ -1023,7 +1023,8 @@ object SparkEntry {
 
   /** S2→P1→E1 end-to-end: deterministic .docx fixtures (built once into a
     * temp dir from documents text) → docx-to-markdown conversion →
-    * chunk + embed into the corpus schema. Rows-only (binary ingest). */
+    * chunk + embed into the corpus schema. Hash-checked: the fixtures
+    * derive from `documents`, so the oracle replays the pipeline in SQL. */
   private def q38DocxPipeline(s: SparkSession, dir: String): DataFrame = {
     // Fixture dir keyed by the source sfDir (different dirs → different
     // texts) and built atomically: write into a temp dir, rename into
@@ -1056,10 +1057,17 @@ object SparkEntry {
     }
     val docs = graft.sources.DocxIngest.readDocxDir(s, docxDir.toString)
     graft.sources.TextIngest.buildCorpus(docs)
-      .select(col("doc_id"), col("filename"), col("chunk_index"), col("size"),
-        graft.functions.GraftFunctions.normF32(col("embedding")).as("norm"))
+      .select(col("doc_id"), col("filename"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("size").cast("long").as("size"),
+        round(graft.functions.GraftFunctions.normF32(col("embedding")), 4).as("norm"))
       .orderBy("filename", "chunk_index")
   }
+
+  /** q38's oracle: since the docx fixtures derive from `documents` rows,
+    * the whole binary pipeline (docx→Markdown→chunk→embed) is replayed in
+    * SQL — see [[OracleSqlGen.docxPipelineSql]]. */
+  private def q38Sql: String = OracleSqlGen.docxPipelineSql(64)
 
   /** E1 execution shape: per-partition encoder with 256-row batches
     * (`Embedders.embedPartitioned`) over the documents table. The output is
@@ -1361,6 +1369,7 @@ object SparkEntry {
     "q40_conv_chunks" -> q40Sql,
     "q41_upload_ingest" -> q41Sql,
     "q42_simhash_neardup" -> q42Sql,
+    "q38_docx_pipeline" -> q38Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

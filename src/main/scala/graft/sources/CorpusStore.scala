@@ -42,6 +42,24 @@ object CorpusStore {
     spark.read.parquet(path)
   }
 
+  /** S8 aux metadata sinks (`components/index_manager.py:132-143,172-176`):
+    * the processed-files manifest and per-file detail records as one JSON
+    * sink — derived FROM the corpus table (one aggregation row per source
+    * file) rather than tracked imperatively alongside it, so the manifest
+    * can never drift from the corpus it describes. Returns the manifest
+    * for further use. */
+  def writeProcessedManifest(corpus: DataFrame, path: String,
+                             filenameCol: String = "filename"): DataFrame = {
+    val manifest = corpus.groupBy(col(filenameCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("size").cast("long").as("total_chars"),
+        min("chunk_index").cast("long").as("first_chunk"),
+        max("chunk_index").cast("long").as("last_chunk"))
+      .orderBy(filenameCol)
+    manifest.write.mode("overwrite").json(path)
+    manifest
+  }
+
   /** ST4 write-back + IVF maintenance: append validated outputs; retrain
     * the coarse quantizer only when it was untrained and the corpus now
     * clears the training threshold — the reference's bulk-add-only retrain

@@ -32,6 +32,20 @@ class StoresSpec extends AnyFunSuite {
     assert(rebuilt.count() == 2)
   }
 
+  test("processed-files manifest derives from the corpus and round-trips as JSON") {
+    val path = tmp() + "/manifest"
+    val corpus = Seq(
+      ("a.txt", 0, 900), ("a.txt", 1, 450), ("b.txt", 0, 120)
+    ).toDF("filename", "chunk_index", "size")
+    val manifest = CorpusStore.writeProcessedManifest(corpus, path)
+    assert(manifest.count() == 2)
+    val back = spark.read.json(path)
+    val a = back.filter(col("filename") === "a.txt").head()
+    assert(a.getAs[Long]("n_chunks") == 2L)
+    assert(a.getAs[Long]("total_chars") == 1350L)
+    assert(a.getAs[Long]("first_chunk") == 0L && a.getAs[Long]("last_chunk") == 1L)
+  }
+
   test("session sink: record, summarize, find stale sessions") {
     val path = tmp() + "/sessions"
     SessionSink.record(spark, path, "s1", "prompt", "prompt_1", "what is spark?")
