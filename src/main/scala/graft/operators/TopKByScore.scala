@@ -38,6 +38,11 @@ class TopKByScore(k: Int) extends Aggregator[(Long, Double), Array[ScoredId], Se
   override def finish(buf: Array[ScoredId]): Seq[ScoredId] =
     buf.sorted(ord).take(k).toSeq
 
+  // Kryo beats a struct-array ExpressionEncoder here by ~6× (A/B at the
+  // 2M-row ScaleProbe: 1.75 s vs 11.4 s): the typed-aggregate path
+  // round-trips the buffer through its encoder per input row, and kryo's
+  // opaque-blob serialization of a ≤2k-element array is much cheaper than
+  // the per-element struct conversion an ExpressionEncoder performs.
   override def bufferEncoder: Encoder[Array[ScoredId]] = Encoders.kryo[Array[ScoredId]]
   override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
 }
