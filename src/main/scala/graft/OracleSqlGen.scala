@@ -334,6 +334,43 @@ object OracleSqlGen {
        |  FROM __withprev w
        |  LEFT JOIN __blocks pb ON pb.source = w.source AND pb.i = w.prev_last_i)""".stripMargin
 
+  /** Hyperplane-LSH ANN oracle (`HyperplaneLsh.search`): ±1 planes inlined
+    * as FLOAT[] literals (like IVF centroids), bucket = signed-projection
+    * bits, multi-probe = own bucket + Hamming-1 neighbors, rank by
+    * (dot DESC, id ASC) within probed buckets. `list_dot_product` on
+    * FLOAT[] matches `dot_f32` bit-for-bit (q20 precedent). */
+  def lshSearchSql(planes: Seq[Array[Float]], k: Int, nq: Int): String = {
+    val nbits = planes.length
+    val values = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, CAST([${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")}] AS FLOAT[]))"
+    }.mkString(",\n      ")
+    s"""WITH planes(j, p) AS (VALUES
+       |      $values),
+       |b AS (
+       |  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.embedding, p.p) > 0
+       |                        THEN 1 << CAST(p.j AS INT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
+       |  FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < $nq),
+       |probes AS (
+       |  SELECT query_id, qe,
+       |    xor(bucket, CASE WHEN f.j < 0 THEN 0 ELSE 1 << CAST(f.j AS INT) END) AS pb
+       |  FROM q CROSS JOIN (SELECT unnest(range(-1, $nbits)) AS j) f),
+       |cand AS (
+       |  SELECT p.query_id, p.qe, e.vec_id, e.embedding
+       |  FROM probes p JOIN b ON b.bucket = p.pb
+       |  JOIN embeddings e ON e.vec_id = b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id,
+       |    round(list_dot_product(embedding, qe), 4) AS score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_dot_product(embedding, qe) DESC, vec_id ASC) AS rank
+       |  FROM cand)
+       |SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Full q38 oracle: the S2→P1→E1 docx pipeline in SQL. The docx
     * fixtures are themselves synthesized from `documents` rows with
     * `doc_id < 6` (heading "Doc N" + 120-char paragraph slices), and the

@@ -1282,6 +1282,25 @@ object SparkEntry {
       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
       |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
 
+  /** Hyperplane-LSH bucketed ANN (the second scale path beside IVF):
+    * 6-bit sign-random-projection buckets, Hamming-1 multi-probe, top-5
+    * cosine within probed buckets — fully oracle-checked with the planes
+    * inlined as SQL literals. */
+  private def q43LshSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    HyperplaneLsh.search(queries, emb, 5, planes)
+      .select(col("query_id"), col("vec_id"),
+        round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def q43Sql: String = OracleSqlGen.lshSearchSql(
+    HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64).toSeq, k = 5, nq = 8)
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1327,6 +1346,7 @@ object SparkEntry {
     "q40_conv_chunks" -> (q40ConvChunks _),
     "q41_upload_ingest" -> (q41UploadIngest _),
     "q42_simhash_neardup" -> (q42SimhashNearDup _),
+    "q43_lsh_search" -> (q43LshSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1370,6 +1390,7 @@ object SparkEntry {
     "q41_upload_ingest" -> q41Sql,
     "q42_simhash_neardup" -> q42Sql,
     "q38_docx_pipeline" -> q38Sql,
+    "q43_lsh_search" -> q43Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

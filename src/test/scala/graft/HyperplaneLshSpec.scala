@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.HyperplaneLsh
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HyperplaneLshSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  graft.functions.GraftFunctions.register(SparkTestBase.spark)
+
+  test("hyperplanes are deterministic ±1 and dimension-shaped") {
+    val a = HyperplaneLsh.hyperplanes(4, 8)
+    val b = HyperplaneLsh.hyperplanes(4, 8)
+    assert(a.length == 4 && a.forall(_.length == 8))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(x => x == 1.0f || x == -1.0f))
+    assert(a.flatten.exists(_ == 1.0f) && a.flatten.exists(_ == -1.0f))
+  }
+
+  test("identical vectors share a bucket; search finds self at rank 1") {
+    val planes = HyperplaneLsh.hyperplanes(4, 4)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(-1.0f, 0.0f, 0.3f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val buckets = HyperplaneLsh.withBuckets(vecs, planes)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(buckets(0L) == buckets(1L))
+    val queries = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val hits = HyperplaneLsh.search(queries, vecs, k = 3, planes)
+      .orderBy("rank").select("vec_id", "rank").as[(Long, Int)].collect()
+    // ids 0 and 1 tie on score; id ASC breaks the tie
+    assert(hits.take(2).toSeq == Seq((0L, 1), (1L, 2)))
+  }
+
+  test("multi-probe reaches Hamming-1 neighbor buckets") {
+    val planes = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    // v0 bucket = 11 (both dots > 0); v1 bucket = 01 (first dot < 0)
+    val vecs = Seq(
+      (0L, Array(0.5f, 0.5f)),
+      (1L, Array(-0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val found = HyperplaneLsh.search(queries, vecs, k = 2, planes)
+      .select("vec_id").as[Long].collect().toSet
+    assert(found == Set(0L, 1L)) // v1 only reachable via a Hamming-1 probe
+  }
+}
