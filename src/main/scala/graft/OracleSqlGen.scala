@@ -339,17 +339,23 @@ object OracleSqlGen {
     * bits, multi-probe = own bucket + Hamming-1 neighbors, rank by
     * (dot DESC, id ASC) within probed buckets. `list_dot_product` on
     * FLOAT[] matches `dot_f32` bit-for-bit (q20 precedent). */
-  def lshSearchSql(planes: Seq[Array[Float]], k: Int, nq: Int): String = {
-    val nbits = planes.length
+  /** Shared LSH-bucket CTEs: ±1 planes as FLOAT[] literals + per-vector
+    * bucket ids. Produces `planes(j, p)` and `b(vec_id, bucket)`. */
+  def lshBucketCtes(planes: Seq[Array[Float]]): String = {
     val values = planes.zipWithIndex.map { case (p, j) =>
       s"($j, CAST([${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")}] AS FLOAT[]))"
     }.mkString(",\n      ")
-    s"""WITH planes(j, p) AS (VALUES
+    s"""planes(j, p) AS (VALUES
        |      $values),
        |b AS (
        |  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.embedding, p.p) > 0
        |                        THEN 1 << CAST(p.j AS INT) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+       |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id)""".stripMargin
+  }
+
+  def lshSearchSql(planes: Seq[Array[Float]], k: Int, nq: Int): String = {
+    val nbits = planes.length
+    s"""WITH ${lshBucketCtes(planes)},
        |q AS (
        |  SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
        |  FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < $nq),
@@ -370,6 +376,18 @@ object OracleSqlGen {
        |SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Label-free embedding near-dup oracle (`Dedup.embeddingNearDups`
+    * blocked by LSH bucket): same-bucket pairs above the cosine floor. */
+  def lshNearDupSql(planes: Seq[Array[Float]], minCos: Double): String =
+    s"""WITH ${lshBucketCtes(planes)}
+       |SELECT x.bucket AS block, x.vec_id AS id_a, y.vec_id AS id_b,
+       |  round(list_dot_product(ea.embedding, eb.embedding), 4) AS cos
+       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |JOIN embeddings ea ON ea.vec_id = x.vec_id
+       |JOIN embeddings eb ON eb.vec_id = y.vec_id
+       |WHERE list_dot_product(ea.embedding, eb.embedding) >= $minCos
+       |ORDER BY block, id_a, id_b""".stripMargin
 
   /** Full q38 oracle: the S2→P1→E1 docx pipeline in SQL. The docx
     * fixtures are themselves synthesized from `documents` rows with

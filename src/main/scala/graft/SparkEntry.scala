@@ -1301,6 +1301,21 @@ object SparkEntry {
   private def q43Sql: String = OracleSqlGen.lshSearchSql(
     HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64).toSeq, k = 5, nq = 8)
 
+  /** Label-free near-dup: embedding-cosine pairs blocked by LSH bucket —
+    * `Dedup.embeddingNearDups` composed with `HyperplaneLsh.withBuckets`,
+    * so near-dup detection needs no pre-existing blocking column (the
+    * 100 TB shape: bucket at ingest, equality-join within buckets). */
+  private def q44LshEmbNearDup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
+    val bucketed = HyperplaneLsh.withBuckets(t(s, dir, "embeddings"), planes)
+    Dedup.embeddingNearDups(bucketed, "bucket", "vec_id", "embedding", minCos = 0.3)
+      .orderBy("block", "id_a", "id_b")
+  }
+
+  private def q44Sql: String = OracleSqlGen.lshNearDupSql(
+    HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64).toSeq, minCos = 0.3)
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1347,6 +1362,7 @@ object SparkEntry {
     "q41_upload_ingest" -> (q41UploadIngest _),
     "q42_simhash_neardup" -> (q42SimhashNearDup _),
     "q43_lsh_search" -> (q43LshSearch _),
+    "q44_lsh_emb_neardup" -> (q44LshEmbNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1391,6 +1407,7 @@ object SparkEntry {
     "q42_simhash_neardup" -> q42Sql,
     "q38_docx_pipeline" -> q38Sql,
     "q43_lsh_search" -> q43Sql,
+    "q44_lsh_emb_neardup" -> q44Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
