@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.operators.VectorSearch
+import graft.operators.{Dedup, VectorSearch}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   * k·partitions rows per query. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dedup")) {
+      dedupProbe(args.lift(1).map(_.toInt).getOrElse(50))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -61,6 +65,64 @@ object ScaleProbe {
     timeWarm("knnBatch 16q (aggregated)", 16 * n)(
       VectorSearch.knnBatchAggregated(queries, corpus, 10, idCol = "doc_id")
         .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+
+  /** Dedup scale probe (`runMain graft.ScaleProbe dedup <factor>`):
+    * replicates sf0.1 documents factor× with a per-replica suffix appended
+    * to EVERY word — replicas are DISTINCT documents (every token, hence
+    * every shingle and simhash, differs across replicas) while each
+    * replica keeps the base corpus's token-frequency distribution, so the
+    * corpus scales linearly and only the base data's planted near-dups
+    * pair up, times factor. (A first cut spliced one shared marker token
+    * between words: its term frequency dominated simhash voting, hashed
+    * each whole replica into one bucket, and the band self-join went
+    * quadratic — the probe now measures the honest rare-near-dup regime.) */
+  def dedupProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val nBase = base.count()
+    val path = s"/tmp/graft-dedup-scale-${factor}x"
+    if (!graft.sources.CorpusStore.exists(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * nBase).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\w+)"),
+            concat(lit("$1r"), col("rep"))).as("text"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val docs = spark.read.parquet(path)
+    val n = docs.count()
+    println(s"[scale] dedup corpus rows = $n (${factor}x of $nBase)")
+
+    def timeWarm(name: String)(f: => Long): Unit = {
+      f // one warmup (page cache + codegen); dedup jobs are multi-stage
+      val t0 = System.nanoTime(); val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s warm, $rows rows out (${n / sec / 1e6}%.2f M docs/s)")
+    }
+    timeWarm("exactDedup")(
+      Dedup.exactDedup(docs, "text", "doc_id").count())
+    timeWarm("simhashNearDups")(
+      Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 6).count())
+    timeWarm("minhash nearDupPairs")(
+      Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4,
+        minJaccard = 0.15).count())
+    timeWarm("minhash nearDupPairs (cached candidates)")(
+      Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4,
+        minJaccard = 0.15, cacheCandidates = true).count())
     spark.stop()
   }
 }

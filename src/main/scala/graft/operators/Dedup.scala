@@ -76,14 +76,11 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     // Verify re-shingles the corpus and lets the broadcast-hash joins
     // against the (rare, by LSH design) candidate pairs drop non-candidate
-    // rows inline — the explode is narrow and never shuffled. Measured
-    // alternative (candidate-id semi-join prefilter, with and without
-    // persisting the candidate set): 1.5–4× SLOWER end-to-end here,
-    // because the candidate subplan re-runs per reference / the cache
-    // materialization breaks exchange reuse. If verify input ever becomes
-    // the bottleneck at extreme scale, materialize the candidate ids to a
-    // table first and semi-join against THAT — inside one lazy query,
-    // the pipelined explode+broadcast-probe wins.
+    // rows inline — the explode is narrow and never shuffled. Whether the
+    // candidate set should be persisted first is a measured scale trade
+    // (see nearDupPairs.cacheCandidates): at sf0.1 recomputation wins
+    // (exchange reuse covers it), at 250k docs caching wins 3× — callers
+    // pick per corpus size.
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     val expl = sh.select(col("id"), explode(col("sh")).as("shingle"))
@@ -103,12 +100,25 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → band signatures →
-    * bucket join → exact Jaccard ≥ `minJaccard`. */
+    * bucket join → exact Jaccard ≥ `minJaccard`.
+    *
+    * `cacheCandidates` controls the scale trade (both sides measured, see
+    * BASELINE.md): the candidate subplan is referenced 3× by the verify
+    * joins, so OFF recomputes the signature pipeline per reference —
+    * fastest on small corpora where exchange reuse covers it (sf0.1:
+    * caching was 1.5–4× slower), but a multiple of the dominant
+    * shingle+md5 cost once the corpus is large (250k-doc probe: 57 s off
+    * → 23 s on). Turn it ON for real corpora; it persists only the tiny
+    * (id_a, id_b) set. */
   def nearDupPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
-                   minJaccard: Double = 0.8): DataFrame = {
+                   minJaccard: Double = 0.8,
+                   cacheCandidates: Boolean = false): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, n, bands)
-    val cands = lshCandidates(sigs)
+    val cands0 = lshCandidates(sigs)
+    val cands = if (cacheCandidates)
+      cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cands0
     jaccardVerify(docs, cands, textCol, idCol, n)
       .filter(col("jaccard") >= minJaccard)
   }

@@ -54,6 +54,24 @@ object EventStream {
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
                                session_end: java.sql.Timestamp, n_events: Int)
 
+  /** Streaming-ingest exact dedup (the ST4 write-back path at stream
+    * granularity): drop any document whose content fingerprint was already
+    * seen, with a watermark bounding the dedup state — the standard
+    * streaming posture for "append only novel documents to the corpus".
+    * State size is one fingerprint per distinct document inside the
+    * watermark horizon; an unbounded horizon (`withEventTimeWatermark`
+    * omitted) would grow state forever at 100 TB ingest rates, so the
+    * watermark column+delay are required parameters, not defaults. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermarkDelay: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("fp")
+      .drop("fp")
+  }
+
   /** Custom-state sessionization: a user's session closes after
     * `gapMinutes` of inactivity (processing-time timeout in streaming;
     * final flush in tests via batch completion). */

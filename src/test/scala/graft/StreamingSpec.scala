@@ -78,6 +78,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops re-ingested content within the watermark horizon") {
+    import graft.streaming.EventStream
+    val staging = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val base = 1700000000000L
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      rows.map { case (id, ts, txt) => (id, new java.sql.Timestamp(ts), txt) }
+        .toDF("doc_id", "ts", "text")
+        .write.mode("append").parquet(staging)
+
+    write(Seq((1L, base, "Hello, World!"), (2L, base + 1000, "other text")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val in = spark.readStream.schema(schema).parquet(staging)
+    val out = EventStream.dedupStream(in, "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    try {
+      q.processAllAvailable()
+      // re-ingest normalized-equal content ("hello world" ≡ "Hello, World!")
+      // plus one genuinely new doc
+      write(Seq((3L, base + 2000, "hello world"), (4L, base + 3000, "brand new")))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM sdedup").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 4L)) // 3 dropped as a dup of 1
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sdedup")
+    }
+  }
+
   test("EventLog emits the retrieval lifecycle matching the stats") {
     val stats = graft.operators.VectorSearch.dynamicThresholdSelect(
       Seq(0.92, 0.87, 0.81, 0.4), hitTarget = 3, step = 0.05)
