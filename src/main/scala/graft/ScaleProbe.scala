@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, VectorSearch}
+import graft.operators.{Dedup, IvfIndex, VectorSearch}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup")) {
       dedupProbe(args.lift(1).map(_.toInt).getOrElse(50))
+      return
+    }
+    if (args.headOption.contains("ivf")) {
+      ivfProbe(args.lift(1).map(_.toInt).getOrElse(1000))
       return
     }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
@@ -64,6 +68,80 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save())
     timeWarm("knnBatch 16q (aggregated)", 16 * n)(
       VectorSearch.knnBatchAggregated(queries, corpus, 10, idCol = "doc_id")
+        .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+
+  /** IVF scale probe (`runMain graft.ScaleProbe ivf <factor>`): the
+    * ingest-vs-query split at scale — train the coarse quantizer on a
+    * ≤100k-row SAMPLE (at 100 TB nobody KMeans-iterates the full corpus;
+    * cells need locality, not converged centroids), assign + write the
+    * corpus `partitionBy("cell_id")` once, then compare exact brute-force
+    * against partition-pruned IVF probes on the same data. */
+  def ivfProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nBase = base.count()
+    val path = s"/tmp/graft-scale-${factor}x"
+    if (!graft.sources.CorpusStore.exists(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("vec_id") + col("rep") * nBase).as("doc_id"),
+          col("embedding"), col("label"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val corpus = spark.read.parquet(path)
+    val n = corpus.count()
+    val nlist = 64
+    val nprobe = 4
+    val ivfDir = s"/tmp/graft-scale-ivf-${factor}x"
+    if (!IvfIndex.exists(spark, s"$ivfDir/quantizer")) {
+      val t0 = System.nanoTime()
+      val sampleFrac = math.min(1.0, 100000.0 / n)
+      val ivf = IvfIndex.train(corpus.sample(sampleFrac, 42), nlist, "embedding")
+      IvfIndex.save(spark, ivf, s"$ivfDir/quantizer")
+      IvfIndex.assign(corpus, ivf, "embedding")
+        .write.partitionBy("cell_id").mode("overwrite").parquet(s"$ivfDir/corpus")
+      println(f"[scale] ivf ingest (sample-train + assign + partitioned write): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val ivf = IvfIndex.load(spark, s"$ivfDir/quantizer")
+    val cells = spark.read.parquet(s"$ivfDir/corpus")
+    println(s"[scale] ivf corpus rows = $n, nlist=$nlist nprobe=$nprobe (scan fraction ≈ ${nprobe * 100 / nlist}%)")
+
+    val qVec = base.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val q16 = base.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val q16df = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+
+    def timeWarm(name: String, perRow: Long)(f: => Unit): Unit = {
+      f; f
+      val t0 = System.nanoTime(); f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s warm (${perRow / sec / 1e6}%.1f M rows/s)")
+    }
+    timeWarm("exact knnSingle", n)(
+      VectorSearch.knnSingle(corpus, qVec, 10, idCol = "doc_id").collect())
+    timeWarm(s"ivf search (nprobe=$nprobe)", n.toLong * nprobe / nlist)(
+      IvfIndex.search(cells, ivf, qVec, 10, nprobe, idCol = "doc_id").collect())
+    timeWarm("exact batch 16q (aggregated)", 16L * n)(
+      VectorSearch.knnBatchAggregated(q16df, corpus, 10, idCol = "doc_id")
+        .write.format("noop").mode("overwrite").save())
+    timeWarm(s"ivf batch 16q (nprobe=$nprobe)", 16L * n * nprobe / nlist)(
+      IvfIndex.searchBatch(cells, ivf, q16, 10, nprobe, idCol = "doc_id")
         .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
