@@ -1316,6 +1316,49 @@ object SparkEntry {
   private def q44Sql: String = OracleSqlGen.lshNearDupSql(
     HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64).toSeq, minCos = 0.3)
 
+  /** REAL image decode, oracle-checked end-to-end: PNG fixtures are
+    * synthesized per documents row (solid gray level, dimensions — all
+    * arithmetic over doc_id), pushed through the actual
+    * `javax.imageio` decode + luminance-histogram kernel
+    * (`Multimodal.decodeImages`), and the oracle predicts the decoded
+    * width/height/histogram peak from the same arithmetic — if the codec
+    * or binning were wrong, every row would mismatch. */
+  private def q45ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").filter(col("doc_id") < 32)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val g = ((id * 37) % 256).toInt
+        val w = (8 + id % 16).toInt
+        val h = (6 + id % 9).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+      .toDF("asset_id", "payload")
+    Multimodal.decodeImages(assets, dim = 64)
+      .select(col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        (array_position(col("features"), array_max(col("features"))) - 1)
+          .cast("long").as("bin"),
+        round(array_max(col("features")).cast("double"), 4).as("peak"))
+      .orderBy("asset_id")
+  }
+
+  private val q45Sql =
+    """SELECT doc_id AS asset_id,
+      |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+      |  CAST(6 + doc_id % 9 AS BIGINT) AS height,
+      |  CAST((doc_id * 37 % 256) // 4 AS BIGINT) AS bin,
+      |  1.0 AS peak
+      |FROM documents WHERE doc_id < 32 ORDER BY asset_id""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1363,6 +1406,7 @@ object SparkEntry {
     "q42_simhash_neardup" -> (q42SimhashNearDup _),
     "q43_lsh_search" -> (q43LshSearch _),
     "q44_lsh_emb_neardup" -> (q44LshEmbNearDup _),
+    "q45_image_decode" -> (q45ImageDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1408,6 +1452,7 @@ object SparkEntry {
     "q38_docx_pipeline" -> q38Sql,
     "q43_lsh_search" -> q43Sql,
     "q44_lsh_emb_neardup" -> q44Sql,
+    "q45_image_decode" -> q45Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * analog of `mapInPandas` — one iterator per partition, work done in
   * batches so a real decoder could amortize model/codec setup per batch).
   *
-  * The decode kernels are STUBS (no image/audio libs in this environment):
-  * `FakeCodec` produces deterministic bytes-derived values so schema,
-  * partitioning, batch shape and the end-to-end plumbing are real and
-  * testable; swapping in a true codec only replaces the kernel body.
+  * IMAGE kernels are REAL (JDK-only: `javax.imageio` decode for
+  * PNG/BMP/JPEG/GIF, `Graphics2D` nearest-neighbor resize) — see
+  * [[Multimodal.ImageCodec]]. Audio/video kernels remain STUBS (no codec
+  * ships with the JDK): `FakeCodec` produces deterministic bytes-derived
+  * values so schema, partitioning, batch shape and the end-to-end
+  * plumbing are real and testable; swapping in a true codec only
+  * replaces the kernel body.
   */
 object Multimodal {
 
@@ -60,6 +63,92 @@ object Multimodal {
       payload.grouped(frameBytes).zipWithIndex
         .collect { case (f, i) if i % everyN == 0 => f }
         .toSeq
+  }
+
+  /** REAL image kernel — pure JDK, works headless. Decode failures return
+    * None (the bad-record path, P10): undecodable payloads become null
+    * rows the caller filters, never task failures. */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    def decode(payload: Array[Byte]): Option[BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
+    /** Luminance histogram over `dim` bins, L2-normalized — a classic
+      * cheap image feature with a fixed output shape. Deterministic:
+      * integer luma binning over the decoded raster. */
+    def features(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      decode(payload).map { img =>
+        val hist = new Array[Double](dim)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            hist(luma * dim / 256) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        val norm = math.sqrt(hist.map(v => v * v).sum)
+        if (norm == 0) new Array[Float](dim)
+        else hist.map(v => (v / norm).toFloat)
+      }
+
+    /** Nearest-neighbor resize + PNG re-encode (both deterministic —
+      * interpolation is pinned so no platform-dependent smoothing). */
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decode(payload).map { img =>
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+
+    def dimensions(payload: Array[Byte]): Option[(Int, Int)] =
+      decode(payload).map(img => (img.getWidth, img.getHeight))
+  }
+
+  /** Batched REAL image decode + feature extraction: luminance-histogram
+    * features with width/height metadata; undecodable rows surface as
+    * nulls (filter = the bad-record path). */
+  def decodeImages(assets: DataFrame, dim: Int = 64,
+                   batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, payload) =>
+          val dims = ImageCodec.dimensions(payload)
+          (id, dims.map(_._1), dims.map(_._2),
+            ImageCodec.features(payload, dim))
+        })
+      }
+      .toDF("asset_id", "width", "height", "features")
+  }
+
+  /** Batched REAL image resize (nearest-neighbor, PNG output). */
+  def resizeImagesReal(assets: DataFrame, w: Int, h: Int,
+                       batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, p) =>
+          (id, ImageCodec.resize(p, w, h), w, h)
+        })
+      }
+      .toDF("asset_id", "payload", "width", "height")
   }
 
   /** Batched feature extraction: partition iterator → fixed-size batches →

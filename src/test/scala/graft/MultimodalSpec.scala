@@ -30,6 +30,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 8)
   }
 
+  test("real image kernel: decode, histogram features, resize, bad-record path") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val assets = Seq(
+      (0L, png(16, 12, 0x000000)),          // all black -> luma 0
+      (1L, png(16, 12, 0xffffff)),          // all white -> luma 255
+      (2L, "not an image".getBytes("UTF-8")) // undecodable
+    ).toDF("asset_id", "payload")
+
+    val decoded = Multimodal.decodeImages(assets, dim = 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(decoded(0L).getAs[Integer]("width") == 16 &&
+      decoded(0L).getAs[Integer]("height") == 12)
+    val black = decoded(0L).getAs[scala.collection.Seq[Float]]("features")
+    val white = decoded(1L).getAs[scala.collection.Seq[Float]]("features")
+    assert(black.head == 1.0f && black.drop(1).forall(_ == 0.0f)) // all mass in bin 0
+    assert(white.last == 1.0f && white.init.forall(_ == 0.0f))    // all mass in bin 63
+    assert(decoded(2L).isNullAt(1) && decoded(2L).isNullAt(3))    // bad record -> nulls
+
+    val resized = Multimodal.resizeImagesReal(assets, 4, 4)
+      .filter(col("asset_id") === 1).head()
+    val back = Multimodal.ImageCodec.dimensions(
+      resized.getAs[Array[Byte]]("payload"))
+    assert(back.contains((4, 4))) // re-encoded PNG round-trips at the new size
+  }
+
   test("frame sampling is a 1->N generator") {
     val assets = Multimodal.syntheticAssets(spark, 6)
     val frames = Multimodal.sampleVideoFrames(assets, everyN = 2, frameBytes = 32)
