@@ -1359,6 +1359,38 @@ object SparkEntry {
       |  1.0 AS peak
       |FROM documents WHERE doc_id < 32 ORDER BY asset_id""".stripMargin
 
+  /** REAL audio decode, oracle-checked: WAV fixtures synthesized per
+    * documents row — constant power-of-two amplitude, so the decoded RMS
+    * is IEEE-exact (2^-k) and needs no rounding; frame counts divisible
+    * by 8 make duration_ms integer-exact. The oracle predicts every
+    * output from doc_id arithmetic; a codec, endianness, or header bug
+    * would mismatch all rows. */
+  private def q46AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").filter(col("doc_id") < 32)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (800 + (id % 10) * 160).toInt
+        val amp = (1 << (6 + (id % 5))).toShort
+        (id, Multimodal.AudioCodec.encodeWav(Array.fill(n)(amp), 8000))
+      }
+      .toDF("asset_id", "payload")
+    Multimodal.decodeAudio(assets)
+      .select(col("asset_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("duration_ms").cast("long").as("duration_ms"),
+        col("rms"))
+      .orderBy("asset_id")
+  }
+
+  private val q46Sql =
+    """SELECT doc_id AS asset_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(800 + doc_id % 10 * 160 AS BIGINT) AS n_frames,
+      |  CAST((800 + doc_id % 10 * 160) / 8 AS BIGINT) AS duration_ms,
+      |  CAST(pow(2, 6 + doc_id % 5) AS DOUBLE) / 32768 AS rms
+      |FROM documents WHERE doc_id < 32 ORDER BY asset_id""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1407,6 +1439,7 @@ object SparkEntry {
     "q43_lsh_search" -> (q43LshSearch _),
     "q44_lsh_emb_neardup" -> (q44LshEmbNearDup _),
     "q45_image_decode" -> (q45ImageDecode _),
+    "q46_audio_decode" -> (q46AudioDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1453,6 +1486,7 @@ object SparkEntry {
     "q43_lsh_search" -> q43Sql,
     "q44_lsh_emb_neardup" -> q44Sql,
     "q45_image_decode" -> q45Sql,
+    "q46_audio_decode" -> q46Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -10,13 +10,14 @@ import org.apache.spark.sql.types._
   * analog of `mapInPandas` — one iterator per partition, work done in
   * batches so a real decoder could amortize model/codec setup per batch).
   *
-  * IMAGE kernels are REAL (JDK-only: `javax.imageio` decode for
-  * PNG/BMP/JPEG/GIF, `Graphics2D` nearest-neighbor resize) — see
-  * [[Multimodal.ImageCodec]]. Audio/video kernels remain STUBS (no codec
-  * ships with the JDK): `FakeCodec` produces deterministic bytes-derived
-  * values so schema, partitioning, batch shape and the end-to-end
-  * plumbing are real and testable; swapping in a true codec only
-  * replaces the kernel body.
+  * IMAGE and AUDIO kernels are REAL (JDK-only: `javax.imageio` decode
+  * for PNG/BMP/JPEG/GIF + `Graphics2D` nearest-neighbor resize;
+  * `javax.sound.sampled` WAV/PCM decode) — see [[Multimodal.ImageCodec]]
+  * and [[Multimodal.AudioCodec]]. VIDEO kernels remain STUBS (no video
+  * codec ships with the JDK): `FakeCodec` produces deterministic
+  * bytes-derived values so schema, partitioning, batch shape and the
+  * end-to-end plumbing are real and testable; swapping in a true codec
+  * only replaces the kernel body.
   */
 object Multimodal {
 
@@ -115,6 +116,85 @@ object Multimodal {
 
     def dimensions(payload: Array[Byte]): Option[(Int, Int)] =
       decode(payload).map(img => (img.getWidth, img.getHeight))
+  }
+
+  /** REAL audio kernel — JDK `javax.sound.sampled`, WAV/PCM. Decode
+    * failures return None (bad-record path). */
+  object AudioCodec {
+    /** (sampleRate Hz, nFrames, 16-bit PCM samples channel-interleaved). */
+    def decode(payload: Array[Byte]): Option[(Int, Long, Array[Short])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val samples = new Array[Short](bytes.length / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = bb.getShort(i * 2); i += 1 }
+            Some((fmt.getSampleRate.toInt, in.getFrameLength, samples))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Root-mean-square amplitude normalized to [0,1] (full scale =
+      * 32768), accumulated sequentially in double — SQL-replicable for
+      * synthesized fixtures. */
+    def rms(payload: Array[Byte]): Option[Double] =
+      decode(payload).map { case (_, _, samples) =>
+        if (samples.isEmpty) 0.0
+        else {
+          var sum = 0.0
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i) / 32768.0
+            sum += v * v
+            i += 1
+          }
+          math.sqrt(sum / samples.length)
+        }
+      }
+
+    /** Encode 16-bit mono PCM samples as a WAV container (fixture
+      * builder — the inverse of [[decode]]). */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Batched REAL audio decode: sample rate, frame count, duration and
+    * normalized RMS amplitude; undecodable rows → nulls. */
+  def decodeAudio(assets: DataFrame,
+                  batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, payload) =>
+          AudioCodec.decode(payload) match {
+            case Some((rate, frames, _)) =>
+              (id, Some(rate), Some(frames),
+                Some(frames * 1000L / rate), AudioCodec.rms(payload))
+            case None => (id, None, None, None, None)
+          }
+        })
+      }
+      .toDF("asset_id", "sample_rate", "n_frames", "duration_ms", "rms")
   }
 
   /** Batched REAL image decode + feature extraction: luminance-histogram

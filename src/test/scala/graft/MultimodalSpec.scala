@@ -63,6 +63,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.contains((4, 4))) // re-encoded PNG round-trips at the new size
   }
 
+  test("real audio kernel: WAV round-trip, RMS, bad-record path") {
+    import spark.implicits._
+    val wav = Multimodal.AudioCodec.encodeWav(Array.fill(1600)(1024.toShort), 8000)
+    val assets = Seq(
+      (0L, wav),
+      (1L, "not audio".getBytes("UTF-8"))
+    ).toDF("asset_id", "payload")
+    val out = Multimodal.decodeAudio(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = out(0L)
+    assert(ok.getAs[Integer]("sample_rate") == 8000)
+    assert(ok.getAs[Long]("n_frames") == 1600L)
+    assert(ok.getAs[Long]("duration_ms") == 200L)
+    assert(ok.getAs[Double]("rms") == 1024.0 / 32768) // constant power-of-two amp: exact
+    assert(out(1L).isNullAt(1) && out(1L).isNullAt(4)) // undecodable -> nulls
+  }
+
   test("frame sampling is a 1->N generator") {
     val assets = Multimodal.syntheticAssets(spark, 6)
     val frames = Multimodal.sampleVideoFrames(assets, everyN = 2, frameBytes = 32)
