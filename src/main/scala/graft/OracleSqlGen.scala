@@ -410,9 +410,12 @@ object OracleSqlGen {
        |  SELECT doc_id, 'doc_' || CAST(doc_id AS VARCHAR) || '.docx' AS source, text
        |  FROM documents WHERE doc_id < 6),
        |__slices AS (
+       |  -- bound 10000 slices = 1.2M chars/doc, far beyond any documents
+       |  -- row (the WHERE prunes unused indexes; a doc longer than the
+       |  -- bound would silently truncate, so keep it generous)
        |  SELECT source, s.i AS ord,
        |    trim(substr(text, CAST((s.i - 1) * 120 + 1 AS INT), 120)) AS txt
-       |  FROM __files, (SELECT unnest(range(1, 200)) AS i) AS s
+       |  FROM __files, (SELECT unnest(range(1, 10000)) AS i) AS s
        |  WHERE (s.i - 1) * 120 < length(text)),
        |__blockraw AS (
        |  SELECT source, 0 AS ord, '# Doc ' || CAST(doc_id AS VARCHAR) AS txt FROM __files

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * k-NN plan has no shuffle and the batch-aggregated plan shuffles only
   * k·partitions rows per query. */
 object ScaleProbe {
+
+  /** A parquet write is only a valid cache once its _SUCCESS marker lands
+    * — a run killed mid-write leaves the directory present but partial,
+    * and a bare exists() guard would then skip the rebuild forever. */
+  private def parquetComplete(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup")) {
       dedupProbe(args.lift(1).map(_.toInt).getOrElse(50))
@@ -37,7 +45,7 @@ object ScaleProbe {
     val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val nBase = base.count()
     val path = s"/tmp/graft-scale-${factor}x"
-    if (!graft.sources.CorpusStore.exists(spark, path)) {
+    if (!parquetComplete(spark, path)) {
       import spark.implicits._
       val reps = (0 until factor).toDF("rep")
       base.crossJoin(reps)
@@ -93,7 +101,7 @@ object ScaleProbe {
     val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val nBase = base.count()
     val path = s"/tmp/graft-scale-${factor}x"
-    if (!graft.sources.CorpusStore.exists(spark, path)) {
+    if (!parquetComplete(spark, path)) {
       val reps = (0 until factor).toDF("rep")
       base.crossJoin(reps)
         .select((col("vec_id") + col("rep") * nBase).as("doc_id"),
@@ -106,7 +114,10 @@ object ScaleProbe {
     val nlist = 64
     val nprobe = 4
     val ivfDir = s"/tmp/graft-scale-ivf-${factor}x"
-    if (!IvfIndex.exists(spark, s"$ivfDir/quantizer")) {
+    // Guard on the LAST artifact written (the partitioned corpus _SUCCESS):
+    // the quantizer is saved first, so checking it would treat a run killed
+    // mid-corpus-write as a complete cache.
+    if (!parquetComplete(spark, s"$ivfDir/corpus")) {
       val t0 = System.nanoTime()
       val sampleFrac = math.min(1.0, 100000.0 / n)
       val ivf = IvfIndex.train(corpus.sample(sampleFrac, 42), nlist, "embedding")
@@ -172,7 +183,7 @@ object ScaleProbe {
       .select("doc_id", "text")
     val nBase = base.count()
     val path = s"/tmp/graft-dedup-scale-${factor}x"
-    if (!graft.sources.CorpusStore.exists(spark, path)) {
+    if (!parquetComplete(spark, path)) {
       val reps = (0 until factor).toDF("rep")
       base.crossJoin(reps)
         .select((col("doc_id") + col("rep") * nBase).as("doc_id"),

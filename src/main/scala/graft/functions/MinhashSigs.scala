@@ -36,6 +36,12 @@ case class MinhashSigs(first: Expression, second: Expression, third: Expression)
   override def nullSafeEval(text: Any, nAny: Any, bandsAny: Any): Any = {
     val n = nAny.asInstanceOf[Int]
     val bands = bandsAny.asInstanceOf[Int]
+    // Registered as a session SQL function — fail fast with a clear
+    // message instead of a per-row StringIndexOutOfBounds (bands > 32
+    // would slice past the 32-char md5 hex) or a division error.
+    if (bands < 1 || bands > 32)
+      throw new IllegalArgumentException(
+        s"minhash_sigs: bands must be in [1, 32] (32-hex-char md5 digest), got $bands")
     val toks = text.asInstanceOf[UTF8String].toString
       .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])

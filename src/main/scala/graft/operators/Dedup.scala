@@ -109,7 +109,14 @@ object Dedup {
     * caching was 1.5–4× slower), but a multiple of the dominant
     * shingle+md5 cost once the corpus is large (250k-doc probe: 57 s off
     * → 23 s on). Turn it ON for real corpora; it persists only the tiny
-    * (id_a, id_b) set. */
+    * (id_a, id_b) set.
+    *
+    * Lifecycle: the persisted set is NOT unpersisted here (the returned
+    * DataFrame is lazy — this operator cannot know when the caller is done
+    * with it) and is reclaimed by block-manager LRU. A long-lived driver
+    * running many corpora should compose [[minhashSignatures]] →
+    * [[lshCandidates]] → [[jaccardVerify]] directly and own the
+    * persist/unpersist of the candidate set. */
   def nearDupPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
                    minJaccard: Double = 0.8,
@@ -146,7 +153,13 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", maxHamming: Int = 6): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val hashed = docs.select(col(idCol).as("id"),
+    // Token-less (empty/whitespace) docs carry no similarity evidence —
+    // excluded, exactly like shingle-less docs in the MinHash path (and
+    // like the SQL oracle, whose unnested-token CTE naturally drops them;
+    // without this filter every empty doc would pair with every other at
+    // Hamming 0 on the Spark side only).
+    val hashed = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
         GraftFunctions.simhash64(col(textCol)).as("sh"))
       .withColumn("hex", format_string("%016x", col("sh")))
     val bands = hashed.select(col("id"), col("sh"),

@@ -64,11 +64,13 @@ object HyperplaneLsh {
     * and broadcast when the query side is small. */
   def search(queries: DataFrame, corpus: DataFrame, k: Int,
              planes: Array[Array[Float]],
-             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", embCol: String = "embedding",
+             qIdCol: String = "query_id", qEmbCol: String = "q_embedding"): DataFrame = {
     val nbits = planes.length
     val cb = withBuckets(corpus, planes, embCol)
     val qb = withBuckets(
-      queries.select(col("query_id"), col("q_embedding")), planes, "q_embedding")
+      queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("q_embedding")),
+      planes, "q_embedding")
     val probeBuckets = array(
       col("bucket") +: (0 until nbits).map(j =>
         col("bucket").bitwiseXOR(lit(1L << j))): _*)

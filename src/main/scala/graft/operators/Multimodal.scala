@@ -80,24 +80,27 @@ object Multimodal {
       * cheap image feature with a fixed output shape. Deterministic:
       * integer luma binning over the decoded raster. */
     def features(payload: Array[Byte], dim: Int): Option[Array[Float]] =
-      decode(payload).map { img =>
-        val hist = new Array[Double](dim)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            val luma = (299 * ((rgb >> 16) & 0xff) +
-              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-            hist(luma * dim / 256) += 1.0
-            x += 1
-          }
-          y += 1
+      decode(payload).map(featuresOf(_, dim))
+
+    /** Histogram from an already-decoded image (one decode per row). */
+    def featuresOf(img: BufferedImage, dim: Int): Array[Float] = {
+      val hist = new Array[Double](dim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val luma = (299 * ((rgb >> 16) & 0xff) +
+            587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+          hist(luma * dim / 256) += 1.0
+          x += 1
         }
-        val norm = math.sqrt(hist.map(v => v * v).sum)
-        if (norm == 0) new Array[Float](dim)
-        else hist.map(v => (v / norm).toFloat)
+        y += 1
       }
+      val norm = math.sqrt(hist.map(v => v * v).sum)
+      if (norm == 0) new Array[Float](dim)
+      else hist.map(v => (v / norm).toFloat)
+    }
 
     /** Nearest-neighbor resize + PNG re-encode (both deterministic —
       * interpolation is pinned so no platform-dependent smoothing). */
@@ -128,7 +131,10 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload))
         try {
           val fmt = in.getFormat
-          if (fmt.getSampleSizeInBits != 16) None
+          // Rate guard: a malformed header can declare rate <= 0, which
+          // would make the duration division crash the task downstream —
+          // that's a bad record, not a task failure.
+          if (fmt.getSampleSizeInBits != 16 || fmt.getSampleRate.toInt <= 0) None
           else {
             val bytes = in.readAllBytes()
             val bb = java.nio.ByteBuffer.wrap(bytes).order(
@@ -146,18 +152,20 @@ object Multimodal {
       * 32768), accumulated sequentially in double — SQL-replicable for
       * synthesized fixtures. */
     def rms(payload: Array[Byte]): Option[Double] =
-      decode(payload).map { case (_, _, samples) =>
-        if (samples.isEmpty) 0.0
-        else {
-          var sum = 0.0
-          var i = 0
-          while (i < samples.length) {
-            val v = samples(i) / 32768.0
-            sum += v * v
-            i += 1
-          }
-          math.sqrt(sum / samples.length)
+      decode(payload).map { case (_, _, samples) => rmsOf(samples) }
+
+    /** RMS from samples already decoded (avoids a second payload parse). */
+    def rmsOf(samples: Array[Short]): Double =
+      if (samples.isEmpty) 0.0
+      else {
+        var sum = 0.0
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i) / 32768.0
+          sum += v * v
+          i += 1
         }
+        math.sqrt(sum / samples.length)
       }
 
     /** Encode 16-bit mono PCM samples as a WAV container (fixture
@@ -187,9 +195,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.map { case (id, payload) =>
           AudioCodec.decode(payload) match {
-            case Some((rate, frames, _)) =>
+            case Some((rate, frames, samples)) =>
               (id, Some(rate), Some(frames),
-                Some(frames * 1000L / rate), AudioCodec.rms(payload))
+                Some(frames * 1000L / rate), Some(AudioCodec.rmsOf(samples)))
             case None => (id, None, None, None, None)
           }
         })
@@ -208,9 +216,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.map { case (id, payload) =>
-          val dims = ImageCodec.dimensions(payload)
-          (id, dims.map(_._1), dims.map(_._2),
-            ImageCodec.features(payload, dim))
+          ImageCodec.decode(payload) match {
+            case Some(img) =>
+              (id, Some(img.getWidth), Some(img.getHeight),
+                Some(ImageCodec.featuresOf(img, dim)))
+            case None => (id, None, None, None)
+          }
         })
       }
       .toDF("asset_id", "width", "height", "features")

@@ -65,10 +65,16 @@ object EventStream {
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
                   watermarkDelay: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // dropDuplicatesWithinWatermark, NOT dropDuplicates("fp"): with a plain
+    // dropDuplicates on a non-event-time subset the watermark never expires
+    // dedup state (one entry per distinct fingerprint, forever). The
+    // WithinWatermark variant evicts each fingerprint once it falls behind
+    // the watermark — bounded state, the whole point of the required
+    // watermark parameters.
     docs
       .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
   }
 
