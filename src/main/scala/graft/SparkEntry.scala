@@ -1391,6 +1391,56 @@ object SparkEntry {
       |  CAST(pow(2, 6 + doc_id % 5) AS DOUBLE) / 32768 AS rms
       |FROM documents WHERE doc_id < 32 ORDER BY asset_id""".stripMargin
 
+  /** LSH ANN quality, quantified like q34 does for IVF: top-5 overlap
+    * between the multi-probe LSH search and the exact scan, per query —
+    * the recall number a user tuning nbits/probes actually needs. */
+  private def q47LshRecall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val approx = HyperplaneLsh.search(queries, emb, 5, planes)
+      .select("query_id", "vec_id")
+    val exact = VectorSearch.knnBatchAggregated(queries, emb, 5, idCol = "vec_id")
+      .select("query_id", "vec_id")
+    val ov = exact.join(approx, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+    queries.select("query_id").join(ov, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_overlap"),
+        round(coalesce(col("n"), lit(0L)) / 5.0, 2).as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
+  private def q47Sql: String = {
+    val lsh = OracleSqlGen.lshSearchSql(
+      HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64).toSeq, k = 5, nq = 8)
+    // Reuse the full q43 oracle as the approx side, wrap with the exact
+    // side + overlap (the q34 recall idiom).
+    s"""WITH approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    $lsh
+       |  )),
+       |qx AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qx.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY qx.query_id
+       |        ORDER BY list_dot_product(e.embedding, qx.qe) DESC, e.vec_id ASC) AS rnk
+       |    FROM embeddings e CROSS JOIN qx)
+       |  WHERE rnk <= 5),
+       |ov AS (
+       |  SELECT e.query_id, count(*) AS n
+       |  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+       |  GROUP BY 1)
+       |SELECT q2.query_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+       |  round(coalesce(ov.n, 0) / 5.0, 2) AS recall_at_5
+       |FROM (SELECT DISTINCT query_id FROM qx) q2 LEFT JOIN ov USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1440,6 +1490,7 @@ object SparkEntry {
     "q44_lsh_emb_neardup" -> (q44LshEmbNearDup _),
     "q45_image_decode" -> (q45ImageDecode _),
     "q46_audio_decode" -> (q46AudioDecode _),
+    "q47_lsh_recall" -> (q47LshRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1487,6 +1538,7 @@ object SparkEntry {
     "q44_lsh_emb_neardup" -> q44Sql,
     "q45_image_decode" -> q45Sql,
     "q46_audio_decode" -> q46Sql,
+    "q47_lsh_recall" -> q47Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
