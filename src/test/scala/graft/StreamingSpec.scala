@@ -110,6 +110,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("supervisor restarts a failing stream up to the budget, rethrows past it") {
+    import graft.streaming.Supervisor
+    val staging = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(staging)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    // decremented per (re)start BEFORE the batch runs: 3 -> fails at 2 and
+    // 1, succeeds once the counter hits 0 on the third start
+    val failures = new java.util.concurrent.atomic.AtomicInteger(3)
+    val bomb = org.apache.spark.sql.functions.udf { (id: Long) =>
+      if (failures.get() > 0) throw new RuntimeException("transient")
+      id
+    }
+    def start() = {
+      failures.decrementAndGet() // one fewer failure each (re)start
+      val q = spark.readStream.schema(schema).parquet(staging)
+        .select(bomb(col("id")).as("id"))
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q
+    }
+    // fails twice (failures 2 -> 1 -> 0), succeeds on the third start
+    assert(Supervisor.superviseRestarts(maxRestarts = 5)(start) == 2)
+    // budget exhausted -> last failure propagates
+    failures.set(10)
+    intercept[Exception] {
+      Supervisor.superviseRestarts(maxRestarts = 1)(start)
+    }
+  }
+
+  test("busy guard admits one caller and refuses concurrent entry") {
+    import graft.streaming.Supervisor
+    val guard = new Supervisor.BusyGuard
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      guard.tryRun { entered.countDown(); release.await() }
+      ()
+    })
+    holder.start()
+    entered.await()
+    assert(guard.isBusy)
+    assert(guard.tryRun(42).isEmpty) // refused, not queued
+    release.countDown()
+    holder.join()
+    assert(guard.tryRun(42).contains(42)) // free again
+  }
+
   test("EventLog emits the retrieval lifecycle matching the stats") {
     val stats = graft.operators.VectorSearch.dynamicThresholdSelect(
       Seq(0.92, 0.87, 0.81, 0.4), hitTarget = 3, step = 0.05)
