@@ -22,15 +22,33 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.prepareIndexes(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"prepare failed: ${e.getMessage}") }
+    // SPARK_GRAFT_STAGES=1: per-stage wall/shuffle breakdown of the last
+    // rep — where a slow query's time actually goes.
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val ms = (for { s <- i.submissionTime; c <- i.completionTime } yield c - s).getOrElse(-1L)
+          val m = i.taskMetrics
+          stageLog.add(f"    stage ${i.stageId}%3d ${ms}%6d ms  tasks=${i.numTasks}%3d " +
+            f"shufWrite=${m.shuffleWriteMetrics.bytesWritten / 1024}%6d KB " +
+            f"shufRead=${m.shuffleReadMetrics.totalBytesRead / 1024}%6d KB  ${i.name.take(60)}")
+        }
+      })
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { r =>
+        if (r == reps) stageLog.clear()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$n%-28s ${times.map(t => f"$t%.2f").mkString("  ")}")
+      stageLog.forEach(l => println(l))
+      stageLog.clear()
     }
     spark.stop()
   }
