@@ -37,16 +37,22 @@ object Profile {
             f"shufRead=${m.shuffleReadMetrics.totalBytesRead / 1024}%6d KB  ${i.name.take(60)}")
         }
       })
+    val stagesOn = sys.env.get("SPARK_GRAFT_STAGES").contains("1")
+    // Listener events arrive on an async bus; give it a moment to drain
+    // before clearing/printing so the breakdown is complete and stages
+    // don't bleed across queries (diagnostic tolerance, not correctness).
+    def settle(): Unit = if (stagesOn) Thread.sleep(500)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       val times = (1 to reps).map { r =>
-        if (r == reps) stageLog.clear()
+        if (r == reps) { settle(); stageLog.clear() }
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$n%-28s ${times.map(t => f"$t%.2f").mkString("  ")}")
+      settle()
       stageLog.forEach(l => println(l))
       stageLog.clear()
     }

@@ -981,13 +981,7 @@ object SparkEntry {
       .select("query_id", "doc_id")
     val approx = IvfIndex.searchBatch(withCells, ivf, queries, k = 10, nprobe = 4)
       .select("query_id", "doc_id")
-    val overlaps = exact.join(approx, Seq("query_id", "doc_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
-    qdf.select("query_id").join(overlaps, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        round(coalesce(col("n_overlap"), lit(0L)) / lit(10.0), 2).as("recall_at_10"))
-      .orderBy("query_id")
+    VectorSearch.recallVsExact(qdf, exact, approx, "doc_id", k = 10)
   }
 
   private def q22CorpusBuild(s: SparkSession, dir: String): DataFrame = {
@@ -1404,13 +1398,7 @@ object SparkEntry {
       .select("query_id", "vec_id")
     val exact = VectorSearch.knnBatchAggregated(queries, emb, 5, idCol = "vec_id")
       .select("query_id", "vec_id")
-    val ov = exact.join(approx, Seq("query_id", "vec_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n"))
-    queries.select("query_id").join(ov, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("n"), lit(0L)).cast("long").as("n_overlap"),
-        round(coalesce(col("n"), lit(0L)) / 5.0, 2).as("recall_at_5"))
-      .orderBy("query_id")
+    VectorSearch.recallVsExact(queries, exact, approx, "vec_id", k = 5)
   }
 
   private def q47Sql: String = {

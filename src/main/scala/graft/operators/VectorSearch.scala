@@ -105,6 +105,23 @@ object VectorSearch {
         (col("rank0") + 1).cast("int").as("doc_rank"))
   }
 
+  /** Recall@k of an approximate search against the exact scan: per-query
+    * overlap of the two top-k id sets. `exact`/`approx` carry
+    * (query_id, idCol); queries with zero overlap still emit a row.
+    * Shared scaffolding of the IVF (q34) and LSH (q47) recall queries —
+    * one definition so the two cannot silently diverge. */
+  def recallVsExact(queryIds: DataFrame, exact: DataFrame, approx: DataFrame,
+                    idCol: String, k: Int): DataFrame = {
+    val overlaps = exact.join(approx, Seq("query_id", idCol))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    queryIds.select("query_id").join(overlaps, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / lit(k.toDouble), 2)
+          .as(s"recall_at_$k"))
+      .orderBy("query_id")
+  }
+
   /** Fixed-threshold filter (P6, `components/core/search_service.py:300-302`;
     * gate at `components/rag_system.py:303-304`). */
   def fixedThreshold(hits: DataFrame, threshold: Double): DataFrame =

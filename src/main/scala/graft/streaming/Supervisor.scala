@@ -36,9 +36,16 @@ object Supervisor {
         q.awaitTermination()
         done = true // clean stop
       } catch {
-        case e: Exception =>
+        // Only a QUERY failure warrants a restart. Anything else (e.g.
+        // InterruptedException on supervisor shutdown) arrives while the
+        // query may still be healthy and running — restarting would leak a
+        // duplicate concurrent query; stop it and propagate instead.
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
           if (restarts >= maxRestarts) throw e
           restarts += 1
+        case e: Throwable =>
+          try q.stop() catch { case _: Exception => () }
+          throw e
       }
     }
     restarts

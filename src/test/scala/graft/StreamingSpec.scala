@@ -124,21 +124,28 @@ class StreamingSpec extends AnyFunSuite {
       if (failures.get() > 0) throw new RuntimeException("transient")
       id
     }
-    def start() = {
+    // ONE checkpoint shared across restarts: each restart genuinely
+    // recovers from the previous attempt's checkpoint and replays the
+    // failed batch (the ST5 claim under test — a fresh checkpoint per
+    // start would sidestep recovery entirely).
+    def mkStart(ckpt: String) = () => {
       failures.decrementAndGet() // one fewer failure each (re)start
-      val q = spark.readStream.schema(schema).parquet(staging)
+      spark.readStream.schema(schema).parquet(staging)
         .select(bomb(col("id")).as("id"))
         .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q
     }
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft-ckpt1").toString
     // fails twice (failures 2 -> 1 -> 0), succeeds on the third start
-    assert(Supervisor.superviseRestarts(maxRestarts = 5)(start) == 2)
-    // budget exhausted -> last failure propagates
+    assert(Supervisor.superviseRestarts(maxRestarts = 5)(mkStart(ckpt1)) == 2)
+    // budget exhausted -> last failure propagates (own checkpoint: the
+    // first one has already committed the batch)
     failures.set(10)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
     intercept[Exception] {
-      Supervisor.superviseRestarts(maxRestarts = 1)(start)
+      Supervisor.superviseRestarts(maxRestarts = 1)(mkStart(ckpt2))
     }
   }
 
