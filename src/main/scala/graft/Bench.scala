@@ -38,6 +38,23 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").write
         .format("noop").mode("overwrite").save())
+    // Exercise the expensive execution-path families once (md5/digest JIT,
+    // distinct-aggregate rewrite, window exec, shuffle machinery) so the
+    // first measured query of each kind doesn't absorb one-time JVM cost —
+    // profiled at up to ~3-5 s of first-use overhead landing on whichever
+    // query runs a path first (14 s on a loaded driver round).
+    graft.functions.GraftFunctions.register(spark)
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(256)
+      docs.selectExpr("count(distinct md5(strip_non_alnum(lower(text))))",
+          "sum(size(minhash_sigs(text, 3, 4)))",
+          "sum(bit_count(simhash64(text)))") // bit_count: sum of raw hashes overflows ANSI long
+        .collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      docs.select(org.apache.spark.sql.functions.row_number().over(w))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     // Index preparation: build-once state (IVF quantizer + cell-partitioned
     // corpus) is ingest-time work, not query work — prepare before timing.
