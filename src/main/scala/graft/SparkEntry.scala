@@ -1365,7 +1365,7 @@ object SparkEntry {
       .select(col("doc_id")).as[Long]
       .map { id =>
         val n = (800 + (id % 10) * 160).toInt
-        val amp = (1 << (6 + (id % 5))).toShort
+        val amp = (1 << (6 + (id % 5)).toInt).toShort
         (id, Multimodal.AudioCodec.encodeWav(Array.fill(n)(amp), 8000))
       }
       .toDF("asset_id", "payload")

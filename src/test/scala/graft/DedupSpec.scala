@@ -70,6 +70,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("simhash near-dup plan: band self-join is an equality join, never all-pairs") {
+    val docs = (0 until 64).map(i =>
+      (i.toLong, (1 to 30).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val plan = Dedup.simhashNearDups(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("simhash64 native expression equals the scala kernel") {
     val texts = Seq("the quick brown fox", "", "a b a b a", "über café tokens")
     val df = texts.toDF("text")

@@ -36,6 +36,19 @@ class HyperplaneLshSpec extends AnyFunSuite {
     assert(hits.take(2).toSeq == Seq((0L, 1), (1L, 2)))
   }
 
+  test("search plan: probe join is broadcast-hash, never cartesian") {
+    val planes = HyperplaneLsh.hyperplanes(4, 4)
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array(i.toFloat, 1f, -i.toFloat, 0.5f))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val plan = HyperplaneLsh.search(queries, vecs, 3, planes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("multi-probe reaches Hamming-1 neighbor buckets") {
     val planes = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
     // v0 bucket = 11 (both dots > 0); v1 bucket = 01 (first dot < 0)
