@@ -1429,6 +1429,44 @@ object SparkEntry {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** P4 chunk-header projection, oracle-checked end-to-end: the corpus
+    * chunks flow through the actual `Chunker.withHeader` (the reference's
+    * Finnish provenance header, `chunk_text_files.py:337-344`); the
+    * oracle rebuilds the header from the chunker-CTE columns and pins the
+    * full headed-chunk length (header + newline + chunk text incl.
+    * overlap). */
+  private def q48ChunkHeaders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("docs"))
+      .select(col("source").as("filename"),
+        concat_ws("\n\n", transform(col("docs"), d => d.getField("text"))).as("content"))
+    graft.sources.TextIngest.buildCorpus(files)
+      .select(col("doc_id"), col("filename"), col("chunk_index"),
+        col("start_line"), col("end_line"), col("content"))
+      .as[(Long, String, Int, Int, Int, String)]
+      .map { case (id, fn, ci, sl, el, text) =>
+        val headed = Chunker.withHeader(fn, ci, Chunker.Chunk(text, sl, el))
+        (id, headed.substring(0, headed.indexOf('\n')), headed.length.toLong)
+      }
+      .toDF("doc_id", "header", "headed_len")
+      .orderBy("doc_id")
+  }
+
+  private def q48Sql: String =
+    s"""WITH RECURSIVE ${OracleSqlGen.regularChunkCtes()},
+       |h AS (
+       |  SELECT ${OracleSqlGen.chunkDocId("filename", "chunk_index")} AS doc_id,
+       |    'Lähdetiedosto: ' || filename || ' | Lohko: ' ||
+       |      CAST(chunk_index + 1 AS VARCHAR) || ' | Rivit: ' ||
+       |      CAST(start_line AS VARCHAR) || '-' || CAST(end_line AS VARCHAR) AS header,
+       |    size
+       |  FROM __chunks)
+       |SELECT doc_id, header,
+       |  CAST(length(header) + 1 + size AS BIGINT) AS headed_len
+       |FROM h ORDER BY doc_id""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1479,6 +1517,7 @@ object SparkEntry {
     "q45_image_decode" -> (q45ImageDecode _),
     "q46_audio_decode" -> (q46AudioDecode _),
     "q47_lsh_recall" -> (q47LshRecall _),
+    "q48_chunk_headers" -> (q48ChunkHeaders _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1527,6 +1566,7 @@ object SparkEntry {
     "q45_image_decode" -> q45Sql,
     "q46_audio_decode" -> q46Sql,
     "q47_lsh_recall" -> q47Sql,
+    "q48_chunk_headers" -> q48Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
