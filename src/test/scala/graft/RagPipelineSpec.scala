@@ -21,6 +21,12 @@ class RagPipelineSpec extends AnyFunSuite {
     assert(res.docs.map(_.score) == res.docs.map(_.score).sorted.reverse)
     assert(res.docs.head.rank == 1)
     assert(res.stats.target_reached)
+    // FIXTURES.md canonical-scenario contract: progression rows descend in
+    // threshold and end at the first target-reaching attempt.
+    val prog = res.stats.progression
+    assert(prog.nonEmpty && prog.last.target_reached)
+    assert(prog.init.forall(!_.target_reached))
+    assert(prog.map(_.threshold) == prog.map(_.threshold).sorted.reverse)
     assert(res.contextBlock.contains("[Document 1] (Source: "))
     val ev = res.events.collect().map(_.getString(0))
     assert(ev.head == "retrieval_start" && ev.last == "retrieval_complete")
