@@ -28,6 +28,11 @@ object ScaleProbe {
       ivfProbe(args.lift(1).map(_.toInt).getOrElse(1000))
       return
     }
+    if (args.headOption.contains("skew")) {
+      skewProbe(args.lift(1).map(_.toInt).getOrElse(50),
+        uncapped = args.lift(2).contains("uncapped"))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -154,6 +159,76 @@ object ScaleProbe {
     timeWarm(s"ivf batch 16q (nprobe=$nprobe)", 16L * n * nprobe / nlist)(
       IvfIndex.searchBatch(cells, ivf, q16, 10, nprobe, idCol = "doc_id")
         .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+
+  /** Skewed-corpus dedup probe (`runMain graft.ScaleProbe skew <factor>
+    * [uncapped]`): the adversarial regime the bucket cap exists for — 10%
+    * of the replicated corpus is ONE identical boilerplate document, so
+    * every band key of that text is a hot bucket (25k members at factor
+    * 50 / 250k docs ⇒ ~312M candidate pairs per band uncapped, all
+    * generated by a single shuffle task — the quadratic-bucket OOM mode
+    * the first-cut probe hit, BASELINE.md "First-cut probe lesson").
+    * Default run uses the capped path (maxBucketSize=1000) and prints the
+    * dropped-bucket accounting; pass `uncapped` to watch the degenerate
+    * plan degrade (expect minutes/OOM vs seconds). */
+  def skewProbe(factor: Int, uncapped: Boolean): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val nBase = base.count()
+    val boiler = "subscribe to our newsletter for the latest updates " +
+      "terms of service apply all rights reserved contact us for details"
+    val path = s"/tmp/graft-skew-scale-${factor}x"
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * nBase).as("doc_id"),
+          // Every 10th doc becomes the shared boilerplate; the rest are
+          // distinct per replica (same re-keying as dedupProbe).
+          when(col("doc_id") % 10 === 0, lit(boiler))
+            .otherwise(regexp_replace(col("text"), lit("(\\w+)"),
+              concat(lit("$1r"), col("rep")))).as("text"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val docs = spark.read.parquet(path)
+    val n = docs.count()
+    val cap = if (uncapped) Int.MaxValue else Dedup.DefaultMaxBucketSize
+    println(s"[scale] skew corpus rows = $n (~${n / 10} identical boilerplate docs), " +
+      s"maxBucketSize = $cap")
+
+    def timeWarm(name: String)(f: => Long): Unit = {
+      f // one warmup (page cache + codegen); dedup jobs are multi-stage
+      val t0 = System.nanoTime(); val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s warm, $rows rows out (${n / sec / 1e6}%.2f M docs/s)")
+    }
+    timeWarm("simhashNearDups (skewed)")(
+      Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 6,
+        maxBucketSize = cap).count())
+    timeWarm("minhash nearDupPairs (skewed)")(
+      Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4,
+        minJaccard = 0.15, maxBucketSize = cap).count())
+    if (!uncapped) {
+      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", n = 3, bands = 4)
+      println("[scale] minhash dropped buckets:")
+      Dedup.lshDroppedBuckets(sigs, Dedup.DefaultMaxBucketSize)
+        .orderBy(desc("n_members")).show(8, truncate = false)
+      println("[scale] simhash dropped buckets:")
+      Dedup.simhashDroppedBuckets(docs, "text", "doc_id", Dedup.DefaultMaxBucketSize)
+        .orderBy(desc("n_members")).show(8, truncate = false)
+    }
     spark.stop()
   }
 

@@ -42,6 +42,9 @@ case class MinhashSigs(first: Expression, second: Expression, third: Expression)
     if (bands < 1 || bands > 32)
       throw new IllegalArgumentException(
         s"minhash_sigs: bands must be in [1, 32] (32-hex-char md5 digest), got $bands")
+    if (n < 1)
+      throw new IllegalArgumentException(
+        s"minhash_sigs: shingle size n must be >= 1, got $n")
     val toks = text.asInstanceOf[UTF8String].toString
       .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])

@@ -17,6 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default cap on LSH bucket membership. An equality self-join is
+    * quadratic WITHIN a bucket, so one hot band key (boilerplate, templated
+    * text, near-constant documents) turns the candidate join into an
+    * m²-pair explosion on a single shuffle task — the exact OOM mode the
+    * first-cut dedup scale probe hit (BASELINE.md "First-cut probe
+    * lesson"). 1000 members ⇒ ≤ ~500k pairs per bucket, comfortably inside
+    * one task. Buckets above the cap are DROPPED from candidate
+    * generation and surfaced via [[lshDroppedBuckets]] /
+    * [[simhashDroppedBuckets]]: a bucket that hot is not near-dup
+    * *evidence*, it is a dup *cluster* — every member shares the band
+    * signature, so the production handling is "keep one representative
+    * per hot bucket" (a groupBy over the accounting frame), not m²/2
+    * verified pairs. Salting the hot bucket would only spread the same
+    * quadratic pair set over more tasks. */
+  val DefaultMaxBucketSize = 1000
+
+  /** Buckets over the cap, with sizes: (keyCols…, n_members). The
+    * accounting side of the cap — tiny by construction (hot buckets are
+    * rare), so the anti-join against it broadcasts. */
+  private def overflowBuckets(rows: DataFrame, keyCols: Seq[String],
+                              maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucketSize)
+  }
+
   /** Exact dedup: keep the lowest-id row per content fingerprint.
     * (hash-groupBy; the canonical 100 TB exact-dedup plan). */
   def exactDedup(docs: DataFrame, textCol: String = "text",
@@ -54,14 +81,29 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: documents sharing any (band, signature)
-    * bucket. Returns (id_a, id_b) with id_a < id_b, distinct. */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
-    val a = signatures.select(col("band"), col("sig"), col("id").as("id_a"))
-    val b = signatures.select(col("band"), col("sig"), col("id").as("id_b"))
+    * bucket, buckets capped at `maxBucketSize` members (see
+    * [[DefaultMaxBucketSize]] for why hot buckets are dropped rather than
+    * salted — account for them with [[lshDroppedBuckets]]).
+    * Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def lshCandidates(signatures: DataFrame,
+                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val overflow = overflowBuckets(signatures, Seq("band", "sig"), maxBucketSize)
+    val capped = signatures.join(overflow, Seq("band", "sig"), "left_anti")
+    val a = capped.select(col("band"), col("sig"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("sig"), col("id").as("id_b"))
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** Accounting for [[lshCandidates]]' cap: the skipped (band, sig)
+    * buckets with member counts. Each IS a dup cluster (all members share
+    * the band signature) — dedup them by keeping one representative, e.g.
+    * `signatures.join(dropped, Seq("band","sig")).groupBy("band","sig")
+    * .agg(min("id"))`. */
+  def lshDroppedBuckets(signatures: DataFrame,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    overflowBuckets(signatures, Seq("band", "sig"), maxBucketSize)
 
   /** Exact Jaccard verification of candidate pairs via shingle-set overlap
     * (integer set sizes → exact cross-engine reproducible ratios).
@@ -120,9 +162,10 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
                    minJaccard: Double = 0.8,
-                   cacheCandidates: Boolean = false): DataFrame = {
+                   cacheCandidates: Boolean = false,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, n, bands)
-    val cands0 = lshCandidates(sigs)
+    val cands0 = lshCandidates(sigs, maxBucketSize)
     val cands = if (cacheCandidates)
       cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else cands0
@@ -143,28 +186,45 @@ object Dedup {
     docs.withColumn("simhash", GraftFunctions.simhash64(col(textCol)))
   }
 
-  /** SimHash near-dup pairs: 4 bands of 16 bits as the LSH blocking key
-    * (pigeonhole: any pair within Hamming distance 3 must agree on at
-    * least one band; larger distances are found best-effort, the standard
-    * SimHash-banding trade), exact Hamming distance on candidates, keep
-    * pairs ≤ `maxHamming`. Band keys are 4-hex-char substrings of the
-    * `%016x` rendering so a SQL oracle forms identical buckets. Never
-    * all-pairs: the self-join is an equality join on (band, key). */
-  def simhashNearDups(docs: DataFrame, textCol: String = "text",
-                      idCol: String = "doc_id", maxHamming: Int = 6): DataFrame = {
+  /** Per-document SimHash band rows (id, sh, band, key): 4 bands of 16
+    * bits, each key a 4-hex-char substring of the `%016x` rendering so a
+    * SQL oracle forms identical buckets. Token-less (empty/whitespace)
+    * docs carry no similarity evidence — excluded, exactly like
+    * shingle-less docs in the MinHash path (and like the SQL oracle, whose
+    * unnested-token CTE naturally drops them; without this filter every
+    * empty doc would pair with every other at Hamming 0 on the Spark side
+    * only). */
+  private def simhashBands(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    // Token-less (empty/whitespace) docs carry no similarity evidence —
-    // excluded, exactly like shingle-less docs in the MinHash path (and
-    // like the SQL oracle, whose unnested-token CTE naturally drops them;
-    // without this filter every empty doc would pair with every other at
-    // Hamming 0 on the Spark side only).
     val hashed = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         GraftFunctions.simhash64(col(textCol)).as("sh"))
       .withColumn("hex", format_string("%016x", col("sh")))
-    val bands = hashed.select(col("id"), col("sh"),
+    hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b => substring(col("hex"), 13 - 4 * b, 4)): _*))
         .as(Seq("band", "key")))
+  }
+
+  /** Accounting for [[simhashNearDups]]' bucket cap: skipped (band, key)
+    * buckets with member counts (see [[lshDroppedBuckets]]). */
+  def simhashDroppedBuckets(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id",
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    overflowBuckets(simhashBands(docs, textCol, idCol), Seq("band", "key"), maxBucketSize)
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits as the LSH blocking key
+    * (pigeonhole: any pair within Hamming distance 3 must agree on at
+    * least one band; larger distances are found best-effort, the standard
+    * SimHash-banding trade), exact Hamming distance on candidates, keep
+    * pairs ≤ `maxHamming`. Never all-pairs: the self-join is an equality
+    * join on (band, key), and buckets above `maxBucketSize` are dropped
+    * with accounting via [[simhashDroppedBuckets]]. */
+  def simhashNearDups(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", maxHamming: Int = 6,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val allBands = simhashBands(docs, textCol, idCol)
+    val overflow = overflowBuckets(allBands, Seq("band", "key"), maxBucketSize)
+    val bands = allBands.join(overflow, Seq("band", "key"), "left_anti")
     val a = bands.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = bands.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "key"))

@@ -131,10 +131,13 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload))
         try {
           val fmt = in.getFormat
-          // Rate guard: a malformed header can declare rate <= 0, which
-          // would make the duration division crash the task downstream —
-          // that's a bad record, not a task failure.
-          if (fmt.getSampleSizeInBits != 16 || fmt.getSampleRate.toInt <= 0) None
+          // Rate/length guards: a malformed header can declare rate <= 0,
+          // and some streams report AudioSystem.NOT_SPECIFIED (-1) frame
+          // length — either would surface as a crash or a negative
+          // duration_ms downstream. Both are bad records, not task
+          // failures.
+          if (fmt.getSampleSizeInBits != 16 || fmt.getSampleRate.toInt <= 0 ||
+              in.getFrameLength <= 0) None
           else {
             val bytes = in.readAllBytes()
             val bb = java.nio.ByteBuffer.wrap(bytes).order(

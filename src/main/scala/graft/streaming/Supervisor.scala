@@ -23,11 +23,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object Supervisor {
 
   /** ST5: run `start` and, when the query terminates with an exception,
-    * restart it — up to `maxRestarts` times. Returns the number of
-    * restarts performed. A query that stops cleanly (no exception) ends
-    * supervision. The LAST failure is rethrown when the budget is
-    * exhausted. */
-  def superviseRestarts(maxRestarts: Int)(start: () => StreamingQuery): Int = {
+    * restart it — up to `maxRestarts` times, sleeping `backoffMs` before
+    * each restart (a deterministically failing query would otherwise burn
+    * the whole budget in a hot loop of back-to-back checkpoint
+    * recoveries; the reference's own restart loop waits 2 s,
+    * `server2.py:760-786`). Returns the number of restarts performed. A
+    * query that stops cleanly (no exception) ends supervision. The LAST
+    * failure is rethrown when the budget is exhausted. */
+  def superviseRestarts(maxRestarts: Int, backoffMs: Long = 2000L)
+                       (start: () => StreamingQuery): Int = {
+    require(backoffMs >= 0, s"backoffMs must be >= 0: $backoffMs")
     var restarts = 0
     var done = false
     while (!done) {
@@ -43,6 +48,7 @@ object Supervisor {
         case e: org.apache.spark.sql.streaming.StreamingQueryException =>
           if (restarts >= maxRestarts) throw e
           restarts += 1
+          if (backoffMs > 0) Thread.sleep(backoffMs)
         case e: Throwable =>
           try q.stop() catch { case _: Exception => () }
           throw e

@@ -88,6 +88,41 @@ class DedupSpec extends AnyFunSuite {
     assert(fromExpr == texts.map(Dedup.simhash64))
   }
 
+  test("bucket cap drops hot buckets from candidates and accounts for them") {
+    // 30 identical boilerplate docs = one hot bucket per band; 1 planted
+    // honest dup pair among rare docs (exact dup: the test is about the
+    // cap keeping SMALL buckets intact, not about near-dup sensitivity).
+    val boiler = (0 until 30).map(i => (100L + i, (1 to 40).map(j => s"same$j").mkString(" ")))
+    val base = (1 to 40).map(i => s"rare$i").mkString(" ")
+    val docs = (boiler ++ Seq((1L, base), (2L, base))).toDF("doc_id", "text")
+
+    // Uncapped: boilerplate pairs dominate (30*29/2 = 435 pairs + 1).
+    val uncapped = Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4,
+      minJaccard = 0.5, maxBucketSize = 1000).count()
+    assert(uncapped == 436L)
+
+    // Capped at 10: the hot buckets drop, the honest pair survives.
+    val capped = Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4,
+      minJaccard = 0.5, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)))
+
+    // Accounting: 4 bands × 1 hot signature, 30 members each.
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", n = 3, bands = 4)
+    val dropped = Dedup.lshDroppedBuckets(sigs, maxBucketSize = 10)
+      .select("band", "n_members").as[(Int, Long)].collect().toSeq
+    assert(dropped.length == 4 && dropped.forall(_._2 == 30L))
+
+    // Same contract on the simhash side: identical docs share all bands.
+    val simCapped = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 6,
+      maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(simCapped == Set((1L, 2L)))
+    val simDropped = Dedup.simhashDroppedBuckets(docs, "text", "doc_id", maxBucketSize = 10)
+      .select("n_members").as[Long].collect().toSeq
+    assert(simDropped.length == 4 && simDropped.forall(_ == 30L))
+  }
+
   test("embeddingNearDups only pairs within a block and above threshold") {
     val v1 = Array(1.0f, 0.0f)
     val v2 = Array(0.999f, 0.045f)

@@ -138,14 +138,18 @@ class StreamingSpec extends AnyFunSuite {
         .start()
     }
     val ckpt1 = java.nio.file.Files.createTempDirectory("graft-ckpt1").toString
-    // fails twice (failures 2 -> 1 -> 0), succeeds on the third start
-    assert(Supervisor.superviseRestarts(maxRestarts = 5)(mkStart(ckpt1)) == 2)
+    // fails twice (failures 2 -> 1 -> 0), succeeds on the third start;
+    // each restart waits out the backoff (sleep guarantees a lower bound,
+    // so the timing assert can't flake)
+    val t0 = System.nanoTime()
+    assert(Supervisor.superviseRestarts(maxRestarts = 5, backoffMs = 100)(mkStart(ckpt1)) == 2)
+    assert((System.nanoTime() - t0) / 1e6 >= 200.0) // 2 restarts × 100 ms
     // budget exhausted -> last failure propagates (own checkpoint: the
     // first one has already committed the batch)
     failures.set(10)
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
     intercept[Exception] {
-      Supervisor.superviseRestarts(maxRestarts = 1)(mkStart(ckpt2))
+      Supervisor.superviseRestarts(maxRestarts = 1, backoffMs = 0)(mkStart(ckpt2))
     }
   }
 
