@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, IvfIndex, VectorSearch}
+import graft.operators.{Dedup, HyperplaneLsh, IvfIndex, VectorSearch}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,10 @@ object ScaleProbe {
     if (args.headOption.contains("skew")) {
       skewProbe(args.lift(1).map(_.toInt).getOrElse(50),
         uncapped = args.lift(2).contains("uncapped"))
+      return
+    }
+    if (args.headOption.contains("lsh")) {
+      lshProbe(args.lift(1).map(_.toInt).getOrElse(1000))
       return
     }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
@@ -158,6 +162,75 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save())
     timeWarm(s"ivf batch 16q (nprobe=$nprobe)", 16L * n * nprobe / nlist)(
       IvfIndex.searchBatch(cells, ivf, q16, 10, nprobe, idCol = "doc_id")
+        .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+
+  /** Hyperplane-LSH scale probe (`runMain graft.ScaleProbe lsh <factor>`):
+    * the second ANN scale path beside IVF — bucket the replicated corpus at
+    * ingest, persist `partitionBy("bucket")` once, then compare exact
+    * brute-force against the bucket-pruned aggregated search and record the
+    * SCAN FRACTION (rows inside probed partitions / corpus rows) the
+    * dynamic partition pruning achieves for a 16-query batch. */
+  def lshProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nBase = base.count()
+    val path = s"/tmp/graft-scale-${factor}x"
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("vec_id") + col("rep") * nBase).as("doc_id"),
+          col("embedding"), col("label"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val corpus = spark.read.parquet(path)
+    val n = corpus.count()
+    val nbits = HyperplaneLsh.DefaultNbits
+    val dim = base.select("embedding").head.getSeq[Float](0).length
+    val planes = HyperplaneLsh.hyperplanes(nbits, dim)
+    val lshDir = s"/tmp/graft-scale-lsh-${factor}x"
+    if (!parquetComplete(spark, lshDir)) {
+      val t0 = System.nanoTime()
+      HyperplaneLsh.saveBucketed(corpus, planes, lshDir)
+      println(f"[scale] lsh ingest (bucket + partitioned write): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val bucketed = HyperplaneLsh.loadBucketed(spark, lshDir)
+
+    val q16df = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    // Scan fraction: rows living in the union of probed buckets for this
+    // batch (each query probes its own bucket + nbits Hamming-1 neighbors).
+    val probed = HyperplaneLsh.withBuckets(q16df, planes, "q_embedding")
+      .select(explode(array(col("bucket") +: (0 until nbits).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("b"))
+      .distinct().as[Long].collect().toSet
+    val scanRows = bucketed.filter(col("bucket").isin(probed.toSeq: _*)).count()
+    println(f"[scale] lsh corpus rows = $n, nbits=$nbits, buckets probed = ${probed.size}/${1 << nbits}, " +
+      f"scan fraction = ${100.0 * scanRows / n}%.1f%% ($scanRows rows)")
+
+    def timeWarm(name: String, perRow: Long)(f: => Unit): Unit = {
+      f; f
+      val t0 = System.nanoTime(); f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s warm (${perRow / sec / 1e6}%.1f M rows/s)")
+    }
+    timeWarm("exact batch 16q (aggregated)", 16L * n)(
+      VectorSearch.knnBatchAggregated(q16df, corpus, 10, idCol = "doc_id")
+        .write.format("noop").mode("overwrite").save())
+    timeWarm("lsh batch 16q (bucket-pruned aggregated)", 16L * scanRows)(
+      HyperplaneLsh.search(q16df, bucketed, 10, planes, idCol = "doc_id")
         .write.format("noop").mode("overwrite").save())
     spark.stop()
   }

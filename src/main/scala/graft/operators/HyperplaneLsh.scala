@@ -56,27 +56,88 @@ object HyperplaneLsh {
     vecs.withColumn("bucket", bucketCol(col(embCol), planes))
   }
 
-  /** Multi-probe bucket-LSH top-k cosine search: each query probes its own
-    * bucket and the `nbits` Hamming-1 neighbor buckets (standard
-    * multi-probe — single-bucket recall is poor at small nbits), scores
-    * only within probed buckets, and ranks by (score DESC, id ASC).
-    * The probe join is an equality join on bucket id: never all-pairs,
-    * and broadcast when the query side is small. */
-  def search(queries: DataFrame, corpus: DataFrame, k: Int,
-             planes: Array[Array[Float]],
-             idCol: String = "vec_id", embCol: String = "embedding",
-             qIdCol: String = "query_id", qEmbCol: String = "q_embedding"): DataFrame = {
+  /** Persist a corpus `partitionBy("bucket")` so probe joins prune parquet
+    * partitions the way IVF cells do (`IvfIndex.searchBatch`'s DPP shape):
+    * search against [[loadBucketed]] data reads only the (nbits+1)/2^nbits
+    * probed partitions per query batch instead of the full corpus. */
+  def saveBucketed(corpus: DataFrame, planes: Array[Array[Float]],
+                   path: String, embCol: String = "embedding"): Unit =
+    withBuckets(corpus, planes, embCol)
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Load a [[saveBucketed]] corpus; its `bucket` column is the parquet
+    * partition column, so [[search]] skips recomputing projections and the
+    * broadcast probe join drives dynamic partition pruning. */
+  def loadBucketed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe fan-out: each query row explodes to its own bucket plus the
+    * `nbits` Hamming-1 neighbor buckets (standard multi-probe —
+    * single-bucket recall is poor at small nbits). A corpus vector lives in
+    * exactly ONE bucket and probe ids are distinct, so a (query, corpus)
+    * pair matches at most once — no downstream dedup needed. */
+  private def probeFrame(queries: DataFrame, planes: Array[Array[Float]],
+                         qIdCol: String, qEmbCol: String): DataFrame = {
     val nbits = planes.length
-    val cb = withBuckets(corpus, planes, embCol)
     val qb = withBuckets(
       queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("q_embedding")),
       planes, "q_embedding")
     val probeBuckets = array(
       col("bucket") +: (0 until nbits).map(j =>
         col("bucket").bitwiseXOR(lit(1L << j))): _*)
-    val probes = qb
-      .select(col("query_id"), col("q_embedding"),
-        explode(probeBuckets).as("probe_bucket"))
+    qb.select(col("query_id"), col("q_embedding"),
+      explode(probeBuckets).as("probe_bucket"))
+  }
+
+  /** Multi-probe bucket-LSH top-k cosine search, ranked by
+    * (score DESC, id ASC). The probe join is a broadcast equality join on
+    * bucket id — never all-pairs — and ranking is the `TopKByScore`
+    * partial aggregate, so each scan partition map-side-combines to ≤ k
+    * candidates per query before the single shuffle (the
+    * `knnBatchAggregated` idiom; the row_number window this replaced
+    * shuffled every scored (probe × bucket-mate) row and measured ~3×
+    * slower at the 2M-row probe, BASELINE.md). On a [[saveBucketed]]
+    * corpus (pre-existing `bucket` partition column) the broadcast join
+    * drives dynamic partition pruning: unprobed buckets are never read. */
+  def search(queries: DataFrame, corpus: DataFrame, k: Int,
+             planes: Array[Array[Float]],
+             idCol: String = "vec_id", embCol: String = "embedding",
+             qIdCol: String = "query_id", qEmbCol: String = "q_embedding"): DataFrame = {
+    VectorSearch.requireIntegralId(corpus, idCol)
+    val cb = if (corpus.columns.contains("bucket")) corpus
+             else withBuckets(corpus, planes, embCol)
+    // Match the corpus bucket type exactly (a saveBucketed corpus reads its
+    // partition column back as int): a cast on the partition-column side of
+    // the join key disqualifies the scan from dynamic partition pruning.
+    // A bucket id is a sum of 1L<<j terms, so `>= 0` is always true — it
+    // exists to satisfy PartitionPruning's has-selective-predicate gate:
+    // without a selective filter on the broadcast side, Catalyst never
+    // inserts the dynamic-pruning subquery and a saveBucketed corpus is
+    // read in full.
+    val probes = probeFrame(queries, planes, qIdCol, qEmbCol)
+      .withColumn("probe_bucket", col("probe_bucket").cast(cb.schema("bucket").dataType))
+      .filter(col("probe_bucket") >= 0)
+    val topk = udaf(new TopKByScore(k))
+    cb.join(broadcast(probes), probes("probe_bucket") === cb("bucket"))
+      .withColumn("score", GraftFunctions.dotF32(col("q_embedding"), col(embCol)))
+      .select(col("query_id"), col(idCol).cast("long").as("id"), col("score"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(col("query_id"), col("hit.id").as(idCol), col("hit.score").as("score"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
+
+  /** The pre-aggregator window form of [[search]] (row_number over
+    * per-query scored rows). Same results, same total order; kept for
+    * non-integral id columns, which the typed aggregate cannot carry. */
+  def searchWindowed(queries: DataFrame, corpus: DataFrame, k: Int,
+                     planes: Array[Array[Float]],
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     qIdCol: String = "query_id", qEmbCol: String = "q_embedding"): DataFrame = {
+    val cb = if (corpus.columns.contains("bucket")) corpus
+             else withBuckets(corpus, planes, embCol)
+    val probes = probeFrame(queries, planes, qIdCol, qEmbCol)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol).asc)
     probes.join(cb, probes("probe_bucket") === cb("bucket"))

@@ -186,12 +186,20 @@ object IvfIndex {
     import spark.implicits._
     GraftFunctions.register(spark)
     VectorSearch.requireIntegralId(corpusWithCells, idCol)
-    val pairs = queries
+    val probePairs = queries
       .flatMap { case (qid, v) => probeCells(ivf, v, nprobe).map(c => (qid, c)) }
-      .toDF("query_id", "cell_id")
+    val pairs = probePairs.toDF("query_id", "cell_id")
     val qdf = queries.toDF("query_id", "q_embedding")
     val topk = udaf(new TopKByScore(k))
+    // The union of probed cells is known at the driver (probeCells ranks the
+    // tiny centroid table), so prune the scan STATICALLY with an isin filter:
+    // on a cell-partitioned corpus this lands in the scan's PartitionFilters
+    // (unprobed cells never read, no dynamic-pruning heuristics involved),
+    // and on an unpartitioned corpus it still prunes row groups via
+    // parquet min/max. The broadcast pair join then narrows per query.
+    val allCells = probePairs.map(_._2).distinct.sorted
     corpusWithCells
+      .filter(col("cell_id").isin(allCells: _*))
       .join(broadcast(pairs), Seq("cell_id"))
       .join(broadcast(qdf), Seq("query_id"))
       .withColumn("score", GraftFunctions.dotF32(col(embCol), col("q_embedding")))

@@ -49,6 +49,61 @@ class HyperplaneLshSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("search ranks via partial aggregate: no Window exchange in the plan") {
+    val planes = HyperplaneLsh.hyperplanes(4, 4)
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array(i.toFloat, 1f, -i.toFloat, 0.5f))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val plan = HyperplaneLsh.search(queries, vecs, 3, planes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window exec leaked into aggregated search:\n$plan")
+    assert(plan.contains("Aggregate"))
+  }
+
+  test("windowed and aggregated search agree exactly") {
+    val planes = HyperplaneLsh.hyperplanes(6, 8)
+    val r = new scala.util.Random(7)
+    val vecs = (0 until 200).map { i =>
+      val v = Array.fill(8)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val agg = HyperplaneLsh.search(queries, vecs, 4, planes)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().sorted.toSeq
+    val win = HyperplaneLsh.searchWindowed(queries, vecs, 4, planes)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(agg == win)
+  }
+
+  test("bucket-partitioned corpus: probe join prunes partitions dynamically") {
+    val planes = HyperplaneLsh.hyperplanes(4, 4)
+    val r = new scala.util.Random(3)
+    val vecs = (0 until 256).map { i =>
+      (i.toLong, Array.fill(4)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh").toString + "/corpus"
+    HyperplaneLsh.saveBucketed(vecs, planes, path)
+    val stored = HyperplaneLsh.loadBucketed(spark, path)
+    assert(stored.columns.contains("bucket"))
+    val queries = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val hits = HyperplaneLsh.search(queries, stored, 3, planes)
+    // The scan's partition filter must be the dynamic-pruning subquery on
+    // bucket — without it every probe reads all 2^nbits partitions.
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on bucketed corpus:\n$plan")
+    // and results match the compute-buckets-on-the-fly path exactly
+    val direct = HyperplaneLsh.search(queries, vecs, 3, planes)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().sorted.toSeq
+    val pruned = hits
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(pruned == direct)
+  }
+
   test("multi-probe reaches Hamming-1 neighbor buckets") {
     val planes = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
     // v0 bucket = 11 (both dots > 0); v1 bucket = 01 (first dot < 0)

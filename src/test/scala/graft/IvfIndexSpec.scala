@@ -59,6 +59,29 @@ class IvfIndexSpec extends AnyFunSuite {
       ivf.centroids.get.head.toSeq)
   }
 
+  test("searchBatch on a cell-partitioned corpus prunes unprobed partitions") {
+    val corpus = (0 until 400).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-dpp").toString + "/corpus"
+    withCells.write.partitionBy("cell_id").parquet(path)
+    val stored = spark.read.parquet(path)
+    val queries = (900 to 901).map(s => (s.toLong, randVec(s)))
+    val hits = IvfIndex.searchBatch(stored, ivf, queries, k = 5, nprobe = 2)
+    val plan = hits.queryExecution.executedPlan.toString
+    // The probed-cell union is a STATIC isin filter, so it must appear in
+    // the scan's PartitionFilters — a regression to full scans would drop it.
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"no partition filter on cell_id:\n$plan")
+    assert(plan.contains("cell_id#") && plan.toLowerCase.contains(" in "),
+      s"isin partition filter missing:\n$plan")
+    // and the pruned batch matches the unpartitioned corpus exactly
+    val base = IvfIndex.searchBatch(withCells, ivf, queries, k = 5, nprobe = 2)
+      .select("query_id", "doc_id", "doc_rank").as[(Long, Long, Int)].collect().sorted.toSeq
+    val pruned = hits
+      .select("query_id", "doc_id", "doc_rank").as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(pruned == base)
+  }
+
   test("searchBatch matches per-query searchScores") {
     val corpus = (0 until 300).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
     val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
