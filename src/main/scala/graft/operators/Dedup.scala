@@ -33,15 +33,32 @@ object Dedup {
     * quadratic pair set over more tasks. */
   val DefaultMaxBucketSize = 1000
 
-  /** Buckets over the cap, with sizes: (keyCols…, n_members). The
-    * accounting side of the cap — tiny by construction (hot buckets are
-    * rare), so the anti-join against it broadcasts. */
+  /** Buckets over the cap, with sizes: (keyCols…, n_members) — the
+    * accounting frame surfaced to callers, tiny by construction (hot
+    * buckets are rare). */
   private def overflowBuckets(rows: DataFrame, keyCols: Seq[String],
                               maxBucketSize: Int): DataFrame = {
     require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
     rows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > maxBucketSize)
+  }
+
+  /** Drop rows belonging to buckets above the cap in ONE pass: a window
+    * count over the bucket key, then filter. One shuffle on the key
+    * (which the band self-join downstream re-uses) and the expensive
+    * signature expressions evaluate once — the earlier
+    * aggregate + left-anti shape computed the signature frame twice
+    * (once for counts, once for the join input), i.e. two scans of the
+    * raw text at 100 TB. WindowExec buffers one bucket at a time in a
+    * spillable array, so even a degenerate hot bucket counts without OOM. */
+  private def dropOverflow(rows: DataFrame, keyCols: Seq[String],
+                           maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    rows.withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
   }
 
   /** Exact dedup: keep the lowest-id row per content fingerprint.
@@ -87,8 +104,7 @@ object Dedup {
     * Returns (id_a, id_b) with id_a < id_b, distinct. */
   def lshCandidates(signatures: DataFrame,
                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val overflow = overflowBuckets(signatures, Seq("band", "sig"), maxBucketSize)
-    val capped = signatures.join(overflow, Seq("band", "sig"), "left_anti")
+    val capped = dropOverflow(signatures, Seq("band", "sig"), maxBucketSize)
     val a = capped.select(col("band"), col("sig"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("sig"), col("id").as("id_b"))
     a.join(b, Seq("band", "sig"))
@@ -222,9 +238,8 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", maxHamming: Int = 6,
                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val allBands = simhashBands(docs, textCol, idCol)
-    val overflow = overflowBuckets(allBands, Seq("band", "key"), maxBucketSize)
-    val bands = allBands.join(overflow, Seq("band", "key"), "left_anti")
+    val bands = dropOverflow(simhashBands(docs, textCol, idCol),
+      Seq("band", "key"), maxBucketSize)
     val a = bands.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = bands.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "key"))
