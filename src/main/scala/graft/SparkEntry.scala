@@ -1467,6 +1467,36 @@ object SparkEntry {
        |  CAST(length(header) + 1 + size AS BIGINT) AS headed_len
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Skew-salted aggregation on a deliberately hot key (~70% of orders
+    * collapse onto skew_key 0): `Salting.saltedAggregate` fans the hot
+    * key over 32 salt buckets in the partial phase, then re-aggregates —
+    * the oracle is the plain one-phase GROUP BY, proving the two-phase
+    * plan is result-identical. Money is summed in integer cents (per-row
+    * round → bigint) so no float summation order can leak into the hash. */
+  private def q49SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .withColumn("skew_key",
+        when(col("o_custkey") % 10 < 7, lit(0L)).otherwise(col("o_custkey")))
+      .withColumn("price_cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    Salting.saltedAggregate(orders, Seq("skew_key"), buckets = 32,
+      Map("n_orders" -> (col("o_orderkey"), "count"),
+          "sum_cents" -> (col("price_cents"), "sum"),
+          "max_cents" -> (col("price_cents"), "max")))
+      .select(col("skew_key"), col("n_orders"), col("sum_cents"), col("max_cents"))
+      .orderBy("skew_key")
+  }
+
+  private val q49Sql =
+    """WITH o AS (
+      |  SELECT CASE WHEN o_custkey % 10 < 7 THEN 0 ELSE o_custkey END AS skew_key,
+      |    o_orderkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+      |  FROM orders)
+      |SELECT skew_key, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+      |  CAST(max(price_cents) AS BIGINT) AS max_cents
+      |FROM o GROUP BY skew_key ORDER BY skew_key""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1518,6 +1548,7 @@ object SparkEntry {
     "q46_audio_decode" -> (q46AudioDecode _),
     "q47_lsh_recall" -> (q47LshRecall _),
     "q48_chunk_headers" -> (q48ChunkHeaders _),
+    "q49_salted_agg" -> (q49SaltedAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1567,6 +1598,7 @@ object SparkEntry {
     "q46_audio_decode" -> q46Sql,
     "q47_lsh_recall" -> q47Sql,
     "q48_chunk_headers" -> q48Sql,
+    "q49_salted_agg" -> q49Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

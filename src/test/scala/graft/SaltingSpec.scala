@@ -58,6 +58,18 @@ class SaltingSpec extends AnyFunSuite {
     assert(hotSalts > 4, s"hot key landed on only $hotSalts salt buckets")
   }
 
+  test("salted aggregate plan is two-phase: salt exchange then key exchange") {
+    val plan = Salting.saltedAggregate(skewed, Seq("key"), buckets = 16,
+      Map("n" -> (col("value"), "count")))
+      .queryExecution.executedPlan.toString
+    // partial phase shuffles on (key, __salt), final phase on key alone —
+    // a regression to a single-phase groupBy would drop the salt exchange
+    // and put the hot key back on one reducer.
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+    val exchanges = "hashpartitioning\\(".r.findAllIn(plan).length
+    assert(exchanges >= 2, s"expected two hash exchanges, got $exchanges:\n$plan")
+  }
+
   test("non-decomposable aggregate is rejected") {
     intercept[IllegalArgumentException] {
       Salting.saltedAggregate(skewed, Seq("key"), 4,
