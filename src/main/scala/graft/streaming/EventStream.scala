@@ -78,9 +78,37 @@ object EventStream {
       .drop("fp")
   }
 
+  /** Fold a batch of event times into the prior session list: merge into
+    * the trailing session within `gapMs`, else open a new one. A
+    * cross-batch late event (t < last) merges without moving the session
+    * end backwards (monotonicity guard). Returns (closed, stillOpen). */
+  private def foldSessions(prior: List[SessionState], incoming: Seq[Long],
+                           gapMs: Long): (Seq[SessionState], List[SessionState]) = {
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    sessions ++= prior
+    incoming.foreach { t =>
+      sessions.lastOption match {
+        case Some(s) if t - s.last <= gapMs =>
+          sessions(sessions.length - 1) =
+            s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1)
+        case _ => sessions += SessionState(t, t, 1)
+      }
+    }
+    if (sessions.isEmpty) (Seq.empty, List.empty)
+    else (sessions.init.toSeq, List(sessions.last))
+  }
+
+  private def emit(userId: Long, ss: Iterable[SessionState]): Iterator[UserSession] =
+    ss.iterator.map(s => UserSession(userId,
+      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+
   /** Custom-state sessionization: a user's session closes after
-    * `gapMinutes` of inactivity (processing-time timeout in streaming;
-    * final flush in tests via batch completion). */
+    * `gapMinutes` of inactivity. NoTimeout variant — the open tail session
+    * only flushes when a later event for the same user arrives (or at
+    * batch end in tests); fine for batch parity and bounded inputs, wrong
+    * for a long-running stream where idle users would hold state forever —
+    * use [[sessionizeEventTime]] there. */
   def sessionize(events: Dataset[RawEvent], gapMinutes: Int = 30): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -89,27 +117,45 @@ object EventStream {
       .flatMapGroupsWithState[List[SessionState], UserSession](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[RawEvent], state: GroupState[List[SessionState]]) =>
-          // Accumulate sorted; emit all closed sessions, keep the open one.
-          val incoming = rows.map(_.ts.getTime).toSeq.sorted
-          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-          state.getOption.foreach(s => sessions ++= s)
-          incoming.foreach { t =>
-            sessions.lastOption match {
-              case Some(s) if t - s.last <= gapMs =>
-                // Guard monotonicity: a cross-batch late event (t < last)
-                // merges without moving the session end backwards.
-                sessions(sessions.length - 1) =
-                  s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t), n = s.n + 1)
-              case _ => sessions += SessionState(t, t, 1)
-            }
-          }
-          val (closed, open) =
-            if (sessions.isEmpty) (Seq.empty[SessionState], List.empty[SessionState])
-            else (sessions.init.toSeq, List(sessions.last))
+          val (closed, open) = foldSessions(state.getOption.getOrElse(Nil),
+            rows.map(_.ts.getTime).toSeq.sorted, gapMs)
           state.update(open)
-          closed.iterator.map(s => UserSession(userId,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+          emit(userId, closed)
+      }
+  }
+
+  /** Event-time-timeout sessionization — the long-running-stream variant of
+    * [[sessionize]]: each update arms a timeout at last_event + gap, and
+    * when the WATERMARK passes it Spark invokes the group with
+    * `hasTimedOut` and no rows, so an idle user's open session closes and
+    * its state is freed WITHOUT any new input for that user. This is the
+    * production posture: state stays bounded by the active-user set inside
+    * the watermark horizon, not by every user ever seen. */
+  def sessionizeEventTime(events: Dataset[RawEvent], gapMinutes: Int = 30,
+                          watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[RawEvent], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            emit(userId, open)
+          } else {
+            val (closed, open) = foldSessions(state.getOption.getOrElse(Nil),
+              rows.map(_.ts.getTime).toSeq.sorted, gapMs)
+            state.update(open)
+            // The timeout must sit at-or-after the current watermark, or
+            // Spark rejects it — clamp for sessions already behind it.
+            open.foreach(s => state.setTimeoutTimestamp(
+              math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1)))
+            emit(userId, closed)
+          }
       }
   }
 }

@@ -200,4 +200,45 @@ class StreamingSpec extends AnyFunSuite {
     // open sessions (last per user) are retained in state, not emitted
     assert(sessions == Set((1L, 2), (1L, 1)))
   }
+
+  test("event-time timeout closes an idle user's session with no new input") {
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.RawEvent
+    val staging = java.nio.file.Files.createTempDirectory("graft-sess-to").toString
+    val base = 1700000000000L
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.map { case (id, ts, uid) =>
+        (id, new java.sql.Timestamp(ts), uid, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(staging)
+
+    // batch 1: user 1 has a 2-event session, then goes idle forever
+    write(Seq((1L, base, 1L), (2L, base + 60000, 1L)))
+    val in = spark.readStream.schema(EventStream.RawEventSchema)
+      .parquet(staging).as[RawEvent]
+    val out = EventStream.sessionizeEventTime(in,
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess_timeout").count() == 0)
+      // batch 2: OTHER-user event 2h later advances the watermark source
+      write(Seq((3L, base + 7200000, 2L)))
+      q.processAllAvailable()
+      // batch 3: another advancer — during this batch the watermark
+      // (2h - 10m delay) is past user 1's timeout (last + 30m), so the
+      // idle session times out and is emitted although user 1 sent nothing
+      write(Seq((4L, base + 10800000, 2L)))
+      q.processAllAvailable()
+      val emitted = spark.sql(
+        "SELECT user_id, n_events FROM sess_timeout")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(emitted.contains((1L, 2)),
+        s"idle user 1's session not closed by timeout: $emitted")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sess_timeout")
+    }
+  }
 }
