@@ -11,6 +11,28 @@ import org.apache.spark.sql.functions._
   * deterministic [[HashEmbedder]]; swapping in a model only replaces
   * `makeEncoder`. Dimension is validated against the encoder output exactly
   * like `embedding_service.py:46-55`.
+  *
+  * ==Model-backed encoder: documented decision==
+  * The reference's semantic quality comes from sentence-transformers
+  * (`embedding_service.py:39-105`, 768-d). This build environment has a
+  * frozen dependency set (no ONNX Runtime jar, no model artifact can be
+  * hosted), so the model-backed kernel is deliberately NOT shipped; the
+  * hashing encoder remains the hermetic default that every oracle pins.
+  * The integration seam is exactly `makeEncoder: () => Encoder`:
+  * {{{
+  * // e.g. with com.microsoft.onnxruntime:onnxruntime (Apache-2.0):
+  * def onnxEncoder(modelPath: String, dim: Int): () => Encoder = () => new Encoder {
+  *   // per-partition: OrtEnvironment + OrtSession created ONCE here
+  *   // (executors resolve modelPath via SparkFiles.get / a shared mount)
+  *   def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =
+  *     ??? // tokenize -> run session batch -> mean-pool -> L2-normalize
+  * }
+  * Embedders.embedPartitioned(docs, "text", "doc_id", dim = 768,
+  *   makeEncoder = Some(onnxEncoder("/models/sbert.onnx", 768)))
+  * }}}
+  * Everything else — batching, per-partition init amortization, dimension
+  * validation, the q35-pinned execution shape — is already exercised by
+  * the hashing default, so only `encodeBatch`'s body changes at adoption.
   */
 object Embedders {
   val DefaultBatchSize = 256

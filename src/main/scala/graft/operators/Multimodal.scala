@@ -35,7 +35,21 @@ object Multimodal {
 
   /** STUB decoder: deterministic pseudo-decode — a real implementation
     * would hand `payload` to an image/audio codec here. Emits a fixed-size
-    * feature vector derived from the bytes (stable across runs). */
+    * feature vector derived from the bytes (stable across runs).
+    *
+    * ==Video kernel: documented decision==
+    * Image and audio decode are REAL (pure-JDK `ImageCodec`/`AudioCodec`,
+    * oracle-checked by q45/q46); video stays a declared stub because no
+    * video codec ships with the JDK and this build environment's
+    * dependency set is frozen (no JCodec jar can be vendored). The
+    * reference itself processes no video, so this is a forward-looking
+    * seam only. Adoption recipe (org.jcodec:jcodec, BSD-2): replace
+    * [[FakeCodec.sampleFrames]]'s body with
+    * `FrameGrab.createFrameGrab(ByteBufferSeekableByteChannel.readFromByteBuffer(payload))`
+    * keyframe iteration, keeping the exact signature and the batched
+    * `mapPartitions` generator contract in [[sampleVideoFrames]] — schema,
+    * batching, and the bad-record null path (q31) are already real and
+    * stay unchanged. */
   object FakeCodec {
     def features(payload: Array[Byte], dim: Int): Array[Float] = {
       val acc = new Array[Double](dim)
