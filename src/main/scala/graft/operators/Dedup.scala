@@ -114,12 +114,33 @@ object Dedup {
 
   /** Accounting for [[lshCandidates]]' cap: the skipped (band, sig)
     * buckets with member counts. Each IS a dup cluster (all members share
-    * the band signature) — dedup them by keeping one representative, e.g.
-    * `signatures.join(dropped, Seq("band","sig")).groupBy("band","sig")
-    * .agg(min("id"))`. */
+    * the band signature) — dedup them with [[lshHotBucketDrops]]. */
   def lshDroppedBuckets(signatures: DataFrame,
                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     overflowBuckets(signatures, Seq("band", "sig"), maxBucketSize)
+
+  /** The production action for over-cap buckets: ids to DROP — every hot
+    * bucket keeps its min-id representative, other members are treated as
+    * dups of it. The overflow frame is tiny by construction so the member
+    * join broadcasts; no m²/2 pair set is ever formed. A doc in several
+    * hot buckets survives only if it is the min of every one (transitive
+    * chains collapse toward the smallest id — the aggressive-dedup
+    * posture; pair-verify semantics stay with [[nearDupPairs]], which a
+    * caller unions with these drops for full-corpus dedup). */
+  def lshHotBucketDrops(signatures: DataFrame,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val hot = overflowBuckets(signatures, Seq("band", "sig"), maxBucketSize)
+      .select("band", "sig")
+    val members = signatures.join(broadcast(hot), Seq("band", "sig"))
+    val reps = members.groupBy("band", "sig").agg(min("id").as("rep_id"))
+    // A doc survives iff it is the min of EVERY hot bucket it belongs to.
+    // Every dropped doc still has a surviving stand-in: follow its bucket's
+    // rep chain downward — ids strictly decrease, so it terminates at a doc
+    // that is min of all its buckets, which survives.
+    members.join(broadcast(reps), Seq("band", "sig"))
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("id")).distinct()
+  }
 
   /** Exact Jaccard verification of candidate pairs via shingle-set overlap
     * (integer set sizes → exact cross-engine reproducible ratios).

@@ -123,6 +123,20 @@ class DedupSpec extends AnyFunSuite {
     assert(simDropped.length == 4 && simDropped.forall(_ == 30L))
   }
 
+  test("hot-bucket drops keep one representative and cover every member") {
+    // Two boilerplate clusters (hot) + rare docs (cold, untouched).
+    val clusterA = (0 until 20).map(i => (100L + i, (1 to 40).map(j => s"same$j").mkString(" ")))
+    val clusterB = (0 until 15).map(i => (200L + i, (1 to 40).map(j => s"other$j").mkString(" ")))
+    val rare = Seq((1L, (1 to 40).map(i => s"rare$i").mkString(" ")))
+    val docs = (clusterA ++ clusterB ++ rare).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", n = 3, bands = 4)
+    val drops = Dedup.lshHotBucketDrops(sigs, maxBucketSize = 10)
+      .as[Long].collect().toSet
+    // min id of each cluster survives, every other member drops
+    assert(drops == ((101L to 119L) ++ (201L to 214L)).toSet)
+    assert(!drops.contains(100L) && !drops.contains(200L) && !drops.contains(1L))
+  }
+
   test("embeddingNearDups only pairs within a block and above threshold") {
     val v1 = Array(1.0f, 0.0f)
     val v2 = Array(0.999f, 0.045f)
