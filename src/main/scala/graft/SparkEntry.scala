@@ -1497,6 +1497,54 @@ object SparkEntry {
       |  CAST(max(price_cents) AS BIGINT) AS max_cents
       |FROM o GROUP BY skew_key ORDER BY skew_key""".stripMargin
 
+  /** Hot-bucket dedup, oracle-checked: every 7th document becomes shared
+    * boilerplate (the adversarial corpus the bucket cap exists for), and
+    * the query emits the ids [[Dedup.lshHotBucketDrops]] would remove —
+    * non-min members of every over-cap (band, sig) bucket. The oracle
+    * replays the full signature pipeline plus the HAVING-count cap in
+    * DuckDB, proving the cap's semantics (not just its existence) are
+    * engine-independent. */
+  private val q50Boiler =
+    "subscribe to our newsletter for updates terms of service apply all rights reserved"
+
+  private def q50HotBucketDedup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, lit(q50Boiler)).otherwise(col("text")))
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", n = 3, bands = 4)
+    Dedup.lshHotBucketDrops(sigs, maxBucketSize = 10)
+      .select(col("id").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val q50Sql =
+    s"""WITH docs2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN '$q50Boiler' ELSE text END AS text
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      |  FROM docs2),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |hot AS (
+      |  SELECT band, sig, min(doc_id) AS rep_id
+      |  FROM sig GROUP BY band, sig HAVING count(*) > 10)
+      |SELECT DISTINCT s.doc_id
+      |FROM sig s JOIN hot h ON s.band = h.band AND s.sig = h.sig
+      |WHERE s.doc_id <> h.rep_id
+      |ORDER BY doc_id""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1549,6 +1597,7 @@ object SparkEntry {
     "q47_lsh_recall" -> (q47LshRecall _),
     "q48_chunk_headers" -> (q48ChunkHeaders _),
     "q49_salted_agg" -> (q49SaltedAgg _),
+    "q50_hot_bucket_dedup" -> (q50HotBucketDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1599,6 +1648,7 @@ object SparkEntry {
     "q47_lsh_recall" -> q47Sql,
     "q48_chunk_headers" -> q48Sql,
     "q49_salted_agg" -> q49Sql,
+    "q50_hot_bucket_dedup" -> q50Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
