@@ -14,7 +14,18 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
+  /** Sessions already registered — skip re-registration so repeated entry
+    * points don't churn the registry (every createOrReplaceTempFunction on
+    * an existing name logs a replacement WARN; 50 queries × 11 functions
+    * made real driver logs unreadable). Weak keys: a dropped session
+    * unpins its entry. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (registered.containsKey(spark)) return
+    registered.put(spark, java.lang.Boolean.TRUE)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "dot_f32", exprs => DotProductF32(exprs(0), exprs(1)), "built-in")
