@@ -54,6 +54,13 @@ object Bench {
         .partitionBy("source").orderBy("doc_id")
       docs.select(org.apache.spark.sql.functions.row_number().over(w))
         .write.format("noop").mode("overwrite").save()
+      // Typed-aggregator path (ObjectHashAggregate + kryo buffer ser):
+      // otherwise its first use lands on whichever top-k query runs first.
+      val topk = org.apache.spark.sql.functions.udaf(new graft.operators.TopKByScore(3))
+      import org.apache.spark.sql.functions.col
+      spark.range(1000).selectExpr("id % 7 AS g", "id AS i")
+        .groupBy("g").agg(topk(col("i"), col("i").cast("double")))
+        .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     // Index preparation: build-once state (IVF quantizer + cell-partitioned
