@@ -956,7 +956,25 @@ object SparkEntry {
 
   /** One-time index preparation (called by Bench warmup before timing, the
     * way a serving system builds indexes at ingest, not per query). */
-  def prepareIndexes(s: SparkSession, dir: String): Unit = { ivfCorpus(s, dir); () }
+  /** Bucket-partitioned LSH corpus, built once per (dataset, nbits) like
+    * the IVF cell corpus: ingest-time work the queries then prune
+    * (`HyperplaneLsh.saveBucketed` → probe-join DPP). */
+  private[graft] def lshCorpus(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (HyperplaneLsh.DefaultNbits * 131L) ^
+        f.length() ^ java.lang.Long.rotateLeft(f.lastModified(), 17))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-lshb-$key"
+    if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS")) {
+      val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
+      HyperplaneLsh.saveBucketed(t(s, dir, "embeddings"), planes, path)
+    }
+    HyperplaneLsh.loadBucketed(s, path)
+  }
+
+  def prepareIndexes(s: SparkSession, dir: String): Unit =
+    { ivfCorpus(s, dir); lshCorpus(s, dir); () }
 
   private def q21IvfSearch(s: SparkSession, dir: String): DataFrame = {
     val (withCells, ivf) = ivfCorpus(s, dir)
@@ -1286,7 +1304,7 @@ object SparkEntry {
     val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-    HyperplaneLsh.search(queries, emb, 5, planes)
+    HyperplaneLsh.search(queries, lshCorpus(s, dir), 5, planes)
       .select(col("query_id"), col("vec_id"),
         round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
       .orderBy("query_id", "rank")
@@ -1394,7 +1412,7 @@ object SparkEntry {
     val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-    val approx = HyperplaneLsh.search(queries, emb, 5, planes)
+    val approx = HyperplaneLsh.search(queries, lshCorpus(s, dir), 5, planes)
       .select("query_id", "vec_id")
     val exact = VectorSearch.knnBatchAggregated(queries, emb, 5, idCol = "vec_id")
       .select("query_id", "vec_id")
