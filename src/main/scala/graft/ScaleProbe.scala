@@ -37,6 +37,10 @@ object ScaleProbe {
       lshProbe(args.lift(1).map(_.toInt).getOrElse(1000))
       return
     }
+    if (args.headOption.contains("sfgen")) {
+      sfGen(args.lift(1).map(_.toInt).getOrElse(10))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -163,6 +167,71 @@ object ScaleProbe {
     timeWarm(s"ivf batch 16q (nprobe=$nprobe)", 16L * n * nprobe / nlist)(
       IvfIndex.searchBatch(cells, ivf, q16, 10, nprobe, idCol = "doc_id")
         .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+
+  /** Generate a `mult`× replica of the FULL sf0.1 table set
+    * (`runMain graft.ScaleProbe sfgen 10` → /tmp/graft-sf1) so the whole
+    * 49-query bench surface can be timed one decade up — the measured
+    * scaling curve behind BASELINE.md's "plans parallelize at real scale"
+    * claims. Key spaces that join each other shift together (custkey
+    * orders↔customer, orderkey orders↔lineitem); part/supplier/region/
+    * nation stay fixed (fact-per-dim density grows, the usual scale-up).
+    * Document text is word-suffixed per replica so replicas are DISTINCT
+    * documents and the dedup queries keep realistic (non-degenerate)
+    * bucket shapes; embeddings replicate as-is. */
+  def sfGen(mult: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val src = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft-sf${"%.0f".format(mult * 0.1)}"
+    val reps = (0 until mult).toDF("rep")
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def shift(t: String, keyMax: Map[String, Long],
+              text: Boolean = false): org.apache.spark.sql.DataFrame = {
+      val base = read(t)
+      val rep = base.crossJoin(reps)
+      val shifted = keyMax.foldLeft(rep) { case (df, (k, mx)) =>
+        df.withColumn(k, col(k) + col("rep") * mx)
+      }
+      val result =
+        if (text) shifted.withColumn("text",
+          when(col("rep") === 0, col("text")).otherwise(
+            regexp_replace(col("text"), lit("(\\w+)"), concat(lit("$1r"), col("rep")))))
+        else shifted
+      result.drop("rep")
+    }
+    def keyMaxOf(t: String, k: String): Long =
+      read(t).agg(max(col(k))).head.getLong(0) + 1
+    val maxCust = keyMaxOf("customer", "c_custkey")
+    val maxOrder = keyMaxOf("orders", "o_orderkey")
+    val writes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "region" -> read("region"), "nation" -> read("nation"),
+      "part" -> read("part"), "supplier" -> read("supplier"),
+      "customer" -> shift("customer", Map("c_custkey" -> maxCust)),
+      "orders" -> shift("orders", Map("o_orderkey" -> maxOrder, "o_custkey" -> maxCust)),
+      "lineitem" -> shift("lineitem", Map("l_orderkey" -> maxOrder)),
+      "events" -> shift("events", Map(
+        "event_id" -> keyMaxOf("events", "event_id"),
+        "user_id" -> keyMaxOf("events", "user_id"))),
+      "documents" -> shift("documents",
+        Map("doc_id" -> keyMaxOf("documents", "doc_id")), text = true),
+      "embeddings" -> shift("embeddings", Map("vec_id" -> keyMaxOf("embeddings", "vec_id"))))
+    writes.foreach { case (t, df) =>
+      val t0 = System.nanoTime()
+      df.repartition(if (Seq("region", "nation", "supplier").contains(t)) 1 else 32)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(f"[sfgen] $t: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    println(s"[sfgen] done -> $out (run Bench with SPARK_GRAFT_SF_DIR=$out)")
     spark.stop()
   }
 
