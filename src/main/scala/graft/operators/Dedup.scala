@@ -129,15 +129,19 @@ object Dedup {
     * caller unions with these drops for full-corpus dedup). */
   def lshHotBucketDrops(signatures: DataFrame,
                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val hot = overflowBuckets(signatures, Seq("band", "sig"), maxBucketSize)
-      .select("band", "sig")
-    val members = signatures.join(broadcast(hot), Seq("band", "sig"))
-    val reps = members.groupBy("band", "sig").agg(min("id").as("rep_id"))
+    require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
+    // ONE aggregation finds hot buckets AND their representatives (count +
+    // min combine map-side in the same pass) — a separate hot/rep pair of
+    // frames would re-evaluate the signature subtree once per consumer.
+    val hotReps = signatures.groupBy("band", "sig")
+      .agg(count(lit(1)).as("n_members"), min("id").as("rep_id"))
+      .filter(col("n_members") > maxBucketSize)
+      .select("band", "sig", "rep_id")
     // A doc survives iff it is the min of EVERY hot bucket it belongs to.
     // Every dropped doc still has a surviving stand-in: follow its bucket's
     // rep chain downward — ids strictly decrease, so it terminates at a doc
     // that is min of all its buckets, which survives.
-    members.join(broadcast(reps), Seq("band", "sig"))
+    signatures.join(broadcast(hotReps), Seq("band", "sig"))
       .filter(col("id") =!= col("rep_id"))
       .select(col("id")).distinct()
   }
