@@ -171,15 +171,20 @@ object ScaleProbe {
   }
 
   /** Generate a `mult`× replica of the FULL sf0.1 table set
-    * (`runMain graft.ScaleProbe sfgen 10` → /tmp/graft-sf1) so the whole
-    * 49-query bench surface can be timed one decade up — the measured
-    * scaling curve behind BASELINE.md's "plans parallelize at real scale"
-    * claims. Key spaces that join each other shift together (custkey
-    * orders↔customer, orderkey orders↔lineitem); part/supplier/region/
-    * nation stay fixed (fact-per-dim density grows, the usual scale-up).
-    * Document text is word-suffixed per replica so replicas are DISTINCT
-    * documents and the dedup queries keep realistic (non-degenerate)
-    * bucket shapes; embeddings replicate as-is. */
+    * (`runMain graft.ScaleProbe sfgen 10` → /tmp/graft-sf0.1x10) so the
+    * whole 50-query bench surface can be timed one decade up — the
+    * measured scaling curve behind BASELINE.md's "plans parallelize at
+    * real scale" claims. Key spaces that join each other shift together
+    * (custkey orders↔customer, orderkey orders↔lineitem); part/supplier/
+    * region/nation stay fixed (fact-per-dim density grows, the usual
+    * scale-up). Document text is word-suffixed per replica so replicas are
+    * DISTINCT documents and the dedup queries keep realistic
+    * (non-degenerate) bucket shapes; embeddings replicate as-is.
+    *
+    * BENCH-ONLY replica: this session reads events.ts via nanosAsLong, so
+    * the replica stores ts as int64 nanos (every graft entry point reads
+    * it identically, but the DuckDB oracle gate would see BIGINT where the
+    * source has TIMESTAMP_NS — don't point Verify/check_oracle at it). */
   def sfGen(mult: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -192,7 +197,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val src = "/root/testdata/sf0.1"
-    val out = s"/tmp/graft-sf${"%.0f".format(mult * 0.1)}"
+    // Name by the exact multiplier — a rounded "sf1"-style label collides
+    // for whole ranges of mult and silently overwrites other scales.
+    val out = s"/tmp/graft-sf0.1x$mult"
     val reps = (0 until mult).toDF("rep")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def shift(t: String, keyMax: Map[String, Long],
@@ -209,22 +216,23 @@ object ScaleProbe {
         else shifted
       result.drop("rep")
     }
-    def keyMaxOf(t: String, k: String): Long =
-      read(t).agg(max(col(k))).head.getLong(0) + 1
-    val maxCust = keyMaxOf("customer", "c_custkey")
-    val maxOrder = keyMaxOf("orders", "o_orderkey")
+    // All key maxes for a table in ONE aggregation job — per-key agg calls
+    // would scan each fact table once per key.
+    def keyMaxes(t: String, ks: String*): Map[String, Long] = {
+      val row = read(t).agg(max(col(ks.head)), ks.tail.map(k => max(col(k))): _*).head
+      ks.zipWithIndex.map { case (k, i) => k -> (row.getLong(i) + 1) }.toMap
+    }
+    val maxCust = keyMaxes("customer", "c_custkey")("c_custkey")
+    val maxOrder = keyMaxes("orders", "o_orderkey")("o_orderkey")
     val writes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "region" -> read("region"), "nation" -> read("nation"),
       "part" -> read("part"), "supplier" -> read("supplier"),
       "customer" -> shift("customer", Map("c_custkey" -> maxCust)),
       "orders" -> shift("orders", Map("o_orderkey" -> maxOrder, "o_custkey" -> maxCust)),
       "lineitem" -> shift("lineitem", Map("l_orderkey" -> maxOrder)),
-      "events" -> shift("events", Map(
-        "event_id" -> keyMaxOf("events", "event_id"),
-        "user_id" -> keyMaxOf("events", "user_id"))),
-      "documents" -> shift("documents",
-        Map("doc_id" -> keyMaxOf("documents", "doc_id")), text = true),
-      "embeddings" -> shift("embeddings", Map("vec_id" -> keyMaxOf("embeddings", "vec_id"))))
+      "events" -> shift("events", keyMaxes("events", "event_id", "user_id")),
+      "documents" -> shift("documents", keyMaxes("documents", "doc_id"), text = true),
+      "embeddings" -> shift("embeddings", keyMaxes("embeddings", "vec_id")))
     writes.foreach { case (t, df) =>
       val t0 = System.nanoTime()
       df.repartition(if (Seq("region", "nation", "supplier").contains(t)) 1 else 32)
@@ -282,8 +290,7 @@ object ScaleProbe {
     // Scan fraction: rows living in the union of probed buckets for this
     // batch (each query probes its own bucket + nbits Hamming-1 neighbors).
     val probed = HyperplaneLsh.withBuckets(q16df, planes, "q_embedding")
-      .select(explode(array(col("bucket") +: (0 until nbits).map(j =>
-        col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("b"))
+      .select(explode(HyperplaneLsh.probeBucketsCol(col("bucket"), nbits)).as("b"))
       .distinct().as[Long].collect().toSet
     val scanRows = bucketed.filter(col("bucket").isin(probed.toSeq: _*)).count()
     println(f"[scale] lsh corpus rows = $n, nbits=$nbits, buckets probed = ${probed.size}/${1 << nbits}, " +

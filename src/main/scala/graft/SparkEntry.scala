@@ -954,8 +954,6 @@ object SparkEntry {
     (s.read.parquet(cpath), ivf)
   }
 
-  /** One-time index preparation (called by Bench warmup before timing, the
-    * way a serving system builds indexes at ingest, not per query). */
   /** Bucket-partitioned LSH corpus, built once per (dataset, nbits) like
     * the IVF cell corpus: ingest-time work the queries then prune
     * (`HyperplaneLsh.saveBucketed` → probe-join DPP). */
@@ -973,6 +971,8 @@ object SparkEntry {
     HyperplaneLsh.loadBucketed(s, path)
   }
 
+  /** One-time index preparation (called by Bench warmup before timing, the
+    * way a serving system builds indexes at ingest, not per query). */
   def prepareIndexes(s: SparkSession, dir: String): Unit =
     { ivfCorpus(s, dir); lshCorpus(s, dir); () }
 

@@ -25,7 +25,6 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     if (registered.containsKey(spark)) return
-    registered.put(spark, java.lang.Boolean.TRUE)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "dot_f32", exprs => DotProductF32(exprs(0), exprs(1)), "built-in")
@@ -50,6 +49,11 @@ object GraftFunctions {
       "strip_non_alnum", exprs => StripNonAlnum(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    // Mark AFTER the registrations: marking first would let a concurrent
+    // caller observe the key and return before the functions exist. Two
+    // threads racing here both register — idempotent and safe (the
+    // pre-guard behavior), just one redundant pass.
+    registered.put(spark, java.lang.Boolean.TRUE)
   }
 
   /** Inner product of two `array<float>` columns (double accumulation). */

@@ -71,22 +71,26 @@ object HyperplaneLsh {
   def loadBucketed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Probe fan-out: each query row explodes to its own bucket plus the
-    * `nbits` Hamming-1 neighbor buckets (standard multi-probe —
-    * single-bucket recall is poor at small nbits). A corpus vector lives in
-    * exactly ONE bucket and probe ids are distinct, so a (query, corpus)
-    * pair matches at most once — no downstream dedup needed. */
+  /** The multi-probe set of a bucket id as an array column: the bucket
+    * itself plus its `nbits` Hamming-1 neighbors. THE definition of what
+    * search probes — external measurements (ScaleProbe's scan fraction)
+    * use this same column so they cannot drift from search's behavior. */
+  def probeBucketsCol(bucket: Column, nbits: Int): Column =
+    array(bucket +: (0 until nbits).map(j =>
+      bucket.bitwiseXOR(lit(1L << j))): _*)
+
+  /** Probe fan-out: each query row explodes to [[probeBucketsCol]]
+    * (standard multi-probe — single-bucket recall is poor at small nbits).
+    * A corpus vector lives in exactly ONE bucket and probe ids are
+    * distinct, so a (query, corpus) pair matches at most once — no
+    * downstream dedup needed. */
   private def probeFrame(queries: DataFrame, planes: Array[Array[Float]],
                          qIdCol: String, qEmbCol: String): DataFrame = {
-    val nbits = planes.length
     val qb = withBuckets(
       queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("q_embedding")),
       planes, "q_embedding")
-    val probeBuckets = array(
-      col("bucket") +: (0 until nbits).map(j =>
-        col("bucket").bitwiseXOR(lit(1L << j))): _*)
     qb.select(col("query_id"), col("q_embedding"),
-      explode(probeBuckets).as("probe_bucket"))
+      explode(probeBucketsCol(col("bucket"), planes.length)).as("probe_bucket"))
   }
 
   /** Multi-probe bucket-LSH top-k cosine search, ranked by

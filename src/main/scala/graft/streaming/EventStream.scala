@@ -78,25 +78,30 @@ object EventStream {
       .drop("fp")
   }
 
-  /** Fold a batch of event times into the prior session list: merge into
-    * the trailing session within `gapMs`, else open a new one. A
-    * cross-batch late event (t < last) merges without moving the session
-    * end backwards (monotonicity guard). Returns (closed, stillOpen). */
+  /** Fold a batch of event times into the prior session list,
+    * ORDER-INSENSITIVELY: every event opens a singleton session, the lot is
+    * sorted by start, and chronologically-adjacent sessions within `gapMs`
+    * merge. This keeps the gap invariant for cross-batch late events in
+    * both directions — a late event just inside the open session's span
+    * merges into it, while one more than `gapMs` BEFORE its start forms
+    * its own (immediately closed) session instead of silently stretching
+    * the session across a silence longer than the gap (the bug an
+    * append-at-the-tail fold has). Returns (closed, stillOpen) — only the
+    * chronologically-last session stays open. */
   private def foldSessions(prior: List[SessionState], incoming: Seq[Long],
                            gapMs: Long): (Seq[SessionState], List[SessionState]) = {
-    val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-    sessions ++= prior
-    incoming.foreach { t =>
-      sessions.lastOption match {
-        case Some(s) if t - s.last <= gapMs =>
-          sessions(sessions.length - 1) =
-            s.copy(start = math.min(s.start, t),
-              last = math.max(s.last, t), n = s.n + 1)
-        case _ => sessions += SessionState(t, t, 1)
+    val all = (prior ++ incoming.map(t => SessionState(t, t, 1))).sortBy(_.start)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    all.foreach { s =>
+      merged.lastOption match {
+        case Some(p) if s.start - p.last <= gapMs =>
+          merged(merged.length - 1) =
+            SessionState(p.start, math.max(p.last, s.last), p.n + s.n)
+        case _ => merged += s
       }
     }
-    if (sessions.isEmpty) (Seq.empty, List.empty)
-    else (sessions.init.toSeq, List(sessions.last))
+    if (merged.isEmpty) (Seq.empty, List.empty)
+    else (merged.init.toSeq, List(merged.last))
   }
 
   private def emit(userId: Long, ss: Iterable[SessionState]): Iterator[UserSession] =

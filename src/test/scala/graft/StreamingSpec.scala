@@ -201,6 +201,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions == Set((1L, 2), (1L, 1)))
   }
 
+  test("late event beyond the gap forms its own session, not a stretched one") {
+    val base = 1700000000000L
+    // Arrival order: the 12:00 pair first, then an event 90 min EARLIER.
+    // With gap 30m it must close as its own 1-event session — an
+    // append-at-the-tail fold would instead stretch the open session
+    // across the 90-minute silence.
+    val events = Seq(
+      RawEvent(1, new java.sql.Timestamp(base), 1L, "click", 1.0, "{}"),
+      RawEvent(2, new java.sql.Timestamp(base + 60000), 1L, "view", 1.0, "{}"),
+      RawEvent(3, new java.sql.Timestamp(base - 5400000), 1L, "late", 1.0, "{}")
+    ).toDS()
+    val sessions = EventStream.sessionize(events, gapMinutes = 30)
+      .collect().map(s => (s.n_events, s.session_start.getTime)).toSet
+    // the late singleton closes (the 2-event session stays open in state)
+    assert(sessions == Set((1, base - 5400000)))
+  }
+
   test("event-time timeout closes an idle user's session with no new input") {
     import graft.streaming.EventStream
     import graft.streaming.EventStream.RawEvent
