@@ -88,8 +88,8 @@ object EventStream {
     * the session across a silence longer than the gap (the bug an
     * append-at-the-tail fold has). Returns (closed, stillOpen) — only the
     * chronologically-last session stays open. */
-  private def foldSessions(prior: List[SessionState], incoming: Seq[Long],
-                           gapMs: Long): (Seq[SessionState], List[SessionState]) = {
+  private[graft] def foldSessions(prior: List[SessionState], incoming: Seq[Long],
+                                  gapMs: Long): (Seq[SessionState], List[SessionState]) = {
     val all = (prior ++ incoming.map(t => SessionState(t, t, 1))).sortBy(_.start)
     val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
     all.foreach { s =>
