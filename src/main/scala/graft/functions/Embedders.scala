@@ -33,6 +33,9 @@ import org.apache.spark.sql.functions._
   * Everything else — batching, per-partition init amortization, dimension
   * validation, the q35-pinned execution shape — is already exercised by
   * the hashing default, so only `encodeBatch`'s body changes at adoption.
+  * The artifact side of that lifecycle (driver-side model file,
+  * executor-side lazy load once per partition, batched matmul) is
+  * exercised for real by [[linearEncoder]]/[[saveLinearWeights]].
   */
 object Embedders {
   val DefaultBatchSize = 256
@@ -47,6 +50,69 @@ object Embedders {
   def hashingEncoder(dim: Int): () => Encoder = () => new Encoder {
     def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =
       texts.map(HashEmbedder.embed(_, dim))
+  }
+
+  /** Weight-file-backed LINEAR encoder — the model-artifact lifecycle of
+    * the ONNX seam (driver-side artifact, executor-side load once per
+    * partition, batched matrix multiply) exercised end-to-end with a
+    * public algorithm: hashed bag-of-words × W, L2-normalized (random
+    * projection of term counts — Achlioptas-style dense variant). The
+    * artifact is a plain text file (`outDim inDim` header, then one row
+    * of floats per output dimension) readable from any shared mount —
+    * swap the matmul body for an OrtSession call and this IS the ONNX
+    * integration, artifact plumbing included. */
+  def linearEncoder(weightsPath: String): () => Encoder = () => new Encoder {
+    // Loaded lazily ONCE per partition (the model-load analog); executors
+    // read from a shared path exactly as they would a mounted model file.
+    private lazy val (outDim, inDim, w) = loadLinearWeights(weightsPath)
+    def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+      val x = new Array[Float](inDim)
+      t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty)
+        .foreach(tok => x(math.floorMod(tok.hashCode, inDim)) += 1.0f)
+      val out = new Array[Float](outDim)
+      var o = 0
+      while (o < outDim) {
+        var acc = 0.0; var i = 0
+        val row = w(o)
+        while (i < inDim) { acc += row(i) * x(i); i += 1 }
+        out(o) = acc.toFloat; o += 1
+      }
+      val n = math.sqrt(out.map(v => v * v.toDouble).sum)
+      if (n == 0) out else out.map(v => (v / n).toFloat)
+    }
+  }
+
+  /** Deterministic ±1/sqrt(outDim) random-projection weights, persisted as
+    * the model artifact `linearEncoder` loads (md5-derived like the LSH
+    * hyperplanes, so regeneration is reproducible). */
+  def saveLinearWeights(outDim: Int, inDim: Int, path: String): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scale = (1.0 / math.sqrt(outDim)).toFloat
+    val pw = new java.io.PrintWriter(
+      new java.io.File(path), java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      pw.println(s"$outDim $inDim")
+      (0 until outDim).foreach { o =>
+        pw.println((0 until inDim).map { i =>
+          md.reset()
+          val d = md.digest(s"lw:$o:$i".getBytes("UTF-8"))
+          if (((d(0) >> 4) & 0xf) < 8) scale else -scale
+        }.mkString(" "))
+      }
+    } finally pw.close()
+  }
+
+  private def loadLinearWeights(path: String): (Int, Int, Array[Array[Float]]) = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      val lines = src.getLines()
+      val Array(outDim, inDim) = lines.next().split(" ").map(_.toInt)
+      val w = lines.take(outDim).map(_.split(" ").map(_.toFloat)).toArray
+      require(w.length == outDim && w.forall(_.length == inDim),
+        s"weight file $path does not match its $outDim x $inDim header")
+      (outDim, inDim, w)
+    } finally src.close()
   }
 
   /** Embed `textCol` into an `embedding` column via per-partition batches.

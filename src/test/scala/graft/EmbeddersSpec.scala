@@ -33,6 +33,37 @@ class EmbeddersSpec extends AnyFunSuite {
       ex.getCause != null)
   }
 
+  test("weight-file-backed linear encoder: artifact round-trip, determinism, unit norm") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lw").toString + "/weights.txt"
+    Embedders.saveLinearWeights(outDim = 16, inDim = 64, path)
+    val docs = (0 until 40).map(i => (i.toLong, s"doc $i about topic ${i % 4} and spark"))
+      .toDF("doc_id", "text").repartition(5)
+    val enc = Embedders.linearEncoder(path)
+    val got = Embedders.embedPartitioned(docs, "text", "doc_id", dim = 16,
+      batchSize = 8, makeEncoder = Some(enc)).as[(Long, Array[Float])].collect().toMap
+    assert(got.size == 40)
+    // per-partition loads produce identical vectors to a fresh local encoder
+    val local = enc()
+    (0 until 40).foreach { i =>
+      val expect = local.encodeBatch(Seq(s"doc $i about topic ${i % 4} and spark")).head
+      assert(got(i.toLong).toSeq == expect.toSeq)
+    }
+    // unit-norm like the model-backed reference (embedding_service parity)
+    got.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum)
+      assert(math.abs(n - 1.0) < 1e-5)
+    }
+    // same words, different counts -> different direction (it IS a bag model)
+    val a = local.encodeBatch(Seq("alpha beta")).head.toSeq
+    val b = local.encodeBatch(Seq("alpha beta beta")).head.toSeq
+    assert(a != b)
+    // the dim validation guards weight/model mismatch exactly like ONNX would
+    intercept[Exception] {
+      Embedders.embedPartitioned(docs, "text", "doc_id", dim = 32,
+        makeEncoder = Some(enc)).collect()
+    }
+  }
+
   test("cancellation: job group cancel aborts a running job") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
