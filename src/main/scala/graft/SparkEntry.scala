@@ -1319,8 +1319,11 @@ object SparkEntry {
     * 100 TB shape: bucket at ingest, equality-join within buckets). */
   private def q44LshEmbNearDup(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
-    val bucketed = HyperplaneLsh.withBuckets(t(s, dir, "embeddings"), planes)
+    // The prepared bucket-partitioned corpus reads its partition column
+    // back as int — cast to long so the output schema matches the
+    // compute-on-the-fly form (and the oracle's BIGINT) exactly.
+    val bucketed = lshCorpus(s, dir)
+      .withColumn("bucket", col("bucket").cast("long"))
     Dedup.embeddingNearDups(bucketed, "bucket", "vec_id", "embedding", minCos = 0.3)
       .orderBy("block", "id_a", "id_b")
   }
