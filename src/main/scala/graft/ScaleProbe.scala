@@ -219,7 +219,7 @@ object ScaleProbe {
     // All key maxes for a table in ONE aggregation job — per-key agg calls
     // would scan each fact table once per key.
     def keyMaxes(t: String, ks: String*): Map[String, Long] = {
-      val row = read(t).agg(max(col(ks.head)), ks.tail.map(k => max(col(k))): _*).head
+      val row = read(t).agg(max(col(ks.head)), ks.tail.map(k => max(col(k))): _*).head()
       ks.zipWithIndex.map { case (k, i) => k -> (row.getLong(i) + 1) }.toMap
     }
     val maxCust = keyMaxes("customer", "c_custkey")("c_custkey")
@@ -275,7 +275,7 @@ object ScaleProbe {
     val corpus = spark.read.parquet(path)
     val n = corpus.count()
     val nbits = HyperplaneLsh.DefaultNbits
-    val dim = base.select("embedding").head.getSeq[Float](0).length
+    val dim = base.select("embedding").head().getSeq[Float](0).length
     val planes = HyperplaneLsh.hyperplanes(nbits, dim)
     val lshDir = s"/tmp/graft-scale-lsh-${factor}x"
     if (!parquetComplete(spark, lshDir)) {
