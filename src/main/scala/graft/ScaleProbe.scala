@@ -211,8 +211,12 @@ object ScaleProbe {
       }
       val result =
         if (text) shifted.withColumn("text",
-          when(col("rep") === 0, col("text")).otherwise(
-            regexp_replace(col("text"), lit("(\\w+)"), concat(lit("$1r"), col("rep")))))
+            when(col("rep") === 0, col("text")).otherwise(
+              regexp_replace(col("text"), lit("(\\w+)"), concat(lit("$1r"), col("rep")))))
+          // keep stored stats consistent with the rewritten text — a
+          // replica row whose n_chars disagrees with length(text) is a
+          // data shape real corpora never have
+          .withColumn("n_chars", length(col("text")))
         else shifted
       result.drop("rep")
     }
@@ -278,12 +282,13 @@ object ScaleProbe {
     val dim = base.select("embedding").head().getSeq[Float](0).length
     val planes = HyperplaneLsh.hyperplanes(nbits, dim)
     val lshDir = s"/tmp/graft-scale-lsh-${factor}x"
-    if (!parquetComplete(spark, lshDir)) {
+    if (!parquetComplete(spark, lshDir) ||
+        !graft.sources.CorpusStore.exists(spark, s"$lshDir/_lsh_meta")) {
       val t0 = System.nanoTime()
       HyperplaneLsh.saveBucketed(corpus, planes, lshDir)
       println(f"[scale] lsh ingest (bucket + partitioned write): ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val bucketed = HyperplaneLsh.loadBucketed(spark, lshDir)
+    val bucketed = HyperplaneLsh.loadBucketed(spark, lshDir, planes)
 
     val q16df = base.filter(col("vec_id") < 16)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))

@@ -928,13 +928,31 @@ object SparkEntry {
 
   private val ivfNlist = 16
 
+  /** Dataset identity (total length ^ rotated mtime) via the Hadoop
+    * FileSystem API, not java.io.File — File.length()/lastModified()
+    * return 0 for non-local paths (hdfs://, s3://), which would
+    * degenerate the key to the path hash and silently reuse a stale
+    * index after the remote dataset is regenerated. */
+  private def datasetFingerprint(path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 0L
+    else {
+      val st = fs.getFileStatus(p)
+      val len = if (st.isDirectory) fs.getContentSummary(p).getLength else st.getLen
+      len ^ java.lang.Long.rotateLeft(st.getModificationTime, 17)
+    }
+  }
+
   /** Cache key ties the index to the dataset identity (path + file
     * length/mtime), so regenerated testdata invalidates a stale index. */
   private def ivfCachePath(dir: String): String = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (ivfNlist * 31L) ^
-        f.length() ^ java.lang.Long.rotateLeft(f.lastModified(), 17))
+        datasetFingerprint(s"$dir/embeddings.parquet"))
     s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$key"
   }
 
@@ -959,16 +977,16 @@ object SparkEntry {
     * (`HyperplaneLsh.saveBucketed` → probe-join DPP). */
   private[graft] def lshCorpus(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val f = new java.io.File(s"$dir/embeddings.parquet")
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (HyperplaneLsh.DefaultNbits * 131L) ^
-        f.length() ^ java.lang.Long.rotateLeft(f.lastModified(), 17))
+        datasetFingerprint(s"$dir/embeddings.parquet"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-lshb-$key"
-    if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS")) {
-      val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
+    val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
+    // _lsh_meta is written after the parquet job succeeds, so its presence
+    // implies a complete corpus; pre-fingerprint caches rebuild once.
+    if (!graft.sources.CorpusStore.exists(s, s"$path/_lsh_meta"))
       HyperplaneLsh.saveBucketed(t(s, dir, "embeddings"), planes, path)
-    }
-    HyperplaneLsh.loadBucketed(s, path)
+    HyperplaneLsh.loadBucketed(s, path, planes)
   }
 
   /** One-time index preparation (called by Bench warmup before timing, the

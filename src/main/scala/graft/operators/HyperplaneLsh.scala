@@ -27,9 +27,15 @@ object HyperplaneLsh {
 
   val DefaultNbits = 6
 
+  /** Bucket ids are written as an int-typed parquet partition column, so
+    * the id must fit in 31 bits; enforced everywhere planes are consumed. */
+  val MaxNbits = 30
+
   /** Deterministic ±1 hyperplanes: +1 iff the first hex digit of
     * md5("hp:j:i") < 8. */
   def hyperplanes(nbits: Int, dim: Int): Array[Array[Float]] = {
+    require(nbits <= MaxNbits,
+      s"nbits=$nbits would overflow the int-typed bucket partition column (max $MaxNbits)")
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(nbits) { j =>
       Array.tabulate(dim) { i =>
@@ -37,6 +43,38 @@ object HyperplaneLsh {
         val d = md.digest(s"hp:$j:$i".getBytes("UTF-8"))
         if (((d(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
       }
+    }
+  }
+
+  /** Stable identity of a plane set — `<nbits>d<dim>-<md5 of sign bits>` —
+    * persisted beside a [[saveBucketed]] corpus and carried as `bucket`
+    * column metadata, so a corpus bucketed under different planes cannot
+    * silently produce empty joins. */
+  def planesFingerprint(planes: Array[Array[Float]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    planes.foreach(p => p.foreach(v => md.update(if (v > 0) 1: Byte else 0: Byte)))
+    val dim = if (planes.isEmpty) 0 else planes.head.length
+    s"${planes.length}d$dim-" + md.digest().map("%02x".format(_)).mkString
+  }
+
+  private val FpMetaKey = "graft.lsh.planes_fp"
+  private val MetaFile = "_lsh_meta"
+
+  private def fpMetadata(planes: Array[Array[Float]]) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(FpMetaKey, planesFingerprint(planes)).build()
+
+  /** Fail fast when a DataFrame's `bucket` column records a fingerprint
+    * for a DIFFERENT plane set; columns without the metadata (externally
+    * bucketed corpora) are trusted as documented on [[search]]. */
+  private def requireConsistentBuckets(df: DataFrame, planes: Array[Array[Float]]): Unit = {
+    val m = df.schema("bucket").metadata
+    if (m.contains(FpMetaKey)) {
+      val have = m.getString(FpMetaKey)
+      val want = planesFingerprint(planes)
+      require(have == want,
+        s"corpus was bucketed under planes $have but search was passed $want — " +
+          "rebuild the bucketed corpus or pass the matching planes")
     }
   }
 
@@ -52,24 +90,53 @@ object HyperplaneLsh {
 
   def withBuckets(vecs: DataFrame, planes: Array[Array[Float]],
                   embCol: String = "embedding"): DataFrame = {
+    require(planes.length <= MaxNbits,
+      s"nbits=${planes.length} would overflow the int-typed bucket partition column")
     GraftFunctions.register(vecs.sparkSession)
-    vecs.withColumn("bucket", bucketCol(col(embCol), planes))
+    vecs.select(col("*"), bucketCol(col(embCol), planes).as("bucket", fpMetadata(planes)))
   }
 
   /** Persist a corpus `partitionBy("bucket")` so probe joins prune parquet
     * partitions the way IVF cells do (`IvfIndex.searchBatch`'s DPP shape):
     * search against [[loadBucketed]] data reads only the (nbits+1)/2^nbits
-    * probed partitions per query batch instead of the full corpus. */
+    * probed partitions per query batch instead of the full corpus.
+    * The plane-set fingerprint is written as a `_lsh_meta` sidecar (the
+    * partition column's own metadata does not survive a parquet
+    * round-trip) so [[loadBucketed]] can refuse mismatched planes. */
   def saveBucketed(corpus: DataFrame, planes: Array[Array[Float]],
-                   path: String, embCol: String = "embedding"): Unit =
+                   path: String, embCol: String = "embedding"): Unit = {
     withBuckets(corpus, planes, embCol)
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    val metaPath = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = metaPath.getFileSystem(
+      corpus.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(planesFingerprint(planes).getBytes("UTF-8")) finally out.close()
+  }
 
   /** Load a [[saveBucketed]] corpus; its `bucket` column is the parquet
     * partition column, so [[search]] skips recomputing projections and the
-    * broadcast probe join drives dynamic partition pruning. */
-  def loadBucketed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    * broadcast probe join drives dynamic partition pruning. Validates the
+    * `_lsh_meta` sidecar against `planes` (a corpus bucketed under other
+    * planes would otherwise return silently empty joins) and re-attaches
+    * the fingerprint as column metadata for [[search]]'s own check. */
+  def loadBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                   planes: Array[Array[Float]]): DataFrame = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val want = planesFingerprint(planes)
+    require(fs.exists(metaPath), s"no $MetaFile sidecar at $path — not a " +
+      "saveBucketed corpus (or written before fingerprinting); rebuild it")
+    val in = fs.open(metaPath)
+    val have = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+               finally in.close()
+    require(have == want,
+      s"bucketed corpus at $path was built under planes $have, not $want — " +
+        "rebuild it or pass the planes it was built with")
+    val df = spark.read.parquet(path)
+    df.select(df.columns.toIndexedSeq.map(c =>
+      if (c == "bucket") col(c).as("bucket", fpMetadata(planes)) else col(c)): _*)
+  }
 
   /** The multi-probe set of a bucket id as an array column: the bucket
     * itself plus its `nbits` Hamming-1 neighbors. THE definition of what
@@ -108,8 +175,15 @@ object HyperplaneLsh {
              idCol: String = "vec_id", embCol: String = "embedding",
              qIdCol: String = "query_id", qEmbCol: String = "q_embedding"): DataFrame = {
     VectorSearch.requireIntegralId(corpus, idCol)
-    val cb = if (corpus.columns.contains("bucket")) corpus
-             else withBuckets(corpus, planes, embCol)
+    require(planes.length <= MaxNbits,
+      s"nbits=${planes.length} would overflow the int-typed bucket partition column")
+    // A pre-bucketed corpus is trusted only after its fingerprint check:
+    // graft-produced bucket columns (withBuckets / loadBucketed) carry the
+    // plane-set fingerprint as column metadata and a mismatch throws here;
+    // external bucket columns without the metadata are trusted as-is.
+    val cb = if (corpus.columns.contains("bucket")) {
+      requireConsistentBuckets(corpus, planes); corpus
+    } else withBuckets(corpus, planes, embCol)
     // Match the corpus bucket type exactly (a saveBucketed corpus reads its
     // partition column back as int): a cast on the partition-column side of
     // the join key disqualifies the scan from dynamic partition pruning.
@@ -139,8 +213,9 @@ object HyperplaneLsh {
                      planes: Array[Array[Float]],
                      idCol: String = "vec_id", embCol: String = "embedding",
                      qIdCol: String = "query_id", qEmbCol: String = "q_embedding"): DataFrame = {
-    val cb = if (corpus.columns.contains("bucket")) corpus
-             else withBuckets(corpus, planes, embCol)
+    val cb = if (corpus.columns.contains("bucket")) {
+      requireConsistentBuckets(corpus, planes); corpus
+    } else withBuckets(corpus, planes, embCol)
     val probes = probeFrame(queries, planes, qIdCol, qEmbCol)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol).asc)

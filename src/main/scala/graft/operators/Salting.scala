@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   *   small side is exploded `buckets`× so every (key, salt) pair matches —
   *   a hot key's rows land on `buckets` tasks instead of one.
   *
-  * Salt is `pmod(hash(monotonically_increasing_id()), buckets)` — spread
-  * does not depend on data values, deterministic per partition layout.
+  * Salt is `pmod(xxhash64(all columns), buckets)` — derived from row
+  * CONTENT, never from `monotonically_increasing_id()` or `rand()`: a
+  * nondeterministic grouping key can double-count or drop rows when a
+  * stage is retried after a fetch failure (the SPARK-23207 class of
+  * bug), because the retried tasks re-salt rows differently from the
+  * already-consumed map outputs. Content-derived salt recomputes
+  * identically on retry. Exactly duplicate rows share a salt, so a hot
+  * key whose rows are all identical will not spread — acceptable,
+  * since such rows carry no per-row information to aggregate unevenly.
   */
 object Salting {
 
-  private def salt(buckets: Int): Column =
-    pmod(hash(monotonically_increasing_id()), lit(buckets))
+  private def salt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets.toLong)).cast("int")
 
   /** Two-phase salted sum/count aggregation: `aggs` maps output column
     * name → (valueColumn, "sum" | "count" | "min" | "max"). */
@@ -44,7 +51,7 @@ object Salting {
         case "max" => max(col(s"__p_$name"))
       }).as(name)
     }.toSeq
-    df.withColumn("__salt", salt(buckets))
+    df.withColumn("__salt", salt(df, buckets))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(keyCols.map(col): _*)
@@ -55,7 +62,7 @@ object Salting {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val saltedLarge = large.withColumn("__salt", salt(buckets))
+    val saltedLarge = large.withColumn("__salt", salt(large, buckets))
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLarge.join(explodedSmall, Seq(key, "__salt")).drop("__salt")

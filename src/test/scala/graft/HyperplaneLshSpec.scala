@@ -86,7 +86,7 @@ class HyperplaneLshSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
     val path = java.nio.file.Files.createTempDirectory("graft-lsh").toString + "/corpus"
     HyperplaneLsh.saveBucketed(vecs, planes, path)
-    val stored = HyperplaneLsh.loadBucketed(spark, path)
+    val stored = HyperplaneLsh.loadBucketed(spark, path, planes)
     assert(stored.columns.contains("bucket"))
     val queries = vecs.filter(col("vec_id") < 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
@@ -116,5 +116,39 @@ class HyperplaneLshSpec extends AnyFunSuite {
     val found = HyperplaneLsh.search(queries, vecs, k = 2, planes)
       .select("vec_id").as[Long].collect().toSet
     assert(found == Set(0L, 1L)) // v1 only reachable via a Hamming-1 probe
+  }
+
+  test("mismatched planes are refused, not silently empty") {
+    val planes = HyperplaneLsh.hyperplanes(4, 4)
+    val other = HyperplaneLsh.hyperplanes(5, 4)
+    val r = new scala.util.Random(7)
+    val vecs = (0 until 32).map { i =>
+      (i.toLong, Array.fill(4)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-lshm").toString + "/corpus"
+    HyperplaneLsh.saveBucketed(vecs, planes, path)
+    // load under the wrong planes → sidecar mismatch
+    val exLoad = intercept[IllegalArgumentException] {
+      HyperplaneLsh.loadBucketed(spark, path, other)
+    }
+    assert(exLoad.getMessage.contains("built under planes"))
+    // search a correctly-loaded corpus with the wrong planes → column
+    // metadata mismatch (this was the silent-empty-results hazard)
+    val stored = HyperplaneLsh.loadBucketed(spark, path, planes)
+    val queries = vecs.limit(1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val exSearch = intercept[IllegalArgumentException] {
+      HyperplaneLsh.search(queries, stored, 2, other)
+    }
+    assert(exSearch.getMessage.contains("bucketed under planes"))
+    // a corpus whose bucket column has no fingerprint (external origin)
+    // is still accepted as documented
+    val external = stored.select(col("vec_id"), col("embedding"),
+      col("bucket").cast("long").as("bucket"))
+    assert(HyperplaneLsh.search(queries, external, 2, planes).count() > 0)
+  }
+
+  test("nbits past the int partition-column range is rejected") {
+    intercept[IllegalArgumentException] { HyperplaneLsh.hyperplanes(31, 4) }
   }
 }
