@@ -54,6 +54,14 @@ object Bench {
         .partitionBy("source").orderBy("doc_id")
       docs.select(org.apache.spark.sql.functions.row_number().over(w))
         .write.format("noop").mode("overwrite").save()
+      // Full near-dup plan family (shingle explode joins, band-bucket
+      // window + self-join, distinct rewrite): q15's first run was paying
+      // ~2.5 s of codegen/JIT beyond the expression warmups above —
+      // steady-state is ~2 s (Profile), so over half its measured time
+      // was one-time JVM cost, not plan cost.
+      graft.operators.Dedup.nearDupPairs(docs, "text", "doc_id",
+          n = 3, bands = 4, minJaccard = 0.15)
+        .write.format("noop").mode("overwrite").save()
       // Typed-aggregator path (ObjectHashAggregate + kryo buffer ser):
       // otherwise its first use lands on whichever top-k query runs first.
       val topk = org.apache.spark.sql.functions.udaf(new graft.operators.TopKByScore(3))

@@ -33,6 +33,7 @@ object Profile {
           val ms = (for { s <- i.submissionTime; c <- i.completionTime } yield c - s).getOrElse(-1L)
           val m = i.taskMetrics
           stageLog.add(f"    stage ${i.stageId}%3d ${ms}%6d ms  tasks=${i.numTasks}%3d " +
+            f"run=${m.executorRunTime}%5d ms cpu=${m.executorCpuTime / 1000000}%5d ms " +
             f"shufWrite=${m.shuffleWriteMetrics.bytesWritten / 1024}%6d KB " +
             f"shufRead=${m.shuffleReadMetrics.totalBytesRead / 1024}%6d KB  ${i.name.take(60)}")
         }

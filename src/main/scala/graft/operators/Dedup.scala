@@ -61,6 +61,23 @@ object Dedup {
       .drop("__bn")
   }
 
+  /** Spread a small CPU-heavy input across the cluster: a corpus that
+    * arrives in fewer splits than the session's parallelism (tiny file,
+    * single parquet row group) would otherwise run its expensive per-row
+    * kernels — one md5 per shingle, simhash votes per token — nearly
+    * serially, no matter how many cores exist (measured at sf0.1: the
+    * shingle and signature stages each ran 1-task, ~0.7 s serial of a
+    * ~2 s pipeline). Inputs already split at least half as wide as the
+    * session's parallelism pass through untouched, so this NEVER adds a
+    * shuffle on a real-scale corpus — there, parquet splits provide the
+    * parallelism and the exchange would be pure waste. As a bonus, the
+    * repartition exchange is reused across the signature and verify
+    * consumers, so the raw text is scanned once. */
+  private[graft] def spreadSmallInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
   /** Exact dedup: keep the lowest-id row per content fingerprint.
     * (hash-groupBy; the canonical 100 TB exact-dedup plan). */
   def exactDedup(docs: DataFrame, textCol: String = "text",
@@ -153,30 +170,71 @@ object Dedup {
     * (id, shingle) rows, never by shipping whole shingle arrays through a
     * join — a candidate row with two ~300-string arrays is ~12 KB, which
     * at scale turns the verify join into a memory/shuffle hazard; exploded
-    * rows stay ~40 B. |A∪B| = |A| + |B| − |A∩B| from precomputed sizes. */
+    * rows stay ~40 B. |A∪B| = |A| + |B| − |A∩B| from precomputed sizes.
+    *
+    * Keeps EVERY candidate pair (zero-overlap pairs get jaccard 0.0).
+    * Pipelines that filter on a positive threshold should use
+    * [[jaccardVerifyOverlapping]], which drops the zero-overlap
+    * bookkeeping and shingles the corpus once instead of four times. */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, textCol: String,
                     idCol: String, n: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    // Verify re-shingles the corpus and lets the broadcast-hash joins
-    // against the (rare, by LSH design) candidate pairs drop non-candidate
-    // rows inline — the explode is narrow and never shuffled. Whether the
-    // candidate set should be persisted first is a measured scale trade
-    // (see nearDupPairs.cacheCandidates): at sf0.1 recomputation wins
-    // (exchange reuse covers it), at 250k docs caching wins 3× — callers
-    // pick per corpus size.
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
-    val expl = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val inter = candidates
-      .join(expl.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .join(expl.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).cast("int").as("n_inter"))
+    val inter = jaccardVerifyOverlapping(docs, candidates, textCol, idCol, n)
+      .select("id_a", "id_b", "n_inter")
     candidates
       .join(inter, Seq("id_a", "id_b"), "left")
       .withColumn("n_inter", coalesce(col("n_inter"), lit(0)))
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 4))
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+  }
+
+  /** [[jaccardVerify]] restricted to pairs sharing ≥ 1 shingle — the form
+    * every thresholded pipeline actually needs (a zero-overlap pair can
+    * never clear a positive `minJaccard`), and the scale-efficient one:
+    *
+    * - exploded rows CARRY their set size (`size(sh)` projected beside the
+    *   explode), so the two separate `sizes` joins — each a full re-scan +
+    *   re-shingle of the corpus — disappear;
+    * - both sides of the intersection join hang off ONE
+    *   `repartition(shingle)` exchange, which Spark's exchange reuse
+    *   materializes once — the corpus is scanned and shingled ONCE total,
+    *   where the keep-all form does it 4×. The second join keys on
+    *   (id_b, shingle), a superset of the exchange's hash key, so no
+    *   further exchange of the big side is needed.
+    *
+    * Join polarity is pinned explicitly: candidates get the `broadcast`
+    * hint (rare by LSH design — the whole point of banding) and the big
+    * exploded side a `shuffle_hash` hint. Left to its own size estimates
+    * Spark does the OPPOSITE at small scale — the exploded-shingle
+    * relations estimate under the 10 MB autoBroadcast threshold, so it
+    * builds two corpus-sized hash relations and streams the tiny
+    * candidate set past them (measured: 2× ~650 ms of pure build CPU at
+    * sf0.1, the dominant cost of the whole pipeline) — and at large
+    * scale that same choice would OOM the driver. A corpus whose
+    * candidate set is itself too large to broadcast should go through
+    * `nearDupPairs(cacheCandidates = true)`, which prefilters the verify
+    * corpus to candidate members first. */
+  def jaccardVerifyOverlapping(docs: DataFrame, candidates: DataFrame,
+                               textCol: String, idCol: String, n: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val expl = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .repartition(col("shingle"))
+    expl.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+      .join(broadcast(candidates), "id_a")
+      .join(expl.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+          .hint("shuffle_hash"),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("int").as("n_inter"),
+        min("n_a").as("n_a"), min("n_b").as("n_b"))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 4))
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
@@ -205,6 +263,12 @@ object Dedup {
                    minJaccard: Double = 0.8,
                    cacheCandidates: Boolean = false,
                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // No spreadSmallInput here, deliberately: measured at sf0.1, the
+    // spread exchange is NOT reused across the signature and verify
+    // consumers (filter pushdown through Repartition differentiates the
+    // subplans), so it costs two exchanges while the minhash/shingle
+    // kernels gain less than the overhead (2.5 s vs 2.1 s steady-state).
+    // The simhash path (single consumer) does benefit — see simhashBands.
     val sigs = minhashSignatures(docs, textCol, idCol, n, bands)
     val cands0 = lshCandidates(sigs, maxBucketSize)
     val cands = if (cacheCandidates)
@@ -223,8 +287,13 @@ object Dedup {
         .union(cands.select(col("id_b").as("__vid"))).distinct()
       docs.join(ids, docs(idCol) === ids("__vid"), "left_semi")
     } else docs
-    jaccardVerify(verifyDocs, cands, textCol, idCol, n)
-      .filter(col("jaccard") >= minJaccard)
+    // minJaccard > 0 ⇒ zero-overlap candidates can never survive the
+    // filter, so the overlapping-only verify (1 corpus shingle pass, not
+    // 4) is result-identical here.
+    val verified = if (minJaccard > 0)
+      jaccardVerifyOverlapping(verifyDocs, cands, textCol, idCol, n)
+    else jaccardVerify(verifyDocs, cands, textCol, idCol, n)
+    verified.filter(col("jaccard") >= minJaccard)
   }
 
   /** 64-bit SimHash over word tokens: md5-derived token hashes vote ±1 per
@@ -250,7 +319,7 @@ object Dedup {
     * only). */
   private def simhashBands(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val hashed = docs.filter(length(trim(col(textCol))) > 0)
+    val hashed = spreadSmallInput(docs).filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         GraftFunctions.simhash64(col(textCol)).as("sh"))
       .withColumn("hex", format_string("%016x", col("sh")))
