@@ -43,6 +43,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.size == 1) // unrelated docs do not pair
   }
 
+  test("overlapping-only verify equals keep-all verify on its domain") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f x y"),   // overlaps 1
+      (3L, "p q r s t u v w"),   // overlaps nothing below
+      (4L, "a b c p q r s t")    // overlaps 1 and 3
+    ).toDF("doc_id", "text")
+    // include a zero-overlap candidate (2,3) to pin the domain difference
+    val cands = Seq((1L, 2L), (1L, 4L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
+    val full = Dedup.jaccardVerify(docs, cands, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    val overlapping = Dedup.jaccardVerifyOverlapping(docs, cands, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(full.keySet == Set((1L, 2L), (1L, 4L), (3L, 4L), (2L, 3L)))
+    assert(overlapping.keySet == full.keySet.filter(k => full(k)._1 > 0))
+    overlapping.foreach { case (k, v) => assert(full(k) == v) }
+    assert(full((2L, 3L))._1 == 0) // keep-all retains the zero-overlap pair
+  }
+
   test("simhash: identical texts equal, similar texts near in hamming") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
