@@ -1585,6 +1585,65 @@ object SparkEntry {
       |ORDER BY doc_id""".stripMargin
 
   // ====================================================================
+  // Training-data hygiene: benchmark decontamination + token-budget
+  // sequence packing (reference has no analog — these are the
+  // LLM-pipeline operators the brief adds as first-class)
+  // ====================================================================
+
+  /** Trigram decontamination of the corpus against a held-out "eval set"
+    * (every 100th doc): flag training docs sharing any word trigram with
+    * an eval doc — `Dedup.contamination`'s broadcast semi-probe shape. */
+  private def q51Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+  }
+
+  private val q51Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 100 = 0),
+      |co AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 100 <> 0)
+      |SELECT co.doc_id,
+      |  CAST(count(DISTINCT co.shingle) AS BIGINT) AS n_overlap,
+      |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+      |FROM co JOIN ev USING (shingle)
+      |GROUP BY co.doc_id
+      |ORDER BY co.doc_id""".stripMargin
+
+  /** Token-budget packing: documents laid into 256-token bins per source
+    * shard in doc_id order (streaming-pack semantics — a doc belongs to
+    * the bin where it starts; never reordered, never split). */
+  private def q52PackBins(s: SparkSession, dir: String): DataFrame =
+    Packing.packBins(t(s, dir, "documents"), budget = 256)
+      .orderBy("source", "bin")
+
+  private val q52Sql =
+    """WITH tok AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM tok)
+      |SELECT source, (cum - n_tokens) // 256 AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM cum GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
+  // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -1637,6 +1696,8 @@ object SparkEntry {
     "q48_chunk_headers" -> (q48ChunkHeaders _),
     "q49_salted_agg" -> (q49SaltedAgg _),
     "q50_hot_bucket_dedup" -> (q50HotBucketDedup _),
+    "q51_decontaminate" -> (q51Decontaminate _),
+    "q52_pack_bins" -> (q52PackBins _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1688,6 +1749,8 @@ object SparkEntry {
     "q48_chunk_headers" -> q48Sql,
     "q49_salted_agg" -> q49Sql,
     "q50_hot_bucket_dedup" -> q50Sql,
+    "q51_decontaminate" -> q51Sql,
+    "q52_pack_bins" -> q52Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

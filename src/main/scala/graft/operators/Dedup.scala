@@ -296,6 +296,38 @@ object Dedup {
     verified.filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: corpus documents sharing ≥ `minOverlap`
+    * distinct word n-grams with ANY document of an evaluation set —
+    * the standard pre-training hygiene check (strip eval/benchmark
+    * passages from the training corpus before they leak into the model).
+    *
+    * Output: (idCol, n_overlap = distinct shared shingles,
+    * n_eval_docs = distinct eval documents sharing ≥ 1 shingle).
+    *
+    * Scale shape: the EVAL side is exploded and broadcast — an eval
+    * suite is orders of magnitude smaller than a training corpus by
+    * construction (≤ millions of shingles), so the check is a narrow
+    * broadcast semi-probe over the corpus scan: corpus text is never
+    * shuffled, the only exchange is the tiny per-doc overlap aggregate,
+    * and the whole thing is embarrassingly parallel at 100 TB. An eval
+    * set too large to broadcast should be banded through
+    * [[nearDupPairs]] instead. */
+  def contamination(corpus: DataFrame, evalDocs: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
+    val evalExpl = evalDocs.select(col(idCol).as("eval_id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val corpusExpl = corpus.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    corpusExpl.join(broadcast(evalExpl), "shingle")
+      .groupBy(idCol)
+      .agg(countDistinct("shingle").as("n_overlap"),
+        countDistinct("eval_id").as("n_eval_docs"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** 64-bit SimHash over word tokens: md5-derived token hashes vote ±1 per
     * bit, weighted by term frequency; the sign pattern is the fingerprint.
     * Near-dups are pairs within a small Hamming distance.

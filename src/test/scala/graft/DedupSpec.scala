@@ -62,6 +62,24 @@ class DedupSpec extends AnyFunSuite {
     assert(full((2L, 3L))._1 == 0) // keep-all retains the zero-overlap pair
   }
 
+  test("contamination flags docs sharing n-grams with the eval set") {
+    val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "something about the quick brown fox here"), // shares 2 trigrams
+      (2L, "quick brown dog runs away"),                 // shares none (dog breaks it)
+      (3L, "fox jumps high and the quick brown fox naps") // shares 3 trigrams
+    ).toDF("doc_id", "text")
+    val res = Dedup.contamination(corpus, eval, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res.keySet == Set(1L, 3L))
+    assert(res(1L) == (2L, 1L)) // "the quick brown", "quick brown fox"
+    assert(res(3L) == (3L, 1L)) // + "fox jumps high"
+    // threshold excludes the weaker overlap
+    val strict = Dedup.contamination(corpus, eval, "text", "doc_id", n = 3, minOverlap = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(3L))
+  }
+
   test("simhash: identical texts equal, similar texts near in hamming") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
