@@ -1643,6 +1643,32 @@ object SparkEntry {
       |FROM cum GROUP BY source, bin
       |ORDER BY source, bin""".stripMargin
 
+  /** Reproducible 80/10/10 train/val/test assignment over the corpus,
+    * summarized per (source, split) — `Sampling.assignSplit`'s hash-range
+    * semantics (membership depends only on salt+doc_id, never rand()). */
+  private def q53SplitAssign(s: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplit(t(s, dir, "documents"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+
+  private val q53Sql = {
+    // thresholds interpolated from the SAME function/float path as
+    // assignSplit (0.8 + 0.1 ≠ 0.9 in binary64 — sharing the arithmetic
+    // keeps the boundary rows identical on both engines)
+    val t1 = Sampling.thresholdHex(0.8)
+    val t2 = Sampling.thresholdHex(0.8 + 0.1)
+    s"""SELECT source,
+      |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$t1' THEN 'train'
+      |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$t2' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents
+      |GROUP BY source, split
+      |ORDER BY source, split""".stripMargin
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1698,6 +1724,7 @@ object SparkEntry {
     "q50_hot_bucket_dedup" -> (q50HotBucketDedup _),
     "q51_decontaminate" -> (q51Decontaminate _),
     "q52_pack_bins" -> (q52PackBins _),
+    "q53_split_assign" -> (q53SplitAssign _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1751,6 +1778,7 @@ object SparkEntry {
     "q50_hot_bucket_dedup" -> q50Sql,
     "q51_decontaminate" -> q51Sql,
     "q52_pack_bins" -> q52Sql,
+    "q53_split_assign" -> q53Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training-data
+  * pipelines: membership depends only on (salt, key) — stable across
+  * runs, executors, partitionings, and engines, which is what makes a
+  * held-out set actually held out. Never `rand()`: a nondeterministic
+  * sample re-drawn under task retry silently leaks rows across splits.
+  *
+  * The uniform draw is the first 8 lowercase hex chars of
+  * `md5(salt:key)`. At fixed width, lexicographic order IS numeric
+  * order, so thresholds are plain string compares — exact in any engine
+  * with md5, no float rounding at the boundaries.
+  *
+  * Scale shape: a narrow per-row predicate over the scan — no shuffle,
+  * no state, pushes down like any filter.
+  */
+object Sampling {
+
+  /** 8-hex-char uniform bucket of (salt, key). */
+  def hashBucket(key: Column, salt: String): Column =
+    substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 8)
+
+  /** The hex threshold below which a bucket falls with probability `p`. */
+  def thresholdHex(p: Double): String = {
+    require(p >= 0 && p <= 1, s"fraction out of [0,1]: $p")
+    f"${math.min((p * (1L << 32)).toLong, (1L << 32) - 1)}%08x"
+  }
+
+  /** Keep ~`fraction` of rows, deterministically. */
+  def deterministicSample(df: DataFrame, fraction: Double,
+                          keyCol: String = "doc_id",
+                          salt: String = "sample"): DataFrame =
+    df.filter(hashBucket(col(keyCol), salt) < lit(thresholdHex(fraction)))
+
+  /** Reproducible split assignment: adds a `split` column. `splits` are
+    * (name, fraction) in order; fractions must sum to 1 (±1e-9) — the
+    * last split takes the remainder of the hash range so no row is ever
+    * unassigned by a float boundary. */
+  def assignSplit(df: DataFrame, splits: Seq[(String, Double)],
+                  keyCol: String = "doc_id",
+                  salt: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1: $total")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val h = hashBucket(col(keyCol), salt)
+    val assigned = splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cumP)) =>
+        val thr = lit(thresholdHex(cumP))
+        Some(acc.fold(when(h < thr, name))(_.when(h < thr, name)))
+    }.get.otherwise(splits.last._1)
+    df.withColumn("split", assigned)
+  }
+}

@@ -78,6 +78,12 @@ class DedupSpec extends AnyFunSuite {
     val strict = Dedup.contamination(corpus, eval, "text", "doc_id", n = 3, minOverlap = 3)
       .collect().map(_.getLong(0)).toSet
     assert(strict == Set(3L))
+    // plan shape: the eval side is broadcast; corpus shingles are never
+    // shuffled into the join (the 100 TB property)
+    val plan = Dedup.contamination(corpus, eval, "text", "doc_id", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled into join:\n$plan")
   }
 
   test("simhash: identical texts equal, similar texts near in hamming") {

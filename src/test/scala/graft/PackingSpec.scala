@@ -46,5 +46,12 @@ class PackingSpec extends AnyFunSuite {
       .withColumn("start", sum("n_tokens").over(w) - col("n_tokens"))
       .filter(col("start") < col("bin") * 64 || col("start") >= (col("bin") + 1) * 64)
     assert(bad.count() == 0)
+    // plan shape: ONE hash exchange (the shard partitioning), which the
+    // window AND the bin aggregation both reuse — a second exchange here
+    // would mean the agg re-shuffled what the window already clustered
+    val plan = Packing.packBins(docs, budget = 64)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic sampling / split assignment (operators/Sampling.scala). */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ids(n: Int) = (0 until n).map(_.toLong).toDF("doc_id")
+
+  test("sample is deterministic, repartition-invariant, and near-fraction") {
+    val df = ids(10000)
+    val a = Sampling.deterministicSample(df, 0.1).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Sampling.deterministicSample(df.repartition(7), 0.1).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size - 1000) < 150) // ~3 sigma of binomial(10000, 0.1)
+    // a different salt draws a different sample
+    val c = Sampling.deterministicSample(df, 0.1, salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != c)
+  }
+
+  test("splits partition every row exactly once with stable membership") {
+    val df = ids(10000)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.assignSplit(df, splits)
+    val counts = assigned.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 8000) < 200)
+    // membership is per-key stable: re-assignment is identical
+    val again = Sampling.assignSplit(df.repartition(5), splits)
+      .as[(Long, String)].collect().toMap
+    val first = assigned.as[(Long, String)].collect().toMap
+    assert(first == again)
+    // sampling predicate pushes to the scan side (no shuffle/state)
+    val plan = Sampling.deterministicSample(df, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample added an exchange:\n$plan")
+  }
+
+  test("fractions must sum to one and be valid") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(ids(10), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] { Sampling.thresholdHex(1.5) }
+  }
+}
