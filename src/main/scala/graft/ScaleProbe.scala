@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, HyperplaneLsh, IvfIndex, VectorSearch}
+import graft.operators.{Dedup, HyperplaneLsh, IvfIndex, Packing, Sampling, VectorSearch}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -441,6 +441,18 @@ object ScaleProbe {
     timeWarm("minhash nearDupPairs (cached candidates)")(
       Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4,
         minJaccard = 0.15, cacheCandidates = true).count())
+    // Training-data hygiene over the same corpus: decontamination against
+    // a 1% eval set (broadcast probe — corpus text never shuffled),
+    // per-shard token packing, and split assignment (scan predicates).
+    timeWarm("contamination (1% eval set, trigrams)")(
+      Dedup.contamination(docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0), "text", "doc_id", n = 3).count())
+    timeWarm("packBins (32 shards, 4096-token budget)")(
+      Packing.packBins(docs.withColumn("source", pmod(col("doc_id"), lit(32))),
+        budget = 4096).count())
+    timeWarm("assignSplit 80/10/10")(
+      Sampling.assignSplit(docs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").count().count())
     spark.stop()
   }
 }

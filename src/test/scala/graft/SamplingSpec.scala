@@ -45,6 +45,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"sample added an exchange:\n$plan")
   }
 
+  test("split assignment is streaming-safe: stream membership == batch membership") {
+    // deterministic + stateless ⇒ the same expression runs unchanged on a
+    // stream, and an id ingested in any micro-batch lands in the same
+    // split as the batch assignment — the property that makes a held-out
+    // set stable under incremental ingest
+    val staging = java.nio.file.Files.createTempDirectory("graft-split-stream").toString
+    def write(r: Range): Unit = r.map(_.toLong).toDF("doc_id")
+      .write.mode("append").parquet(staging)
+    write(0 until 500)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val in = spark.readStream.schema(schema).parquet(staging)
+    val q = Sampling.assignSplit(in, splits).writeStream
+      .outputMode("append").format("memory").queryName("ssplit").start()
+    try {
+      q.processAllAvailable()
+      write(500 until 1000) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, split FROM ssplit")
+        .as[(Long, String)].collect().toMap
+      val batch = Sampling.assignSplit(ids(1000), splits)
+        .as[(Long, String)].collect().toMap
+      assert(streamed == batch)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ssplit")
+    }
+  }
+
   test("fractions must sum to one and be valid") {
     intercept[IllegalArgumentException] {
       Sampling.assignSplit(ids(10), Seq("a" -> 0.5, "b" -> 0.4))
