@@ -215,8 +215,9 @@ object ScaleProbe {
               regexp_replace(col("text"), lit("(\\w+)"), concat(lit("$1r"), col("rep")))))
           // keep stored stats consistent with the rewritten text — a
           // replica row whose n_chars disagrees with length(text) is a
-          // data shape real corpora never have
-          .withColumn("n_chars", length(col("text")))
+          // data shape real corpora never have (cast: length() is INT,
+          // the base table stores BIGINT — preserve the schema)
+          .withColumn("n_chars", length(col("text")).cast("long"))
         else shifted
       result.drop("rep")
     }
@@ -283,7 +284,7 @@ object ScaleProbe {
     val planes = HyperplaneLsh.hyperplanes(nbits, dim)
     val lshDir = s"/tmp/graft-scale-lsh-${factor}x"
     if (!parquetComplete(spark, lshDir) ||
-        !graft.sources.CorpusStore.exists(spark, s"$lshDir/_lsh_meta")) {
+        !HyperplaneLsh.bucketedMatches(spark, lshDir, planes)) {
       val t0 = System.nanoTime()
       HyperplaneLsh.saveBucketed(corpus, planes, lshDir)
       println(f"[scale] lsh ingest (bucket + partitioned write): ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -933,12 +933,14 @@ object SparkEntry {
     * return 0 for non-local paths (hdfs://, s3://), which would
     * degenerate the key to the path hash and silently reuse a stale
     * index after the remote dataset is regenerated. */
-  private def datasetFingerprint(path: String): Long = {
+  private def datasetFingerprint(s: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val conf = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val fs = p.getFileSystem(conf)
+    // the caller's session, never the thread-local getActiveSession: a
+    // query submitted from a pool thread has no active session there and
+    // a bare Configuration would lack its fs settings (s3a credentials,
+    // defaultFS) — fs.exists would fail and the key would silently
+    // collapse to the path hash, resurrecting the stale-cache bug
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) 0L
     else {
       val st = fs.getFileStatus(p)
@@ -949,10 +951,10 @@ object SparkEntry {
 
   /** Cache key ties the index to the dataset identity (path + file
     * length/mtime), so regenerated testdata invalidates a stale index. */
-  private def ivfCachePath(dir: String): String = {
+  private def ivfCachePath(s: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (ivfNlist * 31L) ^
-        datasetFingerprint(s"$dir/embeddings.parquet"))
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
     s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$key"
   }
 
@@ -962,7 +964,7 @@ object SparkEntry {
     * `components/core/index_service.py:103-125`). */
   private[graft] def ivfCorpus(s: SparkSession, dir: String): (DataFrame, IvfIndex.Ivf) = {
     GraftFunctions.register(s)
-    val base = ivfCachePath(dir)
+    val base = ivfCachePath(s, dir)
     val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
     val ivf = IvfIndex.buildOrLoad(s, emb, ivfNlist, s"$base/quantizer.txt")
     val cpath = s"$base/corpus"
@@ -979,12 +981,13 @@ object SparkEntry {
     GraftFunctions.register(s)
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (HyperplaneLsh.DefaultNbits * 131L) ^
-        datasetFingerprint(s"$dir/embeddings.parquet"))
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-lshb-$key"
     val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
-    // _lsh_meta is written after the parquet job succeeds, so its presence
-    // implies a complete corpus; pre-fingerprint caches rebuild once.
-    if (!graft.sources.CorpusStore.exists(s, s"$path/_lsh_meta"))
+    // _lsh_meta is written after the parquet job succeeds AND must record
+    // these exact planes; anything else (partial write, pre-fingerprint
+    // cache, other planes) rebuilds once instead of failing the load.
+    if (!HyperplaneLsh.bucketedMatches(s, path, planes))
       HyperplaneLsh.saveBucketed(t(s, dir, "embeddings"), planes, path)
     HyperplaneLsh.loadBucketed(s, path, planes)
   }
@@ -1794,7 +1797,11 @@ object SparkEntry {
   private def ivfOracleSqls: Map[String, String] =
     (for {
       dir <- oracleSfDir
-      path = java.nio.file.Paths.get(s"${ivfCachePath(dir)}/quantizer.txt")
+      // oracle generation runs inside Verify's session; if no session is
+      // active the cache key can't be derived → omit the IVF oracles and
+      // let the driver fall back to its rows-only check
+      s <- SparkSession.getActiveSession
+      path = java.nio.file.Paths.get(s"${ivfCachePath(s, dir)}/quantizer.txt")
       if java.nio.file.Files.exists(path)
       lines = java.nio.file.Files.readAllLines(path)
       if lines.get(0).split(" ")(1).toInt > 0

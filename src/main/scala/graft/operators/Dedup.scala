@@ -72,10 +72,19 @@ object Dedup {
     * shuffle on a real-scale corpus — there, parquet splits provide the
     * parallelism and the exchange would be pure waste. As a bonus, the
     * repartition exchange is reused across the signature and verify
-    * consumers, so the raw text is scanned once. */
+    * consumers, so the raw text is scanned once.
+    *
+    * The size gate reads the optimizer's statistics — never `df.rdd`,
+    * which under AQE finalizes the physical plan and EXECUTES upstream
+    * shuffle stages just to learn a partition count (a derived input
+    * would run its whole upstream pipeline twice). Only a frame already
+    * known tiny (< ~2 MB/core estimated) pays the partition probe, where
+    * any accidental upstream execution is cheap by construction. */
   private[graft] def spreadSmallInput(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(target.toLong * 2L * 1024 * 1024)
+    if (small && df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
   /** Exact dedup: keep the lowest-id row per content fingerprint.
@@ -208,15 +217,19 @@ object Dedup {
     *   further exchange of the big side is needed.
     *
     * Join polarity is pinned explicitly: candidates get the `broadcast`
-    * hint (rare by LSH design — the whole point of banding) and the big
-    * exploded side a `shuffle_hash` hint. Left to its own size estimates
-    * Spark does the OPPOSITE at small scale — the exploded-shingle
-    * relations estimate under the 10 MB autoBroadcast threshold, so it
-    * builds two corpus-sized hash relations and streams the tiny
-    * candidate set past them (measured: 2× ~650 ms of pure build CPU at
-    * sf0.1, the dominant cost of the whole pipeline) — and at large
-    * scale that same choice would OOM the driver. A corpus whose
-    * candidate set is itself too large to broadcast should go through
+    * hint (rare by LSH design — the whole point of banding), and the
+    * second join's `shuffle_hash` hint sits on the CANDIDATE-MATCHED
+    * side — its size is bounded by candidate rarity, so the per-task
+    * hash build stays small, while the full exploded corpus streams
+    * past it (a build over the unfiltered exploded side would OOM an
+    * executor at scale the same way auto-broadcast would OOM the
+    * driver). Left to its own size estimates Spark broadcasts the
+    * exploded-shingle relations themselves at small scale — they
+    * estimate under the 10 MB autoBroadcast threshold — building two
+    * corpus-sized hash relations and streaming the tiny candidate set
+    * past them (measured: 2× ~650 ms of pure build CPU at sf0.1, the
+    * dominant cost of the whole pipeline). A corpus whose candidate set
+    * is itself too large to broadcast should go through
     * `nearDupPairs(cacheCandidates = true)`, which prefilters the verify
     * corpus to candidate members first. */
   def jaccardVerifyOverlapping(docs: DataFrame, candidates: DataFrame,
@@ -229,8 +242,8 @@ object Dedup {
       .repartition(col("shingle"))
     expl.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
       .join(broadcast(candidates), "id_a")
-      .join(expl.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-          .hint("shuffle_hash"),
+      .hint("shuffle_hash")
+      .join(expl.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("int").as("n_inter"),

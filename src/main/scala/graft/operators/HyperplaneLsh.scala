@@ -46,13 +46,19 @@ object HyperplaneLsh {
     }
   }
 
-  /** Stable identity of a plane set — `<nbits>d<dim>-<md5 of sign bits>` —
-    * persisted beside a [[saveBucketed]] corpus and carried as `bucket`
-    * column metadata, so a corpus bucketed under different planes cannot
-    * silently produce empty joins. */
+  /** Stable identity of a plane set — `<nbits>d<dim>-<md5 of component
+    * float bits>` — persisted beside a [[saveBucketed]] corpus and
+    * carried as `bucket` column metadata, so a corpus bucketed under
+    * different planes cannot silently produce empty joins. Hashes the
+    * full IEEE bits, not just signs: callers may pass learned (non-±1)
+    * planes, and magnitude changes bucket membership. */
   def planesFingerprint(planes: Array[Array[Float]]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    planes.foreach(p => p.foreach(v => md.update(if (v > 0) 1: Byte else 0: Byte)))
+    val buf = java.nio.ByteBuffer.allocate(4)
+    planes.foreach(p => p.foreach { v =>
+      buf.clear(); buf.putInt(java.lang.Float.floatToIntBits(v))
+      md.update(buf.array())
+    })
     val dim = if (planes.isEmpty) 0 else planes.head.length
     s"${planes.length}d$dim-" + md.digest().map("%02x".format(_)).mkString
   }
@@ -93,7 +99,11 @@ object HyperplaneLsh {
     require(planes.length <= MaxNbits,
       s"nbits=${planes.length} would overflow the int-typed bucket partition column")
     GraftFunctions.register(vecs.sparkSession)
-    vecs.select(col("*"), bucketCol(col(embCol), planes).as("bucket", fpMetadata(planes)))
+    // drop() first so re-bucketing an already-bucketed corpus replaces
+    // the column (select-append alone would duplicate it and break
+    // partitionBy("bucket") downstream); no-op when absent
+    vecs.drop("bucket")
+      .select(col("*"), bucketCol(col(embCol), planes).as("bucket", fpMetadata(planes)))
   }
 
   /** Persist a corpus `partitionBy("bucket")` so probe joins prune parquet
@@ -112,6 +122,22 @@ object HyperplaneLsh {
       corpus.sparkSession.sessionState.newHadoopConf())
     val out = fs.create(metaPath, true)
     try out.write(planesFingerprint(planes).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** True iff `path` holds a complete [[saveBucketed]] corpus built under
+    * exactly these planes — the build-or-load guard: callers rebuild on
+    * false instead of tripping [[loadBucketed]]'s hard failure (e.g. a
+    * cache written under an older fingerprint scheme or other planes). */
+  def bucketedMatches(spark: org.apache.spark.sql.SparkSession, path: String,
+                      planes: Array[Array[Float]]): Boolean = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(metaPath) && {
+      val in = fs.open(metaPath)
+      val have = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+      have == planesFingerprint(planes)
+    }
   }
 
   /** Load a [[saveBucketed]] corpus; its `bucket` column is the parquet

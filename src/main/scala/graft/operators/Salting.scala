@@ -25,11 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  private def salt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets.toLong)).cast("int")
+  private def salt(df: DataFrame, buckets: Int, saltCols: Seq[String]): Column = {
+    val cols = if (saltCols.nonEmpty) saltCols else df.columns.toIndexedSeq
+    pmod(xxhash64(cols.map(col): _*), lit(buckets.toLong)).cast("int")
+  }
 
   /** Two-phase salted sum/count aggregation: `aggs` maps output column
-    * name → (valueColumn, "sum" | "count" | "min" | "max"). */
+    * name → (valueColumn, "sum" | "count" | "min" | "max").
+    * Identical-row hot keys are safe here even though they share a salt:
+    * the map-side partial aggregation collapses them before the shuffle. */
   def saltedAggregate(df: DataFrame, keyCols: Seq[String], buckets: Int,
                       aggs: Map[String, (Column, String)]): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
@@ -51,18 +55,26 @@ object Salting {
         case "max" => max(col(s"__p_$name"))
       }).as(name)
     }.toSeq
-    df.withColumn("__salt", salt(df, buckets))
+    df.withColumn("__salt", salt(df, buckets, Nil))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(keyCols.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
-  /** Salted equi-join: `large` is salted, `small` exploded buckets×. */
+  /** Salted equi-join: `large` is salted, `small` exploded buckets×.
+    *
+    * UNLIKE the aggregate, a join gets no map-side collapse — a hot key
+    * whose rows are IDENTICAL across all hashed columns shares one salt
+    * and still lands on one task. When the large side is a narrow
+    * projection (just the key), pass `saltCols` pointing at a
+    * high-cardinality column of the pre-projection frame (a row id, an
+    * event timestamp) to restore spread; the default hashes every
+    * column, which suffices whenever any per-row attribute varies. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 buckets: Int): DataFrame = {
+                 buckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val saltedLarge = large.withColumn("__salt", salt(large, buckets))
+    val saltedLarge = large.withColumn("__salt", salt(large, buckets, saltCols))
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLarge.join(explodedSmall, Seq(key, "__salt")).drop("__salt")

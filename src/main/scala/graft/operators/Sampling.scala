@@ -29,11 +29,15 @@ object Sampling {
     f"${math.min((p * (1L << 32)).toLong, (1L << 32) - 1)}%08x"
   }
 
-  /** Keep ~`fraction` of rows, deterministically. */
+  /** Keep ~`fraction` of rows, deterministically. `fraction = 1.0` is
+    * the identity — special-cased because the threshold caps at
+    * "ffffffff", which a hash bucket can equal (p = 2⁻³² per row; at
+    * corpus scale that silently drops real rows). */
   def deterministicSample(df: DataFrame, fraction: Double,
                           keyCol: String = "doc_id",
                           salt: String = "sample"): DataFrame =
-    df.filter(hashBucket(col(keyCol), salt) < lit(thresholdHex(fraction)))
+    if (fraction >= 1.0) { thresholdHex(fraction); df } // still validates range
+    else df.filter(hashBucket(col(keyCol), salt) < lit(thresholdHex(fraction)))
 
   /** Reproducible split assignment: adds a `split` column. `splits` are
     * (name, fraction) in order; fractions must sum to 1 (±1e-9) — the

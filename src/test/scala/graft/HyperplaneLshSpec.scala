@@ -151,4 +151,19 @@ class HyperplaneLshSpec extends AnyFunSuite {
   test("nbits past the int partition-column range is rejected") {
     intercept[IllegalArgumentException] { HyperplaneLsh.hyperplanes(31, 4) }
   }
+
+  test("fingerprint sees magnitude, and re-bucketing replaces the column") {
+    // sign-identical planes with different magnitudes bucket differently
+    // and must NOT share a fingerprint
+    val a = Array(Array(1.0f, 1.0f))
+    val b = Array(Array(1.0f, 100.0f))
+    assert(HyperplaneLsh.planesFingerprint(a) != HyperplaneLsh.planesFingerprint(b))
+    // withBuckets over an already-bucketed frame replaces (not appends)
+    val vecs = Seq((0L, Array(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val twice = HyperplaneLsh.withBuckets(
+      HyperplaneLsh.withBuckets(vecs, a), b)
+    assert(twice.columns.count(_ == "bucket") == 1)
+    // bucket under b: dot(0.5, -0.25)·(1,100) = 0.5 - 25 < 0 → bucket 0
+    assert(twice.select("bucket").head().getLong(0) == 0L)
+  }
 }

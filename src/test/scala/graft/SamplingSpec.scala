@@ -82,4 +82,11 @@ class SamplingSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { Sampling.thresholdHex(1.5) }
   }
+
+  test("fraction 1.0 is the identity (the ffffffff bucket is kept)") {
+    assert(Sampling.deterministicSample(ids(5000), 1.0).count() == 5000L)
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSample(ids(5), 1.5)
+    }
+  }
 }
