@@ -1672,6 +1672,50 @@ object SparkEntry {
       |ORDER BY source, split""".stripMargin
   }
 
+  /** PII scrubbing audit: synthetic emails/phones/IPs are injected
+    * deterministically (the corpus has none of its own), then redacted
+    * with `TextAnalysis.redactPii`; output = per-doc pattern counts +
+    * md5 of the clean text for every affected doc. */
+  private def q54PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "documents").withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" call 555-123-4567 or ping 10.0.0.1")))
+        .otherwise(col("text")))
+    val counts = TextAnalysis.piiCounts(col("text"))
+    withPii.select(
+        Seq(col("doc_id")) ++
+          counts.map { case (n, c) => c.as(s"n_$n") } :+
+          md5(TextAnalysis.redactPii(col("text"))).as("clean_md5"): _*)
+      .filter(counts.map(_._2 > 0).reduce(_ || _))
+      .orderBy("doc_id")
+  }
+
+  private val q54Sql = {
+    val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)
+    // single-quoted SQL literals: escape nothing (DuckDB strings are
+    // verbatim); the Scala patterns' backslashes pass through intact
+    s"""WITH pii AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |         WHEN doc_id % 7 = 0 THEN text || ' call 555-123-4567 or ping 10.0.0.1'
+      |         ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS clean_md5
+      |FROM pii
+      |WHERE len(regexp_extract_all(text, '$email')) > 0
+      |   OR len(regexp_extract_all(text, '$phone')) > 0
+      |   OR len(regexp_extract_all(text, '$ip')) > 0
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1728,6 +1772,7 @@ object SparkEntry {
     "q51_decontaminate" -> (q51Decontaminate _),
     "q52_pack_bins" -> (q52PackBins _),
     "q53_split_assign" -> (q53SplitAssign _),
+    "q54_pii_redact" -> (q54PiiRedact _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1782,6 +1827,7 @@ object SparkEntry {
     "q51_decontaminate" -> q51Sql,
     "q52_pack_bins" -> q52Sql,
     "q53_split_assign" -> q53Sql,
+    "q54_pii_redact" -> q54Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -22,6 +22,30 @@ object TextAnalysis {
       transform(split(trim(text), "\\s+"), w => ceil(length(w) / lit(4.0)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** PII patterns for corpus scrubbing: (name, regex, replacement).
+    * Patterns deliberately use only the regex subset Java
+    * (`regexp_replace` codegen) and RE2 (DuckDB, Go, Rust engines)
+    * share — classes, bounded repeats, `\b` — so redaction is
+    * reproducible across engines; no lookarounds. Applied in this
+    * order (email first: its local part may contain digits that the
+    * later numeric patterns would otherwise mangle). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Scrub PII into typed placeholder tokens — the standard hygiene pass
+    * before a corpus is trained on. A fold of codegen'd `regexp_replace`
+    * (global-replace in Spark; the DuckDB oracle needs the 'g' flag),
+    * so it stays a narrow map over the scan at any scale. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
+
+  /** Per-pattern match count in the ORIGINAL text (for audit columns). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, p, _) =>
+      name -> regexp_count(text, lit(p)).cast("long") }
+
   /** Punctuation ratio: punctuation chars / total chars. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(

@@ -54,6 +54,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(qn >= 0.0 && qn <= 1.0 && qj >= 0.0 && qj <= 1.0)
   }
 
+  test("redactPii scrubs emails, phones, and IPs into typed tokens") {
+    import org.apache.spark.sql.functions.col
+    val clean = one[String](TextAnalysis.redactPii(col("text")),
+      "mail a.b+c@sub.example.org or call 555-123-4567, host 10.0.0.1 stays scrubbed")
+    assert(clean ==
+      "mail <EMAIL> or call <PHONE>, host <IP> stays scrubbed")
+    // non-PII lookalikes survive: version strings, short digit runs
+    val keep = one[String](TextAnalysis.redactPii(col("text")),
+      "v1.2 released; 12-34 range; not-an-email@ nothing")
+    assert(keep == "v1.2 released; 12-34 range; not-an-email@ nothing")
+    // audit counts match the redactions
+    val counts = Seq("a@b.co and c@d.org, dial 555-123-4567").toDF("text")
+      .select(TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((2L, 1L, 0L)))
+  }
+
   test("analyze attaches all columns") {
     val df = TextAnalysis.analyze(Seq((1L, "the small test text")).toDF("doc_id", "text"))
     val cols = df.columns.toSet
