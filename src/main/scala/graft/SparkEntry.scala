@@ -1716,6 +1716,32 @@ object SparkEntry {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Repetition scoring (Gopher top-bigram fraction) over every doc with
+    * ≥ 2 tokens — shuffle-free per-row HOF fold vs the oracle's
+    * unnest + GROUP BY; identical numbers prove the fold. */
+  private def q55Repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.bigramCount(col("text")).as("n_bigrams"),
+        TextAnalysis.topBigramFraction(col("text")).as("top_frac"))
+      .filter(col("n_bigrams") > 0)
+      .orderBy("doc_id")
+
+  private val q55Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM toks WHERE len(t) >= 2),
+      |cnt AS (
+      |  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac
+      |FROM cnt GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1773,6 +1799,7 @@ object SparkEntry {
     "q52_pack_bins" -> (q52PackBins _),
     "q53_split_assign" -> (q53SplitAssign _),
     "q54_pii_redact" -> (q54PiiRedact _),
+    "q55_repetition" -> (q55Repetition _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1828,6 +1855,7 @@ object SparkEntry {
     "q52_pack_bins" -> q52Sql,
     "q53_split_assign" -> q53Sql,
     "q54_pii_redact" -> q54Sql,
+    "q55_repetition" -> q55Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

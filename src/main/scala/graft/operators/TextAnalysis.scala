@@ -22,6 +22,42 @@ object TextAnalysis {
       transform(split(trim(text), "\\s+"), w => ceil(length(w) / lit(4.0)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** Repetition score (the Gopher-rules "top n-gram fraction"): the most
+    * frequent word bigram's share of all bigrams in the document — high
+    * values flag boilerplate/templated text for quality filtering.
+    *
+    * Computed entirely WITHIN the row by higher-order functions
+    * (sort the bigram array, then a run-length fold finds the max
+    * multiplicity): no explode, no shuffle — a per-doc statistic must
+    * not cost a corpus-wide exchange at 100 TB. The DuckDB oracle uses
+    * the equivalent unnest + GROUP BY form. Docs with < 2 tokens have
+    * no bigrams → 0.0. */
+  def topBigramFraction(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val best = aggregate(
+      sort_array(bigrams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(bigrams) <= 0, lit(0.0))
+      .otherwise(round(best.cast("double") / size(bigrams), 4))
+  }
+
+  /** Bigram count (denominator of [[topBigramFraction]]); 0 for docs
+    * with fewer than two tokens. */
+  def bigramCount(text: Column): Column = {
+    val n = size(split(trim(text), "\\s+"))
+    greatest(n - 1, lit(0)).cast("long")
+  }
+
   /** PII patterns for corpus scrubbing: (name, regex, replacement).
     * Patterns deliberately use only the regex subset Java
     * (`regexp_replace` codegen) and RE2 (DuckDB, Go, Rust engines)

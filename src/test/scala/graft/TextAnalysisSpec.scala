@@ -71,6 +71,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((2L, 1L, 0L)))
   }
 
+  test("topBigramFraction: run-length fold equals brute-force counting") {
+    import org.apache.spark.sql.functions.col
+    // "a b a b a" -> bigrams: a b, b a, a b, b a -> top 2/4 = 0.5
+    assert(one[Double](TextAnalysis.topBigramFraction(col("text")), "a b a b a") == 0.5)
+    // all-identical tokens: one distinct bigram -> 1.0
+    assert(one[Double](TextAnalysis.topBigramFraction(col("text")), "x x x x") == 1.0)
+    // all-distinct bigrams -> 1/n
+    assert(one[Double](TextAnalysis.topBigramFraction(col("text")), "a b c d e") == 0.25)
+    // fewer than 2 tokens -> 0.0, and bigramCount agrees
+    assert(one[Double](TextAnalysis.topBigramFraction(col("text")), "solo") == 0.0)
+    assert(one[Long](TextAnalysis.bigramCount(col("text")), "solo") == 0L)
+    assert(one[Long](TextAnalysis.bigramCount(col("text")), "a b c") == 2L)
+    // property: fold equals brute force on random token strings
+    val r = new scala.util.Random(13)
+    (0 until 30).foreach { _ =>
+      val toks = (0 until 2 + r.nextInt(30)).map(_ => s"t${r.nextInt(5)}")
+      val expected = {
+        val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+        math.rint(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size * 1e4) / 1e4
+      }
+      assert(one[Double](TextAnalysis.topBigramFraction(col("text")), toks.mkString(" ")) == expected)
+    }
+  }
+
   test("analyze attaches all columns") {
     val df = TextAnalysis.analyze(Seq((1L, "the small test text")).toDF("doc_id", "text"))
     val cols = df.columns.toSet
