@@ -1720,7 +1720,9 @@ object SparkEntry {
     * ≥ 2 tokens — shuffle-free per-row HOF fold vs the oracle's
     * unnest + GROUP BY; identical numbers prove the fold. */
   private def q55Repetition(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    // the per-row sort+fold kernel is CPU-heavy; spread an under-split
+    // corpus so it parallelizes (pass-through on real-scale inputs)
+    Dedup.spreadSmallInput(t(s, dir, "documents"))
       .select(col("doc_id"),
         TextAnalysis.bigramCount(col("text")).as("n_bigrams"),
         TextAnalysis.topBigramFraction(col("text")).as("top_frac"))
