@@ -271,15 +271,15 @@ object SparkEntry {
     val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH d AS (
        |  SELECT lang, n_chars,
-       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-       |    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
-       |         ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+       |    CASE WHEN len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
        |                     x -> list_contains($stopList, x))) AS DOUBLE)
-       |              / len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stop_ratio,
-       |    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
-       |         ELSE CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |              / len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) END AS stop_ratio,
+       |    CASE WHEN len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
        |                     x -> len(x))) AS DOUBLE)
-       |              / len(regexp_split_to_array(trim(text), '\\s+')) END AS mean_wl
+       |              / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS mean_wl
        |  FROM documents)
        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        |  round(avg(n_chars), 4) AS avg_chars,
@@ -305,13 +305,13 @@ object SparkEntry {
     // lexicographically greatest language code.
     s"""WITH sc AS (
        |  SELECT lang,
-       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
        |        x -> list_contains(${markers("de")}, x))) AS n_de,
-       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
        |        x -> list_contains(${markers("en")}, x))) AS n_en,
-       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
        |        x -> list_contains(${markers("es")}, x))) AS n_es,
-       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
        |        x -> list_contains(${markers("fr")}, x))) AS n_fr
        |  FROM documents),
        |p AS (
@@ -370,7 +370,7 @@ object SparkEntry {
 
   private val q15Sql =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -872,8 +872,8 @@ object SparkEntry {
     val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH d AS (
        |  SELECT lang,
-       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
        |        x -> list_contains($stopList, x))) AS n_stop,
        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
        |    length(text) AS n_chars
@@ -1281,7 +1281,7 @@ object SparkEntry {
   private val q42Sql =
     """WITH toks AS (
       |  SELECT doc_id, t FROM (
-      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+')) AS t
       |    FROM documents)
       |  WHERE t <> ''),
       |votes AS (
@@ -1566,7 +1566,7 @@ object SparkEntry {
       |    CASE WHEN doc_id % 7 = 0 THEN '$q50Boiler' ELSE text END AS text
       |  FROM documents),
       |toks AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
       |  FROM docs2),
       |sh AS (
       |  SELECT doc_id,
@@ -1607,7 +1607,7 @@ object SparkEntry {
 
   private val q51Sql =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -1634,7 +1634,7 @@ object SparkEntry {
   private val q52Sql =
     """WITH tok AS (
       |  SELECT source, doc_id,
-      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |cum AS (
       |  SELECT source, doc_id, n_tokens,
@@ -1689,7 +1689,9 @@ object SparkEntry {
         Seq(col("doc_id")) ++
           counts.map { case (n, c) => c.as(s"n_$n") } :+
           md5(TextAnalysis.redactPii(col("text"))).as("clean_md5"): _*)
-      .filter(counts.map(_._2 > 0).reduce(_ || _))
+      // filter on the projected columns — re-deriving the counts from
+      // text would evaluate every regex a second time per row
+      .filter(counts.map { case (n, _) => col(s"n_$n") > 0 }.reduce(_ || _))
       .orderBy("doc_id")
   }
 
@@ -1697,22 +1699,25 @@ object SparkEntry {
     val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)
     // single-quoted SQL literals: escape nothing (DuckDB strings are
     // verbatim); the Scala patterns' backslashes pass through intact
+    // counts mirror piiCounts' SEQUENTIAL semantics: each pattern is
+    // counted on the text the earlier patterns already redacted
     s"""WITH pii AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
       |         WHEN doc_id % 7 = 0 THEN text || ' call 555-123-4567 or ping 10.0.0.1'
       |         ELSE text END AS text
-      |  FROM documents)
+      |  FROM documents),
+      |r1 AS (SELECT doc_id, text, regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1 FROM pii),
+      |r2 AS (SELECT doc_id, text, t1, regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2 FROM r1)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
-      |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
-      |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4,
-      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-      |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS clean_md5
-      |FROM pii
+      |  CAST(len(regexp_extract_all(t1, '$phone')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ipv4,
+      |  md5(regexp_replace(t2, '$ip', '<IP>', 'g')) AS clean_md5
+      |FROM r2
       |WHERE len(regexp_extract_all(text, '$email')) > 0
-      |   OR len(regexp_extract_all(text, '$phone')) > 0
-      |   OR len(regexp_extract_all(text, '$ip')) > 0
+      |   OR len(regexp_extract_all(t1, '$phone')) > 0
+      |   OR len(regexp_extract_all(t2, '$ip')) > 0
       |ORDER BY doc_id""".stripMargin
   }
 
@@ -1731,7 +1736,7 @@ object SparkEntry {
 
   private val q55Sql =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
       |  FROM documents),
       |bg AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),

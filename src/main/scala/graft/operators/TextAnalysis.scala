@@ -77,10 +77,21 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
 
-  /** Per-pattern match count in the ORIGINAL text (for audit columns). */
-  def piiCounts(text: Column): Seq[(String, Column)] =
-    PiiPatterns.map { case (name, p, _) =>
-      name -> regexp_count(text, lit(p)).cast("long") }
+  /** Per-pattern redaction counts — each pattern counted on the text AS
+    * the earlier patterns have already redacted it, so the audit columns
+    * report exactly what [[redactPii]]'s sequential fold replaces.
+    * (Counting everything on the original text misreports overlaps: in
+    * "555-123-4567@example.com" the email pass consumes the digits, so
+    * no <PHONE> token ever appears — the audit must say n_phone = 0.) */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val (out, _) = PiiPatterns.foldLeft(
+        (Seq.empty[(String, Column)], text)) {
+      case ((acc, cur), (name, p, r)) =>
+        (acc :+ (name -> regexp_count(cur, lit(p)).cast("long")),
+          regexp_replace(cur, p, r))
+    }
+    out
+  }
 
   /** Punctuation ratio: punctuation chars / total chars. */
   def punctRatio(text: Column): Column =

@@ -69,6 +69,14 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
       .collect()(0)
     assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((2L, 1L, 0L)))
+    // sequential audit semantics: the email pass consumes the digits, so
+    // no <PHONE> token appears and the audit must agree (n_phone = 0)
+    val overlap = Seq("reach 555-123-4567@example.com today").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("clean") +:
+        TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(overlap.getString(0) == "reach <EMAIL> today")
+    assert((overlap.getLong(1), overlap.getLong(2), overlap.getLong(3)) == ((1L, 0L, 0L)))
   }
 
   test("topBigramFraction: run-length fold equals brute-force counting") {
