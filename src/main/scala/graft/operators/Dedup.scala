@@ -218,20 +218,18 @@ object Dedup {
     *
     * Join polarity is pinned explicitly: candidates get the `broadcast`
     * hint (rare by LSH design — the whole point of banding), and the
-    * second join's `shuffle_hash` hint sits on the CANDIDATE-MATCHED
-    * side — its size is bounded by candidate rarity, so the per-task
-    * hash build stays small, while the full exploded corpus streams
-    * past it (a build over the unfiltered exploded side would OOM an
-    * executor at scale the same way auto-broadcast would OOM the
-    * driver). Left to its own size estimates Spark broadcasts the
-    * exploded-shingle relations themselves at small scale — they
-    * estimate under the 10 MB autoBroadcast threshold — building two
-    * corpus-sized hash relations and streaming the tiny candidate set
-    * past them (measured: 2× ~650 ms of pure build CPU at sf0.1, the
-    * dominant cost of the whole pipeline). A corpus whose candidate set
-    * is itself too large to broadcast should go through
-    * `nearDupPairs(cacheCandidates = true)`, which prefilters the verify
-    * corpus to candidate members first. */
+    * second join is hinted `merge` (sort-merge). SMJ is the only
+    * always-safe strategy for that join: its two sides scale on
+    * DIFFERENT axes — the exploded corpus is linear in corpus size, the
+    * candidate-matched side is ~quadratic in duplicate density — and
+    * whichever loses can exceed executor memory, where a shuffled-hash
+    * build cannot spill (measured both ways: Spark's own size estimates
+    * broadcast the exploded relations at sf0.1 — 2× ~650 ms of hash
+    * build CPU, and driver OOM at scale; a shuffle_hash build over the
+    * candidate-matched side OOM'd the 250k-doc probe outright). SMJ
+    * spills. A corpus whose candidate set is too large to broadcast
+    * should go through `nearDupPairs(cacheCandidates = true)`, which
+    * prefilters the verify corpus to candidate members first. */
   def jaccardVerifyOverlapping(docs: DataFrame, candidates: DataFrame,
                                textCol: String, idCol: String, n: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
@@ -242,7 +240,7 @@ object Dedup {
       .repartition(col("shingle"))
     expl.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
       .join(broadcast(candidates), "id_a")
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(expl.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b")
