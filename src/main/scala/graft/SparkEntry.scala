@@ -1749,6 +1749,44 @@ object SparkEntry {
       |FROM cnt GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental-ingest dedup screen: the newest 40% of docs checked
+    * against the older 60%'s band signatures (`Dedup.screenAgainst` —
+    * only the new batch is shingled; the stored side joins as an
+    * index). Semantics checked here; the persisted save/load lifecycle
+    * is pinned by DedupSpec. */
+  private def q56IngestScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = docs.agg(max("doc_id")).head().getLong(0) * 3 / 5
+    val storedSigs = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") <= cut), "text", "doc_id", n = 3, bands = 4)
+    Dedup.screenAgainst(docs.filter(col("doc_id") > cut), storedSigs,
+        "text", "doc_id", n = 3, bands = 4)
+      .orderBy("id", "stored_id")
+  }
+
+  private val q56Sql =
+    """WITH mx AS (SELECT max(doc_id) * 3 // 5 AS cut FROM documents),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b)
+      |SELECT n.doc_id AS id, o.doc_id AS stored_id,
+      |  CAST(count(*) AS BIGINT) AS n_bands
+      |FROM sig n JOIN sig o ON n.band = o.band AND n.sig = o.sig, mx
+      |WHERE n.doc_id > mx.cut AND o.doc_id <= mx.cut
+      |GROUP BY n.doc_id, o.doc_id
+      |ORDER BY id, stored_id""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1807,6 +1845,7 @@ object SparkEntry {
     "q53_split_assign" -> (q53SplitAssign _),
     "q54_pii_redact" -> (q54PiiRedact _),
     "q55_repetition" -> (q55Repetition _),
+    "q56_ingest_screen" -> (q56IngestScreen _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1863,6 +1902,7 @@ object SparkEntry {
     "q53_split_assign" -> q53Sql,
     "q54_pii_redact" -> q54Sql,
     "q55_repetition" -> q55Sql,
+    "q56_ingest_screen" -> q56Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -307,6 +307,42 @@ object Dedup {
     verified.filter(col("jaccard") >= minJaccard)
   }
 
+  /** Persist per-band MinHash signatures as the corpus's dedup INDEX:
+    * incremental ingest then signs only the new batch and joins it
+    * against this store — the corpus text is never re-shingled per
+    * batch. Written `partitionBy("band")` so a probe that uses fewer
+    * bands prunes partitions. */
+  def saveSignatures(docs: DataFrame, path: String, textCol: String = "text",
+                     idCol: String = "doc_id", n: Int = 3, bands: Int = 8): Unit =
+    minhashSignatures(docs, textCol, idCol, n, bands)
+      .write.partitionBy("band").mode("overwrite").parquet(path)
+
+  def loadSignatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("id", "band", "sig")
+
+  /** Screen a new batch against stored signatures: (id, stored_id,
+    * n_bands) for pairs agreeing on ≥ `minBands` band signatures — the
+    * at-ingest dedup signal (band-collision probability rises steeply
+    * with Jaccard). Both sides are bucket-capped like every band join
+    * here. Exact confirmation needs the stored TEXT, which the
+    * signature store deliberately does not carry: run [[jaccardVerify]]
+    * of the flagged pairs against the corpus when exactness matters. */
+  def screenAgainst(newDocs: DataFrame, storedSigs: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 3, bands: Int = 8, minBands: Int = 1,
+                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(minBands >= 1, s"minBands must be >= 1: $minBands")
+    val newSigs = dropOverflow(
+      minhashSignatures(newDocs, textCol, idCol, n, bands),
+      Seq("band", "sig"), maxBucketSize)
+    val stored = dropOverflow(storedSigs, Seq("band", "sig"), maxBucketSize)
+    newSigs.join(stored.select(col("band"), col("sig"), col("id").as("stored_id")),
+        Seq("band", "sig"))
+      .groupBy(col("id"), col("stored_id"))
+      .agg(count(lit(1)).cast("long").as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+  }
+
   /** Benchmark decontamination: corpus documents sharing ≥ `minOverlap`
     * distinct word n-grams with ANY document of an evaluation set —
     * the standard pre-training hygiene check (strip eval/benchmark

@@ -62,6 +62,29 @@ class DedupSpec extends AnyFunSuite {
     assert(full((2L, 3L))._1 == 0) // keep-all retains the zero-overlap pair
   }
 
+  test("signature store: screen after save/load equals inline screen") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"word$i").mkString(" ") + " x y z"
+    val stored = (Seq((1L, base)) ++ (0 until 10).map(d =>
+      (10L + d, (1 to 60).map(i => s"old${d}_$i").mkString(" ")))).toDF("doc_id", "text")
+    val fresh = (Seq((100L, nearDup)) ++ (0 until 5).map(d =>
+      (110L + d, (1 to 60).map(i => s"new${d}_$i").mkString(" ")))).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-sigs").toString + "/sigs"
+    Dedup.saveSignatures(stored, path, bands = 4)
+    val viaStore = Dedup.screenAgainst(fresh,
+        Dedup.loadSignatures(spark, path), bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Dedup.screenAgainst(fresh,
+        Dedup.minhashSignatures(stored, "text", "doc_id", 3, 4), bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaStore == inline)
+    // the planted near-dup is flagged against its stored original, and
+    // only it (unrelated docs share no band signature)
+    assert(viaStore.map { case (id, sid, _) => (id, sid) } == Set((100L, 1L)))
+    // band agreement is high for a 95%-overlap pair
+    assert(viaStore.head._3 >= 2)
+  }
+
   test("contamination flags docs sharing n-grams with the eval set") {
     val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
     val corpus = Seq(
