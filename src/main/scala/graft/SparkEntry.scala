@@ -1787,6 +1787,33 @@ object SparkEntry {
       |GROUP BY n.doc_id, o.doc_id
       |ORDER BY id, stored_id""".stripMargin
 
+  /** Data-mixing weights per source shard via one-pass stratified
+    * sampling (`Sampling.stratifiedSample`): five sources kept at
+    * descending weights, the rest dropped; summarized per source. */
+  private val q57Mix = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+    "src3" -> 0.25, "src4" -> 0.1)
+
+  private def q57MixSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "documents"), q57Mix)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  private val q57Sql = {
+    val cases = q57Mix.toSeq.sorted.map { case (k, f) =>
+      s"WHEN source = '$k' THEN '${Sampling.thresholdHexOpen(f)}'"
+    }.mkString(" ")
+    s"""WITH thr AS (
+      |  SELECT doc_id, source,
+      |    CASE $cases ELSE NULL END AS t
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM thr
+      |WHERE t IS NOT NULL AND substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < t
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1846,6 +1873,7 @@ object SparkEntry {
     "q54_pii_redact" -> (q54PiiRedact _),
     "q55_repetition" -> (q55Repetition _),
     "q56_ingest_screen" -> (q56IngestScreen _),
+    "q57_mix_sample" -> (q57MixSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1903,6 +1931,7 @@ object SparkEntry {
     "q54_pii_redact" -> q54Sql,
     "q55_repetition" -> q55Sql,
     "q56_ingest_screen" -> q56Sql,
+    "q57_mix_sample" -> q57Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

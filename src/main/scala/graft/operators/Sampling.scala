@@ -39,6 +39,33 @@ object Sampling {
     if (fraction >= 1.0) { thresholdHex(fraction); df } // still validates range
     else df.filter(hashBucket(col(keyCol), salt) < lit(thresholdHex(fraction)))
 
+  /** [[thresholdHex]] with an open top end: fraction 1.0 maps to "g",
+    * which is lexicographically above every 8-hex bucket — the identity
+    * without the 2⁻³² "ffffffff" edge. */
+  def thresholdHexOpen(p: Double): String =
+    if (p >= 1.0) { thresholdHex(math.min(p, 1.0)); "g" } else thresholdHex(p)
+
+  /** Per-stratum deterministic sampling — the data-MIXING primitive:
+    * resample each shard (source, language, quality bucket) to its
+    * target weight in one pass. Same salted-hash membership as
+    * [[deterministicSample]], so mixtures are reproducible and a row's
+    * draw never changes when other strata's weights do. Strata absent
+    * from `fractions` are dropped (weight 0). Still a pure scan
+    * predicate: no shuffle, no state. */
+  def stratifiedSample(df: DataFrame, fractions: Map[String, Double],
+                       strataCol: String = "source",
+                       keyCol: String = "doc_id",
+                       salt: String = "mix"): DataFrame = {
+    require(fractions.nonEmpty, "at least one stratum fraction required")
+    // deterministic when-chain order (sorted keys) — Map iteration order
+    // must never influence the plan
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (k, f)) =>
+        when(col(strataCol) === k, lit(thresholdHexOpen(f))).otherwise(acc)
+    }
+    df.filter(thr.isNotNull && hashBucket(col(keyCol), salt) < thr)
+  }
+
   /** Reproducible split assignment: adds a `split` column. `splits` are
     * (name, fraction) in order; fractions must sum to 1 (±1e-9) — the
     * last split takes the remainder of the hash range so no row is ever

@@ -83,6 +83,25 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Sampling.thresholdHex(1.5) }
   }
 
+  test("stratified sample: per-stratum weights, stable membership, no exchange") {
+    val df = (0 until 6000).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
+    val mix = Map("s0" -> 1.0, "s1" -> 0.5) // s2 dropped
+    val out = Sampling.stratifiedSample(df, mix)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("s0", "s1"))
+    assert(counts("s0") == 2000L) // weight 1.0 keeps every row
+    assert(math.abs(counts("s1") - 1000) < 120)
+    // a row's membership doesn't change when OTHER strata weights do
+    val s1only = Sampling.stratifiedSample(df, Map("s1" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val s1fromMix = out.filter(col("source") === "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1only == s1fromMix)
+    // pure scan predicate
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stratified sample added an exchange:\n$plan")
+  }
+
   test("fraction 1.0 is the identity (the ffffffff bucket is kept)") {
     assert(Sampling.deterministicSample(ids(5000), 1.0).count() == 5000L)
     intercept[IllegalArgumentException] {
