@@ -63,7 +63,11 @@ object Sampling {
       case (acc, (k, f)) =>
         when(col(strataCol) === k, lit(thresholdHexOpen(f))).otherwise(acc)
     }
-    df.filter(thr.isNotNull && hashBucket(col(keyCol), salt) < thr)
+    // the explicit isin is redundant with thr.isNotNull but, unlike a
+    // CASE, it is a PUSHABLE predicate: the parquet scan skips row
+    // groups of dropped strata entirely (PushedFilters: In(strataCol))
+    df.filter(col(strataCol).isInCollection(fractions.keys.toSeq.sorted))
+      .filter(thr.isNotNull && hashBucket(col(keyCol), salt) < thr)
   }
 
   /** Reproducible split assignment: adds a `split` column. `splits` are
