@@ -1756,10 +1756,14 @@ object SparkEntry {
     * is pinned by DedupSpec. */
   private def q56IngestScreen(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cut = docs.agg(max("doc_id")).head().getLong(0) * 3 / 5
-    val storedSigs = Dedup.minhashSignatures(
-      docs.filter(col("doc_id") <= cut), "text", "doc_id", n = 3, bands = 4)
-    Dedup.screenAgainst(docs.filter(col("doc_id") > cut), storedSigs,
+    // cut stays IN the plan (broadcast 1-row agg) — an eager
+    // agg().head() here would run a full-scan job at every plan
+    // construction and NPE on an empty table
+    val cut = docs.agg(expr("max(doc_id) * 3 div 5").as("cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val storedSigs = Dedup.capBuckets(Dedup.minhashSignatures(
+      withCut.filter(col("doc_id") <= col("cut")), "text", "doc_id", 3, 4))
+    Dedup.screenAgainst(withCut.filter(col("doc_id") > col("cut")), storedSigs,
         "text", "doc_id", n = 3, bands = 4)
       .orderBy("id", "stored_id")
   }
@@ -1779,11 +1783,20 @@ object SparkEntry {
       |  SELECT doc_id, band.b AS band,
       |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
       |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
-      |  GROUP BY doc_id, band.b)
+      |  GROUP BY doc_id, band.b),
+      |nn AS (
+      |  SELECT doc_id, band, sig FROM (
+      |    SELECT s.doc_id, s.band, s.sig,
+      |      count(*) OVER (PARTITION BY s.band, s.sig) AS bn
+      |    FROM sig s, mx WHERE s.doc_id > mx.cut) WHERE bn <= 1000),
+      |oo AS (
+      |  SELECT doc_id, band, sig FROM (
+      |    SELECT s.doc_id, s.band, s.sig,
+      |      count(*) OVER (PARTITION BY s.band, s.sig) AS bn
+      |    FROM sig s, mx WHERE s.doc_id <= mx.cut) WHERE bn <= 1000)
       |SELECT n.doc_id AS id, o.doc_id AS stored_id,
       |  CAST(count(*) AS BIGINT) AS n_bands
-      |FROM sig n JOIN sig o ON n.band = o.band AND n.sig = o.sig, mx
-      |WHERE n.doc_id > mx.cut AND o.doc_id <= mx.cut
+      |FROM nn n JOIN oo o ON n.band = o.band AND n.sig = o.sig
       |GROUP BY n.doc_id, o.doc_id
       |ORDER BY id, stored_id""".stripMargin
 

@@ -307,14 +307,26 @@ object Dedup {
     verified.filter(col("jaccard") >= minJaccard)
   }
 
+  /** Public form of the bucket cap (see [[DefaultMaxBucketSize]]): drop
+    * rows of (band, sig) buckets above `maxBucketSize`, one window
+    * pass. Use on raw signature frames fed to [[screenAgainst]] when
+    * bypassing [[saveSignatures]] (which caps at write time). */
+  def capBuckets(sigs: DataFrame,
+                 maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    dropOverflow(sigs, Seq("band", "sig"), maxBucketSize)
+
   /** Persist per-band MinHash signatures as the corpus's dedup INDEX:
     * incremental ingest then signs only the new batch and joins it
     * against this store — the corpus text is never re-shingled per
-    * batch. Written `partitionBy("band")` so a probe that uses fewer
-    * bands prunes partitions. */
+    * batch. The bucket cap is applied HERE, once at write time, so
+    * every subsequent [[screenAgainst]] call pays no corpus-sized
+    * window pass (capping per batch would shuffle the whole store
+    * every day to re-derive the same cap). Written `partitionBy("band")`
+    * so a probe that uses fewer bands prunes partitions. */
   def saveSignatures(docs: DataFrame, path: String, textCol: String = "text",
-                     idCol: String = "doc_id", n: Int = 3, bands: Int = 8): Unit =
-    minhashSignatures(docs, textCol, idCol, n, bands)
+                     idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
+                     maxBucketSize: Int = DefaultMaxBucketSize): Unit =
+    capBuckets(minhashSignatures(docs, textCol, idCol, n, bands), maxBucketSize)
       .write.partitionBy("band").mode("overwrite").parquet(path)
 
   def loadSignatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
@@ -323,20 +335,24 @@ object Dedup {
   /** Screen a new batch against stored signatures: (id, stored_id,
     * n_bands) for pairs agreeing on ≥ `minBands` band signatures — the
     * at-ingest dedup signal (band-collision probability rises steeply
-    * with Jaccard). Both sides are bucket-capped like every band join
-    * here. Exact confirmation needs the stored TEXT, which the
-    * signature store deliberately does not carry: run [[jaccardVerify]]
-    * of the flagged pairs against the corpus when exactness matters. */
+    * with Jaccard). Only the NEW side is capped here; the stored side
+    * is capped once at [[saveSignatures]] time (cap raw frames with
+    * [[capBuckets]] if you bypass the store). Worst case per bucket is
+    * therefore cap_new × cap_stored pairs — a hot key present on both
+    * sides at the default cap yields up to 10⁶ rows in one task, double
+    * the self-join bound [[DefaultMaxBucketSize]] documents; lower the
+    * per-batch cap for boilerplate-heavy ingest feeds. Exact
+    * confirmation needs the stored TEXT, which the signature store
+    * deliberately does not carry: run [[jaccardVerify]] of the flagged
+    * pairs against the corpus when exactness matters. */
   def screenAgainst(newDocs: DataFrame, storedSigs: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     n: Int = 3, bands: Int = 8, minBands: Int = 1,
                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(minBands >= 1, s"minBands must be >= 1: $minBands")
-    val newSigs = dropOverflow(
-      minhashSignatures(newDocs, textCol, idCol, n, bands),
-      Seq("band", "sig"), maxBucketSize)
-    val stored = dropOverflow(storedSigs, Seq("band", "sig"), maxBucketSize)
-    newSigs.join(stored.select(col("band"), col("sig"), col("id").as("stored_id")),
+    val newSigs = capBuckets(
+      minhashSignatures(newDocs, textCol, idCol, n, bands), maxBucketSize)
+    newSigs.join(storedSigs.select(col("band"), col("sig"), col("id").as("stored_id")),
         Seq("band", "sig"))
       .groupBy(col("id"), col("stored_id"))
       .agg(count(lit(1)).cast("long").as("n_bands"))

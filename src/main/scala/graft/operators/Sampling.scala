@@ -41,9 +41,13 @@ object Sampling {
 
   /** [[thresholdHex]] with an open top end: fraction 1.0 maps to "g",
     * which is lexicographically above every 8-hex bucket — the identity
-    * without the 2⁻³² "ffffffff" edge. */
-  def thresholdHexOpen(p: Double): String =
-    if (p >= 1.0) { thresholdHex(math.min(p, 1.0)); "g" } else thresholdHex(p)
+    * without the 2⁻³² "ffffffff" edge. Validates BEFORE branching so a
+    * mis-scaled weight (75 meaning 75%) throws instead of silently
+    * keeping the whole stratum. */
+  def thresholdHexOpen(p: Double): String = {
+    require(p >= 0 && p <= 1, s"fraction out of [0,1]: $p")
+    if (p >= 1.0) "g" else thresholdHex(p)
+  }
 
   /** Per-stratum deterministic sampling — the data-MIXING primitive:
     * resample each shard (source, language, quality bucket) to its
