@@ -62,6 +62,15 @@ object Bench {
       graft.operators.Dedup.nearDupPairs(docs, "text", "doc_id",
           n = 3, bands = 4, minJaccard = 0.15)
         .write.format("noop").mode("overwrite").save()
+      // Hygiene plan families (broadcast shingle probe + countDistinct
+      // expand; window cumsum; regexp scan): q51/q52/q54 were paying
+      // 1–3 s of first-use codegen/JIT each beyond the generic warmups.
+      graft.operators.Dedup.contamination(docs, docs.limit(8), "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Packing.packBins(docs, budget = 256)
+        .write.format("noop").mode("overwrite").save()
+      docs.selectExpr("sum(regexp_count(text, '[0-9]+'))",
+        "count(distinct md5(regexp_replace(text, '[0-9]+', '#')))").collect()
       // Typed-aggregator path (ObjectHashAggregate + kryo buffer ser):
       // otherwise its first use lands on whichever top-k query runs first.
       val topk = org.apache.spark.sql.functions.udaf(new graft.operators.TopKByScore(3))
