@@ -88,8 +88,8 @@ object TextAnalysis {
     * columns in ONE select lets whole-stage codegen's subexpression
     * elimination compute each distinct regexp subtree once — measured
     * FASTER than hand-staging the intermediates through separate
-    * projections (1.05 s vs 0.91 s steady at sf0.1), so keep these in
-    * a single select and let codegen do the sharing. */
+    * projections (fused 0.91 s vs staged 1.05 s steady at sf0.1), so
+    * keep these in a single select and let codegen do the sharing. */
   def piiCounts(text: Column): Seq[(String, Column)] = {
     val (out, _) = PiiPatterns.foldLeft(
         (Seq.empty[(String, Column)], text)) {
@@ -99,7 +99,6 @@ object TextAnalysis {
     }
     out
   }
-
 
   /** Punctuation ratio: punctuation chars / total chars. */
   def punctRatio(text: Column): Column =
