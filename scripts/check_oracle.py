@@ -1,7 +1,21 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf tables, load the Spark parquet dump, sort columns by
-name + rows, and compare values exactly. Usage:
+name + rows, and compare values exactly.
+
+Type sensitivity is calibrated to the driver's observed behavior
+(r6 evidence): float32-vs-float64 and decimal(2,1)-vs-double both hash
+EQUAL at the driver, while decimal128(38,0)-vs-int64 (DuckDB HUGEINT
+from arithmetic over a windowed sum(BIGINT)) hashes DIFFERENT. The
+consistent model is: values go through pandas conversion (HUGEINT and
+DECIMAL become float64) and are hashed by string form — so int 12 vs
+float 12.0 differ ("12" vs "12.0"), while f32/f64 of the same decimal
+literal agree (shortest-repr printing). The r6 escape was this script's
+`astype(oracle_dtype)` coercion, which silently cast Spark's int64 to
+the oracle's float64 before comparing. No coercion here: stringify both
+sides and require exact match.
+
+Usage:
     python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json, sys, glob
@@ -43,14 +57,18 @@ for name, sql in sorted(oracle.items()):
     got_s = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     mismatch = None
     for c in exp.columns:
-        ev, gv = exp_s[c], got_s[c].astype(exp_s[c].dtype, errors="ignore")
-        try:
-            eq = (ev == gv) | (ev.isna() & gv.isna())
-        except Exception:
-            eq = ev.astype(str) == gv.astype(str)
-        if not eq.all():
-            i = int((~eq).idxmax())
-            mismatch = f"col {c} row {i}: spark={gv[i]!r} oracle={ev[i]!r} dtypes {gv.dtype}/{ev.dtype}"
+        # NO dtype coercion (the r6 q52 escape): stringify each side in its
+        # NATIVE dtype (to_numpy() keeps f32 as f32; Series.map(str) would
+        # box to Python float and widen), mirroring the driver's
+        # type-sensitive value hash: shortest-repr makes f32 "0.2763" equal
+        # f64 "0.2763", while int 12 vs HUGEINT-leaked 12.0 stays different.
+        ev = [str(v) for v in exp_s[c].to_numpy()]
+        gv = [str(v) for v in got_s[c].to_numpy()]
+        if ev != gv:
+            i = next(j for j, (a, b) in enumerate(zip(ev, gv)) if a != b)
+            mismatch = (f"col {c} row {i}: spark={gv[i]!r} "
+                        f"oracle={ev[i]!r} "
+                        f"dtypes {got_s[c].dtype}/{exp_s[c].dtype}")
             break
     if mismatch:
         print(f"FAIL {name}: {mismatch}")

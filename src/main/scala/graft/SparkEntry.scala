@@ -1640,7 +1640,7 @@ object SparkEntry {
       |  SELECT source, doc_id, n_tokens,
       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
       |  FROM tok)
-      |SELECT source, (cum - n_tokens) // 256 AS bin,
+      |SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       |FROM cum GROUP BY source, bin
