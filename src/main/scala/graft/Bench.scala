@@ -90,11 +90,30 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Two columns per query: `queries` = first (cold) run, comparable with
+    // every prior round's artifact; `steady` = median of SPARK_GRAFT_REPS
+    // (default 3) runs in this JVM — the number that extrapolates to a
+    // long-lived cluster. Carrying both makes driver-machine load
+    // inflation visible instead of masquerading as a plan regression
+    // (the r5 65.5 s artifact vs its 37.6 s clean re-run).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val results = names.map { n =>
+      val cold = materialize(n)
+      val times =
+        if (cold < 0) Seq(cold)
+        else cold +: (2 to reps).map(_ => materialize(n))
+      val ok = times.filter(_ >= 0).sorted
+      val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      (n, cold, median)
+    }
+    def obj(f: ((String, Double, Double)) => (String, Double)): String =
+      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = obj(r => (r._1, r._2))
+    val steady = obj(r => (r._1, r._3))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val steadyTotal = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$steady,"steady_total":$steadyTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

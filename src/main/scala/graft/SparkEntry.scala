@@ -1803,7 +1803,7 @@ object SparkEntry {
       |  SELECT doc_id, band, sig FROM (
       |    SELECT s.doc_id, s.band, s.sig,
       |      count(*) OVER (PARTITION BY s.band, s.sig) AS bn
-      |    FROM sig s, mx WHERE s.doc_id > mx.cut) WHERE bn <= 1000),
+      |    FROM sig s, mx WHERE s.doc_id > mx.cut) WHERE bn <= 250),
       |oo AS (
       |  SELECT doc_id, band, sig FROM (
       |    SELECT s.doc_id, s.band, s.sig,
@@ -1841,6 +1841,78 @@ object SparkEntry {
       |GROUP BY source
       |ORDER BY source""".stripMargin
   }
+
+  /** Full-corpus dedup convenience API (`Dedup.dedupCorpus`): exact dups,
+    * verified near-dup pairs, and hot-bucket clusters unified into one
+    * kept-ids frame. Every 7th doc becomes near-identical boilerplate
+    * (common template + unique id tail) so all three drop mechanisms
+    * fire: the template cluster overflows the bucket cap (hot drops),
+    * outlier-bucket template pairs verify at Jaccard ~0.86 (pair drops),
+    * and the corpus's natural exact dups hit the fingerprint path. */
+  private def q58DedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit(q50Boiler + " tail "), col("doc_id"))).otherwise(col("text")))
+    Dedup.dedupCorpus(docs, "text", "doc_id",
+        n = 3, bands = 4, minJaccard = 0.15, maxBucketSize = 10)
+      .orderBy("doc_id")
+  }
+
+  private val q58Sql =
+    s"""WITH docs2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN '$q50Boiler tail ' || doc_id
+      |         ELSE text END AS text
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+      |  FROM docs2),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |bsz AS (SELECT band, sig, count(*) AS m, min(doc_id) AS rep_id
+      |        FROM sig GROUP BY band, sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  JOIN bsz ON a.band = bsz.band AND a.sig = bsz.sig
+      |  WHERE bsz.m <= 10 AND a.doc_id < b.doc_id),
+      |pairdrops AS (
+      |  SELECT c.id_b AS drop_id
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+      |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.15),
+      |hotdrops AS (
+      |  SELECT s.doc_id AS drop_id
+      |  FROM sig s JOIN bsz ON s.band = bsz.band AND s.sig = bsz.sig
+      |  WHERE bsz.m > 10 AND s.doc_id <> bsz.rep_id),
+      |fps AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |  FROM docs2),
+      |exactdrops AS (
+      |  SELECT doc_id AS drop_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM fps) WHERE rn > 1),
+      |drops AS (
+      |  SELECT DISTINCT drop_id FROM (
+      |    SELECT drop_id FROM exactdrops
+      |    UNION ALL SELECT drop_id FROM pairdrops
+      |    UNION ALL SELECT drop_id FROM hotdrops))
+      |SELECT d.doc_id FROM docs2 d
+      |LEFT JOIN drops ON d.doc_id = drops.drop_id
+      |WHERE drops.drop_id IS NULL
+      |ORDER BY d.doc_id""".stripMargin
 
   // ====================================================================
 
@@ -1902,6 +1974,7 @@ object SparkEntry {
     "q55_repetition" -> (q55Repetition _),
     "q56_ingest_screen" -> (q56IngestScreen _),
     "q57_mix_sample" -> (q57MixSample _),
+    "q58_dedup_corpus" -> (q58DedupCorpus _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1960,6 +2033,7 @@ object SparkEntry {
     "q55_repetition" -> q55Sql,
     "q56_ingest_screen" -> q56Sql,
     "q57_mix_sample" -> q57Sql,
+    "q58_dedup_corpus" -> q58Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -298,13 +298,84 @@ object Dedup {
         .union(cands.select(col("id_b").as("__vid"))).distinct()
       docs.join(ids, docs(idCol) === ids("__vid"), "left_semi")
     } else docs
-    // minJaccard > 0 ⇒ zero-overlap candidates can never survive the
-    // filter, so the overlapping-only verify (1 corpus shingle pass, not
-    // 4) is result-identical here.
+    verifyThreshold(verifyDocs, cands, textCol, idCol, n, minJaccard)
+  }
+
+  /** Shared verify tail: exact Jaccard over a prepared candidate frame,
+    * thresholded. minJaccard > 0 ⇒ zero-overlap candidates can never
+    * survive the filter, so the overlapping-only verify (1 corpus shingle
+    * pass, not 4) is result-identical there. */
+  private def verifyThreshold(verifyDocs: DataFrame, cands: DataFrame,
+                              textCol: String, idCol: String, n: Int,
+                              minJaccard: Double): DataFrame = {
     val verified = if (minJaccard > 0)
       jaccardVerifyOverlapping(verifyDocs, cands, textCol, idCol, n)
     else jaccardVerify(verifyDocs, cands, textCol, idCol, n)
     verified.filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Managed-lifecycle form of `nearDupPairs(cacheCandidates = true)`:
+    * persists the candidate set, hands the verified pairs to `f`, and
+    * UNPERSISTS the candidate set when `f` returns — the bracket owns the
+    * cache so no persisted RDD outlives the call (the documented footgun
+    * of the flag form, which cannot know when its lazy result is done).
+    * `f` must CONSUME the pairs (collect/write/count) before returning;
+    * a frame leaked out of the bracket stays correct — Spark recomputes
+    * the unpersisted subplan — but silently loses the caching. */
+  def withNearDups[T](docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
+                      minJaccard: Double = 0.8,
+                      maxBucketSize: Int = DefaultMaxBucketSize)
+                     (f: DataFrame => T): T = {
+    val cands = lshCandidates(
+        minhashSignatures(docs, textCol, idCol, n, bands), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Same candidate-population prefilter as the cached flag form: only
+      // docs appearing in some pair are re-shingled for verification.
+      val ids = cands.select(col("id_a").as("__vid"))
+        .union(cands.select(col("id_b").as("__vid"))).distinct()
+      val verifyDocs = docs.join(ids, docs(idCol) === ids("__vid"), "left_semi")
+      f(verifyThreshold(verifyDocs, cands, textCol, idCol, n, minJaccard))
+    } finally cands.unpersist(blocking = true)
+  }
+
+  /** Full-corpus dedup in one call: the ids to KEEP after
+    *
+    *  1. exact dedup — drop all but the lowest id per content fingerprint
+    *     (catches identical docs, including shingle-less short ones the
+    *     MinHash path cannot see);
+    *  2. verified near-dup pairs — drop the LARGER id of every pair with
+    *     Jaccard ≥ `minJaccard` (chains collapse toward the smallest id);
+    *  3. hot-bucket clusters — [[lshHotBucketDrops]]' representatives-only
+    *     posture for over-cap buckets.
+    *
+    * This is the union MIGRATION.md previously told users to assemble by
+    * hand. Output: a single `idCol` column. Scale shape: all three drop
+    * sets are duplicate-sized (small relative to a deduped corpus); the
+    * final anti-join shuffles on the id — with AQE the drop side
+    * broadcast-converts when it measures small. */
+  def dedupCorpus(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
+                  minJaccard: Double = 0.8,
+                  cacheCandidates: Boolean = false,
+                  maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val pairDrops = nearDupPairs(docs, textCol, idCol, n, bands, minJaccard,
+        cacheCandidates, maxBucketSize)
+      .select(col("id_b").as("drop_id"))
+    val hotDrops = lshHotBucketDrops(
+        minhashSignatures(docs, textCol, idCol, n, bands), maxBucketSize)
+      .select(col("id").as("drop_id"))
+    val fpWin = Window.partitionBy("fp").orderBy(col(idCol).asc)
+    val exactDrops = docs
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(fpWin))
+      .filter(col("rn") > 1)
+      .select(col(idCol).as("drop_id"))
+    docs.select(col(idCol))
+      .join(exactDrops.union(pairDrops).union(hotDrops).distinct(),
+        col(idCol) === col("drop_id"), "left_anti")
   }
 
   /** Public form of the bucket cap (see [[DefaultMaxBucketSize]]): drop
@@ -332,23 +403,33 @@ object Dedup {
   def loadSignatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("id", "band", "sig")
 
+  /** Default cap on the NEW side of [[screenAgainst]]. The screen join's
+    * worst case per bucket is cap_new × cap_stored pairs landing in ONE
+    * shuffle task — at the stored side's [[DefaultMaxBucketSize]] a
+    * batch-side cap of 250 bounds that at 250k rows, half the self-join
+    * bound (≤ ~500k pairs) the bucket cap was sized for. Boilerplate-heavy
+    * ingest feeds (templated pages, license headers) routinely put a hot
+    * key on BOTH sides, which at a symmetric 1000-cap meant 10⁶-row tasks;
+    * an over-cap batch bucket is not pairwise *evidence* anyway — it is a
+    * template cluster (account with [[lshDroppedBuckets]] over the batch
+    * signatures, handle with [[lshHotBucketDrops]]). */
+  val ScreenBatchBucketCap = 250
+
   /** Screen a new batch against stored signatures: (id, stored_id,
     * n_bands) for pairs agreeing on ≥ `minBands` band signatures — the
     * at-ingest dedup signal (band-collision probability rises steeply
-    * with Jaccard). Only the NEW side is capped here; the stored side
-    * is capped once at [[saveSignatures]] time (cap raw frames with
-    * [[capBuckets]] if you bypass the store). Worst case per bucket is
-    * therefore cap_new × cap_stored pairs — a hot key present on both
-    * sides at the default cap yields up to 10⁶ rows in one task, double
-    * the self-join bound [[DefaultMaxBucketSize]] documents; lower the
-    * per-batch cap for boilerplate-heavy ingest feeds. Exact
+    * with Jaccard). Only the NEW side is capped here — at
+    * [[ScreenBatchBucketCap]], deliberately tighter than the stored
+    * side's write-time [[DefaultMaxBucketSize]] cap (see the cap's doc
+    * for the task-size arithmetic; cap raw stored frames with
+    * [[capBuckets]] if you bypass [[saveSignatures]]). Exact
     * confirmation needs the stored TEXT, which the signature store
     * deliberately does not carry: run [[jaccardVerify]] of the flagged
     * pairs against the corpus when exactness matters. */
   def screenAgainst(newDocs: DataFrame, storedSigs: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     n: Int = 3, bands: Int = 8, minBands: Int = 1,
-                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                    maxBucketSize: Int = ScreenBatchBucketCap): DataFrame = {
     require(minBands >= 1, s"minBands must be >= 1: $minBands")
     val newSigs = capBuckets(
       minhashSignatures(newDocs, textCol, idCol, n, bands), maxBucketSize)
@@ -357,6 +438,65 @@ object Dedup {
       .groupBy(col("id"), col("stored_id"))
       .agg(count(lit(1)).cast("long").as("n_bands"))
       .filter(col("n_bands") >= minBands)
+  }
+
+  /** Streaming form of the ingest screen: [[screenAgainst]] run inside a
+    * Structured Streaming `foreachBatch` against the persisted signature
+    * store — incremental ingest is inherently streaming; this wires the
+    * batch operator to the stream without changing its semantics (each
+    * micro-batch's flags ≡ a batch `screenAgainst` of that batch against
+    * the store as of the previous batch).
+    *
+    * Store layout contract: `storePath/batch=<id>/band=<b>/…` — one
+    * subdirectory per micro-batch, each written with OVERWRITE. foreachBatch
+    * is at-least-once (a crashed batch re-runs with the same id), so
+    * per-batch-id overwrite makes store growth idempotent: a retry
+    * rewrites the same files instead of appending duplicate signatures.
+    * Flagged pairs land the same way under `flaggedPath/batch=<id>`.
+    * Seed a pre-existing corpus by writing its signatures to
+    * `storePath/batch=-1` via [[saveSignatures]] and start the stream
+    * (micro-batch ids start at 0 — the seed must not collide); an
+    * unseeded store simply flags nothing on the first batch.
+    *
+    * Caps: the batch side uses [[ScreenBatchBucketCap]]; each batch's
+    * STORED signatures are capped per batch at `storeCap` write-time
+    * ([[saveSignatures]] semantics). A key hot across many small batches
+    * can therefore exceed `storeCap` in the aggregate store — the
+    * screen-time bound still holds (cap_new × actual stored membership
+    * per bucket is linear in batches, never quadratic); compact the store
+    * through [[capBuckets]] + rewrite when that drift matters. */
+  def screenedIngest(newDocs: DataFrame, storePath: String,
+                     flaggedPath: String, checkpointPath: String,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     n: Int = 3, bands: Int = 8, minBands: Int = 1,
+                     maxBucketSize: Int = ScreenBatchBucketCap,
+                     storeCap: Int = DefaultMaxBucketSize)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(newDocs.isStreaming, "screenedIngest expects a streaming DataFrame")
+    val spark = newDocs.sparkSession
+    newDocs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(storePath),
+            spark.sparkContext.hadoopConfiguration)
+          val seen = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$storePath/batch=*"))
+          // Screen BEFORE this batch's signatures join the store: a doc is
+          // flagged against prior corpus + prior batches, never itself.
+          if (seen != null && seen.nonEmpty)
+            screenAgainst(b, loadSignatures(spark, storePath),
+                textCol, idCol, n, bands, minBands, maxBucketSize)
+              .write.mode("overwrite").parquet(s"$flaggedPath/batch=$batchId")
+          capBuckets(minhashSignatures(b, textCol, idCol, n, bands), storeCap)
+            .write.partitionBy("band").mode("overwrite")
+            .parquet(s"$storePath/batch=$batchId")
+        } finally b.unpersist()
+      }
+      .start()
   }
 
   /** Benchmark decontamination: corpus documents sharing ≥ `minOverlap`

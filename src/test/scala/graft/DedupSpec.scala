@@ -203,6 +203,71 @@ class DedupSpec extends AnyFunSuite {
     assert(!drops.contains(100L) && !drops.contains(200L) && !drops.contains(1L))
   }
 
+  test("dedupCorpus unifies exact, pair, and hot-bucket drops into kept ids") {
+    // One exact-dup pair (ids 1,2 — short, shingle-less, invisible to
+    // MinHash), one near-dup pair (ids 3,4), one 15-member hot cluster
+    // (ids 100-114), one unique doc (id 5).
+    val long = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = (1 to 38).map(i => s"word$i").mkString(" ") + " tail different"
+    val boiler = (1 to 40).map(i => s"same$i").mkString(" ")
+    val docs = (Seq(
+      (1L, "hi"), (2L, "HI!"), (3L, long), (4L, near),
+      (5L, (1 to 40).map(i => s"rare$i").mkString(" "))
+    ) ++ (0 until 15).map(i => (100L + i, boiler))).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "text", "doc_id",
+        n = 3, bands = 4, minJaccard = 0.5, maxBucketSize = 10)
+      .as[Long].collect().toSet
+    // keep: 1 (min of exact cluster), 3 (min of near pair), 5, 100 (hot rep)
+    assert(kept == Set(1L, 3L, 5L, 100L))
+  }
+
+  test("withNearDups matches the flag form and unpersists the candidate set") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " x"), (3L, "unrelated other thing entirely"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val viaBracket = Dedup.withNearDups(docs, "text", "doc_id", n = 3, bands = 4,
+      minJaccard = 0.5) { pairs =>
+      val out = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // Mid-bracket (after materialization — a persisted Dataset's RDD
+      // registers on first use) the candidate set IS cached…
+      assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size)
+      out
+    }
+    // …and after the bracket nothing new survives (the flag form's leak
+    // is reclaimed only by LRU; the bracket unpersists deterministically).
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty)
+    // Run the leaking flag form LAST so its documented leak cannot be
+    // mistaken for the bracket's.
+    val viaFlag = Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4,
+      minJaccard = 0.5, cacheCandidates = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaBracket == viaFlag && viaBracket == Set((1L, 2L)))
+  }
+
+  test("screenAgainst caps boilerplate batches tighter than the stored side") {
+    val boiler = (1 to 40).map(i => s"tmpl$i").mkString(" ")
+    // Stored corpus: 5 docs of the template (under every cap).
+    val stored = (0 until 5).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    val storedSigs = Dedup.capBuckets(
+      Dedup.minhashSignatures(stored, "text", "doc_id", n = 3, bands = 4))
+    // New batch: 300 docs of the same template — over the 250 default cap,
+    // so its buckets DROP (cluster handling, not 300×5 pairwise evidence).
+    val batch = (0 until 300).map(i => (1000L + i, boiler)).toDF("doc_id", "text")
+    assert(Dedup.screenAgainst(batch, storedSigs, "text", "doc_id",
+      n = 3, bands = 4).count() == 0L)
+    // The dropped buckets are accounted, not silent.
+    val dropped = Dedup.lshDroppedBuckets(
+      Dedup.minhashSignatures(batch, "text", "doc_id", n = 3, bands = 4),
+      Dedup.ScreenBatchBucketCap)
+      .select("n_members").as[Long].collect()
+    assert(dropped.length == 4 && dropped.forall(_ == 300L))
+    // Raising the cap past the batch size restores pairwise screening.
+    assert(Dedup.screenAgainst(batch, storedSigs, "text", "doc_id",
+      n = 3, bands = 4, maxBucketSize = 400).count() == 300L * 5)
+  }
+
   test("embeddingNearDups only pairs within a block and above threshold") {
     val v1 = Array(1.0f, 0.0f)
     val v2 = Array(0.999f, 0.045f)

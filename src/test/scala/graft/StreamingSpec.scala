@@ -258,4 +258,64 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS sess_timeout")
     }
   }
+
+  test("screenedIngest flags each micro-batch against store + prior batches, ≡ batch replay") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-screen").toString
+    val staging = s"$root/in"
+    val storePath = s"$root/store"
+    val flaggedPath = s"$root/flagged"
+    val tmpl = (1 to 40).map(i => s"seed$i").mkString(" ")
+    val fresh = (1 to 40).map(i => s"new$i").mkString(" ")
+
+    // Seed the store with a pre-existing corpus (ids 1-3: one template).
+    // Seed lives at batch=-1: stream micro-batch ids start at 0.
+    val seed = Seq((1L, tmpl), (2L, (1 to 40).map(i => s"other$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"third$i").mkString(" "))).toDF("doc_id", "text")
+    Dedup.saveSignatures(seed, s"$storePath/batch=-1", "text", "doc_id", n = 3, bands = 4)
+
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(staging)
+
+    // batch 0 arrives before the stream starts: 10 = dup of seed 1, 11 fresh
+    write(Seq((10L, tmpl), (11L, fresh)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val in = spark.readStream.schema(schema).parquet(staging)
+    val q = Dedup.screenedIngest(in, storePath, flaggedPath, s"$root/ckpt",
+      "text", "doc_id", n = 3, bands = 4)
+    try {
+      q.processAllAvailable()
+      // batch 1: 20 = dup of STREAMED doc 11 (prior batch, not in seed),
+      // 21 = dup of seed 2, 22 genuinely new
+      write(Seq((20L, fresh), (21L, (1 to 40).map(i => s"other$i").mkString(" ")),
+        (22L, (1 to 40).map(i => s"brand$i").mkString(" "))))
+      q.processAllAvailable()
+
+      val flagged = spark.read.parquet(flaggedPath)
+        .select("id", "stored_id").as[(Long, Long)].collect().toSet
+      assert(flagged == Set((10L, 1L), (20L, 11L), (21L, 2L)),
+        s"unexpected flag set: $flagged")
+
+      // Stream ≡ batch replay: re-screen batch 1's docs as one batch call
+      // against the store as of batch 0 (seed + first micro-batch).
+      val batch1 = Seq((20L, fresh), (21L, (1 to 40).map(i => s"other$i").mkString(" ")),
+        (22L, (1 to 40).map(i => s"brand$i").mkString(" "))).toDF("doc_id", "text")
+      val replay = Dedup.screenAgainst(batch1,
+          Dedup.loadSignatures(spark, s"$storePath/batch=-1")
+            .unionByName(Dedup.loadSignatures(spark, s"$storePath/batch=0")),
+          "text", "doc_id", n = 3, bands = 4)
+        .select("id", "stored_id").as[(Long, Long)].collect().toSet
+      assert(replay == Set((20L, 11L), (21L, 2L)))
+
+      // Idempotent store layout: batch dirs, each partitioned by band.
+      val dirs = new java.io.File(storePath).list().toSet
+      assert(dirs.contains("batch=-1") && dirs.contains("batch=0") &&
+        dirs.contains("batch=1"))
+    } finally {
+      q.stop()
+    }
+  }
 }
