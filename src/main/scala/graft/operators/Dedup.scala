@@ -361,12 +361,40 @@ object Dedup {
                   cacheCandidates: Boolean = false,
                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val pairDrops = nearDupPairs(docs, textCol, idCol, n, bands, minJaccard,
-        cacheCandidates, maxBucketSize)
+    // ONE bucket-stats pass feeds BOTH the candidate join (buckets ≤ cap)
+    // and the hot-cluster drops (buckets > cap): count + min computed in
+    // the same window over (band, sig), so every consumer hangs off one
+    // identical exchange that Spark's ReuseExchange materializes once —
+    // the separate dropOverflow-window + hot-groupBy form re-derived the
+    // signatures (= re-scanned the corpus TEXT) once per consumer.
+    val sigs0 = minhashSignatures(docs, textCol, idCol, n, bands)
+    val sigs = if (cacheCandidates)
+      sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigs0
+    val bw = Window.partitionBy("band", "sig")
+    val stats = sigs
+      .withColumn("__bn", count(lit(1)).over(bw))
+      .withColumn("__rep", min("id").over(bw))
+    val inCap = stats.filter(col("__bn") <= maxBucketSize)
+    val cands0 = inCap.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(inCap.select(col("band"), col("sig"), col("id").as("id_b")),
+        Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val cands = if (cacheCandidates)
+      cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cands0
+    val verifyDocs = if (cacheCandidates) {
+      // Same candidate-population prefilter as nearDupPairs' cached form.
+      val ids = cands.select(col("id_a").as("__vid"))
+        .union(cands.select(col("id_b").as("__vid"))).distinct()
+      docs.join(ids, docs(idCol) === ids("__vid"), "left_semi")
+    } else docs
+    val pairDrops = verifyThreshold(verifyDocs, cands, textCol, idCol, n, minJaccard)
       .select(col("id_b").as("drop_id"))
-    val hotDrops = lshHotBucketDrops(
-        minhashSignatures(docs, textCol, idCol, n, bands), maxBucketSize)
-      .select(col("id").as("drop_id"))
+    val hotDrops = stats
+      .filter(col("__bn") > maxBucketSize && col("id") =!= col("__rep"))
+      .select(col("id").as("drop_id")).distinct()
     val fpWin = Window.partitionBy("fp").orderBy(col(idCol).asc)
     val exactDrops = docs
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
