@@ -442,6 +442,11 @@ object ScaleProbe {
     timeWarm("minhash nearDupPairs (cached candidates)")(
       Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4,
         minJaccard = 0.15, cacheCandidates = true).count())
+    // End-to-end kept-ids union (exact + pairs + hot clusters) — the
+    // round-7 one-call API; cached form persists sigs + candidates.
+    timeWarm("dedupCorpus (cached)")(
+      Dedup.dedupCorpus(docs, "text", "doc_id", n = 3, bands = 4,
+        minJaccard = 0.15, cacheCandidates = true).count())
     // Training-data hygiene over the same corpus: decontamination against
     // a 1% eval set (broadcast probe — corpus text never shuffled),
     // per-shard token packing, and split assignment (scan predicates).
