@@ -428,9 +428,16 @@ object ScaleProbe {
 
     def timeWarm(name: String)(f: => Long): Unit = {
       f // one warmup (page cache + codegen); dedup jobs are multi-stage
+      // Drop cache entries the warmup leaked (cacheCandidates persists are
+      // reclaimed only by LRU): each call builds NEW frames, so the timed
+      // run never reuses the warmup's entries — but their dead weight
+      // squeezes execution memory and makes the verify SMJ spill, which
+      // measured as 2-3x run-to-run swings on the cached ops.
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime(); val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $name: $sec%.2f s warm, $rows rows out (${n / sec / 1e6}%.2f M docs/s)")
+      spark.sharedState.cacheManager.clearCache()
     }
     timeWarm("exactDedup")(
       Dedup.exactDedup(docs, "text", "doc_id").count())
