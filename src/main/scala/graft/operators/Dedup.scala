@@ -354,7 +354,15 @@ object Dedup {
     * hand. Output: a single `idCol` column. Scale shape: all three drop
     * sets are duplicate-sized (small relative to a deduped corpus); the
     * final anti-join shuffles on the id — with AQE the drop side
-    * broadcast-converts when it measures small. */
+    * broadcast-converts when it measures small.
+    *
+    * `cacheCandidates = true` persists the signature frame AND the
+    * candidate set for the verify joins (the at-scale setting — the
+    * uncached form re-evaluates the candidate subplan per verify
+    * consumer). Same lifecycle caveat as `nearDupPairs`: the persists are
+    * reclaimed only by block-manager LRU, because the returned frame is
+    * lazy; a long-lived driver should consume the result promptly or use
+    * [[withNearDups]]-style composition and own the caching. */
   def dedupCorpus(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
                   minJaccard: Double = 0.8,

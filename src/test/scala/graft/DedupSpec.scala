@@ -219,6 +219,12 @@ class DedupSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     // keep: 1 (min of exact cluster), 3 (min of near pair), 5, 100 (hot rep)
     assert(kept == Set(1L, 3L, 5L, 100L))
+    // The cached (at-scale) form is result-identical.
+    val keptCached = Dedup.dedupCorpus(docs, "text", "doc_id",
+        n = 3, bands = 4, minJaccard = 0.5, maxBucketSize = 10,
+        cacheCandidates = true)
+      .as[Long].collect().toSet
+    assert(keptCached == kept)
   }
 
   test("withNearDups matches the flag form and unpersists the candidate set") {
