@@ -227,6 +227,25 @@ class DedupSpec extends AnyFunSuite {
     assert(keptCached == kept)
   }
 
+  test("dedupCorpus plan: equality joins only, anti-join present, one window family") {
+    val docs = (0 until 64).map(i =>
+      (i.toLong, (1 to 30).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val plan = Dedup.dedupCorpus(docs, "text", "doc_id", n = 3, bands = 4)
+      .queryExecution.executedPlan.toString
+    // Never all-pairs: the candidate self-join and the final kept-ids join
+    // must be equality joins (hash or sort-merge), not nested-loop.
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("LeftAnti"), "kept-ids must come from an anti-join")
+    // Fused bucket stats: count + min are computed in the SAME window
+    // spec (one Window node per subtree occurrence carries both), never a
+    // separate aggregate + window pair over the signature frame.
+    val windowLines = plan.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(l => l.contains("count(") && l.contains("min(")),
+      s"bucket count+min must share one window node:\n${windowLines.mkString("\n")}")
+  }
+
   test("withNearDups matches the flag form and unpersists the candidate set") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base + " x"), (3L, "unrelated other thing entirely"))
