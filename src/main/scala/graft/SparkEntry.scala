@@ -1914,6 +1914,32 @@ object SparkEntry {
       |WHERE drops.drop_id IS NULL
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Dedup audit ledger (`Dedup.dedupLedger`): q58's drop set with
+    * per-mechanism attribution — (drop_id, reason ∈ {exact, pair, hot}),
+    * one row per mechanism that fired for the doc. */
+  private def q59DedupLedger(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit(q50Boiler + " tail "), col("doc_id"))).otherwise(col("text")))
+    Dedup.dedupLedger(docs, "text", "doc_id",
+        n = 3, bands = 4, minJaccard = 0.15, maxBucketSize = 10)
+      .orderBy("drop_id", "reason")
+  }
+
+  private val q59Sql = {
+    // Same CTE chain as q58 up to the three drop sets; emit attribution
+    // instead of anti-joining.
+    val prefix = q58Sql.substring(0, q58Sql.indexOf("\ndrops AS (") + 1)
+    s"""${prefix}ledger AS (
+      |  SELECT drop_id, 'exact' AS reason FROM exactdrops
+      |  UNION ALL SELECT drop_id, 'pair' FROM pairdrops
+      |  UNION ALL SELECT drop_id, 'hot' FROM hotdrops)
+      |SELECT DISTINCT drop_id, reason FROM ledger
+      |ORDER BY drop_id, reason""".stripMargin
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1975,6 +2001,7 @@ object SparkEntry {
     "q56_ingest_screen" -> (q56IngestScreen _),
     "q57_mix_sample" -> (q57MixSample _),
     "q58_dedup_corpus" -> (q58DedupCorpus _),
+    "q59_dedup_ledger" -> (q59DedupLedger _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2034,6 +2061,7 @@ object SparkEntry {
     "q56_ingest_screen" -> q56Sql,
     "q57_mix_sample" -> q57Sql,
     "q58_dedup_corpus" -> q58Sql,
+    "q59_dedup_ledger" -> q59Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -368,6 +368,38 @@ object Dedup {
                   minJaccard: Double = 0.8,
                   cacheCandidates: Boolean = false,
                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val (exactDrops, pairDrops, hotDrops) = dropSets(docs, textCol, idCol,
+      n, bands, minJaccard, cacheCandidates, maxBucketSize)
+    docs.select(col(idCol))
+      .join(exactDrops.union(pairDrops).union(hotDrops).distinct(),
+        col(idCol) === col("drop_id"), "left_anti")
+  }
+
+  /** Audit ledger for [[dedupCorpus]]: every (drop_id, reason) with
+    * reason ∈ {exact, pair, hot} — a doc dropped by several mechanisms
+    * appears once per mechanism. This is the artifact an operations
+    * review wants next to the kept corpus: WHY each document left,
+    * attributable and re-joinable against the raw corpus. Same plan
+    * shape/cost as [[dedupCorpus]] minus the final anti-join. */
+  def dedupLedger(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
+                  minJaccard: Double = 0.8,
+                  cacheCandidates: Boolean = false,
+                  maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val (exactDrops, pairDrops, hotDrops) = dropSets(docs, textCol, idCol,
+      n, bands, minJaccard, cacheCandidates, maxBucketSize)
+    exactDrops.withColumn("reason", lit("exact"))
+      .union(pairDrops.withColumn("reason", lit("pair")))
+      .union(hotDrops.withColumn("reason", lit("hot")))
+      .distinct()
+  }
+
+  /** The three drop sets behind [[dedupCorpus]] / [[dedupLedger]], each a
+    * single `drop_id` column. */
+  private def dropSets(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int, bands: Int, minJaccard: Double,
+                       cacheCandidates: Boolean, maxBucketSize: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     GraftFunctions.register(docs.sparkSession)
     // ONE bucket-stats pass feeds BOTH the candidate join (buckets ≤ cap)
     // and the hot-cluster drops (buckets > cap): count + min computed in
@@ -409,9 +441,7 @@ object Dedup {
       .withColumn("rn", row_number().over(fpWin))
       .filter(col("rn") > 1)
       .select(col(idCol).as("drop_id"))
-    docs.select(col(idCol))
-      .join(exactDrops.union(pairDrops).union(hotDrops).distinct(),
-        col(idCol) === col("drop_id"), "left_anti")
+    (exactDrops, pairDrops, hotDrops)
   }
 
   /** Public form of the bucket cap (see [[DefaultMaxBucketSize]]): drop

@@ -225,6 +225,18 @@ class DedupSpec extends AnyFunSuite {
         cacheCandidates = true)
       .as[Long].collect().toSet
     assert(keptCached == kept)
+    // The ledger attributes every drop; ledger ids ∪ kept ids = corpus.
+    val ledger = Dedup.dedupLedger(docs, "text", "doc_id",
+        n = 3, bands = 4, minJaccard = 0.5, maxBucketSize = 10)
+      .as[(Long, String)].collect().toSet
+    assert(ledger.contains((2L, "exact")))        // dup of 1
+    assert(ledger.contains((4L, "pair")))         // near-dup of 3
+    assert((101L to 114L).forall(i =>
+      ledger.contains((i, "hot")) || ledger.contains((i, "exact"))))
+    val droppedIds = ledger.map(_._1)
+    assert(droppedIds.intersect(kept).isEmpty)
+    assert(droppedIds ++ kept ==
+      docs.select("doc_id").as[Long].collect().toSet)
   }
 
   test("dedupCorpus plan: equality joins only, anti-join present, one window family") {
