@@ -172,4 +172,165 @@ object Chunker {
   /** Chunk-header projection (P4, `chunk_text_files.py:337-344`). */
   def withHeader(filename: String, chunkIndex: Int, c: Chunk): String =
     s"Lähdetiedosto: $filename | Lohko: ${chunkIndex + 1} | Rivit: ${c.startLine}-${c.endLine}\n${c.text}"
+
+  // ======================================================================
+  // Reference byte-parity mode
+  // ======================================================================
+
+  /** Byte-parity twin of the reference chunker (`preprocessing/
+    * chunk_text_files.py:162-275` regular, `:85-160` conversational,
+    * `:44-50` sentences, `:59-84` line attribution): the SAME fold, the
+    * SAME boundary placement, the SAME overlap-counts-against-capacity
+    * semantics, and the same substring-scan line attribution — including
+    * its contractual quirks (the unstripped tail merge at `:236`, the
+    * first-matching-line scan that mis-attributes repeated prefixes).
+    *
+    * [[chunk]] stays the default (graft's order-robust fold; deviation
+    * rationale at the top of this file). Migrating pipelines that must
+    * reproduce the reference's chunk boundaries byte-for-byte select this
+    * mode. Verified chunk-for-chunk (md5 + line spans) against the
+    * reference IMPLEMENTATION itself over 580 corpus-derived cases —
+    * ChunkerParitySpec + `scripts/gen_chunk_parity_fixture.py` (which
+    * imports the reference module, never a reimplementation). The corpus
+    * is ASCII; Python/JVM whitespace semantics agree on ASCII, so
+    * `Character.isWhitespace`-based strip is exact here. */
+  def chunkParity(text: String): Seq[Chunk] =
+    if (text == null || pyStrip(text).isEmpty) Seq.empty
+    else if (isConversational(text)) parityConversational(text)
+    else parityRegular(text)
+
+  /** Python `str.strip()` (exact for ASCII; see [[chunkParity]] note). */
+  private def pyStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && Character.isWhitespace(s.charAt(a))) a += 1
+    while (b > a && Character.isWhitespace(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
+  /** `find_line_positions` (`chunk_text_files.py:59-84`): scan for the
+    * first nonempty line CONTAINING the chunk's first stripped line; end =
+    * start + chunk line count − 1. Reproduced as-is, quirks included. */
+  private def parityLinePositions(text: String, chunkText: String): (Int, Int) = {
+    val lines = text.split("\n", -1)
+    val chunkLines = chunkText.split("\n", -1)
+    val first = pyStrip(chunkLines.head)
+    var startLine = 1
+    var i = 0
+    var found = false
+    while (i < lines.length && !found) {
+      val lt = pyStrip(lines(i))
+      if (lt.contains(first) && lt.nonEmpty) { startLine = i + 1; found = true }
+      i += 1
+    }
+    (startLine, startLine + chunkLines.length - 1)
+  }
+
+  /** `create_regular_chunks` (`:191-275`). */
+  private def parityRegular(text: String): Seq[Chunk] = {
+    val chunks = ArrayBuffer.empty[Chunk]
+    var current = ""
+    text.split("\n\n", -1).foreach { p0 =>
+      val p = pyStrip(p0)
+      if (p.nonEmpty) {
+        if (current.nonEmpty && (current + "\n\n" + p).length > MaxChunkChars) {
+          if (current.length >= MinChunkChars) {
+            val st = pyStrip(current)
+            val (s, e) = parityLinePositions(text, st)
+            chunks += Chunk(st, s, e)
+            // Overlap folds INTO the next chunk and counts against its
+            // capacity (`:223`) — the deliberate deviation in [[chunk]].
+            current = current.takeRight(OverlapChars) + "\n\n" + p
+          } else current = current + "\n\n" + p
+        } else current = if (current.nonEmpty) current + "\n\n" + p else p
+      }
+    }
+    if (pyStrip(current).nonEmpty) {
+      if (current.length < MinChunkChars && chunks.nonEmpty) {
+        // Tail merge keeps `current` UNSTRIPPED (`:236-239`).
+        val last = chunks.last
+        val merged = last.text + "\n\n" + current
+        val (_, endLine) = parityLinePositions(text, merged)
+        chunks(chunks.length - 1) = Chunk(merged, last.startLine, endLine)
+      } else {
+        val st = pyStrip(current)
+        val (s, e) = parityLinePositions(text, st)
+        chunks += Chunk(st, s, e)
+      }
+    }
+    // Oversized chunks sentence-split AFTER packing, joined with " "
+    // (`:247-271`); positions re-resolved against the ORIGINAL text.
+    chunks.toSeq.flatMap { c =>
+      if (c.text.length <= MaxChunkChars) Seq(c)
+      else {
+        val out = ArrayBuffer.empty[Chunk]
+        var sub = ""
+        splitSentences(c.text).foreach { sen =>
+          if (sub.nonEmpty && (sub + " " + sen).length > MaxChunkChars) {
+            if (sub.length >= MinChunkChars) {
+              val st = pyStrip(sub)
+              val (s, e) = parityLinePositions(text, st)
+              out += Chunk(st, s, e)
+              sub = sen
+            } else sub = sub + " " + sen
+          } else sub = if (sub.nonEmpty) sub + " " + sen else sen
+        }
+        if (pyStrip(sub).nonEmpty) {
+          val st = pyStrip(sub)
+          val (s, e) = parityLinePositions(text, st)
+          out += Chunk(st, s, e)
+        }
+        out.toSeq
+      }
+    }
+  }
+
+  /** `create_conversational_chunks` (`:85-160`), overlap_turns = 1. */
+  private def parityConversational(text: String): Seq[Chunk] = {
+    val turns = java.util.regex.Pattern.compile("(?m)(?=(?:^|\\s)[KV]:)")
+      .split(text, -1).iterator.map(pyStrip).filter(_.nonEmpty).toArray
+    if (turns.isEmpty) {
+      val (s, e) = parityLinePositions(text, text)
+      return Seq(Chunk(text, s, e)) // unstripped fallback (`:110`)
+    }
+    val chunks = ArrayBuffer.empty[Chunk]
+    var current = ""
+    var currentSize = 0
+    var i = 0
+    while (i < turns.length) {
+      val turn = turns(i)
+      // Size check ignores the joiner (`:118`) — reference semantics.
+      if (currentSize + turn.length > MaxChunkChars && current.nonEmpty) {
+        if (currentSize >= MinChunkChars) {
+          val st = pyStrip(current)
+          val (s, e) = parityLinePositions(text, st)
+          chunks += Chunk(st, s, e)
+          if (i > 0) {
+            current = turns(i - 1) + "\n\n" + turn
+            currentSize = current.length
+          } else { current = turn; currentSize = turn.length }
+        } else {
+          current = if (current.nonEmpty) current + "\n\n" + turn else turn
+          currentSize = current.length
+        }
+      } else {
+        current = if (current.nonEmpty) current + "\n\n" + turn else turn
+        currentSize = current.length
+      }
+      i += 1
+    }
+    if (pyStrip(current).nonEmpty) {
+      if (current.length < MinChunkChars && chunks.nonEmpty) {
+        val last = chunks.last
+        val merged = last.text + "\n\n" + current
+        val (_, endLine) = parityLinePositions(text, merged)
+        chunks(chunks.length - 1) = Chunk(merged, last.startLine, endLine)
+      } else {
+        val st = pyStrip(current)
+        val (s, e) = parityLinePositions(text, st)
+        chunks += Chunk(st, s, e)
+      }
+    }
+    chunks.toSeq
+  }
 }

@@ -27,17 +27,25 @@ object TextIngest {
 
   /** Chunk + embed documents into the canonical corpus schema
     * (FIXTURES.md §1). `flatMap` keeps the chunker a typed generator;
-    * embedding and doc_id assignment stay columnar. */
+    * embedding and doc_id assignment stay columnar.
+    *
+    * `referenceParity = true` chunks with [[Chunker.chunkParity]] — chunk
+    * boundaries byte-identical to the reference implementation's (the
+    * migration mode; default stays graft's order-robust fold, see the
+    * deviation rationale in `Chunker.scala`). */
   def buildCorpus(docs: DataFrame, textCol: String = "content",
-                  filenameCol: String = "filename", dim: Int = 64): DataFrame = {
+                  filenameCol: String = "filename", dim: Int = 64,
+                  referenceParity: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
+    val chunker: String => Seq[Chunker.Chunk] =
+      if (referenceParity) Chunker.chunkParity else Chunker.chunk
     val chunked = docs
       .select(col(filenameCol).as("filename"), col(textCol).as("content"))
       .as[(String, String)]
       .flatMap { case (filename, content) =>
-        Chunker.chunk(content).zipWithIndex.map { case (c, i) =>
+        chunker(content).zipWithIndex.map { case (c, i) =>
           (filename, i, c.text, c.startLine, c.endLine)
         }
       }
