@@ -1940,6 +1940,49 @@ object SparkEntry {
       |ORDER BY drop_id, reason""".stripMargin
   }
 
+  /** Gopher duplicate-line signals (`TextAnalysis.dupLineStats`): docs are
+    * synthesized into 4-line texts with a planted repeat (text, its first
+    * 60 chars, text again, a unique tail) — docs ≤ 60 chars collapse line
+    * 2 into the repeat, so both engines must agree on the distinct-set
+    * arithmetic, not just the happy path. */
+  private def q60DupLines(s: SparkSession, dir: String): DataFrame = {
+    val lined = t(s, dir, "documents").withColumn("t2",
+      concat_ws("\n", col("text"), substring(col("text"), 1, 60), col("text"),
+        concat(lit("unique "), col("doc_id"))))
+    lined.select(col("doc_id"), TextAnalysis.dupLineStats(col("t2")).as("d"))
+      .select(col("doc_id"),
+        col("d.n_lines").as("n_lines"), col("d.n_unique").as("n_unique"),
+        col("d.dup_line_frac").as("dup_line_frac"),
+        col("d.dup_char_frac").as("dup_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val q60Sql =
+    """WITH lined AS (
+      |  SELECT doc_id,
+      |    concat_ws(chr(10), text, substr(text, 1, 60), text,
+      |              'unique ' || doc_id) AS t2
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split(t2, chr(10)), x -> trim(x)),
+      |                x -> len(x) > 0) AS ls
+      |  FROM lined),
+      |c AS (SELECT doc_id, ls, list_distinct(ls) AS u FROM l),
+      |m AS (
+      |  SELECT doc_id, len(ls) AS nl, len(u) AS nu,
+      |    coalesce(list_sum(list_transform(ls, x -> len(x))), 0) AS total,
+      |    coalesce(list_sum(list_transform(u, x -> len(x))), 0) AS utotal
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(nl AS BIGINT) AS n_lines,
+      |  CAST(nu AS BIGINT) AS n_unique,
+      |  CASE WHEN nl = 0 THEN 0.0
+      |       ELSE round(CAST(nl - nu AS DOUBLE) / nl, 4) END AS dup_line_frac,
+      |  CASE WHEN total = 0 THEN 0.0
+      |       ELSE round(CAST(total - utotal AS DOUBLE) / total, 4) END AS dup_char_frac
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2002,6 +2045,7 @@ object SparkEntry {
     "q57_mix_sample" -> (q57MixSample _),
     "q58_dedup_corpus" -> (q58DedupCorpus _),
     "q59_dedup_ledger" -> (q59DedupLedger _),
+    "q60_dup_lines" -> (q60DupLines _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2062,6 +2106,7 @@ object SparkEntry {
     "q57_mix_sample" -> q57Sql,
     "q58_dedup_corpus" -> q58Sql,
     "q59_dedup_ledger" -> q59Sql,
+    "q60_dup_lines" -> q60Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

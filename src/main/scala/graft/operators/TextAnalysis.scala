@@ -58,6 +58,33 @@ object TextAnalysis {
     greatest(n - 1, lit(0)).cast("long")
   }
 
+  /** Gopher-family duplicate-LINE signals, per document: struct of
+    * `n_lines`, `n_unique` (distinct non-empty trimmed lines),
+    * `dup_line_frac` = (n_lines − n_unique) / n_lines, and
+    * `dup_char_frac` = character mass of the repeat instances over total
+    * line characters. Like [[topBigramFraction]], a pure per-row fold
+    * (split → distinct → two char sums) — no explode, no shuffle; a
+    * per-doc statistic must not cost a corpus-wide exchange at 100 TB.
+    * Docs with no non-empty lines → zeros. */
+  def dupLineStats(text: Column): Column = {
+    val lines = filter(
+      transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val uniq = array_distinct(lines)
+    val nL = size(lines)
+    val nU = size(uniq)
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val total = charSum(lines)
+    val dupChars = total - charSum(uniq)
+    struct(
+      nL.cast("long").as("n_lines"),
+      nU.cast("long").as("n_unique"),
+      when(nL <= 0, lit(0.0))
+        .otherwise(round((nL - nU).cast("double") / nL, 4)).as("dup_line_frac"),
+      when(total <= 0, lit(0.0))
+        .otherwise(round(dupChars.cast("double") / total, 4)).as("dup_char_frac"))
+  }
+
   /** PII patterns for corpus scrubbing: (name, regex, replacement).
     * Patterns deliberately use only the regex subset Java
     * (`regexp_replace` codegen) and RE2 (DuckDB, Go, Rust engines)

@@ -103,6 +103,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("dupLineStats counts repeated lines and their character mass") {
+    import org.apache.spark.sql.functions.col
+    def stats(text: String): (Long, Long, Double, Double) = {
+      val r = Seq(text).toDF("text")
+        .select(TextAnalysis.dupLineStats(col("text")).as("d"))
+        .select("d.n_lines", "d.n_unique", "d.dup_line_frac", "d.dup_char_frac")
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    // "aaaa" twice + "bb": 3 lines, 2 unique, 1/3 dup lines,
+    // dup chars = 4 of 10.
+    assert(stats("aaaa\nbb\naaaa") == ((3L, 2L, 0.3333, 0.4)))
+    // blank/whitespace lines don't count
+    assert(stats("x\n\n   \nx") == ((2L, 1L, 0.5, 0.5)))
+    // all distinct -> zeros
+    assert(stats("a\nb\nc") == ((3L, 3L, 0.0, 0.0)))
+    // no non-empty lines -> zeros, no division blowup
+    assert(stats("  \n ") == ((0L, 0L, 0.0, 0.0)))
+  }
+
   test("analyze attaches all columns") {
     val df = TextAnalysis.analyze(Seq((1L, "the small test text")).toDF("doc_id", "text"))
     val cols = df.columns.toSet
