@@ -1983,6 +1983,46 @@ object SparkEntry {
       |       ELSE round(CAST(total - utotal AS DOUBLE) / total, 4) END AS dup_char_frac
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Domain-blocklist screening (`TextAnalysis.flaggedByDomainBlocklist`):
+    * URLs injected deterministically (the corpus has none of its own — the
+    * q54 idiom), hosts extracted/lowercased per row, flagged against a
+    * broadcast blocklist. Mixed-case host + an unblocked co-occurring
+    * domain keep the lowering and the per-domain match honest. */
+  private def q61DomainFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withUrls = t(s, dir, "documents").withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" see https://spam-mill.example/page"),
+          col("doc_id").cast("string")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" via http://Ads.Tracker.NET/x and https://ok-site.org/a")))
+        .otherwise(col("text")))
+    val blocklist = Seq("spam-mill.example", "ads.tracker.net").toDF("domain")
+    TextAnalysis.flaggedByDomainBlocklist(withUrls, blocklist)
+      .select(col("doc_id"), col("domain"))
+      .orderBy("doc_id", "domain")
+  }
+
+  private val q61Sql =
+    """WITH injected AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |           THEN text || ' see https://spam-mill.example/page' || doc_id
+      |         WHEN doc_id % 7 = 0
+      |           THEN text || ' via http://Ads.Tracker.NET/x and https://ok-site.org/a'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1),
+      |      x -> lower(x))) AS hosts
+      |  FROM injected),
+      |b(domain) AS (VALUES ('spam-mill.example'), ('ads.tracker.net'))
+      |SELECT doc_id, domain FROM d JOIN b ON list_contains(d.hosts, b.domain)
+      |ORDER BY doc_id, domain""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2046,6 +2086,7 @@ object SparkEntry {
     "q58_dedup_corpus" -> (q58DedupCorpus _),
     "q59_dedup_ledger" -> (q59DedupLedger _),
     "q60_dup_lines" -> (q60DupLines _),
+    "q61_domain_filter" -> (q61DomainFilter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2107,6 +2148,7 @@ object SparkEntry {
     "q58_dedup_corpus" -> q58Sql,
     "q59_dedup_ledger" -> q59Sql,
     "q60_dup_lines" -> q60Sql,
+    "q61_domain_filter" -> q61Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

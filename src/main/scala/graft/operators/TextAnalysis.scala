@@ -58,6 +58,44 @@ object TextAnalysis {
     greatest(n - 1, lit(0)).cast("long")
   }
 
+  /** URL host extraction, per document: distinct lowercased hosts of all
+    * `http(s)://` URLs in the text, as an array column. The pattern stays
+    * in the Java∩RE2 subset (char classes only — same cross-engine
+    * contract as the PII patterns). Pure per-row work; no shuffle. */
+  def extractDomains(text: Column): Column =
+    array_distinct(transform(
+      regexp_extract_all(text, lit("https?://([A-Za-z0-9.-]+)"), lit(1)),
+      d => lower(d)))
+
+  /** Domain-blocklist filter: docs whose text links to NO blocklisted
+    * host. Hosts are projected ONCE per row (a join-condition
+    * `extractDomains` would re-run the regex per blocklist entry), then a
+    * broadcast LEFT ANTI nested-loop join checks membership — the corpus
+    * is scanned once and never shuffled. The per-doc check is linear in
+    * the blocklist, so this form is for operational blocklists (up to
+    * ~10⁴ domains); a corpus screen against a HUGE list should take
+    * [[flaggedByDomainBlocklist]] (broadcast hash join) and anti-join its
+    * ids. `blocklist` needs a `domain` column. */
+  def filterByDomainBlocklist(docs: DataFrame, blocklist: DataFrame,
+                              textCol: String = "text"): DataFrame =
+    docs.withColumn("__hosts", extractDomains(col(textCol)))
+      .join(
+        broadcast(blocklist.select(lower(col("domain")).as("__bad"))),
+        array_contains(col("__hosts"), col("__bad")),
+        "left_anti")
+      .drop("__hosts")
+
+  /** Complement of [[filterByDomainBlocklist]]: (docs columns…, matched
+    * blocklisted `domain`) — one row per (doc, matched distinct domain).
+    * Shape: explode the per-row host array, broadcast HASH equi-join the
+    * blocklist — O(1) membership per host, so this side scales to
+    * millions of blocklist entries. */
+  def flaggedByDomainBlocklist(docs: DataFrame, blocklist: DataFrame,
+                               textCol: String = "text"): DataFrame =
+    docs.withColumn("domain", explode(extractDomains(col(textCol))))
+      .join(broadcast(blocklist.select(lower(col("domain")).as("domain"))),
+        "domain")
+
   /** Gopher-family duplicate-LINE signals, per document: struct of
     * `n_lines`, `n_unique` (distinct non-empty trimmed lines),
     * `dup_line_frac` = (n_lines − n_unique) / n_lines, and

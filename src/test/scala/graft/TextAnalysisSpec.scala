@@ -103,6 +103,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("domain blocklist: extraction, case-folding, filter/flag duality") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "plain text, no urls"),
+      (2L, "see https://Bad.Example.com/x and http://good.org/y"),
+      (3L, "twice https://bad.example.com/a https://bad.example.com/b"),
+      (4L, "http://good.org/only")
+    ).toDF("doc_id", "text")
+    val block = Seq("bad.example.com").toDF("domain")
+
+    val hosts = docs.filter(col("doc_id") === 2)
+      .select(TextAnalysis.extractDomains(col("text")))
+      .collect()(0).getSeq[String](0).toSet
+    assert(hosts == Set("bad.example.com", "good.org"))
+
+    val kept = TextAnalysis.filterByDomainBlocklist(docs, block)
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = TextAnalysis.flaggedByDomainBlocklist(docs, block)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+    assert(flagged == Set(2L, 3L))         // distinct hosts: 3 flags once
+    assert(TextAnalysis.flaggedByDomainBlocklist(docs, block).count() == 2L)
+
+    // Plans: both sides broadcast — the corpus is never shuffled for a
+    // screening pass; the flag side must be the HASH join (scales to
+    // huge blocklists), the filter side the anti nested-loop.
+    val flagPlan = TextAnalysis.flaggedByDomainBlocklist(docs, block)
+      .queryExecution.executedPlan.toString
+    assert(flagPlan.contains("BroadcastHashJoin"), s"flag side must hash-join:\n$flagPlan")
+    val filterPlan = TextAnalysis.filterByDomainBlocklist(docs, block)
+      .queryExecution.executedPlan.toString
+    assert(filterPlan.contains("BroadcastNestedLoopJoin"),
+      s"filter side must broadcast:\n$filterPlan")
+    Seq(flagPlan, filterPlan).foreach { p =>
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    }
+  }
+
   test("dupLineStats counts repeated lines and their character mass") {
     import org.apache.spark.sql.functions.col
     def stats(text: String): (Long, Long, Double, Double) = {
