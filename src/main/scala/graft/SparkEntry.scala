@@ -1779,7 +1779,8 @@ object SparkEntry {
     val storedSigs = Dedup.capBuckets(Dedup.minhashSignatures(
       withCut.filter(col("doc_id") <= col("cut")), "text", "doc_id", 3, 4))
     Dedup.screenAgainst(withCut.filter(col("doc_id") > col("cut")), storedSigs,
-        "text", "doc_id", n = 3, bands = 4)
+        "text", "doc_id", n = 3, bands = 4,
+        maxBucketSize = Dedup.ScreenBatchBucketCap)
       .orderBy("id", "stored_id")
   }
 
@@ -1860,7 +1861,13 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  private val q58Sql =
+  /** Shared CTE chain for q58/q59 (docs2 → shingles → band signatures →
+    * the three drop sets), ending after `exactdrops` with a trailing
+    * comma + newline so each consumer appends exactly one more CTE. A
+    * named constant instead of q59 string-slicing q58: an `indexOf` miss
+    * after an innocent q58 edit would have yielded garbage SQL that
+    * fails only at the driver. */
+  private val q58q59DropCtes =
     s"""WITH docs2 AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 7 = 0 THEN '$q50Boiler tail ' || doc_id
@@ -1904,7 +1911,13 @@ object SparkEntry {
       |  SELECT doc_id AS drop_id FROM (
       |    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
       |    FROM fps) WHERE rn > 1),
-      |drops AS (
+      |""".stripMargin
+
+  require(q58q59DropCtes.endsWith("WHERE rn > 1),\n"),
+    "q58/q59 shared CTE prefix must end after exactdrops, ready for one more CTE")
+
+  private val q58Sql =
+    s"""${q58q59DropCtes}drops AS (
       |  SELECT DISTINCT drop_id FROM (
       |    SELECT drop_id FROM exactdrops
       |    UNION ALL SELECT drop_id FROM pairdrops
@@ -1929,10 +1942,9 @@ object SparkEntry {
   }
 
   private val q59Sql = {
-    // Same CTE chain as q58 up to the three drop sets; emit attribution
-    // instead of anti-joining.
-    val prefix = q58Sql.substring(0, q58Sql.indexOf("\ndrops AS (") + 1)
-    s"""${prefix}ledger AS (
+    // Same CTE chain as q58 up to the three drop sets ([[q58q59DropCtes]]);
+    // emit attribution instead of anti-joining.
+    s"""${q58q59DropCtes}ledger AS (
       |  SELECT drop_id, 'exact' AS reason FROM exactdrops
       |  UNION ALL SELECT drop_id, 'pair' FROM pairdrops
       |  UNION ALL SELECT drop_id, 'hot' FROM hotdrops)

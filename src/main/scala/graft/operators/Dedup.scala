@@ -469,7 +469,10 @@ object Dedup {
   def loadSignatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("id", "band", "sig")
 
-  /** Default cap on the NEW side of [[screenAgainst]]. The screen join's
+  /** The batch-side cap [[screenedIngest]] passes to [[screenAgainst]]
+    * (NOT screenAgainst's own default — that stays at
+    * [[DefaultMaxBucketSize]] so direct callers' recall is unchanged;
+    * the ingest stream opts into the tighter bound). The screen join's
     * worst case per bucket is cap_new × cap_stored pairs landing in ONE
     * shuffle task — at the stored side's [[DefaultMaxBucketSize]] a
     * batch-side cap of 250 bounds that at 250k rows, half the self-join
@@ -484,18 +487,22 @@ object Dedup {
   /** Screen a new batch against stored signatures: (id, stored_id,
     * n_bands) for pairs agreeing on ≥ `minBands` band signatures — the
     * at-ingest dedup signal (band-collision probability rises steeply
-    * with Jaccard). Only the NEW side is capped here — at
-    * [[ScreenBatchBucketCap]], deliberately tighter than the stored
-    * side's write-time [[DefaultMaxBucketSize]] cap (see the cap's doc
-    * for the task-size arithmetic; cap raw stored frames with
-    * [[capBuckets]] if you bypass [[saveSignatures]]). Exact
-    * confirmation needs the stored TEXT, which the signature store
-    * deliberately does not carry: run [[jaccardVerify]] of the flagged
-    * pairs against the corpus when exactness matters. */
+    * with Jaccard). Only the NEW side is capped here, default
+    * [[DefaultMaxBucketSize]] — the same default as every other LSH
+    * operator, so recall is unchanged for direct callers; streaming
+    * ingest passes the deliberately tighter [[ScreenBatchBucketCap]]
+    * explicitly (see that cap's doc for the task-size arithmetic; cap
+    * raw stored frames with [[capBuckets]] if you bypass
+    * [[saveSignatures]]). Docs dropped by the cap are OBSERVABLE, not
+    * silent: run [[lshDroppedBuckets]] over the batch signatures with
+    * the same cap to account for every skipped (band, sig) bucket.
+    * Exact confirmation needs the stored TEXT, which the signature
+    * store deliberately does not carry: run [[jaccardVerify]] of the
+    * flagged pairs against the corpus when exactness matters. */
   def screenAgainst(newDocs: DataFrame, storedSigs: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     n: Int = 3, bands: Int = 8, minBands: Int = 1,
-                    maxBucketSize: Int = ScreenBatchBucketCap): DataFrame = {
+                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(minBands >= 1, s"minBands must be >= 1: $minBands")
     val newSigs = capBuckets(
       minhashSignatures(newDocs, textCol, idCol, n, bands), maxBucketSize)

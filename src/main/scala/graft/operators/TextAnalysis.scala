@@ -103,10 +103,14 @@ object TextAnalysis {
     * line characters. Like [[topBigramFraction]], a pure per-row fold
     * (split → distinct → two char sums) — no explode, no shuffle; a
     * per-doc statistic must not cost a corpus-wide exchange at 100 TB.
-    * Docs with no non-empty lines → zeros. */
+    * Docs with no non-empty lines → zeros; NULL text coalesces to the
+    * empty document first (otherwise Spark's legacy `size(null) = -1`
+    * would leak -1 counts and a NULL `dup_char_frac` past the zero
+    * guards and poison downstream threshold filters). */
   def dupLineStats(text: Column): Column = {
     val lines = filter(
-      transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+      transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
+      l => length(l) > 0)
     val uniq = array_distinct(lines)
     val nL = size(lines)
     val nU = size(uniq)

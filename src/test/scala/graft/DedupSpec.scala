@@ -289,11 +289,16 @@ class DedupSpec extends AnyFunSuite {
     val stored = (0 until 5).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
     val storedSigs = Dedup.capBuckets(
       Dedup.minhashSignatures(stored, "text", "doc_id", n = 3, bands = 4))
-    // New batch: 300 docs of the same template — over the 250 default cap,
-    // so its buckets DROP (cluster handling, not 300×5 pairwise evidence).
+    // New batch: 300 docs of the same template — over the ingest-stream
+    // cap (passed EXPLICITLY: screenAgainst's own default stays at
+    // DefaultMaxBucketSize so direct callers' recall is unchanged), so
+    // its buckets DROP (cluster handling, not 300×5 pairwise evidence).
     val batch = (0 until 300).map(i => (1000L + i, boiler)).toDF("doc_id", "text")
     assert(Dedup.screenAgainst(batch, storedSigs, "text", "doc_id",
-      n = 3, bands = 4).count() == 0L)
+      n = 3, bands = 4, maxBucketSize = Dedup.ScreenBatchBucketCap).count() == 0L)
+    // The 1000 default keeps them: 300-member buckets are under it.
+    assert(Dedup.screenAgainst(batch, storedSigs, "text", "doc_id",
+      n = 3, bands = 4).count() == 300L * 5)
     // The dropped buckets are accounted, not silent.
     val dropped = Dedup.lshDroppedBuckets(
       Dedup.minhashSignatures(batch, "text", "doc_id", n = 3, bands = 4),

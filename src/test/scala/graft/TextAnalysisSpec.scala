@@ -159,6 +159,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(stats("a\nb\nc") == ((3L, 3L, 0.0, 0.0)))
     // no non-empty lines -> zeros, no division blowup
     assert(stats("  \n ") == ((0L, 0L, 0.0, 0.0)))
+    // NULL text -> zeros too (not -1 counts / NULL fractions from
+    // Spark's legacy size(null) = -1)
+    val nr = Seq((1L, null: String)).toDF("id", "text")
+      .select(TextAnalysis.dupLineStats(col("text")).as("d"))
+      .select("d.n_lines", "d.n_unique", "d.dup_line_frac", "d.dup_char_frac")
+      .collect()(0)
+    assert((nr.getLong(0), nr.getLong(1), nr.getDouble(2), nr.getDouble(3)) ==
+      ((0L, 0L, 0.0, 0.0)))
   }
 
   test("analyze attaches all columns") {
