@@ -361,18 +361,50 @@ object Dedup {
     * uncached form re-evaluates the candidate subplan per verify
     * consumer). Same lifecycle caveat as `nearDupPairs`: the persists are
     * reclaimed only by block-manager LRU, because the returned frame is
-    * lazy; a long-lived driver should consume the result promptly or use
-    * [[withNearDups]]-style composition and own the caching. */
+    * lazy. Long-lived drivers should use [[withDedupCorpus]] /
+    * [[withDedupLedger]], whose bracket owns both persists. */
   def dedupCorpus(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
                   minJaccard: Double = 0.8,
                   cacheCandidates: Boolean = false,
                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val (exactDrops, pairDrops, hotDrops) = dropSets(docs, textCol, idCol,
+    val (exactDrops, pairDrops, hotDrops, _) = dropSets(docs, textCol, idCol,
       n, bands, minJaccard, cacheCandidates, maxBucketSize)
-    docs.select(col(idCol))
-      .join(exactDrops.union(pairDrops).union(hotDrops).distinct(),
-        col(idCol) === col("drop_id"), "left_anti")
+    keptIds(docs, idCol, exactDrops, pairDrops, hotDrops)
+  }
+
+  /** Managed-lifecycle form of `dedupCorpus(cacheCandidates = true)`:
+    * runs the full-corpus dedup with the at-scale caching ON, hands the
+    * kept-ids frame to `f`, and unpersists the signature and candidate
+    * frames when `f` returns — the bracket owns both persists, closing
+    * for the corpus API the same footgun [[withNearDups]] closed for the
+    * pair API (the flag form's persists are reclaimable only by
+    * block-manager LRU because its lazy result outlives the call). `f`
+    * must CONSUME the frame (collect/write/count) before returning; a
+    * frame leaked out of the bracket stays correct — Spark recomputes
+    * the unpersisted subplan — but silently loses the caching. */
+  def withDedupCorpus[T](docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
+                         minJaccard: Double = 0.8,
+                         maxBucketSize: Int = DefaultMaxBucketSize)
+                        (f: DataFrame => T): T = {
+    val (exactDrops, pairDrops, hotDrops, persisted) = dropSets(docs, textCol,
+      idCol, n, bands, minJaccard, cacheCandidates = true, maxBucketSize)
+    try f(keptIds(docs, idCol, exactDrops, pairDrops, hotDrops))
+    finally persisted.foreach(_.unpersist(blocking = true))
+  }
+
+  /** [[withDedupCorpus]]'s sibling for [[dedupLedger]]: same bracket
+    * contract, attribution output. */
+  def withDedupLedger[T](docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
+                         minJaccard: Double = 0.8,
+                         maxBucketSize: Int = DefaultMaxBucketSize)
+                        (f: DataFrame => T): T = {
+    val (exactDrops, pairDrops, hotDrops, persisted) = dropSets(docs, textCol,
+      idCol, n, bands, minJaccard, cacheCandidates = true, maxBucketSize)
+    try f(ledgerOf(exactDrops, pairDrops, hotDrops))
+    finally persisted.foreach(_.unpersist(blocking = true))
   }
 
   /** Audit ledger for [[dedupCorpus]]: every (drop_id, reason) with
@@ -386,20 +418,33 @@ object Dedup {
                   minJaccard: Double = 0.8,
                   cacheCandidates: Boolean = false,
                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val (exactDrops, pairDrops, hotDrops) = dropSets(docs, textCol, idCol,
+    val (exactDrops, pairDrops, hotDrops, _) = dropSets(docs, textCol, idCol,
       n, bands, minJaccard, cacheCandidates, maxBucketSize)
+    ledgerOf(exactDrops, pairDrops, hotDrops)
+  }
+
+  /** Anti-join composition shared by [[dedupCorpus]]/[[withDedupCorpus]]. */
+  private def keptIds(docs: DataFrame, idCol: String, exactDrops: DataFrame,
+                      pairDrops: DataFrame, hotDrops: DataFrame): DataFrame =
+    docs.select(col(idCol))
+      .join(exactDrops.union(pairDrops).union(hotDrops).distinct(),
+        col(idCol) === col("drop_id"), "left_anti")
+
+  /** Attribution composition shared by [[dedupLedger]]/[[withDedupLedger]]. */
+  private def ledgerOf(exactDrops: DataFrame, pairDrops: DataFrame,
+                       hotDrops: DataFrame): DataFrame =
     exactDrops.withColumn("reason", lit("exact"))
       .union(pairDrops.withColumn("reason", lit("pair")))
       .union(hotDrops.withColumn("reason", lit("hot")))
       .distinct()
-  }
 
   /** The three drop sets behind [[dedupCorpus]] / [[dedupLedger]], each a
-    * single `drop_id` column. */
+    * single `drop_id` column, plus the frames persisted when
+    * `cacheCandidates` is on (for bracket callers to unpersist). */
   private def dropSets(docs: DataFrame, textCol: String, idCol: String,
                        n: Int, bands: Int, minJaccard: Double,
                        cacheCandidates: Boolean, maxBucketSize: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     GraftFunctions.register(docs.sparkSession)
     // ONE bucket-stats pass feeds BOTH the candidate join (buckets ≤ cap)
     // and the hot-cluster drops (buckets > cap): count + min computed in
@@ -441,7 +486,8 @@ object Dedup {
       .withColumn("rn", row_number().over(fpWin))
       .filter(col("rn") > 1)
       .select(col(idCol).as("drop_id"))
-    (exactDrops, pairDrops, hotDrops)
+    (exactDrops, pairDrops, hotDrops,
+      if (cacheCandidates) Seq(sigs, cands) else Seq.empty)
   }
 
   /** Public form of the bucket cap (see [[DefaultMaxBucketSize]]): drop
@@ -458,16 +504,134 @@ object Dedup {
     * batch. The bucket cap is applied HERE, once at write time, so
     * every subsequent [[screenAgainst]] call pays no corpus-sized
     * window pass (capping per batch would shuffle the whole store
-    * every day to re-derive the same cap). Written `partitionBy("band")`
-    * so a probe that uses fewer bands prunes partitions. */
+    * every day to re-derive the same cap). `band` is a DATA column
+    * (plain parquet, pushdown-filterable): keeping it out of the dir
+    * structure lets [[compactSignatureStore]]'s bucketed rewrite (which
+    * buckets on band+sig — a bucket column cannot also be a partition
+    * column) coexist with per-batch dirs under one uniform root. */
   def saveSignatures(docs: DataFrame, path: String, textCol: String = "text",
                      idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
                      maxBucketSize: Int = DefaultMaxBucketSize): Unit =
     capBuckets(minhashSignatures(docs, textCol, idCol, n, bands), maxBucketSize)
-      .write.partitionBy("band").mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(path)
 
   def loadSignatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("id", "band", "sig")
+
+  /** Bucket count for [[compactSignatureStore]]'s rewritten store. */
+  val DefaultStoreBuckets = 64
+
+  /** Deterministic catalog name for the bucketed table over a compacted
+    * signature store (the table is metadata only; the files live under
+    * `storePath`). Re-register in a fresh session by re-running
+    * [[compactSignatureStore]] — or issue its `CREATE TABLE` DDL — the
+    * data itself needs no rewrite. */
+  def signatureStoreTable(storePath: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(storePath.getBytes("UTF-8")).take(6)
+      .map(b => f"${b & 0xff}%02x").mkString
+    s"graft_sig_store_$h"
+  }
+
+  /** Compact a [[screenedIngest]] signature store: fold every
+    * `batch=<id>` dir (seed included) into ONE bucketed, sig-sorted
+    * dataset at `batch=-1`, re-applying the bucket cap GLOBALLY — this
+    * is where per-key drift dies (a key hot across many small batches
+    * exceeds `storeCap` in aggregate even though each batch respected
+    * it; the global window re-caps it once, and the over-cap members it
+    * sheds are exactly [[lshDroppedBuckets]]' accounting over the
+    * pre-compaction store).
+    *
+    * The rewrite is registered as an EXTERNAL bucketed table
+    * ([[signatureStoreTable]]): `CLUSTERED BY (band, sig) SORTED BY
+    * (sig) INTO buckets BUCKETS`. Two consumers:
+    *
+    *  - the STREAM keeps reading the store root as plain parquet
+    *    (`batch=-1` is just files), so the per-batch-dir idempotence
+    *    contract is untouched — a restarted stream's next micro-batch
+    *    overwrites only its own new dir;
+    *  - BATCH screens go through [[screenAgainstCompacted]]: the scan's
+    *    bucket spec is EXACTLY the screen join's key set, so the join
+    *    needs NO stored-side exchange — the store is never re-shuffled,
+    *    per batch or ever (plan-asserted in StreamingSpec; shuffle-byte
+    *    accounting in ScaleProbe `store`), and per-batch cost is the
+    *    flat in-place store read. Optional sig-set pushdown for
+    *    row-group skip: see `pruneStoredBySig` there.
+    *
+    * Bucketing on the full join key (band, sig) rather than sig alone is
+    * deliberate: Spark recognizes full-key co-partitioning under the
+    * default `requireAllClusterKeysForCoPartition`, so the no-exchange
+    * property cannot silently degrade with session shuffle-partition
+    * settings. In-file `sortBy(sig)` gives the intra-bucket skip that
+    * single-column bucket pruning would otherwise have provided.
+    *
+    * NOT concurrency-safe with a live stream (stop → compact → restart;
+    * this job deletes the per-batch dirs it absorbs). Returns the
+    * registered table name. */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                            storePath: String,
+                            buckets: Int = DefaultStoreBuckets,
+                            storeCap: Int = DefaultMaxBucketSize): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
+    val seen = fs.globStatus(new org.apache.hadoop.fs.Path(s"$storePath/batch=*"))
+    require(seen != null && seen.nonEmpty, s"no signature store at $storePath")
+    val tbl = signatureStoreTable(storePath)
+    val tmpTbl = tbl + "_compacting"
+    val tmpPath = new org.apache.hadoop.fs.Path(storePath + "__compact_tmp")
+    fs.delete(tmpPath, true)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+    // Global re-cap, one file per bucket: repartitioning on (band, sig)
+    // with the bucket count uses the same hash+modulus as the bucket
+    // spec, so each write task owns exactly one bucket id and the
+    // sorted-within-file property holds for row-group skip.
+    capBuckets(spark.read.parquet(storePath).select("id", "band", "sig"), storeCap)
+      .repartition(buckets, col("band"), col("sig"))
+      .write.bucketBy(buckets, "band", "sig").sortBy("sig")
+      .option("path", tmpPath.toString).saveAsTable(tmpTbl)
+    spark.sql(s"DROP TABLE $tmpTbl") // external: drops metadata, files stay
+    seen.foreach(s => fs.delete(s.getPath, true))
+    fs.rename(tmpPath, new org.apache.hadoop.fs.Path(s"$storePath/batch=-1"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (id BIGINT, band INT, sig STRING)
+         |USING PARQUET
+         |CLUSTERED BY (band, sig) SORTED BY (sig) INTO $buckets BUCKETS
+         |LOCATION '$storePath/batch=-1'""".stripMargin)
+    tbl
+  }
+
+  /** [[screenAgainst]] a batch against a [[compactSignatureStore]]d
+    * store, exchange-free on the stored side: the batch's signatures are
+    * explicitly co-partitioned to the table's bucket spec (same keys,
+    * same bucket count), so the screen join reuses the store's on-disk
+    * layout — the stored side is scanned in place, never shuffled, at
+    * ANY batch size (the glob-store screen only avoids the store-sized
+    * exchange while the batch stays under the broadcast threshold).
+    *
+    * `pruneStoredBySig` defaults OFF on measurement, not principle: the
+    * ScaleProbe `store` run showed the collect + big-`isin` costs a
+    * constant ~1 s that only pays for itself when the store read
+    * dominates — small probe batches (few hundred sigs), or stores whose
+    * sorted bucket files span many parquet row groups (raise
+    * `spark.sql.parquet.pushdown.inFilterThreshold` there so the IN
+    * list reaches the row-group stats instead of degrading to a useless
+    * full-range min/max check). */
+  def screenAgainstCompacted(newDocs: DataFrame, storePath: String,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             n: Int = 3, bands: Int = 8, minBands: Int = 1,
+                             maxBucketSize: Int = ScreenBatchBucketCap,
+                             pruneStoredBySig: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    val tbl = signatureStoreTable(storePath)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"$tbl has no bucket spec — " +
+        "was the store compacted with compactSignatureStore?"))
+    screenAgainst(newDocs, spark.table(tbl), textCol, idCol, n, bands,
+      minBands, maxBucketSize, pruneStoredBySig, alignBuckets = buckets)
+  }
 
   /** The batch-side cap [[screenedIngest]] passes to [[screenAgainst]]
     * (NOT screenAgainst's own default — that stays at
@@ -502,11 +666,35 @@ object Dedup {
   def screenAgainst(newDocs: DataFrame, storedSigs: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     n: Int = 3, bands: Int = 8, minBands: Int = 1,
-                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                    maxBucketSize: Int = DefaultMaxBucketSize,
+                    pruneStoredBySig: Boolean = false,
+                    alignBuckets: Int = 0): DataFrame = {
     require(minBands >= 1, s"minBands must be >= 1: $minBands")
-    val newSigs = capBuckets(
+    val newSigs0 = capBuckets(
       minhashSignatures(newDocs, textCol, idCol, n, bands), maxBucketSize)
-    newSigs.join(storedSigs.select(col("band"), col("sig"), col("id").as("stored_id")),
+    // alignBuckets > 0 (set by [[screenAgainstCompacted]]): co-partition
+    // the BATCH side to the stored table's bucket spec — same keys, same
+    // count, same hash — so the join recognizes the two sides as
+    // co-partitioned and inserts no exchange above the stored scan. The
+    // batch side's repartition replaces the join exchange it would have
+    // paid anyway; the stored side's layout does the rest.
+    val newSigs = if (alignBuckets > 0)
+      newSigs0.repartition(alignBuckets, col("band"), col("sig"))
+    else newSigs0
+    // `pruneStoredBySig` collects the batch's DISTINCT signatures to the
+    // driver (bounded: ≤ bands × batch rows — a micro-batch, not a
+    // corpus) and pushes them into the stored scan as an `isin`, giving
+    // row-group skip over a sig-sorted compacted store. Costs a constant
+    // ~1 s (collect + wide-IN planning) plus one extra execution of the
+    // (tiny, capped) batch signature subplan — see
+    // [[screenAgainstCompacted]] for when that trade pays.
+    val stored =
+      if (pruneStoredBySig) {
+        val sigSet = newSigs.select("sig").distinct()
+          .collect().map(_.getString(0)).toSeq
+        storedSigs.filter(col("sig").isin(sigSet: _*))
+      } else storedSigs
+    newSigs.join(stored.select(col("band"), col("sig"), col("id").as("stored_id")),
         Seq("band", "sig"))
       .groupBy(col("id"), col("stored_id"))
       .agg(count(lit(1)).cast("long").as("n_bands"))
@@ -536,40 +724,75 @@ object Dedup {
     * ([[saveSignatures]] semantics). A key hot across many small batches
     * can therefore exceed `storeCap` in the aggregate store — the
     * screen-time bound still holds (cap_new × actual stored membership
-    * per bucket is linear in batches, never quadratic); compact the store
-    * through [[capBuckets]] + rewrite when that drift matters. */
+    * per bucket is linear in batches, never quadratic); run
+    * [[compactSignatureStore]] between stream runs when that drift (or
+    * the per-batch store-scan cost) matters. */
   def screenedIngest(newDocs: DataFrame, storePath: String,
                      flaggedPath: String, checkpointPath: String,
                      textCol: String = "text", idCol: String = "doc_id",
                      n: Int = 3, bands: Int = 8, minBands: Int = 1,
                      maxBucketSize: Int = ScreenBatchBucketCap,
-                     storeCap: Int = DefaultMaxBucketSize)
+                     storeCap: Int = DefaultMaxBucketSize,
+                     pruneStoredBySig: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(newDocs.isStreaming, "screenedIngest expects a streaming DataFrame")
-    val spark = newDocs.sparkSession
     newDocs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(storePath),
-            spark.sparkContext.hadoopConfiguration)
-          val seen = fs.globStatus(
-            new org.apache.hadoop.fs.Path(s"$storePath/batch=*"))
-          // Screen BEFORE this batch's signatures join the store: a doc is
-          // flagged against prior corpus + prior batches, never itself.
-          if (seen != null && seen.nonEmpty)
-            screenAgainst(b, loadSignatures(spark, storePath),
-                textCol, idCol, n, bands, minBands, maxBucketSize)
-              .write.mode("overwrite").parquet(s"$flaggedPath/batch=$batchId")
-          capBuckets(minhashSignatures(b, textCol, idCol, n, bands), storeCap)
-            .write.partitionBy("band").mode("overwrite")
-            .parquet(s"$storePath/batch=$batchId")
-        } finally b.unpersist()
+        screenBatch(batch.toDF(), batchId, storePath, flaggedPath, textCol,
+          idCol, n, bands, minBands, maxBucketSize, storeCap, pruneStoredBySig)
       }
       .start()
+  }
+
+  /** One micro-batch of [[screenedIngest]], extracted so retry semantics
+    * are testable without forcing a real foreachBatch crash: screen the
+    * batch against every PRIOR store dir, then overwrite this batch's
+    * own store dir.
+    *
+    * Retry safety: the store is loaded with `batch =!= batchId` — an
+    * at-least-once re-run finds its own `batch=<id>` dir already written
+    * by the failed attempt, and screening against it would flag every
+    * doc in the batch against itself (n_bands = bands) and its same-batch
+    * peers before overwriting the flagged output with that corrupted set.
+    * Partition pruning drops the excluded dir at the scan, so the filter
+    * costs nothing. The same id arriving in DIFFERENT batches still
+    * flags — that is a real re-ingest duplicate, not a self-pair, which
+    * is why the exclusion is by batch dir and deliberately NOT by
+    * `id =!= stored_id`. */
+  private[graft] def screenBatch(batch: DataFrame, batchId: Long,
+                                 storePath: String, flaggedPath: String,
+                                 textCol: String, idCol: String,
+                                 n: Int, bands: Int, minBands: Int,
+                                 maxBucketSize: Int, storeCap: Int,
+                                 pruneStoredBySig: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(storePath),
+        spark.sparkContext.hadoopConfiguration)
+      val seen = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$storePath/batch=*"))
+      val prior =
+        if (seen == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else seen.filterNot(_.getPath.getName == s"batch=$batchId")
+      // Screen BEFORE this batch's signatures join the store: a doc is
+      // flagged against prior corpus + prior batches, never itself —
+      // including on retry (see scaladoc).
+      if (prior.nonEmpty)
+        screenAgainst(b,
+            spark.read.parquet(storePath)
+              .filter(col("batch") =!= batchId)
+              .select("id", "band", "sig"),
+            textCol, idCol, n, bands, minBands, maxBucketSize,
+            pruneStoredBySig)
+          .write.mode("overwrite").parquet(s"$flaggedPath/batch=$batchId")
+      capBuckets(minhashSignatures(b, textCol, idCol, n, bands), storeCap)
+        .write.mode("overwrite")
+        .parquet(s"$storePath/batch=$batchId")
+    } finally b.unpersist()
   }
 
   /** Benchmark decontamination: corpus documents sharing ≥ `minOverlap`

@@ -310,12 +310,141 @@ class StreamingSpec extends AnyFunSuite {
         .select("id", "stored_id").as[(Long, Long)].collect().toSet
       assert(replay == Set((20L, 11L), (21L, 2L)))
 
-      // Idempotent store layout: batch dirs, each partitioned by band.
+      // Idempotent store layout: one dir per batch.
       val dirs = new java.io.File(storePath).list().toSet
       assert(dirs.contains("batch=-1") && dirs.contains("batch=0") &&
         dirs.contains("batch=1"))
     } finally {
       q.stop()
+    }
+  }
+
+  test("screenBatch retry with its own store dir present rewrites identical flags") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-retry").toString
+    val storePath = s"$root/store"
+    val flaggedPath = s"$root/flagged"
+    val tmpl = (1 to 40).map(i => s"seed$i").mkString(" ")
+    val twin = (1 to 40).map(i => s"twin$i").mkString(" ")
+    Dedup.saveSignatures(Seq((1L, tmpl)).toDF("doc_id", "text"),
+      s"$storePath/batch=-1", "text", "doc_id", n = 3, bands = 4)
+    // 10 dups the seed; 11 and 12 dup EACH OTHER only — exactly the
+    // self/peer pairs a corrupted retry would emit.
+    val batch = Seq((10L, tmpl), (11L, twin), (12L, twin)).toDF("doc_id", "text")
+    def runOnce(): Set[(Long, Long)] = {
+      Dedup.screenBatch(batch, 0L, storePath, flaggedPath, "text", "doc_id",
+        3, 4, 1, Dedup.ScreenBatchBucketCap, Dedup.DefaultMaxBucketSize)
+      spark.read.parquet(s"$flaggedPath/batch=0")
+        .select("id", "stored_id").as[(Long, Long)].collect().toSet
+    }
+    assert(runOnce() == Set((10L, 1L)))
+    // at-least-once: the same batch id re-runs with batch=0 already in
+    // the store from the first attempt — flags must be unchanged, not
+    // (11,11)/(11,12)/(12,11)/... self- and peer-pairs.
+    assert(runOnce() == Set((10L, 1L)),
+      "retry flagged batch docs against themselves or same-batch peers")
+  }
+
+  test("compactSignatureStore re-caps globally; re-screens identically minus over-cap members") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val storePath = s"$root/store"
+    def text(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val hot = text("hot")
+    // 3 batches; each holds 6 hot-template docs (under storeCap = 10 PER
+    // BATCH) plus one unique doc. Aggregate hot membership = 18 > 10 —
+    // the per-key drift the write-time cap cannot see.
+    for (bi <- 0 until 3) {
+      val rows = (0 until 6).map(i => ((bi * 100 + i).toLong, hot)) :+
+        ((bi * 100 + 50).toLong, text(s"u$bi-"))
+      Dedup.screenBatch(rows.toDF("doc_id", "text"), bi, storePath,
+        s"$root/flagged", "text", "doc_id", 3, 4, 1, 250, 10)
+    }
+    // Materialize the pre-compaction store locally (compaction deletes
+    // the files it absorbs).
+    val preRows = Dedup.loadSignatures(spark, storePath)
+      .as[(Long, Int, String)].collect().toSet
+    val pre = preRows.toSeq.toDF("id", "band", "sig")
+    val preDropped = Dedup.lshDroppedBuckets(pre, 10)
+      .select("n_members").as[Long].collect()
+    assert(preDropped.nonEmpty && preDropped.forall(_ == 18L),
+      "hot cluster should have drifted past storeCap in aggregate")
+    val probe = Seq((900L, hot), (901L, text("u1-"))).toDF("doc_id", "text")
+    val preFlags = Dedup.screenAgainst(probe, pre, "text", "doc_id", 3, 4)
+      .select("id", "stored_id").as[(Long, Long)].collect().toSet
+    assert(preFlags.contains((901L, 150L)) && preFlags.exists(_._1 == 900L))
+
+    val tbl = Dedup.compactSignatureStore(spark, storePath,
+      buckets = 8, storeCap = 10)
+    try {
+      // Absorbed dirs gone; the compacted seed is the whole store.
+      assert(new java.io.File(storePath).list()
+        .filter(_.startsWith("batch=")).toSet == Set("batch=-1"))
+      // Compacted table == the globally-capped pre-compaction store.
+      assert(spark.table(tbl).select("id", "band", "sig")
+        .as[(Long, Int, String)].collect().toSet ==
+        Dedup.capBuckets(pre, 10).as[(Long, Int, String)].collect().toSet)
+      // Re-screen: identical minus the over-cap (hot-cluster) members,
+      // which lshDroppedBuckets accounted above.
+      val postFlags = Dedup.screenAgainstCompacted(probe, storePath,
+          "text", "doc_id", n = 3, bands = 4)
+        .select("id", "stored_id").as[(Long, Long)].collect().toSet
+      assert(postFlags == preFlags.filterNot(_._1 == 900L))
+      // The streaming path still reads the compacted store as plain
+      // parquet under the same root.
+      assert(Dedup.loadSignatures(spark, storePath)
+        .as[(Long, Int, String)].collect().toSet ==
+        Dedup.capBuckets(pre, 10).as[(Long, Int, String)].collect().toSet)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("screen join against the compacted store has no stored-side exchange") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val storePath = s"$root/store"
+    def text(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    for (bi <- 0 until 3) {
+      val rows = (0 until 10).map(i => ((bi * 100 + i).toLong, text(s"b$bi-d$i-")))
+      Dedup.screenBatch(rows.toDF("doc_id", "text"), bi, storePath,
+        s"$root/flagged", "text", "doc_id", 3, 4, 1, 250, 1000)
+    }
+    val tbl = Dedup.compactSignatureStore(spark, storePath, buckets = 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // Force a shuffle join deterministically: the no-exchange property
+    // must come from the bucket layout, not from the probe being small
+    // enough to broadcast.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Seq((900L, text("b1-d3-")), (901L, text("nowhere-")))
+        .toDF("doc_id", "text")
+      val screened = Dedup.screenAgainstCompacted(probe, storePath,
+        "text", "doc_id", n = 3, bands = 4)
+      assert(screened.select("id", "stored_id").as[(Long, Long)]
+        .collect().toSet == Set((900L, 103L)))
+      val plan = screened.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, s"expected a shuffle join in:\n$plan")
+      // The stored (right) side: a bucketed scan with NO exchange above
+      // it — the store is read in its on-disk layout, never re-shuffled.
+      val storedSide = joins.head.children(1)
+      assert(storedSide.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"stored side re-shuffled:\n$storedSide")
+      val storedScans = storedSide.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(storedScans.nonEmpty && storedScans.forall(_.bucketedScan),
+        s"stored side not a bucketed scan:\n$storedSide")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
   }
 }
