@@ -58,24 +58,38 @@ object Embedders {
     * public algorithm: hashed bag-of-words × W, L2-normalized (random
     * projection of term counts — Achlioptas-style dense variant). The
     * artifact is a plain text file (`outDim inDim` header, then one row
-    * of floats per output dimension) readable from any shared mount —
-    * swap the matmul body for an OrtSession call and this IS the ONNX
-    * integration, artifact plumbing included. */
+    * of floats per output dimension) readable from any shared mount — or
+    * a `resource:/…` classpath entry, which ships inside the application
+    * jar exactly as a small model would. Swap the matmul body for an
+    * OrtSession call and this IS the ONNX integration, artifact plumbing
+    * included.
+    *
+    * Every arithmetic step is cross-engine replayable (q62 pins the full
+    * vectors against a DuckDB matmul replay): the token bucket is an md5
+    * slice (first 16 bits mod inDim — the [[HashEmbedder]] idiom, not a
+    * JVM-private hashCode), products accumulate in DOUBLE (each term an
+    * exact small-integer multiple of the float32 weight, so the sum is
+    * order-independent), and each component rounds to float32 once. */
   def linearEncoder(weightsPath: String): () => Encoder = () => new Encoder {
     // Loaded lazily ONCE per partition (the model-load analog); executors
     // read from a shared path exactly as they would a mounted model file.
     private lazy val (outDim, inDim, w) = loadLinearWeights(weightsPath)
+    private lazy val md = java.security.MessageDigest.getInstance("MD5")
     def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
-      val x = new Array[Float](inDim)
+      val x = new Array[Double](inDim)
       t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         .filter(_.nonEmpty)
-        .foreach(tok => x(math.floorMod(tok.hashCode, inDim)) += 1.0f)
+        .foreach { tok =>
+          md.reset()
+          val d = md.digest(tok.getBytes("UTF-8"))
+          x((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % inDim) += 1.0
+        }
       val out = new Array[Float](outDim)
       var o = 0
       while (o < outDim) {
         var acc = 0.0; var i = 0
         val row = w(o)
-        while (i < inDim) { acc += row(i) * x(i); i += 1 }
+        while (i < inDim) { acc += row(i).toDouble * x(i); i += 1 }
         out(o) = acc.toFloat; o += 1
       }
       val n = math.sqrt(out.map(v => v * v.toDouble).sum)
@@ -104,7 +118,13 @@ object Embedders {
   }
 
   private def loadLinearWeights(path: String): (Int, Int, Array[Array[Float]]) = {
-    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val src =
+      if (path.startsWith("resource:")) {
+        val name = path.stripPrefix("resource:")
+        val in = getClass.getResourceAsStream(name)
+        require(in != null, s"weight resource $name not on the classpath")
+        scala.io.Source.fromInputStream(in, "UTF-8")
+      } else scala.io.Source.fromFile(path, "UTF-8")
     try {
       val lines = src.getLines()
       val Array(outDim, inDim) = lines.next().split(" ").map(_.toInt)

@@ -59,12 +59,20 @@ object TextAnalysis {
   }
 
   /** URL host extraction, per document: distinct lowercased hosts of all
-    * `http(s)://` URLs in the text, as an array column. The pattern stays
-    * in the Java∩RE2 subset (char classes only — same cross-engine
-    * contract as the PII patterns). Pure per-row work; no shuffle. */
+    * `http(s)://` URLs — userinfo (`https://user:pw@host/…`) skipped, the
+    * HOST is captured, not the credentials — plus scheme-less `www.`
+    * hosts (`see www.example.com/page`), both common in real crawl text.
+    * Patterns stay in the Java∩RE2 subset (char classes + `\b`, no
+    * lookarounds; whitespace written as an explicit class because Java's
+    * `\s` and RE2's disagree about `\x0b`) — same cross-engine contract
+    * as the PII patterns. Two codegen'd extractions concatenated per
+    * row; pure per-row work, no shuffle. */
   def extractDomains(text: Column): Column =
     array_distinct(transform(
-      regexp_extract_all(text, lit("https?://([A-Za-z0-9.-]+)"), lit(1)),
+      concat(
+        regexp_extract_all(text,
+          lit("https?://(?:[^/@ \\t\\n\\x0b\\f\\r]*@)?([A-Za-z0-9.-]+)"), lit(1)),
+        regexp_extract_all(text, lit("\\bwww\\.[A-Za-z0-9.-]+"), lit(0))),
       d => lower(d)))
 
   /** Domain-blocklist filter: docs whose text links to NO blocklisted

@@ -33,6 +33,23 @@ class EmbeddersSpec extends AnyFunSuite {
       ex.getCause != null)
   }
 
+  test("checked-in q62 weight fixture is exactly saveLinearWeights(8, 32)") {
+    // The q62 oracle regenerates the weights from the same md5 formula;
+    // this pins the CHECKED-IN artifact to that formula so fixture drift
+    // cannot hide between the jar resource and the SQL replay.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lwfix").toString + "/w.txt"
+    Embedders.saveLinearWeights(outDim = 8, inDim = 32, tmp)
+    val regenerated = java.nio.file.Files.readString(java.nio.file.Paths.get(tmp))
+    val checkedIn = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/linear_w8x32.txt"), "UTF-8").mkString
+    assert(checkedIn == regenerated)
+    // And the resource: scheme loads it (the executor-side path q62 uses).
+    val enc = Embedders.linearEncoder("resource:/graft/linear_w8x32.txt")()
+    val v = enc.encodeBatch(Seq("alpha beta alpha")).head
+    assert(v.length == 8)
+    assert(math.abs(v.map(x => x * x.toDouble).sum - 1.0) < 1e-6)
+  }
+
   test("weight-file-backed linear encoder: artifact round-trip, determinism, unit norm") {
     val path = java.nio.file.Files.createTempDirectory("graft-lw").toString + "/weights.txt"
     Embedders.saveLinearWeights(outDim = 16, inDim = 64, path)

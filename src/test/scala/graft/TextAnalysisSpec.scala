@@ -118,6 +118,19 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0).toSet
     assert(hosts == Set("bad.example.com", "good.org"))
 
+    def hostsOf(text: String): Set[String] =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(TextAnalysis.extractDomains(col("text")))
+        .collect()(0).getSeq[String](0).toSet
+    // userinfo URLs yield the HOST, not the credentials (real crawl form)
+    assert(hostsOf("login https://user:pw@Host.Example/a") == Set("host.example"))
+    assert(hostsOf("https://bob@mail.example/x") == Set("mail.example"))
+    // scheme-less www hosts are extracted; embedded 'www' inside a word is not
+    assert(hostsOf("deals at www.Shop.example/sale today") == Set("www.shop.example"))
+    assert(hostsOf("awww.not-a-host oh") == Set.empty[String])
+    // a schemed www URL is one host, not two
+    assert(hostsOf("see https://www.both.example/p") == Set("www.both.example"))
+
     val kept = TextAnalysis.filterByDomainBlocklist(docs, block)
       .select("doc_id").as[Long].collect().toSet
     val flagged = TextAnalysis.flaggedByDomainBlocklist(docs, block)
