@@ -45,6 +45,29 @@ for s, texts in sorted(sources.items()):
     turns = [("K: " if j % 2 == 0 else "V: ") + t
              for j, t in enumerate(texts[:30])]
     cases[f"conv_{s}"] = "\n".join(turns)
+# 5. md5-seeded property cases (round 8): randomized paragraph/sentence/
+# dialog shapes truncated to lengths straddling the 500 (min_chunk) and
+# 2000 (max_chunk) boundaries, so boundary drift cannot hide between
+# fixture regenerations. md5-derived choices reproduce identically in
+# the Scala spec without sharing an RNG (the repo's standard idiom);
+# corpus text is pure ASCII, so python slicing == Scala take.
+SIZES = [0, 450, 480, 499, 500, 501, 520, 550,
+         1900, 1990, 1999, 2000, 2001, 2010, 2100, 2500]
+for k in range(420):
+    h = hashlib.md5(f"parity:{k}".encode()).hexdigest()
+    shape = int(h[0], 16) % 3
+    n_parts = 2 + int(h[1], 16) % 6
+    parts = [by_id[ids[int(h[2 + 2 * j:4 + 2 * j], 16) % len(ids)]]
+             for j in range(n_parts)]
+    if shape == 0:
+        txt = "\n\n".join(parts)
+    elif shape == 1:
+        txt = ". ".join(parts) + "."
+    else:
+        txt = "\n".join(("K: " if j % 2 == 0 else "V: ") + p
+                        for j, p in enumerate(parts))
+    size = SIZES[int(h[16], 16) % len(SIZES)]
+    cases[f"rand_{k}"] = txt[:size] if size else txt
 
 multi = total = 0
 with open("src/test/resources/chunk_parity_fixture.tsv", "w") as f:

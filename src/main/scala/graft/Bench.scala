@@ -11,6 +11,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Orphaned-JVM guard (round-7 lesson): detect contention BEFORE any
+    // timing and carry it into the JSON artifact.
+    val contended = MeasureGuard.checkQuietHost("bench")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -85,6 +88,13 @@ object Bench {
     try SparkEntry.prepareIndexes(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
 
+    // Warmup/prepare must leave NO cache entries behind: CacheManager
+    // matches canonicalized plans, so a frame persisted above would be
+    // silently reused by an identical timed subplan (the ScaleProbe
+    // dedup plan-cache artifact, ~2.5x flattering) — and dead cached
+    // blocks squeeze execution memory even when never reused.
+    spark.sharedState.cacheManager.clearCache()
+
     // Optional comma-separated query filter for local profiling; the
     // driver leaves it unset and measures everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -113,7 +123,7 @@ object Bench {
     val steady = obj(r => (r._1, r._3))
     val total = results.map(_._2).filter(_ >= 0).sum
     val steadyTotal = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$steady,"steady_total":$steadyTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$steady,"steady_total":$steadyTotal,"sf":"$sfDir","contended_jvms":${contended.size}}""")
     spark.stop()
   }
 }

@@ -20,6 +20,7 @@ object ScaleProbe {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
   def main(args: Array[String]): Unit = {
+    MeasureGuard.checkQuietHost("scale")
     if (args.headOption.contains("dedup")) {
       dedupProbe(args.lift(1).map(_.toInt).getOrElse(50))
       return

@@ -6,11 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Byte-parity of `Chunker.chunkParity` against the REFERENCE chunker
   * implementation: `scripts/gen_chunk_parity_fixture.py` imports
   * `/root/reference/preprocessing/chunk_text_files.py` (the actual
-  * module, not a replica), runs `create_chunks` over 580 deterministic
-  * case constructions from the sf0.01 documents table, and records
-  * md5 + line span per chunk. This spec rebuilds the SAME cases in Scala
-  * and compares chunk-for-chunk. The default `Chunker.chunk` keeps its
-  * documented deviations — parity mode is the migration path.
+  * module, not a replica), runs `create_chunks` over 1000 deterministic
+  * case constructions from the sf0.01 documents table — 580 structured
+  * plus 420 md5-seeded property cases whose shapes and truncations
+  * straddle the 500/2000 chunk boundaries — and records md5 + line span
+  * per chunk. This spec rebuilds the SAME cases in Scala and compares
+  * chunk-for-chunk. The default `Chunker.chunk` keeps its documented
+  * deviations — parity mode is the migration path.
   */
 class ChunkerParitySpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.01"
@@ -20,7 +22,7 @@ class ChunkerParitySpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  test("chunkParity matches the reference implementation on 580 corpus cases") {
+  test("chunkParity matches the reference implementation on 1000 corpus cases") {
     val res = getClass.getResourceAsStream(fixturePath)
     assume(res != null, "fixture missing — run scripts/gen_chunk_parity_fixture.py")
     assume(new java.io.File(s"$sfDir/documents.parquet").exists,
@@ -61,6 +63,29 @@ class ChunkerParitySpec extends AnyFunSuite {
       }
       cases(s"conv_$src") = turns.mkString("\n")
     }
+    // md5-seeded property cases: shapes + truncations straddling the
+    // 500/2000 chunk boundaries — MUST stay bit-identical to the
+    // generator's section 5 (same digests, same digit arithmetic).
+    val sizes = Seq(0, 450, 480, 499, 500, 501, 520, 550,
+      1900, 1990, 1999, 2000, 2001, 2010, 2100, 2500)
+    (0 until 420).foreach { k =>
+      val h = md5(s"parity:$k")
+      val shape = Integer.parseInt(h.substring(0, 1), 16) % 3
+      val nParts = 2 + Integer.parseInt(h.substring(1, 2), 16) % 6
+      val parts = (0 until nParts).map { j =>
+        val idx = Integer.parseInt(h.substring(2 + 2 * j, 4 + 2 * j), 16) % ids.length
+        byId(ids(idx))
+      }
+      val txt = shape match {
+        case 0 => parts.mkString("\n\n")
+        case 1 => parts.mkString(". ") + "."
+        case _ => parts.zipWithIndex.map { case (p, j) =>
+          (if (j % 2 == 0) "K: " else "V: ") + p
+        }.mkString("\n")
+      }
+      val size = sizes(Integer.parseInt(h.substring(16, 17), 16) % sizes.length)
+      cases(s"rand_$k") = if (size > 0) txt.take(size) else txt
+    }
 
     assert(cases.keySet == expected.keySet,
       s"case-set drift: ${(cases.keySet diff expected.keySet).take(3)} / " +
@@ -73,6 +98,6 @@ class ChunkerParitySpec extends AnyFunSuite {
         s"$key: got ${got.take(3)}… expected ${expected(key).take(3)}…")
       checkedChunks += got.size
     }
-    assert(checkedChunks == 784, s"chunk count drift: $checkedChunks")
+    assert(checkedChunks == 1216, s"chunk count drift: $checkedChunks")
   }
 }
