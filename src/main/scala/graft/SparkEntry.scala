@@ -2052,10 +2052,14 @@ object SparkEntry {
       |SELECT doc_id, domain FROM d JOIN b ON list_contains(d.hosts, b.domain)
       |ORDER BY doc_id, domain""".stripMargin
 
-  /** The float32 ±1/√8 weight scale of the checked-in q62 artifact —
-    * interpolated into the oracle as the same shortest-round-trip decimal
-    * the weight file itself carries. */
-  private val q62Scale = (1.0 / math.sqrt(8)).toFloat
+  // q62's ±1/√8 float32 weight scale is NOT interpolated as a decimal
+  // literal: DuckDB parses short decimals as DECIMAL and its
+  // DECIMAL→FLOAT conversion landed 1 ULP below the true float32
+  // (measured: wv 0.35355335 vs 0.35355338 — flipped a round(,4) half
+  // boundary at sf0.001). The oracle instead computes
+  // CAST(1.0/sqrt(8.0) AS FLOAT): double arithmetic then one float32
+  // rounding, the identical IEEE sequence as the Scala
+  // (1.0/math.sqrt(8)).toFloat that generated the weight file.
 
   /** E1 with a REAL weight artifact end-to-end (the MIGRATION.md embedder
     * decision record's documented model path): the checked-in 8×32
@@ -2095,8 +2099,8 @@ object SparkEntry {
       |  FROM tf GROUP BY 1, 2),
       |w AS (
       |  SELECT o.range AS o, i.range AS i,
-      |    CASE WHEN ($signDigit) < 8 THEN CAST($q62Scale AS FLOAT)
-      |         ELSE CAST(-$q62Scale AS FLOAT) END AS wv
+      |    CASE WHEN ($signDigit) < 8 THEN CAST(1.0/sqrt(8.0) AS FLOAT)
+      |         ELSE CAST(-(1.0/sqrt(8.0)) AS FLOAT) END AS wv
       |  FROM range(0, 8) o CROSS JOIN range(0, 32) i),
       |acc AS (
       |  SELECT b.doc_id, w.o, sum(CAST(w.wv AS DOUBLE) * b.cnt) AS s
@@ -2106,9 +2110,17 @@ object SparkEntry {
       |  SELECT t.doc_id, g.range AS o, CAST(coalesce(a.s, 0.0) AS FLOAT) AS v
       |  FROM toks t CROSS JOIN range(0, 8) g
       |  LEFT JOIN acc a ON a.doc_id = t.doc_id AND a.o = g.range),
+      |vec AS (SELECT doc_id, list(v ORDER BY o) AS raw FROM dense GROUP BY 1),
       |nrm AS (
-      |  SELECT doc_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm
-      |  FROM dense GROUP BY 1)
+      |  -- list_reduce = guaranteed LEFT-TO-RIGHT fold in component order:
+      |  -- v*v terms are inexact doubles, so an arbitrary-order group sum
+      |  -- can differ from the Scala kernel's sequential loop by 1 ULP and
+      |  -- flip round(,4) at a half boundary (seen at sf0.001 row 699).
+      |  SELECT doc_id,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list_transform(raw, x -> CAST(x AS DOUBLE) * x)),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM vec)
       |SELECT d.doc_id, CAST(d.o AS BIGINT) AS j,
       |  CASE WHEN n.nrm > 0
       |       THEN round(CAST(CAST(d.v / n.nrm AS FLOAT) AS DOUBLE), 4)
@@ -2116,6 +2128,190 @@ object SparkEntry {
       |FROM dense d JOIN nrm n USING (doc_id)
       |ORDER BY doc_id, j""".stripMargin
   }
+
+  /** Near-dup cluster identification (`Dedup.nearDupComponents`): every
+    * 25th doc becomes a window of a shared synthetic word sequence, with
+    * adjacent windows overlapping enough to pair (trigram Jaccard 0.9 ≥
+    * 0.85 threshold) but windows two apart falling short (0.81) — four
+    * PATH-shaped near-dup chains of five docs each, plus whatever
+    * natural exact dups the corpus carries. The iterative min-label
+    * propagation must walk each chain to its end (diameter 4 — a
+    * single-round "drop per pair" cannot label these); the DuckDB oracle
+    * replays the full pipeline and resolves components with a RECURSIVE
+    * transitive-closure CTE. */
+  private def q63NearDupComponents(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val chain = expr("array_join(transform(sequence(0, 39), " +
+      "j -> concat('cw', cast(div(doc_id, 25) * 2 + " +
+      "div(div(doc_id, 25), 5) * 1000 + j as int))), ' ')")
+    val docs = t(s, dir, "documents")
+      .withColumn("text", when(col("doc_id") % 25 === 0, chain).otherwise(col("text")))
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+      n = 3, bands = 4, minJaccard = 0.85)
+    Dedup.nearDupComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
+  }
+
+  private val q63Sql =
+    """WITH RECURSIVE docs2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 25 = 0 THEN
+      |      array_to_string(list_transform(range(0, 40),
+      |        j -> 'cw' || CAST((doc_id // 25) * 2 +
+      |                          ((doc_id // 25) // 5) * 1000 + j AS INT)), ' ')
+      |    ELSE text END AS text
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM docs2),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |vpairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+      |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.85),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM vpairs
+      |  UNION SELECT id_b, id_a FROM vpairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS comp
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level repeated-line removal (`Dedup.removeRepeatedLines`):
+    * a shared footer on half the docs and a 6-doc banner both cross the
+    * minDocs=3 bar and vanish; a 2-doc banner and per-doc unique tails
+    * stay; docs keep their remaining lines in order. The corpus's own
+    * exact-dup clusters (≥ 3 identical texts) also become "repeated
+    * lines" — both engines must agree on those too, not just the
+    * injected cases. */
+  private def q64RepeatedLines(s: SparkSession, dir: String): DataFrame = {
+    val lined = t(s, dir, "documents").withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit("\nShared Footer Inc")).otherwise(lit("")),
+        when(col("doc_id") % 97 === 0, lit("\nSemi Common Banner")).otherwise(lit("")),
+        when(col("doc_id") % 251 === 0, lit("\nRare Banner Duo")).otherwise(lit("")),
+        concat(lit("\nunique tail "), col("doc_id"))))
+    Dedup.removeRepeatedLines(lined, "text", "doc_id", minDocs = 3)
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val q64Sql =
+    """WITH lined AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Shared Footer Inc' ELSE '' END ||
+      |    CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'Semi Common Banner' ELSE '' END ||
+      |    CASE WHEN doc_id % 251 = 0 THEN chr(10) || 'Rare Banner Duo' ELSE '' END ||
+      |    chr(10) || 'unique tail ' || doc_id AS text
+      |  FROM documents),
+      |parts AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+      |ex AS (SELECT doc_id, unnest(ls) AS ln FROM parts),
+      |hot AS (
+      |  SELECT trim(ln) AS lt FROM ex
+      |  WHERE len(trim(ln)) > 0
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+      |hotlist AS (SELECT coalesce(list(lt), []) AS hl FROM hot),
+      |clean AS (
+      |  SELECT p.doc_id,
+      |    array_to_string(list_filter(p.ls,
+      |      x -> len(trim(x)) = 0 OR NOT list_contains(h.hl, trim(x))),
+      |      chr(10)) AS text
+      |  FROM parts p, hotlist h)
+      |SELECT doc_id,
+      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |  md5(text) AS fp
+      |FROM clean ORDER BY doc_id""".stripMargin
+
+  /** C4 cleaning pass (`TextAnalysis.c4Signals`): docs synthesized into
+    * multi-line pages where every rule fires somewhere — a terminal-
+    * punctuated lead line (suffixed into a non-sentence on the lorem
+    * docs), a too-short line, a javascript line on every 3rd doc, a
+    * curly-brace config line on every 70th, and one always-good closing
+    * sentence. The oracle replays line filtering, sentence counting,
+    * and the page-level flags; `fp` hash-pins the cleaned text. */
+  private def q65C4Clean(s: SparkSession, dir: String): DataFrame = {
+    val paged = t(s, dir, "documents").withColumn("text",
+      concat(
+        substring(col("text"), 1, 80), lit("."),
+        when(col("doc_id") % 50 === 0, lit(" lorem Ipsum follows")).otherwise(lit("")),
+        lit("\nshort line"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nEnable javascript to continue today please?")).otherwise(lit("")),
+        when(col("doc_id") % 70 === 0,
+          lit("\nconfig { mode: on } done.")).otherwise(lit("")),
+        lit("\nAnother complete sentence appears right here.")))
+    paged.select(col("doc_id"),
+        TextAnalysis.c4Signals(col("text"), minLineWords = 3, minSentences = 2).as("c"))
+      .select(col("doc_id"),
+        col("c.n_kept_lines").as("n_kept_lines"),
+        col("c.n_sentences").as("n_sentences"),
+        col("c.has_lorem").as("has_lorem"),
+        col("c.has_brace").as("has_brace"),
+        col("c.keep").as("keep"),
+        md5(col("c.text_c4").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val q65Sql =
+    """WITH paged AS (
+      |  SELECT doc_id, substr(text, 1, 80) || '.' ||
+      |    CASE WHEN doc_id % 50 = 0 THEN ' lorem Ipsum follows' ELSE '' END ||
+      |    chr(10) || 'short line' ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN chr(10) || 'Enable javascript to continue today please?'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 70 = 0
+      |         THEN chr(10) || 'config { mode: on } done.' ELSE '' END ||
+      |    chr(10) || 'Another complete sentence appears right here.' AS text
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, text,
+      |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+      |                x -> len(x) > 0) AS ls
+      |  FROM paged),
+      |k AS (
+      |  SELECT doc_id, text,
+      |    list_filter(ls, x -> regexp_matches(x, '[.!?]"?$')
+      |      AND len(regexp_split_to_array(x, '[ \t\n\x0b\f\r]+')) >= 3
+      |      AND NOT contains(lower(x), 'javascript')) AS ks
+      |  FROM l),
+      |c AS (
+      |  SELECT doc_id, text, ks,
+      |    array_to_string(ks, chr(10)) AS ct
+      |  FROM k),
+      |m AS (
+      |  SELECT doc_id, ks, ct,
+      |    len(regexp_extract_all(ct, '[.!?]')) AS n_sent,
+      |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |    contains(text, '{') AS has_brace
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(len(ks) AS BIGINT) AS n_kept_lines,
+      |  CAST(n_sent AS BIGINT) AS n_sentences,
+      |  has_lorem, has_brace,
+      |  (NOT has_lorem AND NOT has_brace AND n_sent >= 2) AS keep,
+      |  md5(ct) AS fp
+      |FROM m ORDER BY doc_id""".stripMargin
 
   // ====================================================================
 
@@ -2182,6 +2378,9 @@ object SparkEntry {
     "q60_dup_lines" -> (q60DupLines _),
     "q61_domain_filter" -> (q61DomainFilter _),
     "q62_linear_embed" -> (q62LinearEmbed _),
+    "q63_neardup_components" -> (q63NearDupComponents _),
+    "q64_repeated_lines" -> (q64RepeatedLines _),
+    "q65_c4_clean" -> (q65C4Clean _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2245,6 +2444,9 @@ object SparkEntry {
     "q60_dup_lines" -> q60Sql,
     "q61_domain_filter" -> q61Sql,
     "q62_linear_embed" -> q62Sql,
+    "q63_neardup_components" -> q63Sql,
+    "q64_repeated_lines" -> q64Sql,
+    "q65_c4_clean" -> q65Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

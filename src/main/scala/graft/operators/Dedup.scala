@@ -903,4 +903,121 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select(col("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Corpus-level repeated-LINE removal — the line-granularity dedup of
+    * the C4/CCNet/RefinedWeb lineage (q60's `dupLineStats` scores
+    * repetition WITHIN a doc; this removes boilerplate shared ACROSS
+    * docs: cookie banners, licence footers, navigation chrome): any line
+    * whose trimmed form appears in ≥ `minDocs` distinct documents is
+    * dropped from every document; remaining lines are reassembled in
+    * their original order (docs reduced to nothing come back as empty
+    * strings, for the caller to drop or keep).
+    *
+    * Scale shape: one posexplode over the corpus scan; ONE aggregation
+    * on the trimmed line to find hot lines (count-distinct over doc ids,
+    * partial-aggregated map-side); a left-anti join back on the line
+    * key (both sides shuffle on the line — linear, never quadratic, and
+    * the hot side is boilerplate-sized); one groupBy(doc) to reassemble
+    * with `sort_array(collect_list(struct(idx, line)))` — order restored
+    * without a window. Blank/whitespace lines never count as "repeated"
+    * (every document shares them) and survive reassembly. */
+  def removeRepeatedLines(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__li", "__line")))
+    val hot = lines
+      .filter(length(trim(col("__line"))) > 0)
+      .groupBy(trim(col("__line")).as("__lt"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__lt")
+    val kept = lines.join(hot, trim(col("__line")) === col("__lt"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__li"), col("__line")))),
+          s => s.getField("__line")), "\n").as(textCol))
+    // Fully-boilerplate docs lose every line in the anti-join; surface
+    // them as empty strings rather than silently vanishing rows.
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
+  /** Connected components over a near-dup PAIR graph: (id, comp) for every
+    * id appearing in some pair, where comp = the minimum id reachable
+    * through pairs — the cluster's canonical representative. Pair-wise
+    * drop rules ([[dedupCorpus]]' "drop the larger id per pair") already
+    * collapse chains toward the min, but an operations review wants the
+    * CLUSTERS themselves: which docs are one near-dup family, what is its
+    * size, which representative survives.
+    *
+    * Algorithm: iterative min-label propagation (Pregel-style) — each
+    * round every node takes the min of its own label and its neighbors',
+    * until a fixpoint; rounds = graph diameter. Near-dup graphs are
+    * unions of small-diameter clusters by construction (a boilerplate
+    * cluster is a clique around its min id; mutation chains are short),
+    * so the loop converges in a handful of rounds; each round is one
+    * shuffle of the (small, LSH-sparse) edge set, never of the corpus.
+    * For adversarially long chains switch to the large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce"),
+    * which converges in O(log n) rounds on any graph — not needed for
+    * the dedup shapes this engine feeds it. Each round's labels are
+    * persisted, the previous round's unpersisted; the final frame is
+    * returned unpersisted (the loop consumed it via the convergence
+    * count, so nothing leaks).
+    *
+    * `maxIter` is a safety bound: the loop `require`s convergence within
+    * it rather than silently returning partial components. */
+  def nearDupComponents(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(lvl)
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged) {
+        require(iter < maxIter,
+          s"nearDupComponents did not converge in $maxIter rounds — " +
+            "graph diameter exceeds the near-dup shapes this loop is for")
+        val neighborMin = edges
+          .join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src"))
+          .agg(min(col("comp")).as("__ncomp"))
+        val next = labels
+          .join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("__ncomp"), col("comp"))).as("comp"))
+          .persist(lvl)
+        // Labels only ever decrease, so "no row decreased" is the fixpoint.
+        val changed = next.as("n")
+          .join(labels.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.comp") < col("p.comp"))
+          .count()
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      // Truncate the iteration lineage EXECUTOR-side (never a driver
+      // collect — components are corpus-scaled): the eager local
+      // checkpoint materializes the final labels into executor storage,
+      // so the loop's persists can be released and the returned frame
+      // neither recomputes the iterations nor leaks them. (Trade-off,
+      // documented: localCheckpoint output does not survive executor
+      // loss — acceptable for a result the caller consumes promptly;
+      // write it out for long-lived reuse.)
+      labels.select("id", "comp").localCheckpoint(true)
+    } finally {
+      edges.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+    }
+  }
 }

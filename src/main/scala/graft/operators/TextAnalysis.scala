@@ -135,6 +135,39 @@ object TextAnalysis {
         .otherwise(round(dupChars.cast("double") / total, 4)).as("dup_char_frac"))
   }
 
+  /** C4-style cleaning signals (Raffel et al. 2020 §2.2 — the public
+    * heuristics): per document, lines are kept iff they end in terminal
+    * punctuation (optionally a closing quote), carry ≥ `minLineWords`
+    * whitespace-separated words, and do not mention javascript; the
+    * page-level flags cover 'lorem ipsum', curly braces, and a minimum
+    * sentence count over the KEPT text, folded into a final `keep`.
+    * Returns a struct (text_c4, n_kept_lines, n_sentences, has_lorem,
+    * has_brace, keep). Pure per-row HOF fold — no explode, no shuffle;
+    * the standard C4 pass must be a narrow map over the corpus scan.
+    * (C4's bad-words list is a policy artifact, deliberately not
+    * shipped; plug it in as one more lambda clause.) Regexes stay in
+    * the Java∩RE2 subset, so the whole pass is oracle-replayable. */
+  def c4Signals(text: Column, minLineWords: Int = 3,
+                minSentences: Int = 5): Column = {
+    val t = coalesce(text, lit(""))
+    val lines = filter(
+      transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?]\"?$") &&
+        size(split(l, "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val nSent = regexp_count(cleaned, lit("[.!?]"))
+    struct(
+      cleaned.as("text_c4"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSent.cast("long").as("n_sentences"),
+      lower(t).contains("lorem ipsum").as("has_lorem"),
+      t.contains("{").as("has_brace"),
+      (!lower(t).contains("lorem ipsum") && !t.contains("{") &&
+        nSent >= minSentences).as("keep"))
+  }
+
   /** PII patterns for corpus scrubbing: (name, regex, replacement).
     * Patterns deliberately use only the regex subset Java
     * (`regexp_replace` codegen) and RE2 (DuckDB, Go, Rust engines)

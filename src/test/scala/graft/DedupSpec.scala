@@ -348,6 +348,44 @@ class DedupSpec extends AnyFunSuite {
       n = 3, bands = 4, maxBucketSize = 400).count() == 300L * 5)
   }
 
+  test("removeRepeatedLines drops cross-doc boilerplate, keeps order, surfaces emptied docs") {
+    val docs = Seq(
+      (1L, "alpha one\nFOOTER\nbeta one"),
+      (2L, "gamma two\n  FOOTER  \ndelta two"),   // trimmed form matches
+      (3L, "FOOTER\nepsilon three"),
+      (4L, "zeta four\n\n  \nrare line"),          // blanks never count
+      (5L, "rare line\nFOOTER"),                   // rare line: 2 docs < 3
+      (6L, "FOOTER")                               // fully boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedLines(docs, "text", "doc_id", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha one\nbeta one")       // order preserved
+    assert(out(2L) == "gamma two\ndelta two")      // untrimmed original dropped
+    assert(out(3L) == "epsilon three")
+    assert(out(4L) == "zeta four\n\n  \nrare line") // blanks + sub-threshold kept
+    assert(out(5L) == "rare line")
+    assert(out(6L) == "")                          // emptied doc surfaced, not lost
+    assert(out.size == 6)
+  }
+
+  test("nearDupComponents labels paths and cliques with their min id, enforces the bound") {
+    // A diameter-4 path (min must WALK, a one-round rule can't label it),
+    // a clique, and an isolated pair.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.nearDupComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // Non-convergence within maxIter throws rather than returning
+    // partial components.
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupComponents(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"), maxIter = 1)
+    }
+  }
+
   test("embeddingNearDups only pairs within a block and above threshold") {
     val v1 = Array(1.0f, 0.0f)
     val v2 = Array(0.999f, 0.045f)

@@ -182,6 +182,36 @@ class TextAnalysisSpec extends AnyFunSuite {
       ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("c4Signals: line rules, page flags, keep verdict") {
+    def sig(text: String): (String, Long, Long, Boolean, Boolean, Boolean) = {
+      val r = Seq(text).toDF("text")
+        .select(TextAnalysis.c4Signals(col("text"), minLineWords = 3,
+          minSentences = 2).as("c"))
+        .select("c.text_c4", "c.n_kept_lines", "c.n_sentences",
+          "c.has_lorem", "c.has_brace", "c.keep")
+        .collect()(0)
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))
+    }
+    // good page: two sentences survive, short/unpunctuated/js lines drop
+    val good = sig("A first full sentence here.\nshort line\n" +
+      "no terminal punctuation on this line\n" +
+      "Enable javascript to proceed please.\nA second one closes it!")
+    assert(good == (("A first full sentence here.\nA second one closes it!",
+      2L, 2L, false, false, true)))
+    // closing-quote terminal punctuation counts
+    assert(sig("He said \"stop right there.\"\nAnd then it truly ended.")._6)
+    // lorem ipsum / brace pages are flagged and dropped page-level
+    assert(sig("Nice sentence one.\nlorem ipsum filler text.\nNice sentence two.") ==
+      (("Nice sentence one.\nlorem ipsum filler text.\nNice sentence two.",
+        3L, 3L, true, false, false)))
+    assert(!sig("Object { nested } stuff.\nSecond sentence here.")._6)
+    // sentence floor: one kept sentence < 2 -> dropped
+    assert(!sig("Only one good sentence lives here.")._6)
+    // null-safe
+    assert(sig(null.asInstanceOf[String]) == (("", 0L, 0L, false, false, false)))
+  }
+
   test("analyze attaches all columns") {
     val df = TextAnalysis.analyze(Seq((1L, "the small test text")).toDF("doc_id", "text"))
     val cols = df.columns.toSet
