@@ -2313,6 +2313,57 @@ object SparkEntry {
       |  md5(ct) AS fp
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** BM25 lexical retrieval (`LexicalSearch.bm25Search`): top-25 docs
+    * for a three-term query, the keyword complement to the engine's
+    * vector search. The oracle replays tokenization, tf/df/length
+    * stats, the Lucene-style idf, and the per-doc LEFT-TO-RIGHT fold
+    * over term-sorted scores (list_reduce — a bare SUM's order is
+    * unspecified and can flip a rounded boundary); inexact double
+    * constants cross into SQL as CAST('…' AS DOUBLE) of their shortest
+    * round-trip rendering, never as bare decimal literals (the q62
+    * DECIMAL-conversion lesson). */
+  private def q66Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LexicalSearch.bm25Search(t(s, dir, "documents"),
+      Seq("vector", "stream", "merge"), k = 25)
+
+  private val q66Sql = {
+    val k1 = 1.2
+    val b = 0.75
+    def d(v: Double): String = s"CAST('${v.toString}' AS DOUBLE)"
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |    x -> x <> '') AS ts
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+      |stats AS (SELECT count(*) AS nd, sum(dl) AS sdl FROM dl),
+      |m AS (
+      |  SELECT doc_id, dl,
+      |    unnest(list_filter(ts,
+      |      x -> list_contains(['vector', 'stream', 'merge'], x))) AS term
+      |  FROM dl),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM m GROUP BY 1, 2, 3),
+      |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT t.doc_id, t.term,
+      |    ln(1.0 + (CAST(s.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+      |              / (CAST(d.df AS DOUBLE) + 0.5))
+      |      * (CAST(t.tf AS DOUBLE) * ${d(k1 + 1.0)})
+      |      / (CAST(t.tf AS DOUBLE)
+      |         + ${d(k1)} * (${d(1.0 - b)} + ${d(b)}
+      |             * (CAST(t.dl AS DOUBLE)
+      |                / (CAST(s.sdl AS DOUBLE) / CAST(s.nd AS DOUBLE))))) AS sv
+      |  FROM tf t JOIN dfs d USING (term), stats s),
+      |agg AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0.0, list(sv ORDER BY term)),
+      |                (a, b) -> a + b) AS score,
+      |    CAST(count(*) AS BIGINT) AS n_terms
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, round(score, 4) AS score, n_terms
+      |FROM agg ORDER BY agg.score DESC, doc_id LIMIT 25""".stripMargin
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2381,6 +2432,7 @@ object SparkEntry {
     "q63_neardup_components" -> (q63NearDupComponents _),
     "q64_repeated_lines" -> (q64RepeatedLines _),
     "q65_c4_clean" -> (q65C4Clean _),
+    "q66_bm25" -> (q66Bm25 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2447,6 +2499,7 @@ object SparkEntry {
     "q63_neardup_components" -> q63Sql,
     "q64_repeated_lines" -> q64Sql,
     "q65_c4_clean" -> q65Sql,
+    "q66_bm25" -> q66Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

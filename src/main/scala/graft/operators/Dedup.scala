@@ -915,12 +915,17 @@ object Dedup {
     *
     * Scale shape: one posexplode over the corpus scan; ONE aggregation
     * on the trimmed line to find hot lines (count-distinct over doc ids,
-    * partial-aggregated map-side); a left-anti join back on the line
-    * key (both sides shuffle on the line — linear, never quadratic, and
-    * the hot side is boilerplate-sized); one groupBy(doc) to reassemble
-    * with `sort_array(collect_list(struct(idx, line)))` — order restored
-    * without a window. Blank/whitespace lines never count as "repeated"
-    * (every document shares them) and survive reassembly. */
+    * partial-aggregated map-side); a LEFT join back on the line key
+    * marks hot lines (the hot side is boilerplate-sized, so AQE
+    * broadcast-converts it — plan-checked; a huge hot set degrades to a
+    * linear line-keyed shuffle, never quadratic); one groupBy(doc)
+    * reassembles with `sort_array(collect_list(struct(idx, line)))` —
+    * order restored without a window. Marking instead of anti-joining
+    * keeps fully-boilerplate docs IN the aggregate (they come back as
+    * empty strings, for the caller to drop or keep) without a second
+    * corpus-wide join to resurface them. Blank/whitespace lines never
+    * count as "repeated" (every document shares them) and survive
+    * reassembly. */
   def removeRepeatedLines(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id",
                           minDocs: Int = 3): DataFrame = {
@@ -933,16 +938,15 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__lt")
-    val kept = lines.join(hot, trim(col("__line")) === col("__lt"), "left_anti")
-    val rebuilt = kept.groupBy(idCol)
+    // collect_list skips NULLs, so hot lines (matched __lt) drop out of
+    // the rebuilt array while their doc row survives the aggregation.
+    lines.join(hot, trim(col("__line")) === col("__lt"), "left")
+      .groupBy(idCol)
       .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__li"), col("__line")))),
+        transform(
+          array_sort(collect_list(
+            when(col("__lt").isNull, struct(col("__li"), col("__line"))))),
           s => s.getField("__line")), "\n").as(textCol))
-    // Fully-boilerplate docs lose every line in the anti-join; surface
-    // them as empty strings rather than silently vanishing rows.
-    docs.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
   /** Connected components over a near-dup PAIR graph: (id, comp) for every
