@@ -2326,7 +2326,11 @@ object SparkEntry {
     graft.operators.LexicalSearch.bm25Search(t(s, dir, "documents"),
       Seq("vector", "stream", "merge"), k = 25)
 
-  private val q66Sql = {
+  /** Shared BM25 CTE chain (toks → … → agg: per-doc unrounded score +
+    * matched-term count) for q66/q67/q69 — a named constant, not a
+    * string-slice (the q58/q59 lesson). Ends after `agg`, ready for
+    * either a final SELECT or one more CTE. */
+  private val bm25AggCtes = {
     val k1 = 1.2
     val b = 0.75
     def d(v: Double): String = s"CAST('${v.toString}' AS DOUBLE)"
@@ -2359,10 +2363,112 @@ object SparkEntry {
       |    list_reduce(list_prepend(0.0, list(sv ORDER BY term)),
       |                (a, b) -> a + b) AS score,
       |    CAST(count(*) AS BIGINT) AS n_terms
-      |  FROM sc GROUP BY doc_id)
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
+  require(bm25AggCtes.endsWith("FROM sc GROUP BY doc_id)"),
+    "BM25 shared CTE prefix must end after agg, ready for one more CTE")
+
+  private val q66Sql =
+    s"""$bm25AggCtes
       |SELECT doc_id, round(score, 4) AS score, n_terms
       |FROM agg ORDER BY agg.score DESC, doc_id LIMIT 25""".stripMargin
+
+  /** BM25 via the prebuilt inverted index
+    * (`LexicalSearch.invertedIndex` + `bm25SearchIndexed`): the lexical
+    * scale path, as IVF is to exact k-NN. The scan-time and indexed
+    * forms share one score-expression builder, so this query's oracle is
+    * q66's VERBATIM — the gate proves index build + indexed search
+    * reproduce scan-time BM25 bit-for-bit. */
+  private def q67Bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.LexicalSearch.bm25SearchIndexed(
+      graft.operators.LexicalSearch.invertedIndex(docs),
+      graft.operators.LexicalSearch.corpusStats(docs),
+      Seq("vector", "stream", "merge"), k = 25)
   }
+
+  /** Inverted-index posting-list contract: exploded (term, shard, df,
+    * id, tf, dl) rows for the query terms — df global across shards,
+    * dl denormalized into the posting (impact-index style, so indexed
+    * search never joins back to the corpus). */
+  private def q68Postings(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LexicalSearch.invertedIndex(t(s, dir, "documents"))
+      .filter(col("term").isin("vector", "stream", "merge"))
+      .select(col("term"), col("shard"), col("df"),
+        explode(col("postings")).as("p"))
+      .select(col("term"), col("shard"), col("df"),
+        col("p.id").as("doc_id"), col("p.tf").as("tf"), col("p.dl").as("dl"))
+      .orderBy("term", "doc_id")
+
+  private val q68Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |    x -> x <> '') AS ts
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+      |    unnest(list_filter(ts,
+      |      x -> list_contains(['vector', 'stream', 'merge'], x))) AS term
+      |  FROM toks),
+      |tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+      |       FROM m GROUP BY 1, 2, 3),
+      |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+      |SELECT t.term, CAST(floor(t.doc_id / 1048576) AS BIGINT) AS shard,
+      |  d.df, t.doc_id, t.tf, t.dl
+      |FROM tf t JOIN dfs d USING (term)
+      |ORDER BY t.term, t.doc_id""".stripMargin
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 top-30 and
+    * the exact-cosine top-30 (`LexicalSearch.rrfFuse`) — the standard
+    * lexical+vector ensemble the reference's embedding-only retrieval
+    * can't express. Ranks are row_numbers over (ROUNDED score desc, id)
+    * so a sub-ULP cross-engine score difference cannot flip a rank; the
+    * RRF sum is two fixed-order reciprocal terms, rounded to 6. */
+  private def q69HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val lex = LexicalSearch.bm25Search(docs, Seq("vector", "stream", "merge"), k = 30)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
+    val vec = VectorSearch.knnScores(emb.filter(col("vec_id") =!= 0), qVec, 30,
+        idCol = "vec_id")
+      .select(col("vec_id").as("doc_id"), round(col("score"), 4).as("rs"))
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("rs").desc, col("doc_id").asc)).as("rank"))
+    LexicalSearch.rrfFuse(Seq("lex" -> lex, "vec" -> vec), k = 20)
+  }
+
+  private val q69Sql =
+    s"""$bm25AggCtes,
+      |ltop AS (
+      |  SELECT doc_id, score FROM agg
+      |  ORDER BY score DESC, doc_id LIMIT 30),
+      |lrank AS (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank_lex
+      |  FROM ltop),
+      |vq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |vtop AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    round(list_dot_product(e.embedding, vq.qe), 4) AS rs
+      |  FROM embeddings e, vq WHERE e.vec_id <> 0
+      |  ORDER BY list_dot_product(e.embedding, vq.qe) DESC, e.vec_id
+      |  LIMIT 30),
+      |vrank AS (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY rs DESC, doc_id) AS BIGINT) AS rank_vec
+      |  FROM vtop)
+      |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |  round(COALESCE(1.0 / (60.0 + CAST(l.rank_lex AS DOUBLE)), 0.0)
+      |      + COALESCE(1.0 / (60.0 + CAST(v.rank_vec AS DOUBLE)), 0.0), 6) AS rrf,
+      |  l.rank_lex, v.rank_vec
+      |FROM lrank l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id
+      |ORDER BY rrf DESC, COALESCE(l.doc_id, v.doc_id) LIMIT 20""".stripMargin
 
   // ====================================================================
 
@@ -2433,6 +2539,9 @@ object SparkEntry {
     "q64_repeated_lines" -> (q64RepeatedLines _),
     "q65_c4_clean" -> (q65C4Clean _),
     "q66_bm25" -> (q66Bm25 _),
+    "q67_bm25_indexed" -> (q67Bm25Indexed _),
+    "q68_postings" -> (q68Postings _),
+    "q69_hybrid_rrf" -> (q69HybridRrf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2500,6 +2609,9 @@ object SparkEntry {
     "q64_repeated_lines" -> q64Sql,
     "q65_c4_clean" -> q65Sql,
     "q66_bm25" -> q66Sql,
+    "q67_bm25_indexed" -> q66Sql,
+    "q68_postings" -> q68Sql,
+    "q69_hybrid_rrf" -> q69Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
