@@ -46,6 +46,10 @@ object ScaleProbe {
       storeProbe(args.lift(1).map(_.toInt).getOrElse(50))
       return
     }
+    if (args.headOption.contains("lex")) {
+      lexProbe(args.lift(1).map(_.toInt).getOrElse(50))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -542,6 +546,72 @@ object ScaleProbe {
       bigBatch.unpersist()
       spark.sparkContext.removeSparkListener(listener)
     }
+    spark.stop()
+  }
+
+  /** Lexical-retrieval probe (`runMain graft.ScaleProbe lex <factor>`):
+    * scan-time BM25 vs the prebuilt inverted index over the dedup
+    * probe's replicated corpus (shared cache — rep-mangled words, so
+    * vocabulary grows with the corpus like real crawl data). Times the
+    * one-off index build + bucketed save, then per-query cost of both
+    * paths; the indexed path's scan is bucket-pruned to the query
+    * terms, so its per-query cost tracks posting-list size, not corpus
+    * size — the transferable claim for a 100 TB corpus. */
+  def lexProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-lex-warehouse-$factor")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.LexicalSearch
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val nBase = base.count()
+    val path = s"/tmp/graft-dedup-scale-${factor}x"
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * nBase).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\w+)"),
+            concat(lit("$1r"), col("rep"))).as("text"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val docs = spark.read.parquet(path)
+    val n = docs.count()
+    println(s"[scale] lex corpus rows = $n (${factor}x of $nBase)")
+    // Terms each live in ONE replica's vocabulary — selective, like
+    // real keyword audits over a deduplicated crawl.
+    val terms = Seq("vectorr0", "streamr1", "merger2")
+
+    def timeWarm(name: String)(f: => Long): Unit = {
+      f
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime(); val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s warm, $rows rows out")
+    }
+    timeWarm("bm25Search (scan-time)")(
+      LexicalSearch.bm25Search(docs, terms, k = 25).count())
+
+    val idxPath = s"/tmp/graft-lex-index-${factor}x"
+    val t0 = System.nanoTime()
+    val tbl = LexicalSearch.saveIndex(
+      LexicalSearch.invertedIndex(docs), LexicalSearch.corpusStats(docs),
+      idxPath)
+    println(f"[scale] index build+save: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      s"(${spark.table(tbl).count()} term-shard rows)")
+    val (idxT, statsT) = LexicalSearch.openIndex(spark, idxPath)
+    timeWarm("bm25SearchIndexed (bucketed table)")(
+      LexicalSearch.bm25SearchIndexed(idxT, statsT, terms, k = 25).count())
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.stop()
   }
 

@@ -2470,6 +2470,53 @@ object SparkEntry {
       |FROM lrank l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id
       |ORDER BY rrf DESC, COALESCE(l.doc_id, v.doc_id) LIMIT 20""".stripMargin
 
+  /** Unigram LM quality scoring (`TextAnalysis.unigramVocab` +
+    * `lmScore`): the CCNet/Gopher perplexity-filter shape — top-16
+    * vocabulary ML log-probs, OOV floor ln(1/(total+1)), per-doc mean
+    * token ln-prob as the quality signal. K=16 against this corpus's
+    * 31-token vocabulary so the OOV path is EXERCISED, not decorative.
+    * The oracle replays the vocab cut (cnt desc, token tie-break) and
+    * the ascending-token-order fold. */
+  private def q70LmQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.lmScore(docs, TextAnalysis.unigramVocab(docs, k = 16))
+      .orderBy("doc_id")
+  }
+
+  private val q70Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_sort(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |    x -> x <> '')) AS ts
+      |  FROM documents),
+      |tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS total FROM toks),
+      |vc AS (
+      |  SELECT t.token, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(ts) AS token FROM toks) t GROUP BY 1),
+      |vocab AS (
+      |  SELECT token, ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) AS logp
+      |  FROM vc, tot t ORDER BY cnt DESC, token LIMIT 16),
+      |px AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+      |    i -> struct_pack(rn := i, tok := ts[i]))) AS p
+      |  FROM toks),
+      |lp AS (
+      |  SELECT doc_id, p.rn AS rn,
+      |    coalesce(v.logp, ln(1.0 / (CAST(t.total AS DOUBLE) + 1.0))) AS logp,
+      |    CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM px LEFT JOIN vocab v ON px.p.tok = v.token, tot t),
+      |agg AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0.0, list(logp ORDER BY rn)), (a, b) -> a + b) AS s,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(oov) AS BIGINT) AS n_oov
+      |  FROM lp GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  round(coalesce(a.s / CAST(a.n_tokens AS DOUBLE), 0.0), 4) AS lm_logprob,
+      |  coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.n_oov, 0) AS n_oov
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2542,6 +2589,7 @@ object SparkEntry {
     "q67_bm25_indexed" -> (q67Bm25Indexed _),
     "q68_postings" -> (q68Postings _),
     "q69_hybrid_rrf" -> (q69HybridRrf _),
+    "q70_lm_quality" -> (q70LmQuality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2612,6 +2660,7 @@ object SparkEntry {
     "q67_bm25_indexed" -> q66Sql,
     "q68_postings" -> q68Sql,
     "q69_hybrid_rrf" -> q69Sql,
+    "q70_lm_quality" -> q70Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -320,4 +320,76 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(t))
       .drop("__st")
   }
+
+  // ==================================================================
+  // Unigram LM quality scoring (the CCNet/Gopher perplexity-filter
+  // shape, with the standard top-K-vocab + OOV-floor scale design)
+  // ==================================================================
+
+  /** Top-`k` unigram vocabulary with maximum-likelihood log
+    * probabilities: `(token, cnt, total, logp = ln(cnt/total))`, ranked
+    * (cnt desc, token asc) for a deterministic cut. `total` counts ALL
+    * corpus tokens (not just the kept top-k) and rides on every row so
+    * [[lmScore]] can derive the OOV floor without a second aggregate.
+    *
+    * The vocabulary is the ONLY corpus-wide aggregation in this scoring
+    * family, and it is vocabulary-sized (partial-aggregated token
+    * counts), not corpus-sized; the top-k cut is exactly why the scoring
+    * pass can broadcast it. */
+  def unigramVocab(docs: DataFrame, k: Int,
+                   textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = docs.select(
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").cast("long").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("token"), col("cnt").cast("long").as("cnt"), col("total"),
+        log(col("cnt").cast("double") / col("total").cast("double")).as("logp"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Per-doc unigram log-likelihood quality signal against a
+    * [[unigramVocab]]: `(idCol, lm_logprob = mean token ln-prob,
+    * n_tokens, n_oov)`. Low scores flag gibberish/rare-token text —
+    * the cheap stand-in for the CCNet LM-perplexity filter, with the
+    * same thresholding usage.
+    *
+    * Scale shape: the vocab folds to ONE broadcast map row
+    * (`map_from_entries` over ≤ k entries); scoring is a single-pass
+    * per-row HOF fold over the doc's sorted tokens (sum + OOV count in
+    * one struct accumulator) — the corpus is scanned once and never
+    * shuffled or exploded. OOV tokens take the floor
+    * `ln(1/(total+1))`. Determinism: the fold runs over ASCENDING
+    * token order (array_sort), so both engines accumulate the same
+    * double sequence; mean divides once at the end; round(4). Docs
+    * with no tokens score 0.0 (not NULL). */
+  def lmScore(docs: DataFrame, vocab: DataFrame,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vrow = broadcast(vocab.agg(
+      map_from_entries(collect_list(struct(col("token"), col("logp")))).as("__vmap"),
+      first(col("total")).as("__total")))
+    val acc0 = struct(lit(0.0).as("s"), lit(0L).as("o"))
+    docs.crossJoin(vrow)
+      .withColumn("__toks", array_sort(
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)))
+      .withColumn("__oovlp",
+        log(lit(1.0) / (col("__total").cast("double") + lit(1.0))))
+      .withColumn("__acc",
+        aggregate(col("__toks"), acc0, (acc, t) => {
+          val lp = element_at(col("__vmap"), t)
+          struct(
+            (acc.getField("s") + coalesce(lp, col("__oovlp"))).as("s"),
+            (acc.getField("o") + when(lp.isNull, lit(1L)).otherwise(lit(0L))).as("o"))
+        }))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .select(col(idCol),
+        round(when(col("__n") === 0, lit(0.0))
+          .otherwise(col("__acc").getField("s") / col("__n").cast("double")), 4)
+          .as("lm_logprob"),
+        col("__n").as("n_tokens"),
+        col("__acc").getField("o").as("n_oov"))
+  }
 }

@@ -219,4 +219,57 @@ class TextAnalysisSpec extends AnyFunSuite {
       "mean_word_len", "quality", "lang_pred", "fingerprint").subsetOf(cols))
     assert(df.count() == 1)
   }
+
+  test("unigram vocab: ML log-probs, deterministic top-k cut, global total") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b z")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.unigramVocab(docs, k = 3)
+      .as[(String, Long, Long, Double)].collect()
+    // counts: a=4 b=3 c=1 z=1, total=9; tie at cnt=1 breaks by token asc
+    assert(v.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq(("a", 4L, 9L), ("b", 3L, 9L), ("c", 1L, 9L)))
+    assert(math.abs(v(0)._4 - math.log(4.0 / 9.0)) < 1e-12)
+  }
+
+  test("lmScore: mean sorted-order ln-prob, OOV floor, empty doc -> zeros") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "z a"),
+      (3L, "   ")
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramVocab(docs, k = 2) // keeps a, b; z is OOV
+    val got = TextAnalysis.lmScore(docs, vocab)
+      .orderBy("doc_id").as[(Long, Double, Long, Long)].collect()
+    val total = 5.0
+    val lpa = math.log(3.0 / total); val lpb = math.log(1.0 / total)
+    val oov = math.log(1.0 / (total + 1.0))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, r4((lpa + lpa + lpb) / 3.0), 3L, 0L)))
+    // sorted fold: a then z
+    assert(got(1) == ((2L, r4((lpa + oov) / 2.0), 2L, 1L)))
+    assert(got(2) == ((3L, 0.0, 0L, 0L)))
+  }
+
+  test("lmScore plan stays shuffle-free on the corpus side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+      val scored = TextAnalysis.lmScore(docs,
+        TextAnalysis.unigramVocab(docs, k = 2))
+      val joins = scored.queryExecution.executedPlan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+      }
+      assert(joins.nonEmpty, "vocab map row should broadcast-join the corpus")
+      // The streamed (corpus) side carries the per-row fold only — any
+      // exchange there would mean the scoring pass shuffles the corpus.
+      val streamed = joins.head.children.head
+      assert(streamed.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"corpus side shuffled:\n$streamed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
