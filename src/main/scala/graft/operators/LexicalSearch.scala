@@ -203,6 +203,12 @@ object LexicalSearch {
     val spark = index.sparkSession
     val tbl = indexTable(path)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // Retry-safe: a killed prior build leaves a partial postings dir,
+    // which CTAS refuses (non-empty location) — a rebuild must clobber
+    // it, not require manual cleanup.
+    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
+    postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(postings, true)
     // One file per bucket: repartition with the bucket spec's own
     // hash+modulus so each write task owns exactly one bucket id.
     index.repartition(buckets, col("term"))

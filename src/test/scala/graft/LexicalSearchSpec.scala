@@ -87,6 +87,13 @@ class LexicalSearchSpec extends AnyFunSuite {
     val terms = Seq("vector", "merge")
     val idx = LexicalSearch.invertedIndex(corpus)
     val stats = LexicalSearch.corpusStats(corpus)
+    // Plant a stale partial build: saveIndex must clobber it (retry-safe),
+    // not fail CTAS on the non-empty location.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "postings"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "postings", "part-stale.parquet"),
+      Array[Byte](1, 2, 3))
     val tbl = LexicalSearch.saveIndex(idx, stats, root, buckets = 16)
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
