@@ -2153,7 +2153,11 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  private val q63Sql =
+  /** Shared CTE chain for q63/q71: the injected chain corpus, its trigram
+    * MinHash pipeline, verified pairs, and the RECURSIVE component closure
+    * ending in `comps(doc_id, comp)` — ready for one more CTE (same
+    * guarded-prefix pattern as [[q58q59DropCtes]]). */
+  private val q63ComponentsCtes =
     """WITH RECURSIVE docs2 AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 25 = 0 THEN
@@ -2191,9 +2195,69 @@ object SparkEntry {
       |reach(src, dst) AS (
       |  SELECT src, dst FROM edges
       |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-      |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS comp
-      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comps AS (
+      |  SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS comp
+      |  FROM reach GROUP BY src),
+      |""".stripMargin
+
+  require(q63ComponentsCtes.endsWith("FROM reach GROUP BY src),\n"),
+    "q63/q71 shared CTE prefix must end after comps, ready for one more CTE")
+
+  private val q63Sql =
+    s"""${q63ComponentsCtes}final AS (SELECT doc_id, comp FROM comps)
+      |SELECT doc_id, comp FROM final ORDER BY doc_id""".stripMargin
+
+  /** Quality-ranked cluster dedup (`Dedup.keepBestResolution`): q63's
+    * near-dup clusters resolved by KEEPING each cluster's highest-
+    * [[TextAnalysis.qualityScore]] member instead of its lowest id — what
+    * a production pipeline actually retains. The injected chains make
+    * score ties common within a cluster (same token count, digit-length
+    * driven differences), so the min-id tie-break path is exercised, and
+    * the corpus's natural exact-dup clusters (identical text → identical
+    * score) resolve purely by tie-break. Output is the full per-member
+    * audit: (doc_id, comp, score, kept). */
+  private def q71KeepBest(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val chain = expr("array_join(transform(sequence(0, 39), " +
+      "j -> concat('cw', cast(div(doc_id, 25) * 2 + " +
+      "div(div(doc_id, 25), 5) * 1000 + j as int))), ' ')")
+    val docs = t(s, dir, "documents")
+      .withColumn("text", when(col("doc_id") % 25 === 0, chain).otherwise(col("text")))
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+      n = 3, bands = 4, minJaccard = 0.85)
+    // UNROUNDED quality: Spark's round() decimal-reprs the double before
+    // HALF_UP while DuckDB rounds the binary value — a 0.73935 boundary
+    // rounds differently (observed in-round). The raw composite is the
+    // same IEEE op chain on both engines, so it compares bitwise (q20/q43
+    // dot-product precedent).
+    val quality =
+      least(length(col("text")).cast("double") / lit(500.0), lit(1.0)) * 0.4 +
+        greatest(lit(0.0), lit(1.0) - TextAnalysis.punctRatio(col("text")) * 4.0) * 0.3 +
+        least(TextAnalysis.stopwordRatio(col("text")) * 5.0, lit(1.0)) * 0.3
+    Dedup.keepBestResolution(docs, quality, pairs)
+      .select(col("id").as("doc_id"), col("comp"), col("score"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val q71Sql = {
+    val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""${q63ComponentsCtes}quality AS (
+      |  SELECT d.doc_id,
+      |    least(length(d.text) / 500.0, 1.0) * 0.4 +
+      |    greatest(0.0, 1.0 - (CASE WHEN length(d.text) = 0 THEN 0.0
+      |      ELSE CAST(length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |           / length(d.text) END) * 4.0) * 0.3 +
+      |    least((CASE WHEN len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0b\\f\\r]+')) = 0 THEN 0.0
+      |      ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(d.text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |             x -> list_contains($stopList, x))) AS DOUBLE)
+      |           / len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0b\\f\\r]+')) END) * 5.0, 1.0) * 0.3 AS score
+      |  FROM docs2 d JOIN comps c ON d.doc_id = c.doc_id)
+      |SELECT c.doc_id, c.comp, q.score,
+      |  row_number() OVER (PARTITION BY c.comp ORDER BY q.score DESC, c.doc_id) = 1 AS kept
+      |FROM comps c JOIN quality q ON c.doc_id = q.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+  }
 
   /** Corpus-level repeated-line removal (`Dedup.removeRepeatedLines`):
     * a shared footer on half the docs and a 6-doc banner both cross the
@@ -2590,6 +2654,7 @@ object SparkEntry {
     "q68_postings" -> (q68Postings _),
     "q69_hybrid_rrf" -> (q69HybridRrf _),
     "q70_lm_quality" -> (q70LmQuality _),
+    "q71_keep_best" -> (q71KeepBest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2661,6 +2726,7 @@ object SparkEntry {
     "q68_postings" -> q68Sql,
     "q69_hybrid_rrf" -> q69Sql,
     "q70_lm_quality" -> q70Sql,
+    "q71_keep_best" -> q71Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -1023,4 +1023,49 @@ object Dedup {
       labels.select("id", "comp")
     } finally edges.unpersist(blocking = false)
   }
+
+  /** Quality-aware cluster resolution: label the near-dup clusters implied
+    * by verified `pairs` ([[nearDupComponents]]) and, per cluster, keep the
+    * member that MAXIMIZES `score` (ties → lowest id) instead of min-id
+    * "keep first". This is what production pipelines actually retain — a
+    * duplicate cluster's best-written member, not its accidentally-lowest
+    * id (reference drop policy `components/core/vector_search_engine.py`
+    * keeps first-seen; this operator is the quality-ranked upgrade).
+    *
+    * Output: one row per CLUSTER MEMBER — (id, comp, score, kept) — the
+    * auditable resolution an ops review wants. Docs in no cluster never
+    * appear (they are implicitly kept); compose with [[dedupKeepBest]]
+    * for the filtered-corpus form.
+    *
+    * Scale shape: the corpus is never shuffled by this operator. The
+    * component loop runs over the sparse pair set; the member frame is
+    * `docs ⋈ comps` on the id — comps is duplicate-sized, so AQE
+    * broadcast-converts the join — and the winner window partitions by
+    * `comp` over cluster members only (a duplicate-sized exchange, not a
+    * corpus one). `score` is evaluated only for cluster members. */
+  def keepBestResolution(docs: DataFrame, score: org.apache.spark.sql.Column,
+                         pairs: DataFrame, idCol: String = "doc_id",
+                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = nearDupComponents(pairs, idA, idB)
+    val members = docs.select(col(idCol).as("id"), score.as("score"))
+      .join(comps, "id")
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("score").desc, col("id").asc)
+    members
+      .withColumn("kept", row_number().over(w) === 1)
+      .select("id", "comp", "score", "kept")
+  }
+
+  /** Filtered-corpus form of [[keepBestResolution]]: `docs` minus every
+    * cluster member that lost its cluster's quality vote. The anti-join's
+    * drop side is duplicate-sized (losers only) — AQE broadcast-converts
+    * it; the corpus side streams. */
+  def dedupKeepBest(docs: DataFrame, score: org.apache.spark.sql.Column,
+                    pairs: DataFrame, idCol: String = "doc_id",
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = keepBestResolution(docs, score, pairs, idCol, idA, idB)
+      .filter(!col("kept")).select(col("id").as("__drop_id"))
+    docs.join(losers, docs(idCol) === col("__drop_id"), "left_anti")
+  }
 }

@@ -386,6 +386,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("keepBestResolution keeps the max-score member per cluster, ties to min id") {
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1),   // path cluster: 2 and 3 tie at 0.9 -> 2 wins
+      (10L, 0.2), (11L, 0.8),                        // pair cluster: 11 wins
+      (99L, 1.0)                                     // no cluster: never in the resolution
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val res = Dedup.keepBestResolution(docs, col("q"), pairs)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(res.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 10L, 11L)) // members only
+    assert(res.filter(_._4).map(r => (r._2, r._1)).toSet == Set((1L, 2L), (10L, 11L)))
+    // One winner per cluster, exactly.
+    assert(res.filter(_._4).length == 2)
+    // Filtered-corpus form: losers gone, non-cluster docs untouched.
+    val kept = Dedup.dedupKeepBest(docs, col("q"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 11L, 99L))
+  }
+
   test("embeddingNearDups only pairs within a block and above threshold") {
     val v1 = Array(1.0f, 0.0f)
     val v2 = Array(0.999f, 0.045f)
