@@ -2259,6 +2259,25 @@ object SparkEntry {
       |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** Temperature-reweighted domain mixing (`Sampling.mixWeights`, α=0.5):
+    * the per-source sampling weights a multi-source training mix uses.
+    * Float parity comes from construction, not rounding: n^0.5 is one
+    * correctly-rounded op (pow↔sqrt), and the normalizing total is an
+    * ordered unbounded window sum so both engines fold the domain rows
+    * in the same order — the weight column compares bitwise raw. */
+  private def q72MixWeights(s: SparkSession, dir: String): DataFrame = {
+    Sampling.mixWeights(t(s, dir, "documents"), "source", alpha = 0.5)
+      .orderBy("source")
+  }
+
+  private val q72Sql =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |s AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS sd FROM c)
+      |SELECT source, n_docs,
+      |  sd / sum(sd) OVER (ORDER BY source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS weight
+      |FROM s ORDER BY source""".stripMargin
+
   /** Corpus-level repeated-line removal (`Dedup.removeRepeatedLines`):
     * a shared footer on half the docs and a 6-doc banner both cross the
     * minDocs=3 bar and vanish; a 2-doc banner and per-doc unique tails
@@ -2655,6 +2674,7 @@ object SparkEntry {
     "q69_hybrid_rrf" -> (q69HybridRrf _),
     "q70_lm_quality" -> (q70LmQuality _),
     "q71_keep_best" -> (q71KeepBest _),
+    "q72_mix_weights" -> (q72MixWeights _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2727,6 +2747,7 @@ object SparkEntry {
     "q69_hybrid_rrf" -> q69Sql,
     "q70_lm_quality" -> q70Sql,
     "q71_keep_best" -> q71Sql,
+    "q72_mix_weights" -> q72Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

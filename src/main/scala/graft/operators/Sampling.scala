@@ -78,6 +78,33 @@ object Sampling {
     * (name, fraction) in order; fractions must sum to 1 (±1e-9) — the
     * last split takes the remainder of the hash range so no row is ever
     * unassigned by a float boundary. */
+  /** Temperature-reweighted domain mixing weights: per domain d,
+    * `weight_d = n_d^alpha / Σ_d n_d^alpha` — the standard α-temperature
+    * rebalance a multi-source training mix uses (α < 1 upweights small
+    * domains toward uniform; α = 1 is proportional; α = 0 uniform).
+    * Output: (domain, n_docs, weight), one row per domain.
+    *
+    * Scale shape: one map-side-combined count per domain (the only
+    * corpus-wide work), then all per-domain math on the domain-count
+    * frame — domains ≪ corpus by definition, so the single-partition
+    * normalization window is a few-row fold, not a scale risk.
+    *
+    * Float-parity note (oracle-checked queries): the normalizing total is
+    * an ORDERED unbounded window sum, not a scalar aggregate — both
+    * engines fold the domain rows in the same (domain-sorted) order, so
+    * the double total is bitwise reproducible; a groupBy total would sum
+    * in partition-arrival order and wobble in the last ulp. */
+  def mixWeights(df: DataFrame, domainCol: String, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha >= 0, s"negative temperature exponent: $alpha")
+    val w = Window.orderBy(domainCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__s", pow(col("n_docs").cast("double"), lit(alpha)))
+      .withColumn("weight", col("__s") / sum(col("__s")).over(w))
+      .drop("__s")
+  }
+
   def assignSplit(df: DataFrame, splits: Seq[(String, Double)],
                   keyCol: String = "doc_id",
                   salt: String = "split"): DataFrame = {

@@ -108,4 +108,24 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.deterministicSample(ids(5), 1.5)
     }
   }
+
+  test("mixWeights: alpha endpoints and the sqrt rebalance direction") {
+    import spark.implicits._
+    // 90/9/1 split across three domains.
+    val docs = ((1 to 90).map(i => (i.toLong, "web")) ++
+      (91 to 99).map(i => (i.toLong, "code")) ++
+      Seq((100L, "math"))).toDF("doc_id", "source")
+    def weights(alpha: Double): Map[String, Double] =
+      Sampling.mixWeights(docs, "source", alpha)
+        .select("source", "weight").as[(String, Double)].collect().toMap
+    val w1 = weights(1.0) // proportional
+    assert(math.abs(w1("web") - 0.90) < 1e-12 && math.abs(w1("math") - 0.01) < 1e-12)
+    val w0 = weights(0.0) // uniform
+    assert(w0.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+    val wh = weights(0.5) // sqrt: between the two, small domains upweighted
+    assert(wh("math") > 0.01 && wh("math") < 1.0 / 3)
+    assert(wh("web") < 0.90 && wh("web") > 1.0 / 3)
+    assert(math.abs(wh.values.sum - 1.0) < 1e-12)
+    intercept[IllegalArgumentException] { weights(-1.0) }
+  }
 }
