@@ -2278,6 +2278,66 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS weight
       |FROM s ORDER BY source""".stripMargin
 
+  /** Canonical-URL dedup (`TextAnalysis.canonicalizeUrl` +
+    * `urlResolution`): five URL variants per doc-id group — cased
+    * `WWW.` host with `:443` and a tracking param, the clean form, a
+    * userinfo+`:80`+fragment form, a `fbclid`-suffixed form, and a
+    * scheme-less `www.` form. Variants 0/1/3 collapse per group; the
+    * userinfo and scheme-less forms each collapse corpus-wide. Every
+    * canonicalization rule fires somewhere, and `kept` pins min-id
+    * resolution. */
+  private def q73UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = expr("div(doc_id, 5)").cast("string")
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("https://WWW.Example.com:443/a/b/?utm_source=feed&x="), k))
+      .when(col("doc_id") % 5 === 1, concat(lit("https://example.com/a/b?x="), k))
+      .when(col("doc_id") % 5 === 2, lit("http://user:pw@example.com:80/a/b#frag"))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://example.com/a/b?x="), k, lit("&fbclid=abc")))
+      .otherwise(lit("www.example.com/a/b"))
+    val docs = t(s, dir, "documents").withColumn("url", url)
+    TextAnalysis.urlResolution(docs, "url")
+      .select(col("id").as("doc_id"), col("canon"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val q73Sql =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'https://WWW.Example.com:443/a/b/?utm_source=feed&x=' || (doc_id // 5)
+      |      WHEN 1 THEN 'https://example.com/a/b?x=' || (doc_id // 5)
+      |      WHEN 2 THEN 'http://user:pw@example.com:80/a/b#frag'
+      |      WHEN 3 THEN 'https://example.com/a/b?x=' || (doc_id // 5) || '&fbclid=abc'
+      |      ELSE 'www.example.com/a/b' END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    regexp_extract(regexp_replace(url, '#.*$', ''), '^[^?]*') AS base,
+      |    regexp_extract(regexp_replace(url, '#.*$', ''), '^[^?]*\?(.*)$', 1) AS query
+      |  FROM urls),
+      |withpre AS (
+      |  SELECT doc_id, base, query,
+      |    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1) AS pre,
+      |    list_filter(string_split(query, '&'),
+      |      p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|ref)=')
+      |           AND p <> '') AS qp
+      |  FROM parts),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(lower(pre), '://[^@]*@', '://'),
+      |        ':(80|443)$', ''),
+      |      '^(https?://)www\.', '\1')
+      |    || regexp_replace(substr(base, length(pre) + 1, 1000000), '/$', '')
+      |    || CASE WHEN length(array_to_string(qp, '&')) > 0
+      |            THEN '?' || array_to_string(qp, '&') ELSE '' END AS canon
+      |  FROM withpre)
+      |SELECT doc_id, canon,
+      |  row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1 AS kept
+      |FROM canon ORDER BY doc_id""".stripMargin
+
   /** Corpus-level repeated-line removal (`Dedup.removeRepeatedLines`):
     * a shared footer on half the docs and a 6-doc banner both cross the
     * minDocs=3 bar and vanish; a 2-doc banner and per-doc unique tails
@@ -2675,6 +2735,7 @@ object SparkEntry {
     "q70_lm_quality" -> (q70LmQuality _),
     "q71_keep_best" -> (q71KeepBest _),
     "q72_mix_weights" -> (q72MixWeights _),
+    "q73_url_dedup" -> (q73UrlDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2748,6 +2809,7 @@ object SparkEntry {
     "q70_lm_quality" -> q70Sql,
     "q71_keep_best" -> q71Sql,
     "q72_mix_weights" -> q72Sql,
+    "q73_url_dedup" -> q73Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

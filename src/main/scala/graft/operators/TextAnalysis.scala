@@ -104,6 +104,54 @@ object TextAnalysis {
       .join(broadcast(blocklist.select(lower(col("domain")).as("domain"))),
         "domain")
 
+  /** URL canonicalization for crawl dedup — the RefinedWeb/CCNet-style
+    * normalization that makes `https://WWW.Example.com:443/a/?utm_source=x`
+    * and `https://example.com/a` the same key:
+    *
+    *  - fragment dropped; tracking params (`utm_*`, `gclid`, `fbclid`,
+    *    `msclkid`, `ref`) removed by SPLITTING the query on `&` and
+    *    filtering with a HOF — a regexp-delete would need iterated passes
+    *    for adjacent params and breaks the `?`/`&` separators;
+    *  - scheme+authority lowercased, userinfo stripped, default ports
+    *    (`:80`/`:443`) stripped, leading `www.` stripped;
+    *  - a single trailing `/` on the path stripped.
+    *
+    * Policy, not RFC 3986: lowercasing only touches scheme/authority (the
+    * path stays case-sensitive), and scheme-less strings pass through
+    * with only fragment/query/slash cleanup. Everything stays in the
+    * Java∩RE2 regex subset and is SQL-replayable; pure per-row column
+    * work — no shuffle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_extract(noFrag, "^[^?]*", 0)
+    val query = regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      !p.rlike("^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|ref)=") && p =!= "")
+    val pre = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    val path = base.substr(length(pre) + 1, lit(1000000))
+    val preClean = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(pre), "://[^@]*@", "://"),
+        ":(80|443)$", ""),
+      "^(https?://)www\\.", "$1")
+    val joined = concat(preClean, regexp_replace(path, "/$", ""))
+    val q = array_join(params, "&")
+    when(length(q) > 0, concat(joined, lit("?"), q)).otherwise(joined)
+  }
+
+  /** Canonical-URL dedup resolution: (id, canon, kept) — one row per doc,
+    * `kept` true for the lowest id per canonical URL. The shuffle moves
+    * only the thin (id, canon) projection, never the documents; the
+    * filtered-corpus form anti-joins the duplicate-sized loser set back
+    * ([[Dedup.dedupKeepBest]] pattern). */
+  def urlResolution(docs: DataFrame, urlCol: String,
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canon")).orderBy(col("id"))
+    docs.select(col(idCol).as("id"), canonicalizeUrl(col(urlCol)).as("canon"))
+      .withColumn("kept", row_number().over(w) === 1)
+  }
+
   /** Gopher-family duplicate-LINE signals, per document: struct of
     * `n_lines`, `n_unique` (distinct non-empty trimmed lines),
     * `dup_line_frac` = (n_lines − n_unique) / n_lines, and

@@ -272,4 +272,37 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"corpus side shuffled:\n$streamed")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("canonicalizeUrl: every rule, and the ones that must NOT fire") {
+    val cases = Seq(
+      // host case + default port + www + trailing slash + tracking param
+      "https://WWW.Example.com:443/a/b/?utm_source=feed&x=1" -> "https://example.com/a/b?x=1",
+      // userinfo + :80 + fragment
+      "http://user:pw@example.com:80/a/b#frag" -> "http://example.com/a/b",
+      // adjacent tracking params collapse in one pass (the HOF, not regex iteration)
+      "https://example.com/p?utm_a=1&utm_b=2&gclid=z&keep=3" -> "https://example.com/p?keep=3",
+      // all params tracking -> no dangling '?'
+      "https://example.com/p?utm_a=1&fbclid=2" -> "https://example.com/p",
+      // root slash stripped; scheme lowercased
+      "HTTPS://EXAMPLE.COM/" -> "https://example.com",
+      // non-default port kept; path case kept
+      "https://example.com:8443/CaseSensitive/Path" -> "https://example.com:8443/CaseSensitive/Path",
+      // scheme-less: only frag/query/slash cleanup, www kept, case kept
+      "www.Example.com/a/?utm_x=1#f" -> "www.Example.com/a",
+      // non-http scheme: www NOT stripped (policy is https? only)
+      "ftp://www.example.com/f" -> "ftp://www.example.com/f")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
+  }
+
+  test("urlResolution keeps min id per canonical url") {
+    val docs = Seq(
+      (5L, "https://A.com/x/"), (3L, "https://a.com/x"), (9L, "https://b.com/y")
+    ).toDF("doc_id", "url")
+    val res = TextAnalysis.urlResolution(docs, "url")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(res == Set((3L, "https://a.com/x", true), (5L, "https://a.com/x", false),
+      (9L, "https://b.com/y", true)))
+  }
 }
