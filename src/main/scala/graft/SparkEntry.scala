@@ -2338,6 +2338,62 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1 AS kept
       |FROM canon ORDER BY doc_id""".stripMargin
 
+  /** Exact repeated-substring removal (`Dedup.removeRepeatedSpans`,
+    * k=8, minDocs=2 — the Lee et al. 2021 signal): an 11-token cookie
+    * banner on every 4th doc and an 8-token promo on every 7th (every
+    * 28th gets both) must vanish token-exactly, junction windows
+    * (doc-tail + banner-head, unique per doc) must NOT fire, docs
+    * shorter than k contribute nothing, and the corpus's natural
+    * exact-dup texts collapse to empty — the whole-doc-repeat edge.
+    * `fp` hash-pins each rebuilt text; n_tokens counts survivors. */
+  private def q74SpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val boiler = " this website uses cookies to ensure you get the best experience"
+    val promo = " subscribe to our newsletter for weekly updates today"
+    val docs = t(s, dir, "documents").withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(boiler)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(promo)).otherwise(lit(""))))
+    Dedup.removeRepeatedSpans(docs, "text", "doc_id", k = 8, minDocs = 2)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0b\\f\\r]+")).cast("long").as("n_tokens"),
+        md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val q74Sql =
+    """WITH lined AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' this website uses cookies to ensure you get the best experience' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' subscribe to our newsletter for weekly updates today' ELSE '' END AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, text,
+      |  regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS t FROM lined),
+      |occ AS (
+      |  SELECT doc_id, g.pos AS pos, g.gh AS gh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+      |      i -> {'pos': i - 1, 'gh': md5(array_to_string(t[i:i+7], ' '))})) AS g
+      |    FROM toks WHERE len(t) >= 8)),
+      |hot AS (SELECT gh FROM (
+      |  SELECT gh, count(DISTINCT doc_id) AS nd FROM occ GROUP BY gh) WHERE nd >= 2),
+      |cov AS (
+      |  SELECT doc_id, list(DISTINCT cp) AS cov FROM (
+      |    SELECT o.doc_id, unnest(range(o.pos, o.pos + 8)) AS cp
+      |    FROM occ o JOIN hot USING (gh))
+      |  GROUP BY doc_id),
+      |clean AS (
+      |  SELECT tk.doc_id,
+      |    CASE WHEN c.cov IS NULL THEN tk.text
+      |    -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+      |    ELSE coalesce(array_to_string(
+      |      list_transform(
+      |        list_filter(range(1, len(tk.t) + 1), i -> NOT list_contains(c.cov, i - 1)),
+      |        i -> tk.t[i]), ' '), '') END AS text
+      |  FROM toks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id)
+      |SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens,
+      |  md5(text) AS fp
+      |FROM clean ORDER BY doc_id""".stripMargin
+
   /** Corpus-level repeated-line removal (`Dedup.removeRepeatedLines`):
     * a shared footer on half the docs and a 6-doc banner both cross the
     * minDocs=3 bar and vanish; a 2-doc banner and per-doc unique tails
@@ -2736,6 +2792,7 @@ object SparkEntry {
     "q71_keep_best" -> (q71KeepBest _),
     "q72_mix_weights" -> (q72MixWeights _),
     "q73_url_dedup" -> (q73UrlDedup _),
+    "q74_span_removal" -> (q74SpanRemoval _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2810,6 +2867,7 @@ object SparkEntry {
     "q71_keep_best" -> q71Sql,
     "q72_mix_weights" -> q72Sql,
     "q73_url_dedup" -> q73Sql,
+    "q74_span_removal" -> q74Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -1057,6 +1057,71 @@ object Dedup {
       .select("id", "comp", "score", "kept")
   }
 
+  /** Repeated-SPAN occurrences across the corpus: every position where a
+    * `k`-token window of a document also appears (verbatim, post-split)
+    * in ≥ `minDocs` distinct documents — the exact-substring duplication
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), Spark-shaped: a suffix array is a
+    * single-machine artifact; the distributed equivalent is rolling
+    * k-gram hashes + a hot-gram join.
+    *
+    * Output: (id, pos, gh) — token-start positions of hot-gram windows.
+    *
+    * Scale shape: the gram explode is linear in corpus tokens (the
+    * inherent cost of substring-level dedup — the paper's suffix array
+    * reads the same mass); the hot-gram set is duplicate-mass-sized and
+    * the groupBy/join shuffles carry (hash, id, pos) triples, never
+    * text. Docs shorter than `k` tokens contribute nothing (an
+    * explicit guard — Spark's `sequence(0, n-k)` would DESCEND for
+    * n < k, not return empty). */
+  def repeatedSpanOccurrences(docs: DataFrame, textCol: String,
+                              idCol: String, k: Int,
+                              minDocs: Int): DataFrame = {
+    require(k >= 2 && minDocs >= 2, s"degenerate span params: k=$k minDocs=$minDocs")
+    val toks = split(trim(col(textCol)), "[ \\t\\n\\x0b\\f\\r]+")
+    val grams = when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(k))).cast("binary"))))
+    val occ = docs.select(col(idCol).as("id"),
+      posexplode(grams).as(Seq("pos", "gh")))
+    val hot = occ.groupBy("gh")
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("gh")
+    occ.join(hot, "gh").select("id", "pos", "gh")
+  }
+
+  /** Remove cross-document repeated spans: every token covered by any
+    * [[repeatedSpanOccurrences]] window is cut, and the surviving tokens
+    * are rejoined with single spaces. Only MATCHED documents are
+    * rewritten (their text is whitespace-normalized by the rebuild —
+    * documented policy); untouched documents keep their original text
+    * byte-for-byte, so the clean majority of a corpus pays no rebuild.
+    * A document that is entirely repeated material survives with empty
+    * text (the caller decides whether to drop it — same posture as
+    * [[removeRepeatedLines]]).
+    *
+    * Scale shape: covered positions collapse to one duplicate-mass-sized
+    * (id, sorted positions) frame; the final join streams the corpus
+    * against it (AQE broadcast-converts when it measures small) and the
+    * rebuild is a per-row HOF over the matched rows only. */
+  def removeRepeatedSpans(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", k: Int = 8,
+                          minDocs: Int = 2): DataFrame = {
+    val occ = repeatedSpanOccurrences(docs, textCol, idCol, k, minDocs)
+    val covered = occ
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .groupBy("id")
+      .agg(array_sort(collect_set(col("cp"))).as("__cov"))
+    val toks = split(trim(col(textCol)), "[ \\t\\n\\x0b\\f\\r]+")
+    val rebuilt = concat_ws(" ",
+      filter(toks, (_, i) => !array_contains(col("__cov"), i)))
+    docs.join(covered, docs(idCol) === covered("id"), "left")
+      .withColumn(textCol,
+        when(col("__cov").isNull, col(textCol)).otherwise(rebuilt))
+      .drop("id", "__cov")
+  }
+
   /** Filtered-corpus form of [[keepBestResolution]]: `docs` minus every
     * cluster member that lost its cluster's quality vote. The anti-join's
     * drop side is duplicate-sized (losers only) — AQE broadcast-converts

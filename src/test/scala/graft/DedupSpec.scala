@@ -405,6 +405,31 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(2L, 11L, 99L))
   }
 
+  test("removeRepeatedSpans cuts cross-doc k-token runs, keeps unique context") {
+    val span = "one two three four five six seven eight" // 8 tokens, k = 8
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"epsilon $span zeta eta theta iota"),
+      (3L, "totally unrelated text here"),          // < k tokens, untouched
+      (4L, span),                                    // nothing but the span -> empty
+      (5L, "nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "text", "doc_id", k = 8, minDocs = 2)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // Span gone, surroundings intact (junction windows are unique per doc).
+    assert(out(1L) == "alpha beta gamma delta")
+    assert(out(2L) == "epsilon zeta eta theta iota")
+    // Untouched docs keep their text byte-for-byte.
+    assert(out(3L) == "totally unrelated text here")
+    assert(out(5L).startsWith("nine ten"))
+    // A doc that is entirely repeated material survives as empty text.
+    assert(out(4L) == "")
+    // minDocs above the repeat count (docs 1, 2, 4 share it) -> nothing fires.
+    val strict = Dedup.removeRepeatedSpans(docs, "text", "doc_id", k = 8, minDocs = 4)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(strict(1L) == s"alpha beta $span gamma delta")
+  }
+
   test("embeddingNearDups only pairs within a block and above threshold") {
     val v1 = Array(1.0f, 0.0f)
     val v2 = Array(0.999f, 0.045f)
