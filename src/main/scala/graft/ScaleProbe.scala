@@ -50,6 +50,10 @@ object ScaleProbe {
       lexProbe(args.lift(1).map(_.toInt).getOrElse(50))
       return
     }
+    if (args.headOption.contains("pipeline")) {
+      pipelineProbe(args.lift(1).map(_.toInt).getOrElse(50))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -684,6 +688,76 @@ object ScaleProbe {
     timeWarm("assignSplit 80/10/10")(
       Sampling.assignSplit(docs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split").count().count())
+    spark.stop()
+  }
+
+  /** Round-8 pipeline-operator probe over the same replicated corpus as
+    * [[dedupProbe]] (re-mangled text, so natural dups exist only within a
+    * replica): repeated-span removal (the gram explode is the cost —
+    * linear in corpus tokens), end-to-end components (pairs + the
+    * per-round-checkpointed label loop), canonical-URL dedup over a
+    * synthesized URL column, and mix weights. */
+  def pipelineProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val nBase = base.count()
+    val path = s"/tmp/graft-dedup-scale-${factor}x"
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * nBase).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\w+)"),
+            concat(lit("$1r"), col("rep"))).as("text"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val docs = spark.read.parquet(path)
+    val n = docs.count()
+    println(s"[scale] pipeline corpus rows = $n (${factor}x of $nBase)")
+
+    def timeWarm(name: String)(f: => Long): Unit = {
+      f
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime(); val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s warm, $rows rows out (${n / sec / 1e6}%.2f M docs/s)")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    // Shared 12-token boilerplate on every 4th doc (same within a replica
+    // -> hot grams within AND across replicas since the banner is not
+    // rep-mangled).
+    val banner = " this website uses cookies to ensure you get the very best browsing experience"
+    val spanDocs = docs.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(banner)).otherwise(lit(""))))
+    timeWarm("removeRepeatedSpans (k=8, minDocs=2)")(
+      Dedup.removeRepeatedSpans(spanDocs, "text", "doc_id", k = 8, minDocs = 2)
+        .select(sum(length(col("text")))).collect()(0).getLong(0))
+    timeWarm("components end-to-end (pairs + label loop)")(
+      Dedup.nearDupComponents(
+        Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4,
+          minJaccard = 0.15)).count())
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://WWW.Site"), pmod(col("doc_id"), lit(1000)),
+        lit(".com:443/p/"), (col("doc_id") % 50).cast("string"),
+        lit("/?utm_source=x&k="), (col("doc_id") % 7).cast("string")).as("url"))
+    timeWarm("urlResolution (canonical-URL dedup)")(
+      graft.operators.TextAnalysis.urlResolution(urls, "url").filter(col("kept")).count())
+    timeWarm("mixWeights (alpha=0.5, 1000 domains)")(
+      Sampling.mixWeights(
+        docs.withColumn("source", pmod(col("doc_id"), lit(1000)).cast("string")),
+        "source", alpha = 0.5).count())
     spark.stop()
   }
 }
