@@ -2394,6 +2394,86 @@ object SparkEntry {
       |  md5(text) AS fp
       |FROM clean ORDER BY doc_id""".stripMargin
 
+  /** Gopher quality rules (`TextAnalysis.gopherFlags` — Rae et al. 2021
+    * Table A1): docs are seeded so every rule fires somewhere — a
+    * 12-line bullet block (> 90% bullet lines), ellipsis-ended lines
+    * (> 30%), a `#`/`...` symbol burst (> 0.1 per word), an all-digit
+    * doc (alpha fraction 0, no stop words), plus the corpus's natural
+    * under-50-word docs. Raw measures emitted unrounded — every ratio
+    * is one division of integer-exact operands, bitwise-stable. */
+  private def q75GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val bullets = (1 to 12).map(i => s"- item $i").mkString("\n", "\n", "")
+    val docs = t(s, dir, "documents").withColumn("text",
+      when(col("doc_id") % 19 === 0,
+        lit("12345 678 90 4711 0815 2x 3y 55 66 77"))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 10 === 0, lit(bullets)).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\nRead more...\nStory continues...\nClick here..."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit(" ### ## # #### # ## ### # # ## #")).otherwise(lit("")))))
+    docs.select(col("doc_id"),
+        TextAnalysis.gopherFlags(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+        col("g.symbol_ratio"), col("g.bullet_frac"), col("g.ellipsis_frac"),
+        col("g.alpha_frac"), col("g.n_stop_hits"), col("g.keep"))
+      .orderBy("doc_id")
+  }
+
+  private val q75Sql = {
+    val stopList = TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 19 = 0 THEN '12345 678 90 4711 0815 2x 3y 55 66 77'
+      |    ELSE text ||
+      |      CASE WHEN doc_id % 10 = 0 THEN chr(10) ||
+      |        array_to_string(list_transform(range(1, 13), i -> '- item ' || i), chr(10))
+      |        ELSE '' END ||
+      |      CASE WHEN doc_id % 13 = 0 THEN
+      |        chr(10) || 'Read more...' || chr(10) || 'Story continues...' || chr(10) || 'Click here...'
+      |        ELSE '' END ||
+      |      CASE WHEN doc_id % 17 = 0 THEN ' ### ## # #### # ## ### # # ## #' ELSE '' END
+      |    END AS text
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
+      |      w -> length(w) > 0) AS words,
+      |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |      l -> length(l) > 0) AS lines
+      |  FROM seeded),
+      |r AS (
+      |  SELECT doc_id,
+      |    len(words) AS n_words,
+      |    list_sum(list_transform(words, w -> length(w))) AS n_chars,
+      |    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols,
+      |    len(lines) AS n_lines,
+      |    len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+      |    len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$'))) AS n_ellipsis,
+      |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+      |    len(list_filter(list_distinct(list_transform(words, w -> lower(w))),
+      |      w -> list_contains(STOPLIST, w))) AS n_stop
+      |  FROM m),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(n_words AS BIGINT) AS n_words,
+      |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / n_words END AS mean_word_len,
+      |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / n_words END AS symbol_ratio,
+      |    CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_bullet AS DOUBLE) / n_lines END AS bullet_frac,
+      |    CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_ellipsis AS DOUBLE) / n_lines END AS ellipsis_frac,
+      |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
+      |    CAST(n_stop AS BIGINT) AS n_stop_hits
+      |  FROM r)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+      |  ellipsis_frac, alpha_frac, n_stop_hits,
+      |  (n_words >= 50 AND n_words <= 100000 AND
+      |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+      |   symbol_ratio <= 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND
+      |   alpha_frac >= 0.8 AND n_stop_hits >= 2) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin.replace("STOPLIST", stopList)
+  }
+
   /** Corpus-level repeated-line removal (`Dedup.removeRepeatedLines`):
     * a shared footer on half the docs and a 6-doc banner both cross the
     * minDocs=3 bar and vanish; a 2-doc banner and per-doc unique tails
@@ -2793,6 +2873,7 @@ object SparkEntry {
     "q72_mix_weights" -> (q72MixWeights _),
     "q73_url_dedup" -> (q73UrlDedup _),
     "q74_span_removal" -> (q74SpanRemoval _),
+    "q75_gopher_rules" -> (q75GopherRules _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2868,6 +2949,7 @@ object SparkEntry {
     "q72_mix_weights" -> q72Sql,
     "q73_url_dedup" -> q73Sql,
     "q74_span_removal" -> q74Sql,
+    "q75_gopher_rules" -> q75Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -183,6 +183,69 @@ object TextAnalysis {
         .otherwise(round(dupChars.cast("double") / total, 4)).as("dup_char_frac"))
   }
 
+  /** Gopher's 8-word stop set (Rae et al. 2021, Table A1): a document
+    * must contain ≥ 2 DISTINCT of these to pass the stop-word rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-filter signals (Rae et al. 2021, Table A1 — the
+    * public rules), per document: word count in [minWords, maxWords],
+    * mean word length in [3, 10], symbol-to-word ratio (`#` or `...`)
+    * ≤ 0.1, < 90% of lines bullet-led, < 30% of lines ellipsis-ended,
+    * ≥ 80% of words with an alphabetic character, and ≥ 2 distinct
+    * [[GopherStopwords]]; `keep` folds all seven. Returns a struct of
+    * the raw measures + per-rule booleans so a pipeline can tune
+    * thresholds without recomputing.
+    *
+    * Pure per-row fold (no explode, no shuffle), same scale posture as
+    * [[c4Signals]]. Every ratio is ONE division of integer-exact
+    * operands (correctly rounded → bitwise-stable across engines), so
+    * the whole struct is oracle-checkable raw, no rounding. */
+  def gopherFlags(text: Column, minWords: Int = 50,
+                  maxWords: Int = 100000): Column = {
+    val t = coalesce(text, lit(""))
+    val words = filter(split(trim(t), "[ \\t\\n\\x0b\\f\\r]+"),
+      w => length(w) > 0)
+    val nWords = size(words)
+    val nChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(nChars.cast("double") / nWords)
+    val nSymbols = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(nSymbols.cast("double") / nWords)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => l.rlike("^[-*•]")))
+    val nEllipsis = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+    val bulletFrac = when(nLines === 0, lit(0.0))
+      .otherwise(nBullet.cast("double") / nLines)
+    val ellipsisFrac = when(nLines === 0, lit(0.0))
+      .otherwise(nEllipsis.cast("double") / nLines)
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(nAlpha.cast("double") / nWords)
+    val lowered = transform(words, w => lower(w))
+    val nStop = size(filter(
+      array_distinct(lowered), w => w.isInCollection(GopherStopwords)))
+    val keep =
+      nWords >= minWords && nWords <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 &&
+        bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+        alphaFrac >= 0.8 &&
+        nStop >= 2
+    struct(
+      nWords.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      nStop.cast("long").as("n_stop_hits"),
+      keep.as("keep"))
+  }
+
   /** C4-style cleaning signals (Raffel et al. 2020 §2.2 — the public
     * heuristics): per document, lines are kept iff they end in terminal
     * punctuation (optionally a closing quote), carry ≥ `minLineWords`

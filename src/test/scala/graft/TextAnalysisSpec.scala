@@ -273,6 +273,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("gopherFlags: each rule fires alone; a good doc passes all") {
+    val good = (("the quick brown fox jumps over the lazy dog and runs away " +
+      "to be free of all that has been with them here today now then ") * 4).trim
+    def flags(t: String) = {
+      val r = Seq(Tuple1(t)).toDF("text")
+        .select(TextAnalysis.gopherFlags(col("text")).as("g"))
+        .select("g.*").collect()(0)
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getBoolean(7))
+    }
+    val g = flags(good)
+    assert(g._8, s"good doc should pass: $g")
+    // Word count floor.
+    assert(!flags("too few words here the and of that")._8)
+    // Bullet domination (10 bullets, 1 prose line).
+    val bullets = good + "\n" + (1 to 10).map(i => s"- b $i").mkString("\n")
+    val gb = flags(bullets)
+    assert(gb._4 > 0.9 - 1e-9 && !gb._8)
+    // Ellipsis-ended lines over 30%.
+    val ell = good + "\nRead on...\nMore...\nAgain...\nAnd..."
+    assert(flags(ell)._5 > 0.3 && !flags(ell)._8)
+    // Symbol burst.
+    val sym = good + " " + ("# " * 15).trim
+    assert(flags(sym)._3 > 0.1 && !flags(sym)._8)
+    // All digits: alpha fraction + stop words both fail.
+    val digits = flags(("1234 5678 " * 30).trim)
+    assert(digits._6 == 0.0 && digits._7 == 0L && !digits._8)
+    // NULL text -> zero struct, not NULLs.
+    val nullRow = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(TextAnalysis.gopherFlags(col("text")).as("g"))
+      .select("g.n_words", "g.keep").collect()(0)
+    assert(nullRow.getLong(0) == 0L && !nullRow.getBoolean(1))
+  }
+
   test("canonicalizeUrl: every rule, and the ones that must NOT fire") {
     val cases = Seq(
       // host case + default port + www + trailing slash + tracking param
