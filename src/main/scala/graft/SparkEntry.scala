@@ -2394,6 +2394,58 @@ object SparkEntry {
       |  md5(text) AS fp
       |FROM clean ORDER BY doc_id""".stripMargin
 
+  /** Paragraph-granularity repeated-unit removal
+    * (`Dedup.removeRepeatedParagraphs`): a MULTI-LINE licence block on
+    * half the docs (line-level dedup would see its two lines as separate
+    * units; paragraph-level must drop it as ONE unit), a 6-doc notice, a
+    * 2-doc rare paragraph that must survive, and per-doc unique tail
+    * paragraphs. The corpus's natural exact-dup texts also become hot
+    * paragraphs. Reassembly joins with the blank-line separator; `fp`
+    * md5-pins it. */
+  private def q76RepeatedParagraphs(s: SparkSession, dir: String): DataFrame = {
+    val lic = "Licensed under CC-BY 4.0\nSee terms at example.org/license"
+    val paged = t(s, dir, "documents").withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit("\n\n" + lic)).otherwise(lit("")),
+        when(col("doc_id") % 97 === 0,
+          lit("\n\nSemi Common Notice\nSecond line")).otherwise(lit("")),
+        when(col("doc_id") % 251 === 0, lit("\n\nRare Notice Duo")).otherwise(lit("")),
+        concat(lit("\n\nunique tail "), col("doc_id"))))
+    Dedup.removeRepeatedParagraphs(paged, "text", "doc_id", minDocs = 3)
+      .select(col("doc_id"),
+        size(split(col("text"), "\n\n")).cast("long").as("n_paras"),
+        md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val q76Sql =
+    """WITH paged AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || chr(10) ||
+      |      'Licensed under CC-BY 4.0' || chr(10) || 'See terms at example.org/license' ELSE '' END ||
+      |    CASE WHEN doc_id % 97 = 0 THEN chr(10) || chr(10) ||
+      |      'Semi Common Notice' || chr(10) || 'Second line' ELSE '' END ||
+      |    CASE WHEN doc_id % 251 = 0 THEN chr(10) || chr(10) || 'Rare Notice Duo' ELSE '' END ||
+      |    chr(10) || chr(10) || 'unique tail ' || doc_id AS text
+      |  FROM documents),
+      |parts AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ls FROM paged),
+      |ex AS (SELECT doc_id, unnest(ls) AS ln FROM parts),
+      |hot AS (
+      |  SELECT trim(ln) AS lt FROM ex
+      |  WHERE len(trim(ln)) > 0
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+      |hotlist AS (SELECT coalesce(list(lt), []) AS hl FROM hot),
+      |clean AS (
+      |  SELECT p.doc_id,
+      |    coalesce(array_to_string(list_filter(p.ls,
+      |      x -> len(trim(x)) = 0 OR NOT list_contains(h.hl, trim(x))),
+      |      chr(10) || chr(10)), '') AS text
+      |  FROM parts p, hotlist h)
+      |SELECT doc_id,
+      |  CAST(len(string_split(text, chr(10) || chr(10))) AS BIGINT) AS n_paras,
+      |  md5(text) AS fp
+      |FROM clean ORDER BY doc_id""".stripMargin
+
   /** Gopher quality rules (`TextAnalysis.gopherFlags` — Rae et al. 2021
     * Table A1): docs are seeded so every rule fires somewhere — a
     * 12-line bullet block (> 90% bullet lines), ellipsis-ended lines
@@ -2874,6 +2926,7 @@ object SparkEntry {
     "q73_url_dedup" -> (q73UrlDedup _),
     "q74_span_removal" -> (q74SpanRemoval _),
     "q75_gopher_rules" -> (q75GopherRules _),
+    "q76_repeated_paragraphs" -> (q76RepeatedParagraphs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2950,6 +3003,7 @@ object SparkEntry {
     "q73_url_dedup" -> q73Sql,
     "q74_span_removal" -> q74Sql,
     "q75_gopher_rules" -> q75Sql,
+    "q76_repeated_paragraphs" -> q76Sql,
   ) ++ ivfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)

@@ -928,10 +928,30 @@ object Dedup {
     * reassembly. */
   def removeRepeatedLines(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id",
-                          minDocs: Int = 3): DataFrame = {
+                          minDocs: Int = 3): DataFrame =
+    removeRepeatedUnits(docs, textCol, idCol, minDocs, sep = "\n")
+
+  /** [[removeRepeatedLines]] at PARAGRAPH granularity (split on blank
+    * line, i.e. `\n\n`) — the second knob of the MassiveText/RefinedWeb
+    * repetition hygiene pair: line-level catches navigation chrome,
+    * paragraph-level catches multi-line licence blocks and cookie
+    * notices that line-level sees as several (possibly sub-threshold)
+    * pieces. Same plan shape and emptied-doc posture. */
+  def removeRepeatedParagraphs(docs: DataFrame, textCol: String = "text",
+                               idCol: String = "doc_id",
+                               minDocs: Int = 3): DataFrame =
+    removeRepeatedUnits(docs, textCol, idCol, minDocs, sep = "\n\n")
+
+  /** Shared unit-granularity core of [[removeRepeatedLines]] /
+    * [[removeRepeatedParagraphs]]: `sep` is both the (regex-free) split
+    * pattern and the reassembly joiner. */
+  private def removeRepeatedUnits(docs: DataFrame, textCol: String,
+                                  idCol: String, minDocs: Int,
+                                  sep: String): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("__li", "__line")))
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__li", "__line")))
     val hot = lines
       .filter(length(trim(col("__line"))) > 0)
       .groupBy(trim(col("__line")).as("__lt"))
@@ -946,7 +966,7 @@ object Dedup {
         transform(
           array_sort(collect_list(
             when(col("__lt").isNull, struct(col("__li"), col("__line"))))),
-          s => s.getField("__line")), "\n").as(textCol))
+          s => s.getField("__line")), sep).as(textCol))
   }
 
   /** Connected components over a near-dup PAIR graph: (id, comp) for every

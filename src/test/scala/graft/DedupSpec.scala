@@ -368,6 +368,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("removeRepeatedParagraphs drops a multi-line block as ONE unit") {
+    val lic = "Licensed under CC\nSee terms online" // two LINES, one paragraph
+    val docs = Seq(
+      (1L, s"intro one\n\n$lic\n\ntail one"),
+      (2L, s"$lic\n\nintro two"),
+      (3L, s"intro three\n\n$lic"),
+      (4L, "solo doc\n\nLicensed under CC")        // single-line near-miss: distinct unit
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedParagraphs(docs, "text", "doc_id", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "intro one\n\ntail one")
+    assert(out(2L) == "intro two")
+    assert(out(3L) == "intro three")
+    // "Licensed under CC" alone != the two-line paragraph; it survives.
+    assert(out(4L) == "solo doc\n\nLicensed under CC")
+  }
+
   test("nearDupComponents labels paths and cliques with their min id, enforces the bound") {
     // A diameter-4 path (min must WALK, a one-round rule can't label it),
     // a clique, and an isolated pair.
