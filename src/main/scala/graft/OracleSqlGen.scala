@@ -152,6 +152,50 @@ object OracleSqlGen {
        |FROM (SELECT DISTINCT query_id FROM qs) q LEFT JOIN ov USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  /** q77's oracle: PQ subspace assignment + ADC top-k, replayed from the
+    * persisted codebooks. `books(s)(code)` = subspace centroid (dsub
+    * doubles). Assignment is the [[ivfAssignCtes]] idiom per (vec,
+    * subspace) — row_number over sequential squared-L2 ASC with code ASC
+    * ties (= `NearestCentroidF32`'s strict-< first-wins). The ADC sum
+    * folds the per-subspace lookup values in subspace order
+    * (`list_sum(list(d2 ORDER BY s))`), matching the Spark side's
+    * left-assoc literal-lookup add chain. */
+  def pqSearchSql(books: Seq[Seq[Array[Double]]], k: Int): String = {
+    val dsub = books.head.head.length
+    val values = (for {
+      (book, s) <- books.zipWithIndex
+      (c, code) <- book.zipWithIndex
+    } yield s"($s, $code, [${c.mkString(", ")}])").mkString(",\n      ")
+    s"""WITH __books(s, code, c) AS (VALUES
+       |      $values),
+       |__codes AS (
+       |  SELECT doc_id, s, code FROM (
+       |    SELECT e.vec_id AS doc_id, b.s, b.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.s ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(e.embedding[b.s*$dsub+1 : b.s*$dsub+$dsub], b.c),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |        b.code ASC) AS rn
+       |    FROM embeddings e CROSS JOIN __books b)
+       |  WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |lv AS (
+       |  SELECT c.doc_id, c.s,
+       |    list_sum(list_transform(
+       |      list_zip(q.qe[c.s*$dsub+1 : c.s*$dsub+$dsub], b.c),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |           (CAST(p[1] AS DOUBLE) - p[2]))) AS d2
+       |  FROM __codes c JOIN __books b ON b.s = c.s AND b.code = c.code, q),
+       |adc AS (
+       |  SELECT doc_id, list_sum(list(d2 ORDER BY s)) AS adc
+       |  FROM lv GROUP BY doc_id)
+       |SELECT doc_id, round(t.adc, 4) AS adc FROM (
+       |  SELECT doc_id, adc FROM adc
+       |  ORDER BY adc ASC, doc_id ASC LIMIT $k) t
+       |ORDER BY t.adc ASC, t.doc_id ASC""".stripMargin
+  }
+
   /** Oracle for the full-mode pipeline's event log (`FullMode.fullQuery`
     * with the deterministic LLM fakes of `SparkEntry.q39FullEvents`): the
     * retrieval side (embed → top-10 → descending threshold grid) is

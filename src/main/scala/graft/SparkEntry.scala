@@ -964,6 +964,34 @@ object SparkEntry {
     }
   }
 
+  private val pqM = 8
+  private val pqKsub = 16
+
+  /** PQ codebook/encoded-corpus cache, keyed like [[ivfCachePath]]. */
+  private def pqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (pqM * 131L + pqKsub) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-pq-$key"
+  }
+
+  /** Build-or-load the PQ index: persisted codebooks + the CODES-ONLY
+    * encoded corpus (the embedding column is deliberately dropped — at
+    * query time ADC reads m ints per row, never the floats; that
+    * compression is the operator's point). */
+  private[graft] def pqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, PqIndex.Pq) = {
+    GraftFunctions.register(s)
+    val base = pqCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val pq = PqIndex.buildOrLoad(s, emb, pqM, pqKsub, s"$base/codebooks.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      PqIndex.encode(emb, pq).select("doc_id", "codes")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), pq)
+  }
+
   /** Cache key ties the index to the dataset identity (path + file
     * length/mtime), so regenerated testdata invalidates a stale index. */
   private def ivfCachePath(s: SparkSession, dir: String): String = {
@@ -1011,6 +1039,23 @@ object SparkEntry {
     * way a serving system builds indexes at ingest, not per query). */
   def prepareIndexes(s: SparkSession, dir: String): Unit =
     { ivfCorpus(s, dir); lshCorpus(s, dir); () }
+
+  /** PQ/ADC approximate search (`PqIndex`): top-10 by asymmetric
+    * distance for query vec 0 over the codes-only encoded corpus — the
+    * FAISS IndexPQ shape. The oracle replays subspace assignment AND the
+    * ADC sum from the persisted codebooks (generated SQL, [[pqOracleSqls]]);
+    * `adc` compares as a raw double: driver LUT and SQL replay walk the
+    * same sequential double op chain. */
+  private def q77PqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, pq) = pqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.search(encoded, pq, qVec, k = 10)
+      // round(4): DuckDB's list_sum is not a plain left fold, so the raw
+      // double differs in the last ulp (observed in-round); the q21 ANN
+      // precedent — ORDER on the exact value, COMPARE rounded.
+      .select(col("doc_id"), round(col("adc"), 4).as("adc"))
+  }
 
   private def q21IvfSearch(s: SparkSession, dir: String): DataFrame = {
     val (withCells, ivf) = ivfCorpus(s, dir)
@@ -2927,6 +2972,7 @@ object SparkEntry {
     "q74_span_removal" -> (q74SpanRemoval _),
     "q75_gopher_rules" -> (q75GopherRules _),
     "q76_repeated_paragraphs" -> (q76RepeatedParagraphs _),
+    "q77_pq_search" -> (q77PqSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3004,7 +3050,7 @@ object SparkEntry {
     "q74_span_removal" -> q74Sql,
     "q75_gopher_rules" -> q75Sql,
     "q76_repeated_paragraphs" -> q76Sql,
-  ) ++ ivfOracleSqls
+  ) ++ ivfOracleSqls ++ pqOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -3016,6 +3062,25 @@ object SparkEntry {
     * them from the persisted quantizer. Absent the cache (oracleSfDir
     * unset, or index untrained) the entries are omitted and the driver
     * falls back to its rows-only check. */
+  /** PQ oracle, generated from the codebooks q77's run just persisted —
+    * same lifecycle as [[ivfOracleSqls]]; omitted (driver falls back to
+    * rows-only) when the artifact is absent or untrained. */
+  private def pqOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      path = java.nio.file.Paths.get(s"${pqCachePath(s, dir)}/codebooks.txt")
+      if java.nio.file.Files.exists(path)
+      lines = java.nio.file.Files.readAllLines(path)
+      if lines.get(0).split(" ")(2).toInt > 0
+    } yield {
+      val m = lines.get(0).split(" ")(0).toInt
+      val flat: Seq[Array[Double]] = (1 until lines.size())
+        .map(i => lines.get(i).split(" ").map(_.toDouble))
+      val books = flat.grouped(flat.length / m).toSeq
+      Map("q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10))
+    }).getOrElse(Map.empty)
+
   private def ivfOracleSqls: Map[String, String] =
     (for {
       dir <- oracleSfDir

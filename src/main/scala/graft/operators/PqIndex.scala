@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the FAISS-core compression the reference's
+  * engine family is named for (IndexPQ / IVFADC; Jégou et al. 2011,
+  * "Product Quantization for Nearest Neighbor Search"): split each
+  * vector into `m` subspaces, K-means each subspace to `ksub` centroids,
+  * store each vector as `m` small codes, and answer queries with
+  * asymmetric distance (ADC) — a per-query lookup table of
+  * query-slice → centroid distances, so scoring a vector is `m` table
+  * lookups + adds instead of a `dim`-wide float scan.
+  *
+  * Spark shape:
+  *  - TRAIN is `m` independent sample-scale KMeans fits (driver-side
+  *    model, executor-scale data — same posture as [[IvfIndex.train]];
+  *    at 100 TB you train on a sample, which is exactly what FAISS does).
+  *  - ENCODE is a narrow per-row map: `m` [[graft.functions.NearestCentroidF32]]
+  *    argmins over embedding slices — codegen'd, no shuffle; the encoded
+  *    corpus is `m` ints per row instead of `dim` floats (PQ8x16 on a
+  *    64-d float corpus is 16x lighter before int-width tuning, the
+  *    difference between spilling and not at cluster scale).
+  *  - SEARCH builds the `m × ksub` LUT at the DRIVER (tiny: one query
+  *    against `ksub` sub-centroids per subspace, sequential double
+  *    arithmetic) and inlines it as literals — the scan is `m`
+  *    `element_at` lookups + a left-assoc add chain inside whole-stage
+  *    codegen, then a zero-shuffle TakeOrdered top-k. The corpus is
+  *    never shuffled and the full embedding column is never read at
+  *    query time.
+  *
+  * Untrained (corpus below [[IvfIndex.TrainMin]]) degrades to
+  * code 0 everywhere — callers keep the exact path for tiny corpora,
+  * same contract as the IVF index. */
+object PqIndex {
+  val Seed = 7L
+
+  /** codebooks(sub)(code) = centroid of that subspace, length dsub. */
+  final case class Pq(codebooks: Option[Array[Array[Array[Double]]]],
+                      m: Int, ksub: Int) {
+    def isTrained: Boolean = codebooks.isDefined
+  }
+
+  /** Train per-subspace codebooks (KMeans on embedding slices). `dim`
+    * must divide evenly into `m` subspaces. */
+  def train(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+            embCol: String = "embedding"): Pq = {
+    val n = corpus.count()
+    if (n < IvfIndex.TrainMin) Pq(None, m, ksub)
+    else {
+      val dim = corpus.select(size(col(embCol))).first().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val dsub = dim / m
+      val k = math.min(ksub, n).toInt
+      val books = (0 until m).map { s =>
+        val sliced = corpus.select(
+          array_to_vector(slice(col(embCol), s * dsub + 1, dsub)).as("__features"))
+        new KMeans()
+          .setK(k).setSeed(Seed + s).setMaxIter(10)
+          .setFeaturesCol("__features").setPredictionCol("__code")
+          .fit(sliced)
+          .clusterCenters.map(_.toArray)
+      }.toArray
+      Pq(Some(books), m, ksub)
+    }
+  }
+
+  /** Encode every row: `codes` = array of `m` sub-centroid argmins (the
+    * PQ code word). Untrained ⇒ all-zero codes. */
+  def encode(corpus: DataFrame, pq: Pq, embCol: String = "embedding"): DataFrame =
+    pq.codebooks match {
+      case None =>
+        corpus.withColumn("codes",
+          array_repeat(lit(0), pq.m))
+      case Some(books) =>
+        GraftFunctions.register(corpus.sparkSession)
+        val dsub = books(0)(0).length
+        val codes = (0 until pq.m).map { s =>
+          GraftFunctions.nearestCentroidF32(
+            slice(col(embCol), s * dsub + 1, dsub),
+            typedLit(books(s).map(_.toSeq).toSeq))
+        }
+        corpus.withColumn("codes", array(codes: _*))
+    }
+
+  // -------------------------------------------------------------------
+  // Codebook persistence — same tiny-text-artifact lifecycle as
+  // IvfIndex.save/load (S4 posture): header `m ksub dsub`, then the
+  // m·ksub centroid lines in subspace-major order. Double.toString
+  // round-trips exactly, so a reloaded index encodes identically.
+  // -------------------------------------------------------------------
+
+  def save(spark: SparkSession, pq: Pq, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      pq.codebooks match {
+        case None => sb.append(s"${pq.m} ${pq.ksub} 0\n")
+        case Some(books) =>
+          sb.append(s"${pq.m} ${pq.ksub} ${books(0)(0).length}\n")
+          books.foreach(_.foreach { c =>
+            sb.append(c.mkString(" ")).append('\n')
+          })
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  def load(spark: SparkSession, path: String): Pq = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try {
+      val Array(m, ksub, dsub) = in.readLine().split(" ").map(_.toInt)
+      if (dsub == 0) Pq(None, m, ksub)
+      else {
+        val flat = Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .map(_.split(" ").map(_.toDouble)).toArray
+        Pq(Some(flat.grouped(flat.length / m).toArray), m, ksub)
+      }
+    } finally in.close()
+  }
+
+  def buildOrLoad(spark: SparkSession, corpus: DataFrame, m: Int, ksub: Int,
+                  path: String, embCol: String = "embedding"): Pq =
+    if (IvfIndex.exists(spark, path)) load(spark, path)
+    else {
+      val pq = train(corpus, m, ksub, embCol)
+      save(spark, pq, path)
+      pq
+    }
+
+  /** The per-query ADC lookup table: lut(s)(c) = squared L2 between the
+    * query's subspace-`s` slice and codebook entry `c`. Driver-side,
+    * sequential double accumulation (the cross-engine-stable op order). */
+  def adcLut(pq: Pq, queryVec: Array[Float]): Array[Array[Double]] = {
+    val books = pq.codebooks.getOrElse(
+      throw new IllegalStateException("ADC needs a trained PQ index"))
+    val dsub = books(0)(0).length
+    books.zipWithIndex.map { case (book, s) =>
+      book.map { c =>
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = queryVec(s * dsub + i).toDouble - c(i)
+          d2 += d * d
+          i += 1
+        }
+        d2
+      }
+    }
+  }
+
+  /** ADC distance column over an [[encode]]d corpus: `m` literal-table
+    * lookups summed left-associatively — whole-stage-codegen arithmetic,
+    * no embedding read. */
+  def adcColumn(pq: Pq, queryVec: Array[Float], codesCol: Column): Column = {
+    val lut = adcLut(pq, queryVec)
+    (0 until pq.m).map { s =>
+      element_at(typedLit(lut(s).toSeq), element_at(codesCol, s + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-`k` by ADC (ascending squared distance, ties to the
+    * lower id): zero-shuffle TakeOrdered over the encoded corpus. */
+  def search(encoded: DataFrame, pq: Pq, queryVec: Array[Float], k: Int,
+             idCol: String = "doc_id"): DataFrame =
+    encoded
+      .withColumn("adc", adcColumn(pq, queryVec, col("codes")))
+      .select(col(idCol), col("codes"), col("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+}

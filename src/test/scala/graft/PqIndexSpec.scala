@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.PqIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Clustered corpus: `nClusters` anchors, members jittered tightly
+    * around each — the regime PQ codes preserve. */
+  private def clustered(n: Int, nClusters: Int, dim: Int = 16): Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(1234)
+    val anchors = Array.fill(nClusters)(Array.fill(dim)(r.nextGaussian().toFloat * 5f))
+    (0 until n).map { i =>
+      val a = anchors(i % nClusters)
+      (i.toLong, a.map(x => x + r.nextGaussian().toFloat * 0.05f))
+    }
+  }
+
+  test("below TrainMin stays untrained; encode degrades to zero codes") {
+    val small = clustered(40, 4).toDF("doc_id", "embedding")
+    val pq = PqIndex.train(small, m = 4, ksub = 8)
+    assert(!pq.isTrained)
+    val codes = PqIndex.encode(small, pq)
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(_ == Seq(0, 0, 0, 0)))
+  }
+
+  test("save/load round-trips codebooks exactly (identical encodes)") {
+    val docs = clustered(300, 8).toDF("doc_id", "embedding")
+    val pq = PqIndex.train(docs, m = 4, ksub = 8)
+    assert(pq.isTrained)
+    val path = java.nio.file.Files.createTempDirectory("pq").toString + "/cb.txt"
+    PqIndex.save(spark, pq, path)
+    val re = PqIndex.load(spark, path)
+    assert(re.m == pq.m && re.ksub == pq.ksub)
+    val a = PqIndex.encode(docs, pq).select("doc_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = PqIndex.encode(docs, re).select("doc_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+  }
+
+  test("ADC search finds the query's own cluster; column matches driver LUT") {
+    val data = clustered(400, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val pq = PqIndex.train(docs, m = 4, ksub = 8)
+    val encoded = PqIndex.encode(docs, pq)
+    val qId = 5L
+    val qVec = data.find(_._1 == qId).get._2
+    val top = PqIndex.search(encoded, pq, qVec, k = 10)
+      .select("doc_id", "codes", "adc")
+      .as[(Long, Seq[Int], Double)].collect()
+    // 400 docs / 8 clusters = 50 members in the query's cluster; with
+    // 0.05 jitter vs 5.0 anchor spread, all top-10 are cluster-mates.
+    val mates = data.filter(_._1 % 8 == qId % 8).map(_._1).toSet
+    assert(top.forall(t => mates.contains(t._1)),
+      s"non-cluster-mate in ADC top-10: ${top.map(_._1).toSeq}")
+    // The ADC column is exactly the driver-side LUT sum for each row.
+    val lut = PqIndex.adcLut(pq, qVec)
+    top.foreach { case (_, codes, adc) =>
+      val expect = codes.zipWithIndex
+        .map { case (c, s) => lut(s)(c) }
+        .reduce(_ + _)
+      assert(adc == expect, s"adc $adc != lut sum $expect")
+    }
+  }
+
+  test("search plan: no exchange, no embedding read (codes-only scan)") {
+    val docs = clustered(300, 8).toDF("doc_id", "embedding")
+    val pq = PqIndex.train(docs, m = 4, ksub = 8)
+    val encoded = PqIndex.encode(docs, pq).select("doc_id", "codes")
+    val plan = PqIndex.search(encoded, pq, clustered(1, 1)(0)._2, k = 5)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"ADC top-k shuffled:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered top-k:\n$plan")
+  }
+}
