@@ -1108,8 +1108,16 @@ object Dedup {
     val grams = when(size(toks) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => md5(concat_ws(" ", slice(toks, i + 1, lit(k))).cast("binary"))))
-    val occ = docs.select(col(idCol).as("id"),
+    // ONE gram-explode shuffle feeds BOTH consumers: `occ` is hashed on
+    // gh once, the hot-gram aggregate and the match join both read that
+    // exchange (ReusedExchange — the jaccardVerifyOverlapping idiom).
+    // The unshuffled form evaluated the tokenize+hash subplan twice (no
+    // CSE across plan branches) — measured 2x on the q74 steady state.
+    // spreadSmallInput parallelizes the gram kernel when the corpus
+    // arrives under-split (the single-row-group artifact; no-op at scale).
+    val occ = spreadSmallInput(docs).select(col(idCol).as("id"),
       posexplode(grams).as(Seq("pos", "gh")))
+      .repartition(col("gh"))
     val hot = occ.groupBy("gh")
       .agg(countDistinct(col("id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -1142,7 +1150,12 @@ object Dedup {
     val toks = split(trim(col(textCol)), "[ \\t\\n\\x0b\\f\\r]+")
     val rebuilt = concat_ws(" ",
       filter(toks, (_, i) => !array_contains(col("__cov"), i)))
-    docs.join(covered, docs(idCol) === covered("id"), "left")
+    // The rebuild is a per-row HOF over the docs scan — spread it too
+    // when under-split. No broadcast hint on the cover set: it is
+    // duplicate-mass-sized (can be huge on a dirty corpus); AQE
+    // broadcast-converts it when it measures small.
+    spreadSmallInput(docs).join(covered,
+        docs(idCol) === covered("id"), "left")
       .withColumn(textCol,
         when(col("__cov").isNull, col(textCol)).otherwise(rebuilt))
       .drop("id", "__cov")
