@@ -196,6 +196,70 @@ object OracleSqlGen {
        |ORDER BY t.adc ASC, t.doc_id ASC""".stripMargin
   }
 
+  /** q78's oracle: IVFADC replayed from BOTH persisted artifacts — cell
+    * assignment via [[ivfAssignCtes]], FLOAT-cast residuals, per-subspace
+    * residual code assignment, L2 cell probe, per-cell query-residual
+    * LUT values folded in subspace order. Same rounding posture as
+    * [[pqSearchSql]]: select on the exact adc, compare rounded(4). */
+  def ivfAdcSearchSql(cents: Seq[Array[Double]],
+                      books: Seq[Seq[Array[Double]]],
+                      k: Int, nprobe: Int): String = {
+    val dsub = books.head.head.length
+    val bookVals = (for {
+      (book, s) <- books.zipWithIndex
+      (c, code) <- book.zipWithIndex
+    } yield s"($s, $code, [${c.mkString(", ")}])").mkString(",\n      ")
+    s"""WITH ${ivfAssignCtes(cents)},
+       |__books(s, code, c) AS (VALUES
+       |      $bookVals),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (ORDER BY
+       |    list_sum(list_transform(list_zip(q.qe, c.c),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |           (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |    c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |res AS (
+       |  SELECT a.doc_id, a.cell_id,
+       |    list_transform(list_zip(a.embedding, c.c),
+       |      p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT)) AS r
+       |  FROM __assigned a JOIN __cents c USING (cell_id)
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)),
+       |codes AS (
+       |  SELECT doc_id, cell_id, s, code FROM (
+       |    SELECT r.doc_id, r.cell_id, b.s, b.code,
+       |      row_number() OVER (PARTITION BY r.doc_id, b.s ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(r.r[b.s*$dsub+1 : b.s*$dsub+$dsub], b.c),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |        b.code ASC) AS rn
+       |    FROM res r CROSS JOIN __books b) WHERE rn = 1),
+       |qres AS (
+       |  SELECT c.cell_id,
+       |    list_transform(list_zip(q.qe, c.c),
+       |      p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT)) AS qr
+       |  FROM __cents c, q
+       |  WHERE c.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)),
+       |lv AS (
+       |  SELECT cd.doc_id, cd.cell_id, cd.s,
+       |    list_sum(list_transform(
+       |      list_zip(qr.qr[cd.s*$dsub+1 : cd.s*$dsub+$dsub], b.c),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |           (CAST(p[1] AS DOUBLE) - p[2]))) AS d2
+       |  FROM codes cd JOIN qres qr ON cd.cell_id = qr.cell_id
+       |  JOIN __books b ON b.s = cd.s AND b.code = cd.code),
+       |adc AS (
+       |  SELECT doc_id, cell_id, list_sum(list(d2 ORDER BY s)) AS adc
+       |  FROM lv GROUP BY doc_id, cell_id)
+       |SELECT t.doc_id, CAST(t.cell_id AS BIGINT) AS cell_id,
+       |  round(t.adc, 4) AS adc
+       |FROM (SELECT doc_id, cell_id, adc FROM adc
+       |      ORDER BY adc ASC, doc_id ASC LIMIT $k) t
+       |ORDER BY t.adc ASC, t.doc_id ASC""".stripMargin
+  }
+
   /** Oracle for the full-mode pipeline's event log (`FullMode.fullQuery`
     * with the deterministic LLM fakes of `SparkEntry.q39FullEvents`): the
     * retrieval side (embed → top-10 → descending threshold grid) is

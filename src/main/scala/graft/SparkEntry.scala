@@ -1057,6 +1057,32 @@ object SparkEntry {
       .select(col("doc_id"), round(col("adc"), 4).as("adc"))
   }
 
+  /** IVFADC (FAISS IndexIVFPQ) search: PQ over per-cell residuals,
+    * `nprobe` L2-nearest cells scanned via the static partition filter,
+    * per-cell query-residual LUTs inlined. Both index artifacts (coarse
+    * quantizer + residual codebooks) feed the GENERATED oracle. */
+  private def q78IvfAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val base = s"${pqCachePath(s, dir)}-ivfadc"
+    val cbPath = s"$base/codebooks.txt"
+    val cpath = s"$base/corpus"
+    // Guard on the LAST artifact (corpus _SUCCESS): codebooks are saved
+    // first, so a run killed mid-corpus-write rebuilds both.
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
+      val (enc, pq0) = PqIndex.buildIvfAdc(withCells, ivf, pqM, pqKsub)
+      PqIndex.save(s, pq0, cbPath)
+      enc.select("doc_id", "cell_id", "codes")
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    }
+    val pq = PqIndex.load(s, cbPath)
+    val encoded = s.read.parquet(cpath)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.searchIvfAdc(encoded, ivf, pq, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("adc"), 4).as("adc"))
+  }
+
   private def q21IvfSearch(s: SparkSession, dir: String): DataFrame = {
     val (withCells, ivf) = ivfCorpus(s, dir)
     val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
@@ -2973,6 +2999,7 @@ object SparkEntry {
     "q75_gopher_rules" -> (q75GopherRules _),
     "q76_repeated_paragraphs" -> (q76RepeatedParagraphs _),
     "q77_pq_search" -> (q77PqSearch _),
+    "q78_ivfadc_search" -> (q78IvfAdcSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3050,7 +3077,7 @@ object SparkEntry {
     "q74_span_removal" -> q74Sql,
     "q75_gopher_rules" -> q75Sql,
     "q76_repeated_paragraphs" -> q76Sql,
-  ) ++ ivfOracleSqls ++ pqOracleSqls
+  ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -3079,6 +3106,31 @@ object SparkEntry {
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       val books = flat.grouped(flat.length / m).toSeq
       Map("q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10))
+    }).getOrElse(Map.empty)
+
+  /** IVFADC oracle: needs BOTH persisted artifacts — the coarse
+    * quantizer (q21's) and the residual codebooks (q78's). Omitted →
+    * rows-only fallback, same as the other generated oracles. */
+  private def ivfAdcOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      qpath = java.nio.file.Paths.get(s"${ivfCachePath(s, dir)}/quantizer.txt")
+      cpath = java.nio.file.Paths.get(s"${pqCachePath(s, dir)}-ivfadc/codebooks.txt")
+      if java.nio.file.Files.exists(qpath) && java.nio.file.Files.exists(cpath)
+      qlines = java.nio.file.Files.readAllLines(qpath)
+      clines = java.nio.file.Files.readAllLines(cpath)
+      if qlines.get(0).split(" ")(1).toInt > 0 &&
+        clines.get(0).split(" ")(2).toInt > 0
+    } yield {
+      val cents: Seq[Array[Double]] = (1 until qlines.size())
+        .map(i => qlines.get(i).split(" ").map(_.toDouble))
+      val m = clines.get(0).split(" ")(0).toInt
+      val flat: Seq[Array[Double]] = (1 until clines.size())
+        .map(i => clines.get(i).split(" ").map(_.toDouble))
+      val books = flat.grouped(flat.length / m).toSeq
+      Map("q78_ivfadc_search" ->
+        OracleSqlGen.ivfAdcSearchSql(cents, books, k = 10, nprobe = 4))
     }).getOrElse(Map.empty)
 
   private def ivfOracleSqls: Map[String, String] =

