@@ -827,6 +827,34 @@ object ScaleProbe {
     timeWarm("PQ ADC top-10 (codes scan)")(
       graft.operators.PqIndex.search(encoded, pq, qVec, 10).collect())
 
+    // IVFADC: residual codes partitioned by coarse cell — the probed
+    // scan reads ~nprobe/nlist of the codes (and no floats at all).
+    val nlist = 64
+    val nprobe = 4
+    val ivfadcPath = s"/tmp/graft-ivfadc-scale-${factor}x"
+    val ivf =
+      if (parquetComplete(spark, s"$ivfadcPath/corpus")) {
+        IvfIndex.load(spark, s"$ivfadcPath/quantizer")
+      } else {
+        val t0 = System.nanoTime()
+        val sampleFrac = math.min(1.0, 100000.0 / n)
+        val trained = IvfIndex.train(corpus.sample(sampleFrac, 42), nlist)
+        IvfIndex.save(spark, trained, s"$ivfadcPath/quantizer")
+        val withCells = IvfIndex.assign(corpus, trained)
+        val (enc, rpq) = graft.operators.PqIndex.buildIvfAdc(
+          withCells, trained, m = 8, ksub = 16)
+        graft.operators.PqIndex.save(spark, rpq, s"$ivfadcPath/codebooks")
+        enc.select("doc_id", "cell_id", "codes")
+          .write.mode("overwrite").partitionBy("cell_id").parquet(s"$ivfadcPath/corpus")
+        println(f"[scale] ivfadc ingest (sample-train ivf + residual pq + partitioned write): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        trained
+      }
+    val rpq = graft.operators.PqIndex.load(spark, s"$ivfadcPath/codebooks")
+    val cellCorpus = spark.read.parquet(s"$ivfadcPath/corpus")
+    timeWarm(s"IVFADC top-10 (nprobe=$nprobe/$nlist cells)")(
+      graft.operators.PqIndex.searchIvfAdc(
+        cellCorpus, ivf, rpq, qVec, 10, nprobe).collect())
+
     val exactIds = VectorSearch.knnScores(corpus, qVec, 10)
       .select("doc_id").as[Long].collect().toSet
     val adcIds = graft.operators.PqIndex.search(encoded, pq, qVec, 10)
