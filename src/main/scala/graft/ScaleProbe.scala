@@ -842,7 +842,8 @@ object ScaleProbe {
         IvfIndex.save(spark, trained, s"$ivfadcPath/quantizer")
         val withCells = IvfIndex.assign(corpus, trained)
         val (enc, rpq) = graft.operators.PqIndex.buildIvfAdc(
-          withCells, trained, m = 8, ksub = 16)
+          withCells, trained, m = 8, ksub = 16,
+          trainFraction = math.min(1.0, 100000.0 / n))
         graft.operators.PqIndex.save(spark, rpq, s"$ivfadcPath/codebooks")
         enc.select("doc_id", "cell_id", "codes")
           .write.mode("overwrite").partitionBy("cell_id").parquet(s"$ivfadcPath/corpus")

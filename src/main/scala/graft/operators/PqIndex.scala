@@ -200,13 +200,24 @@ object PqIndex {
   }
 
   /** Train sub-quantizers on residuals and encode the celled corpus:
-    * output carries (…, cell_id, codes). */
+    * output carries (…, cell_id, codes). `trainFraction` < 1 fits the
+    * KMeans on a seeded sample of the residuals — the FAISS posture
+    * (sub-quantizers need the residual DISTRIBUTION, not every row; at
+    * corpus scale a full-data fit is 8 KMeans × 10 full passes, measured
+    * 331 s on a 2M-row probe where a 5% sample trains in seconds).
+    * ENCODE always covers every row. */
   def buildIvfAdc(corpusWithCells: DataFrame, ivf: IvfIndex.Ivf,
                   m: Int = 8, ksub: Int = 16,
-                  embCol: String = "embedding"): (DataFrame, Pq) = {
+                  embCol: String = "embedding",
+                  trainFraction: Double = 1.0): (DataFrame, Pq) = {
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction out of (0,1]: $trainFraction")
     val withRes = corpusWithCells.withColumn("__res",
       residualColumn(ivf, col(embCol), col("cell_id")))
-    val pq = train(withRes, m, ksub, "__res")
+    val trainSet =
+      if (trainFraction >= 1.0) withRes
+      else withRes.sample(trainFraction, Seed)
+    val pq = train(trainSet, m, ksub, "__res")
     (encode(withRes, pq, "__res").drop("__res"), pq)
   }
 
