@@ -49,6 +49,9 @@ object GraftFunctions {
       "strip_non_alnum", exprs => StripNonAlnum(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "residual_f32",
+      exprs => ResidualF32(exprs(0), exprs(1), exprs(2)), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -93,6 +96,10 @@ object GraftFunctions {
 
   /** 64-bit SimHash over word tokens (md5-derived, oracle-replicable). */
   def simhash64(text: Column): Column = call_function("simhash64", text)
+
+  /** IVF residual `float(double(emb) − centroids[cell])` (codegen'd). */
+  def residualF32(emb: Column, centroids: Column, cellId: Column): Column =
+    call_function("residual_f32", emb, centroids, cellId)
 
   /** Similarity from distance, matching the reference's transform
     * (`components/core/search_service.py:336-349`): identity for inner

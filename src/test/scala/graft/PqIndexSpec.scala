@@ -106,4 +106,57 @@ class PqIndexSpec extends AnyFunSuite {
     assert(plan.toString.contains("TakeOrderedAndProject"),
       s"expected TakeOrdered top-k:\n$plan")
   }
+
+  test("residual_f32 matches the zip_with form bit-for-bit and stays codegen") {
+    import graft.operators.IvfIndex
+    val data = clustered(400, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 8)
+    val cents = ivf.centroids.get
+    val native = withCells.withColumn("__res",
+      PqIndex.residualColumn(ivf, col("embedding"), col("cell_id")))
+    val hof = withCells.withColumn("__res",
+      zip_with(col("embedding"),
+        element_at(typedLit(cents.map(_.toSeq).toSeq), col("cell_id") + 1),
+        (x, c) => (x.cast("double") - c).cast("float")))
+    val a = native.select("doc_id", "__res").as[(Long, Seq[Float])].collect().toMap
+    val b = hof.select("doc_id", "__res").as[(Long, Seq[Float])].collect().toMap
+    assert(a == b, "native residual deviates from the zip_with definition")
+    // The point of the native expression: the encode projection
+    // (assign -> residual -> sub-quantizer argmins) is ONE codegen stage.
+    // Local relations constant-fold at plan time, so assert over a real
+    // file scan — the shape the corpus-wide ingest pass actually has.
+    val dir = java.nio.file.Files.createTempDirectory("pqres").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val scanned = IvfIndex.assign(spark.read.parquet(dir), ivf)
+      .withColumn("__res",
+        PqIndex.residualColumn(ivf, col("embedding"), col("cell_id")))
+    val pq = PqIndex.train(native, m = 4, ksub = 8, "__res")
+    val plan = PqIndex.encode(scanned, pq, "__res").drop("__res")
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val stages = plan.collect { case w: WholeStageCodegenExec => w }
+    assert(stages.nonEmpty, s"encode projection fell out of codegen:\n$plan")
+    assert(plan.toString.contains("residual_f32"),
+      s"expected the native residual in the plan:\n$plan")
+  }
+
+  test("null embedding and null cell_id produce null residuals") {
+    import graft.operators.IvfIndex
+    val docs = clustered(200, 4).toDF("doc_id", "embedding")
+    val ivf = IvfIndex.train(docs, nlist = 4)
+    val withNulls = docs
+      .withColumn("embedding",
+        when(col("doc_id") === 0L, lit(null)).otherwise(col("embedding")))
+      .withColumn("cell_id",
+        when(col("doc_id") === 1L, lit(null))
+          .otherwise(graft.functions.GraftFunctions.nearestCentroidF32(
+            col("embedding"), typedLit(ivf.centroids.get.map(_.toSeq).toSeq))))
+    val res = withNulls.withColumn("__res",
+        PqIndex.residualColumn(ivf, col("embedding"), col("cell_id")))
+      .select("doc_id", "__res").as[(Long, Option[Seq[Float]])].collect().toMap
+    assert(res(0L).isEmpty, "null embedding must give a null residual")
+    assert(res(1L).isEmpty, "null cell_id must give a null residual")
+    assert(res(2L).nonEmpty)
+  }
 }
