@@ -152,6 +152,38 @@ object OracleSqlGen {
        |FROM (SELECT DISTINCT query_id FROM qs) q LEFT JOIN ov USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  /** q79's oracle: SQ8 encode + reconstructed-inner-product top-k,
+    * replayed from the persisted per-dim bounds. Encode is
+    * `clamp(floor((x − vmin)/step + 0.5), 0, 255)` — `floor(t + 0.5)`
+    * is the one rounding formulation Java and DuckDB evaluate
+    * identically, so codes match bit-for-bit. Per-dim score terms
+    * `q_i · (vmin_i + code · step_i)` fold in dim order
+    * (`list_sum(list(term ORDER BY dim_i))`), matching the Spark
+    * kernel's index-order accumulation; compare rounded(4) per the q77
+    * precedent (DuckDB's list_sum is not a plain left fold). */
+  def sqSearchSql(vmin: Array[Double], step: Array[Double], k: Int): String = {
+    val values = vmin.indices
+      .map(i => s"($i, ${vmin(i)}, ${step(i)})").mkString(",\n      ")
+    s"""WITH __bounds(dim_i, vmin, vstep) AS (VALUES
+       |      $values),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |terms AS (
+       |  SELECT e.vec_id AS doc_id, b.dim_i,
+       |    CAST(q.qe[b.dim_i+1] AS DOUBLE) * (b.vmin +
+       |      (CASE WHEN b.vstep = 0 THEN 0
+       |            ELSE least(greatest(CAST(floor(
+       |              (CAST(e.embedding[b.dim_i+1] AS DOUBLE) - b.vmin)
+       |              / b.vstep + 0.5) AS INT), 0), 255) END) * b.vstep) AS term
+       |  FROM embeddings e CROSS JOIN __bounds b, q),
+       |score AS (
+       |  SELECT doc_id, list_sum(list(term ORDER BY dim_i)) AS score
+       |  FROM terms GROUP BY doc_id)
+       |SELECT doc_id, round(t.score, 4) AS score FROM (
+       |  SELECT doc_id, score FROM score
+       |  ORDER BY score DESC, doc_id ASC LIMIT $k) t
+       |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
+  }
+
   /** q77's oracle: PQ subspace assignment + ADC top-k, replayed from the
     * persisted codebooks. `books(s)(code)` = subspace centroid (dsub
     * doubles). Assignment is the [[ivfAssignCtes]] idiom per (vec,

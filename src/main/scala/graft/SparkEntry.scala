@@ -992,6 +992,30 @@ object SparkEntry {
     (s.read.parquet(cpath), pq)
   }
 
+  /** SQ8 bounds/encoded-corpus cache, keyed like [[pqCachePath]]. */
+  private def sqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x5108L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-sq-$key"
+  }
+
+  /** Build-or-load the SQ8 index: persisted per-dim bounds + the
+    * codes-only encoded corpus (same compression posture as
+    * [[pqCorpus]]: 4× lighter rows, floats never read at query time). */
+  private[graft] def sqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, SqIndex.Sq) = {
+    GraftFunctions.register(s)
+    val base = sqCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val sq = SqIndex.buildOrLoad(s, emb, s"$base/bounds.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      SqIndex.encode(emb, sq).select("doc_id", "codes")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), sq)
+  }
+
   /** Cache key ties the index to the dataset identity (path + file
     * length/mtime), so regenerated testdata invalidates a stale index. */
   private def ivfCachePath(s: SparkSession, dir: String): String = {
@@ -1055,6 +1079,20 @@ object SparkEntry {
       // double differs in the last ulp (observed in-round); the q21 ANN
       // precedent — ORDER on the exact value, COMPARE rounded.
       .select(col("doc_id"), round(col("adc"), 4).as("adc"))
+  }
+
+  /** SQ8 (FAISS IndexScalarQuantizer) search: reconstructed-inner-product
+    * top-10 for query vec 0 over the codes-only corpus — the middle
+    * compression point of the quantizer family (4× vs float32, lossier
+    * than exact, far finer than PQ's 32×). The oracle replays encode AND
+    * the per-dim score terms from the persisted bounds (generated SQL,
+    * [[sqOracleSqls]]). */
+  private def q79SqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, sq) = sqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    SqIndex.search(encoded, sq, qVec, k = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
   /** IVFADC (FAISS IndexIVFPQ) search: PQ over per-cell residuals,
@@ -3000,6 +3038,7 @@ object SparkEntry {
     "q76_repeated_paragraphs" -> (q76RepeatedParagraphs _),
     "q77_pq_search" -> (q77PqSearch _),
     "q78_ivfadc_search" -> (q78IvfAdcSearch _),
+    "q79_sq8_search" -> (q79SqSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3077,7 +3116,7 @@ object SparkEntry {
     "q74_span_removal" -> q74Sql,
     "q75_gopher_rules" -> q75Sql,
     "q76_repeated_paragraphs" -> q76Sql,
-  ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls
+  ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -3106,6 +3145,23 @@ object SparkEntry {
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       val books = flat.grouped(flat.length / m).toSeq
       Map("q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10))
+    }).getOrElse(Map.empty)
+
+  /** SQ8 oracle, generated from the bounds q79's run just persisted —
+    * same lifecycle as [[pqOracleSqls]]; omitted (driver falls back to
+    * rows-only) when the artifact is absent or untrained. */
+  private def sqOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      path = java.nio.file.Paths.get(s"${sqCachePath(s, dir)}/bounds.txt")
+      if java.nio.file.Files.exists(path)
+      lines = java.nio.file.Files.readAllLines(path)
+      if lines.get(0).trim.toInt > 0
+    } yield {
+      val vmin = lines.get(1).split(" ").map(_.toDouble)
+      val step = lines.get(2).split(" ").map(_.toDouble)
+      Map("q79_sq8_search" -> OracleSqlGen.sqSearchSql(vmin, step, k = 10))
     }).getOrElse(Map.empty)
 
   /** IVFADC oracle: needs BOTH persisted artifacts — the coarse

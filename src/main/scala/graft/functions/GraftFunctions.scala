@@ -52,6 +52,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "residual_f32",
       exprs => ResidualF32(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "adc_lut", exprs => AdcLut(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "adc_lut_cells",
+      exprs => AdcLutCells(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sq8_encode_f32",
+      exprs => Sq8EncodeF32(exprs(0), exprs(1), exprs(2)), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -100,6 +108,18 @@ object GraftFunctions {
   /** IVF residual `float(double(emb) − centroids[cell])` (codegen'd). */
   def residualF32(emb: Column, centroids: Column, cellId: Column): Column =
     call_function("residual_f32", emb, centroids, cellId)
+
+  /** Quantizer-code ADC: `Σ_i lut[i][codes[i]]` over a LUT literal. */
+  def adcLut(codes: Column, lut: Column): Column =
+    call_function("adc_lut", codes, lut)
+
+  /** IVFADC scan kernel: ADC against the row's coarse cell's LUT. */
+  def adcLutCells(codes: Column, cellId: Column, luts: Column): Column =
+    call_function("adc_lut_cells", codes, cellId, luts)
+
+  /** 8-bit scalar-quantizer encode against per-dim (vmin, step) bounds. */
+  def sq8EncodeF32(emb: Column, vmin: Column, step: Column): Column =
+    call_function("sq8_encode_f32", emb, vmin, step)
 
   /** Similarity from distance, matching the reference's transform
     * (`components/core/search_service.py:336-349`): identity for inner

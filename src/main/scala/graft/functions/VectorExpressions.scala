@@ -351,6 +351,206 @@ case class ResidualF32(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Asymmetric-distance accumulation over a code word: `Σ_i lut[i][codes[i]]`
+  * with the per-query lookup table baked into the generated class as a
+  * primitive `double[][]`. One expression serves every product/scalar
+  * quantizer search in the engine:
+  *
+  *  - PQ ADC (FAISS IndexPQ): `lut` is m × ksub — query-slice → centroid
+  *    distances ([[graft.operators.PqIndex.adcLut]]).
+  *  - SQ8 (FAISS IndexScalarQuantizer): `lut` is dim × 256 — per-dim
+  *    `q_i · reconstruct(code)` terms; scalar quantization IS product
+  *    quantization with dsub=1, and sharing the kernel keeps both scans
+  *    in one whole-stage-codegen span.
+  *
+  * Accumulates sequentially in index order (left-assoc double adds), the
+  * cross-engine-stable order the DuckDB oracles replay. Codes outside
+  * `[0, lut(i).length)` throw, same as the ANSI `element_at` chain this
+  * replaces. */
+case class AdcLut(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_lut"
+
+  @transient private lazy val lut: Array[Array[Double]] = right match {
+    case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) if v != null =>
+      v.toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray())
+    case other =>
+      throw new IllegalArgumentException(
+        s"adc_lut needs a foldable array<array<double>> table literal, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), lut.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += lut(i)(codes.getInt(i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcLut", lut, "double[][]")
+    val codesGen = left.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    ev.copy(code = code"""
+      ${codesGen.code}
+      boolean ${ev.isNull} = ${codesGen.isNull};
+      double ${ev.value} = 0.0;
+      if (!${ev.isNull}) {
+        int $n = java.lang.Math.min(${codesGen.value}.numElements(), $ref.length);
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += $ref[$i][${codesGen.value}.getInt($i)];
+        }
+        ${ev.value} = $acc;
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcLut =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[AdcLut]] with per-cell tables — the IVFADC scan kernel: each row
+  * accumulates against its coarse cell's query-residual LUT,
+  * `Σ_s luts[cell][s][codes[s]]`. The table literal is indexed BY
+  * cell id with empty entries for unprobed cells (the scan's
+  * `cell_id IN (probed)` filter guarantees they are never touched);
+  * nlist pointers of overhead, only nprobe tables populated. Replaces a
+  * per-row map-literal probe + nested generic `element_at` chain with
+  * primitive `double[][][]` indexing inside whole-stage codegen. */
+case class AdcLutCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_lut_cells"
+
+  @transient private lazy val luts: Array[Array[Array[Double]]] = third match {
+    case Literal(v: ArrayData, ArrayType(ArrayType(ArrayType(DoubleType, _), _), _))
+        if v != null =>
+      v.toObjectArray(ArrayType(ArrayType(DoubleType)))
+        .map(_.asInstanceOf[ArrayData].toObjectArray(ArrayType(DoubleType))
+          .map(_.asInstanceOf[ArrayData].toDoubleArray()))
+    case other =>
+      throw new IllegalArgumentException(
+        s"adc_lut_cells needs a foldable array<array<array<double>>> literal, got $other")
+  }
+
+  override def nullSafeEval(a: Any, cell: Any, c: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = luts(cell.asInstanceOf[Int])
+    val n = math.min(codes.numElements(), lut.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += lut(i)(codes.getInt(i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellLuts", luts, "double[][][]")
+    val codesGen = first.genCode(ctx)
+    val cellGen = second.genCode(ctx)
+    val lut = ctx.freshName("lut")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    ev.copy(code = code"""
+      ${codesGen.code}
+      ${cellGen.code}
+      boolean ${ev.isNull} = ${codesGen.isNull} || ${cellGen.isNull};
+      double ${ev.value} = 0.0;
+      if (!${ev.isNull}) {
+        double[][] $lut = $ref[${cellGen.value}];
+        int $n = java.lang.Math.min(${codesGen.value}.numElements(), $lut.length);
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += $lut[$i][${codesGen.value}.getInt($i)];
+        }
+        ${ev.value} = $acc;
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): AdcLutCells =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** 8-bit scalar quantization (FAISS IndexScalarQuantizer, QT_8bit):
+  * `code_i = clamp(floor((x_i − vmin_i) / step_i + 0.5), 0, 255)` per
+  * dimension, with per-dim affine bounds trained from the corpus
+  * ([[graft.operators.SqIndex]]). `floor(t + 0.5)` instead of a rounding
+  * mode: it is the one formulation Java, Spark SQL, and DuckDB evaluate
+  * identically, so the oracle can replay encode bit-for-bit. A zero-width
+  * dimension (step 0) encodes as 0 and reconstructs to `vmin`. */
+case class Sq8EncodeF32(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq8_encode_f32"
+
+  @transient private lazy val (vmin: Array[Double], step: Array[Double]) = {
+    def parse(e: Expression, what: String): Array[Double] = e match {
+      case Literal(v: ArrayData, ArrayType(DoubleType, _)) if v != null =>
+        v.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"sq8_encode_f32 needs a foldable array<double> $what literal, got $other")
+    }
+    (parse(second, "vmin"), parse(third, "step"))
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), vmin.length)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (step(i) == 0.0) 0
+        else {
+          val t = math.floor((x.getFloat(i).toDouble - vmin(i)) / step(i) + 0.5)
+          if (t < 0.0) 0 else if (t > 255.0) 255 else t.toInt
+        }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vminRef = ctx.addReferenceObj("sqVmin", vmin, "double[]")
+    val stepRef = ctx.addReferenceObj("sqStep", step, "double[]")
+    val embGen = first.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val t = ctx.freshName("t")
+    val out = ctx.freshName("out")
+    ev.copy(code = code"""
+      ${embGen.code}
+      boolean ${ev.isNull} = ${embGen.isNull};
+      ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        int $n = java.lang.Math.min(${embGen.value}.numElements(), $vminRef.length);
+        int[] $out = new int[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          if ($stepRef[$i] == 0.0) { $out[$i] = 0; } else {
+            double $t = java.lang.Math.floor(
+              ((double)${embGen.value}.getFloat($i) - $vminRef[$i]) / $stepRef[$i] + 0.5);
+            $out[$i] = $t < 0.0 ? 0 : ($t > 255.0 ? 255 : (int)$t);
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Sq8EncodeF32 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Euclidean norm of a float vector. */
 case class NormF32(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -169,25 +169,29 @@ object PqIndex {
     }
   }
 
-  /** ADC distance column over an [[encode]]d corpus: `m` literal-table
-    * lookups summed left-associatively — whole-stage-codegen arithmetic,
-    * no embedding read. */
+  /** ADC distance column over an [[encode]]d corpus: one
+    * [[graft.functions.AdcLut]] accumulation — `m` primitive table
+    * lookups summed in subspace order inside whole-stage codegen, no
+    * embedding read. (Replaces an `element_at` chain: same left-assoc
+    * double arithmetic, but one expression node with the LUT as a
+    * primitive `double[][]` instead of 2m generic-array probes.) */
   def adcColumn(pq: Pq, queryVec: Array[Float], codesCol: Column): Column = {
     val lut = adcLut(pq, queryVec)
-    (0 until pq.m).map { s =>
-      element_at(typedLit(lut(s).toSeq), element_at(codesCol, s + 1) + 1)
-    }.reduce(_ + _)
+    GraftFunctions.adcLut(codesCol,
+      typedLit(lut.map(_.toSeq).toSeq))
   }
 
   /** Approximate top-`k` by ADC (ascending squared distance, ties to the
     * lower id): zero-shuffle TakeOrdered over the encoded corpus. */
   def search(encoded: DataFrame, pq: Pq, queryVec: Array[Float], k: Int,
-             idCol: String = "doc_id"): DataFrame =
+             idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(encoded.sparkSession)
     encoded
       .withColumn("adc", adcColumn(pq, queryVec, col("codes")))
       .select(col(idCol), col("codes"), col("adc"))
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(k)
+  }
 
   // -------------------------------------------------------------------
   // IVFADC (FAISS IndexIVFPQ): PQ over per-cell RESIDUALS. Residuals
@@ -248,6 +252,7 @@ object PqIndex {
   def searchIvfAdc(encoded: DataFrame, ivf: IvfIndex.Ivf, pq: Pq,
                    queryVec: Array[Float], k: Int, nprobe: Int,
                    idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(encoded.sparkSession)
     val cents = ivf.centroids.getOrElse(
       throw new IllegalStateException("IVFADC needs a trained IVF"))
     val probed: Seq[Int] = cents.zipWithIndex
@@ -261,17 +266,19 @@ object PqIndex {
       }
       .sortBy { case (d, i) => (d, i) }
       .take(nprobe).map(_._2).toSeq
-    // One LUT per probed cell, keyed by cell_id in a map literal.
-    val luts: Map[Int, Seq[Seq[Double]]] = probed.map { cell =>
+    // One LUT per probed cell, in a cell-indexed table literal (empty
+    // entries for unprobed cells — the cell_id filter below guarantees
+    // the scan never touches them). One codegen'd AdcLutCells
+    // accumulation per row instead of a map probe + element_at chain.
+    val byCell: Map[Int, Seq[Seq[Double]]] = probed.map { cell =>
       val c = cents(cell)
       val qr = Array.tabulate(queryVec.length)(j =>
         (queryVec(j).toDouble - c(j)).toFloat)
       cell -> adcLut(pq, qr).map(_.toSeq).toSeq
     }.toMap
-    val lutForRow = element_at(typedLit(luts), col("cell_id"))
-    val adc = (0 until pq.m).map { s =>
-      element_at(element_at(lutForRow, s + 1), element_at(col("codes"), s + 1) + 1)
-    }.reduce(_ + _)
+    val lutsLit = typedLit(Seq.tabulate(cents.length)(c =>
+      byCell.getOrElse(c, Seq.empty[Seq[Double]])))
+    val adc = GraftFunctions.adcLutCells(col("codes"), col("cell_id"), lutsLit)
     encoded
       .filter(col("cell_id").isin(probed: _*))
       .withColumn("adc", adc)

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 8-bit scalar quantization — FAISS `IndexScalarQuantizer` (QT_8bit),
+  * the middle compression point of the engine's quantizer family
+  * (float32 exact → SQ8 4× → PQ8 32×): each dimension is affinely mapped
+  * to one byte against per-dim trained bounds, so a vector is `dim`
+  * small ints instead of `dim` floats, and inner-product search reads
+  * only codes.
+  *
+  * Spark shape, mirroring [[PqIndex]]:
+  *  - TRAIN is one aggregation: per-dim (min, max) over the corpus via
+  *    posexplode → groupBy(dim) — a `dim`-group shuffle of partial
+  *    aggregates (map-side combined, 64 rows cross the wire per
+  *    partition), run once at ingest on a sample if desired.
+  *  - ENCODE is the codegen'd [[graft.functions.Sq8EncodeF32]] — a
+  *    narrow per-row map, no shuffle, bounds baked into the generated
+  *    class.
+  *  - SEARCH reuses the [[graft.functions.AdcLut]] kernel with a
+  *    `dim × 256` table (`lut[i][c] = q_i · (vmin_i + c · step_i)` —
+  *    scalar quantization IS product quantization with dsub=1): the
+  *    driver builds the LUT, the scan is one primitive lookup-accumulate
+  *    per dim inside whole-stage codegen, then a zero-shuffle
+  *    TakeOrdered top-k. Scores descend (inner product), unlike PQ's
+  *    ascending distance.
+  *
+  * Untrained (corpus below [[IvfIndex.TrainMin]]) degrades to code 0
+  * everywhere, the family's shared contract. */
+object SqIndex {
+
+  /** Per-dim affine bounds; `step(i) = (vmax_i − vmin_i) / 255`. */
+  final case class Sq(vmin: Option[Array[Double]], step: Option[Array[Double]]) {
+    def isTrained: Boolean = vmin.isDefined
+  }
+
+  /** Train per-dim bounds: one min/max aggregation over the exploded
+    * embedding column. The explode multiplies rows by `dim` but feeds a
+    * partial aggregate — what crosses the shuffle is `dim` rows per map
+    * partition, not the corpus. */
+  def train(corpus: DataFrame, embCol: String = "embedding"): Sq = {
+    if (corpus.limit(IvfIndex.TrainMin).count() < IvfIndex.TrainMin) Sq(None, None)
+    else {
+      val bounds = corpus
+        .select(posexplode(col(embCol)).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(min(col("x").cast("double")).as("vmin"),
+          max(col("x").cast("double")).as("vmax"))
+        .orderBy("dim")
+        .collect()
+      val vmin = bounds.map(_.getDouble(1))
+      val vmax = bounds.map(_.getDouble(2))
+      val step = vmin.indices.map(i => (vmax(i) - vmin(i)) / 255.0).toArray
+      Sq(Some(vmin), Some(step))
+    }
+  }
+
+  /** Encode every row: `codes` = per-dim affine byte codes (array<int>;
+    * parquet dictionary/RLE encoding keeps the 0–255 range byte-sized at
+    * rest). Untrained ⇒ all-zero codes of the input's length. */
+  def encode(corpus: DataFrame, sq: Sq, embCol: String = "embedding"): DataFrame =
+    (sq.vmin, sq.step) match {
+      case (Some(vmin), Some(step)) =>
+        GraftFunctions.register(corpus.sparkSession)
+        corpus.withColumn("codes",
+          GraftFunctions.sq8EncodeF32(col(embCol),
+            typedLit(vmin.toSeq), typedLit(step.toSeq)))
+      case _ =>
+        corpus.withColumn("codes",
+          array_repeat(lit(0), size(col(embCol))))
+    }
+
+  /** The per-query LUT: `lut[i][c] = q_i · (vmin_i + c · step_i)` —
+    * inner product against the reconstruction, driver-side sequential
+    * double arithmetic (the oracle-replayable op order). */
+  def reconDotLut(sq: Sq, queryVec: Array[Float]): Array[Array[Double]] = {
+    val vmin = sq.vmin.getOrElse(
+      throw new IllegalStateException("SQ8 search needs trained bounds"))
+    val step = sq.step.get
+    Array.tabulate(math.min(queryVec.length, vmin.length)) { i =>
+      Array.tabulate(256) { c =>
+        queryVec(i).toDouble * (vmin(i) + c * step(i))
+      }
+    }
+  }
+
+  /** Approximate inner-product score column over an [[encode]]d corpus. */
+  def scoreColumn(sq: Sq, queryVec: Array[Float], codesCol: Column): Column =
+    GraftFunctions.adcLut(codesCol,
+      typedLit(reconDotLut(sq, queryVec).map(_.toSeq).toSeq))
+
+  /** Approximate top-`k` by reconstructed inner product (descending,
+    * ties to the lower id): zero-shuffle TakeOrdered over codes only. */
+  def search(encoded: DataFrame, sq: Sq, queryVec: Array[Float], k: Int,
+             idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(encoded.sparkSession)
+    encoded
+      .withColumn("score", scoreColumn(sq, queryVec, col("codes")))
+      .select(col(idCol), col("codes"), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // -------------------------------------------------------------------
+  // Bounds persistence — the family's tiny-text-artifact lifecycle
+  // (IvfIndex.save / PqIndex.save): header `dim`, then two lines of
+  // space-separated doubles (vmin, step). Double.toString round-trips
+  // exactly, so a reloaded index encodes identically.
+  // -------------------------------------------------------------------
+
+  def save(spark: SparkSession, sq: Sq, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      (sq.vmin, sq.step) match {
+        case (Some(vmin), Some(step)) =>
+          sb.append(s"${vmin.length}\n")
+          sb.append(vmin.mkString(" ")).append('\n')
+          sb.append(step.mkString(" ")).append('\n')
+        case _ => sb.append("0\n")
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  def load(spark: SparkSession, path: String): Sq = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try {
+      val dim = in.readLine().trim.toInt
+      if (dim == 0) Sq(None, None)
+      else Sq(
+        Some(in.readLine().split(" ").map(_.toDouble)),
+        Some(in.readLine().split(" ").map(_.toDouble)))
+    } finally in.close()
+  }
+
+  def buildOrLoad(spark: SparkSession, corpus: DataFrame, path: String,
+                  embCol: String = "embedding"): Sq =
+    if (IvfIndex.exists(spark, path)) load(spark, path)
+    else {
+      val sq = train(corpus, embCol)
+      save(spark, sq, path)
+      sq
+    }
+}

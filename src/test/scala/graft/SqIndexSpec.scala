@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.SqIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def clustered(n: Int, nClusters: Int, dim: Int = 16): Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(4321)
+    val anchors = Array.fill(nClusters)(Array.fill(dim)(r.nextGaussian().toFloat * 5f))
+    (0 until n).map { i =>
+      val a = anchors(i % nClusters)
+      (i.toLong, a.map(x => x + r.nextGaussian().toFloat * 0.05f))
+    }
+  }
+
+  test("below TrainMin stays untrained; encode degrades to zero codes") {
+    val small = clustered(40, 4).toDF("doc_id", "embedding")
+    val sq = SqIndex.train(small)
+    assert(!sq.isTrained)
+    val codes = SqIndex.encode(small, sq).select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 16 && c.forall(_ == 0)))
+  }
+
+  test("codes are in [0,255]; bounds rows reconstruct to themselves") {
+    val docs = clustered(300, 8).toDF("doc_id", "embedding")
+    val sq = SqIndex.train(docs)
+    assert(sq.isTrained)
+    val codes = SqIndex.encode(docs, sq).select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(_.forall(c => c >= 0 && c <= 255)))
+    // Per dim, the corpus min must encode to 0 and the max to 255 (the
+    // affine map is exact at its endpoints).
+    val perDim = codes.toSeq.transpose
+    assert(perDim.forall(d => d.min == 0 && d.max == 255),
+      "trained bounds must span the full code range")
+  }
+
+  test("save/load round-trips bounds exactly (identical encodes)") {
+    val docs = clustered(300, 8).toDF("doc_id", "embedding")
+    val sq = SqIndex.train(docs)
+    val path = java.nio.file.Files.createTempDirectory("sq").toString + "/bounds.txt"
+    SqIndex.save(spark, sq, path)
+    val re = SqIndex.load(spark, path)
+    val a = SqIndex.encode(docs, sq).select("doc_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = SqIndex.encode(docs, re).select("doc_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+  }
+
+  test("SQ8 search finds the query's cluster; score matches driver replay") {
+    val data = clustered(400, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val sq = SqIndex.train(docs)
+    val encoded = SqIndex.encode(docs, sq)
+    val qId = 5L
+    val qVec = data.find(_._1 == qId).get._2
+    val top = SqIndex.search(encoded, sq, qVec, k = 10)
+      .select("doc_id", "codes", "score")
+      .as[(Long, Seq[Int], Double)].collect()
+    val mates = data.filter(_._1 % 8 == qId % 8).map(_._1).toSet
+    assert(top.forall(t => mates.contains(t._1)),
+      s"non-cluster-mate in SQ8 top-10: ${top.map(_._1).toSeq}")
+    // Column score == driver-side LUT replay (same double op order).
+    val lut = SqIndex.reconDotLut(sq, qVec)
+    top.foreach { case (_, codes, score) =>
+      val replay = codes.zipWithIndex.map { case (c, i) => lut(i)(c) }.sum
+      assert(math.abs(replay - score) < 1e-9, s"score drift: $replay vs $score")
+    }
+    // The distributed top-k must equal a driver brute-force over the
+    // quantized scores (search's actual contract; exact-float top-10 can
+    // legitimately differ within a cluster — per-dim quantization error
+    // step/2 is comparable to the 0.05 jitter).
+    val allCodes = SqIndex.encode(docs, sq).select("doc_id", "codes")
+      .as[(Long, Seq[Int])].collect()
+    val brute = allCodes
+      .map { case (id, cs) =>
+        (id, cs.zipWithIndex.map { case (c, i) => lut(i)(c) }.sum)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+    assert(top.map(_._1).toSeq == brute,
+      "distributed SQ8 top-10 diverged from the driver replay")
+  }
+
+  test("search plan: no exchange, codes-only scan, codegen'd kernel") {
+    val data = clustered(300, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val sq = SqIndex.train(docs)
+    val dir = java.nio.file.Files.createTempDirectory("sqplan").toString
+    SqIndex.encode(docs, sq).select("doc_id", "codes")
+      .write.mode("overwrite").parquet(dir)
+    val encoded = spark.read.parquet(dir)
+    val plan = SqIndex.search(encoded, sq, data.head._2, k = 5)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"SQ8 top-k shuffled:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered top-k:\n$plan")
+    assert(plan.toString.contains("adc_lut"),
+      s"expected the adc_lut kernel in the plan:\n$plan")
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    assert(plan.collect { case w: WholeStageCodegenExec => w }.nonEmpty,
+      s"SQ8 scan fell out of codegen:\n$plan")
+  }
+}
