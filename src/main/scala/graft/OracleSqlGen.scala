@@ -292,6 +292,28 @@ object OracleSqlGen {
        |ORDER BY t.adc ASC, t.doc_id ASC""".stripMargin
   }
 
+  /** q80's oracle: refined search — the [[ivfAdcSearchSql]] replay (as a
+    * nested-WITH derived table) proposes the top-`rerank` candidates,
+    * then the exact inner product re-ranks just those ids, the q16
+    * `list_dot_product` idiom. Candidate selection orders on the exact
+    * replayed adc (ties doc_id ASC) exactly as the Spark side's
+    * TakeOrdered; the final score compares rounded(4). */
+  def refineSearchSql(cents: Seq[Array[Double]],
+                      books: Seq[Seq[Array[Double]]],
+                      k: Int, rerank: Int, nprobe: Int): String = {
+    val inner = ivfAdcSearchSql(cents, books, rerank, nprobe)
+    s"""WITH cand AS (SELECT doc_id FROM (
+       |$inner
+       |) __ivfadc),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT t.doc_id, round(t.score, 4) AS score FROM (
+       |  SELECT e.vec_id AS doc_id,
+       |    list_dot_product(e.embedding, q.qe) AS score
+       |  FROM embeddings e JOIN cand ON cand.doc_id = e.vec_id, q
+       |  ORDER BY score DESC, e.vec_id ASC LIMIT $k) t
+       |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
+  }
+
   /** Oracle for the full-mode pipeline's event log (`FullMode.fullQuery`
     * with the deterministic LLM fakes of `SparkEntry.q39FullEvents`): the
     * retrieval side (embed → top-10 → descending threshold grid) is

@@ -1099,7 +1099,10 @@ object SparkEntry {
     * `nprobe` L2-nearest cells scanned via the static partition filter,
     * per-cell query-residual LUTs inlined. Both index artifacts (coarse
     * quantizer + residual codebooks) feed the GENERATED oracle. */
-  private def q78IvfAdcSearch(s: SparkSession, dir: String): DataFrame = {
+  /** Build-or-load the IVFADC artifacts: coarse quantizer (shared with
+    * [[ivfCorpus]]), residual codebooks, cell-partitioned codes corpus. */
+  private[graft] def ivfAdcCorpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf, PqIndex.Pq) = {
     val (withCells, ivf) = ivfCorpus(s, dir)
     val base = s"${pqCachePath(s, dir)}-ivfadc"
     val cbPath = s"$base/codebooks.txt"
@@ -1112,13 +1115,32 @@ object SparkEntry {
       enc.select("doc_id", "cell_id", "codes")
         .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
     }
-    val pq = PqIndex.load(s, cbPath)
-    val encoded = s.read.parquet(cpath)
+    (s.read.parquet(cpath), ivf, PqIndex.load(s, cbPath))
+  }
+
+  private def q78IvfAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, pq) = ivfAdcCorpus(s, dir)
     val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
     PqIndex.searchIvfAdc(encoded, ivf, pq, qVec, k = 10, nprobe = 4)
       .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
         round(col("adc"), 4).as("adc"))
+  }
+
+  /** Refined search (FAISS IndexRefineFlat): IVFADC proposes top-50 from
+    * codes alone, the exact inner product re-ranks just those ids over
+    * the float table — candidate ids become a static `isin` pushed to
+    * the parquet scan (`PqIndex.searchRefined`). The oracle nests the
+    * full IVFADC replay as the candidate CTE and re-ranks with the q16
+    * `list_dot_product` idiom. */
+  private def q80RefineSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, pq) = ivfAdcCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.searchRefined(encoded, emb, ivf, pq, qVec,
+        k = 10, rerank = 50, nprobe = 4)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
   private def q21IvfSearch(s: SparkSession, dir: String): DataFrame = {
@@ -3039,6 +3061,7 @@ object SparkEntry {
     "q77_pq_search" -> (q77PqSearch _),
     "q78_ivfadc_search" -> (q78IvfAdcSearch _),
     "q79_sq8_search" -> (q79SqSearch _),
+    "q80_refine_search" -> (q80RefineSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3185,8 +3208,12 @@ object SparkEntry {
       val flat: Seq[Array[Double]] = (1 until clines.size())
         .map(i => clines.get(i).split(" ").map(_.toDouble))
       val books = flat.grouped(flat.length / m).toSeq
-      Map("q78_ivfadc_search" ->
-        OracleSqlGen.ivfAdcSearchSql(cents, books, k = 10, nprobe = 4))
+      Map(
+        "q78_ivfadc_search" ->
+          OracleSqlGen.ivfAdcSearchSql(cents, books, k = 10, nprobe = 4),
+        "q80_refine_search" ->
+          OracleSqlGen.refineSearchSql(cents, books,
+            k = 10, rerank = 50, nprobe = 4))
     }).getOrElse(Map.empty)
 
   private def ivfOracleSqls: Map[String, String] =

@@ -286,4 +286,28 @@ object PqIndex {
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Refined search (FAISS IndexRefineFlat over IndexIVFPQ): the IVFADC
+    * scan proposes `rerank` candidates from codes alone, then the exact
+    * inner product re-ranks just those rows of the FLOAT corpus — ADC
+    * recall at scan cost, exact ordering at the top.
+    *
+    * The candidate ids round-trip through the driver deliberately
+    * (`rerank` rows — the same tiny-result class as every single-query
+    * fetch): a driver-known key set becomes a static `isin` filter, which
+    * reaches the parquet scan as `PushedFilters: In(doc_id, …)` and
+    * prunes row groups via column statistics. A broadcast semi-join —
+    * the "distributed" alternative — prunes NOTHING: the float corpus
+    * would be scanned end-to-end to discard all but `rerank` rows (the
+    * pinned IvfIndex.searchBatch lesson). With an id-sorted float
+    * corpus layout the refine pass reads O(rerank) row groups at any
+    * corpus size. */
+  def searchRefined(encoded: DataFrame, floats: DataFrame, ivf: IvfIndex.Ivf,
+                    pq: Pq, queryVec: Array[Float], k: Int, rerank: Int,
+                    nprobe: Int, idCol: String = "doc_id"): DataFrame = {
+    val candIds = searchIvfAdc(encoded, ivf, pq, queryVec, rerank, nprobe, idCol)
+      .select(idCol).collect().map(_.getLong(0)).toSeq
+    VectorSearch.knnScores(
+      floats.filter(col(idCol).isin(candIds: _*)), queryVec, k, idCol = idCol)
+  }
 }

@@ -107,6 +107,42 @@ class PqIndexSpec extends AnyFunSuite {
       s"expected TakeOrdered top-k:\n$plan")
   }
 
+  test("refined search: exact order over ADC candidates; isin reaches the scan") {
+    import graft.operators.IvfIndex
+    val data = clustered(400, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("refine").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val floats = spark.read.parquet(dir)
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 8)
+    val (encoded, pq) = PqIndex.buildIvfAdc(withCells, ivf, m = 4, ksub = 8)
+    val qVec = data.find(_._1 == 5L).get._2
+    // rerank = corpus size with all cells probed => candidates are the
+    // whole corpus => refined top-k IS the exact top-k.
+    val all = PqIndex.searchRefined(encoded, floats, ivf, pq, qVec,
+      k = 10, rerank = 400, nprobe = 8)
+    val exact = graft.operators.VectorSearch.knnScores(floats, qVec, 10)
+    assert(all.collect().toSeq == exact.collect().toSeq,
+      "full-rerank refine must equal the exact scan")
+    // Narrow rerank: results are the exact ordering over the ADC
+    // candidate set (spec of the two-stage contract).
+    val cands = PqIndex.searchIvfAdc(encoded, ivf, pq, qVec, 50, 4)
+      .select("doc_id").as[Long].collect().toSet
+    val refined = PqIndex.searchRefined(encoded, floats, ivf, pq, qVec,
+      k = 10, rerank = 50, nprobe = 4)
+    val expect = data.filter(d => cands.contains(d._1))
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * qVec(i).toDouble; i += 1 }
+        (id, s)
+      }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+    assert(refined.select("doc_id").as[Long].collect().toSeq == expect)
+    // The candidate filter must reach the parquet scan as a pushed In.
+    val scan = refined.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [In(doc_id"),
+      s"candidate isin not pushed to the float scan:\n$scan")
+  }
+
   test("residual_f32 matches the zip_with form bit-for-bit and stays codegen") {
     import graft.operators.IvfIndex
     val data = clustered(400, 8)
