@@ -2979,6 +2979,66 @@ object SparkEntry {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** DSIR importance weights (`Dsir`): hashed unigram+bigram LMs for
+    * the English slice (target) vs the whole corpus (raw), per-doc log
+    * likelihood ratio folded in document order. The resampling step is
+    * [[Dsir.gumbelTopK]] (spec-tested); the oracle pins the full weight
+    * surface — every doc's weight and feature count. */
+  private def q81DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ratio = Dsir.logRatio(
+      Dsir.hashedLm(docs.filter(col("lang") === "en")),
+      Dsir.hashedLm(docs))
+    Dsir.importanceWeights(docs, ratio).orderBy("doc_id")
+  }
+
+  private val q81Sql = {
+    val b = OracleSqlGen.hexPrefixToBigint("md5(p.f)", 8)
+    s"""WITH feats AS (
+      |  SELECT doc_id, lang, ts || CASE WHEN len(ts) >= 2 THEN
+      |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+      |    ELSE [] END AS fs
+      |  FROM (
+      |    SELECT doc_id, lang, list_filter(
+      |      regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |      x -> x <> '') AS ts
+      |    FROM documents) t),
+      |fx AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(fs) + 1),
+      |    i -> struct_pack(rn := i, f := fs[i]))) AS p
+      |  FROM feats),
+      |fb AS (
+      |  SELECT doc_id, lang, p.rn AS rn, ($b) % 256 AS bucket
+      |  FROM fx),
+      |bkts AS (SELECT unnest(range(0, 256)) AS bucket),
+      |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM fb WHERE lang = 'en' GROUP BY 1),
+      |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM fb GROUP BY 1),
+      |tt AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM tc),
+      |rt AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM rc),
+      |lr AS (
+      |  SELECT b.bucket,
+      |    ln(CAST(coalesce(t.cnt, 0) + 1 AS DOUBLE) /
+      |       CAST(tt.total + 256 AS DOUBLE)) -
+      |    ln(CAST(coalesce(r.cnt, 0) + 1 AS DOUBLE) /
+      |       CAST(rt.total + 256 AS DOUBLE)) AS lr
+      |  FROM bkts b LEFT JOIN tc t ON b.bucket = t.bucket
+      |    LEFT JOIN rc r ON b.bucket = r.bucket, tt, rt),
+      |terms AS (
+      |  SELECT fb.doc_id, fb.rn, l.lr FROM fb JOIN lr l ON fb.bucket = l.bucket),
+      |agg AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0.0, list(lr ORDER BY rn)),
+      |      (a, b) -> a + b) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM terms GROUP BY doc_id)
+      |SELECT d.doc_id, round(coalesce(a.s, 0.0), 4) AS dsir_logw,
+      |  coalesce(a.n, 0) AS n_features
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3062,6 +3122,7 @@ object SparkEntry {
     "q78_ivfadc_search" -> (q78IvfAdcSearch _),
     "q79_sq8_search" -> (q79SqSearch _),
     "q80_refine_search" -> (q80RefineSearch _),
+    "q81_dsir_weights" -> (q81DsirWeights _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3133,6 +3194,7 @@ object SparkEntry {
     "q68_postings" -> q68Sql,
     "q69_hybrid_rrf" -> q69Sql,
     "q70_lm_quality" -> q70Sql,
+    "q81_dsir_weights" -> q81Sql,
     "q71_keep_best" -> q71Sql,
     "q72_mix_weights" -> q72Sql,
     "q73_url_dedup" -> q73Sql,
