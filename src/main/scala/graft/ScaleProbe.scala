@@ -827,6 +827,23 @@ object ScaleProbe {
     timeWarm("PQ ADC top-10 (codes scan)")(
       graft.operators.PqIndex.search(encoded, pq, qVec, 10).collect())
 
+    // SQ8: the middle compression point — 4x lighter rows, near-exact
+    // recall. Bounds train on the 2k base table (sample posture), the
+    // encoded corpus persists once, search shares the adc_lut kernel.
+    val sq = graft.operators.SqIndex.train(
+      base.withColumnRenamed("vec_id", "doc_id"))
+    val sqPath = s"/tmp/graft-sq-scale-${factor}x"
+    if (!parquetComplete(spark, sqPath)) {
+      val t0 = System.nanoTime()
+      graft.operators.SqIndex.encode(corpus, sq)
+        .select("doc_id", "codes")
+        .write.mode("overwrite").parquet(sqPath)
+      println(f"[scale] sq8 encode+write (one-off): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val sqEncoded = spark.read.parquet(sqPath)
+    timeWarm("SQ8 recon-dot top-10 (codes scan)")(
+      graft.operators.SqIndex.search(sqEncoded, sq, qVec, 10).collect())
+
     // IVFADC: residual codes partitioned by coarse cell — the probed
     // scan reads ~nprobe/nlist of the codes (and no floats at all).
     val nlist = 64
@@ -856,8 +873,17 @@ object ScaleProbe {
       graft.operators.PqIndex.searchIvfAdc(
         cellCorpus, ivf, rpq, qVec, 10, nprobe).collect())
 
+    // Refined search: IVFADC candidates + exact re-rank on the floats.
+    timeWarm("refined top-10 (IVFADC top-50 + exact re-rank)")(
+      graft.operators.PqIndex.searchRefined(
+        cellCorpus, corpus, ivf, rpq, qVec, 10, 50, nprobe).collect())
+
     val exactIds = VectorSearch.knnScores(corpus, qVec, 10)
       .select("doc_id").as[Long].collect().toSet
+    val sqIds = graft.operators.SqIndex.search(sqEncoded, sq, qVec, 10)
+      .select("doc_id").as[Long].collect().toSet
+    println(s"[scale] sq8 recall@10 (doc-id overlap): " +
+      s"${exactIds.intersect(sqIds).size}/${exactIds.size}")
     val adcIds = graft.operators.PqIndex.search(encoded, pq, qVec, 10)
       .select("doc_id").as[Long].collect().toSet
     // Replicas are identical copies of the base vectors, so both searches
