@@ -184,6 +184,50 @@ object OracleSqlGen {
        |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
   }
 
+  /** q82's oracle: SemDeDup replayed from the persisted coarse
+    * quantizer — cell assignment ([[ivfAssignCtes]]), per-cell capped
+    * cosine pairs, RECURSIVE component closure (the q63 idiom), and the
+    * keep-farthest-from-centroid resolution. The centroid distance
+    * replays the FLOAT-cast residual (`residual_f32` parity: each
+    * element `float(double(x) − c)`, squared in double) folded with the
+    * strict left-fold idiom (`list_reduce(list_prepend(0.0, …))`) so
+    * the ranking key matches the Spark kernel's sequential accumulation
+    * bit-for-bit; `score` compares rounded(4), `kept` exact. */
+  def semanticDedupSql(cents: Seq[Array[Double]], minCos: Double,
+                       cap: Int): String = {
+    val rterm = "CAST(CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT) AS DOUBLE)"
+    s"""WITH RECURSIVE ${ivfAssignCtes(cents)},
+       |capped AS (
+       |  SELECT doc_id, embedding, cell_id FROM (
+       |    SELECT a.doc_id, a.embedding, a.cell_id,
+       |      row_number() OVER (PARTITION BY a.cell_id
+       |        ORDER BY a.doc_id) AS crn
+       |    FROM __assigned a) WHERE crn <= $cap),
+       |vpairs AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM capped x JOIN capped y
+       |    ON x.cell_id = y.cell_id AND x.doc_id < y.doc_id
+       |  WHERE list_dot_product(x.embedding, y.embedding) >= $minCos),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+       |  UNION SELECT id_b, id_a FROM vpairs),
+       |reach(src, dst) AS (SELECT src, dst FROM edges
+       |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comps AS (SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS comp
+       |  FROM reach GROUP BY src),
+       |dist AS (
+       |  SELECT a.doc_id AS id, sqrt(list_reduce(list_prepend(0.0,
+       |      list_transform(list_zip(a.embedding, c.c),
+       |        p -> $rterm * $rterm)), (acc, t) -> acc + t)) AS dist
+       |  FROM __assigned a JOIN __cents c ON a.cell_id = c.cell_id),
+       |rank AS (
+       |  SELECT m.id, m.comp, d.dist,
+       |    row_number() OVER (PARTITION BY m.comp
+       |      ORDER BY d.dist DESC, m.id ASC) AS rnk
+       |  FROM comps m JOIN dist d ON m.id = d.id)
+       |SELECT id, comp, round(dist, 4) AS score, rnk = 1 AS kept
+       |FROM rank ORDER BY id""".stripMargin
+  }
+
   /** q77's oracle: PQ subspace assignment + ADC top-k, replayed from the
     * persisted codebooks. `books(s)(code)` = subspace centroid (dsub
     * doubles). Assignment is the [[ivfAssignCtes]] idiom per (vec,

@@ -2979,6 +2979,20 @@ object SparkEntry {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** SemDeDup (`SemanticDedup.resolve`): embedding-space dedup over the
+    * SHARED IVF coarse quantizer — cell-blocked cosine pairs, component
+    * closure, keep each group's farthest-from-centroid member. The
+    * oracle is GENERATED from the persisted quantizer (cell assignment,
+    * capped pairs, recursive closure, float-cast residual distance). */
+  private def q82SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val (_, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    SemanticDedup.resolve(emb, ivf, minCos = 0.3)
+      .select(col("id"), col("comp"),
+        round(col("score"), 4).as("score"), col("kept"))
+      .orderBy("id")
+  }
+
   /** DSIR importance weights (`Dsir`): hashed unigram+bigram LMs for
     * the English slice (target) vs the whole corpus (raw), per-doc log
     * likelihood ratio folded in document order. The resampling step is
@@ -3123,6 +3137,7 @@ object SparkEntry {
     "q79_sq8_search" -> (q79SqSearch _),
     "q80_refine_search" -> (q80RefineSearch _),
     "q81_dsir_weights" -> (q81DsirWeights _),
+    "q82_semantic_dedup" -> (q82SemanticDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3294,6 +3309,8 @@ object SparkEntry {
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       Map(
         "q21_ivf_search" -> OracleSqlGen.ivfSearchSql(cents, k = 10, nprobe = 4),
-        "q34_ivf_recall" -> OracleSqlGen.ivfRecallSql(cents, k = 10, nprobe = 4, nq = 8))
+        "q34_ivf_recall" -> OracleSqlGen.ivfRecallSql(cents, k = 10, nprobe = 4, nq = 8),
+        "q82_semantic_dedup" -> OracleSqlGen.semanticDedupSql(cents,
+          minCos = 0.3, cap = SemanticDedup.DefaultMaxCellSize))
     }).getOrElse(Map.empty)
 }
