@@ -184,6 +184,28 @@ object OracleSqlGen {
        |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
   }
 
+  /** q83's oracle: IVF occupancy stats + imbalance factor replayed from
+    * the persisted quantizer — assignment, `ncells`-row histogram with
+    * empty cells filled, `ncells · Σs² / (Σs)²`. */
+  def ivfCellStatsSql(cents: Seq[Array[Double]]): String = {
+    val k = cents.length
+    s"""WITH ${ivfAssignCtes(cents)},
+       |counts AS (
+       |  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors
+       |  FROM __assigned GROUP BY 1),
+       |cells AS (SELECT unnest(range(0, $k)) AS cell_id),
+       |filled AS (
+       |  SELECT c.cell_id, coalesce(t.n_vectors, 0) AS n_vectors
+       |  FROM cells c LEFT JOIN counts t USING (cell_id)),
+       |tot AS (SELECT CAST(sum(n_vectors) AS DOUBLE) AS n,
+       |               CAST(sum(n_vectors * n_vectors) AS DOUBLE) AS ss
+       |        FROM filled)
+       |SELECT CAST(f.cell_id AS BIGINT) AS cell_id, f.n_vectors,
+       |  round(CAST(f.n_vectors AS DOUBLE) / t.n, 4) AS frac,
+       |  round($k.0 * t.ss / (t.n * t.n), 4) AS imbalance_factor
+       |FROM filled f, tot t ORDER BY f.cell_id""".stripMargin
+  }
+
   /** q82's oracle: SemDeDup replayed from the persisted coarse
     * quantizer — cell assignment ([[ivfAssignCtes]]), per-cell capped
     * cosine pairs, RECURSIVE component closure (the q63 idiom), and the

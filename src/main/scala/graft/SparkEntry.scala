@@ -2979,6 +2979,14 @@ object SparkEntry {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** IVF index health (`IvfIndex.cellStats`): per-cell occupancy +
+    * FAISS's `imbalance_factor` diagnostic over the shared quantizer —
+    * the report an operator reads before raising nlist or retraining. */
+  private def q83IvfStats(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    IvfIndex.cellStats(withCells, ivf).orderBy("cell_id")
+  }
+
   /** SemDeDup (`SemanticDedup.resolve`): embedding-space dedup over the
     * SHARED IVF coarse quantizer — cell-blocked cosine pairs, component
     * closure, keep each group's farthest-from-centroid member. The
@@ -3138,6 +3146,7 @@ object SparkEntry {
     "q80_refine_search" -> (q80RefineSearch _),
     "q81_dsir_weights" -> (q81DsirWeights _),
     "q82_semantic_dedup" -> (q82SemanticDedup _),
+    "q83_ivf_stats" -> (q83IvfStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3311,6 +3320,7 @@ object SparkEntry {
         "q21_ivf_search" -> OracleSqlGen.ivfSearchSql(cents, k = 10, nprobe = 4),
         "q34_ivf_recall" -> OracleSqlGen.ivfRecallSql(cents, k = 10, nprobe = 4, nq = 8),
         "q82_semantic_dedup" -> OracleSqlGen.semanticDedupSql(cents,
-          minCos = 0.3, cap = SemanticDedup.DefaultMaxCellSize))
+          minCos = 0.3, cap = SemanticDedup.DefaultMaxCellSize),
+        "q83_ivf_stats" -> OracleSqlGen.ivfCellStatsSql(cents))
     }).getOrElse(Map.empty)
 }

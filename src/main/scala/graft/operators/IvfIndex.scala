@@ -130,6 +130,39 @@ object IvfIndex {
       ivf
     }
 
+  /** Per-cell occupancy statistics of an assigned corpus plus FAISS's
+    * list-balance diagnostic: `(cell_id, n_vectors, frac,
+    * imbalance_factor)` — `imbalance_factor = nlist · Σ s_c² / (Σ s_c)²`
+    * (faiss `InvertedLists::imbalance_factor`; 1.0 = perfectly balanced,
+    * k = all mass in 1/k of the lists). The factor rides on every row so
+    * the result is one self-contained health report; empty cells are
+    * reported with n_vectors 0 (a probe that lands there reads nothing —
+    * operationally meaningful at large nlist).
+    *
+    * Scale: one partial-aggregated groupBy to `nlist` rows, then
+    * driver-size arithmetic — the corpus is scanned once, the join that
+    * fills empty cells is `nlist` rows vs `nlist` rows. */
+  def cellStats(withCells: DataFrame, ivf: Ivf): DataFrame = {
+    val spark = withCells.sparkSession
+    // The TRAINED cell count (k = min(nlist, n) at fit time; 1 untrained),
+    // not the requested nlist — cells that cannot exist are not "empty".
+    val ncells = ivf.centroids.map(_.length).getOrElse(1)
+    val counts = withCells.groupBy("cell_id")
+      .agg(count(lit(1)).as("n_vectors"))
+    val allCells = spark.range(ncells).toDF("cell")
+      .join(counts, col("cell") === col("cell_id"), "left")
+      .select(col("cell").as("cell_id"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+    val tot = allCells.agg(
+      sum("n_vectors").cast("double").as("__n"),
+      sum(col("n_vectors") * col("n_vectors")).cast("double").as("__ss"))
+    allCells.crossJoin(broadcast(tot))
+      .select(col("cell_id"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("__n"), 4).as("frac"),
+        round(lit(ncells.toDouble) * col("__ss") / (col("__n") * col("__n")), 4)
+          .as("imbalance_factor"))
+  }
+
   /** Cells to probe for a query vector: the `nprobe` centroids nearest by
     * inner product (centroid table is tiny — ranked at the driver). */
   def probeCells(ivf: Ivf, queryVec: Array[Float], nprobe: Int): Seq[Int] =

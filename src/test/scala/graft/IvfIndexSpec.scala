@@ -111,4 +111,35 @@ class IvfIndexSpec extends AnyFunSuite {
     val exact = VectorSearch.knnSingle(corpus, q, 5).select("doc_id").as[Long].collect().toSeq
     assert(hits.select("doc_id").as[Long].collect().toSeq == exact)
   }
+
+  test("cellStats: full histogram, fractions sum to 1, imbalance >= 1") {
+    val corpus = (0 until 200).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
+    val stats = IvfIndex.cellStats(withCells, ivf)
+      .select("cell_id", "n_vectors", "frac", "imbalance_factor")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(stats.length == ivf.centroids.get.length,
+      "every trained cell must appear, occupied or not")
+    assert(stats.map(_._2).sum == 200L)
+    assert(math.abs(stats.map(_._3).sum - 1.0) < 1e-3)
+    val fac = stats.head._4
+    assert(stats.forall(_._4 == fac), "factor must be constant across rows")
+    assert(fac >= 1.0, s"imbalance factor below the balanced floor: $fac")
+    // Cross-check the factor from the histogram itself.
+    val k = stats.length
+    val n = stats.map(_._2.toDouble).sum
+    val ss = stats.map(s => s._2.toDouble * s._2.toDouble).sum
+    assert(math.abs(fac - math.rint(k * ss / (n * n) * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("cellStats on a skewed corpus reports the imbalance") {
+    // 190 copies of one vector + 10 spread: mass collapses to one cell.
+    val base = randVec(1)
+    val corpus = ((0 until 190).map(i => (i.toLong, base)) ++
+      (190 until 200).map(i => (i.toLong, randVec(i)))).toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
+    val fac = IvfIndex.cellStats(withCells, ivf)
+      .select("imbalance_factor").as[Double].head()
+    assert(fac > 2.0, s"collapsed corpus must report high imbalance, got $fac")
+  }
 }
