@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{IvfIndex, PqIndex}
+import graft.streaming.IndexIngest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def clustered(ids: Range, nClusters: Int, dim: Int = 16): Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(7777)
+    val anchors = Array.fill(nClusters)(Array.fill(dim)(r.nextGaussian().toFloat * 5f))
+    ids.map { i =>
+      val a = anchors(i % nClusters)
+      (i.toLong, a.map(x => x + (i % 17) * 0.003f))
+    }
+  }
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  test("streamed ingest == batch encode; probed search prunes cells across batches") {
+    val trainSet = clustered(0 until 300, 6)
+    val train = trainSet.toDF("doc_id", "embedding")
+    val ivf = IvfIndex.train(train, nlist = 6)
+    val (_, pq) = PqIndex.buildIvfAdc(IvfIndex.assign(train, ivf), ivf, m = 4, ksub = 8)
+
+    val dir = java.nio.file.Files.createTempDirectory("ingest").toString
+    val staging = s"$dir/staging"
+    val b1 = clustered(300 until 360, 6)
+    val b2 = clustered(360 until 420, 6)
+    b1.toDF("doc_id", "embedding").write.mode("append").parquet(staging)
+
+    val q = IndexIngest.quantizedIngest(
+      spark.readStream.schema(schema).parquet(staging),
+      ivf, pq, s"$dir/corpus", s"$dir/stats", s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "embedding").write.mode("append").parquet(staging)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Codes per doc must equal a one-shot batch encode of the union.
+    val streamed = IndexIngest.loadCorpus(spark, s"$dir/corpus")
+      .select("doc_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val all = (b1 ++ b2).toDF("doc_id", "embedding")
+    val expect = PqIndex.encode(
+        IvfIndex.assign(all, ivf).withColumn("__res",
+          PqIndex.residualColumn(ivf, col("embedding"), col("cell_id"))),
+        pq, "__res")
+      .select("doc_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(streamed == expect, "streamed codes deviate from batch encode")
+
+    // Search over the streamed corpus == search over a batch-built one.
+    val qVec = b2.head._2
+    val got = PqIndex.searchIvfAdc(
+      IndexIngest.loadCorpus(spark, s"$dir/corpus"), ivf, pq, qVec, 5, 2)
+      .select("doc_id").as[Long].collect().toSeq
+    val batchDir = s"$dir/batchCorpus"
+    PqIndex.encode(
+        IvfIndex.assign(all, ivf).withColumn("__res",
+          PqIndex.residualColumn(ivf, col("embedding"), col("cell_id"))),
+        pq, "__res")
+      .select("doc_id", "cell_id", "codes")
+      .write.partitionBy("cell_id").parquet(batchDir)
+    val want = PqIndex.searchIvfAdc(
+      spark.read.parquet(batchDir), ivf, pq, qVec, 5, 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == want)
+
+    // The probed scan must prune by cell_id at the partition level.
+    val plan = PqIndex.searchIvfAdc(
+      IndexIngest.loadCorpus(spark, s"$dir/corpus"), ivf, pq, qVec, 5, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"streamed corpus search does not prune cells:\n$plan")
+
+    // Health history: one row per batch, factor >= 1.
+    val stats = IndexIngest.loadStats(spark, s"$dir/stats")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(stats.map(_._1).toSeq == Seq(0L, 1L))
+    assert(stats.map(_._2).sum == 120L)
+    assert(stats.forall(_._3 >= 1.0))
+  }
+
+  test("retrying a batch id is an idempotent overwrite") {
+    val trainSet = clustered(0 until 300, 6)
+    val train = trainSet.toDF("doc_id", "embedding")
+    val ivf = IvfIndex.train(train, nlist = 6)
+    val (_, pq) = PqIndex.buildIvfAdc(IvfIndex.assign(train, ivf), ivf, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ingest-retry").toString
+    val b = clustered(500 until 540, 6).toDF("doc_id", "embedding")
+    IndexIngest.ingestBatch(b, 3L, ivf, pq, s"$dir/corpus", s"$dir/stats",
+      "doc_id", "embedding")
+    val first = IndexIngest.loadCorpus(spark, s"$dir/corpus")
+      .select("doc_id", "codes").as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    IndexIngest.ingestBatch(b, 3L, ivf, pq, s"$dir/corpus", s"$dir/stats",
+      "doc_id", "embedding")
+    val second = IndexIngest.loadCorpus(spark, s"$dir/corpus")
+      .select("doc_id", "codes").as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(second == first, "retry duplicated or altered the batch")
+    assert(first.length == 40)
+  }
+}
