@@ -58,6 +58,10 @@ object ScaleProbe {
       pqProbe(args.lift(1).map(_.toInt).getOrElse(1000))
       return
     }
+    if (args.headOption.contains("select")) {
+      selectProbe(args.lift(1).map(_.toInt).getOrElse(50))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -762,6 +766,80 @@ object ScaleProbe {
       Sampling.mixWeights(
         docs.withColumn("source", pmod(col("doc_id"), lit(1000)).cast("string")),
         "source", alpha = 0.5).count())
+    spark.stop()
+  }
+
+  /** Selection-operator probe over the replicated 250k-doc corpus:
+    * DSIR (two buckets-row LM fits + a narrow weight scan + Gumbel
+    * top-k) and SemDeDup (cell-blocked capped cosine pairs + component
+    * resolution over the 2M-row embedding corpus). The DSIR claim under
+    * test: fit cost is corpus-scan-bound but its SHUFFLE is buckets-row;
+    * the weight pass is one narrow scan. The SemDeDup claim: pair count
+    * is bounded by the per-cell cap, never all-pairs. */
+  def selectProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val nBase = base.count()
+    val path = s"/tmp/graft-select-scale-${factor}x"
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * nBase).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\w+)"),
+            concat(lit("$1r"), col("rep"))).as("text"),
+          col("lang"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val docs = spark.read.parquet(path)
+    val n = docs.count()
+    println(s"[scale] select corpus rows = $n (${factor}x of $nBase)")
+
+    def timeWarm(name: String)(f: => Long): Unit = {
+      f
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime(); val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s warm, $rows rows out (${n / sec / 1e6}%.2f M docs/s)")
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    timeWarm("dsir: hashedLm fit (raw corpus)")(
+      graft.operators.Dsir.hashedLm(docs).count())
+    val ratio = graft.operators.Dsir.logRatio(
+      graft.operators.Dsir.hashedLm(docs.filter(col("lang") === "en")),
+      graft.operators.Dsir.hashedLm(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ratio.count()
+    timeWarm("dsir: importanceWeights scan")(
+      graft.operators.Dsir.importanceWeights(docs, ratio)
+        .select(sum(col("dsir_logw"))).collect().length.toLong)
+    timeWarm("dsir: gumbelTopK(k=10000)")(
+      graft.operators.Dsir.gumbelTopK(
+        graft.operators.Dsir.importanceWeights(docs, ratio), 10000, "probe")
+        .count())
+    ratio.unpersist()
+
+    // SemDeDup over the 2M-row replicated embedding corpus (identical
+    // replicas => every cross-replica pair clears any cosine threshold;
+    // the cap is what keeps the join bounded).
+    val emb = spark.read.parquet(s"/tmp/graft-scale-1000x")
+    val nEmb = emb.count()
+    val ivf = graft.operators.IvfIndex.train(
+      emb.sample(math.min(1.0, 100000.0 / nEmb), 42), 64)
+    timeWarm(s"semdedup: resolve over $nEmb embeddings (cap=250)")(
+      graft.operators.SemanticDedup.resolve(emb, ivf, minCos = 0.95).count())
     spark.stop()
   }
 

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `dsir_logw(text, lr)`: the DSIR importance log-weight in ONE pass —
+  * tokenize, hash every word unigram then bigram into `lr.length`
+  * buckets (first 8 hex chars of md5, the engine's oracle idiom), and
+  * accumulate `Σ lr[bucket(f)]` in feature order (unigrams in document
+  * order, then bigrams). Returns `struct(logw double, n_features long)`.
+  *
+  * This is the [[MinhashSigs]] treatment applied to the DSIR scoring
+  * pass. The composed form — a higher-order `aggregate` over a
+  * `concat(tokens, bigrams)` array with `element_at` on a 256-entry MAP
+  * column — evaluated interpreted AND paid a linear scan of the map per
+  * feature (Catalyst map lookup is O(entries)): ~256 comparisons × every
+  * feature × every document, measured 31.9 s for the sf0.1 corpus. One
+  * digest + one array index per feature brings the same arithmetic to
+  * scan speed. The accumulation order and IEEE op sequence are identical
+  * to the old fold, so the DuckDB oracle replay is unchanged.
+  *
+  * The log-ratio table is a foldable `array<double>` literal indexed by
+  * bucket — every bucket is present by [[graft.operators.Dsir.hashedLm]]
+  * construction (add-1 smoothing has no OOV path). */
+case class DsirLogw(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("logw", DoubleType, nullable = false),
+    StructField("n_features", LongType, nullable = false)))
+  override def prettyName: String = "dsir_logw"
+
+  @transient private lazy val lr: Array[Double] = right match {
+    case Literal(v: ArrayData, ArrayType(DoubleType, _)) if v != null =>
+      v.toDoubleArray()
+    case other => throw new IllegalArgumentException(
+      s"dsir_logw needs a foldable array<double> log-ratio literal, got $other")
+  }
+
+  override def nullSafeEval(text: Any, lrAny: Any): Any = {
+    val buckets = lr.length
+    val raw = text.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = raw.filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ratioOf(f: String): Double = {
+      md.reset()
+      val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // First 8 hex chars big-endian == first 4 digest bytes as uint32.
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      lr((h % buckets).toInt)
+    }
+    var acc = 0.0
+    var i = 0
+    while (i < toks.length) { acc += ratioOf(toks(i)); i += 1 }
+    i = 0
+    while (i < toks.length - 1) {
+      acc += ratioOf(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    val n = toks.length.toLong + math.max(0L, toks.length.toLong - 1L)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](acc, n))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DsirLogw =
+    copy(left = newLeft, right = newRight)
+}

@@ -60,6 +60,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "sq8_encode_f32",
       exprs => Sq8EncodeF32(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dsir_logw", exprs => DsirLogw(exprs(0), exprs(1)), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -120,6 +122,10 @@ object GraftFunctions {
   /** 8-bit scalar-quantizer encode against per-dim (vmin, step) bounds. */
   def sq8EncodeF32(emb: Column, vmin: Column, step: Column): Column =
     call_function("sq8_encode_f32", emb, vmin, step)
+
+  /** Single-pass DSIR log-weight: struct(logw, n_features). */
+  def dsirLogw(text: Column, lr: Column): Column =
+    call_function("dsir_logw", text, lr)
 
   /** Similarity from distance, matching the reference's transform
     * (`components/core/search_service.py:336-349`): identity for inner

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -48,21 +49,34 @@ object Dsir {
   /** Hashed-feature unigram LM: `(bucket, cnt, logp)` with add-1
     * smoothing over all `buckets` rows (absent buckets carry cnt 0, so
     * the ratio table downstream is total — no OOV path needed).
-    * `logp = ln((cnt+1) / (total+buckets))`. */
+    * `logp = ln((cnt+1) / (total+buckets))`.
+    *
+    * ONE corpus scan: the bucket counts (≤ `buckets` rows after partial
+    * aggregation) are collected and the smoothing arithmetic runs at the
+    * driver — the previous lazy-composed form had two consumers of the
+    * count aggregate (the bucket-fill join and the total), and Spark
+    * re-evaluated the whole explode lineage per consumer; together with
+    * the single-row-group sf0.1 scan artifact that made each fit two
+    * single-task corpus passes (profiled 2×8 s where one parallel scan
+    * does). The scan side is spread via the stats-gated
+    * [[Dedup.spreadSmallInput]] (a no-op on real-scale inputs, where
+    * parquet splits provide the parallelism). Same IEEE arithmetic
+    * (`Math.log` IS Spark's `log`), so the oracle replay is unchanged. */
   def hashedLm(docs: DataFrame, buckets: Int = DefaultBuckets,
                textCol: String = "text"): DataFrame = {
-    val counts = docs
+    val spark = docs.sparkSession
+    val counts = Dedup.spreadSmallInput(docs.select(col(textCol)))
       .select(explode(features(col(textCol))).as("f"))
       .select(bucketOf(col("f"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(coalesce(sum("cnt"), lit(0L)).cast("long").as("__total"))
-    docs.sparkSession.range(buckets).toDF("bucket")
-      .join(counts, Seq("bucket"), "left")
-      .crossJoin(broadcast(total))
-      .select(col("bucket"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"),
-        log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
-          (col("__total") + lit(buckets.toLong)).cast("double")).as("logp"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    import spark.implicits._
+    (0 until buckets).map { b =>
+      val cnt = counts.getOrElse(b, 0L)
+      (b.toLong, cnt,
+        math.log((cnt + 1L).toDouble / (total + buckets.toLong).toDouble))
+    }.toDF("bucket", "cnt", "logp")
   }
 
   /** Per-bucket log likelihood ratio `ln p_target(b) − ln p_raw(b)` of
@@ -74,21 +88,31 @@ object Dsir {
 
   /** Per-document importance log-weight: `Σ_f lr[bucket(f)]` folded in
     * document order (rounded 4, the oracle compare precision).
-    * Output `(idCol, dsir_logw, n_features)`; empty docs weigh 0.0. */
+    * Output `(idCol, dsir_logw, n_features)`; empty docs weigh 0.0.
+    *
+    * The ratio table (exactly `buckets` rows by [[hashedLm]]/[[logRatio]]
+    * construction) collapses to a driver-side `Array[Double]` — the
+    * query-LUT class of fetch — and scoring is the single-pass
+    * [[graft.functions.DsirLogw]] expression: one digest + one array
+    * index per feature. The composed HOF-fold alternative paid an
+    * interpreted O(buckets) MAP scan per feature — measured 31.9 s vs
+    * ~1 s on the sf0.1 corpus, same arithmetic. */
   def importanceWeights(docs: DataFrame, ratio: DataFrame,
                         buckets: Int = DefaultBuckets,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val rmap = broadcast(ratio.agg(
-      map_from_entries(collect_list(struct(col("bucket"), col("lr"))))
-        .as("__rmap")))
-    docs.crossJoin(rmap)
-      .withColumn("__f", features(col(textCol)))
+    GraftFunctions.register(docs.sparkSession)
+    val byBucket = ratio.select(col("bucket").cast("long"), col("lr"))
+      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    require(byBucket.size == buckets,
+      s"ratio table must cover all $buckets buckets, got ${byBucket.size}")
+    val lr = Array.tabulate(buckets)(byBucket)
+    docs
+      .withColumn("__w",
+        GraftFunctions.dsirLogw(col(textCol), typedLit(lr.toSeq)))
       .select(col(idCol),
-        round(aggregate(col("__f"), lit(0.0),
-          (acc, f) => acc + element_at(col("__rmap"), bucketOf(f, buckets))), 4)
-          .as("dsir_logw"),
-        size(col("__f")).cast("long").as("n_features"))
+        round(col("__w.logw"), 4).as("dsir_logw"),
+        col("__w.n_features").as("n_features"))
   }
 
   /** Gumbel top-`k` resample over [[importanceWeights]]: rank by

@@ -50,6 +50,36 @@ class DsirSpec extends AnyFunSuite {
     assert(w(0L)._2 == 17L)
   }
 
+  test("dsir_logw expression matches the composed HOF-fold definition") {
+    // Mixed scripts, repeated tokens, single-token and empty docs — the
+    // shapes where tokenize/hash/fold parity could drift.
+    val docs = Seq(
+      (0L, "The quick brown fox   the quick"),
+      (1L, "Straße über straße ÜBER"),
+      (2L, "这是 一个 测试 文档 这是"),
+      (3L, "one"),
+      (4L, ""),
+      (5L, "  padded\ttabs\nnewlines  ")).toDF("doc_id", "text")
+    val ratio = Dsir.logRatio(
+      Dsir.hashedLm(docs.filter(col("doc_id") < 3), buckets = 64),
+      Dsir.hashedLm(docs, buckets = 64))
+    val fast = Dsir.importanceWeights(docs, ratio, buckets = 64)
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    // The original composed definition, inlined verbatim.
+    val rmap = broadcast(ratio.agg(
+      map_from_entries(collect_list(struct(col("bucket"), col("lr"))))
+        .as("__rmap")))
+    val slow = docs.crossJoin(rmap)
+      .withColumn("__f", Dsir.features(col("text")))
+      .select(col("doc_id"),
+        round(aggregate(col("__f"), lit(0.0),
+          (acc, f) => acc + element_at(col("__rmap"), Dsir.bucketOf(f, 64))), 4)
+          .as("dsir_logw"),
+        size(col("__f")).cast("long").as("n_features"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(fast == slow, "single-pass kernel deviates from the fold definition")
+  }
+
   test("gumbelTopK is deterministic, salt-sensitive, and k-bounded") {
     val raw = (target ++ offDomain).toDF("doc_id", "text")
     val ratio = Dsir.logRatio(
