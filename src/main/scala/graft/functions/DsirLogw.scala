@@ -71,3 +71,58 @@ case class DsirLogw(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DsirLogw =
     copy(left = newLeft, right = newRight)
 }
+
+/** `dsir_buckets(text, buckets)`: per-document hashed-feature bucket
+  * histogram in ONE pass — the [[DsirLogw]] tokenizer and digest
+  * (unigrams then bigrams, first 4 md5 bytes big-endian mod `buckets`)
+  * accumulating counts into a primitive `long[buckets]`. Returns
+  * `array<long>` of length `buckets`; position IS the bucket id, so the
+  * LM-fit aggregation downstream is `posexplode` + sum with no
+  * per-feature expression work at all.
+  *
+  * This is the fit-side twin of the scoring kernel: the composed form
+  * (`explode(features(text))` → Catalyst `md5`/`conv`/`substring` per
+  * exploded feature → groupBy) re-materialized every feature as a row
+  * and paid the full expression stack per feature — measured 521 s for
+  * one fit over the 250k-doc probe corpus where this kernel's scan
+  * shape does the same digest work in under a second per scan
+  * (BASELINE.md round-8 selection probe). Bucket counts are integers,
+  * so aggregation order cannot affect the oracle. */
+case class DsirBucketCounts(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_buckets"
+
+  @transient private lazy val buckets: Int = right match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"dsir_buckets needs a foldable int bucket count, got $other")
+  }
+
+  override def nullSafeEval(text: Any, bucketsAny: Any): Any = {
+    val counts = new Array[Long](buckets)
+    val raw = text.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = raw.filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucketOf(f: String): Int = {
+      md.reset()
+      val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h % buckets).toInt
+    }
+    var i = 0
+    while (i < toks.length) { counts(bucketOf(toks(i))) += 1L; i += 1 }
+    i = 0
+    while (i < toks.length - 1) {
+      counts(bucketOf(toks(i) + " " + toks(i + 1))) += 1L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DsirBucketCounts =
+    copy(left = newLeft, right = newRight)
+}

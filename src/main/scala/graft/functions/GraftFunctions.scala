@@ -62,6 +62,8 @@ object GraftFunctions {
       exprs => Sq8EncodeF32(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "dsir_logw", exprs => DsirLogw(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dsir_buckets", exprs => DsirBucketCounts(exprs(0), exprs(1)), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -126,6 +128,10 @@ object GraftFunctions {
   /** Single-pass DSIR log-weight: struct(logw, n_features). */
   def dsirLogw(text: Column, lr: Column): Column =
     call_function("dsir_logw", text, lr)
+
+  /** Single-pass DSIR per-document bucket histogram: array<long>. */
+  def dsirBuckets(text: Column, buckets: Column): Column =
+    call_function("dsir_buckets", text, buckets)
 
   /** Similarity from distance, matching the reference's transform
     * (`components/core/search_service.py:336-349`): identity for inner

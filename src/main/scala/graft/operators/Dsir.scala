@@ -61,15 +61,30 @@ object Dsir {
     * does). The scan side is spread via the stats-gated
     * [[Dedup.spreadSmallInput]] (a no-op on real-scale inputs, where
     * parquet splits provide the parallelism). Same IEEE arithmetic
-    * (`Math.log` IS Spark's `log`), so the oracle replay is unchanged. */
+    * (`Math.log` IS Spark's `log`), so the oracle replay is unchanged.
+    *
+    * The per-document feature work runs in the single-pass
+    * [[graft.functions.DsirBucketCounts]] kernel (one digest + one
+    * primitive array slot per feature); what leaves each document is a
+    * `buckets`-length count array, posexploded so position is the
+    * bucket id — zero per-feature expression work after the kernel, and
+    * the groupBy's map-side combine keeps the shuffle at `buckets` rows
+    * per partition. The composed `explode(features)`→`md5`→groupBy form
+    * re-materialized every feature as a row through the full Catalyst
+    * expression stack: 521 s for one fit over the 250k-doc probe corpus
+    * vs scan-speed here, same counts (BASELINE.md round-8 selection
+    * probe). */
   def hashedLm(docs: DataFrame, buckets: Int = DefaultBuckets,
                textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
+    GraftFunctions.register(spark)
     val counts = Dedup.spreadSmallInput(docs.select(col(textCol)))
-      .select(explode(features(col(textCol))).as("f"))
-      .select(bucketOf(col("f"), buckets).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      .select(posexplode(
+        GraftFunctions.dsirBuckets(col(textCol), lit(buckets))))
+      .toDF("bucket", "c")
+      .groupBy("bucket").agg(sum(col("c")).as("cnt"))
+      .filter(col("cnt") > 0)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     import spark.implicits._
     (0 until buckets).map { b =>

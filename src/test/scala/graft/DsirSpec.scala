@@ -80,6 +80,27 @@ class DsirSpec extends AnyFunSuite {
     assert(fast == slow, "single-pass kernel deviates from the fold definition")
   }
 
+  test("dsir_buckets fit kernel matches the composed explode definition") {
+    val docs = Seq(
+      (0L, "The quick brown fox   the quick"),
+      (1L, "Straße über straße ÜBER"),
+      (2L, "这是 一个 测试 文档 这是"),
+      (3L, "one"),
+      (4L, ""),
+      (5L, "  padded\ttabs\nnewlines  ")).toDF("doc_id", "text")
+    val fast = Dsir.hashedLm(docs, buckets = 64)
+      .select("bucket", "cnt").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // The original composed definition, inlined verbatim: explode every
+    // feature as a row, bucket it with the Catalyst md5/conv stack.
+    val counts = docs
+      .select(explode(Dsir.features(col("text"))).as("f"))
+      .select(Dsir.bucketOf(col("f"), 64).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    val slow = (0L until 64L).map(b => b -> counts.getOrElse(b, 0L)).toSeq
+    assert(fast == slow, "fit kernel deviates from the explode definition")
+  }
+
   test("gumbelTopK is deterministic, salt-sensitive, and k-bounded") {
     val raw = (target ++ offDomain).toDF("doc_id", "text")
     val ratio = Dsir.logRatio(
