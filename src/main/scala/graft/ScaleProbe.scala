@@ -202,10 +202,11 @@ object ScaleProbe {
     * DISTINCT documents and the dedup queries keep realistic
     * (non-degenerate) bucket shapes; embeddings replicate as-is.
     *
-    * BENCH-ONLY replica: this session reads events.ts via nanosAsLong, so
-    * the replica stores ts as int64 nanos (every graft entry point reads
-    * it identically, but the DuckDB oracle gate would see BIGINT where the
-    * source has TIMESTAMP_NS — don't point Verify/check_oracle at it). */
+    * BENCH-ONLY replica: events.ts is copied verbatim (int64 nanos under
+    * `nanosAsLong` for TIMESTAMP_NS-generation testdata, TIMESTAMP(µs) for
+    * the newer generation); `SparkEntry.eventsNs` normalizes either at
+    * read. Don't point Verify/check_oracle at the replica — only the real
+    * testdata dirs carry the oracle contract. */
   def sfGen(mult: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

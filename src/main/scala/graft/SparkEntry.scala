@@ -19,6 +19,24 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with `ts` normalized to int64 epoch-nanoseconds regardless of
+    * how the driver generated the column — older testdata stored parquet
+    * TIMESTAMP_NS (read as long under `nanosAsLong`), newer testdata stores
+    * TIMESTAMP(µs) which Spark reads as TIMESTAMP_NTZ. All downstream gap /
+    * window arithmetic and the DuckDB oracles (`epoch_ns(ts)`) are written
+    * against the nanosecond number line, so one normalization point keeps
+    * both generations working. Session timezone is pinned to UTC in every
+    * entry point, so the NTZ→LTZ cast is instant-preserving and matches
+    * DuckDB's naive-as-UTC `epoch_ns`. */
+  private def eventsNs(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp_ltz")) * lit(1000L))
+    }
+  }
+
   /** Flagship: hash-embed the documents corpus, run a text query through
     * embed → exact k-NN → dynamic-threshold retrieval (the reference's
     * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
@@ -205,9 +223,9 @@ object SparkEntry {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private def q9Sessions(s: SparkSession, dir: String): DataFrame = {
-    // ts is int64 nanoseconds (nanosAsLong); 30-min gap = 1.8e12 ns.
+    // ts normalized to int64 nanoseconds (eventsNs); 30-min gap = 1.8e12 ns.
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    t(s, dir, "events")
+    eventsNs(s, dir)
       .withColumn("gap", col("ts") - lag("ts", 1).over(w))
       .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800000000000L, 1L).otherwise(0L))
       .groupBy("user_id")
@@ -682,7 +700,7 @@ object SparkEntry {
   /** Event-time tumbling windows in batch form (the batch twin of
     * `EventStream.windowedCounts`; ts is int64 nanos). */
   private def q37EventWindows(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    eventsNs(s, dir)
       // integer division — ts (~1.7e18 ns) exceeds double's exact range,
       // so `/` then cast would mis-bucket boundary values
       .withColumn("window_start", expr("ts div 300000000000"))
@@ -2987,6 +3005,55 @@ object SparkEntry {
     IvfIndex.cellStats(withCells, ivf).orderBy("cell_id")
   }
 
+  /** Binary Hamming search ([[BinaryIndex]]): FAISS `IndexBinaryFlat`
+    * over sign-packed 64-bit codes (the `IndexLSH` zero-threshold
+    * binarizer, faiss/IndexLSH.cpp). The oracle replays the SEMANTICS —
+    * Hamming distance = count of sign-disagreeing dimensions — while the
+    * engine runs the packed `bit_count(xor)` kernel, so the bit-packing
+    * itself sits under the gate. */
+  private def q84BinarySearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qCode = BinaryIndex.encode(emb.filter(col("vec_id") === 0), idCol = "vec_id")
+      .select("code").collect()(0).getLong(0)
+    BinaryIndex.searchHamming(
+      BinaryIndex.encode(emb.filter(col("vec_id") =!= 0), idCol = "vec_id"),
+      qCode, 10, idCol = "vec_id")
+  }
+
+  private val q84Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(len(list_filter(range(least(len(e.embedding), 64)),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY hamming, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Batch range search ([[VectorSearch.rangeSearchBatch]]): FAISS
+    * `Index::range_search` — every within-radius (query, doc) pair, no
+    * top-k. Emitted in the engine's total order; per-query counts
+    * (FAISS `lims`) are one groupBy away. */
+  private def q85RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    VectorSearch.rangeSearchBatch(queries, emb.filter(col("vec_id") >= 8),
+        minScore = 0.2, idCol = "vec_id")
+      .select(col("query_id"), col("vec_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), desc("score"), col("vec_id"))
+  }
+
+  private val q85Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 4)
+      |SELECT query_id, e.vec_id,
+      |  round(list_dot_product(e.embedding, q.qe), 4) AS score
+      |FROM embeddings e, q
+      |WHERE e.vec_id >= 8 AND list_dot_product(e.embedding, q.qe) >= 0.2
+      |ORDER BY query_id, list_dot_product(e.embedding, q.qe) DESC, e.vec_id""".stripMargin
+
   /** SemDeDup (`SemanticDedup.resolve`): embedding-space dedup over the
     * SHARED IVF coarse quantizer — cell-blocked cosine pairs, component
     * closure, keep each group's farthest-from-centroid member. The
@@ -3147,6 +3214,8 @@ object SparkEntry {
     "q81_dsir_weights" -> (q81DsirWeights _),
     "q82_semantic_dedup" -> (q82SemanticDedup _),
     "q83_ivf_stats" -> (q83IvfStats _),
+    "q84_binary_search" -> (q84BinarySearch _),
+    "q85_range_search" -> (q85RangeSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3219,6 +3288,8 @@ object SparkEntry {
     "q69_hybrid_rrf" -> q69Sql,
     "q70_lm_quality" -> q70Sql,
     "q81_dsir_weights" -> q81Sql,
+    "q84_binary_search" -> q84Sql,
+    "q85_range_search" -> q85Sql,
     "q71_keep_best" -> q71Sql,
     "q72_mix_weights" -> q72Sql,
     "q73_url_dedup" -> q73Sql,

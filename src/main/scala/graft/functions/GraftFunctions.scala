@@ -64,6 +64,8 @@ object GraftFunctions {
       "dsir_logw", exprs => DsirLogw(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "dsir_buckets", exprs => DsirBucketCounts(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sign_pack64", exprs => SignPackF32(exprs.head), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -120,6 +122,9 @@ object GraftFunctions {
   /** IVFADC scan kernel: ADC against the row's coarse cell's LUT. */
   def adcLutCells(codes: Column, cellId: Column, luts: Column): Column =
     call_function("adc_lut_cells", codes, cellId, luts)
+
+  /** Sign-binarize an `array<float>` into a packed 64-bit binary code. */
+  def signPack64(emb: Column): Column = call_function("sign_pack64", emb)
 
   /** 8-bit scalar-quantizer encode against per-dim (vmin, step) bounds. */
   def sq8EncodeF32(emb: Column, vmin: Column, step: Column): Column =

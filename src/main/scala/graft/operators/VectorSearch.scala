@@ -127,6 +127,41 @@ object VectorSearch {
   def fixedThreshold(hits: DataFrame, threshold: Double): DataFrame =
     hits.filter(col("score") >= lit(threshold))
 
+  /** Range search — FAISS `Index::range_search` on the flat-IP index:
+    * EVERY corpus vector scoring ≥ `minScore` against the query, not a
+    * top-k. Unlike [[fixedThreshold]] (which post-filters an already
+    * ranked hit set), this is the full-scan form: one codegen dot +
+    * filter projection, no window, no shuffle — the filter prunes before
+    * anything wide happens, so output size is the only scale cost.
+    * FAISS returns the matches unordered behind `lims`; the engine emits
+    * them in its total order `(score DESC, id ASC)` for determinism. */
+  def rangeSearch(corpus: DataFrame, queryVec: Array[Float], minScore: Double,
+                  embCol: String = "embedding", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .select(col(idCol),
+        GraftFunctions.dotF32(col(embCol), typedLit(queryVec)).as("score"))
+      .filter(col("score") >= lit(minScore))
+      .orderBy(desc("score"), col(idCol).asc)
+  }
+
+  /** Batch range search: broadcast the query set, score + filter inside
+    * one codegen stage. Output is `(query_id, id, score)` restricted to
+    * within-radius pairs — per-query result counts are `groupBy(query_id)`
+    * away (FAISS's `lims` array). The corpus is never shuffled; only
+    * surviving pairs leave the scan stage. */
+  def rangeSearchBatch(queries: DataFrame, corpus: DataFrame, minScore: Double,
+                       embCol: String = "embedding", idCol: String = "doc_id",
+                       queryIdCol: String = "query_id",
+                       queryEmbCol: String = "q_embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(queryIdCol), col(queryEmbCol))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("score", GraftFunctions.dotF32(col(embCol), col(queryEmbCol)))
+      .filter(col("score") >= lit(minScore))
+      .select(col(queryIdCol), col(idCol), col("score"))
+  }
+
   // ---------------------------------------------------------------------
   // Dynamic-threshold retrieval (W1) — the reference's signature operator,
   // `components/core/search_service.py:41-184`: ONE top-k search, then a

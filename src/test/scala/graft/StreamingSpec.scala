@@ -11,12 +11,18 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("windowed counts over a parquet-fed stream match the batch result") {
-    // Feed the real testdata events through a streaming scan (ts converted
-    // to µs timestamps in a staging dir; the raw files are int64-nanos).
+    // Feed the real testdata events through a streaming scan. Older testdata
+    // stored ts as int64-nanos (convert to µs timestamps in a staging dir);
+    // newer testdata already stores TIMESTAMP(µs) — pass through, only
+    // normalizing NTZ to the schema's TimestampType.
     val staging = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-      .write.mode("overwrite").parquet(staging)
+    val rawEvents = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val staged = rawEvents.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawEvents.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => rawEvents.withColumn("ts", col("ts").cast("timestamp_ltz"))
+    }
+    staged.write.mode("overwrite").parquet(staging)
 
     val stream = EventStream.windowedCounts(EventStream.readEvents(spark, staging))
     val q = stream.writeStream.outputMode("complete")
