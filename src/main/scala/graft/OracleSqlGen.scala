@@ -215,6 +215,35 @@ object OracleSqlGen {
     * strict left-fold idiom (`list_reduce(list_prepend(0.0, …))`) so
     * the ranking key matches the Spark kernel's sequential accumulation
     * bit-for-bit; `score` compares rounded(4), `kept` exact. */
+  /** q86's oracle, GENERATED from the persisted PCA artifact: replay the
+    * projection `y_j = float(Σ_i P[j][i]·(x_i − mean_i))` for every vector
+    * with the strict left-fold idiom (sequential double accumulation in
+    * dim order = the Spark kernel's loop, so the FLOAT cast lands on a
+    * bit-identical double), then exact top-k by inner product in the
+    * projected space. */
+  def pcaSearchSql(mean: Array[Double], comps: Seq[Array[Double]],
+                   k: Int): String = {
+    val meanLit = s"[${mean.mkString(", ")}]"
+    val matLit = comps.map(c => s"[${c.mkString(", ")}]")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH p AS (SELECT $meanLit AS mu,
+       |    $matLit AS pm),
+       |proj AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(${comps.length}), j ->
+       |      CAST(list_reduce(list_prepend(0.0,
+       |        list_transform(range(least(len(e.embedding), ${mean.length})),
+       |          i -> p.pm[j+1][i+1] * (CAST(e.embedding[i+1] AS DOUBLE) - p.mu[i+1]))),
+       |        (acc, t) -> acc + t) AS FLOAT)) AS y
+       |  FROM embeddings e, p),
+       |q AS (SELECT y AS qy FROM proj WHERE vec_id = 0)
+       |SELECT pr.vec_id, round(list_dot_product(pr.y, q.qy), 4) AS score
+       |FROM proj pr, q
+       |WHERE pr.vec_id <> 0
+       |ORDER BY list_dot_product(pr.y, q.qy) DESC, pr.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   def semanticDedupSql(cents: Seq[Array[Double]], minCos: Double,
                        cap: Int): String = {
     val rterm = "CAST(CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT) AS DOUBLE)"

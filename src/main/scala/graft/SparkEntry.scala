@@ -1010,6 +1010,32 @@ object SparkEntry {
     (s.read.parquet(cpath), pq)
   }
 
+  private val pcaK = 16
+
+  /** PCA artifact/projected-corpus cache, keyed like [[pqCachePath]]. */
+  private def pcaCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0xbca0L + pcaK) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-pca-$key"
+  }
+
+  /** Build-or-load the PCA transform + the projected corpus — the FAISS
+    * `IndexPreTransform` lifecycle: train once at ingest, persist the
+    * k-dim reduced corpus, queries read only the 4×-smaller floats. */
+  private[graft] def pcaCorpus(s: SparkSession, dir: String)
+      : (DataFrame, PcaTransform.Pca) = {
+    GraftFunctions.register(s)
+    val base = pcaCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val pca = PcaTransform.buildOrLoad(s, emb, pcaK, s"$base/pca.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      PcaTransform.project(emb, pca).select("doc_id", "pca")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), pca)
+  }
+
   /** SQ8 bounds/encoded-corpus cache, keyed like [[pqCachePath]]. */
   private def sqCachePath(s: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
@@ -3045,6 +3071,19 @@ object SparkEntry {
       .orderBy(col("query_id"), desc("score"), col("vec_id"))
   }
 
+  /** PCA-reduced search ([[PcaTransform]]): FAISS `PCAMatrix` 64→16 in
+    * front of a flat-IP scan (`IndexPreTransform`). The oracle is
+    * GENERATED from the persisted artifact — projection replay (strict
+    * left fold + float cast) and top-k in the reduced space, so the
+    * trained mean/eigenbasis itself is under the gate. */
+  private def q86PcaSearch(s: SparkSession, dir: String): DataFrame = {
+    val (projected, pca) = pcaCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PcaTransform.search(projected.filter(col("doc_id") =!= 0), pca, qVec, k = 10)
+      .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("score"))
+  }
+
   private val q85Sql =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 4)
@@ -3216,6 +3255,7 @@ object SparkEntry {
     "q83_ivf_stats" -> (q83IvfStats _),
     "q84_binary_search" -> (q84BinarySearch _),
     "q85_range_search" -> (q85RangeSearch _),
+    "q86_pca_search" -> (q86PcaSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3296,7 +3336,8 @@ object SparkEntry {
     "q74_span_removal" -> q74Sql,
     "q75_gopher_rules" -> q75Sql,
     "q76_repeated_paragraphs" -> q76Sql,
-  ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls
+  ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
+    pcaOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -3325,6 +3366,23 @@ object SparkEntry {
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       val books = flat.grouped(flat.length / m).toSeq
       Map("q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10))
+    }).getOrElse(Map.empty)
+
+  /** PCA oracle, generated from the artifact q86's run just persisted —
+    * same lifecycle as [[pqOracleSqls]]. */
+  private def pcaOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      path = java.nio.file.Paths.get(s"${pcaCachePath(s, dir)}/pca.txt")
+      if java.nio.file.Files.exists(path)
+      lines = java.nio.file.Files.readAllLines(path)
+      if lines.get(0).split(" ")(0).toInt > 0
+    } yield {
+      val mean = lines.get(1).split(" ").map(_.toDouble)
+      val comps: Seq[Array[Double]] = (2 until lines.size())
+        .map(i => lines.get(i).split(" ").map(_.toDouble))
+      Map("q86_pca_search" -> OracleSqlGen.pcaSearchSql(mean, comps, k = 10))
     }).getOrElse(Map.empty)
 
   /** SQ8 oracle, generated from the bounds q79's run just persisted —

@@ -66,6 +66,9 @@ object GraftFunctions {
       "dsir_buckets", exprs => DsirBucketCounts(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "sign_pack64", exprs => SignPackF32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pca_project_f32",
+      exprs => PcaProjectF32(exprs(0), exprs(1), exprs(2)), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -125,6 +128,10 @@ object GraftFunctions {
 
   /** Sign-binarize an `array<float>` into a packed 64-bit binary code. */
   def signPack64(emb: Column): Column = call_function("sign_pack64", emb)
+
+  /** PCA-project an `array<float>` against (mean, components) literals. */
+  def pcaProjectF32(emb: Column, mean: Column, comps: Column): Column =
+    call_function("pca_project_f32", emb, mean, comps)
 
   /** 8-bit scalar-quantizer encode against per-dim (vmin, step) bounds. */
   def sq8EncodeF32(emb: Column, vmin: Column, step: Column): Column =

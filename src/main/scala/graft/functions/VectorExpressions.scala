@@ -551,6 +551,93 @@ case class Sq8EncodeF32(first: Expression, second: Expression, third: Expression
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** PCA projection of a float vector against trained (mean, components)
+  * literals — FAISS `PCAMatrix::apply` (faiss/VectorTransform.cpp):
+  * `y_j = float( Σ_i comps[j][i] · (x_i − mean[i]) )`, components rows in
+  * descending-eigenvalue order. The per-output-dim accumulation is a
+  * sequential double left fold over input dims — the order the generated
+  * DuckDB oracle replays with `list_reduce`, so the float cast lands on
+  * a bit-identical double on both engines.
+  *
+  * A dedicated codegen kernel (vs composing `aggregate`/`transform`
+  * HOFs) for the same reason as [[ResidualF32]]: HOFs evaluate
+  * interpreted and fence whole-stage codegen, and this projection runs
+  * corpus-wide at ingest — the matrix is baked into the generated class
+  * as primitive `double[][]`. */
+case class PcaProjectF32(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pca_project_f32"
+
+  @transient private lazy val mean: Array[Double] = second match {
+    case Literal(v: ArrayData, ArrayType(DoubleType, _)) if v != null =>
+      v.toDoubleArray()
+    case other => throw new IllegalArgumentException(
+      s"pca_project_f32 needs a foldable array<double> mean literal, got $other")
+  }
+
+  @transient private lazy val comps: Array[Array[Double]] = third match {
+    case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) if v != null =>
+      v.toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray())
+    case other => throw new IllegalArgumentException(
+      s"pca_project_f32 needs a foldable array<array<double>> components literal, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Float](comps.length)
+    var j = 0
+    while (j < comps.length) {
+      val row = comps(j)
+      val n = math.min(math.min(x.numElements(), row.length), mean.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += row(i) * (x.getFloat(i).toDouble - mean(i)); i += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val meanRef = ctx.addReferenceObj("pcaMean", mean, "double[]")
+    val compRef = ctx.addReferenceObj("pcaComps", comps, "double[][]")
+    val embGen = first.genCode(ctx)
+    val j = ctx.freshName("j")
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val row = ctx.freshName("row")
+    val out = ctx.freshName("out")
+    ev.copy(code = code"""
+      ${embGen.code}
+      boolean ${ev.isNull} = ${embGen.isNull};
+      ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        float[] $out = new float[$compRef.length];
+        for (int $j = 0; $j < $compRef.length; $j++) {
+          double[] $row = $compRef[$j];
+          int $n = java.lang.Math.min(
+            java.lang.Math.min(${embGen.value}.numElements(), $row.length),
+            $meanRef.length);
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += $row[$i] * ((double)${embGen.value}.getFloat($i) - $meanRef[$i]);
+          }
+          $out[$j] = (float)$acc;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PcaProjectF32 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Sign-binarize a float vector into a packed 64-bit binary code: bit `i`
   * is set iff `vec(i) > 0`, for `i < min(dim, 64)`. This is the FAISS
   * `IndexLSH` binarization with the default zero thresholds and no
