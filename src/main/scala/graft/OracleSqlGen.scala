@@ -215,6 +215,61 @@ object OracleSqlGen {
     * strict left-fold idiom (`list_reduce(list_prepend(0.0, …))`) so
     * the ranking key matches the Spark kernel's sequential accumulation
     * bit-for-bit; `score` compares rounded(4), `kept` exact. */
+  /** q87's oracle, GENERATED from the persisted quantizer: cell
+    * assignment, the same `maxCellSize` lowest-id truncation, in-cell
+    * self-join (src ≠ dst) and per-src rank — the cell-blocked k-NN
+    * graph replayed relationally. */
+  def knnGraphSql(cents: Seq[Array[Double]], k: Int, cap: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |capped AS (
+       |  SELECT doc_id, embedding, cell_id FROM (
+       |    SELECT a.doc_id, a.embedding, a.cell_id,
+       |      row_number() OVER (PARTITION BY a.cell_id
+       |        ORDER BY a.doc_id) AS crn
+       |    FROM __assigned a) WHERE crn <= $cap),
+       |scored AS (
+       |  -- strict double left fold, not list_dot_product: the FLOAT[]
+       |  -- overload returns float32, which can shift round(·,4) AND flip
+       |  -- near-tie rankings vs the engine's double-accumulating dot_f32
+       |  SELECT x.doc_id AS src, y.doc_id AS dst,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(list_zip(x.embedding, y.embedding),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+       |      (acc, t) -> acc + t) AS s
+       |  FROM capped x JOIN capped y
+       |    ON x.cell_id = y.cell_id AND x.doc_id <> y.doc_id),
+       |ranked AS (
+       |  SELECT src, dst, s,
+       |    row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |  FROM scored)
+       |SELECT src, dst, rnk, round(s, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY src, rnk""".stripMargin
+
+  /** q88's oracle, GENERATED from the persisted SQ8 bounds: replay
+    * encode (`floor(t + 0.5)` clamped to [0,255]) and decode
+    * (`float(vmin + code·step)`) per dim, then the L2 error as a strict
+    * left fold of squared double deltas in dim order — the
+    * `l2_distance_f32` kernel's exact accumulation. */
+  def sqReconSql(vmin: Array[Double], step: Array[Double]): String = {
+    val mnLit = s"[${vmin.mkString(", ")}]"
+    val stLit = s"[${step.mkString(", ")}]"
+    val recon = // double reconstruction for dim i (1-based SQL index)
+      s"""CAST(CAST(b.mn[i+1] + (CASE WHEN b.st[i+1] = 0 THEN 0
+         |            ELSE least(greatest(CAST(floor(
+         |              (CAST(e.embedding[i+1] AS DOUBLE) - b.mn[i+1])
+         |              / b.st[i+1] + 0.5) AS INT), 0), 255) END) * b.st[i+1]
+         |          AS FLOAT) AS DOUBLE)""".stripMargin
+    s"""WITH b AS (SELECT $mnLit AS mn, $stLit AS st)
+       |SELECT e.vec_id AS doc_id,
+       |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(
+       |    list_transform(range(least(len(e.embedding), ${vmin.length})),
+       |      i -> CAST(e.embedding[i+1] AS DOUBLE) - $recon),
+       |    d -> d * d)), (acc, t) -> acc + t)), 4) AS err
+       |FROM embeddings e, b
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   /** q86's oracle, GENERATED from the persisted PCA artifact: replay the
     * projection `y_j = float(Σ_i P[j][i]·(x_i − mean_i))` for every vector
     * with the strict left-fold idiom (sequential double accumulation in

@@ -3084,6 +3084,33 @@ object SparkEntry {
       .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Cell-blocked k-NN graph ([[KnnGraph]]): every vector's top-4
+    * neighbors within its IVF cell — the FAISS knn-graph build
+    * re-expressed as an equality self-join + one rank window that reuses
+    * the join's partitioning (no second exchange). Oracle GENERATED from
+    * the shared quantizer. */
+  private def q87KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val (_, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    KnnGraph.cellBlocked(emb, ivf, k = 4)
+      .select(col("src"), col("dst"), col("rnk"),
+        round(col("score"), 4).as("score"))
+      .orderBy("src", "rnk")
+  }
+
+  /** SQ8 reconstruction audit ([[SqIndex.reconstructionError]]): FAISS
+    * `reconstruct_n` paired with the originals — per-vector
+    * `‖x − decode(encode(x))‖₂` in one narrow projection (no join with
+    * the codes store; encode is deterministic). Oracle GENERATED from
+    * the persisted bounds. */
+  private def q88SqRecon(s: SparkSession, dir: String): DataFrame = {
+    val (_, sq) = sqCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    SqIndex.reconstructionError(emb, sq)
+      .select(col("doc_id"), round(col("err"), 4).as("err"))
+      .orderBy("doc_id")
+  }
+
   private val q85Sql =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 4)
@@ -3256,6 +3283,8 @@ object SparkEntry {
     "q84_binary_search" -> (q84BinarySearch _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
+    "q87_knn_graph" -> (q87KnnGraph _),
+    "q88_sq8_recon" -> (q88SqRecon _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3399,7 +3428,9 @@ object SparkEntry {
     } yield {
       val vmin = lines.get(1).split(" ").map(_.toDouble)
       val step = lines.get(2).split(" ").map(_.toDouble)
-      Map("q79_sq8_search" -> OracleSqlGen.sqSearchSql(vmin, step, k = 10))
+      Map(
+        "q79_sq8_search" -> OracleSqlGen.sqSearchSql(vmin, step, k = 10),
+        "q88_sq8_recon" -> OracleSqlGen.sqReconSql(vmin, step))
     }).getOrElse(Map.empty)
 
   /** IVFADC oracle: needs BOTH persisted artifacts — the coarse
@@ -3450,6 +3481,8 @@ object SparkEntry {
         "q34_ivf_recall" -> OracleSqlGen.ivfRecallSql(cents, k = 10, nprobe = 4, nq = 8),
         "q82_semantic_dedup" -> OracleSqlGen.semanticDedupSql(cents,
           minCos = 0.3, cap = SemanticDedup.DefaultMaxCellSize),
-        "q83_ivf_stats" -> OracleSqlGen.ivfCellStatsSql(cents))
+        "q83_ivf_stats" -> OracleSqlGen.ivfCellStatsSql(cents),
+        "q87_knn_graph" -> OracleSqlGen.knnGraphSql(cents,
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize))
     }).getOrElse(Map.empty)
 }

@@ -72,6 +72,43 @@ object SqIndex {
           array_repeat(lit(0), size(col(embCol))))
     }
 
+  /** Decode codes back to the reconstructed vector — FAISS
+    * `IndexScalarQuantizer::reconstruct` / `sa_decode`:
+    * `recon_i = float(vmin_i + code_i · step_i)`; untrained decodes to
+    * zeros (the all-zero-code contract's inverse). A `transform` HOF,
+    * not a codegen kernel: reconstruction is a diagnostic/recovery path
+    * (error audits, re-materializing vectors from a codes-only store),
+    * not the per-query scan. */
+  def decode(encoded: DataFrame, sq: Sq, codesCol: String = "codes",
+             outCol: String = "recon"): DataFrame =
+    (sq.vmin, sq.step) match {
+      case (Some(vmin), Some(step)) =>
+        val mn = typedLit(vmin.toSeq)
+        val st = typedLit(step.toSeq)
+        encoded.withColumn(outCol,
+          transform(col(codesCol), (c, i) =>
+            (element_at(mn, i + 1) + c.cast("double") * element_at(st, i + 1))
+              .cast("float")))
+      case _ =>
+        encoded.withColumn(outCol,
+          transform(col(codesCol), c => (c * 0).cast("float")))
+    }
+
+  /** Per-vector reconstruction error `‖x − decode(encode(x))‖₂` — the
+    * quantizer-quality audit (what FAISS users compute by pairing
+    * `reconstruct_n` with the originals). Encode is deterministic, so
+    * this equals decoding the stored codes; running encode→decode→error
+    * as ONE narrow projection over the float corpus needs no join with
+    * the codes store and no shuffle. */
+  def reconstructionError(corpus: DataFrame, sq: Sq,
+                          embCol: String = "embedding",
+                          idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    decode(encode(corpus, sq, embCol), sq)
+      .select(col(idCol),
+        GraftFunctions.l2DistanceF32(col(embCol), col("recon")).as("err"))
+  }
+
   /** The per-query LUT: `lut[i][c] = q_i · (vmin_i + c · step_i)` —
     * inner product against the reconstruction, driver-side sequential
     * double arithmetic (the oracle-replayable op order). */

@@ -106,4 +106,43 @@ class SqIndexSpec extends AnyFunSuite {
     assert(plan.collect { case w: WholeStageCodegenExec => w }.nonEmpty,
       s"SQ8 scan fell out of codegen:\n$plan")
   }
+
+  test("decode inverts encode at the trained endpoints") {
+    val docs = clustered(300, 8).toDF("doc_id", "embedding")
+    val sq = SqIndex.train(docs)
+    val vmin = sq.vmin.get
+    val step = sq.step.get
+    val endpoints = Seq(
+      (1L, vmin.map(_.toFloat)),
+      (2L, vmin.indices.map(i => (vmin(i) + 255.0 * step(i)).toFloat).toArray))
+      .toDF("doc_id", "embedding")
+    val recon = SqIndex.decode(SqIndex.encode(endpoints, sq), sq)
+      .orderBy("doc_id").select("recon").as[Seq[Float]].collect()
+    // decode(encode(vmin)) = float(vmin); decode(encode(vmax)) = float(vmax)
+    assert(recon(0) == vmin.map(_.toFloat).toSeq)
+    assert(recon(1) == vmin.indices
+      .map(i => (vmin(i) + 255.0 * step(i)).toFloat).toSeq)
+  }
+
+  test("reconstruction error is bounded by the per-dim quantization step") {
+    val data = clustered(300, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val sq = SqIndex.train(docs)
+    val step = sq.step.get
+    // worst case per dim is step/2 (round-to-nearest); allow float slack
+    val bound = math.sqrt(step.map(s => (s / 2 + 1e-4) * (s / 2 + 1e-4)).sum)
+    val errs = SqIndex.reconstructionError(docs, sq)
+      .select("err").as[Double].collect()
+    assert(errs.length == 300)
+    assert(errs.forall(e => e >= 0 && e <= bound),
+      s"recon error exceeded the step bound $bound: max ${errs.max}")
+  }
+
+  test("untrained decode yields zero vectors") {
+    val small = clustered(40, 4).toDF("doc_id", "embedding")
+    val sq = SqIndex.train(small)
+    val recon = SqIndex.decode(SqIndex.encode(small, sq), sq)
+      .select("recon").as[Seq[Float]].collect()
+    assert(recon.forall(r => r.length == 16 && r.forall(_ == 0f)))
+  }
 }
