@@ -58,6 +58,10 @@ object ScaleProbe {
       pqProbe(args.lift(1).map(_.toInt).getOrElse(1000))
       return
     }
+    if (args.headOption.contains("binary")) {
+      binaryProbe(args.lift(1).map(_.toInt).getOrElse(1000))
+      return
+    }
     if (args.headOption.contains("select")) {
       selectProbe(args.lift(1).map(_.toInt).getOrElse(50))
       return
@@ -853,6 +857,94 @@ object ScaleProbe {
     * TakeOrdered. Also prints recall@10 of ADC vs exact for the probe
     * query (PQ is lossy by design — recall is the honest companion
     * number to the speedup). */
+  /** Binary-code + PCA probe over the replicated corpus: the two
+    * remaining compression points against the float-exact scan —
+    * 1-bit/dim Hamming candidates (8 B/row) and the 16-dim PCA
+    * projection (64 B/row) — timed warm, with id-overlap recall vs
+    * exact (same duplicate-set caveat as the PQ probe). */
+  def binaryProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nBase = base.count()
+    val path = s"/tmp/graft-scale-${factor}x"
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("vec_id") + col("rep") * nBase).as("doc_id"),
+          col("embedding"), col("label"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val corpus = spark.read.parquet(path)
+    val n = corpus.count()
+    println(s"[scale] binary corpus rows = $n (${factor}x of $nBase)")
+
+    val binPath = s"/tmp/graft-bin-scale-${factor}x"
+    if (!parquetComplete(spark, binPath)) {
+      val t0 = System.nanoTime()
+      graft.operators.BinaryIndex.encode(corpus)
+        .write.mode("overwrite").parquet(binPath)
+      println(f"[scale] binary encode+write (one-off): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val codes = spark.read.parquet(binPath)
+
+    val pca = graft.operators.PcaTransform.train(
+      base.withColumnRenamed("vec_id", "doc_id"), k = 16)
+    val pcaPath = s"/tmp/graft-pca-scale-${factor}x"
+    if (!parquetComplete(spark, pcaPath)) {
+      val t0 = System.nanoTime()
+      graft.operators.PcaTransform.project(corpus, pca)
+        .select("doc_id", "pca")
+        .write.mode("overwrite").parquet(pcaPath)
+      println(f"[scale] pca project+write (one-off): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val projected = spark.read.parquet(pcaPath)
+
+    val qVec = base.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val qCode = graft.operators.BinaryIndex
+      .encode(base.filter(col("vec_id") === 0), idCol = "vec_id")
+      .select("code").as[Long].head()
+
+    def timeWarm(name: String)(f: => Unit): Unit = {
+      f; f
+      val t0 = System.nanoTime(); f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.3f s warm (${n / sec / 1e6}%.1f M rows/s)")
+    }
+    timeWarm("exact dot top-10 (float scan, narrow)")(
+      VectorSearch.knnScores(corpus, qVec, 10).collect())
+    timeWarm("binary hamming top-100 (8 B/row scan)")(
+      graft.operators.BinaryIndex.searchHamming(codes, qCode, 100).collect())
+    timeWarm("pca-16 dot top-10 (projected scan)")(
+      graft.operators.PcaTransform.search(projected, pca, qVec, 10).collect())
+
+    val exactIds = VectorSearch.knnScores(corpus, qVec, 10)
+      .select("doc_id").as[Long].collect().toSet
+    // Binary is a candidate generator: measure whether the exact top-10
+    // survives into the top-100 Hamming candidate set (the re-rank
+    // contract), not 10-vs-10.
+    val band = graft.operators.BinaryIndex.searchHamming(codes, qCode, 100)
+      .select("doc_id").as[Long].collect().toSet
+    println(s"[scale] binary candidate recall (exact@10 in hamming@100): " +
+      s"${exactIds.intersect(band).size}/${exactIds.size}")
+    val pcaIds = graft.operators.PcaTransform.search(projected, pca, qVec, 10)
+      .select("doc_id").as[Long].collect().toSet
+    println(s"[scale] pca-16 recall@10 (doc-id overlap): " +
+      s"${exactIds.intersect(pcaIds).size}/${exactIds.size}")
+    spark.stop()
+  }
+
   def pqProbe(factor: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -43,6 +43,16 @@ object BinaryIndex {
     corpus.select(col(idCol), GraftFunctions.signPack64(col(embCol)).as("code"))
   }
 
+  /** Driver-side single-vector sign pack (query path) — the exact bit
+    * rule the codegen kernel applies per row. */
+  def packOne(v: Array[Float]): Long = {
+    var code = 0L
+    var i = 0
+    val n = math.min(v.length, 64)
+    while (i < n) { if (v(i) > 0f) code |= (1L << i); i += 1 }
+    code
+  }
+
   /** Single-query Hamming top-k over a codes table: `(idCol, hamming)`
     * ascending, id tiebreak. Zero shuffle (TakeOrderedAndProject). */
   def searchHamming(codes: DataFrame, queryCode: Long, k: Int,

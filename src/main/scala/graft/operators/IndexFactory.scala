@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FAISS `index_factory` descriptor strings mapped onto the engine's
+  * index family (faiss/index_factory.cpp; the reference exposes index
+  * choice as these descriptors too). A migrating user keeps the string
+  * they already have and gets the corresponding graft build + search
+  * pipeline:
+  *
+  * {{{
+  *   "Flat"            exact scan                 VectorSearch
+  *   "IVF64,Flat"      coarse-pruned exact        IvfIndex
+  *   "PQ8"             ADC over codes             PqIndex
+  *   "IVF64,PQ8"       residual PQ, probed        PqIndex (IVFADC)
+  *   "IVF64,PQ8,RFlat" + exact re-rank            PqIndex.searchRefined
+  *   "SQ8"             scalar quantizer           SqIndex
+  *   "LSH"             binary sign codes          BinaryIndex
+  *   "PCA16,Flat"      PCA front + any of these   PcaTransform + rest
+  * }}}
+  *
+  * `PCA<k>,<rest>` composes by projection: train the transform, project
+  * the corpus once, delegate the rest of the descriptor against the
+  * projected corpus and the projected query — the `IndexPreTransform`
+  * chain. Unsupported descriptors (HNSW graphs, OPQ rotations, nested
+  * refinements) throw with the factory string in the message rather
+  * than building something that silently isn't what was asked for.
+  *
+  * This is an API façade: every build/search below delegates to an
+  * operator already under the DuckDB oracle gate; the spec pins
+  * factory-built results ≡ direct operator calls.
+  */
+object IndexFactory {
+
+  sealed trait Code
+  case object Flat extends Code
+  final case class PQ(m: Int) extends Code
+  case object SQ8Code extends Code
+  case object LshCode extends Code
+
+  /** Parsed descriptor: optional PCA front, optional IVF coarse layer,
+    * the code layer, optional exact refinement. */
+  final case class Descriptor(pcaDim: Option[Int], nlist: Option[Int],
+                              code: Code, refine: Boolean) {
+    require(!(refine && nlist.isEmpty),
+      "RFlat refinement needs an IVF candidate stage (e.g. IVF64,PQ8,RFlat)")
+  }
+
+  private val PcaRe = "^PCAR?([0-9]+)$".r
+  private val IvfRe = "^IVF([0-9]+)$".r
+  private val PqRe = "^PQ([0-9]+)$".r
+
+  def parse(desc: String): Descriptor = {
+    val parts = desc.split(",").map(_.trim).filter(_.nonEmpty).toList
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"index_factory '$desc': $msg")
+    val (pcaDim, rest1) = parts match {
+      case PcaRe(k) :: tail => (Some(k.toInt), tail)
+      case other => (None, other)
+    }
+    val (nlist, rest2) = rest1 match {
+      case IvfRe(n) :: tail => (Some(n.toInt), tail)
+      case other => (None, other)
+    }
+    val (code, rest3) = rest2 match {
+      case "Flat" :: tail => (Flat, tail)
+      case PqRe(m) :: tail => (PQ(m.toInt), tail)
+      case "SQ8" :: tail => (SQ8Code, tail)
+      case "LSH" :: tail => (LshCode, tail)
+      case Nil if nlist.isDefined => (Flat, Nil) // "IVF64" alone = IVF,Flat
+      case other => fail(s"unsupported code layer '${other.mkString(",")}'")
+    }
+    val refine = rest3 match {
+      case Nil => false
+      case "RFlat" :: Nil => true
+      case other => fail(s"unsupported suffix '${other.mkString(",")}'")
+    }
+    if (nlist.isDefined && code == LshCode)
+      fail("IVF+LSH is not a FAISS combination the engine implements")
+    Descriptor(pcaDim, nlist, code, refine)
+  }
+
+  /** A built index: the prepared (encoded/assigned/projected) corpus plus
+    * a single-query top-k search closure. Column shape follows the
+    * underlying operator (`doc_id` + its native score/distance column). */
+  final case class Built(descriptor: Descriptor, prepared: DataFrame,
+                         searchFn: (Array[Float], Int) => DataFrame) {
+    def search(queryVec: Array[Float], k: Int): DataFrame = searchFn(queryVec, k)
+  }
+
+  /** Train + prepare a corpus for the descriptor. Training state lives in
+    * memory here; persist through the individual operators' save/load
+    * when the index outlives the session (the q77–q88 lifecycle). */
+  def build(spark: SparkSession, corpus: DataFrame, desc: String,
+            idCol: String = "doc_id", embCol: String = "embedding",
+            nprobe: Int = 4, rerank: Int = 50): Built = {
+    val d = parse(desc)
+    buildParsed(spark, corpus, d, idCol, embCol, nprobe, rerank)
+  }
+
+  private def buildParsed(spark: SparkSession, corpus: DataFrame, d: Descriptor,
+                          idCol: String, embCol: String,
+                          nprobe: Int, rerank: Int): Built = d.pcaDim match {
+    case Some(k) =>
+      // PCA front: project once, delegate the rest against the projected
+      // corpus with projected queries (IndexPreTransform).
+      val pca = PcaTransform.train(corpus, k, embCol)
+      val projected = PcaTransform.project(corpus, pca, embCol, "__pca")
+        .drop(embCol)
+      val inner = buildParsed(spark, projected, d.copy(pcaDim = None),
+        idCol, "__pca", nprobe, rerank)
+      Built(d, inner.prepared,
+        (q, kk) => inner.searchFn(PcaTransform.projectOne(pca, q), kk))
+    case None => (d.nlist, d.code) match {
+      case (None, Flat) =>
+        Built(d, corpus,
+          (q, k) => VectorSearch.knnScores(corpus, q, k, embCol, idCol))
+      case (Some(n), Flat) =>
+        val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
+        Built(d, withCells,
+          (q, k) => IvfIndex.searchScores(withCells, ivf, q, k, nprobe,
+            embCol, idCol))
+      case (None, PQ(m)) =>
+        val pq = PqIndex.train(corpus, m, embCol = embCol)
+        val encoded = PqIndex.encode(corpus, pq, embCol)
+          .select(col(idCol), col("codes"))
+        Built(d, encoded,
+          (q, k) => PqIndex.search(encoded, pq, q, k, idCol))
+      case (Some(n), PQ(m)) =>
+        val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
+        val (encoded, rpq) = PqIndex.buildIvfAdc(withCells, ivf, m,
+          embCol = embCol)
+        val enc = encoded.select(col(idCol), col("cell_id"), col("codes"))
+        if (d.refine)
+          Built(d, enc, (q, k) => PqIndex.searchRefined(enc, corpus, ivf,
+            rpq, q, k, rerank, nprobe, idCol))
+        else
+          Built(d, enc,
+            (q, k) => PqIndex.searchIvfAdc(enc, ivf, rpq, q, k, nprobe, idCol))
+      case (None, SQ8Code) =>
+        val sq = SqIndex.train(corpus, embCol)
+        val encoded = SqIndex.encode(corpus, sq, embCol)
+          .select(col(idCol), col("codes"))
+        Built(d, encoded, (q, k) => SqIndex.search(encoded, sq, q, k, idCol))
+      case (None, LshCode) =>
+        val codes = BinaryIndex.encode(corpus, embCol, idCol)
+        Built(d, codes,
+          (q, k) => BinaryIndex.searchHamming(codes, BinaryIndex.packOne(q),
+            k, idCol))
+      case (Some(_), other) =>
+        throw new IllegalArgumentException(
+          s"index_factory: IVF over $other is not implemented")
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators._
+import graft.operators.IndexFactory.{Descriptor, Flat, PQ, SQ8Code, LshCode}
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexFactorySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def clustered(n: Int, nClusters: Int, dim: Int = 16): Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(31337)
+    val anchors = Array.fill(nClusters)(Array.fill(dim)(r.nextGaussian().toFloat * 4f))
+    (0 until n).map { i =>
+      val a = anchors(i % nClusters)
+      (i.toLong, a.map(x => x + r.nextGaussian().toFloat * 0.05f))
+    }
+  }
+
+  test("parse covers the supported FAISS descriptor grammar") {
+    assert(IndexFactory.parse("Flat") == Descriptor(None, None, Flat, false))
+    assert(IndexFactory.parse("IVF64,Flat") == Descriptor(None, Some(64), Flat, false))
+    assert(IndexFactory.parse("IVF64") == Descriptor(None, Some(64), Flat, false))
+    assert(IndexFactory.parse("PQ8") == Descriptor(None, None, PQ(8), false))
+    assert(IndexFactory.parse("IVF256,PQ16") == Descriptor(None, Some(256), PQ(16), false))
+    assert(IndexFactory.parse("IVF64,PQ8,RFlat") == Descriptor(None, Some(64), PQ(8), true))
+    assert(IndexFactory.parse("SQ8") == Descriptor(None, None, SQ8Code, false))
+    assert(IndexFactory.parse("LSH") == Descriptor(None, None, LshCode, false))
+    assert(IndexFactory.parse("PCA16,Flat") == Descriptor(Some(16), None, Flat, false))
+    assert(IndexFactory.parse("PCAR8,IVF4,PQ4") == Descriptor(Some(8), Some(4), PQ(4), false))
+  }
+
+  test("unsupported descriptors fail loudly, naming the string") {
+    Seq("HNSW32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ16")
+      .foreach { bad =>
+        val e = intercept[IllegalArgumentException](IndexFactory.parse(bad))
+        assert(e.getMessage.contains(bad.split(",")(0)) ||
+          e.getMessage.contains("index_factory") ||
+          e.getMessage.contains("RFlat"), s"opaque error for '$bad': $e")
+      }
+  }
+
+  test("factory builds ≡ direct operator calls") {
+    val data = clustered(300, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val q = data(7)._2
+
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().toSeq
+
+    // Flat
+    assert(ids(IndexFactory.build(spark, docs, "Flat").search(q, 10)) ==
+      ids(VectorSearch.knnScores(docs, q, 10)))
+
+    // IVF4,Flat — both sides train their own KMeans on identical input;
+    // training is seeded, so the quantizers agree
+    val (withCells, ivf) = IvfIndex.build(docs, 4)
+    assert(ids(IndexFactory.build(spark, docs, "IVF4,Flat").search(q, 10)) ==
+      ids(IvfIndex.searchScores(withCells, ivf, q, 10, nprobe = 4)))
+
+    // SQ8
+    val sq = SqIndex.train(docs)
+    val sqEnc = SqIndex.encode(docs, sq).select("doc_id", "codes")
+    assert(ids(IndexFactory.build(spark, docs, "SQ8").search(q, 10)) ==
+      ids(SqIndex.search(sqEnc, sq, q, 10)))
+
+    // LSH (binary sign codes)
+    val codes = BinaryIndex.encode(docs)
+    assert(ids(IndexFactory.build(spark, docs, "LSH").search(q, 10)) ==
+      ids(BinaryIndex.searchHamming(codes, BinaryIndex.packOne(q), 10)))
+
+    // PCA8,Flat — projection front then exact scan
+    val pca = PcaTransform.train(docs, 8)
+    val projected = PcaTransform.project(docs, pca)
+      .select($"doc_id", $"pca")
+    assert(ids(IndexFactory.build(spark, docs, "PCA8,Flat").search(q, 10)) ==
+      ids(PcaTransform.search(projected, pca, q, 10)))
+  }
+
+  test("IVF,PQ and the RFlat refinement produce k results from the probed cells") {
+    val data = clustered(400, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val q = data(3)._2
+    val ivfpq = IndexFactory.build(spark, docs, "IVF4,PQ4").search(q, 5)
+    assert(ivfpq.count() == 5)
+    val refined = IndexFactory.build(spark, docs, "IVF4,PQ4,RFlat").search(q, 5)
+    assert(refined.count() == 5)
+    // refinement re-ranks with exact scores: its top-1 must be at least
+    // as good (by exact dot) as the unrefined top-1
+    def exactDot(id: Long): Double = {
+      val v = data(id.toInt)._2
+      v.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    }
+    val top1Refined = refined.select("doc_id").as[Long].collect().head
+    val top1Raw = ivfpq.select("doc_id").as[Long].collect().head
+    assert(exactDot(top1Refined) >= exactDot(top1Raw) - 1e-9)
+  }
+}
