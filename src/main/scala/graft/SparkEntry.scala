@@ -3111,6 +3111,60 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Binary candidate recall ([[BinaryIndex]]): does the exact float
+    * top-10 survive into the Hamming top-100 candidate set? The
+    * measurement behind two-stage binary search (Hamming candidates →
+    * pushed-id exact re-rank); completes the per-path recall family
+    * (q34 IVF, q47 LSH, q89 binary). */
+  private def q89BinaryRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val corpus = emb.filter(col("doc_id") >= 8)
+    val queries = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val qdf = queries.toDF("query_id", "q_embedding")
+    val exact = VectorSearch.knnBatchAggregated(qdf, corpus, 10)
+      .select("query_id", "doc_id")
+    val qCodes = queries.map { case (id, v) => (id, BinaryIndex.packOne(v)) }
+      .toDF("query_id", "q_code")
+    val cand = BinaryIndex
+      .searchHammingBatch(qCodes, BinaryIndex.encode(corpus), k = 100)
+      .select("query_id", "doc_id")
+    VectorSearch.recallVsExact(qdf, exact, cand, "doc_id", k = 10)
+  }
+
+  private val q89Sql =
+    """WITH qs AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 8),
+      |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+      |exact AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_reduce(list_prepend(0.0,
+      |          list_transform(list_zip(c.embedding, q.qe),
+      |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+      |          (acc, t) -> acc + t) DESC, c.vec_id ASC) AS rn
+      |    FROM corpus c CROSS JOIN qs q) WHERE rn <= 10),
+      |ham AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY len(list_filter(range(least(len(c.embedding), 64)),
+      |          i -> (c.embedding[i+1] > 0) != (q.qe[i+1] > 0))) ASC,
+      |          c.vec_id ASC) AS rn
+      |    FROM corpus c CROSS JOIN qs q) WHERE rn <= 100),
+      |ov AS (
+      |  SELECT e.query_id, count(*) AS n
+      |  FROM exact e JOIN ham h
+      |    ON e.query_id = h.query_id AND e.vec_id = h.vec_id
+      |  GROUP BY 1)
+      |SELECT q.query_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+      |  round(coalesce(ov.n, 0) / 10.0, 2) AS recall_at_10
+      |FROM (SELECT DISTINCT query_id FROM qs) q LEFT JOIN ov USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
   private val q85Sql =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 4)
@@ -3285,6 +3339,7 @@ object SparkEntry {
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
     "q88_sq8_recon" -> (q88SqRecon _),
+    "q89_binary_recall" -> (q89BinaryRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3359,6 +3414,7 @@ object SparkEntry {
     "q81_dsir_weights" -> q81Sql,
     "q84_binary_search" -> q84Sql,
     "q85_range_search" -> q85Sql,
+    "q89_binary_recall" -> q89Sql,
     "q71_keep_best" -> q71Sql,
     "q72_mix_weights" -> q72Sql,
     "q73_url_dedup" -> q73Sql,

@@ -36,6 +36,30 @@ object CorpusStore {
       newRows.join(corpus.select(col(idCol)), Seq(idCol), "left_anti"),
       allowMissingColumns = true)
 
+  /** Id-selector removal — FAISS `index.remove_ids(IDSelectorArray)`:
+    * drop the listed ids from a corpus/codes table. Small removal sets
+    * broadcast (`isin` for driver-known ids); arbitrary-size removal
+    * frames anti-join. Works identically on float corpora and encoded
+    * (codes-only) stores — the engine's indexes are id-keyed tables, so
+    * removal is a filter, not a positional re-pack like FAISS's. */
+  def removeIds(corpus: DataFrame, ids: Seq[Long],
+                idCol: String = "doc_id"): DataFrame =
+    corpus.filter(!col(idCol).isin(ids: _*))
+
+  /** Frame form of [[removeIds]] for removal sets too large to hold on
+    * the driver: left-anti join on the id column. */
+  def removeIdsFrame(corpus: DataFrame, ids: DataFrame,
+                     idCol: String = "doc_id"): DataFrame =
+    corpus.join(ids.select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** Index merge — FAISS `merge_from` / `merge_ondisk`: id-disjoint
+    * union of two stores trained with the SAME artifacts (quantizer /
+    * codebooks / bounds); the caller owns that invariant, this owns the
+    * id discipline (left store wins duplicate ids, [[append]]'s rule). */
+  def merge(left: DataFrame, right: DataFrame,
+            idCol: String = "doc_id"): DataFrame =
+    append(left, right, idCol)
+
   /** Clear-then-rebuild (`components/core/index_service.py:127-141`). */
   def rebuild(spark: SparkSession, path: String, fresh: DataFrame): DataFrame = {
     save(fresh, path)

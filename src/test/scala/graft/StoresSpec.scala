@@ -60,4 +60,25 @@ class StoresSpec extends AnyFunSuite {
     val stale = SessionSink.staleSessions(SessionSink.load(spark, path), maxSessions = 1)
     assert(stale.length == 1)
   }
+
+  test("removeIds drops exactly the selected ids (driver-list and frame forms)") {
+    val corpus = (0L until 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val small = CorpusStore.removeIds(corpus, Seq(3L, 7L, 19L))
+    assert(small.select("doc_id").as[Long].collect().sorted.toSeq ==
+      (0L until 20L).filterNot(Set(3L, 7L, 19L)).toSeq)
+    val big = CorpusStore.removeIdsFrame(corpus,
+      Seq(0L, 1L, 2L).toDF("doc_id"))
+    assert(big.count() == 17 &&
+      big.filter(col("doc_id") < 3).count() == 0)
+    // removing an absent id is a no-op, FAISS remove_ids parity
+    assert(CorpusStore.removeIds(corpus, Seq(999L)).count() == 20)
+  }
+
+  test("merge is an id-disjoint union; left store wins duplicate ids") {
+    val left = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val right = Seq((2L, "B"), (3L, "c")).toDF("doc_id", "text")
+    val merged = CorpusStore.merge(left, right)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(merged == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }
