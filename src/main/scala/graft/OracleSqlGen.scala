@@ -342,13 +342,41 @@ object OracleSqlGen {
     * folds the per-subspace lookup values in subspace order
     * (`list_sum(list(d2 ORDER BY s))`), matching the Spark side's
     * left-assoc literal-lookup add chain. */
-  def pqSearchSql(books: Seq[Seq[Array[Double]]], k: Int): String = {
+  def pqSearchSql(books: Seq[Seq[Array[Double]]], k: Int): String =
+    pqSearchSqlFrom(books, k, source = "embeddings", preCtes = "")
+
+  /** q90's oracle: the OPQ rotation replayed as a zero-mean projection
+    * CTE (the [[pcaSearchSql]] strict-fold idiom), then the ordinary PQ
+    * replay over the rotated vectors — composition of the two gated
+    * replays, exactly like the operator composes. */
+  def opqSearchSql(rot: Seq[Array[Double]],
+                   books: Seq[Seq[Array[Double]]], k: Int): String = {
+    val d = rot.head.length
+    val matLit = rot.map(c => s"[${c.mkString(", ")}]")
+      .mkString("[", ",\n      ", "]")
+    val pre =
+      s"""__rotp AS (SELECT
+         |    $matLit AS pm),
+         |__rotsrc AS (
+         |  SELECT e.vec_id,
+         |    list_transform(range(${rot.length}), j ->
+         |      CAST(list_reduce(list_prepend(0.0,
+         |        list_transform(range(least(len(e.embedding), $d)),
+         |          i -> p.pm[j+1][i+1] * (CAST(e.embedding[i+1] AS DOUBLE) - 0.0))),
+         |        (acc, t) -> acc + t) AS FLOAT)) AS embedding
+         |  FROM embeddings e, __rotp p),
+         |""".stripMargin
+    pqSearchSqlFrom(books, k, source = "__rotsrc", preCtes = pre)
+  }
+
+  private def pqSearchSqlFrom(books: Seq[Seq[Array[Double]]], k: Int,
+                              source: String, preCtes: String): String = {
     val dsub = books.head.head.length
     val values = (for {
       (book, s) <- books.zipWithIndex
       (c, code) <- book.zipWithIndex
     } yield s"($s, $code, [${c.mkString(", ")}])").mkString(",\n      ")
-    s"""WITH __books(s, code, c) AS (VALUES
+    s"""WITH ${preCtes}__books(s, code, c) AS (VALUES
        |      $values),
        |__codes AS (
        |  SELECT doc_id, s, code FROM (
@@ -359,9 +387,9 @@ object OracleSqlGen {
        |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
        |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
        |        b.code ASC) AS rn
-       |    FROM embeddings e CROSS JOIN __books b)
+       |    FROM $source e CROSS JOIN __books b)
        |  WHERE rn = 1),
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |q AS (SELECT embedding AS qe FROM $source WHERE vec_id = 0),
        |lv AS (
        |  SELECT c.doc_id, c.s,
        |    list_sum(list_transform(

@@ -1036,6 +1036,45 @@ object SparkEntry {
     (s.read.parquet(cpath), pca)
   }
 
+  /** OPQ rotation/rotated-PQ cache, keyed like [[pqCachePath]]. */
+  private def opqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0x09c0L + pqM) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-opq-$key"
+  }
+
+  /** Build-or-load the OPQ chain: driver-sample-trained rotation
+    * (persisted in the PCA artifact format — a rotation IS a zero-mean
+    * projection), rotated corpus parquet, then the ordinary PQ
+    * train/encode over the rotated vectors. */
+  private[graft] def opqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, PcaTransform.Pca, PqIndex.Pq) = {
+    GraftFunctions.register(s)
+    val base = opqCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val rot =
+      if (IvfIndex.exists(s, s"$base/rot.txt"))
+        PcaTransform.load(s, s"$base/rot.txt")
+      else {
+        val r = OpqTransform.train(emb, pqM)
+        PcaTransform.save(s, r, s"$base/rot.txt")
+        r
+      }
+    val rpath = s"$base/rotated"
+    if (!graft.sources.CorpusStore.exists(s, s"$rpath/_SUCCESS"))
+      OpqTransform.rotate(emb, rot)
+        .select(col("doc_id"), col("rot").as("embedding"))
+        .write.mode("overwrite").parquet(rpath)
+    val rotated = s.read.parquet(rpath)
+    val pq = PqIndex.buildOrLoad(s, rotated, pqM, pqKsub, s"$base/codebooks.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      PqIndex.encode(rotated, pq).select("doc_id", "codes")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), rot, pq)
+  }
+
   /** SQ8 bounds/encoded-corpus cache, keyed like [[pqCachePath]]. */
   private def sqCachePath(s: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
@@ -3134,6 +3173,19 @@ object SparkEntry {
     VectorSearch.recallVsExact(qdf, exact, cand, "doc_id", k = 10)
   }
 
+  /** OPQ + PQ search ([[OpqTransform]]): the learned rotation fronts
+    * the PQ/ADC pipeline (FAISS `OPQ8,PQ8`). Oracle GENERATED from BOTH
+    * artifacts — the rotation replayed as a zero-mean projection CTE,
+    * then the codebook replay over rotated vectors — so the trained
+    * rotation and the rotated-space codebooks are both under the gate. */
+  private def q90OpqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, rot, pq) = opqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.search(encoded, pq, OpqTransform.rotateOne(rot, qVec), k = 10)
+      .select(col("doc_id"), round(col("adc"), 4).as("adc"))
+  }
+
   private val q89Sql =
     """WITH qs AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 8),
@@ -3340,6 +3392,7 @@ object SparkEntry {
     "q87_knn_graph" -> (q87KnnGraph _),
     "q88_sq8_recon" -> (q88SqRecon _),
     "q89_binary_recall" -> (q89BinaryRecall _),
+    "q90_opq_search" -> (q90OpqSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3422,7 +3475,7 @@ object SparkEntry {
     "q75_gopher_rules" -> q75Sql,
     "q76_repeated_paragraphs" -> q76Sql,
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
-    pcaOracleSqls
+    pcaOracleSqls ++ opqOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -3451,6 +3504,31 @@ object SparkEntry {
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       val books = flat.grouped(flat.length / m).toSeq
       Map("q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10))
+    }).getOrElse(Map.empty)
+
+  /** OPQ oracle, generated from BOTH artifacts q90's run just persisted
+    * (rotation + rotated-space codebooks) — same lifecycle as
+    * [[pqOracleSqls]]. */
+  private def opqOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      rpath = java.nio.file.Paths.get(s"${opqCachePath(s, dir)}/rot.txt")
+      cpath = java.nio.file.Paths.get(s"${opqCachePath(s, dir)}/codebooks.txt")
+      if java.nio.file.Files.exists(rpath) && java.nio.file.Files.exists(cpath)
+      rlines = java.nio.file.Files.readAllLines(rpath)
+      clines = java.nio.file.Files.readAllLines(cpath)
+      if clines.get(0).split(" ")(2).toInt > 0
+    } yield {
+      // rot.txt is the PCA artifact format: header, mean line (zeros),
+      // then the d component rows
+      val rot: Seq[Array[Double]] = (2 until rlines.size())
+        .map(i => rlines.get(i).split(" ").map(_.toDouble))
+      val m = clines.get(0).split(" ")(0).toInt
+      val flat: Seq[Array[Double]] = (1 until clines.size())
+        .map(i => clines.get(i).split(" ").map(_.toDouble))
+      val books = flat.grouped(flat.length / m).toSeq
+      Map("q90_opq_search" -> OracleSqlGen.opqSearchSql(rot, books, k = 10))
     }).getOrElse(Map.empty)
 
   /** PCA oracle, generated from the artifact q86's run just persisted —

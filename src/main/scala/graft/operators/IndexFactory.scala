@@ -39,15 +39,22 @@ object IndexFactory {
   case object SQ8Code extends Code
   case object LshCode extends Code
 
-  /** Parsed descriptor: optional PCA front, optional IVF coarse layer,
-    * the code layer, optional exact refinement. */
-  final case class Descriptor(pcaDim: Option[Int], nlist: Option[Int],
+  /** Pre-transform front: PCA dimensionality reduction or the OPQ
+    * rotation (both apply through the same projection kernel). */
+  sealed trait Pre
+  final case class PcaPre(k: Int) extends Pre
+  final case class OpqPre(m: Int) extends Pre
+
+  /** Parsed descriptor: optional pre-transform front, optional IVF
+    * coarse layer, the code layer, optional exact refinement. */
+  final case class Descriptor(pre: Option[Pre], nlist: Option[Int],
                               code: Code, refine: Boolean) {
     require(!(refine && nlist.isEmpty),
       "RFlat refinement needs an IVF candidate stage (e.g. IVF64,PQ8,RFlat)")
   }
 
   private val PcaRe = "^PCAR?([0-9]+)$".r
+  private val OpqRe = "^OPQ([0-9]+)$".r
   private val IvfRe = "^IVF([0-9]+)$".r
   private val PqRe = "^PQ([0-9]+)$".r
 
@@ -55,9 +62,10 @@ object IndexFactory {
     val parts = desc.split(",").map(_.trim).filter(_.nonEmpty).toList
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"index_factory '$desc': $msg")
-    val (pcaDim, rest1) = parts match {
-      case PcaRe(k) :: tail => (Some(k.toInt), tail)
-      case other => (None, other)
+    val (pre, rest1) = parts match {
+      case PcaRe(k) :: tail => (Some(PcaPre(k.toInt)): Option[Pre], tail)
+      case OpqRe(m) :: tail => (Some(OpqPre(m.toInt)): Option[Pre], tail)
+      case other => (None: Option[Pre], other)
     }
     val (nlist, rest2) = rest1 match {
       case IvfRe(n) :: tail => (Some(n.toInt), tail)
@@ -78,7 +86,14 @@ object IndexFactory {
     }
     if (nlist.isDefined && code == LshCode)
       fail("IVF+LSH is not a FAISS combination the engine implements")
-    Descriptor(pcaDim, nlist, code, refine)
+    pre match {
+      case Some(OpqPre(m)) => code match {
+        case PQ(pm) if pm == m => // the FAISS pairing: OPQm,...,PQm
+        case other => fail(s"OPQ$m must front PQ$m, not $other")
+      }
+      case _ =>
+    }
+    Descriptor(pre, nlist, code, refine)
   }
 
   /** A built index: the prepared (encoded/assigned/projected) corpus plus
@@ -101,14 +116,20 @@ object IndexFactory {
 
   private def buildParsed(spark: SparkSession, corpus: DataFrame, d: Descriptor,
                           idCol: String, embCol: String,
-                          nprobe: Int, rerank: Int): Built = d.pcaDim match {
-    case Some(k) =>
-      // PCA front: project once, delegate the rest against the projected
-      // corpus with projected queries (IndexPreTransform).
-      val pca = PcaTransform.train(corpus, k, embCol)
+                          nprobe: Int, rerank: Int): Built = d.pre match {
+    case Some(front) =>
+      // Pre-transform front: project once, delegate the rest against the
+      // projected corpus with projected queries (IndexPreTransform).
+      // PCA reduces dims; OPQ is a learned full-dim rotation — both are
+      // Pca projections (OPQ with zero mean).
+      val pca = front match {
+        case PcaPre(k) => PcaTransform.train(corpus, k, embCol)
+        case OpqPre(m) => OpqTransform.train(corpus, m, embCol = embCol,
+          idCol = idCol)
+      }
       val projected = PcaTransform.project(corpus, pca, embCol, "__pca")
         .drop(embCol)
-      val inner = buildParsed(spark, projected, d.copy(pcaDim = None),
+      val inner = buildParsed(spark, projected, d.copy(pre = None),
         idCol, "__pca", nprobe, rerank)
       Built(d, inner.prepared,
         (q, kk) => inner.searchFn(PcaTransform.projectOne(pca, q), kk))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.operators.IndexFactory.{Descriptor, Flat, PQ, SQ8Code, LshCode}
+import graft.operators.IndexFactory.{Descriptor, Flat, PQ, SQ8Code, LshCode, PcaPre, OpqPre}
 import org.scalatest.funsuite.AnyFunSuite
 
 class IndexFactorySpec extends AnyFunSuite {
@@ -26,12 +26,15 @@ class IndexFactorySpec extends AnyFunSuite {
     assert(IndexFactory.parse("IVF64,PQ8,RFlat") == Descriptor(None, Some(64), PQ(8), true))
     assert(IndexFactory.parse("SQ8") == Descriptor(None, None, SQ8Code, false))
     assert(IndexFactory.parse("LSH") == Descriptor(None, None, LshCode, false))
-    assert(IndexFactory.parse("PCA16,Flat") == Descriptor(Some(16), None, Flat, false))
-    assert(IndexFactory.parse("PCAR8,IVF4,PQ4") == Descriptor(Some(8), Some(4), PQ(4), false))
+    assert(IndexFactory.parse("PCA16,Flat") == Descriptor(Some(PcaPre(16)), None, Flat, false))
+    assert(IndexFactory.parse("PCAR8,IVF4,PQ4") == Descriptor(Some(PcaPre(8)), Some(4), PQ(4), false))
+    assert(IndexFactory.parse("OPQ8,PQ8") == Descriptor(Some(OpqPre(8)), None, PQ(8), false))
+    assert(IndexFactory.parse("OPQ16,IVF64,PQ16") == Descriptor(Some(OpqPre(16)), Some(64), PQ(16), false))
   }
 
   test("unsupported descriptors fail loudly, naming the string") {
-    Seq("HNSW32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ16")
+    Seq("HNSW32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ8",
+      "OPQ8,Flat")
       .foreach { bad =>
         val e = intercept[IllegalArgumentException](IndexFactory.parse(bad))
         assert(e.getMessage.contains(bad.split(",")(0)) ||
