@@ -184,6 +184,47 @@ object OracleSqlGen {
        |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
   }
 
+  /** q91's oracle: IVF-SQ8 replayed from BOTH artifacts — cell
+    * assignment ([[ivfAssignCtes]]), FLOAT-cast residuals, the
+    * `floor(t+0.5)` byte encode against residual-trained bounds, an
+    * inner-product centroid probe, and per-dim score terms
+    * `q_i · (cent_i + vmin_i + code · step_i)` folded in dim order
+    * (the `adc_lut_cells` accumulation). */
+  def ivfSqSearchSql(cents: Seq[Array[Double]], vmin: Array[Double],
+                     step: Array[Double], k: Int, nprobe: Int): String = {
+    val values = vmin.indices
+      .map(i => s"($i, ${vmin(i)}, ${step(i)})").mkString(",\n      ")
+    val res = "CAST(CAST(CAST(a.embedding[b.dim_i+1] AS DOUBLE) " +
+      "- cc.c[b.dim_i+1] AS FLOAT) AS DOUBLE)"
+    s"""WITH ${ivfAssignCtes(cents)},
+       |__bounds(dim_i, vmin, vstep) AS (VALUES
+       |      $values),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |terms AS (
+       |  SELECT a.doc_id, a.cell_id, b.dim_i,
+       |    CAST(q.qe[b.dim_i+1] AS DOUBLE) * (cc.c[b.dim_i+1] + b.vmin +
+       |      (CASE WHEN b.vstep = 0 THEN 0
+       |            ELSE least(greatest(CAST(floor(
+       |              ($res - b.vmin) / b.vstep + 0.5) AS INT), 0), 255)
+       |       END) * b.vstep) AS term
+       |  FROM __assigned a
+       |  JOIN __cents cc ON a.cell_id = cc.cell_id
+       |  CROSS JOIN __bounds b, q
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)),
+       |score AS (
+       |  SELECT doc_id, cell_id, list_sum(list(term ORDER BY dim_i)) AS score
+       |  FROM terms GROUP BY doc_id, cell_id)
+       |SELECT doc_id, CAST(cell_id AS BIGINT) AS cell_id,
+       |  round(t.score, 4) AS score FROM (
+       |  SELECT doc_id, cell_id, score FROM score
+       |  ORDER BY score DESC, doc_id ASC LIMIT $k) t
+       |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
+  }
+
   /** q83's oracle: IVF occupancy stats + imbalance factor replayed from
     * the persisted quantizer — assignment, `ncells`-row histogram with
     * empty cells filled, `ncells · Σs² / (Σs)²`. */

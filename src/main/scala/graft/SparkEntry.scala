@@ -1036,6 +1036,37 @@ object SparkEntry {
     (s.read.parquet(cpath), pca)
   }
 
+  /** IVF-SQ8 bounds/codes cache, keyed like [[sqCachePath]]; the coarse
+    * quantizer is SHARED with the whole IVF family ([[ivfCorpus]]). */
+  private def ivfSqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x1f58L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivfsq-$key"
+  }
+
+  /** Build-or-load the IVF-SQ8 index: shared quantizer + residual-trained
+    * bounds + the cell-partitioned residual-codes corpus (4× lighter than
+    * floats, probes prune partitions). */
+  private[graft] def ivfSqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf, SqIndex.Sq) = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val base = ivfSqCachePath(s, dir)
+    val sq =
+      if (IvfIndex.exists(s, s"$base/bounds.txt"))
+        SqIndex.load(s, s"$base/bounds.txt")
+      else {
+        val trained = SqIndex.trainResidual(withCells, ivf)
+        SqIndex.save(s, trained, s"$base/bounds.txt")
+        trained
+      }
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      SqIndex.encodeIvf(withCells, ivf, sq)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    (s.read.parquet(cpath), ivf, sq)
+  }
+
   /** OPQ rotation/rotated-PQ cache, keyed like [[pqCachePath]]. */
   private def opqCachePath(s: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
@@ -3186,6 +3217,20 @@ object SparkEntry {
       .select(col("doc_id"), round(col("adc"), 4).as("adc"))
   }
 
+  /** IVF-SQ8 search ([[SqIndex.searchIvf]]): FAISS
+    * `IndexIVFScalarQuantizer` (by-residual) — probed cells only, codes
+    * scanned through the shared `adc_lut_cells` kernel with the cell
+    * centroid folded into each per-dim LUT entry. Oracle GENERATED from
+    * the quantizer + residual bounds. */
+  private def q91IvfSqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, sq) = ivfSqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    SqIndex.searchIvf(encoded, ivf, sq, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   private val q89Sql =
     """WITH qs AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 8),
@@ -3393,6 +3438,7 @@ object SparkEntry {
     "q88_sq8_recon" -> (q88SqRecon _),
     "q89_binary_recall" -> (q89BinaryRecall _),
     "q90_opq_search" -> (q90OpqSearch _),
+    "q91_ivfsq_search" -> (q91IvfSqSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3475,7 +3521,7 @@ object SparkEntry {
     "q75_gopher_rules" -> q75Sql,
     "q76_repeated_paragraphs" -> q76Sql,
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
-    pcaOracleSqls ++ opqOracleSqls
+    pcaOracleSqls ++ opqOracleSqls ++ ivfSqOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -3504,6 +3550,28 @@ object SparkEntry {
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       val books = flat.grouped(flat.length / m).toSeq
       Map("q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10))
+    }).getOrElse(Map.empty)
+
+  /** IVF-SQ8 oracle, generated from the shared quantizer + the residual
+    * bounds q91's run just persisted — same lifecycle as
+    * [[pqOracleSqls]]. */
+  private def ivfSqOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      qpath = java.nio.file.Paths.get(s"${ivfCachePath(s, dir)}/quantizer.txt")
+      bpath = java.nio.file.Paths.get(s"${ivfSqCachePath(s, dir)}/bounds.txt")
+      if java.nio.file.Files.exists(qpath) && java.nio.file.Files.exists(bpath)
+      qlines = java.nio.file.Files.readAllLines(qpath)
+      blines = java.nio.file.Files.readAllLines(bpath)
+      if qlines.get(0).split(" ")(1).toInt > 0 && blines.get(0).trim.toInt > 0
+    } yield {
+      val cents: Seq[Array[Double]] = (1 until qlines.size())
+        .map(i => qlines.get(i).split(" ").map(_.toDouble))
+      val vmin = blines.get(1).split(" ").map(_.toDouble)
+      val step = blines.get(2).split(" ").map(_.toDouble)
+      Map("q91_ivfsq_search" ->
+        OracleSqlGen.ivfSqSearchSql(cents, vmin, step, k = 10, nprobe = 4))
     }).getOrElse(Map.empty)
 
   /** OPQ oracle, generated from BOTH artifacts q90's run just persisted

@@ -164,6 +164,12 @@ object IndexFactory {
         val encoded = SqIndex.encode(corpus, sq, embCol)
           .select(col(idCol), col("codes"))
         Built(d, encoded, (q, k) => SqIndex.search(encoded, sq, q, k, idCol))
+      case (Some(n), SQ8Code) =>
+        val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
+        val sq = SqIndex.trainResidual(withCells, ivf, embCol)
+        val enc = SqIndex.encodeIvf(withCells, ivf, sq, embCol, idCol)
+        Built(d, enc,
+          (q, k) => SqIndex.searchIvf(enc, ivf, sq, q, k, nprobe, idCol))
       case (None, LshCode) =>
         val codes = BinaryIndex.encode(corpus, embCol, idCol)
         Built(d, codes,

@@ -72,6 +72,67 @@ object SqIndex {
           array_repeat(lit(0), size(col(embCol))))
     }
 
+  // ---- IVF-SQ8 (FAISS IndexIVFScalarQuantizer, QT_8bit, by-residual) ----
+
+  /** Train per-dim bounds over IVF RESIDUALS — the by-residual encoding
+    * of FAISS's `IndexIVFScalarQuantizer`: residual ranges are tighter
+    * than raw ranges, so the 8-bit grid spends its resolution where the
+    * data actually lives. One aggregation, same as [[train]]. */
+  def trainResidual(withCells: DataFrame, ivf: IvfIndex.Ivf,
+                    embCol: String = "embedding"): Sq = {
+    GraftFunctions.register(withCells.sparkSession)
+    train(withCells.withColumn("__res",
+      PqIndex.residualColumn(ivf, col(embCol), col("cell_id"))), "__res")
+  }
+
+  /** Encode residual codes for a cell-assigned corpus:
+    * `(idCol, cell_id, codes)` — assign + residual + SQ8 encode in ONE
+    * codegen projection (the IVFADC encode shape). Write partitioned by
+    * `cell_id` so search prunes partitions. */
+  def encodeIvf(withCells: DataFrame, ivf: IvfIndex.Ivf, sq: Sq,
+                embCol: String = "embedding",
+                idCol: String = "doc_id"): DataFrame =
+    encode(withCells.withColumn("__res",
+      PqIndex.residualColumn(ivf, col(embCol), col("cell_id"))), sq, "__res")
+      .select(col(idCol), col("cell_id"), col("codes"))
+
+  /** Probed IVF-SQ8 search: per-probed-cell LUT
+    * `lut_c[i][code] = q_i · (cent_c_i + vmin_i + code · step_i)` — the
+    * reconstruction folds the cell centroid back in per dim, so one
+    * [[graft.functions.AdcLutCells]] accumulation scores a row without
+    * ever materializing the reconstruction. Scores descend (inner
+    * product); only probed cells are scanned (partition pruning on the
+    * cell-partitioned layout). */
+  def searchIvf(encoded: DataFrame, ivf: IvfIndex.Ivf, sq: Sq,
+                queryVec: Array[Float], k: Int, nprobe: Int,
+                idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(encoded.sparkSession)
+    val cents = ivf.centroids.getOrElse(
+      throw new IllegalStateException("IVF-SQ8 needs a trained IVF"))
+    val vmin = sq.vmin.getOrElse(
+      throw new IllegalStateException("IVF-SQ8 needs trained bounds"))
+    val step = sq.step.get
+    val probed = IvfIndex.probeCells(ivf, queryVec, nprobe)
+    val byCell: Map[Int, Seq[Seq[Double]]] = probed.map { cell =>
+      val c = cents(cell)
+      val n = math.min(math.min(queryVec.length, vmin.length), c.length)
+      cell -> Seq.tabulate(n) { i =>
+        Seq.tabulate(256) { code =>
+          queryVec(i).toDouble * (c(i) + vmin(i) + code * step(i))
+        }
+      }
+    }.toMap
+    val lutsLit = typedLit(Seq.tabulate(cents.length)(c =>
+      byCell.getOrElse(c, Seq.empty[Seq[Double]])))
+    encoded
+      .filter(col("cell_id").isin(probed: _*))
+      .withColumn("score",
+        GraftFunctions.adcLutCells(col("codes"), col("cell_id"), lutsLit))
+      .select(col(idCol), col("cell_id"), col("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+  }
+
   /** Decode codes back to the reconstructed vector — FAISS
     * `IndexScalarQuantizer::reconstruct` / `sa_decode`:
     * `recon_i = float(vmin_i + code_i · step_i)`; untrained decodes to

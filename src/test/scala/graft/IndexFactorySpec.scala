@@ -29,6 +29,7 @@ class IndexFactorySpec extends AnyFunSuite {
     assert(IndexFactory.parse("PCA16,Flat") == Descriptor(Some(PcaPre(16)), None, Flat, false))
     assert(IndexFactory.parse("PCAR8,IVF4,PQ4") == Descriptor(Some(PcaPre(8)), Some(4), PQ(4), false))
     assert(IndexFactory.parse("OPQ8,PQ8") == Descriptor(Some(OpqPre(8)), None, PQ(8), false))
+    assert(IndexFactory.parse("IVF16,SQ8") == Descriptor(None, Some(16), SQ8Code, false))
     assert(IndexFactory.parse("OPQ16,IVF64,PQ16") == Descriptor(Some(OpqPre(16)), Some(64), PQ(16), false))
   }
 

@@ -138,6 +138,48 @@ class SqIndexSpec extends AnyFunSuite {
       s"recon error exceeded the step bound $bound: max ${errs.max}")
   }
 
+  test("IVF-SQ8: probe-all search matches a driver reconstruction brute force") {
+    import graft.operators.IvfIndex
+    val data = clustered(300, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 4)
+    val sq = SqIndex.trainResidual(withCells, ivf)
+    val enc = SqIndex.encodeIvf(withCells, ivf, sq)
+    val got = SqIndex.searchIvf(enc, ivf, sq, data.head._2, k = 10, nprobe = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    // driver replay: residual -> byte code -> recon = cent + decode; IP score
+    val cents = ivf.centroids.get
+    val cellOf = withCells.select("doc_id", "cell_id")
+      .as[(Long, Int)].collect().toMap
+    val vmin = sq.vmin.get
+    val step = sq.step.get
+    val brute = data.map { case (id, v) =>
+      val c = cents(cellOf(id))
+      val score = v.indices.map { i =>
+        val res = (v(i).toDouble - c(i)).toFloat
+        val t = if (step(i) == 0) 0
+        else math.max(0, math.min(255,
+          math.floor((res.toDouble - vmin(i)) / step(i) + 0.5).toInt))
+        data.head._2(i).toDouble * (c(i) + vmin(i) + t * step(i))
+      }.sum
+      (id, score)
+    }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    assert(got == brute, "IVF-SQ8 probe-all diverged from driver replay")
+  }
+
+  test("IVF-SQ8: nprobe=1 returns rows only from the probed cell") {
+    import graft.operators.IvfIndex
+    val data = clustered(300, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 4)
+    val sq = SqIndex.trainResidual(withCells, ivf)
+    val enc = SqIndex.encodeIvf(withCells, ivf, sq)
+    val probedCell = IvfIndex.probeCells(ivf, data.head._2, 1).head
+    val cells = SqIndex.searchIvf(enc, ivf, sq, data.head._2, k = 10, nprobe = 1)
+      .select("cell_id").as[Int].collect().toSet
+    assert(cells == Set(probedCell))
+  }
+
   test("untrained decode yields zero vectors") {
     val small = clustered(40, 4).toDF("doc_id", "embedding")
     val sq = SqIndex.train(small)
