@@ -1049,6 +1049,29 @@ object ScaleProbe {
       graft.operators.PqIndex.searchRefined(
         cellCorpus, corpus, ivf, rpq, qVec, 10, 50, nprobe).collect())
 
+    // IVF-SQ8: residual bounds over the assigned corpus, cell-partitioned
+    // byte codes, probed adc_lut_cells scan (4x lighter than floats at
+    // 8-bit/dim vs IVFADC's 1 byte/8 dims — the accuracy/size midpoint).
+    val ivfSqPath = s"/tmp/graft-ivfsq-scale-${factor}x"
+    val sqr =
+      if (parquetComplete(spark, s"$ivfSqPath/corpus")) {
+        graft.operators.SqIndex.load(spark, s"$ivfSqPath/bounds")
+      } else {
+        val t0 = System.nanoTime()
+        val withCells = IvfIndex.assign(corpus, ivf)
+        val trained = graft.operators.SqIndex.trainResidual(withCells, ivf)
+        graft.operators.SqIndex.save(spark, trained, s"$ivfSqPath/bounds")
+        graft.operators.SqIndex.encodeIvf(withCells, ivf, trained)
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(s"$ivfSqPath/corpus")
+        println(f"[scale] ivfsq ingest (residual bounds + partitioned write): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        trained
+      }
+    val ivfSqCorpus = spark.read.parquet(s"$ivfSqPath/corpus")
+    timeWarm(s"IVF-SQ8 top-10 (nprobe=$nprobe/$nlist cells)")(
+      graft.operators.SqIndex.searchIvf(
+        ivfSqCorpus, ivf, sqr, qVec, 10, nprobe).collect())
+
     val exactIds = VectorSearch.knnScores(corpus, qVec, 10)
       .select("doc_id").as[Long].collect().toSet
     val sqIds = graft.operators.SqIndex.search(sqEncoded, sq, qVec, 10)
@@ -1062,6 +1085,11 @@ object ScaleProbe {
     // is the meaningful recall here (base-id sets collapse to one id).
     println(s"[scale] pq recall@10 (doc-id overlap): " +
       s"${exactIds.intersect(adcIds).size}/${exactIds.size}")
+    val ivfSqIds = graft.operators.SqIndex.searchIvf(
+      ivfSqCorpus, ivf, sqr, qVec, 10, nprobe)
+      .select("doc_id").as[Long].collect().toSet
+    println(s"[scale] ivfsq recall@10 (doc-id overlap): " +
+      s"${exactIds.intersect(ivfSqIds).size}/${exactIds.size}")
     spark.stop()
   }
 }
