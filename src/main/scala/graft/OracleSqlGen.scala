@@ -184,6 +184,25 @@ object OracleSqlGen {
        |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
   }
 
+  /** q92's oracle: binary IVF replayed from the shared quantizer —
+    * assignment, the inner-product centroid probe, and Hamming distance
+    * as the count of sign-disagreeing dims (the q84 semantics) over the
+    * probed cells only. */
+  def bivfSearchSql(cents: Seq[Array[Double]], k: Int, nprobe: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q)
+       |SELECT a.doc_id, CAST(a.cell_id AS BIGINT) AS cell_id,
+       |  CAST(len(list_filter(range(least(len(a.embedding), 64)),
+       |    i -> (a.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
+       |FROM __assigned a, q
+       |WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)
+       |ORDER BY hamming, a.doc_id
+       |LIMIT $k""".stripMargin
+
   /** q91's oracle: IVF-SQ8 replayed from BOTH artifacts — cell
     * assignment ([[ivfAssignCtes]]), FLOAT-cast residuals, the
     * `floor(t+0.5)` byte encode against residual-trained bounds, an

@@ -1067,6 +1067,27 @@ object SparkEntry {
     (s.read.parquet(cpath), ivf, sq)
   }
 
+  /** Binary-IVF codes cache, keyed like [[ivfSqCachePath]]; quantizer
+    * shared with the IVF family. */
+  private def bivfCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0xb1f0L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-bivf-$key"
+  }
+
+  /** Build-or-load the binary-IVF index: shared quantizer + the
+    * cell-partitioned 8 B/row sign-codes corpus. */
+  private[graft] def bivfCorpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf) = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val cpath = s"${bivfCachePath(s, dir)}/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      BinaryIndex.encodeIvf(withCells)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    (s.read.parquet(cpath), ivf)
+  }
+
   /** OPQ rotation/rotated-PQ cache, keyed like [[pqCachePath]]. */
   private def opqCachePath(s: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
@@ -3231,6 +3252,19 @@ object SparkEntry {
         round(col("score"), 4).as("score"))
   }
 
+  /** Binary IVF search ([[BinaryIndex.searchIvfHamming]]): FAISS
+    * `IndexBinaryIVF` (`BIVF<nlist>`) under the engine's SHARED coarse
+    * quantizer — probed cells only, 8 B/row Hamming scan with partition
+    * pruning. Oracle GENERATED from the quantizer. */
+  private def q92BivfSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf) = bivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    BinaryIndex.searchIvfHamming(encoded, ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        col("hamming"))
+  }
+
   private val q89Sql =
     """WITH qs AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 8),
@@ -3439,6 +3473,7 @@ object SparkEntry {
     "q89_binary_recall" -> (q89BinaryRecall _),
     "q90_opq_search" -> (q90OpqSearch _),
     "q91_ivfsq_search" -> (q91IvfSqSearch _),
+    "q92_bivf_search" -> (q92BivfSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3685,6 +3720,8 @@ object SparkEntry {
           minCos = 0.3, cap = SemanticDedup.DefaultMaxCellSize),
         "q83_ivf_stats" -> OracleSqlGen.ivfCellStatsSql(cents),
         "q87_knn_graph" -> OracleSqlGen.knnGraphSql(cents,
-          k = 4, cap = SemanticDedup.DefaultMaxCellSize))
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize),
+        "q92_bivf_search" -> OracleSqlGen.bivfSearchSql(cents,
+          k = 10, nprobe = 4))
     }).getOrElse(Map.empty)
 }

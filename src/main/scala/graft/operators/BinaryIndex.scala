@@ -83,6 +83,39 @@ object BinaryIndex {
       .drop(queryCodeCol)
   }
 
+  // ---- Binary IVF (FAISS IndexBinaryIVF, the `BIVF<nlist>` factory) ----
+
+  /** Cell-partition the binary codes under the SHARED float coarse
+    * quantizer: `(idCol, cell_id, code)`. FAISS's `IndexBinaryIVF`
+    * clusters binary codes directly; the engine keeps ONE quantizer for
+    * the whole index family instead, so the same cells serve float, PQ,
+    * SQ8 and binary scans — write partitioned by `cell_id` and the
+    * probed Hamming scan prunes partitions like every other IVF path. */
+  def encodeIvf(withCells: DataFrame, embCol: String = "embedding",
+                idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(withCells.sparkSession)
+    withCells.select(col(idCol), col("cell_id"),
+      GraftFunctions.signPack64(col(embCol)).as("code"))
+  }
+
+  /** Probed Hamming top-k over a cell-partitioned codes corpus: the
+    * query probes `nprobe` cells by centroid inner product (the shared
+    * [[IvfIndex.probeCells]] rule), and only those partitions are
+    * scanned — 8 B/row over nprobe/nlist of the corpus. */
+  def searchIvfHamming(encoded: DataFrame, ivf: IvfIndex.Ivf,
+                       queryVec: Array[Float], k: Int, nprobe: Int,
+                       idCol: String = "doc_id",
+                       codeCol: String = "code"): DataFrame = {
+    val probed = IvfIndex.probeCells(ivf, queryVec, nprobe)
+    encoded
+      .filter(col("cell_id").isin(probed: _*))
+      .select(col(idCol), col("cell_id"),
+        bit_count(col(codeCol).bitwiseXOR(lit(packOne(queryVec))))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Hamming range search (`IndexBinaryFlat.range_search`): every id
     * within `maxDist` bits of the query, unranked semantics but emitted
     * in the engine's total order. Pure scan + filter — the predicate is

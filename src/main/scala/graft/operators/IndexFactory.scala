@@ -56,6 +56,7 @@ object IndexFactory {
   private val PcaRe = "^PCAR?([0-9]+)$".r
   private val OpqRe = "^OPQ([0-9]+)$".r
   private val IvfRe = "^IVF([0-9]+)$".r
+  private val BivfRe = "^BIVF([0-9]+)$".r
   private val PqRe = "^PQ([0-9]+)$".r
 
   def parse(desc: String): Descriptor = {
@@ -66,6 +67,16 @@ object IndexFactory {
       case PcaRe(k) :: tail => (Some(PcaPre(k.toInt)): Option[Pre], tail)
       case OpqRe(m) :: tail => (Some(OpqPre(m.toInt)): Option[Pre], tail)
       case other => (None: Option[Pre], other)
+    }
+    // "BIVF<n>" — FAISS's binary-IVF factory spelling: a complete
+    // descriptor (probed Hamming over sign codes), no code layer follows
+    rest1 match {
+      case BivfRe(n) :: Nil =>
+        if (pre.isDefined) fail("BIVF takes no PCA/OPQ front (binary domain)")
+        return Descriptor(None, Some(n.toInt), LshCode, refine = false)
+      case BivfRe(_) :: more =>
+        fail(s"BIVF is a complete descriptor; unexpected '${more.mkString(",")}'")
+      case _ =>
     }
     val (nlist, rest2) = rest1 match {
       case IvfRe(n) :: tail => (Some(n.toInt), tail)
@@ -175,6 +186,11 @@ object IndexFactory {
         Built(d, codes,
           (q, k) => BinaryIndex.searchHamming(codes, BinaryIndex.packOne(q),
             k, idCol))
+      case (Some(n), LshCode) => // reachable only via "BIVF<n>"
+        val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
+        val enc = BinaryIndex.encodeIvf(withCells, embCol, idCol)
+        Built(d, enc,
+          (q, k) => BinaryIndex.searchIvfHamming(enc, ivf, q, k, nprobe, idCol))
       case (Some(_), other) =>
         throw new IllegalArgumentException(
           s"index_factory: IVF over $other is not implemented")

@@ -86,6 +86,27 @@ class BinaryIndexSpec extends AnyFunSuite {
       "the query's own vector must rank first at distance 0")
   }
 
+  test("binary IVF: probe-all ≡ flat Hamming; nprobe=1 stays in its cell") {
+    import graft.operators.IvfIndex
+    val data = randVecs(300, dim = 16)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 4)
+    val enc = BinaryIndex.encodeIvf(withCells)
+    val qVec = data(5)._2
+    val nlistTrained = ivf.centroids.get.length
+    val probeAll = BinaryIndex
+      .searchIvfHamming(enc, ivf, qVec, k = 12, nprobe = nlistTrained)
+      .select("doc_id", "hamming").as[(Long, Long)].collect().toSeq
+    val flat = BinaryIndex
+      .searchHamming(BinaryIndex.encode(docs), BinaryIndex.packOne(qVec), k = 12)
+      .as[(Long, Long)].collect().toSeq
+    assert(probeAll == flat, "probe-all binary IVF diverged from the flat scan")
+    val probedCell = IvfIndex.probeCells(ivf, qVec, 1).head
+    val cells = BinaryIndex.searchIvfHamming(enc, ivf, qVec, k = 12, nprobe = 1)
+      .select("cell_id").as[Int].collect().toSet
+    assert(cells == Set(probedCell))
+  }
+
   test("search plan: no exchange, codegen'd scan over the codes projection") {
     val docs = randVecs(300).toDF("doc_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("binplan").toString

@@ -30,12 +30,13 @@ class IndexFactorySpec extends AnyFunSuite {
     assert(IndexFactory.parse("PCAR8,IVF4,PQ4") == Descriptor(Some(PcaPre(8)), Some(4), PQ(4), false))
     assert(IndexFactory.parse("OPQ8,PQ8") == Descriptor(Some(OpqPre(8)), None, PQ(8), false))
     assert(IndexFactory.parse("IVF16,SQ8") == Descriptor(None, Some(16), SQ8Code, false))
+    assert(IndexFactory.parse("BIVF16") == Descriptor(None, Some(16), LshCode, false))
     assert(IndexFactory.parse("OPQ16,IVF64,PQ16") == Descriptor(Some(OpqPre(16)), Some(64), PQ(16), false))
   }
 
   test("unsupported descriptors fail loudly, naming the string") {
     Seq("HNSW32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ8",
-      "OPQ8,Flat")
+      "OPQ8,Flat", "PCA8,BIVF16", "BIVF16,Flat")
       .foreach { bad =>
         val e = intercept[IllegalArgumentException](IndexFactory.parse(bad))
         assert(e.getMessage.contains(bad.split(",")(0)) ||
