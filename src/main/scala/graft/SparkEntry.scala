@@ -3265,6 +3265,133 @@ object SparkEntry {
         col("hamming"))
   }
 
+  /** One-scan corpus screen: language, Gopher and C4 verdicts from a
+    * SINGLE projection over raw text — the FineWeb/RefinedWeb-style
+    * filter chain as one Spark job instead of one pass per rule. Every
+    * kernel is per-row (`text_stats`, `gopherFlags`, `c4Signals`), so
+    * a 100 TB corpus is read once for all verdicts; the per-rule
+    * queries (q12/q75/q65) remain the rule-level gates, this is the
+    * composed pipeline gate. */
+  private def q93CorpusScreen(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    // Language is judged on the RAW text (the appended English sentences
+    // would drown the marker counts); the C4/Gopher verdicts run on a
+    // lightly seeded body — 3/4 of docs get a sentence-shaped tail so
+    // both verdict polarities occur (raw synthetic docs are one
+    // unpunctuated line and would all fail C4).
+    // The tail supplies BOTH C4 sentence shape and ≥2 distinct Gopher
+    // stopwords (the synthetic corpus vocabulary contains none).
+    val tail = ".\nThat sentence will have to be part of the document, " +
+      "and it ends with a period." +
+      "\nAnother proper sentence finishes the document."
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.langIdFromStats(
+          GraftFunctions.textStats(col("text"))).as("lang_pred"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(tail))).as("body"))
+      .withColumn("gopher_keep",
+        TextAnalysis.gopherFlags(col("body")).getField("keep"))
+      .withColumn("c4_keep",
+        TextAnalysis.c4Signals(col("body"), minLineWords = 3,
+          minSentences = 2).getField("keep"))
+      .select(col("doc_id"), col("lang_pred"), col("gopher_keep"),
+        col("c4_keep"),
+        (col("lang_pred") === "en" && col("gopher_keep") && col("c4_keep"))
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val q93Sql = {
+    def markers(l: String) =
+      TextAnalysis.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val stopList = TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN text
+       |         ELSE text || '.' || chr(10) ||
+       |           'That sentence will have to be part of the document, and it ends with a period.' || chr(10) ||
+       |           'Another proper sentence finishes the document.'
+       |    END AS body
+       |  FROM documents),
+       |langsc AS (
+       |  SELECT doc_id,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("de")}, x))) AS n_de,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("en")}, x))) AS n_en,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("es")}, x))) AS n_es,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("fr")}, x))) AS n_fr
+       |  FROM documents),
+       |langp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_de = 0 AND n_en = 0 AND n_es = 0 AND n_fr = 0 THEN 'und'
+       |         WHEN n_fr >= n_es AND n_fr >= n_en AND n_fr >= n_de THEN 'fr'
+       |         WHEN n_es >= n_en AND n_es >= n_de THEN 'es'
+       |         WHEN n_en >= n_de THEN 'en'
+       |         ELSE 'de' END AS lang_pred
+       |  FROM langsc),
+       |gm AS (
+       |  SELECT doc_id, body AS text,
+       |    list_filter(regexp_split_to_array(trim(body), '[ \\t\\n\\x0b\\f\\r]+'),
+       |      w -> length(w) > 0) AS words,
+       |    list_filter(list_transform(string_split(body, chr(10)), l -> trim(l)),
+       |      l -> length(l) > 0) AS lines
+       |  FROM seeded),
+       |gr AS (
+       |  SELECT doc_id,
+       |    len(words) AS n_words,
+       |    list_sum(list_transform(words, w -> length(w))) AS n_chars,
+       |    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
+       |    len(lines) AS n_lines,
+       |    len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+       |    len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS n_ellipsis,
+       |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+       |    len(list_filter(list_distinct(list_transform(words, w -> lower(w))),
+       |      w -> list_contains($stopList, w))) AS n_stop
+       |  FROM gm),
+       |gf AS (
+       |  SELECT doc_id,
+       |    (n_words >= 50 AND n_words <= 100000 AND
+       |     (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / n_words END) >= 3.0 AND
+       |     (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / n_words END) <= 10.0 AND
+       |     (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / n_words END) <= 0.1 AND
+       |     (CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_bullet AS DOUBLE) / n_lines END) < 0.9 AND
+       |     (CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_ellipsis AS DOUBLE) / n_lines END) < 0.3 AND
+       |     (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_words END) >= 0.8 AND
+       |     n_stop >= 2) AS gopher_keep
+       |  FROM gr),
+       |cl AS (
+       |  SELECT doc_id, body AS text,
+       |    list_filter(list_transform(string_split(body, chr(10)), x -> trim(x)),
+       |                x -> len(x) > 0) AS ls
+       |  FROM seeded),
+       |ck AS (
+       |  SELECT doc_id, text,
+       |    list_filter(ls, x -> regexp_matches(x, '[.!?]"?$$')
+       |      AND len(regexp_split_to_array(x, '[ \\t\\n\\x0b\\f\\r]+')) >= 3
+       |      AND NOT contains(lower(x), 'javascript')) AS ks
+       |  FROM cl),
+       |cm AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(coalesce(array_to_string(ks, chr(10)), ''),
+       |      '[.!?]')) AS n_sent,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |    contains(text, '{') AS has_brace
+       |  FROM ck),
+       |ckeep AS (
+       |  SELECT doc_id,
+       |    (NOT has_lorem AND NOT has_brace AND n_sent >= 2) AS c4_keep
+       |  FROM cm)
+       |SELECT d.doc_id, langp.lang_pred, gf.gopher_keep, ckeep.c4_keep,
+       |  (langp.lang_pred = 'en' AND gf.gopher_keep AND ckeep.c4_keep) AS kept
+       |FROM documents d
+       |JOIN langp USING (doc_id) JOIN gf USING (doc_id) JOIN ckeep USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private val q89Sql =
     """WITH qs AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 8),
@@ -3474,6 +3601,7 @@ object SparkEntry {
     "q90_opq_search" -> (q90OpqSearch _),
     "q91_ivfsq_search" -> (q91IvfSqSearch _),
     "q92_bivf_search" -> (q92BivfSearch _),
+    "q93_corpus_screen" -> (q93CorpusScreen _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3549,6 +3677,7 @@ object SparkEntry {
     "q84_binary_search" -> q84Sql,
     "q85_range_search" -> q85Sql,
     "q89_binary_recall" -> q89Sql,
+    "q93_corpus_screen" -> q93Sql,
     "q71_keep_best" -> q71Sql,
     "q72_mix_weights" -> q72Sql,
     "q73_url_dedup" -> q73Sql,
