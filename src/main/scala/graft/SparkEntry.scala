@@ -3291,7 +3291,10 @@ object SparkEntry {
     val tail = ".\nThat sentence will have to be part of the document, " +
       "and it ends with a period." +
       "\nAnother proper sentence finishes the document."
-    t(s, dir, "documents")
+    // The verdict kernels are CPU-bound per row; spread the single-file
+    // testdata scan across cores (stats-gated — a no-op on real-scale
+    // multi-split inputs).
+    Dedup.spreadSmallInput(t(s, dir, "documents"))
       .select(col("doc_id"),
         TextAnalysis.langIdFromStats(
           GraftFunctions.textStats(col("text"))).as("lang_pred"),
