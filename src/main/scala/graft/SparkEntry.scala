@@ -2727,6 +2727,7 @@ object SparkEntry {
     * under-50-word docs. Raw measures emitted unrounded — every ratio
     * is one division of integer-exact operands, bitwise-stable. */
   private def q75GopherRules(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val bullets = (1 to 12).map(i => s"- item $i").mkString("\n", "\n", "")
     val docs = t(s, dir, "documents").withColumn("text",
       when(col("doc_id") % 19 === 0,
@@ -2738,11 +2739,14 @@ object SparkEntry {
             .otherwise(lit("")),
           when(col("doc_id") % 17 === 0,
             lit(" ### ## # #### # ## ### # # ## #")).otherwise(lit("")))))
-    docs.select(col("doc_id"),
-        TextAnalysis.gopherFlags(col("text")).as("g"))
+    // screen_flags kernel ≡ gopherFlags (ScreenFlagsSpec parity)
+    Dedup.spreadSmallInput(docs).select(col("doc_id"),
+        GraftFunctions.screenFlags(col("text"),
+          lit(50), lit(100000), lit(3), lit(2)).as("g"))
       .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
         col("g.symbol_ratio"), col("g.bullet_frac"), col("g.ellipsis_frac"),
-        col("g.alpha_frac"), col("g.n_stop_hits"), col("g.keep"))
+        col("g.alpha_frac"), col("g.n_stop_hits"),
+        col("g.gopher_keep").as("keep"))
       .orderBy("doc_id")
   }
 
@@ -2854,6 +2858,7 @@ object SparkEntry {
     * sentence. The oracle replays line filtering, sentence counting,
     * and the page-level flags; `fp` hash-pins the cleaned text. */
   private def q65C4Clean(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val paged = t(s, dir, "documents").withColumn("text",
       concat(
         substring(col("text"), 1, 80), lit("."),
@@ -2864,14 +2869,16 @@ object SparkEntry {
         when(col("doc_id") % 70 === 0,
           lit("\nconfig { mode: on } done.")).otherwise(lit("")),
         lit("\nAnother complete sentence appears right here.")))
-    paged.select(col("doc_id"),
-        TextAnalysis.c4Signals(col("text"), minLineWords = 3, minSentences = 2).as("c"))
+    // screen_flags kernel ≡ c4Signals (ScreenFlagsSpec parity)
+    Dedup.spreadSmallInput(paged).select(col("doc_id"),
+        GraftFunctions.screenFlags(col("text"),
+          lit(50), lit(100000), lit(3), lit(2)).as("c"))
       .select(col("doc_id"),
         col("c.n_kept_lines").as("n_kept_lines"),
         col("c.n_sentences").as("n_sentences"),
         col("c.has_lorem").as("has_lorem"),
         col("c.has_brace").as("has_brace"),
-        col("c.keep").as("keep"),
+        col("c.c4_keep").as("keep"),
         md5(col("c.text_c4").cast("binary")).as("fp"))
       .orderBy("doc_id")
   }
@@ -3300,13 +3307,13 @@ object SparkEntry {
           GraftFunctions.textStats(col("text"))).as("lang_pred"),
         when(col("doc_id") % 4 === 0, col("text"))
           .otherwise(concat(col("text"), lit(tail))).as("body"))
-      .withColumn("gopher_keep",
-        TextAnalysis.gopherFlags(col("body")).getField("keep"))
-      .withColumn("c4_keep",
-        TextAnalysis.c4Signals(col("body"), minLineWords = 3,
-          minSentences = 2).getField("keep"))
-      .select(col("doc_id"), col("lang_pred"), col("gopher_keep"),
-        col("c4_keep"),
+      // ONE kernel pass for both verdicts (screen_flags ≡ the composed
+      // gopherFlags/c4Signals forms — parity-spec-pinned field-for-field)
+      .withColumn("sf", GraftFunctions.screenFlags(col("body"),
+        lit(50), lit(100000), lit(3), lit(2)))
+      .select(col("doc_id"), col("lang_pred"),
+        col("sf.gopher_keep").as("gopher_keep"),
+        col("sf.c4_keep").as("c4_keep"),
         (col("lang_pred") === "en" && col("gopher_keep") && col("c4_keep"))
           .as("kept"))
       .orderBy("doc_id")

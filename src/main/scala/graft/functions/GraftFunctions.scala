@@ -69,6 +69,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "pca_project_f32",
       exprs => PcaProjectF32(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "screen_flags", exprs => ScreenFlagsExpression(exprs), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -132,6 +134,12 @@ object GraftFunctions {
   /** PCA-project an `array<float>` against (mean, components) literals. */
   def pcaProjectF32(emb: Column, mean: Column, comps: Column): Column =
     call_function("pca_project_f32", emb, mean, comps)
+
+  /** Gopher + C4 screen verdicts in one kernel pass (struct). */
+  def screenFlags(text: Column, minWords: Column, maxWords: Column,
+                  minLineWords: Column, minSentences: Column): Column =
+    call_function("screen_flags", text, minWords, maxWords,
+      minLineWords, minSentences)
 
   /** 8-bit scalar-quantizer encode against per-dim (vmin, step) bounds. */
   def sq8EncodeF32(emb: Column, vmin: Column, step: Column): Column =
