@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming quality screen — the composed corpus screen (q93's
+  * language + Gopher + C4 verdicts, one `screen_flags` kernel pass)
+  * run continuously over an ingest stream under `foreachBatch`. The
+  * third leg of the incremental pipeline:
+  * [[graft.operators.Dedup.screenedIngest]] owns dedup,
+  * [[IndexIngest.quantizedIngest]] owns index growth, this owns
+  * quality admission.
+  *
+  * Layout: `verdictPath/batch=<id>/…` — per-batch-id overwrite makes an
+  * at-least-once retry idempotent (the screenedIngest contract). Each
+  * row carries the full verdict surface (lang_pred, gopher_keep,
+  * c4_keep, kept), so downstream consumers filter `kept` for admission
+  * or audit the per-rule flags without rescoring. Unlike the dedup
+  * screen there is NO cross-batch state — the verdict is per-document,
+  * so per-batch cost is O(batch) always: the shape that survives an
+  * unbounded stream. */
+object ScreenIngest {
+
+  def screenedQualityIngest(docs: DataFrame, verdictPath: String,
+                            checkpointPath: String,
+                            textCol: String = "text",
+                            idCol: String = "doc_id",
+                            minWords: Int = 50, maxWords: Int = 100000,
+                            minLineWords: Int = 3, minSentences: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming, "screenedQualityIngest expects a streaming DataFrame")
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        screenBatch(batch.toDF(), batchId, verdictPath, textCol, idCol,
+          minWords, maxWords, minLineWords, minSentences)
+      }
+      .start()
+  }
+
+  /** One micro-batch, extracted so retry semantics are testable without
+    * forcing a real foreachBatch crash (the screenBatch pattern). */
+  private[graft] def screenBatch(batch: DataFrame, batchId: Long,
+                                 verdictPath: String, textCol: String,
+                                 idCol: String, minWords: Int, maxWords: Int,
+                                 minLineWords: Int, minSentences: Int): Unit = {
+    verdicts(batch, textCol, idCol, minWords, maxWords, minLineWords,
+      minSentences)
+      .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
+  }
+
+  /** The batch-form verdict projection (shared by the stream and any
+    * one-shot backfill, so the two can never diverge). */
+  def verdicts(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id",
+               minWords: Int = 50, maxWords: Int = 100000,
+               minLineWords: Int = 3, minSentences: Int = 2): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("lang_pred",
+        TextAnalysis.langIdFromStats(GraftFunctions.textStats(col(textCol))))
+      .withColumn("__sf", GraftFunctions.screenFlags(col(textCol),
+        lit(minWords), lit(maxWords), lit(minLineWords), lit(minSentences)))
+      .select(col(idCol), col("lang_pred"),
+        col("__sf.gopher_keep").as("gopher_keep"),
+        col("__sf.c4_keep").as("c4_keep"),
+        (col("lang_pred") === "en" && col("__sf.gopher_keep") &&
+          col("__sf.c4_keep")).as("kept"))
+  }
+
+  def loadVerdicts(spark: SparkSession, verdictPath: String): DataFrame =
+    spark.read.option("basePath", verdictPath).parquet(s"$verdictPath/batch=*")
+}
