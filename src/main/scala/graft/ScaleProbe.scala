@@ -62,6 +62,10 @@ object ScaleProbe {
       binaryProbe(args.lift(1).map(_.toInt).getOrElse(1000))
       return
     }
+    if (args.headOption.contains("screen")) {
+      screenProbe(args.lift(1).map(_.toInt).getOrElse(50))
+      return
+    }
     if (args.headOption.contains("select")) {
       selectProbe(args.lift(1).map(_.toInt).getOrElse(50))
       return
@@ -630,6 +634,65 @@ object ScaleProbe {
       LexicalSearch.bm25SearchIndexed(idxT, statsT, terms, k = 25).count())
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.stop()
+  }
+
+  /** Quality-screen probe over the replicated 250k-doc corpus: the
+    * fused `screen_flags` kernel vs the composed HOF forms, both
+    * producing the full q93 verdict surface — quantifies the kernel's
+    * per-row win where it matters (the corpus-wide screening pass). */
+  def screenProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val nBase = base.count()
+    val path = s"/tmp/graft-dedup-scale-${factor}x" // share the dedup corpus
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * nBase).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\w+)"),
+            concat(lit("$1r"), col("rep"))).as("text"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val docs = spark.read.parquet(path)
+    val n = docs.count()
+    println(s"[scale] screen corpus rows = $n (${factor}x of $nBase)")
+
+    def timeWarm(name: String)(f: => Long): Unit = {
+      f
+      val t0 = System.nanoTime(); val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s warm, $rows rows out (${n / sec / 1e6}%.2f M docs/s)")
+    }
+
+    import graft.operators.TextAnalysis
+    timeWarm("composed HOF screen (gopherFlags + c4Signals + lang)")(
+      docs
+        .withColumn("lang_pred",
+          TextAnalysis.langIdFromStats(GraftFunctions.textStats(col("text"))))
+        .withColumn("g", TextAnalysis.gopherFlags(col("text")))
+        .withColumn("c", TextAnalysis.c4Signals(col("text"),
+          minLineWords = 3, minSentences = 2))
+        // replica word-suffixing erases lang markers — count the C4 side
+        .select(col("doc_id"), col("lang_pred"),
+          col("g.keep").as("gk"), col("c.keep").as("ck"))
+        .filter(col("ck"))
+        .count())
+    timeWarm("fused screen_flags kernel (same verdict surface)")(
+      graft.streaming.ScreenIngest.verdicts(docs)
+        .filter(col("c4_keep"))
+        .count())
   }
 
   def dedupProbe(factor: Int): Unit = {
