@@ -184,6 +184,43 @@ object OracleSqlGen {
        |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
   }
 
+  /** q94's oracle, GENERATED from the persisted classifier: replay the
+    * hashed unigram+bigram histogram (the q81 feature CTEs verbatim),
+    * densify per-doc bucket counts, and fold `w·h + b` as a strict left
+    * fold in bucket order — the Spark `aggregate(zip_with(...))`
+    * accumulation. Scores are logits (no `exp` — libm vs JVM last-ulp
+    * divergence), `pred = z > 0`. */
+  def qualityClassifierSql(weights: Array[Double], intercept: Double): String = {
+    val nb = weights.length
+    val wLit = s"[${weights.mkString(", ")}]"
+    val b = hexPrefixToBigint("md5(p.f)", 8)
+    s"""WITH feats AS (
+       |  SELECT doc_id, ts || CASE WHEN len(ts) >= 2 THEN
+       |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+       |    ELSE [] END AS fs
+       |  FROM (
+       |    SELECT doc_id, list_filter(
+       |      regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |      x -> x <> '') AS ts
+       |    FROM documents) t),
+       |fx AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(fs) + 1),
+       |    i -> struct_pack(rn := i, f := fs[i]))) AS p
+       |  FROM feats),
+       |fb AS (SELECT doc_id, ($b) % $nb AS bucket FROM fx),
+       |bs AS (SELECT doc_id, list(bucket) AS blist FROM fb GROUP BY doc_id),
+       |wt AS (SELECT $wLit AS w),
+       |z AS (
+       |  SELECT d.doc_id,
+       |    list_reduce(list_prepend(0.0, list_transform(range($nb),
+       |      i -> wt.w[i+1] * CAST(len(list_filter(coalesce(b.blist, []),
+       |        x -> x = i)) AS DOUBLE))),
+       |      (acc, t) -> acc + t) + $intercept AS zv
+       |  FROM documents d LEFT JOIN bs b USING (doc_id), wt)
+       |SELECT doc_id, round(zv, 4) AS score, zv > 0 AS pred
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
+
   /** q92's oracle: binary IVF replayed from the shared quantizer —
     * assignment, the inner-product centroid probe, and Hamming distance
     * as the count of sign-disagreeing dims (the q84 semantics) over the

@@ -1067,6 +1067,14 @@ object SparkEntry {
     (s.read.parquet(cpath), ivf, sq)
   }
 
+  /** Quality-classifier artifact cache, keyed on the documents table. */
+  private def qcCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x9c1aL ^
+        datasetFingerprint(s, s"$dir/documents.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-qc-$key"
+  }
+
   /** Binary-IVF codes cache, keyed like [[ivfSqCachePath]]; quantizer
     * shared with the IVF family. */
   private def bivfCachePath(s: SparkSession, dir: String): String = {
@@ -3319,6 +3327,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Trained quality classifier ([[QualityClassifier]]): the
+    * FineWeb-Edu-style learned filter — weak labels (here the language
+    * id), hashed-histogram features through the SHARED `dsir_buckets`
+    * kernel, MLlib logistic regression, logit scores. Oracle GENERATED
+    * from the persisted coefficients — hashing, histogram, dot and
+    * intercept all replayed. */
+  private def q94QualityScore(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val model = QualityClassifier.buildOrLoad(s, docs,
+      col("lang") === "en", s"${qcCachePath(s, dir)}/model.txt")
+    QualityClassifier.score(Dedup.spreadSmallInput(docs), model)
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("pred"))
+      .orderBy("doc_id")
+  }
+
   private val q93Sql = {
     def markers(l: String) =
       TextAnalysis.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -3619,6 +3643,7 @@ object SparkEntry {
     "q91_ivfsq_search" -> (q91IvfSqSearch _),
     "q92_bivf_search" -> (q92BivfSearch _),
     "q93_corpus_screen" -> (q93CorpusScreen _),
+    "q94_quality_score" -> (q94QualityScore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3702,7 +3727,7 @@ object SparkEntry {
     "q75_gopher_rules" -> q75Sql,
     "q76_repeated_paragraphs" -> q76Sql,
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
-    pcaOracleSqls ++ opqOracleSqls ++ ivfSqOracleSqls
+    pcaOracleSqls ++ opqOracleSqls ++ ivfSqOracleSqls ++ qcOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -3731,6 +3756,23 @@ object SparkEntry {
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       val books = flat.grouped(flat.length / m).toSeq
       Map("q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10))
+    }).getOrElse(Map.empty)
+
+  /** Quality-classifier oracle, generated from the coefficients q94's
+    * run just persisted — same lifecycle as [[pqOracleSqls]]. */
+  private def qcOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      path = java.nio.file.Paths.get(s"${qcCachePath(s, dir)}/model.txt")
+      if java.nio.file.Files.exists(path)
+      lines = java.nio.file.Files.readAllLines(path)
+      if lines.get(0).trim.toInt > 0
+    } yield {
+      val weights = lines.get(1).split(" ").map(_.toDouble)
+      val intercept = lines.get(2).toDouble
+      Map("q94_quality_score" ->
+        OracleSqlGen.qualityClassifierSql(weights, intercept))
     }).getOrElse(Map.empty)
 
   /** IVF-SQ8 oracle, generated from the shared quantizer + the residual
