@@ -184,6 +184,24 @@ object OracleSqlGen {
        |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
   }
 
+  /** q95's oracle, GENERATED from the persisted quantizer: cell
+    * assignment + the salted-md5 draw order per cell (`hashBucket`
+    * replayed as `substr(md5('salt:' || id), 1, 8)`), capped at
+    * `perCell`. */
+  def clusterSampleSql(cents: Seq[Array[Double]], perCell: Int,
+                       salt: String): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |ranked AS (
+       |  SELECT doc_id, cell_id,
+       |    row_number() OVER (PARTITION BY cell_id
+       |      ORDER BY substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8) ASC,
+       |        doc_id ASC) AS rnk
+       |  FROM __assigned)
+       |SELECT doc_id, CAST(cell_id AS BIGINT) AS cell_id,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $perCell
+       |ORDER BY doc_id""".stripMargin
+
   /** q94's oracle, GENERATED from the persisted classifier: replay the
     * hashed unigram+bigram histogram (the q81 feature CTEs verbatim),
     * densify per-doc bucket counts, and fold `w·h + b` as a strict left

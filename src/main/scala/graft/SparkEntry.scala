@@ -3343,6 +3343,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Cluster-balanced subsample ([[Sampling.clusterBalancedSample]]):
+    * ≤ 12 members per IVF cell, salted-md5 draw order — the
+    * diversity-preserving selection of cluster-pruning pipelines.
+    * Oracle GENERATED from the shared quantizer. */
+  private def q95ClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val (_, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    Sampling.clusterBalancedSample(emb, ivf, perCell = 12)
+      .orderBy("doc_id")
+  }
+
   private val q93Sql = {
     def markers(l: String) =
       TextAnalysis.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -3644,6 +3655,7 @@ object SparkEntry {
     "q92_bivf_search" -> (q92BivfSearch _),
     "q93_corpus_screen" -> (q93CorpusScreen _),
     "q94_quality_score" -> (q94QualityScore _),
+    "q95_cluster_sample" -> (q95ClusterSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3910,6 +3922,8 @@ object SparkEntry {
         "q87_knn_graph" -> OracleSqlGen.knnGraphSql(cents,
           k = 4, cap = SemanticDedup.DefaultMaxCellSize),
         "q92_bivf_search" -> OracleSqlGen.bivfSearchSql(cents,
-          k = 10, nprobe = 4))
+          k = 10, nprobe = 4),
+        "q95_cluster_sample" -> OracleSqlGen.clusterSampleSql(cents,
+          perCell = 12, salt = "balance"))
     }).getOrElse(Map.empty)
 }

@@ -105,6 +105,34 @@ object Sampling {
       .drop("__s")
   }
 
+  /** Cluster-balanced subsample: at most `perCell` members from each IVF
+    * cell of an embedding corpus — the diversity-preserving selection of
+    * cluster-based data-pruning pipelines (pick evenly across semantic
+    * clusters instead of letting dense modes dominate a uniform draw).
+    * Deterministic: within a cell, the salted-md5 draw order used by
+    * every sampler here (ties → lowest id), so the selection is
+    * reproducible and independent of partitioning.
+    *
+    * Scale: cell assignment is the codegen kernel; the per-cell
+    * row_number shuffles on `cell_id` once; output is ≤ ncells·perCell
+    * rows. The corpus text is NOT carried through the window — join the
+    * returned ids back when payloads are needed (the knnScores narrow
+    * contract). */
+  def clusterBalancedSample(emb: DataFrame, ivf: IvfIndex.Ivf, perCell: Int,
+                            idCol: String = "doc_id",
+                            embCol: String = "embedding",
+                            salt: String = "balance"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell_id")
+      .orderBy(hashBucket(col(idCol), salt).asc, col(idCol).asc)
+    IvfIndex.assign(emb, ivf, embCol)
+      .select(col(idCol), col("cell_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perCell)
+      .select(col(idCol), col("cell_id").cast("long").as("cell_id"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   def assignSplit(df: DataFrame, splits: Seq[(String, Double)],
                   keyCol: String = "doc_id",
                   salt: String = "split"): DataFrame = {

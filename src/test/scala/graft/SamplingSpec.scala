@@ -128,4 +128,48 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(wh.values.sum - 1.0) < 1e-12)
     intercept[IllegalArgumentException] { weights(-1.0) }
   }
+
+  test("cluster-balanced sample: per-cell quota, salted order, reproducible") {
+    import graft.operators.IvfIndex
+    val r = new scala.util.Random(1212)
+    val anchors = Array.fill(4)(Array.fill(8)(r.nextGaussian().toFloat * 4f))
+    // skewed cells: cluster 0 has 4x the members of the others
+    val data = (0 until 500).map { i =>
+      val c = if (i % 8 < 5) 0 else i % 4
+      (i.toLong, anchors(c).map(x => x + r.nextGaussian().toFloat * 0.05f))
+    }
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 4)
+    val got = Sampling.clusterBalancedSample(docs, ivf, perCell = 7)
+      .as[(Long, Long, Long)].collect()
+    // quota per cell; rnk dense from 1
+    got.groupBy(_._2).foreach { case (cell, rows) =>
+      assert(rows.length <= 7, s"cell $cell over quota")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // every trained cell with members contributes (balance, not a skew echo)
+    val cellSizes = withCells.groupBy("cell_id").count()
+      .as[(Int, Long)].collect().toMap
+    cellSizes.foreach { case (cell, size) =>
+      val picked = got.count(_._2 == cell)
+      assert(picked == math.min(size, 7L), s"cell $cell picked $picked of $size")
+    }
+    // deterministic draw: selection matches the salted-md5 order replay
+    val byCell = withCells.select("doc_id", "cell_id")
+      .as[(Long, Int)].collect().groupBy(_._2)
+    def bucket(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"balance:$id".getBytes("UTF-8"))
+      md.map("%02x".format(_)).mkString.substring(0, 8)
+    }
+    byCell.foreach { case (cell, members) =>
+      val expect = members.map(_._1).sortBy(id => (bucket(id), id)).take(7).toSet
+      val gotIds = got.filter(_._2 == cell).map(_._1).toSet
+      assert(gotIds == expect, s"cell $cell selection diverged from hash order")
+    }
+    // reproducible across runs
+    val again = Sampling.clusterBalancedSample(docs, ivf, perCell = 7)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
 }
