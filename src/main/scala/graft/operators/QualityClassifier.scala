@@ -69,7 +69,11 @@ object QualityClassifier {
       zip_with(GraftFunctions.dsirBuckets(col(textCol), lit(model.buckets)),
         w, (c, wi) => c.cast("double") * wi),
       lit(0.0), (acc, x) => acc + x) + lit(model.intercept)
-    docs.select(col(idCol), z.as("score"), (z > 0.0).as("pred"))
+    // two-step select: `pred` derives from the materialized score column,
+    // so the fold (an interpreted HOF — no cross-expression CSE) runs
+    // once per row, not once per output column
+    docs.select(col(idCol), z.as("score"))
+      .withColumn("pred", col("score") > 0.0)
   }
 
   def save(spark: SparkSession, model: Model, path: String): Unit = {
