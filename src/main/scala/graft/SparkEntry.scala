@@ -3354,6 +3354,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** JSONL round trip ([[graft.sources.JsonlIngest]]): the documents
+    * table written as gzip JSONL shards and read back with an enforced
+    * schema — output must be BYTE-IDENTICAL to the parquet source of
+    * truth (md5 over text), which gates the writer's JSON escaping and
+    * the reader's decoding in one identity oracle. */
+  private def q96JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x150ca1L ^
+        datasetFingerprint(s, s"$dir/documents.parquet"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-$key"
+    val docs = t(s, dir, "documents")
+    if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS"))
+      graft.sources.JsonlIngest.writeJsonl(docs, path)
+    graft.sources.JsonlIngest
+      .readJsonlStrict(s, path, docs.schema)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val q96Sql =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private val q93Sql = {
     def markers(l: String) =
       TextAnalysis.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -3656,6 +3680,7 @@ object SparkEntry {
     "q93_corpus_screen" -> (q93CorpusScreen _),
     "q94_quality_score" -> (q94QualityScore _),
     "q95_cluster_sample" -> (q95ClusterSample _),
+    "q96_jsonl_roundtrip" -> (q96JsonlRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3732,6 +3757,7 @@ object SparkEntry {
     "q85_range_search" -> q85Sql,
     "q89_binary_recall" -> q89Sql,
     "q93_corpus_screen" -> q93Sql,
+    "q96_jsonl_roundtrip" -> q96Sql,
     "q71_keep_best" -> q71Sql,
     "q72_mix_weights" -> q72Sql,
     "q73_url_dedup" -> q73Sql,
