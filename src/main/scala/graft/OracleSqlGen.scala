@@ -83,6 +83,33 @@ object OracleSqlGen {
     * `nearest_centroid_f32`, so near-tie assignments cannot diverge.
     * Produces `__cents(cell_id, c)` and `__assigned(doc_id, embedding,
     * cell_id)`. */
+  /** Strict double left fold of the element products of two FLOAT[]
+    * lists — the engine's `dot_f32` accumulation (sequential double adds
+    * in index order). DuckDB's `list_dot_product` on FLOAT[] accumulates
+    * in float32, which can shift `round(·,4)`, flip near-tie rankings,
+    * and move rows across a range-search threshold; every generated
+    * oracle that filters/ranks on a dot product must use this form. */
+  def dotFold(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       |      list_transform(list_zip($a, $b),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+       |      (acc, t) -> acc + t)""".stripMargin
+
+  /** The shared >64-d widening of the 64-d testdata embeddings: `blocks`
+    * rotated copies of each vector concatenated into one
+    * `blocks × dim`-d FLOAT[] (block j element i = `embedding[(i+j) %
+    * dim]`). Pure element re-indexing — no float arithmetic — so the
+    * Spark-side widening replays bit-exactly and the binary/range
+    * queries get gated at the reference's 768-d instead of the
+    * testdata's 64 (the reference embeds at 768-d,
+    * `components/core/embedding_service.py:46-55`). */
+  def wideCte(blocks: Int = 12, dim: Int = 64): String =
+    s"""__wide AS (
+       |  SELECT vec_id, flatten(list_transform(range(0, $blocks), j ->
+       |    list_transform(range(0, $dim), i ->
+       |      embedding[((i + j) % $dim) + 1]))) AS embedding
+       |  FROM embeddings)""".stripMargin
+
   def ivfAssignCtes(cents: Seq[Array[Double]]): String = {
     val values = cents.zipWithIndex
       .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
@@ -243,17 +270,22 @@ object OracleSqlGen {
     * assignment, the inner-product centroid probe, and Hamming distance
     * as the count of sign-disagreeing dims (the q84 semantics) over the
     * probed cells only. */
+  /** q92's oracle: cells assigned on the ORIGINAL 64-d embeddings (the
+    * shared quantizer), Hamming replayed over the widened >64-d vectors
+    * ([[wideCte]]) — the binary codes pack ALL d sign bits. */
   def bivfSearchSql(cents: Seq[Array[Double]], k: Int, nprobe: Int): String =
     s"""WITH ${ivfAssignCtes(cents)},
+       |${wideCte()},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qw AS (SELECT embedding AS qe FROM __wide WHERE vec_id = 0),
        |probe AS (
        |  SELECT c.cell_id, row_number() OVER (
        |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
        |  FROM __cents c, q)
        |SELECT a.doc_id, CAST(a.cell_id AS BIGINT) AS cell_id,
-       |  CAST(len(list_filter(range(least(len(a.embedding), 64)),
-       |    i -> (a.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
-       |FROM __assigned a, q
+       |  CAST(len(list_filter(range(len(w.embedding)),
+       |    i -> (w.embedding[i+1] > 0) != (qw.qe[i+1] > 0))) AS BIGINT) AS hamming
+       |FROM __assigned a JOIN __wide w ON a.doc_id = w.vec_id, qw
        |WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)
        |ORDER BY hamming, a.doc_id
        |LIMIT $k""".stripMargin
@@ -407,10 +439,10 @@ object OracleSqlGen {
        |        (acc, t) -> acc + t) AS FLOAT)) AS y
        |  FROM embeddings e, p),
        |q AS (SELECT y AS qy FROM proj WHERE vec_id = 0)
-       |SELECT pr.vec_id, round(list_dot_product(pr.y, q.qy), 4) AS score
+       |SELECT pr.vec_id, round(${dotFold("pr.y", "q.qy")}, 4) AS score
        |FROM proj pr, q
        |WHERE pr.vec_id <> 0
-       |ORDER BY list_dot_product(pr.y, q.qy) DESC, pr.vec_id
+       |ORDER BY ${dotFold("pr.y", "q.qy")} DESC, pr.vec_id
        |LIMIT $k""".stripMargin
   }
 

@@ -922,7 +922,7 @@ object ScaleProbe {
     * number to the speedup). */
   /** Binary-code + PCA probe over the replicated corpus: the two
     * remaining compression points against the float-exact scan —
-    * 1-bit/dim Hamming candidates (8 B/row) and the 16-dim PCA
+    * 1-bit/dim Hamming candidates (d/8 B/row) and the 16-dim PCA
     * projection (64 B/row) — timed warm, with id-overlap recall vs
     * exact (same duplicate-set caveat as the PQ probe). */
   def binaryProbe(factor: Int): Unit = {
@@ -952,7 +952,7 @@ object ScaleProbe {
     val n = corpus.count()
     println(s"[scale] binary corpus rows = $n (${factor}x of $nBase)")
 
-    val binPath = s"/tmp/graft-bin-scale-${factor}x"
+    val binPath = s"/tmp/graft-binw-scale-${factor}x" // word-array codes (post-64-d-clamp removal)
     if (!parquetComplete(spark, binPath)) {
       val t0 = System.nanoTime()
       graft.operators.BinaryIndex.encode(corpus)
@@ -977,7 +977,7 @@ object ScaleProbe {
       .select("embedding").collect()(0).getSeq[Float](0).toArray
     val qCode = graft.operators.BinaryIndex
       .encode(base.filter(col("vec_id") === 0), idCol = "vec_id")
-      .select("code").as[Long].head()
+      .select("code").as[Array[Long]].head()
 
     def timeWarm(name: String)(f: => Unit): Unit = {
       f; f
@@ -987,7 +987,7 @@ object ScaleProbe {
     }
     timeWarm("exact dot top-10 (float scan, narrow)")(
       VectorSearch.knnScores(corpus, qVec, 10).collect())
-    timeWarm("binary hamming top-100 (8 B/row scan)")(
+    timeWarm("binary hamming top-100 (d/8 B/row scan)")(
       graft.operators.BinaryIndex.searchHamming(codes, qCode, 100).collect())
     timeWarm("pca-16 dot top-10 (projected scan)")(
       graft.operators.PcaTransform.search(projected, pca, qVec, 10).collect())

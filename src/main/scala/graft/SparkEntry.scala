@@ -4,7 +4,7 @@ import graft.functions.GraftFunctions
 import graft.operators._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
   *
@@ -1076,22 +1076,46 @@ object SparkEntry {
   }
 
   /** Binary-IVF codes cache, keyed like [[ivfSqCachePath]]; quantizer
-    * shared with the IVF family. */
+    * shared with the IVF family. (Salt bumped when the code column went
+    * from one clamped BIGINT to the full-width `array<bigint>`.) */
   private def bivfCachePath(s: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
-      (dir.hashCode.toLong * 1000003L) ^ 0xb1f0L ^
+      (dir.hashCode.toLong * 1000003L) ^ 0xb1f1L ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
     s"${System.getProperty("java.io.tmpdir")}/graft-bivf-$key"
   }
 
+  /** The binary family's gate corpus is the WIDENED 768-d view
+    * ([[widenEmb]]): blocks of rotated copies of the 64-d testdata
+    * vectors, so the multi-word packing (12 words/row, the reference's
+    * embedding dimension) sits under the oracle — cells still come from
+    * the shared 64-d quantizer, exactly the posture of an IVF built on a
+    * reduced front with full-width codes behind it. */
+  private[graft] val wideBlocks = 12
+
+  /** Deterministic 768-d widening of a 64-d embedding column: block j
+    * element i = `embedding[(i + j) % 64]` — pure re-indexing, no float
+    * arithmetic, so the DuckDB replay ([[OracleSqlGen.wideCte]]) is
+    * bit-exact. */
+  private[graft] def widenEmb(emb: Column): Column =
+    flatten(transform(sequence(lit(0), lit(wideBlocks - 1)), j =>
+      transform(sequence(lit(0), lit(63)), i =>
+        element_at(emb, ((i + j) % 64) + 1))))
+
+  /** Driver-side [[widenEmb]] (query-vector path). */
+  private[graft] def widenVec(v: Array[Float]): Array[Float] =
+    Array.tabulate(wideBlocks * v.length)(e => v((e % v.length + e / v.length) % v.length))
+
   /** Build-or-load the binary-IVF index: shared quantizer + the
-    * cell-partitioned 8 B/row sign-codes corpus. */
+    * cell-partitioned sign-codes corpus (d/8 B/row — 96 B at the widened
+    * 768-d). */
   private[graft] def bivfCorpus(s: SparkSession, dir: String)
       : (DataFrame, IvfIndex.Ivf) = {
     val (withCells, ivf) = ivfCorpus(s, dir)
     val cpath = s"${bivfCachePath(s, dir)}/corpus"
     if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
-      BinaryIndex.encodeIvf(withCells)
+      BinaryIndex.encodeIvf(
+          withCells.withColumn("embedding", widenEmb(col("embedding"))))
         .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
     (s.read.parquet(cpath), ivf)
   }
@@ -3145,26 +3169,30 @@ object SparkEntry {
   }
 
   /** Binary Hamming search ([[BinaryIndex]]): FAISS `IndexBinaryFlat`
-    * over sign-packed 64-bit codes (the `IndexLSH` zero-threshold
-    * binarizer, faiss/IndexLSH.cpp). The oracle replays the SEMANTICS —
-    * Hamming distance = count of sign-disagreeing dimensions — while the
-    * engine runs the packed `bit_count(xor)` kernel, so the bit-packing
-    * itself sits under the gate. */
+    * over sign-packed multi-word codes (the `IndexLSH` zero-threshold
+    * binarizer, faiss/IndexLSH.cpp), run at the reference's 768-d via
+    * the widened corpus ([[widenEmb]] — 12 words/row, ALL d bits
+    * packed). The oracle replays the SEMANTICS — Hamming distance =
+    * count of sign-disagreeing dimensions over the full width — while
+    * the engine runs the packed per-word `bitCount(xor)` kernel, so the
+    * multi-word bit-packing itself sits under the gate. */
   private def q84BinarySearch(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
     val qCode = BinaryIndex.encode(emb.filter(col("vec_id") === 0), idCol = "vec_id")
-      .select("code").collect()(0).getLong(0)
+      .select("code").collect()(0).getSeq[Long](0).toArray
     BinaryIndex.searchHamming(
       BinaryIndex.encode(emb.filter(col("vec_id") =!= 0), idCol = "vec_id"),
       qCode, 10, idCol = "vec_id")
   }
 
   private val q84Sql =
-    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |q AS (SELECT embedding AS qe FROM __wide WHERE vec_id = 0)
       |SELECT e.vec_id,
-      |  CAST(len(list_filter(range(least(len(e.embedding), 64)),
+      |  CAST(len(list_filter(range(len(e.embedding)),
       |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
-      |FROM embeddings e, q
+      |FROM __wide e, q
       |WHERE e.vec_id <> 0
       |ORDER BY hamming, e.vec_id
       |LIMIT 10""".stripMargin
@@ -3175,13 +3203,19 @@ object SparkEntry {
     * (FAISS `lims`) are one groupBy away. */
   private def q85RangeSearch(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
+    // Widened 768-d corpus ([[widenEmb]]); the radius scales with the 12
+    // rotation blocks (dot over the widened pair ≈ 12× the 64-d dot).
+    // Sort on the UNROUNDED score, then project the rounded one — the
+    // oracle ranks on its exact fold, and round(·,4) near-ties must not
+    // reorder rows across the two engines.
     val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
     val queries = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     VectorSearch.rangeSearchBatch(queries, emb.filter(col("vec_id") >= 8),
-        minScore = 0.2, idCol = "vec_id")
-      .select(col("query_id"), col("vec_id"), round(col("score"), 4).as("score"))
+        minScore = 2.4, idCol = "vec_id")
       .orderBy(col("query_id"), desc("score"), col("vec_id"))
+      .select(col("query_id"), col("vec_id"), round(col("score"), 4).as("score"))
   }
 
   /** PCA-reduced search ([[PcaTransform]]): FAISS `PCAMatrix` 64→16 in
@@ -3232,7 +3266,10 @@ object SparkEntry {
   private def q89BinaryRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
-    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    // Both arms run over the widened 768-d view ([[widenEmb]]): the
+    // exact float top-10 and the 12-word Hamming top-100 candidates.
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), widenEmb(col("embedding")).as("embedding"))
     val corpus = emb.filter(col("doc_id") >= 8)
     val queries = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
@@ -3276,13 +3313,15 @@ object SparkEntry {
 
   /** Binary IVF search ([[BinaryIndex.searchIvfHamming]]): FAISS
     * `IndexBinaryIVF` (`BIVF<nlist>`) under the engine's SHARED coarse
-    * quantizer — probed cells only, 8 B/row Hamming scan with partition
+    * quantizer — probed cells only, d/8 B/row Hamming scan with partition
     * pruning. Oracle GENERATED from the quantizer. */
   private def q92BivfSearch(s: SparkSession, dir: String): DataFrame = {
     val (encoded, ivf) = bivfCorpus(s, dir)
     val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
-    BinaryIndex.searchIvfHamming(encoded, ivf, qVec, k = 10, nprobe = 4)
+    // Probe on the 64-d quantizer vector; match on the widened 768-d code.
+    BinaryIndex.searchIvfHamming(encoded, ivf, qVec, k = 10, nprobe = 4,
+        queryCode = BinaryIndex.packOne(widenVec(qVec)))
       .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
         col("hamming"))
   }
@@ -3469,23 +3508,22 @@ object SparkEntry {
   }
 
   private val q89Sql =
-    """WITH qs AS (SELECT vec_id AS query_id, embedding AS qe
-      |           FROM embeddings WHERE vec_id < 8),
-      |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |qs AS (SELECT vec_id AS query_id, embedding AS qe
+      |       FROM __wide WHERE vec_id < 8),
+      |corpus AS (SELECT vec_id, embedding FROM __wide WHERE vec_id >= 8),
       |exact AS (
       |  SELECT query_id, vec_id FROM (
       |    SELECT q.query_id, c.vec_id,
       |      row_number() OVER (PARTITION BY q.query_id
-      |        ORDER BY list_reduce(list_prepend(0.0,
-      |          list_transform(list_zip(c.embedding, q.qe),
-      |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
-      |          (acc, t) -> acc + t) DESC, c.vec_id ASC) AS rn
+      |        ORDER BY ${OracleSqlGen.dotFold("c.embedding", "q.qe")}
+      |          DESC, c.vec_id ASC) AS rn
       |    FROM corpus c CROSS JOIN qs q) WHERE rn <= 10),
       |ham AS (
       |  SELECT query_id, vec_id FROM (
       |    SELECT q.query_id, c.vec_id,
       |      row_number() OVER (PARTITION BY q.query_id
-      |        ORDER BY len(list_filter(range(least(len(c.embedding), 64)),
+      |        ORDER BY len(list_filter(range(len(c.embedding)),
       |          i -> (c.embedding[i+1] > 0) != (q.qe[i+1] > 0))) ASC,
       |          c.vec_id ASC) AS rn
       |    FROM corpus c CROSS JOIN qs q) WHERE rn <= 100),
@@ -3499,14 +3537,22 @@ object SparkEntry {
       |FROM (SELECT DISTINCT query_id FROM qs) q LEFT JOIN ov USING (query_id)
       |ORDER BY query_id""".stripMargin
 
+  // Strict double fold, NOT list_dot_product: DuckDB's FLOAT[] overload
+  // accumulates in float32, which can move rows across the radius and
+  // flip near-tie orderings vs the engine's double-accumulating dot_f32.
   private val q85Sql =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-      |           FROM embeddings WHERE vec_id < 4)
-      |SELECT query_id, e.vec_id,
-      |  round(list_dot_product(e.embedding, q.qe), 4) AS score
-      |FROM embeddings e, q
-      |WHERE e.vec_id >= 8 AND list_dot_product(e.embedding, q.qe) >= 0.2
-      |ORDER BY query_id, list_dot_product(e.embedding, q.qe) DESC, e.vec_id""".stripMargin
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |q AS (SELECT vec_id AS query_id, embedding AS qe
+      |      FROM __wide WHERE vec_id < 4),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS s
+      |  FROM __wide e, q
+      |  WHERE e.vec_id >= 8)
+      |SELECT query_id, vec_id, round(s, 4) AS score
+      |FROM scored
+      |WHERE s >= 2.4
+      |ORDER BY query_id, s DESC, vec_id""".stripMargin
 
   /** SemDeDup (`SemanticDedup.resolve`): embedding-space dedup over the
     * SHARED IVF coarse quantizer — cell-blocked cosine pairs, component

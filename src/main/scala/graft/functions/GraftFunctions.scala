@@ -65,7 +65,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "dsir_buckets", exprs => DsirBucketCounts(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      "sign_pack64", exprs => SignPackF32(exprs.head), "built-in")
+      "sign_pack", exprs => SignPackF32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hamming_words", exprs => HammingWords(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "pca_project_f32",
       exprs => PcaProjectF32(exprs(0), exprs(1), exprs(2)), "built-in")
@@ -128,8 +130,12 @@ object GraftFunctions {
   def adcLutCells(codes: Column, cellId: Column, luts: Column): Column =
     call_function("adc_lut_cells", codes, cellId, luts)
 
-  /** Sign-binarize an `array<float>` into a packed 64-bit binary code. */
-  def signPack64(emb: Column): Column = call_function("sign_pack64", emb)
+  /** Sign-binarize an `array<float>` into ⌈d/64⌉ packed 64-bit words. */
+  def signPack(emb: Column): Column = call_function("sign_pack", emb)
+
+  /** Hamming distance between two `array<bigint>` packed codes. */
+  def hammingWords(a: Column, b: Column): Column =
+    call_function("hamming_words", a, b)
 
   /** PCA-project an `array<float>` against (mean, components) literals. */
   def pcaProjectF32(emb: Column, mean: Column, comps: Column): Column =

@@ -638,50 +638,137 @@ case class PcaProjectF32(first: Expression, second: Expression, third: Expressio
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
-/** Sign-binarize a float vector into a packed 64-bit binary code: bit `i`
-  * is set iff `vec(i) > 0`, for `i < min(dim, 64)`. This is the FAISS
-  * `IndexLSH` binarization with the default zero thresholds and no
-  * rotation (faiss/IndexLSH.cpp `fvecs2bitvecs`), producing the input
-  * representation of the binary index family (`IndexBinaryFlat`). One
-  * BIGINT per vector = 8 bytes against the 64-dim float corpus's 256 — a
-  * 32× scan-size reduction for Hamming-distance candidate generation.
+/** Sign-binarize a float vector into a packed binary code of ⌈d/64⌉
+  * 64-bit words: bit `i % 64` of word `i / 64` is set iff `vec(i) > 0`.
+  * This is the FAISS `IndexLSH` binarization with the default zero
+  * thresholds and no rotation (faiss/IndexLSH.cpp `fvecs2bitvecs`),
+  * producing the input representation of the binary index family
+  * (`IndexBinaryFlat`), which packs ALL d bits (d/8 bytes per code —
+  * the reference's 768-d vectors become 12 words = 96 B against 3 KB of
+  * floats, the same 32× scan-size reduction at any dimension).
   *
-  * Dims past 64 are ignored by design (one word); the engine's corpus is
-  * 64-d so the code covers every dimension. Hamming distance between two
-  * codes is plain `bit_count(a ^ b)` — built-in, codegen'd, no custom
-  * kernel needed on the search side.
+  * Hamming distance between two codes is the summed per-word
+  * `Long.bitCount(a ^ b)` — the [[HammingWords]] kernel.
   */
 case class SignPackF32(child: Expression)
     extends UnaryExpression {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "sign_pack64"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_pack"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), 64)
-    var code = 0L
+    val n = x.numElements()
+    val words = new Array[Long]((n + 63) >>> 6)
     var i = 0
-    while (i < n) { if (x.getFloat(i) > 0f) code |= (1L << i); i += 1 }
-    code
+    while (i < n) {
+      if (x.getFloat(i) > 0f) words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new GenericArrayData(words)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
-      val code = ctx.freshName("code")
+      val words = ctx.freshName("words")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), 64);
-         |long $code = 0L;
+         |int $n = $a.numElements();
+         |long[] $words = new long[($n + 63) >>> 6];
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getFloat($i) > 0f) $code |= (1L << $i);
+         |  if ($a.getFloat($i) > 0f) $words[$i >>> 6] |= (1L << ($i & 63));
          |}
-         |${ev.value} = $code;
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($words);
        """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): SignPackF32 =
     copy(child = newChild)
+}
+
+/** Hamming distance between two multi-word binary codes
+  * (`array<bigint>` from [[SignPackF32]]): summed `Long.bitCount(a ^ b)`
+  * per word, with the shorter code zero-extended (a missing word
+  * contributes the longer code's set bits — the sign pattern of absent
+  * dims vs present ones). The query side of a scan is a foldable
+  * literal, baked into the generated class as a primitive `long[]` (the
+  * [[VecCodegen]] posture — `GenericArrayData.getLong` boxing would
+  * dominate an 8–96 B/row kernel).
+  */
+case class HammingWords(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_words"
+
+  @transient private lazy val rightLit: Option[Array[Long]] = right match {
+    case Literal(v: ArrayData, ArrayType(LongType, _)) if v != null =>
+      Some(v.toLongArray())
+    case _ => None
+  }
+
+  private def dist(x: ArrayData, nx: Int, q: Array[Long]): Long = {
+    var d = 0L
+    var i = 0
+    val shared = math.min(nx, q.length)
+    while (i < shared) { d += java.lang.Long.bitCount(x.getLong(i) ^ q(i)); i += 1 }
+    while (i < nx) { d += java.lang.Long.bitCount(x.getLong(i)); i += 1 }
+    while (i < q.length) { d += java.lang.Long.bitCount(q(i)); i += 1 }
+    d
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    rightLit match {
+      case Some(q) => dist(x, x.numElements(), q)
+      case None =>
+        val y = b.asInstanceOf[ArrayData]
+        dist(x, x.numElements(), y.toLongArray())
+    }
+  }
+
+  private def genLoop(a: String, bArr: String, bLen: String,
+                      ctx: CodegenContext): (String, String) = {
+    val n = ctx.freshName("n")
+    val shared = ctx.freshName("shared")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    (s"""
+        |int $n = $a.numElements();
+        |int $shared = java.lang.Math.min($n, $bLen);
+        |long $d = 0L;
+        |int $i = 0;
+        |for (; $i < $shared; $i++) {
+        |  $d += java.lang.Long.bitCount($a.getLong($i) ^ $bArr[$i]);
+        |}
+        |for (; $i < $n; $i++) { $d += java.lang.Long.bitCount($a.getLong($i)); }
+        |for (; $i < $bLen; $i++) { $d += java.lang.Long.bitCount($bArr[$i]); }
+     """.stripMargin, d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    rightLit match {
+      case Some(q) =>
+        val ref = ctx.addReferenceObj("queryCode", q, "long[]")
+        nullSafeCodeGen(ctx, ev, (a, _) => {
+          val (loop, d) = genLoop(a, ref, s"$ref.length", ctx)
+          s"$loop\n${ev.value} = $d;"
+        })
+      case None =>
+        nullSafeCodeGen(ctx, ev, (a, b) => {
+          val arr = ctx.freshName("qw")
+          val (loop, d) = genLoop(a, arr, s"$arr.length", ctx)
+          s"""
+             |long[] $arr = $b.toLongArray();
+             |$loop
+             |${ev.value} = $d;
+           """.stripMargin
+        })
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingWords =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Euclidean norm of a float vector. */

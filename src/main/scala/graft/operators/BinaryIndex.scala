@@ -8,20 +8,22 @@ import org.apache.spark.sql.functions._
 /** Binary (Hamming) vector index — FAISS's binary index family
   * (`IndexBinaryFlat`) fed by the `IndexLSH` sign binarizer with zero
   * thresholds and no rotation (faiss/IndexLSH.cpp, faiss/IndexBinaryFlat.cpp):
-  * each vector becomes one packed 64-bit code (bit i ⇔ component i > 0),
-  * and search ranks by Hamming distance.
+  * each vector becomes a packed code of ⌈d/64⌉ 64-bit words (bit
+  * `i % 64` of word `i / 64` ⇔ component i > 0) — ALL d dims, matching
+  * FAISS's d/8-byte codes — and search ranks by Hamming distance.
   *
   * This is the cheapest point of the engine's compression family
-  * (float32 exact → SQ8 4× → PQ8 32× → binary 32× with 1-bit dims): one
-  * BIGINT per vector, so a 100 TB float corpus's candidate scan touches
-  * ~3 TB of codes — and the per-row kernel is a single `XOR` +
-  * `POPCOUNT`, both Spark built-ins (`bit_count(a ^ b)`) inside
-  * whole-stage codegen. No custom scan expression, no shuffle:
+  * (float32 exact → SQ8 4× → PQ8 32× → binary 32× with 1-bit dims):
+  * d/8 bytes per vector (a 768-d corpus packs to 96 B/row, so a 100 TB
+  * float corpus's candidate scan touches ~3 TB of codes) — and the
+  * per-row kernel is a per-word `XOR` + `POPCOUNT` loop
+  * ([[graft.functions.HammingWords]], whole-stage codegen with the
+  * query code baked in as a primitive `long[]`). No shuffle:
   *  - ENCODE is the codegen'd [[graft.functions.SignPackF32]] — a narrow
   *    per-row map producing `(id, code)`; the codes table is the
-  *    persistable index artifact (8 B/row parquet, trivially
+  *    persistable index artifact (d/8 B/row parquet, trivially
   *    re-derivable, no training state).
-  *  - SEARCH is scan + `bit_count(xor)` + zero-shuffle TakeOrdered
+  *  - SEARCH is scan + `hamming_words` + zero-shuffle TakeOrdered
   *    top-k (ascending distance, id tiebreak — the engine-wide total
   *    order). Batch form broadcasts the query codes and ranks per query
   *    with one window over ≤ n_queries × n_corpus narrow (id, dist)
@@ -34,34 +36,41 @@ import org.apache.spark.sql.functions._
 object BinaryIndex {
 
   /** Sign-binarize a float-vector corpus into `(idCol, code)`. The code
-    * column is the binary index: persist it as parquet (or keep it as a
-    * projection — encode is cheaper than a parquet round-trip for
-    * single-shot queries). */
+    * column (`array<bigint>`, ⌈d/64⌉ words) is the binary index: persist
+    * it as parquet (or keep it as a projection — encode is cheaper than
+    * a parquet round-trip for single-shot queries). */
   def encode(corpus: DataFrame, embCol: String = "embedding",
              idCol: String = "doc_id"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    corpus.select(col(idCol), GraftFunctions.signPack64(col(embCol)).as("code"))
+    corpus.select(col(idCol), GraftFunctions.signPack(col(embCol)).as("code"))
   }
 
   /** Driver-side single-vector sign pack (query path) — the exact bit
     * rule the codegen kernel applies per row. */
-  def packOne(v: Array[Float]): Long = {
-    var code = 0L
+  def packOne(v: Array[Float]): Array[Long] = {
+    val words = new Array[Long]((v.length + 63) >>> 6)
     var i = 0
-    val n = math.min(v.length, 64)
-    while (i < n) { if (v(i) > 0f) code |= (1L << i); i += 1 }
-    code
+    while (i < v.length) {
+      if (v(i) > 0f) words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    words
   }
 
   /** Single-query Hamming top-k over a codes table: `(idCol, hamming)`
-    * ascending, id tiebreak. Zero shuffle (TakeOrderedAndProject). */
-  def searchHamming(codes: DataFrame, queryCode: Long, k: Int,
-                    idCol: String = "doc_id", codeCol: String = "code"): DataFrame =
+    * ascending, id tiebreak. Zero shuffle (TakeOrderedAndProject); the
+    * query code is a foldable literal, so the kernel runs against a
+    * baked-in primitive `long[]`. */
+  def searchHamming(codes: DataFrame, queryCode: Array[Long], k: Int,
+                    idCol: String = "doc_id", codeCol: String = "code"): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
     codes
       .select(col(idCol),
-        bit_count(col(codeCol).bitwiseXOR(lit(queryCode))).cast("long").as("hamming"))
+        GraftFunctions.hammingWords(col(codeCol),
+          typedlit(queryCode)).as("hamming"))
       .orderBy(col("hamming").asc, col(idCol).asc)
       .limit(k)
+  }
 
   /** Batch Hamming top-k: broadcast the (small) query-code set, score in
     * one codegen stage, rank per query. Ascending-distance analog of
@@ -72,12 +81,13 @@ object BinaryIndex {
                          idCol: String = "doc_id", codeCol: String = "code",
                          queryIdCol: String = "query_id",
                          queryCodeCol: String = "q_code"): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
     val q = queries.select(col(queryIdCol), col(queryCodeCol))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("hamming").asc, col(idCol).asc)
     codes.crossJoin(broadcast(q))
       .withColumn("hamming",
-        bit_count(col(codeCol).bitwiseXOR(col(queryCodeCol))).cast("long"))
+        GraftFunctions.hammingWords(col(codeCol), col(queryCodeCol)))
       .withColumn("doc_rank", row_number().over(w))
       .filter(col("doc_rank") <= k)
       .drop(queryCodeCol)
@@ -95,23 +105,30 @@ object BinaryIndex {
                 idCol: String = "doc_id"): DataFrame = {
     GraftFunctions.register(withCells.sparkSession)
     withCells.select(col(idCol), col("cell_id"),
-      GraftFunctions.signPack64(col(embCol)).as("code"))
+      GraftFunctions.signPack(col(embCol)).as("code"))
   }
 
   /** Probed Hamming top-k over a cell-partitioned codes corpus: the
     * query probes `nprobe` cells by centroid inner product (the shared
     * [[IvfIndex.probeCells]] rule), and only those partitions are
-    * scanned — 8 B/row over nprobe/nlist of the corpus. */
+    * scanned — d/8 B/row over nprobe/nlist of the corpus. The probe
+    * vector lives in the QUANTIZER's space and the packed code in the
+    * CODES' space — they coincide for a plain BIVF index, but diverge
+    * when a reduced front feeds the coarse quantizer while the codes
+    * pack the full-width vectors (pass `queryCode` explicitly then). */
   def searchIvfHamming(encoded: DataFrame, ivf: IvfIndex.Ivf,
                        queryVec: Array[Float], k: Int, nprobe: Int,
                        idCol: String = "doc_id",
-                       codeCol: String = "code"): DataFrame = {
+                       codeCol: String = "code",
+                       queryCode: Array[Long] = null): DataFrame = {
+    GraftFunctions.register(encoded.sparkSession)
     val probed = IvfIndex.probeCells(ivf, queryVec, nprobe)
+    val qCode = if (queryCode == null) packOne(queryVec) else queryCode
     encoded
       .filter(col("cell_id").isin(probed: _*))
       .select(col(idCol), col("cell_id"),
-        bit_count(col(codeCol).bitwiseXOR(lit(packOne(queryVec))))
-          .cast("long").as("hamming"))
+        GraftFunctions.hammingWords(col(codeCol),
+          typedlit(qCode)).as("hamming"))
       .orderBy(col("hamming").asc, col(idCol).asc)
       .limit(k)
   }
@@ -120,11 +137,14 @@ object BinaryIndex {
     * within `maxDist` bits of the query, unranked semantics but emitted
     * in the engine's total order. Pure scan + filter — the predicate is
     * codegen'd and the output is the matching slice only. */
-  def rangeHamming(codes: DataFrame, queryCode: Long, maxDist: Int,
-                   idCol: String = "doc_id", codeCol: String = "code"): DataFrame =
+  def rangeHamming(codes: DataFrame, queryCode: Array[Long], maxDist: Int,
+                   idCol: String = "doc_id", codeCol: String = "code"): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
     codes
       .select(col(idCol),
-        bit_count(col(codeCol).bitwiseXOR(lit(queryCode))).cast("long").as("hamming"))
+        GraftFunctions.hammingWords(col(codeCol),
+          typedlit(queryCode)).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .orderBy(col("hamming").asc, col(idCol).asc)
+  }
 }

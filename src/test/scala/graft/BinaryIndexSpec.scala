@@ -13,74 +13,98 @@ class BinaryIndexSpec extends AnyFunSuite {
     (0 until n).map(i => (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat)))
   }
 
-  private def signCode(v: Array[Float]): Long = {
-    var code = 0L
-    v.take(64).zipWithIndex.foreach { case (x, i) => if (x > 0f) code |= (1L << i) }
-    code
-  }
+  /** Sign-disagreement count over the FULL width — the semantic truth
+    * the packed kernel must reproduce at any dimension. */
+  private def bruteHamming(a: Array[Float], b: Array[Float]): Long =
+    a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }.toLong
 
-  test("encode packs sign bits exactly, including bit 63 (negative long)") {
+  test("encode packs sign bits exactly, including bit 63 (negative long word)") {
     val v = Array.fill(64)(-1f)
     v(0) = 1f; v(63) = 1f; v(5) = 0f // exact zero must NOT set its bit
     val got = BinaryIndex.encode(Seq((1L, v)).toDF("doc_id", "embedding"))
-      .select("code").as[Long].head()
-    assert(got == ((1L << 0) | (1L << 63)))
-    assert(got < 0L, "bit 63 must land in the sign bit of the packed long")
+      .select("code").as[Array[Long]].head()
+    assert(got.length == 1)
+    assert(got(0) == ((1L << 0) | (1L << 63)))
+    assert(got(0) < 0L, "bit 63 must land in the sign bit of the packed word")
   }
 
-  test("dims past 64 are ignored; short vectors pack their own length") {
+  test("multi-word packing covers ALL dims: bit i lands in word i/64, bit i%64") {
     val long72 = Array.fill(72)(1f)
     val short3 = Array[Float](1f, -1f, 1f)
+    val v130 = Array.fill(130)(-1f)
+    v130(0) = 1f; v130(64) = 1f; v130(129) = 1f // word0 bit0, word1 bit0, word2 bit1
     val got = BinaryIndex.encode(
-      Seq((1L, long72), (2L, short3)).toDF("doc_id", "embedding"))
-      .orderBy("doc_id").select("code").as[Long].collect()
-    assert(got(0) == -1L) // 64 ones = all bits set
-    assert(got(1) == ((1L << 0) | (1L << 2)))
+      Seq((1L, long72), (2L, short3), (3L, v130)).toDF("doc_id", "embedding"))
+      .orderBy("doc_id").select("code").as[Array[Long]].collect()
+    assert(got(0).toSeq == Seq(-1L, 0xFFL)) // 72 ones = full word + 8 bits
+    assert(got(1).toSeq == Seq((1L << 0) | (1L << 2)))
+    assert(got(2).toSeq == Seq(1L, 1L, 2L))
   }
 
-  test("hamming top-k matches a driver brute force over sign disagreements") {
-    val data = randVecs(400)
+  test("driver packOne ≡ the codegen kernel, at 64 and 768 dims") {
+    for (dim <- Seq(64, 100, 768)) {
+      val data = randVecs(20, dim)
+      val fromSpark = BinaryIndex.encode(data.toDF("doc_id", "embedding"))
+        .orderBy("doc_id").select("code").as[Array[Long]].collect()
+      data.zip(fromSpark).foreach { case ((_, v), code) =>
+        assert(BinaryIndex.packOne(v).toSeq == code.toSeq, s"dim=$dim")
+      }
+    }
+  }
+
+  test("hamming top-k matches brute force over FULL-width sign disagreements (768-d)") {
+    val data = randVecs(400, dim = 768)
     val docs = data.toDF("doc_id", "embedding")
     val qVec = data.head._2
     val got = BinaryIndex
-      .searchHamming(BinaryIndex.encode(docs), signCode(qVec), k = 15)
+      .searchHamming(BinaryIndex.encode(docs), BinaryIndex.packOne(qVec), k = 15)
       .as[(Long, Long)].collect().toSeq
     val brute = data
-      .map { case (id, v) =>
-        (id, v.take(64).zip(qVec.take(64))
-          .count { case (a, b) => (a > 0f) != (b > 0f) }.toLong)
-      }
+      .map { case (id, v) => (id, bruteHamming(v, qVec)) }
       .sortBy { case (id, d) => (d, id) }.take(15).toSeq
     assert(got == brute)
+    // A 64-dim clamp would cap every distance at 64; prove the kernel
+    // sees the full width.
+    assert(brute.exists(_._2 > 64),
+      "fixture must produce distances only a full-width kernel can see")
   }
 
-  test("batch search ≡ per-query single search") {
-    val data = randVecs(300)
+  test("batch search ≡ per-query single search (multi-word codes)") {
+    val data = randVecs(300, dim = 192)
     val codes = BinaryIndex.encode(data.toDF("doc_id", "embedding"))
     val queries = data.take(3)
-      .map { case (id, v) => (id, signCode(v)) }.toDF("query_id", "q_code")
+      .map { case (id, v) => (id, BinaryIndex.packOne(v)) }.toDF("query_id", "q_code")
     val batch = BinaryIndex.searchHammingBatch(queries, codes, k = 7)
       .select("query_id", "doc_id", "hamming")
       .as[(Long, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(p => (p._2, p._1)).toSeq).toMap
     data.take(3).foreach { case (qid, v) =>
-      val single = BinaryIndex.searchHamming(codes, signCode(v), k = 7)
+      val single = BinaryIndex.searchHamming(codes, BinaryIndex.packOne(v), k = 7)
         .as[(Long, Long)].collect().toSeq
       assert(batch(qid) == single, s"batch/single diverged for query $qid")
     }
   }
 
-  test("rangeHamming returns exactly the within-radius set, ordered") {
-    val data = randVecs(300)
+  test("hamming_words zero-extends the shorter code (mixed-width corpus)") {
+    val a = Array.fill(40)(1f)  // 1 word, 40 set bits
+    val b = Array.fill(100)(1f) // 2 words, 100 set bits
+    val codes = BinaryIndex.encode(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "embedding"))
+    val got = BinaryIndex.searchHamming(codes, BinaryIndex.packOne(b), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) == 0L)
+    assert(got(1L) == 60L, "dims the short code lacks count as disagreements")
+  }
+
+  test("rangeHamming returns exactly the within-radius set, ordered (768-d)") {
+    val data = randVecs(300, dim = 768)
     val codes = BinaryIndex.encode(data.toDF("doc_id", "embedding"))
     val qVec = data(42)._2
-    val got = BinaryIndex.rangeHamming(codes, signCode(qVec), maxDist = 24)
+    val got = BinaryIndex.rangeHamming(codes, BinaryIndex.packOne(qVec), maxDist = 330)
       .as[(Long, Long)].collect().toSeq
     val brute = data
-      .map { case (id, v) =>
-        (id, v.zip(qVec).count { case (a, b) => (a > 0f) != (b > 0f) }.toLong)
-      }
-      .filter(_._2 <= 24).sortBy { case (id, d) => (d, id) }.toSeq
+      .map { case (id, v) => (id, bruteHamming(v, qVec)) }
+      .filter(_._2 <= 330).sortBy { case (id, d) => (d, id) }.toSeq
     assert(got == brute)
     assert(got.exists(_._1 == 42L) && got.head == ((42L, 0L)),
       "the query's own vector must rank first at distance 0")
@@ -107,12 +131,33 @@ class BinaryIndexSpec extends AnyFunSuite {
     assert(cells == Set(probedCell))
   }
 
+  test("binary IVF with a separate full-width query code (reduced-front posture)") {
+    import graft.operators.IvfIndex
+    val wide = randVecs(200, dim = 256)
+    val narrow = wide.map { case (id, v) => (id, v.take(16)) }
+    val docs = narrow.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 4)
+    // codes pack the FULL 256-d vectors; cells come from the 16-d front
+    val wideDf = wide.toDF("doc_id", "wide_emb")
+    val enc = BinaryIndex.encodeIvf(
+      withCells.drop("embedding").join(wideDf, "doc_id"), embCol = "wide_emb")
+    val qVec = narrow(5)._2
+    val qWide = wide(5)._2
+    val nlistTrained = ivf.centroids.get.length
+    val got = BinaryIndex.searchIvfHamming(enc, ivf, qVec, k = 10,
+        nprobe = nlistTrained, queryCode = BinaryIndex.packOne(qWide))
+      .select("doc_id", "hamming").as[(Long, Long)].collect().toSeq
+    val brute = wide.map { case (id, v) => (id, bruteHamming(v, qWide)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    assert(got == brute)
+  }
+
   test("search plan: no exchange, codegen'd scan over the codes projection") {
-    val docs = randVecs(300).toDF("doc_id", "embedding")
+    val docs = randVecs(300, dim = 768).toDF("doc_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("binplan").toString
     BinaryIndex.encode(docs).write.mode("overwrite").parquet(dir)
     val codes = spark.read.parquet(dir)
-    val plan = BinaryIndex.searchHamming(codes, 0x5a5a5a5aL, k = 5)
+    val plan = BinaryIndex.searchHamming(codes, Array.fill(12)(0x5a5a5a5aL), k = 5)
       .queryExecution.executedPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
