@@ -2042,17 +2042,24 @@ object SparkEntry {
   }
 
   /** Repetition scoring (Gopher top-bigram fraction) over every doc with
-    * ≥ 2 tokens — shuffle-free per-row HOF fold vs the oracle's
-    * unnest + GROUP BY; identical numbers prove the fold. */
-  private def q55Repetition(s: SparkSession, dir: String): DataFrame =
-    // the per-row sort+fold kernel is CPU-heavy; spread an under-split
-    // corpus so it parallelizes (pass-through on real-scale inputs)
+    * ≥ 2 tokens — the shuffle-free `rep_stats` kernel (one Java pass;
+    * the interpreted HOF sort+fold it replaced was q55's whole cost) vs
+    * the oracle's unnest + GROUP BY; identical numbers prove the kernel.
+    * The ratio is ONE division of the kernel's exact integer fields,
+    * same as the SQL side's max(c)/sum(c). */
+  private def q55Repetition(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    // spread an under-split corpus so the per-row kernel parallelizes
+    // (pass-through on real-scale inputs)
     Dedup.spreadSmallInput(t(s, dir, "documents"))
+      .select(col("doc_id"), GraftFunctions.repStats(col("text")).as("r"))
+      .filter(col("r.n_bigrams") > 0)
       .select(col("doc_id"),
-        TextAnalysis.bigramCount(col("text")).as("n_bigrams"),
-        TextAnalysis.topBigramFraction(col("text")).as("top_frac"))
-      .filter(col("n_bigrams") > 0)
+        col("r.n_bigrams").as("n_bigrams"),
+        round(col("r.top_bigram").cast("double") / col("r.n_bigrams"), 4)
+          .as("top_frac"))
       .orderBy("doc_id")
+  }
 
   private val q55Sql =
     """WITH toks AS (
@@ -2263,14 +2270,22 @@ object SparkEntry {
     * 2 into the repeat, so both engines must agree on the distinct-set
     * arithmetic, not just the happy path. */
   private def q60DupLines(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val lined = t(s, dir, "documents").withColumn("t2",
       concat_ws("\n", col("text"), substring(col("text"), 1, 60), col("text"),
         concat(lit("unique "), col("doc_id"))))
-    lined.select(col("doc_id"), TextAnalysis.dupLineStats(col("t2")).as("d"))
+    // rep_stats kernel fields; the two fractions are each ONE division
+    // of its exact integers — dupLineStats's arithmetic verbatim.
+    lined.select(col("doc_id"), GraftFunctions.repStats(col("t2")).as("r"))
       .select(col("doc_id"),
-        col("d.n_lines").as("n_lines"), col("d.n_unique").as("n_unique"),
-        col("d.dup_line_frac").as("dup_line_frac"),
-        col("d.dup_char_frac").as("dup_char_frac"))
+        col("r.n_lines").as("n_lines"),
+        col("r.n_unique_lines").as("n_unique"),
+        when(col("r.n_lines") <= 0, lit(0.0))
+          .otherwise(round((col("r.n_lines") - col("r.n_unique_lines"))
+            .cast("double") / col("r.n_lines"), 4)).as("dup_line_frac"),
+        when(col("r.line_chars") <= 0, lit(0.0))
+          .otherwise(round((col("r.line_chars") - col("r.uniq_line_chars"))
+            .cast("double") / col("r.line_chars"), 4)).as("dup_char_frac"))
       .orderBy("doc_id")
   }
 

@@ -73,6 +73,8 @@ object GraftFunctions {
       exprs => PcaProjectF32(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "screen_flags", exprs => ScreenFlagsExpression(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rep_stats", exprs => RepStatsExpression(exprs.head), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -103,6 +105,11 @@ object GraftFunctions {
 
   /** All per-document text metrics as one struct (single-pass). */
   def textStats(text: Column): Column = call_function("text_stats", text)
+
+  /** Repetition signals (top-bigram, dup-line mass) as one struct;
+    * NULL text yields a NULL struct — `coalesce` first if zeros are
+    * wanted (the composed forms' posture). */
+  def repStats(text: Column): Column = call_function("rep_stats", text)
 
   /** IVF cell assignment: argmin squared-L2 over a centroid literal. */
   def nearestCentroidF32(emb: Column, centroids: Column): Column =
