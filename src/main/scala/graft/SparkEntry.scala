@@ -3575,9 +3575,11 @@ object SparkEntry {
     * oracle is GENERATED from the persisted quantizer (cell assignment,
     * capped pairs, recursive closure, float-cast residual distance). */
   private def q82SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val (_, ivf) = ivfCorpus(s, dir)
-    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
-    SemanticDedup.resolve(emb, ivf, minCos = 0.3)
+    // The persisted cell-partitioned IVF corpus IS the assigned frame:
+    // dedup reads ingest-time work, zero query-time assign passes
+    // (plan-asserted in SemanticDedupSpec).
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    SemanticDedup.resolveAssigned(withCells, ivf, minCos = 0.3)
       .select(col("id"), col("comp"),
         round(col("score"), 4).as("score"), col("kept"))
       .orderBy("id")

@@ -45,11 +45,22 @@ object SemanticDedup {
   def pairs(docs: DataFrame, ivf: IvfIndex.Ivf, minCos: Double,
             maxCellSize: Int = DefaultMaxCellSize,
             idCol: String = "doc_id",
-            embCol: String = "embedding"): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
-    val celled = IvfIndex.assign(docs, ivf, embCol)
+            embCol: String = "embedding"): DataFrame =
+    pairsAssigned(IvfIndex.assign(docs, ivf, embCol), minCos, maxCellSize,
+      idCol, embCol)
+
+  /** [[pairs]] over an ALREADY cell-assigned frame (`cell_id` present) —
+    * the caller owns the single assign pass (or reads the persisted
+    * cell-partitioned IVF corpus, where assignment happened at ingest
+    * and the query-time plan carries NO `nearest_centroid_f32` at all). */
+  def pairsAssigned(celled: DataFrame, minCos: Double,
+                    maxCellSize: Int = DefaultMaxCellSize,
+                    idCol: String = "doc_id",
+                    embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(celled.sparkSession)
+    val base = celled
       .select(col(idCol).as("id"), col(embCol).as("emb"), col("cell_id"))
-    val capped = celled
+    val capped = base
       .withColumn("__rn",
         row_number().over(Window.partitionBy("cell_id").orderBy("id")))
       .filter(col("__rn") <= maxCellSize)
@@ -68,15 +79,41 @@ object SemanticDedup {
     * distance to its cell centroid and the group keeps its maximum
     * (ties to the lower id). Filter `kept` for the survivor set, or
     * anti-join `!kept` ids against the corpus for the deduped corpus
-    * (the [[Dedup.keepBestCorpus]] pattern). */
-  def resolve(docs: DataFrame, ivf: IvfIndex.Ivf, minCos: Double,
-              maxCellSize: Int = DefaultMaxCellSize,
-              idCol: String = "doc_id",
-              embCol: String = "embedding"): DataFrame = {
-    val celled = IvfIndex.assign(docs, ivf, embCol)
+    * (the [[Dedup.keepBestCorpus]] pattern).
+    *
+    * The corpus is cell-assigned ONCE: the raw-docs overload assigns and
+    * delegates here; this overload takes the assigned frame (ideally the
+    * PERSISTED cell-partitioned IVF corpus, making dedup a pure read of
+    * ingest-time work — at 100 TB an extra assign pass is an extra
+    * corpus scan + kernel sweep per dedup run). */
+  def resolveAssigned(celled: DataFrame, ivf: IvfIndex.Ivf, minCos: Double,
+                      maxCellSize: Int = DefaultMaxCellSize,
+                      idCol: String = "doc_id",
+                      embCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(celled.sparkSession)
     val dist = GraftFunctions.normF32(
       PqIndex.residualColumn(ivf, col(embCol), col("cell_id")))
     Dedup.keepBestResolution(celled, dist,
-      pairs(docs, ivf, minCos, maxCellSize, idCol, embCol), idCol)
+      pairsAssigned(celled, minCos, maxCellSize, idCol, embCol), idCol)
   }
+
+  /** [[resolveAssigned]] from raw docs. The explicit
+    * `repartition(cell_id)` puts ONE exchange over the assign
+    * projection so every consumer within a job shares it (Catalyst does
+    * no cross-consumer CSE; a bare shared DataFrame would re-assign per
+    * consumer). The component closure still materializes its edge set
+    * in its own jobs, so a raw-docs run pays the assign kernel once per
+    * job (edge build + scoring) — when the corpus already has a
+    * persisted cell-partitioned IVF store, call [[resolveAssigned]] on
+    * it instead and the query-time plan carries NO assign kernel at all
+    * (plan-asserted in SemanticDedupSpec). */
+  def resolve(docs: DataFrame, ivf: IvfIndex.Ivf, minCos: Double,
+              maxCellSize: Int = DefaultMaxCellSize,
+              idCol: String = "doc_id",
+              embCol: String = "embedding"): DataFrame =
+    resolveAssigned(
+      IvfIndex.assign(docs, ivf, embCol)
+        .select(col(idCol), col(embCol), col("cell_id"))
+        .repartition(col("cell_id")),
+      ivf, minCos, maxCellSize, idCol, embCol)
 }

@@ -70,4 +70,33 @@ class SemanticDedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), s"semantic pairs went all-pairs:\n$plan")
   }
+
+  test("resolveAssigned over the persisted store: ≡ resolve, ZERO assign kernels") {
+    val data = clustered(200, 4)
+    val dir = java.nio.file.Files.createTempDirectory("semstore").toString
+    data.toDF("doc_id", "embedding").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val ivf = IvfIndex.train(docs, nlist = 4)
+    // ingest-time work: the cell-partitioned store (the ivfCorpus layout)
+    val storeDir = java.nio.file.Files.createTempDirectory("semstore2").toString
+    IvfIndex.assign(docs, ivf).write.mode("overwrite")
+      .partitionBy("cell_id").parquet(storeDir)
+    val withCells = spark.read.parquet(storeDir)
+
+    val fromStore = SemanticDedup.resolveAssigned(withCells, ivf, minCos = 0.9)
+    val got = fromStore.select("id", "comp", "score", "kept")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val reference = SemanticDedup.resolve(docs, ivf, minCos = 0.9)
+      .select("id", "comp", "score", "kept")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._4)) == reference.map(t => (t._1, t._2, t._4)))
+    got.zip(reference).foreach { case (g, r) => assert(math.abs(g._3 - r._3) < 1e-9) }
+
+    // dedup over the persisted store must be a pure READ of ingest-time
+    // assignment: no nearest_centroid_f32 anywhere in the executed plan
+    fromStore.collect()
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(!plan.contains("nearest_centroid_f32"),
+      s"resolveAssigned re-assigned the corpus at query time:\n$plan")
+  }
 }
