@@ -266,19 +266,23 @@ object PqIndex {
       }
       .sortBy { case (d, i) => (d, i) }
       .take(nprobe).map(_._2).toSeq
-    // One LUT per probed cell, in a cell-indexed table literal (empty
-    // entries for unprobed cells — the cell_id filter below guarantees
-    // the scan never touches them). One codegen'd AdcLutCells
+    // One LUT per probed cell, addressed by DENSE PROBE SLOT: the plan
+    // literal is O(nprobe × m × ksub), not O(nlist) — at realistic
+    // corpus-scale nlist (2¹⁶–2²⁰ cells) a cell-indexed literal grows
+    // (and serializes with every task) with the cell count while only
+    // nprobe entries carry data. A tiny map literal remaps each scanned
+    // row's cell_id to its slot; the cell_id filter below guarantees
+    // every scanned row's cell is in the map. One codegen'd AdcLutCells
     // accumulation per row instead of a map probe + element_at chain.
-    val byCell: Map[Int, Seq[Seq[Double]]] = probed.map { cell =>
+    val luts: Seq[Seq[Seq[Double]]] = probed.map { cell =>
       val c = cents(cell)
       val qr = Array.tabulate(queryVec.length)(j =>
         (queryVec(j).toDouble - c(j)).toFloat)
-      cell -> adcLut(pq, qr).map(_.toSeq).toSeq
-    }.toMap
-    val lutsLit = typedLit(Seq.tabulate(cents.length)(c =>
-      byCell.getOrElse(c, Seq.empty[Seq[Double]])))
-    val adc = GraftFunctions.adcLutCells(col("codes"), col("cell_id"), lutsLit)
+      adcLut(pq, qr).map(_.toSeq).toSeq
+    }
+    val slot = element_at(typedLit(probed.zipWithIndex.toMap),
+      col("cell_id").cast("int"))
+    val adc = GraftFunctions.adcLutCells(col("codes"), slot, typedLit(luts))
     encoded
       .filter(col("cell_id").isin(probed: _*))
       .withColumn("adc", adc)

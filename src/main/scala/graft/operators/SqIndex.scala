@@ -113,21 +113,23 @@ object SqIndex {
       throw new IllegalStateException("IVF-SQ8 needs trained bounds"))
     val step = sq.step.get
     val probed = IvfIndex.probeCells(ivf, queryVec, nprobe)
-    val byCell: Map[Int, Seq[Seq[Double]]] = probed.map { cell =>
+    // Dense probe-slot LUT addressing — O(nprobe) literal, not O(nlist);
+    // see PqIndex.searchIvfAdc for the rationale.
+    val luts: Seq[Seq[Seq[Double]]] = probed.map { cell =>
       val c = cents(cell)
       val n = math.min(math.min(queryVec.length, vmin.length), c.length)
-      cell -> Seq.tabulate(n) { i =>
+      Seq.tabulate(n) { i =>
         Seq.tabulate(256) { code =>
           queryVec(i).toDouble * (c(i) + vmin(i) + code * step(i))
         }
       }
-    }.toMap
-    val lutsLit = typedLit(Seq.tabulate(cents.length)(c =>
-      byCell.getOrElse(c, Seq.empty[Seq[Double]])))
+    }
+    val slot = element_at(typedLit(probed.zipWithIndex.toMap),
+      col("cell_id").cast("int"))
     encoded
       .filter(col("cell_id").isin(probed: _*))
       .withColumn("score",
-        GraftFunctions.adcLutCells(col("codes"), col("cell_id"), lutsLit))
+        GraftFunctions.adcLutCells(col("codes"), slot, typedLit(luts)))
       .select(col(idCol), col("cell_id"), col("score"))
       .orderBy(desc("score"), col(idCol).asc)
       .limit(k)
