@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *   "IVF64,PQ8"       residual PQ, probed        PqIndex (IVFADC)
   *   "IVF64,PQ8,RFlat" + exact re-rank            PqIndex.searchRefined
   *   "SQ8"             scalar quantizer           SqIndex
+  *   "IVF64,SQ8,RFlat" + exact re-rank            SqIndex.searchRefined
   *   "LSH"             binary sign codes          BinaryIndex
   *   "PCA16,Flat"      PCA front + any of these   PcaTransform + rest
   * }}}
@@ -53,7 +54,11 @@ object IndexFactory {
       "RFlat refinement needs an IVF candidate stage (e.g. IVF64,PQ8,RFlat)")
   }
 
-  private val PcaRe = "^PCAR?([0-9]+)$".r
+  // PCAR (PCA + random rotation, faiss/index_factory.cpp) is REJECTED,
+  // not silently mapped to plain PCA: the rotation changes which
+  // components survive truncation, so a migrated PCAR string must fail
+  // loudly instead of building different semantics.
+  private val PcaRe = "^PCA([0-9]+)$".r
   private val OpqRe = "^OPQ([0-9]+)$".r
   private val IvfRe = "^IVF([0-9]+)$".r
   private val BivfRe = "^BIVF([0-9]+)$".r
@@ -97,6 +102,15 @@ object IndexFactory {
     }
     if (nlist.isDefined && code == LshCode)
       fail("IVF+LSH is not a FAISS combination the engine implements")
+    // Refinement is implemented for the coded candidate generators
+    // (IVF+PQ, IVF+SQ8); 'IVF<n>,Flat,RFlat' would re-rank already-exact
+    // scores — reject rather than silently no-op.
+    code match {
+      case PQ(_) | SQ8Code =>
+      case other if refine =>
+        fail(s"RFlat refinement is implemented over PQ/SQ8 candidates, not $other")
+      case _ =>
+    }
     pre match {
       case Some(OpqPre(m)) => code match {
         case PQ(pm) if pm == m => // the FAISS pairing: OPQm,...,PQm
@@ -179,8 +193,12 @@ object IndexFactory {
         val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
         val sq = SqIndex.trainResidual(withCells, ivf, embCol)
         val enc = SqIndex.encodeIvf(withCells, ivf, sq, embCol, idCol)
-        Built(d, enc,
-          (q, k) => SqIndex.searchIvf(enc, ivf, sq, q, k, nprobe, idCol))
+        if (d.refine)
+          Built(d, enc, (q, k) => SqIndex.searchRefined(enc, corpus, ivf,
+            sq, q, k, rerank, nprobe, idCol))
+        else
+          Built(d, enc,
+            (q, k) => SqIndex.searchIvf(enc, ivf, sq, q, k, nprobe, idCol))
       case (None, LshCode) =>
         val codes = BinaryIndex.encode(corpus, embCol, idCol)
         Built(d, codes,

@@ -135,6 +135,24 @@ object SqIndex {
       .limit(k)
   }
 
+  /** Refined IVF-SQ8 search (FAISS `IndexRefineFlat` over
+    * `IndexIVFScalarQuantizer`): the probed SQ8 scan proposes `rerank`
+    * candidates from codes alone, then the exact inner product re-ranks
+    * just those rows of the FLOAT corpus — the [[PqIndex.searchRefined]]
+    * shape verbatim. The candidate ids round-trip through the driver
+    * deliberately: a driver-known key set becomes a static `isin`
+    * filter, reaching the parquet scan as `PushedFilters: In(doc_id,…)`
+    * and pruning row groups; a broadcast semi-join would scan the whole
+    * float corpus to discard all but `rerank` rows. */
+  def searchRefined(encoded: DataFrame, floats: DataFrame, ivf: IvfIndex.Ivf,
+                    sq: Sq, queryVec: Array[Float], k: Int, rerank: Int,
+                    nprobe: Int, idCol: String = "doc_id"): DataFrame = {
+    val candIds = searchIvf(encoded, ivf, sq, queryVec, rerank, nprobe, idCol)
+      .select(idCol).collect().map(_.getLong(0)).toSeq
+    VectorSearch.knnScores(
+      floats.filter(col(idCol).isin(candIds: _*)), queryVec, k, idCol = idCol)
+  }
+
   /** Decode codes back to the reconstructed vector — FAISS
     * `IndexScalarQuantizer::reconstruct` / `sa_decode`:
     * `recon_i = float(vmin_i + code_i · step_i)`; untrained decodes to

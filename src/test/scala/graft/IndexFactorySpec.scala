@@ -27,7 +27,7 @@ class IndexFactorySpec extends AnyFunSuite {
     assert(IndexFactory.parse("SQ8") == Descriptor(None, None, SQ8Code, false))
     assert(IndexFactory.parse("LSH") == Descriptor(None, None, LshCode, false))
     assert(IndexFactory.parse("PCA16,Flat") == Descriptor(Some(PcaPre(16)), None, Flat, false))
-    assert(IndexFactory.parse("PCAR8,IVF4,PQ4") == Descriptor(Some(PcaPre(8)), Some(4), PQ(4), false))
+    assert(IndexFactory.parse("IVF16,SQ8,RFlat") == Descriptor(None, Some(16), SQ8Code, true))
     assert(IndexFactory.parse("OPQ8,PQ8") == Descriptor(Some(OpqPre(8)), None, PQ(8), false))
     assert(IndexFactory.parse("IVF16,SQ8") == Descriptor(None, Some(16), SQ8Code, false))
     assert(IndexFactory.parse("BIVF16") == Descriptor(None, Some(16), LshCode, false))
@@ -35,8 +35,11 @@ class IndexFactorySpec extends AnyFunSuite {
   }
 
   test("unsupported descriptors fail loudly, naming the string") {
+    // PCAR = PCA + random rotation in FAISS: rejected, not silently
+    // mapped to plain PCA; Flat,RFlat would re-rank already-exact scores
     Seq("HNSW32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ8",
-      "OPQ8,Flat", "PCA8,BIVF16", "BIVF16,Flat")
+      "OPQ8,Flat", "PCA8,BIVF16", "BIVF16,Flat", "PCAR8,IVF4,PQ4",
+      "IVF64,Flat,RFlat", "SQ8,RFlat")
       .foreach { bad =>
         val e = intercept[IllegalArgumentException](IndexFactory.parse(bad))
         assert(e.getMessage.contains(bad.split(",")(0)) ||
@@ -99,5 +102,25 @@ class IndexFactorySpec extends AnyFunSuite {
     val top1Refined = refined.select("doc_id").as[Long].collect().head
     val top1Raw = ivfpq.select("doc_id").as[Long].collect().head
     assert(exactDot(top1Refined) >= exactDot(top1Raw) - 1e-9)
+  }
+
+  test("IVF,SQ8,RFlat: exact re-rank over SQ8 candidates (the ADVICE'd branch)") {
+    val data = clustered(400, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val q = data(3)._2
+    def exactDot(id: Long): Double = {
+      val v = data(id.toInt)._2
+      v.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    }
+    val raw = IndexFactory.build(spark, docs, "IVF4,SQ8").search(q, 5)
+    val refined = IndexFactory.build(spark, docs, "IVF4,SQ8,RFlat").search(q, 5)
+    assert(refined.count() == 5)
+    // refined output is ranked by the EXACT inner product (knnScores
+    // column shape), so its ids must be in exact-score order
+    val ids = refined.select("doc_id").as[Long].collect().toSeq
+    assert(ids == ids.sortBy(id => (-exactDot(id), id)),
+      s"refined SQ8 output not exact-ordered: $ids")
+    val top1Raw = raw.select("doc_id").as[Long].collect().head
+    assert(exactDot(ids.head) >= exactDot(top1Raw) - 1e-9)
   }
 }
