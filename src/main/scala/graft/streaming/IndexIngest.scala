@@ -74,6 +74,37 @@ object IndexIngest {
   def loadCorpus(spark: SparkSession, corpusPath: String): DataFrame =
     spark.read.parquet(corpusPath)
 
+  /** Fold the per-batch dirs of a streamed quantized corpus into ONE
+    * compacted dir (`batch=-1/cell_id=<c>/…`, one file per cell) — the
+    * [[graft.operators.Dedup.compactSignatureStore]] maintenance
+    * contract for the codes corpus. A year of micro-batches otherwise
+    * leaves thousands of `batch=<id>` dirs whose file listing and
+    * per-file open cost tax every probed search.
+    *
+    * The `batch=`/`cell_id=` partition scheme is PRESERVED: later
+    * micro-batches keep appending `batch=<id>` dirs beside the
+    * compacted one (batch ids are non-negative, so `-1` never
+    * collides), probed searches prune by `cell_id` across both, and a
+    * later compaction folds everything again. `repartition(cell_id)`
+    * gives each cell one write task → one file per cell. Run it
+    * offline or between batches, like a FAISS merge; the health
+    * history under `statsPath` is separate and untouched. */
+  def compactQuantizedCorpus(spark: SparkSession, corpusPath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(corpusPath), spark.sparkContext.hadoopConfiguration)
+    val seen = fs.globStatus(new org.apache.hadoop.fs.Path(s"$corpusPath/batch=*"))
+    require(seen != null && seen.nonEmpty, s"no quantized corpus at $corpusPath")
+    val tmp = new org.apache.hadoop.fs.Path(corpusPath + "__compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(corpusPath)
+      .drop("batch")
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(tmp.toString)
+    seen.foreach(s => fs.delete(s.getPath, true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$corpusPath/batch=-1"))
+    ()
+  }
+
   /** Per-batch health history (batch_id, n_vectors, imbalance_factor). */
   def loadStats(spark: SparkSession, statsPath: String): DataFrame =
     spark.read.parquet(statsPath)

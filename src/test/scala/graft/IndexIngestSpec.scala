@@ -87,6 +87,60 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(stats.forall(_._3 >= 1.0))
   }
 
+  test("compaction folds batch dirs; search ≡ pre-compaction, pruning intact") {
+    val trainSet = clustered(0 until 300, 6)
+    val train = trainSet.toDF("doc_id", "embedding")
+    val ivf = IvfIndex.train(train, nlist = 6)
+    val (_, pq) = PqIndex.buildIvfAdc(IvfIndex.assign(train, ivf), ivf, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ingest-compact").toString
+    // five micro-batches = five batch dirs
+    (0 until 5).foreach { b =>
+      IndexIngest.ingestBatch(
+        clustered((600 + b * 30) until (630 + b * 30), 6).toDF("doc_id", "embedding"),
+        b.toLong, ivf, pq, s"$dir/corpus", s"$dir/stats", "doc_id", "embedding")
+    }
+    val qVec = clustered(610 until 611, 6).head._2
+    val before = PqIndex.searchIvfAdc(
+      IndexIngest.loadCorpus(spark, s"$dir/corpus"), ivf, pq, qVec, 8, 2)
+      .select("doc_id", "adc").as[(Long, Double)].collect().toSeq
+    val beforeAll = IndexIngest.loadCorpus(spark, s"$dir/corpus")
+      .select("doc_id", "codes").as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+
+    IndexIngest.compactQuantizedCorpus(spark, s"$dir/corpus")
+
+    // batch dirs folded into the single compacted one
+    val dirs = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=-1"), s"stale batch dirs survived: $dirs")
+    // corpus content and search results identical
+    val afterAll = IndexIngest.loadCorpus(spark, s"$dir/corpus")
+      .select("doc_id", "codes").as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(afterAll == beforeAll, "compaction altered the codes corpus")
+    val afterDf = PqIndex.searchIvfAdc(
+      IndexIngest.loadCorpus(spark, s"$dir/corpus"), ivf, pq, qVec, 8, 2)
+    assert(afterDf.select("doc_id", "adc").as[(Long, Double)].collect().toSeq
+      == before, "compaction changed search results")
+    // cell pruning still reaches the partition level
+    val plan = afterDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"compacted corpus search does not prune cells:\n$plan")
+    // one file per cell inside the compacted dir
+    new java.io.File(s"$dir/corpus/batch=-1").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+      .foreach { cellDir =>
+        val files = cellDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"${cellDir.getName}: ${files.length} files")
+      }
+    // a NEW batch appends beside the compacted dir and search sees it
+    IndexIngest.ingestBatch(
+      clustered(900 until 910, 6).toDF("doc_id", "embedding"),
+      7L, ivf, pq, s"$dir/corpus", s"$dir/stats", "doc_id", "embedding")
+    val n = IndexIngest.loadCorpus(spark, s"$dir/corpus").count()
+    assert(n == 160L, s"post-compaction append broke discovery: $n rows")
+    // health history untouched by compaction (5 ingests + the new one)
+    assert(IndexIngest.loadStats(spark, s"$dir/stats").count() == 6L)
+  }
+
   test("retrying a batch id is an idempotent overwrite") {
     val trainSet = clustered(0 until 300, 6)
     val train = trainSet.toDF("doc_id", "embedding")
