@@ -992,6 +992,19 @@ object ScaleProbe {
     timeWarm("pca-16 dot top-10 (projected scan)")(
       graft.operators.PcaTransform.search(projected, pca, qVec, 10).collect())
 
+    // Batch fan-out: window vs bounded-aggregator forms over 8 queries.
+    // The window shuffles every scored (query, doc) row; the aggregator
+    // keeps <= ~2k candidates per (partition, query) before the shuffle.
+    val qCodes = base.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, graft.operators.BinaryIndex.packOne(v)) }
+      .toSeq.toDF("query_id", "q_code")
+    timeWarm("binary batch top-100 x8 queries (window)")(
+      graft.operators.BinaryIndex.searchHammingBatch(qCodes, codes, 100).collect())
+    timeWarm("binary batch top-100 x8 queries (aggregated)")(
+      graft.operators.BinaryIndex
+        .searchHammingBatchAggregated(qCodes, codes, 100).collect())
+
     val exactIds = VectorSearch.knnScores(corpus, qVec, 10)
       .select("doc_id").as[Long].collect().toSet
     // Binary is a candidate generator: measure whether the exact top-10

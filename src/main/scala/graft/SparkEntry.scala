@@ -3293,8 +3293,10 @@ object SparkEntry {
       .select("query_id", "doc_id")
     val qCodes = queries.map { case (id, v) => (id, BinaryIndex.packOne(v)) }
       .toDF("query_id", "q_code")
+    // aggregated batch form: partial top-k before the shuffle (window
+    // parity spec-pinned in BinaryIndexSpec)
     val cand = BinaryIndex
-      .searchHammingBatch(qCodes, BinaryIndex.encode(corpus), k = 100)
+      .searchHammingBatchAggregated(qCodes, BinaryIndex.encode(corpus), k = 100)
       .select("query_id", "doc_id")
     VectorSearch.recallVsExact(qdf, exact, cand, "doc_id", k = 10)
   }

@@ -75,8 +75,8 @@ object BinaryIndex {
   /** Batch Hamming top-k: broadcast the (small) query-code set, score in
     * one codegen stage, rank per query. Ascending-distance analog of
     * [[VectorSearch.knnBatch]] — the window shuffles n_queries × n_corpus
-    * narrow rows; for large fan-outs use per-query [[searchHamming]] or a
-    * partial-top-k aggregator. */
+    * narrow rows; for large fan-outs use [[searchHammingBatchAggregated]]
+    * (partial top-k before the shuffle) or per-query [[searchHamming]]. */
   def searchHammingBatch(queries: DataFrame, codes: DataFrame, k: Int,
                          idCol: String = "doc_id", codeCol: String = "code",
                          queryIdCol: String = "query_id",
@@ -91,6 +91,38 @@ object BinaryIndex {
       .withColumn("doc_rank", row_number().over(w))
       .filter(col("doc_rank") <= k)
       .drop(queryCodeCol)
+  }
+
+  /** [[searchHammingBatch]] through the bounded [[TopKByScore]]
+    * aggregator ([[VectorSearch.knnBatchAggregated]]'s shape, measured
+    * 3× the window form there): partial aggregation keeps ≤ ~2k
+    * candidates per (partition, query) BEFORE the shuffle, so the
+    * exchange carries O(k · partitions) rows per query instead of the
+    * whole scored corpus. Hamming ascends, so the aggregator (score
+    * DESC, id ASC) runs on the negated distance — the output restores
+    * `hamming` and the engine total order (hamming ASC, id ASC) as
+    * `doc_rank`. */
+  def searchHammingBatchAggregated(queries: DataFrame, codes: DataFrame, k: Int,
+                                   idCol: String = "doc_id",
+                                   codeCol: String = "code",
+                                   queryIdCol: String = "query_id",
+                                   queryCodeCol: String = "q_code"): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
+    val topk = udaf(new TopKByScore(k))
+    val q = queries.select(col(queryIdCol), col(queryCodeCol))
+    codes.crossJoin(broadcast(q))
+      .withColumn("hamming",
+        GraftFunctions.hammingWords(col(codeCol), col(queryCodeCol)))
+      .select(col(queryIdCol), col(idCol).cast("long").as("id"),
+        negate(col("hamming").cast("double")).as("__negd"))
+      .groupBy(col(queryIdCol))
+      .agg(topk(col("id"), col("__negd")).as("hits"))
+      .select(col(queryIdCol), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col(queryIdCol),
+        col("hit.id").as(idCol),
+        negate(col("hit.score")).cast("long").as("hamming"),
+        (col("rank0") + 1).cast("int").as("doc_rank"))
   }
 
   // ---- Binary IVF (FAISS IndexBinaryIVF, the `BIVF<nlist>` factory) ----

@@ -85,6 +85,20 @@ class BinaryIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregated batch ≡ window batch, including rank order (multi-word)") {
+    val data = randVecs(400, dim = 192)
+    val codes = BinaryIndex.encode(data.toDF("doc_id", "embedding"))
+    val queries = data.take(4)
+      .map { case (id, v) => (id, BinaryIndex.packOne(v)) }.toDF("query_id", "q_code")
+    val window = BinaryIndex.searchHammingBatch(queries, codes, k = 9)
+      .select("query_id", "doc_id", "hamming", "doc_rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    val agg = BinaryIndex.searchHammingBatchAggregated(queries, codes, k = 9)
+      .select("query_id", "doc_id", "hamming", "doc_rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    assert(agg == window, "aggregated batch diverged from the window form")
+  }
+
   test("hamming_words zero-extends the shorter code (mixed-width corpus)") {
     val a = Array.fill(40)(1f)  // 1 word, 40 set bits
     val b = Array.fill(100)(1f) // 2 words, 100 set bits
