@@ -899,6 +899,23 @@ object ScaleProbe {
         .count())
     ratio.unpersist()
 
+    // Quality-classifier scoring: the dsir_dot kernel vs the composed
+    // aggregate(zip_with(dsir_buckets)) HOF form it replaced (same IEEE
+    // op sequence; the A/B isolates the interpreted-lambda cost).
+    val model = graft.operators.QualityClassifier.train(
+      docs.limit(20000), col("lang") === "en")
+    timeWarm("classifier: score (dsir_dot kernel)")(
+      graft.operators.QualityClassifier.score(docs, model)
+        .select(sum(col("score"))).collect().length.toLong)
+    val wLit = typedLit(model.weights.toSeq)
+    val zHof = aggregate(
+      zip_with(GraftFunctions.dsirBuckets(col("text"), lit(model.buckets)),
+        wLit, (c, wi) => c.cast("double") * wi),
+      lit(0.0), (acc, x) => acc + x) + lit(model.intercept)
+    timeWarm("classifier: score (composed HOF form)")(
+      docs.select(col("doc_id"), zHof.as("score"))
+        .select(sum(col("score"))).collect().length.toLong)
+
     // SemDeDup over the 2M-row replicated embedding corpus (identical
     // replicas => every cross-replica pair clears any cosine threshold;
     // the cap is what keeps the join bounded).

@@ -72,6 +72,60 @@ case class DsirLogw(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `dsir_dot(text, w)`: the trained-quality-classifier logit's linear
+  * part in ONE pass — build the [[DsirBucketCounts]] histogram
+  * (`w.length` buckets, same tokenizer + digest) into a primitive
+  * `long[]`, then fold `Σ_b hist[b]·w[b]` as a strict left fold in
+  * bucket index order. That is bit-for-bit the composed
+  * `aggregate(zip_with(dsir_buckets(text), w, …))` accumulation (and
+  * the DuckDB oracle's bucket-order fold), without the interpreted
+  * zip_with/aggregate lambdas per row — the q81 pathology at 256
+  * elements per document. The intercept stays outside (one codegen
+  * add), so the weights literal is the only model state here. */
+case class DsirBucketDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dsir_dot"
+
+  @transient private lazy val w: Array[Double] = right match {
+    case Literal(v: ArrayData, ArrayType(DoubleType, _)) if v != null =>
+      v.toDoubleArray()
+    case other => throw new IllegalArgumentException(
+      s"dsir_dot needs a foldable array<double> weights literal, got $other")
+  }
+
+  override def nullSafeEval(text: Any, wAny: Any): Any = {
+    val buckets = w.length
+    val counts = new Array[Long](buckets)
+    val raw = text.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = raw.filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucketOf(f: String): Int = {
+      md.reset()
+      val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h % buckets).toInt
+    }
+    var i = 0
+    while (i < toks.length) { counts(bucketOf(toks(i))) += 1L; i += 1 }
+    i = 0
+    while (i < toks.length - 1) {
+      counts(bucketOf(toks(i) + " " + toks(i + 1))) += 1L
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < buckets) { acc += counts(i).toDouble * w(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DsirBucketDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `dsir_buckets(text, buckets)`: per-document hashed-feature bucket
   * histogram in ONE pass — the [[DsirLogw]] tokenizer and digest
   * (unigrams then bigrams, first 4 md5 bytes big-endian mod `buckets`)

@@ -65,6 +65,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "dsir_buckets", exprs => DsirBucketCounts(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "dsir_dot", exprs => DsirBucketDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "sign_pack", exprs => SignPackF32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "hamming_words", exprs => HammingWords(exprs(0), exprs(1)), "built-in")
@@ -161,6 +163,11 @@ object GraftFunctions {
   /** Single-pass DSIR log-weight: struct(logw, n_features). */
   def dsirLogw(text: Column, lr: Column): Column =
     call_function("dsir_logw", text, lr)
+
+  /** Single-pass `Σ_b hist[b]·w[b]` (bucket-order fold) — the quality
+    * classifier's logit minus intercept. */
+  def dsirDot(text: Column, weights: Column): Column =
+    call_function("dsir_dot", text, weights)
 
   /** Single-pass DSIR per-document bucket histogram: array<long>. */
   def dsirBuckets(text: Column, buckets: Column): Column =

@@ -60,18 +60,17 @@ object QualityClassifier {
     * logit `w·h + b` (a strict left fold over buckets in index order —
     * the oracle's `list_reduce` order) and `pred = score > 0`. One
     * narrow projection over the corpus scan; the model rides as a
-    * literal. */
+    * literal baked into the `dsir_dot` kernel — one Java pass per row
+    * (histogram + bucket-order fold) instead of the interpreted
+    * `aggregate(zip_with(…))` lambdas over 256 buckets, with an IEEE op
+    * sequence identical to the composed form (oracle unchanged). */
   def score(docs: DataFrame, model: Model, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val w = typedLit(model.weights.toSeq)
-    val z = aggregate(
-      zip_with(GraftFunctions.dsirBuckets(col(textCol), lit(model.buckets)),
-        w, (c, wi) => c.cast("double") * wi),
-      lit(0.0), (acc, x) => acc + x) + lit(model.intercept)
+    val z = GraftFunctions.dsirDot(col(textCol),
+      typedLit(model.weights.toSeq)) + lit(model.intercept)
     // two-step select: `pred` derives from the materialized score column,
-    // so the fold (an interpreted HOF — no cross-expression CSE) runs
-    // once per row, not once per output column
+    // so the kernel runs once per row, not once per output column
     docs.select(col(idCol), z.as("score"))
       .withColumn("pred", col("score") > 0.0)
   }
