@@ -366,32 +366,90 @@ object OracleSqlGen {
     * assignment, the same `maxCellSize` lowest-id truncation, in-cell
     * self-join (src ≠ dst) and per-src rank — the cell-blocked k-NN
     * graph replayed relationally. */
-  def knnGraphSql(cents: Seq[Array[Double]], k: Int, cap: Int): String =
-    s"""WITH ${ivfAssignCtes(cents)},
-       |capped AS (
+  /** Shared k-NN-graph build CTEs (`__capped`, `__gscored`): the q87
+    * cell-blocked construction — cells capped to their `cap` lowest ids,
+    * all in-cell pairs scored with the strict double fold ([[dotFold]] —
+    * `list_dot_product`'s float32 accumulation flips near-tie ranks). */
+  private def graphBaseCtes(cap: Int): String =
+    s"""__capped AS (
        |  SELECT doc_id, embedding, cell_id FROM (
        |    SELECT a.doc_id, a.embedding, a.cell_id,
        |      row_number() OVER (PARTITION BY a.cell_id
        |        ORDER BY a.doc_id) AS crn
        |    FROM __assigned a) WHERE crn <= $cap),
-       |scored AS (
-       |  -- strict double left fold, not list_dot_product: the FLOAT[]
-       |  -- overload returns float32, which can shift round(·,4) AND flip
-       |  -- near-tie rankings vs the engine's double-accumulating dot_f32
+       |__gscored AS (
        |  SELECT x.doc_id AS src, y.doc_id AS dst,
-       |    list_reduce(list_prepend(0.0,
-       |      list_transform(list_zip(x.embedding, y.embedding),
-       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
-       |      (acc, t) -> acc + t) AS s
-       |  FROM capped x JOIN capped y
-       |    ON x.cell_id = y.cell_id AND x.doc_id <> y.doc_id),
+       |    ${dotFold("x.embedding", "y.embedding")} AS s
+       |  FROM __capped x JOIN __capped y
+       |    ON x.cell_id = y.cell_id AND x.doc_id <> y.doc_id)""".stripMargin
+
+  def knnGraphSql(cents: Seq[Array[Double]], k: Int, cap: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
        |ranked AS (
        |  SELECT src, dst, s,
        |    row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
-       |  FROM scored)
+       |  FROM __gscored)
        |SELECT src, dst, rnk, round(s, 4) AS score
        |FROM ranked WHERE rnk <= $k
        |ORDER BY src, rnk""".stripMargin
+
+  /** q97's oracle: the [[graft.operators.GraphSearch.searchBeam]] walk
+    * replayed with UNROLLED hops — graph build ([[graphBaseCtes]]),
+    * probe + per-cell lowest-id entry, then `hops` blocks of
+    * (frontier = unseen out-edges of the beam) → (score the frontier) →
+    * (beam = global top-`beamWidth`), finishing with the top-`k` of
+    * everything scored. Every fold is the strict double fold and every
+    * order is (score DESC, id ASC), so the replay is row-identical to
+    * the engine's driver loop — including early exhaustion (an empty
+    * frontier leaves every later block a no-op on both sides). */
+  def graphSearchSql(cents: Seq[Array[Double]], kGraph: Int, cap: Int,
+                     k: Int, nprobe: Int, beamWidth: Int,
+                     hops: Int): String = {
+    val hopCtes = (1 to hops).map { i =>
+      s"""__f$i AS (
+         |  SELECT DISTINCT g.dst AS id FROM __graph g
+         |  JOIN __b${i - 1} b ON g.src = b.id
+         |  WHERE g.dst NOT IN (SELECT id FROM __s${i - 1})),
+         |__s$i AS (
+         |  SELECT * FROM __s${i - 1}
+         |  UNION ALL
+         |  SELECT a.doc_id AS id, ${dotFold("a.embedding", "q.qe")} AS s
+         |  FROM __assigned a JOIN __f$i f ON a.doc_id = f.id, q),
+         |__b$i AS (
+         |  SELECT id FROM (
+         |    SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rn
+         |    FROM __s$i) WHERE rn <= $beamWidth)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |__graph AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |    FROM __gscored) WHERE rnk <= $kGraph),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |entry AS (
+       |  SELECT min(a.doc_id) AS id FROM __assigned a
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)
+       |  GROUP BY a.cell_id),
+       |__s0 AS (
+       |  SELECT a.doc_id AS id, ${dotFold("a.embedding", "q.qe")} AS s
+       |  FROM __assigned a JOIN entry e ON a.doc_id = e.id, q),
+       |__b0 AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rn
+       |    FROM __s0) WHERE rn <= $beamWidth),
+       |$hopCtes
+       |SELECT CAST(rn AS BIGINT) AS rnk, id AS doc_id, round(s, 4) AS score
+       |FROM (SELECT id, s, row_number() OVER (ORDER BY s DESC, id ASC) AS rn
+       |      FROM __s$hops) WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+  }
 
   /** q88's oracle, GENERATED from the persisted SQ8 bounds: replay
     * encode (`floor(t + 0.5)` clamped to [0,255]) and decode

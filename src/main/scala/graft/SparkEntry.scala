@@ -3343,6 +3343,25 @@ object SparkEntry {
         col("hamming"))
   }
 
+  /** HNSW-family graph search ([[GraphSearch.searchBeam]]): a greedy
+    * beam walk over the q87 cell-blocked k-NN graph, seeded by the
+    * coarse probe (the quantizer plays HNSW's upper layers). Oracle
+    * GENERATED from the shared quantizer with the hops UNROLLED in SQL
+    * — graph build, probe, entry, three expand/score/beam blocks, final
+    * top-k — so the whole walk (not just its output shape) sits under
+    * the gate. */
+  private def q97GraphSearch(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val graph = KnnGraph.cellBlocked(emb, ivf, k = 4)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    GraphSearch.searchBeam(graph, withCells, ivf, qVec, k = 10,
+        nprobe = 4, beamWidth = 8, hops = 3)
+      .select(col("rnk"), col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy("rnk")
+  }
+
   /** One-scan corpus screen: language, Gopher and C4 verdicts from a
     * SINGLE projection over raw text — the FineWeb/RefinedWeb-style
     * filter chain as one Spark job instead of one pass per rule. Every
@@ -3742,6 +3761,7 @@ object SparkEntry {
     "q90_opq_search" -> (q90OpqSearch _),
     "q91_ivfsq_search" -> (q91IvfSqSearch _),
     "q92_bivf_search" -> (q92BivfSearch _),
+    "q97_graph_search" -> (q97GraphSearch _),
     "q93_corpus_screen" -> (q93CorpusScreen _),
     "q94_quality_score" -> (q94QualityScore _),
     "q95_cluster_sample" -> (q95ClusterSample _),
@@ -4015,6 +4035,9 @@ object SparkEntry {
         "q92_bivf_search" -> OracleSqlGen.bivfSearchSql(cents,
           k = 10, nprobe = 4),
         "q95_cluster_sample" -> OracleSqlGen.clusterSampleSql(cents,
-          perCell = 12, salt = "balance"))
+          perCell = 12, salt = "balance"),
+        "q97_graph_search" -> OracleSqlGen.graphSearchSql(cents,
+          kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
+          k = 10, nprobe = 4, beamWidth = 8, hops = 3))
     }).getOrElse(Map.empty)
 }
