@@ -99,6 +99,20 @@ class BinaryIndexSpec extends AnyFunSuite {
     assert(agg == window, "aggregated batch diverged from the window form")
   }
 
+  test("widenEmb (Spark) ≡ widenVec (driver): the two 768-d expansions agree") {
+    // q84 packs the Spark-widened column; q89/q92 pack the driver-widened
+    // query vector — independent implementations of the same rotation
+    // blocks, pinned here so the oracles can't silently diverge.
+    val data = randVecs(10, dim = 64)
+    val fromSpark = data.toDF("vec_id", "embedding")
+      .select(col("vec_id"), SparkEntry.widenEmb(col("embedding")).as("w"))
+      .orderBy("vec_id").select("w").as[Array[Float]].collect()
+    data.zip(fromSpark).foreach { case ((_, v), wide) =>
+      assert(SparkEntry.widenVec(v).toSeq == wide.toSeq)
+      assert(wide.length == 768)
+    }
+  }
+
   test("hamming_words zero-extends the shorter code (mixed-width corpus)") {
     val a = Array.fill(40)(1f)  // 1 word, 40 set bits
     val b = Array.fill(100)(1f) // 2 words, 100 set bits
