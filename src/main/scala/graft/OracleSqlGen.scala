@@ -406,6 +406,8 @@ object OracleSqlGen {
   def graphSearchSql(cents: Seq[Array[Double]], kGraph: Int, cap: Int,
                      k: Int, nprobe: Int, beamWidth: Int,
                      hops: Int): String = {
+    // hops = 0 would leave a dangling comma before the final SELECT
+    require(hops >= 1, s"graphSearchSql needs at least one hop, got $hops")
     val hopCtes = (1 to hops).map { i =>
       s"""__f$i AS (
          |  SELECT DISTINCT g.dst AS id FROM __graph g

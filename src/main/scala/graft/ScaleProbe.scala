@@ -1027,9 +1027,7 @@ object ScaleProbe {
     // widened corpus is the gate's rotation-block expansion (pure
     // re-indexing; signs per block are rotations of the base pattern,
     // so Hamming mass scales ~12x and the scan reads 96 B/row of codes).
-    val wide = flatten(transform(sequence(lit(0), lit(11)), j =>
-      transform(sequence(lit(0), lit(63)), i =>
-        element_at(col("embedding"), ((i + j) % 64) + 1))))
+    val wide = SparkEntry.widenEmb(col("embedding"))
     val bin768Path = s"/tmp/graft-binw768-scale-${factor}x"
     if (!parquetComplete(spark, bin768Path)) {
       val t0 = System.nanoTime()
@@ -1039,7 +1037,7 @@ object ScaleProbe {
       println(f"[scale] 768-d binary encode+write (one-off): ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val codes768 = spark.read.parquet(bin768Path)
-    val qWide = Array.tabulate(768)(e => qVec((e % 64 + e / 64) % 64))
+    val qWide = SparkEntry.widenVec(qVec)
     val qCode768 = graft.operators.BinaryIndex.packOne(qWide)
     timeWarm("768-d binary hamming top-100 (96 B/row, 12-word kernel)")(
       graft.operators.BinaryIndex.searchHamming(codes768, qCode768, 100).collect())

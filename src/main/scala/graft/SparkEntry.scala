@@ -1096,11 +1096,15 @@ object SparkEntry {
   /** Deterministic 768-d widening of a 64-d embedding column: block j
     * element i = `embedding[(i + j) % 64]` — pure re-indexing, no float
     * arithmetic, so the DuckDB replay ([[OracleSqlGen.wideCte]]) is
-    * bit-exact. */
+    * bit-exact. Guarded: a non-64-d input would silently null-pad
+    * blocks (non-ANSI `element_at` out of range → NULL → `sign_pack`
+    * reads unset bits), so `assert_true` fails loudly instead. */
   private[graft] def widenEmb(emb: Column): Column =
-    flatten(transform(sequence(lit(0), lit(wideBlocks - 1)), j =>
-      transform(sequence(lit(0), lit(63)), i =>
-        element_at(emb, ((i + j) % 64) + 1))))
+    when(assert_true(size(emb) === 64,
+        lit("widenEmb expects 64-d embeddings")).isNull,
+      flatten(transform(sequence(lit(0), lit(wideBlocks - 1)), j =>
+        transform(sequence(lit(0), lit(63)), i =>
+          element_at(emb, ((i + j) % 64) + 1)))))
 
   /** Driver-side [[widenEmb]] (query-vector path). */
   private[graft] def widenVec(v: Array[Float]): Array[Float] =

@@ -96,8 +96,28 @@ case class DsirBucketDot(left: Expression, right: Expression)
 
   override def nullSafeEval(text: Any, wAny: Any): Any = {
     val buckets = w.length
+    val counts = DsirFeatures.bucketHistogram(
+      text.asInstanceOf[UTF8String], buckets)
+    var acc = 0.0
+    var i = 0
+    while (i < buckets) { acc += counts(i).toDouble * w(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DsirBucketDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The one definition of the DSIR hashed-feature pipeline shared by the
+  * histogram kernels: trim/lower/`\s+` tokenization, word unigrams then
+  * adjacent bigrams, bucket = first 4 md5 bytes big-endian mod
+  * `buckets`. q94's gate depends on `dsir_dot` and `dsir_buckets`
+  * computing IDENTICAL histograms — one body keeps that structural. */
+private[functions] object DsirFeatures {
+  def bucketHistogram(text: UTF8String, buckets: Int): Array[Long] = {
     val counts = new Array[Long](buckets)
-    val raw = text.asInstanceOf[UTF8String].toString
+    val raw = text.toString
       .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val toks = raw.filter(_.nonEmpty)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -115,15 +135,8 @@ case class DsirBucketDot(left: Expression, right: Expression)
       counts(bucketOf(toks(i) + " " + toks(i + 1))) += 1L
       i += 1
     }
-    var acc = 0.0
-    i = 0
-    while (i < buckets) { acc += counts(i).toDouble * w(i); i += 1 }
-    acc
+    counts
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): DsirBucketDot =
-    copy(left = newLeft, right = newRight)
 }
 
 /** `dsir_buckets(text, buckets)`: per-document hashed-feature bucket
@@ -153,28 +166,9 @@ case class DsirBucketCounts(left: Expression, right: Expression)
       s"dsir_buckets needs a foldable int bucket count, got $other")
   }
 
-  override def nullSafeEval(text: Any, bucketsAny: Any): Any = {
-    val counts = new Array[Long](buckets)
-    val raw = text.asInstanceOf[UTF8String].toString
-      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-    val toks = raw.filter(_.nonEmpty)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def bucketOf(f: String): Int = {
-      md.reset()
-      val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      (h % buckets).toInt
-    }
-    var i = 0
-    while (i < toks.length) { counts(bucketOf(toks(i))) += 1L; i += 1 }
-    i = 0
-    while (i < toks.length - 1) {
-      counts(bucketOf(toks(i) + " " + toks(i + 1))) += 1L
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
-  }
+  override def nullSafeEval(text: Any, bucketsAny: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      DsirFeatures.bucketHistogram(text.asInstanceOf[UTF8String], buckets))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DsirBucketCounts =

@@ -722,12 +722,27 @@ case class HammingWords(left: Expression, right: Expression)
     rightLit match {
       case Some(q) => dist(x, x.numElements(), q)
       case None =>
+        // no toLongArray copy: read both sides element-wise
         val y = b.asInstanceOf[ArrayData]
-        dist(x, x.numElements(), y.toLongArray())
+        val nx = x.numElements()
+        val ny = y.numElements()
+        val shared = math.min(nx, ny)
+        var d = 0L
+        var i = 0
+        while (i < shared) {
+          d += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1
+        }
+        while (i < nx) { d += java.lang.Long.bitCount(x.getLong(i)); i += 1 }
+        while (i < ny) { d += java.lang.Long.bitCount(y.getLong(i)); i += 1 }
+        d
     }
   }
 
-  private def genLoop(a: String, bArr: String, bLen: String,
+  /** `get(arr, i)` yields the i-th word as a Java expression — a baked
+    * `long[]` index on the literal path, `ArrayData.getLong` on the
+    * column path (NO per-row array copy: the batch scan evaluates this
+    * n_queries × n_corpus times). */
+  private def genLoop(a: String, bLen: String, getB: String => String,
                       ctx: CodegenContext): (String, String) = {
     val n = ctx.freshName("n")
     val shared = ctx.freshName("shared")
@@ -739,10 +754,10 @@ case class HammingWords(left: Expression, right: Expression)
         |long $d = 0L;
         |int $i = 0;
         |for (; $i < $shared; $i++) {
-        |  $d += java.lang.Long.bitCount($a.getLong($i) ^ $bArr[$i]);
+        |  $d += java.lang.Long.bitCount($a.getLong($i) ^ ${getB(i)});
         |}
         |for (; $i < $n; $i++) { $d += java.lang.Long.bitCount($a.getLong($i)); }
-        |for (; $i < $bLen; $i++) { $d += java.lang.Long.bitCount($bArr[$i]); }
+        |for (; $i < $bLen; $i++) { $d += java.lang.Long.bitCount(${getB(i)}); }
      """.stripMargin, d)
   }
 
@@ -751,18 +766,13 @@ case class HammingWords(left: Expression, right: Expression)
       case Some(q) =>
         val ref = ctx.addReferenceObj("queryCode", q, "long[]")
         nullSafeCodeGen(ctx, ev, (a, _) => {
-          val (loop, d) = genLoop(a, ref, s"$ref.length", ctx)
+          val (loop, d) = genLoop(a, s"$ref.length", i => s"$ref[$i]", ctx)
           s"$loop\n${ev.value} = $d;"
         })
       case None =>
         nullSafeCodeGen(ctx, ev, (a, b) => {
-          val arr = ctx.freshName("qw")
-          val (loop, d) = genLoop(a, arr, s"$arr.length", ctx)
-          s"""
-             |long[] $arr = $b.toLongArray();
-             |$loop
-             |${ev.value} = $d;
-           """.stripMargin
+          val (loop, d) = genLoop(a, s"$b.numElements()", i => s"$b.getLong($i)", ctx)
+          s"$loop\n${ev.value} = $d;"
         })
     }
 

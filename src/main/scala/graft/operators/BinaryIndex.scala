@@ -108,6 +108,7 @@ object BinaryIndex {
                                    queryIdCol: String = "query_id",
                                    queryCodeCol: String = "q_code"): DataFrame = {
     GraftFunctions.register(codes.sparkSession)
+    VectorSearch.requireIntegralId(codes, idCol)
     val topk = udaf(new TopKByScore(k))
     val q = queries.select(col(queryIdCol), col(queryCodeCol))
     codes.crossJoin(broadcast(q))

@@ -83,11 +83,20 @@ object IndexIngest {
     *
     * The `batch=`/`cell_id=` partition scheme is PRESERVED: later
     * micro-batches keep appending `batch=<id>` dirs beside the
-    * compacted one (batch ids are non-negative, so `-1` never
-    * collides), probed searches prune by `cell_id` across both, and a
-    * later compaction folds everything again. `repartition(cell_id)`
-    * gives each cell one write task → one file per cell. Run it
-    * offline or between batches, like a FAISS merge; the health
+    * compacted one (stream batch ids are non-negative; compacted dirs
+    * take successive NEGATIVE ids, so they never collide), probed
+    * searches prune by `cell_id` across both, and a later compaction
+    * folds everything again. `repartition(cell_id)` gives each cell
+    * one write task → one file per cell.
+    *
+    * Crash/racing discipline: ONLY the dirs in the initial snapshot are
+    * read and later deleted, so a micro-batch landing mid-compaction is
+    * neither folded nor dropped; the rename into place happens BEFORE
+    * the snapshot dirs are deleted and its result is `require`d, so a
+    * failure leaves the corpus intact (plus an orphan tmp dir that the
+    * next run clears). A crash in the delete loop leaves some rows
+    * visible twice — encode is deterministic, so the full-row
+    * `dropDuplicates` here makes a re-run heal that exactly. The health
     * history under `statsPath` is separate and untouched. */
   def compactQuantizedCorpus(spark: SparkSession, corpusPath: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -96,12 +105,18 @@ object IndexIngest {
     require(seen != null && seen.nonEmpty, s"no quantized corpus at $corpusPath")
     val tmp = new org.apache.hadoop.fs.Path(corpusPath + "__compact_tmp")
     fs.delete(tmp, true)
-    spark.read.parquet(corpusPath)
+    val seenPaths = seen.map(_.getPath.toString).toSeq
+    spark.read.option("basePath", corpusPath).parquet(seenPaths: _*)
       .drop("batch")
+      .dropDuplicates()
       .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(tmp.toString)
+    val seenIds = seenPaths.map(_.split("batch=").last.toLong)
+    val target = math.min(seenIds.min, 0L) - 1L
+    val dest = new org.apache.hadoop.fs.Path(s"$corpusPath/batch=$target")
+    require(fs.rename(tmp, dest),
+      s"compaction rename failed: $tmp -> $dest (corpus left untouched)")
     seen.foreach(s => fs.delete(s.getPath, true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$corpusPath/batch=-1"))
     ()
   }
 
