@@ -144,6 +144,26 @@ object OracleSqlGen {
        |ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id
        |LIMIT $k""".stripMargin
 
+  /** q98's oracle: probed IVF range search — cell assignment
+    * ([[ivfAssignCtes]]), IP centroid probe, strict-fold dot
+    * ([[dotFold]]), radius threshold on the UNROUNDED score (the q85
+    * posture: ORDER and FILTER on the exact value, COMPARE rounded). */
+  def ivfRangeSearchSql(cents: Seq[Array[Double]], minScore: Double,
+                        nprobe: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |scored AS (
+       |  SELECT a.doc_id, a.cell_id, ${dotFold("a.embedding", "q.qe")} AS s
+       |  FROM __assigned a, q
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe))
+       |SELECT doc_id, CAST(cell_id AS BIGINT) AS cell_id, round(s, 4) AS score
+       |FROM scored WHERE s >= $minScore
+       |ORDER BY s DESC, doc_id""".stripMargin
+
   /** q34's oracle: recall@k of IVF search vs the exact scan for the first
     * `nq` vectors as queries. */
   def ivfRecallSql(cents: Seq[Array[Double]], k: Int, nprobe: Int, nq: Int): String =
@@ -611,6 +631,48 @@ object OracleSqlGen {
        |  SELECT doc_id, adc FROM adc
        |  ORDER BY adc ASC, doc_id ASC LIMIT $k) t
        |ORDER BY t.adc ASC, t.doc_id ASC""".stripMargin
+  }
+
+  /** q99's oracle: PQ reconstruction error replayed from the persisted
+    * codebooks — per-subspace code assignment (the [[pqSearchSql]]
+    * idiom: row_number over sequential squared-L2 ASC, code ASC ties),
+    * FLOAT-cast decode concatenated in subspace order (= the encode
+    * layout's flat dim order), then the strict squared-delta left fold
+    * in dim order — `l2_distance_f32`'s exact accumulation (the q88
+    * posture for the SQ8 twin). */
+  def pqReconSql(books: Seq[Seq[Array[Double]]]): String = {
+    val dsub = books.head.head.length
+    val values = (for {
+      (book, s) <- books.zipWithIndex
+      (c, code) <- book.zipWithIndex
+    } yield s"($s, $code, [${c.mkString(", ")}])").mkString(",\n      ")
+    s"""WITH __books(s, code, c) AS (VALUES
+       |      $values),
+       |__codes AS (
+       |  SELECT doc_id, s, code FROM (
+       |    SELECT e.vec_id AS doc_id, b.s, b.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.s ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(e.embedding[b.s*$dsub+1 : b.s*$dsub+$dsub], b.c),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |        b.code ASC) AS rn
+       |    FROM embeddings e CROSS JOIN __books b)
+       |  WHERE rn = 1),
+       |rec AS (
+       |  SELECT c.doc_id,
+       |    flatten(list(list_transform(b.c, v -> CAST(v AS FLOAT))
+       |      ORDER BY c.s)) AS r
+       |  FROM __codes c JOIN __books b ON b.s = c.s AND b.code = c.code
+       |  GROUP BY c.doc_id)
+       |SELECT e.vec_id AS doc_id,
+       |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(
+       |    list_zip(e.embedding, rec.r),
+       |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+       |         (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+       |    (acc, t) -> acc + t)), 4) AS err
+       |FROM embeddings e JOIN rec ON rec.doc_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
   }
 
   /** q78's oracle: IVFADC replayed from BOTH persisted artifacts — cell

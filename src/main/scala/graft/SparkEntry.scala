@@ -3386,6 +3386,34 @@ object SparkEntry {
       .orderBy("rnk")
   }
 
+  /** Probed IVF range search ([[IvfIndex.rangeSearch]]): FAISS
+    * `IndexIVF::range_search` — every within-radius id in the probed
+    * cells, partition-pruned, no top-k. Oracle GENERATED from the
+    * shared quantizer; threshold and order on the UNROUNDED strict-fold
+    * dot (the q85 posture). */
+  private def q98IvfRange(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.rangeSearch(withCells, ivf, qVec, minScore = 0.2, nprobe = 4)
+      .orderBy(desc("score"), col("doc_id"))
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** PQ reconstruction audit ([[PqIndex.reconstructionError]]): FAISS
+    * `reconstruct_n` for IndexPQ — per-vector `‖x − decode(encode(x))‖₂`
+    * from the persisted codebooks, completing the audit pair with q88's
+    * SQ8 twin. Oracle GENERATED from the codebooks (assignment +
+    * float-cast decode + strict dim-order fold). */
+  private def q99PqRecon(s: SparkSession, dir: String): DataFrame = {
+    val (_, pq) = pqCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    PqIndex.reconstructionError(emb, pq)
+      .select(col("doc_id"), round(col("err"), 4).as("err"))
+      .orderBy("doc_id")
+  }
+
   /** One-scan corpus screen: language, Gopher and C4 verdicts from a
     * SINGLE projection over raw text — the FineWeb/RefinedWeb-style
     * filter chain as one Spark job instead of one pass per rule. Every
@@ -3786,6 +3814,8 @@ object SparkEntry {
     "q91_ivfsq_search" -> (q91IvfSqSearch _),
     "q92_bivf_search" -> (q92BivfSearch _),
     "q97_graph_search" -> (q97GraphSearch _),
+    "q98_ivf_range" -> (q98IvfRange _),
+    "q99_pq_recon" -> (q99PqRecon _),
     "q93_corpus_screen" -> (q93CorpusScreen _),
     "q94_quality_score" -> (q94QualityScore _),
     "q95_cluster_sample" -> (q95ClusterSample _),
@@ -3902,7 +3932,9 @@ object SparkEntry {
       val flat: Seq[Array[Double]] = (1 until lines.size())
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       val books = flat.grouped(flat.length / m).toSeq
-      Map("q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10))
+      Map(
+        "q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10),
+        "q99_pq_recon" -> OracleSqlGen.pqReconSql(books))
     }).getOrElse(Map.empty)
 
   /** Quality-classifier oracle, generated from the coefficients q94's
@@ -4062,6 +4094,8 @@ object SparkEntry {
           perCell = 12, salt = "balance"),
         "q97_graph_search" -> OracleSqlGen.graphSearchSql(cents,
           kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
-          k = 10, nprobe = 4, beamWidth = 8, hops = 3))
+          k = 10, nprobe = 4, beamWidth = 8, hops = 3),
+        "q98_ivf_range" -> OracleSqlGen.ivfRangeSearchSql(cents,
+          minScore = 0.2, nprobe = 4))
     }).getOrElse(Map.empty)
 }

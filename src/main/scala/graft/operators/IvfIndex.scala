@@ -204,6 +204,24 @@ object IvfIndex {
       queryVec, k, embCol, idCol)
   }
 
+  /** Probed range search (FAISS `IndexIVF::range_search`): every id in
+    * the probed cells with `score ≥ minScore` — the radius analog of
+    * [[searchScores]]. Partition-pruned scan + codegen dot + filter; no
+    * top-k, no shuffle, output bounded by the true within-radius mass
+    * of the probed cells (like FAISS, ids outside the probed cells are
+    * not reported — raise `nprobe` for recall). */
+  def rangeSearch(corpusWithCells: DataFrame, ivf: Ivf,
+                  queryVec: Array[Float], minScore: Double, nprobe: Int,
+                  embCol: String = "embedding",
+                  idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(corpusWithCells.sparkSession)
+    val cells = probeCells(ivf, queryVec, nprobe)
+    corpusWithCells.filter(col("cell_id").isin(cells: _*))
+      .select(col(idCol), col("cell_id"),
+        GraftFunctions.dotF32(col(embCol), typedLit(queryVec.toSeq)).as("score"))
+      .filter(col("score") >= lit(minScore))
+  }
+
   /** Batch IVF search as ONE Spark job: per-query probe cells (driver-side,
     * centroid table is tiny) become a broadcast `(query_id, cell_id)` pair
     * table; a corpus row joins only the queries probing its cell, scores in

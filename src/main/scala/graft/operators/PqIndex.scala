@@ -291,6 +291,44 @@ object PqIndex {
       .limit(k)
   }
 
+  /** Decode codes back to the reconstructed vector — FAISS
+    * `IndexPQ::reconstruct` / `sa_decode`: element `s·dsub + t` is
+    * `float(codebooks[s][codes[s]][t])` (subspace-major, the encode
+    * layout's inverse); untrained decodes to zeros. A `transform` HOF,
+    * not a codegen kernel — reconstruction is a diagnostic/recovery
+    * path (error audits, re-materializing vectors from a codes-only
+    * store), not the per-query scan (the [[SqIndex.decode]] posture). */
+  def decode(encoded: DataFrame, pq: Pq, codesCol: String = "codes",
+             outCol: String = "recon"): DataFrame =
+    pq.codebooks match {
+      case Some(books) =>
+        val lit3 = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+        encoded.withColumn(outCol,
+          flatten(transform(col(codesCol), (c, s) =>
+            transform(element_at(element_at(lit3, s + 1), c + 1),
+              v => v.cast("float")))))
+      case None =>
+        val dsub = 1
+        encoded.withColumn(outCol,
+          transform(col(codesCol), c => (c * dsub * 0).cast("float")))
+    }
+
+  /** Per-vector reconstruction error `‖x − decode(encode(x))‖₂` — the
+    * PQ quantizer-quality audit (FAISS `reconstruct_n` paired with the
+    * originals), completing the audit pair with [[SqIndex
+    * .reconstructionError]] (q88). Encode is deterministic, so this is
+    * one narrow projection over the float corpus — no join with the
+    * codes store. */
+  def reconstructionError(corpus: DataFrame, pq: Pq,
+                          embCol: String = "embedding",
+                          idCol: String = "doc_id",
+                          outCol: String = "err"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    decode(encode(corpus, pq, embCol), pq)
+      .select(col(idCol),
+        GraftFunctions.l2DistanceF32(col(embCol), col("recon")).as(outCol))
+  }
+
   /** Refined search (FAISS IndexRefineFlat over IndexIVFPQ): the IVFADC
     * scan proposes `rerank` candidates from codes alone, then the exact
     * inner product re-ranks just those rows of the FLOAT corpus — ADC

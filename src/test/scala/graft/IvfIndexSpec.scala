@@ -112,6 +112,26 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(hits.select("doc_id").as[Long].collect().toSeq == exact)
   }
 
+  test("rangeSearch: probe-all ≡ flat range search; nprobe=1 stays in its cell") {
+    val data = (0 until 300).map(i => (i.toLong, randVec(i)))
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 4)
+    val qVec = data(5)._2
+    val nlistTrained = ivf.centroids.get.length
+    val probeAll = IvfIndex
+      .rangeSearch(withCells, ivf, qVec, minScore = 0.5, nprobe = nlistTrained)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val flat = VectorSearch.rangeSearch(docs, qVec, minScore = 0.5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(probeAll.keySet == flat.keySet,
+      "probe-all IVF range diverged from the flat range scan")
+    probeAll.foreach { case (id, s) => assert(math.abs(s - flat(id)) < 1e-12) }
+    val probedCell = IvfIndex.probeCells(ivf, qVec, 1).head
+    val cells = IvfIndex.rangeSearch(withCells, ivf, qVec, 0.5, nprobe = 1)
+      .select("cell_id").as[Int].collect().toSet
+    assert(cells.subsetOf(Set(probedCell)))
+  }
+
   test("cellStats: full histogram, fractions sum to 1, imbalance >= 1") {
     val corpus = (0 until 200).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
     val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)

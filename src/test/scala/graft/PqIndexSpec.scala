@@ -143,6 +143,47 @@ class PqIndexSpec extends AnyFunSuite {
       s"candidate isin not pushed to the float scan:\n$scan")
   }
 
+  test("decode inverts encode to the assigned codebook entries; error bounded") {
+    val data = clustered(300, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val pq = PqIndex.train(docs, m = 4, ksub = 8)
+    val books = pq.codebooks.get
+    val dsub = books(0)(0).length
+    val rows = PqIndex.decode(PqIndex.encode(docs, pq), pq)
+      .select("doc_id", "codes", "recon")
+      .as[(Long, Seq[Int], Seq[Float])].collect()
+    rows.foreach { case (_, codes, recon) =>
+      assert(recon.length == codes.length * dsub)
+      codes.zipWithIndex.foreach { case (c, s) =>
+        val expect = books(s)(c).map(_.toFloat).toSeq
+        assert(recon.slice(s * dsub, (s + 1) * dsub) == expect)
+      }
+    }
+    // recon error: ties out to the driver-side distortion of the
+    // assigned entries (encode is argmin, so this is the min distortion)
+    val errs = PqIndex.reconstructionError(docs, pq)
+      .select("doc_id", "err").as[(Long, Double)].collect().toMap
+    data.foreach { case (id, v) =>
+      val expected = math.sqrt((0 until 4).map { s =>
+        books(s).map { entry =>
+          v.slice(s * dsub, (s + 1) * dsub).zip(entry)
+            .map { case (x, c) => val d = x.toDouble - c; d * d }.sum
+        }.min
+      }.sum)
+      assert(math.abs(errs(id) - expected) < 1e-4,
+        s"doc $id err ${errs(id)} vs driver $expected")
+    }
+  }
+
+  test("untrained decode yields zero vectors (PQ)") {
+    val tiny = clustered(5, 1)
+    val docs = tiny.toDF("doc_id", "embedding")
+    val pq = PqIndex.Pq(None, 4, 8)
+    val recon = PqIndex.decode(PqIndex.encode(docs, pq), pq)
+      .select("recon").as[Seq[Float]].head()
+    assert(recon.forall(_ == 0f))
+  }
+
   test("residual_f32 matches the zip_with form bit-for-bit and stays codegen") {
     import graft.operators.IvfIndex
     val data = clustered(400, 8)
