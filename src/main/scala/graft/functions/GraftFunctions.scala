@@ -77,6 +77,9 @@ object GraftFunctions {
       "screen_flags", exprs => ScreenFlagsExpression(exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "rep_stats", exprs => RepStatsExpression(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lm_score", exprs => LmScoreExpression(exprs(0), exprs(1), exprs(2)),
+      "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -112,6 +115,11 @@ object GraftFunctions {
     * NULL text yields a NULL struct — `coalesce` first if zeros are
     * wanted (the composed forms' posture). */
   def repStats(text: Column): Column = call_function("rep_stats", text)
+
+  /** Unigram-LM fold: `struct(sum, n_tokens, n_oov)` against a vocab
+    * map literal (sorted-token accumulation, OOV floor). */
+  def lmScore(text: Column, vmap: Column, total: Column): Column =
+    call_function("lm_score", text, vmap, total)
 
   /** IVF cell assignment: argmin squared-L2 over a centroid literal. */
   def nearestCentroidF32(emb: Column, centroids: Column): Column =

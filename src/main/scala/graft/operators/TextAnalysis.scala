@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -468,39 +469,33 @@ object TextAnalysis {
     * the cheap stand-in for the CCNet LM-perplexity filter, with the
     * same thresholding usage.
     *
-    * Scale shape: the vocab folds to ONE broadcast map row
-    * (`map_from_entries` over ≤ k entries); scoring is a single-pass
-    * per-row HOF fold over the doc's sorted tokens (sum + OOV count in
-    * one struct accumulator) — the corpus is scanned once and never
-    * shuffled or exploded. OOV tokens take the floor
+    * Scale shape: the vocab is model-table-sized (bounded by its `k` —
+    * the bounded-collect class) and rides as a map literal baked into
+    * the one-pass `lm_score` kernel ([[graft.functions
+    * .LmScoreExpression]]): tokenize + sort + fold + OOV count in one
+    * Java pass per row, one HashMap probe per token — replacing the
+    * interpreted HOF fold whose per-token `element_at` was a linear
+    * map scan (the q81 pathology). The corpus is scanned once and
+    * never shuffled or exploded. OOV tokens take the floor
     * `ln(1/(total+1))`. Determinism: the fold runs over ASCENDING
-    * token order (array_sort), so both engines accumulate the same
-    * double sequence; mean divides once at the end; round(4). Docs
-    * with no tokens score 0.0 (not NULL). */
+    * UTF8String token order (= `array_sort` / DuckDB binary-collation
+    * `list_sort`), so both engines accumulate the same double
+    * sequence; mean divides once at the end; round(4). Docs with no
+    * tokens score 0.0 (not NULL). */
   def lmScore(docs: DataFrame, vocab: DataFrame,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val vrow = broadcast(vocab.agg(
-      map_from_entries(collect_list(struct(col("token"), col("logp")))).as("__vmap"),
-      first(col("total")).as("__total")))
-    val acc0 = struct(lit(0.0).as("s"), lit(0L).as("o"))
-    docs.crossJoin(vrow)
-      .withColumn("__toks", array_sort(
-        filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)))
-      .withColumn("__oovlp",
-        log(lit(1.0) / (col("__total").cast("double") + lit(1.0))))
-      .withColumn("__acc",
-        aggregate(col("__toks"), acc0, (acc, t) => {
-          val lp = element_at(col("__vmap"), t)
-          struct(
-            (acc.getField("s") + coalesce(lp, col("__oovlp"))).as("s"),
-            (acc.getField("o") + when(lp.isNull, lit(1L)).otherwise(lit(0L))).as("o"))
-        }))
-      .withColumn("__n", size(col("__toks")).cast("long"))
+    GraftFunctions.register(docs.sparkSession)
+    val rows = vocab.select(col("token"), col("logp"), col("total")).collect()
+    val vmap = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val total = if (rows.isEmpty) 0L else rows(0).getLong(2)
+    docs
       .select(col(idCol),
-        round(when(col("__n") === 0, lit(0.0))
-          .otherwise(col("__acc").getField("s") / col("__n").cast("double")), 4)
+        GraftFunctions.lmScore(col(textCol), typedlit(vmap), lit(total)).as("r"))
+      .select(col(idCol),
+        round(when(col("r.n_tokens") === 0, lit(0.0))
+          .otherwise(col("r.sum") / col("r.n_tokens").cast("double")), 4)
           .as("lm_logprob"),
-        col("__n").as("n_tokens"),
-        col("__acc").getField("o").as("n_oov"))
+        col("r.n_tokens").as("n_tokens"),
+        col("r.n_oov").as("n_oov"))
   }
 }
