@@ -79,10 +79,14 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
       s"streamed corpus search does not prune cells:\n$plan")
 
-    // Health history: one row per batch, factor >= 1.
+    // Health history: one row per micro-batch, factor >= 1. Do NOT pin
+    // the exact batch ids: the file source can trigger a micro-batch
+    // mid-append (part files commit one by one), splitting a staged
+    // write across two batch ids under load — content is what the
+    // contract guarantees (observed as a rare suite-parallel flake).
     val stats = IndexIngest.loadStats(spark, s"$dir/stats")
       .as[(Long, Long, Double)].collect().sortBy(_._1)
-    assert(stats.map(_._1).toSeq == Seq(0L, 1L))
+    assert(stats.nonEmpty && stats.map(_._1).distinct.length == stats.length)
     assert(stats.map(_._2).sum == 120L)
     assert(stats.forall(_._3 >= 1.0))
   }
