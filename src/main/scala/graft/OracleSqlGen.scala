@@ -231,6 +231,48 @@ object OracleSqlGen {
        |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
   }
 
+  /** q100's oracle: SQ4 (packed-nibble) encode + reconstructed-inner-
+    * product top-k, replayed from the persisted 4-bit bounds. Encode is
+    * the [[sqSearchSql]] clamp with 15 as the ceiling; packing is
+    * lossless, so the replay scores the re-derived per-dim codes
+    * directly. Terms are PER PAIR of dims — `q_{2j}·recon + q_{2j+1}·
+    * recon` computed left-to-right (= the driver's paired-LUT entry),
+    * folded in pair order (= the AdcLut kernel's packed-byte
+    * accumulation); the odd tail adds exact `0.0`. Compare rounded(4),
+    * the q77/q79 precedent. */
+  def sq4SearchSql(vmin: Array[Double], step: Array[Double], k: Int): String = {
+    val n = vmin.length
+    val values = (0 until (n + 1) / 2).map { j =>
+      val d0 = 2 * j
+      val d1 = 2 * j + 1
+      if (d1 < n) s"($j, $d0, ${vmin(d0)}, ${step(d0)}, $d1, ${vmin(d1)}, ${step(d1)})"
+      else s"($j, $d0, ${vmin(d0)}, ${step(d0)}, -1, 0.0, 0.0)"
+    }.mkString(",\n      ")
+    def codeOf(dim: String, vm: String, st: String) =
+      s"""(CASE WHEN $st = 0 THEN 0
+         |            ELSE least(greatest(CAST(floor(
+         |              (CAST(e.embedding[$dim+1] AS DOUBLE) - $vm)
+         |              / $st + 0.5) AS INT), 0), 15) END)""".stripMargin
+    s"""WITH __pairs(pj, d0, vmin0, step0, d1, vmin1, step1) AS (VALUES
+       |      $values),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |terms AS (
+       |  SELECT e.vec_id AS doc_id, p.pj,
+       |    CAST(q.qe[p.d0+1] AS DOUBLE) * (p.vmin0 +
+       |      ${codeOf("p.d0", "p.vmin0", "p.step0")} * p.step0)
+       |    + (CASE WHEN p.d1 < 0 THEN 0.0
+       |            ELSE CAST(q.qe[p.d1+1] AS DOUBLE) * (p.vmin1 +
+       |              ${codeOf("p.d1", "p.vmin1", "p.step1")} * p.step1) END) AS term
+       |  FROM embeddings e CROSS JOIN __pairs p, q),
+       |score AS (
+       |  SELECT doc_id, list_sum(list(term ORDER BY pj)) AS score
+       |  FROM terms GROUP BY doc_id)
+       |SELECT doc_id, round(t.score, 4) AS score FROM (
+       |  SELECT doc_id, score FROM score
+       |  ORDER BY score DESC, doc_id ASC LIMIT $k) t
+       |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
+  }
+
   /** q95's oracle, GENERATED from the persisted quantizer: cell
     * assignment + the salted-md5 draw order per cell (`hashBucket`
     * replayed as `substr(md5('salt:' || id), 1, 8)`), capped at

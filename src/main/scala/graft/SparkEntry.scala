@@ -1187,6 +1187,30 @@ object SparkEntry {
     (s.read.parquet(cpath), sq)
   }
 
+  /** SQ4 bounds/packed-codes cache, keyed like [[sqCachePath]]. */
+  private def sq4CachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x5104L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-sq4-$key"
+  }
+
+  /** Build-or-load the SQ4 index: persisted 4-bit bounds + the
+    * packed-nibble codes corpus — 8× lighter rows than the float store
+    * (half of [[sqCorpus]]'s), floats never read at query time. */
+  private[graft] def sq4Corpus(s: SparkSession, dir: String)
+      : (DataFrame, SqIndex.Sq) = {
+    GraftFunctions.register(s)
+    val base = sq4CachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val sq = SqIndex.buildOrLoad4(s, emb, s"$base/bounds.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      SqIndex.encode4(emb, sq).select("doc_id", "codes")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), sq)
+  }
+
   /** Cache key ties the index to the dataset identity (path + file
     * length/mtime), so regenerated testdata invalidates a stale index. */
   private def ivfCachePath(s: SparkSession, dir: String): String = {
@@ -1236,7 +1260,7 @@ object SparkEntry {
     * measure search cost, not first-touch ingest. */
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     ivfCorpus(s, dir); lshCorpus(s, dir)
-    pqCorpus(s, dir); sqCorpus(s, dir); ivfAdcCorpus(s, dir)
+    pqCorpus(s, dir); sqCorpus(s, dir); sq4Corpus(s, dir); ivfAdcCorpus(s, dir)
     pcaCorpus(s, dir); opqCorpus(s, dir); ivfSqCorpus(s, dir)
     bivfCorpus(s, dir); graphCorpus(s, dir)
     ()
@@ -1257,6 +1281,20 @@ object SparkEntry {
       // double differs in the last ulp (observed in-round); the q21 ANN
       // precedent — ORDER on the exact value, COMPARE rounded.
       .select(col("doc_id"), round(col("adc"), 4).as("adc"))
+  }
+
+  /** SQ4 (FAISS ScalarQuantizer QT_4bit) search: reconstructed-inner-
+    * product top-10 over the PACKED-nibble codes corpus — the 8×
+    * compression point between SQ8 (4×) and PQ8 (32×); the scan reads
+    * one byte per PAIR of dims through the shared AdcLut kernel. The
+    * oracle replays the 15-level encode and the paired score terms from
+    * the persisted bounds (generated SQL, [[sq4OracleSqls]]). */
+  private def q100Sq4Search(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, sq) = sq4Corpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    SqIndex.search4(encoded, sq, qVec, k = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
   /** SQ8 (FAISS IndexScalarQuantizer) search: reconstructed-inner-product
@@ -3800,6 +3838,7 @@ object SparkEntry {
     "q77_pq_search" -> (q77PqSearch _),
     "q78_ivfadc_search" -> (q78IvfAdcSearch _),
     "q79_sq8_search" -> (q79SqSearch _),
+    "q100_sq4_search" -> (q100Sq4Search _),
     "q80_refine_search" -> (q80RefineSearch _),
     "q81_dsir_weights" -> (q81DsirWeights _),
     "q82_semantic_dedup" -> (q82SemanticDedup _),
@@ -3904,7 +3943,8 @@ object SparkEntry {
     "q75_gopher_rules" -> q75Sql,
     "q76_repeated_paragraphs" -> q76Sql,
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
-    pcaOracleSqls ++ opqOracleSqls ++ ivfSqOracleSqls ++ qcOracleSqls
+    sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ ivfSqOracleSqls ++
+    qcOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -4035,6 +4075,22 @@ object SparkEntry {
       Map(
         "q79_sq8_search" -> OracleSqlGen.sqSearchSql(vmin, step, k = 10),
         "q88_sq8_recon" -> OracleSqlGen.sqReconSql(vmin, step))
+    }).getOrElse(Map.empty)
+
+  /** SQ4 oracle, generated from the 4-bit bounds q100's run just
+    * persisted — same lifecycle as [[sqOracleSqls]]. */
+  private def sq4OracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      path = java.nio.file.Paths.get(s"${sq4CachePath(s, dir)}/bounds.txt")
+      if java.nio.file.Files.exists(path)
+      lines = java.nio.file.Files.readAllLines(path)
+      if lines.get(0).trim.toInt > 0
+    } yield {
+      val vmin = lines.get(1).split(" ").map(_.toDouble)
+      val step = lines.get(2).split(" ").map(_.toDouble)
+      Map("q100_sq4_search" -> OracleSqlGen.sq4SearchSql(vmin, step, k = 10))
     }).getOrElse(Map.empty)
 
   /** IVFADC oracle: needs BOTH persisted artifacts — the coarse

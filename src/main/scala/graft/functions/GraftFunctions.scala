@@ -61,6 +61,9 @@ object GraftFunctions {
       "sq8_encode_f32",
       exprs => Sq8EncodeF32(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "sq4_encode_packed_f32",
+      exprs => Sq4EncodePackedF32(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "dsir_logw", exprs => DsirLogw(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "dsir_buckets", exprs => DsirBucketCounts(exprs(0), exprs(1)), "built-in")
@@ -167,6 +170,10 @@ object GraftFunctions {
   /** 8-bit scalar-quantizer encode against per-dim (vmin, step) bounds. */
   def sq8EncodeF32(emb: Column, vmin: Column, step: Column): Column =
     call_function("sq8_encode_f32", emb, vmin, step)
+
+  /** 4-bit scalar-quantizer encode + nibble pack (two codes per int). */
+  def sq4EncodePackedF32(emb: Column, vmin: Column, step: Column): Column =
+    call_function("sq4_encode_packed_f32", emb, vmin, step)
 
   /** Single-pass DSIR log-weight: struct(logw, n_features). */
   def dsirLogw(text: Column, lr: Column): Column =

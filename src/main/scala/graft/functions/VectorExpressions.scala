@@ -551,6 +551,104 @@ case class Sq8EncodeF32(first: Expression, second: Expression, third: Expression
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** 4-bit scalar-quantizer encode with nibble packing — FAISS
+  * `ScalarQuantizer` QT_4bit (faiss/impl/ScalarQuantizer.cpp), the 8×
+  * compression point of the family (float32 → SQ8 4× → SQ4 8× → PQ8
+  * 32×): per-dim affine code `clamp(⌊(x−vmin)/step + 0.5⌋, 0, 15)`
+  * against trained bounds (`step = (vmax−vmin)/15`), and TWO codes
+  * packed per output int (`out[j] = c_{2j}·16 + c_{2j+1}`, odd tail's
+  * low nibble 0) — so the at-rest code row is ⌈d/2⌉ small ints, half of
+  * SQ8's, and the [[AdcLut]] scan reads one packed byte per PAIR of
+  * dims (a 256-entry paired LUT per position; see
+  * `SqIndex.reconDotLut4`).
+  *
+  * One codegen kernel for encode+pack (vs `sq8_encode_f32` → a packing
+  * HOF) for the family's standing reason: encode runs corpus-wide at
+  * ingest and in the streaming leg, and a `transform` lambda there
+  * fences whole-stage codegen. Bounds bake into the generated class as
+  * primitive `double[]`. Untrained corpora take the all-zero-codes
+  * contract via `SqIndex.encode4`, not this kernel. */
+case class Sq4EncodePackedF32(first: Expression, second: Expression,
+                              third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq4_encode_packed_f32"
+
+  @transient private lazy val (vmin: Array[Double], step: Array[Double]) = {
+    def parse(e: Expression, what: String): Array[Double] = e match {
+      case Literal(v: ArrayData, ArrayType(DoubleType, _)) if v != null =>
+        v.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"sq4_encode_packed_f32 needs a foldable array<double> $what literal, got $other")
+    }
+    (parse(second, "vmin"), parse(third, "step"))
+  }
+
+  private def codeAt(x: ArrayData, i: Int): Int =
+    if (step(i) == 0.0) 0
+    else {
+      val t = math.floor((x.getFloat(i).toDouble - vmin(i)) / step(i) + 0.5)
+      if (t < 0.0) 0 else if (t > 15.0) 15 else t.toInt
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), vmin.length)
+    val out = new Array[Int]((n + 1) / 2)
+    var j = 0
+    while (j < out.length) {
+      val hi = codeAt(x, 2 * j)
+      val lo = if (2 * j + 1 < n) codeAt(x, 2 * j + 1) else 0
+      out(j) = hi * 16 + lo
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vminRef = ctx.addReferenceObj("sq4Vmin", vmin, "double[]")
+    val stepRef = ctx.addReferenceObj("sq4Step", step, "double[]")
+    val embGen = first.genCode(ctx)
+    val n = ctx.freshName("n")
+    val j = ctx.freshName("j")
+    val d = ctx.freshName("d")
+    val t = ctx.freshName("t")
+    val hi = ctx.freshName("hi")
+    val lo = ctx.freshName("lo")
+    val out = ctx.freshName("out")
+    // One helper call per dim keeps the generated method under the JIT
+    // inline budget at any d (the PcaProjectF32 posture).
+    val codeFn = ctx.freshName("sq4Code")
+    ctx.addNewFunction(codeFn,
+      s"""private int $codeFn(ArrayData x, int $d) {
+         |  if ($stepRef[$d] == 0.0) return 0;
+         |  double $t = java.lang.Math.floor(
+         |    ((double)x.getFloat($d) - $vminRef[$d]) / $stepRef[$d] + 0.5);
+         |  return $t < 0.0 ? 0 : ($t > 15.0 ? 15 : (int)$t);
+         |}""".stripMargin)
+    ev.copy(code = code"""
+      ${embGen.code}
+      boolean ${ev.isNull} = ${embGen.isNull};
+      ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        int $n = java.lang.Math.min(${embGen.value}.numElements(), $vminRef.length);
+        int[] $out = new int[($n + 1) / 2];
+        for (int $j = 0; $j < $out.length; $j++) {
+          int $hi = $codeFn(${embGen.value}, 2 * $j);
+          int $lo = 2 * $j + 1 < $n ? $codeFn(${embGen.value}, 2 * $j + 1) : 0;
+          $out[$j] = $hi * 16 + $lo;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Sq4EncodePackedF32 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** PCA projection of a float vector against trained (mean, components)
   * literals — FAISS `PCAMatrix::apply` (faiss/VectorTransform.cpp):
   * `y_j = float( Σ_i comps[j][i] · (x_i − mean[i]) )`, components rows in

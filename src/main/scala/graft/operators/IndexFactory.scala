@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *   "IVF64,PQ8"       residual PQ, probed        PqIndex (IVFADC)
   *   "IVF64,PQ8,RFlat" + exact re-rank            PqIndex.searchRefined
   *   "SQ8"             scalar quantizer           SqIndex
+  *   "SQ4"             packed 4-bit scalar        SqIndex (search4)
   *   "IVF64,SQ8,RFlat" + exact re-rank            SqIndex.searchRefined
   *   "LSH"             binary sign codes          BinaryIndex
   *   "PCA16,Flat"      PCA front + any of these   PcaTransform + rest
@@ -38,6 +39,7 @@ object IndexFactory {
   case object Flat extends Code
   final case class PQ(m: Int) extends Code
   case object SQ8Code extends Code
+  case object SQ4Code extends Code
   case object LshCode extends Code
 
   /** Pre-transform front: PCA dimensionality reduction or the OPQ
@@ -97,6 +99,7 @@ object IndexFactory {
       case "Flat" :: tail => (Flat, tail)
       case PqRe(m) :: tail => (PQ(m.toInt), tail)
       case "SQ8" :: tail => (SQ8Code, tail)
+      case "SQ4" :: tail => (SQ4Code, tail)
       case "LSH" :: tail => (LshCode, tail)
       case Nil if nlist.isDefined => (Flat, Nil) // "IVF64" alone = IVF,Flat
       case other => fail(s"unsupported code layer '${other.mkString(",")}'")
@@ -108,6 +111,9 @@ object IndexFactory {
     }
     if (nlist.isDefined && code == LshCode)
       fail("IVF+LSH is not a FAISS combination the engine implements")
+    if (nlist.isDefined && code == SQ4Code)
+      fail("IVF+SQ4 (by-residual 4-bit) is not implemented — use flat SQ4, " +
+        "or IVF<n>,SQ8 for the probed scalar-quantized path")
     // Refinement is implemented for the coded candidate generators
     // (IVF+PQ, IVF+SQ8); 'IVF<n>,Flat,RFlat' would re-rank already-exact
     // scores — reject rather than silently no-op.
@@ -195,6 +201,11 @@ object IndexFactory {
         val encoded = SqIndex.encode(corpus, sq, embCol)
           .select(col(idCol), col("codes"))
         Built(d, encoded, (q, k) => SqIndex.search(encoded, sq, q, k, idCol))
+      case (None, SQ4Code) =>
+        val sq = SqIndex.train4(corpus, embCol)
+        val encoded = SqIndex.encode4(corpus, sq, embCol)
+          .select(col(idCol), col("codes"))
+        Built(d, encoded, (q, k) => SqIndex.search4(encoded, sq, q, k, idCol))
       case (Some(n), SQ8Code) =>
         val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
         val sq = SqIndex.trainResidual(withCells, ivf, embCol)

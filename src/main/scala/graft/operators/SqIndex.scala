@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** 8-bit scalar quantization — FAISS `IndexScalarQuantizer` (QT_8bit),
   * the middle compression point of the engine's quantizer family
-  * (float32 exact → SQ8 4× → PQ8 32×): each dimension is affinely mapped
+  * (float32 exact → SQ8 4× → SQ4 8× → PQ8 32×): each dimension is affinely mapped
   * to one byte against per-dim trained bounds, so a vector is `dim`
   * small ints instead of `dim` floats, and inner-product search reads
   * only codes.
@@ -40,7 +40,16 @@ object SqIndex {
     * embedding column. The explode multiplies rows by `dim` but feeds a
     * partial aggregate — what crosses the shuffle is `dim` rows per map
     * partition, not the corpus. */
-  def train(corpus: DataFrame, embCol: String = "embedding"): Sq = {
+  def train(corpus: DataFrame, embCol: String = "embedding"): Sq =
+    trainLevels(corpus, embCol, maxCode = 255.0)
+
+  /** Train 4-bit bounds (`step = (vmax − vmin) / 15`) — same aggregation,
+    * the grid just spends 16 levels instead of 256. */
+  def train4(corpus: DataFrame, embCol: String = "embedding"): Sq =
+    trainLevels(corpus, embCol, maxCode = 15.0)
+
+  private def trainLevels(corpus: DataFrame, embCol: String,
+                          maxCode: Double): Sq = {
     if (corpus.limit(IvfIndex.TrainMin).count() < IvfIndex.TrainMin) Sq(None, None)
     else {
       val bounds = corpus
@@ -52,7 +61,7 @@ object SqIndex {
         .collect()
       val vmin = bounds.map(_.getDouble(1))
       val vmax = bounds.map(_.getDouble(2))
-      val step = vmin.indices.map(i => (vmax(i) - vmin(i)) / 255.0).toArray
+      val step = vmin.indices.map(i => (vmax(i) - vmin(i)) / maxCode).toArray
       Sq(Some(vmin), Some(step))
     }
   }
@@ -220,6 +229,102 @@ object SqIndex {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ---- SQ4 (FAISS ScalarQuantizer QT_4bit, packed nibbles) ----------
+  //
+  // The 8× compression point: per-dim 4-bit affine codes against
+  // train4's bounds, TWO codes packed per stored int (hi nibble = even
+  // dim), so a code row is ⌈d/2⌉ small ints — half of SQ8 at rest, and
+  // the scan reads one packed byte per PAIR of dims against a paired
+  // 256-entry LUT through the SAME AdcLut kernel (a packed scalar pair
+  // IS product quantization with dsub=2 over the 16×16 affine grid).
+
+  /** Encode every row to packed 4-bit codes (`array<int>`, length
+    * ⌈d/2⌉). Untrained ⇒ all-zero packed codes of the packed length. */
+  def encode4(corpus: DataFrame, sq: Sq, embCol: String = "embedding"): DataFrame =
+    (sq.vmin, sq.step) match {
+      case (Some(vmin), Some(step)) =>
+        GraftFunctions.register(corpus.sparkSession)
+        corpus.withColumn("codes",
+          GraftFunctions.sq4EncodePackedF32(col(embCol),
+            typedLit(vmin.toSeq), typedLit(step.toSeq)))
+      case _ =>
+        corpus.withColumn("codes",
+          array_repeat(lit(0),
+            ((size(col(embCol)) + lit(1)) / lit(2)).cast("int")))
+    }
+
+  /** The paired per-query LUT: `lut[j][b] = q_{2j} · recon(2j, b»4) +
+    * q_{2j+1} · recon(2j+1, b&15)` with `recon(i, c) = vmin_i + c·step_i`
+    * — each entry computed left-to-right in driver doubles, and entries
+    * folded in pair order by the scan, so the whole score is the exact
+    * double op chain the generated oracle replays pair-by-pair. The odd
+    * tail's low-nibble term is `+ 0.0` (exact no-op on both engines). */
+  def reconDotLut4(sq: Sq, queryVec: Array[Float]): Array[Array[Double]] = {
+    val vmin = sq.vmin.getOrElse(
+      throw new IllegalStateException("SQ4 search needs trained bounds"))
+    val step = sq.step.get
+    val n = math.min(queryVec.length, vmin.length)
+    Array.tabulate((n + 1) / 2) { j =>
+      Array.tabulate(256) { b =>
+        val hi = b / 16
+        val lo = b % 16
+        val t0 = queryVec(2 * j).toDouble * (vmin(2 * j) + hi * step(2 * j))
+        val t1 =
+          if (2 * j + 1 < n)
+            queryVec(2 * j + 1).toDouble * (vmin(2 * j + 1) + lo * step(2 * j + 1))
+          else 0.0
+        t0 + t1
+      }
+    }
+  }
+
+  /** Approximate top-`k` by reconstructed inner product over a packed
+    * SQ4 corpus: the [[search]] shape — zero-shuffle TakeOrdered over
+    * codes only, scores descend, ties to the lower id. */
+  def search4(encoded: DataFrame, sq: Sq, queryVec: Array[Float], k: Int,
+              idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(encoded.sparkSession)
+    encoded
+      .withColumn("score",
+        GraftFunctions.adcLut(col("codes"),
+          typedLit(reconDotLut4(sq, queryVec).map(_.toSeq).toSeq)))
+      .select(col(idCol), col("codes"), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Unpack + decode packed 4-bit codes back to the reconstruction —
+    * `recon_i = float(vmin_i + nibble_i · step_i)`. Diagnostic path
+    * (same rationale as [[decode]]); `dim` comes from the bounds. */
+  def decode4(encoded: DataFrame, sq: Sq, codesCol: String = "codes",
+              outCol: String = "recon"): DataFrame =
+    (sq.vmin, sq.step) match {
+      case (Some(vmin), Some(step)) =>
+        val mn = typedLit(vmin.toSeq)
+        val st = typedLit(step.toSeq)
+        val codes = col(codesCol)
+        encoded.withColumn(outCol,
+          transform(sequence(lit(0), lit(vmin.length - 1)), i => {
+            val packed = element_at(codes, (i / 2).cast("int") + 1)
+            val nib = when(i % 2 === 0, floor(packed / 16).cast("int"))
+              .otherwise(packed % 16)
+            (element_at(mn, i + 1) + nib.cast("double") * element_at(st, i + 1))
+              .cast("float")
+          }))
+      case _ =>
+        encoded.withColumn(outCol,
+          transform(col(codesCol), c => (c * 0).cast("float")))
+    }
+
+  def buildOrLoad4(spark: SparkSession, corpus: DataFrame, path: String,
+                   embCol: String = "embedding"): Sq =
+    if (IvfIndex.exists(spark, path)) load(spark, path)
+    else {
+      val sq = train4(corpus, embCol)
+      save(spark, sq, path)
+      sq
+    }
 
   // -------------------------------------------------------------------
   // Bounds persistence — the family's tiny-text-artifact lifecycle

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.operators.IndexFactory.{Descriptor, Flat, PQ, SQ8Code, LshCode, PcaPre, OpqPre}
+import graft.operators.IndexFactory.{Descriptor, Flat, PQ, SQ8Code, SQ4Code, LshCode, PcaPre, OpqPre}
 import org.scalatest.funsuite.AnyFunSuite
 
 class IndexFactorySpec extends AnyFunSuite {
@@ -25,6 +25,7 @@ class IndexFactorySpec extends AnyFunSuite {
     assert(IndexFactory.parse("IVF256,PQ16") == Descriptor(None, Some(256), PQ(16), false))
     assert(IndexFactory.parse("IVF64,PQ8,RFlat") == Descriptor(None, Some(64), PQ(8), true))
     assert(IndexFactory.parse("SQ8") == Descriptor(None, None, SQ8Code, false))
+    assert(IndexFactory.parse("SQ4") == Descriptor(None, None, SQ4Code, false))
     assert(IndexFactory.parse("LSH") == Descriptor(None, None, LshCode, false))
     assert(IndexFactory.parse("PCA16,Flat") == Descriptor(Some(PcaPre(16)), None, Flat, false))
     assert(IndexFactory.parse("IVF16,SQ8,RFlat") == Descriptor(None, Some(16), SQ8Code, true))
@@ -39,7 +40,7 @@ class IndexFactorySpec extends AnyFunSuite {
     // mapped to plain PCA; Flat,RFlat would re-rank already-exact scores
     Seq("HNSW32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ8",
       "OPQ8,Flat", "PCA8,BIVF16", "BIVF16,Flat", "PCAR8,IVF4,PQ4",
-      "IVF64,Flat,RFlat", "SQ8,RFlat")
+      "IVF64,Flat,RFlat", "SQ8,RFlat", "IVF64,SQ4", "SQ4,RFlat")
       .foreach { bad =>
         val e = intercept[IllegalArgumentException](IndexFactory.parse(bad))
         assert(e.getMessage.contains(bad.split(",")(0)) ||
@@ -71,6 +72,12 @@ class IndexFactorySpec extends AnyFunSuite {
     val sqEnc = SqIndex.encode(docs, sq).select("doc_id", "codes")
     assert(ids(IndexFactory.build(spark, docs, "SQ8").search(q, 10)) ==
       ids(SqIndex.search(sqEnc, sq, q, 10)))
+
+    // SQ4 (packed nibbles through the shared AdcLut scan)
+    val sq4 = SqIndex.train4(docs)
+    val sq4Enc = SqIndex.encode4(docs, sq4).select("doc_id", "codes")
+    assert(ids(IndexFactory.build(spark, docs, "SQ4").search(q, 10)) ==
+      ids(SqIndex.search4(sq4Enc, sq4, q, 10)))
 
     // LSH (binary sign codes)
     val codes = BinaryIndex.encode(docs)

@@ -187,4 +187,112 @@ class SqIndexSpec extends AnyFunSuite {
       .select("recon").as[Seq[Float]].collect()
     assert(recon.forall(r => r.length == 16 && r.forall(_ == 0f)))
   }
+
+  // ---- SQ4 (QT_4bit, packed nibbles) --------------------------------
+
+  /** Driver-side 4-bit code of one dim — the kernel's formula. */
+  private def sq4Code(x: Float, vmin: Double, step: Double): Int =
+    if (step == 0.0) 0
+    else {
+      val t = math.floor((x.toDouble - vmin) / step + 0.5)
+      if (t < 0) 0 else if (t > 15) 15 else t.toInt
+    }
+
+  test("SQ4: packed codes unpack to the per-dim 4-bit codes (odd dim too)") {
+    for (dim <- Seq(16, 15)) { // even: full pairs; odd: zero low-nibble tail
+      val data = clustered(300, 8, dim)
+      val docs = data.toDF("doc_id", "embedding")
+      val sq = SqIndex.train4(docs)
+      assert(sq.isTrained)
+      val vmin = sq.vmin.get
+      val step = sq.step.get
+      val packed = SqIndex.encode4(docs, sq).select("doc_id", "codes")
+        .as[(Long, Seq[Int])].collect().toMap
+      data.foreach { case (id, v) =>
+        val want = v.indices.map(i => sq4Code(v(i), vmin(i), step(i)))
+        val ps = packed(id)
+        assert(ps.length == (dim + 1) / 2, s"packed length at dim=$dim")
+        want.indices.foreach { i =>
+          val nib = if (i % 2 == 0) ps(i / 2) / 16 else ps(i / 2) % 16
+          assert(nib == want(i), s"dim $i of doc $id (d=$dim)")
+        }
+        if (dim % 2 == 1)
+          assert(ps.last % 16 == 0, "odd tail's low nibble must be 0")
+      }
+    }
+  }
+
+  test("SQ4 search matches a driver brute force over the paired LUT") {
+    val data = clustered(400, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val sq = SqIndex.train4(docs)
+    val encoded = SqIndex.encode4(docs, sq)
+    val qVec = data.find(_._1 == 5L).get._2
+    val top = SqIndex.search4(encoded, sq, qVec, k = 10)
+      .select("doc_id", "codes", "score")
+      .as[(Long, Seq[Int], Double)].collect()
+    val lut = SqIndex.reconDotLut4(sq, qVec)
+    top.foreach { case (_, codes, score) =>
+      var acc = 0.0
+      codes.indices.foreach(j => acc += lut(j)(codes(j)))
+      assert(acc == score, s"score drift: $acc vs $score")
+    }
+    val all = SqIndex.encode4(docs, sq).select("doc_id", "codes")
+      .as[(Long, Seq[Int])].collect()
+    val brute = all.map { case (id, cs) =>
+      var acc = 0.0
+      cs.indices.foreach(j => acc += lut(j)(cs(j)))
+      (id, acc)
+    }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+    assert(top.map(_._1).toSeq == brute,
+      "distributed SQ4 top-10 diverged from the driver replay")
+  }
+
+  test("SQ4 search plan: no exchange, packed-codes scan, codegen'd kernel") {
+    val data = clustered(300, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val sq = SqIndex.train4(docs)
+    val dir = java.nio.file.Files.createTempDirectory("sq4plan").toString
+    SqIndex.encode4(docs, sq).select("doc_id", "codes")
+      .write.mode("overwrite").parquet(dir)
+    val encoded = spark.read.parquet(dir)
+    val plan = SqIndex.search4(encoded, sq, data.head._2, k = 5)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"SQ4 top-k shuffled:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered top-k:\n$plan")
+    assert(plan.toString.contains("adc_lut"),
+      s"expected the shared adc_lut kernel in the plan:\n$plan")
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    assert(plan.collect { case w: WholeStageCodegenExec => w }.nonEmpty,
+      s"SQ4 scan fell out of codegen:\n$plan")
+  }
+
+  test("SQ4 decode4 inverts encode at the trained endpoints") {
+    val docs = clustered(300, 8).toDF("doc_id", "embedding")
+    val sq = SqIndex.train4(docs)
+    val vmin = sq.vmin.get
+    val step = sq.step.get
+    val endpoints = Seq(
+      (1L, vmin.map(_.toFloat)),
+      (2L, vmin.indices.map(i => (vmin(i) + 15.0 * step(i)).toFloat).toArray))
+      .toDF("doc_id", "embedding")
+    val recon = SqIndex.decode4(SqIndex.encode4(endpoints, sq), sq)
+      .orderBy("doc_id").select("recon").as[Seq[Float]].collect()
+    assert(recon(0) == vmin.map(_.toFloat).toSeq)
+    assert(recon(1) == vmin.indices
+      .map(i => (vmin(i) + 15.0 * step(i)).toFloat).toSeq)
+  }
+
+  test("SQ4: untrained encode degrades to zero packed codes") {
+    for (dim <- Seq(16, 15)) {
+      val small = clustered(40, 4, dim).toDF("doc_id", "embedding")
+      val sq = SqIndex.train4(small)
+      assert(!sq.isTrained)
+      val codes = SqIndex.encode4(small, sq).select("codes").as[Seq[Int]].collect()
+      assert(codes.forall(c => c.length == (dim + 1) / 2 && c.forall(_ == 0)))
+    }
+  }
 }
