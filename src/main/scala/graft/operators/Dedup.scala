@@ -827,6 +827,65 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** FUZZY benchmark decontamination: corpus documents whose word-n-gram
+    * Jaccard similarity with ANY evaluation document reaches
+    * `minJaccard` — the near-duplicate companion to [[contamination]]'s
+    * exact-overlap check (an eval passage that was lightly paraphrased,
+    * re-wrapped, or truncated still leaks; the Llama/GPT-3 hygiene
+    * protocols flag these by n-gram similarity, not exact n-gram hits).
+    *
+    * Output, one row per contaminated corpus document:
+    * `(idCol, n_eval_hits, max_jaccard, top_eval_id)` — hit count over
+    * the eval suite, the worst similarity (rounded 4 for the report;
+    * thresholding and ranking use the unrounded value), and the argmax
+    * eval document (ties to the lower eval id).
+    *
+    * Scale shape, mirroring [[contamination]]'s asymmetry: the eval side
+    * is tiny by construction, so BOTH its band signatures and its shingle
+    * sets broadcast. The corpus pays (a) the narrow [[minhashSignatures]]
+    * kernel scan and a broadcast candidate probe — no corpus shuffle —
+    * and (b) one re-shingle of ONLY candidate-matched documents (LSH
+    * banding makes candidates rare; the left-semi prefilter keeps the
+    * verify scan proportional to contamination, not corpus). The only
+    * exchanges carry candidate pairs and per-doc aggregates. Exact
+    * Jaccard verification per pair runs on broadcast eval shingles via
+    * `array_intersect` — interpreted, but bounded by the candidate
+    * count, never corpus-wide. An eval set too large to broadcast
+    * should be banded through [[nearDupPairs]] on a union frame. */
+  def fuzzyContamination(corpus: DataFrame, evalDocs: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         n: Int = 3, bands: Int = 8,
+                         minJaccard: Double = 0.8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(minJaccard > 0, s"minJaccard must be > 0: $minJaccard")
+    val cSigs = minhashSignatures(corpus, textCol, idCol, n, bands)
+    val eSigs = minhashSignatures(evalDocs, textCol, idCol, n, bands)
+      .withColumnRenamed("id", "eval_id")
+    val cands = cSigs.join(broadcast(eSigs), Seq("band", "sig"))
+      .select(col("id"), col("eval_id")).distinct()
+    val eSh = evalDocs.select(col(idCol).as("eval_id"),
+      shingles(col(textCol), n).as("e_sh"))
+    val cSh = corpus
+      .join(broadcast(cands.select(col("id").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("c_sh"))
+    cands
+      .join(cSh, "id")
+      .join(broadcast(eSh), "eval_id")
+      .withColumn("n_inter", size(array_intersect(col("c_sh"), col("e_sh"))))
+      .withColumn("n_union",
+        size(col("c_sh")) + size(col("e_sh")) - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy(col("id").as(idCol))
+      // argmax by (unrounded jaccard DESC, eval_id ASC): struct max
+      // compares field-wise, and max(-eval_id) = the LOWER id on ties
+      .agg(count(lit(1)).as("n_eval_hits"),
+        round(max(col("jaccard")), 4).as("max_jaccard"),
+        (-max(struct(col("jaccard"), (-col("eval_id")).as("neg")))("neg"))
+          .as("top_eval_id"))
+  }
+
   /** 64-bit SimHash over word tokens: md5-derived token hashes vote ±1 per
     * bit, weighted by term frequency; the sign pattern is the fingerprint.
     * Near-dups are pairs within a small Hamming distance.

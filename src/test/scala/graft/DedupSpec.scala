@@ -109,6 +109,48 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled into join:\n$plan")
   }
 
+  test("fuzzyContamination flags near-dup eval leakage, exact jaccard, argmax ties") {
+    // doc 1 is a light paraphrase of eval 100 (high jaccard); doc 2 is
+    // clean; doc 3 matches BOTH eval docs 100 and 101 (identical text)
+    // with EQUAL jaccard — the argmax must tie to the LOWER eval id.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val eval = Seq(
+      (100L, shared),
+      (101L, shared)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, shared + " lambda"), // 8 of 11 trigrams shared -> j = 8/11
+      (2L, "totally unrelated content with no overlap whatsoever at all"),
+      (3L, shared)              // j = 1.0 vs both eval docs
+    ).toDF("doc_id", "text")
+    val res = Dedup.fuzzyContamination(corpus, eval, "text", "doc_id",
+        n = 3, bands = 4, minJaccard = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(res.keySet == Set(1L, 3L), s"flagged: ${res.keySet}")
+    // doc 1: shared trigrams = the 8 of `shared`; doc 1 has 9, eval 8
+    // -> j = 8 / (9 + 8 - 8) = 8/9
+    assert(math.abs(res(1L)._2 - 8.0 / 9.0) < 1e-3, s"doc1: ${res(1L)}")
+    assert(res(1L)._1 == 2L && res(1L)._3 == 100L) // both eval docs match
+    assert(res(3L) == ((2L, 1.0, 100L)), s"doc3 argmax tie: ${res(3L)}")
+  }
+
+  test("fuzzyContamination: threshold excludes weak matches; corpus never shuffled") {
+    val eval = Seq((100L, "one two three four five six seven")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two three four nine ten eleven twelve")) // j = 2/9 < 0.5
+      .toDF("doc_id", "text")
+    val res = Dedup.fuzzyContamination(corpus, eval, "text", "doc_id",
+      n = 3, bands = 4, minJaccard = 0.5)
+    assert(res.count() == 0)
+    // plan: eval signatures and shingles broadcast; no sort-merge join of
+    // the corpus anywhere (the 100 TB property — candidates + aggregates
+    // are the only shuffles)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled into a join:\n$plan")
+  }
+
   test("simhash: identical texts equal, similar texts near in hamming") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
