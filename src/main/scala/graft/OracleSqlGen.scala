@@ -393,6 +393,56 @@ object OracleSqlGen {
        |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
   }
 
+  /** q102's oracle: IVF-SQ4 (by-residual, packed nibbles) probed search,
+    * replayed from quantizer + 4-bit residual bounds — the
+    * [[ivfSqSearchSql]] replay with the [[sq4SearchSql]] pairing: codes
+    * re-derived from float-cast residuals at the 15 ceiling, score terms
+    * PER PAIR of dims (each `q·(cent + vmin + code·step)` left-to-right,
+    * the driver's per-cell LUT entry), folded in pair order. */
+  def ivfSq4SearchSql(cents: Seq[Array[Double]], vmin: Array[Double],
+                      step: Array[Double], k: Int, nprobe: Int): String = {
+    val n = vmin.length
+    val values = (0 until (n + 1) / 2).map { j =>
+      val d0 = 2 * j
+      val d1 = 2 * j + 1
+      if (d1 < n) s"($j, $d0, ${vmin(d0)}, ${step(d0)}, $d1, ${vmin(d1)}, ${step(d1)})"
+      else s"($j, $d0, ${vmin(d0)}, ${step(d0)}, -1, 0.0, 0.0)"
+    }.mkString(",\n      ")
+    def res(dim: String) =
+      s"CAST(CAST(CAST(a.embedding[$dim+1] AS DOUBLE) - cc.c[$dim+1] AS FLOAT) AS DOUBLE)"
+    def codeOf(dim: String, vm: String, st: String) =
+      s"""(CASE WHEN $st = 0 THEN 0
+         |            ELSE least(greatest(CAST(floor(
+         |              (${res(dim)} - $vm) / $st + 0.5) AS INT), 0), 15) END)""".stripMargin
+    s"""WITH ${ivfAssignCtes(cents)},
+       |__pairs(pj, d0, vmin0, step0, d1, vmin1, step1) AS (VALUES
+       |      $values),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |terms AS (
+       |  SELECT a.doc_id, a.cell_id, p.pj,
+       |    CAST(q.qe[p.d0+1] AS DOUBLE) * (cc.c[p.d0+1] + p.vmin0 +
+       |      ${codeOf("p.d0", "p.vmin0", "p.step0")} * p.step0)
+       |    + (CASE WHEN p.d1 < 0 THEN 0.0
+       |            ELSE CAST(q.qe[p.d1+1] AS DOUBLE) * (cc.c[p.d1+1] + p.vmin1 +
+       |              ${codeOf("p.d1", "p.vmin1", "p.step1")} * p.step1) END) AS term
+       |  FROM __assigned a
+       |  JOIN __cents cc ON a.cell_id = cc.cell_id
+       |  CROSS JOIN __pairs p, q
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)),
+       |score AS (
+       |  SELECT doc_id, cell_id, list_sum(list(term ORDER BY pj)) AS score
+       |  FROM terms GROUP BY doc_id, cell_id)
+       |SELECT doc_id, CAST(cell_id AS BIGINT) AS cell_id,
+       |  round(t.score, 4) AS score FROM (
+       |  SELECT doc_id, cell_id, score FROM score
+       |  ORDER BY score DESC, doc_id ASC LIMIT $k) t
+       |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
+  }
+
   /** q83's oracle: IVF occupancy stats + imbalance factor replayed from
     * the persisted quantizer — assignment, `ncells`-row histogram with
     * empty cells filled, `ncells · Σs² / (Σs)²`. */

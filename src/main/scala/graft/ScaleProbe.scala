@@ -1128,6 +1128,22 @@ object ScaleProbe {
     timeWarm("SQ8 recon-dot top-10 (codes scan)")(
       graft.operators.SqIndex.search(sqEncoded, sq, qVec, 10).collect())
 
+    // SQ4: the 8x point — packed nibbles, half of SQ8's bytes, scanned
+    // through the same adc_lut kernel with a paired d/2-position LUT.
+    val sq4 = graft.operators.SqIndex.train4(
+      base.withColumnRenamed("vec_id", "doc_id"))
+    val sq4Path = s"/tmp/graft-sq4-scale-${factor}x"
+    if (!parquetComplete(spark, sq4Path)) {
+      val t0 = System.nanoTime()
+      graft.operators.SqIndex.encode4(corpus, sq4)
+        .select("doc_id", "codes")
+        .write.mode("overwrite").parquet(sq4Path)
+      println(f"[scale] sq4 encode+write (one-off): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val sq4Encoded = spark.read.parquet(sq4Path)
+    timeWarm("SQ4 recon-dot top-10 (packed codes scan)")(
+      graft.operators.SqIndex.search4(sq4Encoded, sq4, qVec, 10).collect())
+
     // IVFADC: residual codes partitioned by coarse cell — the probed
     // scan reads ~nprobe/nlist of the codes (and no floats at all).
     val nlist = 64
@@ -1191,6 +1207,10 @@ object ScaleProbe {
       .select("doc_id").as[Long].collect().toSet
     println(s"[scale] sq8 recall@10 (doc-id overlap): " +
       s"${exactIds.intersect(sqIds).size}/${exactIds.size}")
+    val sq4Ids = graft.operators.SqIndex.search4(sq4Encoded, sq4, qVec, 10)
+      .select("doc_id").as[Long].collect().toSet
+    println(s"[scale] sq4 recall@10 (doc-id overlap): " +
+      s"${exactIds.intersect(sq4Ids).size}/${exactIds.size}")
     val adcIds = graft.operators.PqIndex.search(encoded, pq, qVec, 10)
       .select("doc_id").as[Long].collect().toSet
     // Replicas are identical copies of the base vectors, so both searches

@@ -1067,6 +1067,36 @@ object SparkEntry {
     (s.read.parquet(cpath), ivf, sq)
   }
 
+  /** IVF-SQ4 bounds/codes cache, keyed like [[ivfSqCachePath]]. */
+  private def ivfSq4CachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x1f54L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivfsq4-$key"
+  }
+
+  /** Build-or-load the IVF-SQ4 index: shared quantizer + 4-bit
+    * residual-trained bounds + the cell-partitioned PACKED-codes corpus
+    * (8× lighter than floats, probes prune partitions). */
+  private[graft] def ivfSq4Corpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf, SqIndex.Sq) = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val base = ivfSq4CachePath(s, dir)
+    val sq =
+      if (IvfIndex.exists(s, s"$base/bounds.txt"))
+        SqIndex.load(s, s"$base/bounds.txt")
+      else {
+        val trained = SqIndex.trainResidual4(withCells, ivf)
+        SqIndex.save(s, trained, s"$base/bounds.txt")
+        trained
+      }
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      SqIndex.encodeIvf4(withCells, ivf, sq)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    (s.read.parquet(cpath), ivf, sq)
+  }
+
   /** Quality-classifier artifact cache, keyed on the documents table. */
   private def qcCachePath(s: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
@@ -1262,6 +1292,7 @@ object SparkEntry {
     ivfCorpus(s, dir); lshCorpus(s, dir)
     pqCorpus(s, dir); sqCorpus(s, dir); sq4Corpus(s, dir); ivfAdcCorpus(s, dir)
     pcaCorpus(s, dir); opqCorpus(s, dir); ivfSqCorpus(s, dir)
+    ivfSq4Corpus(s, dir)
     bivfCorpus(s, dir); graphCorpus(s, dir)
     ()
   }
@@ -1985,6 +2016,61 @@ object SparkEntry {
       |FROM co JOIN ev USING (shingle)
       |GROUP BY co.doc_id
       |ORDER BY co.doc_id""".stripMargin
+
+  /** FUZZY decontamination (`Dedup.fuzzyContamination`): corpus docs
+    * whose 3-gram Jaccard vs ANY eval doc (the doc_id%5==3 slice)
+    * reaches 0.5 — the near-duplicate companion to q51's exact-overlap
+    * check; catches lightly-paraphrased/truncated eval leakage that
+    * exact n-gram hits miss. Banded MinHash candidates (eval side
+    * broadcast), exact verification of candidates only; per doc: hit
+    * count, worst similarity, argmax eval id (ties → lower id). */
+  private def q101FuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.fuzzyContamination(
+        docs.filter(col("doc_id") % 5 =!= 3),
+        docs.filter(col("doc_id") % 5 === 3),
+        "text", "doc_id", n = 3, bands = 4, minJaccard = 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val q101Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |cand AS (
+      |  SELECT DISTINCT c.doc_id AS id, e.doc_id AS eval_id
+      |  FROM sig c JOIN sig e ON c.band = e.band AND c.sig = e.sig
+      |  WHERE c.doc_id % 5 <> 3 AND e.doc_id % 5 = 3),
+      |verified AS (
+      |  SELECT cand.id, cand.eval_id,
+      |    len(list_intersect(x.sh, y.sh)) AS n_inter,
+      |    len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS n_union
+      |  FROM cand JOIN sh x ON cand.id = x.doc_id JOIN sh y ON cand.eval_id = y.doc_id),
+      |hits AS (
+      |  SELECT id, eval_id, CAST(n_inter AS DOUBLE) / n_union AS j
+      |  FROM verified WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+      |ranked AS (
+      |  SELECT id, eval_id, j,
+      |    row_number() OVER (PARTITION BY id ORDER BY j DESC, eval_id ASC) AS rn
+      |  FROM hits)
+      |SELECT a.id AS doc_id, a.n_eval_hits, a.max_jaccard,
+      |  r.eval_id AS top_eval_id
+      |FROM (SELECT id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+      |        round(max(j), 4) AS max_jaccard
+      |      FROM hits GROUP BY id) a
+      |JOIN (SELECT id, eval_id FROM ranked WHERE rn = 1) r ON a.id = r.id
+      |ORDER BY doc_id""".stripMargin
 
   /** Token-budget packing: documents laid into 256-token bins per source
     * shard in doc_id order (streaming-pack semantics — a doc belongs to
@@ -3370,6 +3456,21 @@ object SparkEntry {
         round(col("score"), 4).as("score"))
   }
 
+  /** IVF-SQ4 probed search ([[SqIndex.searchIvf4]]): FAISS
+    * `IndexIVFScalarQuantizer` QT_4bit (by-residual) — the 8× point of
+    * the IVF-coded family; packed-nibble residual codes scanned through
+    * the shared `adc_lut_cells` kernel with PAIRED per-cell LUT entries
+    * (centroid folded in). Oracle GENERATED from the quantizer + the
+    * 4-bit residual bounds. */
+  private def q102IvfSq4Search(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, sq) = ivfSq4Corpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    SqIndex.searchIvf4(encoded, ivf, sq, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Binary IVF search ([[BinaryIndex.searchIvfHamming]]): FAISS
     * `IndexBinaryIVF` (`BIVF<nlist>`) under the engine's SHARED coarse
     * quantizer — probed cells only, d/8 B/row Hamming scan with partition
@@ -3810,6 +3911,7 @@ object SparkEntry {
     "q49_salted_agg" -> (q49SaltedAgg _),
     "q50_hot_bucket_dedup" -> (q50HotBucketDedup _),
     "q51_decontaminate" -> (q51Decontaminate _),
+    "q101_fuzzy_decontaminate" -> (q101FuzzyDecontaminate _),
     "q52_pack_bins" -> (q52PackBins _),
     "q53_split_assign" -> (q53SplitAssign _),
     "q54_pii_redact" -> (q54PiiRedact _),
@@ -3851,6 +3953,7 @@ object SparkEntry {
     "q89_binary_recall" -> (q89BinaryRecall _),
     "q90_opq_search" -> (q90OpqSearch _),
     "q91_ivfsq_search" -> (q91IvfSqSearch _),
+    "q102_ivfsq4_search" -> (q102IvfSq4Search _),
     "q92_bivf_search" -> (q92BivfSearch _),
     "q97_graph_search" -> (q97GraphSearch _),
     "q98_ivf_range" -> (q98IvfRange _),
@@ -3911,6 +4014,7 @@ object SparkEntry {
     "q49_salted_agg" -> q49Sql,
     "q50_hot_bucket_dedup" -> q50Sql,
     "q51_decontaminate" -> q51Sql,
+    "q101_fuzzy_decontaminate" -> q101Sql,
     "q52_pack_bins" -> q52Sql,
     "q53_split_assign" -> q53Sql,
     "q54_pii_redact" -> q54Sql,
@@ -3944,7 +4048,7 @@ object SparkEntry {
     "q76_repeated_paragraphs" -> q76Sql,
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
     sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ ivfSqOracleSqls ++
-    qcOracleSqls
+    ivfSq4OracleSqls ++ qcOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -4014,6 +4118,27 @@ object SparkEntry {
       val step = blines.get(2).split(" ").map(_.toDouble)
       Map("q91_ivfsq_search" ->
         OracleSqlGen.ivfSqSearchSql(cents, vmin, step, k = 10, nprobe = 4))
+    }).getOrElse(Map.empty)
+
+  /** IVF-SQ4 oracle: shared quantizer + the 4-bit residual bounds q102's
+    * run just persisted — same lifecycle as [[ivfSqOracleSqls]]. */
+  private def ivfSq4OracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      qpath = java.nio.file.Paths.get(s"${ivfCachePath(s, dir)}/quantizer.txt")
+      bpath = java.nio.file.Paths.get(s"${ivfSq4CachePath(s, dir)}/bounds.txt")
+      if java.nio.file.Files.exists(qpath) && java.nio.file.Files.exists(bpath)
+      qlines = java.nio.file.Files.readAllLines(qpath)
+      blines = java.nio.file.Files.readAllLines(bpath)
+      if qlines.get(0).split(" ")(1).toInt > 0 && blines.get(0).trim.toInt > 0
+    } yield {
+      val cents: Seq[Array[Double]] = (1 until qlines.size())
+        .map(i => qlines.get(i).split(" ").map(_.toDouble))
+      val vmin = blines.get(1).split(" ").map(_.toDouble)
+      val step = blines.get(2).split(" ").map(_.toDouble)
+      Map("q102_ivfsq4_search" ->
+        OracleSqlGen.ivfSq4SearchSql(cents, vmin, step, k = 10, nprobe = 4))
     }).getOrElse(Map.empty)
 
   /** OPQ oracle, generated from BOTH artifacts q90's run just persisted

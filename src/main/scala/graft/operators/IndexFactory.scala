@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *   "IVF64,PQ8,RFlat" + exact re-rank            PqIndex.searchRefined
   *   "SQ8"             scalar quantizer           SqIndex
   *   "SQ4"             packed 4-bit scalar        SqIndex (search4)
+  *   "IVF64,SQ4[,RFlat]" residual SQ4, probed     SqIndex.searchIvf4
   *   "IVF64,SQ8,RFlat" + exact re-rank            SqIndex.searchRefined
   *   "LSH"             binary sign codes          BinaryIndex
   *   "PCA16,Flat"      PCA front + any of these   PcaTransform + rest
@@ -111,16 +112,13 @@ object IndexFactory {
     }
     if (nlist.isDefined && code == LshCode)
       fail("IVF+LSH is not a FAISS combination the engine implements")
-    if (nlist.isDefined && code == SQ4Code)
-      fail("IVF+SQ4 (by-residual 4-bit) is not implemented — use flat SQ4, " +
-        "or IVF<n>,SQ8 for the probed scalar-quantized path")
     // Refinement is implemented for the coded candidate generators
-    // (IVF+PQ, IVF+SQ8); 'IVF<n>,Flat,RFlat' would re-rank already-exact
-    // scores — reject rather than silently no-op.
+    // (IVF+PQ, IVF+SQ8, IVF+SQ4); 'IVF<n>,Flat,RFlat' would re-rank
+    // already-exact scores — reject rather than silently no-op.
     code match {
-      case PQ(_) | SQ8Code =>
+      case PQ(_) | SQ8Code | SQ4Code =>
       case other if refine =>
-        fail(s"RFlat refinement is implemented over PQ/SQ8 candidates, not $other")
+        fail(s"RFlat refinement is implemented over PQ/SQ candidates, not $other")
       case _ =>
     }
     pre match {
@@ -206,6 +204,16 @@ object IndexFactory {
         val encoded = SqIndex.encode4(corpus, sq, embCol)
           .select(col(idCol), col("codes"))
         Built(d, encoded, (q, k) => SqIndex.search4(encoded, sq, q, k, idCol))
+      case (Some(n), SQ4Code) =>
+        val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
+        val sq = SqIndex.trainResidual4(withCells, ivf, embCol)
+        val enc = SqIndex.encodeIvf4(withCells, ivf, sq, embCol, idCol)
+        if (d.refine)
+          Built(d, enc, (q, k) => SqIndex.searchRefined4(enc, corpus, ivf,
+            sq, q, k, rerank, nprobe, idCol))
+        else
+          Built(d, enc,
+            (q, k) => SqIndex.searchIvf4(enc, ivf, sq, q, k, nprobe, idCol))
       case (Some(n), SQ8Code) =>
         val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
         val sq = SqIndex.trainResidual(withCells, ivf, embCol)

@@ -317,6 +317,86 @@ object SqIndex {
           transform(col(codesCol), c => (c * 0).cast("float")))
     }
 
+  // ---- IVF-SQ4 (FAISS IndexIVFScalarQuantizer, QT_4bit, by-residual) --
+
+  /** Train 4-bit bounds over IVF residuals — [[trainResidual]] with the
+    * 16-level grid; residual ranges are tighter still, so the 4-bit grid
+    * loses less than it would on raw coordinates. */
+  def trainResidual4(withCells: DataFrame, ivf: IvfIndex.Ivf,
+                     embCol: String = "embedding"): Sq = {
+    GraftFunctions.register(withCells.sparkSession)
+    train4(withCells.withColumn("__res",
+      PqIndex.residualColumn(ivf, col(embCol), col("cell_id"))), "__res")
+  }
+
+  /** Packed residual codes for a cell-assigned corpus — assign +
+    * residual + 4-bit encode + nibble pack in ONE codegen projection;
+    * ⌈d/2⌉ ints/row, half of [[encodeIvf]]'s. Write partitioned by
+    * `cell_id` so search prunes partitions. */
+  def encodeIvf4(withCells: DataFrame, ivf: IvfIndex.Ivf, sq: Sq,
+                 embCol: String = "embedding",
+                 idCol: String = "doc_id"): DataFrame =
+    encode4(withCells.withColumn("__res",
+      PqIndex.residualColumn(ivf, col(embCol), col("cell_id"))), sq, "__res")
+      .select(col(idCol), col("cell_id"), col("codes"))
+
+  /** Probed IVF-SQ4 search: per-probed-cell PAIRED LUT
+    * `lut_c[j][b] = q_{2j}·(cent_{2j} + vmin_{2j} + (b»4)·step_{2j}) +
+    * q_{2j+1}·(cent_{2j+1} + vmin_{2j+1} + (b&15)·step_{2j+1})` through
+    * the shared [[graft.functions.AdcLutCells]] kernel — the
+    * [[searchIvf]] shape at half the scanned bytes. Probe-slot
+    * addressing keeps the literal O(nprobe). */
+  def searchIvf4(encoded: DataFrame, ivf: IvfIndex.Ivf, sq: Sq,
+                 queryVec: Array[Float], k: Int, nprobe: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(encoded.sparkSession)
+    val cents = ivf.centroids.getOrElse(
+      throw new IllegalStateException("IVF-SQ4 needs a trained IVF"))
+    val vmin = sq.vmin.getOrElse(
+      throw new IllegalStateException("IVF-SQ4 needs trained bounds"))
+    val step = sq.step.get
+    val probed = IvfIndex.probeCells(ivf, queryVec, nprobe)
+    val luts: Seq[Seq[Seq[Double]]] = probed.map { cell =>
+      val c = cents(cell)
+      val n = math.min(math.min(queryVec.length, vmin.length), c.length)
+      Seq.tabulate((n + 1) / 2) { j =>
+        Seq.tabulate(256) { b =>
+          val hi = b / 16
+          val lo = b % 16
+          val d0 = 2 * j
+          val d1 = 2 * j + 1
+          val t0 = queryVec(d0).toDouble * (c(d0) + vmin(d0) + hi * step(d0))
+          val t1 =
+            if (d1 < n)
+              queryVec(d1).toDouble * (c(d1) + vmin(d1) + lo * step(d1))
+            else 0.0
+          t0 + t1
+        }
+      }
+    }
+    val slot = element_at(typedLit(probed.zipWithIndex.toMap),
+      col("cell_id").cast("int"))
+    encoded
+      .filter(col("cell_id").isin(probed: _*))
+      .withColumn("score",
+        GraftFunctions.adcLutCells(col("codes"), slot, typedLit(luts)))
+      .select(col(idCol), col("cell_id"), col("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Refined IVF-SQ4 search — the [[searchRefined]] two-stage shape over
+    * SQ4 candidates (packed codes propose, exact floats re-rank via the
+    * pushed `In(doc_id,…)` scan). */
+  def searchRefined4(encoded: DataFrame, floats: DataFrame, ivf: IvfIndex.Ivf,
+                     sq: Sq, queryVec: Array[Float], k: Int, rerank: Int,
+                     nprobe: Int, idCol: String = "doc_id"): DataFrame = {
+    val candIds = searchIvf4(encoded, ivf, sq, queryVec, rerank, nprobe, idCol)
+      .select(idCol).collect().map(_.getLong(0)).toSeq
+    VectorSearch.knnScores(
+      floats.filter(col(idCol).isin(candIds: _*)), queryVec, k, idCol = idCol)
+  }
+
   def buildOrLoad4(spark: SparkSession, corpus: DataFrame, path: String,
                    embCol: String = "embedding"): Sq =
     if (IvfIndex.exists(spark, path)) load(spark, path)

@@ -26,6 +26,8 @@ class IndexFactorySpec extends AnyFunSuite {
     assert(IndexFactory.parse("IVF64,PQ8,RFlat") == Descriptor(None, Some(64), PQ(8), true))
     assert(IndexFactory.parse("SQ8") == Descriptor(None, None, SQ8Code, false))
     assert(IndexFactory.parse("SQ4") == Descriptor(None, None, SQ4Code, false))
+    assert(IndexFactory.parse("IVF16,SQ4") == Descriptor(None, Some(16), SQ4Code, false))
+    assert(IndexFactory.parse("IVF16,SQ4,RFlat") == Descriptor(None, Some(16), SQ4Code, true))
     assert(IndexFactory.parse("LSH") == Descriptor(None, None, LshCode, false))
     assert(IndexFactory.parse("PCA16,Flat") == Descriptor(Some(PcaPre(16)), None, Flat, false))
     assert(IndexFactory.parse("IVF16,SQ8,RFlat") == Descriptor(None, Some(16), SQ8Code, true))
@@ -40,7 +42,7 @@ class IndexFactorySpec extends AnyFunSuite {
     // mapped to plain PCA; Flat,RFlat would re-rank already-exact scores
     Seq("HNSW32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ8",
       "OPQ8,Flat", "PCA8,BIVF16", "BIVF16,Flat", "PCAR8,IVF4,PQ4",
-      "IVF64,Flat,RFlat", "SQ8,RFlat", "IVF64,SQ4", "SQ4,RFlat")
+      "IVF64,Flat,RFlat", "SQ8,RFlat", "SQ4,RFlat")
       .foreach { bad =>
         val e = intercept[IllegalArgumentException](IndexFactory.parse(bad))
         assert(e.getMessage.contains(bad.split(",")(0)) ||

@@ -286,6 +286,58 @@ class SqIndexSpec extends AnyFunSuite {
       .map(i => (vmin(i) + 15.0 * step(i)).toFloat).toSeq)
   }
 
+  test("IVF-SQ4: probe-all search matches a driver reconstruction brute force") {
+    import graft.operators.IvfIndex
+    val data = clustered(300, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 4)
+    val sq = SqIndex.trainResidual4(withCells, ivf)
+    val enc = SqIndex.encodeIvf4(withCells, ivf, sq)
+    val got = SqIndex.searchIvf4(enc, ivf, sq, data.head._2, k = 10, nprobe = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    // driver replay: float residual -> 4-bit code -> recon = cent + decode
+    val cents = ivf.centroids.get
+    val cellOf = withCells.select("doc_id", "cell_id")
+      .as[(Long, Int)].collect().toMap
+    val vmin = sq.vmin.get
+    val step = sq.step.get
+    val brute = data.map { case (id, v) =>
+      val c = cents(cellOf(id))
+      val score = v.indices.map { i =>
+        val res = (v(i).toDouble - c(i)).toFloat
+        val t = if (step(i) == 0) 0
+        else math.max(0, math.min(15,
+          math.floor((res.toDouble - vmin(i)) / step(i) + 0.5).toInt))
+        data.head._2(i).toDouble * (c(i) + vmin(i) + t * step(i))
+      }.sum
+      (id, score)
+    }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    assert(got == brute, "IVF-SQ4 probe-all diverged from driver replay")
+  }
+
+  test("IVF-SQ4: nprobe=1 stays in the probed cell; refined re-rank is exact-ordered") {
+    import graft.operators.IvfIndex
+    val data = clustered(300, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 4)
+    val sq = SqIndex.trainResidual4(withCells, ivf)
+    val enc = SqIndex.encodeIvf4(withCells, ivf, sq)
+    val q = data.head._2
+    val probedCell = IvfIndex.probeCells(ivf, q, 1).head
+    val cells = SqIndex.searchIvf4(enc, ivf, sq, q, k = 10, nprobe = 1)
+      .select("cell_id").as[Int].collect().toSet
+    assert(cells == Set(probedCell))
+    def exactDot(id: Long): Double = {
+      val v = data(id.toInt)._2
+      v.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    }
+    val ids = SqIndex.searchRefined4(enc, docs, ivf, sq, q,
+        k = 5, rerank = 50, nprobe = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids == ids.sortBy(id => (-exactDot(id), id)),
+      s"refined SQ4 output not exact-ordered: $ids")
+  }
+
   test("SQ4: untrained encode degrades to zero packed codes") {
     for (dim <- Seq(16, 15)) {
       val small = clustered(40, 4, dim).toDF("doc_id", "embedding")
