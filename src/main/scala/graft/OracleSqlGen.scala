@@ -831,6 +831,61 @@ object OracleSqlGen {
        |ORDER BY t.adc ASC, t.doc_id ASC""".stripMargin
   }
 
+  /** q104's oracle: `search_and_reconstruct` — the full [[ivfAdcSearchSql]]
+    * replay proposes the top-k hits (nested derived table, the q80
+    * idiom), then each hit's codes are re-derived (FLOAT-cast residual
+    * vs its assigned centroid, per-subspace argmin — sequential squared-L2
+    * ASC, code ASC ties) and decoded: recon component =
+    * `round(CAST(book AS FLOAT) + centroid, 4)`, the engine's exact
+    * decode arithmetic. The second replay touches only the k hit docs. */
+  def ivfAdcReconSql(cents: Seq[Array[Double]],
+                     books: Seq[Seq[Array[Double]]],
+                     k: Int, nprobe: Int): String = {
+    val dsub = books.head.head.length
+    val inner = ivfAdcSearchSql(cents, books, k, nprobe)
+    val centVals = cents.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+      .mkString(",\n      ")
+    val bookVals = (for {
+      (book, s) <- books.zipWithIndex
+      (c, code) <- book.zipWithIndex
+    } yield s"($s, $code, [${c.mkString(", ")}])").mkString(",\n      ")
+    s"""WITH hits AS (SELECT * FROM (
+       |$inner
+       |) __h),
+       |__rcents(cell_id, c) AS (VALUES
+       |      $centVals),
+       |__rbooks(s, code, c) AS (VALUES
+       |      $bookVals),
+       |res AS (
+       |  SELECT h.doc_id, h.cell_id,
+       |    list_transform(list_zip(e.embedding, c.c),
+       |      p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT)) AS r
+       |  FROM hits h JOIN embeddings e ON e.vec_id = h.doc_id
+       |  JOIN __rcents c ON c.cell_id = h.cell_id),
+       |codes AS (
+       |  SELECT doc_id, s, code FROM (
+       |    SELECT r.doc_id, b.s, b.code,
+       |      row_number() OVER (PARTITION BY r.doc_id, b.s ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(r.r[b.s*$dsub+1 : b.s*$dsub+$dsub], b.c),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |        b.code ASC) AS rn
+       |    FROM res r CROSS JOIN __rbooks b) WHERE rn = 1),
+       |dec AS (
+       |  SELECT c.doc_id,
+       |    flatten(list(list_transform(b.c, v -> CAST(v AS FLOAT))
+       |      ORDER BY c.s)) AS dr
+       |  FROM codes c JOIN __rbooks b ON b.s = c.s AND b.code = c.code
+       |  GROUP BY c.doc_id)
+       |SELECT h.doc_id, h.cell_id, h.adc, CAST(j.range AS BIGINT) AS j,
+       |  round(CAST(d.dr[j.range + 1] AS DOUBLE) + c.c[j.range + 1], 4) AS val
+       |FROM hits h JOIN dec d ON d.doc_id = h.doc_id
+       |JOIN __rcents c ON c.cell_id = h.cell_id, range(${books.length * dsub}) j
+       |ORDER BY h.adc ASC, h.doc_id ASC, j""".stripMargin
+  }
+
   /** q80's oracle: refined search — the [[ivfAdcSearchSql]] replay (as a
     * nested-WITH derived table) proposes the top-`rerank` candidates,
     * then the exact inner product re-ranks just those ids, the q16

@@ -1374,6 +1374,28 @@ object SparkEntry {
         round(col("adc"), 4).as("adc"))
   }
 
+  /** `search_and_reconstruct` (FAISS `IndexIVF::search_and_reconstruct`):
+    * the probed ADC top-5 plus each hit's reconstructed vector —
+    * centroid + decoded residual, handed back from the codes-only store
+    * with no float-table join. Same probed scan as q78 (codes kept);
+    * only the 5 surviving rows decode. The oracle nests the full IVFADC
+    * replay as the hits CTE, then re-derives and decodes just those
+    * docs' codes with the engine's exact arithmetic. */
+  private def q104SearchReconstruct(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, pq) = ivfAdcCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    // Exploded to (doc_id, j, val) rows — the q62 vector-pinning idiom:
+    // the driver's compare sorts and hashes scalar columns, not arrays.
+    PqIndex.searchAndReconstruct(encoded, ivf, pq, qVec, k = 5, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("adc"), 4).as("adc"),
+        posexplode(col("recon")).as(Seq("j", "val")))
+      .select(col("doc_id"), col("cell_id"), col("adc"),
+        col("j").cast("long").as("j"), col("val"))
+      .orderBy("doc_id", "j")
+  }
+
   /** Refined search (FAISS IndexRefineFlat): IVFADC proposes top-50 from
     * codes alone, the exact inner product re-ranks just those ids over
     * the float table — candidate ids become a static `isin` pushed to
@@ -3340,6 +3362,36 @@ object SparkEntry {
       |ORDER BY hamming, e.vec_id
       |LIMIT 10""".stripMargin
 
+  /** Binary Hamming range search ([[BinaryIndex.rangeHamming]]): FAISS
+    * `IndexBinaryFlat::range_search` — every id within `maxDist` bits of
+    * the query, no top-k, run at 768-d over the widened multi-word codes
+    * (the q84 corpus). Pure probed scan + codegen predicate; the radius
+    * (300 of 768 bits) sits between the corpus minimum (~228) and the
+    * 5% quantile (~300) at every SF, so the slice is non-empty and stays
+    * proportional to corpus size. Oracle = the q84 sign-semantics replay
+    * with the radius filter instead of the LIMIT. */
+  private def q103BinaryRange(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
+    val qCode = BinaryIndex.encode(emb.filter(col("vec_id") === 0), idCol = "vec_id")
+      .select("code").collect()(0).getSeq[Long](0).toArray
+    BinaryIndex.rangeHamming(
+      BinaryIndex.encode(emb.filter(col("vec_id") =!= 0), idCol = "vec_id"),
+      qCode, maxDist = 300, idCol = "vec_id")
+  }
+
+  private val q103Sql =
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |q AS (SELECT embedding AS qe FROM __wide WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(len(list_filter(range(len(e.embedding)),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
+      |FROM __wide e, q
+      |WHERE e.vec_id <> 0
+      |  AND len(list_filter(range(len(e.embedding)),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) <= 300
+      |ORDER BY hamming, e.vec_id""".stripMargin
+
   /** Batch range search ([[VectorSearch.rangeSearchBatch]]): FAISS
     * `Index::range_search` — every within-radius (query, doc) pair, no
     * top-k. Emitted in the engine's total order; per-query counts
@@ -3939,6 +3991,7 @@ object SparkEntry {
     "q76_repeated_paragraphs" -> (q76RepeatedParagraphs _),
     "q77_pq_search" -> (q77PqSearch _),
     "q78_ivfadc_search" -> (q78IvfAdcSearch _),
+    "q104_search_reconstruct" -> (q104SearchReconstruct _),
     "q79_sq8_search" -> (q79SqSearch _),
     "q100_sq4_search" -> (q100Sq4Search _),
     "q80_refine_search" -> (q80RefineSearch _),
@@ -3946,6 +3999,7 @@ object SparkEntry {
     "q82_semantic_dedup" -> (q82SemanticDedup _),
     "q83_ivf_stats" -> (q83IvfStats _),
     "q84_binary_search" -> (q84BinarySearch _),
+    "q103_binary_range" -> (q103BinaryRange _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -4036,6 +4090,7 @@ object SparkEntry {
     "q70_lm_quality" -> q70Sql,
     "q81_dsir_weights" -> q81Sql,
     "q84_binary_search" -> q84Sql,
+    "q103_binary_range" -> q103Sql,
     "q85_range_search" -> q85Sql,
     "q89_binary_recall" -> q89Sql,
     "q93_corpus_screen" -> q93Sql,
@@ -4244,7 +4299,9 @@ object SparkEntry {
           OracleSqlGen.ivfAdcSearchSql(cents, books, k = 10, nprobe = 4),
         "q80_refine_search" ->
           OracleSqlGen.refineSearchSql(cents, books,
-            k = 10, rerank = 50, nprobe = 4))
+            k = 10, rerank = 50, nprobe = 4),
+        "q104_search_reconstruct" ->
+          OracleSqlGen.ivfAdcReconSql(cents, books, k = 5, nprobe = 4))
     }).getOrElse(Map.empty)
 
   private def ivfOracleSqls: Map[String, String] =

@@ -252,6 +252,22 @@ object PqIndex {
   def searchIvfAdc(encoded: DataFrame, ivf: IvfIndex.Ivf, pq: Pq,
                    queryVec: Array[Float], k: Int, nprobe: Int,
                    idCol: String = "doc_id"): DataFrame = {
+    val (scored, _) = probedAdcScan(encoded, ivf, pq, queryVec, nprobe)
+    scored
+      .select(col(idCol), col("cell_id"), col("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The `nprobe` cells nearest the query by L2 (driver-side — the
+    * centroid table is tiny), then the probed-cells scan with the
+    * per-row ADC column attached. Shared by [[searchIvfAdc]] (drops the
+    * codes) and [[searchAndReconstruct]] (decodes them). Returns the
+    * scored frame (still carrying `codes`) and the probed cell ids in
+    * probe order. */
+  private def probedAdcScan(encoded: DataFrame, ivf: IvfIndex.Ivf, pq: Pq,
+                            queryVec: Array[Float], nprobe: Int)
+      : (DataFrame, Seq[Int]) = {
     GraftFunctions.register(encoded.sparkSession)
     val cents = ivf.centroids.getOrElse(
       throw new IllegalStateException("IVFADC needs a trained IVF"))
@@ -283,12 +299,45 @@ object PqIndex {
     val slot = element_at(typedLit(probed.zipWithIndex.toMap),
       col("cell_id").cast("int"))
     val adc = GraftFunctions.adcLutCells(col("codes"), slot, typedLit(luts))
-    encoded
+    (encoded
       .filter(col("cell_id").isin(probed: _*))
-      .withColumn("adc", adc)
-      .select(col(idCol), col("cell_id"), col("adc"))
+      .withColumn("adc", adc), probed)
+  }
+
+  /** FAISS `IndexIVF::search_and_reconstruct`: the probed ADC top-`k`
+    * plus each hit's reconstructed vector — `centroid + decode(codes)`,
+    * the best approximation of the original the codes-only store can
+    * return (serving systems use it to hand vectors back without a
+    * float-table join). The scan is exactly [[searchIvfAdc]]'s (codes
+    * kept); only the `k` surviving rows decode, so the per-component
+    * work is O(k·d) after the TakeOrdered. Decode literals are probe-slot
+    * addressed like the LUTs — O(nprobe·d) + O(m·ksub·dsub), never
+    * O(nlist). Recon components emit as `round(double, 4)` — FLOAT-cast
+    * codebook entry plus the double centroid, the exact arithmetic the
+    * generated oracle replays. */
+  def searchAndReconstruct(encoded: DataFrame, ivf: IvfIndex.Ivf, pq: Pq,
+                           queryVec: Array[Float], k: Int, nprobe: Int,
+                           idCol: String = "doc_id"): DataFrame = {
+    val cents = ivf.centroids.getOrElse(
+      throw new IllegalStateException("IVFADC needs a trained IVF"))
+    val books = pq.codebooks.getOrElse(
+      throw new IllegalStateException("reconstruct needs a trained PQ"))
+    val (scored, probed) = probedAdcScan(encoded, ivf, pq, queryVec, nprobe)
+    val hits = scored
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(k)
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val slotCents = typedLit(probed.map(c => cents(c).toSeq))
+    val slot = element_at(typedLit(probed.zipWithIndex.toMap),
+      col("cell_id").cast("int"))
+    val decodedRes = flatten(transform(col("codes"), (c, s) =>
+      transform(element_at(element_at(booksLit, s + 1), c + 1),
+        v => v.cast("float"))))
+    hits
+      .withColumn("recon",
+        zip_with(decodedRes, element_at(slotCents, slot + lit(1)),
+          (r, cc) => round(r.cast("double") + cc, 4)))
+      .select(col(idCol), col("cell_id"), col("adc"), col("recon"))
   }
 
   /** Decode codes back to the reconstructed vector — FAISS

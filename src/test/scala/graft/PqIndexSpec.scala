@@ -94,6 +94,45 @@ class PqIndexSpec extends AnyFunSuite {
     assert(cellsScanned.size <= 2)
   }
 
+  test("search_and_reconstruct: hits match searchIvfAdc; recon = centroid + decode") {
+    import graft.operators.IvfIndex
+    val data = clustered(400, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 8)
+    val (encoded, pq) = PqIndex.buildIvfAdc(withCells, ivf, m = 4, ksub = 8)
+    val qVec = data.find(_._1 == 7L).get._2
+    val plain = PqIndex.searchIvfAdc(encoded, ivf, pq, qVec, k = 5, nprobe = 2)
+      .select("doc_id", "cell_id", "adc")
+      .as[(Long, Int, Double)].collect()
+    val withRecon = PqIndex.searchAndReconstruct(
+        encoded, ivf, pq, qVec, k = 5, nprobe = 2)
+      .select("doc_id", "cell_id", "adc", "recon")
+      .as[(Long, Int, Double, Seq[Double])].collect()
+    // Same hit set, same scores — the recon path must not perturb search.
+    assert(withRecon.map(r => (r._1, r._2, r._3)).toSeq == plain.toSeq)
+    // Reconstruction replays centroid + decoded codebook entry, rounded 4.
+    val cents = ivf.centroids.get
+    val books = pq.codebooks.get
+    // The index stores RESIDUAL codes — replay from `encoded`, not from
+    // a fresh raw-vector encode.
+    val resCodes = encoded.select("doc_id", "cell_id", "codes")
+      .as[(Long, Int, Seq[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    withRecon.foreach { case (id, cell, _, recon) =>
+      val (cellE, codes) = resCodes(id)
+      assert(cellE == cell)
+      val dsub = books.head.head.length
+      val expected = codes.zipWithIndex.flatMap { case (c, s) =>
+        books(s)(c).map(_.toFloat)
+      }.zip(cents(cell)).map { case (r, cc) =>
+        BigDecimal(r.toDouble + cc)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(recon.size == dsub * books.length)
+      assert(recon == expected, s"recon mismatch for doc $id")
+    }
+  }
+
   test("search plan: no exchange, no embedding read (codes-only scan)") {
     val docs = clustered(300, 8).toDF("doc_id", "embedding")
     val pq = PqIndex.train(docs, m = 4, ksub = 8)
