@@ -3278,6 +3278,28 @@ object SparkEntry {
       |FROM lrank l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id
       |ORDER BY rrf DESC, COALESCE(l.doc_id, v.doc_id) LIMIT 20""".stripMargin
 
+  /** Corpus token vocabulary ([[TextAnalysis.tokenVocabulary]]): the
+    * GPT-2-style pre-tokenizer regex over lowered text, then the top-40
+    * tokens by occurrence count with document frequencies — the
+    * tokenizer-training / corpus-audit artifact. Two-phase aggregation
+    * (map-side-combinable (doc, token) counts, no count-distinct
+    * expand); the oracle runs the IDENTICAL Java∩RE2 pattern. */
+  private def q106TokenVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenVocabulary(t(s, dir, "documents"), topK = 40)
+
+  private val q106Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+      |        CAST(count(*) AS BIGINT) AS n_docs
+      |      FROM tf GROUP BY 1)
+      |SELECT token, n_occurrences, n_docs FROM v
+      |ORDER BY n_occurrences DESC, token LIMIT 40""".stripMargin
+  }
+
   /** Unigram LM quality scoring (`TextAnalysis.unigramVocab` +
     * `lmScore`): the CCNet/Gopher perplexity-filter shape — top-16
     * vocabulary ML log-probs, OOV floor ln(1/(total+1)), per-doc mean
@@ -3983,6 +4005,7 @@ object SparkEntry {
     "q68_postings" -> (q68Postings _),
     "q69_hybrid_rrf" -> (q69HybridRrf _),
     "q70_lm_quality" -> (q70LmQuality _),
+    "q106_token_vocab" -> (q106TokenVocab _),
     "q71_keep_best" -> (q71KeepBest _),
     "q72_mix_weights" -> (q72MixWeights _),
     "q73_url_dedup" -> (q73UrlDedup _),
@@ -4088,6 +4111,7 @@ object SparkEntry {
     "q68_postings" -> q68Sql,
     "q69_hybrid_rrf" -> q69Sql,
     "q70_lm_quality" -> q70Sql,
+    "q106_token_vocab" -> q106Sql,
     "q81_dsir_weights" -> q81Sql,
     "q84_binary_search" -> q84Sql,
     "q103_binary_range" -> q103Sql,

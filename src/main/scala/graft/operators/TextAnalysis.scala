@@ -23,6 +23,42 @@ object TextAnalysis {
       transform(split(trim(text), "\\s+"), w => ceil(length(w) / lit(4.0)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** GPT-2-style pre-tokenizer regex (the BPE *pre*-split — contraction
+    * suffixes, letter runs, digit runs, punctuation runs, bare
+    * apostrophes) over lowercased text. Kept in the Java∩RE2 subset
+    * (the q54 PII-oracle discipline): explicit whitespace class, no
+    * `\s` (Java's includes `\x0B`, RE2's doesn't), no lookarounds, so
+    * the DuckDB oracle runs the IDENTICAL pattern. */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r']+|'+"
+
+  /** All pre-tokens of a document in order (`array<string>`). */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpeTokenPattern), lit(0))
+
+  /** Corpus token-vocabulary table: the `topK` most frequent pre-tokens
+    * with occurrence and document frequencies — the first artifact a
+    * tokenizer-training or corpus-audit pipeline derives. Two-phase
+    * aggregation by design: the (doc, token) inner groupBy is
+    * map-side-combinable (token counts collapse within each document
+    * before any exchange) and gives `n_docs` as a plain count — no
+    * count-distinct expand over the exploded token stream, which at
+    * 100 TB is the difference between shuffling per-doc vocabularies
+    * and shuffling every token occurrence. Final top-k is one
+    * TakeOrdered. */
+  def tokenVocabulary(docs: DataFrame, topK: Int,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), explode(regexTokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(sum("tf").cast("long").as("n_occurrences"),
+        count(lit(1)).cast("long").as("n_docs"))
+      .orderBy(desc("n_occurrences"), col("token"))
+      .limit(topK)
+
   /** Repetition score (the Gopher-rules "top n-gram fraction"): the most
     * frequent word bigram's share of all bigrams in the document — high
     * values flag boilerplate/templated text for quality filtering.

@@ -220,6 +220,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
+  test("regexTokens: contractions, letter/digit/punct runs, bare apostrophe") {
+    val toks = Seq((1L, "It's 42 well-known... don't 'x' y")).toDF("doc_id", "text")
+      .select(TextAnalysis.regexTokens(col("text")).as("t"))
+      .as[Seq[String]].collect()(0)
+    // lowered; contraction suffixes split; digits grouped; punctuation
+    // runs grouped (space-free); bare apostrophes stand alone
+    assert(toks == Seq("it", "'s", "42", "well", "-", "known", "...",
+      "don", "'t", "'", "x", "'", "y"))
+  }
+
+  test("tokenVocabulary: occurrence + doc frequencies, deterministic top-k") {
+    val docs = Seq(
+      (1L, "aa bb aa"),
+      (2L, "aa cc"),
+      (3L, "bb! bb")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.tokenVocabulary(docs, topK = 3)
+      .as[(String, Long, Long)].collect()
+    // counts: aa=3(2 docs) bb=3(2 docs) !=1 cc=1; tie aa/bb breaks token asc
+    assert(v.toSeq == Seq(("aa", 3L, 2L), ("bb", 3L, 2L), ("!", 1L, 1L)))
+  }
+
   test("unigram vocab: ML log-probs, deterministic top-k cut, global total") {
     val docs = Seq(
       (1L, "a a a b b c"),
