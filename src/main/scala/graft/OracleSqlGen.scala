@@ -110,7 +110,8 @@ object OracleSqlGen {
        |      embedding[((i + j) % $dim) + 1]))) AS embedding
        |  FROM embeddings)""".stripMargin
 
-  def ivfAssignCtes(cents: Seq[Array[Double]]): String = {
+  def ivfAssignCtes(cents: Seq[Array[Double]],
+                    source: String = "embeddings"): String = {
     val values = cents.zipWithIndex
       .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
       .mkString(",\n      ")
@@ -124,7 +125,7 @@ object OracleSqlGen {
        |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
        |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
        |        c.cell_id ASC) AS rn
-       |    FROM embeddings e CROSS JOIN __cents c)
+       |    FROM $source e CROSS JOIN __cents c)
        |  WHERE rn = 1)""".stripMargin
   }
 
@@ -669,24 +670,42 @@ object OracleSqlGen {
     * replay over the rotated vectors — composition of the two gated
     * replays, exactly like the operator composes. */
   def opqSearchSql(rot: Seq[Array[Double]],
-                   books: Seq[Seq[Array[Double]]], k: Int): String = {
+                   books: Seq[Seq[Array[Double]]], k: Int): String =
+    pqSearchSqlFrom(books, k, source = "__rotsrc", preCtes = rotCtes(rot))
+
+  /** The OPQ rotation as a zero-mean projection CTE pair
+    * (`__rotp`/`__rotsrc`) — the [[pcaSearchSql]] strict-fold idiom,
+    * FLOAT-cast per component exactly like `PcaTransform.project`.
+    * Shared front for every `OPQ…,<code>` replay. */
+  private def rotCtes(rot: Seq[Array[Double]]): String = {
     val d = rot.head.length
     val matLit = rot.map(c => s"[${c.mkString(", ")}]")
       .mkString("[", ",\n      ", "]")
-    val pre =
-      s"""__rotp AS (SELECT
-         |    $matLit AS pm),
-         |__rotsrc AS (
-         |  SELECT e.vec_id,
-         |    list_transform(range(${rot.length}), j ->
-         |      CAST(list_reduce(list_prepend(0.0,
-         |        list_transform(range(least(len(e.embedding), $d)),
-         |          i -> p.pm[j+1][i+1] * (CAST(e.embedding[i+1] AS DOUBLE) - 0.0))),
-         |        (acc, t) -> acc + t) AS FLOAT)) AS embedding
-         |  FROM embeddings e, __rotp p),
-         |""".stripMargin
-    pqSearchSqlFrom(books, k, source = "__rotsrc", preCtes = pre)
+    s"""__rotp AS (SELECT
+       |    $matLit AS pm),
+       |__rotsrc AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(${rot.length}), j ->
+       |      CAST(list_reduce(list_prepend(0.0,
+       |        list_transform(range(least(len(e.embedding), $d)),
+       |          i -> p.pm[j+1][i+1] * (CAST(e.embedding[i+1] AS DOUBLE) - 0.0))),
+       |        (acc, t) -> acc + t) AS FLOAT)) AS embedding
+       |  FROM embeddings e, __rotp p),
+       |""".stripMargin
   }
+
+  /** q105's oracle: the full `OPQ…,IVF…,PQ…` factory chain — the OPQ
+    * rotation front ([[rotCtes]]) feeding the complete IVFADC replay
+    * ([[ivfAdcSearchSql]]) with EVERYTHING in rotated space: cell
+    * assignment against rotated-space centroids, FLOAT-cast residuals,
+    * per-subspace argmin codes, probed ADC. Three artifacts (rotation,
+    * quantizer, codebooks) sit under the one gate. */
+  def opqIvfAdcSearchSql(rot: Seq[Array[Double]],
+                         cents: Seq[Array[Double]],
+                         books: Seq[Seq[Array[Double]]],
+                         k: Int, nprobe: Int): String =
+    ivfAdcSearchSql(cents, books, k, nprobe,
+      source = "__rotsrc", preCtes = rotCtes(rot))
 
   private def pqSearchSqlFrom(books: Seq[Seq[Array[Double]]], k: Int,
                               source: String, preCtes: String): String = {
@@ -774,16 +793,18 @@ object OracleSqlGen {
     * [[pqSearchSql]]: select on the exact adc, compare rounded(4). */
   def ivfAdcSearchSql(cents: Seq[Array[Double]],
                       books: Seq[Seq[Array[Double]]],
-                      k: Int, nprobe: Int): String = {
+                      k: Int, nprobe: Int,
+                      source: String = "embeddings",
+                      preCtes: String = ""): String = {
     val dsub = books.head.head.length
     val bookVals = (for {
       (book, s) <- books.zipWithIndex
       (c, code) <- book.zipWithIndex
     } yield s"($s, $code, [${c.mkString(", ")}])").mkString(",\n      ")
-    s"""WITH ${ivfAssignCtes(cents)},
+    s"""WITH $preCtes${ivfAssignCtes(cents, source)},
        |__books(s, code, c) AS (VALUES
        |      $bookVals),
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |q AS (SELECT embedding AS qe FROM $source WHERE vec_id = 0),
        |probe AS (
        |  SELECT c.cell_id, row_number() OVER (ORDER BY
        |    list_sum(list_transform(list_zip(q.qe, c.c),

@@ -1193,6 +1193,47 @@ object SparkEntry {
     (s.read.parquet(cpath), rot, pq)
   }
 
+  /** OPQ+IVF+PQ cache (the three-artifact `OPQ<m>,IVF<n>,PQ<m>` factory
+    * chain), keyed like [[opqCachePath]]. */
+  private def opqIvfCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0x09c1L * (ivfNlist + pqM)) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-opqivf-$key"
+  }
+
+  /** Build-or-load the full `OPQ,IVF,PQ` chain (FAISS
+    * `index_factory("OPQ8,IVF16,PQ8")`): the OPQ rotation is SHARED with
+    * [[opqCorpus]] (same artifact, loaded not retrained), then the
+    * coarse quantizer is trained IN ROTATED SPACE and the residual PQ
+    * encodes rotated residuals — cell-partitioned codes corpus, floats
+    * never read at query time. Guard on the LAST artifact (corpus
+    * _SUCCESS): quantizer and codebooks are saved first, so a run killed
+    * mid-corpus-write rebuilds all three. */
+  private[graft] def opqIvfCorpus(s: SparkSession, dir: String)
+      : (DataFrame, PcaTransform.Pca, IvfIndex.Ivf, PqIndex.Pq) = {
+    val (_, rot, _) = opqCorpus(s, dir)
+    val base = opqIvfCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val rpath = s"$base/rotated"
+    if (!graft.sources.CorpusStore.exists(s, s"$rpath/_SUCCESS"))
+      OpqTransform.rotate(emb, rot)
+        .select(col("doc_id"), col("rot").as("embedding"))
+        .write.mode("overwrite").parquet(rpath)
+    val rotated = s.read.parquet(rpath)
+    val ivf = IvfIndex.buildOrLoad(s, rotated, ivfNlist, s"$base/quantizer.txt")
+    val cbPath = s"$base/codebooks.txt"
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
+      val withCells = IvfIndex.assign(rotated, ivf)
+      val (enc, pq0) = PqIndex.buildIvfAdc(withCells, ivf, pqM, pqKsub)
+      PqIndex.save(s, pq0, cbPath)
+      enc.select("doc_id", "cell_id", "codes")
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    }
+    (s.read.parquet(cpath), rot, ivf, PqIndex.load(s, cbPath))
+  }
+
   /** SQ8 bounds/encoded-corpus cache, keyed like [[pqCachePath]]. */
   private def sqCachePath(s: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
@@ -1291,7 +1332,8 @@ object SparkEntry {
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     ivfCorpus(s, dir); lshCorpus(s, dir)
     pqCorpus(s, dir); sqCorpus(s, dir); sq4Corpus(s, dir); ivfAdcCorpus(s, dir)
-    pcaCorpus(s, dir); opqCorpus(s, dir); ivfSqCorpus(s, dir)
+    pcaCorpus(s, dir); opqCorpus(s, dir); opqIvfCorpus(s, dir)
+    ivfSqCorpus(s, dir)
     ivfSq4Corpus(s, dir)
     bivfCorpus(s, dir); graphCorpus(s, dir)
     ()
@@ -3516,6 +3558,22 @@ object SparkEntry {
       .select(col("doc_id"), round(col("adc"), 4).as("adc"))
   }
 
+  /** `OPQ8,IVF16,PQ8` ([[opqIvfCorpus]]): the full FAISS factory chain —
+    * learned rotation front, coarse quantizer trained in rotated space,
+    * residual PQ, probed ADC scan. The query rotates driver-side
+    * ([[OpqTransform.rotateOne]]) and the search is exactly q78's
+    * probed-cells codes-only plan; all THREE artifacts (rotation,
+    * quantizer, codebooks) feed the generated oracle. */
+  private def q105OpqIvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, rot, ivf, pq) = opqIvfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.searchIvfAdc(encoded, ivf, pq,
+        OpqTransform.rotateOne(rot, qVec), k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("adc"), 4).as("adc"))
+  }
+
   /** IVF-SQ8 search ([[SqIndex.searchIvf]]): FAISS
     * `IndexIVFScalarQuantizer` (by-residual) — probed cells only, codes
     * scanned through the shared `adc_lut_cells` kernel with the cell
@@ -4029,6 +4087,7 @@ object SparkEntry {
     "q88_sq8_recon" -> (q88SqRecon _),
     "q89_binary_recall" -> (q89BinaryRecall _),
     "q90_opq_search" -> (q90OpqSearch _),
+    "q105_opq_ivf_search" -> (q105OpqIvfSearch _),
     "q91_ivfsq_search" -> (q91IvfSqSearch _),
     "q102_ivfsq4_search" -> (q102IvfSq4Search _),
     "q92_bivf_search" -> (q92BivfSearch _),
@@ -4126,8 +4185,8 @@ object SparkEntry {
     "q75_gopher_rules" -> q75Sql,
     "q76_repeated_paragraphs" -> q76Sql,
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
-    sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ ivfSqOracleSqls ++
-    ivfSq4OracleSqls ++ qcOracleSqls
+    sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ opqIvfOracleSqls ++
+    ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -4243,6 +4302,37 @@ object SparkEntry {
         .map(i => clines.get(i).split(" ").map(_.toDouble))
       val books = flat.grouped(flat.length / m).toSeq
       Map("q90_opq_search" -> OracleSqlGen.opqSearchSql(rot, books, k = 10))
+    }).getOrElse(Map.empty)
+
+  /** OPQ+IVF+PQ oracle: all THREE artifacts q105's run just persisted —
+    * the shared OPQ rotation ([[opqCachePath]]), the rotated-space
+    * quantizer and the residual codebooks ([[opqIvfCachePath]]) — same
+    * lifecycle as [[pqOracleSqls]]. */
+  private def opqIvfOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      rpath = java.nio.file.Paths.get(s"${opqCachePath(s, dir)}/rot.txt")
+      qpath = java.nio.file.Paths.get(s"${opqIvfCachePath(s, dir)}/quantizer.txt")
+      cpath = java.nio.file.Paths.get(s"${opqIvfCachePath(s, dir)}/codebooks.txt")
+      if java.nio.file.Files.exists(rpath) &&
+        java.nio.file.Files.exists(qpath) && java.nio.file.Files.exists(cpath)
+      rlines = java.nio.file.Files.readAllLines(rpath)
+      qlines = java.nio.file.Files.readAllLines(qpath)
+      clines = java.nio.file.Files.readAllLines(cpath)
+      if qlines.get(0).split(" ")(1).toInt > 0 &&
+        clines.get(0).split(" ")(2).toInt > 0
+    } yield {
+      val rot: Seq[Array[Double]] = (2 until rlines.size())
+        .map(i => rlines.get(i).split(" ").map(_.toDouble))
+      val cents: Seq[Array[Double]] = (1 until qlines.size())
+        .map(i => qlines.get(i).split(" ").map(_.toDouble))
+      val m = clines.get(0).split(" ")(0).toInt
+      val flat: Seq[Array[Double]] = (1 until clines.size())
+        .map(i => clines.get(i).split(" ").map(_.toDouble))
+      val books = flat.grouped(flat.length / m).toSeq
+      Map("q105_opq_ivf_search" ->
+        OracleSqlGen.opqIvfAdcSearchSql(rot, cents, books, k = 10, nprobe = 4))
     }).getOrElse(Map.empty)
 
   /** PCA oracle, generated from the artifact q86's run just persisted —

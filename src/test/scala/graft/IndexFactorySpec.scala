@@ -94,6 +94,31 @@ class IndexFactorySpec extends AnyFunSuite {
       ids(PcaTransform.search(projected, pca, q, 10)))
   }
 
+  test("OPQ,IVF,PQ: rotation front + rotated-space IVFADC ≡ direct chain") {
+    import graft.operators.{OpqTransform, PqIndex}
+    val data = clustered(300, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val q = data(7)._2
+
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().toSeq
+
+    // Direct chain: train rotation, rotate corpus, IVF + residual PQ in
+    // rotated space, rotated query — all training seeded, so the factory
+    // (which trains its own artifacts on identical input) agrees.
+    val rot = OpqTransform.train(docs, m = 4)
+    val rotated = OpqTransform.rotate(docs, rot)
+      .select($"doc_id", $"rot".as("embedding"))
+    val (withCells, ivf) = IvfIndex.build(rotated, 4)
+    val (enc, pq) = PqIndex.buildIvfAdc(withCells, ivf, m = 4)
+    val direct = ids(PqIndex.searchIvfAdc(
+      enc.select($"doc_id", $"cell_id", $"codes"), ivf, pq,
+      OpqTransform.rotateOne(rot, q), k = 10, nprobe = 2))
+    val viaFactory = ids(IndexFactory.build(spark, docs, "OPQ4,IVF4,PQ4",
+      nprobe = 2).search(q, 10))
+    assert(viaFactory == direct)
+  }
+
   test("IVF,PQ and the RFlat refinement produce k results from the probed cells") {
     val data = clustered(400, 4)
     val docs = data.toDF("doc_id", "embedding")
