@@ -200,6 +200,50 @@ object OracleSqlGen {
        |FROM (SELECT DISTINCT query_id FROM qs) q LEFT JOIN ov USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  /** q107's oracle: the nprobe↦recall operating curve (FAISS
+    * `ParameterSpace` autotune surface) — one approx/overlap block per
+    * swept nprobe against the shared exact top-k, total overlap summed
+    * over the `nq` queries, recall = n_overlap / (nq·k). */
+  def ivfRecallSweepSql(cents: Seq[Array[Double]], k: Int,
+                        nprobes: Seq[Int], nq: Int): String = {
+    val blocks = nprobes.map { np =>
+      s"""approx$np AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT p.query_id, a.doc_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id ASC) AS rnk
+         |    FROM __assigned a
+         |    JOIN probe p ON a.cell_id = p.cell_id AND p.pr <= $np
+         |    JOIN qs q ON q.query_id = p.query_id)
+         |  WHERE rnk <= $k),
+         |ov$np AS (
+         |  SELECT CAST($np AS BIGINT) AS nprobe,
+         |    CAST(coalesce(sum(n), 0) AS BIGINT) AS n_overlap
+         |  FROM (SELECT e.query_id, count(*) AS n FROM exact e
+         |        JOIN approx$np x USING (query_id, doc_id) GROUP BY 1))""".stripMargin
+    }.mkString(",\n")
+    val union = nprobes.map(np => s"SELECT * FROM ov$np").mkString(" UNION ALL ")
+    s"""WITH ${ivfAssignCtes(cents)},
+       |qs AS (SELECT vec_id AS query_id, embedding AS qe
+       |       FROM embeddings WHERE vec_id < $nq),
+       |probe AS (
+       |  SELECT q.query_id, c.cell_id, row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c CROSS JOIN qs q),
+       |exact AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT q.query_id, e.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id ASC) AS rnk
+       |    FROM embeddings e CROSS JOIN qs q)
+       |  WHERE rnk <= $k),
+       |$blocks
+       |SELECT nprobe, n_overlap,
+       |  round(n_overlap / ${nq * k}.0, 4) AS recall
+       |FROM ($union)
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** q79's oracle: SQ8 encode + reconstructed-inner-product top-k,
     * replayed from the persisted per-dim bounds. Encode is
     * `clamp(floor((x − vmin)/step + 0.5), 0, 255)` — `floor(t + 0.5)`
@@ -352,6 +396,29 @@ object OracleSqlGen {
        |WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)
        |ORDER BY hamming, a.doc_id
        |LIMIT $k""".stripMargin
+
+  /** q108's oracle: binary IVF range search — the [[bivfSearchSql]]
+    * replay (cells assigned on the ORIGINAL 64-d embeddings, Hamming as
+    * sign-disagreeing dims over the widened vectors, probed cells only)
+    * with the radius filter instead of the LIMIT. */
+  def bivfRangeSql(cents: Seq[Array[Double]], maxDist: Int, nprobe: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${wideCte()},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qw AS (SELECT embedding AS qe FROM __wide WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |h AS (
+       |  SELECT a.doc_id, CAST(a.cell_id AS BIGINT) AS cell_id,
+       |    CAST(len(list_filter(range(len(w.embedding)),
+       |      i -> (w.embedding[i+1] > 0) != (qw.qe[i+1] > 0))) AS BIGINT) AS hamming
+       |  FROM __assigned a JOIN __wide w ON a.doc_id = w.vec_id, qw
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe))
+       |SELECT doc_id, cell_id, hamming FROM h
+       |WHERE hamming <= $maxDist
+       |ORDER BY hamming, doc_id""".stripMargin
 
   /** q91's oracle: IVF-SQ8 replayed from BOTH artifacts — cell
     * assignment ([[ivfAssignCtes]]), FLOAT-cast residuals, the

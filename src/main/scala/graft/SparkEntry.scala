@@ -1480,6 +1480,36 @@ object SparkEntry {
     VectorSearch.recallVsExact(qdf, exact, approx, "doc_id", k = 10)
   }
 
+  /** nprobe↦recall operating curve (FAISS `ParameterSpace`
+    * autotune): recall@10 of the probed IVF search vs the exact scan at
+    * nprobe ∈ {1,2,4,8} over the first 8 vectors as queries — the table
+    * an operator reads to pick the accuracy/cost point before raising
+    * nprobe corpus-wide. One exact batch job; per-sweep-point one
+    * probe-pruned batch job (the q34 machinery), overlap summed across
+    * queries. */
+  private def q107NprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val queries = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val qdf = queries.toDF("query_id", "q_embedding")
+    val exact = VectorSearch.knnBatchAggregated(qdf, emb, 10)
+      .select("query_id", "doc_id")
+    Seq(1, 2, 4, 8).map { np =>
+      val approx = IvfIndex.searchBatch(withCells, ivf, queries,
+          k = 10, nprobe = np)
+        .select("query_id", "doc_id")
+      VectorSearch.recallVsExact(qdf, exact, approx, "doc_id", k = 10)
+        .agg(coalesce(sum(col("n_overlap")), lit(0L)).cast("long")
+          .as("n_overlap"))
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("nprobe"), col("n_overlap"),
+        round(col("n_overlap") / lit(80.0), 4).as("recall"))
+      .orderBy("nprobe")
+  }
+
   private def q22CorpusBuild(s: SparkSession, dir: String): DataFrame = {
     // Documents concatenated per source simulate multi-paragraph files;
     // chunk + embed into the canonical corpus schema (FIXTURES.md §1).
@@ -3618,6 +3648,22 @@ object SparkEntry {
         col("hamming"))
   }
 
+  /** Probed binary range search ([[BinaryIndex.rangeIvfHamming]]): FAISS
+    * `IndexBinaryIVF::range_search` — the q103 semantics at the q92 scan
+    * cost (probed cells only; note: like FAISS, within-radius matches in
+    * UNPROBED cells are missed — that's the recall trade the nprobe knob
+    * buys). Probe on the 64-d quantizer vector; match on the widened
+    * 768-d code. */
+  private def q108BivfRange(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf) = bivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    BinaryIndex.rangeIvfHamming(encoded, ivf, qVec, maxDist = 320, nprobe = 4,
+        queryCode = BinaryIndex.packOne(widenVec(qVec)))
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        col("hamming"))
+  }
+
   /** Persisted k-NN graph cache (the q87 build, k=4), src-sorted so the
     * beam walk's per-hop `In(src, …)` filters prune row groups via
     * column statistics — a graph INDEX is ingest-time work; walking a
@@ -4025,6 +4071,7 @@ object SparkEntry {
     "q27_best_order" -> (q27BestOrder _),
     "q33_corpus_append" -> (q33CorpusAppend _),
     "q34_ivf_recall" -> (q34IvfRecall _),
+    "q107_nprobe_sweep" -> (q107NprobeSweep _),
     "q21_ivf_search" -> (q21IvfSearch _),
     "q22_corpus_build" -> (q22CorpusBuild _),
     "q23_doc_semantic_search" -> (q23DocSemanticSearch _),
@@ -4091,6 +4138,7 @@ object SparkEntry {
     "q91_ivfsq_search" -> (q91IvfSqSearch _),
     "q102_ivfsq4_search" -> (q102IvfSq4Search _),
     "q92_bivf_search" -> (q92BivfSearch _),
+    "q108_bivf_range" -> (q108BivfRange _),
     "q97_graph_search" -> (q97GraphSearch _),
     "q98_ivf_range" -> (q98IvfRange _),
     "q99_pq_recon" -> (q99PqRecon _),
@@ -4442,12 +4490,16 @@ object SparkEntry {
           k = 4, cap = SemanticDedup.DefaultMaxCellSize),
         "q92_bivf_search" -> OracleSqlGen.bivfSearchSql(cents,
           k = 10, nprobe = 4),
+        "q108_bivf_range" -> OracleSqlGen.bivfRangeSql(cents,
+          maxDist = 320, nprobe = 4),
         "q95_cluster_sample" -> OracleSqlGen.clusterSampleSql(cents,
           perCell = 12, salt = "balance"),
         "q97_graph_search" -> OracleSqlGen.graphSearchSql(cents,
           kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
           k = 10, nprobe = 4, beamWidth = 8, hops = 3),
         "q98_ivf_range" -> OracleSqlGen.ivfRangeSearchSql(cents,
-          minScore = 0.2, nprobe = 4))
+          minScore = 0.2, nprobe = 4),
+        "q107_nprobe_sweep" -> OracleSqlGen.ivfRecallSweepSql(cents,
+          k = 10, nprobes = Seq(1, 2, 4, 8), nq = 8))
     }).getOrElse(Map.empty)
 }

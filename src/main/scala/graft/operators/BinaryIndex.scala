@@ -166,6 +166,29 @@ object BinaryIndex {
       .limit(k)
   }
 
+  /** Probed Hamming range search (FAISS `IndexBinaryIVF::range_search`):
+    * every id within `maxDist` bits among the `nprobe` probed cells —
+    * the [[rangeHamming]] semantics at the [[searchIvfHamming]] scan
+    * cost (partition-pruned codes only, d/8 B/row over nprobe/nlist of
+    * the corpus). As with the top-k probed form, the probe vector lives
+    * in the QUANTIZER's space and the packed code in the CODES' space
+    * (pass `queryCode` when they diverge). */
+  def rangeIvfHamming(encoded: DataFrame, ivf: IvfIndex.Ivf,
+                      queryVec: Array[Float], maxDist: Int, nprobe: Int,
+                      idCol: String = "doc_id", codeCol: String = "code",
+                      queryCode: Array[Long] = null): DataFrame = {
+    GraftFunctions.register(encoded.sparkSession)
+    val probed = IvfIndex.probeCells(ivf, queryVec, nprobe)
+    val qCode = if (queryCode == null) packOne(queryVec) else queryCode
+    encoded
+      .filter(col("cell_id").isin(probed: _*))
+      .select(col(idCol), col("cell_id"),
+        GraftFunctions.hammingWords(col(codeCol),
+          typedlit(qCode)).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("hamming").asc, col(idCol).asc)
+  }
+
   /** Hamming range search (`IndexBinaryFlat.range_search`): every id
     * within `maxDist` bits of the query, unranked semantics but emitted
     * in the engine's total order. Pure scan + filter — the predicate is

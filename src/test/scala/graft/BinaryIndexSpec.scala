@@ -138,6 +138,34 @@ class BinaryIndexSpec extends AnyFunSuite {
       "the query's own vector must rank first at distance 0")
   }
 
+  test("rangeIvfHamming: probe-all ≡ flat range; probed form only misses unprobed cells") {
+    import graft.operators.IvfIndex
+    val data = randVecs(300, dim = 16)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 4)
+    val enc = BinaryIndex.encodeIvf(withCells)
+    val qVec = data(5)._2
+    val nlistTrained = ivf.centroids.get.length
+    val radius = 6
+    val flat = BinaryIndex
+      .rangeHamming(BinaryIndex.encode(docs), BinaryIndex.packOne(qVec), radius)
+      .as[(Long, Long)].collect().toSeq
+    val probeAll = BinaryIndex
+      .rangeIvfHamming(enc, ivf, qVec, maxDist = radius, nprobe = nlistTrained)
+      .select("doc_id", "hamming").as[(Long, Long)].collect().toSeq
+    assert(probeAll == flat, "probe-all binary IVF range diverged from flat")
+    // nprobe=1: every emitted row is from the probed cell, within radius,
+    // and is a subset of the flat result (missed matches live in other
+    // cells — the FAISS recall trade, not a scoring divergence).
+    val one = BinaryIndex.rangeIvfHamming(enc, ivf, qVec, maxDist = radius, nprobe = 1)
+      .select("doc_id", "cell_id", "hamming").as[(Long, Int, Long)].collect()
+    val probedCell = IvfIndex.probeCells(ivf, qVec, 1).head
+    assert(one.forall(_._2 == probedCell))
+    assert(one.forall(_._3 <= radius))
+    val flatMap = flat.toMap
+    assert(one.forall(r => flatMap.get(r._1).contains(r._3)))
+  }
+
   test("binary IVF: probe-all ≡ flat Hamming; nprobe=1 stays in its cell") {
     import graft.operators.IvfIndex
     val data = randVecs(300, dim = 16)
