@@ -919,6 +919,77 @@ object OracleSqlGen {
        |ORDER BY t.adc ASC, t.doc_id ASC""".stripMargin
   }
 
+  /** q109's oracle: BATCHED IVFADC — the [[ivfAdcSearchSql]] replay with
+    * the first `nq` vectors as queries: per-query L2 centroid probe,
+    * residuals/codes over the UNION of probed cells, per-(query, cell)
+    * query residuals, subspace terms folded in s order, per-query rank
+    * (adc ASC, doc_id ties). */
+  def ivfAdcBatchSearchSql(cents: Seq[Array[Double]],
+                           books: Seq[Seq[Array[Double]]],
+                           k: Int, nprobe: Int, nq: Int): String = {
+    val dsub = books.head.head.length
+    val bookVals = (for {
+      (book, s) <- books.zipWithIndex
+      (c, code) <- book.zipWithIndex
+    } yield s"($s, $code, [${c.mkString(", ")}])").mkString(",\n      ")
+    s"""WITH ${ivfAssignCtes(cents)},
+       |__books(s, code, c) AS (VALUES
+       |      $bookVals),
+       |qs AS (SELECT vec_id AS query_id, embedding AS qe
+       |       FROM embeddings WHERE vec_id < $nq),
+       |probe AS (
+       |  SELECT q.query_id, c.cell_id, row_number() OVER (
+       |    PARTITION BY q.query_id ORDER BY
+       |    list_sum(list_transform(list_zip(q.qe, c.c),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |           (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |    c.cell_id ASC) AS pr
+       |  FROM __cents c CROSS JOIN qs q),
+       |res AS (
+       |  SELECT a.doc_id, a.cell_id,
+       |    list_transform(list_zip(a.embedding, c.c),
+       |      p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT)) AS r
+       |  FROM __assigned a JOIN __cents c USING (cell_id)
+       |  WHERE a.cell_id IN (SELECT DISTINCT cell_id FROM probe
+       |                      WHERE pr <= $nprobe)),
+       |codes AS (
+       |  SELECT doc_id, cell_id, s, code FROM (
+       |    SELECT r.doc_id, r.cell_id, b.s, b.code,
+       |      row_number() OVER (PARTITION BY r.doc_id, b.s ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(r.r[b.s*$dsub+1 : b.s*$dsub+$dsub], b.c),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |        b.code ASC) AS rn
+       |    FROM res r CROSS JOIN __books b) WHERE rn = 1),
+       |qres AS (
+       |  SELECT p.query_id, c.cell_id,
+       |    list_transform(list_zip(q.qe, c.c),
+       |      p2 -> CAST(CAST(p2[1] AS DOUBLE) - p2[2] AS FLOAT)) AS qr
+       |  FROM probe p JOIN __cents c ON c.cell_id = p.cell_id
+       |  JOIN qs q ON q.query_id = p.query_id
+       |  WHERE p.pr <= $nprobe),
+       |lv AS (
+       |  SELECT qr.query_id, cd.doc_id, cd.s,
+       |    list_sum(list_transform(
+       |      list_zip(qr.qr[cd.s*$dsub+1 : cd.s*$dsub+$dsub], b.c),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |           (CAST(p[1] AS DOUBLE) - p[2]))) AS d2
+       |  FROM codes cd JOIN qres qr ON cd.cell_id = qr.cell_id
+       |  JOIN __books b ON b.s = cd.s AND b.code = cd.code),
+       |adc AS (
+       |  SELECT query_id, doc_id, list_sum(list(d2 ORDER BY s)) AS adc
+       |  FROM lv GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, adc, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc ASC, doc_id ASC) AS doc_rank
+       |  FROM adc)
+       |SELECT query_id, doc_id, round(adc, 4) AS adc,
+       |  CAST(doc_rank AS BIGINT) AS doc_rank
+       |FROM ranked WHERE doc_rank <= $k
+       |ORDER BY query_id, doc_rank""".stripMargin
+  }
+
   /** q104's oracle: `search_and_reconstruct` — the full [[ivfAdcSearchSql]]
     * replay proposes the top-k hits (nested derived table, the q80
     * idiom), then each hit's codes are re-derived (FLOAT-cast residual

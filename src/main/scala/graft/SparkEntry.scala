@@ -1416,6 +1416,22 @@ object SparkEntry {
         round(col("adc"), 4).as("adc"))
   }
 
+  /** Batched IVFADC ([[PqIndex.searchIvfAdcBatch]]): FAISS
+    * `IndexIVFPQ::search` driven the way FAISS is actually driven — a
+    * query matrix. One scan of the UNION of probed cells; each row joins
+    * only the queries probing its cell; per-query top-k through the
+    * bounded aggregator (partial top-k before the exchange). */
+  private def q109IvfAdcBatch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, pq) = ivfAdcCorpus(s, dir)
+    val queries = t(s, dir, "embeddings").filter(col("vec_id") < 6)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    PqIndex.searchIvfAdcBatch(encoded, ivf, pq, queries, k = 10, nprobe = 4)
+      .select(col("query_id"), col("doc_id"), round(col("adc"), 4).as("adc"),
+        col("doc_rank").cast("long").as("doc_rank"))
+      .orderBy("query_id", "doc_rank")
+  }
+
   /** `search_and_reconstruct` (FAISS `IndexIVF::search_and_reconstruct`):
     * the probed ADC top-5 plus each hit's reconstructed vector —
     * centroid + decoded residual, handed back from the codes-only store
@@ -4120,6 +4136,7 @@ object SparkEntry {
     "q77_pq_search" -> (q77PqSearch _),
     "q78_ivfadc_search" -> (q78IvfAdcSearch _),
     "q104_search_reconstruct" -> (q104SearchReconstruct _),
+    "q109_ivfadc_batch" -> (q109IvfAdcBatch _),
     "q79_sq8_search" -> (q79SqSearch _),
     "q100_sq4_search" -> (q100Sq4Search _),
     "q80_refine_search" -> (q80RefineSearch _),
@@ -4463,7 +4480,10 @@ object SparkEntry {
           OracleSqlGen.refineSearchSql(cents, books,
             k = 10, rerank = 50, nprobe = 4),
         "q104_search_reconstruct" ->
-          OracleSqlGen.ivfAdcReconSql(cents, books, k = 5, nprobe = 4))
+          OracleSqlGen.ivfAdcReconSql(cents, books, k = 5, nprobe = 4),
+        "q109_ivfadc_batch" ->
+          OracleSqlGen.ivfAdcBatchSearchSql(cents, books,
+            k = 10, nprobe = 4, nq = 6))
     }).getOrElse(Map.empty)
 
   private def ivfOracleSqls: Map[String, String] =

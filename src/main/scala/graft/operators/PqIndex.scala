@@ -271,17 +271,7 @@ object PqIndex {
     GraftFunctions.register(encoded.sparkSession)
     val cents = ivf.centroids.getOrElse(
       throw new IllegalStateException("IVFADC needs a trained IVF"))
-    val probed: Seq[Int] = cents.zipWithIndex
-      .map { case (c, i) =>
-        var d2 = 0.0
-        var j = 0
-        while (j < math.min(c.length, queryVec.length)) {
-          val d = queryVec(j).toDouble - c(j); d2 += d * d; j += 1
-        }
-        (d2, i)
-      }
-      .sortBy { case (d, i) => (d, i) }
-      .take(nprobe).map(_._2).toSeq
+    val probed = probeL2(cents, queryVec, nprobe)
     // One LUT per probed cell, addressed by DENSE PROBE SLOT: the plan
     // literal is O(nprobe × m × ksub), not O(nlist) — at realistic
     // corpus-scale nlist (2¹⁶–2²⁰ cells) a cell-indexed literal grows
@@ -302,6 +292,73 @@ object PqIndex {
     (encoded
       .filter(col("cell_id").isin(probed: _*))
       .withColumn("adc", adc), probed)
+  }
+
+  /** The `nprobe` cells nearest `queryVec` by sequential squared-L2
+    * (centroid ASC, cell_id ties) — the IVFADC probe rule, driver-side
+    * over the tiny centroid table. */
+  private def probeL2(cents: Array[Array[Double]], queryVec: Array[Float],
+                      nprobe: Int): Seq[Int] =
+    cents.zipWithIndex
+      .map { case (c, i) =>
+        var d2 = 0.0
+        var j = 0
+        while (j < math.min(c.length, queryVec.length)) {
+          val d = queryVec(j).toDouble - c(j); d2 += d * d; j += 1
+        }
+        (d2, i)
+      }
+      .sortBy { case (d, i) => (d, i) }
+      .take(nprobe).map(_._2).toSeq
+
+  /** Batched IVFADC — FAISS `IndexIVFPQ::search` over a query BATCH,
+    * which is how FAISS is actually driven (`xq` is a matrix). The
+    * engine's batch searches share ONE scan: the union of every query's
+    * probed cells is read once (still a static partition filter), each
+    * scanned row joins only the queries probing its cell (broadcast
+    * (query, cell, slot) table — n_q·nprobe rows), the per-row cost is
+    * `m` lookups into that pair's LUT, and per-query top-k goes through
+    * the bounded [[TopKByScore]] aggregator (the
+    * `knnBatchAggregated` shape, measured 3× the window form): partial
+    * top-k BEFORE the exchange, so the shuffle carries O(k · partitions)
+    * rows per query, never the scored scan. LUT literal is
+    * O(n_q · nprobe · m · ksub) — slot-addressed, never O(nlist). */
+  def searchIvfAdcBatch(encoded: DataFrame, ivf: IvfIndex.Ivf, pq: Pq,
+                        queries: Seq[(Long, Array[Float])], k: Int,
+                        nprobe: Int, idCol: String = "doc_id"): DataFrame = {
+    val spark = encoded.sparkSession
+    GraftFunctions.register(spark)
+    VectorSearch.requireIntegralId(encoded, idCol)
+    val cents = ivf.centroids.getOrElse(
+      throw new IllegalStateException("IVFADC needs a trained IVF"))
+    val entries: Seq[(Long, Int)] = queries.flatMap { case (qid, qv) =>
+      probeL2(cents, qv, nprobe).map(cell => (qid, cell))
+    }
+    val byId = queries.toMap
+    val luts: Seq[Seq[Seq[Double]]] = entries.map { case (qid, cell) =>
+      val qv = byId(qid)
+      val c = cents(cell)
+      val qr = Array.tabulate(qv.length)(j => (qv(j).toDouble - c(j)).toFloat)
+      adcLut(pq, qr).map(_.toSeq).toSeq
+    }
+    import spark.implicits._
+    val probeDf = entries.zipWithIndex
+      .map { case ((qid, cell), slot) => (qid, cell, slot) }
+      .toDF("query_id", "cell_id", "__slot")
+    val topk = udaf(new TopKByScore(k))
+    encoded
+      .filter(col("cell_id").isin(entries.map(_._2).distinct: _*))
+      .join(broadcast(probeDf), "cell_id")
+      .withColumn("adc",
+        GraftFunctions.adcLutCells(col("codes"), col("__slot"), typedLit(luts)))
+      .select(col("query_id"), col(idCol).cast("long").as("id"),
+        negate(col("adc")).as("__negadc"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("id"), col("__negadc")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(col("query_id"), col("hit.id").as(idCol),
+        negate(col("hit.score")).as("adc"),
+        (col("rank0") + 1).cast("int").as("doc_rank"))
   }
 
   /** FAISS `IndexIVF::search_and_reconstruct`: the probed ADC top-`k`

@@ -94,6 +94,26 @@ class PqIndexSpec extends AnyFunSuite {
     assert(cellsScanned.size <= 2)
   }
 
+  test("searchIvfAdcBatch ≡ per-query searchIvfAdc (shared union scan)") {
+    import graft.operators.IvfIndex
+    val data = clustered(400, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 8)
+    val (encoded, pq) = PqIndex.buildIvfAdc(withCells, ivf, m = 4, ksub = 8)
+    val queries = Seq(3L, 7L, 11L).map(id => id -> data.find(_._1 == id).get._2)
+    val batch = PqIndex.searchIvfAdcBatch(encoded, ivf, pq, queries,
+        k = 5, nprobe = 2)
+      .select("query_id", "doc_id", "adc", "doc_rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq)
+      .toMap
+    queries.foreach { case (qid, qv) =>
+      val single = PqIndex.searchIvfAdc(encoded, ivf, pq, qv, k = 5, nprobe = 2)
+        .select("doc_id", "adc").as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"batch diverged for query $qid")
+    }
+  }
+
   test("search_and_reconstruct: hits match searchIvfAdc; recon = centroid + decode") {
     import graft.operators.IvfIndex
     val data = clustered(400, 8)
