@@ -1178,6 +1178,21 @@ object ScaleProbe {
       graft.operators.PqIndex.searchRefined(
         cellCorpus, corpus, ivf, rpq, qVec, 10, 50, nprobe).collect())
 
+    // Batched IVFADC: 8 queries through ONE union-of-probed-cells scan
+    // (broadcast (query, cell, slot) join + bounded-aggregator top-k)
+    // vs the 8-job sequential loop — the q109 path's scale claim.
+    val batchQs = base.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    timeWarm(s"IVFADC 8-query LOOP (8 sequential jobs, nprobe=$nprobe)")(
+      batchQs.foreach { case (_, qv) =>
+        graft.operators.PqIndex.searchIvfAdc(
+          cellCorpus, ivf, rpq, qv, 10, nprobe).collect()
+      })
+    timeWarm(s"IVFADC 8-query BATCH (one union scan, nprobe=$nprobe)")(
+      graft.operators.PqIndex.searchIvfAdcBatch(
+        cellCorpus, ivf, rpq, batchQs, 10, nprobe).collect())
+
     // IVF-SQ8: residual bounds over the assigned corpus, cell-partitioned
     // byte codes, probed adc_lut_cells scan (4x lighter than floats at
     // 8-bit/dim vs IVFADC's 1 byte/8 dims — the accuracy/size midpoint).
