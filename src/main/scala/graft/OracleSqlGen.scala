@@ -145,6 +145,25 @@ object OracleSqlGen {
        |ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id
        |LIMIT $k""".stripMargin
 
+  /** q110's oracle: FILTERED IVF search (FAISS `IDSelector` semantics) —
+    * the [[ivfSearchSql]] replay with the metadata predicate applied
+    * inside the probed scan (label read back from the source row). */
+  def ivfFilteredSearchSql(cents: Seq[Array[Double]], k: Int, nprobe: Int,
+                           label: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q)
+       |SELECT a.doc_id, CAST(a.cell_id AS BIGINT) AS cell_id,
+       |  round(list_dot_product(a.embedding, q.qe), 4) AS score
+       |FROM __assigned a JOIN embeddings e ON e.vec_id = a.doc_id, q
+       |WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)
+       |  AND e.label = $label
+       |ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id
+       |LIMIT $k""".stripMargin
+
   /** q98's oracle: probed IVF range search — cell assignment
     * ([[ivfAssignCtes]]), IP centroid probe, strict-fold dot
     * ([[dotFold]]), radius threshold on the UNROUNDED score (the q85

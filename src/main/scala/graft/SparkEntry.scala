@@ -1479,6 +1479,24 @@ object SparkEntry {
         round(col("score"), 4).as("score"))
   }
 
+  /** Filtered ANN search (FAISS `IDSelector` / `SearchParameters.sel`):
+    * the probed IVF scan restricted to a metadata predicate
+    * (`label = 3`). In FAISS this needs a selector callback walking
+    * every candidate; in a relational engine the predicate simply
+    * composes — it lands in the SAME parquet scan as the cell partition
+    * filter (PushedFilters on `label`), so the filtered search reads
+    * less, not more. The persisted cell corpus carries the metadata
+    * columns for exactly this. */
+  private def q110FilteredSearch(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(withCells.filter(col("label") === 3), ivf, qVec,
+        k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Recall@10 of IVF vs the exact scan — both sides batched: one
     * aggregated exact job, one probe-pruned `searchBatch` job, joined
     * distributively (replaces 8 sequential per-query collect loops). */
@@ -3388,6 +3406,35 @@ object SparkEntry {
       |ORDER BY n_occurrences DESC, token LIMIT 40""".stripMargin
   }
 
+  /** BPE trainer corpus surface ([[TextAnalysis.bpePairCounts]]):
+    * weighted adjacent-symbol-pair counts over the capped word-frequency
+    * table — iteration 0 of [[TextAnalysis.trainBpe]], and the only step
+    * of a BPE trainer that touches the corpus (one scan; the merge loop
+    * runs on the capped table). Top-20 pairs, count DESC, (lhs, rhs)
+    * ties. */
+  private def q111BpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairCounts(t(s, dir, "documents"),
+      maxWords = 1000, topK = 20)
+
+  private val q111Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+      |       ORDER BY cnt DESC, token LIMIT 1000),
+      |syms AS (SELECT cnt,
+      |    list_append(regexp_extract_all(token, '.'), '</w>') AS s
+      |  FROM tf),
+      |pr AS (SELECT cnt,
+      |    unnest(list_transform(range(len(s)-1),
+      |      i -> {'lhs': s[i+1], 'rhs': s[i+2]})) AS p
+      |  FROM syms)
+      |SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS n
+      |FROM pr GROUP BY 1, 2
+      |ORDER BY n DESC, lhs, rhs LIMIT 20""".stripMargin
+  }
+
   /** Unigram LM quality scoring (`TextAnalysis.unigramVocab` +
     * `lmScore`): the CCNet/Gopher perplexity-filter shape — top-16
     * vocabulary ML log-probs, OOV floor ln(1/(total+1)), per-doc mean
@@ -4088,6 +4135,7 @@ object SparkEntry {
     "q33_corpus_append" -> (q33CorpusAppend _),
     "q34_ivf_recall" -> (q34IvfRecall _),
     "q107_nprobe_sweep" -> (q107NprobeSweep _),
+    "q110_filtered_search" -> (q110FilteredSearch _),
     "q21_ivf_search" -> (q21IvfSearch _),
     "q22_corpus_build" -> (q22CorpusBuild _),
     "q23_doc_semantic_search" -> (q23DocSemanticSearch _),
@@ -4127,6 +4175,7 @@ object SparkEntry {
     "q69_hybrid_rrf" -> (q69HybridRrf _),
     "q70_lm_quality" -> (q70LmQuality _),
     "q106_token_vocab" -> (q106TokenVocab _),
+    "q111_bpe_pairs" -> (q111BpePairs _),
     "q71_keep_best" -> (q71KeepBest _),
     "q72_mix_weights" -> (q72MixWeights _),
     "q73_url_dedup" -> (q73UrlDedup _),
@@ -4236,6 +4285,7 @@ object SparkEntry {
     "q69_hybrid_rrf" -> q69Sql,
     "q70_lm_quality" -> q70Sql,
     "q106_token_vocab" -> q106Sql,
+    "q111_bpe_pairs" -> q111Sql,
     "q81_dsir_weights" -> q81Sql,
     "q84_binary_search" -> q84Sql,
     "q103_binary_range" -> q103Sql,
@@ -4520,6 +4570,8 @@ object SparkEntry {
         "q98_ivf_range" -> OracleSqlGen.ivfRangeSearchSql(cents,
           minScore = 0.2, nprobe = 4),
         "q107_nprobe_sweep" -> OracleSqlGen.ivfRecallSweepSql(cents,
-          k = 10, nprobes = Seq(1, 2, 4, 8), nq = 8))
+          k = 10, nprobes = Seq(1, 2, 4, 8), nq = 8),
+        "q110_filtered_search" -> OracleSqlGen.ivfFilteredSearchSql(cents,
+          k = 10, nprobe = 4, label = 3))
     }).getOrElse(Map.empty)
 }

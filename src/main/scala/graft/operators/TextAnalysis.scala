@@ -59,6 +59,102 @@ object TextAnalysis {
       .orderBy(desc("n_occurrences"), col("token"))
       .limit(topK)
 
+  /** Weighted adjacent-symbol-pair counts over the capped word-frequency
+    * table — iteration 0 of a BPE trainer ([[trainBpe]]), and the only
+    * corpus-scale step it has: ONE scan builds word frequencies, the cap
+    * (count DESC, token ties) bounds everything after it, and the pair
+    * explode runs over ≤ `maxWords` rows regardless of corpus size (the
+    * standard trainer posture: merges operate on the word-frequency
+    * table, never the corpus). Symbols are codepoints plus the `</w>`
+    * end-of-word marker. */
+  def bpePairCounts(docs: DataFrame, maxWords: Int, topK: Int,
+                    textCol: String = "text"): DataFrame = {
+    val vocab = docs
+      .select(explode(regexTokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token")).limit(maxWords)
+    val syms = concat(
+      regexp_extract_all(col("token"), lit("."), lit(0)),
+      array(lit("</w>")))
+    vocab
+      .withColumn("s", syms)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(0), size(col("s")) - 2), i =>
+          struct(element_at(col("s"), i + 1).as("lhs"),
+            element_at(col("s"), i + 2).as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("cnt").cast("long").as("n"))
+      .orderBy(desc("n"), col("lhs"), col("rhs"))
+      .limit(topK)
+  }
+
+  final case class BpeMerge(rank: Int, lhs: String, rhs: String, n: Long)
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016): the
+    * `nMerges` highest-count adjacent symbol pairs, merged iteratively
+    * over the word-frequency table. The corpus contributes exactly one
+    * scan (the [[bpePairCounts]] vocabulary); the merge loop runs
+    * driver-side over the ≤ `maxWords` capped table — at 100 TB the
+    * distinct-word table is the small side by construction, which is why
+    * every production BPE trainer works this way. Deterministic ties:
+    * count DESC, then (lhs, rhs) ascending. Merge application is
+    * left-to-right, non-overlapping. */
+  def trainBpe(docs: DataFrame, nMerges: Int, maxWords: Int = 100000,
+               textCol: String = "text"): Seq[BpeMerge] = {
+    val vocab = docs
+      .select(explode(regexTokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] = vocab.map { case (w, c) =>
+      (splitCodepoints(w) :+ "</w>", c)
+    }
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += BpeMerge(rank, l, r, n)
+        words = words.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Codepoint split (surrogate-pair safe — the `regexp_extract_all(., '.')`
+    * symbol rule [[bpePairCounts]] uses, kept identical here). */
+  private def splitCodepoints(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** One merge pass over a symbol sequence: left-to-right,
+    * non-overlapping. */
+  private def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else {
+        out += syms(i); i += 1
+      }
+    }
+    out.result()
+  }
+
   /** Repetition score (the Gopher-rules "top n-gram fraction"): the most
     * frequent word bigram's share of all bigrams in the document — high
     * values flag boilerplate/templated text for quality filtering.

@@ -59,6 +59,34 @@ class IvfIndexSpec extends AnyFunSuite {
       ivf.centroids.get.head.toSeq)
   }
 
+  test("filtered search: metadata predicate lands in the SAME pruned scan") {
+    // FAISS IDSelector semantics: in Spark the label predicate composes
+    // with partition pruning — PushedFilters carries the label while
+    // PartitionFilters carries the probed cells, one scan, reads less.
+    val corpus = (0 until 300)
+      .map(i => (i.toLong, randVec(i), i % 10))
+      .toDF("doc_id", "embedding", "label")
+    val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-f").toString + "/corpus"
+    withCells.write.partitionBy("cell_id").parquet(path)
+    val stored = spark.read.parquet(path)
+    val q = randVec(7)
+    val hits = IvfIndex.search(stored.filter(col("label") === 3), ivf, q,
+      k = 5, nprobe = 8)
+    val got = hits.select("doc_id").as[Long].collect().toSeq
+    // Probe-all + filter ≡ exact scan over the label slice.
+    val want = VectorSearch.knnScores(
+        corpus.filter(col("label") === 3), q, 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == want)
+    assert(got.forall(_ % 10 == 3))
+    val plan = IvfIndex.search(stored.filter(col("label") === 3), ivf, q,
+      k = 5, nprobe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"))
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label predicate did not reach the scan:\n$plan")
+  }
+
   test("searchBatch on a cell-partitioned corpus prunes unprobed partitions") {
     val corpus = (0 until 400).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
     val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)

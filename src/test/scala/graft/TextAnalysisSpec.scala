@@ -242,6 +242,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(v.toSeq == Seq(("aa", 3L, 2L), ("bb", 3L, 2L), ("!", 1L, 1L)))
   }
 
+  test("trainBpe: the Sennrich fixture merges in the expected order") {
+    // low×5, lower×2, newest×6, widest×3 — the BPE paper's running
+    // example. Pair counts at iteration 0: (e,s)=(s,t)=(t,</w>)=9,
+    // tie → lexicographic lhs picks (e,s); then the merged symbol
+    // cascades: (es,t), (est,</w>), then the l-o-w cluster at 7.
+    val docs = Seq.tabulate(5)(i => (i.toLong, "low"))
+      .++(Seq.tabulate(2)(i => (100L + i, "lower")))
+      .++(Seq.tabulate(6)(i => (200L + i, "newest")))
+      .++(Seq.tabulate(3)(i => (300L + i, "widest")))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpe(docs, nMerges = 5)
+    assert(merges.map(m => (m.lhs, m.rhs, m.n)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    assert(merges.map(_.rank) == Seq(1, 2, 3, 4, 5))
+    // pair-count surface agrees with the trainer's iteration 0
+    val top = TextAnalysis.bpePairCounts(docs, maxWords = 10, topK = 3)
+      .as[(String, String, Long)].collect().toSeq
+    assert(top == Seq(("e", "s", 9L), ("s", "t", 9L), ("t", "</w>", 9L)))
+    // merge exhaustion: more merges than pairs terminates cleanly
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val all = TextAnalysis.trainBpe(tiny, nMerges = 10)
+    assert(all.size <= 10 && all.nonEmpty)
+    assert(all.last.lhs + all.last.rhs == "ab</w>")
+  }
+
   test("unigram vocab: ML log-probs, deterministic top-k cut, global total") {
     val docs = Seq(
       (1L, "a a a b b c"),
