@@ -83,6 +83,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "lm_score", exprs => LmScoreExpression(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_tf", exprs => TokenTfExpression(exprs.head), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -123,6 +125,10 @@ object GraftFunctions {
     * map literal (sorted-token accumulation, OOV floor). */
   def lmScore(text: Column, vmap: Column, total: Column): Column =
     call_function("lm_score", text, vmap, total)
+
+  /** Per-document pre-tokenizer term frequencies
+    * (`array<struct<token, tf>>`, one Java pass). */
+  def tokenTf(text: Column): Column = call_function("token_tf", text)
 
   /** IVF cell assignment: argmin squared-L2 over a centroid literal. */
   def nearestCentroidF32(emb: Column, centroids: Column): Column =

@@ -38,26 +38,26 @@ object TextAnalysis {
 
   /** Corpus token-vocabulary table: the `topK` most frequent pre-tokens
     * with occurrence and document frequencies — the first artifact a
-    * tokenizer-training or corpus-audit pipeline derives. Two-phase
-    * aggregation by design: the (doc, token) inner groupBy is
-    * map-side-combinable (token counts collapse within each document
-    * before any exchange) and gives `n_docs` as a plain count — no
-    * count-distinct expand over the exploded token stream, which at
-    * 100 TB is the difference between shuffling per-doc vocabularies
-    * and shuffling every token occurrence. Final top-k is one
-    * TakeOrdered. */
+    * tokenizer-training or corpus-audit pipeline derives. ONE exchange
+    * by design: the [[graft.functions.TokenTfExpression token_tf]]
+    * kernel collapses each document's term frequencies in place (a
+    * doc's tokens never span rows), so the only shuffle carries
+    * per-document VOCABULARY entries — never the raw token stream, and
+    * never a count-distinct expand; `n_docs` is a plain row count.
+    * Final top-k is one TakeOrdered. */
   def tokenVocabulary(docs: DataFrame, topK: Int,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame =
+                      idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     docs
-      .select(col(idCol), explode(regexTokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .select(explode(GraftFunctions.tokenTf(col(textCol))).as("e"))
+      .select(col("e.token").as("token"), col("e.tf").as("tf"))
       .groupBy(col("token"))
       .agg(sum("tf").cast("long").as("n_occurrences"),
         count(lit(1)).cast("long").as("n_docs"))
       .orderBy(desc("n_occurrences"), col("token"))
       .limit(topK)
+  }
 
   /** Weighted adjacent-symbol-pair counts over the capped word-frequency
     * table — iteration 0 of a BPE trainer ([[trainBpe]]), and the only
@@ -67,12 +67,23 @@ object TextAnalysis {
     * standard trainer posture: merges operate on the word-frequency
     * table, never the corpus). Symbols are codepoints plus the `</w>`
     * end-of-word marker. */
+  /** Capped word-frequency table `(token, cnt)` — the one corpus-scale
+    * step shared by [[bpePairCounts]] and [[trainBpe]]: one
+    * `token_tf`-kernel scan, ONE exchange (per-doc vocabularies, not the
+    * token stream), deterministic cap (count DESC, token ties). */
+  private def wordFrequencies(docs: DataFrame, maxWords: Int,
+                              textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(explode(GraftFunctions.tokenTf(col(textCol))).as("e"))
+      .select(col("e.token").as("token"), col("e.tf").as("tf"))
+      .groupBy("token").agg(sum("tf").cast("long").as("cnt"))
+      .orderBy(desc("cnt"), col("token")).limit(maxWords)
+  }
+
   def bpePairCounts(docs: DataFrame, maxWords: Int, topK: Int,
                     textCol: String = "text"): DataFrame = {
-    val vocab = docs
-      .select(explode(regexTokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), col("token")).limit(maxWords)
+    val vocab = wordFrequencies(docs, maxWords, textCol)
     val syms = concat(
       regexp_extract_all(col("token"), lit("."), lit(0)),
       array(lit("</w>")))
@@ -101,10 +112,7 @@ object TextAnalysis {
     * left-to-right, non-overlapping. */
   def trainBpe(docs: DataFrame, nMerges: Int, maxWords: Int = 100000,
                textCol: String = "text"): Seq[BpeMerge] = {
-    val vocab = docs
-      .select(explode(regexTokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), col("token")).limit(maxWords)
+    val vocab = wordFrequencies(docs, maxWords, textCol)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(Array[String], Long)] = vocab.map { case (w, c) =>
       (splitCodepoints(w) :+ "</w>", c)

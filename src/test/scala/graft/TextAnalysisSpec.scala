@@ -230,6 +230,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       "don", "'t", "'", "x", "'", "y"))
   }
 
+  test("token_tf kernel ≡ composed regexTokens counts; vocabulary plan has ONE exchange") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "It's 42 well-known... don't 'x' aa AA"),
+      (2L, ""),
+      (3L, "aa bb aa bb aa")
+    ).toDF("doc_id", "text")
+    // kernel per-doc counts == explode+groupBy of the composed tokens
+    val kern = docs
+      .select(col("doc_id"), explode(GraftFunctions.tokenTf(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.token"), col("e.tf"))
+      .as[(Long, String, Long)].collect().toSet
+    val composed = docs
+      .select(col("doc_id"), explode(TextAnalysis.regexTokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(kern == composed)
+    // the empty doc contributes no entries
+    assert(!kern.exists(_._1 == 2L))
+    // one Exchange total: per-doc vocabularies shuffle once, never twice.
+    // Write to parquet first (ConvertToLocalRelation folds local frames).
+    val dir = java.nio.file.Files.createTempDirectory("ttf").toString
+    docs.write.parquet(s"$dir/docs")
+    val stored = spark.read.parquet(s"$dir/docs")
+    val plan = TextAnalysis.tokenVocabulary(stored, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected exactly one exchange:\n$plan")
+  }
+
   test("tokenVocabulary: occurrence + doc frequencies, deterministic top-k") {
     val docs = Seq(
       (1L, "aa bb aa"),
