@@ -834,6 +834,21 @@ object ScaleProbe {
       Sampling.mixWeights(
         docs.withColumn("source", pmod(col("doc_id"), lit(1000)).cast("string")),
         "source", alpha = 0.5).count())
+    // Tokenizer tier: one-exchange vocabulary via the token_tf kernel
+    // vs the composed two-shuffle (doc, token) form it replaced.
+    timeWarm("tokenVocabulary top-100 (token_tf kernel, ONE exchange)")(
+      graft.operators.TextAnalysis.tokenVocabulary(docs, topK = 100).count())
+    timeWarm("tokenVocabulary COMPOSED (explode + double groupBy)")(
+      docs.select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.regexTokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("token"))
+        .agg(sum("tf").cast("long").as("n_occurrences"),
+          count(lit(1)).cast("long").as("n_docs"))
+        .orderBy(desc("n_occurrences"), col("token")).limit(100).count())
+    timeWarm("bpePairCounts top-20 (capped 100k-word table)")(
+      graft.operators.TextAnalysis.bpePairCounts(docs,
+        maxWords = 100000, topK = 20).count())
     spark.stop()
   }
 
