@@ -3406,6 +3406,34 @@ object SparkEntry {
       |ORDER BY n_occurrences DESC, token LIMIT 40""".stripMargin
   }
 
+  /** Canonical text normalization ([[TextAnalysis.normalizeText]]):
+    * NFC + line-ending canon + control strip + whitespace collapse +
+    * trim — the step that makes dedup keys stable across encodings.
+    * md5-pinned (the q54 posture: one dialect divergence anywhere in
+    * the chain fails the gate). */
+  private def q112Normalize(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+        length(col("norm")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val q112Sql =
+    s"""SELECT doc_id, md5(norm) AS norm_md5,
+      |  CAST(length(norm) AS BIGINT) AS n_chars
+      |FROM (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    nfc_normalize(text),
+      |    '\\r\\n', chr(10), 'g'),
+      |    '\\r', chr(10), 'g'),
+      |    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+      |    '[ \\t]+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** BPE trainer corpus surface ([[TextAnalysis.bpePairCounts]]):
     * weighted adjacent-symbol-pair counts over the capped word-frequency
     * table — iteration 0 of [[TextAnalysis.trainBpe]], and the only step
@@ -4176,6 +4204,7 @@ object SparkEntry {
     "q70_lm_quality" -> (q70LmQuality _),
     "q106_token_vocab" -> (q106TokenVocab _),
     "q111_bpe_pairs" -> (q111BpePairs _),
+    "q112_normalize" -> (q112Normalize _),
     "q71_keep_best" -> (q71KeepBest _),
     "q72_mix_weights" -> (q72MixWeights _),
     "q73_url_dedup" -> (q73UrlDedup _),
@@ -4286,6 +4315,7 @@ object SparkEntry {
     "q70_lm_quality" -> q70Sql,
     "q106_token_vocab" -> q106Sql,
     "q111_bpe_pairs" -> q111Sql,
+    "q112_normalize" -> q112Sql,
     "q81_dsir_weights" -> q81Sql,
     "q84_binary_search" -> q84Sql,
     "q103_binary_range" -> q103Sql,

@@ -85,6 +85,8 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "token_tf", exprs => TokenTfExpression(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nfc", exprs => NfcNormalizeExpression(exprs.head), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -129,6 +131,9 @@ object GraftFunctions {
   /** Per-document pre-tokenizer term frequencies
     * (`array<struct<token, tf>>`, one Java pass). */
   def tokenTf(text: Column): Column = call_function("token_tf", text)
+
+  /** Unicode NFC normalization of a string column. */
+  def nfc(text: Column): Column = call_function("nfc", text)
 
   /** IVF cell assignment: argmin squared-L2 over a centroid literal. */
   def nearestCentroidF32(emb: Column, centroids: Column): Column =

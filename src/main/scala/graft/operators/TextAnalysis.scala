@@ -59,6 +59,29 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Canonical text normalization — the preprocessing step that makes
+    * exact-dedup keys and n-gram fingerprints stable across encodings
+    * (composed vs decomposed accents, CRLF vs LF, control-char noise,
+    * tab/space runs):
+    *   1. Unicode NFC (the [[graft.functions.NfcNormalizeExpression nfc]]
+    *      kernel — the only step Spark lacks a built-in for),
+    *   2. line endings: `\r\n` then lone `\r` → `\n`,
+    *   3. strip other C0/DEL controls (keeping `\n`/`\t`),
+    *   4. collapse space/tab runs to one space,
+    *   5. SQL `trim` (0x20 only).
+    * Everything but step 1 is codegen'd built-ins; each regex stays in
+    * the Java∩RE2 subset so the DuckDB oracle runs the IDENTICAL chain
+    * (`nfc_normalize` + `regexp_replace(…, 'g')` + `trim`). */
+  def normalizeText(text: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(GraftFunctions.nfc(text), "\\r\\n", "\n"),
+            "\\r", "\n"),
+          "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+        "[ \\t]+", " "))
+
   /** Weighted adjacent-symbol-pair counts over the capped word-frequency
     * table — iteration 0 of a BPE trainer ([[trainBpe]]), and the only
     * corpus-scale step it has: ONE scan builds word frequencies, the cap

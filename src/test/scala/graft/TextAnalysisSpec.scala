@@ -273,6 +273,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(v.toSeq == Seq(("aa", 3L, 2L), ("bb", 3L, 2L), ("!", 1L, 1L)))
   }
 
+  test("normalizeText: NFC composition, line endings, controls, runs, trim") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    def norm(s: String): String =
+      Seq((1L, s)).toDF("doc_id", "text")
+        .select(TextAnalysis.normalizeText(col("text")).as("n"))
+        .as[String].collect()(0)
+    // decomposed e + combining acute (U+0301) composes to U+00E9
+    assert(norm("cafe\u0301") == "caf\u00e9")
+    // already-composed unchanged
+    assert(norm("caf\u00e9") == "caf\u00e9")
+    // CRLF and lone CR become LF; newline survives the control strip
+    assert(norm("a\r\nb\rc") == "a\nb\nc")
+    // C0 controls and DEL stripped, tab/space runs collapse, outer trim
+    assert(norm("  a\u0001b \t  c\u007fd  ") == "ab cd")
+    // idempotent
+    assert(norm(norm("  x\r\n\ty  ")) == norm("  x\r\n\ty  "))
+  }
+
   test("trainBpe: the Sennrich fixture merges in the expected order") {
     // low×5, lower×2, newest×6, widest×3 — the BPE paper's running
     // example. Pair counts at iteration 0: (e,s)=(s,t)=(t,</w>)=9,
