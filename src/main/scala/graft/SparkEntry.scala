@@ -3406,6 +3406,49 @@ object SparkEntry {
       |ORDER BY n_occurrences DESC, token LIMIT 40""".stripMargin
   }
 
+  /** Per-language corpus length report: exact percentiles (p50/p90/p99)
+    * of character and token counts plus mean — the distribution table a
+    * pipeline reads before choosing chunk sizes, packing budgets, and
+    * truncation points. EXACT `percentile` here because the gate
+    * demands cross-engine value equality (DuckDB `quantile_cont`, same
+    * linear interpolation); at 100 TB swap in `approx_percentile`
+    * (same call shape, t-digest sketch, map-side combinable) — the
+    * exact form's per-group value map is the documented trade. */
+  private def q113CorpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), length(col("text")).cast("double").as("chars"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr("percentile(chars, array(0.5D, 0.9D, 0.99D))").as("cq"),
+        expr("percentile(toks, array(0.5D, 0.9D, 0.99D))").as("tq"),
+        round(avg("chars"), 4).as("mean_chars"))
+      .select(col("lang"), col("n_docs"),
+        round(element_at(col("cq"), 1), 4).as("chars_p50"),
+        round(element_at(col("cq"), 2), 4).as("chars_p90"),
+        round(element_at(col("cq"), 3), 4).as("chars_p99"),
+        round(element_at(col("tq"), 1), 4).as("toks_p50"),
+        round(element_at(col("tq"), 2), 4).as("toks_p90"),
+        round(element_at(col("tq"), 3), 4).as("toks_p99"),
+        col("mean_chars"))
+      .orderBy("lang")
+
+  private val q113Sql =
+    s"""WITH d AS (
+      |  SELECT lang, CAST(length(text) AS DOUBLE) AS chars,
+      |    CAST(len(regexp_split_to_array(trim(text),
+      |      '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS toks
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(quantile_cont(chars, 0.5), 4) AS chars_p50,
+      |  round(quantile_cont(chars, 0.9), 4) AS chars_p90,
+      |  round(quantile_cont(chars, 0.99), 4) AS chars_p99,
+      |  round(quantile_cont(toks, 0.5), 4) AS toks_p50,
+      |  round(quantile_cont(toks, 0.9), 4) AS toks_p90,
+      |  round(quantile_cont(toks, 0.99), 4) AS toks_p99,
+      |  round(avg(chars), 4) AS mean_chars
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Canonical text normalization ([[TextAnalysis.normalizeText]]):
     * NFC + line-ending canon + control strip + whitespace collapse +
     * trim — the step that makes dedup keys stable across encodings.
@@ -4205,6 +4248,7 @@ object SparkEntry {
     "q106_token_vocab" -> (q106TokenVocab _),
     "q111_bpe_pairs" -> (q111BpePairs _),
     "q112_normalize" -> (q112Normalize _),
+    "q113_corpus_stats" -> (q113CorpusStats _),
     "q71_keep_best" -> (q71KeepBest _),
     "q72_mix_weights" -> (q72MixWeights _),
     "q73_url_dedup" -> (q73UrlDedup _),
@@ -4316,6 +4360,7 @@ object SparkEntry {
     "q106_token_vocab" -> q106Sql,
     "q111_bpe_pairs" -> q111Sql,
     "q112_normalize" -> q112Sql,
+    "q113_corpus_stats" -> q113Sql,
     "q81_dsir_weights" -> q81Sql,
     "q84_binary_search" -> q84Sql,
     "q103_binary_range" -> q103Sql,
