@@ -1009,6 +1009,54 @@ object OracleSqlGen {
        |ORDER BY query_id, doc_rank""".stripMargin
   }
 
+  /** q114's oracle: residual-quantizer search replayed from the
+    * persisted per-level codebooks — the greedy encode chain (level-l
+    * argmin by squared L2, code ties ASC; FLOAT-cast residual feeds
+    * level l+1) and the reconstructed-dot score (per-level strict
+    * double fold of q · cent, summed in level order — the `adc_lut`
+    * accumulation). Order on the UNROUNDED score (q85 posture). */
+  def rqSearchSql(levels: Seq[Seq[Array[Double]]], k: Int): String = {
+    val lvlVals = levels.zipWithIndex.map { case (cents, l) =>
+      val values = cents.zipWithIndex
+        .map { case (c, code) => s"($code, [${c.mkString(", ")}])" }
+        .mkString(",\n      ")
+      s"__rl$l(code, c) AS (VALUES\n      $values)"
+    }.mkString(",\n")
+    val chain = levels.indices.map { l =>
+      val src = if (l == 0) "embeddings" else s"__r${l - 1}"
+      val vcol = if (l == 0) "embedding" else "r"
+      s"""__a$l AS (
+         |  SELECT vec_id, $vcol, code FROM (
+         |    SELECT e.vec_id, e.$vcol, t.code,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(list_zip(e.$vcol, t.c),
+         |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+         |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+         |        t.code ASC) AS rn
+         |    FROM $src e CROSS JOIN __rl$l t) WHERE rn = 1),
+         |__r$l AS (
+         |  SELECT a.vec_id,
+         |    list_transform(list_zip(a.$vcol, t.c),
+         |      p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT)) AS r
+         |  FROM __a$l a JOIN __rl$l t ON t.code = a.code)""".stripMargin
+    }.mkString(",\n")
+    val termSelects = levels.indices.map { l =>
+      s"""  SELECT a.vec_id, $l AS lvl, ${dotFold("q.qe", "t.c")} AS term
+         |  FROM __a$l a JOIN __rl$l t ON t.code = a.code, q""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $lvlVals,
+       |$chain,
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |lv AS (
+       |$termSelects),
+       |sc AS (
+       |  SELECT vec_id, list_sum(list(term ORDER BY lvl)) AS s
+       |  FROM lv GROUP BY vec_id)
+       |SELECT t.vec_id AS doc_id, round(t.s, 4) AS score FROM (
+       |  SELECT vec_id, s FROM sc ORDER BY s DESC, vec_id ASC LIMIT $k) t
+       |ORDER BY t.s DESC, t.vec_id ASC""".stripMargin
+  }
+
   /** q104's oracle: `search_and_reconstruct` — the full [[ivfAdcSearchSql]]
     * replay proposes the top-k hits (nested derived table, the q80
     * idiom), then each hit's codes are re-derived (FLOAT-cast residual

@@ -1234,6 +1234,40 @@ object SparkEntry {
     (s.read.parquet(cpath), rot, ivf, PqIndex.load(s, cbPath))
   }
 
+  private val rqLevels = 2
+  private val rqK = 16
+
+  /** Residual-quantizer cache, keyed like [[pqCachePath]]. */
+  private def rqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0xae90L + rqLevels * 131 + rqK) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-rq-$key"
+  }
+
+  /** Build-or-load the residual-quantizer index: persisted per-level
+    * codebooks (the PQ artifact format) + the codes-only corpus
+    * (L ints/row — the additive-family compression point). */
+  private[graft] def rqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, RqIndex.Rq) = {
+    GraftFunctions.register(s)
+    val base = rqCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val cbPath = s"$base/codebooks.txt"
+    val rq =
+      if (IvfIndex.exists(s, cbPath)) RqIndex.load(s, cbPath)
+      else {
+        val trained = RqIndex.train(emb, rqLevels, rqK)
+        RqIndex.save(s, trained, cbPath)
+        trained
+      }
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      RqIndex.encode(emb, rq).select("doc_id", "codes")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), rq)
+  }
+
   /** SQ8 bounds/encoded-corpus cache, keyed like [[pqCachePath]]. */
   private def sqCachePath(s: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
@@ -1333,7 +1367,7 @@ object SparkEntry {
     ivfCorpus(s, dir); lshCorpus(s, dir)
     pqCorpus(s, dir); sqCorpus(s, dir); sq4Corpus(s, dir); ivfAdcCorpus(s, dir)
     pcaCorpus(s, dir); opqCorpus(s, dir); opqIvfCorpus(s, dir)
-    ivfSqCorpus(s, dir)
+    ivfSqCorpus(s, dir); rqCorpus(s, dir)
     ivfSq4Corpus(s, dir)
     bivfCorpus(s, dir); graphCorpus(s, dir)
     ()
@@ -3738,6 +3772,21 @@ object SparkEntry {
         round(col("adc"), 4).as("adc"))
   }
 
+  /** Residual-quantizer search ([[RqIndex]]): FAISS
+    * `IndexResidualQuantizer` (greedy/beam-1 encode) — the ADDITIVE
+    * quantizer family beside PQ's concatenative one: 2 full-dim
+    * codebooks, codes = one argmin per level, score = reconstructed
+    * inner product through the shared `adc_lut` kernel (per-level
+    * q·centroid LUT summed in level order). Both level codebooks feed
+    * the GENERATED oracle, which replays the greedy encode chain. */
+  private def q114RqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, rq) = rqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    RqIndex.search(encoded, rq, qVec, k = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
   /** IVF-SQ8 search ([[SqIndex.searchIvf]]): FAISS
     * `IndexIVFScalarQuantizer` (by-residual) — probed cells only, codes
     * scanned through the shared `adc_lut_cells` kernel with the cell
@@ -4274,6 +4323,7 @@ object SparkEntry {
     "q89_binary_recall" -> (q89BinaryRecall _),
     "q90_opq_search" -> (q90OpqSearch _),
     "q105_opq_ivf_search" -> (q105OpqIvfSearch _),
+    "q114_rq_search" -> (q114RqSearch _),
     "q91_ivfsq_search" -> (q91IvfSqSearch _),
     "q102_ivfsq4_search" -> (q102IvfSq4Search _),
     "q92_bivf_search" -> (q92BivfSearch _),
@@ -4376,7 +4426,7 @@ object SparkEntry {
     "q76_repeated_paragraphs" -> q76Sql,
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
     sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ opqIvfOracleSqls ++
-    ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls
+    ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ rqOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -4492,6 +4542,25 @@ object SparkEntry {
         .map(i => clines.get(i).split(" ").map(_.toDouble))
       val books = flat.grouped(flat.length / m).toSeq
       Map("q90_opq_search" -> OracleSqlGen.opqSearchSql(rot, books, k = 10))
+    }).getOrElse(Map.empty)
+
+  /** RQ oracle: per-level codebooks q114's run just persisted (PQ
+    * artifact format: m ⇔ levels, ksub ⇔ k, dsub ⇔ d) — same lifecycle
+    * as [[pqOracleSqls]]. */
+  private def rqOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      path = java.nio.file.Paths.get(s"${rqCachePath(s, dir)}/codebooks.txt")
+      if java.nio.file.Files.exists(path)
+      lines = java.nio.file.Files.readAllLines(path)
+      if lines.get(0).split(" ")(2).toInt > 0
+    } yield {
+      val m = lines.get(0).split(" ")(0).toInt
+      val flat: Seq[Array[Double]] = (1 until lines.size())
+        .map(i => lines.get(i).split(" ").map(_.toDouble))
+      val levels = flat.grouped(flat.length / m).toSeq.map(_.map(_.toSeq.toArray))
+      Map("q114_rq_search" -> OracleSqlGen.rqSearchSql(levels, k = 10))
     }).getOrElse(Map.empty)
 
   /** OPQ+IVF+PQ oracle: all THREE artifacts q105's run just persisted —
