@@ -42,6 +42,9 @@ object IndexFactory {
   case object SQ8Code extends Code
   case object SQ4Code extends Code
   case object LshCode extends Code
+  /** `RQ<L>x<b>` — FAISS's residual-quantizer spelling: L levels of
+    * 2^b-entry full-dim codebooks ([[RqIndex]], greedy encode). */
+  final case class RQ(levels: Int, bits: Int) extends Code
 
   /** Pre-transform front: PCA dimensionality reduction or the OPQ
     * rotation (both apply through the same projection kernel). */
@@ -66,6 +69,7 @@ object IndexFactory {
   private val IvfRe = "^IVF([0-9]+)$".r
   private val BivfRe = "^BIVF([0-9]+)$".r
   private val PqRe = "^PQ([0-9]+)$".r
+  private val RqRe = "^RQ([0-9]+)x([0-9]+)$".r
 
   def parse(desc: String): Descriptor = {
     val parts = desc.split(",").map(_.trim).filter(_.nonEmpty).toList
@@ -99,6 +103,7 @@ object IndexFactory {
           "the KnnGraph.cellBlocked graph (the q97 path), or an IVF descriptor")
       case "Flat" :: tail => (Flat, tail)
       case PqRe(m) :: tail => (PQ(m.toInt), tail)
+      case RqRe(l, b) :: tail => (RQ(l.toInt, b.toInt), tail)
       case "SQ8" :: tail => (SQ8Code, tail)
       case "SQ4" :: tail => (SQ4Code, tail)
       case "LSH" :: tail => (LshCode, tail)
@@ -112,6 +117,14 @@ object IndexFactory {
     }
     if (nlist.isDefined && code == LshCode)
       fail("IVF+LSH is not a FAISS combination the engine implements")
+    code match {
+      // IVF is itself the first level of a residual decomposition; an
+      // IVF front over RQ would double-count it. Use RQ<L+1>x<b>.
+      case RQ(_, _) if nlist.isDefined =>
+        fail("IVF over RQ is not implemented (IVF IS a residual level — " +
+          "raise the RQ level count instead)")
+      case _ =>
+    }
     // Refinement is implemented for the coded candidate generators
     // (IVF+PQ, IVF+SQ8, IVF+SQ4); 'IVF<n>,Flat,RFlat' would re-rank
     // already-exact scores — reject rather than silently no-op.
@@ -224,6 +237,11 @@ object IndexFactory {
         else
           Built(d, enc,
             (q, k) => SqIndex.searchIvf(enc, ivf, sq, q, k, nprobe, idCol))
+      case (None, RQ(l, b)) =>
+        val rq = RqIndex.train(corpus, nlevels = l, k = 1 << b, embCol)
+        val encoded = RqIndex.encode(corpus, rq, embCol, idCol)
+          .select(col(idCol), col("codes"))
+        Built(d, encoded, (q, k) => RqIndex.search(encoded, rq, q, k, idCol))
       case (None, LshCode) =>
         val codes = BinaryIndex.encode(corpus, embCol, idCol)
         Built(d, codes,

@@ -94,6 +94,23 @@ class IndexFactorySpec extends AnyFunSuite {
       ids(PcaTransform.search(projected, pca, q, 10)))
   }
 
+  test("RQ2x3: factory ≡ direct RqIndex chain; unsupported RQ combos fail loudly") {
+    import graft.operators.RqIndex
+    val data = clustered(300, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val q = data(7)._2
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().toSeq
+    val rq = RqIndex.train(docs, nlevels = 2, k = 8)
+    val enc = RqIndex.encode(docs, rq).select($"doc_id", $"codes")
+    assert(ids(IndexFactory.build(spark, docs, "RQ2x3").search(q, 10)) ==
+      ids(RqIndex.search(enc, rq, q, 10)))
+    // IVF over RQ and refined RQ are not FAISS-parity paths here — loud
+    intercept[IllegalArgumentException](IndexFactory.parse("IVF4,RQ2x3"))
+    intercept[IllegalArgumentException](IndexFactory.parse("RQ2x3,RFlat"))
+    intercept[IllegalArgumentException](IndexFactory.parse("OPQ4,RQ2x3"))
+  }
+
   test("OPQ,IVF,PQ: rotation front + rotated-space IVFADC ≡ direct chain") {
     import graft.operators.{OpqTransform, PqIndex}
     val data = clustered(300, 4)
