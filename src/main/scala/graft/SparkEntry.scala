@@ -3498,18 +3498,65 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  private val q112Sql =
-    s"""SELECT doc_id, md5(norm) AS norm_md5,
-      |  CAST(length(norm) AS BIGINT) AS n_chars
-      |FROM (SELECT doc_id,
-      |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |    nfc_normalize(text),
+  /** The [[TextAnalysis.normalizeText]] chain as DuckDB SQL — shared by
+    * q112 and the q115 composition so the two oracles cannot drift. */
+  private def normSql(c: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    nfc_normalize($c),
       |    '\\r\\n', chr(10), 'g'),
       |    '\\r', chr(10), 'g'),
       |    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
-      |    '[ \\t]+', ' ', 'g')) AS norm
+      |    '[ \\t]+', ' ', 'g'))""".stripMargin
+
+  private val q112Sql =
+    s"""SELECT doc_id, md5(norm) AS norm_md5,
+      |  CAST(length(norm) AS BIGINT) AS n_chars
+      |FROM (SELECT doc_id, ${normSql("text")} AS norm
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** Prepare-training-shard composition: the pipeline tiers chained in
+    * ONE query — canonical normalization ([[TextAnalysis.normalizeText]],
+    * q112's op), exact dedup on the NORMALIZED digest (keep min doc_id —
+    * normalization is exactly what makes this digest stable), then
+    * token-budget packing per source ([[Packing.packBins]], q52's op)
+    * over the kept docs. One corpus scan feeds the dedup window; packing
+    * adds its per-source cumsum window; nothing else shuffles. The
+    * oracle composes the same three replays. */
+  private def q115PrepareShard(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val normed = t(s, dir, "documents")
+      .withColumn("text", TextAnalysis.normalizeText(col("text")))
+      .withColumn("__fp", md5(col("text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col("doc_id"))
+    val kept = normed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
+    Packing.packBins(kept, budget = 256).orderBy("source", "bin")
+  }
+
+  private val q115Sql =
+    s"""WITH n AS (
+      |  SELECT source, doc_id, ${normSql("text")} AS ntext FROM documents),
+      |kept AS (
+      |  SELECT source, doc_id, ntext FROM (
+      |    SELECT n.*, row_number() OVER (
+      |      PARTITION BY md5(ntext) ORDER BY doc_id) AS rn FROM n)
+      |  WHERE rn = 1),
+      |tok AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(ntext)),
+      |      '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens
+      |  FROM kept),
+      |cum AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM tok)
+      |SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM cum GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
 
   /** BPE trainer corpus surface ([[TextAnalysis.bpePairCounts]]):
     * weighted adjacent-symbol-pair counts over the capped word-frequency
@@ -4298,6 +4345,7 @@ object SparkEntry {
     "q111_bpe_pairs" -> (q111BpePairs _),
     "q112_normalize" -> (q112Normalize _),
     "q113_corpus_stats" -> (q113CorpusStats _),
+    "q115_prepare_shard" -> (q115PrepareShard _),
     "q71_keep_best" -> (q71KeepBest _),
     "q72_mix_weights" -> (q72MixWeights _),
     "q73_url_dedup" -> (q73UrlDedup _),
@@ -4411,6 +4459,7 @@ object SparkEntry {
     "q111_bpe_pairs" -> q111Sql,
     "q112_normalize" -> q112Sql,
     "q113_corpus_stats" -> q113Sql,
+    "q115_prepare_shard" -> q115Sql,
     "q81_dsir_weights" -> q81Sql,
     "q84_binary_search" -> q84Sql,
     "q103_binary_range" -> q103Sql,
