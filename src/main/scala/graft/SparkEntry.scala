@@ -3522,7 +3522,15 @@ object SparkEntry {
     * token-budget packing per source ([[Packing.packBins]], q52's op)
     * over the kept docs. One corpus scan feeds the dedup window; packing
     * adds its per-source cumsum window; nothing else shuffles. The
-    * oracle composes the same three replays. */
+    * oracle composes the same three replays.
+    *
+    * Scale note: the digest window here (the [[Dedup.exactDedup]]
+    * shape) re-keys full rows by fingerprint — fine through the probed
+    * 250k-doc scale, but at 100 TB the production posture is
+    * [[Dedup.dedupCorpus]]'s kept-ids form: derive min-id per digest
+    * over a NARROW (fp, id) projection, then semi-join ids against a
+    * doc_id-bucketed corpus layout so no text column crosses an
+    * exchange. */
   private def q115PrepareShard(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val normed = t(s, dir, "documents")
