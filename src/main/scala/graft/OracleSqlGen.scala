@@ -219,6 +219,29 @@ object OracleSqlGen {
        |FROM (SELECT DISTINCT query_id FROM qs) q LEFT JOIN ov USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  /** q116's oracle: embedding-outlier report — cell assignment
+    * ([[ivfAssignCtes]]), FLOAT-cast residual, the `norm_f32` strict
+    * fold (double squares in dim order, then sqrt), per-cell
+    * avg/stddev_samp, z > 2 on the unrounded value. */
+  def embeddingOutliersSql(cents: Seq[Array[Double]]): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |d AS (
+       |  SELECT a.doc_id, a.cell_id,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      list_transform(list_zip(a.embedding, c.c),
+       |        p -> CAST(CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT) AS DOUBLE) *
+       |             CAST(CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT) AS DOUBLE))),
+       |      (acc, t) -> acc + t)) AS dist
+       |  FROM __assigned a JOIN __cents c USING (cell_id)),
+       |st AS (
+       |  SELECT cell_id, avg(dist) AS mu, stddev_samp(dist) AS sd
+       |  FROM d GROUP BY cell_id)
+       |SELECT d.doc_id, CAST(d.cell_id AS BIGINT) AS cell_id,
+       |  round(d.dist, 4) AS dist, round((d.dist - st.mu) / st.sd, 4) AS z
+       |FROM d JOIN st USING (cell_id)
+       |WHERE (d.dist - st.mu) / st.sd > 2.0
+       |ORDER BY d.doc_id""".stripMargin
+
   /** q107's oracle: the nprobe↦recall operating curve (FAISS
     * `ParameterSpace` autotune surface) — one approx/overlap block per
     * swept nprobe against the shared exact top-k, total overlap summed

@@ -3650,6 +3650,30 @@ object SparkEntry {
     IvfIndex.cellStats(withCells, ivf).orderBy("cell_id")
   }
 
+  /** Embedding-space outlier report: per-cell residual-distance
+    * z-scores over the shared quantizer — the hygiene check that
+    * catches corrupt/degenerate vectors (zeroed rows, wrong-model
+    * embeds, truncation artifacts) BEFORE they enter an index, where
+    * they quietly poison every cell they land in. dist = ‖x − c(x)‖
+    * (the `residual_f32` + `norm_f32` kernels); per-cell mean/stddev
+    * come from one nlist-row aggregate broadcast back — the corpus is
+    * scanned once and never shuffled. Flags z > 2. */
+  private def q116EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    GraftFunctions.register(s)
+    val withDist = withCells.withColumn("dist",
+      GraftFunctions.normF32(
+        PqIndex.residualColumn(ivf, col("embedding"), col("cell_id"))))
+    val stats = withDist.groupBy("cell_id")
+      .agg(avg("dist").as("mu"), stddev("dist").as("sd"))
+    withDist.join(broadcast(stats), "cell_id")
+      .withColumn("z", (col("dist") - col("mu")) / col("sd"))
+      .filter(col("z") > 2.0)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("dist"), 4).as("dist"), round(col("z"), 4).as("z"))
+      .orderBy("doc_id")
+  }
+
   /** Binary Hamming search ([[BinaryIndex]]): FAISS `IndexBinaryFlat`
     * over sign-packed multi-word codes (the `IndexLSH` zero-threshold
     * binarizer, faiss/IndexLSH.cpp), run at the reference's 768-d via
@@ -4311,6 +4335,7 @@ object SparkEntry {
     "q34_ivf_recall" -> (q34IvfRecall _),
     "q107_nprobe_sweep" -> (q107NprobeSweep _),
     "q110_filtered_search" -> (q110FilteredSearch _),
+    "q116_embedding_outliers" -> (q116EmbeddingOutliers _),
     "q21_ivf_search" -> (q21IvfSearch _),
     "q22_corpus_build" -> (q22CorpusBuild _),
     "q23_doc_semantic_search" -> (q23DocSemanticSearch _),
@@ -4773,6 +4798,7 @@ object SparkEntry {
         "q107_nprobe_sweep" -> OracleSqlGen.ivfRecallSweepSql(cents,
           k = 10, nprobes = Seq(1, 2, 4, 8), nq = 8),
         "q110_filtered_search" -> OracleSqlGen.ivfFilteredSearchSql(cents,
-          k = 10, nprobe = 4, label = 3))
+          k = 10, nprobe = 4, label = 3),
+        "q116_embedding_outliers" -> OracleSqlGen.embeddingOutliersSql(cents))
     }).getOrElse(Map.empty)
 }
