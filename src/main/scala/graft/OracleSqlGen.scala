@@ -1038,7 +1038,10 @@ object OracleSqlGen {
     * level l+1) and the reconstructed-dot score (per-level strict
     * double fold of q · cent, summed in level order — the `adc_lut`
     * accumulation). Order on the UNROUNDED score (q85 posture). */
-  def rqSearchSql(levels: Seq[Seq[Array[Double]]], k: Int): String = {
+  /** The greedy RQ encode chain as CTEs (`__rl<l>` codebook VALUES,
+    * `__a<l>` per-level argmin, `__r<l>` FLOAT-cast residual) — shared
+    * by [[rqSearchSql]] and [[rqReconSql]]. */
+  private def rqChainCtes(levels: Seq[Seq[Array[Double]]]): String = {
     val lvlVals = levels.zipWithIndex.map { case (cents, l) =>
       val values = cents.zipWithIndex
         .map { case (c, code) => s"($code, [${c.mkString(", ")}])" }
@@ -1063,12 +1066,15 @@ object OracleSqlGen {
          |      p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT)) AS r
          |  FROM __a$l a JOIN __rl$l t ON t.code = a.code)""".stripMargin
     }.mkString(",\n")
+    s"$lvlVals,\n$chain"
+  }
+
+  def rqSearchSql(levels: Seq[Seq[Array[Double]]], k: Int): String = {
     val termSelects = levels.indices.map { l =>
       s"""  SELECT a.vec_id, $l AS lvl, ${dotFold("q.qe", "t.c")} AS term
          |  FROM __a$l a JOIN __rl$l t ON t.code = a.code, q""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH $lvlVals,
-       |$chain,
+    s"""WITH ${rqChainCtes(levels)},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |lv AS (
        |$termSelects),
@@ -1078,6 +1084,37 @@ object OracleSqlGen {
        |SELECT t.vec_id AS doc_id, round(t.s, 4) AS score FROM (
        |  SELECT vec_id, s FROM sc ORDER BY s DESC, vec_id ASC LIMIT $k) t
        |ORDER BY t.s DESC, t.vec_id ASC""".stripMargin
+  }
+
+  /** q117's oracle: RQ reconstruction error — the [[rqChainCtes]] encode
+    * replay, additive decode per dim (strict left fold over the chosen
+    * centroids in LEVEL order, FLOAT cast at the end — the engine's
+    * `decode` arithmetic), then the `l2_distance_f32` squared-delta fold
+    * in dim order (the q88/q99 posture). */
+  def rqReconSql(levels: Seq[Seq[Array[Double]]]): String = {
+    val d = levels.head.head.length
+    val lvSelects = levels.indices.map { l =>
+      s"""  SELECT a.vec_id, $l AS lvl, t.c AS cv
+         |  FROM __a$l a JOIN __rl$l t ON t.code = a.code""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${rqChainCtes(levels)},
+       |lv AS (
+       |$lvSelects),
+       |cvs AS (
+       |  SELECT vec_id, list(cv ORDER BY lvl) AS cs FROM lv GROUP BY vec_id),
+       |dec AS (
+       |  SELECT vec_id, list_transform(range($d), j ->
+       |    CAST(list_reduce(list_prepend(0.0,
+       |      list_transform(cs, c -> c[j+1])), (acc, t) -> acc + t) AS FLOAT)) AS rec
+       |  FROM cvs)
+       |SELECT e.vec_id AS doc_id,
+       |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(
+       |    list_zip(e.embedding, d.rec),
+       |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+       |         (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+       |    (acc, t) -> acc + t)), 4) AS err
+       |FROM embeddings e JOIN dec d ON d.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
   }
 
   /** q104's oracle: `search_and_reconstruct` — the full [[ivfAdcSearchSql]]

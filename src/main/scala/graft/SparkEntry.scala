@@ -3866,6 +3866,18 @@ object SparkEntry {
       .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** RQ reconstruction audit ([[RqIndex.reconstructionError]]): the
+    * additive-quantizer quality number, completing the audit triple
+    * with q88 (SQ8) and q99 (PQ). Oracle GENERATED from the per-level
+    * codebooks, replaying the greedy encode chain + additive decode. */
+  private def q117RqRecon(s: SparkSession, dir: String): DataFrame = {
+    val (_, rq) = rqCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    RqIndex.reconstructionError(emb, rq)
+      .select(col("doc_id"), round(col("err"), 4).as("err"))
+      .orderBy("doc_id")
+  }
+
   /** IVF-SQ8 search ([[SqIndex.searchIvf]]): FAISS
     * `IndexIVFScalarQuantizer` (by-residual) — probed cells only, codes
     * scanned through the shared `adc_lut_cells` kernel with the cell
@@ -4405,6 +4417,7 @@ object SparkEntry {
     "q90_opq_search" -> (q90OpqSearch _),
     "q105_opq_ivf_search" -> (q105OpqIvfSearch _),
     "q114_rq_search" -> (q114RqSearch _),
+    "q117_rq_recon" -> (q117RqRecon _),
     "q91_ivfsq_search" -> (q91IvfSqSearch _),
     "q102_ivfsq4_search" -> (q102IvfSq4Search _),
     "q92_bivf_search" -> (q92BivfSearch _),
@@ -4642,7 +4655,9 @@ object SparkEntry {
       val flat: Seq[Array[Double]] = (1 until lines.size())
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       val levels = flat.grouped(flat.length / m).toSeq.map(_.map(_.toSeq.toArray))
-      Map("q114_rq_search" -> OracleSqlGen.rqSearchSql(levels, k = 10))
+      Map(
+        "q114_rq_search" -> OracleSqlGen.rqSearchSql(levels, k = 10),
+        "q117_rq_recon" -> OracleSqlGen.rqReconSql(levels))
     }).getOrElse(Map.empty)
 
   /** OPQ+IVF+PQ oracle: all THREE artifacts q105's run just persisted —

@@ -70,12 +70,14 @@ object RqIndex {
     * level-l argmin — L chained kernel pairs in ONE projection, no
     * shuffle. Untrained degrades to zero codes. */
   def encode(corpus: DataFrame, rq: Rq, embCol: String = "embedding",
-             idCol: String = "doc_id"): DataFrame = {
+             idCol: String = "doc_id",
+             keepCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    val kept = keepCols.map(col)
     rq.levels match {
       case None =>
-        corpus.select(col(idCol),
-          array(Seq.fill(rq.nlevels)(lit(0)): _*).as("codes"))
+        corpus.select(col(idCol) +: kept :+
+          array(Seq.fill(rq.nlevels)(lit(0)): _*).as("codes"): _*)
       case Some(lvls) =>
         var df = corpus
         var cur: org.apache.spark.sql.Column = col(embCol)
@@ -87,8 +89,8 @@ object RqIndex {
               GraftFunctions.residualF32(cur, litc, col(s"__c$l")))
           cur = col(s"__r$l")
         }
-        df.select(col(idCol),
-          array(lvls.indices.map(l => col(s"__c$l")): _*).as("codes"))
+        df.select(col(idCol) +: kept :+
+          array(lvls.indices.map(l => col(s"__c$l")): _*).as("codes"): _*)
     }
   }
 
@@ -123,6 +125,46 @@ object RqIndex {
         GraftFunctions.adcLut(col("codes"), typedLit(lut)).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Decode codes to the additive reconstruction — FAISS
+    * `IndexResidualQuantizer::reconstruct`: element j is
+    * `float(Σ_l levels[l][codes[l]][j])` (double sum in level order,
+    * one float cast at the end — the engine-wide "accumulate double,
+    * store float" rule). Diagnostic/recovery path, not the query scan
+    * (the [[PqIndex.decode]] posture). */
+  def decode(encoded: DataFrame, rq: Rq, codesCol: String = "codes",
+             outCol: String = "recon"): DataFrame =
+    rq.levels match {
+      case Some(lvls) =>
+        val lit3 = typedLit(lvls.map(_.map(_.toSeq).toSeq).toSeq)
+        val d = lvls(0)(0).length
+        encoded.withColumn(outCol,
+          transform(sequence(lit(0), lit(d - 1)), j =>
+            aggregate(
+              zip_with(col(codesCol),
+                sequence(lit(1), lit(rq.nlevels)),
+                (c, l) => element_at(element_at(element_at(lit3, l), c + 1),
+                  j + 1)),
+              lit(0.0), (acc, v) => acc + v).cast("float")))
+      case None =>
+        encoded.withColumn(outCol,
+          transform(col(codesCol), c => (c * 0).cast("float")))
+    }
+
+  /** Per-vector reconstruction error `‖x − decode(encode(x))‖₂` — the
+    * additive-quantizer quality audit, completing the triple with
+    * [[SqIndex.reconstructionError]] (q88) and
+    * [[PqIndex.reconstructionError]] (q99). One narrow projection,
+    * no join with the codes store (encode is deterministic). */
+  def reconstructionError(corpus: DataFrame, rq: Rq,
+                          embCol: String = "embedding",
+                          idCol: String = "doc_id",
+                          outCol: String = "err"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    decode(encode(corpus, rq, embCol, idCol, keepCols = Seq(embCol)), rq)
+      .select(col(idCol),
+        GraftFunctions.l2DistanceF32(col(embCol), col("recon")).as(outCol))
   }
 
   /** Artifact round-trip through the [[PqIndex]] codebook format

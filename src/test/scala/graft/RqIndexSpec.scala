@@ -77,6 +77,31 @@ class RqIndexSpec extends AnyFunSuite {
       s"RQ recall@10 too low: ${top.toSet.intersect(exact).size}")
   }
 
+  test("decode is the additive sum; reconstructionError matches driver replay") {
+    val data = twoScale(300)
+    val docs = data.toDF("doc_id", "embedding")
+    val rq = RqIndex.train(docs, nlevels = 2, k = 8)
+    val lvls = rq.levels.get
+    val codes = RqIndex.encode(docs, rq).select("doc_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val decoded = RqIndex.decode(RqIndex.encode(docs, rq), rq)
+      .select("doc_id", "recon").as[(Long, Seq[Float])].collect().toMap
+    val errs = RqIndex.reconstructionError(docs, rq)
+      .select("doc_id", "err").as[(Long, Double)].collect().toMap
+    data.foreach { case (id, v) =>
+      val cs = codes(id)
+      val expect = Array.tabulate(v.length) { j =>
+        cs.zipWithIndex.foldLeft(0.0) { case (acc, (c, l)) =>
+          acc + lvls(l)(c)(j)
+        }.toFloat
+      }
+      assert(decoded(id) == expect.toSeq, s"decode mismatch for doc $id")
+      val expErr = math.sqrt(v.zip(expect)
+        .map { case (x, r) => (x.toDouble - r.toDouble) * (x.toDouble - r.toDouble) }.sum)
+      assert(math.abs(errs(id) - expErr) < 1e-9, s"err mismatch for doc $id")
+    }
+  }
+
   test("save/load round-trips the level codebooks (identical encodes)") {
     val docs = clustered(300, 8).toDF("doc_id", "embedding")
     val rq = RqIndex.train(docs, nlevels = 2, k = 8)
