@@ -1574,4 +1574,39 @@ object OracleSqlGen {
        |          END AS size,
        |    start_line, end_line
        |  FROM __merged)""".stripMargin
+
+  /** Corpus token frequencies under a trained BPE merge list (the
+    * `bpe_encode` kernel's contract, generated from the persisted
+    * merges artifact). Each merge is replayed as ONE `list_reduce`
+    * fold: elements are lifted to single-symbol lists so accumulator
+    * and element types unify, and "`acc`'s last symbol is `lhs`, the
+    * incoming one is `rhs` → replace the last with `lhs||rhs`" is
+    * EXACTLY the kernel's left-to-right non-overlapping pass — a
+    * just-merged `lhs+rhs` can never equal `lhs` (rhs nonempty), so
+    * neither side cascades within a pass (property-pinned in
+    * TextAnalysisSpec). Merges nest in rank order; SQL size is linear
+    * in the merge count. */
+  def bpeEncodeSql(merges: Seq[(String, String)], topK: Int): String = {
+    val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+    def esc(x: String) = x.replace("'", "''")
+    var e = "list_append(regexp_extract_all(token, '.'), '</w>')"
+    for ((l, r) <- merges) {
+      val le = esc(l)
+      val re = esc(r)
+      e = s"""list_reduce(
+        |    list_prepend([]::VARCHAR[], list_transform($e, xx -> [xx])),
+        |    (acc, xx) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$le' AND xx[1] = '$re'
+        |      THEN list_append(acc[:-2], '$le$re')
+        |      ELSE list_append(acc, xx[1]) END)""".stripMargin
+    }
+    s"""WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM toks GROUP BY 1),
+      |enc AS (SELECT cnt, unnest($e) AS sym FROM tf)
+      |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+      |FROM enc GROUP BY 1
+      |ORDER BY n_occurrences DESC, sym LIMIT $topK""".stripMargin
+  }
 }

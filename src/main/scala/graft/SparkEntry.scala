@@ -3595,6 +3595,39 @@ object SparkEntry {
       |ORDER BY n DESC, lhs, rhs LIMIT 20""".stripMargin
   }
 
+  /** BPE merges artifact cache, keyed on the documents table. */
+  private def bpeCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0xb9e5L ^
+        datasetFingerprint(s, s"$dir/documents.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-bpe-$key"
+  }
+
+  /** Train-or-load the BPE tokenizer artifact (trainer cap shared with
+    * q111's pair table: the merge loop runs on the top-1000
+    * word-frequency rows; 24 merges). */
+  private def bpeMergesArtifact(s: SparkSession, dir: String)
+      : Seq[TextAnalysis.BpeMerge] = {
+    val path = s"${bpeCachePath(s, dir)}/merges.txt"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      TextAnalysis.saveBpe(path, TextAnalysis.trainBpe(
+        t(s, dir, "documents"), nMerges = 24, maxWords = 1000))
+    TextAnalysis.loadBpe(path)
+  }
+
+  /** Corpus token frequencies under the trained BPE
+    * ([[TextAnalysis.bpeTokenCounts]]): the ENCODE half of the
+    * tokenizer tier — q111 trains the merges, this applies them, so a
+    * pipeline's real token budgets (packing, cost estimates, vocabulary
+    * audits) come from the tokenizer it actually trained. One corpus
+    * exchange (the `token_tf` word-frequency table); the `bpe_encode`
+    * kernel then runs on the distinct-word table only. The oracle is
+    * GENERATED from the persisted merges — every merge replayed as a
+    * `list_reduce` fold in rank order. */
+  private def q118BpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenCounts(t(s, dir, "documents"),
+      bpeMergesArtifact(s, dir), topK = 40)
+
   /** Unigram LM quality scoring (`TextAnalysis.unigramVocab` +
     * `lmScore`): the CCNet/Gopher perplexity-filter shape — top-16
     * vocabulary ML log-probs, OOV floor ln(1/(total+1)), per-doc mean
@@ -4429,6 +4462,7 @@ object SparkEntry {
     "q94_quality_score" -> (q94QualityScore _),
     "q95_cluster_sample" -> (q95ClusterSample _),
     "q96_jsonl_roundtrip" -> (q96JsonlRoundtrip _),
+    "q118_bpe_encode" -> (q118BpeEncode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4521,7 +4555,8 @@ object SparkEntry {
     "q76_repeated_paragraphs" -> q76Sql,
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
     sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ opqIvfOracleSqls ++
-    ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ rqOracleSqls
+    ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ rqOracleSqls ++
+    bpeOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -4553,6 +4588,19 @@ object SparkEntry {
         "q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10),
         "q99_pq_recon" -> OracleSqlGen.pqReconSql(books))
     }).getOrElse(Map.empty)
+
+  /** BPE oracle, generated from the merges q118's run just persisted —
+    * same lifecycle as [[pqOracleSqls]]. */
+  private def bpeOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      path = java.nio.file.Paths.get(s"${bpeCachePath(s, dir)}/merges.txt")
+      if java.nio.file.Files.exists(path)
+      merges = TextAnalysis.loadBpe(path.toString)
+      if merges.nonEmpty
+    } yield Map("q118_bpe_encode" -> OracleSqlGen.bpeEncodeSql(
+      merges.map(m => (m.lhs, m.rhs)), topK = 40))).getOrElse(Map.empty)
 
   /** Quality-classifier oracle, generated from the coefficients q94's
     * run just persisted — same lifecycle as [[pqOracleSqls]]. */

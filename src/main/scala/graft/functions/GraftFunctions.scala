@@ -87,6 +87,9 @@ object GraftFunctions {
       "token_tf", exprs => TokenTfExpression(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "nfc", exprs => NfcNormalizeExpression(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bpe_encode",
+      exprs => BpeEncodeExpression(exprs(0), exprs(1), exprs(2)), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -131,6 +134,13 @@ object GraftFunctions {
   /** Per-document pre-tokenizer term frequencies
     * (`array<struct<token, tf>>`, one Java pass). */
   def tokenTf(text: Column): Column = call_function("token_tf", text)
+
+  /** BPE-encode one pre-token with a trained merge list (rank order);
+    * the merges ride as two array<string> literals. */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode", word,
+      org.apache.spark.sql.functions.typedlit(merges.map(_._1)),
+      org.apache.spark.sql.functions.typedlit(merges.map(_._2)))
 
   /** Unicode NFC normalization of a string column. */
   def nfc(text: Column): Column = call_function("nfc", text)

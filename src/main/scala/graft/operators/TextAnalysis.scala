@@ -151,11 +151,68 @@ object TextAnalysis {
       else {
         val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
         merges += BpeMerge(rank, l, r, n)
-        words = words.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+        words = words.map { case (syms, c) => (applyMergePass(syms, l, r), c) }
         rank += 1
       }
     }
     merges.result()
+  }
+
+  /** Corpus token frequencies UNDER a trained BPE — the encode half of
+    * the tokenizer tier ([[trainBpe]] is the train half): every
+    * document's pre-tokens re-segmented by the merge list, summed into
+    * the `topK` most frequent BPE symbols. This is the table a training
+    * pipeline reads for real token budgets (packing, cost estimates,
+    * vocabulary audits) once a tokenizer exists.
+    *
+    * Scale shape: the corpus contributes exactly ONE exchange (the
+    * `token_tf`-kernel word-frequency aggregation — per-doc
+    * vocabularies, not the token stream); [[graft.functions
+    * .BpeEncodeExpression]] then encodes the DISTINCT-WORD table, whose
+    * size is bounded by vocabulary, not corpus, and the final symbol
+    * aggregation shuffles only `(symbol, count)` pairs from it. The
+    * token stream itself is never re-shuffled — the trainer posture,
+    * applied to encoding. */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[BpeMerge], topK: Int,
+                     textCol: String = "text"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val words = docs
+      .select(explode(GraftFunctions.tokenTf(col(textCol))).as("e"))
+      .select(col("e.token").as("token"), col("e.tf").as("tf"))
+      .groupBy("token").agg(sum("tf").cast("long").as("cnt"))
+    words
+      .select(col("cnt"), explode(GraftFunctions.bpeEncode(col("token"),
+        merges.map(m => (m.lhs, m.rhs)))).as("sym"))
+      .groupBy("sym").agg(sum("cnt").cast("long").as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("sym"))
+      .limit(topK)
+  }
+
+  /** Persist a trained merge list as the tokenizer artifact (text:
+    * header = count, then one `rank lhs rhs n` line per merge — symbols
+    * never contain whitespace because [[BpeTokenPattern]] excludes it,
+    * so the space-separated format is unambiguous). */
+  def saveBpe(path: String, merges: Seq[BpeMerge]): Unit = {
+    val sb = new StringBuilder
+    sb.append(merges.length).append('\n')
+    merges.foreach { m =>
+      sb.append(m.rank).append(' ').append(m.lhs).append(' ')
+        .append(m.rhs).append(' ').append(m.n).append('\n')
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a persisted merge list ([[saveBpe]] format). */
+  def loadBpe(path: String): Seq[BpeMerge] = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    val n = lines.get(0).trim.toInt
+    (1 to n).map { i =>
+      val parts = lines.get(i).split(" ")
+      BpeMerge(parts(0).toInt, parts(1), parts(2), parts(3).toLong)
+    }
   }
 
   /** Codepoint split (surrogate-pair safe — the `regexp_extract_all(., '.')`
@@ -172,8 +229,11 @@ object TextAnalysis {
   }
 
   /** One merge pass over a symbol sequence: left-to-right,
-    * non-overlapping. */
-  private def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    * non-overlapping. Shared with the encode kernel
+    * ([[graft.functions.BpeEncodeExpression]]) so training and encoding
+    * apply merges identically by construction. */
+  private[graft] def applyMergePass(syms: Array[String], l: String,
+                                    r: String): Array[String] = {
     val out = Array.newBuilder[String]
     var i = 0
     while (i < syms.length) {

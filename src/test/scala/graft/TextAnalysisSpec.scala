@@ -436,4 +436,78 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(res == Set((3L, "https://a.com/x", true), (5L, "https://a.com/x", false),
       (9L, "https://b.com/y", true)))
   }
+
+  private def encodeOne(word: String, merges: Seq[(String, String)]): Seq[String] =
+    Seq(word).toDF("w")
+      .select(graft.functions.GraftFunctions.bpeEncode(col("w"), merges).as("s"))
+      .as[Seq[String]].head()
+
+  test("bpe_encode: trained Sennrich merges segment seen and unseen words") {
+    val docs = Seq.tabulate(5)(i => (i.toLong, "low"))
+      .++(Seq.tabulate(2)(i => (100L + i, "lower")))
+      .++(Seq.tabulate(6)(i => (200L + i, "newest")))
+      .++(Seq.tabulate(3)(i => (300L + i, "widest")))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpe(docs, nMerges = 5)
+      .map(m => (m.lhs, m.rhs))
+    // merges: (e,s)(es,t)(est,</w>)(l,o)(lo,w)
+    assert(encodeOne("lowest", merges) == Seq("low", "est</w>"))
+    assert(encodeOne("newest", merges) == Seq("n", "e", "w", "est</w>"))
+    // unseen word falls back to codepoints
+    assert(encodeOne("stew", merges) == Seq("s", "t", "e", "w", "</w>"))
+    // empty merge list = plain codepoint split
+    assert(encodeOne("ab", Nil) == Seq("a", "b", "</w>"))
+    // surrogate pairs stay one symbol (the regexp '.' rule)
+    assert(encodeOne("𝄞x", Nil) == Seq("𝄞", "x", "</w>"))
+  }
+
+  test("bpe_encode: kernel pass is equivalent to the oracle's fold replay") {
+    // The DuckDB oracle replays each merge as a left fold: last(acc)==lhs
+    // and incoming==rhs collapse to lhs+rhs. Pin the equivalence with the
+    // kernel's left-to-right non-overlapping pass on adversarial alphabets
+    // (overlapping pairs like (a,a) and multi-char symbols like (aa,a)).
+    def foldPass(syms: Seq[String], l: String, r: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val rnd = new scala.util.Random(42)
+    val words = Seq.tabulate(120)(_ =>
+      Seq.fill(rnd.nextInt(9))("ab".charAt(rnd.nextInt(2)).toString).mkString)
+    val pool = Seq("a", "b", "aa", "ab", "ba", "</w>", "aab")
+    val mergeSets = Seq.tabulate(40)(_ =>
+      Seq.fill(1 + rnd.nextInt(4))((pool(rnd.nextInt(5)), pool(rnd.nextInt(pool.size)))))
+    for (ms <- mergeSets) {
+      val got = words.toDF("w")
+        .select(col("w"), graft.functions.GraftFunctions.bpeEncode(col("w"), ms).as("s"))
+        .as[(String, Seq[String])].collect().toMap
+      for (w <- words) {
+        val exp = ms.foldLeft((w.map(_.toString) :+ "</w>"): Seq[String]) {
+          case (syms, (l, r)) => foldPass(syms, l, r)
+        }
+        assert(got(w) == exp, s"word=$w merges=$ms")
+      }
+    }
+  }
+
+  test("bpe merges artifact: save/load round trip incl. apostrophes") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-artifact")
+    val path = s"$dir/merges.txt"
+    val merges = Seq(
+      TextAnalysis.BpeMerge(1, "'", "s", 42L),
+      TextAnalysis.BpeMerge(2, "'s", "</w>", 17L),
+      TextAnalysis.BpeMerge(3, "é", "e", 3L))
+    TextAnalysis.saveBpe(path, merges)
+    assert(TextAnalysis.loadBpe(path) == merges)
+  }
+
+  test("bpeTokenCounts: symbol frequencies under an explicit merge list") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val merges = Seq(
+      TextAnalysis.BpeMerge(1, "l", "o", 0L), TextAnalysis.BpeMerge(2, "lo", "w", 0L))
+    val got = TextAnalysis.bpeTokenCounts(docs, merges, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    // low×2 → [low </w>]; lower → [low e r </w>]; ties break sym-ascending
+    assert(got == Seq(("</w>", 3L), ("low", 3L), ("e", 1L), ("r", 1L)))
+  }
 }
