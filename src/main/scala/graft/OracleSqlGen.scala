@@ -728,6 +728,37 @@ object OracleSqlGen {
        |LIMIT $k""".stripMargin
   }
 
+  /** q119's oracle: Hamming top-k under the composed PCA+ITQ transform —
+    * the [[pcaSearchSql]] projection replay (strict double left fold +
+    * FLOAT cast, matching the `pca_project_f32` kernel bit-for-bit),
+    * then Hamming as the count of sign-disagreeing projected dims (the
+    * q84 idiom — the oracle never needs to replay the bit PACKING, only
+    * the sign rule `> 0` the pack encodes). */
+  def itqSearchSql(mean: Array[Double], comps: Seq[Array[Double]],
+                   k: Int): String = {
+    val meanLit = s"[${mean.mkString(", ")}]"
+    val matLit = comps.map(c => s"[${c.mkString(", ")}]")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH p AS (SELECT $meanLit AS mu,
+       |    $matLit AS pm),
+       |proj AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(${comps.length}), j ->
+       |      CAST(list_reduce(list_prepend(0.0,
+       |        list_transform(range(least(len(e.embedding), ${mean.length})),
+       |          i -> p.pm[j+1][i+1] * (CAST(e.embedding[i+1] AS DOUBLE) - p.mu[i+1]))),
+       |        (acc, t) -> acc + t) AS FLOAT)) AS y
+       |  FROM embeddings e, p),
+       |q AS (SELECT y AS qy FROM proj WHERE vec_id = 0)
+       |SELECT pr.vec_id,
+       |  CAST(len(list_filter(range(${comps.length}),
+       |    i -> (pr.y[i+1] > 0) != (q.qy[i+1] > 0))) AS BIGINT) AS hamming
+       |FROM proj pr, q
+       |WHERE pr.vec_id <> 0
+       |ORDER BY hamming, pr.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   def semanticDedupSql(cents: Seq[Array[Double]], minCos: Double,
                        cap: Int): String = {
     val rterm = "CAST(CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT) AS DOUBLE)"

@@ -1036,6 +1036,40 @@ object SparkEntry {
     (s.read.parquet(cpath), pca)
   }
 
+  /** ITQ code length (bits) for the gated query — half the input dims,
+    * like the PCA front's 64→16, so the rotation has room to matter. */
+  private val itqK = 32
+
+  private def itqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0x17c0L + itqK) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-itq-$key"
+  }
+
+  /** Build-or-load the composed PCA+ITQ transform + the k-bit sign-code
+    * corpus (one word per row at k=32) — the binary family's trained
+    * front, [[pcaCorpus]] lifecycle. */
+  private[graft] def itqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, PcaTransform.Pca) = {
+    GraftFunctions.register(s)
+    val base = itqCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val apath = s"$base/itq.txt"
+    val itq =
+      if (IvfIndex.exists(s, apath)) PcaTransform.load(s, apath)
+      else {
+        val trained = ItqTransform.train(emb, itqK)
+        PcaTransform.save(s, trained, apath)
+        trained
+      }
+    val cpath = s"$base/codes"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      ItqTransform.encode(emb, itq)
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), itq)
+  }
+
   /** IVF-SQ8 bounds/codes cache, keyed like [[sqCachePath]]; the coarse
     * quantizer is SHARED with the whole IVF family ([[ivfCorpus]]). */
   private def ivfSqCachePath(s: SparkSession, dir: String): String = {
@@ -1369,7 +1403,7 @@ object SparkEntry {
     pcaCorpus(s, dir); opqCorpus(s, dir); opqIvfCorpus(s, dir)
     ivfSqCorpus(s, dir); rqCorpus(s, dir)
     ivfSq4Corpus(s, dir)
-    bivfCorpus(s, dir); graphCorpus(s, dir)
+    bivfCorpus(s, dir); graphCorpus(s, dir); itqCorpus(s, dir)
     ()
   }
 
@@ -3800,6 +3834,21 @@ object SparkEntry {
       .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("score"))
   }
 
+  /** ITQ binary search ([[ItqTransform]]): FAISS `ITQMatrix` — a
+    * trained orthogonal rotation of the PCA-reduced space minimizing
+    * sign-quantization error, in front of a flat Hamming scan (the
+    * `ITQ32,LSH` factory chain). The oracle is GENERATED from the
+    * composed persisted artifact: projection replayed as the strict
+    * double fold + float cast, Hamming as the count of sign-disagreeing
+    * projected dims. */
+  private def q119ItqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (codes, itq) = itqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    ItqTransform.search(codes.filter(col("doc_id") =!= 0), itq, qVec, k = 10)
+      .select(col("doc_id").as("vec_id"), col("hamming"))
+  }
+
   /** Cell-blocked k-NN graph ([[KnnGraph]]): every vector's top-4
     * neighbors within its IVF cell — the FAISS knn-graph build
     * re-expressed as an equality self-join + one rank window that reuses
@@ -4463,6 +4512,7 @@ object SparkEntry {
     "q95_cluster_sample" -> (q95ClusterSample _),
     "q96_jsonl_roundtrip" -> (q96JsonlRoundtrip _),
     "q118_bpe_encode" -> (q118BpeEncode _),
+    "q119_itq_search" -> (q119ItqSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4556,7 +4606,7 @@ object SparkEntry {
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
     sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ opqIvfOracleSqls ++
     ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ rqOracleSqls ++
-    bpeOracleSqls
+    bpeOracleSqls ++ itqOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -4754,6 +4804,23 @@ object SparkEntry {
       val comps: Seq[Array[Double]] = (2 until lines.size())
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       Map("q86_pca_search" -> OracleSqlGen.pcaSearchSql(mean, comps, k = 10))
+    }).getOrElse(Map.empty)
+
+  /** ITQ oracle, generated from the composed transform q119's run just
+    * persisted — same lifecycle as [[pcaOracleSqls]]. */
+  private def itqOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      path = java.nio.file.Paths.get(s"${itqCachePath(s, dir)}/itq.txt")
+      if java.nio.file.Files.exists(path)
+      lines = java.nio.file.Files.readAllLines(path)
+      if lines.get(0).split(" ")(0).toInt > 0
+    } yield {
+      val mean = lines.get(1).split(" ").map(_.toDouble)
+      val comps: Seq[Array[Double]] = (2 until lines.size())
+        .map(i => lines.get(i).split(" ").map(_.toDouble))
+      Map("q119_itq_search" -> OracleSqlGen.itqSearchSql(mean, comps, k = 10))
     }).getOrElse(Map.empty)
 
   /** SQ8 oracle, generated from the bounds q79's run just persisted —

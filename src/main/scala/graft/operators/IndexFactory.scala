@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   "IVF64,SQ4[,RFlat]" residual SQ4, probed     SqIndex.searchIvf4
   *   "IVF64,SQ8,RFlat" + exact re-rank            SqIndex.searchRefined
   *   "LSH"             binary sign codes          BinaryIndex
+  *   "ITQ32,LSH"       trained-rotation binary    ItqTransform + BinaryIndex
   *   "PCA16,Flat"      PCA front + any of these   PcaTransform + rest
   * }}}
   *
@@ -51,6 +52,9 @@ object IndexFactory {
   sealed trait Pre
   final case class PcaPre(k: Int) extends Pre
   final case class OpqPre(m: Int) extends Pre
+  /** `ITQ[<k>]` — PCA+ITQ rotation front for the binary code layer
+    * (k = 0 means "input dimension", FAISS's bare `ITQ`). */
+  final case class ItqPre(k: Int) extends Pre
 
   /** Parsed descriptor: optional pre-transform front, optional IVF
     * coarse layer, the code layer, optional exact refinement. */
@@ -66,6 +70,7 @@ object IndexFactory {
   // loudly instead of building different semantics.
   private val PcaRe = "^PCA([0-9]+)$".r
   private val OpqRe = "^OPQ([0-9]+)$".r
+  private val ItqRe = "^ITQ([0-9]*)$".r
   private val IvfRe = "^IVF([0-9]+)$".r
   private val BivfRe = "^BIVF([0-9]+)$".r
   private val PqRe = "^PQ([0-9]+)$".r
@@ -78,6 +83,8 @@ object IndexFactory {
     val (pre, rest1) = parts match {
       case PcaRe(k) :: tail => (Some(PcaPre(k.toInt)): Option[Pre], tail)
       case OpqRe(m) :: tail => (Some(OpqPre(m.toInt)): Option[Pre], tail)
+      case ItqRe(k) :: tail =>
+        (Some(ItqPre(if (k.isEmpty) 0 else k.toInt)): Option[Pre], tail)
       case other => (None: Option[Pre], other)
     }
     // "BIVF<n>" — FAISS's binary-IVF factory spelling: a complete
@@ -139,6 +146,10 @@ object IndexFactory {
         case PQ(pm) if pm == m => // the FAISS pairing: OPQm,...,PQm
         case other => fail(s"OPQ$m must front PQ$m, not $other")
       }
+      case Some(ItqPre(_)) =>
+        // the FAISS pairing: ITQ fronts the binary (LSH) layer only
+        if (code != LshCode || nlist.isDefined || refine)
+          fail("ITQ fronts the LSH code layer (e.g. ITQ32,LSH)")
       case _ =>
     }
     Descriptor(pre, nlist, code, refine)
@@ -174,6 +185,10 @@ object IndexFactory {
         case PcaPre(k) => PcaTransform.train(corpus, k, embCol)
         case OpqPre(m) => OpqTransform.train(corpus, m, embCol = embCol,
           idCol = idCol)
+        case ItqPre(k0) =>
+          val k = if (k0 > 0) k0
+            else corpus.select(embCol).head.getSeq[Float](0).length
+          ItqTransform.train(corpus, k, embCol = embCol, idCol = idCol)
       }
       val projected = PcaTransform.project(corpus, pca, embCol, "__pca")
         .drop(embCol)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.operators.IndexFactory.{Descriptor, Flat, PQ, SQ8Code, SQ4Code, LshCode, PcaPre, OpqPre}
+import graft.operators.IndexFactory.{Descriptor, Flat, PQ, SQ8Code, SQ4Code, LshCode, PcaPre, OpqPre, ItqPre}
 import org.scalatest.funsuite.AnyFunSuite
 
 class IndexFactorySpec extends AnyFunSuite {
@@ -35,6 +35,8 @@ class IndexFactorySpec extends AnyFunSuite {
     assert(IndexFactory.parse("IVF16,SQ8") == Descriptor(None, Some(16), SQ8Code, false))
     assert(IndexFactory.parse("BIVF16") == Descriptor(None, Some(16), LshCode, false))
     assert(IndexFactory.parse("OPQ16,IVF64,PQ16") == Descriptor(Some(OpqPre(16)), Some(64), PQ(16), false))
+    assert(IndexFactory.parse("ITQ32,LSH") == Descriptor(Some(ItqPre(32)), None, LshCode, false))
+    assert(IndexFactory.parse("ITQ,LSH") == Descriptor(Some(ItqPre(0)), None, LshCode, false))
   }
 
   test("unsupported descriptors fail loudly, naming the string") {
@@ -42,7 +44,8 @@ class IndexFactorySpec extends AnyFunSuite {
     // mapped to plain PCA; Flat,RFlat would re-rank already-exact scores
     Seq("HNSW32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ8",
       "OPQ8,Flat", "PCA8,BIVF16", "BIVF16,Flat", "PCAR8,IVF4,PQ4",
-      "IVF64,Flat,RFlat", "SQ8,RFlat", "SQ4,RFlat")
+      "IVF64,Flat,RFlat", "SQ8,RFlat", "SQ4,RFlat",
+      "ITQ8,Flat", "ITQ8,PQ4", "ITQ8,BIVF16")
       .foreach { bad =>
         val e = intercept[IllegalArgumentException](IndexFactory.parse(bad))
         assert(e.getMessage.contains(bad.split(",")(0)) ||
@@ -92,6 +95,12 @@ class IndexFactorySpec extends AnyFunSuite {
       .select($"doc_id", $"pca")
     assert(ids(IndexFactory.build(spark, docs, "PCA8,Flat").search(q, 10)) ==
       ids(PcaTransform.search(projected, pca, q, 10)))
+
+    // ITQ8,LSH — trained-rotation binary front then Hamming scan
+    val itq = ItqTransform.train(docs, 8)
+    val itqCodes = ItqTransform.encode(docs, itq)
+    assert(ids(IndexFactory.build(spark, docs, "ITQ8,LSH").search(q, 10)) ==
+      ids(ItqTransform.search(itqCodes, itq, q, 10)))
   }
 
   test("RQ2x3: factory ≡ direct RqIndex chain; unsupported RQ combos fail loudly") {
