@@ -931,6 +931,122 @@ object OracleSqlGen {
     * residual code assignment, L2 cell probe, per-cell query-residual
     * LUT values folded in subspace order. Same rounding posture as
     * [[pqSearchSql]]: select on the exact adc, compare rounded(4). */
+  /** q120's oracle: IVFPQR — the [[ivfAdcSearchSql]] replay (assign,
+    * residual, level-1 encode, ADC) extended with the SECOND quantizer:
+    * decode₁ per doc, second-level residual (double-sub-float-cast ≡
+    * the engine's float subtraction on exact floats), level-2 argmin
+    * encode, top-`rerank` ADC candidates, then the refined re-rank
+    * against `‖q − ((centroid + decode₁) + decode₂)‖²` as a strict
+    * double fold with the engine's pinned addition order. */
+  def ivfPqrSearchSql(cents: Seq[Array[Double]],
+                      books1: Seq[Seq[Array[Double]]],
+                      books2: Seq[Seq[Array[Double]]],
+                      k: Int, rerank: Int, nprobe: Int): String = {
+    val dsub = books1.head.head.length
+    val dsub2 = books2.head.head.length
+    def bookVals(books: Seq[Seq[Array[Double]]]) = (for {
+      (book, s) <- books.zipWithIndex
+      (c, code) <- book.zipWithIndex
+    } yield s"($s, $code, [${c.mkString(", ")}])").mkString(",\n      ")
+    s"""WITH ${ivfAssignCtes(cents)},
+       |__books(s, code, c) AS (VALUES
+       |      ${bookVals(books1)}),
+       |__books2(s, code, c) AS (VALUES
+       |      ${bookVals(books2)}),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (ORDER BY
+       |    list_sum(list_transform(list_zip(q.qe, c.c),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |           (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |    c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |res AS (
+       |  SELECT a.doc_id, a.cell_id,
+       |    list_transform(list_zip(a.embedding, c.c),
+       |      p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT)) AS r
+       |  FROM __assigned a JOIN __cents c USING (cell_id)
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)),
+       |codes AS (
+       |  SELECT doc_id, cell_id, s, code FROM (
+       |    SELECT r.doc_id, r.cell_id, b.s, b.code,
+       |      row_number() OVER (PARTITION BY r.doc_id, b.s ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(r.r[b.s*$dsub+1 : b.s*$dsub+$dsub], b.c),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |        b.code ASC) AS rn
+       |    FROM res r CROSS JOIN __books b) WHERE rn = 1),
+       |dec1 AS (
+       |  SELECT cd.doc_id, cd.cell_id,
+       |    flatten(list(list_transform(b.c, v -> CAST(v AS FLOAT))
+       |      ORDER BY cd.s)) AS d1
+       |  FROM codes cd JOIN __books b ON b.s = cd.s AND b.code = cd.code
+       |  GROUP BY cd.doc_id, cd.cell_id),
+       |res2 AS (
+       |  SELECT r.doc_id, r.cell_id,
+       |    list_transform(list_zip(r.r, d.d1),
+       |      p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT)) AS r2
+       |  FROM res r JOIN dec1 d ON r.doc_id = d.doc_id),
+       |codes2 AS (
+       |  SELECT doc_id, cell_id, s, code FROM (
+       |    SELECT r.doc_id, r.cell_id, b.s, b.code,
+       |      row_number() OVER (PARTITION BY r.doc_id, b.s ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(r.r2[b.s*$dsub2+1 : b.s*$dsub2+$dsub2], b.c),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |        b.code ASC) AS rn
+       |    FROM res2 r CROSS JOIN __books2 b) WHERE rn = 1),
+       |qres AS (
+       |  SELECT c.cell_id,
+       |    list_transform(list_zip(q.qe, c.c),
+       |      p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT)) AS qr
+       |  FROM __cents c, q
+       |  WHERE c.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)),
+       |lv AS (
+       |  SELECT cd.doc_id, cd.cell_id, cd.s,
+       |    list_sum(list_transform(
+       |      list_zip(qr.qr[cd.s*$dsub+1 : cd.s*$dsub+$dsub], b.c),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |           (CAST(p[1] AS DOUBLE) - p[2]))) AS d2
+       |  FROM codes cd JOIN qres qr ON cd.cell_id = qr.cell_id
+       |  JOIN __books b ON b.s = cd.s AND b.code = cd.code),
+       |adc AS (
+       |  SELECT doc_id, cell_id, list_sum(list(d2 ORDER BY s)) AS adc
+       |  FROM lv GROUP BY doc_id, cell_id),
+       |cand AS (
+       |  SELECT doc_id, cell_id FROM adc
+       |  ORDER BY adc ASC, doc_id ASC LIMIT $rerank),
+       |dec2 AS (
+       |  SELECT cd.doc_id,
+       |    flatten(list(list_transform(b.c, v -> CAST(v AS FLOAT))
+       |      ORDER BY cd.s)) AS d2v
+       |  FROM codes2 cd JOIN __books2 b ON b.s = cd.s AND b.code = cd.code
+       |  WHERE cd.doc_id IN (SELECT doc_id FROM cand)
+       |  GROUP BY cd.doc_id),
+       |recon AS (
+       |  SELECT cand.doc_id, cand.cell_id,
+       |    list_transform(range(len(c.c)), j ->
+       |      (c.c[j+1] + CAST(d1.d1[j+1] AS DOUBLE)) +
+       |        CAST(d2.d2v[j+1] AS DOUBLE)) AS rv
+       |  FROM cand JOIN __cents c USING (cell_id)
+       |  JOIN dec1 d1 ON cand.doc_id = d1.doc_id
+       |  JOIN dec2 d2 ON cand.doc_id = d2.doc_id),
+       |rd AS (
+       |  SELECT r.doc_id, r.cell_id,
+       |    list_reduce(list_prepend(0.0, list_transform(range(len(r.rv)), j ->
+       |      (CAST(q.qe[j+1] AS DOUBLE) - r.rv[j+1]) *
+       |      (CAST(q.qe[j+1] AS DOUBLE) - r.rv[j+1]))),
+       |      (acc, t) -> acc + t) AS rdist
+       |  FROM recon r, q)
+       |SELECT t.doc_id, CAST(t.cell_id AS BIGINT) AS cell_id,
+       |  round(t.rdist, 4) AS rdist
+       |FROM (SELECT doc_id, cell_id, rdist FROM rd
+       |      ORDER BY rdist ASC, doc_id ASC LIMIT $k) t
+       |ORDER BY t.rdist ASC, t.doc_id ASC""".stripMargin
+  }
+
   def ivfAdcSearchSql(cents: Seq[Array[Double]],
                       books: Seq[Seq[Array[Double]]],
                       k: Int, nprobe: Int,

@@ -1404,6 +1404,7 @@ object SparkEntry {
     ivfSqCorpus(s, dir); rqCorpus(s, dir)
     ivfSq4Corpus(s, dir)
     bivfCorpus(s, dir); graphCorpus(s, dir); itqCorpus(s, dir)
+    ivfPqrCorpus(s, dir)
     ()
   }
 
@@ -1473,6 +1474,41 @@ object SparkEntry {
         .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
     }
     (s.read.parquet(cpath), ivf, PqIndex.load(s, cbPath))
+  }
+
+  /** Build-or-load the IVFPQR artifacts: shared coarse quantizer, the
+    * two-level codebooks, and a cell-partitioned corpus carrying BOTH
+    * code columns ([[PqIndex.buildIvfPqr]]). */
+  private[graft] def ivfPqrCorpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf, PqIndex.Pq, PqIndex.Pq) = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val base = s"${pqCachePath(s, dir)}-ivfpqr"
+    val cb1Path = s"$base/codebooks.txt"
+    val cb2Path = s"$base/refine.txt"
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
+      val (enc, pq1, pq2) = PqIndex.buildIvfPqr(withCells, ivf, pqM, pqM, pqKsub)
+      PqIndex.save(s, pq1, cb1Path)
+      PqIndex.save(s, pq2, cb2Path)
+      enc.select("doc_id", "cell_id", "codes", "codes2")
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    }
+    (s.read.parquet(cpath), ivf, PqIndex.load(s, cb1Path), PqIndex.load(s, cb2Path))
+  }
+
+  /** IVFPQR (FAISS `IndexIVFPQR`) search: ADC candidates re-ranked
+    * against the TWO-level reconstruction (centroid + decode₁ +
+    * decode₂) — refinement without re-reading the float corpus. All
+    * THREE artifacts (quantizer + both codebook levels) feed the
+    * GENERATED oracle. */
+  private def q120IvfPqrSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, pq1, pq2) = ivfPqrCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.searchIvfPqr(encoded, ivf, pq1, pq2, qVec,
+        k = 10, rerank = 50, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("rdist"), 4).as("rdist"))
   }
 
   private def q78IvfAdcSearch(s: SparkSession, dir: String): DataFrame = {
@@ -4513,6 +4549,7 @@ object SparkEntry {
     "q96_jsonl_roundtrip" -> (q96JsonlRoundtrip _),
     "q118_bpe_encode" -> (q118BpeEncode _),
     "q119_itq_search" -> (q119ItqSearch _),
+    "q120_ivfpqr_search" -> (q120IvfPqrSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4606,7 +4643,7 @@ object SparkEntry {
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
     sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ opqIvfOracleSqls ++
     ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ rqOracleSqls ++
-    bpeOracleSqls ++ itqOracleSqls
+    bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -4890,6 +4927,38 @@ object SparkEntry {
         "q109_ivfadc_batch" ->
           OracleSqlGen.ivfAdcBatchSearchSql(cents, books,
             k = 10, nprobe = 4, nq = 6))
+    }).getOrElse(Map.empty)
+
+  /** IVFPQR oracle, generated from all THREE artifacts q120's run just
+    * persisted (coarse quantizer + both codebook levels) — same
+    * lifecycle as [[ivfAdcOracleSqls]]. */
+  private def ivfPqrOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      qpath = java.nio.file.Paths.get(s"${ivfCachePath(s, dir)}/quantizer.txt")
+      c1path = java.nio.file.Paths.get(s"${pqCachePath(s, dir)}-ivfpqr/codebooks.txt")
+      c2path = java.nio.file.Paths.get(s"${pqCachePath(s, dir)}-ivfpqr/refine.txt")
+      if java.nio.file.Files.exists(qpath) &&
+        java.nio.file.Files.exists(c1path) && java.nio.file.Files.exists(c2path)
+      qlines = java.nio.file.Files.readAllLines(qpath)
+      c1lines = java.nio.file.Files.readAllLines(c1path)
+      c2lines = java.nio.file.Files.readAllLines(c2path)
+      if qlines.get(0).split(" ")(1).toInt > 0 &&
+        c1lines.get(0).split(" ")(2).toInt > 0 &&
+        c2lines.get(0).split(" ")(2).toInt > 0
+    } yield {
+      val cents: Seq[Array[Double]] = (1 until qlines.size())
+        .map(i => qlines.get(i).split(" ").map(_.toDouble))
+      def parseBooks(lines: java.util.List[String]): Seq[Seq[Array[Double]]] = {
+        val m = lines.get(0).split(" ")(0).toInt
+        val flat: Seq[Array[Double]] = (1 until lines.size())
+          .map(i => lines.get(i).split(" ").map(_.toDouble))
+        flat.grouped(flat.length / m).toSeq
+      }
+      Map("q120_ivfpqr_search" -> OracleSqlGen.ivfPqrSearchSql(cents,
+        parseBooks(c1lines), parseBooks(c2lines),
+        k = 10, rerank = 50, nprobe = 4))
     }).getOrElse(Map.empty)
 
   private def ivfOracleSqls: Map[String, String] =

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   *   "PQ8"             ADC over codes             PqIndex
   *   "IVF64,PQ8"       residual PQ, probed        PqIndex (IVFADC)
   *   "IVF64,PQ8,RFlat" + exact re-rank            PqIndex.searchRefined
+  *   "IVF64,PQ8+8"     + refine-PQ re-rank        PqIndex.searchIvfPqr
   *   "SQ8"             scalar quantizer           SqIndex
   *   "SQ4"             packed 4-bit scalar        SqIndex (search4)
   *   "IVF64,SQ4[,RFlat]" residual SQ4, probed     SqIndex.searchIvf4
@@ -40,6 +41,9 @@ object IndexFactory {
   sealed trait Code
   case object Flat extends Code
   final case class PQ(m: Int) extends Code
+  /** `PQ<m>+<m2>` — FAISS's IVFPQR spelling: level-1 PQ of m codes plus
+    * a refine PQ of m2 codes on the reconstruction error. */
+  final case class PQR(m: Int, mRefine: Int) extends Code
   case object SQ8Code extends Code
   case object SQ4Code extends Code
   case object LshCode extends Code
@@ -74,6 +78,7 @@ object IndexFactory {
   private val IvfRe = "^IVF([0-9]+)$".r
   private val BivfRe = "^BIVF([0-9]+)$".r
   private val PqRe = "^PQ([0-9]+)$".r
+  private val PqrRe = "^PQ([0-9]+)\\+([0-9]+)$".r
   private val RqRe = "^RQ([0-9]+)x([0-9]+)$".r
 
   def parse(desc: String): Descriptor = {
@@ -110,6 +115,7 @@ object IndexFactory {
           "the KnnGraph.cellBlocked graph (the q97 path), or an IVF descriptor")
       case "Flat" :: tail => (Flat, tail)
       case PqRe(m) :: tail => (PQ(m.toInt), tail)
+      case PqrRe(m, m2) :: tail => (PQR(m.toInt, m2.toInt), tail)
       case RqRe(l, b) :: tail => (RQ(l.toInt, b.toInt), tail)
       case "SQ8" :: tail => (SQ8Code, tail)
       case "SQ4" :: tail => (SQ4Code, tail)
@@ -139,6 +145,13 @@ object IndexFactory {
       case PQ(_) | SQ8Code | SQ4Code =>
       case other if refine =>
         fail(s"RFlat refinement is implemented over PQ/SQ candidates, not $other")
+      case _ =>
+    }
+    code match {
+      // FAISS IndexIVFPQR only exists under an IVF; and its refine PQ IS
+      // the refinement — stacking RFlat on top would be ambiguous.
+      case PQR(_, _) if nlist.isEmpty => fail("PQ<m>+<m2> (IVFPQR) needs an IVF front")
+      case PQR(_, _) if refine => fail("PQ<m>+<m2> already refines; drop RFlat")
       case _ =>
     }
     pre match {
@@ -211,6 +224,14 @@ object IndexFactory {
           .select(col(idCol), col("codes"))
         Built(d, encoded,
           (q, k) => PqIndex.search(encoded, pq, q, k, idCol))
+      case (Some(n), PQR(m, m2)) =>
+        val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
+        val (encoded, pq1, pq2) = PqIndex.buildIvfPqr(withCells, ivf, m, m2,
+          embCol = embCol)
+        val enc = encoded.select(col(idCol), col("cell_id"),
+          col("codes"), col("codes2"))
+        Built(d, enc, (q, k) => PqIndex.searchIvfPqr(enc, ivf, pq1, pq2,
+          q, k, rerank, nprobe, idCol))
       case (Some(n), PQ(m)) =>
         val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
         val (encoded, rpq) = PqIndex.buildIvfAdc(withCells, ivf, m,

@@ -435,6 +435,87 @@ object PqIndex {
         GraftFunctions.l2DistanceF32(col(embCol), col("recon")).as(outCol))
   }
 
+  /** IVFPQR (FAISS `IndexIVFPQR`, faiss/IndexIVFPQR.cpp): a SECOND
+    * product quantizer encodes the first level's reconstruction error
+    * `r₂ = residual − decode₁(codes)`, so every row carries
+    * `m + mRefine` codes and search can re-rank ADC candidates against
+    * the two-level reconstruction WITHOUT ever touching the float
+    * corpus — the codes-only middle ground between raw IVFADC
+    * (q78) and the float re-read of `RFlat` refinement (q80).
+    *
+    * Train follows [[buildIvfAdc]]'s posture (sample-fit, full encode);
+    * both code columns ride the same cell-partitioned corpus. */
+  def buildIvfPqr(corpusWithCells: DataFrame, ivf: IvfIndex.Ivf,
+                  m: Int = 8, mRefine: Int = 8, ksub: Int = 16,
+                  embCol: String = "embedding",
+                  trainFraction: Double = 1.0): (DataFrame, Pq, Pq) = {
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction out of (0,1]: $trainFraction")
+    val withRes = corpusWithCells.withColumn("__res",
+      residualColumn(ivf, col(embCol), col("cell_id")))
+    def sampled(df: DataFrame) =
+      if (trainFraction >= 1.0) df else df.sample(trainFraction, Seed)
+    val pq1 = train(sampled(withRes), m, ksub, "__res")
+    // second-level residual: what the first PQ failed to reconstruct
+    // (float subtraction — bit-identical to the double-sub-float-cast
+    // the oracle replays, since the operands are exact floats)
+    val withRes2 = decode(encode(withRes, pq1, "__res"), pq1, "codes", "__rec1")
+      .withColumn("__res2",
+        zip_with(col("__res"), col("__rec1"), (a, b) => a - b))
+      .withColumnRenamed("codes", "__codes1")
+    val pq2 = train(sampled(withRes2), mRefine, ksub, "__res2")
+    val enc = encode(withRes2, pq2, "__res2")
+      .withColumnRenamed("codes", "codes2")
+      .withColumnRenamed("__codes1", "codes")
+      .drop("__res", "__rec1", "__res2")
+    (enc, pq1, pq2)
+  }
+
+  /** IVFPQR top-`k`: the IVFADC scan proposes `rerank` candidates
+    * (codes-only, probed cells, zero shuffle), then each candidate's
+    * TWO-LEVEL reconstruction `centroid + decode₁ + decode₂` is scored
+    * against the query by exact squared L2 — FAISS
+    * `IndexIVFPQR::search_preassigned` (k_factor·k candidates, refined
+    * re-rank). The refine pass runs entirely on the `rerank`-bounded
+    * candidate frame: decode HOFs + one sequential-double distance fold
+    * per candidate, never a corpus-scale operation, and still no float
+    * read. */
+  def searchIvfPqr(encoded: DataFrame, ivf: IvfIndex.Ivf, pq1: Pq, pq2: Pq,
+                   queryVec: Array[Float], k: Int, rerank: Int, nprobe: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    val cents = ivf.centroids.getOrElse(
+      throw new IllegalStateException("IVFPQR needs a trained IVF"))
+    val books1 = pq1.codebooks.getOrElse(
+      throw new IllegalStateException("IVFPQR needs a trained first-level PQ"))
+    val books2 = pq2.codebooks.getOrElse(
+      throw new IllegalStateException("IVFPQR needs a trained refine PQ"))
+    val (scored, probed) = probedAdcScan(encoded, ivf, pq1, queryVec, nprobe)
+    val cand = scored.orderBy(col("adc").asc, col(idCol).asc).limit(rerank)
+    def decodeCol(books: Array[Array[Array[Double]]], codes: Column): Column = {
+      val lit3 = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      flatten(transform(codes, (c, s) =>
+        transform(element_at(element_at(lit3, s + 1), c + 1),
+          v => v.cast("float"))))
+    }
+    val slotCents = typedLit(probed.map(c => cents(c).toSeq))
+    val slot = element_at(typedLit(probed.zipWithIndex.toMap),
+      col("cell_id").cast("int"))
+    // recon_j = (centroid_j + d1_j) + d2_j — addition order pinned, the
+    // oracle replays the same chain
+    val recon = zip_with(
+      zip_with(element_at(slotCents, slot + lit(1)),
+        decodeCol(books1, col("codes")), (a, b) => a + b.cast("double")),
+      decodeCol(books2, col("codes2")), (a, b) => a + b.cast("double"))
+    val qLit = typedLit(queryVec.map(_.toDouble).toSeq)
+    val rdist = aggregate(
+      zip_with(qLit, recon, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    cand.withColumn("rdist", rdist)
+      .orderBy(col("rdist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cell_id"), col("rdist"))
+  }
+
   /** Refined search (FAISS IndexRefineFlat over IndexIVFPQ): the IVFADC
     * scan proposes `rerank` candidates from codes alone, then the exact
     * inner product re-ranks just those rows of the FLOAT corpus — ADC

@@ -37,6 +37,8 @@ class IndexFactorySpec extends AnyFunSuite {
     assert(IndexFactory.parse("OPQ16,IVF64,PQ16") == Descriptor(Some(OpqPre(16)), Some(64), PQ(16), false))
     assert(IndexFactory.parse("ITQ32,LSH") == Descriptor(Some(ItqPre(32)), None, LshCode, false))
     assert(IndexFactory.parse("ITQ,LSH") == Descriptor(Some(ItqPre(0)), None, LshCode, false))
+    assert(IndexFactory.parse("IVF64,PQ8+16") ==
+      Descriptor(None, Some(64), IndexFactory.PQR(8, 16), false))
   }
 
   test("unsupported descriptors fail loudly, naming the string") {
@@ -45,7 +47,8 @@ class IndexFactorySpec extends AnyFunSuite {
     Seq("HNSW32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ8",
       "OPQ8,Flat", "PCA8,BIVF16", "BIVF16,Flat", "PCAR8,IVF4,PQ4",
       "IVF64,Flat,RFlat", "SQ8,RFlat", "SQ4,RFlat",
-      "ITQ8,Flat", "ITQ8,PQ4", "ITQ8,BIVF16")
+      "ITQ8,Flat", "ITQ8,PQ4", "ITQ8,BIVF16",
+      "PQ8+8", "IVF16,PQ4+4,RFlat")
       .foreach { bad =>
         val e = intercept[IllegalArgumentException](IndexFactory.parse(bad))
         assert(e.getMessage.contains(bad.split(",")(0)) ||
@@ -162,6 +165,20 @@ class IndexFactorySpec extends AnyFunSuite {
     val top1Refined = refined.select("doc_id").as[Long].collect().head
     val top1Raw = ivfpq.select("doc_id").as[Long].collect().head
     assert(exactDot(top1Refined) >= exactDot(top1Raw) - 1e-9)
+  }
+
+  test("IVF,PQ4+4: factory ≡ direct IVFPQR chain") {
+    val data = clustered(400, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val q = data(3)._2
+    val got = IndexFactory.build(spark, docs, "IVF4,PQ4+4").search(q, 5)
+      .select("doc_id", "rdist").as[(Long, Double)].collect().toSeq
+    val (withCells, ivf) = IvfIndex.build(docs, 4)
+    val (enc, pq1, pq2) = PqIndex.buildIvfPqr(withCells, ivf, m = 4, mRefine = 4)
+    val exp = PqIndex.searchIvfPqr(enc, ivf, pq1, pq2, q, k = 5,
+        rerank = 50, nprobe = 4)
+      .select("doc_id", "rdist").as[(Long, Double)].collect().toSeq
+    assert(got == exp)
   }
 
   test("IVF,SQ8,RFlat: exact re-rank over SQ8 candidates (the ADVICE'd branch)") {

@@ -94,6 +94,59 @@ class PqIndexSpec extends AnyFunSuite {
     assert(cellsScanned.size <= 2)
   }
 
+  test("IVFPQR: two-level codes beat one level; refined re-rank matches driver replay") {
+    import graft.operators.IvfIndex
+    val data = clustered(400, 8)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 8)
+    val (enc, pq1, pq2) = PqIndex.buildIvfPqr(withCells, ivf, m = 4,
+      mRefine = 4, ksub = 8)
+    assert(pq1.isTrained && pq2.isTrained)
+    val byId = data.toMap
+    val cents = ivf.centroids.get
+    val b1 = pq1.codebooks.get
+    val b2 = pq2.codebooks.get
+    // driver replay of the two-level reconstruction for every row
+    val rows = enc.select("doc_id", "cell_id", "codes", "codes2")
+      .as[(Long, Int, Seq[Int], Seq[Int])].collect()
+    def decode(books: Array[Array[Array[Double]]], codes: Seq[Int]): Array[Float] =
+      codes.zipWithIndex.flatMap { case (c, s) =>
+        books(s)(c).map(_.toFloat)
+      }.toArray
+    def recon(cell: Int, c1: Seq[Int], c2: Seq[Int], twoLevel: Boolean): Array[Double] = {
+      val d1 = decode(b1, c1)
+      val d2 = decode(b2, c2)
+      Array.tabulate(d1.length) { j =>
+        val one = cents(cell)(j) + d1(j).toDouble
+        if (twoLevel) one + d2(j).toDouble else one
+      }
+    }
+    def err(twoLevel: Boolean): Double = rows.map { case (id, cell, c1, c2) =>
+      val x = byId(id)
+      val r = recon(cell, c1, c2, twoLevel)
+      x.indices.map(j => { val d = x(j).toDouble - r(j); d * d }).sum
+    }.sum / rows.length
+    val e2 = err(twoLevel = true)
+    val e1 = err(twoLevel = false)
+    assert(e2 < e1, s"refine PQ must cut reconstruction error: $e2 vs $e1")
+
+    // refined search: exact (rdist, id) order of the driver replay
+    val qVec = byId(7L)
+    val hits = PqIndex.searchIvfPqr(enc, ivf, pq1, pq2, qVec,
+        k = 5, rerank = 30, nprobe = 2)
+      .select("doc_id", "rdist").as[(Long, Double)].collect().toSeq
+    val candIds = PqIndex.searchIvfAdc(enc, ivf, pq1, qVec, k = 30, nprobe = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val exp = rows.filter(r => candIds.contains(r._1)).map { case (id, cell, c1, c2) =>
+      val r = recon(cell, c1, c2, twoLevel = true)
+      val d = qVec.indices.foldLeft(0.0)((acc, j) => {
+        val t = qVec(j).toDouble - r(j); acc + t * t
+      })
+      (id, d)
+    }.sortBy { case (id, d) => (d, id) }.take(5).toSeq
+    assert(hits == exp)
+  }
+
   test("searchIvfAdcBatch ≡ per-query searchIvfAdc (shared union scan)") {
     import graft.operators.IvfIndex
     val data = clustered(400, 8)
