@@ -1733,10 +1733,12 @@ object OracleSqlGen {
     * neither side cascades within a pass (property-pinned in
     * TextAnalysisSpec). Merges nest in rank order; SQL size is linear
     * in the merge count. */
-  def bpeEncodeSql(merges: Seq[(String, String)], topK: Int): String = {
-    val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+  /** The nested merge-fold expression shared by the BPE oracles: encode
+    * `wordExpr` by replaying every merge as one `list_reduce` pass. */
+  private def bpeFoldExpr(wordExpr: String,
+                          merges: Seq[(String, String)]): String = {
     def esc(x: String) = x.replace("'", "''")
-    var e = "list_append(regexp_extract_all(token, '.'), '</w>')"
+    var e = s"list_append(regexp_extract_all($wordExpr, '.'), '</w>')"
     for ((l, r) <- merges) {
       val le = esc(l)
       val re = esc(r)
@@ -1746,6 +1748,12 @@ object OracleSqlGen {
         |      THEN list_append(acc[:-2], '$le$re')
         |      ELSE list_append(acc, xx[1]) END)""".stripMargin
     }
+    e
+  }
+
+  def bpeEncodeSql(merges: Seq[(String, String)], topK: Int): String = {
+    val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+    val e = bpeFoldExpr("token", merges)
     s"""WITH toks AS (
       |  SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
       |  FROM documents),
@@ -1755,5 +1763,29 @@ object OracleSqlGen {
       |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n_occurrences
       |FROM enc GROUP BY 1
       |ORDER BY n_occurrences DESC, sym LIMIT $topK""".stripMargin
+  }
+
+  /** q121's oracle: per-document pre-token and BPE token counts — the
+    * per-doc `(doc_id, token, tf)` table, each distinct token's encoded
+    * length via the shared merge-fold replay, then `Σ tf·|enc(token)|`
+    * per document (tokenless docs = 0/0, matching the engine's fold
+    * over an empty `token_tf` array). */
+  def bpeDocTokenSql(merges: Seq[(String, String)]): String = {
+    val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+    val e = bpeFoldExpr("token", merges)
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |enc AS (SELECT doc_id, tf, CAST(len($e) AS BIGINT) AS ns FROM tf),
+      |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS np,
+      |               CAST(sum(tf * ns) AS BIGINT) AS nb
+      |        FROM enc GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(a.np, 0) AS n_pretokens,
+      |  coalesce(a.nb, 0) AS n_bpe_tokens
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
   }
 }

@@ -3698,6 +3698,14 @@ object SparkEntry {
     TextAnalysis.bpeTokenCounts(t(s, dir, "documents"),
       bpeMergesArtifact(s, dir), topK = 40)
 
+  /** Per-document BPE token counts ([[TextAnalysis.bpeTokenCountPerDoc]]):
+    * the packing/cost budget under the TRAINED tokenizer, not the
+    * `ceil(len/4)` estimate — zero shuffle (one per-row fold over the
+    * `token_tf` vocabulary). Same generated-oracle lifecycle as q118. */
+  private def q121BpeDocTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenCountPerDoc(t(s, dir, "documents"),
+      bpeMergesArtifact(s, dir)).orderBy("doc_id")
+
   /** Unigram LM quality scoring (`TextAnalysis.unigramVocab` +
     * `lmScore`): the CCNet/Gopher perplexity-filter shape — top-16
     * vocabulary ML log-probs, OOV floor ln(1/(total+1)), per-doc mean
@@ -4550,6 +4558,7 @@ object SparkEntry {
     "q118_bpe_encode" -> (q118BpeEncode _),
     "q119_itq_search" -> (q119ItqSearch _),
     "q120_ivfpqr_search" -> (q120IvfPqrSearch _),
+    "q121_bpe_doc_tokens" -> (q121BpeDocTokens _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4686,8 +4695,11 @@ object SparkEntry {
       if java.nio.file.Files.exists(path)
       merges = TextAnalysis.loadBpe(path.toString)
       if merges.nonEmpty
-    } yield Map("q118_bpe_encode" -> OracleSqlGen.bpeEncodeSql(
-      merges.map(m => (m.lhs, m.rhs)), topK = 40))).getOrElse(Map.empty)
+    } yield Map(
+      "q118_bpe_encode" -> OracleSqlGen.bpeEncodeSql(
+        merges.map(m => (m.lhs, m.rhs)), topK = 40),
+      "q121_bpe_doc_tokens" -> OracleSqlGen.bpeDocTokenSql(
+        merges.map(m => (m.lhs, m.rhs))))).getOrElse(Map.empty)
 
   /** Quality-classifier oracle, generated from the coefficients q94's
     * run just persisted — same lifecycle as [[pqOracleSqls]]. */

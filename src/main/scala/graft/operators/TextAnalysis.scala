@@ -188,6 +188,27 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document token counts UNDER the trained BPE — the statistic a
+    * packing/cost pipeline actually budgets with (pre-token counts
+    * over-estimate real tokenizer output; `bpeTokenEstimate` guesses).
+    * Zero shuffle: `token_tf` collapses the document to its vocabulary
+    * in place, then ONE per-row fold sums `tf × |bpe_encode(token)|` —
+    * a per-doc statistic must not cost a corpus-wide exchange at
+    * 100 TB. Returns (id, n_pretokens, n_bpe_tokens). */
+  def bpeTokenCountPerDoc(docs: DataFrame, merges: Seq[BpeMerge],
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val tf = GraftFunctions.tokenTf(col(textCol))
+    docs.select(col(idCol),
+      aggregate(tf, lit(0L),
+        (acc, e) => acc + e.getField("tf")).as("n_pretokens"),
+      aggregate(tf, lit(0L), (acc, e) => acc +
+        size(GraftFunctions.bpeEncode(e.getField("token"),
+          merges.map(m => (m.lhs, m.rhs)))).cast("long") * e.getField("tf"))
+        .as("n_bpe_tokens"))
+  }
+
   /** Persist a trained merge list as the tokenizer artifact (text:
     * header = count, then one `rank lhs rhs n` line per merge — symbols
     * never contain whitespace because [[BpeTokenPattern]] excludes it,

@@ -501,6 +501,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.loadBpe(path) == merges)
   }
 
+  test("bpeTokenCountPerDoc: per-doc budget fold, empty doc = 0/0") {
+    val docs = Seq((1L, "low low lower"), (2L, ""), (3L, "low")).toDF("doc_id", "text")
+    val merges = Seq(
+      TextAnalysis.BpeMerge(1, "l", "o", 0L), TextAnalysis.BpeMerge(2, "lo", "w", 0L))
+    val got = TextAnalysis.bpeTokenCountPerDoc(docs, merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // low → [low </w>] (2 syms); lower → [low e r </w>] (4 syms)
+    assert(got == Seq((1L, 3L, 8L), (2L, 0L, 0L), (3L, 1L, 2L)))
+  }
+
   test("bpeTokenCounts: symbol frequencies under an explicit merge list") {
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val merges = Seq(
