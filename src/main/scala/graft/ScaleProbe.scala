@@ -1057,6 +1057,22 @@ object ScaleProbe {
     timeWarm("768-d binary hamming top-100 (96 B/row, 12-word kernel)")(
       graft.operators.BinaryIndex.searchHamming(codes768, qCode768, 100).collect())
 
+    // ITQ-32: trained rotation in front of the sign codes — half the
+    // raw 64-d code bytes AND a learned axis alignment; the claim to
+    // check is candidate recall vs the untrained sign codes below.
+    val itq = graft.operators.ItqTransform.train(
+      base.withColumnRenamed("vec_id", "doc_id"), k = 32)
+    val itqPath = s"/tmp/graft-itq-scale-${factor}x"
+    if (!parquetComplete(spark, itqPath)) {
+      val t0 = System.nanoTime()
+      graft.operators.ItqTransform.encode(corpus, itq)
+        .write.mode("overwrite").parquet(itqPath)
+      println(f"[scale] itq-32 encode+write (one-off): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val itqCodes = spark.read.parquet(itqPath)
+    timeWarm("itq-32 hamming top-100 (1-word scan)")(
+      graft.operators.ItqTransform.search(itqCodes, itq, qVec, 100).collect())
+
     val exactIds = VectorSearch.knnScores(corpus, qVec, 10)
       .select("doc_id").as[Long].collect().toSet
     // Binary is a candidate generator: measure whether the exact top-10
@@ -1066,6 +1082,10 @@ object ScaleProbe {
       .select("doc_id").as[Long].collect().toSet
     println(s"[scale] binary candidate recall (exact@10 in hamming@100): " +
       s"${exactIds.intersect(band).size}/${exactIds.size}")
+    val itqBand = graft.operators.ItqTransform.search(itqCodes, itq, qVec, 100)
+      .select("doc_id").as[Long].collect().toSet
+    println(s"[scale] itq-32 candidate recall (exact@10 in hamming@100): " +
+      s"${exactIds.intersect(itqBand).size}/${exactIds.size}")
     val pcaIds = graft.operators.PcaTransform.search(projected, pca, qVec, 10)
       .select("doc_id").as[Long].collect().toSet
     println(s"[scale] pca-16 recall@10 (doc-id overlap): " +
@@ -1192,6 +1212,31 @@ object ScaleProbe {
     timeWarm("refined top-10 (IVFADC top-50 + exact re-rank)")(
       graft.operators.PqIndex.searchRefined(
         cellCorpus, corpus, ivf, rpq, qVec, 10, 50, nprobe).collect())
+
+    // IVFPQR: a refine PQ on the reconstruction error — re-rank the
+    // ADC candidates against the two-level reconstruction WITHOUT the
+    // float re-read searchRefined pays (the honest-negative from r8:
+    // refined loses RAM-cached because it touches the float table).
+    val pqrPath = s"/tmp/graft-ivfpqr-scale-${factor}x"
+    if (!parquetComplete(spark, s"$pqrPath/corpus")) {
+      val t0 = System.nanoTime()
+      val withCells = IvfIndex.assign(corpus, ivf)
+      val (enc, p1t, p2t) = graft.operators.PqIndex.buildIvfPqr(
+        withCells, ivf, m = 8, mRefine = 8, ksub = 16,
+        trainFraction = math.min(1.0, 100000.0 / n))
+      graft.operators.PqIndex.save(spark, p1t, s"$pqrPath/codebooks")
+      graft.operators.PqIndex.save(spark, p2t, s"$pqrPath/refine")
+      enc.select("doc_id", "cell_id", "codes", "codes2")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$pqrPath/corpus")
+      println(f"[scale] ivfpqr ingest (two-level codes + partitioned write): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val pqr1 = graft.operators.PqIndex.load(spark, s"$pqrPath/codebooks")
+    val pqr2 = graft.operators.PqIndex.load(spark, s"$pqrPath/refine")
+    val pqrCorpus = spark.read.parquet(s"$pqrPath/corpus")
+    timeWarm("IVFPQR top-10 (IVFADC top-50 + codes-only refine)")(
+      graft.operators.PqIndex.searchIvfPqr(
+        pqrCorpus, ivf, pqr1, pqr2, qVec, 10, 50, nprobe).collect())
 
     // Batched IVFADC: 8 queries through ONE union-of-probed-cells scan
     // (broadcast (query, cell, slot) join + bounded-aggregator top-k)

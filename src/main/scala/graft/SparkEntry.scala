@@ -3865,6 +3865,38 @@ object SparkEntry {
       .select(col("query_id"), col("vec_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Pairwise distance matrix ([[VectorSearch.pairwiseDistances]]):
+    * FAISS `pairwise_distances` — every (query, doc) pair over a
+    * bounded eval slice, squared L2 + inner product together. No
+    * ranking, no top-k: the matrix IS the result (eval harnesses,
+    * calibration audits). Fixed id windows keep the pair surface
+    * constant across scale factors. */
+  private def q122PairwiseDist(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    VectorSearch.pairwiseDistances(queries,
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 28), idCol = "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(col("l2sq"), 4).as("l2sq"), round(col("ip"), 4).as("ip"))
+      .orderBy("query_id", "vec_id")
+  }
+
+  private val q122Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 4)
+      |SELECT q.query_id, e.vec_id,
+      |  round(list_reduce(list_prepend(0.0,
+      |    list_transform(list_zip(q.qe, e.embedding),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+      |           (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+      |    (acc, t) -> acc + t), 4) AS l2sq,
+      |  round(${OracleSqlGen.dotFold("e.embedding", "q.qe")}, 4) AS ip
+      |FROM embeddings e, q
+      |WHERE e.vec_id >= 8 AND e.vec_id < 28
+      |ORDER BY query_id, vec_id""".stripMargin
+
   /** PCA-reduced search ([[PcaTransform]]): FAISS `PCAMatrix` 64→16 in
     * front of a flat-IP scan (`IndexPreTransform`). The oracle is
     * GENERATED from the persisted artifact — projection replay (strict
@@ -4559,6 +4591,7 @@ object SparkEntry {
     "q119_itq_search" -> (q119ItqSearch _),
     "q120_ivfpqr_search" -> (q120IvfPqrSearch _),
     "q121_bpe_doc_tokens" -> (q121BpeDocTokens _),
+    "q122_pairwise_dist" -> (q122PairwiseDist _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4640,6 +4673,7 @@ object SparkEntry {
     "q84_binary_search" -> q84Sql,
     "q103_binary_range" -> q103Sql,
     "q85_range_search" -> q85Sql,
+    "q122_pairwise_dist" -> q122Sql,
     "q89_binary_recall" -> q89Sql,
     "q93_corpus_screen" -> q93Sql,
     "q96_jsonl_roundtrip" -> q96Sql,

@@ -162,6 +162,32 @@ object VectorSearch {
       .select(col(queryIdCol), col(idCol), col("score"))
   }
 
+  /** Full distance matrix between a (small) query set and a corpus
+    * slice — FAISS `pairwise_distances`/`pairwise_distance_gpu`, the
+    * utility behind its eval harnesses: every (query, doc) pair with
+    * BOTH the squared L2 (FAISS's default metric form) and the inner
+    * product. Broadcast cross join; meant for bounded pair surfaces
+    * (eval sets, audits) — an unbounded corpus side would materialize
+    * n_q × n rows, which is what the top-k/range forms exist to avoid.
+    * The squared L2 is a sequential double fold over `(q − x)²`
+    * (oracle-replayable); the IP is the codegen `dot_f32`. */
+  def pairwiseDistances(queries: DataFrame, corpus: DataFrame,
+                        embCol: String = "embedding",
+                        idCol: String = "doc_id",
+                        queryIdCol: String = "query_id",
+                        queryEmbCol: String = "q_embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(queryIdCol), col(queryEmbCol))
+    corpus.crossJoin(broadcast(q))
+      .select(col(queryIdCol), col(idCol),
+        aggregate(
+          zip_with(col(queryEmbCol), col(embCol),
+            (a, b) => (a.cast("double") - b.cast("double")) *
+              (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("l2sq"),
+        GraftFunctions.dotF32(col(embCol), col(queryEmbCol)).as("ip"))
+  }
+
   // ---------------------------------------------------------------------
   // Dynamic-threshold retrieval (W1) — the reference's signature operator,
   // `components/core/search_service.py:41-184`: ONE top-k search, then a

@@ -106,4 +106,27 @@ class VectorSearchSpec extends AnyFunSuite {
     val hits = Seq((1L, 0.9), (2L, 0.5)).toDF("doc_id", "score")
     assert(VectorSearch.fixedThreshold(hits, 0.55).count() == 1)
   }
+
+  test("pairwiseDistances: full matrix, driver-replay exact values") {
+    val docs = Seq(
+      (10L, Array(1f, 0f, 2f)), (11L, Array(0f, 3f, 1f)), (12L, Array(2f, 2f, 2f))
+    ).toDF("doc_id", "embedding")
+    val qs = Seq((0L, Array(1f, 1f, 1f)), (1L, Array(0f, 0f, 1f)))
+      .toDF("query_id", "q_embedding")
+    val got = VectorSearch.pairwiseDistances(qs, docs)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(got.size == 6)
+    val qv = Map(0L -> Array(1f, 1f, 1f), 1L -> Array(0f, 0f, 1f))
+    val dv = Map(10L -> Array(1f, 0f, 2f), 11L -> Array(0f, 3f, 1f),
+      12L -> Array(2f, 2f, 2f))
+    for (((qi, di), (l2sq, ip)) <- got) {
+      val q = qv(qi); val d = dv(di)
+      val el2 = q.indices.foldLeft(0.0)((a, j) =>
+        a + (q(j).toDouble - d(j).toDouble) * (q(j).toDouble - d(j).toDouble))
+      val eip = q.indices.foldLeft(0.0)((a, j) =>
+        a + d(j).toDouble * q(j).toDouble)
+      assert(l2sq == el2 && ip == eip, s"($qi,$di): $l2sq/$ip vs $el2/$eip")
+    }
+  }
 }
