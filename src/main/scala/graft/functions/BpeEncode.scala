@@ -56,8 +56,23 @@ case class BpeEncodeExpression(first: Expression, second: Expression,
     ls.zip(rs)
   }
 
+  /** Per-task memo: natural-language corpora repeat words heavily (a
+    * document's fold calls this once per token occurrence), and the
+    * merge list is fixed for the expression's lifetime, so encoded
+    * results are safely shared. Access-order LRU, capped — vocabulary
+    * is Zipfian, the hot head is what matters. Results (immutable
+    * GenericArrayData) are reused across rows by design. */
+  @transient private lazy val memo =
+    new java.util.LinkedHashMap[String, Any](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Any]): Boolean =
+        size() > BpeEncodeExpression.MemoCap
+    }
+
   override def nullSafeEval(w: Any, l: Any, r: Any): Any = {
     val word = w.asInstanceOf[UTF8String].toString
+    val hit = memo.get(word)
+    if (hit != null) return hit
     var syms = BpeEncodeExpression.codepointSyms(word)
     var i = 0
     while (i < merges.length) {
@@ -65,8 +80,10 @@ case class BpeEncodeExpression(first: Expression, second: Expression,
       syms = graft.operators.TextAnalysis.applyMergePass(syms, lh, rh)
       i += 1
     }
-    new GenericArrayData(
+    val out = new GenericArrayData(
       syms.map(s => UTF8String.fromString(s)).asInstanceOf[Array[Any]])
+    memo.put(word, out)
+    out
   }
 
   override protected def withNewChildrenInternal(
@@ -76,6 +93,10 @@ case class BpeEncodeExpression(first: Expression, second: Expression,
 }
 
 object BpeEncodeExpression {
+  /** Memo bound per task — ~64k distinct words ≫ any hot vocabulary
+    * head; entries are small (the symbol arrays of one word). */
+  private[functions] val MemoCap = 65536
+
   /** Codepoint split + `</w>` — the symbol alphabet shared with
     * [[graft.operators.TextAnalysis.bpePairCounts]]'s
     * `regexp_extract_all(token, '.')` rule (surrogate-pair safe). */
