@@ -926,11 +926,6 @@ object OracleSqlGen {
        |ORDER BY e.vec_id""".stripMargin
   }
 
-  /** q78's oracle: IVFADC replayed from BOTH persisted artifacts — cell
-    * assignment via [[ivfAssignCtes]], FLOAT-cast residuals, per-subspace
-    * residual code assignment, L2 cell probe, per-cell query-residual
-    * LUT values folded in subspace order. Same rounding posture as
-    * [[pqSearchSql]]: select on the exact adc, compare rounded(4). */
   /** q120's oracle: IVFPQR — the [[ivfAdcSearchSql]] replay (assign,
     * residual, level-1 encode, ADC) extended with the SECOND quantizer:
     * decode₁ per doc, second-level residual (double-sub-float-cast ≡
@@ -1047,6 +1042,11 @@ object OracleSqlGen {
        |ORDER BY t.rdist ASC, t.doc_id ASC""".stripMargin
   }
 
+  /** q78's oracle: IVFADC replayed from BOTH persisted artifacts — cell
+    * assignment via [[ivfAssignCtes]], FLOAT-cast residuals, per-subspace
+    * residual code assignment, L2 cell probe, per-cell query-residual
+    * LUT values folded in subspace order. Same rounding posture as
+    * [[pqSearchSql]]: select on the exact adc, compare rounded(4). */
   def ivfAdcSearchSql(cents: Seq[Array[Double]],
                       books: Seq[Seq[Array[Double]]],
                       k: Int, nprobe: Int,
@@ -1722,19 +1722,16 @@ object OracleSqlGen {
        |    start_line, end_line
        |  FROM __merged)""".stripMargin
 
-  /** Corpus token frequencies under a trained BPE merge list (the
-    * `bpe_encode` kernel's contract, generated from the persisted
-    * merges artifact). Each merge is replayed as ONE `list_reduce`
-    * fold: elements are lifted to single-symbol lists so accumulator
-    * and element types unify, and "`acc`'s last symbol is `lhs`, the
+  /** The nested merge-fold expression shared by the BPE oracles: encode
+    * `wordExpr` by replaying every merge as ONE `list_reduce` pass.
+    * Elements are lifted to single-symbol lists so accumulator and
+    * element types unify, and "`acc`'s last symbol is `lhs`, the
     * incoming one is `rhs` → replace the last with `lhs||rhs`" is
     * EXACTLY the kernel's left-to-right non-overlapping pass — a
     * just-merged `lhs+rhs` can never equal `lhs` (rhs nonempty), so
     * neither side cascades within a pass (property-pinned in
     * TextAnalysisSpec). Merges nest in rank order; SQL size is linear
     * in the merge count. */
-  /** The nested merge-fold expression shared by the BPE oracles: encode
-    * `wordExpr` by replaying every merge as one `list_reduce` pass. */
   private def bpeFoldExpr(wordExpr: String,
                           merges: Seq[(String, String)]): String = {
     def esc(x: String) = x.replace("'", "''")
@@ -1751,6 +1748,10 @@ object OracleSqlGen {
     e
   }
 
+  /** q118's oracle: corpus token frequencies under a trained BPE merge
+    * list (the `bpe_encode` kernel's contract, generated from the
+    * persisted merges artifact) — full distinct-word table, every word
+    * encoded via [[bpeFoldExpr]], symbols unnested weighted by count. */
   def bpeEncodeSql(merges: Seq[(String, String)], topK: Int): String = {
     val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
     val e = bpeFoldExpr("token", merges)

@@ -192,21 +192,28 @@ object TextAnalysis {
     * packing/cost pipeline actually budgets with (pre-token counts
     * over-estimate real tokenizer output; `bpeTokenEstimate` guesses).
     * Zero shuffle: `token_tf` collapses the document to its vocabulary
-    * in place, then ONE per-row fold sums `tf × |bpe_encode(token)|` —
-    * a per-doc statistic must not cost a corpus-wide exchange at
-    * 100 TB. Returns (id, n_pretokens, n_bpe_tokens). */
+    * in place (evaluated ONCE per row — the explode(array(…)) generator
+    * is a deliberate barrier: CollapseProject would otherwise inline
+    * the regex scan into both downstream folds, and interpreted
+    * projections do no subexpression elimination), then two per-row
+    * folds over that materialized array sum the pre-token and
+    * `tf × |bpe_encode(token)|` totals — a per-doc statistic must not
+    * cost a corpus-wide exchange at 100 TB. Returns
+    * (id, n_pretokens, n_bpe_tokens). */
   def bpeTokenCountPerDoc(docs: DataFrame, merges: Seq[BpeMerge],
                           textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val tf = GraftFunctions.tokenTf(col(textCol))
-    docs.select(col(idCol),
-      aggregate(tf, lit(0L),
-        (acc, e) => acc + e.getField("tf")).as("n_pretokens"),
-      aggregate(tf, lit(0L), (acc, e) => acc +
-        size(GraftFunctions.bpeEncode(e.getField("token"),
-          merges.map(m => (m.lhs, m.rhs)))).cast("long") * e.getField("tf"))
-        .as("n_bpe_tokens"))
+    docs
+      .select(col(idCol),
+        explode(array(GraftFunctions.tokenTf(col(textCol)))).as("__tf"))
+      .select(col(idCol),
+        aggregate(col("__tf"), lit(0L),
+          (acc, e) => acc + e.getField("tf")).as("n_pretokens"),
+        aggregate(col("__tf"), lit(0L), (acc, e) => acc +
+          size(GraftFunctions.bpeEncode(e.getField("token"),
+            merges.map(m => (m.lhs, m.rhs)))).cast("long") * e.getField("tf"))
+          .as("n_bpe_tokens"))
   }
 
   /** Persist a trained merge list as the tokenizer artifact (text:
