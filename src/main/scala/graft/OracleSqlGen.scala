@@ -286,6 +286,73 @@ object OracleSqlGen {
        |ORDER BY nprobe""".stripMargin
   }
 
+  /** q123's oracle: nlist tuning sweep — one derived-table block per
+    * sweep point (each with its OWN `WITH`, so the fixed
+    * [[ivfAssignCtes]] names don't collide), unioned. Per block: the
+    * [[ivfRecallSweepSql]] recall replay at fixed nprobe, the
+    * [[ivfCellStatsSql]] imbalance formula, and the mean squared
+    * residual — FLOAT-cast residual (`residual_f32` parity), strict
+    * double self-dot fold, per-row round(6) → DECIMAL(22,6) sum so the
+    * corpus-wide mean is addition-order independent on both engines. */
+  def nlistSweepSql(points: Seq[(Int, Seq[Array[Double]])], k: Int,
+                    nprobe: Int, nq: Int): String = {
+    val blocks = points.map { case (nl, cents) =>
+      s"""SELECT * FROM (
+         |WITH ${ivfAssignCtes(cents)},
+         |qs AS (SELECT vec_id AS query_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id < $nq),
+         |probe AS (
+         |  SELECT q.query_id, c.cell_id, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+         |  FROM __cents c CROSS JOIN qs q),
+         |exact AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT q.query_id, e.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id ASC) AS rnk
+         |    FROM embeddings e CROSS JOIN qs q)
+         |  WHERE rnk <= $k),
+         |approx AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT p.query_id, a.doc_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id ASC) AS rnk
+         |    FROM __assigned a
+         |    JOIN probe p ON a.cell_id = p.cell_id AND p.pr <= $nprobe
+         |    JOIN qs q ON q.query_id = p.query_id)
+         |  WHERE rnk <= $k),
+         |ov AS (
+         |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_overlap
+         |  FROM (SELECT e.query_id, count(*) AS n FROM exact e
+         |        JOIN approx x USING (query_id, doc_id) GROUP BY 1)),
+         |counts AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n
+         |           FROM __assigned GROUP BY 1),
+         |imb AS (
+         |  SELECT round(($nl.0 * CAST(sum(n*n) AS DOUBLE)) /
+         |    (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 4)
+         |    AS imbalance_factor
+         |  FROM counts),
+         |res AS (
+         |  SELECT a.doc_id,
+         |    list_transform(list_zip(a.embedding, c.c),
+         |      p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT)) AS r
+         |  FROM __assigned a JOIN __cents c USING (cell_id)),
+         |d2 AS (
+         |  SELECT doc_id, list_reduce(list_prepend(0.0,
+         |    list_transform(r, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |    (acc, t) -> acc + t) AS d2
+         |  FROM res),
+         |mr AS (
+         |  SELECT round(CAST(sum(CAST(round(d2, 6) AS DECIMAL(22,6))) AS DOUBLE)
+         |    / count(*), 4) AS mean_resid
+         |  FROM d2)
+         |SELECT CAST($nl AS BIGINT) AS nlist, i.imbalance_factor, m.mean_resid,
+         |  o.n_overlap, round(o.n_overlap / ${nq * k}.0, 4) AS recall
+         |FROM imb i, mr m, ov o)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$blocks\nORDER BY nlist"
+  }
+
   /** q79's oracle: SQ8 encode + reconstructed-inner-product top-k,
     * replayed from the persisted per-dim bounds. Encode is
     * `clamp(floor((x − vmin)/step + 0.5), 0, 255)` — `floor(t + 0.5)`

@@ -1648,6 +1648,64 @@ object SparkEntry {
       .orderBy("nprobe")
   }
 
+  /** Per-nlist sweep quantizer cache (q123) — each sweep point persists
+    * its own artifact, [[ivfCachePath]] lifecycle. */
+  private def ivfSweepPath(s: SparkSession, dir: String, nl: Int): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0x5eeb0L + nl) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivfsweep-$key"
+  }
+
+  private[graft] val sweepNlists = Seq(4, 16, 64)
+
+  /** nlist tuning sweep: the OTHER FAISS `ParameterSpace` axis (q107
+    * sweeps nprobe at fixed nlist; this sweeps nlist at fixed
+    * nprobe=4). Per point: the list-balance diagnostic
+    * (`imbalance_factor`, FAISS's own health number), the quantization
+    * objective (mean squared residual to the assigned centroid — what
+    * KMeans minimizes, summed through DECIMAL so the corpus-wide mean
+    * is order-independent and cross-engine exact), and recall@10 over
+    * the q107 query batch. The table a deployment reads before fixing
+    * nlist: more cells = finer cells (residual ↓) but fewer probed
+    * rows (recall ↓ at fixed nprobe) and rising imbalance. Oracle
+    * GENERATED from all sweep quantizer artifacts. */
+  private def q123NlistSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val queries = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val qdf = queries.toDF("query_id", "q_embedding")
+    val exact = VectorSearch.knnBatchAggregated(qdf, emb, 10)
+      .select("query_id", "doc_id")
+    sweepNlists.map { nl =>
+      val ivf = IvfIndex.buildOrLoad(s, emb, nl,
+        s"${ivfSweepPath(s, dir, nl)}/quantizer.txt")
+      val withCells = IvfIndex.assign(emb, ivf)
+      val imb = withCells.groupBy("cell_id").agg(count(lit(1)).as("n"))
+        .agg((lit(nl.toDouble) * sum(col("n") * col("n")).cast("double") /
+          (sum(col("n")).cast("double") * sum(col("n")).cast("double")))
+          .as("imbalance"))
+      val res = PqIndex.residualColumn(ivf, col("embedding"), col("cell_id"))
+      val mr = withCells
+        .withColumn("__d2", GraftFunctions.dotF32(res, res))
+        .agg((sum(round(col("__d2"), 6).cast("decimal(22,6)")).cast("double") /
+          count(lit(1))).as("mean_resid"))
+      val approx = IvfIndex.searchBatch(withCells, ivf, queries,
+          k = 10, nprobe = 4)
+        .select("query_id", "doc_id")
+      val ov = VectorSearch.recallVsExact(qdf, exact, approx, "doc_id", k = 10)
+        .agg(coalesce(sum(col("n_overlap")), lit(0L)).cast("long")
+          .as("n_overlap"))
+      imb.crossJoin(mr).crossJoin(ov).withColumn("nlist", lit(nl.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("nlist"), round(col("imbalance"), 4).as("imbalance_factor"),
+        round(col("mean_resid"), 4).as("mean_resid"), col("n_overlap"),
+        round(col("n_overlap") / lit(80.0), 4).as("recall"))
+      .orderBy("nlist")
+  }
+
   private def q22CorpusBuild(s: SparkSession, dir: String): DataFrame = {
     // Documents concatenated per source simulate multi-paragraph files;
     // chunk + embed into the canonical corpus schema (FIXTURES.md §1).
@@ -4592,6 +4650,7 @@ object SparkEntry {
     "q120_ivfpqr_search" -> (q120IvfPqrSearch _),
     "q121_bpe_doc_tokens" -> (q121BpeDocTokens _),
     "q122_pairwise_dist" -> (q122PairwiseDist _),
+    "q123_nlist_sweep" -> (q123NlistSweep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4686,7 +4745,7 @@ object SparkEntry {
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
     sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ opqIvfOracleSqls ++
     ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ rqOracleSqls ++
-    bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls
+    bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls ++ nlistSweepOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -4887,6 +4946,27 @@ object SparkEntry {
       val comps: Seq[Array[Double]] = (2 until lines.size())
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       Map("q86_pca_search" -> OracleSqlGen.pcaSearchSql(mean, comps, k = 10))
+    }).getOrElse(Map.empty)
+
+  /** nlist-sweep oracle, generated from ALL the sweep quantizer
+    * artifacts q123's run just persisted — omitted unless every sweep
+    * point's artifact exists and is trained. */
+  private def nlistSweepOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      paths = sweepNlists.map(nl =>
+        java.nio.file.Paths.get(s"${ivfSweepPath(s, dir, nl)}/quantizer.txt"))
+      if paths.forall(java.nio.file.Files.exists(_))
+      linesAll = paths.map(java.nio.file.Files.readAllLines(_))
+      if linesAll.forall(_.get(0).split(" ")(1).toInt > 0)
+    } yield {
+      val points = sweepNlists.zip(linesAll).map { case (nl, lines) =>
+        (nl, (1 until lines.size())
+          .map(i => lines.get(i).split(" ").map(_.toDouble)): Seq[Array[Double]])
+      }
+      Map("q123_nlist_sweep" ->
+        OracleSqlGen.nlistSweepSql(points, k = 10, nprobe = 4, nq = 8))
     }).getOrElse(Map.empty)
 
   /** ITQ oracle, generated from the composed transform q119's run just
