@@ -1838,10 +1838,12 @@ object OracleSqlGen {
     * length via the shared merge-fold replay, then `Σ tf·|enc(token)|`
     * per document (tokenless docs = 0/0, matching the engine's fold
     * over an empty `token_tf` array). */
-  def bpeDocTokenSql(merges: Seq[(String, String)]): String = {
+  /** The shared per-doc BPE-count CTE chain (`toks`/`tf`/`enc`/`agg`)
+    * used by the q121 and q124 oracles. */
+  private def bpeDocCountCtes(merges: Seq[(String, String)]): String = {
     val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
     val e = bpeFoldExpr("token", merges)
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$pat')) AS token
       |  FROM documents),
       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
@@ -1849,11 +1851,34 @@ object OracleSqlGen {
       |enc AS (SELECT doc_id, tf, CAST(len($e) AS BIGINT) AS ns FROM tf),
       |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS np,
       |               CAST(sum(tf * ns) AS BIGINT) AS nb
-      |        FROM enc GROUP BY 1)
+      |        FROM enc GROUP BY 1)""".stripMargin
+  }
+
+  def bpeDocTokenSql(merges: Seq[(String, String)]): String =
+    s"""WITH ${bpeDocCountCtes(merges)}
       |SELECT d.doc_id,
       |  coalesce(a.np, 0) AS n_pretokens,
       |  coalesce(a.nb, 0) AS n_bpe_tokens
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
-  }
+
+  /** q124's oracle: BPE-budget packing — the per-doc count replay
+    * ([[bpeDocCountCtes]]) fed through the q52 streaming-pack window
+    * (`bin = (cumsum_before_doc) div budget`, per-shard, id order) and
+    * summarized per (source, bin). */
+  def bpePackSql(merges: Seq[(String, String)], budget: Long): String =
+    s"""WITH ${bpeDocCountCtes(merges)},
+      |counted AS (
+      |  SELECT d.doc_id, d.source, coalesce(a.nb, 0) AS nb
+      |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+      |cum AS (
+      |  SELECT doc_id, source, nb,
+      |    sum(nb) OVER (PARTITION BY source ORDER BY doc_id) AS c
+      |  FROM counted),
+      |bins AS (SELECT source, (c - nb) // $budget AS bin, nb FROM cum)
+      |SELECT source, CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+      |FROM bins GROUP BY 1, 2
+      |ORDER BY source, bin""".stripMargin
 }

@@ -1648,6 +1648,22 @@ object SparkEntry {
       .orderBy("nprobe")
   }
 
+  /** BPE-budget packing ([[Packing.assignBinsByCost]] over
+    * [[TextAnalysis.bpeTokenCountPerDoc]]): the tokenizer and packing
+    * tiers composed — bins are laid out by what the TRAINED tokenizer
+    * will actually emit, not the whitespace estimate (q52's posture,
+    * real budgets). Same streaming-pack semantics: one window cumsum
+    * per shard, documents never reordered or split. */
+  private def q124BpePack(s: SparkSession, dir: String): DataFrame =
+    Packing.assignBinsByCost(
+        TextAnalysis.bpeTokenCountPerDoc(t(s, dir, "documents"),
+          bpeMergesArtifact(s, dir), keepCols = Seq("source")),
+        budget = 2000, costCol = "n_bpe_tokens")
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_bpe_tokens").cast("long").as("n_bpe_tokens"))
+      .orderBy("source", "bin")
+
   /** Per-nlist sweep quantizer cache (q123) — each sweep point persists
     * its own artifact, [[ivfCachePath]] lifecycle. */
   private def ivfSweepPath(s: SparkSession, dir: String, nl: Int): String = {
@@ -4651,6 +4667,7 @@ object SparkEntry {
     "q121_bpe_doc_tokens" -> (q121BpeDocTokens _),
     "q122_pairwise_dist" -> (q122PairwiseDist _),
     "q123_nlist_sweep" -> (q123NlistSweep _),
+    "q124_bpe_pack" -> (q124BpePack _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4792,7 +4809,9 @@ object SparkEntry {
       "q118_bpe_encode" -> OracleSqlGen.bpeEncodeSql(
         merges.map(m => (m.lhs, m.rhs)), topK = 40),
       "q121_bpe_doc_tokens" -> OracleSqlGen.bpeDocTokenSql(
-        merges.map(m => (m.lhs, m.rhs))))).getOrElse(Map.empty)
+        merges.map(m => (m.lhs, m.rhs))),
+      "q124_bpe_pack" -> OracleSqlGen.bpePackSql(
+        merges.map(m => (m.lhs, m.rhs)), budget = 2000))).getOrElse(Map.empty)
 
   /** Quality-classifier oracle, generated from the coefficients q94's
     * run just persisted — same lifecycle as [[pqOracleSqls]]. */

@@ -30,12 +30,23 @@ object Packing {
     * `bin = (cumsum_before_doc) div budget` — integer arithmetic only,
     * exact at any corpus size. */
   def assignBins(docs: DataFrame, budget: Long, textCol: String = "text",
-                 idCol: String = "doc_id", shardCol: String = "source"): DataFrame = {
+                 idCol: String = "doc_id", shardCol: String = "source"): DataFrame =
+    assignBinsByCost(docs.withColumn("n_tokens", tokenCount(col(textCol))),
+      budget, "n_tokens", idCol, shardCol)
+
+  /** Bin assignment from a PRECOMPUTED integer cost column — the same
+    * streaming-pack semantics with the cost definition left to the
+    * caller; the production pairing is
+    * [[TextAnalysis.bpeTokenCountPerDoc]]'s `n_bpe_tokens`, so bins
+    * reflect what the TRAINED tokenizer will actually emit rather than
+    * the whitespace estimate. */
+  def assignBinsByCost(docs: DataFrame, budget: Long, costCol: String,
+                       idCol: String = "doc_id",
+                       shardCol: String = "source"): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy(shardCol).orderBy(col(idCol))
-    docs.withColumn("n_tokens", tokenCount(col(textCol)))
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin", expr(s"(__cum - n_tokens) div $budget"))
+    docs.withColumn("__cum", sum(col(costCol)).over(w))
+      .withColumn("bin", expr(s"(__cum - $costCol) div $budget"))
       .drop("__cum")
   }
 

@@ -202,18 +202,20 @@ object TextAnalysis {
     * (id, n_pretokens, n_bpe_tokens). */
   def bpeTokenCountPerDoc(docs: DataFrame, merges: Seq[BpeMerge],
                           textCol: String = "text",
-                          idCol: String = "doc_id"): DataFrame = {
+                          idCol: String = "doc_id",
+                          keepCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    val kept = keepCols.map(col)
     docs
-      .select(col(idCol),
-        explode(array(GraftFunctions.tokenTf(col(textCol)))).as("__tf"))
-      .select(col(idCol),
+      .select(col(idCol) +: kept :+
+        explode(array(GraftFunctions.tokenTf(col(textCol)))).as("__tf"): _*)
+      .select(col(idCol) +: kept :+
         aggregate(col("__tf"), lit(0L),
-          (acc, e) => acc + e.getField("tf")).as("n_pretokens"),
+          (acc, e) => acc + e.getField("tf")).as("n_pretokens") :+
         aggregate(col("__tf"), lit(0L), (acc, e) => acc +
           size(GraftFunctions.bpeEncode(e.getField("token"),
             merges.map(m => (m.lhs, m.rhs)))).cast("long") * e.getField("tf"))
-          .as("n_bpe_tokens"))
+          .as("n_bpe_tokens"): _*)
   }
 
   /** Persist a trained merge list as the tokenizer artifact (text:
