@@ -1405,6 +1405,11 @@ object SparkEntry {
     ivfSq4Corpus(s, dir)
     bivfCorpus(s, dir); graphCorpus(s, dir); itqCorpus(s, dir)
     ivfPqrCorpus(s, dir)
+    bpeMergesArtifact(s, dir)
+    sweepNlists.foreach { nl =>
+      val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+      IvfIndex.buildOrLoad(s, emb, nl, s"${ivfSweepPath(s, dir, nl)}/quantizer.txt")
+    }
     ()
   }
 
