@@ -107,10 +107,10 @@ object IndexFactory {
       case other => (None, other)
     }
     val (code, rest3) = rest2 match {
-      case h :: _ if h.startsWith("HNSW") =>
-        // Decision record in MIGRATION.md: HNSW's hierarchical in-RAM
-        // pointer chase doesn't translate to a scan engine; the graph
-        // VALUE does — as the cell-blocked k-NN graph + beam walk.
+      case h :: _ if h.startsWith("HNSW") || h.startsWith("NSG") =>
+        // Decision record in MIGRATION.md: HNSW/NSG's hierarchical
+        // in-RAM pointer chase doesn't translate to a scan engine; the
+        // graph VALUE does — as the cell-blocked k-NN graph + beam walk.
         fail(s"'$h' is not built here — use GraphSearch.searchBeam over " +
           "the KnnGraph.cellBlocked graph (the q97 path), or an IVF descriptor")
       case "Flat" :: tail => (Flat, tail)

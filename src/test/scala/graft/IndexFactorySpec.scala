@@ -44,7 +44,7 @@ class IndexFactorySpec extends AnyFunSuite {
   test("unsupported descriptors fail loudly, naming the string") {
     // PCAR = PCA + random rotation in FAISS: rejected, not silently
     // mapped to plain PCA; Flat,RFlat would re-rank already-exact scores
-    Seq("HNSW32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ8",
+    Seq("HNSW32", "NSG32", "IVF64,LSH", "PQ8,RFlat", "Flat,Extra", "OPQ16,PQ8",
       "OPQ8,Flat", "PCA8,BIVF16", "BIVF16,Flat", "PCAR8,IVF4,PQ4",
       "IVF64,Flat,RFlat", "SQ8,RFlat", "SQ4,RFlat",
       "ITQ8,Flat", "ITQ8,PQ4", "ITQ8,BIVF16",
