@@ -4249,8 +4249,16 @@ object SparkEntry {
     * a 100 TB corpus is read once for all verdicts; the per-rule
     * queries (q12/q75/q65) remain the rule-level gates, this is the
     * composed pipeline gate. */
-  private def q93CorpusScreen(s: SparkSession, dir: String): DataFrame = {
+  private def q93CorpusScreen(s: SparkSession, dir: String): DataFrame =
+    screenVerdicts(s, dir).orderBy("doc_id")
+
+  /** The composed screen scan behind q93 and the q126 rollup —
+    * `keepCols` pass extra document columns (e.g. `source`) through the
+    * ONE scan so rollups never re-join the corpus. */
+  private def screenVerdicts(s: SparkSession, dir: String,
+                             keepCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(s)
+    val kept = keepCols.map(col)
     // Language is judged on the RAW text (the appended English sentences
     // would drown the marker counts); the C4/Gopher verdicts run on a
     // lightly seeded body — 3/4 of docs get a sentence-shaped tail so
@@ -4265,22 +4273,80 @@ object SparkEntry {
     // testdata scan across cores (stats-gated — a no-op on real-scale
     // multi-split inputs).
     Dedup.spreadSmallInput(t(s, dir, "documents"))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: kept :+
         TextAnalysis.langIdFromStats(
-          GraftFunctions.textStats(col("text"))).as("lang_pred"),
-        when(col("doc_id") % 4 === 0, col("text"))
-          .otherwise(concat(col("text"), lit(tail))).as("body"))
+          GraftFunctions.textStats(col("text"))).as("lang_pred") :+
+        (when(col("doc_id") % 4 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(tail)))).as("body"): _*)
       // ONE kernel pass for both verdicts (screen_flags ≡ the composed
       // gopherFlags/c4Signals forms — parity-spec-pinned field-for-field)
       .withColumn("sf", GraftFunctions.screenFlags(col("body"),
         lit(50), lit(100000), lit(3), lit(2)))
-      .select(col("doc_id"), col("lang_pred"),
-        col("sf.gopher_keep").as("gopher_keep"),
-        col("sf.c4_keep").as("c4_keep"),
-        (col("lang_pred") === "en" && col("gopher_keep") && col("c4_keep"))
-          .as("kept"))
+      .select(col("doc_id") +: kept :+ col("lang_pred") :+
+        col("sf.gopher_keep").as("gopher_keep") :+
+        col("sf.c4_keep").as("c4_keep") :+
+        (col("lang_pred") === "en" && col("sf.gopher_keep") &&
+          col("sf.c4_keep")).as("kept"): _*)
+  }
+
+  /** Per-source quality rollup ([[screenVerdicts]] + one groupBy): the
+    * "which domains are junk" table a pipeline reads before adjusting
+    * its crawl/mix — keep rates per source from the SAME single screen
+    * scan as q93 (`source` rides the scan; the corpus is never
+    * re-joined). Counts and a ratio of exact longs only — no
+    * order-dependent double accumulation. */
+  private def q126SourceQuality(s: SparkSession, dir: String): DataFrame =
+    screenVerdicts(s, dir, keepCols = Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).cast("long")
+          .as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("n_en"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4).as("keep_rate"))
+      .orderBy("source")
+
+  /** Corpus snapshot diff ([[graft.sources.CorpusStore.diff]]): the
+    * added/removed/changed audit between two corpus versions. The "old"
+    * snapshot is constructed deterministically from the documents table
+    * (every 5th id missing = `added` in new; every 11th modified =
+    * `changed`; a shifted copy of every 7th = `removed`), so the oracle
+    * replays the construction and the classification both. */
+  private def q125CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.sources.CorpusStore.diff(old, docs)
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
       .orderBy("doc_id")
   }
+
+  private val q125Sql =
+    """WITH old AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |o AS (SELECT doc_id, md5(text) AS old_fp FROM old),
+      |n AS (SELECT doc_id, md5(text) AS new_fp FROM documents),
+      |j AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN old_fp IS NULL THEN 'added'
+      |       WHEN new_fp IS NULL THEN 'removed'
+      |       WHEN old_fp <> new_fp THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM j
+      |WHERE NOT (old_fp IS NOT NULL AND new_fp IS NOT NULL AND old_fp = new_fp)
+      |ORDER BY doc_id""".stripMargin
 
   /** Trained quality classifier ([[QualityClassifier]]): the
     * FineWeb-Edu-style learned filter — weak labels (here the language
@@ -4333,11 +4399,13 @@ object SparkEntry {
     """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  private val q93Sql = {
+  /** The q93 screen-replay CTE chain (seeded -> langp -> gf -> ckeep),
+    * shared verbatim by [[q126Sql]]'s rollup. */
+  private val q93SqlParts: String = {
     def markers(l: String) =
       TextAnalysis.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
     val stopList = TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH seeded AS (
+    s"""seeded AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 4 = 0 THEN text
        |         ELSE text || '.' || chr(10) ||
@@ -4415,13 +4483,34 @@ object SparkEntry {
        |ckeep AS (
        |  SELECT doc_id,
        |    (NOT has_lorem AND NOT has_brace AND n_sent >= 2) AS c4_keep
-       |  FROM cm)
+       |  FROM cm)""".stripMargin
+  }
+
+  private val q93Sql =
+    s"""WITH ${q93SqlParts}
        |SELECT d.doc_id, langp.lang_pred, gf.gopher_keep, ckeep.c4_keep,
        |  (langp.lang_pred = 'en' AND gf.gopher_keep AND ckeep.c4_keep) AS kept
        |FROM documents d
        |JOIN langp USING (doc_id) JOIN gf USING (doc_id) JOIN ckeep USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
-  }
+
+  /** q126's oracle: the q93 screen replay rolled up per source — the
+    * SAME CTE chain (kept in lockstep via [[q93SqlParts]]), one GROUP
+    * BY; counts and a long/long ratio only. */
+  private val q126Sql =
+    s"""WITH ${q93SqlParts},
+       |v AS (
+       |  SELECT d.source,
+       |    (langp.lang_pred = 'en' AND gf.gopher_keep AND ckeep.c4_keep) AS kept,
+       |    langp.lang_pred
+       |  FROM documents d
+       |  JOIN langp USING (doc_id) JOIN gf USING (doc_id) JOIN ckeep USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+       |    AS keep_rate
+       |FROM v GROUP BY 1 ORDER BY source""".stripMargin
 
   private val q89Sql =
     s"""WITH ${OracleSqlGen.wideCte()},
@@ -4673,6 +4762,8 @@ object SparkEntry {
     "q122_pairwise_dist" -> (q122PairwiseDist _),
     "q123_nlist_sweep" -> (q123NlistSweep _),
     "q124_bpe_pack" -> (q124BpePack _),
+    "q125_corpus_diff" -> (q125CorpusDiff _),
+    "q126_source_quality" -> (q126SourceQuality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4755,6 +4846,8 @@ object SparkEntry {
     "q103_binary_range" -> q103Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
+    "q125_corpus_diff" -> q125Sql,
+    "q126_source_quality" -> q126Sql,
     "q89_binary_recall" -> q89Sql,
     "q93_corpus_screen" -> q93Sql,
     "q96_jsonl_roundtrip" -> q96Sql,

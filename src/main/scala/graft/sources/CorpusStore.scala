@@ -60,6 +60,29 @@ object CorpusStore {
             idCol: String = "doc_id"): DataFrame =
     append(left, right, idCol)
 
+  /** Snapshot diff — the data-ops audit between two corpus versions:
+    * every id classified `added` / `removed` / `changed` / `unchanged`
+    * by content fingerprint (md5 — replicable cross-engine like every
+    * hash in this codebase). ONE full-outer join on the id; both sides
+    * reduce to (id, fp) before the exchange, so the shuffle carries
+    * ~48 B/row regardless of document size, and bucketed-by-id corpus
+    * layouts make the join co-partitioned. Callers usually filter
+    * `status != 'unchanged'`. */
+  def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String = "doc_id",
+           textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldDf.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("old_fp"))
+    val n = newDf.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged"))
+  }
+
   /** Clear-then-rebuild (`components/core/index_service.py:127-141`). */
   def rebuild(spark: SparkSession, path: String, fresh: DataFrame): DataFrame = {
     save(fresh, path)

@@ -81,4 +81,13 @@ class StoresSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(merged == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("diff classifies added/removed/changed/unchanged by content fp") {
+    val old = Seq((1L, "a"), (2L, "b"), (4L, "gone")).toDF("doc_id", "text")
+    val neu = Seq((1L, "a"), (2L, "B2"), (3L, "new")).toDF("doc_id", "text")
+    val got = CorpusStore.diff(old, neu)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "added", 4L -> "removed"))
+  }
 }
