@@ -2898,7 +2898,10 @@ object SparkEntry {
     * single-round "drop per pair" cannot label these); the DuckDB oracle
     * replays the full pipeline and resolves components with a RECURSIVE
     * transitive-closure CTE. */
-  private def q63NearDupComponents(s: SparkSession, dir: String): DataFrame = {
+  /** The q63 chain-seeded corpus + its verified-pair component frame —
+    * shared by q63 and the q127 leakage-safe split. */
+  private def chainComponents(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     GraftFunctions.register(s)
     val chain = expr("array_join(transform(sequence(0, 39), " +
       "j -> concat('cw', cast(div(doc_id, 25) * 2 + " +
@@ -2907,9 +2910,44 @@ object SparkEntry {
       .withColumn("text", when(col("doc_id") % 25 === 0, chain).otherwise(col("text")))
     val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
       n = 3, bands = 4, minJaccard = 0.85)
-    Dedup.nearDupComponents(pairs)
-      .select(col("id").as("doc_id"), col("comp"))
+    (docs, Dedup.nearDupComponents(pairs))
+  }
+
+  private def q63NearDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val (_, comps) = chainComponents(s, dir)
+    comps.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+  }
+
+  /** Leakage-safe train/val/test split: membership hashed on the
+    * near-dup COMPONENT representative (singletons = their own id), so
+    * near-duplicate documents can never straddle a split — the eval
+    * split stays uncontaminated by trainset paraphrases. Composition of
+    * the q63 components and q53's salted hash-range assignment; one
+    * left join of the (sparse) component frame against the corpus. */
+  private def q127SafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val (docs, comps) = chainComponents(s, dir)
+    val keyed = docs.select(col("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("comp"), col("doc_id")))
+    Sampling.assignSplit(keyed,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), keyCol = "split_key")
+      .select(col("doc_id"), col("split_key"), col("split"))
       .orderBy("doc_id")
+  }
+
+  // lazy: composes q63ComponentsCtes, which is declared later in the file
+  private lazy val q127Sql = {
+    val t1 = Sampling.thresholdHex(0.8)
+    val t2 = Sampling.thresholdHex(0.8 + 0.1)
+    s"""${q63ComponentsCtes}keyed AS (
+      |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS split_key
+      |  FROM documents d LEFT JOIN comps c USING (doc_id))
+      |SELECT doc_id, split_key,
+      |  CASE WHEN substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 8) < '$t1' THEN 'train'
+      |       WHEN substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 8) < '$t2' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM keyed
+      |ORDER BY doc_id""".stripMargin
   }
 
   /** Shared CTE chain for q63/q71: the injected chain corpus, its trigram
@@ -4764,6 +4802,7 @@ object SparkEntry {
     "q124_bpe_pack" -> (q124BpePack _),
     "q125_corpus_diff" -> (q125CorpusDiff _),
     "q126_source_quality" -> (q126SourceQuality _),
+    "q127_safe_split" -> (q127SafeSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4848,6 +4887,7 @@ object SparkEntry {
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
     "q126_source_quality" -> q126Sql,
+    "q127_safe_split" -> q127Sql,
     "q89_binary_recall" -> q89Sql,
     "q93_corpus_screen" -> q93Sql,
     "q96_jsonl_roundtrip" -> q96Sql,

@@ -172,4 +172,28 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
+
+  test("component-keyed split: a near-dup cluster never straddles splits") {
+    // the q127 composition: split on coalesce(comp, doc_id) — every
+    // member of a component hashes the same key, so equality is
+    // structural; the test pins the wiring (left join + coalesce), and
+    // that singletons still spread across splits.
+    val comps = Seq((10L, 3L), (11L, 3L), (12L, 3L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "comp")
+    val docs = (0L until 60L).toDF("doc_id")
+    val keyed = docs.join(comps, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce($"comp", $"doc_id"))
+    val split = Sampling.assignSplit(keyed,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), keyCol = "split_key")
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect()
+    val byKey = split.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    byKey.foreach { case (k, ss) =>
+      assert(ss.size == 1, s"split key $k straddles splits: $ss")
+    }
+    assert(split.map(_._3).distinct.size > 1, "singletons must spread")
+    // members of comp 3 and comp 20 each landed together
+    assert(split.filter(t => Seq(10L, 11L, 12L).contains(t._1))
+      .map(_._3).distinct.size == 1)
+  }
 }
