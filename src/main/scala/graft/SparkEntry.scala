@@ -2898,6 +2898,56 @@ object SparkEntry {
     * single-round "drop per pair" cannot label these); the DuckDB oracle
     * replays the full pipeline and resolves components with a RECURSIVE
     * transitive-closure CTE. */
+  /** HTML → text extraction ([[graft.sources.HtmlIngest]]): the
+    * web-corpus ingest front — script/style/comment stripping, block
+    * structure to newlines, single-pass entity decode (`&amp;` last),
+    * whitespace canon. Documents are wrapped in deterministic HTML
+    * (title, style, a script whose body contains `<`, entities, a
+    * conditional list, a comment) so every pass of the chain is
+    * exercised; the oracle replays the SAME chain via
+    * [[graft.sources.HtmlIngest.htmlToTextSql]]. */
+  private def q128HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.HtmlIngest
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; notes</title>"),
+      lit("<style>p { color: red }</style></head><body>"),
+      lit("<script type=\"text/javascript\">var x = 1; if (x < 2) { x++; }</script>"),
+      lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+      col("text"), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<ul><li>alpha &lt;tag&gt;</li><li>beta &quot;q&quot;</li></ul>"))
+        .otherwise(lit("")),
+      lit("<!-- note -->ending &amp;amp; done</body></html>"))
+    t(s, dir, "documents").withColumn("html", html)
+      .select(col("doc_id"),
+        HtmlIngest.htmlTitle(col("html")).as("title"),
+        md5(HtmlIngest.htmlToText(col("html")).cast("binary")).as("fp"),
+        length(HtmlIngest.htmlToText(col("html"))).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val q128Sql = {
+    import graft.sources.HtmlIngest
+    s"""WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    ' &amp; notes</title>' ||
+      |    '<style>p { color: red }</style></head><body>' ||
+      |    '<script type="text/javascript">var x = 1; if (x < 2) { x++; }</script>' ||
+      |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>' ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN '<ul><li>alpha &lt;tag&gt;</li><li>beta &quot;q&quot;</li></ul>'
+      |      ELSE '' END ||
+      |    '<!-- note -->ending &amp;amp; done</body></html>' AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ${HtmlIngest.htmlTitleSql("html")} AS title,
+      |  md5(${HtmlIngest.htmlToTextSql("html")}) AS fp,
+      |  CAST(length(${HtmlIngest.htmlToTextSql("html")}) AS BIGINT) AS n_chars
+      |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   /** The q63 chain-seeded corpus + its verified-pair component frame —
     * shared by q63 and the q127 leakage-safe split. */
   private def chainComponents(s: SparkSession, dir: String)
@@ -4803,6 +4853,7 @@ object SparkEntry {
     "q125_corpus_diff" -> (q125CorpusDiff _),
     "q126_source_quality" -> (q126SourceQuality _),
     "q127_safe_split" -> (q127SafeSplit _),
+    "q128_html_extract" -> (q128HtmlExtract _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4888,6 +4939,7 @@ object SparkEntry {
     "q125_corpus_diff" -> q125Sql,
     "q126_source_quality" -> q126Sql,
     "q127_safe_split" -> q127Sql,
+    "q128_html_extract" -> q128Sql,
     "q89_binary_recall" -> q89Sql,
     "q93_corpus_screen" -> q93Sql,
     "q96_jsonl_roundtrip" -> q96Sql,
