@@ -4422,8 +4422,8 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id, text
       |  FROM documents WHERE doc_id % 7 = 0),
-      |o AS (SELECT doc_id, md5(text) AS old_fp FROM old),
-      |n AS (SELECT doc_id, md5(text) AS new_fp FROM documents),
+      |o AS (SELECT doc_id, coalesce(md5(text), 'null') AS old_fp FROM old),
+      |n AS (SELECT doc_id, coalesce(md5(text), 'null') AS new_fp FROM documents),
       |j AS (
       |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp
       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)

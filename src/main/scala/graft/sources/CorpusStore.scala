@@ -71,11 +71,14 @@ object CorpusStore {
   def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String = "doc_id",
            textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val o = oldDf.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("old_fp"))
-    val n = newDf.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("new_fp"))
-    o.join(n, Seq(idCol), "full_outer")
+    // NULL text gets a sentinel fingerprint ("null" is not a hex
+    // digest, so it cannot collide): fp nullability must mean "id
+    // absent from this snapshot" (the join-miss signal), never "text
+    // was null" — otherwise a null-text row present in both snapshots
+    // would misclassify as added/removed.
+    def fp(df: DataFrame, as: String) = df.select(col(idCol),
+      coalesce(md5(col(textCol).cast("binary")), lit("null")).as(as))
+    fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq(idCol), "full_outer")
       .withColumn("status",
         when(col("old_fp").isNull, "added")
           .when(col("new_fp").isNull, "removed")

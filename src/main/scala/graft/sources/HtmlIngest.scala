@@ -54,51 +54,48 @@ object HtmlIngest {
     trim(decodeEntities(
       regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)))
 
-  /** The named-entity set, decoded once, `&amp;` last. Numeric
-    * references are deliberately left as-is: decoding them is
-    * locale/parser territory, and leaving them visible keeps the
-    * operator a pure pinned-regex chain the oracle can replay. */
-  private def decodeEntities(c: Column): Column = {
-    val pairs = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
-      "&amp;" -> "&")
-    pairs.foldLeft(c) { case (acc, (from, to)) =>
+  /** The named-entity set, decoded once, `&amp;` LAST — the ONE table
+    * behind both the Spark chain and the two SQL generators, so adding
+    * an entity cannot desynchronize them. Numeric references are
+    * deliberately left as-is: decoding them is locale/parser territory,
+    * and leaving them visible keeps the operator a pure pinned-regex
+    * chain the oracle can replay. */
+  private val Entities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  private def decodeEntities(c: Column): Column =
+    Entities.foldLeft(c) { case (acc, (from, to)) =>
       regexp_replace(acc, java.util.regex.Pattern.quote(from),
         java.util.regex.Matcher.quoteReplacement(to))
     }
-  }
+
+  /** The SQL-side entity fold over `inner` (single-quote escaping
+    * applied to the replacement). */
+  private def entitySqlFold(inner: String): String =
+    Entities.foldLeft(inner) { case (acc, (from, to)) =>
+      s"replace($acc, '${from.replace("'", "''")}', '${to.replace("'", "''")}')"
+    }
 
   /** The oracle-side replay of [[htmlToText]] for a SQL expression
     * `src` — kept adjacent to the Spark chain so the two stay in
     * lockstep (same passes, same order, DuckDB `'g'` flags). */
   def htmlToTextSql(src: String): String = {
-    val ent = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "''", "&apos;" -> "''",
-      "&amp;" -> "&")
-      .foldLeft(s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace($src, " +
+    val ent = entitySqlFold(
+      s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace($src, " +
         "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
         "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
         "'(?s)<!--.*?-->', ' ', 'g'), " +
         "'(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote)[^>]*>', chr(10), 'g'), " +
-        "'<[^>]*>', ' ', 'g')") {
-        case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
-      }
+        "'<[^>]*>', ' ', 'g')")
     s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($ent,
        |  '[ \\t\\x0b\\f\\r]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'),
        |  '\\n{3,}', chr(10) || chr(10), 'g'), '^[ \\n]+|[ \\n]+$$', '', 'g')""".stripMargin
   }
 
   /** Oracle-side replay of [[htmlTitle]]. */
-  def htmlTitleSql(src: String): String = {
-    val ent = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "''", "&apos;" -> "''",
-      "&amp;" -> "&")
-      .foldLeft(s"regexp_extract($src, '(?is)<title[^>]*>(.*?)</title>', 1)") {
-        case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
-      }
-    s"trim($ent)"
-  }
+  def htmlTitleSql(src: String): String =
+    s"trim(${entitySqlFold(
+      s"regexp_extract($src, '(?is)<title[^>]*>(.*?)</title>', 1)")})"
 }

@@ -58,12 +58,21 @@ class HtmlIngestSpec extends AnyFunSuite {
     assert(title("<TITLE>Caps</TITLE>") == "Caps")
   }
 
-  test("Spark chain == DuckDB replay chain on an adversarial fixture") {
-    // the q128 gate proves this corpus-wide; this pins the SQL text
-    // generator's parenthesization locally via a literal round trip
-    val sql = HtmlIngest.htmlToTextSql("'<p>a &amp;lt; b</p><script>x<1</script>'")
-    assert(sql.contains("'g'") && sql.contains("replace("))
-    val tsql = HtmlIngest.htmlTitleSql("'<title>T &amp; t</title>'")
-    assert(tsql.startsWith("trim("))
+  test("SQL generator structure: balanced, every regex pass global, 7 entities") {
+    // The true cross-engine equality runs at the q128 oracle gate (no
+    // DuckDB here); this pins the generator's STRUCTURE so a dropped
+    // flag or paren fails fast with a pointer to the cause.
+    val sql = HtmlIngest.htmlToTextSql("src")
+    assert(sql.count(_ == '(') == sql.count(_ == ')'), "unbalanced parens")
+    // 5 tag-stripping + 4 whitespace/trim passes, each explicitly global
+    assert("'g'\\)".r.findAllIn(sql).size == 9,
+      s"expected 9 'g'-flagged regexp_replace closes in: $sql")
+    assert("replace\\(".r.findAllIn(sql).size
+      - "regexp_replace\\(".r.findAllIn(sql).size == 7,
+      "one plain replace per named entity")
+    val tsql = HtmlIngest.htmlTitleSql("src")
+    assert(tsql.count(_ == '(') == tsql.count(_ == ')'))
+    assert(tsql.startsWith("trim(") &&
+      "replace\\(".r.findAllIn(tsql).size == 7) // one per named entity
   }
 }

@@ -90,4 +90,14 @@ class StoresSpec extends AnyFunSuite {
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "added", 4L -> "removed"))
   }
+
+  test("diff: NULL text means changed/unchanged, never a fake add/remove") {
+    val old = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, null: String), (2L, "now set"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val got = CorpusStore.diff(old, neu)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed"))
+  }
 }
