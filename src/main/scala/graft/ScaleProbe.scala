@@ -849,6 +849,29 @@ object ScaleProbe {
     timeWarm("bpePairCounts top-20 (capped 100k-word table)")(
       graft.operators.TextAnalysis.bpePairCounts(docs,
         maxWords = 100000, topK = 20).count())
+
+    // BPE encode tier: trained merges applied to the distinct-word table
+    // (q118 shape) and the per-doc budget fold (q121 shape, memo'd).
+    val merges = graft.operators.TextAnalysis.trainBpe(docs, nMerges = 24,
+      maxWords = 1000)
+    timeWarm("bpeTokenCounts top-40 (encode distinct words, 24 merges)")(
+      graft.operators.TextAnalysis.bpeTokenCounts(docs, merges, topK = 40)
+        .count())
+    timeWarm("bpeTokenCountPerDoc (per-doc budget fold, memo'd kernel)")(
+      graft.operators.TextAnalysis.bpeTokenCountPerDoc(docs, merges)
+        .count())
+
+    // HTML extraction (q128 shape): the full 16-pass regex chain over
+    // docs wrapped in markup — the web-ingest front's scan throughput.
+    // force the SUM itself (a bare count() after agg prunes the whole
+    // projection and the chain never runs)
+    timeWarm("htmlToText (16-pass regex chain over wrapped docs)")(
+      docs.withColumn("html", concat(
+          lit("<html><head><title>T</title><style>p{x}</style></head><body><p>"),
+          col("text"), lit("</p><!-- c -->ending &amp; done</body></html>")))
+        .select(length(graft.sources.HtmlIngest.htmlToText(col("html")))
+          .cast("long").as("n"))
+        .agg(sum("n")).first().getLong(0))
     spark.stop()
   }
 
