@@ -1406,6 +1406,7 @@ object SparkEntry {
     bivfCorpus(s, dir); graphCorpus(s, dir); itqCorpus(s, dir)
     ivfPqrCorpus(s, dir)
     bpeMergesArtifact(s, dir)
+    componentsCorpus(s, dir)
     sweepNlists.foreach { nl =>
       val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
       IvfIndex.buildOrLoad(s, emb, nl, s"${ivfSweepPath(s, dir, nl)}/quantizer.txt")
@@ -2968,15 +2969,34 @@ object SparkEntry {
     comps.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
   }
 
+  /** Near-dup components as a PERSISTED ingest artifact — the posture
+    * every consumer of the component structure (splits, ledgers, keep-
+    * best) should take at scale: the pair mining + label propagation is
+    * ingest-time work like an index build, not per-query work. q63
+    * stays the LIVE pipeline (it measures the build); this cache feeds
+    * the consumers. */
+  private[graft] def componentsCorpus(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0xc09c5L ^
+        datasetFingerprint(s, s"$dir/documents.parquet"))
+    val cpath = s"${System.getProperty("java.io.tmpdir")}/graft-comps-$key/comps"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
+      val (_, comps) = chainComponents(s, dir)
+      comps.write.mode("overwrite").parquet(cpath)
+    }
+    s.read.parquet(cpath)
+  }
+
   /** Leakage-safe train/val/test split: membership hashed on the
     * near-dup COMPONENT representative (singletons = their own id), so
     * near-duplicate documents can never straddle a split — the eval
     * split stays uncontaminated by trainset paraphrases. Composition of
     * the q63 components and q53's salted hash-range assignment; one
-    * left join of the (sparse) component frame against the corpus. */
+    * left join of the (sparse) PERSISTED component artifact against the
+    * corpus — the consumer never re-mines pairs. */
   private def q127SafeSplit(s: SparkSession, dir: String): DataFrame = {
-    val (docs, comps) = chainComponents(s, dir)
-    val keyed = docs.select(col("doc_id"))
+    val comps = componentsCorpus(s, dir)
+    val keyed = t(s, dir, "documents").select(col("doc_id"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("comp"), col("doc_id")))
     Sampling.assignSplit(keyed,
