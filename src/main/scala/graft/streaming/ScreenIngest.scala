@@ -53,22 +53,76 @@ object ScreenIngest {
   }
 
   /** The batch-form verdict projection (shared by the stream and any
-    * one-shot backfill, so the two can never diverge). */
+    * one-shot backfill, so the two can never diverge). `keepCols` pass
+    * extra columns (extracted text, title, …) through the one scan so
+    * admitted rows are corpus-ready without a re-join. */
   def verdicts(docs: DataFrame, textCol: String = "text",
                idCol: String = "doc_id",
                minWords: Int = 50, maxWords: Int = 100000,
-               minLineWords: Int = 3, minSentences: Int = 2): DataFrame = {
+               minLineWords: Int = 3, minSentences: Int = 2,
+               keepCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    val kept = keepCols.map(col)
     docs
       .withColumn("lang_pred",
         TextAnalysis.langIdFromStats(GraftFunctions.textStats(col(textCol))))
       .withColumn("__sf", GraftFunctions.screenFlags(col(textCol),
         lit(minWords), lit(maxWords), lit(minLineWords), lit(minSentences)))
-      .select(col(idCol), col("lang_pred"),
-        col("__sf.gopher_keep").as("gopher_keep"),
-        col("__sf.c4_keep").as("c4_keep"),
+      .select(col(idCol) +: kept :+ col("lang_pred") :+
+        col("__sf.gopher_keep").as("gopher_keep") :+
+        col("__sf.c4_keep").as("c4_keep") :+
         (col("lang_pred") === "en" && col("__sf.gopher_keep") &&
-          col("__sf.c4_keep")).as("kept"))
+          col("__sf.c4_keep")).as("kept"): _*)
+  }
+
+  /** Crawl-shard admission: HTML → text extraction
+    * ([[graft.sources.HtmlIngest]]) FRONTING the quality screen — the
+    * full web-ingest path (extract → lang/Gopher/C4 verdicts → store)
+    * as one streaming leg. Stored rows carry the EXTRACTED text and
+    * title beside the verdict surface, so `kept` rows are corpus-ready
+    * and rejected ones remain auditable. Same per-batch-id overwrite
+    * idempotence and O(batch) statelessness as
+    * [[screenedQualityIngest]]. */
+  def htmlScreenedIngest(pages: DataFrame, outPath: String,
+                         checkpointPath: String,
+                         htmlCol: String = "html", idCol: String = "doc_id",
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minLineWords: Int = 3, minSentences: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(pages.isStreaming, "htmlScreenedIngest expects a streaming DataFrame")
+    pages.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        htmlScreenBatch(batch.toDF(), batchId, outPath, htmlCol, idCol,
+          minWords, maxWords, minLineWords, minSentences)
+      }
+      .start()
+  }
+
+  private[graft] def htmlScreenBatch(batch: DataFrame, batchId: Long,
+                                     outPath: String, htmlCol: String,
+                                     idCol: String, minWords: Int,
+                                     maxWords: Int, minLineWords: Int,
+                                     minSentences: Int): Unit =
+    extractAndScreen(batch, htmlCol, idCol, minWords, maxWords,
+      minLineWords, minSentences)
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+
+  /** The batch-form extract+screen projection (stream ≡ backfill). */
+  def extractAndScreen(pages: DataFrame, htmlCol: String = "html",
+                       idCol: String = "doc_id",
+                       minWords: Int = 50, maxWords: Int = 100000,
+                       minLineWords: Int = 3, minSentences: Int = 2)
+      : DataFrame = {
+    import graft.sources.HtmlIngest
+    verdicts(
+      pages.select(col(idCol),
+        HtmlIngest.htmlTitle(col(htmlCol)).as("title"),
+        HtmlIngest.htmlToText(col(htmlCol)).as("text")),
+      minWords = minWords, maxWords = maxWords,
+      minLineWords = minLineWords, minSentences = minSentences,
+      keepCols = Seq("title", "text"))
   }
 
   def loadVerdicts(spark: SparkSession, verdictPath: String): DataFrame =

@@ -64,6 +64,39 @@ class ScreenIngestSpec extends AnyFunSuite {
       "retry duplicated or dropped verdict rows")
   }
 
+  test("html crawl leg: streamed extract+screen == batch form; text is corpus-ready") {
+    val dir = java.nio.file.Files.createTempDirectory("htmlingest").toString
+    val staging = s"$dir/staging"
+    val pageSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("html", StringType)))
+    def pages(ids: Range): Seq[(Long, String)] = docs(ids).map { case (id, text) =>
+      (id, s"<html><head><title>Page $id</title><style>b{}</style></head>" +
+        s"<body><script>reject();</script><p>${text.replace("\n", "</p><p>")}" +
+        "</p></body></html>")
+    }
+    val b1 = pages(0 until 40)
+    b1.toDF("doc_id", "html").write.mode("append").parquet(staging)
+    val q = ScreenIngest.htmlScreenedIngest(
+      spark.readStream.schema(pageSchema).parquet(staging),
+      s"$dir/out", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.option("basePath", s"$dir/out")
+      .parquet(s"$dir/out/batch=*")
+      .select("doc_id", "title", "text", "kept")
+      .as[(Long, String, String, Boolean)].collect().sortBy(_._1).toSeq
+    val batch = ScreenIngest.extractAndScreen(b1.toDF("doc_id", "html"))
+      .select("doc_id", "title", "text", "kept")
+      .as[(Long, String, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch, "streamed html leg deviates from batch form")
+    // extraction really ran: markup gone, title captured, both verdict
+    // polarities present (the %3 docs fail the sentence rules)
+    assert(streamed.forall { case (id, title, text, _) =>
+      title == s"Page $id" && !text.contains("<") && !text.contains("reject()")
+    })
+    assert(streamed.exists(_._4) && streamed.exists(!_._4))
+  }
+
   private implicit class TupleSeqOps(
       rows: Array[(Long, String, Boolean, Boolean, Boolean)]) {
     def toMap2: Map[Long, (String, Boolean, Boolean, Boolean)] =
