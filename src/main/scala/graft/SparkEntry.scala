@@ -2406,6 +2406,43 @@ object SparkEntry {
       |FROM cum GROUP BY source, bin
       |ORDER BY source, bin""".stripMargin
 
+  /** Packed-sequence emit ([[Packing.packSequences]]): the byte-level
+    * output of the packing tier — per (source, bin) the member docs
+    * concatenated in id order with the EOS separator, fingerprinted.
+    * What a trainer's loader actually reads; q52 assigns, this emits. */
+  private def q129PackEmit(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(t(s, dir, "documents"), budget = 256)
+      .select(col("source"), col("bin"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        md5(col("seq").cast("binary")).as("fp"),
+        length(col("seq")).cast("long").as("n_chars"))
+      .orderBy("source", "bin")
+
+  private val q129Sql = {
+    val sep = "chr(10) || '<|endoftext|>' || chr(10)"
+    s"""WITH tok AS (
+      |  SELECT source, doc_id, text,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)),
+      |      '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT source, doc_id, text, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM tok),
+      |bins AS (
+      |  SELECT source, doc_id, text, n_tokens,
+      |    (cum - n_tokens) // 256 AS bin
+      |  FROM cum)
+      |SELECT source, CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(text, $sep ORDER BY doc_id)) AS fp,
+      |  CAST(length(string_agg(text, $sep ORDER BY doc_id)) AS BIGINT) AS n_chars
+      |FROM bins GROUP BY 1, 2
+      |ORDER BY source, bin""".stripMargin
+  }
+
   /** Reproducible 80/10/10 train/val/test assignment over the corpus,
     * summarized per (source, split) — `Sampling.assignSplit`'s hash-range
     * semantics (membership depends only on salt+doc_id, never rand()). */
@@ -4874,6 +4911,7 @@ object SparkEntry {
     "q126_source_quality" -> (q126SourceQuality _),
     "q127_safe_split" -> (q127SafeSplit _),
     "q128_html_extract" -> (q128HtmlExtract _),
+    "q129_pack_emit" -> (q129PackEmit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4960,6 +4998,7 @@ object SparkEntry {
     "q126_source_quality" -> q126Sql,
     "q127_safe_split" -> q127Sql,
     "q128_html_extract" -> q128Sql,
+    "q129_pack_emit" -> q129Sql,
     "q89_binary_recall" -> q89Sql,
     "q93_corpus_screen" -> q93Sql,
     "q96_jsonl_roundtrip" -> q96Sql,

@@ -58,4 +58,24 @@ object Packing {
     assignBins(docs, budget, textCol, idCol, shardCol)
       .groupBy(col(shardCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+
+  /** The byte-level EMIT of the packing tier: each (shard, bin)'s
+    * member documents concatenated in id order with an EOS separator —
+    * the `seq` column IS what a trainer's data loader reads. One
+    * groupBy per bin with an ORDERED in-group concat (`sort_array`
+    * over (id, text) structs — deterministic under any partitioning,
+    * the q22 collect idiom; ids are unique so the struct order is
+    * total). Group size is budget-bounded by construction, so the
+    * collected array is O(budget) — never a corpus-scale collect. */
+  def packSequences(docs: DataFrame, budget: Long,
+                    sep: String = "\n<|endoftext|>\n",
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shardCol: String = "source"): DataFrame =
+    assignBins(docs, budget, textCol, idCol, shardCol)
+      .groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            x => x.getField(textCol))).as("seq"))
 }

@@ -54,4 +54,22 @@ class PackingSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
+
+  test("packSequences emits id-ordered EOS-joined member text per bin") {
+    val docs = Seq(
+      (1L, "s1", "one two three"), // 3 tokens
+      (2L, "s1", "four five"),     // 2 -> bin 0 full at budget 4? cum: 3,5
+      (3L, "s1", "six"),
+      (10L, "s2", "alpha")
+    ).toDF("doc_id", "source", "text")
+    val got = Packing.packSequences(docs, budget = 4, sep = "|")
+      .select("source", "bin", "n_docs", "seq")
+      .as[(String, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // s1 cumsums: doc1 starts at 0 -> bin 0; doc2 starts at 3 -> bin 0;
+    // doc3 starts at 5 -> bin 1
+    assert(got == Seq(
+      ("s1", 0L, 2L, "one two three|four five"),
+      ("s1", 1L, 1L, "six"),
+      ("s2", 0L, 1L, "alpha")))
+  }
 }
