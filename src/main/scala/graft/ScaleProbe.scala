@@ -857,9 +857,11 @@ object ScaleProbe {
     timeWarm("bpeTokenCounts top-40 (encode distinct words, 24 merges)")(
       graft.operators.TextAnalysis.bpeTokenCounts(docs, merges, topK = 40)
         .count())
+    // force the fold output (a bare count() would prune the fold
+    // columns and time only the token_tf generator)
     timeWarm("bpeTokenCountPerDoc (per-doc budget fold, memo'd kernel)")(
       graft.operators.TextAnalysis.bpeTokenCountPerDoc(docs, merges)
-        .count())
+        .agg(sum("n_bpe_tokens")).first().getLong(0))
 
     // HTML extraction (q128 shape): the full 16-pass regex chain over
     // docs wrapped in markup — the web-ingest front's scan throughput.

@@ -3013,8 +3013,13 @@ object SparkEntry {
     * stays the LIVE pipeline (it measures the build); this cache feeds
     * the consumers. */
   private[graft] def componentsCorpus(s: SparkSession, dir: String): DataFrame = {
+    // the mining parameters (shingle n=3, bands=4, minJaccard=0.85 —
+    // the chainComponents constants) fold into the key like pqM/pqKsub
+    // do in pqCachePath: changing how components are built must MISS
+    // this cache, not silently serve a stale structure
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0xc09c5L ^
+        (3L * 1009 + 4L * 131 + (0.85 * 100).toLong) ^
         datasetFingerprint(s, s"$dir/documents.parquet"))
     val cpath = s"${System.getProperty("java.io.tmpdir")}/graft-comps-$key/comps"
     if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {

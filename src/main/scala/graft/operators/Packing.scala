@@ -62,7 +62,7 @@ object Packing {
   /** The byte-level EMIT of the packing tier: each (shard, bin)'s
     * member documents concatenated in id order with an EOS separator —
     * the `seq` column IS what a trainer's data loader reads. One
-    * groupBy per bin with an ORDERED in-group concat (`sort_array`
+    * groupBy per bin with an ORDERED in-group concat (`array_sort`
     * over (id, text) structs — deterministic under any partitioning,
     * the q22 collect idiom; ids are unique so the struct order is
     * total). Group size is budget-bounded by construction, so the

@@ -23,23 +23,35 @@ import org.apache.spark.sql.functions._
   * unbounded stream. */
 object ScreenIngest {
 
+  /** The shared per-batch-id-idempotent foreachBatch scaffold: every
+    * ingest leg in this file is `projection(batch)` written to
+    * `outPath/batch=<id>` with overwrite (at-least-once retry safe) —
+    * one place to fix the idempotence/checkpoint contract. */
+  private def batchIngest(stream: DataFrame, outPath: String,
+                          checkpointPath: String, what: String)
+                         (projection: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, s"$what expects a streaming DataFrame")
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        projection(batch.toDF())
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+  }
+
   def screenedQualityIngest(docs: DataFrame, verdictPath: String,
                             checkpointPath: String,
                             textCol: String = "text",
                             idCol: String = "doc_id",
                             minWords: Int = 50, maxWords: Int = 100000,
                             minLineWords: Int = 3, minSentences: Int = 2)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(docs.isStreaming, "screenedQualityIngest expects a streaming DataFrame")
-    docs.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       batchId: Long) =>
-        screenBatch(batch.toDF(), batchId, verdictPath, textCol, idCol,
-          minWords, maxWords, minLineWords, minSentences)
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchIngest(docs, verdictPath, checkpointPath, "screenedQualityIngest")(
+      verdicts(_, textCol, idCol, minWords, maxWords, minLineWords,
+        minSentences))
 
   /** One micro-batch, extracted so retry semantics are testable without
     * forcing a real foreachBatch crash (the screenBatch pattern). */
@@ -88,26 +100,10 @@ object ScreenIngest {
                          htmlCol: String = "html", idCol: String = "doc_id",
                          minWords: Int = 50, maxWords: Int = 100000,
                          minLineWords: Int = 3, minSentences: Int = 2)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(pages.isStreaming, "htmlScreenedIngest expects a streaming DataFrame")
-    pages.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       batchId: Long) =>
-        htmlScreenBatch(batch.toDF(), batchId, outPath, htmlCol, idCol,
-          minWords, maxWords, minLineWords, minSentences)
-      }
-      .start()
-  }
-
-  private[graft] def htmlScreenBatch(batch: DataFrame, batchId: Long,
-                                     outPath: String, htmlCol: String,
-                                     idCol: String, minWords: Int,
-                                     maxWords: Int, minLineWords: Int,
-                                     minSentences: Int): Unit =
-    extractAndScreen(batch, htmlCol, idCol, minWords, maxWords,
-      minLineWords, minSentences)
-      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchIngest(pages, outPath, checkpointPath, "htmlScreenedIngest")(
+      extractAndScreen(_, htmlCol, idCol, minWords, maxWords,
+        minLineWords, minSentences))
 
   /** The batch-form extract+screen projection (stream ≡ backfill). */
   def extractAndScreen(pages: DataFrame, htmlCol: String = "html",
@@ -120,6 +116,7 @@ object ScreenIngest {
       pages.select(col(idCol),
         HtmlIngest.htmlTitle(col(htmlCol)).as("title"),
         HtmlIngest.htmlToText(col(htmlCol)).as("text")),
+      idCol = idCol,
       minWords = minWords, maxWords = maxWords,
       minLineWords = minLineWords, minSentences = minSentences,
       keepCols = Seq("title", "text"))
