@@ -451,11 +451,20 @@ object OracleSqlGen {
     * fold in bucket order — the Spark `aggregate(zip_with(...))`
     * accumulation. Scores are logits (no `exp` — libm vs JVM last-ulp
     * divergence), `pred = z > 0`. */
-  def qualityClassifierSql(weights: Array[Double], intercept: Double): String = {
+  def qualityClassifierSql(weights: Array[Double], intercept: Double): String =
+    s"""WITH ${qualityClassifierCtes(weights, intercept)}
+       |SELECT doc_id, round(zv, 4) AS score, zv > 0 AS pred
+       |FROM z ORDER BY doc_id""".stripMargin
+
+  /** The classifier-scoring CTE chain (feats → … → `z(doc_id, zv)`) —
+    * shared by [[qualityClassifierSql]] (q94) and the q130
+    * screen-vs-classifier agreement audit, whose oracle composes it
+    * with the screen CTEs (disjoint CTE names by construction). */
+  def qualityClassifierCtes(weights: Array[Double], intercept: Double): String = {
     val nb = weights.length
     val wLit = s"[${weights.mkString(", ")}]"
     val b = hexPrefixToBigint("md5(p.f)", 8)
-    s"""WITH feats AS (
+    s"""feats AS (
        |  SELECT doc_id, ts || CASE WHEN len(ts) >= 2 THEN
        |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
        |    ELSE [] END AS fs
@@ -477,9 +486,7 @@ object OracleSqlGen {
        |      i -> wt.w[i+1] * CAST(len(list_filter(coalesce(b.blist, []),
        |        x -> x = i)) AS DOUBLE))),
        |      (acc, t) -> acc + t) + $intercept AS zv
-       |  FROM documents d LEFT JOIN bs b USING (doc_id), wt)
-       |SELECT doc_id, round(zv, 4) AS score, zv > 0 AS pred
-       |FROM z ORDER BY doc_id""".stripMargin
+       |  FROM documents d LEFT JOIN bs b USING (doc_id), wt)""".stripMargin
   }
 
   /** q92's oracle: binary IVF replayed from the shared quantizer —

@@ -4514,6 +4514,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Screen-vs-classifier agreement audit: the 2×2 confusion between
+    * the rule-based composed screen (q93's `kept`) and the TRAINED
+    * classifier's verdict (q94's `pred`) — the calibration table a
+    * pipeline reads before trusting the learned filter to replace (or
+    * gate behind) the heuristics. ONE scan: the screen verdicts carry
+    * `text` through ([[screenVerdicts]] keepCols) and the classifier
+    * kernel scores the same frame; exact-long counts only. Oracle
+    * composes the q93 screen CTEs with the classifier-scoring CTEs
+    * (both artifact-generated, disjoint CTE names). */
+  private def q130ScreenVsClassifier(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val model = QualityClassifier.buildOrLoad(s, docs,
+      col("lang") === "en", s"${qcCachePath(s, dir)}/model.txt")
+    QualityClassifier.score(
+        screenVerdicts(s, dir, keepCols = Seq("text")), model,
+        keepCols = Seq("kept"))
+      .groupBy("kept", "pred")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy("kept", "pred")
+  }
+
   /** Cluster-balanced subsample ([[Sampling.clusterBalancedSample]]):
     * ≤ 12 members per IVF cell, salted-md5 draw order — the
     * diversity-preserving selection of cluster-pruning pipelines.
@@ -4917,6 +4939,7 @@ object SparkEntry {
     "q127_safe_split" -> (q127SafeSplit _),
     "q128_html_extract" -> (q128HtmlExtract _),
     "q129_pack_emit" -> (q129PackEmit _),
+    "q130_screen_vs_classifier" -> (q130ScreenVsClassifier _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5080,8 +5103,21 @@ object SparkEntry {
     } yield {
       val weights = lines.get(1).split(" ").map(_.toDouble)
       val intercept = lines.get(2).toDouble
-      Map("q94_quality_score" ->
-        OracleSqlGen.qualityClassifierSql(weights, intercept))
+      Map(
+        "q94_quality_score" ->
+          OracleSqlGen.qualityClassifierSql(weights, intercept),
+        "q130_screen_vs_classifier" ->
+          s"""WITH ${q93SqlParts},
+             |${OracleSqlGen.qualityClassifierCtes(weights, intercept)},
+             |v AS (
+             |  SELECT d.doc_id,
+             |    (langp.lang_pred = 'en' AND gf.gopher_keep AND ckeep.c4_keep) AS kept
+             |  FROM documents d
+             |  JOIN langp USING (doc_id) JOIN gf USING (doc_id) JOIN ckeep USING (doc_id))
+             |SELECT v.kept, z.zv > 0 AS pred,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM v JOIN z USING (doc_id)
+             |GROUP BY 1, 2 ORDER BY kept, pred""".stripMargin)
     }).getOrElse(Map.empty)
 
   /** IVF-SQ8 oracle, generated from the shared quantizer + the residual

@@ -65,13 +65,14 @@ object QualityClassifier {
     * `aggregate(zip_with(…))` lambdas over 256 buckets, with an IEEE op
     * sequence identical to the composed form (oracle unchanged). */
   def score(docs: DataFrame, model: Model, textCol: String = "text",
-            idCol: String = "doc_id"): DataFrame = {
+            idCol: String = "doc_id",
+            keepCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val z = GraftFunctions.dsirDot(col(textCol),
       typedLit(model.weights.toSeq)) + lit(model.intercept)
     // two-step select: `pred` derives from the materialized score column,
     // so the kernel runs once per row, not once per output column
-    docs.select(col(idCol), z.as("score"))
+    docs.select(col(idCol) +: keepCols.map(col) :+ z.as("score"): _*)
       .withColumn("pred", col("score") > 0.0)
   }
 
