@@ -130,19 +130,27 @@ object OracleSqlGen {
   }
 
   /** q21's oracle: assign cells, probe the `nprobe` centroids nearest the
-    * query by inner product, exact top-k within probed cells. */
+    * query by inner product, exact top-k within probed cells. Ranks and
+    * scores on the strict double fold ([[dotFold]] — the engine's `dot_f32`
+    * accumulation), so float32-accumulation near-ties cannot flip the
+    * top-k membership vs the engine. The centroid probe keeps
+    * `list_dot_product`: `c.c` is DOUBLE[] literals, already
+    * double-accumulated. */
   def ivfSearchSql(cents: Seq[Array[Double]], k: Int, nprobe: Int): String =
     s"""WITH ${ivfAssignCtes(cents)},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |probe AS (
        |  SELECT c.cell_id, row_number() OVER (
        |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
-       |  FROM __cents c, q)
-       |SELECT a.doc_id, CAST(a.cell_id AS BIGINT) AS cell_id,
-       |  round(list_dot_product(a.embedding, q.qe), 4) AS score
-       |FROM __assigned a, q
-       |WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)
-       |ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id
+       |  FROM __cents c, q),
+       |scored AS (
+       |  SELECT a.doc_id, a.cell_id, ${dotFold("a.embedding", "q.qe")} AS s
+       |  FROM __assigned a, q
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe))
+       |SELECT doc_id, CAST(cell_id AS BIGINT) AS cell_id,
+       |  round(s, 4) AS score
+       |FROM scored
+       |ORDER BY s DESC, doc_id
        |LIMIT $k""".stripMargin
 
   /** q110's oracle: FILTERED IVF search (FAISS `IDSelector` semantics) —
@@ -155,13 +163,16 @@ object OracleSqlGen {
        |probe AS (
        |  SELECT c.cell_id, row_number() OVER (
        |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
-       |  FROM __cents c, q)
-       |SELECT a.doc_id, CAST(a.cell_id AS BIGINT) AS cell_id,
-       |  round(list_dot_product(a.embedding, q.qe), 4) AS score
-       |FROM __assigned a JOIN embeddings e ON e.vec_id = a.doc_id, q
-       |WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)
-       |  AND e.label = $label
-       |ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id
+       |  FROM __cents c, q),
+       |scored AS (
+       |  SELECT a.doc_id, a.cell_id, ${dotFold("a.embedding", "q.qe")} AS s
+       |  FROM __assigned a JOIN embeddings e ON e.vec_id = a.doc_id, q
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)
+       |    AND e.label = $label)
+       |SELECT doc_id, CAST(cell_id AS BIGINT) AS cell_id,
+       |  round(s, 4) AS score
+       |FROM scored
+       |ORDER BY s DESC, doc_id
        |LIMIT $k""".stripMargin
 
   /** q98's oracle: probed IVF range search — cell assignment
@@ -198,14 +209,14 @@ object OracleSqlGen {
        |  SELECT query_id, doc_id FROM (
        |    SELECT q.query_id, e.vec_id AS doc_id,
        |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id ASC) AS rnk
+       |        ORDER BY ${dotFold("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rnk
        |    FROM embeddings e CROSS JOIN qs q)
        |  WHERE rnk <= $k),
        |approx AS (
        |  SELECT query_id, doc_id FROM (
        |    SELECT p.query_id, a.doc_id,
        |      row_number() OVER (PARTITION BY p.query_id
-       |        ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id ASC) AS rnk
+       |        ORDER BY ${dotFold("a.embedding", "q.qe")} DESC, a.doc_id ASC) AS rnk
        |    FROM __assigned a
        |    JOIN probe p ON a.cell_id = p.cell_id AND p.pr <= $nprobe
        |    JOIN qs q ON q.query_id = p.query_id)
@@ -253,7 +264,7 @@ object OracleSqlGen {
          |  SELECT query_id, doc_id FROM (
          |    SELECT p.query_id, a.doc_id,
          |      row_number() OVER (PARTITION BY p.query_id
-         |        ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id ASC) AS rnk
+         |        ORDER BY ${dotFold("a.embedding", "q.qe")} DESC, a.doc_id ASC) AS rnk
          |    FROM __assigned a
          |    JOIN probe p ON a.cell_id = p.cell_id AND p.pr <= $np
          |    JOIN qs q ON q.query_id = p.query_id)
@@ -276,7 +287,7 @@ object OracleSqlGen {
        |  SELECT query_id, doc_id FROM (
        |    SELECT q.query_id, e.vec_id AS doc_id,
        |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id ASC) AS rnk
+       |        ORDER BY ${dotFold("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rnk
        |    FROM embeddings e CROSS JOIN qs q)
        |  WHERE rnk <= $k),
        |$blocks
@@ -309,14 +320,14 @@ object OracleSqlGen {
          |  SELECT query_id, doc_id FROM (
          |    SELECT q.query_id, e.vec_id AS doc_id,
          |      row_number() OVER (PARTITION BY q.query_id
-         |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id ASC) AS rnk
+         |        ORDER BY ${dotFold("e.embedding", "q.qe")} DESC, e.vec_id ASC) AS rnk
          |    FROM embeddings e CROSS JOIN qs q)
          |  WHERE rnk <= $k),
          |approx AS (
          |  SELECT query_id, doc_id FROM (
          |    SELECT p.query_id, a.doc_id,
          |      row_number() OVER (PARTITION BY p.query_id
-         |        ORDER BY list_dot_product(a.embedding, q.qe) DESC, a.doc_id ASC) AS rnk
+         |        ORDER BY ${dotFold("a.embedding", "q.qe")} DESC, a.doc_id ASC) AS rnk
          |    FROM __assigned a
          |    JOIN probe p ON a.cell_id = p.cell_id AND p.pr <= $nprobe
          |    JOIN qs q ON q.query_id = p.query_id)
@@ -847,7 +858,7 @@ object OracleSqlGen {
        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM capped x JOIN capped y
        |    ON x.cell_id = y.cell_id AND x.doc_id < y.doc_id
-       |  WHERE list_dot_product(x.embedding, y.embedding) >= $minCos),
+       |  WHERE ${dotFold("x.embedding", "y.embedding")} >= $minCos),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
        |  UNION SELECT id_b, id_a FROM vpairs),
        |reach(src, dst) AS (SELECT src, dst FROM edges
@@ -1395,8 +1406,8 @@ object OracleSqlGen {
 
   /** q80's oracle: refined search — the [[ivfAdcSearchSql]] replay (as a
     * nested-WITH derived table) proposes the top-`rerank` candidates,
-    * then the exact inner product re-ranks just those ids, the q16
-    * `list_dot_product` idiom. Candidate selection orders on the exact
+    * then the exact inner product re-ranks just those ids with the strict
+    * double fold ([[dotFold]]). Candidate selection orders on the exact
     * replayed adc (ties doc_id ASC) exactly as the Spark side's
     * TakeOrdered; the final score compares rounded(4). */
   def refineSearchSql(cents: Seq[Array[Double]],
@@ -1409,7 +1420,7 @@ object OracleSqlGen {
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
        |SELECT t.doc_id, round(t.score, 4) AS score FROM (
        |  SELECT e.vec_id AS doc_id,
-       |    list_dot_product(e.embedding, q.qe) AS score
+       |    ${dotFold("e.embedding", "q.qe")} AS score
        |  FROM embeddings e JOIN cand ON cand.doc_id = e.vec_id, q
        |  ORDER BY score DESC, e.vec_id ASC LIMIT $k) t
        |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
@@ -1600,8 +1611,11 @@ object OracleSqlGen {
   /** Hyperplane-LSH ANN oracle (`HyperplaneLsh.search`): ±1 planes inlined
     * as FLOAT[] literals (like IVF centroids), bucket = signed-projection
     * bits, multi-probe = own bucket + Hamming-1 neighbors, rank by
-    * (dot DESC, id ASC) within probed buckets. `list_dot_product` on
-    * FLOAT[] matches `dot_f32` bit-for-bit (q20 precedent). */
+    * (dot DESC, id ASC) within probed buckets. Bucket sign, ranking and
+    * the near-dup cosine threshold all use the strict double fold
+    * ([[dotFold]]) — the engine's `dot_f32` accumulation — so a
+    * float32-accumulated near-tie can never flip a bucket bit, a rank,
+    * or a threshold row vs the engine. */
   /** Shared LSH-bucket CTEs: ±1 planes as FLOAT[] literals + per-vector
     * bucket ids. Produces `planes(j, p)` and `b(vec_id, bucket)`. */
   def lshBucketCtes(planes: Seq[Array[Float]]): String = {
@@ -1611,7 +1625,7 @@ object OracleSqlGen {
     s"""planes(j, p) AS (VALUES
        |      $values),
        |b AS (
-       |  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.embedding, p.p) > 0
+       |  SELECT e.vec_id, CAST(sum(CASE WHEN ${dotFold("e.embedding", "p.p")} > 0
        |                        THEN 1 << CAST(p.j AS INT) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id)""".stripMargin
   }
@@ -1632,9 +1646,9 @@ object OracleSqlGen {
        |  JOIN embeddings e ON e.vec_id = b.vec_id),
        |ranked AS (
        |  SELECT query_id, vec_id,
-       |    round(list_dot_product(embedding, qe), 4) AS score,
+       |    round(${dotFold("embedding", "qe")}, 4) AS score,
        |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY list_dot_product(embedding, qe) DESC, vec_id ASC) AS rank
+       |      ORDER BY ${dotFold("embedding", "qe")} DESC, vec_id ASC) AS rank
        |  FROM cand)
        |SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
@@ -1645,11 +1659,11 @@ object OracleSqlGen {
   def lshNearDupSql(planes: Seq[Array[Float]], minCos: Double): String =
     s"""WITH ${lshBucketCtes(planes)}
        |SELECT x.bucket AS block, x.vec_id AS id_a, y.vec_id AS id_b,
-       |  round(list_dot_product(ea.embedding, eb.embedding), 4) AS cos
+       |  round(${dotFold("ea.embedding", "eb.embedding")}, 4) AS cos
        |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |JOIN embeddings ea ON ea.vec_id = x.vec_id
        |JOIN embeddings eb ON eb.vec_id = y.vec_id
-       |WHERE list_dot_product(ea.embedding, eb.embedding) >= $minCos
+       |WHERE ${dotFold("ea.embedding", "eb.embedding")} >= $minCos
        |ORDER BY block, id_a, id_b""".stripMargin
 
   /** Full q38 oracle: the S2→P1→E1 docx pipeline in SQL. The docx

@@ -431,12 +431,16 @@ object SparkEntry {
       .select(col("vec_id"), round(col("score"), 4).as("score"))
   }
 
+  // All FLOAT[]-data dot products in these static oracles replay the
+  // engine's double accumulation via OracleSqlGen.dotFold — DuckDB's
+  // list_dot_product on FLOAT[] accumulates in float32, which can flip
+  // near-tie ranks/thresholds (the class that bit q87).
   private val q16Sql =
-    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-      |SELECT e.vec_id, round(list_dot_product(e.embedding, q.qe), 4) AS score
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id, round(${OracleSqlGen.dotFold("e.embedding", "q.qe")}, 4) AS score
       |FROM embeddings e, q
       |WHERE e.vec_id <> 0
-      |ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id
+      |ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC, e.vec_id
       |LIMIT 10""".stripMargin
 
   private def q17KnnBatch(s: SparkSession, dir: String): DataFrame = {
@@ -450,12 +454,12 @@ object SparkEntry {
   }
 
   private val q17Sql =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 8)
       |SELECT query_id, vec_id, rnk FROM (
       |  SELECT q.query_id, e.vec_id,
       |    row_number() OVER (PARTITION BY q.query_id
-      |      ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id) AS rnk
+      |      ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC, e.vec_id) AS rnk
       |  FROM embeddings e CROSS JOIN q
       |  WHERE e.vec_id >= 8)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
@@ -484,13 +488,13 @@ object SparkEntry {
   }
 
   private val q19Sql =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 8),
       |hits AS (
       |  SELECT query_id, score FROM (
-      |    SELECT q.query_id, list_dot_product(e.embedding, q.qe) AS score,
+      |    SELECT q.query_id, ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS score,
       |      row_number() OVER (PARTITION BY q.query_id
-      |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id) AS rnk
+      |        ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC, e.vec_id) AS rnk
       |    FROM embeddings e CROSS JOIN q
       |    WHERE e.vec_id >= 8)
       |  WHERE rnk <= 20),
@@ -527,11 +531,11 @@ object SparkEntry {
       .orderBy("block", "id_a", "id_b")
 
   private val q20Sql =
-    """SELECT CAST(a.label AS BIGINT) AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_dot_product(a.embedding, b.embedding), 4) AS cos
+    s"""SELECT CAST(a.label AS BIGINT) AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(${OracleSqlGen.dotFold("a.embedding", "b.embedding")}, 4) AS cos
       |FROM embeddings a JOIN embeddings b
       |  ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.embedding, b.embedding) >= 0.3
+      |WHERE ${OracleSqlGen.dotFold("a.embedding", "b.embedding")} >= 0.3
       |ORDER BY block, id_a, id_b""".stripMargin
 
   /** J2+F1: exact k-NN under the L2 metric with the reference's
@@ -578,13 +582,13 @@ object SparkEntry {
   }
 
   private val q29Sql =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 8),
       |hits AS (
       |  SELECT query_id, vec_id, score FROM (
-      |    SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS score,
+      |    SELECT q.query_id, e.vec_id, ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS score,
       |      row_number() OVER (PARTITION BY q.query_id
-      |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id) AS rnk
+      |        ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC, e.vec_id) AS rnk
       |    FROM embeddings e CROSS JOIN q
       |    WHERE e.vec_id >= 8)
       |  WHERE rnk <= 20)
@@ -619,13 +623,13 @@ object SparkEntry {
   }
 
   private val q30Sql =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 8),
       |hits AS (
       |  SELECT query_id, score FROM (
-      |    SELECT q.query_id, list_dot_product(e.embedding, q.qe) AS score,
+      |    SELECT q.query_id, ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS score,
       |      row_number() OVER (PARTITION BY q.query_id
-      |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id) AS rnk
+      |        ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC, e.vec_id) AS rnk
       |    FROM embeddings e CROSS JOIN q
       |    WHERE e.vec_id >= 8)
       |  WHERE rnk <= 20),
@@ -661,13 +665,13 @@ object SparkEntry {
   }
 
   private val q36Sql =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 8),
       |hits AS (
       |  SELECT query_id, score FROM (
-      |    SELECT q.query_id, list_dot_product(e.embedding, q.qe) AS score,
+      |    SELECT q.query_id, ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS score,
       |      row_number() OVER (PARTITION BY q.query_id
-      |        ORDER BY list_dot_product(e.embedding, q.qe) DESC, e.vec_id) AS rnk
+      |        ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC, e.vec_id) AS rnk
       |    FROM embeddings e CROSS JOIN q
       |    WHERE e.vec_id >= 8)
       |  WHERE rnk <= 20),
@@ -2163,7 +2167,7 @@ object SparkEntry {
        |  SELECT query_id, vec_id FROM (
        |    SELECT qx.query_id, e.vec_id,
        |      row_number() OVER (PARTITION BY qx.query_id
-       |        ORDER BY list_dot_product(e.embedding, qx.qe) DESC, e.vec_id ASC) AS rnk
+       |        ORDER BY ${OracleSqlGen.dotFold("e.embedding", "qx.qe")} DESC, e.vec_id ASC) AS rnk
        |    FROM embeddings e CROSS JOIN qx)
        |  WHERE rnk <= 5),
        |ov AS (
@@ -3702,9 +3706,9 @@ object SparkEntry {
       |vq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       |vtop AS (
       |  SELECT e.vec_id AS doc_id,
-      |    round(list_dot_product(e.embedding, vq.qe), 4) AS rs
+      |    round(${OracleSqlGen.dotFold("e.embedding", "vq.qe")}, 4) AS rs
       |  FROM embeddings e, vq WHERE e.vec_id <> 0
-      |  ORDER BY list_dot_product(e.embedding, vq.qe) DESC, e.vec_id
+      |  ORDER BY ${OracleSqlGen.dotFold("e.embedding", "vq.qe")} DESC, e.vec_id
       |  LIMIT 30),
       |vrank AS (
       |  SELECT doc_id, CAST(row_number() OVER (

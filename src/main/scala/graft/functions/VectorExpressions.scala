@@ -56,8 +56,11 @@ private[functions] object VecCodegen {
   * codegen stage (no boxing, no UDF serialization).
   *
   * Accumulation is in double precision over float elements, sequentially in
-  * index order — this matches DuckDB's `list_dot_product` on `FLOAT[]`
-  * inputs, which the correctness oracle relies on.
+  * index order. The correctness oracles replay this exactly with a strict
+  * double `list_reduce` fold (`OracleSqlGen.dotFold`); DuckDB's
+  * `list_dot_product` on `FLOAT[]` accumulates in float32 and is used only
+  * where the operands are already DOUBLE[] (centroid literals, `__emb`
+  * CTEs).
   */
 case class DotProductF32(left: Expression, right: Expression)
     extends BinaryExpression {
