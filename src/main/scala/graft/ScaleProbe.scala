@@ -1085,14 +1085,24 @@ object ScaleProbe {
     // ITQ-32: trained rotation in front of the sign codes — half the
     // raw 64-d code bytes AND a learned axis alignment; the claim to
     // check is candidate recall vs the untrained sign codes below.
-    val itq = graft.operators.ItqTransform.train(
-      base.withColumnRenamed("vec_id", "doc_id"), k = 32)
+    // The trained transform is persisted NEXT TO the codes and reloaded
+    // on cache hit — codes searched with a retrained rotation would
+    // silently skew the recall diagnostic (and retraining pays a full
+    // PCA pass the cache was meant to skip).
     val itqPath = s"/tmp/graft-itq-scale-${factor}x"
-    if (!parquetComplete(spark, itqPath)) {
+    val itqModelPath = s"$itqPath-model"
+    val itq = if (parquetComplete(spark, itqPath) &&
+        new java.io.File(itqModelPath).exists()) {
+      graft.operators.PcaTransform.load(spark, itqModelPath)
+    } else {
+      val trained = graft.operators.ItqTransform.train(
+        base.withColumnRenamed("vec_id", "doc_id"), k = 32)
       val t0 = System.nanoTime()
-      graft.operators.ItqTransform.encode(corpus, itq)
+      graft.operators.ItqTransform.encode(corpus, trained)
         .write.mode("overwrite").parquet(itqPath)
+      graft.operators.PcaTransform.save(spark, trained, itqModelPath)
       println(f"[scale] itq-32 encode+write (one-off): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      trained
     }
     val itqCodes = spark.read.parquet(itqPath)
     timeWarm("itq-32 hamming top-100 (1-word scan)")(

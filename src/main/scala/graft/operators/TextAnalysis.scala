@@ -210,12 +210,15 @@ object TextAnalysis {
       .select(col(idCol) +: kept :+
         explode(array(GraftFunctions.tokenTf(col(textCol)))).as("__tf"): _*)
       .select(col(idCol) +: kept :+
-        aggregate(col("__tf"), lit(0L),
-          (acc, e) => acc + e.getField("tf")).as("n_pretokens") :+
-        aggregate(col("__tf"), lit(0L), (acc, e) => acc +
+        coalesce(aggregate(col("__tf"), lit(0L),
+          (acc, e) => acc + e.getField("tf")), lit(0L)).as("n_pretokens") :+
+        coalesce(aggregate(col("__tf"), lit(0L), (acc, e) => acc +
           size(GraftFunctions.bpeEncode(e.getField("token"),
-            merges.map(m => (m.lhs, m.rhs)))).cast("long") * e.getField("tf"))
-          .as("n_bpe_tokens"): _*)
+            merges.map(m => (m.lhs, m.rhs)))).cast("long") * e.getField("tf")),
+          lit(0L)).as("n_bpe_tokens"): _*)
+    // coalesce(…, 0): token_tf null-propagates on null text, but the
+    // oracle's LEFT JOIN + coalesce reports 0/0 for tokenless docs —
+    // and a NULL cost must never reach assignBinsByCost.
   }
 
   /** Persist a trained merge list as the tokenizer artifact (text:

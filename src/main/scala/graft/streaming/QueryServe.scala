@@ -63,4 +63,60 @@ object QueryServe {
   def loadResults(spark: org.apache.spark.sql.SparkSession,
                   resultsPath: String): DataFrame =
     spark.read.parquet(resultsPath)
+
+  /** Retention for the results dir — the serving-side analog of
+    * [[IndexIngest.compactQuantizedCorpus]]: a long-lived stream
+    * otherwise accumulates one `batch=<id>` dir per micro-batch forever,
+    * and every [[loadResults]] pays the whole listing. Results are a
+    * QUEUE, not a corpus — a consumer acknowledges a batch id watermark
+    * and everything at or below it is dead. Deletes only
+    * `batch=<id> <= upToBatchId` dirs (ids above the watermark and
+    * non-batch paths are untouched), so a micro-batch landing
+    * mid-prune is never dropped. Compacted dirs (negative ids, from
+    * [[compactResults]]) hold long-retention history, not queue
+    * entries, and are never pruned here. Returns the number of batch
+    * dirs removed. */
+  def pruneResults(spark: org.apache.spark.sql.SparkSession,
+                   resultsPath: String, upToBatchId: Long): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(resultsPath), spark.sparkContext.hadoopConfiguration)
+    val seen = fs.globStatus(new org.apache.hadoop.fs.Path(s"$resultsPath/batch=*"))
+    if (seen == null) return 0
+    val dead = seen.filter { s =>
+      val id = s.getPath.getName.stripPrefix("batch=").toLong
+      id >= 0 && id <= upToBatchId
+    }
+    dead.foreach(s => fs.delete(s.getPath, true))
+    dead.length
+  }
+
+  /** Fold every retained `batch=<id>` dir into ONE compacted dir so the
+    * listing stays bounded even for results kept long-term (audit /
+    * replay). The [[IndexIngest.compactQuantizedCorpus]] discipline:
+    * only the snapshot dirs are folded and deleted (a racing micro-batch
+    * is neither folded nor dropped), retried-duplicate rows collapse via
+    * full-row dropDuplicates (serving is deterministic), the rename into
+    * a fresh NEGATIVE batch id happens before any delete and is
+    * `require`d, so a failure leaves results intact. */
+  def compactResults(spark: org.apache.spark.sql.SparkSession,
+                     resultsPath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(resultsPath), spark.sparkContext.hadoopConfiguration)
+    val seen = fs.globStatus(new org.apache.hadoop.fs.Path(s"$resultsPath/batch=*"))
+    require(seen != null && seen.nonEmpty, s"no served results at $resultsPath")
+    val tmp = new org.apache.hadoop.fs.Path(resultsPath + "__compact_tmp")
+    fs.delete(tmp, true)
+    val seenPaths = seen.map(_.getPath.toString).toSeq
+    spark.read.option("basePath", resultsPath).parquet(seenPaths: _*)
+      .drop("batch")
+      .dropDuplicates()
+      .write.mode("overwrite").parquet(tmp.toString)
+    val seenIds = seenPaths.map(_.split("batch=").last.toLong)
+    val target = math.min(seenIds.min, 0L) - 1L
+    val dest = new org.apache.hadoop.fs.Path(s"$resultsPath/batch=$target")
+    require(fs.rename(tmp, dest),
+      s"results compaction rename failed: $tmp -> $dest (results left untouched)")
+    seen.foreach(s => fs.delete(s.getPath, true))
+    ()
+  }
 }

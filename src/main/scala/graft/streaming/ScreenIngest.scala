@@ -36,11 +36,18 @@ object ScreenIngest {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        projection(batch.toDF())
-          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        writeBatch(projection(batch.toDF()), outPath, batchId)
       }
       .start()
   }
+
+  /** The ONE place the per-batch-id overwrite (at-least-once retry
+    * idempotence) semantics live — the streaming lambda and the
+    * testable batch form both call this, so the contract cannot
+    * drift between them. */
+  private[graft] def writeBatch(projected: DataFrame, outPath: String,
+                                batchId: Long): Unit =
+    projected.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
 
   def screenedQualityIngest(docs: DataFrame, verdictPath: String,
                             checkpointPath: String,
@@ -58,11 +65,9 @@ object ScreenIngest {
   private[graft] def screenBatch(batch: DataFrame, batchId: Long,
                                  verdictPath: String, textCol: String,
                                  idCol: String, minWords: Int, maxWords: Int,
-                                 minLineWords: Int, minSentences: Int): Unit = {
-    verdicts(batch, textCol, idCol, minWords, maxWords, minLineWords,
-      minSentences)
-      .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-  }
+                                 minLineWords: Int, minSentences: Int): Unit =
+    writeBatch(verdicts(batch, textCol, idCol, minWords, maxWords,
+      minLineWords, minSentences), verdictPath, batchId)
 
   /** The batch-form verdict projection (shared by the stream and any
     * one-shot backfill, so the two can never diverge). `keepCols` pass

@@ -75,4 +75,56 @@ class QueryServeSpec extends AnyFunSuite {
       ivf, pq, encoded, s"$dir/results", 5, 2, "query_id", "embedding")
     assert(!new java.io.File(s"$dir/results/batch=99").exists())
   }
+
+  test("results retention: watermark prune + compaction keep loadResults exact and the listing bounded") {
+    val corpus = clustered(0 until 300, 6)
+    val docs = corpus.toDF("doc_id", "embedding")
+    val ivf = IvfIndex.train(docs, nlist = 6)
+    val withCells = IvfIndex.assign(docs, ivf)
+    val (enc0, pq) = PqIndex.buildIvfAdc(withCells, ivf, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("serve-retain").toString
+    enc0.select("doc_id", "cell_id", "codes")
+      .write.partitionBy("cell_id").parquet(s"$dir/index")
+    val encoded = spark.read.parquet(s"$dir/index")
+    val results = s"$dir/results"
+
+    // Five served micro-batches, one query each.
+    (0 until 5).foreach { b =>
+      QueryServe.serveBatch(
+        Seq((100L + b) -> corpus(b * 7)._2).toDF("query_id", "embedding"),
+        b.toLong, ivf, pq, encoded, results, 5, 2, "query_id", "embedding")
+    }
+    def rows() = QueryServe.loadResults(spark, results)
+      .select("query_id", "doc_id", "adc", "doc_rank", "batch_id")
+      .as[(Long, Long, Double, Int, Long)].collect().toSet
+    val all = rows()
+    assert(all.map(_._5) == Set(0L, 1L, 2L, 3L, 4L))
+
+    // Consumer acknowledges through batch 2: exactly those dirs go,
+    // loadResults is the pre-prune set minus the pruned batches.
+    val removed = QueryServe.pruneResults(spark, results, upToBatchId = 2L)
+    assert(removed == 3)
+    assert(rows() == all.filter(_._5 > 2L))
+    // Idempotent: nothing at/below the watermark remains.
+    assert(QueryServe.pruneResults(spark, results, upToBatchId = 2L) == 0)
+
+    // Compaction folds the surviving dirs into ONE negative-id dir with
+    // identical row content — the listing is bounded regardless of how
+    // many micro-batches were served.
+    val beforeCompact = rows()
+    QueryServe.compactResults(spark, results)
+    val dirs = new java.io.File(results).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs == Set("batch=-1"), s"expected one compacted dir, got $dirs")
+    assert(rows() == beforeCompact)
+
+    // A later micro-batch appends beside the compacted dir; the
+    // watermark prune removes it but never the compacted history.
+    QueryServe.serveBatch(
+      Seq(200L -> corpus(11)._2).toDF("query_id", "embedding"),
+      7L, ivf, pq, encoded, results, 5, 2, "query_id", "embedding")
+    assert(rows().map(_._5) == beforeCompact.map(_._5) + 7L)
+    assert(QueryServe.pruneResults(spark, results, upToBatchId = 7L) == 1)
+    assert(rows() == beforeCompact)
+  }
 }

@@ -511,6 +511,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L, 8L), (2L, 0L, 0L), (3L, 1L, 2L)))
   }
 
+  test("bpeTokenCountPerDoc: NULL text reports 0/0 like the oracle, never NULL") {
+    // token_tf null-propagates on null input; the counts must coalesce to
+    // 0/0 (the generated oracle's LEFT JOIN + coalesce posture) — a NULL
+    // cost reaching assignBinsByCost would poison a whole bin.
+    val docs = Seq((1L, "low low"), (2L, null: String)).toDF("doc_id", "text")
+    val merges = Seq(TextAnalysis.BpeMerge(1, "l", "o", 0L))
+    val got = TextAnalysis.bpeTokenCountPerDoc(docs, merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 6L), (2L, 0L, 0L)))
+  }
+
   test("bpeTokenCounts: symbol frequencies under an explicit merge list") {
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val merges = Seq(
