@@ -2745,6 +2745,38 @@ object SparkEntry {
       |ORDER BY drop_id, reason""".stripMargin
   }
 
+  /** Dedup density audit (`Dedup.dedupDensityStats`): the per-stage
+    * cardinalities behind q58/q59 — signature rows, bucket histogram
+    * extremes, candidate/verified pair counts and the three drop-set
+    * sizes in ONE row, so a q58-class wall-clock drift is adjudicable
+    * from artifacts (densities up = data got denser; densities flat =
+    * suspect the plan). Same corpus modification and parameters as q58. */
+  private def q131DedupDensity(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit(q50Boiler + " tail "), col("doc_id"))).otherwise(col("text")))
+    Dedup.dedupDensityStats(docs, "text", "doc_id",
+      n = 3, bands = 4, minJaccard = 0.15, maxBucketSize = 10)
+  }
+
+  private val q131Sql =
+    s"""${q58q59DropCtes}__one AS (SELECT 1)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM docs2) AS n_docs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_signature_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM bsz) AS n_buckets,
+      |  (SELECT CAST(max(m) AS BIGINT) FROM bsz) AS max_bucket,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM bsz WHERE m > 10) AS buckets_over_cap,
+      |  (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) FROM bsz WHERE m > 10) AS hot_bucket_rows,
+      |  (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) FROM bsz WHERE m <= 10) AS in_cap_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS candidate_pairs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pairdrops) AS verified_pairs,
+      |  (SELECT CAST(count(DISTINCT drop_id) AS BIGINT) FROM exactdrops) AS exact_drops,
+      |  (SELECT CAST(count(DISTINCT drop_id) AS BIGINT) FROM pairdrops) AS pair_drops,
+      |  (SELECT CAST(count(DISTINCT drop_id) AS BIGINT) FROM hotdrops) AS hot_drops""".stripMargin
+
   /** Gopher duplicate-line signals (`TextAnalysis.dupLineStats`): docs are
     * synthesized into 4-line texts with a planted repeat (text, its first
     * 60 chars, text again, a unique tail) — docs ≤ 60 chars collapse line
@@ -4944,6 +4976,7 @@ object SparkEntry {
     "q128_html_extract" -> (q128HtmlExtract _),
     "q129_pack_emit" -> (q129PackEmit _),
     "q130_screen_vs_classifier" -> (q130ScreenVsClassifier _),
+    "q131_dedup_density" -> (q131DedupDensity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5031,6 +5064,7 @@ object SparkEntry {
     "q127_safe_split" -> q127Sql,
     "q128_html_extract" -> q128Sql,
     "q129_pack_emit" -> q129Sql,
+    "q131_dedup_density" -> q131Sql,
     "q89_binary_recall" -> q89Sql,
     "q93_corpus_screen" -> q93Sql,
     "q96_jsonl_roundtrip" -> q96Sql,

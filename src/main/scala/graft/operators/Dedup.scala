@@ -438,6 +438,78 @@ object Dedup {
       .union(hotDrops.withColumn("reason", lit("hot")))
       .distinct()
 
+  /** Per-stage density cardinalities for the [[dedupCorpus]] pipeline —
+    * the audit row that makes a wall-clock drift adjudicable from
+    * artifacts: near-dup cost is driven by pair/bucket DENSITY, not by
+    * corpus size alone, so when q58-class timings move, this row says
+    * whether the data got denser (candidate_pairs/hot rows up, plans
+    * unchanged) or the plan regressed (densities flat, time up).
+    *
+    * One row: n_docs, n_signature_rows (doc×band entries actually
+    * signed), n_buckets, max_bucket, buckets_over_cap,
+    * hot_bucket_rows / in_cap_rows (signature rows above/below the
+    * cap), candidate_pairs (distinct in-cap LSH pairs fed to verify),
+    * verified_pairs (pairs meeting `minJaccard`), exact/pair/hot_drops
+    * (distinct dropped ids per mechanism — the q59 ledger's
+    * cardinalities). Same construction as [[dedupCorpus]]'s dropSets;
+    * counts are computed eagerly (tiny aggregates over the persisted
+    * signature/bucket frames, released before return). */
+  def dedupDensityStats(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
+                        minJaccard: Double = 0.8,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigs = minhashSignatures(docs, textCol, idCol, n, bands).persist(lvl)
+    val bsz = sigs.groupBy("band", "sig")
+      .agg(count(lit(1)).as("m"), min("id").as("rep")).persist(lvl)
+    try {
+      val nDocs = docs.count()
+      val nSig = sigs.count()
+      val b = bsz.agg(
+        count(lit(1)).as("nb"), max("m").as("mx"),
+        sum(when(col("m") > maxBucketSize, 1L).otherwise(0L)).as("oc"),
+        sum(when(col("m") > maxBucketSize, col("m")).otherwise(0L)).as("hr"),
+        sum(when(col("m") <= maxBucketSize, col("m")).otherwise(0L)).as("ic"))
+        .head()
+      val inCap = sigs.join(bsz.filter(col("m") <= maxBucketSize),
+        Seq("band", "sig"), "left_semi")
+      val cands = inCap.select(col("band"), col("sig"), col("id").as("id_a"))
+        .join(inCap.select(col("band"), col("sig"), col("id").as("id_b")),
+          Seq("band", "sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().persist(lvl)
+      val nCand = cands.count()
+      val verified = verifyThreshold(docs, cands, textCol, idCol, n, minJaccard)
+        .select("id_a", "id_b").persist(lvl)
+      val nVerified = verified.count()
+      val nPairDrops = verified.select("id_b").distinct().count()
+      verified.unpersist(blocking = false)
+      cands.unpersist(blocking = false)
+      val nHotDrops = sigs
+        .join(bsz.filter(col("m") > maxBucketSize), Seq("band", "sig"))
+        .filter(col("id") =!= col("rep"))
+        .select("id").distinct().count()
+      val fpWin = Window.partitionBy("fp").orderBy(col(idCol).asc)
+      val nExactDrops = docs
+        .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+        .withColumn("rn", row_number().over(fpWin))
+        .filter(col("rn") > 1).count()
+      Seq((nDocs, nSig, b.getLong(0), b.getLong(1), b.getLong(2),
+          b.getLong(3), b.getLong(4), nCand, nVerified, nExactDrops,
+          nPairDrops, nHotDrops))
+        .toDF("n_docs", "n_signature_rows", "n_buckets", "max_bucket",
+          "buckets_over_cap", "hot_bucket_rows", "in_cap_rows",
+          "candidate_pairs", "verified_pairs", "exact_drops", "pair_drops",
+          "hot_drops")
+    } finally {
+      bsz.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+    }
+  }
+
   /** The three drop sets behind [[dedupCorpus]] / [[dedupLedger]], each a
     * single `drop_id` column, plus the frames persisted when
     * `cacheCandidates` is on (for bracket callers to unpersist). */
