@@ -712,7 +712,7 @@ object OracleSqlGen {
     * frontier leaves every later block a no-op on both sides). */
   def graphSearchSql(cents: Seq[Array[Double]], kGraph: Int, cap: Int,
                      k: Int, nprobe: Int, beamWidth: Int,
-                     hops: Int): String = {
+                     hops: Int, qVecId: Int = 0): String = {
     // hops = 0 would leave a dangling comma before the final SELECT
     require(hops >= 1, s"graphSearchSql needs at least one hop, got $hops")
     val hopCtes = (1 to hops).map { i =>
@@ -737,7 +737,7 @@ object OracleSqlGen {
        |    SELECT src, dst,
        |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
        |    FROM __gscored) WHERE rnk <= $kGraph),
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qVecId),
        |probe AS (
        |  SELECT c.cell_id, row_number() OVER (
        |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
@@ -758,6 +758,24 @@ object OracleSqlGen {
        |FROM (SELECT id, s, row_number() OVER (ORDER BY s DESC, id ASC) AS rn
        |      FROM __s$hops) WHERE rn <= $k
        |ORDER BY rn""".stripMargin
+  }
+
+  /** q132's oracle: the batched beam walk replayed as one
+    * [[graphSearchSql]] block PER query (each its own derived-table
+    * `WITH`, the nlistSweepSql idiom), unioned with the query id. The
+    * batch form shares reads but changes no per-query decision, so its
+    * oracle is literally the single-walk oracles stacked. */
+  def graphSearchBatchSql(cents: Seq[Array[Double]], kGraph: Int, cap: Int,
+                          k: Int, nprobe: Int, beamWidth: Int, hops: Int,
+                          qVecIds: Seq[Int]): String = {
+    val blocks = qVecIds.map { qid =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, * FROM (
+         |${graphSearchSql(cents, kGraph, cap, k, nprobe, beamWidth, hops, qid)}
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT query_id, rnk, doc_id, score FROM (
+       |$blocks
+       |) ORDER BY query_id, rnk""".stripMargin
   }
 
   /** q88's oracle, GENERATED from the persisted SQ8 bounds: replay

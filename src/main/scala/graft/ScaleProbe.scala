@@ -70,6 +70,10 @@ object ScaleProbe {
       selectProbe(args.lift(1).map(_.toInt).getOrElse(50))
       return
     }
+    if (args.headOption.contains("graph")) {
+      graphProbe(args.lift(1).map(_.toInt).getOrElse(1000))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1333,6 +1337,86 @@ object ScaleProbe {
       .select("doc_id").as[Long].collect().toSet
     println(s"[scale] ivfsq recall@10 (doc-id overlap): " +
       s"${exactIds.intersect(ivfSqIds).size}/${exactIds.size}")
+    spark.stop()
+  }
+
+  /** Batched vs sequential graph walks over the scaled corpus: the walk
+    * is LATENCY-bound (tiny pruned reads at the local scheduler's
+    * per-job floor), so sharing per-hop reads across N queries should
+    * approach N× — this probe records how close. Reuses the `ivf`
+    * probe's scaled corpus + quantizer caches; the cell-blocked graph
+    * is built once per factor. */
+  def graphProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nBase = base.count()
+    val path = s"/tmp/graft-scale-${factor}x"
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("vec_id") + col("rep") * nBase).as("doc_id"),
+          col("embedding"), col("label"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val corpus = spark.read.parquet(path)
+    val n = corpus.count()
+    val nlist = 64
+    val ivfDir = s"/tmp/graft-scale-ivf-${factor}x"
+    if (!parquetComplete(spark, s"$ivfDir/corpus")) {
+      val sampleFrac = math.min(1.0, 100000.0 / n)
+      val ivf = IvfIndex.train(corpus.sample(sampleFrac, 42), nlist, "embedding")
+      IvfIndex.save(spark, ivf, s"$ivfDir/quantizer")
+      IvfIndex.assign(corpus, ivf, "embedding")
+        .write.partitionBy("cell_id").mode("overwrite").parquet(s"$ivfDir/corpus")
+    }
+    val ivf = IvfIndex.load(spark, s"$ivfDir/quantizer")
+    val withCells = spark.read.parquet(s"$ivfDir/corpus")
+    val graphPath = s"/tmp/graft-graph-scale-${factor}x"
+    if (!parquetComplete(spark, graphPath)) {
+      val t0 = System.nanoTime()
+      graft.operators.KnnGraph.cellBlocked(corpus, ivf, k = 4)
+        .sort("src").write.mode("overwrite").parquet(graphPath)
+      println(f"[scale] cell-blocked graph build (one-off): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val graph = spark.read.parquet(graphPath)
+    println(s"[scale] graph walk probe: corpus rows = $n, graph edges = ${graph.count()}")
+
+    val qs16 = base.filter(col("vec_id") < 16)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    def walkSeq(qs: Seq[(Long, Array[Float])]): Long =
+      qs.map { case (_, v) =>
+        graft.operators.GraphSearch.searchBeam(graph, withCells, ivf, v,
+          k = 10, nprobe = 4, beamWidth = 8, hops = 3).count()
+      }.sum
+    def walkBatch(qs: Seq[(Long, Array[Float])]): Long =
+      graft.operators.GraphSearch.searchBeamBatch(graph, withCells, ivf, qs,
+        k = 10, nprobe = 4, beamWidth = 8, hops = 3).count()
+    def timeWarm(name: String)(f: => Long): Double = {
+      f // warmup: page cache + codegen
+      val t0 = System.nanoTime(); val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s warm, $rows rows out")
+      sec
+    }
+    Seq(4, 8, 16).foreach { nq =>
+      val qs = qs16.take(nq)
+      val s = timeWarm(s"graph walk x$nq sequential")(walkSeq(qs))
+      val b = timeWarm(s"graph walk x$nq batched (shared reads)")(walkBatch(qs))
+      println(f"[scale] graph batch speedup x$nq: ${s / b}%.2fx")
+    }
     spark.stop()
   }
 }

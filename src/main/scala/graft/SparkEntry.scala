@@ -4400,6 +4400,26 @@ object SparkEntry {
       .orderBy("rnk")
   }
 
+  /** Batched graph walk ([[GraphSearch.searchBeamBatch]]): 4 queries
+    * walk the persisted k-NN graph TOGETHER — per hop ONE `src IN
+    * (union of beams)` graph expansion and ONE multi-dot-column pruned
+    * corpus scan, instead of 2 driver jobs per query per hop (the
+    * searchIvfAdcBatch posture; the single walk is latency-bound at
+    * the scheduler's per-job floor). Oracle = the q97 replay per
+    * query, unioned — batching shares reads, never decisions. */
+  private def q132GraphBatch(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qs = t(s, dir, "embeddings").filter(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    GraphSearch.searchBeamBatch(graphCorpus(s, dir), withCells, ivf, qs,
+        k = 10, nprobe = 4, beamWidth = 8, hops = 3)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Probed IVF range search ([[IvfIndex.rangeSearch]]): FAISS
     * `IndexIVF::range_search` — every within-radius id in the probed
     * cells, partition-pruned, no top-k. Oracle GENERATED from the
@@ -4977,6 +4997,7 @@ object SparkEntry {
     "q129_pack_emit" -> (q129PackEmit _),
     "q130_screen_vs_classifier" -> (q130ScreenVsClassifier _),
     "q131_dedup_density" -> (q131DedupDensity _),
+    "q132_graph_batch" -> (q132GraphBatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5465,6 +5486,10 @@ object SparkEntry {
         "q97_graph_search" -> OracleSqlGen.graphSearchSql(cents,
           kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
           k = 10, nprobe = 4, beamWidth = 8, hops = 3),
+        "q132_graph_batch" -> OracleSqlGen.graphSearchBatchSql(cents,
+          kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
+          k = 10, nprobe = 4, beamWidth = 8, hops = 3,
+          qVecIds = Seq(0, 1, 2, 3)),
         "q98_ivf_range" -> OracleSqlGen.ivfRangeSearchSql(cents,
           minScore = 0.2, nprobe = 4),
         "q107_nprobe_sweep" -> OracleSqlGen.ivfRecallSweepSql(cents,

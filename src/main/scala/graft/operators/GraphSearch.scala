@@ -88,4 +88,91 @@ object GraphSearch {
       .map { case ((id, s), i) => ((i + 1).toLong, id, s) }
       .toDF("rnk", idCol, "score")
   }
+
+  /** Batched beam walk: N queries walk TOGETHER, sharing every read —
+    * the [[PqIndex.searchIvfAdcBatch]] posture applied to the graph
+    * tier. Per hop there are exactly TWO jobs regardless of N: one
+    * graph expansion with `src IN (union of the active beams)` (row-
+    * group pruned like the single walk) and one corpus scoring scan
+    * with `doc_id IN (union of the new frontiers)` carrying one
+    * `dot_f32` column per query — instead of the single form's 2·N
+    * driver round-trips per hop, which dominate the walk's cost at the
+    * local scheduler's per-job floor. Each query's beam rule, visited
+    * set and early exhaustion replicate [[searchBeam]] EXACTLY (parity
+    * is spec-pinned), so the result is the single walks' union.
+    * Returns `(query_id, rnk, idCol, score)`. */
+  def searchBeamBatch(graph: DataFrame, withCells: DataFrame,
+                      ivf: IvfIndex.Ivf, queries: Seq[(Long, Array[Float])],
+                      k: Int, nprobe: Int = 4, beamWidth: Int = 8,
+                      hops: Int = 3, idCol: String = "doc_id",
+                      embCol: String = "embedding"): DataFrame = {
+    val spark = withCells.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    require(queries.nonEmpty, "searchBeamBatch needs at least one query")
+    val nq = queries.size
+    val qLits = queries.map { case (_, v) => typedlit(v) }
+
+    // One pruned scan scores the union of requested ids against EVERY
+    // query (a dot column per query); callers then read only the
+    // (id, query) pairs they asked for — extra columns are cheap, extra
+    // jobs are not.
+    def scoreIds(ids: Seq[Long]): Map[Long, Array[Double]] =
+      if (ids.isEmpty) Map.empty
+      else {
+        val cols = col(idCol).cast("long").as("__id") +:
+          qLits.zipWithIndex.map { case (ql, i) =>
+            GraftFunctions.dotF32(col(embCol), ql).as(s"__s$i") }
+        withCells.filter(col(idCol).isin(ids: _*))
+          .select(cols: _*).collect()
+          .map(r => r.getLong(0) -> Array.tabulate(nq)(i => r.getDouble(i + 1)))
+          .toMap
+      }
+
+    // Entry seeds: ONE aggregation over the union of all probed cells.
+    val probedPer = queries.map { case (_, v) => IvfIndex.probeCells(ivf, v, nprobe) }
+    val allCells = probedPer.flatten.distinct
+    val entryByCell = withCells.filter(col("cell_id").isin(allCells: _*))
+      .groupBy("cell_id").agg(min(col(idCol)).as("id"))
+      .select(col("cell_id").cast("long"), col("id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val entries: Seq[Seq[Long]] =
+      probedPer.map(_.flatMap(c => entryByCell.get(c.toLong)).sorted)
+
+    val scores = Array.fill(nq)(Map.empty[Long, Double])
+    val seed = scoreIds(entries.flatten.distinct)
+    for (i <- 0 until nq)
+      scores(i) = entries(i).map(id => id -> seed(id)(i)).toMap
+    def beamOf(i: Int): Seq[Long] =
+      scores(i).toSeq.sortBy { case (id, s) => (-s, id) }
+        .take(beamWidth).map(_._1)
+    val beams = Array.tabulate(nq)(beamOf)
+    val done = Array.fill(nq)(false)
+    var hop = 0
+    while (hop < hops && done.exists(!_)) {
+      val active = (0 until nq).filter(!done(_))
+      val unionBeam = active.flatMap(beams(_)).distinct
+      val adj = graph.filter(col("src").isin(unionBeam: _*))
+        .select(col("src").cast("long"), col("dst").cast("long")).distinct()
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val frontiers = active.map { i =>
+        i -> beams(i).flatMap(adj.getOrElse(_, Nil)).distinct
+          .filterNot(scores(i).contains).sorted
+      }.toMap
+      val fresh = scoreIds(frontiers.values.flatten.toSeq.distinct)
+      active.foreach { i =>
+        if (frontiers(i).isEmpty) done(i) = true
+        else {
+          scores(i) ++= frontiers(i).map(id => id -> fresh(id)(i))
+          beams(i) = beamOf(i)
+        }
+      }
+      hop += 1
+    }
+    queries.zipWithIndex.flatMap { case ((qid, _), i) =>
+      scores(i).toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, s), r) => (qid, (r + 1).toLong, id, s) }
+    }.toDF("query_id", "rnk", idCol, "score")
+  }
 }

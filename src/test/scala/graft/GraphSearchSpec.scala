@@ -91,6 +91,30 @@ class GraphSearchSpec extends AnyFunSuite {
       s"walk scored more nodes than the expansion bound: ${res.length}")
   }
 
+  test("batched walk ≡ N sequential walks (shared reads change nothing)") {
+    val data = clustered(300, 5)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 5)
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = 4)
+    // Queries in different cells, plus two sharing a cell so beam unions
+    // genuinely overlap mid-walk.
+    val qs = Seq(7L, 8L, 13L, 44L).map(i => i -> data(i.toInt)._2)
+
+    val batch = GraphSearch.searchBeamBatch(graph, withCells, ivf, qs,
+        k = 10, nprobe = 2, beamWidth = 6, hops = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1)).toMap
+    qs.foreach { case (qid, v) =>
+      val single = GraphSearch.searchBeam(graph, withCells, ivf, v, k = 10,
+          nprobe = 2, beamWidth = 6, hops = 3)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(batch(qid).map(t => (t._1, t._2)) == single.map(t => (t._1, t._2)),
+        s"batched walk diverged for query $qid")
+      batch(qid).zip(single).foreach { case (b, s) =>
+        assert(math.abs(b._3 - s._3) < 1e-12) }
+    }
+  }
+
   test("good recall inside the probed cluster (graph reaches the true top)") {
     val data = clustered(300, 3)
     val docs = data.toDF("doc_id", "embedding")
