@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -36,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class BpeEncodeExpression(first: Expression, second: Expression,
                                third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
@@ -63,14 +63,19 @@ case class BpeEncodeExpression(first: Expression, second: Expression,
     * is Zipfian, the hot head is what matters. Results (immutable
     * GenericArrayData) are reused across rows by design. */
   @transient private lazy val memo =
-    new java.util.LinkedHashMap[String, Any](1024, 0.75f, true) {
+    new java.util.LinkedHashMap[String, ArrayData](1024, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Any]): Boolean =
+          e: java.util.Map.Entry[String, ArrayData]): Boolean =
         size() > BpeEncodeExpression.MemoCap
     }
 
-  override def nullSafeEval(w: Any, l: Any, r: Any): Any = {
-    val word = w.asInstanceOf[UTF8String].toString
+  /** The kernel body shared by the interpreted and generated paths —
+    * memo probe, codepoint split, rank-ordered merge passes. Public so
+    * the generated code can call it through the plan's reference array
+    * (each task deserializes its own expression instance, so the memo
+    * stays per-task exactly as in the interpreted form). */
+  def encodeWord(w: UTF8String): ArrayData = {
+    val word = w.toString
     val hit = memo.get(word)
     if (hit != null) return hit
     var syms = BpeEncodeExpression.codepointSyms(word)
@@ -84,6 +89,21 @@ case class BpeEncodeExpression(first: Expression, second: Expression,
       syms.map(s => UTF8String.fromString(s)).asInstanceOf[Array[Any]])
     memo.put(word, out)
     out
+  }
+
+  override def nullSafeEval(w: Any, l: Any, r: Any): Any =
+    encodeWord(w.asInstanceOf[UTF8String])
+
+  /** Codegen: one call into [[encodeWord]] via a baked reference to
+    * this instance — the containing stage stays inside whole-stage
+    * codegen (a CodegenFallback here forced every consuming projection
+    * down the interpreted row path; the merge loop itself is already
+    * straight-line Java either way). The merge-list literals cost
+    * nothing at runtime — they are parsed once into [[merges]]. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEnc", this,
+      classOf[BpeEncodeExpression].getName)
+    defineCodeGen(ctx, ev, (w, _, _) => s"$ref.encodeWord($w)")
   }
 
   override protected def withNewChildrenInternal(
