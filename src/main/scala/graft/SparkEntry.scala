@@ -2982,17 +2982,22 @@ object SparkEntry {
     * [[graft.sources.HtmlIngest.htmlToTextSql]]. */
   private def q128HtmlExtract(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.HtmlIngest
+    GraftFunctions.register(s)
     val html = concat(
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-      lit(" &amp; notes</title>"),
+      lit(" &#8212; K&#228;ytt&#246; &amp; notes</title>"),
       lit("<style>p { color: red }</style></head><body>"),
       lit("<script type=\"text/javascript\">var x = 1; if (x < 2) { x++; }</script>"),
       lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
       col("text"), lit("</p>"),
       when(col("doc_id") % 3 === 0,
-        lit("<ul><li>alpha &lt;tag&gt;</li><li>beta &quot;q&quot;</li></ul>"))
+        lit("<ul><li>alpha &lt;tag&gt;</li><li>beta &quot;q&quot;</li>" +
+          "<li>caf&#xE9; r&#233;sum&#233; &#8230;</li></ul>"))
         .otherwise(lit("")),
-      lit("<!-- note -->ending &amp;amp; done</body></html>"))
+      // Stay-literal cases: amp-protected (&amp;#228; single-decode),
+      // out-of-set (&#38;, &#999999;), non-canonical (&#0228;).
+      lit("<!-- note -->ending &amp;amp; &amp;#228; &#38; &#999999; " +
+        "&#0228; done</body></html>"))
     t(s, dir, "documents").withColumn("html", html)
       .select(col("doc_id"),
         HtmlIngest.htmlTitle(col("html")).as("title"),
@@ -3006,20 +3011,21 @@ object SparkEntry {
     s"""WITH h AS (
       |  SELECT doc_id,
       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-      |    ' &amp; notes</title>' ||
+      |    ' &#8212; K&#228;ytt&#246; &amp; notes</title>' ||
       |    '<style>p { color: red }</style></head><body>' ||
       |    '<script type="text/javascript">var x = 1; if (x < 2) { x++; }</script>' ||
       |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>' ||
       |    CASE WHEN doc_id % 3 = 0
-      |      THEN '<ul><li>alpha &lt;tag&gt;</li><li>beta &quot;q&quot;</li></ul>'
+      |      THEN '<ul><li>alpha &lt;tag&gt;</li><li>beta &quot;q&quot;</li>' ||
+      |           '<li>caf&#xE9; r&#233;sum&#233; &#8230;</li></ul>'
       |      ELSE '' END ||
-      |    '<!-- note -->ending &amp;amp; done</body></html>' AS html
-      |  FROM documents)
-      |SELECT doc_id,
-      |  ${HtmlIngest.htmlTitleSql("html")} AS title,
-      |  md5(${HtmlIngest.htmlToTextSql("html")}) AS fp,
-      |  CAST(length(${HtmlIngest.htmlToTextSql("html")}) AS BIGINT) AS n_chars
-      |FROM h ORDER BY doc_id""".stripMargin
+      |    '<!-- note -->ending &amp;amp; &amp;#228; &#38; &#999999; ' ||
+      |    '&#0228; done</body></html>' AS html
+      |  FROM documents),
+      |${HtmlIngest.htmlSqlCtes("h", "doc_id", "html")}
+      |SELECT doc_id, title, md5(txt) AS fp,
+      |  CAST(length(txt) AS BIGINT) AS n_chars
+      |FROM __html ORDER BY doc_id""".stripMargin
   }
 
   /** The q63 chain-seeded corpus + its verified-pair component frame —

@@ -90,6 +90,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "bpe_encode",
       exprs => BpeEncodeExpression(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "decode_num_refs", exprs => DecodeNumRefs(exprs.head), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
     // threads racing here both register — idempotent and safe (the
@@ -113,6 +115,11 @@ object GraftFunctions {
   /** Deterministic feature-hash embedding of a string column. */
   def hashEmbed(text: Column, dim: Column): Column =
     call_function("hash_embed", text, dim)
+
+  /** Decode canonical HTML numeric character references in the pinned
+    * bounded set (see [[DecodeNumRefs]]). */
+  def decodeNumRefs(text: Column): Column =
+    call_function("decode_num_refs", text)
 
   /** Distinct word n-gram shingles (single-pass tokenization). */
   def wordShingles(text: Column, n: Column): Column =

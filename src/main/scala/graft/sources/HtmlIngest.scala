@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   *  1. drop `<script>`/`<style>` blocks and comments (content too)
   *  2. block-closing tags → newline (paragraph structure survives)
   *  3. every remaining tag → space
-  *  4. entity decode, `&amp;` LAST — the single-decode rule, so
-  *     `&amp;lt;` yields the literal `&lt;` (never `<`)
+  *  4. entity decode: numeric references first (the pinned bounded set,
+  *     one [[graft.functions.DecodeNumRefs]] kernel pass), then the
+  *     named set with `&amp;` LAST — the single-decode rule, so
+  *     `&amp;lt;` yields the literal `&lt;` (never `<`) and
+  *     `&amp;#228;` yields the literal `&#228;` (never `ä`)
   *  5. whitespace canon: space runs, trimmed line edges, ≤1 blank line
+  *
+  * Callers must have run `GraftFunctions.register` on the session (every
+  * graft entry point does) — the numeric decode is a registered kernel.
   */
 object HtmlIngest {
 
@@ -56,46 +62,100 @@ object HtmlIngest {
 
   /** The named-entity set, decoded once, `&amp;` LAST — the ONE table
     * behind both the Spark chain and the two SQL generators, so adding
-    * an entity cannot desynchronize them. Numeric references are
-    * deliberately left as-is: decoding them is locale/parser territory,
-    * and leaving them visible keeps the operator a pure pinned-regex
-    * chain the oracle can replay. */
+    * an entity cannot desynchronize them. */
   private val Entities: Seq[(String, String)] = Seq(
     "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
     "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
     "&amp;" -> "&")
 
+  /** The pinned numeric-reference codepoint set: the Latin-1 supplement
+    * (160–255 — the reference's Finnish corpus arrives with `ä` as
+    * `&#228;`) plus the Windows-1252 punctuation repertoire. The ONE
+    * list behind the engine kernel's membership bitmap
+    * ([[graft.functions.DecodeNumRefs]]) and the oracle's enumerated
+    * replace fold — extending it cannot desynchronize the two. Only
+    * CANONICAL references decode (no leading zeros, `;`-terminated);
+    * anything else, including out-of-set ASCII codepoints like `&#38;`
+    * or `&#60;`, stays literal for the numeric pass — `&#39;` then
+    * decodes via the NAMED table (its long-standing entry), preserving
+    * historical outputs, while `&#38;` stays literal by the
+    * single-decode rule exactly like `&amp;amp;`. */
+  private[graft] val NumericCps: Seq[Int] =
+    (160 to 255) ++ Seq(338, 339, 352, 353, 376, 402, 710, 732,
+      8211, 8212, 8216, 8217, 8218, 8220, 8221, 8222, 8224, 8225,
+      8226, 8230, 8240, 8249, 8250, 8364, 8482)
+
   private def decodeEntities(c: Column): Column =
-    Entities.foldLeft(c) { case (acc, (from, to)) =>
-      regexp_replace(acc, java.util.regex.Pattern.quote(from),
-        java.util.regex.Matcher.quoteReplacement(to))
+    Entities.foldLeft(graft.functions.GraftFunctions.decodeNumRefs(c)) {
+      case (acc, (from, to)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to))
     }
 
-  /** The SQL-side entity fold over `inner` (single-quote escaping
+  /** The named-entity SQL fold over `inner` (single-quote escaping
     * applied to the replacement). */
-  private def entitySqlFold(inner: String): String =
+  private def namedSqlFold(inner: String): String =
     Entities.foldLeft(inner) { case (acc, (from, to)) =>
       s"replace($acc, '${from.replace("'", "''")}', '${to.replace("'", "''")}')"
     }
 
-  /** The oracle-side replay of [[htmlToText]] for a SQL expression
-    * `src` — kept adjacent to the Spark chain so the two stay in
-    * lockstep (same passes, same order, DuckDB `'g'` flags). */
-  def htmlToTextSql(src: String): String = {
-    val ent = entitySqlFold(
-      s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace($src, " +
-        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
-        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
-        "'(?s)<!--.*?-->', ' ', 'g'), " +
-        "'(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote)[^>]*>', chr(10), 'g'), " +
-        "'<[^>]*>', ' ', 'g')")
-    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($ent,
+  /** One numeric-codepoint SQL pass: decimal as an exact literal
+    * replace, hex as ONE case-insensitive pattern. Sequential
+    * per-codepoint replacement ≡ the kernel's one-pass scan: patterns
+    * are disjoint literals and decoded outputs can never form a new
+    * reference. */
+  private def numericSqlPass(acc: String, cp: Int): String =
+    s"regexp_replace(replace($acc, '&#$cp;', chr($cp)), " +
+      s"'(?i)&#x${cp.toHexString};', chr($cp), 'g')"
+
+  /** The tag-stripping front of [[htmlToText]] (passes 1–3 of the doc
+    * comment) as one SQL expression. */
+  private def preEntitySql(src: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace($src, " +
+      "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+      "'(?s)<!--.*?-->', ' ', 'g'), " +
+      "'(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote)[^>]*>', chr(10), 'g'), " +
+      "'<[^>]*>', ' ', 'g')"
+
+  /** The whitespace-canonicalization tail of [[htmlToText]] (pass 5). */
+  private def postEntitySql(src: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($src,
        |  '[ \\t\\x0b\\f\\r]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'),
        |  '\\n{3,}', chr(10) || chr(10), 'g'), '^[ \\n]+|[ \\n]+$$', '', 'g')""".stripMargin
-  }
 
-  /** Oracle-side replay of [[htmlTitle]]. */
-  def htmlTitleSql(src: String): String =
-    s"trim(${entitySqlFold(
-      s"regexp_extract($src, '(?is)<title[^>]*>(.*?)</title>', 1)")})"
+  /** Codepoints per oracle CTE step: 2 SQL calls per codepoint per
+    * column must stay well under DuckDB's 128-deep binder recursion
+    * limit (the whole 121-cp fold as ONE nested expression exceeds it —
+    * hence the CTE pipeline, which resets the depth per step). */
+  private val OracleChunk = 20
+
+  /** The oracle-side replay of [[htmlToText]] + [[htmlTitle]] over
+    * relation `rel` as a CTE PIPELINE — kept adjacent to the Spark
+    * chain so the two stay in lockstep (same passes, same order, DuckDB
+    * `'g'` flags). Produces CTEs `__hx0 … __hxN` and the final
+    * `__html($keyCol, title, txt)`. Usage:
+    * `WITH src AS (...), ${htmlSqlCtes("src", "doc_id", "html")}
+    *  SELECT doc_id, title, md5(txt) FROM __html`. */
+  def htmlSqlCtes(rel: String, keyCol: String, htmlCol: String): String = {
+    val first =
+      s"""__hx0 AS (
+         |  SELECT $keyCol,
+         |    regexp_extract($htmlCol, '(?is)<title[^>]*>(.*?)</title>', 1) AS t,
+         |    ${preEntitySql(htmlCol)} AS x
+         |  FROM $rel)""".stripMargin
+    val chunks = NumericCps.grouped(OracleChunk).toSeq
+    val steps = chunks.zipWithIndex.map { case (cps, i) =>
+      val tFold = cps.foldLeft("t")(numericSqlPass)
+      val xFold = cps.foldLeft("x")(numericSqlPass)
+      s"""__hx${i + 1} AS (
+         |  SELECT $keyCol, $tFold AS t, $xFold AS x FROM __hx$i)""".stripMargin
+    }
+    val last =
+      s"""__html AS (
+         |  SELECT $keyCol, trim(${namedSqlFold("t")}) AS title,
+         |    ${postEntitySql(namedSqlFold("x"))} AS txt
+         |  FROM __hx${chunks.length})""".stripMargin
+    (first +: steps :+ last).mkString(",\n")
+  }
 }

@@ -117,6 +117,7 @@ object ScreenIngest {
                        minLineWords: Int = 3, minSentences: Int = 2)
       : DataFrame = {
     import graft.sources.HtmlIngest
+    GraftFunctions.register(pages.sparkSession)
     verdicts(
       pages.select(col(idCol),
         HtmlIngest.htmlTitle(col(htmlCol)).as("title"),

@@ -58,21 +58,48 @@ class HtmlIngestSpec extends AnyFunSuite {
     assert(title("<TITLE>Caps</TITLE>") == "Caps")
   }
 
-  test("SQL generator structure: balanced, every regex pass global, 7 entities") {
+  test("numeric references: pinned set decodes, everything else stays literal") {
+    // Decimal, hex (either case), title position.
+    assert(extract("<p>K&#228;ytt&#246; caf&#xE9; &#X2014; ok</p>")
+      == "Käyttö café — ok")
+    assert(title("<title>R&#233;sum&#233; &#8230;</title>") == "Résumé …")
+    // Out-of-set (&#38; ASCII, &#999999; beyond), non-canonical
+    // (leading zero), unterminated, and empty references stay literal.
+    assert(extract("<p>&#38; &#999999; &#0228; &#228 &#; &#x;</p>")
+      == "&#38; &#999999; &#0228; &#228 &#; &#x;")
+    // Single-decode: the amp-protected reference surfaces as its
+    // literal text, never double-decoded.
+    assert(extract("<p>&amp;#228; vs &#228;</p>") == "&#228; vs ä")
+  }
+
+  test("SQL generator structure: balanced, global flags, bounded CTE depth") {
     // The true cross-engine equality runs at the q128 oracle gate (no
     // DuckDB here); this pins the generator's STRUCTURE so a dropped
-    // flag or paren fails fast with a pointer to the cause.
-    val sql = HtmlIngest.htmlToTextSql("src")
+    // flag, paren, or a binder-recursion regression fails fast.
+    val nNum = HtmlIngest.NumericCps.size // 96 Latin-1 + 25 cp1252 extras
+    assert(nNum == 121)
+    val sql = HtmlIngest.htmlSqlCtes("src", "doc_id", "html")
     assert(sql.count(_ == '(') == sql.count(_ == ')'), "unbalanced parens")
-    // 5 tag-stripping + 4 whitespace/trim passes, each explicitly global
-    assert("'g'\\)".r.findAllIn(sql).size == 9,
-      s"expected 9 'g'-flagged regexp_replace closes in: $sql")
+    // 5 tag-stripping + 4 whitespace/trim passes + one hex pass per
+    // numeric codepoint PER COLUMN (title + text), each explicitly global
+    assert("'g'\\)".r.findAllIn(sql).size == 9 + 2 * nNum,
+      s"expected ${9 + 2 * nNum} 'g'-flagged regexp_replace closes")
+    // one plain replace per numeric decimal form per column + the named
+    // fold on each of the two final columns
     assert("replace\\(".r.findAllIn(sql).size
-      - "regexp_replace\\(".r.findAllIn(sql).size == 7,
-      "one plain replace per named entity")
-    val tsql = HtmlIngest.htmlTitleSql("src")
-    assert(tsql.count(_ == '(') == tsql.count(_ == ')'))
-    assert(tsql.startsWith("trim(") &&
-      "replace\\(".r.findAllIn(tsql).size == 7) // one per named entity
+      - "regexp_replace\\(".r.findAllIn(sql).size == 2 * nNum + 2 * 7,
+      "decimal replaces + named-entity folds")
+    // every CTE step's expression nesting stays under DuckDB's 128-deep
+    // binder recursion limit (the reason this is a CTE pipeline at all):
+    // deepest step = OracleChunk cps x 2 calls + slack
+    sql.split("__hx\\d+ AS|__html AS").foreach { step =>
+      var depth = 0; var worst = 0
+      step.foreach {
+        case '(' => depth += 1; worst = math.max(worst, depth)
+        case ')' => depth -= 1
+        case _ =>
+      }
+      assert(worst < 100, s"a CTE step nests $worst deep (binder limit 128)")
+    }
   }
 }
