@@ -76,6 +76,45 @@ class QueryServeSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/results/batch=99").exists())
   }
 
+  test("graph-tier serving == direct batched walk; retry idempotent") {
+    import graft.operators.KnnGraph
+    val corpus = clustered(0 until 300, 6)
+    val docs = corpus.toDF("doc_id", "embedding")
+    val ivf = IvfIndex.train(docs, nlist = 6)
+    val withCells = IvfIndex.assign(docs, ivf)
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("serve-graph").toString
+    val staging = s"$dir/requests"
+    val reqs1 = Seq(100L -> corpus(5)._2, 101L -> corpus(17)._2)
+    val reqs2 = Seq(102L -> corpus(40)._2)
+    reqs1.toDF("query_id", "embedding").write.mode("append").parquet(staging)
+    val q = QueryServe.servedGraphSearch(
+      spark.readStream.schema(schema).parquet(staging),
+      graph, withCells, ivf, s"$dir/results", s"$dir/ckpt",
+      k = 5, nprobe = 2, beamWidth = 6, hops = 3)
+    try {
+      q.processAllAvailable()
+      reqs2.toDF("query_id", "embedding").write.mode("append").parquet(staging)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val served = QueryServe.loadResults(spark, s"$dir/results")
+      .select("query_id", "rnk", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val direct = graft.operators.GraphSearch.searchBeamBatch(
+        graph, withCells, ivf, reqs1 ++ reqs2,
+        k = 5, nprobe = 2, beamWidth = 6, hops = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(served == direct, "graph serving diverged from the direct batched walk")
+
+    // Redelivery of a batch id overwrites in place.
+    val before = QueryServe.loadResults(spark, s"$dir/results").count()
+    QueryServe.serveGraphBatch(reqs1.toDF("query_id", "embedding"), 0L,
+      graph, withCells, ivf, s"$dir/results", 5, 2, 6, 3,
+      "query_id", "embedding")
+    assert(QueryServe.loadResults(spark, s"$dir/results").count() == before)
+  }
+
   test("results retention: watermark prune + compaction keep loadResults exact and the listing bounded") {
     val corpus = clustered(0 until 300, 6)
     val docs = corpus.toDF("doc_id", "embedding")
