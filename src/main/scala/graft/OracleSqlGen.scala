@@ -250,7 +250,7 @@ object OracleSqlGen {
        |SELECT d.doc_id, CAST(d.cell_id AS BIGINT) AS cell_id,
        |  round(d.dist, 4) AS dist, round((d.dist - st.mu) / st.sd, 4) AS z
        |FROM d JOIN st USING (cell_id)
-       |WHERE (d.dist - st.mu) / st.sd > 2.0
+       |WHERE st.sd > 0 AND (d.dist - st.mu) / st.sd > 2.0
        |ORDER BY d.doc_id""".stripMargin
 
   /** q107's oracle: the nprobe↦recall operating curve (FAISS

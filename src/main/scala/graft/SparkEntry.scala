@@ -4049,7 +4049,13 @@ object SparkEntry {
     val stats = withDist.groupBy("cell_id")
       .agg(avg("dist").as("mu"), stddev("dist").as("sd"))
     withDist.join(broadcast(stats), "cell_id")
-      .withColumn("z", (col("dist") - col("mu")) / col("sd"))
+      // when() guards sd = 0: a cell holding only copies of one vector
+      // (exact-dup embeddings — routine at corpus scale) has zero
+      // variance and NO outliers; the bare division threw DIVIDE_BY_ZERO
+      // under ANSI at the 100× replicated corpus. Single-member cells
+      // (sd NULL) drop the same way.
+      .withColumn("z",
+        when(col("sd") > 0, (col("dist") - col("mu")) / col("sd")))
       .filter(col("z") > 2.0)
       .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
         round(col("dist"), 4).as("dist"), round(col("z"), 4).as("z"))
