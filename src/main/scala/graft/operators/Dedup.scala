@@ -805,7 +805,8 @@ object Dedup {
                      n: Int = 3, bands: Int = 8, minBands: Int = 1,
                      maxBucketSize: Int = ScreenBatchBucketCap,
                      storeCap: Int = DefaultMaxBucketSize,
-                     pruneStoredBySig: Boolean = false)
+                     pruneStoredBySig: Boolean = false,
+                     statsPath: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(newDocs.isStreaming, "screenedIngest expects a streaming DataFrame")
     newDocs.writeStream
@@ -813,7 +814,8 @@ object Dedup {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         screenBatch(batch.toDF(), batchId, storePath, flaggedPath, textCol,
-          idCol, n, bands, minBands, maxBucketSize, storeCap, pruneStoredBySig)
+          idCol, n, bands, minBands, maxBucketSize, storeCap,
+          pruneStoredBySig, statsPath)
       }
       .start()
   }
@@ -838,7 +840,8 @@ object Dedup {
                                  textCol: String, idCol: String,
                                  n: Int, bands: Int, minBands: Int,
                                  maxBucketSize: Int, storeCap: Int,
-                                 pruneStoredBySig: Boolean = false): Unit = {
+                                 pruneStoredBySig: Boolean = false,
+                                 statsPath: String = ""): Unit = {
     val spark = batch.sparkSession
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -864,8 +867,36 @@ object Dedup {
       capBuckets(minhashSignatures(b, textCol, idCol, n, bands), storeCap)
         .write.mode("overwrite")
         .parquet(s"$storePath/batch=$batchId")
+      // Density health rides along (the IndexIngest statsPath pattern,
+      // and the per-batch face of the q131 audit row): one row per
+      // batch — batch size, signature rows actually stored (post-cap),
+      // flags raised, store breadth screened against — so a slowdown or
+      // a flag-rate drift in a long-lived ingest stream is adjudicable
+      // from artifacts. Counts re-read what was WRITTEN (never the
+      // lazy frames), so a retry records the rewritten truth.
+      if (statsPath.nonEmpty) {
+        import spark.implicits._
+        val nDocs = b.count()
+        val nSig = spark.read.parquet(s"$storePath/batch=$batchId").count()
+        val nFlagged =
+          if (prior.nonEmpty)
+            spark.read.parquet(s"$flaggedPath/batch=$batchId").count()
+          else 0L
+        Seq((batchId, nDocs, nSig, nFlagged, prior.length.toLong))
+          .toDF("batch_id", "n_docs", "n_sig_rows", "n_flagged",
+            "n_prior_batches")
+          .write.mode("overwrite").parquet(s"$statsPath/batch=$batchId")
+      }
     } finally b.unpersist()
   }
+
+  /** Per-batch screen-density history written by [[screenedIngest]]
+    * when `statsPath` is set. */
+  def loadScreenStats(spark: org.apache.spark.sql.SparkSession,
+                      statsPath: String): DataFrame =
+    spark.read.parquet(statsPath)
+      .select(col("batch_id"), col("n_docs"), col("n_sig_rows"),
+        col("n_flagged"), col("n_prior_batches"))
 
   /** Benchmark decontamination: corpus documents sharing ≥ `minOverlap`
     * distinct word n-grams with ANY document of an evaluation set —

@@ -291,7 +291,7 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
     val in = spark.readStream.schema(schema).parquet(staging)
     val q = Dedup.screenedIngest(in, storePath, flaggedPath, s"$root/ckpt",
-      "text", "doc_id", n = 3, bands = 4)
+      "text", "doc_id", n = 3, bands = 4, statsPath = s"$root/stats")
     try {
       q.processAllAvailable()
       // batch 1: 20 = dup of STREAMED doc 11 (prior batch, not in seed),
@@ -320,6 +320,17 @@ class StreamingSpec extends AnyFunSuite {
       val dirs = new java.io.File(storePath).list().toSet
       assert(dirs.contains("batch=-1") && dirs.contains("batch=0") &&
         dirs.contains("batch=1"))
+
+      // Density health history: one row per micro-batch with the
+      // screened breadth and flag counts (the per-batch face of q131).
+      val stats = Dedup.loadScreenStats(spark, s"$root/stats")
+        .select("batch_id", "n_docs", "n_flagged", "n_prior_batches")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      // batch 0: 2 docs, 1 flagged (10 vs seed), screened vs 1 prior dir;
+      // batch 1: 3 docs, 2 flagged (20 vs 11, 21 vs seed 2), vs 2 priors.
+      assert(stats == Map(0L -> ((2L, 1L, 1L)), 1L -> ((3L, 2L, 2L))),
+        s"unexpected screen-density history: $stats")
     } finally {
       q.stop()
     }
