@@ -466,8 +466,18 @@ object Dedup {
     val bsz = sigs.groupBy("band", "sig")
       .agg(count(lit(1)).as("m"), min("id").as("rep")).persist(lvl)
     try {
-      val nDocs = docs.count()
-      val nSig = sigs.count()
+      // Fused stat jobs (one action each, never one per number):
+      // docs pass = corpus count + exact-drop count in one aggregation;
+      // bucket pass = every bucket statistic at once, with total
+      // signature rows derived as hot + in-cap mass (≡ sigs.count);
+      // verify pass = pair count + distinct-dropped count in one agg.
+      val fpWin = Window.partitionBy("fp").orderBy(col(idCol).asc)
+      val d = docs
+        .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+        .withColumn("rn", row_number().over(fpWin))
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("nex"))
+        .head()
       val b = bsz.agg(
         count(lit(1)).as("nb"), max("m").as("mx"),
         sum(when(col("m") > maxBucketSize, 1L).otherwise(0L)).as("oc"),
@@ -482,24 +492,17 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct().persist(lvl)
       val nCand = cands.count()
-      val verified = verifyThreshold(docs, cands, textCol, idCol, n, minJaccard)
-        .select("id_a", "id_b").persist(lvl)
-      val nVerified = verified.count()
-      val nPairDrops = verified.select("id_b").distinct().count()
-      verified.unpersist(blocking = false)
+      val v = verifyThreshold(docs, cands, textCol, idCol, n, minJaccard)
+        .agg(count(lit(1)).as("nv"), countDistinct("id_b").as("npd"))
+        .head()
       cands.unpersist(blocking = false)
       val nHotDrops = sigs
         .join(bsz.filter(col("m") > maxBucketSize), Seq("band", "sig"))
         .filter(col("id") =!= col("rep"))
         .select("id").distinct().count()
-      val fpWin = Window.partitionBy("fp").orderBy(col(idCol).asc)
-      val nExactDrops = docs
-        .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-        .withColumn("rn", row_number().over(fpWin))
-        .filter(col("rn") > 1).count()
-      Seq((nDocs, nSig, b.getLong(0), b.getLong(1), b.getLong(2),
-          b.getLong(3), b.getLong(4), nCand, nVerified, nExactDrops,
-          nPairDrops, nHotDrops))
+      Seq((d.getLong(0), b.getLong(3) + b.getLong(4), b.getLong(0),
+          b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4), nCand,
+          v.getLong(0), d.getLong(1), v.getLong(1), nHotDrops))
         .toDF("n_docs", "n_signature_rows", "n_buckets", "max_bucket",
           "buckets_over_cap", "hot_bucket_rows", "in_cap_rows",
           "candidate_pairs", "verified_pairs", "exact_drops", "pair_drops",
