@@ -3977,6 +3977,26 @@ object SparkEntry {
     TextAnalysis.bpeTokenCountPerDoc(t(s, dir, "documents"),
       bpeMergesArtifact(s, dir)).orderBy("doc_id")
 
+  /** Tokenizer round-trip gate ([[TextAnalysis.bpeRoundtripPerDoc]]):
+    * decode∘encode over the TRAINED merges must reproduce every
+    * document's pre-token stream exactly — the engine runs the real
+    * encode kernel per token occurrence and strips the word marker;
+    * the oracle states the identity from the pre-tokenizer alone (the
+    * q96 identity-oracle posture). */
+  private def q133BpeRoundtrip(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeRoundtripPerDoc(t(s, dir, "documents"),
+      bpeMergesArtifact(s, dir)).orderBy("doc_id")
+
+  private val q133Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT)
+      |    AS n_tokens,
+      |  md5(array_to_string(regexp_extract_all(lower(text), '$pat'), ' '))
+      |    AS roundtrip_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Unigram LM quality scoring (`TextAnalysis.unigramVocab` +
     * `lmScore`): the CCNet/Gopher perplexity-filter shape — top-16
     * vocabulary ML log-probs, OOV floor ln(1/(total+1)), per-doc mean
@@ -5010,6 +5030,7 @@ object SparkEntry {
     "q130_screen_vs_classifier" -> (q130ScreenVsClassifier _),
     "q131_dedup_density" -> (q131DedupDensity _),
     "q132_graph_batch" -> (q132GraphBatch _),
+    "q133_bpe_roundtrip" -> (q133BpeRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5098,6 +5119,7 @@ object SparkEntry {
     "q128_html_extract" -> q128Sql,
     "q129_pack_emit" -> q129Sql,
     "q131_dedup_density" -> q131Sql,
+    "q133_bpe_roundtrip" -> q133Sql,
     "q89_binary_recall" -> q89Sql,
     "q93_corpus_screen" -> q93Sql,
     "q96_jsonl_roundtrip" -> q96Sql,

@@ -221,6 +221,32 @@ object TextAnalysis {
     // and a NULL cost must never reach assignBinsByCost.
   }
 
+  /** Decode∘encode round-trip fingerprint per document — the algebraic
+    * gate a tokenizer API owes its users: BPE merges only ever JOIN
+    * adjacent symbols of one word, so `concat(bpe_encode(t))` must be
+    * exactly `t + "</w>"` for every pre-token, and the decoded document
+    * is its pre-token stream re-joined with single spaces. The engine
+    * side runs the REAL kernel (encode every token occurrence, strip
+    * the trailing marker, re-join); the oracle needs no BPE at all —
+    * it states the identity directly from the pre-tokenizer (the q96
+    * identity-oracle posture), so any kernel defect that loses, splits
+    * or cross-contaminates a character fails the hash. One per-row
+    * projection, zero shuffle. */
+  def bpeRoundtripPerDoc(docs: DataFrame, merges: Seq[BpeMerge],
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val toks = regexTokens(col(textCol))
+    val decoded = array_join(
+      transform(toks, t => regexp_replace(
+        array_join(GraftFunctions.bpeEncode(t,
+          merges.map(m => (m.lhs, m.rhs))), ""),
+        "</w>$", "")), " ")
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      md5(decoded.cast("binary")).as("roundtrip_fp"))
+  }
+
   /** Persist a trained merge list as the tokenizer artifact (text:
     * header = count, then one `rank lhs rhs n` line per merge — symbols
     * never contain whitespace because [[BpeTokenPattern]] excludes it,

@@ -522,6 +522,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 6L), (2L, 0L, 0L)))
   }
 
+  test("bpeRoundtripPerDoc: decode∘encode ≡ pre-token identity, even on marker-shaped text") {
+    // Doc 2 contains the literal text "</w>" — its pre-tokens include
+    // symbols that can merge INTO marker-looking strings, so only the
+    // one TRAILING marker may be stripped. Doc 3: apostrophe splits.
+    val docs = Seq(
+      (1L, "low lower lowest"),
+      (2L, "tag </w> end"),
+      (3L, "it's O'Neil's")).toDF("doc_id", "text")
+    val merges = Seq(
+      TextAnalysis.BpeMerge(1, "l", "o", 0L),
+      TextAnalysis.BpeMerge(2, "lo", "w", 0L),
+      TextAnalysis.BpeMerge(3, "low", "</w>", 0L), // merges INTO the marker
+      TextAnalysis.BpeMerge(4, "<", "/", 0L))
+    val got = TextAnalysis.bpeRoundtripPerDoc(docs, merges)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    // Expected = the identity computed INDEPENDENTLY (Java regex
+    // pre-tokenize, join with spaces, md5) — no Spark, no BPE.
+    def fp(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val pat = java.util.regex.Pattern.compile(TextAnalysis.BpeTokenPattern)
+    def pretoks(s: String): Seq[String] = {
+      val m = pat.matcher(s.toLowerCase)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    val want = Seq((1L, "low lower lowest"), (2L, "tag </w> end"),
+      (3L, "it's O'Neil's")).map { case (id, txt) =>
+      val ts = pretoks(txt)
+      (id, ts.size.toLong, fp(ts.mkString(" ")))
+    }
+    assert(got == want, s"roundtrip diverged:\n got=$got\nwant=$want")
+    // Sanity on the fixture shape: the marker-text doc splits into 5
+    // pre-tokens (tag, </, w, >, end) — the merge INTO "</w" must not
+    // let the strip eat interior marker-shaped text.
+    assert(got(1)._2 == 5L)
+  }
+
   test("bpeTokenCounts: symbol frequencies under an explicit merge list") {
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val merges = Seq(
