@@ -116,14 +116,29 @@ object Bench {
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       (n, cold, median)
     }
+    // 4-decimal values: sub-0.1ms precision is noise, and the full
+    // two-map line must stay as short as possible — the harness keeps
+    // only the LAST ~2000 chars of output, so every wasted digit
+    // pushes a per-query entry out of the captured artifact.
+    def r4(v: Double): String =
+      if (v < 0) "-1" else
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def obj(f: ((String, Double, Double)) => (String, Double)): String =
-      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
+      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + r4(v) }
         .mkString("{", ",", "}")
     val qs = obj(r => (r._1, r._2))
     val steady = obj(r => (r._1, r._3))
     val total = results.map(_._2).filter(_ >= 0).sum
     val steadyTotal = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$steady,"steady_total":$steadyTotal,"sf":"$sfDir","contended_jvms":${contended.size}}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"steady":$steady,"steady_total":${r4(steadyTotal)},"sf":"$sfDir","contended_jvms":${contended.size}}""")
+    // The full line above overflows a 2000-char tail capture with 130+
+    // queries, so no prior round's harness artifact ever parsed it.
+    // Emit a LAST compact line that always fits: headline totals + the
+    // slowest steady queries — this is the line a tail-window parser
+    // sees whole.
+    val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(10)
+      .map(r => "\"" + r._1 + "\":" + r4(r._3)).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steady_total":${r4(steadyTotal)},"contended_jvms":${contended.size},"slowest_steady":$slowest}""")
     spark.stop()
   }
 }

@@ -472,17 +472,20 @@ object Dedup {
       // signature rows derived as hot + in-cap mass (≡ sigs.count);
       // verify pass = pair count + distinct-dropped count in one agg.
       val fpWin = Window.partitionBy("fp").orderBy(col(idCol).asc)
+      // coalesce: sum()/max() over ZERO rows aggregate to NULL, and
+      // Row.getLong on that NULL throws — an empty corpus must yield a
+      // zeroed stats row, not an NPE.
       val d = docs
         .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
         .withColumn("rn", row_number().over(fpWin))
         .agg(count(lit(1)).as("nd"),
-          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("nex"))
+          coalesce(sum(when(col("rn") > 1, 1L).otherwise(0L)), lit(0L)).as("nex"))
         .head()
       val b = bsz.agg(
-        count(lit(1)).as("nb"), max("m").as("mx"),
-        sum(when(col("m") > maxBucketSize, 1L).otherwise(0L)).as("oc"),
-        sum(when(col("m") > maxBucketSize, col("m")).otherwise(0L)).as("hr"),
-        sum(when(col("m") <= maxBucketSize, col("m")).otherwise(0L)).as("ic"))
+        count(lit(1)).as("nb"), coalesce(max("m"), lit(0L)).as("mx"),
+        coalesce(sum(when(col("m") > maxBucketSize, 1L).otherwise(0L)), lit(0L)).as("oc"),
+        coalesce(sum(when(col("m") > maxBucketSize, col("m")).otherwise(0L)), lit(0L)).as("hr"),
+        coalesce(sum(when(col("m") <= maxBucketSize, col("m")).otherwise(0L)), lit(0L)).as("ic"))
         .head()
       val inCap = sigs.join(bsz.filter(col("m") <= maxBucketSize),
         Seq("band", "sig"), "left_semi")

@@ -141,8 +141,12 @@ object GraphSearch {
 
     val scores = Array.fill(nq)(Map.empty[Long, Double])
     val seed = scoreIds(entries.flatten.distinct)
+    // Ids absent from the scored map (a stale graph pointing at ids the
+    // corpus no longer has) are DROPPED, exactly as the single walk's
+    // scoreIds-join does — never a strict lookup, which would crash on
+    // out-of-sync graph/corpus inputs.
     for (i <- 0 until nq)
-      scores(i) = entries(i).map(id => id -> seed(id)(i)).toMap
+      scores(i) = entries(i).flatMap(id => seed.get(id).map(a => id -> a(i))).toMap
     def beamOf(i: Int): Seq[Long] =
       scores(i).toSeq.sortBy { case (id, s) => (-s, id) }
         .take(beamWidth).map(_._1)
@@ -164,7 +168,7 @@ object GraphSearch {
       active.foreach { i =>
         if (frontiers(i).isEmpty) done(i) = true
         else {
-          scores(i) ++= frontiers(i).map(id => id -> fresh(id)(i))
+          scores(i) ++= frontiers(i).flatMap(id => fresh.get(id).map(a => id -> a(i)))
           beams(i) = beamOf(i)
         }
       }

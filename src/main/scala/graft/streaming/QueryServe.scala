@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * contract), and a results consumer tails the dir in batch order. */
 object QueryServe {
 
+  /** Max queries per [[graft.operators.GraphSearch.searchBeamBatch]]
+    * call inside a graph-served micro-batch: each query adds a vector
+    * literal + a dot column to every scan, so the per-call width is
+    * bounded well under codegen's 64KB-method / constant-pool limits
+    * while keeping the batched walk's shared-read win (measured
+    * 3.7–10.5× at N=4–16 — already saturating inside this bound). */
+  val GraphChunkSize = 32
+
   def servedSearch(queries: DataFrame, ivf: IvfIndex.Ivf, pq: PqIndex.Pq,
                    encoded: DataFrame, resultsPath: String,
                    checkpointPath: String, k: Int, nprobe: Int,
@@ -88,13 +96,23 @@ object QueryServe {
                                      ivf: IvfIndex.Ivf, resultsPath: String,
                                      k: Int, nprobe: Int, beamWidth: Int,
                                      hops: Int, queryIdCol: String,
-                                     embCol: String): Unit = {
+                                     embCol: String,
+                                     chunkSize: Int = GraphChunkSize): Unit = {
     val qs = batch.select(col(queryIdCol), col(embCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     if (qs.isEmpty) return
-    graft.operators.GraphSearch.searchBeamBatch(graph, withCells, ivf, qs,
-        k, nprobe, beamWidth, hops)
-      .withColumn("batch_id", lit(batchId))
+    // A micro-batch is unbounded (a queued burst arrives as ONE batch),
+    // but each searchBeamBatch call bakes one vector literal + one
+    // dot_f32 column per query into every scan — past a few dozen
+    // queries that blows codegen limits (64KB method / constant pool →
+    // interpreted-projection fallback) and bloats the driver plan.
+    // Bound the per-call width and union the chunk results instead;
+    // within a chunk the batched walk's shared-read win is intact.
+    val out = qs.grouped(chunkSize).map { chunk =>
+      graft.operators.GraphSearch.searchBeamBatch(graph, withCells, ivf,
+        chunk, k, nprobe, beamWidth, hops)
+    }.reduce(_ unionAll _)
+    out.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").parquet(s"$resultsPath/batch=$batchId")
   }
 

@@ -9,6 +9,14 @@ class DedupSpec extends AnyFunSuite {
   import spark.implicits._
   graft.functions.GraftFunctions.register(SparkTestBase.spark)
 
+  test("dedupDensityStats on an empty corpus yields one zeroed row, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val row = Dedup.dedupDensityStats(empty).collect()
+    assert(row.length == 1)
+    assert(row.head.toSeq.forall(_ == 0L),
+      s"expected an all-zero stats row, got ${row.head}")
+  }
+
   test("exactDedup keeps lowest id per normalized content") {
     val docs = Seq(
       (1L, "Hello, World!"),

@@ -115,6 +115,31 @@ class GraphSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("stale graph (dangling dst ids) drops missing ids — batch ≡ singles, no crash") {
+    val data = clustered(200, 4)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 4)
+    // Graph built BEFORE a corpus shrink: point some edges at ids the
+    // corpus no longer has. Both walk forms must silently skip them.
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = 4)
+      .withColumn("dst",
+        when(col("dst") % 7 === 0, col("dst") + 100000L).otherwise(col("dst")))
+    val qs = Seq(5L, 21L, 60L).map(i => i -> data(i.toInt)._2)
+
+    val batch = GraphSearch.searchBeamBatch(graph, withCells, ivf, qs,
+        k = 10, nprobe = 2, beamWidth = 6, hops = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1)).toMap
+    qs.foreach { case (qid, v) =>
+      val single = GraphSearch.searchBeam(graph, withCells, ivf, v, k = 10,
+          nprobe = 2, beamWidth = 6, hops = 3)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(single.forall(_._2 < 100000L), "single walk scored a dangling id")
+      assert(batch(qid).map(t => (t._1, t._2)) == single.map(t => (t._1, t._2)),
+        s"batched walk diverged from single on stale graph for query $qid")
+    }
+  }
+
   test("good recall inside the probed cluster (graph reaches the true top)") {
     val data = clustered(300, 3)
     val docs = data.toDF("doc_id", "embedding")

@@ -115,6 +115,30 @@ class QueryServeSpec extends AnyFunSuite {
     assert(QueryServe.loadResults(spark, s"$dir/results").count() == before)
   }
 
+  test("graph-serve chunking: a burst micro-batch split into bounded walk calls ≡ one call") {
+    import graft.operators.KnnGraph
+    val corpus = clustered(0 until 300, 6)
+    val docs = corpus.toDF("doc_id", "embedding")
+    val ivf = IvfIndex.train(docs, nlist = 6)
+    val withCells = IvfIndex.assign(docs, ivf)
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("serve-chunk").toString
+    // A 5-query burst with chunkSize=2 → three searchBeamBatch calls
+    // unioned; rows must be identical to the single unchunked call.
+    val burst = (0 until 5).map(i => (200L + i) -> corpus(i * 11)._2)
+    QueryServe.serveGraphBatch(burst.toDF("query_id", "embedding"), 0L,
+      graph, withCells, ivf, s"$dir/results", 5, 2, 6, 3,
+      "query_id", "embedding", chunkSize = 2)
+    val served = QueryServe.loadResults(spark, s"$dir/results")
+      .select("query_id", "rnk", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val direct = graft.operators.GraphSearch.searchBeamBatch(
+        graph, withCells, ivf, burst, k = 5, nprobe = 2,
+        beamWidth = 6, hops = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(served == direct, "chunked graph serve diverged from one unchunked call")
+  }
+
   test("results retention: watermark prune + compaction keep loadResults exact and the listing bounded") {
     val corpus = clustered(0 until 300, 6)
     val docs = corpus.toDF("doc_id", "embedding")
