@@ -4141,6 +4141,76 @@ object SparkEntry {
       |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) <= 300
       |ORDER BY hamming, e.vec_id""".stripMargin
 
+  /** Binary hash-bucket search ([[BinaryIndex.searchHash]]): FAISS
+    * `IndexBinaryHash` — codes bucketed on their first `b` bits, the
+    * query probing every bucket within `nflip` bit flips of its own key
+    * (FAISS's FlipEnumerator, here a driver-enumerated static `isin` →
+    * partition/row-group pruning), candidates ranked by FULL Hamming
+    * distance. Run at 768-d over the widened multi-word codes (the q84
+    * corpus). The oracle replays the semantics: the bucket-key distance
+    * IS the sign-disagreement count over the first `b` dims, so the
+    * probe predicate needs no key arithmetic at all. */
+  private def q134BinaryHash(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
+    val qCode = BinaryIndex.encode(emb.filter(col("vec_id") === 0), idCol = "vec_id")
+      .select("code").collect()(0).getSeq[Long](0).toArray
+    val hashed = BinaryIndex.hashEncode(
+      BinaryIndex.encode(emb.filter(col("vec_id") =!= 0), idCol = "vec_id"),
+      b = 8)
+    BinaryIndex.searchHash(hashed, qCode, b = 8, nflip = 1, k = 10,
+      idCol = "vec_id")
+  }
+
+  private val q134Sql =
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |q AS (SELECT embedding AS qe FROM __wide WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(len(list_filter(range(len(e.embedding)),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
+      |FROM __wide e, q
+      |WHERE e.vec_id <> 0
+      |  AND len(list_filter(range(8),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) <= 1
+      |ORDER BY hamming, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Multi-table binary hash search ([[BinaryIndex.searchMultiHash]]):
+    * FAISS `IndexBinaryMultiHash` — `nhash` tables over disjoint b-bit
+    * code slices, a row admitted when ANY table's key is within `nflip`
+    * flips of the query's (FAISS dedups candidates with a per-query
+    * bloom filter; the disjunctive predicate evaluates once per row, so
+    * duplication cannot happen). Same widened 768-d corpus; the oracle's
+    * admit rule is the OR of three sign-disagreement windows. */
+  private def q135BinaryMultiHash(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
+    val qCode = BinaryIndex.encode(emb.filter(col("vec_id") === 0), idCol = "vec_id")
+      .select("code").collect()(0).getSeq[Long](0).toArray
+    val hashed = BinaryIndex.hashEncode(
+      BinaryIndex.encode(emb.filter(col("vec_id") =!= 0), idCol = "vec_id"),
+      b = 8, nhash = 3)
+    BinaryIndex.searchMultiHash(hashed, qCode, b = 8, nhash = 3, nflip = 1,
+      k = 10, idCol = "vec_id")
+  }
+
+  private val q135Sql =
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |q AS (SELECT embedding AS qe FROM __wide WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(len(list_filter(range(len(e.embedding)),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
+      |FROM __wide e, q
+      |WHERE e.vec_id <> 0
+      |  AND (len(list_filter(range(8),
+      |         i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) <= 1
+      |    OR len(list_filter(range(8),
+      |         i -> (e.embedding[i+9] > 0) != (q.qe[i+9] > 0))) <= 1
+      |    OR len(list_filter(range(8),
+      |         i -> (e.embedding[i+17] > 0) != (q.qe[i+17] > 0))) <= 1)
+      |ORDER BY hamming, e.vec_id
+      |LIMIT 10""".stripMargin
+
   /** Batch range search ([[VectorSearch.rangeSearchBatch]]): FAISS
     * `Index::range_search` — every within-radius (query, doc) pair, no
     * top-k. Emitted in the engine's total order; per-query counts
@@ -4995,6 +5065,8 @@ object SparkEntry {
     "q83_ivf_stats" -> (q83IvfStats _),
     "q84_binary_search" -> (q84BinarySearch _),
     "q103_binary_range" -> (q103BinaryRange _),
+    "q134_binary_hash" -> (q134BinaryHash _),
+    "q135_binary_multihash" -> (q135BinaryMultiHash _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5111,6 +5183,8 @@ object SparkEntry {
     "q81_dsir_weights" -> q81Sql,
     "q84_binary_search" -> q84Sql,
     "q103_binary_range" -> q103Sql,
+    "q134_binary_hash" -> q134Sql,
+    "q135_binary_multihash" -> q135Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

@@ -203,4 +203,109 @@ object BinaryIndex {
       .filter(col("hamming") <= maxDist)
       .orderBy(col("hamming").asc, col(idCol).asc)
   }
+
+  // ---- Binary hash buckets (FAISS IndexBinaryHash / IndexBinaryMultiHash,
+  //      faiss/IndexBinaryHash.cpp) ----
+  //
+  // FAISS hashes each binary code on a b-bit slice and, at query time,
+  // probes every bucket whose key is within `nflip` bit flips of the
+  // query's key (its FlipEnumerator), scanning only those buckets'
+  // codes. The Spark-first translation: the bucket key is a COLUMN
+  // (derived from the code by shift+mask — pure codegen), the corpus is
+  // written `partitionBy(bucket)`, and the probe set — C(b,0)+…+C(b,nflip)
+  // keys, enumerated at the driver exactly like FAISS's flip walk —
+  // becomes a static `isin` filter, i.e. parquet PartitionFilters: at
+  // 100 TB a probe reads (probed buckets / 2^b) of an already-32×-smaller
+  // codes corpus and never touches the rest. MultiHash keeps ONE copy of
+  // the codes with `nhash` bucket-key columns (FAISS duplicates the
+  // codes per table; columnar storage makes the extra keys ~free) and the
+  // probe is the OR of the per-table key sets — a row is a candidate if
+  // ANY table admits it, deduplicated by construction because the
+  // predicate is evaluated once per row rather than per table.
+
+  /** Bucket key for hash table `table`: bits `[table*b, (table+1)*b)` of
+    * the code, as a non-negative long. All slices must live in the first
+    * code word (`(table+1)*b ≤ 64` — 64 bits of key space; FAISS's own
+    * default `b` is ≤ 32). */
+  def hashKeyCol(codeCol: org.apache.spark.sql.Column, b: Int, table: Int)
+      : org.apache.spark.sql.Column = {
+    require(b >= 1 && (table + 1) * b <= 64,
+      s"hash slice [${table * b}, ${(table + 1) * b}) must live in code word 0")
+    val mask = if (b == 64) -1L else (1L << b) - 1L
+    shiftrightunsigned(element_at(codeCol, 1), table * b).bitwiseAND(lit(mask))
+  }
+
+  /** Driver-side [[hashKeyCol]] (query path). */
+  def hashKeyOne(code: Array[Long], b: Int, table: Int): Long = {
+    require(b >= 1 && (table + 1) * b <= 64,
+      s"hash slice [${table * b}, ${(table + 1) * b}) must live in code word 0")
+    val mask = if (b == 64) -1L else (1L << b) - 1L
+    (code(0) >>> (table * b)) & mask
+  }
+
+  /** Add the `nhash` bucket-key columns (`bucket_0..bucket_{nhash-1}`) to
+    * a codes table — the persistable hash-index layout. Partition the
+    * single-table form by `bucket_0` for static partition pruning. */
+  def hashEncode(codes: DataFrame, b: Int, nhash: Int = 1,
+                 codeCol: String = "code"): DataFrame =
+    (0 until nhash).foldLeft(codes) { (df, t) =>
+      df.withColumn(s"bucket_$t", hashKeyCol(col(codeCol), b, t))
+    }
+
+  /** All bucket keys within Hamming distance ≤ `nflip` of the query's key
+    * — FAISS's flip enumeration, driver-side (C(b,0)+…+C(b,nflip) keys;
+    * tiny for the nflip ≤ 2 regime the structure is built for). Sorted
+    * for deterministic plans. */
+  def probeKeys(queryKey: Long, b: Int, nflip: Int): Seq[Long] = {
+    require(nflip >= 0 && nflip <= b, s"nflip must be in [0, $b]")
+    def flips(start: Int, left: Int, acc: Long): Seq[Long] =
+      if (left == 0) Seq(acc)
+      else (start until b).flatMap(i => flips(i + 1, left - 1, acc ^ (1L << i)))
+    (0 to nflip).flatMap(f => flips(0, f, queryKey)).distinct.sorted
+  }
+
+  /** `IndexBinaryHash::search`: probe the buckets within `nflip` flips of
+    * the query's key, rank the candidates by FULL Hamming distance,
+    * top-k (ascending, id tiebreak). The probe set is a static `isin` —
+    * PartitionFilters on a bucket-partitioned corpus, row-group pruning
+    * otherwise; like FAISS, ids outside the probed buckets are not
+    * reported (raise `nflip` — at `nflip = b` the probe covers every
+    * bucket and the result equals [[searchHamming]]). */
+  def searchHash(hashed: DataFrame, queryCode: Array[Long], b: Int,
+                 nflip: Int, k: Int, idCol: String = "doc_id",
+                 codeCol: String = "code"): DataFrame = {
+    GraftFunctions.register(hashed.sparkSession)
+    val probe = probeKeys(hashKeyOne(queryCode, b, 0), b, nflip)
+    hashed
+      .filter(col("bucket_0").isin(probe: _*))
+      .select(col(idCol),
+        GraftFunctions.hammingWords(col(codeCol),
+          typedlit(queryCode)).as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** `IndexBinaryMultiHash::search`: `nhash` tables over disjoint b-bit
+    * slices; a row is a candidate if ANY table's key is within `nflip`
+    * flips of the query's key for that table. One scan with the
+    * disjunctive key predicate (candidates are deduplicated by
+    * construction — FAISS needs a per-query bloom filter for this),
+    * ranked by full Hamming distance. */
+  def searchMultiHash(hashed: DataFrame, queryCode: Array[Long], b: Int,
+                      nhash: Int, nflip: Int, k: Int,
+                      idCol: String = "doc_id",
+                      codeCol: String = "code"): DataFrame = {
+    GraftFunctions.register(hashed.sparkSession)
+    val admit = (0 until nhash).map { t =>
+      val probe = probeKeys(hashKeyOne(queryCode, b, t), b, nflip)
+      col(s"bucket_$t").isin(probe: _*)
+    }.reduce(_ || _)
+    hashed
+      .filter(admit)
+      .select(col(idCol),
+        GraftFunctions.hammingWords(col(codeCol),
+          typedlit(queryCode)).as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

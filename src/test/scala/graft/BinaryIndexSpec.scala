@@ -255,4 +255,89 @@ class BinaryIndexSpec extends AnyFunSuite {
     assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
       s"range search shuffled the corpus:\n$plan")
   }
+
+  // ---- IndexBinaryHash / IndexBinaryMultiHash ----
+
+  test("hash keys: flip enumeration sizes and slice extraction") {
+    // key of table t = bits [t*b, (t+1)*b) of word 0
+    val code = Array(0x0000000000ABCDEFL)
+    assert(BinaryIndex.hashKeyOne(code, b = 8, table = 0) == 0xEFL)
+    assert(BinaryIndex.hashKeyOne(code, b = 8, table = 1) == 0xCDL)
+    assert(BinaryIndex.hashKeyOne(code, b = 8, table = 2) == 0xABL)
+    assert(BinaryIndex.probeKeys(0L, b = 8, nflip = 0) == Seq(0L))
+    assert(BinaryIndex.probeKeys(0L, b = 8, nflip = 1).size == 9) // 1 + C(8,1)
+    assert(BinaryIndex.probeKeys(0L, b = 8, nflip = 2).size == 37) // + C(8,2)
+    // every probed key is within nflip bit flips of the query key
+    BinaryIndex.probeKeys(0x5AL, b = 8, nflip = 2).foreach { k =>
+      assert(java.lang.Long.bitCount(k ^ 0x5AL) <= 2)
+    }
+  }
+
+  test("hash search ≡ brute force: prefix-distance admit + full-Hamming rank") {
+    val data = randVecs(400, dim = 128)
+    val codes = BinaryIndex.encode(data.toDF("doc_id", "embedding"))
+    val qVec = data.head._2
+    val qCode = BinaryIndex.packOne(qVec)
+    val hashed = BinaryIndex.hashEncode(codes, b = 8)
+    val got = BinaryIndex.searchHash(hashed, qCode, b = 8, nflip = 1, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    def prefixDist(v: Array[Float]) =
+      (0 until 8).count(i => (v(i) > 0f) != (qVec(i) > 0f))
+    val brute = data
+      .filter { case (_, v) => prefixDist(v) <= 1 }
+      .map { case (id, v) => (id, bruteHamming(v, qVec)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    assert(got == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("multi-hash search ≡ brute force OR of per-table windows; wider than one table") {
+    val data = randVecs(400, dim = 128)
+    val codes = BinaryIndex.encode(data.toDF("doc_id", "embedding"))
+    val qVec = data(7)._2
+    val qCode = BinaryIndex.packOne(qVec)
+    val hashed = BinaryIndex.hashEncode(codes, b = 8, nhash = 3)
+    val got = BinaryIndex.searchMultiHash(hashed, qCode, b = 8, nhash = 3,
+        nflip = 1, k = 50)
+      .as[(Long, Long)].collect().toSeq
+    def windowDist(v: Array[Float], t: Int) =
+      (0 until 8).count(i => (v(t * 8 + i) > 0f) != (qVec(t * 8 + i) > 0f))
+    val admitted = data.filter { case (_, v) =>
+      (0 until 3).exists(t => windowDist(v, t) <= 1)
+    }
+    val brute = admitted
+      .map { case (id, v) => (id, bruteHamming(v, qVec)) }
+      .sortBy { case (id, d) => (d, id) }.take(50).toSeq
+    assert(got == brute)
+    // more tables must admit at least as many candidates as one
+    val single = data.count { case (_, v) => windowDist(v, 0) <= 1 }
+    assert(admitted.size >= single)
+  }
+
+  test("nflip = b covers every bucket: hash search ≡ flat Hamming search") {
+    val data = randVecs(200, dim = 64)
+    val codes = BinaryIndex.encode(data.toDF("doc_id", "embedding"))
+    val qCode = BinaryIndex.packOne(data(3)._2)
+    val hashed = BinaryIndex.hashEncode(codes, b = 6)
+    val full = BinaryIndex.searchHash(hashed, qCode, b = 6, nflip = 6, k = 12)
+      .as[(Long, Long)].collect().toSeq
+    val flat = BinaryIndex.searchHamming(codes, qCode, k = 12)
+      .as[(Long, Long)].collect().toSeq
+    assert(full == flat)
+  }
+
+  test("hash probe prunes partitions on a bucket-partitioned corpus") {
+    val data = randVecs(300, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bhash-").toString
+    BinaryIndex.hashEncode(BinaryIndex.encode(data.toDF("doc_id", "embedding")), b = 4)
+      .write.mode("overwrite").partitionBy("bucket_0").parquet(dir)
+    val hashed = spark.read.parquet(dir)
+    val qCode = BinaryIndex.packOne(data(11)._2)
+    val df = BinaryIndex.searchHash(hashed, qCode, b = 4, nflip = 1, k = 5)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"no partition filters:\n$scan")
+    // 5 probed keys of 16 buckets: the static isin must reach the scan
+    assert(scan.contains("bucket_0"), s"bucket filter missing from scan:\n$scan")
+  }
 }
