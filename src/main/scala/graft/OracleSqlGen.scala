@@ -1905,6 +1905,63 @@ object OracleSqlGen {
     * ([[bpeDocCountCtes]]) fed through the q52 streaming-pack window
     * (`bin = (cumsum_before_doc) div budget`, per-shard, id order) and
     * summarized per (source, bin). */
+  /** q136's oracle: the Lloyd TRAINING LOOP unrolled (the q97
+    * unrolled-hops posture applied to k-means) — deterministic init
+    * (the k lowest-id vectors), then per iteration: argmin assignment
+    * (strict-left-fold squared L2, ties to the lowest cell — the
+    * `nearest_centroid_f32` kernel's exact arithmetic), per-cell
+    * occupancy + decimal-summed objective, and the INTEGER-EXACT
+    * centroid update (`floor(x·1e6 + 0.5)` scaled sums, one IEEE
+    * division) with empty cells keeping their previous centroid. The
+    * recomputed centroids are bit-identical to the engine's, so no
+    * iteration can diverge on a Voronoi near-tie. */
+  def kmeansLloydSql(k: Int, iters: Int): String = {
+    def d2 = s"""list_reduce(list_prepend(0.0,
+                |        list_transform(list_zip(e.embedding, c.v),
+                |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+                |               (CAST(p[1] AS DOUBLE) - p[2]))),
+                |        (acc, t) -> acc + t)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, embedding, cell, d2 FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      $d2 AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        $d2 ASC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents${i - 1} c) WHERE rn = 1),
+         |st$i AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(d2, 6) AS DECIMAL(22,6))) AS DOUBLE) AS obj
+         |  FROM a$i GROUP BY cell),
+         |cents$i AS (
+         |  SELECT c0.cell, coalesce(nv.v, c0.v) AS v
+         |  FROM cents${i - 1} c0 LEFT JOIN (
+         |    SELECT cell, list(CAST(sv AS DOUBLE) / (n * 1000000.0) ORDER BY j) AS v
+         |    FROM (
+         |      SELECT cell, j,
+         |        sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sv,
+         |        count(*) AS n
+         |      FROM (SELECT cell, unnest(range(len(embedding))) AS j,
+         |                   unnest(embedding) AS x
+         |            FROM a$i)
+         |      GROUP BY cell, j)
+         |    GROUP BY cell) nv USING (cell))""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to iters)
+      .map(i => s"SELECT $i AS it, cell, n, obj FROM st$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cents0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < $k),
+       |$iterCtes
+       |SELECT CAST(it AS BIGINT) AS iter, CAST(cell AS BIGINT) AS cell_id,
+       |  n, round(obj, 4) AS obj
+       |FROM (
+       |  $unioned)
+       |ORDER BY iter, cell_id""".stripMargin
+  }
+
   def bpePackSql(merges: Seq[(String, String)], budget: Long): String =
     s"""WITH ${bpeDocCountCtes(merges)},
       |counted AS (

@@ -4211,6 +4211,26 @@ object SparkEntry {
       |ORDER BY hamming, e.vec_id
       |LIMIT 10""".stripMargin
 
+  /** k-means training loop ([[Clustering.lloyd]]): FAISS `Clustering` /
+    * `kmeans_clustering` with the TRAINING itself under the gate — the
+    * oracle unrolls every Lloyd iteration in SQL (init → argmin assign →
+    * integer-exact centroid update → next assign), so assignment rule,
+    * update arithmetic, empty-cell policy and per-iteration objective
+    * (FAISS `ClusteringIterationStats.obj`) are all hash-checked, not
+    * just a trained artifact. */
+  private def q136Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val res = Clustering.lloyd(emb, k = 8, iters = 3)
+    res.history.toDF()
+      .select(col("iter").cast("long").as("iter"),
+        col("cell").cast("long").as("cell_id"),
+        col("n"), round(col("obj"), 4).as("obj"))
+      .orderBy("iter", "cell_id")
+  }
+
+  private val q136Sql = OracleSqlGen.kmeansLloydSql(k = 8, iters = 3)
+
   /** Batch range search ([[VectorSearch.rangeSearchBatch]]): FAISS
     * `Index::range_search` — every within-radius (query, doc) pair, no
     * top-k. Emitted in the engine's total order; per-query counts
@@ -5067,6 +5087,7 @@ object SparkEntry {
     "q103_binary_range" -> (q103BinaryRange _),
     "q134_binary_hash" -> (q134BinaryHash _),
     "q135_binary_multihash" -> (q135BinaryMultiHash _),
+    "q136_kmeans_train" -> (q136Kmeans _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5185,6 +5206,7 @@ object SparkEntry {
     "q103_binary_range" -> q103Sql,
     "q134_binary_hash" -> q134Sql,
     "q135_binary_multihash" -> q135Sql,
+    "q136_kmeans_train" -> q136Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

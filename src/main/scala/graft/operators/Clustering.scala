@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** FAISS `Clustering` (faiss/Clustering.cpp, the `kmeans_clustering`
+  * entry) as a first-class engine op: Lloyd's k-means with the training
+  * loop itself under the oracle gate — not just the trained artifact
+  * (the IVF family gates artifacts; q136 gates the TRAINING).
+  *
+  * Everything is deterministic and cross-engine replayable:
+  *  - INIT: the k lowest-id vectors (FAISS samples a random permutation;
+  *    this is the engine's reproducible analog — same posture as the
+  *    salted draws of q53/q95, with the identity permutation).
+  *  - ASSIGN: the shared [[graft.functions.GraftFunctions.nearestCentroidF32]]
+  *    codegen kernel — sequential double accumulation, ties to the
+  *    lowest cell, bit-replicable in SQL.
+  *  - UPDATE: centroid coordinates are INTEGER-EXACT means — per-element
+  *    `floor(x·1e6 + 0.5)` scaled longs, summed distributively (exact,
+  *    associative — a double sum over a shuffle is addition-order
+  *    nondeterministic), divided once at the driver:
+  *    `sum / (n · 1e6)` in IEEE double. The 1e-6 coordinate quantization
+  *    is far inside float32's own mantissa at embedding magnitudes, and
+  *    it buys bit-identical centroids on any partitioning AND in the
+  *    DuckDB replay — so iteration i+1's assignment can never diverge.
+  *  - EMPTY CELLS keep their previous centroid (FAISS splits the largest
+  *    cluster; that rule needs a tiebreak chain the replay can't state
+  *    cheaply — the keep rule is the deterministic simplification, and
+  *    a kept centroid is still a valid Voronoi site).
+  *  - OBJECTIVE (FAISS `ClusteringIterationStats.obj`): per-cell sum of
+  *    squared distances under the decimal idiom (`round(d2, 6)` →
+  *    DECIMAL(22,6) → exact sum), reported per iteration.
+  *
+  * Scale shape: each iteration is two passes — one k-row aggregate for
+  * (n, obj), one (cell, dim)-grained partial-sum exchange (k·d rows out
+  * of the map side, corpus never shuffled) — and one k·d-double driver
+  * round-trip, exactly FAISS's train loop with the sample replaced by
+  * the full corpus. At 100 TB you train on a sample (FAISS's own
+  * posture, `max_points_per_centroid`); pass a sampled frame in.
+  */
+object Clustering {
+
+  final case class LloydStat(iter: Int, cell: Int, n: Long, obj: Double)
+  final case class LloydResult(centroids: Array[Array[Double]],
+                               history: Seq[LloydStat])
+
+  /** Squared L2 to the assigned centroid, in the kernel's exact
+    * accumulation order (zip → per-dim squared diff → left fold). */
+  private def d2Col(emb: Column, centsLit: Column, cell: Column): Column =
+    aggregate(
+      zip_with(emb, element_at(centsLit, cell + lit(1)),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Run `iters` Lloyd iterations from the deterministic init; returns
+    * the final centroids plus the per-(iteration, cell) occupancy and
+    * objective history. */
+  def lloyd(corpus: DataFrame, k: Int, iters: Int,
+            embCol: String = "embedding", idCol: String = "doc_id"): LloydResult = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+
+    // Deterministic init: the k lowest-id vectors, float bits widened to
+    // double exactly (no arithmetic).
+    var cents: Array[Array[Double]] = corpus
+      .orderBy(col(idCol).asc).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(cents.length == k, s"corpus has fewer than k=$k rows")
+
+    val history = Seq.newBuilder[LloydStat]
+    for (it <- 1 to iters) {
+      val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+      val assigned = corpus.select(
+        col(embCol).as("__e"),
+        GraftFunctions.nearestCentroidF32(col(embCol), centsLit).as("cell"))
+
+      // Pass 1: per-cell occupancy + objective (k rows).
+      val stats = assigned
+        .withColumn("__d2", d2Col(col("__e"), centsLit, col("cell")))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("__d2"), 6).cast("decimal(22,6)"))
+            .cast("double").as("obj"))
+        .collect()
+      stats.foreach(r => history +=
+        LloydStat(it, r.getInt(0), r.getLong(1), r.getDouble(2)))
+
+      // Pass 2: integer-exact per-(cell, dim) scaled sums (k·d rows).
+      val sums = assigned
+        .select(col("cell"), posexplode(col("__e")).as(Seq("j", "x")))
+        .groupBy("cell", "j")
+        .agg(sum(floor(col("x").cast("double") * 1e6 + 0.5)).as("sv"),
+          count(lit(1)).as("n"))
+        .collect()
+
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      sums.foreach { r =>
+        val (cell, j) = (r.getInt(0), r.getInt(1))
+        next(cell)(j) = r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e6)
+      }
+      cents = next
+    }
+    LloydResult(cents, history.result().sortBy(s => (s.iter, s.cell)))
+  }
+}

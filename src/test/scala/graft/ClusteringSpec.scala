@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Clustering
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int = 8, seed: Int = 11): Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat)))
+  }
+
+  test("objective is non-increasing across Lloyd iterations") {
+    val docs = randVecs(300).toDF("doc_id", "embedding")
+    val res = Clustering.lloyd(docs, k = 6, iters = 4)
+    val objByIter = res.history.groupBy(_.iter).view
+      .mapValues(_.map(_.obj).sum).toMap
+    for (i <- 1 until 4)
+      assert(objByIter(i + 1) <= objByIter(i) + 1e-6,
+        s"objective rose at iter ${i + 1}: ${objByIter(i)} -> ${objByIter(i + 1)}")
+    // every point assigned every iteration
+    res.history.groupBy(_.iter).foreach { case (_, rows) =>
+      assert(rows.map(_.n).sum == 300L)
+    }
+  }
+
+  test("final assignment matches driver brute-force argmin over final centroids") {
+    val data = randVecs(200, dim = 6, seed = 23)
+    val docs = data.toDF("doc_id", "embedding")
+    val res = Clustering.lloyd(docs, k = 5, iters = 3)
+    def assignBrute(v: Array[Float]): Int =
+      res.centroids.zipWithIndex.map { case (c, j) =>
+        var d2 = 0.0; var i = 0
+        while (i < v.length) { val d = v(i).toDouble - c(i); d2 += d * d; i += 1 }
+        (d2, j)
+      }.minBy { case (d, j) => (d, j) }._2
+    // one more assignment pass under the final centroids equals brute force
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val got = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.nearestCentroidF32(col("embedding"),
+          typedLit(res.centroids.map(_.toSeq).toSeq)).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    data.foreach { case (id, v) => assert(got(id) == assignBrute(v), s"id $id") }
+  }
+
+  test("duplicate seed loses every tie: its cell empties and keeps its centroid") {
+    // seeds: id 0 and id 1 identical -> every point ties and goes to cell 0
+    val base = Array.fill(4)(1f)
+    val pts = Seq((0L, base), (1L, base.clone())) ++
+      randVecs(50, dim = 4, seed = 7).map { case (i, v) => (i + 2L, v) }
+    // one iteration: every tie resolves to cell 0, so cell 1 is empty and
+    // its centroid survives the update unchanged (next iteration it may
+    // legitimately re-acquire points once cell 0's centroid moves away)
+    val res = Clustering.lloyd(pts.toDF("doc_id", "embedding"), k = 2, iters = 1)
+    assert(!res.history.exists(_.cell == 1), "tied cell 1 must be empty at iter 1")
+    assert(res.centroids(1).toSeq == base.map(_.toDouble).toSeq,
+      "empty cell must keep its init centroid")
+  }
+
+  test("centroids are partitioning-independent (integer-exact update)") {
+    val data = randVecs(400, dim = 12, seed = 5)
+    val a = Clustering.lloyd(data.toDF("doc_id", "embedding"), k = 7, iters = 3)
+    val b = Clustering.lloyd(
+      data.toDF("doc_id", "embedding").repartition(13), k = 7, iters = 3)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+    assert(a.history == b.history)
+  }
+
+  test("k larger than corpus fails loudly") {
+    val docs = randVecs(3).toDF("doc_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Clustering.lloyd(docs, k = 10, iters = 1)
+    }
+  }
+}
