@@ -253,6 +253,69 @@ object OracleSqlGen {
        |WHERE st.sd > 0 AND (d.dist - st.mu) / st.sd > 2.0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q137's oracle: embedding-drift report between two id-sliced
+    * snapshots under the persisted quantizer — assignment replay per
+    * slice, per-cell occupancy + decimal-summed mean residual distance
+    * (the q116 float-cast residual fold), fractions and the absolute
+    * occupancy shift over the `ncells`-row filled frame. */
+  def embeddingDriftSql(cents: Seq[Array[Double]],
+                        oldPred: String, newPred: String): String = {
+    val k = cents.length
+    val values = cents.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+      .mkString(",\n      ")
+    def assignCte(name: String, pred: String) =
+      s"""$name AS (
+         |  SELECT doc_id, embedding, cell_id FROM (
+         |    SELECT e.vec_id AS doc_id, e.embedding, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(list_zip(e.embedding, c.c),
+         |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+         |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN __cents c
+         |    WHERE $pred) WHERE rn = 1)""".stripMargin
+    def statCte(name: String, src: String) =
+      s"""$name AS (
+         |  SELECT a.cell_id, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(round(sqrt(list_reduce(list_prepend(0.0,
+         |      list_transform(list_zip(a.embedding, c.c),
+         |        p -> CAST(CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT) AS DOUBLE) *
+         |             CAST(CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT) AS DOUBLE))),
+         |      (acc, t) -> acc + t)), 6) AS DECIMAL(22,6))) AS sd
+         |  FROM $src a JOIN __cents c USING (cell_id) GROUP BY a.cell_id)""".stripMargin
+    s"""WITH __cents(cell_id, c) AS (VALUES
+       |      $values),
+       |${assignCte("ao", oldPred)},
+       |${assignCte("an", newPred)},
+       |${statCte("so", "ao")},
+       |${statCte("sn", "an")},
+       |cells AS (SELECT unnest(range(0, $k)) AS cell_id),
+       |filled AS (
+       |  SELECT c.cell_id,
+       |    coalesce(so.n, 0) AS n_old, coalesce(sn.n, 0) AS n_new,
+       |    so.sd AS sd_old, sn.sd AS sd_new
+       |  FROM cells c LEFT JOIN so USING (cell_id) LEFT JOIN sn USING (cell_id)),
+       |tot AS (SELECT CAST(sum(n_old) AS DOUBLE) AS o,
+       |               CAST(sum(n_new) AS DOUBLE) AS w FROM filled)
+       |SELECT CAST(f.cell_id AS BIGINT) AS cell_id, f.n_old, f.n_new,
+       |  round(CASE WHEN t.o > 0 THEN CAST(f.n_old AS DOUBLE) / t.o END, 4)
+       |    AS frac_old,
+       |  round(CASE WHEN t.w > 0 THEN CAST(f.n_new AS DOUBLE) / t.w END, 4)
+       |    AS frac_new,
+       |  round(CASE WHEN f.n_old > 0
+       |    THEN CAST(f.sd_old AS DOUBLE) / CAST(f.n_old AS DOUBLE) END, 4)
+       |    AS mean_resid_old,
+       |  round(CASE WHEN f.n_new > 0
+       |    THEN CAST(f.sd_new AS DOUBLE) / CAST(f.n_new AS DOUBLE) END, 4)
+       |    AS mean_resid_new,
+       |  round(abs(coalesce(CASE WHEN t.w > 0 THEN CAST(f.n_new AS DOUBLE) / t.w END, 0.0)
+       |          - coalesce(CASE WHEN t.o > 0 THEN CAST(f.n_old AS DOUBLE) / t.o END, 0.0)),
+       |    4) AS shift
+       |FROM filled f, tot t
+       |ORDER BY f.cell_id""".stripMargin
+  }
+
   /** q107's oracle: the nprobe↦recall operating curve (FAISS
     * `ParameterSpace` autotune surface) — one approx/overlap block per
     * swept nprobe against the shared exact top-k, total overlap summed

@@ -4231,6 +4231,25 @@ object SparkEntry {
 
   private val q136Sql = OracleSqlGen.kmeansLloydSql(k = 8, iters = 3)
 
+  /** Embedding-drift audit ([[IvfIndex.driftStats]]): two corpus
+    * snapshots (id slices — the ingest-growth shape: most ids shared,
+    * one decile removed, another added) compared under the SHARED
+    * persisted quantizer. Per-cell occupancy + mean residual distance
+    * for both sides, plus the absolute occupancy shift — the
+    * quantitative retrain trigger that closes the index-maintenance
+    * loop (q83 reports one snapshot's health; this reports the DELTA
+    * between corpus versions, the q125 diff idea lifted into embedding
+    * space). Generated oracle: assignment + residual-fold replay per
+    * slice from the persisted centroids. */
+  private def q137EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val (_, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    IvfIndex.driftStats(
+      emb.filter(col("doc_id") % 10 =!= 0),
+      emb.filter(col("doc_id") % 10 =!= 1), ivf)
+      .orderBy("cell_id")
+  }
+
   /** Batch range search ([[VectorSearch.rangeSearchBatch]]): FAISS
     * `Index::range_search` — every within-radius (query, doc) pair, no
     * top-k. Emitted in the engine's total order; per-query counts
@@ -5088,6 +5107,7 @@ object SparkEntry {
     "q134_binary_hash" -> (q134BinaryHash _),
     "q135_binary_multihash" -> (q135BinaryMultiHash _),
     "q136_kmeans_train" -> (q136Kmeans _),
+    "q137_embedding_drift" -> (q137EmbeddingDrift _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5626,6 +5646,8 @@ object SparkEntry {
           k = 10, nprobes = Seq(1, 2, 4, 8), nq = 8),
         "q110_filtered_search" -> OracleSqlGen.ivfFilteredSearchSql(cents,
           k = 10, nprobe = 4, label = 3),
+        "q137_embedding_drift" -> OracleSqlGen.embeddingDriftSql(cents,
+          oldPred = "e.vec_id % 10 <> 0", newPred = "e.vec_id % 10 <> 1"),
         "q116_embedding_outliers" -> OracleSqlGen.embeddingOutliersSql(cents))
     }).getOrElse(Map.empty)
 }

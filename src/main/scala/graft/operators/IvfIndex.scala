@@ -163,6 +163,56 @@ object IvfIndex {
           .as("imbalance_factor"))
   }
 
+  /** Embedding-drift report between two corpus snapshots under the SAME
+    * trained quantizer — the quantitative "when do I retrain" trigger
+    * (FAISS leaves this to the operator; the engine makes it a query).
+    * Per trained cell: occupancy of both snapshots, occupancy fractions,
+    * mean residual distance (`‖x − c(x)‖`, the q116 hygiene metric) of
+    * both, and the absolute occupancy shift. Growing residuals +
+    * shifting mass = the quantizer no longer matches the data; flat
+    * rows = safe to keep serving the old cells.
+    *
+    * Scale: each snapshot is ONE scan → one `ncells`-row partial
+    * aggregate (residual distance is a per-row codegen kernel; means use
+    * the decimal idiom so the report is partitioning-independent); the
+    * joins are ncells × ncells. Neither corpus is ever shuffled. */
+  def driftStats(oldCorpus: DataFrame, newCorpus: DataFrame, ivf: Ivf,
+                 embCol: String = "embedding"): DataFrame = {
+    val spark = oldCorpus.sparkSession
+    GraftFunctions.register(spark)
+    val ncells = ivf.centroids.map(_.length).getOrElse(1)
+    def side(c: DataFrame, tag: String): DataFrame =
+      assign(c, ivf, embCol)
+        .withColumn("__dist", GraftFunctions.normF32(
+          PqIndex.residualColumn(ivf, col(embCol), col("cell_id"))))
+        .groupBy(col("cell_id").cast("long").as("cell_id"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(round(col("__dist"), 6).cast("decimal(22,6)")).as(s"__sd_$tag"))
+    val filled = spark.range(ncells).toDF("cell_id")
+      .join(side(oldCorpus, "old"), Seq("cell_id"), "left")
+      .join(side(newCorpus, "new"), Seq("cell_id"), "left")
+      .select(col("cell_id"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("__sd_old"), col("__sd_new"))
+    val tot = filled.agg(
+      sum("n_old").cast("double").as("__to"),
+      sum("n_new").cast("double").as("__tn"))
+    val fo = when(col("__to") > 0, col("n_old").cast("double") / col("__to"))
+    val fn = when(col("__tn") > 0, col("n_new").cast("double") / col("__tn"))
+    filled.crossJoin(broadcast(tot))
+      .select(col("cell_id"), col("n_old"), col("n_new"),
+        round(fo, 4).as("frac_old"), round(fn, 4).as("frac_new"),
+        round(when(col("n_old") > 0,
+          col("__sd_old").cast("double") / col("n_old").cast("double")), 4)
+          .as("mean_resid_old"),
+        round(when(col("n_new") > 0,
+          col("__sd_new").cast("double") / col("n_new").cast("double")), 4)
+          .as("mean_resid_new"),
+        round(abs(coalesce(fn, lit(0.0)) - coalesce(fo, lit(0.0))), 4)
+          .as("shift"))
+  }
+
   /** Cells to probe for a query vector: the `nprobe` centroids nearest by
     * inner product (centroid table is tiny — ranked at the driver). */
   def probeCells(ivf: Ivf, queryVec: Array[Float], nprobe: Int): Seq[Int] =

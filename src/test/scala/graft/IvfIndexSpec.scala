@@ -180,6 +180,32 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(math.abs(fac - math.rint(k * ss / (n * n) * 1e4) / 1e4) < 1e-9)
   }
 
+  test("driftStats: identical snapshots report zero shift; planted drift is visible") {
+    val data = (0 until 300).map(i => (i.toLong, randVec(i)))
+    val docs = data.toDF("doc_id", "embedding")
+    val (_, ivf) = IvfIndex.build(docs, nlist = 6)
+
+    val same = IvfIndex.driftStats(docs, docs, ivf).collect()
+    assert(same.map(_.getLong(1)).sum == 300L) // n_old mass
+    same.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2)) // n_old == n_new
+      assert(r.getDouble(7) == 0.0, s"shift must be 0: $r") // shift
+      assert(r.get(5) == r.get(6)) // means equal (incl. NULL empties)
+    }
+
+    // planted drift: drop every vector of the query-0 cell from "new"
+    val cell0 = IvfIndex.assign(docs, ivf).filter(col("cell_id") === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val newC = docs.filter(!col("doc_id").isin(cell0.toSeq: _*))
+    val drifted = IvfIndex.driftStats(docs, newC, ivf).collect()
+    val r0 = drifted.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(2) == 0L, "cell 0 must be empty in the new snapshot")
+    assert(r0.isNullAt(6), "empty cell has no new-mean")
+    assert(r0.getDouble(7) > 0.0, "occupancy shift must register")
+    // the removed mass reappears as positive shift somewhere else too
+    assert(drifted.map(_.getDouble(7)).sum > 0)
+  }
+
   test("cellStats on a skewed corpus reports the imbalance") {
     // 190 copies of one vector + 10 spread: mass collapses to one cell.
     val base = randVec(1)
