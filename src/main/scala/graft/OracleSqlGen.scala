@@ -1956,6 +1956,53 @@ object OracleSqlGen {
       |        FROM enc GROUP BY 1)""".stripMargin
   }
 
+  /** q138's oracle: per-language tokenizer fertility — the q12
+    * language-id replay joined with the per-doc BPE count replay
+    * ([[bpeDocCountCtes]]), rolled up as ratios of BIGINT sums. */
+  def tokenizerFertilitySql(merges: Seq[(String, String)]): String = {
+    def markers(l: String) =
+      graft.operators.TextAnalysis.LangMarkers(l)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH ${bpeDocCountCtes(merges)},
+      |langsc AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |        x -> list_contains(${markers("de")}, x))) AS n_de,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |        x -> list_contains(${markers("en")}, x))) AS n_en,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |        x -> list_contains(${markers("es")}, x))) AS n_es,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |        x -> list_contains(${markers("fr")}, x))) AS n_fr
+      |  FROM documents),
+      |langp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_de = 0 AND n_en = 0 AND n_es = 0 AND n_fr = 0 THEN 'und'
+      |         WHEN n_fr >= n_es AND n_fr >= n_en AND n_fr >= n_de THEN 'fr'
+      |         WHEN n_es >= n_en AND n_es >= n_de THEN 'es'
+      |         WHEN n_en >= n_de THEN 'en'
+      |         ELSE 'de' END AS lang_pred
+      |  FROM langsc),
+      |per AS (
+      |  SELECT d.doc_id, lp.lang_pred,
+      |    coalesce(a.np, 0) AS np, coalesce(a.nb, 0) AS nb, d.n_chars
+      |  FROM documents d
+      |  JOIN langp lp USING (doc_id)
+      |  LEFT JOIN agg a USING (doc_id))
+      |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(np) AS BIGINT) AS n_pretokens,
+      |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  round(CASE WHEN sum(np) > 0
+      |    THEN CAST(sum(nb) AS DOUBLE) / CAST(sum(np) AS DOUBLE) END, 4)
+      |    AS fertility,
+      |  round(CASE WHEN sum(nb) > 0
+      |    THEN CAST(sum(n_chars) AS DOUBLE) / CAST(sum(nb) AS DOUBLE) END, 4)
+      |    AS chars_per_token
+      |FROM per GROUP BY lang_pred
+      |ORDER BY lang_pred""".stripMargin
+  }
+
   def bpeDocTokenSql(merges: Seq[(String, String)]): String =
     s"""WITH ${bpeDocCountCtes(merges)}
       |SELECT d.doc_id,

@@ -3977,6 +3977,17 @@ object SparkEntry {
     TextAnalysis.bpeTokenCountPerDoc(t(s, dir, "documents"),
       bpeMergesArtifact(s, dir)).orderBy("doc_id")
 
+  /** Tokenizer fertility per language ([[TextAnalysis.tokenizerFertility]]):
+    * BPE tokens per pre-token word and chars per BPE token rolled up per
+    * predicted language under the TRAINED merges — the multilingual
+    * tokenizer health report (a language the merges byte-shred shows
+    * fertility far above the rest). One scan; merges-artifact generated
+    * oracle composing the q12 language replay with the q121 count
+    * replay. */
+  private def q138TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerFertility(t(s, dir, "documents"),
+      bpeMergesArtifact(s, dir)).orderBy("lang_pred")
+
   /** Tokenizer round-trip gate ([[TextAnalysis.bpeRoundtripPerDoc]]):
     * decode∘encode over the TRAINED merges must reproduce every
     * document's pre-token stream exactly — the engine runs the real
@@ -5108,6 +5119,7 @@ object SparkEntry {
     "q135_binary_multihash" -> (q135BinaryMultiHash _),
     "q136_kmeans_train" -> (q136Kmeans _),
     "q137_embedding_drift" -> (q137EmbeddingDrift _),
+    "q138_tokenizer_fertility" -> (q138TokenizerFertility _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5297,7 +5309,9 @@ object SparkEntry {
       "q121_bpe_doc_tokens" -> OracleSqlGen.bpeDocTokenSql(
         merges.map(m => (m.lhs, m.rhs))),
       "q124_bpe_pack" -> OracleSqlGen.bpePackSql(
-        merges.map(m => (m.lhs, m.rhs)), budget = 2000))).getOrElse(Map.empty)
+        merges.map(m => (m.lhs, m.rhs)), budget = 2000),
+      "q138_tokenizer_fertility" -> OracleSqlGen.tokenizerFertilitySql(
+        merges.map(m => (m.lhs, m.rhs))))).getOrElse(Map.empty)
 
   /** Quality-classifier oracle, generated from the coefficients q94's
     * run just persisted — same lifecycle as [[pqOracleSqls]]. */

@@ -221,6 +221,43 @@ object TextAnalysis {
     // and a NULL cost must never reach assignBinsByCost.
   }
 
+  /** Tokenizer fertility report per (predicted) language — the
+    * cross-lingual health check every multilingual tokenizer ships with:
+    * fertility = BPE tokens per pre-token word and chars per BPE token,
+    * rolled up per [[langIdFromStats]] language over the corpus sums
+    * (ratio of sums, not mean of ratios — the corpus-level statistic).
+    * A language whose fertility is far above the rest is being
+    * byte-shredded by the merges (its training cost per character
+    * explodes); the report says so before a training run does.
+    *
+    * Scale: language id and both token folds are per-row kernels riding
+    * ONE scan (the [[bpeTokenCountPerDoc]] generator-barrier shape);
+    * the only exchange is the final |langs|-row aggregate. */
+  def tokenizerFertility(docs: DataFrame, merges: Seq[BpeMerge],
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val withLang = docs.select(col(idCol), col(textCol), col("n_chars"),
+      langIdFromStats(GraftFunctions.textStats(col(textCol))).as("lang_pred"))
+    val counted = bpeTokenCountPerDoc(withLang, merges, textCol, idCol,
+      keepCols = Seq("lang_pred", "n_chars"))
+    counted.groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_pretokens").as("np"),
+        sum("n_bpe_tokens").as("nb"),
+        sum("n_chars").as("nc"))
+      .select(col("lang_pred"), col("n_docs"),
+        col("np").cast("long").as("n_pretokens"),
+        col("nb").cast("long").as("n_bpe_tokens"),
+        col("nc").cast("long").as("n_chars"),
+        round(when(col("np") > 0,
+          col("nb").cast("double") / col("np").cast("double")), 4)
+          .as("fertility"),
+        round(when(col("nb") > 0,
+          col("nc").cast("double") / col("nb").cast("double")), 4)
+          .as("chars_per_token"))
+  }
+
   /** Decode∘encode round-trip fingerprint per document — the algebraic
     * gate a tokenizer API owes its users: BPE merges only ever JOIN
     * adjacent symbols of one word, so `concat(bpe_encode(t))` must be

@@ -571,4 +571,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     // low×2 → [low </w>]; lower → [low e r </w>]; ties break sym-ascending
     assert(got == Seq(("</w>", 3L), ("low", 3L), ("e", 1L), ("r", 1L)))
   }
+
+  test("tokenizerFertility: per-language rollup, ratios of sums, nb >= np") {
+    val docs = Seq(
+      (1L, "the quick fox and the lazy dog with some words", 47L),
+      (2L, "the cat and the hat are on the mat for the win", 47L),
+      (3L, "der hund und die katze sind auf der matte mit der zeit", 55L),
+      (4L, "zzz qqq xxx", 11L) // no markers -> und
+    ).toDF("doc_id", "text", "n_chars")
+    val merges = Seq(TextAnalysis.BpeMerge(1, "t", "h", 0L),
+      TextAnalysis.BpeMerge(2, "th", "e", 0L))
+    val got = TextAnalysis.tokenizerFertility(docs, merges)
+      .orderBy("lang_pred")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    val langs = got.map(_._1).toSeq
+    assert(langs == Seq("de", "en", "und"))
+    assert(got.map(_._2).sum == 4L)
+    got.foreach { case (_, _, np, nb, nc, fert, cpt) =>
+      assert(nb >= np, "every pre-token encodes to >= 1 symbol")
+      assert(math.abs(fert - (nb.toDouble / np)) < 5e-5)
+      assert(math.abs(cpt - (nc.toDouble / nb)) < 5e-5)
+    }
+    // 'the' merges fully for en docs -> en fertility strictly below de's
+    val byLang = got.map(r => r._1 -> r._6).toMap
+    assert(byLang("en") < byLang("de"))
+  }
 }
