@@ -4282,6 +4282,35 @@ object SparkEntry {
       .select(col("query_id"), col("vec_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Sharded search ([[VectorSearch.knnSharded]]): FAISS `IndexShards` —
+    * the corpus split into 4 id-disjoint shard tables, each serving its
+    * own top-k, merged by the global total order in ONE job (per-shard
+    * bounded partial top-k; only 4·k candidate rows cross the shuffle).
+    * Result ≡ the flat scan; the oracle states exactly that (global
+    * top-10 with the shard tag recomputed). */
+  private def q139ShardSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val shards = (0 until 4).map(i => rest.filter(col("vec_id") % 4 === i))
+    VectorSearch.knnSharded(shards, qVec, k = 10, idCol = "vec_id")
+      .select(col("shard"), col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
+  private val q139Sql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT e.vec_id % 4 AS shard, e.vec_id,
+      |    ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS s
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0)
+      |SELECT CAST(shard AS BIGINT) AS shard, vec_id, round(s, 4) AS score
+      |FROM scored
+      |ORDER BY s DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   /** Pairwise distance matrix ([[VectorSearch.pairwiseDistances]]):
     * FAISS `pairwise_distances` — every (query, doc) pair over a
     * bounded eval slice, squared L2 + inner product together. No
@@ -5120,6 +5149,7 @@ object SparkEntry {
     "q136_kmeans_train" -> (q136Kmeans _),
     "q137_embedding_drift" -> (q137EmbeddingDrift _),
     "q138_tokenizer_fertility" -> (q138TokenizerFertility _),
+    "q139_shard_search" -> (q139ShardSearch _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5239,6 +5269,7 @@ object SparkEntry {
     "q134_binary_hash" -> q134Sql,
     "q135_binary_multihash" -> q135Sql,
     "q136_kmeans_train" -> q136Sql,
+    "q139_shard_search" -> q139Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

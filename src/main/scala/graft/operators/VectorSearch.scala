@@ -105,6 +105,35 @@ object VectorSearch {
         (col("rank0") + 1).cast("int").as("doc_rank"))
   }
 
+  /** FAISS `IndexShards::search`: the corpus lives as N id-disjoint shard
+    * tables (separate indexes in FAISS — separate parquet roots,
+    * per-tenant exports, per-day partitions here); search runs every
+    * shard's top-k and merges by the global total order (score DESC, id
+    * ASC). Expressed as ONE Spark job: union of tagged shard scans,
+    * per-shard partial top-k through the bounded [[TopKByScore]]
+    * aggregator (map-side combine — the only shuffle carries ≤ k rows
+    * per (partition, shard), never the scored corpus), then the global
+    * top-k. Result ≡ the flat scan over the union (spec-pinned), with
+    * the plan shape a federated corpus needs: each shard is scanned
+    * where it lives and only candidate rows travel. */
+  def knnSharded(shards: Seq[DataFrame], queryVec: Array[Float], k: Int,
+                 embCol: String = "embedding", idCol: String = "doc_id"): DataFrame = {
+    require(shards.nonEmpty, "need at least one shard")
+    GraftFunctions.register(shards.head.sparkSession)
+    val tagged = shards.zipWithIndex.map { case (s, i) =>
+      requireIntegralId(s, idCol)
+      s.select(lit(i.toLong).as("shard"), col(idCol).cast("long").as("__id"),
+        GraftFunctions.dotF32(col(embCol), typedLit(queryVec)).as("score"))
+    }.reduce(_ unionByName _)
+    val topk = udaf(new TopKByScore(k))
+    tagged.groupBy(col("shard"))
+      .agg(topk(col("__id"), col("score")).as("hits"))
+      .select(col("shard"), explode(col("hits")).as("hit"))
+      .select(col("shard"), col("hit.id").as(idCol), col("hit.score").as("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+  }
+
   /** Recall@k of an approximate search against the exact scan: per-query
     * overlap of the two top-k id sets. `exact`/`approx` carry
     * (query_id, idCol); queries with zero overlap still emit a row.

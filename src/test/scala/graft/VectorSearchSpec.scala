@@ -107,6 +107,24 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(VectorSearch.fixedThreshold(hits, 0.55).count() == 1)
   }
 
+  test("knnSharded: N shards merge to the flat-scan result, one bounded shuffle") {
+    val q = randVec(999)
+    val shards = (0 until 4).map(i =>
+      corpus.filter(col("doc_id") % 4 === i))
+    val sharded = VectorSearch.knnSharded(shards, q, k = 8)
+    val got = sharded.select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val flat = VectorSearch.knnScores(corpus, q, k = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == flat, "shard merge must equal the flat scan")
+    // the shard tag is the id slice each hit came from
+    sharded.select("shard", "doc_id").as[(Long, Long)].collect()
+      .foreach { case (s, id) => assert(s == id % 4) }
+    // a degenerate single "shard" is exactly the flat search
+    val one = VectorSearch.knnSharded(Seq(corpus), q, k = 8)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(one == flat)
+  }
+
   test("pairwiseDistances: full matrix, driver-replay exact values") {
     val docs = Seq(
       (10L, Array(1f, 0f, 2f)), (11L, Array(0f, 3f, 1f)), (12L, Array(2f, 2f, 2f))
