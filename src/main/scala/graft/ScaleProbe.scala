@@ -1086,6 +1086,27 @@ object ScaleProbe {
     timeWarm("768-d binary hamming top-100 (96 B/row, 12-word kernel)")(
       graft.operators.BinaryIndex.searchHamming(codes768, qCode768, 100).collect())
 
+    // IndexBinaryHash probe: bucket the 768-d codes on their first 8
+    // bits, persist partitioned by bucket; a 1-flip probe reads 9/256
+    // of the (already 32x smaller) codes corpus via PartitionFilters —
+    // the training-free candidate tier below bin-IVF.
+    val bhashPath = s"/tmp/graft-bhash-scale-${factor}x"
+    if (!parquetComplete(spark, bhashPath)) {
+      val t0 = System.nanoTime()
+      graft.operators.BinaryIndex.hashEncode(codes768, b = 8)
+        .repartition(col("bucket_0"))
+        .write.mode("overwrite").partitionBy("bucket_0").parquet(bhashPath)
+      println(f"[scale] 768-d hash-bucket layout (one-off): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val hashed = spark.read.parquet(bhashPath)
+    timeWarm("768-d hash-probed top-100 (nflip=1, 9/256 buckets)")(
+      graft.operators.BinaryIndex
+        .searchHash(hashed, qCode768, b = 8, nflip = 1, k = 100).collect())
+    val probeSet = graft.operators.BinaryIndex.probeKeys(
+      graft.operators.BinaryIndex.hashKeyOne(qCode768, 8, 0), 8, 1)
+    val cand = hashed.filter(col("bucket_0").isin(probeSet: _*)).count()
+    println(f"[scale] hash probe candidates = $cand of $n (${100.0 * cand / n}%.2f%%)")
+
     // ITQ-32: trained rotation in front of the sign codes — half the
     // raw 64-d code bytes AND a learned axis alignment; the claim to
     // check is candidate recall vs the untrained sign codes below.

@@ -336,8 +336,9 @@ class BinaryIndexSpec extends AnyFunSuite {
     val df = BinaryIndex.searchHash(hashed, qCode, b = 4, nflip = 1, k = 5)
     df.collect()
     val scan = df.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters"), s"no partition filters:\n$scan")
-    // 5 probed keys of 16 buckets: the static isin must reach the scan
-    assert(scan.contains("bucket_0"), s"bucket filter missing from scan:\n$scan")
+    // the static isin must land in a NON-EMPTY PartitionFilters list on
+    // the scan (an empty list also prints "PartitionFilters: []")
+    assert("PartitionFilters: \\[[^\\]]*bucket_0".r.findFirstIn(scan).isDefined,
+      s"probe keys not in PartitionFilters:\n$scan")
   }
 }
