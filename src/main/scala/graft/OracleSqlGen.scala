@@ -2025,7 +2025,7 @@ object OracleSqlGen {
     * division) with empty cells keeping their previous centroid. The
     * recomputed centroids are bit-identical to the engine's, so no
     * iteration can diverge on a Voronoi near-tie. */
-  def kmeansLloydSql(k: Int, iters: Int): String = {
+  def kmeansLloydSql(k: Int, iters: Int, spherical: Boolean = false): String = {
     def d2 = s"""list_reduce(list_prepend(0.0,
                 |        list_transform(list_zip(e.embedding, c.v),
                 |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
@@ -2046,7 +2046,20 @@ object OracleSqlGen {
          |cents$i AS (
          |  SELECT c0.cell, coalesce(nv.v, c0.v) AS v
          |  FROM cents${i - 1} c0 LEFT JOIN (
-         |    SELECT cell, list(CAST(sv AS DOUBLE) / (n * 1000000.0) ORDER BY j) AS v
+         |    SELECT cell, ${
+           if (spherical)
+             """CASE WHEN nrm > 0 THEN list_transform(vm, x -> x / nrm)
+               |           ELSE vm END AS v
+               |    FROM (
+               |      SELECT cell, vm,
+               |        sqrt(list_reduce(list_prepend(0.0,
+               |          list_transform(vm, x -> x * x)),
+               |          (acc, t) -> acc + t)) AS nrm
+               |      FROM (SELECT cell,
+               |              list(CAST(sv AS DOUBLE) / (n * 1000000.0) ORDER BY j) AS vm""".stripMargin
+           else
+             "list(CAST(sv AS DOUBLE) / (n * 1000000.0) ORDER BY j) AS v"
+         }
          |    FROM (
          |      SELECT cell, j,
          |        sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sv,
@@ -2055,7 +2068,7 @@ object OracleSqlGen {
          |                   unnest(embedding) AS x
          |            FROM a$i)
          |      GROUP BY cell, j)
-         |    GROUP BY cell) nv USING (cell))""".stripMargin
+         |    GROUP BY cell${if (spherical) "))" else ""}) nv USING (cell))""".stripMargin
     }.mkString(",\n")
     val unioned = (1 to iters)
       .map(i => s"SELECT $i AS it, cell, n, obj FROM st$i")

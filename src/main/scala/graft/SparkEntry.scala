@@ -4242,6 +4242,26 @@ object SparkEntry {
 
   private val q136Sql = OracleSqlGen.kmeansLloydSql(k = 8, iters = 3)
 
+  /** Spherical k-means ([[Clustering.lloyd]] `spherical = true`): FAISS
+    * `ClusteringParameters.spherical` — centroids re-normalized to the
+    * unit sphere after every update, the right quantizer geometry for
+    * inner-product/cosine indexes (the engine's IVF probe metric). Same
+    * unrolled-training oracle with the normalization step replayed
+    * (double fold norm + guarded division). */
+  private def q140SphericalKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val res = Clustering.lloyd(emb, k = 8, iters = 3, spherical = true)
+    res.history.toDF()
+      .select(col("iter").cast("long").as("iter"),
+        col("cell").cast("long").as("cell_id"),
+        col("n"), round(col("obj"), 4).as("obj"))
+      .orderBy("iter", "cell_id")
+  }
+
+  private val q140Sql =
+    OracleSqlGen.kmeansLloydSql(k = 8, iters = 3, spherical = true)
+
   /** Embedding-drift audit ([[IvfIndex.driftStats]]): two corpus
     * snapshots (id slices — the ingest-growth shape: most ids shared,
     * one decile removed, another added) compared under the SHARED
@@ -5150,6 +5170,7 @@ object SparkEntry {
     "q137_embedding_drift" -> (q137EmbeddingDrift _),
     "q138_tokenizer_fertility" -> (q138TokenizerFertility _),
     "q139_shard_search" -> (q139ShardSearch _),
+    "q140_spherical_kmeans" -> (q140SphericalKmeans _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5270,6 +5291,7 @@ object SparkEntry {
     "q135_binary_multihash" -> q135Sql,
     "q136_kmeans_train" -> q136Sql,
     "q139_shard_search" -> q139Sql,
+    "q140_spherical_kmeans" -> q140Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

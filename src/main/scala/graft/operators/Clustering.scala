@@ -55,9 +55,22 @@ object Clustering {
 
   /** Run `iters` Lloyd iterations from the deterministic init; returns
     * the final centroids plus the per-(iteration, cell) occupancy and
-    * objective history. */
+    * objective history.
+    *
+    * `spherical = true` is FAISS's `ClusteringParameters.spherical`
+    * (faiss/Clustering.cpp): each updated centroid is L2-normalized
+    * after the mean — the right quantizer geometry when the index
+    * metric is inner product / cosine (the engine's IVF probe rule),
+    * where an un-normalized mean systematically under-weights dense
+    * cells. The norm is computed in double from the integer-exact mean
+    * coordinates (sequential fold), so normalized centroids stay
+    * bit-replicable; a zero-norm mean keeps the unnormalized zero
+    * vector (division guard). Assignment stays squared-L2 argmin — for
+    * unit-norm centroids that is the cosine argmax up to the point's
+    * own norm, FAISS's own equivalence. */
   def lloyd(corpus: DataFrame, k: Int, iters: Int,
-            embCol: String = "embedding", idCol: String = "doc_id"): LloydResult = {
+            embCol: String = "embedding", idCol: String = "doc_id",
+            spherical: Boolean = false): LloydResult = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     require(k >= 1 && iters >= 1, "k and iters must be positive")
@@ -97,9 +110,18 @@ object Clustering {
         .collect()
 
       val next = cents.map(_.clone()) // empty cells keep their centroid
+      val updated = Array.fill(k)(false)
       sums.foreach { r =>
         val (cell, j) = (r.getInt(0), r.getInt(1))
         next(cell)(j) = r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e6)
+        updated(cell) = true
+      }
+      if (spherical) for (c <- 0 until k if updated(c)) {
+        var ss = 0.0
+        var j = 0
+        while (j < next(c).length) { ss += next(c)(j) * next(c)(j); j += 1 }
+        val nrm = math.sqrt(ss)
+        if (nrm > 0) { j = 0; while (j < next(c).length) { next(c)(j) /= nrm; j += 1 } }
       }
       cents = next
     }

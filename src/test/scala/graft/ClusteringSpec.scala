@@ -69,6 +69,27 @@ class ClusteringSpec extends AnyFunSuite {
     assert(a.history == b.history)
   }
 
+  test("spherical mode: updated centroids land on the unit sphere, kept ones don't move") {
+    val data = randVecs(200, dim = 8, seed = 31)
+    val res = Clustering.lloyd(data.toDF("doc_id", "embedding"),
+      k = 5, iters = 3, spherical = true)
+    res.centroids.foreach { c =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-12, s"centroid norm $nrm")
+    }
+    // objective still non-increasing after the first normalize settles
+    val objByIter = res.history.groupBy(_.iter).view
+      .mapValues(_.map(_.obj).sum).toMap
+    assert(objByIter(3) <= objByIter(2) + 1e-6)
+    // empty cell keeps its (raw, unnormalized) init centroid
+    val base = Array.fill(4)(2f)
+    val pts = Seq((0L, base), (1L, base.clone())) ++
+      randVecs(40, dim = 4, seed = 3).map { case (i, v) => (i + 2L, v) }
+    val r2 = Clustering.lloyd(pts.toDF("doc_id", "embedding"),
+      k = 2, iters = 1, spherical = true)
+    assert(r2.centroids(1).toSeq == base.map(_.toDouble).toSeq)
+  }
+
   test("k larger than corpus fails loudly") {
     val docs = randVecs(3).toDF("doc_id", "embedding")
     intercept[IllegalArgumentException] {
