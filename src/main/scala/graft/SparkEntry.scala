@@ -1192,6 +1192,36 @@ object SparkEntry {
     (s.read.parquet(cpath), ivf)
   }
 
+  /** Binary hash-bucket corpus cache (IndexBinaryHash/MultiHash layout),
+    * keyed like [[bivfCachePath]]. */
+  private def bhashCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0xb4a5L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-bha-$key"
+  }
+
+  /** Build-or-load the binary hash index: widened 768-d sign codes with
+    * the three 8-bit bucket keys, written `partitionBy(bucket_0)` so the
+    * single-table probe is parquet partition pruning (the MultiHash
+    * tables 1..2 are scan predicates over the same ONE copy — the
+    * documented posture: columnar key columns are ~free, a second
+    * physical layout is not). All ids stored; queries filter themselves
+    * out at scan time. */
+  private[graft] def bhashCorpus(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cpath = s"${bhashCachePath(s, dir)}/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
+      BinaryIndex.hashEncode(
+          BinaryIndex.encode(emb, idCol = "vec_id"), b = 8, nhash = 3)
+        .repartition(col("bucket_0"))
+        .write.mode("overwrite").partitionBy("bucket_0").parquet(cpath)
+    }
+    s.read.parquet(cpath)
+  }
+
   /** OPQ rotation/rotated-PQ cache, keyed like [[pqCachePath]]. */
   private def opqCachePath(s: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
@@ -1408,6 +1438,7 @@ object SparkEntry {
     ivfSqCorpus(s, dir); rqCorpus(s, dir)
     ivfSq4Corpus(s, dir)
     bivfCorpus(s, dir); graphCorpus(s, dir); itqCorpus(s, dir)
+    bhashCorpus(s, dir)
     ivfPqrCorpus(s, dir)
     bpeMergesArtifact(s, dir)
     componentsCorpus(s, dir)
@@ -4162,15 +4193,11 @@ object SparkEntry {
     * IS the sign-disagreement count over the first `b` dims, so the
     * probe predicate needs no key arithmetic at all. */
   private def q134BinaryHash(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
-    val qCode = BinaryIndex.encode(emb.filter(col("vec_id") === 0), idCol = "vec_id")
+    val hashed = bhashCorpus(s, dir)
+    val qCode = hashed.filter(col("vec_id") === 0)
       .select("code").collect()(0).getSeq[Long](0).toArray
-    val hashed = BinaryIndex.hashEncode(
-      BinaryIndex.encode(emb.filter(col("vec_id") =!= 0), idCol = "vec_id"),
-      b = 8)
-    BinaryIndex.searchHash(hashed, qCode, b = 8, nflip = 1, k = 10,
-      idCol = "vec_id")
+    BinaryIndex.searchHash(hashed.filter(col("vec_id") =!= 0), qCode,
+      b = 8, nflip = 1, k = 10, idCol = "vec_id")
   }
 
   private val q134Sql =
@@ -4194,15 +4221,11 @@ object SparkEntry {
     * duplication cannot happen). Same widened 768-d corpus; the oracle's
     * admit rule is the OR of three sign-disagreement windows. */
   private def q135BinaryMultiHash(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
-    val qCode = BinaryIndex.encode(emb.filter(col("vec_id") === 0), idCol = "vec_id")
+    val hashed = bhashCorpus(s, dir)
+    val qCode = hashed.filter(col("vec_id") === 0)
       .select("code").collect()(0).getSeq[Long](0).toArray
-    val hashed = BinaryIndex.hashEncode(
-      BinaryIndex.encode(emb.filter(col("vec_id") =!= 0), idCol = "vec_id"),
-      b = 8, nhash = 3)
-    BinaryIndex.searchMultiHash(hashed, qCode, b = 8, nhash = 3, nflip = 1,
-      k = 10, idCol = "vec_id")
+    BinaryIndex.searchMultiHash(hashed.filter(col("vec_id") =!= 0), qCode,
+      b = 8, nhash = 3, nflip = 1, k = 10, idCol = "vec_id")
   }
 
   private val q135Sql =
