@@ -60,9 +60,23 @@ object IndexIngest {
         .select(col(idCol), col("cell_id"), col("codes"))
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"$corpusPath/batch=$batchId")
+      // Health record: occupancy imbalance + the batch's mean residual
+      // distance to its assigned centroids (the q137 drift metric, per
+      // micro-batch — residuals growing across batches = the quantizer
+      // drifting away from the incoming data; decimal idiom so the
+      // number is partitioning-independent, ANSI-guarded for an empty
+      // batch).
+      val resid = withRes
+        .select(graft.functions.GraftFunctions.normF32(col("__res")).as("__d"))
+        .agg(count(lit(1)).as("__n"),
+          sum(round(col("__d"), 6).cast("decimal(22,6)")).as("__sd"))
+        .select(round(when(col("__n") > 0,
+          col("__sd").cast("double") / col("__n").cast("double")), 4)
+          .as("mean_resid"))
       IvfIndex.cellStats(withCells, ivf)
         .agg(sum("n_vectors").as("n_vectors"),
           first("imbalance_factor").as("imbalance_factor"))
+        .crossJoin(resid)
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").parquet(s"$statsPath/batch=$batchId")
     } finally withCells.unpersist()
@@ -120,8 +134,10 @@ object IndexIngest {
     ()
   }
 
-  /** Per-batch health history (batch_id, n_vectors, imbalance_factor). */
+  /** Per-batch health history
+    * (batch_id, n_vectors, imbalance_factor, mean_resid). */
   def loadStats(spark: SparkSession, statsPath: String): DataFrame =
     spark.read.parquet(statsPath)
-      .select(col("batch_id"), col("n_vectors"), col("imbalance_factor"))
+      .select(col("batch_id"), col("n_vectors"), col("imbalance_factor"),
+        col("mean_resid"))
 }

@@ -85,10 +85,12 @@ class IndexIngestSpec extends AnyFunSuite {
     // write across two batch ids under load — content is what the
     // contract guarantees (observed as a rare suite-parallel flake).
     val stats = IndexIngest.loadStats(spark, s"$dir/stats")
-      .as[(Long, Long, Double)].collect().sortBy(_._1)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
     assert(stats.nonEmpty && stats.map(_._1).distinct.length == stats.length)
     assert(stats.map(_._2).sum == 120L)
     assert(stats.forall(_._3 >= 1.0))
+    // the drift metric rides every batch record: a real residual norm
+    assert(stats.forall(_._4 > 0.0), s"mean_resid missing/zero: ${stats.toSeq}")
   }
 
   test("compaction folds batch dirs; search ≡ pre-compaction, pruning intact") {
