@@ -2025,7 +2025,42 @@ object OracleSqlGen {
     * division) with empty cells keeping their previous centroid. The
     * recomputed centroids are bit-identical to the engine's, so no
     * iteration can diverge on a Voronoi near-tie. */
-  def kmeansLloydSql(k: Int, iters: Int, spherical: Boolean = false): String = {
+  def kmeansLloydSql(k: Int, iters: Int, spherical: Boolean = false): String =
+    s"""WITH ${lloydChainCtes(k, iters, spherical)}
+       |SELECT CAST(it AS BIGINT) AS iter, CAST(cell AS BIGINT) AS cell_id,
+       |  n, round(obj, 4) AS obj
+       |FROM (
+       |  ${(1 to iters)
+           .map(i => s"SELECT $i AS it, cell, n, obj FROM st$i")
+           .mkString("\n  UNION ALL ")})
+       |ORDER BY iter, cell_id""".stripMargin
+
+  /** q141's oracle: the k-elbow sweep — one full [[lloydChainCtes]]
+    * training replay per swept k, each block's per-iteration totals
+    * (non-empty cells, objective as an EXACT decimal re-sum of the
+    * per-cell decimal-born doubles) unioned as derived tables (the
+    * nlistSweepSql WITH-in-derived-table idiom — CTE names reset per
+    * block, no collisions). */
+  def kmeansSweepSql(ks: Seq[Int], iters: Int): String = {
+    val blocks = ks.map { k =>
+      val totals = (1 to iters).map(i =>
+        s"""SELECT $k AS k, $i AS it, CAST(count(*) AS BIGINT) AS n_cells,
+           |      CAST(sum(CAST(obj AS DECIMAL(22,6))) AS DOUBLE) AS obj
+           |    FROM st$i""".stripMargin).mkString("\n    UNION ALL ")
+      s"""SELECT * FROM (WITH ${lloydChainCtes(k, iters, spherical = false)}
+         |    $totals)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT CAST(k AS BIGINT) AS k, CAST(it AS BIGINT) AS iter,
+       |  n_cells, round(obj, 4) AS obj
+       |FROM (
+       |$blocks)
+       |ORDER BY k, iter""".stripMargin
+  }
+
+  /** The shared unrolled-Lloyd CTE body (`cents0`, then per iteration
+    * `a{i}`/`st{i}`/`cents{i}`) used by [[kmeansLloydSql]] and
+    * [[kmeansSweepSql]]. */
+  private def lloydChainCtes(k: Int, iters: Int, spherical: Boolean): String = {
     def d2 = s"""list_reduce(list_prepend(0.0,
                 |        list_transform(list_zip(e.embedding, c.v),
                 |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
@@ -2070,19 +2105,11 @@ object OracleSqlGen {
          |      GROUP BY cell, j)
          |    GROUP BY cell${if (spherical) "))" else ""}) nv USING (cell))""".stripMargin
     }.mkString(",\n")
-    val unioned = (1 to iters)
-      .map(i => s"SELECT $i AS it, cell, n, obj FROM st$i")
-      .mkString("\n  UNION ALL ")
-    s"""WITH cents0 AS (
+    s"""cents0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings WHERE vec_id < $k),
-       |$iterCtes
-       |SELECT CAST(it AS BIGINT) AS iter, CAST(cell AS BIGINT) AS cell_id,
-       |  n, round(obj, 4) AS obj
-       |FROM (
-       |  $unioned)
-       |ORDER BY iter, cell_id""".stripMargin
+       |$iterCtes""".stripMargin
   }
 
   def bpePackSql(merges: Seq[(String, String)], budget: Long): String =

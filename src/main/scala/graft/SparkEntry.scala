@@ -4285,6 +4285,31 @@ object SparkEntry {
   private val q140Sql =
     OracleSqlGen.kmeansLloydSql(k = 8, iters = 3, spherical = true)
 
+  /** k-elbow sweep ([[Clustering.lloyd]] at k ∈ {4, 8, 16}): the third
+    * tuning axis beside q107 (nprobe) and q123 (nlist) — per-(k, iter)
+    * non-empty cell count and total objective, the curve an operator
+    * reads to size a quantizer before committing to an nlist. Objective
+    * totals are exact decimal re-sums of the per-cell decimal-born
+    * values (order-independent on both engines). */
+  private def q141KmeansSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val rows = Seq(4, 8, 16).flatMap { k =>
+      val res = Clustering.lloyd(emb, k, iters = 3)
+      res.history.groupBy(_.iter).toSeq.map { case (it, cells) =>
+        val obj = cells.map(c => BigDecimal(c.obj)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        (k.toLong, it.toLong, cells.size.toLong, obj.toDouble)
+      }
+    }
+    rows.toDF("k", "iter", "n_cells", "obj")
+      .select(col("k"), col("iter"), col("n_cells"),
+        round(col("obj"), 4).as("obj"))
+      .orderBy("k", "iter")
+  }
+
+  private val q141Sql = OracleSqlGen.kmeansSweepSql(ks = Seq(4, 8, 16), iters = 3)
+
   /** Embedding-drift audit ([[IvfIndex.driftStats]]): two corpus
     * snapshots (id slices — the ingest-growth shape: most ids shared,
     * one decile removed, another added) compared under the SHARED
@@ -5194,6 +5219,7 @@ object SparkEntry {
     "q138_tokenizer_fertility" -> (q138TokenizerFertility _),
     "q139_shard_search" -> (q139ShardSearch _),
     "q140_spherical_kmeans" -> (q140SphericalKmeans _),
+    "q141_kmeans_sweep" -> (q141KmeansSweep _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5315,6 +5341,7 @@ object SparkEntry {
     "q136_kmeans_train" -> q136Sql,
     "q139_shard_search" -> q139Sql,
     "q140_spherical_kmeans" -> q140Sql,
+    "q141_kmeans_sweep" -> q141Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
