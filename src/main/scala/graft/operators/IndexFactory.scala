@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   *   "IVF64,SQ4[,RFlat]" residual SQ4, probed     SqIndex.searchIvf4
   *   "IVF64,SQ8,RFlat" + exact re-rank            SqIndex.searchRefined
   *   "LSH"             binary sign codes          BinaryIndex
+  *   "BHash8"          hash-bucketed binary       BinaryIndex.searchHash
+  *   "BMultiHash3x8"   multi-table binary hash    BinaryIndex.searchMultiHash
   *   "ITQ32,LSH"       trained-rotation binary    ItqTransform + BinaryIndex
   *   "PCA16,Flat"      PCA front + any of these   PcaTransform + rest
   * }}}
@@ -50,6 +52,12 @@ object IndexFactory {
   /** `RQ<L>x<b>` — FAISS's residual-quantizer spelling: L levels of
     * 2^b-entry full-dim codebooks ([[RqIndex]], greedy encode). */
   final case class RQ(levels: Int, bits: Int) extends Code
+  /** `BHash<b>` / `BMultiHash<n>x<b>` — FAISS's `IndexBinaryHash` /
+    * `IndexBinaryMultiHash` over the sign codes ([[BinaryIndex]] hash
+    * tier). Probe radius is the search-time `nflip`; the factory search
+    * closure fixes it at 1 flip (call `BinaryIndex.searchHash` directly
+    * for other radii). */
+  final case class BHashCode(b: Int, nhash: Int) extends Code
 
   /** Pre-transform front: PCA dimensionality reduction or the OPQ
     * rotation (both apply through the same projection kernel). */
@@ -77,6 +85,8 @@ object IndexFactory {
   private val ItqRe = "^ITQ([0-9]*)$".r
   private val IvfRe = "^IVF([0-9]+)$".r
   private val BivfRe = "^BIVF([0-9]+)$".r
+  private val BHashRe = "^BHash([0-9]+)$".r
+  private val BMultiHashRe = "^BMultiHash([0-9]+)x([0-9]+)$".r
   private val PqRe = "^PQ([0-9]+)$".r
   private val PqrRe = "^PQ([0-9]+)\\+([0-9]+)$".r
   private val RqRe = "^RQ([0-9]+)x([0-9]+)$".r
@@ -100,6 +110,18 @@ object IndexFactory {
         return Descriptor(None, Some(n.toInt), LshCode, refine = false)
       case BivfRe(_) :: more =>
         fail(s"BIVF is a complete descriptor; unexpected '${more.mkString(",")}'")
+      // "BHash<b>" / "BMultiHash<n>x<b>" — complete binary descriptors
+      // like BIVF: hash-bucketed sign codes, no code layer follows
+      case BHashRe(b) :: Nil =>
+        if (pre.isDefined) fail("BHash takes no PCA/OPQ front (binary domain)")
+        return Descriptor(None, None, BHashCode(b.toInt, 1), refine = false)
+      case BHashRe(_) :: more =>
+        fail(s"BHash is a complete descriptor; unexpected '${more.mkString(",")}'")
+      case BMultiHashRe(n, b) :: Nil =>
+        if (pre.isDefined) fail("BMultiHash takes no PCA/OPQ front (binary domain)")
+        return Descriptor(None, None, BHashCode(b.toInt, n.toInt), refine = false)
+      case BMultiHashRe(_, _) :: more =>
+        fail(s"BMultiHash is a complete descriptor; unexpected '${more.mkString(",")}'")
       case _ =>
     }
     val (nlist, rest2) = rest1 match {
@@ -283,6 +305,14 @@ object IndexFactory {
         Built(d, codes,
           (q, k) => BinaryIndex.searchHamming(codes, BinaryIndex.packOne(q),
             k, idCol))
+      case (None, BHashCode(b, nh)) =>
+        val hashed = BinaryIndex.hashEncode(
+          BinaryIndex.encode(corpus, embCol, idCol), b, nh)
+        Built(d, hashed, (q, k) => {
+          val qc = BinaryIndex.packOne(q)
+          if (nh == 1) BinaryIndex.searchHash(hashed, qc, b, nflip = 1, k, idCol)
+          else BinaryIndex.searchMultiHash(hashed, qc, b, nh, nflip = 1, k, idCol)
+        })
       case (Some(n), LshCode) => // reachable only via "BIVF<n>"
         val (withCells, ivf) = IvfIndex.build(corpus, n, embCol)
         val enc = BinaryIndex.encodeIvf(withCells, embCol, idCol)

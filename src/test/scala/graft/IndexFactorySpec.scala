@@ -39,6 +39,10 @@ class IndexFactorySpec extends AnyFunSuite {
     assert(IndexFactory.parse("ITQ,LSH") == Descriptor(Some(ItqPre(0)), None, LshCode, false))
     assert(IndexFactory.parse("IVF64,PQ8+16") ==
       Descriptor(None, Some(64), IndexFactory.PQR(8, 16), false))
+    assert(IndexFactory.parse("BHash8") ==
+      Descriptor(None, None, IndexFactory.BHashCode(8, 1), false))
+    assert(IndexFactory.parse("BMultiHash3x8") ==
+      Descriptor(None, None, IndexFactory.BHashCode(8, 3), false))
   }
 
   test("unsupported descriptors fail loudly, naming the string") {
@@ -48,7 +52,8 @@ class IndexFactorySpec extends AnyFunSuite {
       "OPQ8,Flat", "PCA8,BIVF16", "BIVF16,Flat", "PCAR8,IVF4,PQ4",
       "IVF64,Flat,RFlat", "SQ8,RFlat", "SQ4,RFlat",
       "ITQ8,Flat", "ITQ8,PQ4", "ITQ8,BIVF16",
-      "PQ8+8", "IVF16,PQ4+4,RFlat")
+      "PQ8+8", "IVF16,PQ4+4,RFlat",
+      "PCA8,BHash8", "BHash8,RFlat", "BMultiHash3x8,Flat", "ITQ8,BMultiHash3x8")
       .foreach { bad =>
         val e = intercept[IllegalArgumentException](IndexFactory.parse(bad))
         assert(e.getMessage.contains(bad.split(",")(0)) ||
@@ -104,6 +109,16 @@ class IndexFactorySpec extends AnyFunSuite {
     val itqCodes = ItqTransform.encode(docs, itq)
     assert(ids(IndexFactory.build(spark, docs, "ITQ8,LSH").search(q, 10)) ==
       ids(ItqTransform.search(itqCodes, itq, q, 10)))
+
+    // BHash6 / BMultiHash3x6 — hash-bucketed binary (1-flip probe)
+    val hashed1 = BinaryIndex.hashEncode(codes, b = 6)
+    assert(ids(IndexFactory.build(spark, docs, "BHash6").search(q, 10)) ==
+      ids(BinaryIndex.searchHash(hashed1, BinaryIndex.packOne(q),
+        b = 6, nflip = 1, k = 10)))
+    val hashed3 = BinaryIndex.hashEncode(codes, b = 6, nhash = 3)
+    assert(ids(IndexFactory.build(spark, docs, "BMultiHash3x6").search(q, 10)) ==
+      ids(BinaryIndex.searchMultiHash(hashed3, BinaryIndex.packOne(q),
+        b = 6, nhash = 3, nflip = 1, k = 10)))
   }
 
   test("RQ2x3: factory ≡ direct RqIndex chain; unsupported RQ combos fail loudly") {
