@@ -4711,9 +4711,15 @@ object SparkEntry {
     * `keepCols` pass extra document columns (e.g. `source`) through the
     * ONE scan so rollups never re-join the corpus. */
   private def screenVerdicts(s: SparkSession, dir: String,
-                             keepCols: Seq[String] = Nil): DataFrame = {
+                             keepCols: Seq[String] = Nil,
+                             withTokens: Boolean = false): DataFrame = {
     GraftFunctions.register(s)
     val kept = keepCols.map(col)
+    // withTokens rides the SAME text_stats struct the language id
+    // consumes — the q142 rollup gets ws-token counts with zero extra
+    // text passes (and q93's output schema stays untouched).
+    val tokenCols =
+      if (withTokens) Seq(col("__st.n_tokens").as("n_tokens")) else Nil
     // Language is judged on the RAW text (the appended English sentences
     // would drown the marker counts); the C4/Gopher verdicts run on a
     // lightly seeded body — 3/4 of docs get a sentence-shaped tail so
@@ -4729,15 +4735,18 @@ object SparkEntry {
     // multi-split inputs).
     Dedup.spreadSmallInput(t(s, dir, "documents"))
       .select(col("doc_id") +: kept :+
-        TextAnalysis.langIdFromStats(
-          GraftFunctions.textStats(col("text"))).as("lang_pred") :+
+        GraftFunctions.textStats(col("text")).as("__st") :+
         (when(col("doc_id") % 4 === 0, col("text"))
           .otherwise(concat(col("text"), lit(tail)))).as("body"): _*)
+      .select(col("doc_id") +: kept ++: tokenCols :+
+        TextAnalysis.langIdFromStats(col("__st")).as("lang_pred") :+
+        col("body"): _*)
       // ONE kernel pass for both verdicts (screen_flags ≡ the composed
       // gopherFlags/c4Signals forms — parity-spec-pinned field-for-field)
       .withColumn("sf", GraftFunctions.screenFlags(col("body"),
         lit(50), lit(100000), lit(3), lit(2)))
-      .select(col("doc_id") +: kept :+ col("lang_pred") :+
+      .select(col("doc_id") +: kept ++:
+        (if (withTokens) Seq(col("n_tokens")) else Nil) :+ col("lang_pred") :+
         col("sf.gopher_keep").as("gopher_keep") :+
         col("sf.c4_keep").as("c4_keep") :+
         (col("lang_pred") === "en" && col("sf.gopher_keep") &&
@@ -4760,6 +4769,43 @@ object SparkEntry {
       .select(col("source"), col("n_docs"), col("n_kept"), col("n_en"),
         round(col("n_kept").cast("double") / col("n_docs"), 4).as("keep_rate"))
       .orderBy("source")
+
+  /** Dataset card ([[screenVerdicts]] with tokens, per (source,
+    * predicted language)): the release report a data team ships with a
+    * corpus — docs, ws-token and char volumes, screen keep counts and
+    * rate, per source × language, all from the SAME single screen scan
+    * as q93/q126 (the token count rides the text_stats struct the
+    * language id already computes — zero extra text passes). */
+  private def q142DatasetCard(s: SparkSession, dir: String): DataFrame =
+    screenVerdicts(s, dir, keepCols = Seq("source", "n_chars"),
+        withTokens = true)
+      .groupBy("source", "lang_pred")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum("n_chars").cast("long").as("n_chars"))
+      .select(col("source"), col("lang_pred"), col("n_docs"), col("n_kept"),
+        col("n_tokens"), col("n_chars"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4).as("keep_rate"))
+      .orderBy("source", "lang_pred")
+
+  // lazy: q93SqlParts is declared later in the file (val init order)
+  private lazy val q142Sql =
+    s"""WITH ${q93SqlParts},
+       |v AS (
+       |  SELECT d.source, langp.lang_pred,
+       |    (langp.lang_pred = 'en' AND gf.gopher_keep AND ckeep.c4_keep) AS kept,
+       |    len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+       |    d.n_chars
+       |  FROM documents d
+       |  JOIN langp USING (doc_id) JOIN gf USING (doc_id) JOIN ckeep USING (doc_id))
+       |SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+       |    AS keep_rate
+       |FROM v GROUP BY 1, 2 ORDER BY source, lang_pred""".stripMargin
 
   /** Corpus snapshot diff ([[graft.sources.CorpusStore.diff]]): the
     * added/removed/changed audit between two corpus versions. The "old"
@@ -5220,6 +5266,7 @@ object SparkEntry {
     "q139_shard_search" -> (q139ShardSearch _),
     "q140_spherical_kmeans" -> (q140SphericalKmeans _),
     "q141_kmeans_sweep" -> (q141KmeansSweep _),
+    "q142_dataset_card" -> (q142DatasetCard _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5342,6 +5389,7 @@ object SparkEntry {
     "q139_shard_search" -> q139Sql,
     "q140_spherical_kmeans" -> q140Sql,
     "q141_kmeans_sweep" -> q141Sql,
+    "q142_dataset_card" -> q142Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
