@@ -86,28 +86,32 @@ object Clustering {
     val history = Seq.newBuilder[LloydStat]
     for (it <- 1 to iters) {
       val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+      // The iteration's two aggregates (occupancy+objective, per-dim
+      // sums) both need the assignment; persist it so the k-way argmin
+      // kernel runs ONCE per iteration, not once per pass.
       val assigned = corpus.select(
         col(embCol).as("__e"),
         GraftFunctions.nearestCentroidF32(col(embCol), centsLit).as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Pass 1: per-cell occupancy + objective (k rows).
+        val stats = assigned
+          .withColumn("__d2", d2Col(col("__e"), centsLit, col("cell")))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("__d2"), 6).cast("decimal(22,6)"))
+              .cast("double").as("obj"))
+          .collect()
+        stats.foreach(r => history +=
+          LloydStat(it, r.getInt(0), r.getLong(1), r.getDouble(2)))
 
-      // Pass 1: per-cell occupancy + objective (k rows).
-      val stats = assigned
-        .withColumn("__d2", d2Col(col("__e"), centsLit, col("cell")))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("__d2"), 6).cast("decimal(22,6)"))
-            .cast("double").as("obj"))
-        .collect()
-      stats.foreach(r => history +=
-        LloydStat(it, r.getInt(0), r.getLong(1), r.getDouble(2)))
-
-      // Pass 2: integer-exact per-(cell, dim) scaled sums (k·d rows).
-      val sums = assigned
-        .select(col("cell"), posexplode(col("__e")).as(Seq("j", "x")))
-        .groupBy("cell", "j")
-        .agg(sum(floor(col("x").cast("double") * 1e6 + 0.5)).as("sv"),
-          count(lit(1)).as("n"))
-        .collect()
+        // Pass 2: integer-exact per-(cell, dim) scaled sums (k·d rows).
+        val sums = assigned
+          .select(col("cell"), posexplode(col("__e")).as(Seq("j", "x")))
+          .groupBy("cell", "j")
+          .agg(sum(floor(col("x").cast("double") * 1e6 + 0.5)).as("sv"),
+            count(lit(1)).as("n"))
+          .collect()
 
       val next = cents.map(_.clone()) // empty cells keep their centroid
       val updated = Array.fill(k)(false)
@@ -124,6 +128,7 @@ object Clustering {
         if (nrm > 0) { j = 0; while (j < next(c).length) { next(c)(j) /= nrm; j += 1 } }
       }
       cents = next
+      } finally assigned.unpersist()
     }
     LloydResult(cents, history.result().sortBy(s => (s.iter, s.cell)))
   }
