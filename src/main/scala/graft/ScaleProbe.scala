@@ -74,6 +74,10 @@ object ScaleProbe {
       graphProbe(args.lift(1).map(_.toInt).getOrElse(1000))
       return
     }
+    if (args.headOption.contains("kmeans")) {
+      kmeansProbe(args.lift(1).map(_.toInt).getOrElse(1000))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -986,6 +990,51 @@ object ScaleProbe {
     * 1-bit/dim Hamming candidates (d/8 B/row) and the 16-dim PCA
     * projection (64 B/row) — timed warm, with id-overlap recall vs
     * exact (same duplicate-set caveat as the PQ probe). */
+  /** Lloyd training-loop probe at replica scale: per-iteration wall for
+    * the gated `Clustering.lloyd` shape (cached assignment, two
+    * aggregates, k·d-double driver round-trip) — the evidence the
+    * TRAINING gate is also the scale path, not just a toy replay. */
+  def kmeansProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nBase = base.count()
+    val path = s"/tmp/graft-scale-${factor}x"
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("vec_id") + col("rep") * nBase).as("doc_id"),
+          col("embedding"), col("label"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val corpus = spark.read.parquet(path)
+    val n = corpus.count()
+    println(s"[scale] kmeans corpus rows = $n (${factor}x of $nBase)")
+
+    for ((k, iters) <- Seq((16, 3), (64, 2))) {
+      val t0 = System.nanoTime()
+      val res = graft.operators.Clustering.lloyd(corpus, k, iters)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val objLast = res.history.filter(_.iter == iters).map(_.obj).sum
+      println(f"[scale] lloyd k=$k iters=$iters: $sec%.2f s " +
+        f"(${sec / iters}%.2f s/iter, ${n * iters / sec / 1e6}%.1f M row-assigns/s/iter, final obj ${objLast}%.1f)")
+    }
+    val t0 = System.nanoTime()
+    graft.operators.Clustering.lloyd(corpus, 16, 3, spherical = true)
+    println(f"[scale] lloyd k=16 spherical: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+
   def binaryProbe(factor: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -90,6 +90,34 @@ class ClusteringSpec extends AnyFunSuite {
     assert(r2.centroids(1).toSeq == base.map(_.toDouble).toSeq)
   }
 
+  test("degenerate corpora: all-identical and all-zero vectors are safe") {
+    // all points identical: everything ties into cell 0, objective 0
+    val same = (0L until 40L).map(i => (i, Array(1f, 2f, 3f)))
+    val r = Clustering.lloyd(same.toDF("doc_id", "embedding"), k = 3, iters = 2)
+    assert(r.history.forall(s => s.cell == 0 && s.obj == 0.0))
+    assert(r.centroids(0).toSeq == Seq(1.0, 2.0, 3.0))
+    // all-zero vectors under spherical: the updated mean has zero norm —
+    // the division guard must keep the zero vector, not emit NaNs
+    val zeros = (0L until 30L).map(i => (i, Array(0f, 0f, 0f, 0f)))
+    val rz = Clustering.lloyd(zeros.toDF("doc_id", "embedding"),
+      k = 2, iters = 2, spherical = true)
+    assert(rz.centroids.forall(_.forall(x => !x.isNaN)))
+    assert(rz.centroids(0).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(rz.history.filter(_.iter == 2).forall(_.obj == 0.0))
+  }
+
+  test("partitioning independence holds across seeds (integer-exact updates)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val data = randVecs(150, dim = 5, seed = seed)
+      val a = Clustering.lloyd(data.toDF("doc_id", "embedding"), k = 4, iters = 2)
+      val b = Clustering.lloyd(
+        data.toDF("doc_id", "embedding").repartition(11), k = 4, iters = 2)
+      assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq,
+        s"seed $seed diverged")
+      assert(a.history == b.history, s"seed $seed history diverged")
+    }
+  }
+
   test("k larger than corpus fails loudly") {
     val docs = randVecs(3).toDF("doc_id", "embedding")
     intercept[IllegalArgumentException] {

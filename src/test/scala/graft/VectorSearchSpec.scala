@@ -123,6 +123,21 @@ class VectorSearchSpec extends AnyFunSuite {
     val one = VectorSearch.knnSharded(Seq(corpus), q, k = 8)
       .select("doc_id", "score").as[(Long, Double)].collect().toSeq
     assert(one == flat)
+    // plan shape: the ONE shuffle is the per-shard partial top-k
+    // aggregation; the global merge is a TakeOrdered, never a sort of
+    // the scored corpus (AQE hides exchanges pre-run — string-inspect
+    // the executed plan, KnnGraphSpec idiom)
+    val ran = VectorSearch.knnSharded(shards, q, k = 8)
+    ran.collect()
+    val plan = ran.queryExecution.executedPlan.toString
+    // AQE prints the same node in both the initial and final plan —
+    // count DISTINCT exchange plan_ids, not string occurrences
+    val exIds = "Exchange [^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exIds.size == 1,
+      s"expected exactly one exchange (the bounded top-k agg):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global merge must be a TakeOrdered:\n$plan")
   }
 
   test("pairwiseDistances: full matrix, driver-replay exact values") {
