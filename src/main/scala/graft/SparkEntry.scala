@@ -1438,7 +1438,7 @@ object SparkEntry {
     ivfSqCorpus(s, dir); rqCorpus(s, dir)
     ivfSq4Corpus(s, dir)
     bivfCorpus(s, dir); graphCorpus(s, dir); itqCorpus(s, dir)
-    bhashCorpus(s, dir)
+    bhashCorpus(s, dir); lloydIvfCorpus(s, dir)
     ivfPqrCorpus(s, dir)
     bpeMergesArtifact(s, dir)
     componentsCorpus(s, dir)
@@ -4310,6 +4310,54 @@ object SparkEntry {
 
   private val q141Sql = OracleSqlGen.kmeansSweepSql(ks = Seq(4, 8, 16), iters = 3)
 
+  /** Lloyd-trained IVF cache, keyed like [[ivfCachePath]]. */
+  private def lloydIvfCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x11fdL ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-livf-$key"
+  }
+
+  /** Build-or-load the Lloyd-trained IVF: quantizer = the GATED
+    * training loop's centroids ([[Clustering.lloyd]], k=16 × 3 iters),
+    * persisted in the standard quantizer artifact + cell-partitioned
+    * corpus. */
+  private[graft] def lloydIvfCorpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf) = {
+    GraftFunctions.register(s)
+    val base = lloydIvfCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val ivf =
+      if (IvfIndex.exists(s, s"$base/quantizer.txt"))
+        IvfIndex.load(s, s"$base/quantizer.txt")
+      else {
+        val res = Clustering.lloyd(emb, k = 16, iters = 3)
+        val built = IvfIndex.Ivf(Some(res.centroids), nlist = 16)
+        IvfIndex.save(s, built, s"$base/quantizer.txt")
+        built
+      }
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      IvfIndex.assign(emb, ivf).write.mode("overwrite")
+        .partitionBy("cell_id").parquet(cpath)
+    (s.read.parquet(cpath), ivf)
+  }
+
+  /** Trainer→index coherence gate: probed IVF search over a quantizer
+    * trained by the GATED Lloyd loop ([[Clustering.lloyd]]) — the q136
+    * training and the q21 search semantics composed end-to-end. The
+    * oracle is generated from the persisted Lloyd centroids through the
+    * SAME `ivfSearchSql` replay every IVF query uses, so trainer,
+    * artifact, assignment and probed scan all sit under one hash. */
+  private def q143LloydIvf(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = lloydIvfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(withCells, ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Embedding-drift audit ([[IvfIndex.driftStats]]): two corpus
     * snapshots (id slices — the ingest-growth shape: most ids shared,
     * one decile removed, another added) compared under the SHARED
@@ -5267,6 +5315,7 @@ object SparkEntry {
     "q140_spherical_kmeans" -> (q140SphericalKmeans _),
     "q141_kmeans_sweep" -> (q141KmeansSweep _),
     "q142_dataset_card" -> (q142DatasetCard _),
+    "q143_lloyd_ivf" -> (q143LloydIvf _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5411,7 +5460,8 @@ object SparkEntry {
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
     sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ opqIvfOracleSqls ++
     ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ rqOracleSqls ++
-    bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls ++ nlistSweepOracleSqls
+    bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls ++
+    nlistSweepOracleSqls ++ lloydIvfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -5442,6 +5492,23 @@ object SparkEntry {
       Map(
         "q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10),
         "q99_pq_recon" -> OracleSqlGen.pqReconSql(books))
+    }).getOrElse(Map.empty)
+
+  /** Lloyd-trained-IVF oracle: the q143 replay generates from the
+    * centroids the GATED training loop persisted — same `ivfSearchSql`
+    * machinery as q21, different quantizer artifact. */
+  private def lloydIvfOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      path = java.nio.file.Paths.get(s"${lloydIvfCachePath(s, dir)}/quantizer.txt")
+      if java.nio.file.Files.exists(path)
+      lines = java.nio.file.Files.readAllLines(path)
+      if lines.get(0).split(" ")(1).toInt > 0
+    } yield {
+      val cents: Seq[Array[Double]] = (1 until lines.size())
+        .map(i => lines.get(i).split(" ").map(_.toDouble))
+      Map("q143_lloyd_ivf" -> OracleSqlGen.ivfSearchSql(cents, k = 10, nprobe = 4))
     }).getOrElse(Map.empty)
 
   /** BPE oracle, generated from the merges q118's run just persisted —
