@@ -213,6 +213,35 @@ object IvfIndex {
           .as("shift"))
   }
 
+  /** Drift-triggered retrain — the operational loop closing
+    * [[driftStats]]' audit: read the per-cell report, retrain the
+    * quantizer on the new snapshot iff the drift crosses a threshold,
+    * else keep serving the old cells. Triggers when EITHER the max
+    * per-cell occupancy shift exceeds `maxShift` OR the
+    * occupancy-weighted mean residual grew by more than `residGrowth`
+    * (both sides of the "stale quantizer" signature). Retraining is the
+    * offline [[train]] build, exactly FAISS's posture — a streaming job
+    * never retrains the quantizer it encodes with; the caller re-encodes
+    * under the returned quantizer when `retrained` is true. The decision
+    * reads k driver-side rows; nothing corpus-sized moves. */
+  def retrainIfDrifted(oldCorpus: DataFrame, newCorpus: DataFrame, ivf: Ivf,
+                       maxShift: Double = 0.05, residGrowth: Double = 0.2,
+                       embCol: String = "embedding"): (Ivf, Boolean) = {
+    val rows = driftStats(oldCorpus, newCorpus, ivf, embCol).collect()
+    val shift = rows.map(_.getDouble(7)).max
+    def weighted(nIdx: Int, mIdx: Int): Option[Double] = {
+      val withMean = rows.filter(!_.isNullAt(mIdx))
+      val tot = withMean.map(_.getLong(nIdx)).sum
+      if (tot == 0) None
+      else Some(withMean.map(r => r.getLong(nIdx) * r.getDouble(mIdx)).sum / tot)
+    }
+    val grew = (for {
+      o <- weighted(1, 5); n <- weighted(2, 6); if o > 0
+    } yield (n - o) / o > residGrowth).getOrElse(false)
+    if (shift > maxShift || grew) (train(newCorpus, ivf.nlist, embCol), true)
+    else (ivf, false)
+  }
+
   /** Cells to probe for a query vector: the `nprobe` centroids nearest by
     * inner product (centroid table is tiny — ranked at the driver). */
   def probeCells(ivf: Ivf, queryVec: Array[Float], nprobe: Int): Seq[Int] =

@@ -206,6 +206,40 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(drifted.map(_.getDouble(7)).sum > 0)
   }
 
+  test("retrainIfDrifted: stable snapshots keep the quantizer, drift triggers retrain") {
+    val data = (0 until 300).map(i => (i.toLong, randVec(i)))
+    val docs = data.toDF("doc_id", "embedding")
+    val (_, ivf) = IvfIndex.build(docs, nlist = 6)
+
+    // identical snapshots: zero shift, zero residual growth -> no retrain
+    val (same, retrained0) = IvfIndex.retrainIfDrifted(docs, docs, ivf)
+    assert(!retrained0 && (same eq ivf))
+
+    // planted drift: new snapshot shifts every vector far from the old
+    // geometry (scaled + offset) -> occupancy AND residuals move
+    val moved = data.map { case (id, v) =>
+      (id, v.map(x => x * 3f + 2f))
+    }.toDF("doc_id", "embedding")
+    val (fresh, retrained1) = IvfIndex.retrainIfDrifted(docs, moved, ivf)
+    assert(retrained1, "gross drift must trigger a retrain")
+    assert(fresh.isTrained && !(fresh eq ivf))
+    // the fresh quantizer actually fits the new data better
+    GraftFunctions_registerSafe()
+    def meanDist(q: IvfIndex.Ivf): Double = {
+      val assigned = IvfIndex.assign(moved, q)
+      assigned.select(
+        graft.functions.GraftFunctions.normF32(
+          graft.operators.PqIndex.residualColumn(q,
+            org.apache.spark.sql.functions.col("embedding"),
+            org.apache.spark.sql.functions.col("cell_id"))).as("d"))
+        .agg(org.apache.spark.sql.functions.avg("d")).head.getDouble(0)
+    }
+    assert(meanDist(fresh) < meanDist(ivf))
+  }
+
+  private def GraftFunctions_registerSafe(): Unit =
+    graft.functions.GraftFunctions.register(spark)
+
   test("cellStats on a skewed corpus reports the imbalance") {
     // 190 copies of one vector + 10 spread: mass collapses to one cell.
     val base = randVec(1)
