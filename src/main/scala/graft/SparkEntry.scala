@@ -2667,6 +2667,84 @@ object SparkEntry {
       |ORDER BY source""".stripMargin
   }
 
+  /** Quality-weighted sampling (q32's score ∘ q57's sampler): docs
+    * tiered by the composite quality score (high ≥ 0.7 kept whole, mid
+    * ≥ 0.5 at 50%, low at 10%) and downsampled per tier with the salted
+    * deterministic draw — the CCNet/FineWeb "keep the head, thin the
+    * tail" move as ONE scan predicate (no shuffle; the draw is
+    * reproducible and independent across tiers). Report: per-tier
+    * totals, kept counts, realized rate. */
+  private def q144QualitySample(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val st = col("st")
+    val nTok = st.getField("n_tokens")
+    val nChars = st.getField("n_chars")
+    val punctR = when(nChars === 0, lit(0.0))
+      .otherwise(st.getField("n_punct").cast("double") / nChars)
+    val stopR = when(nTok === 0, lit(0.0))
+      .otherwise(st.getField("n_stop").cast("double") / nTok)
+    val quality = least(nChars.cast("double") / lit(500.0), lit(1.0)) * 0.4 +
+      greatest(lit(0.0), lit(1.0) - punctR * 4.0) * 0.3 +
+      least(stopR * 5.0, lit(1.0)) * 0.3
+    val tiers = t(s, dir, "documents")
+      .select(col("doc_id"), GraftFunctions.textStats(col("text")).as("st"))
+      .select(col("doc_id"),
+        when(quality >= 0.7, "high")
+          .when(quality >= 0.5, "mid")
+          .otherwise("low").as("tier"))
+    val kept = Sampling.stratifiedSample(tiers,
+      Map("high" -> 1.0, "mid" -> 0.5, "low" -> 0.1),
+      strataCol = "tier", salt = "quality")
+    tiers.groupBy("tier").agg(count(lit(1)).as("n_total"))
+      .join(kept.groupBy("tier").agg(count(lit(1)).as("__k")), Seq("tier"), "left")
+      .select(col("tier"), col("n_total"),
+        coalesce(col("__k"), lit(0L)).as("n_kept"))
+      .withColumn("rate",
+        round(col("n_kept").cast("double") / col("n_total"), 4))
+      .orderBy("tier")
+  }
+
+  private val q144Sql = {
+    val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    def thr(t: String, p: Double) =
+      s"WHEN tier = '$t' THEN '${Sampling.thresholdHexOpen(p)}'"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains($stopList, x))) AS n_stop,
+       |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+       |    length(text) AS n_chars
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    least(n_chars / 500.0, 1.0) * 0.4 +
+       |    greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+       |      ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 4.0) * 0.3 +
+       |    least((CASE WHEN n_tokens = 0 THEN 0.0
+       |      ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 5.0, 1.0) * 0.3 AS quality
+       |  FROM d),
+       |tiers AS (
+       |  SELECT doc_id,
+       |    CASE WHEN quality >= 0.7 THEN 'high'
+       |         WHEN quality >= 0.5 THEN 'mid'
+       |         ELSE 'low' END AS tier
+       |  FROM q),
+       |kept AS (
+       |  SELECT tier, count(*) AS k FROM (
+       |    SELECT tier, doc_id,
+       |      CASE ${thr("high", 1.0)} ${thr("mid", 0.5)} ${thr("low", 0.1)} END AS t
+       |    FROM tiers)
+       |  WHERE substr(md5('quality:' || CAST(doc_id AS VARCHAR)), 1, 8) < t
+       |  GROUP BY tier)
+       |SELECT t.tier, CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(coalesce(any_value(k.k), 0) AS BIGINT) AS n_kept,
+       |  round(CAST(coalesce(any_value(k.k), 0) AS DOUBLE) / count(*), 4) AS rate
+       |FROM tiers t LEFT JOIN kept k USING (tier)
+       |GROUP BY t.tier
+       |ORDER BY t.tier""".stripMargin
+  }
+
   /** Full-corpus dedup convenience API (`Dedup.dedupCorpus`): exact dups,
     * verified near-dup pairs, and hot-bucket clusters unified into one
     * kept-ids frame. Every 7th doc becomes near-identical boilerplate
@@ -4427,6 +4505,49 @@ object SparkEntry {
       |ORDER BY s DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label — the negatives that actually teach a retrieval/
+    * embedding model (random negatives are too easy; same-label hits
+    * are positives). The label predicate composes INTO the scored scan
+    * (the q110 filtered-ANN posture applied pre-top-k: negatives are
+    * ranked among negatives, not filtered after), broadcast queries,
+    * one window per query. */
+  private def q145HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__s"), col("vec_id").asc)
+    emb.filter(col("vec_id") >= 4)
+      .crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("label").cast("long").as("label"),
+        round(col("__s"), 4).as("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q145Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      |           FROM embeddings WHERE vec_id < 4),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id, e.label,
+      |    ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS s,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC,
+      |        e.vec_id ASC) AS rnk
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id >= 4 AND e.label <> q.ql)
+      |SELECT query_id, vec_id, CAST(label AS BIGINT) AS label,
+      |  round(s, 4) AS score, CAST(rnk AS BIGINT) AS rank
+      |FROM scored WHERE rnk <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Pairwise distance matrix ([[VectorSearch.pairwiseDistances]]):
     * FAISS `pairwise_distances` — every (query, doc) pair over a
     * bounded eval slice, squared L2 + inner product together. No
@@ -5316,6 +5437,8 @@ object SparkEntry {
     "q141_kmeans_sweep" -> (q141KmeansSweep _),
     "q142_dataset_card" -> (q142DatasetCard _),
     "q143_lloyd_ivf" -> (q143LloydIvf _),
+    "q144_quality_sample" -> (q144QualitySample _),
+    "q145_hard_negatives" -> (q145HardNegatives _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5439,6 +5562,8 @@ object SparkEntry {
     "q140_spherical_kmeans" -> q140Sql,
     "q141_kmeans_sweep" -> q141Sql,
     "q142_dataset_card" -> q142Sql,
+    "q144_quality_sample" -> q144Sql,
+    "q145_hard_negatives" -> q145Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
