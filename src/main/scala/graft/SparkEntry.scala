@@ -4548,6 +4548,110 @@ object SparkEntry {
       |FROM scored WHERE rnk <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Label-based retrieval evaluation (P@10 / MRR / nDCG@10): the IR
+    * metrics an embedding/retrieval training run reports against a
+    * labeled eval set — relevance = label match, per query over the
+    * exact top-10. DCG folds the rank-ordered relevance list (ordered
+    * fold, the q66 idiom — a bare SUM over doubles is addition-order
+    * nondeterministic); ideal DCG folds the first `min(10, R)` ranks;
+    * MRR = 1/first-relevant-rank. Completes the search-quality tooling
+    * beside the recall family (q34/q47/q89, which measure approx-vs-
+    * exact; this measures exact-vs-LABELS). */
+  private def q146RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__s"), col("vec_id").asc)
+    val hits = corpus.crossJoin(broadcast(queries))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"),
+        (col("label") === col("q_label")).as("rel"))
+    // R = relevant mass in the corpus per query label (broadcast k rows)
+    val rCounts = corpus.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_rel"))
+    val perQuery = hits.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("rel"))))
+        .as("__hl"))
+      .select(col("query_id"),
+        transform(col("__hl"), e => e.getField("rel")).as("__rels"))
+    val logFold = (l: Column) => aggregate(
+      sequence(lit(1), l), lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0))
+    queries.select(col("query_id"), col("q_label"))
+      .join(broadcast(rCounts), Seq("q_label"), "left")
+      .join(perQuery, Seq("query_id"))
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("__rels"))
+      .withColumn("p_at_10",
+        round(aggregate(col("__rels"), lit(0L),
+          (acc, r) => acc + when(r, 1L).otherwise(0L)).cast("double") / 10.0, 4))
+      .withColumn("mrr", round(coalesce(
+        lit(1.0) / aggregate(zip_with(col("__rels"),
+            sequence(lit(1), size(col("__rels"))),
+            (r, i) => when(r, i)).cast("array<int>"),
+          lit(null).cast("int"),
+          (acc, i) => least(coalesce(acc, i), coalesce(i, acc))).cast("double"),
+        lit(0.0)), 4))
+      .withColumn("__dcg", aggregate(
+        zip_with(col("__rels"), sequence(lit(1), size(col("__rels"))),
+          (r, i) => when(r, lit(1.0) / log2(i.cast("double") + 1.0))
+            .otherwise(lit(0.0))),
+        lit(0.0), (acc, t) => acc + t))
+      // guard on n_rel BEFORE building the fold: sequence(1, 0) in Spark
+      // DESCENDS ([1, 0] — step defaults to -1), which would fold a
+      // 1/log2(1) = 1/0 term; with n_rel > 0 the bound is always >= 1
+      .withColumn("__idcg",
+        when(col("n_rel") > 0, logFold(least(lit(10L), col("n_rel")))))
+      .withColumn("ndcg_at_10",
+        round(when(col("__idcg") > 0, col("__dcg") / col("__idcg")), 4))
+      .select("query_id", "n_rel", "p_at_10", "mrr", "ndcg_at_10")
+      .orderBy("query_id")
+  }
+
+  private val q146Sql = {
+    def dcgFold(rels: String) =
+      s"""list_reduce(list_prepend(0.0,
+         |    list_transform(range(1, len($rels) + 1),
+         |      i -> CASE WHEN $rels[i] THEN 1.0 / log2(i + 1.0) ELSE 0.0 END)),
+         |    (acc, t) -> acc + t)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, q.ql, e.vec_id, e.label,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC,
+      |        e.vec_id ASC) AS rnk
+      |  FROM embeddings e, q WHERE e.vec_id >= 8),
+      |rels AS (
+      |  SELECT query_id, list(label = ql ORDER BY rnk) AS rl,
+      |    min(CASE WHEN label = ql THEN rnk END) AS firstrel
+      |  FROM scored WHERE rnk <= 10 GROUP BY query_id),
+      |rc AS (
+      |  SELECT q.query_id,
+      |    (SELECT count(*) FROM embeddings e
+      |     WHERE e.vec_id >= 8 AND e.label = q.ql) AS n_rel
+      |  FROM q)
+      |SELECT r.query_id, CAST(rc.n_rel AS BIGINT) AS n_rel,
+      |  round(CAST(len(list_filter(r.rl, x -> x)) AS DOUBLE) / 10.0, 4) AS p_at_10,
+      |  round(coalesce(1.0 / r.firstrel, 0.0), 4) AS mrr,
+      |  round(CASE WHEN rc.n_rel > 0 THEN
+      |    ${dcgFold("r.rl")} /
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(range(1, CAST(least(10, rc.n_rel) AS INTEGER) + 1),
+      |        i -> 1.0 / log2(i + 1.0))),
+      |      (acc, t) -> acc + t)
+      |  END, 4) AS ndcg_at_10
+      |FROM rels r JOIN rc USING (query_id)
+      |ORDER BY r.query_id""".stripMargin
+  }
+
   /** Pairwise distance matrix ([[VectorSearch.pairwiseDistances]]):
     * FAISS `pairwise_distances` — every (query, doc) pair over a
     * bounded eval slice, squared L2 + inner product together. No
@@ -5439,6 +5543,7 @@ object SparkEntry {
     "q143_lloyd_ivf" -> (q143LloydIvf _),
     "q144_quality_sample" -> (q144QualitySample _),
     "q145_hard_negatives" -> (q145HardNegatives _),
+    "q146_retrieval_eval" -> (q146RetrievalEval _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5564,6 +5669,7 @@ object SparkEntry {
     "q142_dataset_card" -> q142Sql,
     "q144_quality_sample" -> q144Sql,
     "q145_hard_negatives" -> q145Sql,
+    "q146_retrieval_eval" -> q146Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
