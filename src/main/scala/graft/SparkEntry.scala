@@ -4652,6 +4652,77 @@ object SparkEntry {
       |ORDER BY r.query_id""".stripMargin
   }
 
+  /** MMR diversified rerank ([[VectorSearch.mmrSelect]]): greedy
+    * maximal-marginal-relevance selection over the exact top-15
+    * candidates (λ = 0.7, 5 picks) — the serving-time diversity pass.
+    * The oracle UNROLLS the greedy loop (the q97/q136 posture): one CTE
+    * per pick, each an argmax of `λ·s − (1−λ)·max sim-to-selected` over
+    * the remaining candidates, with the penalty coefficient emitted as
+    * the exact Scala double of `1 − λ` (0.3 written as a literal is a
+    * DIFFERENT double than 1 − 0.7). */
+  private def q147MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding"),
+        GraftFunctions.dotF32(col("embedding"), typedLit(qVec)).as("s"))
+      .orderBy(desc("s"), col("vec_id").asc).limit(15)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getSeq[Float](1).toArray))
+      .toSeq
+    VectorSearch.mmrSelect(cands, lambda = 0.7, k = 5)
+      .zipWithIndex
+      .map { case ((id, sc, mmr), i) => (i + 1L, id, sc, mmr) }
+      .toDF("sel_rank", "vec_id", "score", "mmr")
+      .select(col("sel_rank"), col("vec_id"),
+        round(col("score"), 4).as("score"), round(col("mmr"), 4).as("mmr"))
+      .orderBy("sel_rank")
+  }
+
+  private val q147Sql = {
+    val lam = 0.7
+    val pen = (1 - lam).toString // the EXACT engine double (0.30000000000000004)
+    def selUnion(upTo: Int) =
+      (1 to upTo).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+    val steps = (2 to 5).map { i =>
+      s"""s$i AS (
+         |  SELECT c.vec_id, c.s, $lam * c.s - $pen * m.mx AS mmr
+         |  FROM cand c JOIN (
+         |    SELECT ia, max(sim) AS mx FROM sims
+         |    WHERE ib IN (${selUnion(i - 1)}) GROUP BY ia) m ON m.ia = c.vec_id
+         |  WHERE c.vec_id NOT IN (${selUnion(i - 1)})
+         |  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5)
+      .map(i => s"SELECT $i AS sel_rank, vec_id, s, mmr FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, embedding, s FROM (
+       |    SELECT e.vec_id, e.embedding,
+       |      ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS s,
+       |      row_number() OVER (ORDER BY
+       |        ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC,
+       |        e.vec_id ASC) AS rn
+       |    FROM embeddings e, q WHERE e.vec_id >= 8) WHERE rn <= 15),
+       |sims AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ${OracleSqlGen.dotFold("a.embedding", "b.embedding")} AS sim
+       |  FROM cand a, cand b),
+       |s1 AS (
+       |  SELECT vec_id, s, $lam * s AS mmr FROM cand
+       |  ORDER BY $lam * s DESC, vec_id ASC LIMIT 1),
+       |$steps
+       |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
+       |  round(s, 4) AS score, round(mmr, 4) AS mmr
+       |FROM (
+       |  $out)
+       |ORDER BY sel_rank""".stripMargin
+  }
+
   /** Pairwise distance matrix ([[VectorSearch.pairwiseDistances]]):
     * FAISS `pairwise_distances` — every (query, doc) pair over a
     * bounded eval slice, squared L2 + inner product together. No
@@ -5544,6 +5615,7 @@ object SparkEntry {
     "q144_quality_sample" -> (q144QualitySample _),
     "q145_hard_negatives" -> (q145HardNegatives _),
     "q146_retrieval_eval" -> (q146RetrievalEval _),
+    "q147_mmr_rerank" -> (q147MmrRerank _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5670,6 +5742,7 @@ object SparkEntry {
     "q144_quality_sample" -> q144Sql,
     "q145_hard_negatives" -> q145Sql,
     "q146_retrieval_eval" -> q146Sql,
+    "q147_mmr_rerank" -> q147Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

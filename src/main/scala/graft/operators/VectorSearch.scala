@@ -134,6 +134,49 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) —
+    * the serving-time diversity pass: greedily select `k` of the
+    * candidates maximizing `λ·score − (1−λ)·max_{j∈S} sim(i, j)`, so
+    * near-duplicate hits don't crowd the result page. Candidates are a
+    * BOUNDED top-N (the searchRefined rerank posture), so the greedy
+    * loop is driver-side by design — N² sims over ≤ tens of rows; the
+    * expensive part (candidate generation) stays distributed. All
+    * arithmetic is sequential-double over the float vectors (the
+    * `dot_f32` rule), ties to the lowest id — oracle-replayable step by
+    * step. Returns (id, score, mmr) in selection order; the first pick's
+    * mmr is `λ·score` (empty selected set ⇒ the penalty term is 0). */
+  def mmrSelect(candidates: Seq[(Long, Double, Array[Float])],
+                lambda: Double, k: Int): Seq[(Long, Double, Double)] = {
+    require(lambda >= 0 && lambda <= 1, s"lambda out of [0,1]: $lambda")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = Seq.newBuilder[(Long, Double, Double)]
+    while (picked.size < math.min(k, candidates.size)) {
+      var bestIdx = -1
+      var bestMmr = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      for (i <- candidates.indices if !picked.contains(i)) {
+        val (id, s, v) = candidates(i)
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.map(j => dot(v, candidates(j)._3)).max
+        val mmr = lambda * s - (1 - lambda) * maxSim
+        if (mmr > bestMmr || (mmr == bestMmr && id < bestId)) {
+          bestIdx = i; bestMmr = mmr; bestId = id
+        }
+      }
+      picked += bestIdx
+      val (id, s, _) = candidates(bestIdx)
+      out += ((id, s, bestMmr))
+    }
+    out.result()
+  }
+
   /** Recall@k of an approximate search against the exact scan: per-query
     * overlap of the two top-k id sets. `exact`/`approx` carry
     * (query_id, idCol); queries with zero overlap still emit a row.

@@ -140,6 +140,23 @@ class VectorSearchSpec extends AnyFunSuite {
       s"global merge must be a TakeOrdered:\n$plan")
   }
 
+  test("mmrSelect: diversity beats a duplicate; lambda=1 is plain top-k") {
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0.99f, 0.1f, 0f, 0f) // near-duplicate of a, 2nd by score
+    val c = Array(0f, 1f, 0f, 0f)      // diverse, 3rd by score
+    val cands = Seq((1L, 0.95, a), (2L, 0.94, b), (3L, 0.5, c))
+    // with diversity pressure, pick 2 must skip the near-duplicate
+    val sel = VectorSearch.mmrSelect(cands, lambda = 0.5, k = 2)
+    assert(sel.map(_._1) == Seq(1L, 3L))
+    // lambda = 1: pure relevance, identical to score order
+    val rel = VectorSearch.mmrSelect(cands, lambda = 1.0, k = 3)
+    assert(rel.map(_._1) == Seq(1L, 2L, 3L))
+    // first pick's mmr is lambda*score; k > n returns all; deterministic
+    assert(rel.head._3 == 1.0 * 0.95)
+    assert(VectorSearch.mmrSelect(cands, 0.5, 10).size == 3)
+    assert(VectorSearch.mmrSelect(cands, 0.5, 2) == sel)
+  }
+
   test("pairwiseDistances: full matrix, driver-replay exact values") {
     val docs = Seq(
       (10L, Array(1f, 0f, 2f)), (11L, Array(0f, 3f, 1f)), (12L, Array(2f, 2f, 2f))
