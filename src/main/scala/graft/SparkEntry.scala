@@ -4723,6 +4723,67 @@ object SparkEntry {
        |ORDER BY sel_rank""".stripMargin
   }
 
+  /** k-NN majority-vote classification over the labeled eval slice:
+    * the classic `faiss.knn` eval-harness use (neighbors vote the
+    * label; FAISS's own benchmarks score indexes this way) and the
+    * label-propagation primitive a curation pipeline uses to spread
+    * sparse human labels over an unlabeled corpus. Exact top-10 per
+    * query, vote = neighbor count per label, ties broken toward the
+    * smaller label id (deterministic on both engines). Completes the
+    * eval family: q34/q47/q89 measure recall-vs-exact, q146 measures
+    * ranking-vs-labels, this measures CLASSIFICATION-vs-labels.
+    *
+    * Scale shape: queries broadcast (bounded eval slice), ONE corpus
+    * scan scores all of them, the vote is a per-query few-row
+    * aggregate over the top-k — the q17 batch posture. */
+  private def q148KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__s"), col("vec_id").asc)
+    val hits = corpus.crossJoin(broadcast(queries))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("votes"), col("label").asc)
+    hits.groupBy(col("query_id"), col("q_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__vr", row_number().over(vw))
+      .filter(col("__vr") === 1)
+      .select(col("query_id"),
+        col("q_label").cast("long").as("true_label"),
+        col("label").cast("long").as("pred_label"),
+        col("votes"),
+        (col("label") === col("q_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
+  private val q148Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, q.ql, e.vec_id, e.label,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC,
+      |        e.vec_id ASC) AS rnk
+      |  FROM embeddings e, q WHERE e.vec_id >= 8),
+      |votes AS (
+      |  SELECT query_id, ql, label, count(*) AS votes
+      |  FROM scored WHERE rnk <= 10 GROUP BY query_id, ql, label),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY votes DESC, label ASC) AS vr FROM votes)
+      |SELECT query_id, CAST(ql AS BIGINT) AS true_label,
+      |  CAST(label AS BIGINT) AS pred_label, CAST(votes AS BIGINT) AS votes,
+      |  label = ql AS correct
+      |FROM best WHERE vr = 1
+      |ORDER BY query_id""".stripMargin
+
   /** Pairwise distance matrix ([[VectorSearch.pairwiseDistances]]):
     * FAISS `pairwise_distances` — every (query, doc) pair over a
     * bounded eval slice, squared L2 + inner product together. No
@@ -5616,6 +5677,7 @@ object SparkEntry {
     "q145_hard_negatives" -> (q145HardNegatives _),
     "q146_retrieval_eval" -> (q146RetrievalEval _),
     "q147_mmr_rerank" -> (q147MmrRerank _),
+    "q148_knn_classify" -> (q148KnnClassify _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5743,6 +5805,7 @@ object SparkEntry {
     "q145_hard_negatives" -> q145Sql,
     "q146_retrieval_eval" -> q146Sql,
     "q147_mmr_rerank" -> q147Sql,
+    "q148_knn_classify" -> q148Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
