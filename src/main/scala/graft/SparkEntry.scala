@@ -4784,6 +4784,56 @@ object SparkEntry {
       |FROM best WHERE vr = 1
       |ORDER BY query_id""".stripMargin
 
+  /** Deterministic epoch shuffle + shard assignment — the training-order
+    * emitter at the very end of a data pipeline: every epoch gets its own
+    * seeded global permutation of the corpus, sharded for N data-loader
+    * workers. Assignment is pure hashing (shard = md5-prefix mod
+    * n_shards, balanced in expectation), order within a shard is the
+    * same hash — so the "shuffle" never actually shuffles more than a
+    * sort WITHIN each (epoch, shard) partition: at 1000 shards each sort
+    * covers corpus/1000, embarrassingly parallel, no global total order
+    * anywhere (a position-striped "exactly equal shards" design would
+    * need one, which is why loaders don't do it that way). Output is the
+    * audit form: per (epoch, shard) doc count + md5 fingerprint of the
+    * ordered id sequence (the q129 bounded-group concat idiom; production
+    * emits the (doc_id, epoch, shard, pos) rows themselves and never
+    * concatenates). */
+  private def q149EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val epochs = s.range(0, 2).toDF("epoch")
+    val keyed = docs.crossJoin(broadcast(epochs))
+      .withColumn("__k", md5(concat(lit("epoch:"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("__k"), 1, 8), 16, 10).cast("long") % 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy(col("__k").asc, col("doc_id").asc)
+    keyed.withColumn("pos", row_number().over(w))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+          e => e.getField("doc_id").cast("string")), ",")).as("order_md5"))
+      .orderBy("epoch", "shard")
+  }
+
+  private val q149Sql =
+    s"""WITH keyed AS (
+      |  SELECT e.epoch, d.doc_id,
+      |    md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':' ||
+      |        CAST(d.doc_id AS VARCHAR)) AS k
+      |  FROM documents d, (SELECT unnest(range(2)) AS epoch) e),
+      |sharded AS (
+      |  SELECT epoch, doc_id, k,
+      |    ${OracleSqlGen.hexPrefixToBigint("k", 8)} % 4 AS shard
+      |  FROM keyed)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id))
+      |    AS order_md5
+      |FROM sharded GROUP BY epoch, shard
+      |ORDER BY epoch, shard""".stripMargin
+
   /** Pairwise distance matrix ([[VectorSearch.pairwiseDistances]]):
     * FAISS `pairwise_distances` — every (query, doc) pair over a
     * bounded eval slice, squared L2 + inner product together. No
@@ -5678,6 +5728,7 @@ object SparkEntry {
     "q146_retrieval_eval" -> (q146RetrievalEval _),
     "q147_mmr_rerank" -> (q147MmrRerank _),
     "q148_knn_classify" -> (q148KnnClassify _),
+    "q149_epoch_shuffle" -> (q149EpochShuffle _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5806,6 +5857,7 @@ object SparkEntry {
     "q146_retrieval_eval" -> q146Sql,
     "q147_mmr_rerank" -> q147Sql,
     "q148_knn_classify" -> q148Sql,
+    "q149_epoch_shuffle" -> q149Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
