@@ -4834,6 +4834,41 @@ object SparkEntry {
       |FROM sharded GROUP BY epoch, shard
       |ORDER BY epoch, shard""".stripMargin
 
+  /** Exact-quota stratified sampling ([[Sampling.stratifiedQuotaSample]]):
+    * exactly ⌈0.2·n⌉ docs per language — the "fixed-size eval slice per
+    * stratum" draw, vs q53/q57's hash-threshold membership which is only
+    * right in expectation. Audit output: per-stratum totals, the exact
+    * quota hit, and the md5 of the selected id set (the q129/q149
+    * bounded-group fingerprint idiom). */
+  private def q150QuotaSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Sampling.stratifiedQuotaSample(docs, 0.2, "lang", "doc_id", "quota")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",")).as("sample_md5"))
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("n_docs")), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_sampled"), col("sample_md5"))
+      .orderBy("lang")
+  }
+
+  private val q150Sql =
+    s"""WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8),
+      |        doc_id) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |sel AS (SELECT lang, doc_id, n FROM ranked
+      |        WHERE r <= ceil(CAST(n AS DOUBLE) * 0.2))
+      |SELECT lang, CAST(min(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_sampled,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+      |    AS sample_md5
+      |FROM sel GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Pairwise distance matrix ([[VectorSearch.pairwiseDistances]]):
     * FAISS `pairwise_distances` — every (query, doc) pair over a
     * bounded eval slice, squared L2 + inner product together. No
@@ -5729,6 +5764,7 @@ object SparkEntry {
     "q147_mmr_rerank" -> (q147MmrRerank _),
     "q148_knn_classify" -> (q148KnnClassify _),
     "q149_epoch_shuffle" -> (q149EpochShuffle _),
+    "q150_quota_sample" -> (q150QuotaSample _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -5858,6 +5894,7 @@ object SparkEntry {
     "q147_mmr_rerank" -> q147Sql,
     "q148_knn_classify" -> q148Sql,
     "q149_epoch_shuffle" -> q149Sql,
+    "q150_quota_sample" -> q150Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

@@ -133,6 +133,37 @@ object Sampling {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Exact-quota stratified sample: EXACTLY `ceil(fraction · n_s)` rows
+    * from each stratum s (vs [[stratifiedSample]]'s hash-threshold draw,
+    * which is only right in expectation — fine for mixing weights, wrong
+    * for "give me a 1000-doc eval slice per language"). Selection order
+    * within a stratum is the salted-md5 draw every sampler here uses
+    * (ties → lowest key), so the sample is reproducible, independent of
+    * partitioning, and STABLE under fraction growth: raising the
+    * fraction only ever ADDS rows (the draw order is fraction-free) —
+    * the property that lets a pipeline grow an eval set without
+    * invalidating the old one.
+    *
+    * Scale: one shuffle on the stratum key; each window partition is one
+    * stratum (languages/sources — thousands at most, each corpus/strata
+    * sized). A stratum too large for one task means quota sampling at
+    * that granularity is the wrong tool — use [[stratifiedSample]]'s
+    * scan predicate instead. */
+  def stratifiedQuotaSample(df: DataFrame, fraction: Double,
+                            strataCol: String = "lang",
+                            keyCol: String = "doc_id",
+                            salt: String = "quota"): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction out of (0,1]: $fraction")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(hashBucket(col(keyCol), salt).asc, col(keyCol).asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+    df.withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__r") <= ceil(col("__n").cast("double") * lit(fraction)))
+      .drop("__r", "__n")
+  }
+
   def assignSplit(df: DataFrame, splits: Seq[(String, Double)],
                   keyCol: String = "doc_id",
                   salt: String = "split"): DataFrame = {

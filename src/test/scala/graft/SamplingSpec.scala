@@ -196,4 +196,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(split.filter(t => Seq(10L, 11L, 12L).contains(t._1))
       .map(_._3).distinct.size == 1)
   }
+  test("quota sample takes exactly ceil(frac*n) per stratum, monotone in fraction") {
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 3 == 0) "fi" else "en"))
+      .toDF("doc_id", "lang")
+    val s20 = Sampling.stratifiedQuotaSample(df, 0.2)
+      .as[(Long, String)].collect()
+    val byLang = s20.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("fi") == math.ceil(334 * 0.2).toInt)
+    assert(byLang("en") == math.ceil(666 * 0.2).toInt)
+    // repartition-invariant
+    val again = Sampling.stratifiedQuotaSample(df.repartition(7), 0.2)
+      .as[(Long, String)].collect().toSet
+    assert(again == s20.toSet)
+    // growing the fraction only ADDS rows (draw order is fraction-free)
+    val s40 = Sampling.stratifiedQuotaSample(df, 0.4)
+      .as[(Long, String)].collect().toSet
+    assert(s20.toSet.subsetOf(s40))
+  }
 }
