@@ -5377,6 +5377,35 @@ object SparkEntry {
       .orderBy("kept", "pred")
   }
 
+  /** Quality-threshold calibration: pick the classifier-score cutoff
+    * that keeps a TARGET fraction of the corpus (60% here — cutoff =
+    * exact 40th percentile of the trained score), then report what that
+    * cutoff does to each source — the tuning table read before freezing
+    * a quality gate. Spark exact `percentile` ≡ DuckDB `quantile_cont`
+    * (both linear interpolation — the q113 contract); the oracle scores
+    * via the same coefficient-generated CTEs as q94 so cutoff and
+    * comparisons run over bit-identical doubles. At 100 TB the
+    * documented swap is `approx_percentile` for the cutoff pass (the
+    * q113 posture); the per-source rollup is exact either way. */
+  private def q151QualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val model = QualityClassifier.buildOrLoad(s, docs,
+      col("lang") === "en", s"${qcCachePath(s, dir)}/model.txt")
+    val scored = QualityClassifier.score(
+      Dedup.spreadSmallInput(docs), model, keepCols = Seq("source"))
+    val cut = scored.agg(expr("percentile(score, 0.4)").as("__cut"))
+    scored.crossJoin(broadcast(cut))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("__cut"), 1L).otherwise(0L)).as("n_kept"),
+        round(min(col("__cut")), 6).as("cutoff"))
+      .withColumn("keep_rate",
+        round(col("n_kept").cast("double") / col("n_docs"), 4))
+      .select("source", "n_docs", "n_kept", "keep_rate", "cutoff")
+      .orderBy("source")
+  }
+
   /** Cluster-balanced subsample ([[Sampling.clusterBalancedSample]]):
     * ≤ 12 members per IVF cell, salted-md5 draw order — the
     * diversity-preserving selection of cluster-pruning pipelines.
@@ -5765,6 +5794,7 @@ object SparkEntry {
     "q148_knn_classify" -> (q148KnnClassify _),
     "q149_epoch_shuffle" -> (q149EpochShuffle _),
     "q150_quota_sample" -> (q150QuotaSample _),
+    "q151_quality_calibration" -> (q151QualityCalibration _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6003,6 +6033,19 @@ object SparkEntry {
       Map(
         "q94_quality_score" ->
           OracleSqlGen.qualityClassifierSql(weights, intercept),
+        "q151_quality_calibration" ->
+          s"""WITH ${OracleSqlGen.qualityClassifierCtes(weights, intercept)},
+             |s AS (
+             |  SELECT d.doc_id, d.source, z.zv AS score
+             |  FROM documents d JOIN z USING (doc_id)),
+             |c AS (SELECT quantile_cont(score, 0.4) AS cut FROM s)
+             |SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) FILTER (WHERE s.score >= c.cut) AS BIGINT) AS n_kept,
+             |  round(CAST(count(*) FILTER (WHERE s.score >= c.cut) AS DOUBLE)
+             |    / count(*), 4) AS keep_rate,
+             |  round(min(c.cut), 6) AS cutoff
+             |FROM s, c GROUP BY s.source
+             |ORDER BY s.source""".stripMargin,
         "q130_screen_vs_classifier" ->
           s"""WITH ${q93SqlParts},
              |${OracleSqlGen.qualityClassifierCtes(weights, intercept)},
