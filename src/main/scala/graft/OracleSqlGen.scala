@@ -153,6 +153,29 @@ object OracleSqlGen {
        |ORDER BY s DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** q152's oracle: probed IVF search AFTER `remove_ids(IDSelectorRange
+    * (imin, imax))` — the [[ivfSearchSql]] replay with the removed id
+    * range excluded from the scored set (assignment unchanged: removal
+    * deletes rows from the store, it never re-assigns survivors). */
+  def ivfRemoveSearchSql(cents: Seq[Array[Double]], k: Int, nprobe: Int,
+                         imin: Long, imax: Long): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |scored AS (
+       |  SELECT a.doc_id, a.cell_id, ${dotFold("a.embedding", "q.qe")} AS s
+       |  FROM __assigned a, q
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe)
+       |    AND NOT (a.doc_id >= $imin AND a.doc_id < $imax))
+       |SELECT doc_id, CAST(cell_id AS BIGINT) AS cell_id,
+       |  round(s, 4) AS score
+       |FROM scored
+       |ORDER BY s DESC, doc_id
+       |LIMIT $k""".stripMargin
+
   /** q110's oracle: FILTERED IVF search (FAISS `IDSelector` semantics) —
     * the [[ivfSearchSql]] replay with the metadata predicate applied
     * inside the probed scan (label read back from the source row). */

@@ -1409,6 +1409,22 @@ object SparkEntry {
     (s.read.parquet(cpath), ivf)
   }
 
+  /** q152's OWN cell-partitioned store copy (the shared [[ivfCorpus]] is
+    * immutable — every IVF query reads it; `remove_ids` mutates). Same
+    * shared quantizer, separate corpus path. The removal is idempotent,
+    * so the mutated cached store stays correct across runs. */
+  private[graft] def rmIvfCorpus(s: SparkSession, dir: String): (String, IvfIndex.Ivf) = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val ivf = IvfIndex.buildOrLoad(s, emb, ivfNlist,
+      s"${ivfCachePath(s, dir)}/quantizer.txt")
+    val path = s"${ivfCachePath(s, dir)}-rm/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS"))
+      IvfIndex.assign(emb, ivf).write.mode("overwrite")
+        .partitionBy("cell_id").parquet(path)
+    (path, ivf)
+  }
+
   /** Bucket-partitioned LSH corpus, built once per (dataset, nbits) like
     * the IVF cell corpus: ingest-time work the queries then prune
     * (`HyperplaneLsh.saveBucketed` → probe-join DPP). */
@@ -1620,6 +1636,24 @@ object SparkEntry {
     val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
     IvfIndex.search(withCells, ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Index maintenance: FAISS `remove_ids(IDSelectorRange(8, 40))` over
+    * the persisted cell-partitioned store ([[IvfIndex.removeIds]] — the
+    * STORE-mutating delete, vs q110's query-time selector), then the
+    * standard probed search over the mutated store. Only cells holding
+    * removed ids get rewritten (partition-pruned maintenance; rewrite
+    * accounting spec'd in IvfIndexSpec); the oracle replays the shared-
+    * quantizer search with the removed range excluded. */
+  private def q152IvfRemove(s: SparkSession, dir: String): DataFrame = {
+    val (path, ivf) = rmIvfCorpus(s, dir)
+    IvfIndex.removeIds(s, path,
+      col("doc_id") >= 8 && col("doc_id") < 40)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(s.read.parquet(path), ivf, qVec, k = 10, nprobe = 4)
       .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
         round(col("score"), 4).as("score"))
   }
@@ -5795,6 +5829,7 @@ object SparkEntry {
     "q149_epoch_shuffle" -> (q149EpochShuffle _),
     "q150_quota_sample" -> (q150QuotaSample _),
     "q151_quality_calibration" -> (q151QualityCalibration _),
+    "q152_ivf_remove" -> (q152IvfRemove _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6352,6 +6387,8 @@ object SparkEntry {
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       Map(
         "q21_ivf_search" -> OracleSqlGen.ivfSearchSql(cents, k = 10, nprobe = 4),
+        "q152_ivf_remove" -> OracleSqlGen.ivfRemoveSearchSql(cents,
+          k = 10, nprobe = 4, imin = 8, imax = 40),
         "q34_ivf_recall" -> OracleSqlGen.ivfRecallSql(cents, k = 10, nprobe = 4, nq = 8),
         "q82_semantic_dedup" -> OracleSqlGen.semanticDedupSql(cents,
           minCos = 0.3, cap = SemanticDedup.DefaultMaxCellSize),

@@ -142,6 +142,55 @@ object IvfIndex {
     * Scale: one partial-aggregated groupBy to `nlist` rows, then
     * driver-size arithmetic — the corpus is scanned once, the join that
     * fills empty cells is `nlist` rows vs `nlist` rows. */
+  /** FAISS `remove_ids` (IDSelector semantics) over the persisted
+    * cell-partitioned store — the index-maintenance mutation, not a
+    * query-time filter (that's `search`'s predicate pushdown / q110):
+    * rows matching `pred` are deleted FROM THE STORE, and only the cell
+    * partitions that actually hold matches are rewritten. Untouched
+    * cells' files are never read or written, so removing a bounded id
+    * set from a 100 TB index costs O(affected cells), not a corpus
+    * rewrite — the relational analog of FAISS editing the affected
+    * inverted lists in place.
+    *
+    * `pred` must reference only data columns (e.g. `doc_id`), not the
+    * `cell_id` partition column — inside a partition dir that column
+    * does not exist.
+    *
+    * Crash-safe per cell (the `compactQuantizedCorpus` discipline): the
+    * survivor set lands in a `_rm_tmp…` staging dir (invisible to
+    * partition discovery — leading underscore), then two renames swap it
+    * in; a crash leaves either the old or the new COMPLETE partition,
+    * never a mix, and re-running is idempotent (removal of removed rows
+    * is a no-op). Returns (cellsRewritten, rowsRemoved). */
+  def removeIds(spark: SparkSession, storePath: String,
+                pred: org.apache.spark.sql.Column): (Long, Long) = {
+    val store = spark.read.parquet(storePath)
+    // affected cells + per-cell match counts: one pruned aggregate,
+    // bounded by nlist rows
+    val affected = store.filter(pred)
+      .groupBy("cell_id").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0).toString.toInt, r.getLong(1)))
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(hconf)
+    affected.foreach { case (cell, _) =>
+      val dir = new org.apache.hadoop.fs.Path(s"$storePath/cell_id=$cell")
+      val tmp = new org.apache.hadoop.fs.Path(s"$storePath/_rm_tmp_cell_$cell")
+      val old = new org.apache.hadoop.fs.Path(s"$storePath/_rm_old_cell_$cell")
+      fs.delete(tmp, true); fs.delete(old, true)
+      spark.read.parquet(dir.toString).filter(!pred)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(dir, old))
+        throw new java.io.IOException(s"remove_ids: cannot stage out $dir")
+      if (!fs.rename(tmp, dir)) { // roll back, surface the failure
+        fs.rename(old, dir)
+        throw new java.io.IOException(s"remove_ids: cannot swap in $tmp")
+      }
+      fs.delete(old, true)
+    }
+    (affected.length.toLong, affected.map(_._2).sum)
+  }
+
   def cellStats(withCells: DataFrame, ivf: Ivf): DataFrame = {
     val spark = withCells.sparkSession
     // The TRAINED cell count (k = min(nlist, n) at fit time; 1 untrained),

@@ -250,4 +250,47 @@ class IvfIndexSpec extends AnyFunSuite {
       .select("imbalance_factor").as[Double].head()
     assert(fac > 2.0, s"collapsed corpus must report high imbalance, got $fac")
   }
+  test("removeIds rewrites ONLY affected cell partitions, idempotently") {
+    val corpus = (0 until 300).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-rm").toString + "/corpus"
+    withCells.write.partitionBy("cell_id").parquet(path)
+
+    // the cells holding ids [50, 60) are the only ones that may change
+    val affected = spark.read.parquet(path)
+      .filter($"doc_id" >= 50 && $"doc_id" < 60)
+      .select("cell_id").distinct().as[Int].collect().toSet
+    def fileState(cell: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$path/cell_id=$cell")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val untouched = (0 until 8).filterNot(affected)
+    val before = untouched.map(c => c -> fileState(c)).toMap
+
+    val (cells, removed) = IvfIndex.removeIds(spark, path,
+      col("doc_id") >= 50 && col("doc_id") < 60)
+    assert(cells == affected.size.toLong)
+    assert(removed == 10L)
+    // untouched partitions: byte-for-byte same files, same mtimes
+    untouched.foreach(c => assert(fileState(c) == before(c), s"cell $c touched"))
+    // survivors intact, removed gone
+    val after = spark.read.parquet(path)
+    assert(after.count() == 290)
+    assert(after.filter($"doc_id" >= 50 && $"doc_id" < 60).count() == 0)
+    // survivors keep their original cell assignment
+    val reference = withCells.filter(!($"doc_id" >= 50 && $"doc_id" < 60))
+      .select($"doc_id", $"cell_id").as[(Long, Int)].collect().toMap
+    val got = after.select($"doc_id", $"cell_id".cast("int")).as[(Long, Int)].collect().toMap
+    assert(got == reference)
+    // idempotent: a second run is a no-op
+    val (cells2, removed2) = IvfIndex.removeIds(spark, path,
+      col("doc_id") >= 50 && col("doc_id") < 60)
+    assert(cells2 == 0L && removed2 == 0L)
+    assert(spark.read.parquet(path).count() == 290)
+    // no staging debris
+    val leftovers = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("_rm_"))
+    assert(leftovers.isEmpty)
+  }
 }
