@@ -153,6 +153,44 @@ object OracleSqlGen {
        |ORDER BY s DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** q153's oracle: per-cell top terms by lift — cells from the shared
+    * quantizer ([[ivfAssignCtes]]), presence-based term frequencies
+    * (distinct whitespace tokens per doc, the q56 tokenization), lift as
+    * ONE division of exact long products (`df_cell·n / n_cell·df` —
+    * associative integer arithmetic, then a single IEEE divide, so the
+    * ranking key is bit-identical on both engines). */
+  def cellTopTermsSql(cents: Seq[Array[Double]], minDf: Long, minDfCell: Long,
+                      topK: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |j AS (
+       |  SELECT a.cell_id, d.doc_id, d.text
+       |  FROM __assigned a JOIN documents d ON d.doc_id = a.doc_id),
+       |tot AS (SELECT count(*) AS n FROM j),
+       |ncell AS (SELECT cell_id, count(*) AS n_cell FROM j GROUP BY cell_id),
+       |terms AS (
+       |  SELECT cell_id, doc_id, unnest(list_distinct(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |    x -> x <> ''))) AS term
+       |  FROM j),
+       |tdf AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+       |dfc AS (SELECT cell_id, term, count(*) AS df_cell
+       |        FROM terms GROUP BY cell_id, term),
+       |ranked AS (
+       |  SELECT c.cell_id, c.term, c.df_cell,
+       |    CAST(c.df_cell * t.n AS DOUBLE) /
+       |      CAST(nc.n_cell * f.df AS DOUBLE) AS lift,
+       |    row_number() OVER (PARTITION BY c.cell_id ORDER BY
+       |      CAST(c.df_cell * t.n AS DOUBLE) /
+       |        CAST(nc.n_cell * f.df AS DOUBLE) DESC,
+       |      c.term ASC) AS rnk
+       |  FROM dfc c JOIN tdf f USING (term) JOIN ncell nc USING (cell_id), tot t
+       |  WHERE f.df >= $minDf AND c.df_cell >= $minDfCell)
+       |SELECT CAST(cell_id AS BIGINT) AS cell_id, term,
+       |  CAST(df_cell AS BIGINT) AS df_cell,
+       |  round(lift, 4) AS lift, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $topK
+       |ORDER BY cell_id, rnk""".stripMargin
+
   /** q152's oracle: probed IVF search AFTER `remove_ids(IDSelectorRange
     * (imin, imax))` — the [[ivfSearchSql]] replay with the removed id
     * range excluded from the scored set (assignment unchanged: removal

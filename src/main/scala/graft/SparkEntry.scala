@@ -1640,6 +1640,77 @@ object SparkEntry {
         round(col("score"), 4).as("score"))
   }
 
+  /** Cluster interpretation: the top-3 terms per IVF cell by LIFT
+    * (`P(term|cell) / P(term)` over presence-based doc frequencies) —
+    * the "what is this cluster about" labeling table a curation
+    * pipeline reads next to q83's occupancy stats and q95's balanced
+    * sample. Lift is one IEEE division of exact long products, so the
+    * ranking key is bit-identical cross-engine; `df ≥ 5` drops noise
+    * terms, `df_cell ≥ 2` singleton flukes.
+    *
+    * Scale shape: the cell store joins documents id-to-id (co-shuffle,
+    * no skew — ids unique); ONE explode of distinct per-doc terms feeds
+    * both the global-df and per-cell aggregates; the final window is
+    * per-cell over already-aggregated (cell, term) rows. No collect, no
+    * all-pairs anything. */
+  private def q153CellTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, _) = ivfCorpus(s, dir)
+    val docs = t(s, dir, "documents")
+    val j = withCells.select(col("doc_id"), col("cell_id").cast("long").as("cell_id"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val terms = j.select(col("cell_id"), col("doc_id"),
+      explode(array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => length(t) > 0))).as("term"))
+    val tot = j.agg(count(lit(1)).as("__n"))
+    val ncell = j.groupBy("cell_id").agg(count(lit(1)).as("n_cell"))
+    val tdf = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfc = terms.groupBy("cell_id", "term").agg(count(lit(1)).as("df_cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell_id").orderBy(desc("__lift"), col("term").asc)
+    dfc.join(tdf, Seq("term"))
+      .join(ncell, Seq("cell_id"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") >= 5 && col("df_cell") >= 2)
+      .withColumn("__lift", (col("df_cell") * col("__n")).cast("double") /
+        (col("n_cell") * col("df")).cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("cell_id"), col("term"), col("df_cell"),
+        round(col("__lift"), 4).as("lift"), col("rnk"))
+      .orderBy("cell_id", "rnk")
+  }
+
+  /** Shard-then-merge index build: FAISS `IndexIVF::merge_from` — the
+    * corpus is split in two (even/odd ids), each half encoded into its
+    * OWN cell-partitioned store under the shared quantizer, then
+    * [[IvfIndex.mergeStores]] splices the halves file-by-file (renames
+    * only, no data read). The gate: probed search over the MERGED store
+    * must equal the plain full-corpus IVF replay — the same generated
+    * oracle as q21 proves the merge lost/duplicated/re-assigned
+    * nothing. */
+  private def q154IvfMerge(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val ivf = IvfIndex.buildOrLoad(s, emb, ivfNlist,
+      s"${ivfCachePath(s, dir)}/quantizer.txt")
+    val base = s"${ivfCachePath(s, dir)}-mg"
+    val dest = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$dest/_MERGED")) {
+      IvfIndex.assign(emb.filter(col("doc_id") % 2 === 0), ivf)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(dest)
+      IvfIndex.assign(emb.filter(col("doc_id") % 2 === 1), ivf)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(s"$base/shard1")
+      IvfIndex.mergeStores(s, dest, s"$base/shard1")
+      val p = new org.apache.hadoop.fs.Path(s"$dest/_MERGED")
+      p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true).close()
+    }
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(s.read.parquet(dest), ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Index maintenance: FAISS `remove_ids(IDSelectorRange(8, 40))` over
     * the persisted cell-partitioned store ([[IvfIndex.removeIds]] — the
     * STORE-mutating delete, vs q110's query-time selector), then the
@@ -5830,6 +5901,8 @@ object SparkEntry {
     "q150_quota_sample" -> (q150QuotaSample _),
     "q151_quality_calibration" -> (q151QualityCalibration _),
     "q152_ivf_remove" -> (q152IvfRemove _),
+    "q153_cell_topterms" -> (q153CellTopTerms _),
+    "q154_ivf_merge" -> (q154IvfMerge _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6389,6 +6462,10 @@ object SparkEntry {
         "q21_ivf_search" -> OracleSqlGen.ivfSearchSql(cents, k = 10, nprobe = 4),
         "q152_ivf_remove" -> OracleSqlGen.ivfRemoveSearchSql(cents,
           k = 10, nprobe = 4, imin = 8, imax = 40),
+        "q153_cell_topterms" -> OracleSqlGen.cellTopTermsSql(cents,
+          minDf = 5, minDfCell = 2, topK = 3),
+        // merged store ≡ full corpus: the q21 replay IS the merge gate
+        "q154_ivf_merge" -> OracleSqlGen.ivfSearchSql(cents, k = 10, nprobe = 4),
         "q34_ivf_recall" -> OracleSqlGen.ivfRecallSql(cents, k = 10, nprobe = 4, nq = 8),
         "q82_semantic_dedup" -> OracleSqlGen.semanticDedupSql(cents,
           minCos = 0.3, cap = SemanticDedup.DefaultMaxCellSize),

@@ -191,6 +191,57 @@ object IvfIndex {
     (affected.length.toLong, affected.map(_._2).sum)
   }
 
+  /** FAISS `IndexIVF::merge_from`: fold the `src` cell-partitioned store
+    * into `dest` — the shard-then-merge build pattern (encode shards
+    * independently, merge the inverted lists). Both stores MUST have
+    * been assigned by the SAME quantizer (FAISS's own precondition);
+    * nothing here re-assigns.
+    *
+    * Metadata-only, like FAISS splicing inverted lists: per cell, src's
+    * parquet part files are RENAMED into dest's cell dir — no row is
+    * read, decoded, or rewritten, so merging two 50 TB shards costs a
+    * directory walk, not a 100 TB shuffle. Moved files keep their names
+    * unless dest already has the name (then a `m<k>-` prefix
+    * disambiguates — Spark part-file UUIDs make that vanishingly rare).
+    * The src store dir is removed after all moves. Returns
+    * (cellsMerged, filesMoved). */
+  def mergeStores(spark: SparkSession, destPath: String,
+                  srcPath: String): (Long, Long) = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(hconf)
+    var cells = 0L
+    var moved = 0L
+    val it = fs.listStatus(src).iterator
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isDirectory && st.getPath.getName.startsWith("cell_id=")) {
+        cells += 1
+        val destCell =
+          new org.apache.hadoop.fs.Path(s"$destPath/${st.getPath.getName}")
+        if (!fs.exists(destCell)) fs.mkdirs(destCell)
+        fs.listStatus(st.getPath).foreach { f =>
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+            var target =
+              new org.apache.hadoop.fs.Path(destCell, f.getPath.getName)
+            var k = 0
+            while (fs.exists(target)) {
+              k += 1
+              target = new org.apache.hadoop.fs.Path(destCell,
+                s"m$k-${f.getPath.getName}")
+            }
+            if (!fs.rename(f.getPath, target))
+              throw new java.io.IOException(
+                s"merge_from: cannot move ${f.getPath} -> $target")
+            moved += 1
+          }
+        }
+      }
+    }
+    fs.delete(src, true)
+    (cells, moved)
+  }
+
   def cellStats(withCells: DataFrame, ivf: Ivf): DataFrame = {
     val spark = withCells.sparkSession
     // The TRAINED cell count (k = min(nlist, n) at fit time; 1 untrained),

@@ -293,4 +293,29 @@ class IvfIndexSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("_rm_"))
     assert(leftovers.isEmpty)
   }
+  test("mergeStores: file-level splice — no rewrite, union preserved") {
+    val corpus = (0 until 300).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val ivf = IvfIndex.train(corpus, nlist = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft-mg").toString
+    IvfIndex.assign(corpus.filter($"doc_id" % 2 === 0), ivf)
+      .write.partitionBy("cell_id").parquet(s"$base/dest")
+    IvfIndex.assign(corpus.filter($"doc_id" % 2 === 1), ivf)
+      .write.partitionBy("cell_id").parquet(s"$base/src")
+    // dest's original data files must survive the merge untouched
+    def destFiles(): Set[(String, Long)] =
+      new java.io.File(s"$base/dest").listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified())).toSet
+    val before = destFiles()
+    val (cells, movedFiles) = IvfIndex.mergeStores(spark, s"$base/dest", s"$base/src")
+    assert(cells > 0 && movedFiles > 0)
+    assert(before.subsetOf(destFiles()), "merge rewrote dest files")
+    assert(!new java.io.File(s"$base/src").exists, "src store not removed")
+    // merged store == direct full-corpus store, row for row
+    val merged = spark.read.parquet(s"$base/dest")
+      .select($"doc_id", $"cell_id".cast("int")).as[(Long, Int)].collect().toMap
+    val direct = IvfIndex.assign(corpus, ivf)
+      .select($"doc_id", $"cell_id").as[(Long, Int)].collect().toMap
+    assert(merged == direct)
+  }
 }
