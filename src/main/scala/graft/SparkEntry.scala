@@ -1680,6 +1680,147 @@ object SparkEntry {
       .orderBy("cell_id", "rnk")
   }
 
+  /** Term co-occurrence lift over a bounded vocabulary — the corpus-
+    * statistics view of "which concepts travel together" (collocation /
+    * topic-drift audits). Vocabulary = top-30 terms by doc frequency
+    * excluding stopword-grade terms (df·2 > n), so the pair surface is
+    * ≤ C(30,2) per doc — BOUNDED BY CONSTRUCTION, never corpus-
+    * quadratic; pairs are counted presence-based per doc. The
+    * association score is LIFT `co·n/(df₁·df₂)` — one IEEE division of
+    * exact long products (the q153 discipline), NOT log-PMI: `ln` is
+    * libm-vs-JVM last-ulp territory and the monotone transform adds no
+    * ranking information. Top-20 pairs by (lift DESC, t1, t2). */
+  private def q155PmiCooccur(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => length(t) > 0))).as("term"))
+    val tot = docs.agg(count(lit(1)).as("__n"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") * 2 <= col("__n"))
+      .orderBy(desc("df"), col("term").asc).limit(30)
+      .select("term", "df")
+    val vt = terms.join(broadcast(vocab), Seq("term"))
+    val pairs = vt.select(col("doc_id"), col("term").as("t1"), col("df").as("df1"))
+      .join(vt.select(col("doc_id"), col("term").as("t2"), col("df").as("df2")),
+        Seq("doc_id"))
+      .filter(col("t1") < col("t2"))
+    pairs.groupBy("t1", "df1", "t2", "df2")
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 3)
+      .crossJoin(broadcast(tot))
+      .withColumn("__lift", (col("co") * col("__n")).cast("double") /
+        (col("df1") * col("df2")).cast("double"))
+      .orderBy(desc("__lift"), col("t1").asc, col("t2").asc).limit(20)
+      .select(col("t1"), col("t2"), col("co"),
+        col("df1"), col("df2"), round(col("__lift"), 4).as("lift"))
+  }
+
+  private val q155Sql =
+    s"""WITH terms AS (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |    x -> x <> ''))) AS term
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n FROM documents),
+      |vocab AS (
+      |  SELECT term, df FROM (
+      |    SELECT t.term, count(*) AS df FROM terms t GROUP BY t.term) v, tot
+      |  WHERE v.df * 2 <= tot.n
+      |  ORDER BY df DESC, term ASC LIMIT 30),
+      |vt AS (SELECT t.doc_id, t.term, v.df FROM terms t JOIN vocab v USING (term)),
+      |co AS (
+      |  SELECT a.term AS t1, a.df AS df1, b.term AS t2, b.df AS df2,
+      |    count(*) AS co
+      |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY 1, 2, 3, 4
+      |  HAVING count(*) >= 3)
+      |SELECT t1, t2, CAST(co AS BIGINT) AS co,
+      |  CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+      |  round(CAST(co * tot.n AS DOUBLE) / CAST(df1 * df2 AS DOUBLE), 4) AS lift
+      |FROM co, tot
+      |ORDER BY CAST(co * tot.n AS DOUBLE) / CAST(df1 * df2 AS DOUBLE) DESC,
+      |  t1 ASC, t2 ASC
+      |LIMIT 20""".stripMargin
+
+  /** Delete blast-radius audit: how much do serving results change when
+    * a doc set is removed (takedown / GDPR delete)? Exact top-10 per
+    * eval query BEFORE vs AFTER dropping ids [100, 140), compared as
+    * Jaccard@10 (one division of exact longs), surviving-hit count, and
+    * the max rank shift among survivors — the table an operator reads
+    * before approving a purge against a live index. ONE scored scan
+    * serves both sides: the after-ranking re-ranks the same scored rows
+    * with the removal predicate, so the corpus is scanned once, not
+    * twice. */
+  private def q156DeleteBlast(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val scored = emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(queries))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .select(col("query_id"), col("vec_id"), col("__s"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__s"), col("vec_id").asc)
+    val before = scored.withColumn("rank_a", row_number().over(wA))
+      .filter(col("rank_a") <= 10)
+    val after = scored
+      .filter(!(col("vec_id") >= 100 && col("vec_id") < 140))
+      .withColumn("rank_b", row_number().over(wA))
+      .filter(col("rank_b") <= 10)
+    before.select(col("query_id"), col("vec_id"), col("rank_a"))
+      .join(after.select(col("query_id"), col("vec_id"), col("rank_b")),
+        Seq("query_id", "vec_id"), "full")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("rank_a").isNotNull && col("rank_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"),
+        count(lit(1)).as("__union"),
+        max(when(col("rank_a").isNotNull && col("rank_b").isNotNull,
+          abs(col("rank_a") - col("rank_b")))).as("max_shift"))
+      .select(col("query_id"), col("n_common"),
+        round(col("n_common").cast("double") / col("__union").cast("double"), 4)
+          .as("jaccard"),
+        coalesce(col("max_shift").cast("long"), lit(0L)).as("max_shift"))
+      .orderBy("query_id")
+  }
+
+  private val q156Sql = {
+    val dot = OracleSqlGen.dotFold("e.embedding", "q.qe")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id, $dot AS s
+      |  FROM embeddings e, q WHERE e.vec_id >= 8),
+      |a AS (
+      |  SELECT query_id, vec_id, rank_a FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY s DESC, vec_id ASC) AS rank_a
+      |    FROM scored) WHERE rank_a <= 10),
+      |b AS (
+      |  SELECT query_id, vec_id, rank_b FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY s DESC, vec_id ASC) AS rank_b
+      |    FROM scored WHERE NOT (vec_id >= 100 AND vec_id < 140))
+      |  WHERE rank_b <= 10),
+      |j AS (
+      |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+      |    a.rank_a, b.rank_b
+      |  FROM a FULL JOIN b ON a.query_id = b.query_id AND a.vec_id = b.vec_id)
+      |SELECT query_id,
+      |  CAST(count(*) FILTER (WHERE rank_a IS NOT NULL AND rank_b IS NOT NULL)
+      |    AS BIGINT) AS n_common,
+      |  round(CAST(count(*) FILTER (WHERE rank_a IS NOT NULL
+      |      AND rank_b IS NOT NULL) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+      |    AS jaccard,
+      |  CAST(coalesce(max(CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL
+      |    THEN abs(rank_a - rank_b) END), 0) AS BIGINT) AS max_shift
+      |FROM j GROUP BY query_id
+      |ORDER BY query_id""".stripMargin
+  }
+
   /** Shard-then-merge index build: FAISS `IndexIVF::merge_from` — the
     * corpus is split in two (even/odd ids), each half encoded into its
     * OWN cell-partitioned store under the shared quantizer, then
@@ -5903,6 +6044,8 @@ object SparkEntry {
     "q152_ivf_remove" -> (q152IvfRemove _),
     "q153_cell_topterms" -> (q153CellTopTerms _),
     "q154_ivf_merge" -> (q154IvfMerge _),
+    "q155_pmi_cooccur" -> (q155PmiCooccur _),
+    "q156_delete_blast" -> (q156DeleteBlast _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6033,6 +6176,8 @@ object SparkEntry {
     "q148_knn_classify" -> q148Sql,
     "q149_epoch_shuffle" -> q149Sql,
     "q150_quota_sample" -> q150Sql,
+    "q155_pmi_cooccur" -> q155Sql,
+    "q156_delete_blast" -> q156Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
