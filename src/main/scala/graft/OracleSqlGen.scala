@@ -902,6 +902,24 @@ object OracleSqlGen {
        |) ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** q157's oracle: the beam-width tuning sweep — one [[graphSearchSql]]
+    * block per beam value (each its own derived-table `WITH`, the
+    * q132/nlistSweep idiom), unioned with the beam as a column. The
+    * sweep changes ONLY the beam rule's cutoff; every other walk
+    * decision replays identically per block. */
+  def graphBeamSweepSql(cents: Seq[Array[Double]], kGraph: Int, cap: Int,
+                        k: Int, nprobe: Int, beams: Seq[Int],
+                        hops: Int): String = {
+    val blocks = beams.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS beam, * FROM (
+         |${graphSearchSql(cents, kGraph, cap, k, nprobe, b, hops)}
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT beam, rnk, doc_id, score FROM (
+       |$blocks
+       |) ORDER BY beam, rnk""".stripMargin
+  }
+
   /** q88's oracle, GENERATED from the persisted SQ8 bounds: replay
     * encode (`floor(t + 0.5)` clamped to [0,255]) and decode
     * (`float(vmin + code·step)`) per dim, then the L2 error as a strict

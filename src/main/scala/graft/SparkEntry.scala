@@ -5405,6 +5405,26 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Beam-width tuning sweep on the graph walk — the graph tier's
+    * `efSearch` axis, completing the tuning family (nprobe q107, nlist
+    * q123, k-elbow q141): the SAME persisted graph walked at beam ∈
+    * {2, 4, 8}, full top-10 surface per beam under the gate. A wider
+    * beam scores more frontier nodes per hop (recall ↑, cost ∝
+    * beam·degree); the oracle replays the whole walk per beam value —
+    * only the beam cutoff changes between blocks. */
+  private def q157BeamSweep(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val graph = graphCorpus(s, dir)
+    Seq(2, 4, 8).map { bw =>
+      GraphSearch.searchBeam(graph, withCells, ivf, qVec, k = 10,
+          nprobe = 4, beamWidth = bw, hops = 3)
+        .select(lit(bw.toLong).as("beam"), col("rnk"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+    }.reduce(_ unionAll _).orderBy("beam", "rnk")
+  }
+
   /** Probed IVF range search ([[IvfIndex.rangeSearch]]): FAISS
     * `IndexIVF::range_search` — every within-radius id in the probed
     * cells, partition-pruned, no top-k. Oracle GENERATED from the
@@ -6046,6 +6066,7 @@ object SparkEntry {
     "q154_ivf_merge" -> (q154IvfMerge _),
     "q155_pmi_cooccur" -> (q155PmiCooccur _),
     "q156_delete_blast" -> (q156DeleteBlast _),
+    "q157_beam_sweep" -> (q157BeamSweep _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6630,6 +6651,9 @@ object SparkEntry {
           kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
           k = 10, nprobe = 4, beamWidth = 8, hops = 3,
           qVecIds = Seq(0, 1, 2, 3)),
+        "q157_beam_sweep" -> OracleSqlGen.graphBeamSweepSql(cents,
+          kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
+          k = 10, nprobe = 4, beams = Seq(2, 4, 8), hops = 3),
         "q98_ivf_range" -> OracleSqlGen.ivfRangeSearchSql(cents,
           minScore = 0.2, nprobe = 4),
         "q107_nprobe_sweep" -> OracleSqlGen.ivfRecallSweepSql(cents,
