@@ -1680,6 +1680,70 @@ object SparkEntry {
       .orderBy("cell_id", "rnk")
   }
 
+  /** Late max-pool retrieval (multi-vector / parent-entity search): the
+    * corpus unit is the PASSAGE (each `documents` row, hash-embedded),
+    * the result unit is its parent entity (`source`) — entity score =
+    * max over its passages' scores, argmax passage reported as the
+    * evidence hit. The standard two-level pattern when one embedding
+    * can't cover a long parent (chunked docs, multi-page sites): index
+    * the small units, aggregate at query time. Top-3 sources per q23
+    * query text; ONE scored scan, aggregation is two windows over the
+    * scored frame (max-per-(query, source) then rank-per-query) — no
+    * second pass, no per-entity re-scoring. */
+  private def q158SourceMaxpool(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("embedding", GraftFunctions.hashEmbed(col("text"), lit(64)))
+    val queries = s.createDataFrame(q23QueryTexts).toDF("query_id", "qtext")
+      .withColumn("q_embedding", GraftFunctions.hashEmbed(col("qtext"), lit(64)))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "source").orderBy(desc("__s"), col("doc_id").asc)
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__s"), col("source").asc)
+    docs.crossJoin(broadcast(queries))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("__rs", row_number().over(wSrc))
+      .filter(col("__rs") === 1)
+      .withColumn("rnk", row_number().over(wQ).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("source"),
+        col("doc_id").as("best_doc_id"), round(col("__s"), 4).as("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // lazy: q23QueryTexts is declared later in the file (object init order)
+  private lazy val q158Sql = {
+    val qVals = q23QueryTexts
+      .map { case (qid, txt) => s"(${-(qid + 1)}, '$txt')" }.mkString(", ")
+    val dot = OracleSqlGen.dotFold("d.embedding", "q.qe")
+    s"""WITH __docs AS (
+      |  SELECT doc_id AS id, text AS txt FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES $qVals) v(id, txt)),
+      |${OracleSqlGen.embedCtes(64)},
+      |q AS (SELECT -id - 1 AS query_id, embedding AS qe FROM __emb WHERE id < 0),
+      |d AS (SELECT e.id AS doc_id, dd.source, e.embedding
+      |      FROM __emb e JOIN documents dd ON dd.doc_id = e.id
+      |      WHERE e.id >= 0),
+      |scored AS (
+      |  SELECT q.query_id, d.source, d.doc_id, $dot AS s
+      |  FROM d CROSS JOIN q),
+      |best AS (
+      |  SELECT query_id, source, doc_id, s,
+      |    row_number() OVER (PARTITION BY query_id, source
+      |      ORDER BY s DESC, doc_id ASC) AS rsrc
+      |  FROM scored),
+      |ranked AS (
+      |  SELECT query_id, source, doc_id, s,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY s DESC, source ASC) AS rnk
+      |  FROM best WHERE rsrc = 1)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, source,
+      |  doc_id AS best_doc_id, round(s, 4) AS score
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Term co-occurrence lift over a bounded vocabulary — the corpus-
     * statistics view of "which concepts travel together" (collocation /
     * topic-drift audits). Vocabulary = top-30 terms by doc frequency
@@ -6067,6 +6131,7 @@ object SparkEntry {
     "q155_pmi_cooccur" -> (q155PmiCooccur _),
     "q156_delete_blast" -> (q156DeleteBlast _),
     "q157_beam_sweep" -> (q157BeamSweep _),
+    "q158_source_maxpool" -> (q158SourceMaxpool _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6199,6 +6264,7 @@ object SparkEntry {
     "q150_quota_sample" -> q150Sql,
     "q155_pmi_cooccur" -> q155Sql,
     "q156_delete_blast" -> q156Sql,
+    "q158_source_maxpool" -> q158Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
