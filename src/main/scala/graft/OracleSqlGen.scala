@@ -825,6 +825,32 @@ object OracleSqlGen {
        |FROM ranked WHERE rnk <= $k
        |ORDER BY src, rnk""".stripMargin
 
+  /** q159's oracle: hygiene stats of the persisted k-NN graph — node and
+    * edge counts, degree extremes, and reciprocity (fraction of edges
+    * whose reverse edge also exists) over the SAME capped cell-blocked
+    * build the walk queries traverse ([[graphBaseCtes]] + the top-k
+    * rule). All exact longs + one division. */
+  def knnGraphStatsSql(cents: Seq[Array[Double]], k: Int, cap: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |    FROM __gscored) WHERE rnk <= $k),
+       |deg AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+       |rec AS (SELECT count(*) AS n_rec FROM g a
+       |        WHERE EXISTS (SELECT 1 FROM g b
+       |                      WHERE b.src = a.dst AND b.dst = a.src))
+       |SELECT CAST((SELECT count(DISTINCT src) FROM g) AS BIGINT) AS n_nodes,
+       |  CAST((SELECT count(*) FROM g) AS BIGINT) AS n_edges,
+       |  CAST(rec.n_rec AS BIGINT) AS n_reciprocal,
+       |  round(CAST(rec.n_rec AS DOUBLE) /
+       |    CAST((SELECT count(*) FROM g) AS DOUBLE), 4) AS reciprocity,
+       |  CAST((SELECT min(deg) FROM deg) AS BIGINT) AS min_deg,
+       |  CAST((SELECT max(deg) FROM deg) AS BIGINT) AS max_deg
+       |FROM rec""".stripMargin
+
   /** q97's oracle: the [[graft.operators.GraphSearch.searchBeam]] walk
     * replayed with UNROLLED hops — graph build ([[graphBaseCtes]]),
     * probe + per-cell lowest-id entry, then `hops` blocks of

@@ -4178,6 +4178,74 @@ object SparkEntry {
       |FROM lrank l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id
       |ORDER BY rrf DESC, COALESCE(l.doc_id, v.doc_id) LIMIT 20""".stripMargin
 
+  /** Hybrid retrieval, score-normalized variant: min-max normalize each
+    * system's top-30 scores to [0,1] and fuse as the equal-weight convex
+    * combination — the OTHER standard lexical+vector ensemble beside
+    * q69's rank-based RRF (score fusion preserves score GAPS that ranks
+    * erase; the trade is sensitivity to score-scale drift, which the
+    * min-max normalization bounds). Working values are round(·,4)
+    * scores on BOTH engines (the q69 stability posture), normalization
+    * is two broadcast min/max rows per system, absent docs contribute
+    * 0; a degenerate candidate set (max = min) normalizes to 1.0. */
+  private def q160ScoreFusion(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val lex = LexicalSearch.bm25Search(docs, Seq("vector", "stream", "merge"),
+        k = 30)
+      .select(col("doc_id"), round(col("score"), 4).as("ls"))
+    val vec = VectorSearch.knnScores(emb.filter(col("vec_id") =!= 0), qVec, 30,
+        idCol = "vec_id")
+      .select(col("vec_id").as("doc_id"), round(col("score"), 4).as("vs"))
+    def norm(dfc: DataFrame, c: String, n: String): DataFrame = {
+      val mm = dfc.agg(min(col(c)).as("__mn"), max(col(c)).as("__mx"))
+      dfc.crossJoin(broadcast(mm))
+        .withColumn(n, when(col("__mx") > col("__mn"),
+          (col(c) - col("__mn")) / (col("__mx") - col("__mn")))
+          .otherwise(lit(1.0)))
+        .select(col("doc_id"), col(n))
+    }
+    norm(lex, "ls", "lnv").join(norm(vec, "vs", "vnv"), Seq("doc_id"), "full")
+      .withColumn("fused", round(
+        coalesce(col("lnv"), lit(0.0)) * 0.5 +
+          coalesce(col("vnv"), lit(0.0)) * 0.5, 6))
+      .select(col("doc_id"), col("fused"),
+        round(col("lnv"), 6).as("lex_norm"), round(col("vnv"), 6).as("vec_norm"))
+      .orderBy(desc("fused"), col("doc_id").asc).limit(15)
+  }
+
+  private val q160Sql =
+    s"""$bm25AggCtes,
+      |ltop AS (SELECT doc_id, round(score, 4) AS ls FROM agg
+      |         ORDER BY score DESC, doc_id LIMIT 30),
+      |lmm AS (SELECT min(ls) AS mn, max(ls) AS mx FROM ltop),
+      |lnorm AS (
+      |  SELECT doc_id, CASE WHEN mx > mn THEN (ls - mn) / (mx - mn)
+      |                      ELSE 1.0 END AS lnv
+      |  FROM ltop, lmm),
+      |vq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |vtop AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    round(${OracleSqlGen.dotFold("e.embedding", "vq.qe")}, 4) AS vs
+      |  FROM embeddings e, vq WHERE e.vec_id <> 0
+      |  ORDER BY ${OracleSqlGen.dotFold("e.embedding", "vq.qe")} DESC, e.vec_id
+      |  LIMIT 30),
+      |vmm AS (SELECT min(vs) AS mn, max(vs) AS mx FROM vtop),
+      |vnorm AS (
+      |  SELECT doc_id, CASE WHEN mx > mn THEN (vs - mn) / (mx - mn)
+      |                      ELSE 1.0 END AS vnv
+      |  FROM vtop, vmm),
+      |f AS (
+      |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |    round(coalesce(l.lnv, 0.0) * 0.5 + coalesce(v.vnv, 0.0) * 0.5, 6)
+      |      AS fused,
+      |    round(l.lnv, 6) AS lex_norm, round(v.vnv, 6) AS vec_norm
+      |  FROM lnorm l FULL OUTER JOIN vnorm v ON l.doc_id = v.doc_id)
+      |SELECT doc_id, fused, lex_norm, vec_norm
+      |FROM f ORDER BY fused DESC, doc_id LIMIT 15""".stripMargin
+
   /** Corpus token vocabulary ([[TextAnalysis.tokenVocabulary]]): the
     * GPT-2-style pre-tokenizer regex over lowered text, then the top-40
     * tokens by occurrence count with document frequencies — the
@@ -5469,6 +5537,29 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** k-NN graph hygiene report: the audit an operator reads before
+    * trusting the graph tier — node/edge counts, degree extremes (a
+    * node under k edges means its cell was smaller than k), and
+    * reciprocity (mutual-edge rate: low reciprocity marks hub-and-
+    * spoke geometry where greedy walks strand — the property HNSW's
+    * heuristic pruning manages). Exact longs + one division; stats run
+    * over the SAME persisted graph the walks traverse. */
+  private def q159GraphStats(s: SparkSession, dir: String): DataFrame = {
+    val g = graphCorpus(s, dir).select("src", "dst")
+    val rec = g.as("a").join(g.as("b"),
+      col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+      "left_semi")
+    val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
+    g.agg(count_distinct(col("src")).as("n_nodes"),
+        count(lit(1)).as("n_edges"))
+      .crossJoin(rec.agg(count(lit(1)).as("n_reciprocal")))
+      .crossJoin(deg.agg(min("deg").as("min_deg"), max("deg").as("max_deg")))
+      .select(col("n_nodes"), col("n_edges"), col("n_reciprocal"),
+        round(col("n_reciprocal").cast("double") /
+          col("n_edges").cast("double"), 4).as("reciprocity"),
+        col("min_deg"), col("max_deg"))
+  }
+
   /** Beam-width tuning sweep on the graph walk — the graph tier's
     * `efSearch` axis, completing the tuning family (nprobe q107, nlist
     * q123, k-elbow q141): the SAME persisted graph walked at beam ∈
@@ -6132,6 +6223,8 @@ object SparkEntry {
     "q156_delete_blast" -> (q156DeleteBlast _),
     "q157_beam_sweep" -> (q157BeamSweep _),
     "q158_source_maxpool" -> (q158SourceMaxpool _),
+    "q159_graph_stats" -> (q159GraphStats _),
+    "q160_score_fusion" -> (q160ScoreFusion _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6265,6 +6358,7 @@ object SparkEntry {
     "q155_pmi_cooccur" -> q155Sql,
     "q156_delete_blast" -> q156Sql,
     "q158_source_maxpool" -> q158Sql,
+    "q160_score_fusion" -> q160Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
@@ -6720,6 +6814,8 @@ object SparkEntry {
         "q157_beam_sweep" -> OracleSqlGen.graphBeamSweepSql(cents,
           kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
           k = 10, nprobe = 4, beams = Seq(2, 4, 8), hops = 3),
+        "q159_graph_stats" -> OracleSqlGen.knnGraphStatsSql(cents,
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize),
         "q98_ivf_range" -> OracleSqlGen.ivfRangeSearchSql(cents,
           minScore = 0.2, nprobe = 4),
         "q107_nprobe_sweep" -> OracleSqlGen.ivfRecallSweepSql(cents,
