@@ -1808,6 +1808,49 @@ object SparkEntry {
       |  t1 ASC, t2 ASC
       |LIMIT 20""".stripMargin
 
+  /** Containment near-dup pairs ([[Dedup.containmentPairs]]): the
+    * excerpt/quote detector — `|A∩B| / min(|A|,|B|)` over the same
+    * distinct 3-shingles and LSH banding as q15, flagging the
+    * high-containment / low-Jaccard quadrant Jaccard alone misses.
+    * Same static md5-deterministic oracle family as q15. */
+  private def q162Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, bands = 4, minContainment = 0.25)
+      .orderBy("id_a", "id_b")
+
+  private val q162Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_intersect(x.sh, y.sh)) AS n_inter,
+      |    len(x.sh) AS n_a, len(y.sh) AS n_b
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+      |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+      |  round(CAST(n_inter AS DOUBLE) / least(n_a, n_b), 4) AS containment,
+      |  round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) AS jaccard,
+      |  (CAST(n_inter AS DOUBLE) / least(n_a, n_b) >= 0.6 AND
+      |   CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) < 0.5) AS excerpt
+      |FROM verified
+      |WHERE CAST(n_inter AS DOUBLE) / least(n_a, n_b) >= 0.25
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Delete blast-radius audit: how much do serving results change when
     * a doc set is removed (takedown / GDPR delete)? Exact top-10 per
     * eval query BEFORE vs AFTER dropping ids [100, 140), compared as
@@ -4178,6 +4221,95 @@ object SparkEntry {
       |FROM lrank l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id
       |ORDER BY rrf DESC, COALESCE(l.doc_id, v.doc_id) LIMIT 20""".stripMargin
 
+  /** Embedding-space isotropy audit: per-label centroid norms and each
+    * label centroid's cosine to the GLOBAL centroid — the anisotropy /
+    * label-collapse diagnostic next to q116's outlier screen (a label
+    * whose centroid hugs the global mean carries little signal; a norm
+    * near 1 with tight cosine to global marks the classic anisotropic
+    * cone). Centroids use the q136 integer-exact idiom — per-dim
+    * `floor(x·10⁶ + 0.5)` → BIGINT sums (associative under any
+    * partitioning) → ONE IEEE division per dim — so the driver-side
+    * norm/cosine folds run over bit-identical doubles on both engines.
+    * The collect is labels × dim rows (tiny model state, the Lloyd
+    * posture). */
+  private def q161EmbIsotropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val sums = emb
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("label", "j")
+      .agg(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+        .cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val dim = sums.map(_._2).max + 1
+    val gSums = new Array[Long](dim)
+    var gN = 0L
+    sums.foreach { case (_, j, sv, _) => gSums(j) += sv }
+    val perLabel = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (lbl, rows) =>
+      val n = rows.head._4
+      val c = new Array[Double](dim)
+      rows.foreach { case (_, j, sv, _) =>
+        c(j) = sv.toDouble / (n.toDouble * 1000000.0) }
+      (lbl, n, c)
+    }
+    gN = perLabel.map(_._2).sum
+    val g = gSums.map(sv => sv.toDouble / (gN.toDouble * 1000000.0))
+    def sq(a: Array[Double]): Double = a.foldLeft(0.0)((acc, x) => acc + x * x)
+    def dp(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val gNorm = math.sqrt(sq(g))
+    // rounding via Spark round() — the same HALF_UP the oracle's
+    // DuckDB round applies, not BigDecimal's
+    perLabel.map { case (lbl, n, c) =>
+      val cn = math.sqrt(sq(c))
+      val cos = if (cn > 0 && gNorm > 0) Some(dp(c, g) / (cn * gNorm)) else None
+      (lbl, n, cn, cos)
+    }.toDF("label", "n_vecs", "__cn", "__cos")
+      .select(col("label"), col("n_vecs"),
+        round(col("__cn"), 6).as("centroid_norm"),
+        round(col("__cos"), 6).as("cos_global"))
+      .orderBy("label")
+  }
+
+  private val q161Sql =
+    s"""WITH ex AS (
+      |  SELECT label, unnest(range(len(embedding))) AS j,
+      |    unnest(embedding) AS x
+      |  FROM embeddings),
+      |qs AS (
+      |  SELECT label, j,
+      |    sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s,
+      |    count(*) AS cnt
+      |  FROM ex GROUP BY label, j),
+      |ln AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+      |lcent AS (
+      |  SELECT q.label, min(l.n) AS n,
+      |    list(CAST(q.s AS DOUBLE) / (CAST(l.n AS DOUBLE) * 1000000.0)
+      |      ORDER BY q.j) AS c
+      |  FROM qs q JOIN ln l ON l.label = q.label GROUP BY q.label),
+      |gn AS (SELECT count(*) AS n FROM embeddings),
+      |gcent AS (
+      |  SELECT list(CAST(s AS DOUBLE) / (CAST(gn.n AS DOUBLE) * 1000000.0)
+      |    ORDER BY j) AS g
+      |  FROM (SELECT j, sum(s) AS s FROM qs GROUP BY j), gn GROUP BY gn.n),
+      |m AS (
+      |  SELECT lc.label, lc.n,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list_transform(lc.c, x -> x * x)), (a, t) -> a + t)) AS cn,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list_transform(g.g, x -> x * x)), (a, t) -> a + t)) AS gnorm,
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(list_zip(lc.c, g.g), p -> p[1] * p[2])),
+      |      (a, t) -> a + t) AS d
+      |  FROM lcent lc, gcent g)
+      |SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vecs,
+      |  round(cn, 6) AS centroid_norm,
+      |  CASE WHEN cn > 0 AND gnorm > 0
+      |       THEN round(d / (cn * gnorm), 6) END AS cos_global
+      |FROM m ORDER BY label""".stripMargin
+
   /** Hybrid retrieval, score-normalized variant: min-max normalize each
     * system's top-30 scores to [0,1] and fuse as the equal-weight convex
     * combination — the OTHER standard lexical+vector ensemble beside
@@ -6225,6 +6357,8 @@ object SparkEntry {
     "q158_source_maxpool" -> (q158SourceMaxpool _),
     "q159_graph_stats" -> (q159GraphStats _),
     "q160_score_fusion" -> (q160ScoreFusion _),
+    "q161_emb_isotropy" -> (q161EmbIsotropy _),
+    "q162_containment" -> (q162Containment _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6359,6 +6493,8 @@ object SparkEntry {
     "q156_delete_blast" -> q156Sql,
     "q158_source_maxpool" -> q158Sql,
     "q160_score_fusion" -> q160Sql,
+    "q161_emb_isotropy" -> q161Sql,
+    "q162_containment" -> q162Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

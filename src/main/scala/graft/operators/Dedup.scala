@@ -230,8 +230,12 @@ object Dedup {
     * spills. A corpus whose candidate set is too large to broadcast
     * should go through `nearDupPairs(cacheCandidates = true)`, which
     * prefilters the verify corpus to candidate members first. */
-  def jaccardVerifyOverlapping(docs: DataFrame, candidates: DataFrame,
-                               textCol: String, idCol: String, n: Int): DataFrame = {
+  /** The shared overlap core of [[jaccardVerifyOverlapping]] and
+    * [[containmentPairs]]: `(id_a, id_b, n_inter, n_a, n_b)` for every
+    * candidate pair sharing ≥ 1 shingle. The join shape and hints here
+    * are load-bearing — see [[jaccardVerifyOverlapping]]'s doc. */
+  private def overlapSized(docs: DataFrame, candidates: DataFrame,
+                           textCol: String, idCol: String, n: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val expl = docs
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
@@ -246,9 +250,42 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("int").as("n_inter"),
         min("n_a").as("n_a"), min("n_b").as("n_b"))
+  }
+
+  def jaccardVerifyOverlapping(docs: DataFrame, candidates: DataFrame,
+                               textCol: String, idCol: String, n: Int): DataFrame =
+    overlapSized(docs, candidates, textCol, idCol, n)
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 4))
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+
+  /** Containment near-dup pairs — the EXCERPT/QUOTE detector Jaccard
+    * structurally misses: a 100-shingle excerpt inside a 5000-shingle
+    * doc has Jaccard ≈ 0.02 but containment 1.0 of its smaller side.
+    * `containment = |A∩B| / min(|A|, |B|)` (Broder's containment over
+    * the same distinct word shingles as the Jaccard tier), admitted at
+    * `minContainment` on the UNROUNDED ratio; `excerpt` flags the
+    * high-containment / low-Jaccard quadrant (≥ 0.6 vs < 0.5) — the
+    * pairs only this tier finds. Same LSH banding, bucket caps, and
+    * verify join as [[nearDupPairs]], so the scale posture is
+    * unchanged; note LSH banding recalls JACCARD-similar pairs, so an
+    * excerpt tiny relative to its host can evade the candidate stage —
+    * the documented recall trade of every MinHash containment pipeline
+    * (fixing it takes per-size signature tiers, out of scope). */
+  def containmentPairs(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
+                       minContainment: Double = 0.5,
+                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, n, bands)
+    val cands = lshCandidates(sigs, maxBucketSize)
+    val cont = col("n_inter").cast("double") / least(col("n_a"), col("n_b"))
+    val jac = col("n_inter").cast("double") /
+      (col("n_a") + col("n_b") - col("n_inter"))
+    overlapSized(docs, cands, textCol, idCol, n)
+      .filter(cont >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_inter").cast("long").as("n_inter"),
+        round(cont, 4).as("containment"), round(jac, 4).as("jaccard"),
+        (cont >= 0.6 && jac < 0.5).as("excerpt"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → band signatures →
