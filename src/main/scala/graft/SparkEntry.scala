@@ -5930,6 +5930,41 @@ object SparkEntry {
       .orderBy("kept", "pred")
   }
 
+  /** 2-fold cross-validated classifier evaluation — the HONEST accuracy
+    * table beside q130 (which scores the model on its own training
+    * corpus): fold 0 trains on even doc_ids and evaluates on odd, fold
+    * 1 the reverse; truth = the training target itself (`lang = 'en'`),
+    * confusion + accuracy per fold, accuracy as ONE exact-long ratio.
+    * Each fold's coefficients persist under the artifact lifecycle, so
+    * the generated oracle replays BOTH trained models (two scoring
+    * chains as disjoint derived-table blocks). */
+  private def q163ClassifierCv(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val folds = Seq(
+      (0L, col("doc_id") % 2 === 0),
+      (1L, col("doc_id") % 2 =!= 0))
+    folds.map { case (fold, trainPred) =>
+      val m = QualityClassifier.buildOrLoad(s, docs.filter(trainPred),
+        col("lang") === "en", s"${qcCachePath(s, dir)}/cv_fold$fold.txt")
+      QualityClassifier.score(docs.filter(!trainPred), m,
+          keepCols = Seq("lang"))
+        .select(lit(fold).as("fold"),
+          (col("lang") === "en").as("__truth"), col("pred"))
+    }.reduce(_ unionAll _)
+      .groupBy("fold")
+      .agg(
+        sum(when(col("__truth") && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("__truth") && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__truth") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("__truth") && !col("pred"), 1L).otherwise(0L)).as("tn"),
+        count(lit(1)).as("__n"))
+      .select(col("fold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast("double") /
+          col("__n").cast("double"), 4).as("accuracy"))
+      .orderBy("fold")
+  }
+
   /** Quality-threshold calibration: pick the classifier-score cutoff
     * that keeps a TARGET fraction of the corpus (60% here — cutoff =
     * exact 40th percentile of the trained score), then report what that
@@ -6359,6 +6394,7 @@ object SparkEntry {
     "q160_score_fusion" -> (q160ScoreFusion _),
     "q161_emb_isotropy" -> (q161EmbIsotropy _),
     "q162_containment" -> (q162Containment _),
+    "q163_classifier_cv" -> (q163ClassifierCv _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6515,7 +6551,7 @@ object SparkEntry {
     "q76_repeated_paragraphs" -> q76Sql,
   ) ++ ivfOracleSqls ++ pqOracleSqls ++ ivfAdcOracleSqls ++ sqOracleSqls ++
     sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ opqIvfOracleSqls ++
-    ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ rqOracleSqls ++
+    ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ cvOracleSqls ++ rqOracleSqls ++
     bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls ++
     nlistSweepOracleSqls ++ lloydIvfOracleSqls
 
@@ -6628,6 +6664,45 @@ object SparkEntry {
              |  CAST(count(*) AS BIGINT) AS n_docs
              |FROM v JOIN z USING (doc_id)
              |GROUP BY 1, 2 ORDER BY kept, pred""".stripMargin)
+    }).getOrElse(Map.empty)
+
+  /** Cross-validation oracle: BOTH fold models q163's run just persisted
+    * replayed as disjoint derived-table scoring blocks (`WITH` nests
+    * inside a derived table — the nlistSweep idiom). */
+  private def cvOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      p0 = java.nio.file.Paths.get(s"${qcCachePath(s, dir)}/cv_fold0.txt")
+      p1 = java.nio.file.Paths.get(s"${qcCachePath(s, dir)}/cv_fold1.txt")
+      if java.nio.file.Files.exists(p0) && java.nio.file.Files.exists(p1)
+      l0 = java.nio.file.Files.readAllLines(p0)
+      l1 = java.nio.file.Files.readAllLines(p1)
+      if l0.get(0).trim.toInt > 0 && l1.get(0).trim.toInt > 0
+    } yield {
+      def block(fold: Int, lines: java.util.List[String], evalParity: Int) = {
+        val w = lines.get(1).split(" ").map(_.toDouble)
+        val b = lines.get(2).toDouble
+        s"""SELECT CAST($fold AS BIGINT) AS fold, tp, fp, fn, tn,
+           |  round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 4)
+           |    AS accuracy
+           |FROM (
+           |  SELECT
+           |    count(*) FILTER (WHERE truth AND pred) AS tp,
+           |    count(*) FILTER (WHERE NOT truth AND pred) AS fp,
+           |    count(*) FILTER (WHERE truth AND NOT pred) AS fn,
+           |    count(*) FILTER (WHERE NOT truth AND NOT pred) AS tn
+           |  FROM (WITH ${OracleSqlGen.qualityClassifierCtes(w, b)}
+           |        SELECT (d.lang = 'en') AS truth, z.zv > 0 AS pred
+           |        FROM documents d JOIN z ON z.doc_id = d.doc_id
+           |        WHERE d.doc_id % 2 = $evalParity))""".stripMargin
+      }
+      Map("q163_classifier_cv" ->
+        s"""SELECT * FROM (
+           |${block(0, l0, 1)}
+           |UNION ALL
+           |${block(1, l1, 0)}
+           |) ORDER BY fold""".stripMargin)
     }).getOrElse(Map.empty)
 
   /** IVF-SQ8 oracle, generated from the shared quantizer + the residual
