@@ -5379,6 +5379,54 @@ object SparkEntry {
       |FROM sel GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** k-NN label purity: for each probe vector, how many of its 10
+    * nearest neighbors share its label — the embedding-quality metric
+    * reported per label (low purity = labels not separable in this
+    * space; read before trusting k-NN classification q148 or semantic
+    * dedup). Probes = ids [8, 40) (bounded slice, self excluded), ONE
+    * scored scan; purity = Σ same-label hits / (10 · n_probes), exact
+    * longs and one division. */
+  private def q164KnnPurity(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 40)
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").as("q_embedding"), col("label").as("p_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("__s"), col("vec_id").asc)
+    emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= 10)
+      .groupBy(col("p_label").cast("long").as("label"))
+      .agg(count_distinct(col("probe_id")).as("n_probes"),
+        sum(when(col("label") === col("p_label"), 1L).otherwise(0L)).as("n_same"))
+      .select(col("label"), col("n_probes"), col("n_same"),
+        round(col("n_same").cast("double") /
+          (col("n_probes") * 10L).cast("double"), 4).as("purity"))
+      .orderBy("label")
+  }
+
+  private val q164Sql =
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS qe, label AS pl
+      |           FROM embeddings WHERE vec_id >= 8 AND vec_id < 40),
+      |scored AS (
+      |  SELECT p.probe_id, p.pl, e.vec_id, e.label,
+      |    row_number() OVER (PARTITION BY p.probe_id
+      |      ORDER BY ${OracleSqlGen.dotFold("e.embedding", "p.qe")} DESC,
+      |        e.vec_id ASC) AS rnk
+      |  FROM embeddings e, p
+      |  WHERE e.vec_id >= 8 AND e.vec_id <> p.probe_id)
+      |SELECT CAST(pl AS BIGINT) AS label,
+      |  CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+      |  CAST(count(*) FILTER (WHERE label = pl) AS BIGINT) AS n_same,
+      |  round(CAST(count(*) FILTER (WHERE label = pl) AS DOUBLE) /
+      |    CAST(count(DISTINCT probe_id) * 10 AS DOUBLE), 4) AS purity
+      |FROM scored WHERE rnk <= 10
+      |GROUP BY pl ORDER BY label""".stripMargin
+
   /** Pairwise distance matrix ([[VectorSearch.pairwiseDistances]]):
     * FAISS `pairwise_distances` — every (query, doc) pair over a
     * bounded eval slice, squared L2 + inner product together. No
@@ -6395,6 +6443,7 @@ object SparkEntry {
     "q161_emb_isotropy" -> (q161EmbIsotropy _),
     "q162_containment" -> (q162Containment _),
     "q163_classifier_cv" -> (q163ClassifierCv _),
+    "q164_knn_purity" -> (q164KnnPurity _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6531,6 +6580,7 @@ object SparkEntry {
     "q160_score_fusion" -> q160Sql,
     "q161_emb_isotropy" -> q161Sql,
     "q162_containment" -> q162Sql,
+    "q164_knn_purity" -> q164Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
