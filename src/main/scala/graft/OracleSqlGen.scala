@@ -153,6 +153,26 @@ object OracleSqlGen {
        |ORDER BY s DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** q166's oracle: the IVF probe COST curve — cumulative candidate rows
+    * (and corpus fraction) per nprobe 1..maxProbe, the cost side of
+    * q107's recall sweep. Exact longs + one division per row. */
+  def ivfProbeCostSql(cents: Seq[Array[Double]], maxProbe: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |cnt AS (SELECT cell_id, count(*) AS n FROM __assigned GROUP BY cell_id),
+       |tot AS (SELECT count(*) AS t FROM __assigned),
+       |cumc AS (
+       |  SELECT p.pr, sum(coalesce(c.n, 0)) OVER (ORDER BY p.pr) AS nc
+       |  FROM probe p LEFT JOIN cnt c USING (cell_id))
+       |SELECT CAST(pr AS BIGINT) AS nprobe, CAST(nc AS BIGINT) AS n_candidates,
+       |  round(CAST(nc AS DOUBLE) / CAST(tot.t AS DOUBLE), 4) AS frac
+       |FROM cumc, tot WHERE pr <= $maxProbe
+       |ORDER BY nprobe""".stripMargin
+
   /** q153's oracle: per-cell top terms by lift — cells from the shared
     * quantizer ([[ivfAssignCtes]]), presence-based term frequencies
     * (distinct whitespace tokens per doc, the q56 tokenization), lift as

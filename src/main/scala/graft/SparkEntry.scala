@@ -1640,6 +1640,36 @@ object SparkEntry {
         round(col("score"), 4).as("score"))
   }
 
+  /** IVF probe cost curve: cumulative candidate rows (and corpus
+    * fraction) as nprobe grows 1..8 — the COST axis q107's recall sweep
+    * needs beside it to pick an operating point (recall per probe is
+    * worthless without rows-scanned per probe). Cell ranking is the
+    * standard IP probe; counts are per-cell occupancies cumulated over
+    * a ≤ nlist-row frame. */
+  private def q166ProbeCost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val order = IvfIndex.probeCells(ivf, qVec, Int.MaxValue)
+    val rankDf = order.zipWithIndex
+      .map { case (c, i) => (c, (i + 1).toLong) }.toDF("cell_id", "pr")
+    val counts = withCells.groupBy(col("cell_id").cast("int").as("cell_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("pr")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    rankDf.join(counts, Seq("cell_id"), "left")
+      .withColumn("__n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_candidates", sum("__n").over(w))
+      .filter(col("pr") <= 8)
+      .crossJoin(broadcast(withCells.agg(count(lit(1)).as("__tot"))))
+      .select(col("pr").as("nprobe"), col("n_candidates"),
+        round(col("n_candidates").cast("double") /
+          col("__tot").cast("double"), 4).as("frac"))
+      .orderBy("nprobe")
+  }
+
   /** Cluster interpretation: the top-3 terms per IVF cell by LIFT
     * (`P(term|cell) / P(term)` over presence-based doc frequencies) —
     * the "what is this cluster about" labeling table a curation
@@ -2793,6 +2823,39 @@ object SparkEntry {
       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       |FROM cum GROUP BY source, bin
       |ORDER BY source, bin""".stripMargin
+
+  /** Packing fill-rate histogram — the bin-efficiency QA over q52's
+    * assignment: per fill decile (n_tokens·10 ÷ budget, integer
+    * arithmetic only, capped at 14 for the overflow bins a straddling
+    * doc creates), how many bins and how many tokens. An under-filled
+    * tail means wasted sequence budget at training time; the overflow
+    * bucket sizes the truncation the loader will apply. */
+  private def q165PackFill(s: SparkSession, dir: String): DataFrame =
+    Packing.packBins(t(s, dir, "documents"), budget = 256)
+      .withColumn("decile", least(expr("(n_tokens * 10) div 256"), lit(14L)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("decile")
+
+  private val q165Sql =
+    """WITH tok AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM tok),
+      |bins AS (
+      |  SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+      |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |  FROM cum GROUP BY source, bin)
+      |SELECT CAST(least((n_tokens * 10) // 256, 14) AS BIGINT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n_bins,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM bins GROUP BY 1
+      |ORDER BY decile""".stripMargin
 
   /** Packed-sequence emit ([[Packing.packSequences]]): the byte-level
     * output of the packing tier — per (source, bin) the member docs
@@ -6444,6 +6507,8 @@ object SparkEntry {
     "q162_containment" -> (q162Containment _),
     "q163_classifier_cv" -> (q163ClassifierCv _),
     "q164_knn_purity" -> (q164KnnPurity _),
+    "q165_pack_fill" -> (q165PackFill _),
+    "q166_probe_cost" -> (q166ProbeCost _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6581,6 +6646,7 @@ object SparkEntry {
     "q161_emb_isotropy" -> q161Sql,
     "q162_containment" -> q162Sql,
     "q164_knn_purity" -> q164Sql,
+    "q165_pack_fill" -> q165Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
@@ -7077,6 +7143,7 @@ object SparkEntry {
           k = 10, nprobe = 4, beams = Seq(2, 4, 8), hops = 3),
         "q159_graph_stats" -> OracleSqlGen.knnGraphStatsSql(cents,
           k = 4, cap = SemanticDedup.DefaultMaxCellSize),
+        "q166_probe_cost" -> OracleSqlGen.ivfProbeCostSql(cents, maxProbe = 8),
         "q98_ivf_range" -> OracleSqlGen.ivfRangeSearchSql(cents,
           minScore = 0.2, nprobe = 4),
         "q107_nprobe_sweep" -> OracleSqlGen.ivfRecallSweepSql(cents,
