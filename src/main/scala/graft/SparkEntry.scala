@@ -1456,6 +1456,7 @@ object SparkEntry {
     bivfCorpus(s, dir); graphCorpus(s, dir); itqCorpus(s, dir)
     bhashCorpus(s, dir); lloydIvfCorpus(s, dir)
     ivfPqrCorpus(s, dir)
+    rmIvfCorpus(s, dir); mgIvfCorpus(s, dir)
     bpeMergesArtifact(s, dir)
     componentsCorpus(s, dir)
     sweepNlists.foreach { nl =>
@@ -1967,6 +1968,18 @@ object SparkEntry {
     * oracle as q21 proves the merge lost/duplicated/re-assigned
     * nothing. */
   private def q154IvfMerge(s: SparkSession, dir: String): DataFrame = {
+    val (dest, ivf) = mgIvfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(s.read.parquet(dest), ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** q154's merged store: two half-corpus shards under the shared
+    * quantizer, spliced by [[IvfIndex.mergeStores]]; `_MERGED` marks
+    * completion (ingest-time work, built once per dataset). */
+  private[graft] def mgIvfCorpus(s: SparkSession, dir: String): (String, IvfIndex.Ivf) = {
     GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
     val ivf = IvfIndex.buildOrLoad(s, emb, ivfNlist,
@@ -1982,11 +1995,7 @@ object SparkEntry {
       val p = new org.apache.hadoop.fs.Path(s"$dest/_MERGED")
       p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true).close()
     }
-    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
-      .select("embedding").collect()(0).getSeq[Float](0).toArray
-    IvfIndex.search(s.read.parquet(dest), ivf, qVec, k = 10, nprobe = 4)
-      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
-        round(col("score"), 4).as("score"))
+    (dest, ivf)
   }
 
   /** Index maintenance: FAISS `remove_ids(IDSelectorRange(8, 40))` over
