@@ -234,6 +234,32 @@ object OracleSqlGen {
        |ORDER BY s DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** q168's oracle: probed IVF search over the store built by
+    * `merge_from(other, add_id)` — the [[ivfSearchSql]] replay with the
+    * donor half's ids shifted by `addId` (dest = even ids as-is, donor =
+    * odd ids + addId; assignment unchanged — the remap renames ids, it
+    * never re-assigns). Ties order on the SHIFTED id, exactly what the
+    * merged store carries. */
+  def ivfMergeShiftSearchSql(cents: Seq[Array[Double]], k: Int, nprobe: Int,
+                             addId: Long): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |scored AS (
+       |  SELECT CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id + $addId
+       |              ELSE a.doc_id END AS doc_id,
+       |    a.cell_id, ${dotFold("a.embedding", "q.qe")} AS s
+       |  FROM __assigned a, q
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe))
+       |SELECT doc_id, CAST(cell_id AS BIGINT) AS cell_id,
+       |  round(s, 4) AS score
+       |FROM scored
+       |ORDER BY s DESC, doc_id
+       |LIMIT $k""".stripMargin
+
   /** q110's oracle: FILTERED IVF search (FAISS `IDSelector` semantics) —
     * the [[ivfSearchSql]] replay with the metadata predicate applied
     * inside the probed scan (label read back from the source row). */

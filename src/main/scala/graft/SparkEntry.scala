@@ -417,6 +417,57 @@ object SparkEntry {
       |WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.15
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** MinHash estimator calibration ([[Dedup.minhashCalibration]]): per
+    * band-agreement count over the q15 candidate pairs, the banded
+    * estimate m/bands vs exact shingle Jaccard (count, mean, min, max) —
+    * the table read before trusting a minJaccard threshold at this
+    * (n=3, bands=4) operating point. Oracle replays signatures,
+    * banding, agreement counts and the exact verify from the same md5
+    * construction as q15. */
+  private def q169MinhashCalibration(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCalibration(t(s, dir, "documents"), "text", "doc_id",
+      n = 3, bands = 4)
+
+  private val q169Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |bm AS (
+      |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_band_match
+      |  FROM cand c
+      |  JOIN sig a ON a.doc_id = c.id_a
+      |  JOIN sig b ON b.doc_id = c.id_b AND b.band = a.band AND b.sig = a.sig
+      |  GROUP BY 1, 2),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.sh, y.sh))), 4) AS j
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+      |SELECT m.n_band_match, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(CAST(m.n_band_match AS DOUBLE) / 4, 4) AS est_jaccard,
+      |  round(CAST(sum(CAST(round(v.j, 6) AS DECIMAL(22,6))) AS DOUBLE)
+      |    / count(*), 4) AS mean_jaccard,
+      |  round(min(v.j), 4) AS min_jaccard,
+      |  round(max(v.j), 4) AS max_jaccard
+      |FROM bm m JOIN verified v ON m.id_a = v.id_a AND m.id_b = v.id_b
+      |GROUP BY m.n_band_match
+      |ORDER BY n_band_match""".stripMargin
+
   // ====================================================================
   // Vector search (J1 exact single + batch, W1 dynamic threshold,
   // embedding near-dup) over the embeddings table
@@ -1456,7 +1507,7 @@ object SparkEntry {
     bivfCorpus(s, dir); graphCorpus(s, dir); itqCorpus(s, dir)
     bhashCorpus(s, dir); lloydIvfCorpus(s, dir)
     ivfPqrCorpus(s, dir)
-    rmIvfCorpus(s, dir); mgIvfCorpus(s, dir)
+    rmIvfCorpus(s, dir); mgIvfCorpus(s, dir); mg2IvfCorpus(s, dir)
     bpeMergesArtifact(s, dir)
     componentsCorpus(s, dir)
     sweepNlists.foreach { nl =>
@@ -1992,6 +2043,50 @@ object SparkEntry {
       IvfIndex.assign(emb.filter(col("doc_id") % 2 === 1), ivf)
         .write.mode("overwrite").partitionBy("cell_id").parquet(s"$base/shard1")
       IvfIndex.mergeStores(s, dest, s"$base/shard1")
+      val p = new org.apache.hadoop.fs.Path(s"$dest/_MERGED")
+      p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true).close()
+    }
+    (dest, ivf)
+  }
+
+  /** FAISS `IndexIVF::merge_from(other, add_id)` with a NON-ZERO offset
+    * ([[IvfIndex.mergeStoresShifted]]): shards encoded with overlapping
+    * local id spaces merge into one store with the donor's ids remapped
+    * `+addId` — the multi-worker build where every worker numbers its
+    * vectors from 0. Gate = probed search over the merged store against
+    * the q21 replay with odd (donor) ids shifted; ties order on the
+    * shifted id, exactly what the store carries. Cost posture spec'd in
+    * IvfIndexSpec: donor rewritten ONCE (the remap), dest files never
+    * touched. */
+  private def q168IvfMergeShift(s: SparkSession, dir: String): DataFrame = {
+    val (dest, ivf) = mg2IvfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(s.read.parquet(dest), ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** The id offset q168's donor shard merges under (also the oracle's
+    * shift constant — keep the two in lockstep). */
+  private[graft] val MergeAddId = 10000000L
+
+  /** q168's merged store: dest = even-id half store, donor = odd-id half
+    * whose ids remap `+MergeAddId` as they splice. `_MERGED` marks
+    * completion (ingest-time work, built once per dataset). */
+  private[graft] def mg2IvfCorpus(s: SparkSession, dir: String): (String, IvfIndex.Ivf) = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val ivf = IvfIndex.buildOrLoad(s, emb, ivfNlist,
+      s"${ivfCachePath(s, dir)}/quantizer.txt")
+    val base = s"${ivfCachePath(s, dir)}-mg2"
+    val dest = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$dest/_MERGED")) {
+      IvfIndex.assign(emb.filter(col("doc_id") % 2 === 0), ivf)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(dest)
+      IvfIndex.assign(emb.filter(col("doc_id") % 2 === 1), ivf)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(s"$base/shard1")
+      IvfIndex.mergeStoresShifted(s, dest, s"$base/shard1", MergeAddId)
       val p = new org.apache.hadoop.fs.Path(s"$dest/_MERGED")
       p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true).close()
     }
@@ -6012,6 +6107,60 @@ object SparkEntry {
       |WHERE NOT (old_fp IS NOT NULL AND new_fp IS NOT NULL AND old_fp = new_fp)
       |ORDER BY doc_id""".stripMargin
 
+  /** Unigram-distribution drift between two corpus snapshots
+    * ([[TextAnalysis.unigramDrift]]): the term-level companion to
+    * q125's id-level diff and q137's embedding drift — which tokens'
+    * relative frequencies moved most between versions. The "old"
+    * snapshot is q125's deterministic construction, so the real drift
+    * drivers (dropped every-5th docs, duplicated every-7th docs, the
+    * " v2" edit) are known and the oracle replays construction,
+    * tokenization (the q106 pre-tokenizer pattern) and the exact
+    * cross-multiplied integer ranking `|tf_new·N_old − tf_old·N_new|`
+    * alike. */
+  private def q167UnigramDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    TextAnalysis.unigramDrift(old, docs, topK = 20)
+  }
+
+  private val q167Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH old AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |oc AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS tf_old
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |        FROM old) GROUP BY 1),
+      |nc AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS tf_new
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |        FROM documents) GROUP BY 1),
+      |tots AS (SELECT (SELECT CAST(sum(tf_old) AS BIGINT) FROM oc) AS tot_old,
+      |                (SELECT CAST(sum(tf_new) AS BIGINT) FROM nc) AS tot_new),
+      |j AS (
+      |  SELECT coalesce(o.token, n.token) AS token,
+      |    CAST(coalesce(o.tf_old, 0) AS BIGINT) AS tf_old,
+      |    CAST(coalesce(n.tf_new, 0) AS BIGINT) AS tf_new
+      |  FROM oc o FULL OUTER JOIN nc n ON o.token = n.token)
+      |SELECT token, tf_old, tf_new,
+      |  abs(tf_new * tot_old - tf_old * tot_new) AS drift,
+      |  round(CAST(tf_old AS DOUBLE) / tot_old, 6) AS rate_old,
+      |  round(CAST(tf_new AS DOUBLE) / tot_new, 6) AS rate_new
+      |FROM j, tots
+      |ORDER BY abs(tf_new * tot_old - tf_old * tot_new) DESC, token ASC
+      |LIMIT 20""".stripMargin
+  }
+
   /** Trained quality classifier ([[QualityClassifier]]): the
     * FineWeb-Edu-style learned filter — weak labels (here the language
     * id), hashed-histogram features through the SHARED `dsir_buckets`
@@ -6518,6 +6667,9 @@ object SparkEntry {
     "q164_knn_purity" -> (q164KnnPurity _),
     "q165_pack_fill" -> (q165PackFill _),
     "q166_probe_cost" -> (q166ProbeCost _),
+    "q167_unigram_drift" -> (q167UnigramDrift _),
+    "q168_ivf_merge_shift" -> (q168IvfMergeShift _),
+    "q169_minhash_calibration" -> (q169MinhashCalibration _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6656,6 +6808,8 @@ object SparkEntry {
     "q162_containment" -> q162Sql,
     "q164_knn_purity" -> q164Sql,
     "q165_pack_fill" -> q165Sql,
+    "q167_unigram_drift" -> q167Sql,
+    "q169_minhash_calibration" -> q169Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
@@ -7128,6 +7282,8 @@ object SparkEntry {
           minDf = 5, minDfCell = 2, topK = 3),
         // merged store ≡ full corpus: the q21 replay IS the merge gate
         "q154_ivf_merge" -> OracleSqlGen.ivfSearchSql(cents, k = 10, nprobe = 4),
+        "q168_ivf_merge_shift" -> OracleSqlGen.ivfMergeShiftSearchSql(cents,
+          k = 10, nprobe = 4, addId = MergeAddId),
         "q34_ivf_recall" -> OracleSqlGen.ivfRecallSql(cents, k = 10, nprobe = 4, nq = 8),
         "q82_semantic_dedup" -> OracleSqlGen.semanticDedupSql(cents,
           minCos = 0.3, cap = SemanticDedup.DefaultMaxCellSize),

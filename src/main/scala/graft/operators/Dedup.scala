@@ -288,6 +288,52 @@ object Dedup {
         (cont >= 0.6 && jac < 0.5).as("excerpt"))
   }
 
+  /** MinHash estimator calibration: per band-agreement count m (1..bands)
+    * over the LSH candidate pairs, how the banded estimate m/bands tracks
+    * EXACT shingle Jaccard — the QA table read before trusting a
+    * minJaccard threshold at a given (n, bands) operating point (few
+    * bands = coarse estimates; a wide mean/min spread at high m means
+    * banding is admitting pairs the verify step will throw away — wasted
+    * verify compute the curve makes visible).
+    *
+    * Output (≤ `bands` rows): n_band_match, n_pairs, est_jaccard
+    * (m/bands, display-only division), mean/min/max exact Jaccard.
+    * Mean uses the round(6)→DECIMAL exact-sum idiom so the report is
+    * partitioning-independent.
+    *
+    * Scale shape: candidates stay LSH-sparse (bucket-capped); the
+    * band-agreement join filters the bands×corpus signature side to
+    * candidate members through a broadcast of the pair set, then
+    * sort-merge joins on (id, band, sig) — the [[jaccardVerifyOverlapping]]
+    * polarity discipline (signature side linear in corpus, matched side
+    * ~quadratic in dup density; SMJ is the only always-safe strategy).
+    * Exact Jaccard rides [[jaccardVerify]] (corpus shingled once). */
+  def minhashCalibration(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", n: Int = 3, bands: Int = 4,
+                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, n, bands)
+    val cands = lshCandidates(sigs, maxBucketSize)
+    val sa = sigs.select(col("id").as("id_a"), col("band"), col("sig"))
+    val sb = sigs.select(col("id").as("id_b"), col("band"), col("sig"))
+    val bm = sa.join(broadcast(cands), Seq("id_a"))
+      .hint("merge")
+      .join(sb, Seq("id_b", "band", "sig"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_band_match"))
+    bm.join(jaccardVerify(docs, cands, textCol, idCol, n), Seq("id_a", "id_b"))
+      .groupBy("n_band_match")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(sum(round(col("jaccard"), 6).cast("decimal(22,6)")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_jaccard"),
+        round(min("jaccard"), 4).as("min_jaccard"),
+        round(max("jaccard"), 4).as("max_jaccard"))
+      .withColumn("est_jaccard",
+        round(col("n_band_match").cast("double") / bands.toDouble, 4))
+      .select(col("n_band_match"), col("n_pairs"), col("est_jaccard"),
+        col("mean_jaccard"), col("min_jaccard"), col("max_jaccard"))
+      .orderBy("n_band_match")
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → band signatures →
     * bucket join → exact Jaccard ≥ `minJaccard`.
     *

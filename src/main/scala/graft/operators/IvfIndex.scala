@@ -242,6 +242,42 @@ object IvfIndex {
     (cells, moved)
   }
 
+  /** FAISS `IndexIVF::merge_from(other, add_id)` with a NON-ZERO id
+    * offset: the donor's ids are remapped to `doc_id + addId` as they
+    * merge — the shard-then-merge pattern when shards were encoded with
+    * overlapping local id spaces (each worker numbers from 0; the merge
+    * makes them globally unique, exactly FAISS's `add_id` semantics).
+    *
+    * Unlike the addId=0 splice (pure renames), an id remap must rewrite
+    * the donor's id column: cost is ONE linear pass over the DONOR only,
+    * staged to `<src>_shifted` (cell partitioning preserved — the remap
+    * never re-assigns, so no shuffle: each input split rewrites in
+    * place), then spliced into dest by [[mergeStores]]. Dest is never
+    * read, moved, or rewritten; merging a donor shard into a 50 TB dest
+    * costs the donor's size, not the union's. Crash-safe: the staging
+    * dir only merges after its `_SUCCESS`; re-running re-stages or
+    * re-splices whatever step was lost. Returns (cellsMerged,
+    * filesMoved). */
+  def mergeStoresShifted(spark: SparkSession, destPath: String,
+                         srcPath: String, addId: Long): (Long, Long) = {
+    if (addId == 0L) return mergeStores(spark, destPath, srcPath)
+    val staged = s"${srcPath.stripSuffix("/")}_shifted"
+    val hconf = spark.sessionState.newHadoopConf()
+    val stagedPath = new org.apache.hadoop.fs.Path(staged)
+    val fs = stagedPath.getFileSystem(hconf)
+    val srcP = new org.apache.hadoop.fs.Path(srcPath)
+    if (fs.exists(srcP)) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$staged/_SUCCESS"))) {
+        fs.delete(stagedPath, true)
+        spark.read.parquet(srcPath)
+          .withColumn("doc_id", col("doc_id") + lit(addId))
+          .write.partitionBy("cell_id").mode("overwrite").parquet(staged)
+      }
+      fs.delete(srcP, true) // donor consumed (FAISS empties `other`)
+    }
+    mergeStores(spark, destPath, staged)
+  }
+
   def cellStats(withCells: DataFrame, ivf: Ivf): DataFrame = {
     val spark = withCells.sparkSession
     // The TRAINED cell count (k = min(nlist, n) at fit time; 1 untrained),

@@ -59,6 +59,59 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Cross-snapshot unigram-distribution drift: the crawl-to-crawl /
+    * version-to-version corpus QA audit — which terms' relative
+    * frequencies moved most between two corpus snapshots (a new spam
+    * campaign, a source going dark, a scraper bug dropping boilerplate
+    * all surface here before they poison a training run).
+    *
+    * Drift is ranked WITHOUT floating point: for term t with occurrence
+    * counts `a` (old, total `A`) and `b` (new, total `B`), the rate gap
+    * `|b/B − a/A|` is ordered by the exact cross-multiplied integer
+    * `|b·A − a·B|`... divided by nothing — both snapshots share the
+    * denominator `A·B`, so the integer numerator is the SAME ranking
+    * (ties broken on token). The reported `rate_old`/`rate_new` columns
+    * are single IEEE divisions of exact longs, display-only.
+    *
+    * Scale shape: each snapshot is scanned once through the `token_tf`
+    * kernel (per-doc term frequencies collapse in place — the
+    * [[tokenVocabulary]] posture), so each side's ONE exchange carries
+    * per-doc vocabulary entries, never the raw token stream; the
+    * full-outer term join is vocabulary-sized; top-k is one
+    * TakeOrdered. Overflow headroom: `b·A` stays under 2⁶³ until
+    * ~3·10⁹ occurrences of one term against a ~3·10⁹-token corpus —
+    * beyond that, pre-bucket by term hash and drift per bucket. */
+  def unigramDrift(oldDocs: DataFrame, newDocs: DataFrame, topK: Int,
+                   textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    GraftFunctions.register(oldDocs.sparkSession)
+    def counts(docs: DataFrame, cnt: String): DataFrame = docs
+      .select(explode(GraftFunctions.tokenTf(col(textCol))).as("e"))
+      .groupBy(col("e.token").as("token"))
+      .agg(sum("e.tf").cast("long").as(cnt))
+    val o = counts(oldDocs, "tf_old")
+    val n = counts(newDocs, "tf_new")
+    val totO = o.agg(sum("tf_old").cast("long").as("tot_old"))
+    val totN = n.agg(sum("tf_new").cast("long").as("tot_new"))
+    o.join(n, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("tf_old", "tf_new"))
+      .crossJoin(broadcast(totO)).crossJoin(broadcast(totN))
+      .withColumn("__drift",
+        abs(col("tf_new") * col("tot_old") - col("tf_old") * col("tot_new")))
+      .orderBy(desc("__drift"), col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("tf_old"), col("tf_new"),
+        col("__drift").as("drift"),
+        // empty-snapshot guard: sum over zero rows is NULL, and a
+        // 0-total rate is meaningless — report 0.0 (ANSI-safe)
+        round(when(coalesce(col("tot_old"), lit(0L)) > 0,
+          col("tf_old").cast("double") / col("tot_old").cast("double"))
+          .otherwise(lit(0.0)), 6).as("rate_old"),
+        round(when(coalesce(col("tot_new"), lit(0L)) > 0,
+          col("tf_new").cast("double") / col("tot_new").cast("double"))
+          .otherwise(lit(0.0)), 6).as("rate_new"))
+  }
+
   /** Canonical text normalization — the preprocessing step that makes
     * exact-dedup keys and n-gram fingerprints stable across encodings
     * (composed vs decomposed accents, CRLF vs LF, control-char noise,

@@ -318,4 +318,34 @@ class IvfIndexSpec extends AnyFunSuite {
       .select($"doc_id", $"cell_id").as[(Long, Int)].collect().toMap
     assert(merged == direct)
   }
+  test("mergeStoresShifted: donor ids remapped +addId, dest never rewritten") {
+    val corpus = (0 until 300).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val ivf = IvfIndex.train(corpus, nlist = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft-mg2").toString
+    IvfIndex.assign(corpus.filter($"doc_id" % 2 === 0), ivf)
+      .write.partitionBy("cell_id").parquet(s"$base/dest")
+    IvfIndex.assign(corpus.filter($"doc_id" % 2 === 1), ivf)
+      .write.partitionBy("cell_id").parquet(s"$base/src")
+    def destFiles(): Set[(String, Long)] =
+      new java.io.File(s"$base/dest").listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified())).toSet
+    val before = destFiles()
+    val (cells, movedFiles) =
+      IvfIndex.mergeStoresShifted(spark, s"$base/dest", s"$base/src", 5000L)
+    assert(cells > 0 && movedFiles > 0)
+    assert(before.subsetOf(destFiles()), "merge rewrote dest files")
+    assert(!new java.io.File(s"$base/src").exists, "donor store not removed")
+    assert(!new java.io.File(s"$base/src_shifted").exists,
+      "staging dir not consumed")
+    // merged rows = evens as-is + odds shifted, cell assignment unchanged
+    val merged = spark.read.parquet(s"$base/dest")
+      .select($"doc_id", $"cell_id".cast("int")).as[(Long, Int)].collect().toMap
+    val direct = IvfIndex.assign(corpus, ivf)
+      .select($"doc_id", $"cell_id").as[(Long, Int)].collect().toMap
+    val expected = direct.map { case (id, c) =>
+      (if (id % 2 == 1) id + 5000L else id) -> c
+    }
+    assert(merged == expected)
+  }
 }

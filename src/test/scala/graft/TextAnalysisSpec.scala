@@ -596,4 +596,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     val byLang = got.map(r => r._1 -> r._6).toMap
     assert(byLang("en") < byLang("de"))
   }
+
+  test("unigramDrift: exact cross-multiplied ranking, absent terms filled") {
+    // old: aa=2 bb=1 cc=1 (A=4); new: aa=1 bb=2 dd=2 (B=5)
+    // drift |tf_new*A - tf_old*B|: dd=8, aa=6, cc=5, bb=3
+    val old = Seq((1L, "aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
+    val nw = Seq((1L, "aa bb"), (2L, "bb dd dd")).toDF("doc_id", "text")
+    val d = TextAnalysis.unigramDrift(old, nw, topK = 10)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(d.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq(("dd", 0L, 2L, 8L), ("aa", 2L, 1L, 6L),
+        ("cc", 1L, 0L, 5L), ("bb", 1L, 2L, 3L)))
+    val aa = d.find(_._1 == "aa").get
+    assert(aa._5 == 0.5 && aa._6 == 0.2)
+    // topK truncates on the total (drift DESC, token ASC) order
+    val top2 = TextAnalysis.unigramDrift(old, nw, topK = 2)
+      .as[(String, Long, Long, Long, Double, Double)].collect().map(_._1).toSeq
+    assert(top2 == Seq("dd", "aa"))
+  }
 }
