@@ -2906,6 +2906,46 @@ object SparkEntry {
       |JOIN (SELECT id, eval_id FROM ranked WHERE rn = 1) r ON a.id = r.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Eval-side contamination report ([[Dedup.evalDirtiness]]): per eval
+    * doc (the q51 doc_id%100==0 suite), the fraction of its distinct
+    * 3-grams present anywhere in the training corpus — the published
+    * "X% of benchmark Y contaminated" table; completes the
+    * contamination family (q51 corpus-side, q101 fuzzy, this eval-side).
+    * Oracle replays the shared shingle CTEs with a left join for
+    * zero-hit eval docs. */
+  private def q170EvalDirtiness(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.evalDirtiness(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "text", "doc_id", n = 3, dirtyThreshold = 0.8)
+      .orderBy("eval_id")
+  }
+
+  private val q170Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 100 = 0),
+      |co AS (SELECT unnest(sh) AS shingle FROM sh WHERE doc_id % 100 <> 0),
+      |sizes AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles
+      |          FROM ev GROUP BY eval_id),
+      |hits AS (
+      |  SELECT ev.eval_id, CAST(count(DISTINCT ev.shingle) AS BIGINT) AS n_hit
+      |  FROM ev JOIN co USING (shingle) GROUP BY ev.eval_id)
+      |SELECT s.eval_id, s.n_shingles,
+      |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_shingles, 4) AS dirty_frac,
+      |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_shingles, 4) >= 0.8 AS dirty
+      |FROM sizes s LEFT JOIN hits h ON s.eval_id = h.eval_id
+      |ORDER BY s.eval_id""".stripMargin
+
   /** Token-budget packing: documents laid into 256-token bins per source
     * shard in doc_id order (streaming-pack semantics — a doc belongs to
     * the bin where it starts; never reordered, never split). */
@@ -6670,6 +6710,7 @@ object SparkEntry {
     "q167_unigram_drift" -> (q167UnigramDrift _),
     "q168_ivf_merge_shift" -> (q168IvfMergeShift _),
     "q169_minhash_calibration" -> (q169MinhashCalibration _),
+    "q170_eval_dirtiness" -> (q170EvalDirtiness _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6810,6 +6851,7 @@ object SparkEntry {
     "q165_pack_fill" -> q165Sql,
     "q167_unigram_drift" -> q167Sql,
     "q169_minhash_calibration" -> q169Sql,
+    "q170_eval_dirtiness" -> q170Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

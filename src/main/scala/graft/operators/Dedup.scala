@@ -1019,6 +1019,42 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Eval-side contamination report — the flip side of [[contamination]]
+    * (which flags CORPUS docs): per EVALUATION document, what fraction
+    * of its distinct word-n-grams appears anywhere in the training
+    * corpus. This is the "X% of benchmark Y is contaminated" table
+    * model reports publish (the GPT-3/Llama dirty-doc rule: an eval doc
+    * is dirty when most of its n-grams leak); read it per benchmark
+    * before trusting its score on a model trained on this corpus.
+    *
+    * Output, one row per eval doc with ≥ 1 shingle:
+    * `(eval_id, n_shingles, n_hit, dirty_frac, dirty)` with
+    * `dirty = dirty_frac ≥ dirtyThreshold`.
+    *
+    * Scale shape, the [[contamination]] asymmetry: eval shingles are
+    * tiny and broadcast; the corpus pays ONE shingle-explode scan probed
+    * against the broadcast (no corpus shuffle); the distinct/count
+    * aggregates are bounded by the eval shingle set, not the corpus. */
+  def evalDirtiness(corpus: DataFrame, evalDocs: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 3, dirtyThreshold: Double = 0.8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val evalSh = evalDocs.select(col(idCol).as("eval_id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val sizes = evalSh.groupBy("eval_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"))
+    val corpusExpl = corpus.select(explode(shingles(col(textCol), n)).as("shingle"))
+    val hits = corpusExpl.join(broadcast(evalSh), "shingle")
+      .groupBy("eval_id")
+      .agg(countDistinct("shingle").cast("long").as("n_hit"))
+    sizes.join(hits, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("dirty_frac",
+        round(col("n_hit").cast("double") / col("n_shingles"), 4))
+      .withColumn("dirty", col("dirty_frac") >= dirtyThreshold)
+      .select("eval_id", "n_shingles", "n_hit", "dirty_frac", "dirty")
+  }
+
   /** FUZZY benchmark decontamination: corpus documents whose word-n-gram
     * Jaccard similarity with ANY evaluation document reaches
     * `minJaccard` — the near-duplicate companion to [[contamination]]'s

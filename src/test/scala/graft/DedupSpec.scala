@@ -117,6 +117,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled into join:\n$plan")
   }
 
+  test("evalDirtiness: per-eval hit fractions, zero-hit kept, dirty rule") {
+    // eval 100: 4 trigrams, 3 found in corpus -> 0.75 (clean at 0.8)
+    // eval 200: fully contained in corpus doc 1 -> 1.0 (dirty)
+    // eval 300: shares nothing -> 0 hits, kept with frac 0.0
+    val eval = Seq(
+      (100L, "the quick brown fox jumps high"),
+      (200L, "alpha beta gamma delta"),
+      (300L, "zzz yyy xxx www")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro alpha beta gamma delta outro"),
+      (2L, "something about the quick brown fox jumps here")
+    ).toDF("doc_id", "text")
+    val res = Dedup.evalDirtiness(corpus, eval, "text", "doc_id", n = 3,
+        dirtyThreshold = 0.8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    assert(res.keySet == Set(100L, 200L, 300L))
+    assert(res(100L) == (4L, 3L, 0.75, false))
+    assert(res(200L) == (2L, 2L, 1.0, true))
+    assert(res(300L) == (2L, 0L, 0.0, false))
+    // eval side broadcast; corpus never shuffled into the probe join
+    val plan = Dedup.evalDirtiness(corpus, eval, "text", "doc_id", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
   test("fuzzyContamination flags near-dup eval leakage, exact jaccard, argmax ties") {
     // doc 1 is a light paraphrase of eval 100 (high jaccard); doc 2 is
     // clean; doc 3 matches BOTH eval docs 100 and 101 (identical text)
