@@ -2176,8 +2176,9 @@ object OracleSqlGen {
     * division) with empty cells keeping their previous centroid. The
     * recomputed centroids are bit-identical to the engine's, so no
     * iteration can diverge on a Voronoi near-tie. */
-  def kmeansLloydSql(k: Int, iters: Int, spherical: Boolean = false): String =
-    s"""WITH ${lloydChainCtes(k, iters, spherical)}
+  def kmeansLloydSql(k: Int, iters: Int, spherical: Boolean = false,
+                     weightExpr: Option[String] = None): String =
+    s"""WITH ${lloydChainCtes(k, iters, spherical, weightExpr)}
        |SELECT CAST(it AS BIGINT) AS iter, CAST(cell AS BIGINT) AS cell_id,
        |  n, round(obj, 4) AS obj
        |FROM (
@@ -2211,23 +2212,42 @@ object OracleSqlGen {
   /** The shared unrolled-Lloyd CTE body (`cents0`, then per iteration
     * `a{i}`/`st{i}`/`cents{i}`) used by [[kmeansLloydSql]] and
     * [[kmeansSweepSql]]. */
-  private def lloydChainCtes(k: Int, iters: Int, spherical: Boolean): String = {
+  private def lloydChainCtes(k: Int, iters: Int, spherical: Boolean,
+                             weightExpr: Option[String] = None): String = {
     def d2 = s"""list_reduce(list_prepend(0.0,
                 |        list_transform(list_zip(e.embedding, c.v),
                 |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
                 |               (CAST(p[1] AS DOUBLE) - p[2]))),
                 |        (acc, t) -> acc + t)""".stripMargin
+    // weighted: occupancy = Σw, objective/means on BIGINT w·scaled-long
+    // products — the engine's exact-integer weighted path
+    val wSel = weightExpr.map(w => s", CAST($w AS BIGINT) AS w").getOrElse("")
+    val wOut = if (weightExpr.isDefined) ", w" else ""
+    val stBody =
+      if (weightExpr.isEmpty)
+        """CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CAST(round(d2, 6) AS DECIMAL(22,6))) AS DOUBLE) AS obj""".stripMargin
+      else
+        """CAST(sum(w) AS BIGINT) AS n,
+          |    CAST(sum(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) * w) AS DOUBLE)
+          |      / 1000000.0 AS obj""".stripMargin
+    val sumBody =
+      if (weightExpr.isEmpty)
+        """sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sv,
+          |        count(*) AS n""".stripMargin
+      else
+        """sum(w * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sv,
+          |        CAST(sum(w) AS BIGINT) AS n""".stripMargin
     val iterCtes = (1 to iters).map { i =>
       s"""a$i AS (
-         |  SELECT vec_id, embedding, cell, d2 FROM (
-         |    SELECT e.vec_id, e.embedding, c.cell,
+         |  SELECT vec_id, embedding, cell, d2$wOut FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell$wSel,
          |      $d2 AS d2,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        $d2 ASC, c.cell ASC) AS rn
          |    FROM embeddings e CROSS JOIN cents${i - 1} c) WHERE rn = 1),
          |st$i AS (
-         |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CAST(round(d2, 6) AS DECIMAL(22,6))) AS DOUBLE) AS obj
+         |  SELECT cell, $stBody
          |  FROM a$i GROUP BY cell),
          |cents$i AS (
          |  SELECT c0.cell, coalesce(nv.v, c0.v) AS v
@@ -2248,9 +2268,8 @@ object OracleSqlGen {
          }
          |    FROM (
          |      SELECT cell, j,
-         |        sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sv,
-         |        count(*) AS n
-         |      FROM (SELECT cell, unnest(range(len(embedding))) AS j,
+         |        $sumBody
+         |      FROM (SELECT cell$wOut, unnest(range(len(embedding))) AS j,
          |                   unnest(embedding) AS x
          |            FROM a$i)
          |      GROUP BY cell, j)

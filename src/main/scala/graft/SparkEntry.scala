@@ -5060,6 +5060,29 @@ object SparkEntry {
 
   private val q136Sql = OracleSqlGen.kmeansLloydSql(k = 8, iters = 3)
 
+  /** Weighted k-means ([[Clustering.lloyd]] `weightCol`): FAISS
+    * `Clustering::train_encoded`'s per-point weights with integer
+    * multiplicities — the dedup-then-train pattern (train on distinct
+    * representatives weighted by copy count and get the SAME solution
+    * as training on the raw corpus, at a fraction of the scan). Weights
+    * here are the deterministic `(id % 5) + 1` so the oracle replays
+    * them inline; every update stays exact (BIGINT `Σ w·x̂` sums, one
+    * IEEE division — see the operator doc for the overflow headroom). */
+  private def q171WeightedKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+      .withColumn("w", (col("doc_id") % 5) + 1)
+    val res = Clustering.lloyd(emb, k = 8, iters = 3, weightCol = Some("w"))
+    res.history.toDF()
+      .select(col("iter").cast("long").as("iter"),
+        col("cell").cast("long").as("cell_id"),
+        col("n"), round(col("obj"), 4).as("obj"))
+      .orderBy("iter", "cell_id")
+  }
+
+  private val q171Sql = OracleSqlGen.kmeansLloydSql(k = 8, iters = 3,
+    weightExpr = Some("(e.vec_id % 5) + 1"))
+
   /** Spherical k-means ([[Clustering.lloyd]] `spherical = true`): FAISS
     * `ClusteringParameters.spherical` — centroids re-normalized to the
     * unit sphere after every update, the right quantizer geometry for
@@ -6711,6 +6734,7 @@ object SparkEntry {
     "q168_ivf_merge_shift" -> (q168IvfMergeShift _),
     "q169_minhash_calibration" -> (q169MinhashCalibration _),
     "q170_eval_dirtiness" -> (q170EvalDirtiness _),
+    "q171_weighted_kmeans" -> (q171WeightedKmeans _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6852,6 +6876,7 @@ object SparkEntry {
     "q167_unigram_drift" -> q167Sql,
     "q169_minhash_calibration" -> q169Sql,
     "q170_eval_dirtiness" -> q170Sql,
+    "q171_weighted_kmeans" -> q171Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

@@ -68,9 +68,26 @@ object Clustering {
     * vector (division guard). Assignment stays squared-L2 argmin — for
     * unit-norm centroids that is the cosine argmax up to the point's
     * own norm, FAISS's own equivalence. */
+  /** `weightCol` is FAISS `Clustering::train_encoded`'s per-point
+    * sample weight, restricted to INTEGER multiplicities — the case a
+    * data pipeline actually has: train the quantizer on deduplicated
+    * representatives weighted by how many copies each one stands for,
+    * and the solution is IDENTICAL to training on the un-deduped corpus
+    * (each rep's contribution multiplies instead of repeating). Integer
+    * weights keep every update exact: weighted sums stay BIGINT
+    * (`Σ w·x̂` with `x̂ = floor(x·1e6 + 0.5)`), the mean divides once in
+    * IEEE double, and the weighted objective uses the same scaled-long
+    * trick (`Σ w·floor(d2·1e6 + 0.5)`, one division at the end) —
+    * bit-replicable on any partitioning and in the SQL replay, where a
+    * float-weighted sum would be addition-order nondeterministic.
+    * Overflow headroom: per (cell, dim), `Σ w·|x̂|` must stay under
+    * 2⁶³ — at |x| ≤ 128 that is ~7·10¹⁰ of total weight mass, far above
+    * any training sample (FAISS itself trains on at most
+    * `k·max_points_per_centroid` points). */
   def lloyd(corpus: DataFrame, k: Int, iters: Int,
             embCol: String = "embedding", idCol: String = "doc_id",
-            spherical: Boolean = false): LloydResult = {
+            spherical: Boolean = false,
+            weightCol: Option[String] = None): LloydResult = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     require(k >= 1 && iters >= 1, "k and iters must be positive")
@@ -89,28 +106,39 @@ object Clustering {
       // The iteration's two aggregates (occupancy+objective, per-dim
       // sums) both need the assignment; persist it so the k-way argmin
       // kernel runs ONCE per iteration, not once per pass.
+      val wCol = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
       val assigned = corpus.select(
-        col(embCol).as("__e"),
+        col(embCol).as("__e"), wCol.as("__w"),
         GraftFunctions.nearestCentroidF32(col(embCol), centsLit).as("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // Pass 1: per-cell occupancy + objective (k rows).
+        // Pass 1: per-cell occupancy + objective (k rows). Unweighted
+        // keeps the original decimal objective (q136/q140/q141 oracles
+        // replay it); weighted uses the scaled-long form (see doc).
+        val statsAgg =
+          if (weightCol.isEmpty)
+            Seq(count(lit(1)).as("n"),
+              sum(round(col("__d2"), 6).cast("decimal(22,6)"))
+                .cast("double").as("obj"))
+          else
+            Seq(sum("__w").cast("long").as("n"),
+              (sum(floor(col("__d2") * 1e6 + lit(0.5)).cast("long") * col("__w"))
+                .cast("double") / 1e6).as("obj"))
         val stats = assigned
           .withColumn("__d2", d2Col(col("__e"), centsLit, col("cell")))
           .groupBy("cell")
-          .agg(count(lit(1)).as("n"),
-            sum(round(col("__d2"), 6).cast("decimal(22,6)"))
-              .cast("double").as("obj"))
+          .agg(statsAgg.head, statsAgg.tail: _*)
           .collect()
         stats.foreach(r => history +=
           LloydStat(it, r.getInt(0), r.getLong(1), r.getDouble(2)))
 
         // Pass 2: integer-exact per-(cell, dim) scaled sums (k·d rows).
         val sums = assigned
-          .select(col("cell"), posexplode(col("__e")).as(Seq("j", "x")))
+          .select(col("cell"), col("__w"), posexplode(col("__e")).as(Seq("j", "x")))
           .groupBy("cell", "j")
-          .agg(sum(floor(col("x").cast("double") * 1e6 + 0.5)).as("sv"),
-            count(lit(1)).as("n"))
+          .agg(sum(col("__w") *
+              floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("sv"),
+            sum("__w").cast("long").as("n"))
           .collect()
 
       val next = cents.map(_.clone()) // empty cells keep their centroid

@@ -118,6 +118,36 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted lloyd ≡ row replication; unit weights ≡ unweighted") {
+    import org.apache.spark.sql.functions.lit
+    val base = randVecs(60, dim = 6, seed = 7)
+    val w = base.map { case (id, _) => (id % 3 + 1).toInt }
+    val weighted = base.zip(w).map { case ((id, v), wi) => (id, v, wi.toLong) }
+      .toDF("doc_id", "embedding", "w")
+    // replicas keep the originals' ids 0..59 (init = k lowest ids must
+    // pick the same seed vectors) and copies land at ids >= 1000
+    val replicated = base.zip(w).flatMap { case ((id, v), wi) =>
+      (0 until wi).map(r => (if (r == 0) id else 1000L + id * 10 + r, v))
+    }.toDF("doc_id", "embedding")
+    val a = Clustering.lloyd(weighted, k = 4, iters = 3, weightCol = Some("w"))
+    val b = Clustering.lloyd(replicated, k = 4, iters = 3)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+    assert(a.history.map(s => (s.iter, s.cell) -> s.n).toMap ==
+      b.history.map(s => (s.iter, s.cell) -> s.n).toMap)
+    // the two exact objective forms (scaled-long vs decimal) agree to
+    // their shared 1e-6 quantization times the corpus mass
+    a.history.zip(b.history).foreach { case (x, y) =>
+      assert(math.abs(x.obj - y.obj) < 1e-3, s"$x vs $y") }
+    // weight 1 everywhere ≡ the unweighted path (identical centroids,
+    // occupancies)
+    val ones = base.toDF("doc_id", "embedding").withColumn("w", lit(1L))
+    val c = Clustering.lloyd(ones, k = 4, iters = 3, weightCol = Some("w"))
+    val d = Clustering.lloyd(base.toDF("doc_id", "embedding"), k = 4, iters = 3)
+    assert(c.centroids.map(_.toSeq).toSeq == d.centroids.map(_.toSeq).toSeq)
+    assert(c.history.map(s => (s.iter, s.cell, s.n)) ==
+      d.history.map(s => (s.iter, s.cell, s.n)))
+  }
+
   test("k larger than corpus fails loudly") {
     val docs = randVecs(3).toDF("doc_id", "embedding")
     intercept[IllegalArgumentException] {
