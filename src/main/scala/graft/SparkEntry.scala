@@ -3828,6 +3828,108 @@ object SparkEntry {
     s"""${q63ComponentsCtes}final AS (SELECT doc_id, comp FROM comps)
       |SELECT doc_id, comp FROM final ORDER BY doc_id""".stripMargin
 
+  /** Near-dup cluster-size histogram — the dedup SAVINGS estimate read
+    * before running the drop (how much of the corpus is 2×, 3×, n×
+    * duplicated; `Σ n_dropped` is exactly what keep-one-per-cluster
+    * reclaims). Singletons (docs with no near-dup edge) are restored as
+    * the size-1 row from the two scalar counts, so the histogram covers
+    * the WHOLE corpus — the q63 components carry only docs with edges.
+    * Consumes the PERSISTED components artifact (the q127 posture —
+    * mining is ingest work; the artifact is n·dup-density rows, so the
+    * histogram costs two tiny aggregates + one corpus row count);
+    * oracle composes the shared q63 closure CTEs with the same
+    * histogram + singleton-restore arithmetic (exact longs only). */
+  private def q172DupHistogram(s: SparkSession, dir: String): DataFrame = {
+    val comps = componentsCorpus(s, dir)
+    val hist = comps.groupBy("comp").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).cast("long").as("n_components"))
+    // the chain injection rewrites text only — corpus row count is the
+    // raw documents count
+    val tot = t(s, dir, "documents").agg(count(lit(1)).as("__n"))
+    val inC = comps.agg(count(lit(1)).as("__m"))
+    val singles = tot.crossJoin(inC)
+      .select(lit(1L).as("sz"), (col("__n") - col("__m")).as("n_components"))
+    hist.select(col("sz").cast("long").as("sz"), col("n_components"))
+      .unionByName(singles)
+      .filter(col("n_components") > 0)
+      .select(col("sz"), col("n_components"),
+        (col("sz") * col("n_components")).as("n_docs"),
+        ((col("sz") - 1) * col("n_components")).as("n_dropped"))
+      .orderBy("sz")
+  }
+
+  private val q172Sql =
+    s"""${q63ComponentsCtes}csz AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp),
+      |hist AS (SELECT CAST(sz AS BIGINT) AS sz,
+      |         CAST(count(*) AS BIGINT) AS n_components FROM csz GROUP BY sz),
+      |tot AS (SELECT count(*) AS n FROM docs2),
+      |inc AS (SELECT count(*) AS m FROM comps),
+      |allrows AS (
+      |  SELECT sz, n_components FROM hist
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), CAST(tot.n - inc.m AS BIGINT) FROM tot, inc)
+      |SELECT sz, n_components,
+      |  CAST(sz * n_components AS BIGINT) AS n_docs,
+      |  CAST((sz - 1) * n_components AS BIGINT) AS n_dropped
+      |FROM allrows WHERE n_components > 0
+      |ORDER BY sz""".stripMargin
+
+  /** Cross-source duplication matrix — near-dup pair counts per
+    * (source_a, source_b): the mirror-site / syndication detector (a
+    * hot off-diagonal cell means two crawl sources are republishing
+    * each other — drop one at the SOURCE level instead of paying
+    * per-doc dedup; the diagonal is within-source boilerplate). Rides
+    * the q15 pair pipeline unchanged, then one broadcast id→source
+    * join per pair side; source pairs are unordered (lexicographic
+    * normalization) so each mirror relation lands in ONE cell. */
+  private def q173CrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+      n = 3, bands = 4, minJaccard = 0.15)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(broadcast(src.select(col("doc_id").as("id_a"), col("source").as("sa"))), "id_a")
+      .join(broadcast(src.select(col("doc_id").as("id_b"), col("source").as("sb"))), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val q173Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+      |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.15)
+      |SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM verified v
+      |JOIN documents da ON v.id_a = da.doc_id
+      |JOIN documents db ON v.id_b = db.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** Quality-ranked cluster dedup (`Dedup.keepBestResolution`): q63's
     * near-dup clusters resolved by KEEPING each cluster's highest-
     * [[TextAnalysis.qualityScore]] member instead of its lowest id — what
@@ -6735,6 +6837,8 @@ object SparkEntry {
     "q169_minhash_calibration" -> (q169MinhashCalibration _),
     "q170_eval_dirtiness" -> (q170EvalDirtiness _),
     "q171_weighted_kmeans" -> (q171WeightedKmeans _),
+    "q172_dup_histogram" -> (q172DupHistogram _),
+    "q173_cross_source_dups" -> (q173CrossSourceDups _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6877,6 +6981,8 @@ object SparkEntry {
     "q169_minhash_calibration" -> q169Sql,
     "q170_eval_dirtiness" -> q170Sql,
     "q171_weighted_kmeans" -> q171Sql,
+    "q172_dup_histogram" -> q172Sql,
+    "q173_cross_source_dups" -> q173Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
