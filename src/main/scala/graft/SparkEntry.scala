@@ -619,6 +619,59 @@ object SparkEntry {
       |SELECT vec_id, round(dist, 4) AS dist, round(1.0 / (1.0 + dist), 4) AS sim
       |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** FAISS `METRIC_L1` (faiss/utils/extra_distances.h): exact Manhattan
+    * top-k — the robust-to-outlier-dimensions metric choice FAISS exposes
+    * beside IP/L2; same codegen-kernel scan shape as q28, new
+    * `l1_distance_f32` kernel. Oracle: strict double fold over abs terms
+    * (sequential accumulation = the kernel's loop). */
+  private def q174KnnL1(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    emb.filter(col("vec_id") =!= 0)
+      .withColumn("dist", GraftFunctions.l1DistanceF32(col("embedding"), typedLit(qVec)))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+  }
+
+  private val q174Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (
+      |  SELECT e.vec_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qe),
+      |      p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+      |      (acc, t) -> acc + t) AS dist
+      |  FROM embeddings e, q WHERE e.vec_id <> 0)
+      |SELECT vec_id, round(dist, 4) AS dist
+      |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** FAISS `METRIC_Linf`: exact Chebyshev top-k — the worst-dimension
+    * bound metric. Max of abs gaps is exact and order-independent, so
+    * the oracle replays it as `list_max` (no fold needed). */
+  private def q175KnnLinf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    emb.filter(col("vec_id") =!= 0)
+      .withColumn("dist", GraftFunctions.linfDistanceF32(col("embedding"), typedLit(qVec)))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+  }
+
+  private val q175Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (
+      |  SELECT e.vec_id,
+      |    list_max(list_transform(list_zip(e.embedding, q.qe),
+      |      p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+      |  FROM embeddings e, q WHERE e.vec_id <> 0)
+      |SELECT vec_id, round(dist, 4) AS dist
+      |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+
   /** P6: fixed-threshold retrieval mode (dynamic thresholding off,
     * `components/rag_system.py:303-304`). */
   private def q29FixedThreshold(s: SparkSession, dir: String): DataFrame = {
@@ -6839,6 +6892,8 @@ object SparkEntry {
     "q171_weighted_kmeans" -> (q171WeightedKmeans _),
     "q172_dup_histogram" -> (q172DupHistogram _),
     "q173_cross_source_dups" -> (q173CrossSourceDups _),
+    "q174_knn_l1" -> (q174KnnL1 _),
+    "q175_knn_linf" -> (q175KnnLinf _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -6983,6 +7038,8 @@ object SparkEntry {
     "q171_weighted_kmeans" -> q171Sql,
     "q172_dup_histogram" -> q172Sql,
     "q173_cross_source_dups" -> q173Sql,
+    "q174_knn_l1" -> q174Sql,
+    "q175_knn_linf" -> q175Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

@@ -31,6 +31,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "l2_distance_f32", exprs => L2DistanceF32(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "l1_distance_f32", exprs => L1DistanceF32(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "linf_distance_f32", exprs => LinfDistanceF32(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "l2_normalize_f32", exprs => L2NormalizeF32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "norm_f32", exprs => NormF32(exprs.head), "built-in")
@@ -105,6 +109,14 @@ object GraftFunctions {
   /** Euclidean distance between two `array<float>` columns. */
   def l2DistanceF32(a: Column, b: Column): Column =
     call_function("l2_distance_f32", a, b)
+
+  /** Manhattan (L1) distance between two `array<float>` columns. */
+  def l1DistanceF32(a: Column, b: Column): Column =
+    call_function("l1_distance_f32", a, b)
+
+  /** Chebyshev (L∞) distance between two `array<float>` columns. */
+  def linfDistanceF32(a: Column, b: Column): Column =
+    call_function("linf_distance_f32", a, b)
 
   /** L2-normalize an `array<float>` column. */
   def l2NormalizeF32(a: Column): Column = call_function("l2_normalize_f32", a)

@@ -172,6 +172,91 @@ case class L2DistanceF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Manhattan (L1) distance in double over float elements, sequential
+  * index order — FAISS `METRIC_L1` (faiss/utils/extra_distances.h). The
+  * oracle replays it as a strict double fold over `abs` terms. */
+case class L1DistanceF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l1_distance_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += math.abs(x.getFloat(i).toDouble - y.getFloat(i).toDouble)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += java.lang.Math.abs((double)$a.getFloat($i) - (double)$b.getFloat($i));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L1DistanceF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Chebyshev (L∞) distance — FAISS `METRIC_Linf`. Max of absolute
+  * per-dimension gaps: exact and order-independent (max is associative
+  * over exact `abs` terms), so the oracle replays it as `list_max`. */
+case class LinfDistanceF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "linf_distance_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val d = math.abs(x.getFloat(i).toDouble - y.getFloat(i).toDouble)
+      if (d > m) m = d
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = java.lang.Math.abs((double)$a.getFloat($i) - (double)$b.getFloat($i));
+         |  if ($d > $m) $m = $d;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LinfDistanceF32 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2-normalize a float vector — the reference normalizes at encode time so
   * inner product == cosine (`components/core/embedding_service.py:92-102`).
   * Used at ingest (not the per-query hot path), so interpreted eval via

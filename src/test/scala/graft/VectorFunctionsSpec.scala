@@ -46,6 +46,30 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(df.select(GraftFunctions.normF32($"a")).as[Double].head() === 5.0)
   }
 
+  test("l1_distance_f32 and linf_distance_f32: values, nulls, both eval paths") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, -2.0f, 3.0f), Array(4.0f, 0.0f, 1.5f)), // |−3|+|−2|+|1.5|
+      (Array(0.5f, 0.5f), Array(0.5f, 0.5f))
+    ).toDF("a", "b")
+    val l1 = df.select(GraftFunctions.l1DistanceF32($"a", $"b")).as[Double].collect()
+    assert(l1(0) == 3.0 + 2.0 + 1.5 && l1(1) == 0.0)
+    val linf = df.select(GraftFunctions.linfDistanceF32($"a", $"b")).as[Double].collect()
+    assert(linf(0) == 3.0 && linf(1) == 0.0)
+    val withNull = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(withNull.select(GraftFunctions.l1DistanceF32($"a", $"b")).collect()(0).isNullAt(0))
+    assert(withNull.select(GraftFunctions.linfDistanceF32($"a", $"b")).collect()(0).isNullAt(0))
+    // interpreted path agrees with codegen
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      assert(df.select(GraftFunctions.l1DistanceF32($"a", $"b")).as[Double].collect().toSeq
+        == l1.toSeq)
+      assert(df.select(GraftFunctions.linfDistanceF32($"a", $"b")).as[Double].collect().toSeq
+        == linf.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("hash embedder: deterministic, unit-norm, dimension-correct") {
     val a = HashEmbedder.embed("spark join vector", 64)
     val b = HashEmbedder.embed("spark join vector", 64)
