@@ -2959,6 +2959,50 @@ object SparkEntry {
       |JOIN (SELECT id, eval_id FROM ranked WHERE rn = 1) r ON a.id = r.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Length-percentile curriculum assignment: docs staged short→long by
+    * the EXACT token-count quartiles (curriculum learning's standard
+    * schedule axis — stage 0 trains first). Cutoffs use the q113
+    * percentile contract (Spark exact `percentile` ≡ DuckDB
+    * `quantile_cont`, identical linear interpolation; swap in
+    * `approx_percentile` at 100 TB — same call shape). Two corpus
+    * scans: one 3-double cutoff aggregate, one assign+rollup. Per
+    * stage: docs, token min/max/total. */
+  private def q176LengthCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+    val q = tok.agg(expr("percentile(nt, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .collect()(0).getSeq[Double](0)
+    tok
+      .withColumn("stage",
+        when(col("nt") <= q(0), 0L).when(col("nt") <= q(1), 1L)
+          .when(col("nt") <= q(2), 2L).otherwise(3L))
+      .groupBy("stage")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min("nt").as("min_tokens"), max("nt").as("max_tokens"),
+        sum("nt").cast("long").as("sum_tokens"))
+      .orderBy("stage")
+  }
+
+  private val q176Sql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |c AS (SELECT quantile_cont(nt, [0.25, 0.5, 0.75]) AS q FROM tok),
+      |a AS (
+      |  SELECT t.nt,
+      |    CASE WHEN t.nt <= c.q[1] THEN 0 WHEN t.nt <= c.q[2] THEN 1
+      |         WHEN t.nt <= c.q[3] THEN 2 ELSE 3 END AS stage
+      |  FROM tok t, c)
+      |SELECT CAST(stage AS BIGINT) AS stage,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(nt) AS BIGINT) AS min_tokens,
+      |  CAST(max(nt) AS BIGINT) AS max_tokens,
+      |  CAST(sum(nt) AS BIGINT) AS sum_tokens
+      |FROM a GROUP BY stage
+      |ORDER BY stage""".stripMargin
+
   /** Eval-side contamination report ([[Dedup.evalDirtiness]]): per eval
     * doc (the q51 doc_id%100==0 suite), the fraction of its distinct
     * 3-grams present anywhere in the training corpus — the published
@@ -6894,6 +6938,7 @@ object SparkEntry {
     "q173_cross_source_dups" -> (q173CrossSourceDups _),
     "q174_knn_l1" -> (q174KnnL1 _),
     "q175_knn_linf" -> (q175KnnLinf _),
+    "q176_length_curriculum" -> (q176LengthCurriculum _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7040,6 +7085,7 @@ object SparkEntry {
     "q173_cross_source_dups" -> q173Sql,
     "q174_knn_l1" -> q174Sql,
     "q175_knn_linf" -> q175Sql,
+    "q176_length_curriculum" -> q176Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
