@@ -1164,6 +1164,40 @@ object OracleSqlGen {
     ivfAdcSearchSql(cents, books, k, nprobe,
       source = "__rotsrc", preCtes = rotCtes(rot))
 
+  /** q179's oracle: PQ codebook utilization — the per-subspace code
+    * histogram summary (codes used of ksub, the hottest code's mass)
+    * from the SAME per-subspace argmin assignment the q77/q99 replays
+    * use. A subspace using few of its codes (or one code holding most
+    * mass) is a collapsed codebook: retrain or raise ksub. */
+  def pqUtilizationSql(books: Seq[Seq[Array[Double]]]): String = {
+    val dsub = books.head.head.length
+    val values = (for {
+      (book, s) <- books.zipWithIndex
+      (c, code) <- book.zipWithIndex
+    } yield s"($s, $code, [${c.mkString(", ")}])").mkString(",\n      ")
+    s"""WITH __books(s, code, c) AS (VALUES
+       |      $values),
+       |__codes AS (
+       |  SELECT doc_id, s, code FROM (
+       |    SELECT e.vec_id AS doc_id, b.s, b.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.s ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(e.embedding[b.s*$dsub+1 : b.s*$dsub+$dsub], b.c),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |        b.code ASC) AS rn
+       |    FROM embeddings e CROSS JOIN __books b)
+       |  WHERE rn = 1),
+       |per AS (SELECT s, code, count(*) AS n FROM __codes GROUP BY s, code),
+       |tot AS (SELECT count(*) AS t FROM embeddings)
+       |SELECT CAST(s AS BIGINT) AS subspace,
+       |  CAST(count(*) AS BIGINT) AS n_codes_used,
+       |  CAST(max(n) AS BIGINT) AS top_code_n,
+       |  round(CAST(max(n) AS DOUBLE) / tot.t, 4) AS top_code_frac
+       |FROM per, tot GROUP BY s, tot.t
+       |ORDER BY subspace""".stripMargin
+  }
+
   private def pqSearchSqlFrom(books: Seq[Seq[Array[Double]]], k: Int,
                               source: String, preCtes: String): String = {
     val dsub = books.head.head.length

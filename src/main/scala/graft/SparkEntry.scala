@@ -468,6 +468,75 @@ object SparkEntry {
       |GROUP BY m.n_band_match
       |ORDER BY n_band_match""".stripMargin
 
+  /** LSH banding sweep — the dedup tier's tuning table (completing the
+    * tuning family beside q107 nprobe / q123 nlist / q141 k-elbow /
+    * q157 beam): per band count b ∈ {2,4,8} over the SAME corpus,
+    * candidate pairs, pairs verifying at Jaccard ≥ 0.5, and banding
+    * precision. More/narrower bands admit more candidates (higher
+    * recall, the q169 calibration's other axis) at more verify compute;
+    * this table prices that trade. The verify threshold is applied in
+    * INTEGERS (`2·n_inter ≥ n_union` ⇔ J ≥ 0.5 — no float boundary);
+    * precision is one guarded division. Oracle = one full
+    * sig/cand/verify replay per band count, unioned as derived tables
+    * (band slice width 32/b hex chars, the kernel's rule). */
+  private def q178BandSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Seq(2, 4, 8).map { b =>
+      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", n = 3, bands = b)
+      val cands = Dedup.lshCandidates(sigs)
+      val ver = Dedup.jaccardVerifyOverlapping(docs, cands, "text", "doc_id", n = 3)
+        .filter(col("n_inter") * 2 >= col("n_union"))
+      cands.agg(count(lit(1)).cast("long").as("n_candidates"))
+        .crossJoin(ver.agg(count(lit(1)).cast("long").as("n_verified")))
+        .select(lit(b.toLong).as("bands"), col("n_candidates"), col("n_verified"))
+    }.reduce(_ unionByName _)
+      .withColumn("precision",
+        round(when(col("n_candidates") > 0,
+          col("n_verified").cast("double") / col("n_candidates"))
+          .otherwise(lit(0.0)), 4))
+      .orderBy("bands")
+  }
+
+  private val q178Sql = {
+    val blocks = Seq(2, 4, 8).map { b =>
+      val w = 32 / b
+      val bandList = (0 until b).mkString("[", ",", "]")
+      s"""SELECT * FROM (WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id, band.b AS band,
+        |    min(substr(md5(s.sh_el), band.b * $w + 1, $w)) AS sig
+        |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest($bandList) AS b) AS band
+        |  GROUP BY doc_id, band.b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT c.id_a FROM cand c
+        |  JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+        |  WHERE 2 * len(list_intersect(x.sh, y.sh)) >=
+        |        len(list_distinct(list_concat(x.sh, y.sh))))
+        |SELECT CAST($b AS BIGINT) AS bands,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_verified)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT bands, n_candidates, n_verified,
+      |  round(CASE WHEN n_candidates > 0
+      |    THEN CAST(n_verified AS DOUBLE) / n_candidates ELSE 0.0 END, 4)
+      |    AS precision
+      |FROM (
+      |$blocks)
+      |ORDER BY bands""".stripMargin
+  }
+
   // ====================================================================
   // Vector search (J1 exact single + batch, W1 dynamic threshold,
   // embedding near-dup) over the embeddings table
@@ -671,6 +740,75 @@ object SparkEntry {
       |  FROM embeddings e, q WHERE e.vec_id <> 0)
       |SELECT vec_id, round(dist, 4) AS dist
       |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** IP-vs-cosine metric agreement audit: the exact top-10 under raw
+    * inner product vs under cosine over the SAME scan — the table read
+    * before deciding whether to L2-normalize at ingest (FAISS's own
+    * guidance: if the two rankings diverge, vector norms carry signal
+    * the metric choice keeps or throws away). Union of both top-10s
+    * with both ranks (0 = outside that metric's top-10) and both
+    * scores. One scored scan serves both rankings (the q156 posture);
+    * cosine = ip/(‖x‖·‖q‖) with a zero-norm guard, every factor the
+    * strict sequential fold both engines replay. */
+  private def q177MetricAgreement(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qRow = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val qNorm = math.sqrt(qRow.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .withColumn("ip", GraftFunctions.dotF32(col("embedding"), typedLit(qRow)))
+      .withColumn("nrm", GraftFunctions.normF32(col("embedding")))
+      .withColumn("cos", when(col("nrm") > 0,
+        col("ip") / (col("nrm") * lit(qNorm))).otherwise(lit(0.0)))
+    import org.apache.spark.sql.expressions.Window
+    val topIp = scored.orderBy(col("ip").desc, col("vec_id").asc).limit(10)
+      .withColumn("rank_ip",
+        row_number().over(Window.orderBy(col("ip").desc, col("vec_id").asc)))
+    val topCos = scored.orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      .withColumn("rank_cos",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)))
+    topIp.select(col("vec_id"), col("rank_ip"))
+      .join(topCos.select(col("vec_id"), col("rank_cos")), Seq("vec_id"), "full_outer")
+      .na.fill(0, Seq("rank_ip", "rank_cos"))
+      .join(scored.select(col("vec_id"),
+        round(col("ip"), 4).as("ip"), round(col("cos"), 4).as("cos")), "vec_id")
+      .select(col("vec_id"), col("rank_ip").cast("long").as("rank_ip"),
+        col("rank_cos").cast("long").as("rank_cos"), col("ip"), col("cos"))
+      .orderBy("vec_id")
+  }
+
+  private val q177Sql = {
+    val sqFold = (v: String) =>
+      s"""sqrt(list_reduce(list_prepend(0.0, list_transform($v,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |      (acc, t) -> acc + t))""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |qn AS (SELECT ${sqFold("qe")} AS qnorm FROM q),
+      |d AS (
+      |  SELECT e.vec_id,
+      |    ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS ip,
+      |    ${sqFold("e.embedding")} AS nrm
+      |  FROM embeddings e, q WHERE e.vec_id <> 0),
+      |s AS (
+      |  SELECT vec_id, ip,
+      |    CASE WHEN nrm > 0 THEN ip / (nrm * qn.qnorm) ELSE 0.0 END AS cos
+      |  FROM d, qn),
+      |ri AS (SELECT vec_id, row_number() OVER (ORDER BY ip DESC, vec_id ASC) AS rank_ip FROM s),
+      |rc AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank_cos FROM s),
+      |ti AS (SELECT vec_id, rank_ip FROM ri WHERE rank_ip <= 10),
+      |tc AS (SELECT vec_id, rank_cos FROM rc WHERE rank_cos <= 10),
+      |u AS (
+      |  SELECT coalesce(ti.vec_id, tc.vec_id) AS vec_id,
+      |    coalesce(ti.rank_ip, 0) AS rank_ip,
+      |    coalesce(tc.rank_cos, 0) AS rank_cos
+      |  FROM ti FULL OUTER JOIN tc ON ti.vec_id = tc.vec_id)
+      |SELECT u.vec_id, CAST(u.rank_ip AS BIGINT) AS rank_ip,
+      |  CAST(u.rank_cos AS BIGINT) AS rank_cos,
+      |  round(s.ip, 4) AS ip, round(s.cos, 4) AS cos
+      |FROM u JOIN s ON u.vec_id = s.vec_id
+      |ORDER BY u.vec_id""".stripMargin
+  }
 
   /** P6: fixed-threshold retrieval mode (dynamic thresholding off,
     * `components/rag_system.py:303-304`). */
@@ -1671,6 +1809,30 @@ object SparkEntry {
         k = 10, rerank = 50, nprobe = 4)
       .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
         round(col("rdist"), 4).as("rdist"))
+  }
+
+  /** PQ codebook-utilization audit: per subspace, how many of its ksub
+    * codes the corpus actually uses and the hottest code's mass — the
+    * quantizer-health check (a collapsed codebook: few codes used or
+    * one code holding most mass ⇒ retrain or lower ksub; FAISS users
+    * read this off `IndexPQ` code histograms). One scan of the
+    * codes-only corpus: posexplode → (subspace, code) counts →
+    * m-row summary; the float corpus is never touched. Oracle assigns
+    * codes from the persisted codebooks exactly like the q77/q99
+    * replays ([[OracleSqlGen.pqUtilizationSql]]). */
+  private def q179PqUtilization(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, _) = pqCorpus(s, dir)
+    val per = encoded.select(posexplode(col("codes")).as(Seq("s", "code")))
+      .groupBy("s", "code").agg(count(lit(1)).as("n"))
+    val tot = encoded.agg(count(lit(1)).as("__t"))
+    per.groupBy("s")
+      .agg(count(lit(1)).cast("long").as("n_codes_used"),
+        max("n").cast("long").as("top_code_n"))
+      .crossJoin(broadcast(tot))
+      .select(col("s").cast("long").as("subspace"), col("n_codes_used"),
+        col("top_code_n"),
+        round(col("top_code_n").cast("double") / col("__t"), 4).as("top_code_frac"))
+      .orderBy("subspace")
   }
 
   private def q78IvfAdcSearch(s: SparkSession, dir: String): DataFrame = {
@@ -6939,6 +7101,9 @@ object SparkEntry {
     "q174_knn_l1" -> (q174KnnL1 _),
     "q175_knn_linf" -> (q175KnnLinf _),
     "q176_length_curriculum" -> (q176LengthCurriculum _),
+    "q177_metric_agreement" -> (q177MetricAgreement _),
+    "q178_band_sweep" -> (q178BandSweep _),
+    "q179_pq_utilization" -> (q179PqUtilization _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7086,6 +7251,8 @@ object SparkEntry {
     "q174_knn_l1" -> q174Sql,
     "q175_knn_linf" -> q175Sql,
     "q176_length_curriculum" -> q176Sql,
+    "q177_metric_agreement" -> q177Sql,
+    "q178_band_sweep" -> q178Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
@@ -7138,7 +7305,8 @@ object SparkEntry {
       val books = flat.grouped(flat.length / m).toSeq
       Map(
         "q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10),
-        "q99_pq_recon" -> OracleSqlGen.pqReconSql(books))
+        "q99_pq_recon" -> OracleSqlGen.pqReconSql(books),
+        "q179_pq_utilization" -> OracleSqlGen.pqUtilizationSql(books))
     }).getOrElse(Map.empty)
 
   /** Lloyd-trained-IVF oracle: the q143 replay generates from the
