@@ -3121,6 +3121,42 @@ object SparkEntry {
       |JOIN (SELECT id, eval_id FROM ranked WHERE rn = 1) r ON a.id = r.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus ↔ embedding referential-integrity audit: the one-row join
+    * health report between the documents and embeddings tables (a
+    * broken embed job strands docs without vectors; a stale corpus
+    * delete strands vectors without docs — both silently poison
+    * retrieval and dedup). Exact long counts only; both tables reduce
+    * to their key columns before ONE full-outer exchange — the q125
+    * posture, the scan never carries text or vectors. */
+  private def q180OrphanAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id").as("id"), lit(1L).as("ind"))
+    val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), lit(1L).as("ine"))
+    d.join(e, Seq("id"), "full_outer")
+      .agg(
+        sum(coalesce(col("ind"), lit(0L))).cast("long").as("n_docs"),
+        sum(coalesce(col("ine"), lit(0L))).cast("long").as("n_embeddings"),
+        sum(when(col("ine").isNull, 1L).otherwise(0L)).cast("long")
+          .as("docs_without_embedding"),
+        sum(when(col("ind").isNull, 1L).otherwise(0L)).cast("long")
+          .as("embeddings_without_doc"),
+        sum(when(col("ind").isNotNull && col("ine").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_matched"))
+  }
+
+  private val q180Sql =
+    """WITH d AS (SELECT doc_id AS id FROM documents),
+      |e AS (SELECT vec_id AS id FROM embeddings),
+      |j AS (
+      |  SELECT d.id AS did, e.id AS eid
+      |  FROM d FULL OUTER JOIN e ON d.id = e.id)
+      |SELECT
+      |  CAST(sum(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN eid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_embeddings,
+      |  CAST(sum(CASE WHEN eid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_without_embedding,
+      |  CAST(sum(CASE WHEN did IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS embeddings_without_doc,
+      |  CAST(sum(CASE WHEN did IS NOT NULL AND eid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      |FROM j""".stripMargin
+
   /** Length-percentile curriculum assignment: docs staged short→long by
     * the EXACT token-count quartiles (curriculum learning's standard
     * schedule axis — stage 0 trains first). Cutoffs use the q113
@@ -7104,6 +7140,7 @@ object SparkEntry {
     "q177_metric_agreement" -> (q177MetricAgreement _),
     "q178_band_sweep" -> (q178BandSweep _),
     "q179_pq_utilization" -> (q179PqUtilization _),
+    "q180_orphan_audit" -> (q180OrphanAudit _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7253,6 +7290,7 @@ object SparkEntry {
     "q176_length_curriculum" -> q176Sql,
     "q177_metric_agreement" -> q177Sql,
     "q178_band_sweep" -> q178Sql,
+    "q180_orphan_audit" -> q180Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
