@@ -4295,6 +4295,38 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS weight
       |FROM s ORDER BY source""".stripMargin
 
+  /** Integer mixture quotas ([[Sampling.mixQuotas]]): q72's temperature
+    * weights apportioned over a 100k budget by largest-remainder
+    * rounding — integer per-source quotas summing to the budget
+    * EXACTLY, the table a mix executor consumes (fractional weights
+    * under/over-fill shards). Every step is the replayable q72 chain
+    * plus single IEEE ops (floor, one multiply), leftover distributed
+    * by (fractional part DESC, source). */
+  private def q181MixQuota(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixQuotas(t(s, dir, "documents"), "source", alpha = 0.5,
+        budget = 100000L)
+      .orderBy("source")
+
+  private val q181Sql =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |s AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS sd FROM c),
+      |w AS (SELECT source, n_docs,
+      |        sd / sum(sd) OVER (ORDER BY source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS weight
+      |      FROM s),
+      |b AS (SELECT source, n_docs, weight, weight * 100000.0 AS raw,
+      |        CAST(floor(weight * 100000.0) AS BIGINT) AS base,
+      |        weight * 100000.0 - floor(weight * 100000.0) AS frac
+      |      FROM w),
+      |l AS (SELECT *,
+      |        100000 - sum(base) OVER (ORDER BY source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS leftover,
+      |        row_number() OVER (ORDER BY frac DESC, source ASC) AS rn
+      |      FROM b)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, weight,
+      |  CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |FROM l ORDER BY source""".stripMargin
+
   /** Canonical-URL dedup (`TextAnalysis.canonicalizeUrl` +
     * `urlResolution`): five URL variants per doc-id group — cased
     * `WWW.` host with `:443` and a tracking param, the clean form, a
@@ -7141,6 +7173,7 @@ object SparkEntry {
     "q178_band_sweep" -> (q178BandSweep _),
     "q179_pq_utilization" -> (q179PqUtilization _),
     "q180_orphan_audit" -> (q180OrphanAudit _),
+    "q181_mix_quota" -> (q181MixQuota _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7291,6 +7324,7 @@ object SparkEntry {
     "q177_metric_agreement" -> q177Sql,
     "q178_band_sweep" -> q178Sql,
     "q180_orphan_audit" -> q180Sql,
+    "q181_mix_quota" -> q181Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

@@ -105,6 +105,37 @@ object Sampling {
       .drop("__s")
   }
 
+  /** Integer mixture quotas: apportion a total `budget` (docs, tokens,
+    * sequences — the unit is the caller's) over [[mixWeights]]'
+    * temperature weights by LARGEST-REMAINDER rounding, so the quotas
+    * are integers that sum to the budget EXACTLY — what a mix executor
+    * actually consumes (fractional weights under-/over-fill shards).
+    *
+    * Determinism chain: the weight is q72's replayable construction
+    * (correctly-rounded `pow` at α, ordered window sum), `raw = w·B`
+    * and `floor(raw)` are single IEEE ops, the leftover
+    * `B − Σ floor(raw)` distributes by (fractional part DESC, domain
+    * ASC) — every comparison on bit-identical doubles, so the quota
+    * table replays exactly in SQL. Domain-table-sized throughout (one
+    * groupBy exchange, then windows over ≤ |domains| rows). */
+  def mixQuotas(df: DataFrame, domainCol: String, alpha: Double,
+                budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"negative budget: $budget")
+    val all = Window.orderBy(domainCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byFrac = Window.orderBy(col("__frac").desc, col(domainCol).asc)
+    mixWeights(df, domainCol, alpha)
+      .withColumn("__raw", col("weight") * lit(budget.toDouble))
+      .withColumn("__base", floor(col("__raw")).cast("long"))
+      .withColumn("__frac", col("__raw") - col("__base").cast("double"))
+      .withColumn("__left", lit(budget) - sum(col("__base")).over(all))
+      .withColumn("quota",
+        col("__base") + when(row_number().over(byFrac) <= col("__left"), 1L)
+          .otherwise(0L))
+      .select(col(domainCol), col("n_docs"), col("weight"), col("quota"))
+  }
+
   /** Cluster-balanced subsample: at most `perCell` members from each IVF
     * cell of an embedding corpus — the diversity-preserving selection of
     * cluster-based data-pruning pipelines (pick evenly across semantic

@@ -109,6 +109,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixQuotas: integer quotas sum to budget, largest-remainder order") {
+    import spark.implicits._
+    val docs = ((1 to 90).map(i => (i.toLong, "web")) ++
+      (91 to 99).map(i => (i.toLong, "code")) ++
+      Seq((100L, "math"))).toDF("doc_id", "source")
+    for (b <- Seq(0L, 1L, 7L, 100L, 100003L)) {
+      val q = Sampling.mixQuotas(docs, "source", alpha = 0.5, budget = b)
+        .select("source", "quota").as[(String, Long)].collect().toMap
+      assert(q.values.sum == b, s"budget $b: quotas ${q} do not sum")
+      assert(q.values.forall(_ >= 0))
+    }
+    // quotas track the weights: alpha=1 on 90/9/1 with budget 100 is exact
+    val exact = Sampling.mixQuotas(docs, "source", alpha = 1.0, budget = 100L)
+      .select("source", "quota").as[(String, Long)].collect().toMap
+    assert(exact == Map("web" -> 90L, "code" -> 9L, "math" -> 1L))
+    // repartition invariance (the windows fix the fold order)
+    val a = Sampling.mixQuotas(docs, "source", alpha = 0.5, budget = 12345L)
+      .collect().map(_.toString).toSeq
+    val bq = Sampling.mixQuotas(docs.repartition(7), "source", alpha = 0.5,
+      budget = 12345L).collect().map(_.toString).toSeq
+    assert(a.sorted == bq.sorted)
+  }
+
   test("mixWeights: alpha endpoints and the sqrt rebalance direction") {
     import spark.implicits._
     // 90/9/1 split across three domains.
