@@ -6653,6 +6653,77 @@ object SparkEntry {
       |LIMIT 20""".stripMargin
   }
 
+  /** Tokenizer-staleness audit: how well the OLD snapshot's top-40
+    * vocabulary (the q106 artifact, built on q125's old snapshot)
+    * covers a NEW crawl — occurrence coverage rate + distinct-OOV
+    * count, the "retrain the tokenizer?" trigger that pairs with
+    * q167's term-level drift (q167 says WHAT moved; this prices the
+    * aggregate damage). Vocab is top-k-bounded and broadcast; the new
+    * corpus pays one token_tf scan. */
+  private def q182VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val vocab = TextAnalysis.tokenVocabulary(old, topK = 40).select("token")
+    GraftFunctions.register(s)
+    val counts = docs
+      .select(explode(GraftFunctions.tokenTf(col("text"))).as("e"))
+      .groupBy(col("e.token").as("token"))
+      .agg(sum("e.tf").cast("long").as("tf"))
+    val tot = counts.agg(sum("tf").cast("long").as("total_occurrences"),
+      count(lit(1)).cast("long").as("n_distinct_tokens"))
+    val cov = counts.join(broadcast(vocab), Seq("token"))
+      .agg(coalesce(sum("tf"), lit(0L)).cast("long").as("covered_occurrences"),
+        count(lit(1)).cast("long").as("n_vocab_tokens_seen"))
+    tot.crossJoin(cov)
+      .select(col("total_occurrences"), col("covered_occurrences"),
+        round(when(col("total_occurrences") > 0,
+          col("covered_occurrences").cast("double") / col("total_occurrences"))
+          .otherwise(lit(0.0)), 4).as("coverage"),
+        col("n_distinct_tokens"),
+        (col("n_distinct_tokens") - col("n_vocab_tokens_seen")).as("n_oov_tokens"))
+  }
+
+  private val q182Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH old AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |ov AS (
+      |  SELECT token FROM (
+      |    SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences
+      |    FROM (
+      |      SELECT doc_id, token, count(*) AS tf FROM (
+      |        SELECT doc_id, unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |        FROM old) GROUP BY 1, 2)
+      |    GROUP BY token)
+      |  ORDER BY n_occurrences DESC, token LIMIT 40),
+      |nc AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |        FROM documents) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_occurrences,
+      |               CAST(count(*) AS BIGINT) AS n_distinct_tokens FROM nc),
+      |cov AS (SELECT CAST(coalesce(sum(nc.tf), 0) AS BIGINT) AS covered_occurrences,
+      |               CAST(count(*) AS BIGINT) AS n_vocab_tokens_seen
+      |        FROM nc JOIN ov USING (token))
+      |SELECT t.total_occurrences, c.covered_occurrences,
+      |  round(CASE WHEN t.total_occurrences > 0
+      |    THEN CAST(c.covered_occurrences AS DOUBLE) / t.total_occurrences
+      |    ELSE 0.0 END, 4) AS coverage,
+      |  t.n_distinct_tokens,
+      |  CAST(t.n_distinct_tokens - c.n_vocab_tokens_seen AS BIGINT) AS n_oov_tokens
+      |FROM tot t, cov c""".stripMargin
+  }
+
   /** Trained quality classifier ([[QualityClassifier]]): the
     * FineWeb-Edu-style learned filter — weak labels (here the language
     * id), hashed-histogram features through the SHARED `dsir_buckets`
@@ -7174,6 +7245,7 @@ object SparkEntry {
     "q179_pq_utilization" -> (q179PqUtilization _),
     "q180_orphan_audit" -> (q180OrphanAudit _),
     "q181_mix_quota" -> (q181MixQuota _),
+    "q182_vocab_coverage" -> (q182VocabCoverage _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7325,6 +7397,7 @@ object SparkEntry {
     "q178_band_sweep" -> q178Sql,
     "q180_orphan_audit" -> q180Sql,
     "q181_mix_quota" -> q181Sql,
+    "q182_vocab_coverage" -> q182Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
