@@ -1164,6 +1164,43 @@ object OracleSqlGen {
     ivfAdcSearchSql(cents, books, k, nprobe,
       source = "__rotsrc", preCtes = rotCtes(rot))
 
+  /** q183's oracle: PQ ADC under METRIC_INNER_PRODUCT — the q77 replay
+    * with dot-product lookup terms and a DESCENDING rank. */
+  def pqIpSearchSql(books: Seq[Seq[Array[Double]]], k: Int): String = {
+    val dsub = books.head.head.length
+    val values = (for {
+      (book, s) <- books.zipWithIndex
+      (c, code) <- book.zipWithIndex
+    } yield s"($s, $code, [${c.mkString(", ")}])").mkString(",\n      ")
+    s"""WITH __books(s, code, c) AS (VALUES
+       |      $values),
+       |__codes AS (
+       |  SELECT doc_id, s, code FROM (
+       |    SELECT e.vec_id AS doc_id, b.s, b.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.s ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(e.embedding[b.s*$dsub+1 : b.s*$dsub+$dsub], b.c),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |        b.code ASC) AS rn
+       |    FROM embeddings e CROSS JOIN __books b)
+       |  WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |lv AS (
+       |  SELECT c.doc_id, c.s,
+       |    list_sum(list_transform(
+       |      list_zip(q.qe[c.s*$dsub+1 : c.s*$dsub+$dsub], b.c),
+       |      p -> CAST(p[1] AS DOUBLE) * p[2])) AS ip
+       |  FROM __codes c JOIN __books b ON b.s = c.s AND b.code = c.code, q),
+       |adc AS (
+       |  SELECT doc_id, list_sum(list(ip ORDER BY s)) AS adc
+       |  FROM lv GROUP BY doc_id)
+       |SELECT doc_id, round(t.adc, 4) AS adc FROM (
+       |  SELECT doc_id, adc FROM adc
+       |  ORDER BY adc DESC, doc_id ASC LIMIT $k) t
+       |ORDER BY t.adc DESC, t.doc_id ASC""".stripMargin
+  }
+
   /** q179's oracle: PQ codebook utilization — the per-subspace code
     * histogram summary (codes used of ksub, the hottest code's mass)
     * from the SAME per-subspace argmin assignment the q77/q99 replays

@@ -1811,6 +1811,19 @@ object SparkEntry {
         round(col("rdist"), 4).as("rdist"))
   }
 
+  /** PQ ADC under `METRIC_INNER_PRODUCT` ([[PqIndex.searchIp]]): FAISS
+    * `IndexPQ(d, m, nbits, METRIC_INNER_PRODUCT)` — the IP companion to
+    * q77's L2 ADC. Same codes, same LUT accumulation; the lookup terms
+    * are query·codeword dots and the rank DESCENDS. Generated oracle
+    * replays assignment + dot LUT + the max rank. */
+  private def q183PqIpSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, pq) = pqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.searchIp(encoded, pq, qVec, k = 10)
+      .select(col("doc_id"), round(col("adc"), 4).as("adc"))
+  }
+
   /** PQ codebook-utilization audit: per subspace, how many of its ksub
     * codes the corpus actually uses and the hottest code's mass — the
     * quantizer-health check (a collapsed codebook: few codes used or
@@ -7246,6 +7259,7 @@ object SparkEntry {
     "q180_orphan_audit" -> (q180OrphanAudit _),
     "q181_mix_quota" -> (q181MixQuota _),
     "q182_vocab_coverage" -> (q182VocabCoverage _),
+    "q183_pq_ip_search" -> (q183PqIpSearch _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7451,7 +7465,8 @@ object SparkEntry {
       Map(
         "q77_pq_search" -> OracleSqlGen.pqSearchSql(books, k = 10),
         "q99_pq_recon" -> OracleSqlGen.pqReconSql(books),
-        "q179_pq_utilization" -> OracleSqlGen.pqUtilizationSql(books))
+        "q179_pq_utilization" -> OracleSqlGen.pqUtilizationSql(books),
+        "q183_pq_ip_search" -> OracleSqlGen.pqIpSearchSql(books, k = 10))
     }).getOrElse(Map.empty)
 
   /** Lloyd-trained-IVF oracle: the q143 replay generates from the

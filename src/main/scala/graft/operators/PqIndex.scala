@@ -169,6 +169,44 @@ object PqIndex {
     }
   }
 
+  /** Inner-product ADC LUT — FAISS `IndexPQ` under
+    * `METRIC_INNER_PRODUCT` (faiss/impl/ProductQuantizer: the
+    * `compute_inner_prod_table` path): per (subspace, code) the dot of
+    * the query subvector with the codeword. The same [[adcColumn]]
+    * accumulation sums the m lookups; the only semantic change is the
+    * rank direction (score DESCENDS — see [[searchIp]]). */
+  def ipAdcLut(pq: Pq, queryVec: Array[Float]): Array[Array[Double]] = {
+    val books = pq.codebooks.getOrElse(
+      throw new IllegalStateException("ADC needs a trained PQ index"))
+    val dsub = books(0)(0).length
+    books.zipWithIndex.map { case (book, s) =>
+      book.map { c =>
+        var ip = 0.0
+        var i = 0
+        while (i < dsub) {
+          ip += queryVec(s * dsub + i).toDouble * c(i)
+          i += 1
+        }
+        ip
+      }
+    }
+  }
+
+  /** Approximate MAX-inner-product top-`k` by ADC over the codes-only
+    * corpus (descending score, ties to the lower id) — the IP companion
+    * to [[search]]'s L2 form; same zero-shuffle TakeOrdered shape. */
+  def searchIp(encoded: DataFrame, pq: Pq, queryVec: Array[Float], k: Int,
+               idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(encoded.sparkSession)
+    val lut = ipAdcLut(pq, queryVec)
+    encoded
+      .withColumn("adc",
+        GraftFunctions.adcLut(col("codes"), typedLit(lut.map(_.toSeq).toSeq)))
+      .select(col(idCol), col("codes"), col("adc"))
+      .orderBy(col("adc").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ADC distance column over an [[encode]]d corpus: one
     * [[graft.functions.AdcLut]] accumulation — `m` primitive table
     * lookups summed in subspace order inside whole-stage codegen, no

@@ -255,6 +255,35 @@ class PqIndexSpec extends AnyFunSuite {
       s"candidate isin not pushed to the float scan:\n$scan")
   }
 
+  test("searchIp: ADC-IP equals the codebook-reconstruction dot; rank descends") {
+    val corpus = clustered(300, 8).toDF("doc_id", "embedding")
+    val pq = PqIndex.train(corpus, m = 4, ksub = 16)
+    val enc = PqIndex.encode(corpus, pq)
+    val q = corpus.filter($"doc_id" === 0).select("embedding")
+      .as[Array[Float]].head()
+    val top = PqIndex.searchIp(enc, pq, q, k = 20).collect()
+    val books = pq.codebooks.get
+    val dsub = books(0)(0).length
+    // adc = Σ_s lut[s][code_s], each lut value its own sequential
+    // per-subspace dot — mirror the kernel's association exactly (a
+    // single flat fold differs in the last ulp)
+    top.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val exp = books.indices.map { s =>
+        var v = 0.0
+        var i = 0
+        while (i < dsub) { v += q(s * dsub + i).toDouble * books(s)(codes(s))(i); i += 1 }
+        v
+      }.foldLeft(0.0)(_ + _)
+      assert(r.getDouble(2) == exp, s"doc ${r.getLong(0)}")
+    }
+    val adcs = top.map(_.getDouble(2)).toSeq
+    assert(adcs == adcs.sorted.reverse)
+    // the IP rank is genuinely different from the L2 rank's direction:
+    // top-1 by ADC-IP is the max, not the min
+    assert(adcs.head == adcs.max)
+  }
+
   test("decode inverts encode to the assigned codebook entries; error bounded") {
     val data = clustered(300, 8)
     val docs = data.toDF("doc_id", "embedding")
