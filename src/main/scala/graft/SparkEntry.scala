@@ -5980,6 +5980,61 @@ object SparkEntry {
     * ordered id sequence (the q129 bounded-group concat idiom; production
     * emits the (doc_id, epoch, shard, pos) rows themselves and never
     * concatenates). */
+  /** Loader shard-balance audit over q149's epoch/shard assignment: per
+    * epoch, shard count, token min/max/total and the max/min balance
+    * ratio — what actually determines whether N data-loader workers
+    * finish an epoch together (doc counts balance by hashing; TOKEN
+    * mass is what stragglers are made of). Integer aggregates + one
+    * guarded division. */
+  private def q184ShardBalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+    val epochs = s.range(0, 2).toDF("epoch")
+    val keyed = docs.crossJoin(broadcast(epochs))
+      .withColumn("__k", md5(concat(lit("epoch:"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("__k"), 1, 8), 16, 10).cast("long") % 4)
+    keyed.groupBy("epoch", "shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("nt").cast("long").as("n_tokens"))
+      .groupBy("epoch")
+      .agg(count(lit(1)).cast("long").as("n_shards"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"),
+        sum("n_tokens").cast("long").as("total_tokens"))
+      .withColumn("balance", round(when(col("min_tokens") > 0,
+        col("max_tokens").cast("double") / col("min_tokens")).otherwise(lit(0.0)), 4))
+      .orderBy("epoch")
+  }
+
+  private val q184Sql =
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT e.epoch, d.doc_id, d.nt,
+      |    md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':' ||
+      |        CAST(d.doc_id AS VARCHAR)) AS k
+      |  FROM tok d, (SELECT unnest(range(2)) AS epoch) e),
+      |sharded AS (
+      |  SELECT epoch, ${OracleSqlGen.hexPrefixToBigint("k", 8)} % 4 AS shard, nt
+      |  FROM keyed),
+      |per AS (
+      |  SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens
+      |  FROM sharded GROUP BY epoch, shard)
+      |SELECT CAST(epoch AS BIGINT) AS epoch,
+      |  CAST(count(*) AS BIGINT) AS n_shards,
+      |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+      |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  round(CASE WHEN min(n_tokens) > 0
+      |    THEN CAST(max(n_tokens) AS DOUBLE) / min(n_tokens) ELSE 0.0 END, 4)
+      |    AS balance
+      |FROM per GROUP BY epoch
+      |ORDER BY epoch""".stripMargin
+
   private def q149EpochShuffle(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id")
     val epochs = s.range(0, 2).toDF("epoch")
@@ -7260,6 +7315,7 @@ object SparkEntry {
     "q181_mix_quota" -> (q181MixQuota _),
     "q182_vocab_coverage" -> (q182VocabCoverage _),
     "q183_pq_ip_search" -> (q183PqIpSearch _),
+    "q184_shard_balance" -> (q184ShardBalance _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7412,6 +7468,7 @@ object SparkEntry {
     "q180_orphan_audit" -> q180Sql,
     "q181_mix_quota" -> q181Sql,
     "q182_vocab_coverage" -> q182Sql,
+    "q184_shard_balance" -> q184Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
