@@ -4340,6 +4340,66 @@ object SparkEntry {
       |  CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
       |FROM l ORDER BY source""".stripMargin
 
+  /** Mix EXECUTION audit ([[Sampling.drawQuotas]] over
+    * [[Sampling.mixQuotas]]): the q181 quota table actually drawn —
+    * per source, target quota, docs drawn (the salted-md5 order, so the
+    * draw is reproducible and partitioning-independent), the drawn-id
+    * fingerprint, and the shortfall when a source can't fill its quota
+    * (budget 2000 over sf0.001's 500 docs UNDER-fills — the audit
+    * signal a mix executor must surface, exercised at the small SF).
+    * Oracle composes the q181 chain with the q150 ranked-draw replay. */
+  private def q185MixDraw(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quotas = Sampling.mixQuotas(docs, "source", alpha = 0.5, budget = 2000L)
+      .select(col("source"), col("quota"))
+    Sampling.drawQuotas(docs.select("source", "doc_id"), quotas,
+        "source", "doc_id", salt = "mix")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_drawn"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          c => c.cast("string")), ",")).as("ids_md5"))
+      .join(broadcast(quotas), Seq("source"))
+      .select(col("source"), col("quota"), col("n_drawn"),
+        (col("quota") - col("n_drawn")).as("shortfall"), col("ids_md5"))
+      .orderBy("source")
+  }
+
+  private val q185Sql =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |s AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS sd FROM c),
+      |w AS (SELECT source, n_docs,
+      |        sd / sum(sd) OVER (ORDER BY source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS weight
+      |      FROM s),
+      |b AS (SELECT source, weight * 2000.0 AS raw,
+      |        CAST(floor(weight * 2000.0) AS BIGINT) AS base,
+      |        weight * 2000.0 - floor(weight * 2000.0) AS frac
+      |      FROM w),
+      |l AS (SELECT *,
+      |        2000 - sum(base) OVER (ORDER BY source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS leftover,
+      |        row_number() OVER (ORDER BY frac DESC, source ASC) AS rn
+      |      FROM b),
+      |q AS (SELECT source,
+      |        CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |      FROM l),
+      |ranked AS (
+      |  SELECT d.source, d.doc_id,
+      |    row_number() OVER (PARTITION BY d.source
+      |      ORDER BY substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8),
+      |        d.doc_id) AS r
+      |  FROM documents d),
+      |sel AS (
+      |  SELECT r.source, r.doc_id, q.quota
+      |  FROM ranked r JOIN q ON r.source = q.source
+      |  WHERE r.r <= q.quota)
+      |SELECT source, CAST(min(quota) AS BIGINT) AS quota,
+      |  CAST(count(*) AS BIGINT) AS n_drawn,
+      |  CAST(min(quota) - count(*) AS BIGINT) AS shortfall,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM sel GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** Canonical-URL dedup (`TextAnalysis.canonicalizeUrl` +
     * `urlResolution`): five URL variants per doc-id group — cased
     * `WWW.` host with `:443` and a tracking param, the clean form, a
@@ -7316,6 +7376,7 @@ object SparkEntry {
     "q182_vocab_coverage" -> (q182VocabCoverage _),
     "q183_pq_ip_search" -> (q183PqIpSearch _),
     "q184_shard_balance" -> (q184ShardBalance _),
+    "q185_mix_draw" -> (q185MixDraw _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7469,6 +7530,7 @@ object SparkEntry {
     "q181_mix_quota" -> q181Sql,
     "q182_vocab_coverage" -> q182Sql,
     "q184_shard_balance" -> q184Sql,
+    "q185_mix_draw" -> q185Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

@@ -195,6 +195,25 @@ object Sampling {
       .drop("__r", "__n")
   }
 
+  /** Execute a quota table ([[mixQuotas]]' output or any
+    * (domain, quota) frame): per domain, keep the first `quota` rows of
+    * the salted-md5 draw order — the deterministic mix EXECUTOR. A
+    * domain with fewer rows than its quota yields what it has (the
+    * shortfall is the caller's audit signal — see q185). Quotas are
+    * domain-table-sized and broadcast; the corpus pays one per-domain
+    * rank window. */
+  def drawQuotas(df: DataFrame, quotas: DataFrame, domainCol: String,
+                 keyCol: String = "doc_id",
+                 salt: String = "mix"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol)
+      .orderBy(hashBucket(col(keyCol), salt).asc, col(keyCol).asc)
+    df.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= col("quota"))
+      .drop("__r")
+  }
+
   def assignSplit(df: DataFrame, splits: Seq[(String, Double)],
                   keyCol: String = "doc_id",
                   salt: String = "split"): DataFrame = {
