@@ -417,6 +417,99 @@ object SparkEntry {
       |WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.15
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-dup detector overlap matrix: the pair sets MinHash-LSH
+    * (q15's operating point) and SimHash (q42's) each find, and their
+    * agreement — the method-selection capstone of the dedup tier
+    * (q169 calibrates MinHash against truth; q178 prices its banding;
+    * this says what SWITCHING detectors would change). One row of
+    * exact counts from a full-outer join of the two pair sets. */
+  private def q186MethodOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mh = Dedup.nearDupPairs(docs, "text", "doc_id",
+        n = 3, bands = 4, minJaccard = 0.15)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_mh"))
+    val sh = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 6)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_sh"))
+    mh.join(sh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_mh"), lit(0L))).cast("long").as("n_minhash"),
+        sum(coalesce(col("in_sh"), lit(0L))).cast("long").as("n_simhash"),
+        sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("n_both"),
+        sum(when(col("in_sh").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_only_minhash"),
+        sum(when(col("in_mh").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_only_simhash"))
+  }
+
+  private val q186Sql =
+    """SELECT
+      |  CAST(sum(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+      |  CAST(sum(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+      |  CAST(sum(CASE WHEN m.id_a IS NOT NULL AND s.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |  CAST(sum(CASE WHEN s.id_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_minhash,
+      |  CAST(sum(CASE WHEN m.id_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_simhash
+      |FROM (
+      |  WITH toks AS (
+      |    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |    FROM documents),
+      |  sh AS (
+      |    SELECT doc_id,
+      |      CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |           ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |    FROM toks),
+      |  sig AS (
+      |    SELECT doc_id, band.b AS band,
+      |      min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |    FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |    GROUP BY doc_id, band.b),
+      |  cand AS (
+      |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |    FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |    WHERE a.doc_id < b.doc_id)
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+      |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.15
+      |) m
+      |FULL OUTER JOIN (
+      |  WITH toks AS (
+      |    SELECT doc_id, t FROM (
+      |      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+')) AS t
+      |      FROM documents)
+      |    WHERE t <> ''),
+      |  votes AS (
+      |    SELECT doc_id, b.bit,
+      |      sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), CAST(b.bit // 4 AS INT) + 1, 1)) - 1)
+      |                     >> CAST(3 - b.bit % 4 AS INT)) & 1 = 1
+      |          THEN 1 ELSE -1 END) AS v
+      |    FROM toks, (SELECT unnest(range(0, 64)) AS bit) AS b
+      |    GROUP BY doc_id, b.bit),
+      |  nibs AS (
+      |    SELECT doc_id, (63 - bit) // 4 AS nib,
+      |      sum(CASE WHEN v > 0 THEN 1 << CAST(3 - ((63 - bit) % 4) AS INT) ELSE 0 END) AS nv
+      |    FROM votes GROUP BY doc_id, (63 - bit) // 4),
+      |  hexes AS (
+      |    SELECT doc_id,
+      |      string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' ORDER BY nib) AS hex
+      |    FROM nibs GROUP BY doc_id),
+      |  bands AS (
+      |    SELECT doc_id, bb.b AS band, substr(hex, 13 - 4 * CAST(bb.b AS INT), 4) AS key, hex
+      |    FROM hexes, (SELECT unnest([0,1,2,3]) AS b) AS bb),
+      |  cand AS (
+      |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.hex AS hex_a, b.hex AS hex_b
+      |    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |    WHERE a.doc_id < b.doc_id),
+      |  ham AS (
+      |    SELECT id_a, id_b,
+      |      sum(bit_count(xor(strpos('0123456789abcdef', substr(hex_a, CAST(p.i AS INT), 1)) - 1,
+      |                        strpos('0123456789abcdef', substr(hex_b, CAST(p.i AS INT), 1)) - 1))) AS hamming
+      |    FROM cand, (SELECT unnest(range(1, 17)) AS i) AS p
+      |    GROUP BY id_a, id_b)
+      |  SELECT id_a, id_b FROM ham WHERE hamming <= 6
+      |) s ON m.id_a = s.id_a AND m.id_b = s.id_b""".stripMargin
+
   /** MinHash estimator calibration ([[Dedup.minhashCalibration]]): per
     * band-agreement count over the q15 candidate pairs, the banded
     * estimate m/bands vs exact shingle Jaccard (count, mean, min, max) —
@@ -7377,6 +7470,7 @@ object SparkEntry {
     "q183_pq_ip_search" -> (q183PqIpSearch _),
     "q184_shard_balance" -> (q184ShardBalance _),
     "q185_mix_draw" -> (q185MixDraw _),
+    "q186_method_overlap" -> (q186MethodOverlap _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7531,6 +7625,7 @@ object SparkEntry {
     "q182_vocab_coverage" -> q182Sql,
     "q184_shard_balance" -> q184Sql,
     "q185_mix_draw" -> q185Sql,
+    "q186_method_overlap" -> q186Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
