@@ -153,6 +153,35 @@ object OracleSqlGen {
        |ORDER BY s DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** q187's oracle: probed IVF search under METRIC_L2 (FAISS
+    * `IndexIVFFlat`'s default) — centroid probe by squared L2 ASC (ties
+    * to the lower cell), candidates ranked by the strict Euclidean fold
+    * (`l2_distance_f32`'s exact accumulation). */
+  def ivfL2SearchSql(cents: Seq[Array[Double]], k: Int, nprobe: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell_id, row_number() OVER (
+       |    ORDER BY list_sum(list_transform(list_zip(q.qe, c.c),
+       |      p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |           (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+       |      c.cell_id ASC) AS pr
+       |  FROM __cents c, q),
+       |scored AS (
+       |  SELECT a.doc_id, a.cell_id,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      list_transform(list_zip(a.embedding, q.qe),
+       |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+       |             (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+       |      (acc, t) -> acc + t)) AS dist
+       |  FROM __assigned a, q
+       |  WHERE a.cell_id IN (SELECT cell_id FROM probe WHERE pr <= $nprobe))
+       |SELECT doc_id, CAST(cell_id AS BIGINT) AS cell_id,
+       |  round(dist, 4) AS dist
+       |FROM scored
+       |ORDER BY dist ASC, doc_id
+       |LIMIT $k""".stripMargin
+
   /** q166's oracle: the IVF probe COST curve — cumulative candidate rows
     * (and corpus fraction) per nprobe 1..maxProbe, the cost side of
     * q107's recall sweep. Exact longs + one division per row. */

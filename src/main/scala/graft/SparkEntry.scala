@@ -2414,6 +2414,20 @@ object SparkEntry {
     (dest, ivf)
   }
 
+  /** FAISS `IndexIVFFlat` under its DEFAULT metric — METRIC_L2
+    * ([[IvfIndex.searchL2]]): L2 centroid probe + exact Euclidean top-k
+    * in the probed cells, over the SAME shared store as the IP search
+    * (assignment is L2 Voronoi either way; only probe order and ranking
+    * kernel change). Completes the IVF metric pair beside q21. */
+  private def q187IvfL2Search(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.searchL2(withCells, ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("dist"), 4).as("dist"))
+  }
+
   /** Index maintenance: FAISS `remove_ids(IDSelectorRange(8, 40))` over
     * the persisted cell-partitioned store ([[IvfIndex.removeIds]] — the
     * STORE-mutating delete, vs q110's query-time selector), then the
@@ -7471,6 +7485,7 @@ object SparkEntry {
     "q184_shard_balance" -> (q184ShardBalance _),
     "q185_mix_draw" -> (q185MixDraw _),
     "q186_method_overlap" -> (q186MethodOverlap _),
+    "q187_ivf_l2_search" -> (q187IvfL2Search _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -8102,6 +8117,8 @@ object SparkEntry {
         "q154_ivf_merge" -> OracleSqlGen.ivfSearchSql(cents, k = 10, nprobe = 4),
         "q168_ivf_merge_shift" -> OracleSqlGen.ivfMergeShiftSearchSql(cents,
           k = 10, nprobe = 4, addId = MergeAddId),
+        "q187_ivf_l2_search" -> OracleSqlGen.ivfL2SearchSql(cents,
+          k = 10, nprobe = 4),
         "q34_ivf_recall" -> OracleSqlGen.ivfRecallSql(cents, k = 10, nprobe = 4, nq = 8),
         "q82_semantic_dedup" -> OracleSqlGen.semanticDedupSql(cents,
           minCos = 0.3, cap = SemanticDedup.DefaultMaxCellSize),

@@ -397,6 +397,45 @@ object IvfIndex {
           .take(nprobe).map(_._2).toSeq
     }
 
+  /** Probe order for METRIC_L2: centroids ranked by squared L2 distance
+    * ascending (ties to the lower cell) — FAISS `IndexIVFFlat`'s default
+    * coarse probe. Assignment is already L2 (the Voronoi cells), so this
+    * probe and [[probeCells]]' IP order share the same store. */
+  def probeCellsL2(ivf: Ivf, queryVec: Array[Float], nprobe: Int): Seq[Int] =
+    ivf.centroids match {
+      case None => Seq(0)
+      case Some(cs) =>
+        cs.zipWithIndex
+          .map { case (arr, i) =>
+            var d2 = 0.0
+            var j = 0
+            while (j < math.min(arr.length, queryVec.length)) {
+              val d = queryVec(j).toDouble - arr(j); d2 += d * d; j += 1
+            }
+            (d2, i)
+          }
+          .sortBy { case (d, i) => (d, i) }
+          .take(nprobe).map(_._2).toSeq
+    }
+
+  /** FAISS `IndexIVFFlat` under its DEFAULT metric — METRIC_L2: probe
+    * the L2-nearest centroids, exact Euclidean top-k inside the probed
+    * cells (ascending distance, ties to the lower id). Same pruned-scan
+    * shape as [[search]]; only the probe order and the ranking kernel
+    * change. */
+  def searchL2(corpusWithCells: DataFrame, ivf: Ivf, queryVec: Array[Float],
+               k: Int, nprobe: Int, embCol: String = "embedding",
+               idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(corpusWithCells.sparkSession)
+    val cells = probeCellsL2(ivf, queryVec, nprobe)
+    corpusWithCells.filter(col("cell_id").isin(cells: _*))
+      .select(col(idCol), col("cell_id"),
+        GraftFunctions.l2DistanceF32(col(embCol), typedLit(queryVec.toSeq))
+          .as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF search: prune to probed cells, then exact top-k inside them. */
   def search(corpusWithCells: DataFrame, ivf: Ivf, queryVec: Array[Float],
              k: Int, nprobe: Int, embCol: String = "embedding",
