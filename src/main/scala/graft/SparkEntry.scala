@@ -809,6 +809,41 @@ object SparkEntry {
       |SELECT vec_id, round(dist, 4) AS dist
       |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** FAISS `IndexFlatL2::range_search`: every vector within Euclidean
+    * radius 1.2 of the query — the flat-L2 member of the range matrix
+    * (q85 flat-IP, q98 IVF-IP, q103 binary, q108 binary-IVF). No top-k,
+    * no shuffle: scan + codegen kernel + filter. The radius sits at the
+    * ~1st percentile of the measured distance distribution (min ≈ 1.09,
+    * median ≈ 1.41 across SFs) — if the driver regenerates testdata
+    * with different geometry this is the first constant to re-measure
+    * (the q103/q108 caveat class). */
+  private def q188L2Range(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    emb.filter(col("vec_id") =!= 0)
+      .withColumn("dist",
+        GraftFunctions.l2DistanceF32(col("embedding"), typedLit(qVec)))
+      .filter(col("dist") <= 1.2)
+      .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+  }
+
+  private val q188Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (
+      |  SELECT e.vec_id,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list_transform(list_zip(e.embedding, q.qe),
+      |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+      |             (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+      |      (acc, t) -> acc + t)) AS dist
+      |  FROM embeddings e, q WHERE e.vec_id <> 0)
+      |SELECT vec_id, round(dist, 4) AS dist
+      |FROM d WHERE dist <= 1.2
+      |ORDER BY dist ASC, vec_id ASC""".stripMargin
+
   /** FAISS `METRIC_Linf`: exact Chebyshev top-k — the worst-dimension
     * bound metric. Max of abs gaps is exact and order-independent, so
     * the oracle replays it as `list_max` (no fold needed). */
@@ -7486,6 +7521,7 @@ object SparkEntry {
     "q185_mix_draw" -> (q185MixDraw _),
     "q186_method_overlap" -> (q186MethodOverlap _),
     "q187_ivf_l2_search" -> (q187IvfL2Search _),
+    "q188_l2_range" -> (q188L2Range _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7641,6 +7677,7 @@ object SparkEntry {
     "q184_shard_balance" -> q184Sql,
     "q185_mix_draw" -> q185Sql,
     "q186_method_overlap" -> q186Sql,
+    "q188_l2_range" -> q188Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
