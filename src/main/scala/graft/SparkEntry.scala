@@ -938,6 +938,44 @@ object SparkEntry {
       |ORDER BY u.vec_id""".stripMargin
   }
 
+  /** Embedding-norm distribution per label: exact p50/p90 + min/max of
+    * ‖x‖₂ — the quantitative side of q177's normalize-at-ingest
+    * decision (wide norm spread = IP and cosine genuinely diverge;
+    * per-label rows localize WHICH labels carry the spread, the same
+    * anisotropy axis as q161). Norms are the strict sequential fold
+    * (`norm_f32` ≡ the SQL sqrt fold); percentiles use the q113
+    * contract. One scan, label-sized output. */
+  private def q189NormStats(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "embeddings")
+      .select(col("label"), GraftFunctions.normF32(col("embedding")).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"),
+        expr("percentile(nrm, array(0.5D, 0.9D))").as("q"))
+      .select(col("label"), col("n_vectors"), col("min_norm"), col("max_norm"),
+        round(element_at(col("q"), 1), 4).as("p50_norm"),
+        round(element_at(col("q"), 2), 4).as("p90_norm"))
+      .orderBy("label")
+  }
+
+  private val q189Sql =
+    """WITH n AS (
+      |  SELECT label,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (acc, t) -> acc + t)) AS nrm
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+      |  round(min(nrm), 4) AS min_norm,
+      |  round(max(nrm), 4) AS max_norm,
+      |  round(quantile_cont(nrm, 0.5), 4) AS p50_norm,
+      |  round(quantile_cont(nrm, 0.9), 4) AS p90_norm
+      |FROM n GROUP BY label
+      |ORDER BY label""".stripMargin
+
   /** P6: fixed-threshold retrieval mode (dynamic thresholding off,
     * `components/rag_system.py:303-304`). */
   private def q29FixedThreshold(s: SparkSession, dir: String): DataFrame = {
@@ -7522,6 +7560,7 @@ object SparkEntry {
     "q186_method_overlap" -> (q186MethodOverlap _),
     "q187_ivf_l2_search" -> (q187IvfL2Search _),
     "q188_l2_range" -> (q188L2Range _),
+    "q189_norm_stats" -> (q189NormStats _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7678,6 +7717,7 @@ object SparkEntry {
     "q185_mix_draw" -> q185Sql,
     "q186_method_overlap" -> q186Sql,
     "q188_l2_range" -> q188Sql,
+    "q189_norm_stats" -> q189Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
