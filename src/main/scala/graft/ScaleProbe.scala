@@ -121,6 +121,18 @@ object ScaleProbe {
     }
     timeWarm("knnSingle", n)(
       VectorSearch.knnSingle(corpus, qVec, 10, idCol = "doc_id").collect())
+    // metric family throughput: the same one-scan top-k under L1/Linf
+    // (q174/q175's kernels) vs the IP scan above
+    timeWarm("knn L1", n)(
+      corpus.select(col("doc_id"),
+          GraftFunctions.l1DistanceF32(col("embedding"),
+            org.apache.spark.sql.functions.typedLit(qVec)).as("d"))
+        .orderBy(col("d").asc, col("doc_id").asc).limit(10).collect())
+    timeWarm("knn Linf", n)(
+      corpus.select(col("doc_id"),
+          GraftFunctions.linfDistanceF32(col("embedding"),
+            org.apache.spark.sql.functions.typedLit(qVec)).as("d"))
+        .orderBy(col("d").asc, col("doc_id").asc).limit(10).collect())
     timeWarm("knnBatch 16q (window)", 16 * n)(
       VectorSearch.knnBatch(queries, corpus, 10, idCol = "doc_id")
         .write.format("noop").mode("overwrite").save())
