@@ -153,6 +153,51 @@ object OracleSqlGen {
        |ORDER BY s DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** q190's oracle: quantizer-retrain churn — both quantizers' Voronoi
+    * assignments replayed (the [[ivfAssignCtes]] body under distinct
+    * CTE prefixes), then the pair-counting clustering-agreement
+    * arithmetic on the contingency table: all counts are exact longs
+    * (`n·(n−1)//2` co-resident pairs), one guarded division for the
+    * retained-co-residency rate. */
+  def quantizerChurnSql(centsA: Seq[Array[Double]],
+                        centsB: Seq[Array[Double]]): String = {
+    def assignCtes(cents: Seq[Array[Double]], p: String): String = {
+      val values = cents.zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+        .mkString(",\n      ")
+      s"""${p}cents(cell_id, c) AS (VALUES
+         |      $values),
+         |${p}assigned AS (
+         |  SELECT doc_id, cell_id FROM (
+         |    SELECT e.vec_id AS doc_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(list_zip(e.embedding, c.c),
+         |          p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+         |               (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN ${p}cents c)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH ${assignCtes(centsA, "pa_")},
+       |${assignCtes(centsB, "pb_")},
+       |ct AS (
+       |  SELECT a.cell_id AS ca, b.cell_id AS cb, count(*) AS n
+       |  FROM pa_assigned a JOIN pb_assigned b USING (doc_id)
+       |  GROUP BY 1, 2),
+       |ta AS (SELECT CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS pa FROM
+       |  (SELECT ca, sum(n) AS n FROM ct GROUP BY ca)),
+       |tb AS (SELECT CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS pb FROM
+       |  (SELECT cb, sum(n) AS n FROM ct GROUP BY cb)),
+       |tboth AS (SELECT CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS pboth FROM ct),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nv FROM ct)
+       |SELECT tot.nv AS n_vectors, ta.pa AS pairs_same_a,
+       |  tb.pb AS pairs_same_b, tboth.pboth AS pairs_same_both,
+       |  round(CASE WHEN ta.pa > 0
+       |    THEN CAST(tboth.pboth AS DOUBLE) / ta.pa ELSE 0.0 END, 4)
+       |    AS coresidency_retained
+       |FROM tot, ta, tb, tboth""".stripMargin
+  }
+
   /** q187's oracle: probed IVF search under METRIC_L2 (FAISS
     * `IndexIVFFlat`'s default) — centroid probe by squared L2 ASC (ties
     * to the lower cell), candidates ranked by the strict Euclidean fold

@@ -5843,6 +5843,39 @@ object SparkEntry {
     (s.read.parquet(cpath), ivf)
   }
 
+  /** Quantizer-retrain churn: the clustering-agreement audit between
+    * the serving quantizer (the shared sampled-trained q21 artifact)
+    * and the Lloyd-retrained one (q143's) — how much co-residency a
+    * retrain would destroy (FAISS leaves this judgment to the operator;
+    * q137 triggers the retrain, THIS prices it: low retained
+    * co-residency means cached cell routing, SemDeDup cells and graph
+    * locality all reshuffle). Both cell-partitioned stores are read
+    * id+cell only (column-pruned); the contingency table is
+    * ≤ nlist² rows; pair counts are exact longs (`n·(n−1)/2`), one
+    * guarded division. Oracle replays BOTH Voronoi assignments from
+    * the two persisted quantizer artifacts. */
+  private def q190QuantizerChurn(s: SparkSession, dir: String): DataFrame = {
+    val (storeA, _) = ivfCorpus(s, dir)
+    val (storeB, _) = lloydIvfCorpus(s, dir)
+    val ct = storeA.select(col("doc_id"), col("cell_id").cast("int").as("ca"))
+      .join(storeB.select(col("doc_id"), col("cell_id").cast("int").as("cb")),
+        Seq("doc_id"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("n"))
+    val ta = ct.groupBy("ca").agg(sum("n").as("na"))
+      .agg(sum(expr("na * (na - 1) div 2")).cast("long").as("pairs_same_a"))
+    val tb = ct.groupBy("cb").agg(sum("n").as("nb"))
+      .agg(sum(expr("nb * (nb - 1) div 2")).cast("long").as("pairs_same_b"))
+    val tboth = ct.agg(
+      sum(expr("n * (n - 1) div 2")).cast("long").as("pairs_same_both"),
+      sum("n").cast("long").as("n_vectors"))
+    tboth.crossJoin(ta).crossJoin(tb)
+      .select(col("n_vectors"), col("pairs_same_a"), col("pairs_same_b"),
+        col("pairs_same_both"),
+        round(when(col("pairs_same_a") > 0,
+          col("pairs_same_both").cast("double") / col("pairs_same_a"))
+          .otherwise(lit(0.0)), 4).as("coresidency_retained"))
+  }
+
   /** Trainer→index coherence gate: probed IVF search over a quantizer
     * trained by the GATED Lloyd loop ([[Clustering.lloyd]]) — the q136
     * training and the q21 search semantics composed end-to-end. The
@@ -7561,6 +7594,7 @@ object SparkEntry {
     "q187_ivf_l2_search" -> (q187IvfL2Search _),
     "q188_l2_range" -> (q188L2Range _),
     "q189_norm_stats" -> (q189NormStats _),
+    "q190_quantizer_churn" -> (q190QuantizerChurn _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7740,7 +7774,7 @@ object SparkEntry {
     sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ opqIvfOracleSqls ++
     ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ cvOracleSqls ++ rqOracleSqls ++
     bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls ++
-    nlistSweepOracleSqls ++ lloydIvfOracleSqls
+    nlistSweepOracleSqls ++ lloydIvfOracleSqls ++ churnOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -7790,6 +7824,29 @@ object SparkEntry {
       val cents: Seq[Array[Double]] = (1 until lines.size())
         .map(i => lines.get(i).split(" ").map(_.toDouble))
       Map("q143_lloyd_ivf" -> OracleSqlGen.ivfSearchSql(cents, k = 10, nprobe = 4))
+    }).getOrElse(Map.empty)
+
+  /** q190's oracle: needs BOTH persisted quantizer artifacts (the
+    * shared sampled q21 one and the Lloyd q143 one) — same lifecycle as
+    * [[lloydIvfOracleSqls]], reading two files. */
+  private def churnOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      pathA = java.nio.file.Paths.get(s"${ivfCachePath(s, dir)}/quantizer.txt")
+      pathB = java.nio.file.Paths.get(s"${lloydIvfCachePath(s, dir)}/quantizer.txt")
+      if java.nio.file.Files.exists(pathA) && java.nio.file.Files.exists(pathB)
+      linesA = java.nio.file.Files.readAllLines(pathA)
+      linesB = java.nio.file.Files.readAllLines(pathB)
+      if linesA.get(0).split(" ")(1).toInt > 0 &&
+        linesB.get(0).split(" ")(1).toInt > 0
+    } yield {
+      val centsA: Seq[Array[Double]] = (1 until linesA.size())
+        .map(i => linesA.get(i).split(" ").map(_.toDouble))
+      val centsB: Seq[Array[Double]] = (1 until linesB.size())
+        .map(i => linesB.get(i).split(" ").map(_.toDouble))
+      Map("q190_quantizer_churn" ->
+        OracleSqlGen.quantizerChurnSql(centsA, centsB))
     }).getOrElse(Map.empty)
 
   /** BPE oracle, generated from the merges q118's run just persisted —
