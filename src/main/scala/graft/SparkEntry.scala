@@ -5364,6 +5364,46 @@ object SparkEntry {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Normalization dedup-yield ladder: exact-duplicate counts under
+    * three progressively looser digests — raw md5, NFC-canonical (the
+    * q112 chain), and the alnum fingerprint (the q13/q14 key) — the
+    * "is each normalization stage earning its cost" table (each stage's
+    * extra dups over the previous are the docs ONLY that stage
+    * collapses). One scan computes all three digests; each stage is a
+    * digest-distinct count, exact longs only. */
+  private def q191NormYield(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val d = docs.select(
+      md5(col("text")).as("raw"),
+      md5(TextAnalysis.normalizeText(col("text"))).as("nrm"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    d.agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct("raw").cast("long").as("d_raw"),
+        countDistinct("nrm").cast("long").as("d_norm"),
+        countDistinct("fp").cast("long").as("d_fp"))
+      .select(col("n_docs"),
+        (col("n_docs") - col("d_raw")).as("dups_raw"),
+        (col("n_docs") - col("d_norm")).as("dups_nfc_norm"),
+        (col("n_docs") - col("d_fp")).as("dups_fingerprint"),
+        (col("d_raw") - col("d_norm")).as("extra_from_norm"),
+        (col("d_norm") - col("d_fp")).as("extra_from_fingerprint"))
+  }
+
+  private val q191Sql =
+    s"""WITH d AS (
+      |  SELECT md5(text) AS raw,
+      |    md5(${normSql("text")}) AS nrm,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) - count(DISTINCT raw) AS BIGINT) AS dups_raw,
+      |  CAST(count(*) - count(DISTINCT nrm) AS BIGINT) AS dups_nfc_norm,
+      |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dups_fingerprint,
+      |  CAST(count(DISTINCT raw) - count(DISTINCT nrm) AS BIGINT) AS extra_from_norm,
+      |  CAST(count(DISTINCT nrm) - count(DISTINCT fp) AS BIGINT) AS extra_from_fingerprint
+      |FROM d""".stripMargin
+
   /** Prepare-training-shard composition: the pipeline tiers chained in
     * ONE query — canonical normalization ([[TextAnalysis.normalizeText]],
     * q112's op), exact dedup on the NORMALIZED digest (keep min doc_id —
@@ -7595,6 +7635,7 @@ object SparkEntry {
     "q188_l2_range" -> (q188L2Range _),
     "q189_norm_stats" -> (q189NormStats _),
     "q190_quantizer_churn" -> (q190QuantizerChurn _),
+    "q191_norm_yield" -> (q191NormYield _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7752,6 +7793,7 @@ object SparkEntry {
     "q186_method_overlap" -> q186Sql,
     "q188_l2_range" -> q188Sql,
     "q189_norm_stats" -> q189Sql,
+    "q191_norm_yield" -> q191Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
