@@ -809,6 +809,38 @@ object SparkEntry {
       |SELECT vec_id, round(dist, 4) AS dist
       |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** FAISS `IndexIDMap` semantics: search keyed by EXTERNAL ids — the
+    * migration surface for users whose vector ids are UUIDs/URLs, where
+    * FAISS wraps the index in an id translation layer. Relationally the
+    * mapping is just a column that RIDES the scan (here a derived
+    * `doc-<n>` key standing in for the external id; in production the
+    * store simply carries the external key column) — no wrapper layer,
+    * no post-hoc join, and the top-k orders on the internal tie-break
+    * exactly like q16. */
+  private def q192IdmapSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+      .withColumn("ext_id", concat(lit("doc-"), col("vec_id").cast("string")))
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    emb.filter(col("vec_id") =!= 0)
+      .withColumn("score", GraftFunctions.dotF32(col("embedding"), typedLit(qVec)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("ext_id"), round(col("score"), 4).as("score"))
+  }
+
+  private val q192Sql = {
+    val dot = OracleSqlGen.dotFold("e.embedding", "q.qe")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (
+      |  SELECT 'doc-' || CAST(e.vec_id AS VARCHAR) AS ext_id, e.vec_id,
+      |    $dot AS score
+      |  FROM embeddings e, q WHERE e.vec_id <> 0)
+      |SELECT ext_id, round(score, 4) AS score
+      |FROM d ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   /** FAISS `IndexFlatL2::range_search`: every vector within Euclidean
     * radius 1.2 of the query — the flat-L2 member of the range matrix
     * (q85 flat-IP, q98 IVF-IP, q103 binary, q108 binary-IVF). No top-k,
@@ -7636,6 +7668,7 @@ object SparkEntry {
     "q189_norm_stats" -> (q189NormStats _),
     "q190_quantizer_churn" -> (q190QuantizerChurn _),
     "q191_norm_yield" -> (q191NormYield _),
+    "q192_idmap_search" -> (q192IdmapSearch _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7794,6 +7827,7 @@ object SparkEntry {
     "q188_l2_range" -> q188Sql,
     "q189_norm_stats" -> q189Sql,
     "q191_norm_yield" -> q191Sql,
+    "q192_idmap_search" -> q192Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
