@@ -37,6 +37,50 @@ object SparkEntry {
     }
   }
 
+  /** Watermark / late-event audit: the BATCH replay of Structured
+    * Streaming's watermark rule over the events table — per 10-minute
+    * event-time window, how many events would arrive late under a 30 s
+    * watermark (arrival order = event_id; watermark before each event =
+    * max event-time seen so far − 30 s, the `withWatermark` semantics
+    * the streaming tier enforces statefully). This is the SIZING table
+    * read before picking a watermark delay: n_late is exactly the data
+    * a too-tight delay drops. The sequential arrival scan is the point
+    * of the audit (one ordered pass over the log — production keeps the
+    * stateful stream; window arithmetic is integer ns, `div` not `/`:
+    * 2024-epoch nanos exceed double's 53-bit mantissa). */
+  private def q193WatermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    val delayNs = 30L * 1000000000L
+    val winNs = 600L * 1000000000L
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    eventsNs(s, dir)
+      .withColumn("__wm", max("ts").over(w) - delayNs)
+      .withColumn("__late", col("__wm").isNotNull && col("ts") < col("__wm"))
+      .groupBy(expr(s"ts div $winNs").as("win"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("__late"), 1L).otherwise(0L)).cast("long").as("n_late"),
+        coalesce(max(when(col("__late"), col("__wm") - col("ts"))), lit(0L))
+          .cast("long").as("max_lateness_ns"))
+      .orderBy("win")
+  }
+
+  private val q193Sql =
+    """WITH e AS (SELECT event_id, epoch_ns(ts) AS tn FROM events),
+      |w AS (
+      |  SELECT event_id, tn,
+      |    max(tn) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - 30000000000 AS wm
+      |  FROM e)
+      |SELECT CAST(tn // 600000000000 AS BIGINT) AS win,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN wm IS NOT NULL AND tn < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(coalesce(max(CASE WHEN wm IS NOT NULL AND tn < wm
+      |    THEN wm - tn ELSE NULL END), 0) AS BIGINT) AS max_lateness_ns
+      |FROM w GROUP BY 1
+      |ORDER BY win""".stripMargin
+
   /** Flagship: hash-embed the documents corpus, run a text query through
     * embed → exact k-NN → dynamic-threshold retrieval (the reference's
     * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
@@ -7669,6 +7713,7 @@ object SparkEntry {
     "q190_quantizer_churn" -> (q190QuantizerChurn _),
     "q191_norm_yield" -> (q191NormYield _),
     "q192_idmap_search" -> (q192IdmapSearch _),
+    "q193_watermark_audit" -> (q193WatermarkAudit _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7828,6 +7873,7 @@ object SparkEntry {
     "q189_norm_stats" -> q189Sql,
     "q191_norm_yield" -> q191Sql,
     "q192_idmap_search" -> q192Sql,
+    "q193_watermark_audit" -> q193Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
