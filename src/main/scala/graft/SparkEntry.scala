@@ -81,6 +81,64 @@ object SparkEntry {
       |FROM w GROUP BY 1
       |ORDER BY win""".stripMargin
 
+  /** Session-size/duration distribution: q9's 30-minute-gap
+    * sessionization carried to the sizing report — total sessions,
+    * exact p50/p90 of events-per-session and session duration, max
+    * duration. What a serving/state tier reads to size state stores
+    * and timeouts (`mapGroupsWithState` timeout = this table's tail).
+    * Gap arithmetic in integer nanos; percentiles on the q113
+    * contract; sessions form per user (the shuffle key), never a
+    * global order. */
+  private def q194SessionStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapNs = 1800000000000L // 30 min
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = eventsNs(s, dir)
+      .withColumn("__gap", col("ts") - lag("ts", 1).over(byUser))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapNs, 1L).otherwise(0L))
+      .withColumn("sess", sum("__new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        (max("ts") - min("ts")).as("dur_ns"))
+    sessions.agg(
+      count(lit(1)).cast("long").as("n_sessions"),
+      expr("percentile(CAST(n_events AS DOUBLE), array(0.5D, 0.9D))").as("eq"),
+      expr("percentile(CAST(dur_ns AS DOUBLE), array(0.5D, 0.9D))").as("dq"),
+      max("dur_ns").cast("long").as("max_dur_ns"))
+      .select(col("n_sessions"),
+        round(element_at(col("eq"), 1), 4).as("p50_events"),
+        round(element_at(col("eq"), 2), 4).as("p90_events"),
+        round(element_at(col("dq"), 1), 4).as("p50_dur_ns"),
+        round(element_at(col("dq"), 2), 4).as("p90_dur_ns"),
+        col("max_dur_ns"))
+  }
+
+  private val q194Sql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tn,
+      |    epoch_ns(ts) - lag(epoch_ns(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, tn,
+      |    sum(CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tn, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g),
+      |se AS (
+      |  SELECT user_id, sess, count(*) AS n_events,
+      |    max(tn) - min(tn) AS dur_ns
+      |  FROM m GROUP BY user_id, sess)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      |  round(quantile_cont(CAST(n_events AS DOUBLE), 0.5), 4) AS p50_events,
+      |  round(quantile_cont(CAST(n_events AS DOUBLE), 0.9), 4) AS p90_events,
+      |  round(quantile_cont(CAST(dur_ns AS DOUBLE), 0.5), 4) AS p50_dur_ns,
+      |  round(quantile_cont(CAST(dur_ns AS DOUBLE), 0.9), 4) AS p90_dur_ns,
+      |  CAST(max(dur_ns) AS BIGINT) AS max_dur_ns
+      |FROM se""".stripMargin
+
   /** Flagship: hash-embed the documents corpus, run a text query through
     * embed → exact k-NN → dynamic-threshold retrieval (the reference's
     * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
@@ -7714,6 +7772,7 @@ object SparkEntry {
     "q191_norm_yield" -> (q191NormYield _),
     "q192_idmap_search" -> (q192IdmapSearch _),
     "q193_watermark_audit" -> (q193WatermarkAudit _),
+    "q194_session_stats" -> (q194SessionStats _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7874,6 +7933,7 @@ object SparkEntry {
     "q191_norm_yield" -> q191Sql,
     "q192_idmap_search" -> q192Sql,
     "q193_watermark_audit" -> q193Sql,
+    "q194_session_stats" -> q194Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,
