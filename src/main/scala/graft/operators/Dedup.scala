@@ -536,7 +536,10 @@ object Dedup {
     * (distinct dropped ids per mechanism — the q59 ledger's
     * cardinalities). Same construction as [[dedupCorpus]]'s dropSets;
     * counts are computed eagerly (tiny aggregates over the persisted
-    * signature/bucket frames, released before return). */
+    * signature/bucket frames, released before return). Degenerate-input
+    * behavior (round-10 driver-finding closure): an empty corpus yields
+    * one all-zero row, never an NPE — DedupSpec "dedupDensityStats on an
+    * empty corpus yields one zeroed row". */
   def dedupDensityStats(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
                         minJaccard: Double = 0.8,

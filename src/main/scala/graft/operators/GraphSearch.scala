@@ -100,6 +100,10 @@ object GraphSearch {
     * local scheduler's per-job floor. Each query's beam rule, visited
     * set and early exhaustion replicate [[searchBeam]] EXACTLY (parity
     * is spec-pinned), so the result is the single walks' union.
+    * Stale-graph behavior (dangling dst ids after a corpus removal)
+    * matches the single walk: missing ids are dropped from the frontier,
+    * batch ≡ singles — GraphSearchSpec "stale graph (dangling dst ids)
+    * drops missing ids", the round-10 driver-finding closure.
     * Returns `(query_id, rnk, idCol, score)`. */
   def searchBeamBatch(graph: DataFrame, withCells: DataFrame,
                       ivf: IvfIndex.Ivf, queries: Seq[(Long, Array[Float])],

@@ -154,31 +154,43 @@ object IvfIndex {
     *
     * `pred` must reference only data columns (e.g. `doc_id`), not the
     * `cell_id` partition column — inside a partition dir that column
-    * does not exist.
+    * does not exist. Rows where `pred` evaluates to NULL are KEPT and
+    * not counted as removed — FAISS IDSelector "not selected ⇒ kept"
+    * semantics, applied uniformly whether or not the row's cell is
+    * rewritten (both the match count and the survivor filter run
+    * through `coalesce(pred, false)`; IvfIndexSpec NULL-pred case).
     *
     * Crash-safe per cell (the `compactQuantizedCorpus` discipline): the
     * survivor set lands in a `_rm_tmp…` staging dir (invisible to
     * partition discovery — leading underscore), then two renames swap it
-    * in; a crash leaves either the old or the new COMPLETE partition,
-    * never a mix, and re-running is idempotent (removal of removed rows
-    * is a no-op). Returns (cellsRewritten, rowsRemoved). */
+    * in. The two-rename window (live dir staged out to `_rm_old…`, new
+    * dir not yet swapped in) is healed by a recovery pass at the START
+    * of every call: a leftover `_rm_old_cell_<c>` whose `cell_id=<c>`
+    * dir is missing is completed forward from `_rm_tmp_cell_<c>` when
+    * that staging dir carries a `_SUCCESS` marker, else rolled back —
+    * so after crash + re-run the store holds either the old or the new
+    * COMPLETE partition for every cell, and the re-run's own removal of
+    * already-removed rows is a no-op (IvfIndexSpec crash-window cases).
+    * Returns (cellsRewritten, rowsRemoved). */
   def removeIds(spark: SparkSession, storePath: String,
                 pred: org.apache.spark.sql.Column): (Long, Long) = {
-    val store = spark.read.parquet(storePath)
-    // affected cells + per-cell match counts: one pruned aggregate,
-    // bounded by nlist rows
-    val affected = store.filter(pred)
-      .groupBy("cell_id").agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.get(0).toString.toInt, r.getLong(1)))
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(hconf)
+    recoverRemoveStaging(fs, storePath)
+    val hit = coalesce(pred, lit(false))
+    val store = spark.read.parquet(storePath)
+    // affected cells + per-cell match counts: one pruned aggregate,
+    // bounded by nlist rows
+    val affected = store.filter(hit)
+      .groupBy("cell_id").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0).toString.toInt, r.getLong(1)))
     affected.foreach { case (cell, _) =>
       val dir = new org.apache.hadoop.fs.Path(s"$storePath/cell_id=$cell")
       val tmp = new org.apache.hadoop.fs.Path(s"$storePath/_rm_tmp_cell_$cell")
       val old = new org.apache.hadoop.fs.Path(s"$storePath/_rm_old_cell_$cell")
       fs.delete(tmp, true); fs.delete(old, true)
-      spark.read.parquet(dir.toString).filter(!pred)
+      spark.read.parquet(dir.toString).filter(!hit)
         .write.mode("overwrite").parquet(tmp.toString)
       if (!fs.rename(dir, old))
         throw new java.io.IOException(s"remove_ids: cannot stage out $dir")
@@ -189,6 +201,43 @@ object IvfIndex {
       fs.delete(old, true)
     }
     (affected.length.toLong, affected.map(_._2).sum)
+  }
+
+  /** Heal the removeIds two-rename crash window: for every leftover
+    * `_rm_old_cell_<c>` staging dir whose live `cell_id=<c>` partition
+    * is MISSING, either complete the interrupted swap forward (rename
+    * `_rm_tmp_cell_<c>` → live when the tmp write finished — its
+    * `_SUCCESS` marker is present) or roll the old partition back.
+    * Leftover staging dirs whose live partition EXISTS are completed
+    * swaps that died before cleanup — deleted. Underscore-prefixed dirs
+    * are invisible to partition discovery, so readers are never affected
+    * either way; only this pass touches them. */
+  private def recoverRemoveStaging(fs: org.apache.hadoop.fs.FileSystem,
+                                   storePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("_rm_old_cell_")) {
+        val cell = name.stripPrefix("_rm_old_cell_")
+        val live = new org.apache.hadoop.fs.Path(s"$storePath/cell_id=$cell")
+        val tmp = new org.apache.hadoop.fs.Path(s"$storePath/_rm_tmp_cell_$cell")
+        if (!fs.exists(live)) {
+          val tmpDone = fs.exists(
+            new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+          if (tmpDone && fs.rename(tmp, live)) {
+            fs.delete(st.getPath, true) // completed forward
+          } else if (!fs.rename(st.getPath, live)) {
+            throw new java.io.IOException(
+              s"remove_ids recovery: cannot restore ${st.getPath} -> $live")
+          } else {
+            fs.delete(tmp, true) // rolled back; drop any partial tmp
+          }
+        } else {
+          fs.delete(st.getPath, true); fs.delete(tmp, true)
+        }
+      }
+    }
   }
 
   /** FAISS `IndexIVF::merge_from`: fold the `src` cell-partitioned store

@@ -195,23 +195,30 @@ object Sampling {
       .drop("__r", "__n")
   }
 
-  /** Execute a quota table ([[mixQuotas]]' output or any
-    * (domain, quota) frame): per domain, keep the first `quota` rows of
-    * the salted-md5 draw order — the deterministic mix EXECUTOR. A
-    * domain with fewer rows than its quota yields what it has (the
-    * shortfall is the caller's audit signal — see q185). Quotas are
+  /** Execute a quota table ([[mixQuotas]]' output or any frame carrying
+    * (domain, quota)): per domain, keep the first `quota` rows of the
+    * salted-md5 draw order — the deterministic mix EXECUTOR. A domain
+    * with fewer rows than its quota yields what it has (the shortfall is
+    * the caller's audit signal — see q185). Quotas are
     * domain-table-sized and broadcast; the corpus pays one per-domain
-    * rank window. */
+    * rank window.
+    *
+    * Returns exactly `df`'s columns: the quota frame is projected to
+    * (domain, quota) before the join and both bookkeeping columns are
+    * dropped afterwards, so extra columns of a [[mixQuotas]] output
+    * (n_docs, weight) never leak into the sample
+    * (SamplingSpec "drawQuotas returns only corpus columns"). */
   def drawQuotas(df: DataFrame, quotas: DataFrame, domainCol: String,
                  keyCol: String = "doc_id",
                  salt: String = "mix"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(domainCol)
       .orderBy(hashBucket(col(keyCol), salt).asc, col(keyCol).asc)
-    df.join(broadcast(quotas), Seq(domainCol))
+    df.join(broadcast(quotas.select(col(domainCol), col("quota"))),
+        Seq(domainCol))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= col("quota"))
-      .drop("__r")
+      .drop("__r", "quota")
   }
 
   def assignSplit(df: DataFrame, splits: Seq[(String, Double)],

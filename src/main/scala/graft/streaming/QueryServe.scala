@@ -30,7 +30,11 @@ object QueryServe {
     * literal + a dot column to every scan, so the per-call width is
     * bounded well under codegen's 64KB-method / constant-pool limits
     * while keeping the batched walk's shared-read win (measured
-    * 3.7–10.5× at N=4–16 — already saturating inside this bound). */
+    * 3.7–10.5× at N=4–16 — already saturating inside this bound).
+    * Round-10 driver-finding closure: burst micro-batches are split
+    * into ≤GraphChunkSize walk calls, chunked ≡ one-call — QueryServeSpec
+    * "graph-serve chunking: a burst micro-batch split into bounded walk
+    * calls ≡ one call". */
   val GraphChunkSize = 32
 
   def servedSearch(queries: DataFrame, ivf: IvfIndex.Ivf, pq: PqIndex.Pq,

@@ -293,6 +293,61 @@ class IvfIndexSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("_rm_"))
     assert(leftovers.isEmpty)
   }
+  test("removeIds: NULL-evaluating predicate rows are kept, uniformly") {
+    val corpus = (0 until 300).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-rmnull").toString + "/corpus"
+    withCells.write.partitionBy("cell_id").parquet(path)
+    // when() without otherwise: TRUE on [5,10), FALSE on [0,5), NULL on >=10
+    val pred = when(col("doc_id") < 10, col("doc_id") >= 5)
+    val (_, removed) = IvfIndex.removeIds(spark, path, pred)
+    assert(removed == 5L, "only the TRUE rows count as removed")
+    val after = spark.read.parquet(path)
+    assert(after.count() == 295, "NULL rows kept even in rewritten cells")
+    assert(after.filter($"doc_id" >= 5 && $"doc_id" < 10).count() == 0)
+    assert(after.filter($"doc_id" >= 10).count() == 290,
+      "every NULL-evaluating row survives regardless of its cell")
+  }
+  test("removeIds recovery heals both sides of the two-rename crash window") {
+    val corpus = (0 until 300).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(corpus, nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-rmcr").toString + "/corpus"
+    withCells.write.partitionBy("cell_id").parquet(path)
+    val cells = withCells.select($"cell_id").distinct().as[Int].collect().sorted
+    assert(cells.length >= 2)
+    val (cFwd, cBack) = (cells(0), cells(1))
+    val expect = withCells.select($"doc_id", $"cell_id").as[(Long, Int)]
+      .collect().toMap
+    def mv(a: String, b: String): Unit = {
+      assert(new java.io.File(s"$path/$a").renameTo(new java.io.File(s"$path/$b")))
+    }
+    // FORWARD case: tmp write finished (_SUCCESS present), crash fell
+    // between rename(dir->old) and rename(tmp->dir). Survivors = cell
+    // contents minus doc_id==victimFwd.
+    val victimFwd = spark.read.parquet(s"$path/cell_id=$cFwd")
+      .select($"doc_id").as[Long].head()
+    spark.read.parquet(s"$path/cell_id=$cFwd").filter($"doc_id" =!= victimFwd)
+      .write.parquet(s"$path/_rm_tmp_cell_$cFwd")
+    assert(new java.io.File(s"$path/_rm_tmp_cell_$cFwd/_SUCCESS").exists())
+    mv(s"cell_id=$cFwd", s"_rm_old_cell_$cFwd")
+    // ROLLBACK case: tmp write itself died (no _SUCCESS) after dir was
+    // staged out — old must come back.
+    new java.io.File(s"$path/_rm_tmp_cell_$cBack").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_rm_tmp_cell_$cBack/part-partial.parquet"),
+      Array[Byte](0, 1, 2))
+    mv(s"cell_id=$cBack", s"_rm_old_cell_$cBack")
+    // next removeIds call heals both before matching anything
+    val (cellsRw, removed) = IvfIndex.removeIds(spark, path, lit(false))
+    assert(cellsRw == 0L && removed == 0L)
+    val after = spark.read.parquet(path)
+      .select($"doc_id", $"cell_id".cast("int")).as[(Long, Int)].collect().toMap
+    assert(after == expect - victimFwd,
+      "forward cell completed from tmp, rollback cell restored from old")
+    val debris = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("_rm_"))
+    assert(debris.isEmpty, s"staging debris left: ${debris.mkString(",")}")
+  }
   test("mergeStores: file-level splice — no rewrite, union preserved") {
     val corpus = (0 until 300).map(i => (i.toLong, randVec(i))).toDF("doc_id", "embedding")
     val ivf = IvfIndex.train(corpus, nlist = 8)

@@ -132,6 +132,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.sorted == bq.sorted)
   }
 
+  test("drawQuotas returns only corpus columns, full mixQuotas frame in") {
+    import spark.implicits._
+    val docs = ((1 to 90).map(i => (i.toLong, "web")) ++
+      (91 to 99).map(i => (i.toLong, "code")) ++
+      Seq((100L, "math"))).toDF("doc_id", "source")
+    // pass mixQuotas' FULL output (n_docs, weight, quota) — none may leak
+    val quotas = Sampling.mixQuotas(docs, "source", alpha = 0.5, budget = 20L)
+    val drawn = Sampling.drawQuotas(docs, quotas, "source")
+    assert(drawn.columns.sorted.toSeq == Seq("doc_id", "source"),
+      s"quota-frame columns leaked: ${drawn.columns.mkString(",")}")
+    // per-domain: min(quota, domain size) — shortfall is the contract
+    val q = quotas.select("source", "quota").as[(String, Long)].collect().toMap
+    val sz = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val got = drawn.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    q.foreach { case (s, n) =>
+      assert(got.getOrElse(s, 0L) == math.min(n, sz(s))) }
+  }
+
   test("mixWeights: alpha endpoints and the sqrt rebalance direction") {
     import spark.implicits._
     // 90/9/1 split across three domains.
