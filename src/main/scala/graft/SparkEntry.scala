@@ -37,17 +37,25 @@ object SparkEntry {
     }
   }
 
-  /** Watermark / late-event audit: the BATCH replay of Structured
-    * Streaming's watermark rule over the events table — per 10-minute
-    * event-time window, how many events would arrive late under a 30 s
-    * watermark (arrival order = event_id; watermark before each event =
-    * max event-time seen so far − 30 s, the `withWatermark` semantics
-    * the streaming tier enforces statefully). This is the SIZING table
-    * read before picking a watermark delay: n_late is exactly the data
-    * a too-tight delay drops. The sequential arrival scan is the point
-    * of the audit (one ordered pass over the log — production keeps the
-    * stateful stream; window arithmetic is integer ns, `div` not `/`:
-    * 2024-epoch nanos exceed double's 53-bit mantissa). */
+  /** Watermark / late-event audit, SMALL-LOG form: the BATCH replay of
+    * Structured Streaming's watermark rule over the events table — per
+    * 10-minute event-time window, how many events would arrive late
+    * under a 30 s watermark (arrival order = event_id; watermark before
+    * each event = max event-time seen so far − 30 s, the `withWatermark`
+    * semantics the streaming tier enforces statefully — the batch-size-1
+    * limit of Spark's per-micro-batch watermark update).
+    *
+    * SCOPE: the single GLOBAL arrival order makes this a one-task sort —
+    * deliberately so, and only for logs that fit one task (a diagnostic
+    * replay of one consumer's exact arrival sequence). The at-scale form
+    * is [[q196WatermarkByUser]]: per-unit watermark replay partitioned
+    * on the arrival-order unit, the way a multi-partition stream tracks
+    * watermarks per input partition. The stateful path itself
+    * (`EventStream.sessionizeEventTime` / `withWatermark`) is gated
+    * directly as q195 (streaming ≡ batch oracle) and its late-DROP
+    * behavior is parity-pinned in StreamingSpec. Window arithmetic is
+    * integer ns, `div` not `/`: 2024-epoch nanos exceed double's 53-bit
+    * mantissa. */
   private def q193WatermarkAudit(s: SparkSession, dir: String): DataFrame = {
     val delayNs = 30L * 1000000000L
     val winNs = 600L * 1000000000L
@@ -138,6 +146,132 @@ object SparkEntry {
       |  round(quantile_cont(CAST(dur_ns AS DOUBLE), 0.9), 4) AS p90_dur_ns,
       |  CAST(max(dur_ns) AS BIGINT) AS max_dur_ns
       |FROM se""".stripMargin
+
+  /** Watermark / late-event audit, AT-SCALE form (q193's partitioned
+    * sibling): per-USER watermark replay — each user's event sequence is
+    * treated as one input partition of the stream, with its own
+    * monotonic max-event-time tracker, exactly how a multi-partition
+    * source tracks watermarks per partition before the driver combines
+    * them. Per 10-minute event-time window: events, users active,
+    * events late against THEIR OWN partition's watermark, and the max
+    * such lateness. `Window.partitionBy(user_id)` — the replay
+    * parallelizes across users; no global order anywhere, so the plan
+    * survives a 100× log where q193's single-task form cannot. Same
+    * integer-ns window arithmetic as q193. */
+  private def q196WatermarkByUser(s: SparkSession, dir: String): DataFrame = {
+    val delayNs = 30L * 1000000000L
+    val winNs = 600L * 1000000000L
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    eventsNs(s, dir)
+      .withColumn("__wm", max("ts").over(w) - delayNs)
+      .withColumn("__late", col("__wm").isNotNull && col("ts") < col("__wm"))
+      .groupBy(expr(s"ts div $winNs").as("win"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct("user_id").cast("long").as("n_users"),
+        sum(when(col("__late"), 1L).otherwise(0L)).cast("long").as("n_late"),
+        coalesce(max(when(col("__late"), col("__wm") - col("ts"))), lit(0L))
+          .cast("long").as("max_lateness_ns"))
+      .orderBy("win")
+  }
+
+  private val q196Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tn FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, tn,
+      |    max(tn) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - 30000000000 AS wm
+      |  FROM e)
+      |SELECT CAST(tn // 600000000000 AS BIGINT) AS win,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN wm IS NOT NULL AND tn < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(coalesce(max(CASE WHEN wm IS NOT NULL AND tn < wm
+      |    THEN wm - tn ELSE NULL END), 0) AS BIGINT) AS max_lateness_ns
+      |FROM w GROUP BY 1
+      |ORDER BY win""".stripMargin
+
+  /** The stateful streaming path UNDER THE GATE: runs
+    * [[graft.streaming.EventStream.sessionizeEventTime]] — the real
+    * `flatMapGroupsWithState` + `withWatermark` + EventTimeTimeout
+    * session operator — over the events table staged as event_id-ordered
+    * micro-batches, then emits every closed session. A sentinel batch
+    * (user −1, far-future event time) advances the watermark so idle
+    * users' open sessions close via the event-time TIMEOUT path, not a
+    * test-only flush; the no-data batch Spark runs after a watermark
+    * advance fires them. The oracle replays the same 30-minute-gap
+    * sessionization in SQL — so this gate proves streaming ≡ batch on
+    * the session surface (the q193/q194 sizing tables' subject).
+    * Session bounds are ms-precision longs (`Timestamp.getTime` — the
+    * state fold's own unit; the oracle uses epoch_ms identically).
+    * Testdata arrival order is monotone, so no event is late under the
+    * 10-minute delay and the session output is exactly the batch
+    * sessionization (late-DROP parity under synthetic disorder is
+    * pinned in StreamingSpec, where arrival order can be forged). */
+  private def q195StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val ev = eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val maxTs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft-q195").toString + "/in"
+    val nBatches = 3
+    def writeBatch(b: Int): Unit =
+      ev.filter(expr(s"event_id * $nBatches div ${maxId + 1}") === b)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val qname = "q195_sessions"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    import s.implicits._
+    writeBatch(0) // the file source checks the dir exists at definition
+    val out = EventStream.sessionizeEventTime(
+      s.readStream.schema(EventStream.RawEventSchema).parquet(inDir)
+        .as[EventStream.RawEvent],
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable()
+      (1 until nBatches).foreach { b => writeBatch(b); q.processAllAvailable() }
+      // one sentinel micro-batch (user −1, far-future) advances the
+      // watermark past every real timeout; the no-data batch Spark runs
+      // after a watermark change (SPARK-24156) fires them, and
+      // processAllAvailable waits for it.
+      Seq((maxId + 1, new java.sql.Timestamp(maxTs + 86400000L), -1L,
+        "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  private val q195Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tm FROM events),
+      |g AS (
+      |  SELECT user_id, tm, event_id,
+      |    tm - lag(tm) OVER (PARTITION BY user_id ORDER BY tm, event_id) AS gap
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, tm, event_id,
+      |    sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tm, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g)
+      |SELECT user_id, CAST(min(tm) AS BIGINT) AS start_ms,
+      |  CAST(max(tm) AS BIGINT) AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM m GROUP BY user_id, sess
+      |ORDER BY user_id, start_ms""".stripMargin
 
   /** Flagship: hash-embed the documents corpus, run a text query through
     * embed → exact k-NN → dynamic-threshold retrieval (the reference's
@@ -7773,6 +7907,8 @@ object SparkEntry {
     "q192_idmap_search" -> (q192IdmapSearch _),
     "q193_watermark_audit" -> (q193WatermarkAudit _),
     "q194_session_stats" -> (q194SessionStats _),
+    "q195_stream_sessions" -> (q195StreamSessions _),
+    "q196_watermark_by_user" -> (q196WatermarkByUser _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -7934,6 +8070,8 @@ object SparkEntry {
     "q192_idmap_search" -> q192Sql,
     "q193_watermark_audit" -> q193Sql,
     "q194_session_stats" -> q194Sql,
+    "q195_stream_sessions" -> q195Sql,
+    "q196_watermark_by_user" -> q196Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

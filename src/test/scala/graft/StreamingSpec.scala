@@ -265,6 +265,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeEventTime under disorder ≡ batch-boundary watermark replay (q193's rule)") {
+    // The stateful session stream's late-DROP semantics, pinned against
+    // the same replay the q193/q196 sizing audits compute in batch:
+    // watermark during batch b = max event time of batches < b − delay;
+    // a row below it never reaches the state fold. Testdata arrival is
+    // monotone (q195 gates the no-late path); here arrival order is
+    // FORGED to create genuinely late rows.
+    val staging = java.nio.file.Files.createTempDirectory("graft-sess-late").toString
+    val base = 1700000000000L
+    val delayMs = 60000L // 1 minute
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.map { case (id, ts, uid) =>
+        (id, new java.sql.Timestamp(ts), uid, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(staging)
+
+    // batch 1: A(t0), B(t0+60s)           wm after = t0
+    // batch 2: C(t0+600s), D(t0-300s)     D < wm(t0) -> DROPPED
+    // batch 3: E(t0+660s), F(t0+300s)     wm now t0+540s -> F DROPPED
+    // (D and F would BOTH merge into the session if kept: gaps < 30 min)
+    val batches = Seq(
+      Seq((1L, base, 1L), (2L, base + 60000, 1L)),
+      Seq((3L, base + 600000, 1L), (4L, base - 300000, 1L)),
+      Seq((5L, base + 660000, 1L), (6L, base + 300000, 1L)))
+    write(batches.head)
+    val in = spark.readStream.schema(EventStream.RawEventSchema)
+      .parquet(staging).as[RawEvent]
+    val out = EventStream.sessionizeEventTime(in,
+      gapMinutes = 30, watermarkDelay = "1 minute")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    try {
+      q.processAllAvailable()
+      batches.tail.foreach { b => write(b); q.processAllAvailable() }
+      // sentinels: advance the watermark, then fire the timeouts
+      write(Seq((7L, base + 36000000L, 2L)))
+      q.processAllAvailable()
+      write(Seq((8L, base + 72000000L, 2L)))
+      q.processAllAvailable()
+
+      // batch-boundary replay: per batch, wm = max(prior ts) − delay
+      var wm = Long.MinValue
+      val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+      batches.foreach { b =>
+        b.foreach { case (_, ts, uid) if uid == 1L =>
+          if (ts >= wm) survivors += ts
+        case _ => () }
+        wm = math.max(wm, b.map(_._2).max - delayMs)
+      }
+      assert(survivors.sorted == Seq(base, base + 60000, base + 600000,
+        base + 660000), "replay must drop D and F")
+      // survivors are one 30-min-gap session
+      val got = spark.sql(
+        "SELECT session_start, session_end, n_events FROM sess_late WHERE user_id = 1")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+          r.getInt(2))).toSet
+      assert(got == Set((survivors.min, survivors.max, survivors.size)),
+        s"stream output $got != replay session over $survivors")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sess_late")
+    }
+  }
+
   test("screenedIngest flags each micro-batch against store + prior batches, ≡ batch replay") {
     import graft.operators.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft-screen").toString
