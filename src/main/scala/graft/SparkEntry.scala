@@ -805,34 +805,28 @@ object SparkEntry {
     * recall, the q169 calibration's other axis) at more verify compute;
     * this table prices that trade. The verify threshold is applied in
     * INTEGERS (`2·n_inter ≥ n_union` ⇔ J ≥ 0.5 — no float boundary);
-    * precision is one guarded division. Oracle = one full
-    * sig/cand/verify replay per band count, unioned as derived tables
-    * (band slice width 32/b hex chars, the kernel's rule). */
-  private def q178BandSweep(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    Seq(2, 4, 8).map { b =>
-      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", n = 3, bands = b)
-      val cands = Dedup.lshCandidates(sigs)
-      val ver = Dedup.jaccardVerifyOverlapping(docs, cands, "text", "doc_id", n = 3)
-        .filter(col("n_inter") * 2 >= col("n_union"))
-      cands.agg(count(lit(1)).cast("long").as("n_candidates"))
-        .crossJoin(ver.agg(count(lit(1)).cast("long").as("n_verified")))
-        .select(lit(b.toLong).as("bands"), col("n_candidates"), col("n_verified"))
-    }.reduce(_ unionByName _)
+    * precision is one guarded division. All three legs share ONE
+    * tokenize/shingle/explode pass and ONE signature aggregation
+    * ([[Dedup.bandSweep]] — the r11 VERDICT improvement; previously
+    * each leg re-ran the full sig/cand/verify pipeline). Oracle = one
+    * full sig/cand/verify replay per band count, unioned as derived
+    * tables (band slice width 32/b hex chars, the kernel's rule). */
+  private def q178BandSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandSweep(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, bandCounts = Seq(2, 4, 8))
       .withColumn("precision",
         round(when(col("n_candidates") > 0,
           col("n_verified").cast("double") / col("n_candidates"))
           .otherwise(lit(0.0)), 4))
       .orderBy("bands")
-  }
 
-  private val q178Sql = {
+  private def bandSweepSql(corpusFilter: String): String = {
     val blocks = Seq(2, 4, 8).map { b =>
       val w = 32 / b
       val bandList = (0 until b).mkString("[", ",", "]")
       s"""SELECT * FROM (WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
-        |  FROM documents),
+        |  FROM documents $corpusFilter),
         |sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
@@ -865,6 +859,32 @@ object SparkEntry {
       |$blocks)
       |ORDER BY bands""".stripMargin
   }
+
+  private val q178Sql = bandSweepSql("")
+
+  /** Sampled-calibration posture for the estimator tier — the 100 TB
+    * form of q178: the band sweep over a DETERMINISTIC salted-hash
+    * sample of the corpus (the q53 membership idiom —
+    * `substr(md5('calib:'||doc_id),1,8) < thresholdHex(frac)`), because
+    * nobody prices estimator operating points on the full corpus at
+    * scale; candidate/verify cost is bounded by the sample, and the
+    * operating-point CURVE (how candidates and precision move with b)
+    * is what transfers, not the absolute counts. Salted membership is
+    * partitioning-independent and replayed verbatim by the oracle. */
+  private def q197BandSweepSampled(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandSweep(
+      t(s, dir, "documents").filter(
+        Sampling.hashBucket(col("doc_id"), "calib") <
+          lit(Sampling.thresholdHex(0.25))),
+      "text", "doc_id", n = 3, bandCounts = Seq(2, 4, 8))
+      .withColumn("precision",
+        round(when(col("n_candidates") > 0,
+          col("n_verified").cast("double") / col("n_candidates"))
+          .otherwise(lit(0.0)), 4))
+      .orderBy("bands")
+
+  private val q197Sql = bandSweepSql(
+    "WHERE substr(md5('calib:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'")
 
   // ====================================================================
   // Vector search (J1 exact single + batch, W1 dynamic threshold,
@@ -7909,6 +7929,7 @@ object SparkEntry {
     "q194_session_stats" -> (q194SessionStats _),
     "q195_stream_sessions" -> (q195StreamSessions _),
     "q196_watermark_by_user" -> (q196WatermarkByUser _),
+    "q197_band_sweep_sampled" -> (q197BandSweepSampled _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -8072,6 +8093,7 @@ object SparkEntry {
     "q194_session_stats" -> q194Sql,
     "q195_stream_sessions" -> q195Sql,
     "q196_watermark_by_user" -> q196Sql,
+    "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
     "q125_corpus_diff" -> q125Sql,

@@ -50,6 +50,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinhashSigs(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "minhash_sigs_multi",
+      exprs => MinhashSigsMulti(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "strip_non_alnum", exprs => StripNonAlnum(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
@@ -171,6 +174,10 @@ object GraftFunctions {
   /** Per-document MinHash band signatures (single pass, one md5/shingle). */
   def minhashSigs(text: Column, n: Column, bands: Column): Column =
     call_function("minhash_sigs", text, n, bands)
+
+  /** [[minhashSigs]] for several band counts in one md5 pass (sweeps). */
+  def minhashSigsMulti(text: Column, n: Column, bandCounts: Column): Column =
+    call_function("minhash_sigs_multi", text, n, bandCounts)
 
   /** Drop every byte outside `[a-z0-9]` (fingerprint normalizer). */
   def stripNonAlnum(s: Column): Column = call_function("strip_non_alnum", s)

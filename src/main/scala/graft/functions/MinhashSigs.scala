@@ -77,6 +77,72 @@ case class MinhashSigs(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `minhash_sigs_multi(text, n, band_counts)`: [[MinhashSigs]] for SEVERAL
+  * band counts in ONE md5 pass — the signature source for banding SWEEPS
+  * (q178/q197), where the per-leg single-width form would digest every
+  * shingle once per leg. Returns the concatenation of the per-band-count
+  * signature arrays in `band_counts` order (leg `i`'s `band_counts(i)`
+  * signatures start at offset `Σ_{j<i} band_counts(j)`, sliced out by the
+  * caller); each slice is bit-identical to `minhash_sigs(text, n,
+  * band_counts(i))` (MinhashPropSpec pins the equivalence), so per-leg
+  * oracles are unchanged. Empty array when the document has < n tokens,
+  * like the single-width form. */
+case class MinhashSigsMulti(first: Expression, second: Expression,
+                            third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sigs_multi"
+
+  override def nullSafeEval(text: Any, nAny: Any, bandCountsAny: Any): Any = {
+    val n = nAny.asInstanceOf[Int]
+    val bcData = bandCountsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bandCounts = bcData.toIntArray()
+    if (bandCounts.isEmpty || bandCounts.exists(b => b < 1 || b > 32))
+      throw new IllegalArgumentException(
+        s"minhash_sigs_multi: every band count must be in [1, 32], got ${bandCounts.mkString(",")}")
+    if (n < 1)
+      throw new IllegalArgumentException(
+        s"minhash_sigs_multi: shingle size n must be >= 1, got $n")
+    val toks = text.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val total = bandCounts.sum
+    val widths = bandCounts.map(b => math.max(1, 32 / b))
+    val offsets = bandCounts.scanLeft(0)(_ + _)
+    val mins = new Array[String](total)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      md.reset()
+      val hex = MinhashSigs.hex(
+        md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      var li = 0
+      while (li < bandCounts.length) {
+        val width = widths(li)
+        val base = offsets(li)
+        var b = 0
+        while (b < bandCounts(li)) {
+          val slice = hex.substring(b * width, b * width + width)
+          val k = base + b
+          if (mins(k) == null || slice.compareTo(mins(k)) < 0) mins(k) = slice
+          b += 1
+        }
+        li += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(s => UTF8String.fromString(s): Any))
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): MinhashSigsMulti =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object MinhashSigs {
   private val HexChars = "0123456789abcdef".toCharArray
 

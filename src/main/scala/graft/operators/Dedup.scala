@@ -242,6 +242,16 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .repartition(col("shingle"))
+    overlapFromExploded(expl, candidates)
+  }
+
+  /** [[overlapSized]] over a PREBUILT exploded shingle frame
+    * (`(id, n_sh, shingle)`, already repartitioned on `shingle`) — the
+    * entry point for callers that reuse one shingle scan across several
+    * candidate sets ([[bandSweep]]). Join shape and hints identical to
+    * [[jaccardVerifyOverlapping]]'s documented, load-bearing ones. */
+  private def overlapFromExploded(expl: DataFrame,
+                                  candidates: DataFrame): DataFrame =
     expl.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
       .join(broadcast(candidates), "id_a")
       .hint("merge")
@@ -250,6 +260,64 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("int").as("n_inter"),
         min("n_a").as("n_a"), min("n_b").as("n_b"))
+
+  /** LSH banding sweep with the signature scan SHARED across legs: for
+    * each band count b, the candidate pairs and the pairs verifying at
+    * Jaccard ≥ 1/2 (`2·n_inter ≥ n_union` — integer threshold, no float
+    * boundary). One row per band count:
+    * (bands, n_candidates, n_verified).
+    *
+    * Shape, with the measured dead ends recorded (BASELINE.md r12):
+    * - Signatures for ALL legs come from ONE corpus scan — the
+    *   [[graft.functions.MinhashSigsMulti]] kernel digests each shingle
+    *   once and emits every leg's band mins; the tiny per-doc sig table
+    *   (one row per doc) is persisted and each leg slices its offsets.
+    *   The per-leg single-width form re-digested the corpus per leg.
+    * - The verify legs stay LAZY and run in ONE action: their exploded
+    *   shingle subtrees are identical, so ReuseExchange materializes
+    *   the shingle exchange once for all legs. Persisting that exploded
+    *   frame instead MEASURED 85% SLOWER (7.4 s vs 4.0 s steady at
+    *   sf0.1): the cache pays materialization and breaks whole-stage
+    *   fusion for work exchange reuse already shares.
+    * - NO candidate-member prefilter: at a sweep's wide-band legs
+    *   (b=8 ⇒ 16-bit buckets) candidates cover nearly the whole corpus
+    *   (117k pairs / 5k docs at sf0.1), so the
+    *   nearDupPairs(cacheCandidates=true) semi-join filters nothing and
+    *   measured +60% steady. Sweeps price operating points including
+    *   dense ones; single-point pipelines keep the prefilter. */
+  def bandSweep(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", n: Int = 3,
+                bandCounts: Seq[Int] = Seq(2, 4, 8),
+                maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    require(bandCounts.nonEmpty && bandCounts.forall(b => b > 0 && 32 % b == 0),
+      s"band counts must divide 32: $bandCounts")
+    val offsets = bandCounts.scanLeft(0)(_ + _)
+    val sigTable = docs.select(col(idCol).as("id"),
+      GraftFunctions.minhashSigsMulti(col(textCol), lit(n),
+        array(bandCounts.map(lit): _*)).as("msig"))
+      .filter(size(col("msig")) > 0)
+      .persist()
+    try {
+      sigTable.count() // materialize: one kernel scan for every leg
+      val legs = bandCounts.zipWithIndex.map { case (b, li) =>
+        val sigs = sigTable.select(col("id"),
+          posexplode(slice(col("msig"), offsets(li) + 1, b))
+            .as(Seq("band", "sig")))
+        val cands = lshCandidates(sigs, maxBucketSize)
+        val ver = jaccardVerifyOverlapping(docs, cands, textCol, idCol, n)
+          .filter(col("n_inter") * 2 >= col("n_union"))
+        cands.agg(count(lit(1)).cast("long").as("n_candidates"))
+          .crossJoin(ver.agg(count(lit(1)).cast("long").as("n_verified")))
+          .select(lit(b.toLong).as("bands"), col("n_candidates"),
+            col("n_verified"))
+      }
+      import spark.implicits._
+      legs.reduce(_ unionByName _).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("bands", "n_candidates", "n_verified")
+    } finally sigTable.unpersist()
   }
 
   def jaccardVerifyOverlapping(docs: DataFrame, candidates: DataFrame,

@@ -69,4 +69,25 @@ class HashExprPropSpec extends AnyFunSuite {
       fromExpr == expected
     })
   }
+
+  test("minhash_sigs_multi ≡ concatenated single-width minhash_sigs slices") {
+    val words = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 6).flatMap(k =>
+        Gen.listOfN(k, Gen.alphaLowerChar).map(_.mkString))))
+    val bandCounts = Seq(2, 4, 8)
+    checkProp(Prop.forAll(words) { ws =>
+      val doc = ws.mkString(" ")
+      val n = 3
+      val multi = Seq(doc).toDF("t")
+        .select(graft.functions.GraftFunctions.minhashSigsMulti($"t", lit(n),
+          array(bandCounts.map(lit): _*)))
+        .as[Seq[String]].head()
+      val singles = bandCounts.flatMap { b =>
+        Seq(doc).toDF("t")
+          .select(graft.functions.GraftFunctions.minhashSigs($"t", lit(n), lit(b)))
+          .as[Seq[String]].head()
+      }
+      multi == singles
+    })
+  }
 }
