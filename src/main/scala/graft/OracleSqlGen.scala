@@ -980,11 +980,14 @@ object OracleSqlGen {
     * order is (score DESC, id ASC), so the replay is row-identical to
     * the engine's driver loop — including early exhaustion (an empty
     * frontier leaves every later block a no-op on both sides). */
-  def graphSearchSql(cents: Seq[Array[Double]], kGraph: Int, cap: Int,
-                     k: Int, nprobe: Int, beamWidth: Int,
-                     hops: Int, qVecId: Int = 0): String = {
-    // hops = 0 would leave a dangling comma before the final SELECT
-    require(hops >= 1, s"graphSearchSql needs at least one hop, got $hops")
+  /** The walk's CTE chain shared by [[graphSearchSql]] and
+    * [[graphInsertSql]]: `__graph` (WITH per-edge score `s` and per-src
+    * `grnk` — the search form projects them away, the insert replay
+    * needs them), query/probe/entry, then `hops` expand/score/beam
+    * blocks ending at `__s{hops}` (everything scored). */
+  private def graphWalkCtes(kGraph: Int, nprobe: Int, beamWidth: Int,
+                            hops: Int, qVecId: Int): String = {
+    require(hops >= 1, s"graph walk needs at least one hop, got $hops")
     val hopCtes = (1 to hops).map { i =>
       s"""__f$i AS (
          |  SELECT DISTINCT g.dst AS id FROM __graph g
@@ -1000,13 +1003,11 @@ object OracleSqlGen {
          |    SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rn
          |    FROM __s$i) WHERE rn <= $beamWidth)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${ivfAssignCtes(cents)},
-       |${graphBaseCtes(cap)},
-       |__graph AS (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst,
-       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
-       |    FROM __gscored) WHERE rnk <= $kGraph),
+    s"""__graph AS (
+       |  SELECT src, dst, s, grnk FROM (
+       |    SELECT src, dst, s,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS grnk
+       |    FROM __gscored) WHERE grnk <= $kGraph),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qVecId),
        |probe AS (
        |  SELECT c.cell_id, row_number() OVER (
@@ -1023,12 +1024,76 @@ object OracleSqlGen {
        |  SELECT id FROM (
        |    SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rn
        |    FROM __s0) WHERE rn <= $beamWidth),
-       |$hopCtes
+       |$hopCtes""".stripMargin
+  }
+
+  def graphSearchSql(cents: Seq[Array[Double]], kGraph: Int, cap: Int,
+                     k: Int, nprobe: Int, beamWidth: Int,
+                     hops: Int, qVecId: Int = 0): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |${graphWalkCtes(kGraph, nprobe, beamWidth, hops, qVecId)}
        |SELECT CAST(rn AS BIGINT) AS rnk, id AS doc_id, round(s, 4) AS score
        |FROM (SELECT id, s, row_number() OVER (ORDER BY s DESC, id ASC) AS rn
        |      FROM __s$hops) WHERE rn <= $k
        |ORDER BY rn""".stripMargin
-  }
+
+  /** q198's oracle: [[graft.operators.GraphSearch.insert]] of ONE new
+    * node replayed end-to-end — the walk ([[graphWalkCtes]], top
+    * `4·kGraph` candidates), the probe-top-1 cell assignment, the
+    * in-cell filter and forward top-`kGraph`, each chosen neighbor's
+    * reverse splice re-capped under (s DESC, dst ASC), and the
+    * connectivity guard (if every cap prunes the newcomer, the rank-1
+    * neighbor keeps its top `kGraph−1` plus the new edge). Emits the
+    * touched slice: the new node's forward list + chosen neighbors'
+    * final lists, `(src, dst, rnk, score)`. */
+  def graphInsertSql(cents: Seq[Array[Double]], kGraph: Int, cap: Int,
+                     nprobe: Int, beamWidth: Int, hops: Int,
+                     qVecId: Int, newId: Long): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |${graphWalkCtes(kGraph, nprobe, beamWidth, hops, qVecId)},
+       |walked AS (
+       |  SELECT id, s FROM (
+       |    SELECT id, s, row_number() OVER (ORDER BY s DESC, id ASC) AS rn
+       |    FROM __s$hops) WHERE rn <= ${4 * kGraph}),
+       |qcell AS (SELECT cell_id FROM probe WHERE pr = 1),
+       |chosen AS (
+       |  SELECT id, s, row_number() OVER (ORDER BY s DESC, id ASC) AS crnk
+       |  FROM (
+       |    SELECT w.id, w.s FROM walked w
+       |    JOIN __assigned a ON a.doc_id = w.id
+       |    WHERE a.cell_id = (SELECT cell_id FROM qcell))
+       |  QUALIFY crnk <= $kGraph),
+       |rev AS (
+       |  SELECT src, dst, s,
+       |    row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |  FROM (
+       |    SELECT g.src, g.dst, g.s FROM __graph g JOIN chosen c ON g.src = c.id
+       |    UNION ALL
+       |    SELECT c.id AS src, CAST($newId AS BIGINT) AS dst, c.s AS s FROM chosen c)),
+       |kept AS (SELECT count(*) AS n FROM rev WHERE rnk <= $kGraph AND dst = $newId),
+       |ustar AS (SELECT id, s FROM chosen WHERE crnk = 1),
+       |guarded AS (
+       |  SELECT src, dst, s,
+       |    row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |  FROM (
+       |    SELECT g.src, g.dst, g.s FROM __graph g
+       |    JOIN ustar u ON g.src = u.id WHERE g.grnk <= ${kGraph - 1}
+       |    UNION ALL
+       |    SELECT u.id AS src, CAST($newId AS BIGINT) AS dst, u.s AS s FROM ustar u))
+       |SELECT src, dst, CAST(rnk AS BIGINT) AS rnk, round(score, 4) AS score
+       |FROM (
+       |  SELECT CAST($newId AS BIGINT) AS src, id AS dst,
+       |    crnk AS rnk, s AS score FROM chosen
+       |  UNION ALL
+       |  SELECT src, dst, rnk, s AS score FROM rev
+       |  WHERE rnk <= $kGraph AND ((SELECT n FROM kept) > 0
+       |    OR src <> (SELECT id FROM ustar))
+       |  UNION ALL
+       |  SELECT src, dst, rnk, s AS score FROM guarded
+       |  WHERE (SELECT n FROM kept) = 0)
+       |ORDER BY src, rnk""".stripMargin
 
   /** q132's oracle: the batched beam walk replayed as one
     * [[graphSearchSql]] block PER query (each its own derived-table

@@ -7045,6 +7045,36 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Incremental graph insert ([[GraphSearch.insert]] — FAISS
+    * `IndexHNSW::add` re-shaped): ONE new node (vec 0's embedding under
+    * a fresh id) inserted into the persisted k-NN graph via the
+    * existing beam walk — probe-top-1 cell assignment, in-cell
+    * forward top-k, reverse splice with degree re-cap, connectivity
+    * guard. Emits the TOUCHED slice (the new node's forward list +
+    * every chosen neighbor's final list); untouched nodes never appear,
+    * mirroring the affected-partition write a persisted store would do.
+    * Oracle replays the entire insert — walk, assignment, splice, cap,
+    * guard — in SQL ([[graft.OracleSqlGen.graphInsertSql]]), so the
+    * graph tier's maintenance mutation sits under the gate exactly like
+    * the IVF tier's q152/q154/q168. Sequential multi-insert semantics
+    * (later inserts see earlier ones) are spec-pinned in
+    * GraphSearchSpec. */
+  private def q198GraphInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val v = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val newId = 10000000L
+    val (grown, _) = GraphSearch.insert(graphCorpus(s, dir), withCells, ivf,
+      Seq((newId, v)), kGraph = 4, nprobe = 4, beamWidth = 8, hops = 3)
+    val chosen = grown.filter(col("src") === newId)
+      .select(col("dst").cast("long")).as[Long].collect().toSeq
+    grown.filter(col("src") === newId || col("src").isin(chosen: _*))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("rnk").cast("long").as("rnk"), round(col("score"), 4).as("score"))
+      .orderBy("src", "rnk")
+  }
+
   /** k-NN graph hygiene report: the audit an operator reads before
     * trusting the graph tier — node/edge counts, degree extremes (a
     * node under k edges means its cell was smaller than k), and
@@ -7930,6 +7960,7 @@ object SparkEntry {
     "q195_stream_sessions" -> (q195StreamSessions _),
     "q196_watermark_by_user" -> (q196WatermarkByUser _),
     "q197_band_sweep_sampled" -> (q197BandSweepSampled _),
+    "q198_graph_insert" -> (q198GraphInsert _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -8619,6 +8650,10 @@ object SparkEntry {
           k = 10, nprobe = 4, beams = Seq(2, 4, 8), hops = 3),
         "q159_graph_stats" -> OracleSqlGen.knnGraphStatsSql(cents,
           k = 4, cap = SemanticDedup.DefaultMaxCellSize),
+        "q198_graph_insert" -> OracleSqlGen.graphInsertSql(cents,
+          kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
+          nprobe = 4, beamWidth = 8, hops = 3, qVecId = 0,
+          newId = 10000000L),
         "q166_probe_cost" -> OracleSqlGen.ivfProbeCostSql(cents, maxProbe = 8),
         "q98_ivf_range" -> OracleSqlGen.ivfRangeSearchSql(cents,
           minScore = 0.2, nprobe = 4),

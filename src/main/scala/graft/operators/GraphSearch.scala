@@ -183,4 +183,136 @@ object GraphSearch {
         .zipWithIndex.map { case ((id, s), r) => (qid, (r + 1).toLong, id, s) }
     }.toDF("query_id", "rnk", idCol, "score")
   }
+
+  /** Incremental graph INSERT — FAISS `IndexHNSW::add`
+    * (faiss/IndexHNSW.cpp `hnsw_add_vertices`) re-shaped for the
+    * persisted cell-blocked graph, closing the maintenance gap the IVF
+    * tier already covers (removeIds/merge/retrain): ST4 write-back can
+    * now GROW the graph index without a rebuild.
+    *
+    * Per new row, in insertion order (later inserts see earlier ones,
+    * FAISS's add semantics):
+    *  1. the row joins its quantizer cell (nearest centroid — the same
+    *     assignment a rebuild would give it);
+    *  2. candidate neighbors come from the EXISTING walk
+    *     ([[searchBeam]] over the current graph+corpus, `4·kGraph`
+    *     candidates) restricted to the row's cell — the cell-blocked
+    *     invariant (edges never cross cells) is what keeps the walk's
+    *     entry seeding and the rebuild parity meaningful. A cell the
+    *     walk never reached (its subgraph unreachable from the probed
+    *     entries) falls back to the exact in-cell scan — bounded by the
+    *     build's own cell cap;
+    *  3. forward edges: the row's top-`kGraph` of those candidates by
+    *     (score DESC, id ASC) — the build's exact comparator;
+    *  4. reverse edges: each chosen neighbor u gains (u → new), then
+    *     u's list is re-capped to its top-`kGraph` (FAISS
+    *     `shrink_neighbor_list`); only chosen neighbors' lists change.
+    *  5. CONNECTIVITY GUARD (deliberate deviation from FAISS's naive
+    *     shrink, documented here because the walk depends on it): if
+    *     EVERY chosen neighbor's cap prunes the new reverse edge — a
+    *     dense cell where the newcomer outranks nothing — the rank-1
+    *     neighbor force-keeps it in place of its own worst edge, so
+    *     every inserted node retains ≥ 1 in-edge and stays reachable
+    *     by the walk (entry seeds are per-cell min ids, which a new
+    *     high id can never be; without the guard such a node is
+    *     findable by IVF scan but invisible to the graph tier).
+    *
+    * Driver state is bounded by `batch · kGraph` edited nodes, each
+    * holding ≤ `kGraph` edges; the walk/fetch jobs per insert are the
+    * same pruned tiny-result class as a single-query search. The
+    * returned graph is `base minus edited-src rows ∪ edited rows` — at
+    * a persisted 100 TB store the edited-src set is driver-known and
+    * bounded, so the write is the removeIds-style affected-partition
+    * rewrite, never a graph rewrite. Walk-on-grown ≡ walk-on-rebuilt
+    * parity (within recall tolerance) is spec-pinned in GraphSearchSpec.
+    * Returns (grownGraph, grownCorpus). */
+  def insert(graph: DataFrame, withCells: DataFrame, ivf: IvfIndex.Ivf,
+             newRows: Seq[(Long, Array[Float])], kGraph: Int,
+             nprobe: Int = 4, beamWidth: Int = 8, hops: Int = 3,
+             idCol: String = "doc_id",
+             embCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val spark = withCells.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    require(newRows.nonEmpty, "insert needs at least one new row")
+
+    // (src -> edge list) for every node this batch touches: new nodes'
+    // forward lists and chosen neighbors' re-capped lists.
+    val edits = scala.collection.mutable.LinkedHashMap.empty[Long, Seq[(Long, Double)]]
+    val added = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Int)]
+
+    // the walk and the returned corpus carry the index triple only — a
+    // store with extra payload columns keeps them in ITS copy; new rows
+    // have no payload by definition
+    val corpusBase = withCells.select(col(idCol), col(embCol), col("cell_id"))
+    def composedCorpus: DataFrame =
+      if (added.isEmpty) corpusBase
+      else corpusBase.unionByName(
+        added.toSeq.toDF(idCol, embCol, "cell_id")
+          .select(corpusBase.columns.map(col): _*))
+    def composedGraph: DataFrame =
+      if (edits.isEmpty) graph
+      else graph.filter(!col("src").isin(edits.keys.toSeq: _*))
+        .unionByName(editsDf)
+    def editsDf: DataFrame =
+      edits.toSeq.flatMap { case (src, es) =>
+        es.zipWithIndex.map { case ((dst, s), i) => (src, dst, (i + 1).toLong, s) }
+      }.toDF("src", "dst", "rnk", "score")
+        .select(graph.columns.map(col): _*)
+
+    newRows.foreach { case (newId, vec) =>
+      val cell = IvfIndex.probeCells(ivf, vec, 1).head
+      val corpusNow = composedCorpus
+      val walked = searchBeam(composedGraph, corpusNow, ivf, vec,
+        k = 4 * kGraph, nprobe = nprobe, beamWidth = beamWidth, hops = hops,
+        idCol = idCol, embCol = embCol)
+        .select(col(idCol).cast("long"), col("score"))
+        .as[(Long, Double)].collect().toSeq
+      val walkedIds = walked.map(_._1)
+      val inCellIds: Set[Long] =
+        if (walkedIds.isEmpty) Set.empty
+        else corpusNow.filter(col(idCol).isin(walkedIds: _*) &&
+            col("cell_id") === cell)
+          .select(col(idCol).cast("long")).as[Long].collect().toSet
+      val candidates = walked.filter(c => inCellIds.contains(c._1))
+      val chosen =
+        (if (candidates.nonEmpty) candidates
+         else // unreached cell: exact in-cell scan, bounded by the cell cap
+           corpusNow.filter(col("cell_id") === cell && col(idCol) =!= newId)
+             .select(col(idCol).cast("long"),
+               GraftFunctions.dotF32(col(embCol), typedlit(vec)))
+             .as[(Long, Double)].collect().toSeq)
+          .sortBy { case (id, s) => (-s, id) }.take(kGraph)
+
+      // forward list for the new node
+      edits(newId) = chosen
+      added += ((newId, vec, cell))
+
+      // reverse splice: fetch the chosen neighbors' current lists in one
+      // pruned read (edits map first — a node edited earlier this batch
+      // must not be re-read stale), add (u -> new), re-cap.
+      val toFetch = chosen.map(_._1).filterNot(edits.contains)
+      val fetched: Map[Long, Seq[(Long, Double)]] =
+        if (toFetch.isEmpty) Map.empty
+        else graph.filter(col("src").isin(toFetch: _*))
+          .select(col("src").cast("long"), col("dst").cast("long"), col("score"))
+          .as[(Long, Long, Double)].collect()
+          .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))
+            .sortBy { case (id, s) => (-s, id) }.toSeq).toMap
+      var kept = false
+      chosen.foreach { case (u, s) =>
+        val current = edits.getOrElse(u, fetched.getOrElse(u, Seq.empty))
+        val merged = (current :+ (newId, s))
+          .sortBy { case (id, sc) => (-sc, id) }.take(kGraph)
+        if (merged.exists(_._1 == newId)) kept = true
+        edits(u) = merged
+      }
+      if (!kept && chosen.nonEmpty) { // connectivity guard (doc pt. 5)
+        val (uStar, sStar) = chosen.head
+        edits(uStar) = (edits(uStar).take(kGraph - 1) :+ (newId, sStar))
+          .sortBy { case (id, sc) => (-sc, id) }
+      }
+    }
+    (composedGraph, composedCorpus)
+  }
 }

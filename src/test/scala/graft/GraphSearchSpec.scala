@@ -156,4 +156,116 @@ class GraphSearchSpec extends AnyFunSuite {
     val overlap = gotIds.intersect(exact).size
     assert(overlap >= 4, s"graph walk recall too low: $overlap/5")
   }
+
+  test("insert: splice invariants — degree cap, cell-blocked edges, untouched rows") {
+    val kG = 4
+    val data = clustered(320, 5)
+    val base = data.take(300)
+    val extra = data.drop(300).map { case (id, v) => (id + 1000L, v) }
+    val docs = base.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 5)
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = kG)
+
+    val (grown, corpus) = GraphSearch.insert(graph, withCells, ivf, extra,
+      kGraph = kG, nprobe = 2, beamWidth = 6, hops = 3)
+    val grownEdges = grown.select($"src".cast("long"), $"dst".cast("long"),
+      $"rnk".cast("long"), $"score").as[(Long, Long, Long, Double)].collect()
+
+    // corpus grew and every new row carries its nearest-centroid cell
+    assert(corpus.count() == 320)
+    val cellOf = corpus.select($"doc_id".cast("long"), $"cell_id".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    extra.foreach { case (id, v) =>
+      assert(cellOf(id) == IvfIndex.probeCells(ivf, v, 1).head) }
+
+    // degree cap + rnk contiguity per src
+    grownEdges.groupBy(_._1).foreach { case (src, es) =>
+      assert(es.length <= kG, s"node $src over degree cap")
+      assert(es.map(_._3).sorted.toSeq == (1L to es.length).toSeq)
+      // list ordered by (score DESC, dst ASC)
+      val byRnk = es.sortBy(_._3).map(e => (e._2, e._4)).toSeq
+      assert(byRnk == byRnk.sortBy { case (d, s) => (-s, d) })
+    }
+    // new nodes got edges, all inside their own cell (and reverse edges
+    // to them stay in-cell too — the cell-blocked invariant)
+    extra.foreach { case (id, _) =>
+      val fwd = grownEdges.filter(_._1 == id)
+      assert(fwd.nonEmpty, s"new node $id has no edges")
+      fwd.foreach(e => assert(cellOf(e._2) == cellOf(id)))
+    }
+    grownEdges.filter(e => e._2 > 1000L).foreach { e =>
+      assert(cellOf(e._1) == cellOf(e._2),
+        s"reverse edge ${e._1}->${e._2} crosses cells") }
+    // only new nodes and their chosen neighbors changed
+    val baseEdges = graph.select($"src".cast("long"), $"dst".cast("long"),
+      $"rnk".cast("long"), $"score").as[(Long, Long, Long, Double)].collect()
+    val touched = grownEdges.filter(e => e._2 > 1000L).map(_._1).toSet ++
+      extra.map(_._1).toSet
+    val beforeBySrc = baseEdges.groupBy(_._1)
+    val afterBySrc = grownEdges.groupBy(_._1)
+    (beforeBySrc.keySet -- touched).foreach { src =>
+      assert(afterBySrc(src).toSet == beforeBySrc(src).toSet,
+        s"untouched node $src changed") }
+    // each touched existing node's list: every entry comes from its old
+    // list or a reverse edge to a new node, is comparator-sorted (checked
+    // above), and unless the connectivity guard fired, equals the exact
+    // top-k of (old ∪ new reverse) — guard lists differ only by one
+    // force-kept new-node edge displacing the worst entry.
+    (touched -- extra.map(_._1)).foreach { src =>
+      val old = beforeBySrc.getOrElse(src, Array.empty).map(e => (e._2, e._4))
+        .sortBy { case (d, s) => (-s, d) }.toSeq
+      val got = afterBySrc(src).sortBy(_._3).map(e => (e._2, e._4)).toSeq
+      val newRev = got.filter(_._1 > 1000L)
+      got.foreach { e =>
+        assert(old.contains(e) || e._1 > 1000L, s"foreign edge $e on $src") }
+      // caps only ever drop from the tail: surviving old entries are a
+      // PREFIX of the old comparator-sorted list (true for the exact
+      // top-k merge AND the connectivity guard)
+      val oldKept = got.filter(_._1 <= 1000L)
+      assert(oldKept == old.take(oldKept.length), s"non-tail drop on $src")
+      // exact top-k of (old ∪ retained reverse edges) unless the guard
+      // force-kept a pruned newcomer — then a new edge must be present
+      val exact = (old ++ newRev).sortBy { case (d, s) => (-s, d) }.take(kG)
+      if (got != exact)
+        assert(newRev.nonEmpty, s"list on $src deviates without a new edge")
+    }
+  }
+
+  test("insert: walks on the grown graph track the rebuilt graph (recall)") {
+    val kG = 4
+    val data = clustered(320, 5)
+    val base = data.take(300)
+    val extra = data.drop(300).map { case (id, v) => (id + 1000L, v) }
+    val docs = base.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 5)
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = kG)
+    val (grown, corpus) = GraphSearch.insert(graph, withCells, ivf, extra,
+      kGraph = kG, nprobe = 2, beamWidth = 6, hops = 3)
+
+    // the rebuild: same 320 rows, same quantizer, fresh edges
+    val allDocs = (base ++ extra).toDF("doc_id", "embedding")
+    val rebuiltCorpus = IvfIndex.assign(allDocs, ivf)
+    val rebuilt = KnnGraph.cellBlocked(allDocs, ivf, k = kG)
+
+    val overlaps = Seq(7, 105, 260).map { qi =>
+      val q = data(qi)._2
+      def top(g: org.apache.spark.sql.DataFrame,
+              c: org.apache.spark.sql.DataFrame): Set[Long] =
+        GraphSearch.searchBeam(g, c, ivf, q, k = 10,
+          nprobe = 2, beamWidth = 6, hops = 3)
+          .select($"doc_id".cast("long")).as[Long].collect().toSet
+      top(grown, corpus).intersect(top(rebuilt, rebuiltCorpus)).size
+    }
+    // deterministic fixture — the observed floor is well above this
+    assert(overlaps.forall(_ >= 6), s"grown-vs-rebuilt overlap too low: $overlaps")
+    // new nodes are REACHABLE (the connectivity guard's contract): a
+    // deep-enough walk on a new vector's own query finds the node —
+    // depth 6 here because the guard guarantees an in-edge, not that it
+    // hangs off a 3-hop-from-entry node in a degree-4 cell subgraph
+    val (nid, nvec) = extra.head
+    val hit = GraphSearch.searchBeam(grown, corpus, ivf, nvec, k = 5,
+        nprobe = 2, beamWidth = 8, hops = 6)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(hit.contains(nid), "inserted node not reachable by its own query")
+  }
 }
