@@ -28,6 +28,18 @@ object MeasureGuard {
       .map(_.pid()).toSeq
   }
 
+  /** One-minute load average from /proc/loadavg — the cheap per-query
+    * contention sample Bench records beside each timing (the r11 caveat:
+    * `contended_jvms` was sampled only at run START, so a mid-run load
+    * spike was invisible and cost a full adjudication cycle — the r10
+    * q74–q84 window). Returns -1 where /proc is unavailable. */
+  def loadAvg1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   /** Warn (always, stderr) and abort (SPARK_GRAFT_STRICT=1) when a
     * foreign JVM is alive at timing start. Returns the offending pids so
     * callers can flag their output artifact — a contended measurement
