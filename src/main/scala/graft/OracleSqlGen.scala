@@ -1038,6 +1038,46 @@ object OracleSqlGen {
        |      FROM __s$hops) WHERE rn <= $k
        |ORDER BY rn""".stripMargin
 
+  /** q199's oracle: [[graft.operators.GraphSearch.removeNodes]] replayed
+    * — removed set = `doc_id % mod = res`, affected = surviving sources
+    * of edges into it, refill = the REBUILT per-node list on the
+    * shrunken re-capped corpus (top-`kGraph` under (s DESC, dst ASC)).
+    * Emits the refilled slice, the same rows the engine query emits. */
+  def graphRemoveSql(cents: Seq[Array[Double]], kGraph: Int, cap: Int,
+                     mod: Long, res: Long): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |__graph AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS grnk
+       |    FROM __gscored) WHERE grnk <= $kGraph),
+       |__r AS (SELECT doc_id FROM __assigned WHERE doc_id % $mod = $res),
+       |__aff AS (
+       |  SELECT DISTINCT g.src FROM __graph g
+       |  JOIN __r r ON g.dst = r.doc_id
+       |  WHERE g.src NOT IN (SELECT doc_id FROM __r)),
+       |__scapped AS (
+       |  SELECT doc_id, embedding, cell_id FROM (
+       |    SELECT a.doc_id, a.embedding, a.cell_id,
+       |      row_number() OVER (PARTITION BY a.cell_id
+       |        ORDER BY a.doc_id) AS crn
+       |    FROM __assigned a
+       |    WHERE a.doc_id NOT IN (SELECT doc_id FROM __r)) WHERE crn <= $cap),
+       |__refill AS (
+       |  SELECT x.doc_id AS src, y.doc_id AS dst,
+       |    ${dotFold("x.embedding", "y.embedding")} AS s
+       |  FROM __scapped x
+       |  JOIN __aff f ON x.doc_id = f.src
+       |  JOIN __scapped y ON y.cell_id = x.cell_id AND y.doc_id <> x.doc_id)
+       |SELECT src, dst, CAST(rnk AS BIGINT) AS rnk, round(s, 4) AS score
+       |FROM (
+       |  SELECT src, dst, s,
+       |    row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |  FROM __refill)
+       |WHERE rnk <= $kGraph
+       |ORDER BY src, rnk""".stripMargin
+
   /** q198's oracle: [[graft.operators.GraphSearch.insert]] of ONE new
     * node replayed end-to-end — the walk ([[graphWalkCtes]], top
     * `4·kGraph` candidates), the probe-top-1 cell assignment, the

@@ -7075,6 +7075,32 @@ object SparkEntry {
       .orderBy("src", "rnk")
   }
 
+  /** Graph-side node REMOVAL ([[GraphSearch.removeNodes]] — the
+    * maintenance pair of q198's insert, mirroring the IVF tier's
+    * q152/q154): ids with `doc_id % 101 = 7` leave the corpus; their
+    * graph rows drop, and every surviving node that pointed at one gets
+    * a REBUILD-EQUIVALENT refill (exact top-k among its cell's
+    * re-capped survivors) so no dangling edge or shrunken list remains.
+    * Emits the refilled slice — the only rows a persisted store would
+    * rewrite. Oracle replays removal, re-cap, and refill from the
+    * shared quantizer ([[graft.OracleSqlGen.graphRemoveSql]]). */
+  private def q199GraphRemove(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val removed = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 101 === 7)
+      .select(col("vec_id").cast("long")).as[Long].collect().sorted.toSeq
+    val pruned = GraphSearch.removeNodes(graphCorpus(s, dir), withCells,
+      removed, kGraph = 4, maxCellSize = SemanticDedup.DefaultMaxCellSize)
+    val affected = graphCorpus(s, dir)
+      .filter(col("dst").isin(removed: _*) && !col("src").isin(removed: _*))
+      .select(col("src").cast("long")).distinct().as[Long].collect().toSeq
+    pruned.filter(col("src").isin(affected: _*))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("rnk").cast("long").as("rnk"), round(col("score"), 4).as("score"))
+      .orderBy("src", "rnk")
+  }
+
   /** k-NN graph hygiene report: the audit an operator reads before
     * trusting the graph tier — node/edge counts, degree extremes (a
     * node under k edges means its cell was smaller than k), and
@@ -7961,6 +7987,7 @@ object SparkEntry {
     "q196_watermark_by_user" -> (q196WatermarkByUser _),
     "q197_band_sweep_sampled" -> (q197BandSweepSampled _),
     "q198_graph_insert" -> (q198GraphInsert _),
+    "q199_graph_remove" -> (q199GraphRemove _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -8654,6 +8681,9 @@ object SparkEntry {
           kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
           nprobe = 4, beamWidth = 8, hops = 3, qVecId = 0,
           newId = 10000000L),
+        "q199_graph_remove" -> OracleSqlGen.graphRemoveSql(cents,
+          kGraph = 4, cap = SemanticDedup.DefaultMaxCellSize,
+          mod = 101L, res = 7L),
         "q166_probe_cost" -> OracleSqlGen.ivfProbeCostSql(cents, maxProbe = 8),
         "q98_ivf_range" -> OracleSqlGen.ivfRangeSearchSql(cents,
           minScore = 0.2, nprobe = 4),

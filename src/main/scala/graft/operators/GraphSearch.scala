@@ -315,4 +315,67 @@ object GraphSearch {
     }
     (composedGraph, composedCorpus)
   }
+
+  /** Graph-side `remove_ids` — [[insert]]'s counterpart, completing the
+    * graph tier's maintenance pair the way the IVF tier pairs
+    * append/remove: drop the removed nodes' rows, and REFILL every
+    * surviving node that pointed at a removed one so no dangling edge
+    * remains and no list silently shrinks.
+    *
+    * Refill is REBUILD-EQUIVALENT for the affected nodes: each gets
+    * exactly the list [[KnnGraph.cellBlocked]] would give it on the
+    * shrunken corpus — top-`kGraph` by (score DESC, id ASC) among the
+    * re-capped survivors of its cell (the cap re-admits previously
+    * capped-out ids exactly like a rebuild would; their own lists stay
+    * absent until a rebuild or [[insert]], which the stale-tolerant walk
+    * handles). Untouched nodes' rows pass through BYTE-UNCHANGED.
+    *
+    * Scale: `affected` = survivors pointing at removed ids, bounded by
+    * |removed| · in-degree and driver-collected (the walk tier's
+    * driver-known-key discipline); the refill scans only the affected
+    * CELLS (partition-pruned on a persisted store) and joins them to a
+    * broadcast of the affected nodes — the removeIds-style
+    * affected-partition rewrite, never a graph rewrite. Returns the new
+    * graph frame. */
+  def removeNodes(graph: DataFrame, withCells: DataFrame,
+                  removed: Seq[Long], kGraph: Int, maxCellSize: Int,
+                  idCol: String = "doc_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val spark = withCells.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    require(removed.nonEmpty, "removeNodes needs a non-empty id set")
+    val survivors = graph.filter(!col("src").isin(removed: _*))
+    val affected = survivors.filter(col("dst").isin(removed: _*))
+      .select(col("src").cast("long")).distinct().as[Long].collect().sorted.toSeq
+    if (affected.isEmpty) return survivors
+    val corpus = withCells.select(col(idCol).cast("long").as("nid"),
+      col(embCol).as("emb"), col("cell_id"))
+      .filter(!col("nid").isin(removed: _*))
+    val affCells = corpus.filter(col("nid").isin(affected: _*))
+      .select(col("cell_id")).distinct().collect().map(_.get(0))
+    // re-cap the affected cells over the SHRUNKEN corpus — the rebuild's
+    // own membership rule, evaluated only where lists change
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell_id").orderBy("nid")
+    val capped = corpus.filter(col("cell_id").isin(affCells.toIndexedSeq: _*))
+      .withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") <= maxCellSize)
+      .drop("__crn")
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("score"), col("dst").asc)
+    val refill = broadcast(
+        capped.filter(col("nid").isin(affected: _*))
+          .select(col("nid").as("src"), col("emb").as("ea"), col("cell_id")))
+      .join(capped.select(col("nid").as("dst"), col("emb").as("eb"),
+        col("cell_id")), Seq("cell_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("score", GraftFunctions.dotF32(col("ea"), col("eb")))
+      .withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= kGraph)
+      .select(col("src"), col("dst"), col("rnk").cast("long").as("rnk"),
+        col("score"))
+    survivors.filter(!col("src").isin(affected: _*))
+      .unionByName(refill.select(graph.columns.map(col): _*))
+  }
 }

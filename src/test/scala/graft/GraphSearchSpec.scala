@@ -268,4 +268,39 @@ class GraphSearchSpec extends AnyFunSuite {
       .select($"doc_id".cast("long")).as[Long].collect().toSet
     assert(hit.contains(nid), "inserted node not reachable by its own query")
   }
+
+  test("removeNodes: dangling-free, rebuild-equivalent refill, untouched pass-through") {
+    import graft.operators.SemanticDedup
+    val kG = 4
+    val data = clustered(300, 5)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 5)
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = kG)
+    val removed = data.map(_._1).filter(_ % 13 == 0)
+
+    val pruned = GraphSearch.removeNodes(graph, withCells, removed,
+      kGraph = kG, maxCellSize = SemanticDedup.DefaultMaxCellSize)
+    val got = pruned.select($"src".cast("long"), $"dst".cast("long"),
+      $"rnk".cast("long"), $"score").as[(Long, Long, Long, Double)].collect()
+    val rm = removed.toSet
+    got.foreach { e =>
+      assert(!rm.contains(e._1) && !rm.contains(e._2), s"dangling edge $e") }
+
+    val base = graph.select($"src".cast("long"), $"dst".cast("long"),
+      $"rnk".cast("long"), $"score").as[(Long, Long, Long, Double)].collect()
+    val affected = base.filter(e => rm.contains(e._2) && !rm.contains(e._1))
+      .map(_._1).toSet
+    // untouched nodes keep their exact rows
+    val untouchedBase = base.filter(e =>
+      !rm.contains(e._1) && !affected.contains(e._1)).toSet
+    assert(got.filter(e => !affected.contains(e._1)).toSet == untouchedBase)
+    // affected nodes: lists identical to a full rebuild on the shrunken corpus
+    val rebuilt = KnnGraph.cellBlocked(
+        docs.filter(!$"doc_id".isin(removed: _*)), ivf, k = kG)
+      .select($"src".cast("long"), $"dst".cast("long"),
+        $"rnk".cast("long"), $"score").as[(Long, Long, Long, Double)].collect()
+    affected.foreach { u =>
+      assert(got.filter(_._1 == u).toSet == rebuilt.filter(_._1 == u).toSet,
+        s"refill for $u differs from rebuild") }
+  }
 }
