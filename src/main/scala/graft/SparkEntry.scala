@@ -7101,6 +7101,79 @@ object SparkEntry {
       .orderBy("src", "rnk")
   }
 
+  /** Deterministic farthest-first quantizer SEEDING under the gate —
+    * the k-means++-family init (Arthur & Vassilvitskii 2007; FAISS
+    * seeds by random subsample, this engine's deterministic analog is
+    * the classic k-center greedy): start from the lowest-id vector,
+    * then k−1 times pick the point FARTHEST from its nearest chosen
+    * seed (`max min-dist`, ties → lowest id). Complements the q136/q140
+    * Lloyd gates (which start from the lowest-k-ids init): this is the
+    * init a pipeline runs when the low-id prefix is geometrically
+    * degenerate. Each step is ONE corpus scan with a k-term `least()`
+    * of `l2_distance_f32` kernels — k scans total, corpus never
+    * shuffled; at 100 TB seeding runs on the documented train SAMPLE,
+    * like every trainer here. Emits (step, vec_id, min_dist): the
+    * distance ladder itself is the diagnostic (a sharp drop at step j
+    * says the data has ~j natural clusters). Oracle unrolls the greedy
+    * loop as k−1 CTE blocks over the strict sqrt-of-squared-delta
+    * fold. */
+  private def q200FarthestInit(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val k = 8
+    val first = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].head()
+    var chosen = Vector((first._1, first._2.toArray, 0.0))
+    while (chosen.size < k) {
+      val minD = chosen.map { case (_, v, _) =>
+        GraftFunctions.l2DistanceF32(col("embedding"), typedlit(v.toSeq))
+      }.reduce(least(_, _))
+      val next = emb
+        .select(col("vec_id").cast("long"), col("embedding"), minD.as("md"))
+        .orderBy(desc("md"), col("vec_id").asc).limit(1)
+        .as[(Long, Seq[Float], Double)].head()
+      chosen = chosen :+ ((next._1, next._2.toArray, next._3))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => ((i + 1).toLong, id, d) }
+      .toDF("step", "vec_id", "min_dist")
+      .select(col("step"), col("vec_id"), round(col("min_dist"), 4).as("min_dist"))
+      .orderBy("step")
+  }
+
+  private val q200Sql = {
+    def l2f(a: String, b: String): String =
+      s"""sqrt(list_reduce(list_prepend(0.0,
+         |      list_transform(list_zip($a, $b),
+         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+         |             (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+         |      (acc, t) -> acc + t))""".stripMargin
+    val k = 8
+    val steps = (2 to k).map { i =>
+      val dists = (1 until i).map(j => l2f("e.embedding", s"p$j.embedding"))
+      val minD = if (dists.size == 1) dists.head
+                 else s"least(${dists.mkString(", ")})"
+      val froms = (1 until i).map(j => s"p$j").mkString(", ")
+      s"""s$i AS (
+         |  SELECT e.vec_id, e.embedding, $minD AS md
+         |  FROM e, $froms),
+         |p$i AS (
+         |  SELECT vec_id, embedding, md FROM s$i
+         |  ORDER BY md DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      val md = if (i == 1) "0.0" else s"round(p$i.md, 4)"
+      s"SELECT CAST($i AS BIGINT) AS step, p$i.vec_id, $md AS min_dist FROM p$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |p1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+       |$steps
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   /** k-NN graph hygiene report: the audit an operator reads before
     * trusting the graph tier — node/edge counts, degree extremes (a
     * node under k edges means its cell was smaller than k), and
@@ -7988,6 +8061,7 @@ object SparkEntry {
     "q197_band_sweep_sampled" -> (q197BandSweepSampled _),
     "q198_graph_insert" -> (q198GraphInsert _),
     "q199_graph_remove" -> (q199GraphRemove _),
+    "q200_farthest_init" -> (q200FarthestInit _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -8151,6 +8225,7 @@ object SparkEntry {
     "q194_session_stats" -> q194Sql,
     "q195_stream_sessions" -> q195Sql,
     "q196_watermark_by_user" -> q196Sql,
+    "q200_farthest_init" -> q200Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
