@@ -273,6 +273,49 @@ object SparkEntry {
       |FROM m GROUP BY user_id, sess
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** The WINDOWED-AGGREGATION streaming path under the gate (ST1's
+    * other half — q195 gates the custom-state session operator, this
+    * gates `EventStream.windowedCounts`): the events table staged as a
+    * µs-timestamp stream, processed by the real watermarked
+    * tumbling-window aggregation (Structured Streaming state store,
+    * AvailableNow, complete mode), final table vs a DuckDB replay of
+    * the same 5-minute windows. `exactSum = true` uses the
+    * round(,6)→DECIMAL idiom so the value sums are associative and
+    * cross-engine exact. Window arithmetic replayed in integer µs. */
+  private def q201StreamWindows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft-q201").toString + "/in"
+    eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(inDir)
+    val qname = "q201_windows"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    val out = EventStream.windowedCounts(
+      EventStream.readEvents(s, inDir), "5 minutes", "10 minutes",
+      exactSum = true)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qname)
+      .select(unix_millis(col("window_start")).as("win_ms"), col("event_type"),
+        col("n").cast("long").as("n"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("win_ms", "event_type")
+  }
+
+  private val q201Sql =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch_ns(ts) // 1000 AS tu FROM events)
+      |SELECT CAST((tu // 300000000) * 300000 AS BIGINT) AS win_ms,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(22,6))) AS DOUBLE), 4)
+      |    AS sum_value
+      |FROM e GROUP BY 1, 2
+      |ORDER BY win_ms, event_type""".stripMargin
+
   /** Flagship: hash-embed the documents corpus, run a text query through
     * embed → exact k-NN → dynamic-threshold retrieval (the reference's
     * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
@@ -8062,6 +8105,7 @@ object SparkEntry {
     "q198_graph_insert" -> (q198GraphInsert _),
     "q199_graph_remove" -> (q199GraphRemove _),
     "q200_farthest_init" -> (q200FarthestInit _),
+    "q201_stream_windows" -> (q201StreamWindows _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -8226,6 +8270,7 @@ object SparkEntry {
     "q195_stream_sessions" -> q195Sql,
     "q196_watermark_by_user" -> q196Sql,
     "q200_farthest_init" -> q200Sql,
+    "q201_stream_windows" -> q201Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

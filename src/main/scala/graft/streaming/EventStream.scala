@@ -35,14 +35,22 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(RawEventSchema).parquet(dir)
 
-  /** Watermarked tumbling-window counts per event type. */
+  /** Watermarked tumbling-window counts per event type. `exactSum`
+    * switches the value sum to the round(,6)→DECIMAL(22,6) idiom —
+    * associative, so the result is bit-identical on any partitioning
+    * and replayable by a SQL oracle (q201); the default double sum is
+    * the production form (cheaper, last-ulp order-dependent). */
   def windowedCounts(events: DataFrame,
                      window_ : String = "5 minutes",
-                     watermark: String = "10 minutes"): DataFrame =
+                     watermark: String = "10 minutes",
+                     exactSum: Boolean = false): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (if (exactSum)
+          sum(round(col("value"), 6).cast("decimal(22,6)")).cast("double")
+        else sum("value")).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"),
         col("n"), col("sum_value"))
