@@ -316,6 +316,95 @@ object SparkEntry {
       |FROM e GROUP BY 1, 2
       |ORDER BY win_ms, event_type""".stripMargin
 
+  /** Ordered funnel over the event log — the serving-analytics table a
+    * data platform reads beside the sessionization/sizing tiers: per
+    * user, first `view`, then first `click` STRICTLY after it, then
+    * first `purchase` strictly after that (the classic first-touch
+    * funnel; strict `>` on integer-ns timestamps is deterministic on
+    * both engines). One row per step with users reaching it and
+    * conversion vs step 1. Three user-keyed aggregations — each step
+    * is a shuffle on the SAME key, so the plan co-partitions and the
+    * events table is never globally ordered. */
+  private def q202Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val steps = Seq(("view", v), ("click", c), ("purchase", p)).zipWithIndex
+      .map { case ((et, df), i) =>
+        df.agg(count(lit(1)).cast("long").as("n_users"))
+          .select(lit((i + 1).toLong).as("step"), lit(et).as("event_type"),
+            col("n_users"))
+      }.reduce(_ unionByName _)
+    val base = steps.filter(col("step") === 1)
+      .select(col("n_users").as("__n1"))
+    steps.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n_users"),
+        round(when(col("__n1") > 0,
+          col("n_users").cast("double") / col("__n1")).otherwise(0.0), 4)
+          .as("conversion"))
+      .orderBy("step")
+  }
+
+  private val q202Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
+      |v AS (SELECT user_id, min(tn) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.tn) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.tn > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.tn) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.tn > c.t2 GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+      |    CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT))
+      |SELECT step, event_type, n_users,
+      |  round(CASE WHEN (SELECT n_users FROM s WHERE step = 1) > 0
+      |    THEN CAST(n_users AS DOUBLE) / (SELECT n_users FROM s WHERE step = 1)
+      |    ELSE 0.0 END, 4) AS conversion
+      |FROM s ORDER BY step""".stripMargin
+
+  /** Cohort retention matrix: users grouped by FIRST-SEEN epoch day,
+    * counted on each of their first 8 active-day offsets — the table
+    * behind every retention curve. Day arithmetic in integer ns
+    * (`ts div 86400e9`); exact distinct (user, day) activity then one
+    * aggregation to cohort×offset cells. Two shuffles on user-derived
+    * keys, corpus never ordered. */
+  private def q203CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val act = eventsNs(s, dir)
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    act.join(first, Seq("user_id"))
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .filter(col("offset") <= 7)
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .select(col("cohort_day").cast("long").as("cohort_day"),
+        col("offset").cast("long").as("offset"), col("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  private val q203Sql =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+      |SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+      |  CAST(a.day - f.cohort_day AS BIGINT) AS "offset",
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |WHERE a.day - f.cohort_day <= 7
+      |GROUP BY 1, 2 ORDER BY cohort_day, "offset"""".stripMargin
+
   /** Flagship: hash-embed the documents corpus, run a text query through
     * embed → exact k-NN → dynamic-threshold retrieval (the reference's
     * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
@@ -8106,6 +8195,8 @@ object SparkEntry {
     "q199_graph_remove" -> (q199GraphRemove _),
     "q200_farthest_init" -> (q200FarthestInit _),
     "q201_stream_windows" -> (q201StreamWindows _),
+    "q202_funnel" -> (q202Funnel _),
+    "q203_cohort_retention" -> (q203CohortRetention _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -8271,6 +8362,8 @@ object SparkEntry {
     "q196_watermark_by_user" -> q196Sql,
     "q200_farthest_init" -> q200Sql,
     "q201_stream_windows" -> q201Sql,
+    "q202_funnel" -> q202Sql,
+    "q203_cohort_retention" -> q203Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
