@@ -405,6 +405,60 @@ object SparkEntry {
       |WHERE a.day - f.cohort_day <= 7
       |GROUP BY 1, 2 ORDER BY cohort_day, "offset"""".stripMargin
 
+  /** AS-OF join, Spark-first: each purchase attributed to the SAME
+    * user's most recent click at-or-before it (within 1 hour) — the
+    * operator class Spark lacks natively and naive implementations
+    * explode into range joins. The scale shape here is the sort-based
+    * union-tag plan: tag clicks 0 / purchases 1, ONE shuffle on
+    * user_id, one ordered window carrying
+    * `max(struct(ts, event_id)) over (rows unbounded preceding)` for
+    * the click side — the running "latest click" — then filter the
+    * purchase rows. No per-row range probe, no join explosion; cost is
+    * one exchange + one sort regardless of match density. Tie rule is
+    * explicit (equal-ts click attributes; among equal-ts clicks the
+    * highest event_id wins — struct lexicographic max), replayed by the
+    * oracle as a list-valued running max, so the pair set is exact. */
+  private def q204AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir)
+    val tagged = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val horizonNs = 3600L * 1000000000L
+    tagged
+      .withColumn("__lc",
+        max(when(col("kind") === 0, struct(col("ts"), col("event_id")))).over(w))
+      .filter(col("kind") === 1 && col("__lc").isNotNull &&
+        col("ts") - col("__lc.ts") <= horizonNs)
+      .select(col("event_id").as("purchase_id"),
+        col("__lc.event_id").as("click_id"),
+        (col("ts") - col("__lc.ts")).as("lag_ns"))
+      .orderBy("purchase_id")
+  }
+
+  private val q204Sql =
+    """WITH u AS (
+      |  SELECT user_id, epoch_ns(ts) AS tn, event_id, 0 AS kind
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_ns(ts), event_id, 1 FROM events
+      |  WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT user_id, tn, event_id, kind,
+      |    max(CASE WHEN kind = 0 THEN [tn, CAST(event_id AS BIGINT)] END)
+      |      OVER (PARTITION BY user_id ORDER BY tn, kind, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+      |  FROM u)
+      |SELECT event_id AS purchase_id, lc[2] AS click_id,
+      |  CAST(tn - lc[1] AS BIGINT) AS lag_ns
+      |FROM w
+      |WHERE kind = 1 AND lc IS NOT NULL AND tn - lc[1] <= 3600000000000
+      |ORDER BY purchase_id""".stripMargin
+
   /** Flagship: hash-embed the documents corpus, run a text query through
     * embed → exact k-NN → dynamic-threshold retrieval (the reference's
     * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
@@ -8197,6 +8251,7 @@ object SparkEntry {
     "q201_stream_windows" -> (q201StreamWindows _),
     "q202_funnel" -> (q202Funnel _),
     "q203_cohort_retention" -> (q203CohortRetention _),
+    "q204_asof_attribution" -> (q204AsofAttribution _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -8364,6 +8419,7 @@ object SparkEntry {
     "q201_stream_windows" -> q201Sql,
     "q202_funnel" -> q202Sql,
     "q203_cohort_retention" -> q203Sql,
+    "q204_asof_attribution" -> q204Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
