@@ -459,6 +459,72 @@ object SparkEntry {
       |WHERE kind = 1 AND lc IS NOT NULL AND tn - lc[1] <= 3600000000000
       |ORDER BY purchase_id""".stripMargin
 
+  /** Range-count join, Spark-first (q204's sibling for the INTERVAL
+    * case): for each purchase, how many `error` events the same user
+    * emitted within the following 5 minutes. The naive plan is a range
+    * join (quadratic blow-up on hot users); the scale shape here is the
+    * dual-anchor running count: union-tag errors (0), window-open
+    * anchors at the purchase time (1), window-close anchors at
+    * purchase+5min (2); ONE user_id exchange and ONE ordered window
+    * computing the running error count; each purchase's answer is
+    * count_at_close − count_at_open. Cost: one exchange + one sort,
+    * independent of match density — same discipline as q204. Tag order
+    * at equal timestamps fixes the bounds as EXCLUSIVE-open /
+    * INCLUSIVE-close: errors sort before anchors (tag 0 < 1, 2), so an
+    * error at exactly the purchase instant lands in the open snapshot
+    * and cancels out, while one at exactly close lands in the close
+    * snapshot and counts. Oracle replays the identical construction. */
+  private def q205RangeCount(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir)
+    val horizonNs = 300L * 1000000000L
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(0L).as("event_id"), lit(0).as("tag"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val opens = purchases.select(col("user_id"), col("ts"),
+      col("event_id"), lit(1).as("tag"))
+    val closes = purchases.select(col("user_id"),
+      (col("ts") + horizonNs).as("ts"), col("event_id"), lit(2).as("tag"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = errors.unionByName(opens).unionByName(closes)
+      .withColumn("__ce", sum(when(col("tag") === 0, 1L).otherwise(0L)).over(w))
+    counted.filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("__ce").as("c_open"))
+      .join(counted.filter(col("tag") === 2)
+        .select(col("event_id").as("purchase_id"), col("__ce").as("c_close")),
+        Seq("purchase_id"))
+      .select(col("purchase_id"),
+        (col("c_close") - col("c_open")).cast("long").as("n_errors_5m"))
+      .filter(col("n_errors_5m") > 0)
+      .orderBy("purchase_id")
+  }
+
+  private val q205Sql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type FROM events),
+      |tagged AS (
+      |  SELECT user_id, tn, CAST(0 AS BIGINT) AS event_id, 0 AS tag
+      |  FROM e WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT user_id, tn, event_id, 1 FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, tn + 300000000000, event_id, 2 FROM e
+      |  WHERE event_type = 'purchase'),
+      |counted AS (
+      |  SELECT user_id, tn, event_id, tag,
+      |    sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tn, tag, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+      |  FROM tagged)
+      |SELECT o.event_id AS purchase_id,
+      |  CAST(c.ce - o.ce AS BIGINT) AS n_errors_5m
+      |FROM counted o JOIN counted c
+      |  ON o.event_id = c.event_id AND o.tag = 1 AND c.tag = 2
+      |WHERE c.ce - o.ce > 0
+      |ORDER BY purchase_id""".stripMargin
+
   /** Flagship: hash-embed the documents corpus, run a text query through
     * embed → exact k-NN → dynamic-threshold retrieval (the reference's
     * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
@@ -8252,6 +8318,7 @@ object SparkEntry {
     "q202_funnel" -> (q202Funnel _),
     "q203_cohort_retention" -> (q203CohortRetention _),
     "q204_asof_attribution" -> (q204AsofAttribution _),
+    "q205_range_count" -> (q205RangeCount _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -8420,6 +8487,7 @@ object SparkEntry {
     "q202_funnel" -> q202Sql,
     "q203_cohort_retention" -> q203Sql,
     "q204_asof_attribution" -> q204Sql,
+    "q205_range_count" -> q205Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
