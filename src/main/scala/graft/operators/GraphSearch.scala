@@ -231,6 +231,21 @@ object GraphSearch {
              nprobe: Int = 4, beamWidth: Int = 8, hops: Int = 3,
              idCol: String = "doc_id",
              embCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val (g, c, _) = insertWithEdits(graph, withCells, ivf, newRows, kGraph,
+      nprobe, beamWidth, hops, idCol, embCol)
+    (g, c)
+  }
+
+  /** [[insert]] exposing the touched nodes' final edge lists — what a
+    * persisted store needs to splice only the affected partitions
+    * ([[insertPersisted]]). Keys: every new node and every chosen
+    * neighbor; values in final rank order. */
+  def insertWithEdits(graph: DataFrame, withCells: DataFrame,
+                      ivf: IvfIndex.Ivf, newRows: Seq[(Long, Array[Float])],
+                      kGraph: Int, nprobe: Int = 4, beamWidth: Int = 8,
+                      hops: Int = 3, idCol: String = "doc_id",
+                      embCol: String = "embedding")
+      : (DataFrame, DataFrame, Map[Long, Seq[(Long, Double)]]) = {
     val spark = withCells.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -313,7 +328,7 @@ object GraphSearch {
           .sortBy { case (id, sc) => (-sc, id) }
       }
     }
-    (composedGraph, composedCorpus)
+    (composedGraph, composedCorpus, edits.toMap)
   }
 
   /** Graph-side `remove_ids` — [[insert]]'s counterpart, completing the
@@ -377,5 +392,110 @@ object GraphSearch {
         col("score"))
     survivors.filter(!col("src").isin(affected: _*))
       .unionByName(refill.select(graph.columns.map(col): _*))
+  }
+
+  /** Persist a k-NN graph CELL-PARTITIONED (`cell_id=<c>/` dirs, one per
+    * quantizer cell — every edge is intra-cell, so a node's list lives
+    * wholly inside its cell's partition). This is the layout that makes
+    * graph maintenance an affected-partition write ([[insertPersisted]])
+    * and graph reads for a probed walk partition-pruned, the same
+    * discipline as the IVF corpus/binary-hash stores. */
+  def savePartitioned(graph: DataFrame, withCells: DataFrame, path: String,
+                      idCol: String = "doc_id"): Unit =
+    graph.join(withCells.select(col(idCol).cast("long").as("src"),
+        col("cell_id")), Seq("src"))
+      .write.partitionBy("cell_id").parquet(path)
+
+  /** [[insert]] applied to a [[savePartitioned]] store IN PLACE: computes
+    * the batch's edits, then rewrites ONLY the cell partitions holding
+    * touched nodes — per affected cell, survivors + edited lists land in
+    * a `_gr_tmp…` staging dir and two renames swap it in (the
+    * `IvfIndex.removeIds` crash discipline, including the recovery pass
+    * at call start: a leftover `_gr_old_cell_<c>` with no live dir is
+    * completed forward from a `_SUCCESS`-marked `_gr_tmp_cell_<c>`, else
+    * rolled back). A new node landing in an EMPTY cell creates that
+    * partition. Untouched cells' files are never read or written.
+    * Returns (cellsRewritten, nodesTouched). */
+  def insertPersisted(spark: org.apache.spark.sql.SparkSession,
+                      storePath: String, withCells: DataFrame,
+                      ivf: IvfIndex.Ivf, newRows: Seq[(Long, Array[Float])],
+                      kGraph: Int, nprobe: Int = 4, beamWidth: Int = 8,
+                      hops: Int = 3, idCol: String = "doc_id",
+                      embCol: String = "embedding"): (Long, Long) = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(hconf)
+    recoverGraphStaging(fs, storePath)
+    val store = spark.read.parquet(storePath)
+    val (_, _, edits) = insertWithEdits(
+      store.select("src", "dst", "rnk", "score"), withCells, ivf, newRows,
+      kGraph, nprobe, beamWidth, hops, idCol, embCol)
+    if (edits.isEmpty) return (0L, 0L)
+    // cell of every touched node: existing nodes from the corpus store,
+    // new nodes by the same probe-top-1 rule insert used
+    val newCells = newRows.map { case (id, v) =>
+      id -> IvfIndex.probeCells(ivf, v, 1).head }.toMap
+    val existing = edits.keySet -- newCells.keySet
+    val cellOf: Map[Long, Int] = newCells ++ (
+      if (existing.isEmpty) Map.empty[Long, Int]
+      else withCells.filter(col(idCol).isin(existing.toSeq: _*))
+        .select(col(idCol).cast("long"), col("cell_id").cast("int"))
+        .as[(Long, Int)].collect().toMap)
+    val byCell = edits.toSeq.groupBy { case (src, _) => cellOf(src) }
+    byCell.foreach { case (cell, cellEdits) =>
+      val editedSrcs = cellEdits.map(_._1)
+      val dir = new org.apache.hadoop.fs.Path(s"$storePath/cell_id=$cell")
+      val tmp = new org.apache.hadoop.fs.Path(s"$storePath/_gr_tmp_cell_$cell")
+      val old = new org.apache.hadoop.fs.Path(s"$storePath/_gr_old_cell_$cell")
+      fs.delete(tmp, true); fs.delete(old, true)
+      val editRows = cellEdits.flatMap { case (src, es) =>
+        es.zipWithIndex.map { case ((dst, sc), i) =>
+          (src, dst, (i + 1).toLong, sc) }
+      }.toDF("src", "dst", "rnk", "score")
+      val existed = fs.exists(dir)
+      val newPart =
+        if (existed)
+          spark.read.parquet(dir.toString)
+            .filter(!col("src").isin(editedSrcs: _*))
+            .select("src", "dst", "rnk", "score")
+            .unionByName(editRows)
+        else editRows
+      newPart.write.mode("overwrite").parquet(tmp.toString)
+      if (existed && !fs.rename(dir, old))
+        throw new java.io.IOException(s"graph insert: cannot stage out $dir")
+      if (!fs.rename(tmp, dir)) {
+        if (existed) fs.rename(old, dir)
+        throw new java.io.IOException(s"graph insert: cannot swap in $tmp")
+      }
+      fs.delete(old, true)
+    }
+    (byCell.size.toLong, edits.size.toLong)
+  }
+
+  /** Heal [[insertPersisted]]'s two-rename crash window — the
+    * `IvfIndex.removeIds` recovery rule over the `_gr_` staging
+    * prefixes. */
+  private def recoverGraphStaging(fs: org.apache.hadoop.fs.FileSystem,
+                                  storePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("_gr_old_cell_")) {
+        val cell = name.stripPrefix("_gr_old_cell_")
+        val live = new org.apache.hadoop.fs.Path(s"$storePath/cell_id=$cell")
+        val tmp = new org.apache.hadoop.fs.Path(s"$storePath/_gr_tmp_cell_$cell")
+        if (!fs.exists(live)) {
+          val tmpDone = fs.exists(
+            new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+          if (tmpDone && fs.rename(tmp, live)) fs.delete(st.getPath, true)
+          else if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(
+              s"graph recovery: cannot restore ${st.getPath} -> $live")
+          else fs.delete(tmp, true)
+        } else { fs.delete(st.getPath, true); fs.delete(tmp, true) }
+      }
+    }
   }
 }

@@ -269,6 +269,56 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(hit.contains(nid), "inserted node not reachable by its own query")
   }
 
+  test("insertPersisted: only affected cell partitions rewritten, reload ≡ DataFrame insert") {
+    val kG = 4
+    val data = clustered(320, 5)
+    val base = data.take(300)
+    val extra = data.drop(300).take(6).map { case (id, v) => (id + 1000L, v) }
+    val docs = base.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 5)
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = kG)
+    val path = java.nio.file.Files.createTempDirectory("graft-gstore").toString + "/graph"
+    GraphSearch.savePartitioned(graph, withCells, path)
+
+    def fileState(cell: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$path/cell_id=$cell")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val allCells = withCells.select($"cell_id".cast("int"))
+      .distinct().as[Int].collect().toSeq
+    val before = allCells.map(c => c -> fileState(c)).toMap
+
+    // reference: the DataFrame-level insert on identical inputs
+    val (grownDf, _) = GraphSearch.insert(graph, withCells, ivf, extra,
+      kGraph = kG, nprobe = 2, beamWidth = 6, hops = 3)
+    val expect = grownDf.select($"src".cast("long"), $"dst".cast("long"),
+      $"rnk".cast("long"), $"score").as[(Long, Long, Long, Double)].collect().toSet
+
+    val (cellsRw, touched) = GraphSearch.insertPersisted(spark, path,
+      withCells, ivf, extra, kGraph = kG, nprobe = 2, beamWidth = 6, hops = 3)
+    assert(touched >= extra.length.toLong)
+    assert(cellsRw >= 1L && cellsRw <= allCells.size.toLong)
+
+    val reloaded = spark.read.parquet(path)
+      .select($"src".cast("long"), $"dst".cast("long"),
+        $"rnk".cast("long"), $"score").as[(Long, Long, Long, Double)]
+      .collect().toSet
+    assert(reloaded == expect, "persisted splice diverged from DataFrame insert")
+    // cells holding no touched node keep their exact files
+    val touchedCells = spark.read.parquet(path)
+      .filter($"src".isin(extra.map(_._1): _*) || $"dst".isin(extra.map(_._1): _*))
+      .select($"cell_id".cast("int")).distinct().as[Int].collect().toSet
+    allCells.filterNot(touchedCells).foreach { c =>
+      assert(fileState(c) == before(c), s"untouched cell $c was rewritten") }
+    assert(touchedCells.size.toLong == cellsRw)
+    // no staging debris
+    val debris = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("_gr_"))
+    assert(debris.isEmpty)
+  }
+
   test("removeNodes: dangling-free, rebuild-equivalent refill, untouched pass-through") {
     import graft.operators.SemanticDedup
     val kG = 4
