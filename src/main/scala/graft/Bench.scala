@@ -122,7 +122,9 @@ object Bench {
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       (n, cold, median, load, fj)
     }
-    val maxLoad = results.map(_._4).max
+    // guard the folds: SPARK_GRAFT_ONLY with a stale name yields zero
+    // queries, and the artifact must still print (not throw empty.max)
+    val maxLoad = if (results.isEmpty) -1.0 else results.map(_._4).max
     val midContended = results.filter(_._5 > 0)
     // 4-decimal values: sub-0.1ms precision is noise, and the full
     // two-map line must stay as short as possible — the harness keeps

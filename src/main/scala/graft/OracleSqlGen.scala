@@ -1080,13 +1080,22 @@ object OracleSqlGen {
 
   /** q198's oracle: [[graft.operators.GraphSearch.insert]] of ONE new
     * node replayed end-to-end — the walk ([[graphWalkCtes]], top
-    * `4·kGraph` candidates), the probe-top-1 cell assignment, the
-    * in-cell filter and forward top-`kGraph`, each chosen neighbor's
-    * reverse splice re-capped under (s DESC, dst ASC), and the
-    * connectivity guard (if every cap prunes the newcomer, the rank-1
-    * neighbor keeps its top `kGraph−1` plus the new edge). Emits the
-    * touched slice: the new node's forward list + chosen neighbors'
-    * final lists, `(src, dst, rnk, score)`. */
+    * `4·kGraph` candidates), the L2-argmin cell assignment (the
+    * store's own assign rule — NOT the IP probe order, which seeds the
+    * walk only), the in-cell filter and forward top-`kGraph`, each
+    * chosen neighbor's reverse splice re-capped under (s DESC, dst
+    * ASC), and the connectivity guard (if every cap prunes the
+    * newcomer, the rank-1 neighbor keeps its top `kGraph−1` plus the
+    * new edge). Emits the touched slice: the new node's forward list +
+    * chosen neighbors' final lists, `(src, dst, rnk, score)`.
+    *
+    * COVERAGE LIMIT: replays the WALK branch only. The engine's
+    * unreached-cell fallback (walk finds no in-cell candidate → exact
+    * in-cell scan, GraphSearch.insert step 2) has no CTE here — a
+    * fixture that triggers it would silently diverge; that branch is
+    * spec-covered (GraphSearchSpec), and any future query generated
+    * from this oracle must either keep a walk-reachable fixture or add
+    * the fallback CTE first. */
   def graphInsertSql(cents: Seq[Array[Double]], kGraph: Int, cap: Int,
                      nprobe: Int, beamWidth: Int, hops: Int,
                      qVecId: Int, newId: Long): String =
@@ -1097,7 +1106,12 @@ object OracleSqlGen {
        |  SELECT id, s FROM (
        |    SELECT id, s, row_number() OVER (ORDER BY s DESC, id ASC) AS rn
        |    FROM __s$hops) WHERE rn <= ${4 * kGraph}),
-       |qcell AS (SELECT cell_id FROM probe WHERE pr = 1),
+       |qcell AS (
+       |  SELECT cell_id FROM __cents c, q
+       |  ORDER BY list_sum(list_transform(list_zip(q.qe, c.c),
+       |    p -> (CAST(p[1] AS DOUBLE) - p[2]) *
+       |         (CAST(p[1] AS DOUBLE) - p[2]))) ASC, c.cell_id ASC
+       |  LIMIT 1),
        |chosen AS (
        |  SELECT id, s, row_number() OVER (ORDER BY s DESC, id ASC) AS crnk
        |  FROM (

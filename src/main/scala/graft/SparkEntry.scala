@@ -28,6 +28,18 @@ object SparkEntry {
     * both generations working. Session timezone is pinned to UTC in every
     * entry point, so the NTZ→LTZ cast is instant-preserving and matches
     * DuckDB's naive-as-UTC `epoch_ns`. */
+  /** Recursively delete a staging dir (the q195/q201 streaming gates
+    * copy the events table per run; leaking those fills /tmp across
+    * bench reps). */
+  private def rmTree(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   private def eventsNs(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
@@ -217,8 +229,9 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("value"), col("props"))
     val maxId = ev.agg(max("event_id")).head.getLong(0)
     val maxTs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
-    val inDir = java.nio.file.Files
-      .createTempDirectory("graft-q195").toString + "/in"
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q195").toString
+    val inDir = s"$stage/in"
     val nBatches = 3
     def writeBatch(b: Int): Unit =
       ev.filter(expr(s"event_id * $nBatches div ${maxId + 1}") === b)
@@ -245,7 +258,7 @@ object SparkEntry {
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("append").parquet(inDir)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); rmTree(stage) } // memory sink holds the rows
     s.table(qname)
       .filter(col("user_id") >= 0)
       .select(col("user_id"),
@@ -285,8 +298,9 @@ object SparkEntry {
   private def q201StreamWindows(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.EventStream
-    val inDir = java.nio.file.Files
-      .createTempDirectory("graft-q201").toString + "/in"
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q201").toString
+    val inDir = s"$stage/in"
     eventsNs(s, dir)
       .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
@@ -300,6 +314,7 @@ object SparkEntry {
       .format("memory").queryName(qname)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    rmTree(stage) // memory sink holds the rows; the staged copy is done
     s.table(qname)
       .select(unix_millis(col("window_start")).as("win_ms"), col("event_type"),
         col("n").cast("long").as("n"), round(col("sum_value"), 4).as("sum_value"))
@@ -7342,11 +7357,9 @@ object SparkEntry {
     val removed = t(s, dir, "embeddings")
       .filter(col("vec_id") % 101 === 7)
       .select(col("vec_id").cast("long")).as[Long].collect().sorted.toSeq
-    val pruned = GraphSearch.removeNodes(graphCorpus(s, dir), withCells,
-      removed, kGraph = 4, maxCellSize = SemanticDedup.DefaultMaxCellSize)
-    val affected = graphCorpus(s, dir)
-      .filter(col("dst").isin(removed: _*) && !col("src").isin(removed: _*))
-      .select(col("src").cast("long")).distinct().as[Long].collect().toSeq
+    val (pruned, affected) = GraphSearch.removeNodesWithAffected(
+      graphCorpus(s, dir), withCells, removed,
+      kGraph = 4, maxCellSize = SemanticDedup.DefaultMaxCellSize)
     pruned.filter(col("src").isin(affected: _*))
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
         col("rnk").cast("long").as("rnk"), round(col("score"), 4).as("score"))

@@ -242,16 +242,6 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .repartition(col("shingle"))
-    overlapFromExploded(expl, candidates)
-  }
-
-  /** [[overlapSized]] over a PREBUILT exploded shingle frame
-    * (`(id, n_sh, shingle)`, already repartitioned on `shingle`) — the
-    * entry point for callers that reuse one shingle scan across several
-    * candidate sets ([[bandSweep]]). Join shape and hints identical to
-    * [[jaccardVerifyOverlapping]]'s documented, load-bearing ones. */
-  private def overlapFromExploded(expl: DataFrame,
-                                  candidates: DataFrame): DataFrame =
     expl.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
       .join(broadcast(candidates), "id_a")
       .hint("merge")
@@ -260,6 +250,7 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("int").as("n_inter"),
         min("n_a").as("n_a"), min("n_b").as("n_b"))
+  }
 
   /** LSH banding sweep with the signature scan SHARED across legs: for
     * each band count b, the candidate pairs and the pairs verifying at

@@ -192,8 +192,10 @@ object GraphSearch {
     *
     * Per new row, in insertion order (later inserts see earlier ones,
     * FAISS's add semantics):
-    *  1. the row joins its quantizer cell (nearest centroid — the same
-    *     assignment a rebuild would give it);
+    *  1. the row joins its quantizer cell by L2 argmin
+    *     ([[IvfIndex.probeCellsL2]] top-1 — the SAME rule
+    *     [[IvfIndex.assign]]/a rebuild applies; the IP probe order is
+    *     used only for walk seeding, never assignment);
     *  2. candidate neighbors come from the EXISTING walk
     *     ([[searchBeam]] over the current graph+corpus, `4·kGraph`
     *     candidates) restricted to the row's cell — the cell-blocked
@@ -276,7 +278,12 @@ object GraphSearch {
         .select(graph.columns.map(col): _*)
 
     newRows.foreach { case (newId, vec) =>
-      val cell = IvfIndex.probeCells(ivf, vec, 1).head
+      // assignment metric = the STORE's (L2 argmin, ties to the lower
+      // cell — NearestCentroidF32 / IvfIndex.assign); the IP probe stays
+      // what it is everywhere: walk seeding. Using the IP top-1 here
+      // would place a large-norm-skewed node in a different cell than a
+      // rebuild's assign, splitting node and edges across partitions.
+      val cell = IvfIndex.probeCellsL2(ivf, vec, 1).head
       val corpusNow = composedCorpus
       val walked = searchBeam(composedGraph, corpusNow, ivf, vec,
         k = 4 * kGraph, nprobe = nprobe, beamWidth = beamWidth, hops = hops,
@@ -355,7 +362,18 @@ object GraphSearch {
   def removeNodes(graph: DataFrame, withCells: DataFrame,
                   removed: Seq[Long], kGraph: Int, maxCellSize: Int,
                   idCol: String = "doc_id",
-                  embCol: String = "embedding"): DataFrame = {
+                  embCol: String = "embedding"): DataFrame =
+    removeNodesWithAffected(graph, withCells, removed, kGraph, maxCellSize,
+      idCol, embCol)._1
+
+  /** [[removeNodes]] also returning the affected (refilled) node ids —
+    * what callers emitting or persisting only the touched slice need,
+    * without re-deriving the rule (q199; the insertWithEdits pattern). */
+  def removeNodesWithAffected(graph: DataFrame, withCells: DataFrame,
+                              removed: Seq[Long], kGraph: Int,
+                              maxCellSize: Int, idCol: String = "doc_id",
+                              embCol: String = "embedding")
+      : (DataFrame, Seq[Long]) = {
     val spark = withCells.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -363,7 +381,7 @@ object GraphSearch {
     val survivors = graph.filter(!col("src").isin(removed: _*))
     val affected = survivors.filter(col("dst").isin(removed: _*))
       .select(col("src").cast("long")).distinct().as[Long].collect().sorted.toSeq
-    if (affected.isEmpty) return survivors
+    if (affected.isEmpty) return (survivors, Seq.empty)
     val corpus = withCells.select(col(idCol).cast("long").as("nid"),
       col(embCol).as("emb"), col("cell_id"))
       .filter(!col("nid").isin(removed: _*))
@@ -390,8 +408,8 @@ object GraphSearch {
       .filter(col("rnk") <= kGraph)
       .select(col("src"), col("dst"), col("rnk").cast("long").as("rnk"),
         col("score"))
-    survivors.filter(!col("src").isin(affected: _*))
-      .unionByName(refill.select(graph.columns.map(col): _*))
+    (survivors.filter(!col("src").isin(affected: _*))
+      .unionByName(refill.select(graph.columns.map(col): _*)), affected)
   }
 
   /** Persist a k-NN graph CELL-PARTITIONED (`cell_id=<c>/` dirs, one per
@@ -435,7 +453,7 @@ object GraphSearch {
     // cell of every touched node: existing nodes from the corpus store,
     // new nodes by the same probe-top-1 rule insert used
     val newCells = newRows.map { case (id, v) =>
-      id -> IvfIndex.probeCells(ivf, v, 1).head }.toMap
+      id -> IvfIndex.probeCellsL2(ivf, v, 1).head }.toMap
     val existing = edits.keySet -- newCells.keySet
     val cellOf: Map[Long, Int] = newCells ++ (
       if (existing.isEmpty) Map.empty[Long, Int]

@@ -176,7 +176,8 @@ class GraphSearchSpec extends AnyFunSuite {
     val cellOf = corpus.select($"doc_id".cast("long"), $"cell_id".cast("int"))
       .as[(Long, Int)].collect().toMap
     extra.foreach { case (id, v) =>
-      assert(cellOf(id) == IvfIndex.probeCells(ivf, v, 1).head) }
+      assert(cellOf(id) == IvfIndex.probeCellsL2(ivf, v, 1).head,
+        "insert must assign by the store's L2 rule, not the IP probe") }
 
     // degree cap + rnk contiguity per src
     grownEdges.groupBy(_._1).foreach { case (src, es) =>
