@@ -540,6 +540,135 @@ object SparkEntry {
       |WHERE c.ce - o.ce > 0
       |ORDER BY purchase_id""".stripMargin
 
+  /** Spark's NATIVE `session_window` aggregation under the gate — the
+    * third stateful streaming operator family after q201's tumbling
+    * windows and q195's flatMapGroupsWithState (same sessions, entirely
+    * different executor: SessionWindowStateStore merge, no user state
+    * fold). Events staged as a µs stream, 30-minute-gap session windows
+    * per user in APPEND mode (a sentinel advances the watermark so
+    * every real session finalizes). Boundary rule, pinned empirically
+    * (StreamingSpec "session gap boundary"): `session_window` merges an
+    * event landing AT OR inside `last + gap` and breaks strictly
+    * beyond — the SAME inclusive boundary as foldSessions/q195, not the
+    * strict window-overlap reading of the docs; its window end is
+    * `last + gap`. The oracle replays exactly that rule in integer
+    * µs. */
+  private def q206SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    import s.implicits._
+    val ev = eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val maxTs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q206").toString
+    val inDir = s"$stage/in"
+    ev.write.parquet(inDir)
+    // the sentinel (user −1, far future) pushes the watermark past every
+    // real session's end so append mode emits them all
+    Seq((maxId + 1, new java.sql.Timestamp(maxTs + 86400000L), -1L,
+      "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val qname = "q206_sessions"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    val out = EventStream.readEvents(s, inDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("ws"),
+        col("session_window.end").as("we"), col("n_events"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    rmTree(stage)
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_millis(col("ws")).as("start_ms"),
+        unix_millis(col("we")).as("end_ms"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  private val q206Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tu FROM events),
+      |g AS (
+      |  SELECT user_id, tu, event_id,
+      |    tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS gap
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, tu, event_id,
+      |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tu, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g)
+      |SELECT user_id, CAST(min(tu) // 1000 AS BIGINT) AS start_ms,
+      |  CAST((max(tu) + 1800000000) // 1000 AS BIGINT) AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM m GROUP BY user_id, sess
+      |ORDER BY user_id, start_ms""".stripMargin
+
+  /** STREAM-STREAM interval join under the gate — the fourth stateful
+    * streaming operator family (StreamingSymmetricHashJoin): purchases
+    * joined to the same user's clicks in the preceding hour, both sides
+    * watermarked, the join range condition bounding the state Spark
+    * must retain. Inner joins emit matches as both sides arrive; one
+    * AvailableNow pass over the staged stream suffices. The oracle is
+    * the plain interval join — which is exactly the point: the
+    * streaming operator must produce the batch join's rows. */
+  private def q207StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q207").toString
+    val inDir = s"$stage/in"
+    eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(inDir)
+    val qname = "q207_pairs"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    val clicks = EventStream.readEvents(s, inDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = EventStream.readEvents(s, inDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    rmTree(stage)
+    s.table(qname)
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private val q207Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tu
+      |  FROM events)
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  CAST(p.tu - c.tu AS BIGINT) AS lag_us
+      |FROM e p JOIN e c
+      |  ON p.user_id = c.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.tu >= p.tu - 3600000000 AND c.tu <= p.tu
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Flagship: hash-embed the documents corpus, run a text query through
     * embed → exact k-NN → dynamic-threshold retrieval (the reference's
     * faiss-mode pipeline, `components/modes/faiss_mode.py:43-113`). */
@@ -8332,6 +8461,8 @@ object SparkEntry {
     "q203_cohort_retention" -> (q203CohortRetention _),
     "q204_asof_attribution" -> (q204AsofAttribution _),
     "q205_range_count" -> (q205RangeCount _),
+    "q206_session_window" -> (q206SessionWindow _),
+    "q207_stream_join" -> (q207StreamJoin _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -8501,6 +8632,8 @@ object SparkEntry {
     "q203_cohort_retention" -> q203Sql,
     "q204_asof_attribution" -> q204Sql,
     "q205_range_count" -> q205Sql,
+    "q206_session_window" -> q206Sql,
+    "q207_stream_join" -> q207Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

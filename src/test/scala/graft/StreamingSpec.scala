@@ -329,6 +329,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session gap boundary: exact-gap MERGES, gap+1ms breaks — both operators, pinned") {
+    // Pinned empirically (q206's oracle depends on it): session_window
+    // merges an event landing AT OR inside last + gap — the INCLUSIVE
+    // boundary, same as foldSessions' <=, NOT the strict window-overlap
+    // reading of the session_window docs. The testdata never exercises
+    // an exact-gap pair, so this fixture is the only guard on the rule.
+    val staging = java.nio.file.Files.createTempDirectory("graft-swin").toString + "/in"
+    val base = 1700000000000L
+    val gapMs = 1800000L
+    Seq(
+      // user 1: exact-gap pair -> ONE session of 2
+      (1L, new java.sql.Timestamp(base), 1L, "click", 1.0, "{}"),
+      (2L, new java.sql.Timestamp(base + gapMs), 1L, "click", 1.0, "{}"),
+      // user 3: gap + 1ms -> TWO sessions of 1
+      (4L, new java.sql.Timestamp(base), 3L, "click", 1.0, "{}"),
+      (5L, new java.sql.Timestamp(base + gapMs + 1), 3L, "click", 1.0, "{}"),
+      // sentinel advances the watermark so every session finalizes
+      (3L, new java.sql.Timestamp(base + 86400000L), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(staging)
+    val out = EventStream.readEvents(spark, staging)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("swin_edge")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val merged = spark.sql("SELECT n FROM swin_edge WHERE user_id = 1")
+        .as[Long].collect().toSeq.sorted
+      assert(merged == Seq(2L),
+        s"session_window must MERGE the exact-gap pair, got $merged")
+      val split = spark.sql("SELECT n FROM swin_edge WHERE user_id = 3")
+        .as[Long].collect().toSeq.sorted
+      assert(split == Seq(1L, 1L),
+        s"session_window must break one instant past the gap, got $split")
+      // the custom-state fold shares the inclusive boundary
+      val folded = EventStream.sessionize(Seq(
+        RawEvent(1, new java.sql.Timestamp(base), 1L, "click", 1.0, "{}"),
+        RawEvent(2, new java.sql.Timestamp(base + gapMs), 1L, "click", 1.0, "{}"),
+        RawEvent(3, new java.sql.Timestamp(base + 86400000L), 1L, "late", 1.0, "{}"))
+        .toDS(), gapMinutes = 30)
+        .collect().map(_.n_events).toSeq
+      assert(folded == Seq(2),
+        s"foldSessions must merge the exact-gap pair, got $folded")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS swin_edge")
+    }
+  }
+
   test("screenedIngest flags each micro-batch against store + prior batches, ≡ batch replay") {
     import graft.operators.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft-screen").toString
