@@ -374,6 +374,22 @@ object GraphSearch {
                               maxCellSize: Int, idCol: String = "doc_id",
                               embCol: String = "embedding")
       : (DataFrame, Seq[Long]) = {
+    val (untouched, refill, affected) = removeNodesParts(graph, withCells,
+      removed, kGraph, maxCellSize, idCol, embCol)
+    (refill.fold(untouched)(r =>
+      untouched.unionByName(r.select(graph.columns.map(col): _*))), affected)
+  }
+
+  /** The removal's three parts — (untouched survivors, refilled lists if
+    * any, affected ids) — for callers that splice rather than union
+    * ([[removeNodesPersisted]]). */
+  private[operators] def removeNodesParts(graph: DataFrame,
+                                          withCells: DataFrame,
+                                          removed: Seq[Long], kGraph: Int,
+                                          maxCellSize: Int,
+                                          idCol: String = "doc_id",
+                                          embCol: String = "embedding")
+      : (DataFrame, Option[DataFrame], Seq[Long]) = {
     val spark = withCells.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -381,7 +397,7 @@ object GraphSearch {
     val survivors = graph.filter(!col("src").isin(removed: _*))
     val affected = survivors.filter(col("dst").isin(removed: _*))
       .select(col("src").cast("long")).distinct().as[Long].collect().sorted.toSeq
-    if (affected.isEmpty) return (survivors, Seq.empty)
+    if (affected.isEmpty) return (survivors, None, Seq.empty)
     val corpus = withCells.select(col(idCol).cast("long").as("nid"),
       col(embCol).as("emb"), col("cell_id"))
       .filter(!col("nid").isin(removed: _*))
@@ -408,8 +424,85 @@ object GraphSearch {
       .filter(col("rnk") <= kGraph)
       .select(col("src"), col("dst"), col("rnk").cast("long").as("rnk"),
         col("score"))
-    (survivors.filter(!col("src").isin(affected: _*))
-      .unionByName(refill.select(graph.columns.map(col): _*)), affected)
+    (survivors.filter(!col("src").isin(affected: _*)),
+      Some(refill), affected)
+  }
+
+  /** [[removeNodes]] applied to a [[savePartitioned]] store IN PLACE —
+    * the removal half of the persisted maintenance pair
+    * ([[insertPersisted]] is the growth half): every edge is intra-cell,
+    * so a removed node's rows AND the survivors pointing at it live in
+    * the removed node's own cell partitions — exactly those partitions
+    * are rewritten (drop removed srcs, replace affected srcs' lists with
+    * the rebuild-equivalent refill), via the same staged-rename/recovery
+    * discipline. A partition left empty (every src removed) is deleted —
+    * partition discovery then simply reports no rows for that cell.
+    * Returns (cellsRewritten, nodesRefilled). */
+  def removeNodesPersisted(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String, withCells: DataFrame,
+                           removed: Seq[Long], kGraph: Int,
+                           maxCellSize: Int, idCol: String = "doc_id",
+                           embCol: String = "embedding"): (Long, Long) = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(hconf)
+    recoverGraphStaging(fs, storePath)
+    val store = spark.read.parquet(storePath)
+    val (_, refillOpt, affected) = removeNodesParts(
+      store.select("src", "dst", "rnk", "score"), withCells, removed,
+      kGraph, maxCellSize, idCol, embCol)
+    // edges are intra-cell: all rows to drop or replace sit in the
+    // cells holding removed/affected nodes
+    val cells = withCells
+      .filter(col(idCol).isin((removed ++ affected).distinct: _*))
+      .select(col("cell_id").cast("int")).distinct().as[Int].collect().sorted
+    val refillRows: Map[Int, Seq[(Long, Long, Long, Double)]] =
+      refillOpt match {
+        case None => Map.empty
+        case Some(r) =>
+          val cellOf = withCells.filter(col(idCol).isin(affected: _*))
+            .select(col(idCol).cast("long"), col("cell_id").cast("int"))
+            .as[(Long, Int)].collect().toMap
+          r.select(col("src").cast("long"), col("dst").cast("long"),
+              col("rnk").cast("long"), col("score"))
+            .as[(Long, Long, Long, Double)].collect().toSeq
+            .groupBy(e => cellOf(e._1)).view.mapValues(_.toSeq).toMap
+      }
+    var rewritten = 0L
+    cells.foreach { cell =>
+      val dir = new org.apache.hadoop.fs.Path(s"$storePath/cell_id=$cell")
+      if (fs.exists(dir)) {
+        rewritten += 1
+        val tmp = new org.apache.hadoop.fs.Path(s"$storePath/_gr_tmp_cell_$cell")
+        val old = new org.apache.hadoop.fs.Path(s"$storePath/_gr_old_cell_$cell")
+        fs.delete(tmp, true); fs.delete(old, true)
+        val dropSrcs = (removed ++ affected).distinct
+        val kept = spark.read.parquet(dir.toString)
+          .filter(!col("src").isin(dropSrcs: _*))
+          .select("src", "dst", "rnk", "score")
+        val cellRefill = refillRows.getOrElse(cell, Seq.empty)
+        val newPart =
+          if (cellRefill.isEmpty) kept
+          else kept.unionByName(
+            cellRefill.toDF("src", "dst", "rnk", "score"))
+        if (newPart.isEmpty) { // whole cell removed: drop the partition
+          if (!fs.rename(dir, old))
+            throw new java.io.IOException(s"graph remove: cannot stage out $dir")
+          fs.delete(old, true)
+        } else {
+          newPart.write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(dir, old))
+            throw new java.io.IOException(s"graph remove: cannot stage out $dir")
+          if (!fs.rename(tmp, dir)) {
+            fs.rename(old, dir)
+            throw new java.io.IOException(s"graph remove: cannot swap in $tmp")
+          }
+          fs.delete(old, true)
+        }
+      }
+    }
+    (rewritten, affected.size.toLong)
   }
 
   /** Persist a k-NN graph CELL-PARTITIONED (`cell_id=<c>/` dirs, one per

@@ -320,6 +320,64 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(debris.isEmpty)
   }
 
+  test("removeNodesPersisted: affected cells spliced, empty cell dropped, reload ≡ removeNodes") {
+    import graft.operators.SemanticDedup
+    val kG = 4
+    val data = clustered(300, 5)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 5)
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = kG)
+    val path = java.nio.file.Files.createTempDirectory("graft-grm").toString + "/graph"
+    GraphSearch.savePartitioned(graph, withCells, path)
+    val cellIds = withCells.select($"cell_id".cast("int")).distinct()
+      .as[Int].collect().sorted
+    // removed set: a scattered slice PLUS one whole cell (its partition
+    // must be deleted outright)
+    val wholeCell = cellIds.head
+    val cellMembers = withCells.filter($"cell_id" === wholeCell)
+      .select($"doc_id".cast("long")).as[Long].collect().toSeq
+    val removed = (data.map(_._1).filter(_ % 17 == 0) ++ cellMembers).distinct
+
+    def fileState(cell: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$path/cell_id=$cell")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = cellIds.map(c => c -> fileState(c)).toMap
+
+    val expect = GraphSearch.removeNodes(graph, withCells, removed,
+        kGraph = kG, maxCellSize = SemanticDedup.DefaultMaxCellSize)
+      .select($"src".cast("long"), $"dst".cast("long"),
+        $"rnk".cast("long"), $"score").as[(Long, Long, Long, Double)]
+      .collect().toSet
+
+    val (cellsRw, refilled) = GraphSearch.removeNodesPersisted(spark, path,
+      withCells, removed, kGraph = kG,
+      maxCellSize = SemanticDedup.DefaultMaxCellSize)
+    assert(cellsRw >= 1L)
+    assert(!new java.io.File(s"$path/cell_id=$wholeCell").exists(),
+      "fully-removed cell's partition must be deleted")
+    val reloaded = spark.read.parquet(path)
+      .select($"src".cast("long"), $"dst".cast("long"),
+        $"rnk".cast("long"), $"score").as[(Long, Long, Long, Double)]
+      .collect().toSet
+    assert(reloaded == expect, "persisted removal diverged from removeNodes")
+    // cells holding neither removed nor affected nodes keep exact files
+    val affected = graph
+      .filter($"dst".isin(removed: _*) && !$"src".isin(removed: _*))
+      .select($"src".cast("long")).distinct().as[Long].collect().toSeq
+    val touchedCells = withCells
+      .filter($"doc_id".isin((removed ++ affected).distinct: _*))
+      .select($"cell_id".cast("int")).distinct().as[Int].collect().toSet
+    cellIds.filterNot(touchedCells).foreach { c =>
+      assert(fileState(c) == before(c), s"untouched cell $c rewritten") }
+    assert(refilled >= 0L)
+    val debris = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("_gr_"))
+    assert(debris.isEmpty)
+  }
+
   test("removeNodes: dangling-free, rebuild-equivalent refill, untouched pass-through") {
     import graft.operators.SemanticDedup
     val kG = 4
