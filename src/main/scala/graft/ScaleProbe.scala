@@ -71,11 +71,17 @@ object ScaleProbe {
       return
     }
     if (args.headOption.contains("graph")) {
-      graphProbe(args.lift(1).map(_.toInt).getOrElse(1000))
+      graphProbe(args.lift(1).map(_.toInt).getOrElse(1000),
+        args.lift(2).map(_.toInt).getOrElse(64))
       return
     }
     if (args.headOption.contains("kmeans")) {
       kmeansProbe(args.lift(1).map(_.toInt).getOrElse(1000))
+      return
+    }
+    if (args.headOption.contains("stream")) {
+      streamProbe(args.lift(1).map(_.toInt).getOrElse(100),
+        args.lift(2).map(_.toInt).getOrElse(20))
       return
     }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
@@ -1428,7 +1434,10 @@ object ScaleProbe {
     * approach N× — this probe records how close. Reuses the `ivf`
     * probe's scaled corpus + quantizer caches; the cell-blocked graph
     * is built once per factor. */
-  def graphProbe(factor: Int): Unit = {
+  /** `nlist` (3rd CLI arg, default 64) sizes the quantizer: insert-wave
+    * width scales with cell count, so the batch-insert leg is probed at
+    * both 64 and a realistic 256 (caches keyed by nlist past 64). */
+  def graphProbe(factor: Int, nlist: Int = 64): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1453,8 +1462,8 @@ object ScaleProbe {
     }
     val corpus = spark.read.parquet(path)
     val n = corpus.count()
-    val nlist = 64
-    val ivfDir = s"/tmp/graft-scale-ivf-${factor}x"
+    val nlSuffix = if (nlist == 64) "" else s"-nl$nlist"
+    val ivfDir = s"/tmp/graft-scale-ivf-${factor}x$nlSuffix"
     if (!parquetComplete(spark, s"$ivfDir/corpus")) {
       val sampleFrac = math.min(1.0, 100000.0 / n)
       val ivf = IvfIndex.train(corpus.sample(sampleFrac, 42), nlist, "embedding")
@@ -1464,7 +1473,7 @@ object ScaleProbe {
     }
     val ivf = IvfIndex.load(spark, s"$ivfDir/quantizer")
     val withCells = spark.read.parquet(s"$ivfDir/corpus")
-    val graphPath = s"/tmp/graft-graph-scale-${factor}x"
+    val graphPath = s"/tmp/graft-graph-scale-${factor}x$nlSuffix"
     if (!parquetComplete(spark, graphPath)) {
       val t0 = System.nanoTime()
       graft.operators.KnnGraph.cellBlocked(corpus, ivf, k = 4)
@@ -1493,12 +1502,154 @@ object ScaleProbe {
       println(f"[scale] $name: $sec%.2f s warm, $rows rows out")
       sec
     }
-    Seq(4, 8, 16).foreach { nq =>
-      val qs = qs16.take(nq)
-      val s = timeWarm(s"graph walk x$nq sequential")(walkSeq(qs))
-      val b = timeWarm(s"graph walk x$nq batched (shared reads)")(walkBatch(qs))
-      println(f"[scale] graph batch speedup x$nq: ${s / b}%.2fx")
+    // SPARK_GRAFT_INSERT_ONLY=1 skips the walk legs (insert-leg iteration)
+    if (!sys.env.get("SPARK_GRAFT_INSERT_ONLY").contains("1"))
+      Seq(4, 8, 16).foreach { nq =>
+        val qs = qs16.take(nq)
+        val s = timeWarm(s"graph walk x$nq sequential")(walkSeq(qs))
+        val b = timeWarm(s"graph walk x$nq batched (shared reads)")(walkBatch(qs))
+        println(f"[scale] graph batch speedup x$nq: ${s / b}%.2fx")
+      }
+
+    // INSERT cost vs batch size (round-13, the r12 perf-weak closure):
+    // wave-batched discovery must make per-row cost FALL with batch size
+    // (the sequential reference is ~constant per row = linear total).
+    // All work happens inside the call (walk collects + splice); the
+    // returned frames are not materialized — same accounting both forms.
+    val newRowsAll = base.filter(col("vec_id") < 256)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0) + 10000000L, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    def timeInsert(name: String, rows: Seq[(Long, Array[Float])],
+                   seq: Boolean): Double = {
+      val t0 = System.nanoTime()
+      if (seq)
+        graft.operators.GraphSearch.insertWithEditsSeq(graph, withCells, ivf,
+          rows, kGraph = 4, nprobe = 4, beamWidth = 8, hops = 3)
+      else
+        graft.operators.GraphSearch.insertWithEdits(graph, withCells, ivf,
+          rows, kGraph = 4, nprobe = 4, beamWidth = 8, hops = 3)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s total, ${sec / rows.size * 1000}%.0f ms/row")
+      sec
     }
+    timeInsert("graph insert B=1 (warm)", newRowsAll.take(1), seq = false)
+    Seq(1, 16, 64, 256).foreach { b =>
+      timeInsert(s"graph insert B=$b wave-batched", newRowsAll.take(b), seq = false)
+    }
+    val s16 = timeInsert("graph insert B=16 sequential reference",
+      newRowsAll.take(16), seq = true)
+    val b16 = timeInsert("graph insert B=16 wave-batched (re-run)",
+      newRowsAll.take(16), seq = false)
+    println(f"[scale] graph insert batch speedup B=16: ${s16 / b16}%.2fx")
+    spark.stop()
+  }
+
+  /** Streaming INCREMENTAL posture at scale (round-13, closing the r12
+    * "the streaming gates measure staging, and only staging" finding):
+    * the ×100 gate numbers are one-shot staging + a single AvailableNow
+    * pass; production is incremental micro-batches. This probe stages
+    * the ×`factor` event log ONCE — sliced into `nBatches` EVENT-TIME
+    * ranges, because sfgen replicas copy timestamps verbatim and an
+    * event_id slicing would replay old times into later batches and
+    * violate watermark monotonicity — then feeds both stateful-session
+    * pipelines (q195's flatMapGroupsWithState, q206's session_window)
+    * batch-by-batch and prints PER-BATCH wall seconds vs arrival size:
+    * the number that turns "per-batch state work is arrival-bounded"
+    * from an argument into a measurement. Batch feeding is hard-linked
+    * (same /tmp fs) and outside the timed section; sinks are noop so
+    * driver memory stays flat at 100M events. */
+  def streamProbe(factor: Int, nBatches: Int): Unit = {
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.RawEvent
+    import org.apache.spark.sql.DataFrame
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val srcDir =
+      if (factor == 1) "/root/testdata/sf0.1" else s"/tmp/graft-sf0.1x$factor"
+    require(new java.io.File(s"$srcDir/events.parquet").exists(),
+      s"$srcDir missing - run `ScaleProbe sfgen $factor` first")
+    val stagePath = s"/tmp/graft-stream-stage-${factor}x-$nBatches"
+    if (!parquetComplete(spark, stagePath)) {
+      val raw = spark.read.parquet(s"$srcDir/events.parquet")
+      val ev = (raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp_ltz"))
+      }).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val (tmin, tmax) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .as[(Long, Long)].head()
+      val w = (tmax - tmin) / nBatches + 1
+      ev.withColumn("batch",
+          ((unix_micros(col("ts")) - tmin) / w).cast("int"))
+        .repartition(col("batch"))
+        .write.mode("overwrite").partitionBy("batch").parquet(stagePath)
+      println(s"[scale] staged $stagePath (one-off)")
+    }
+    val counts = spark.read.parquet(stagePath).groupBy("batch")
+      .count().as[(Int, Long)].collect().toMap
+    val maxTsMs = spark.read.parquet(stagePath)
+      .agg(max(unix_millis(col("ts")))).as[Long].head()
+
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmTree)
+      p.delete()
+    }
+    def drive(name: String)(mk: DataFrame => DataFrame): Unit = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-stream-$name").toFile
+      val inDir = new java.io.File(root, "in")
+      inDir.mkdirs()
+      def feed(b: Int): Unit = {
+        val src = new java.io.File(s"$stagePath/batch=$b")
+        if (src.exists())
+          src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+            java.nio.file.Files.createLink(
+              new java.io.File(inDir, s"b$b-${f.getName}").toPath, f.toPath)
+          }
+      }
+      feed(0) // the file source checks the dir at definition
+      val out = mk(spark.readStream
+        .schema(EventStream.RawEventSchema).parquet(inDir.toString))
+      val q = out.writeStream.outputMode("append").format("noop").start()
+      try {
+        var total = 0.0
+        (0 until nBatches).foreach { b =>
+          if (b > 0) feed(b)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          total += sec
+          println(f"[scale] stream $name batch $b%02d: ${counts.getOrElse(b, 0L)}%9d rows in, $sec%6.2f s")
+        }
+        // sentinel advances the watermark so open state times out/finalizes
+        Seq((Long.MaxValue - 1, new java.sql.Timestamp(maxTsMs + 86400000L),
+          -1L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(inDir.toString)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] stream $name sentinel flush: $sec%6.2f s; data-batch total $total%.1f s")
+      } finally { q.stop(); rmTree(root) }
+    }
+    drive("sessionize")(df =>
+      EventStream.sessionizeEventTime(df.as[RawEvent],
+        gapMinutes = 30, watermarkDelay = "10 minutes").toDF)
+    drive("session_window")(df =>
+      df.withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n")))
     spark.stop()
   }
 }

@@ -313,8 +313,9 @@ object SparkEntry {
     val q = out.writeStream.outputMode("complete")
       .format("memory").queryName(qname)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    rmTree(stage) // memory sink holds the rows; the staged copy is done
+    // memory sink holds the rows; a failed query must still drop the
+    // staged copy (the q195 discipline)
+    try q.awaitTermination() finally { q.stop(); rmTree(stage) }
     s.table(qname)
       .select(unix_millis(col("window_start")).as("win_ms"), col("event_type"),
         col("n").cast("long").as("n"), round(col("sum_value"), 4).as("sum_value"))
@@ -583,8 +584,7 @@ object SparkEntry {
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName(qname)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    rmTree(stage)
+    try q.awaitTermination() finally { q.stop(); rmTree(stage) }
     s.table(qname)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), unix_millis(col("ws")).as("start_ms"),
@@ -649,8 +649,7 @@ object SparkEntry {
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName(qname)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    rmTree(stage)
+    try q.awaitTermination() finally { q.stop(); rmTree(stage) }
     s.table(qname)
       .select(col("purchase_id"), col("click_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
@@ -2086,7 +2085,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (pqM * 131L + pqKsub) ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-pq-$key"
+    s"${GraftConfig.storeRoot}/graft-pq-$key"
   }
 
   /** Build-or-load the PQ index: persisted codebooks + the CODES-ONLY
@@ -2113,7 +2112,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (0xbca0L + pcaK) ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-pca-$key"
+    s"${GraftConfig.storeRoot}/graft-pca-$key"
   }
 
   /** Build-or-load the PCA transform + the projected corpus — the FAISS
@@ -2140,7 +2139,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (0x17c0L + itqK) ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-itq-$key"
+    s"${GraftConfig.storeRoot}/graft-itq-$key"
   }
 
   /** Build-or-load the composed PCA+ITQ transform + the k-bit sign-code
@@ -2172,7 +2171,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x1f58L ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivfsq-$key"
+    s"${GraftConfig.storeRoot}/graft-ivfsq-$key"
   }
 
   /** Build-or-load the IVF-SQ8 index: shared quantizer + residual-trained
@@ -2202,7 +2201,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x1f54L ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivfsq4-$key"
+    s"${GraftConfig.storeRoot}/graft-ivfsq4-$key"
   }
 
   /** Build-or-load the IVF-SQ4 index: shared quantizer + 4-bit
@@ -2232,7 +2231,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x9c1aL ^
         datasetFingerprint(s, s"$dir/documents.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-qc-$key"
+    s"${GraftConfig.storeRoot}/graft-qc-$key"
   }
 
   /** Binary-IVF codes cache, keyed like [[ivfSqCachePath]]; quantizer
@@ -2242,7 +2241,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0xb1f1L ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-bivf-$key"
+    s"${GraftConfig.storeRoot}/graft-bivf-$key"
   }
 
   /** The binary family's gate corpus is the WIDENED 768-d view
@@ -2290,7 +2289,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0xb4a5L ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-bha-$key"
+    s"${GraftConfig.storeRoot}/graft-bha-$key"
   }
 
   /** Build-or-load the binary hash index: widened 768-d sign codes with
@@ -2319,7 +2318,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (0x09c0L + pqM) ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-opq-$key"
+    s"${GraftConfig.storeRoot}/graft-opq-$key"
   }
 
   /** Build-or-load the OPQ chain: driver-sample-trained rotation
@@ -2359,7 +2358,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (0x09c1L * (ivfNlist + pqM)) ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-opqivf-$key"
+    s"${GraftConfig.storeRoot}/graft-opqivf-$key"
   }
 
   /** Build-or-load the full `OPQ,IVF,PQ` chain (FAISS
@@ -2402,7 +2401,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (0xae90L + rqLevels * 131 + rqK) ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-rq-$key"
+    s"${GraftConfig.storeRoot}/graft-rq-$key"
   }
 
   /** Build-or-load the residual-quantizer index: persisted per-level
@@ -2433,7 +2432,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x5108L ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-sq-$key"
+    s"${GraftConfig.storeRoot}/graft-sq-$key"
   }
 
   /** Build-or-load the SQ8 index: persisted per-dim bounds + the
@@ -2457,7 +2456,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x5104L ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-sq4-$key"
+    s"${GraftConfig.storeRoot}/graft-sq4-$key"
   }
 
   /** Build-or-load the SQ4 index: persisted 4-bit bounds + the
@@ -2482,7 +2481,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (ivfNlist * 31L) ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$key"
+    s"${GraftConfig.storeRoot}/graft-ivf-$key"
   }
 
   /** Build-or-load the IVF index for a dataset: persisted quantizer +
@@ -2525,7 +2524,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (HyperplaneLsh.DefaultNbits * 131L) ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-lshb-$key"
+    val path = s"${GraftConfig.storeRoot}/graft-lshb-$key"
     val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
     // _lsh_meta is written after the parquet job succeeds AND must record
     // these exact planes; anything else (partial write, pre-fingerprint
@@ -3290,7 +3289,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ (0x5eeb0L + nl) ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivfsweep-$key"
+    s"${GraftConfig.storeRoot}/graft-ivfsweep-$key"
   }
 
   private[graft] val sweepNlists = Seq(4, 16, 64)
@@ -3383,9 +3382,12 @@ object SparkEntry {
     // place, so a killed/concurrent run never leaves a partial cache.
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val docxDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-docx-fixture-$key")
+      GraftConfig.storeRoot, s"graft-docx-fixture-$key")
     if (!java.nio.file.Files.exists(docxDir)) {
-      val staging = java.nio.file.Files.createTempDirectory("graft-docx-build")
+      java.nio.file.Files.createDirectories(docxDir.getParent)
+      // staging sibling-to-target: ATOMIC_MOVE needs one filesystem
+      val staging = java.nio.file.Files.createTempDirectory(
+        docxDir.getParent, "graft-docx-build")
       def esc(x: String): String =
         x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       val texts = t(s, dir, "documents").filter(col("doc_id") < 6)
@@ -4904,7 +4906,7 @@ object SparkEntry {
       (dir.hashCode.toLong * 1000003L) ^ 0xc09c5L ^
         (3L * 1009 + 4L * 131 + (0.85 * 100).toLong) ^
         datasetFingerprint(s, s"$dir/documents.parquet"))
-    val cpath = s"${System.getProperty("java.io.tmpdir")}/graft-comps-$key/comps"
+    val cpath = s"${GraftConfig.storeRoot}/graft-comps-$key/comps"
     if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
       val (_, comps) = chainComponents(s, dir)
       comps.write.mode("overwrite").parquet(cpath)
@@ -6173,7 +6175,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0xb9e5L ^
         datasetFingerprint(s, s"$dir/documents.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-bpe-$key"
+    s"${GraftConfig.storeRoot}/graft-bpe-$key"
   }
 
   /** Train-or-load the BPE tokenizer artifact (trainer cap shared with
@@ -6539,7 +6541,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x11fdL ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-livf-$key"
+    s"${GraftConfig.storeRoot}/graft-livf-$key"
   }
 
   /** Build-or-load the Lloyd-trained IVF: quantizer = the GATED
@@ -7390,7 +7392,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x96afL ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-knng-$key"
+    s"${GraftConfig.storeRoot}/graft-knng-$key"
   }
 
   private[graft] def graphCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -8038,7 +8040,7 @@ object SparkEntry {
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x150ca1L ^
         datasetFingerprint(s, s"$dir/documents.parquet"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-$key"
+    val path = s"${GraftConfig.storeRoot}/graft-jsonl-$key"
     val docs = t(s, dir, "documents")
     if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS"))
       graft.sources.JsonlIngest.writeJsonl(docs, path)

@@ -196,9 +196,10 @@ object GraphSearch {
     *     ([[IvfIndex.probeCellsL2]] top-1 — the SAME rule
     *     [[IvfIndex.assign]]/a rebuild applies; the IP probe order is
     *     used only for walk seeding, never assignment);
-    *  2. candidate neighbors come from the EXISTING walk
-    *     ([[searchBeam]] over the current graph+corpus, `4·kGraph`
-    *     candidates) restricted to the row's cell — the cell-blocked
+    *  2. candidate neighbors come from the EXISTING walk (batched per
+    *     conflict-free wave — see [[insertWithEdits]]; `4·kGraph`
+    *     candidates per row) restricted to the row's cell — the
+    *     cell-blocked
     *     invariant (edges never cross cells) is what keeps the walk's
     *     entry seeding and the rebuild parity meaningful. A cell the
     *     walk never reached (its subgraph unreachable from the probed
@@ -241,8 +242,169 @@ object GraphSearch {
   /** [[insert]] exposing the touched nodes' final edge lists — what a
     * persisted store needs to splice only the affected partitions
     * ([[insertPersisted]]). Keys: every new node and every chosen
-    * neighbor; values in final rank order. */
+    * neighbor; values in final rank order.
+    *
+    * BATCHED BY CONFLICT-FREE WAVES (the round-12 perf-weak closure),
+    * EXACTLY ≡ the sequential reference by construction: edges are
+    * cell-blocked, so a row's walk never leaves its probed cells and its
+    * splice edits land only in its own L2 cell — therefore an
+    * order-contiguous run of rows whose `(probed ∪ own)` cell sets avoid
+    * every EARLIER run member's own cell walks the identical graph the
+    * per-row sequential form would see. The batch is split greedily into
+    * such runs ("waves"); each wave's candidate discovery is ONE
+    * [[searchBeamBatch]] walk over the current composed graph (2 jobs
+    * per hop for the whole wave, plus one cell-lookup scan and one
+    * edge-list prefetch), and the order-dependent splice stays
+    * driver-side. A batch spread over many cells collapses to a handful
+    * of waves (cost ~flat in batch size — the ScaleProbe `graph insert`
+    * point); the worst case (every row in one cell) degrades to the
+    * sequential walk count, never below it. Parity is pinned
+    * edge-for-edge against [[insertWithEditsSeq]] in GraphSearchSpec. */
   def insertWithEdits(graph: DataFrame, withCells: DataFrame,
+                      ivf: IvfIndex.Ivf, newRows: Seq[(Long, Array[Float])],
+                      kGraph: Int, nprobe: Int = 4, beamWidth: Int = 8,
+                      hops: Int = 3, idCol: String = "doc_id",
+                      embCol: String = "embedding")
+      : (DataFrame, DataFrame, Map[Long, Seq[(Long, Double)]]) = {
+    val spark = withCells.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    require(newRows.nonEmpty, "insert needs at least one new row")
+    require(newRows.map(_._1).distinct.size == newRows.size,
+      "insert ids must be unique within a batch")
+
+    val corpusBase = withCells.select(col(idCol), col(embCol), col("cell_id"))
+
+    // assignment metric = the STORE's (L2 argmin — IvfIndex.assign); the
+    // IP probe stays what it is everywhere: walk seeding. Both are
+    // driver-known, so wave construction runs with zero jobs.
+    val cellOfNew: Map[Long, Int] = newRows.map { case (id, v) =>
+      id -> IvfIndex.probeCellsL2(ivf, v, 1).head }.toMap
+    val reachOfNew: Map[Long, Set[Int]] = newRows.map { case (id, v) =>
+      id -> (IvfIndex.probeCells(ivf, v, nprobe).toSet + cellOfNew(id)) }.toMap
+
+    val edits = scala.collection.mutable.LinkedHashMap.empty[Long, Seq[(Long, Double)]]
+    val added = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Int)]
+    def editsDf: DataFrame =
+      edits.toSeq.flatMap { case (src, es) =>
+        es.zipWithIndex.map { case ((dst, s), i) => (src, dst, (i + 1).toLong, s) }
+      }.toDF("src", "dst", "rnk", "score")
+        .select(graph.columns.map(col): _*)
+    def composedGraph: DataFrame =
+      if (edits.isEmpty) graph
+      else graph.filter(!col("src").isin(edits.keys.toSeq: _*))
+        .unionByName(editsDf)
+    def composedCorpus: DataFrame =
+      if (added.isEmpty) corpusBase
+      else corpusBase.unionByName(
+        added.toSeq.toDF(idCol, embCol, "cell_id")
+          .select(corpusBase.columns.map(col): _*))
+
+    // base edge lists are read once per node across the whole batch;
+    // nodes edited earlier always resolve through `edits` first
+    val baseLists = scala.collection.mutable.Map.empty[Long, Seq[(Long, Double)]]
+    def fetchLists(ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+      val got = graph.filter(col("src").isin(ids: _*))
+        .select(col("src").cast("long"), col("dst").cast("long"), col("score"))
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))
+          .sortBy { case (d, s) => (-s, d) }.toSeq).toMap
+      ids.foreach(id => baseLists(id) = got.getOrElse(id, Seq.empty))
+    }
+
+    var idx = 0
+    while (idx < newRows.length) {
+      // wave = maximal order-contiguous run where no row can observe an
+      // earlier run member's edits: its reachable cells avoid their own
+      // cells (edits of row i land only in cellOfNew(i))
+      val waveCells = scala.collection.mutable.Set.empty[Int]
+      var end = idx
+      var blocked = false
+      while (end < newRows.length && !blocked) {
+        val id = newRows(end)._1
+        if (reachOfNew(id).exists(waveCells.contains)) blocked = true
+        else { waveCells += cellOfNew(id); end += 1 }
+      }
+      val wave = newRows.slice(idx, end)
+
+      // one batched walk for the whole wave, over the CURRENT graph —
+      // identical to each row's sequential walk by the wave invariant
+      val gNow = composedGraph
+      val cNow = composedCorpus
+      val walked: Map[Long, Seq[(Long, Double)]] =
+        searchBeamBatch(gNow, cNow, ivf, wave, k = 4 * kGraph,
+          nprobe = nprobe, beamWidth = beamWidth, hops = hops,
+          idCol = idCol, embCol = embCol)
+          .select(col("query_id"), col(idCol).cast("long"), col("score"))
+          .as[(Long, Long, Double)].collect().toSeq
+          .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+
+      // cell of every walked id: earlier-inserted ids driver-side, base
+      // ids in one pruned scan per wave
+      val addedCells = added.map(t => t._1 -> t._3).toMap
+      val baseIds = walked.values.flatten.map(_._1).toSeq.distinct
+        .filterNot(addedCells.contains)
+      val cellOfWalked: Map[Long, Int] = addedCells ++ (
+        if (baseIds.isEmpty) Map.empty[Long, Int]
+        else corpusBase.filter(col(idCol).isin(baseIds: _*))
+          .select(col(idCol).cast("long"), col("cell_id").cast("int"))
+          .as[(Long, Int)].collect().toMap)
+
+      // prefetch base lists for this wave's in-cell candidates (only the
+      // rare unreached-cell fallback ever misses)
+      fetchLists(wave.flatMap { case (id, _) =>
+        walked.getOrElse(id, Seq.empty).map(_._1)
+          .filter(w => cellOfWalked.get(w).contains(cellOfNew(id)))
+      }.distinct.filterNot(id => edits.contains(id) || baseLists.contains(id)))
+
+      wave.foreach { case (newId, vec) =>
+        val cell = cellOfNew(newId)
+        val candidates = walked.getOrElse(newId, Seq.empty)
+          .filter { case (id, _) => cellOfWalked.get(id).contains(cell) }
+        val chosen =
+          (if (candidates.nonEmpty) candidates
+           else // unreached cell: exact in-cell scan, bounded by the cell cap
+             cNow.filter(col("cell_id") === cell && col(idCol) =!= newId)
+               .select(col(idCol).cast("long"),
+                 GraftFunctions.dotF32(col(embCol), typedlit(vec)))
+               .as[(Long, Double)].collect().toSeq)
+            .sortBy { case (id, s) => (-s, id) }.take(kGraph)
+
+        // forward list for the new node
+        edits(newId) = chosen
+        added += ((newId, vec, cell))
+
+        // reverse splice: current lists come from edits first (a node
+        // edited earlier this batch must not be re-read stale), then the
+        // prefetched base lists; add (u -> new), re-cap.
+        fetchLists(chosen.map(_._1)
+          .filterNot(id => edits.contains(id) || baseLists.contains(id)))
+        var kept = false
+        chosen.foreach { case (u, s) =>
+          val current = edits.getOrElse(u, baseLists.getOrElse(u, Seq.empty))
+          val merged = (current :+ (newId, s))
+            .sortBy { case (id, sc) => (-sc, id) }.take(kGraph)
+          if (merged.exists(_._1 == newId)) kept = true
+          edits(u) = merged
+        }
+        if (!kept && chosen.nonEmpty) { // connectivity guard (doc pt. 5)
+          val (uStar, sStar) = chosen.head
+          edits(uStar) = (edits(uStar).take(kGraph - 1) :+ (newId, sStar))
+            .sortBy { case (id, sc) => (-sc, id) }
+        }
+      }
+      idx = end
+    }
+    (composedGraph, composedCorpus, edits.toMap)
+  }
+
+  /** The REFERENCE insert semantics — one full beam walk per row over
+    * the graph as mutated so far (FAISS add, literally). Kept as the
+    * adjudicator the batched [[insertWithEdits]] is parity-pinned
+    * against (GraphSearchSpec); not for production batches — B rows pay
+    * B × walk jobs at the scheduler's per-job floor, the round-12
+    * perf-weak finding. */
+  private[graft] def insertWithEditsSeq(graph: DataFrame, withCells: DataFrame,
                       ivf: IvfIndex.Ivf, newRows: Seq[(Long, Array[Float])],
                       kGraph: Int, nprobe: Int = 4, beamWidth: Int = 8,
                       hops: Int = 3, idCol: String = "doc_id",
@@ -487,9 +649,19 @@ object GraphSearch {
           else kept.unionByName(
             cellRefill.toDF("src", "dst", "rnk", "score"))
         if (newPart.isEmpty) { // whole cell removed: drop the partition
+          // tombstone FIRST: written only once the removal has computed
+          // this cell fully empty, it makes a crash anywhere in the
+          // delete complete FORWARD at the next recovery pass — without
+          // it, a crash between the stage-out rename and the delete
+          // would ROLL BACK the rename and silently resurrect the
+          // removed cell while other cells' drops already committed.
+          val del = new org.apache.hadoop.fs.Path(
+            s"$storePath/_gr_del_cell_$cell")
+          fs.create(del, true).close()
           if (!fs.rename(dir, old))
             throw new java.io.IOException(s"graph remove: cannot stage out $dir")
           fs.delete(old, true)
+          fs.delete(del, false)
         } else {
           newPart.write.mode("overwrite").parquet(tmp.toString)
           if (!fs.rename(dir, old))
@@ -584,19 +756,42 @@ object GraphSearch {
     (byCell.size.toLong, edits.size.toLong)
   }
 
-  /** Heal [[insertPersisted]]'s two-rename crash window — the
+  /** Heal the persisted maintenance pair's crash windows — the
     * `IvfIndex.removeIds` recovery rule over the `_gr_` staging
-    * prefixes. */
+    * prefixes, plus two cases that rule alone misses:
+    *  - a `_gr_del_cell_<c>` TOMBSTONE (a [[removeNodesPersisted]]
+    *    empty-cell delete in flight) completes the delete FORWARD —
+    *    the tombstone is written only once the removal computed the
+    *    cell fully empty, so rolling the stage-out rename back would
+    *    resurrect removed nodes beside already-committed sibling cells;
+    *  - an ORPHAN `_gr_tmp_cell_<c>` with no `_gr_old_cell_<c>` marker
+    *    (a crashed [[insertPersisted]] NEW-CELL write before its
+    *    swap-in) is swept — nothing committed, the caller re-runs. */
   private def recoverGraphStaging(fs: org.apache.hadoop.fs.FileSystem,
                                   storePath: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     if (!fs.exists(root)) return
-    fs.listStatus(root).foreach { st =>
+    val entries = fs.listStatus(root)
+    def at(name: String) = new org.apache.hadoop.fs.Path(s"$storePath/$name")
+    // 1. tombstoned empty-cell deletes complete forward
+    val tombCells = entries
+      .filter(_.getPath.getName.startsWith("_gr_del_cell_"))
+      .map(_.getPath.getName.stripPrefix("_gr_del_cell_")).toSet
+    tombCells.foreach { cell =>
+      fs.delete(at(s"cell_id=$cell"), true)
+      fs.delete(at(s"_gr_old_cell_$cell"), true)
+      fs.delete(at(s"_gr_tmp_cell_$cell"), true)
+      fs.delete(at(s"_gr_del_cell_$cell"), false)
+    }
+    // 2. two-rename crash window: _SUCCESS-marked tmp completes forward,
+    //    else roll back to the staged-out old partition
+    entries.foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("_gr_old_cell_")) {
+      if (st.isDirectory && name.startsWith("_gr_old_cell_") &&
+          !tombCells.contains(name.stripPrefix("_gr_old_cell_"))) {
         val cell = name.stripPrefix("_gr_old_cell_")
-        val live = new org.apache.hadoop.fs.Path(s"$storePath/cell_id=$cell")
-        val tmp = new org.apache.hadoop.fs.Path(s"$storePath/_gr_tmp_cell_$cell")
+        val live = at(s"cell_id=$cell")
+        val tmp = at(s"_gr_tmp_cell_$cell")
         if (!fs.exists(live)) {
           val tmpDone = fs.exists(
             new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
@@ -607,6 +802,13 @@ object GraphSearch {
           else fs.delete(tmp, true)
         } else { fs.delete(st.getPath, true); fs.delete(tmp, true) }
       }
+    }
+    // 3. orphan tmp dirs: no old marker claims them, sweep
+    entries.foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("_gr_tmp_cell_") &&
+          !fs.exists(at("_gr_old_cell_" + name.stripPrefix("_gr_tmp_cell_"))))
+        fs.delete(st.getPath, true)
     }
   }
 }

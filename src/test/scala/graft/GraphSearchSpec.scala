@@ -232,6 +232,80 @@ class GraphSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("insert: batched discovery ≡ sequential reference, edge-for-edge") {
+    val kG = 4
+    val data = clustered(320, 5)
+    val base = data.take(300)
+    // 20 extras over 5 cells: plenty of same-cell collisions, so the
+    // fold-earlier-rows-at-splice-time path is genuinely exercised
+    val extra = data.drop(300).map { case (id, v) => (id + 1000L, v) }
+    val docs = base.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 5)
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = kG)
+
+    val (gB, cB, editsB) = GraphSearch.insertWithEdits(graph, withCells, ivf,
+      extra, kGraph = kG, nprobe = 2, beamWidth = 6, hops = 3)
+    val (gS, cS, editsS) = GraphSearch.insertWithEditsSeq(graph, withCells, ivf,
+      extra, kGraph = kG, nprobe = 2, beamWidth = 6, hops = 3)
+    assert(editsB.keySet == editsS.keySet,
+      s"touched sets differ: ${editsB.keySet.diff(editsS.keySet)} / ${editsS.keySet.diff(editsB.keySet)}")
+    editsS.foreach { case (src, want) =>
+      assert(editsB(src) == want, s"list for $src diverged: ${editsB(src)} vs $want")
+    }
+    def edgeSet(g: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+      g.select($"src".cast("long"), $"dst".cast("long"),
+        $"rnk".cast("long"), $"score").as[(Long, Long, Long, Double)].collect().toSet
+    assert(edgeSet(gB) == edgeSet(gS), "composed graphs diverged")
+    assert(cB.count() == cS.count())
+  }
+
+  test("graph recovery: orphan tmp swept, tombstoned delete completes forward") {
+    import graft.operators.SemanticDedup
+    val kG = 4
+    val data = clustered(300, 5)
+    val docs = data.toDF("doc_id", "embedding")
+    val (withCells, ivf) = IvfIndex.build(docs, nlist = 5)
+    val graph = KnnGraph.cellBlocked(docs, ivf, k = kG)
+    val path = java.nio.file.Files.createTempDirectory("graft-grcv").toString + "/graph"
+    GraphSearch.savePartitioned(graph, withCells, path)
+    val cells = withCells.select($"cell_id".cast("int")).distinct()
+      .as[Int].collect().sorted
+    assert(cells.length >= 3)
+    def mv(a: String, b: String): Unit =
+      assert(new java.io.File(s"$path/$a").renameTo(new java.io.File(s"$path/$b")))
+    // 1. ORPHAN TMP: a new-cell insert crashed between the tmp write and
+    //    its swap-in — no _gr_old_ marker ever claims it
+    new java.io.File(s"$path/_gr_tmp_cell_999").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_gr_tmp_cell_999/part-partial.parquet"),
+      Array[Byte](0, 1, 2))
+    // 2. TOMBSTONE, post-rename crash: empty-cell delete staged out the
+    //    partition, crashed before deleting it — must NOT roll back
+    val (cA, cBdel) = (cells(0), cells(1))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$path/_gr_del_cell_$cA"))
+    mv(s"cell_id=$cA", s"_gr_old_cell_$cA")
+    // 3. TOMBSTONE, pre-rename crash: marker written, partition still live
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$path/_gr_del_cell_$cBdel"))
+    // any persisted-maintenance call recovers first; remove one node from
+    // a THIRD cell so the real mutation is independent of the recovery
+    val victim = withCells.filter($"cell_id" === cells(2))
+      .select($"doc_id".cast("long")).as[Long].head()
+    GraphSearch.removeNodesPersisted(spark, path, withCells, Seq(victim),
+      kGraph = kG, maxCellSize = SemanticDedup.DefaultMaxCellSize)
+    assert(!new java.io.File(s"$path/cell_id=$cA").exists(),
+      "tombstoned cell rolled BACK — removed nodes resurrected")
+    assert(!new java.io.File(s"$path/cell_id=$cBdel").exists(),
+      "pre-rename tombstoned cell must be deleted forward")
+    val debris = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("_gr_"))
+    assert(debris.isEmpty, s"staging debris left: ${debris.mkString(",")}")
+    val srcCells = spark.read.parquet(path)
+      .select($"cell_id".cast("int")).distinct().as[Int].collect().toSet
+    assert(!srcCells.contains(cA) && !srcCells.contains(cBdel))
+  }
+
   test("insert: walks on the grown graph track the rebuilt graph (recall)") {
     val kG = 4
     val data = clustered(320, 5)

@@ -382,6 +382,124 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q195 boundary: sessionizeEventTime merges the exact-gap event, breaks at gap+1ms") {
+    // The r12 q206 catch generalized (judge item #5): every gap rule an
+    // oracle encodes gets an exact-boundary fixture, because 3-SF-green
+    // testdata never lands on the boundary. q195's oracle breaks on
+    // `gap > 1800000` ms — so the STREAMING operator must merge an event
+    // arriving exactly at last + gap and break one ms past it.
+    val staging = java.nio.file.Files.createTempDirectory("graft-sess-edge").toString
+    val base = 1700000000000L
+    val gapMs = 1800000L
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.map { case (id, ts, uid) =>
+        (id, new java.sql.Timestamp(ts), uid, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(staging)
+    // user 1: exact-gap pair; user 3: gap+1ms pair
+    write(Seq((1L, base, 1L), (2L, base + gapMs, 1L),
+      (4L, base, 3L), (5L, base + gapMs + 1, 3L)))
+    val in = spark.readStream.schema(EventStream.RawEventSchema)
+      .parquet(staging).as[RawEvent]
+    val out = EventStream.sessionizeEventTime(in,
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_edge").start()
+    try {
+      q.processAllAvailable()
+      // sentinel advances the watermark so every session times out
+      write(Seq((9L, base + 86400000L, 2L)))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, n_events FROM sess_edge WHERE user_id IN (1, 3)")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      assert(got(1L) == Seq(2),
+        s"exact-gap event must MERGE (oracle: gap > G breaks): ${got(1L)}")
+      assert(got(3L) == Seq(1, 1),
+        s"gap+1ms must BREAK: ${got(3L)}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sess_edge")
+    }
+  }
+
+  test("q201 boundary: an event exactly on a window edge opens the NEXT window") {
+    // q201's oracle buckets by floor division (`tu // 300000000`): an
+    // event at exactly a 5-minute boundary belongs to the window STARTING
+    // there. Spark's tumbling windows are [start, end) — same rule; this
+    // fixture pins both halves so neither side can drift to an inclusive
+    // end silently.
+    val staging = java.nio.file.Files.createTempDirectory("graft-win-edge").toString + "/in"
+    val t0 = 1699999800000L // multiple of 300000 ms
+    val winMs = 300000L
+    Seq(
+      (1L, new java.sql.Timestamp(t0 + 1000), 1L, "click", 1.0, "{}"),
+      (2L, new java.sql.Timestamp(t0 + winMs - 1), 1L, "click", 1.0, "{}"),
+      (3L, new java.sql.Timestamp(t0 + winMs), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(staging)
+    val out = EventStream.windowedCounts(
+      EventStream.readEvents(spark, staging), "5 minutes", "10 minutes")
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("win_edge")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val got = spark.sql("SELECT window_start, n FROM win_edge")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+      assert(got == Map(t0 -> 2L, (t0 + winMs) -> 1L),
+        s"window-edge event must open the NEXT window: $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS win_edge")
+    }
+  }
+
+  test("q207 boundary: interval-join ends are inclusive at p_ts − 1h and at p_ts") {
+    // q207's range is `c_ts >= p_ts − 1h AND c_ts <= p_ts` — both ends
+    // CLOSED. Clicks exactly on each end must join; 1 ms outside either
+    // end must not.
+    val staging = java.nio.file.Files.createTempDirectory("graft-join-edge").toString + "/in"
+    val p = 1700000000000L
+    val hourMs = 3600000L
+    Seq(
+      (100L, new java.sql.Timestamp(p), 1L, "purchase", 1.0, "{}"),
+      (1L, new java.sql.Timestamp(p - hourMs), 1L, "click", 1.0, "{}"),      // exact open end: IN
+      (2L, new java.sql.Timestamp(p - hourMs - 1), 1L, "click", 1.0, "{}"),  // 1ms before: OUT
+      (3L, new java.sql.Timestamp(p), 1L, "click", 1.0, "{}"),               // exact close end: IN
+      (4L, new java.sql.Timestamp(p + 1), 1L, "click", 1.0, "{}"))           // 1ms after: OUT
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(staging)
+    val clicks = EventStream.readEvents(spark, staging)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = EventStream.readEvents(spark, staging)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("join_edge")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val got = spark.sql("SELECT click_id FROM join_edge")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 3L),
+        s"closed-interval ends: expected clicks {1, 3}, got $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS join_edge")
+    }
+  }
+
   test("screenedIngest flags each micro-batch against store + prior batches, ≡ batch replay") {
     import graft.operators.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft-screen").toString
