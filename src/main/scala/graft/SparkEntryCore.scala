@@ -1,0 +1,615 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Relational core, event tables, text analysis, and the MinHash-LSH
+  * near-dup tier (q1–q15 and friends) — split out of SparkEntry.scala (round 13).
+  * Mechanical move, zero behavior change; the self-type
+  * gives every tier the shared helpers and sibling-tier
+  * members, with `SparkEntry.queries` staying the single
+  * assembly point. */
+private[graft] trait SparkEntryCore { this: SparkEntry.type =>
+
+  // ====================================================================
+  // Relational core (scans, filters, joins, aggs, windows — SURVEY §2.2,
+  // §2.3 J4, §2.4, §2.5 W2/W3, §2.6)
+  // ====================================================================
+
+  private[graft] def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private[graft] val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private[graft] def q2BrandStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  private[graft] val q2Sql =
+    """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  private[graft] def q3ShippingPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+
+  private[graft] val q3Sql =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  private[graft] def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val late = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+    orders.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private[graft] val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > TIMESTAMP '1997-01-01')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private[graft] def q5RegionRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  private[graft] val q5Sql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  private[graft] def q6RevenueFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 25)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private[graft] val q6Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 25""".stripMargin
+
+  private[graft] def q7OrderRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"), col("rnk"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  private[graft] val q7Sql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |      FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
+  // ====================================================================
+  // Events (SURVEY §2.10 event surface; sessionization, JSON extraction)
+  // ====================================================================
+
+  private[graft] def q8EventStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+
+  private[graft] val q8Sql =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+      |  round(avg(value), 4) AS avg_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private[graft] def q9Sessions(s: SparkSession, dir: String): DataFrame = {
+    // ts normalized to int64 nanoseconds (eventsNs); 30-min gap = 1.8e12 ns.
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    eventsNs(s, dir)
+      .withColumn("gap", col("ts") - lag("ts", 1).over(w))
+      .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800000000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private[graft] val q9Sql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_ns(ts) - lag(epoch_ns(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private[graft] def q10EventJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 4).as("avg_k"), sum("k").cast("long").as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private[graft] val q10Sql =
+    """SELECT event_type,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ====================================================================
+  // Text analysis over documents (token counts, quality, lang-id,
+  // fingerprints — north-star pipeline operators)
+  // ====================================================================
+
+  private[graft] def q11DocStats(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val st = col("st")
+    val nTok = st.getField("n_tokens")
+    t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        GraftFunctions.textStats(col("text")).as("st"))
+      .withColumn("n_tokens", nTok)
+      .withColumn("stop_ratio",
+        when(nTok === 0, lit(0.0)).otherwise(st.getField("n_stop").cast("double") / nTok))
+      .withColumn("mean_wl",
+        when(nTok === 0, lit(0.0)).otherwise(st.getField("sum_word_len").cast("double") / nTok))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg("stop_ratio"), 4).as("avg_stop_ratio"),
+        round(avg("mean_wl"), 4).as("avg_word_len"))
+      .orderBy("lang")
+  }
+
+  private[graft] val q11Sql = {
+    val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT lang, n_chars,
+       |    len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+       |    CASE WHEN len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |                     x -> list_contains($stopList, x))) AS DOUBLE)
+       |              / len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) END AS stop_ratio,
+       |    CASE WHEN len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |                     x -> len(x))) AS DOUBLE)
+       |              / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS mean_wl
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(avg(n_chars), 4) AS avg_chars,
+       |  round(avg(stop_ratio), 4) AS avg_stop_ratio,
+       |  round(avg(mean_wl), 4) AS avg_word_len
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  private[graft] def q12LangPred(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("lang"), GraftFunctions.textStats(col("text")).as("st"))
+      .withColumn("lang_pred", TextAnalysis.langIdFromStats(col("st")))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  private[graft] val q12Sql = {
+    def markers(l: String) =
+      TextAnalysis.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    // Tie-break must mirror Spark's greatest(struct(n, lang)): max n, then
+    // lexicographically greatest language code.
+    s"""WITH sc AS (
+       |  SELECT lang,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("de")}, x))) AS n_de,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("en")}, x))) AS n_en,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("es")}, x))) AS n_es,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("fr")}, x))) AS n_fr
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN n_de = 0 AND n_en = 0 AND n_es = 0 AND n_fr = 0 THEN 'und'
+       |         WHEN n_fr >= n_es AND n_fr >= n_en AND n_fr >= n_de THEN 'fr'
+       |         WHEN n_es >= n_en AND n_es >= n_de THEN 'es'
+       |         WHEN n_en >= n_de THEN 'en'
+       |         ELSE 'de' END AS lang_pred
+       |  FROM sc)
+       |SELECT lang, lang_pred, count(*) AS n FROM p
+       |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  private[graft] def q13Fingerprints(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_unique"))
+      .orderBy("source")
+  }
+
+  private[graft] val q13Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_unique
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  private[graft] def q14DedupKeepFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+
+  private[graft] val q14Sql =
+    """WITH fps AS (
+      |  SELECT doc_id, source, n_chars,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |  FROM documents),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp)
+      |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM fps JOIN keep USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ====================================================================
+  // Near-dup detection: MinHash-LSH + exact Jaccard (md5-deterministic,
+  // so the full LSH pipeline is oracle-checkable)
+  // ====================================================================
+
+  private[graft] def q15MinhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, bands = 4, minJaccard = 0.15)
+      .select(col("id_a"), col("id_b"), col("n_inter").cast("long").as("n_inter"),
+        col("n_union").cast("long").as("n_union"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  private[graft] val q15Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_intersect(x.sh, y.sh)) AS n_inter,
+      |    len(list_distinct(list_concat(x.sh, y.sh))) AS n_union
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+      |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+      |  CAST(n_union AS BIGINT) AS n_union,
+      |  round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+      |FROM verified
+      |WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.15
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Near-dup detector overlap matrix: the pair sets MinHash-LSH
+    * (q15's operating point) and SimHash (q42's) each find, and their
+    * agreement — the method-selection capstone of the dedup tier
+    * (q169 calibrates MinHash against truth; q178 prices its banding;
+    * this says what SWITCHING detectors would change). One row of
+    * exact counts from a full-outer join of the two pair sets. */
+  private[graft] def q186MethodOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mh = Dedup.nearDupPairs(docs, "text", "doc_id",
+        n = 3, bands = 4, minJaccard = 0.15)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_mh"))
+    val sh = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 6)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_sh"))
+    mh.join(sh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_mh"), lit(0L))).cast("long").as("n_minhash"),
+        sum(coalesce(col("in_sh"), lit(0L))).cast("long").as("n_simhash"),
+        sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("n_both"),
+        sum(when(col("in_sh").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_only_minhash"),
+        sum(when(col("in_mh").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_only_simhash"))
+  }
+
+  private[graft] val q186Sql =
+    """SELECT
+      |  CAST(sum(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+      |  CAST(sum(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+      |  CAST(sum(CASE WHEN m.id_a IS NOT NULL AND s.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |  CAST(sum(CASE WHEN s.id_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_minhash,
+      |  CAST(sum(CASE WHEN m.id_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_simhash
+      |FROM (
+      |  WITH toks AS (
+      |    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |    FROM documents),
+      |  sh AS (
+      |    SELECT doc_id,
+      |      CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |           ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |    FROM toks),
+      |  sig AS (
+      |    SELECT doc_id, band.b AS band,
+      |      min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |    FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |    GROUP BY doc_id, band.b),
+      |  cand AS (
+      |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |    FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |    WHERE a.doc_id < b.doc_id)
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+      |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.15
+      |) m
+      |FULL OUTER JOIN (
+      |  WITH toks AS (
+      |    SELECT doc_id, t FROM (
+      |      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+')) AS t
+      |      FROM documents)
+      |    WHERE t <> ''),
+      |  votes AS (
+      |    SELECT doc_id, b.bit,
+      |      sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), CAST(b.bit // 4 AS INT) + 1, 1)) - 1)
+      |                     >> CAST(3 - b.bit % 4 AS INT)) & 1 = 1
+      |          THEN 1 ELSE -1 END) AS v
+      |    FROM toks, (SELECT unnest(range(0, 64)) AS bit) AS b
+      |    GROUP BY doc_id, b.bit),
+      |  nibs AS (
+      |    SELECT doc_id, (63 - bit) // 4 AS nib,
+      |      sum(CASE WHEN v > 0 THEN 1 << CAST(3 - ((63 - bit) % 4) AS INT) ELSE 0 END) AS nv
+      |    FROM votes GROUP BY doc_id, (63 - bit) // 4),
+      |  hexes AS (
+      |    SELECT doc_id,
+      |      string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' ORDER BY nib) AS hex
+      |    FROM nibs GROUP BY doc_id),
+      |  bands AS (
+      |    SELECT doc_id, bb.b AS band, substr(hex, 13 - 4 * CAST(bb.b AS INT), 4) AS key, hex
+      |    FROM hexes, (SELECT unnest([0,1,2,3]) AS b) AS bb),
+      |  cand AS (
+      |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.hex AS hex_a, b.hex AS hex_b
+      |    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |    WHERE a.doc_id < b.doc_id),
+      |  ham AS (
+      |    SELECT id_a, id_b,
+      |      sum(bit_count(xor(strpos('0123456789abcdef', substr(hex_a, CAST(p.i AS INT), 1)) - 1,
+      |                        strpos('0123456789abcdef', substr(hex_b, CAST(p.i AS INT), 1)) - 1))) AS hamming
+      |    FROM cand, (SELECT unnest(range(1, 17)) AS i) AS p
+      |    GROUP BY id_a, id_b)
+      |  SELECT id_a, id_b FROM ham WHERE hamming <= 6
+      |) s ON m.id_a = s.id_a AND m.id_b = s.id_b""".stripMargin
+
+  /** MinHash estimator calibration ([[Dedup.minhashCalibration]]): per
+    * band-agreement count over the q15 candidate pairs, the banded
+    * estimate m/bands vs exact shingle Jaccard (count, mean, min, max) —
+    * the table read before trusting a minJaccard threshold at this
+    * (n=3, bands=4) operating point. Oracle replays signatures,
+    * banding, agreement counts and the exact verify from the same md5
+    * construction as q15. */
+  private[graft] def q169MinhashCalibration(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCalibration(t(s, dir, "documents"), "text", "doc_id",
+      n = 3, bands = 4)
+
+  private[graft] val q169Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |bm AS (
+      |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_band_match
+      |  FROM cand c
+      |  JOIN sig a ON a.doc_id = c.id_a
+      |  JOIN sig b ON b.doc_id = c.id_b AND b.band = a.band AND b.sig = a.sig
+      |  GROUP BY 1, 2),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.sh, y.sh))), 4) AS j
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+      |SELECT m.n_band_match, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(CAST(m.n_band_match AS DOUBLE) / 4, 4) AS est_jaccard,
+      |  round(CAST(sum(CAST(round(v.j, 6) AS DECIMAL(22,6))) AS DOUBLE)
+      |    / count(*), 4) AS mean_jaccard,
+      |  round(min(v.j), 4) AS min_jaccard,
+      |  round(max(v.j), 4) AS max_jaccard
+      |FROM bm m JOIN verified v ON m.id_a = v.id_a AND m.id_b = v.id_b
+      |GROUP BY m.n_band_match
+      |ORDER BY n_band_match""".stripMargin
+
+  /** LSH banding sweep — the dedup tier's tuning table (completing the
+    * tuning family beside q107 nprobe / q123 nlist / q141 k-elbow /
+    * q157 beam): per band count b ∈ {2,4,8} over the SAME corpus,
+    * candidate pairs, pairs verifying at Jaccard ≥ 0.5, and banding
+    * precision. More/narrower bands admit more candidates (higher
+    * recall, the q169 calibration's other axis) at more verify compute;
+    * this table prices that trade. The verify threshold is applied in
+    * INTEGERS (`2·n_inter ≥ n_union` ⇔ J ≥ 0.5 — no float boundary);
+    * precision is one guarded division. All three legs share ONE
+    * tokenize/shingle/explode pass and ONE signature aggregation
+    * ([[Dedup.bandSweep]] — the r11 VERDICT improvement; previously
+    * each leg re-ran the full sig/cand/verify pipeline). Oracle = one
+    * full sig/cand/verify replay per band count, unioned as derived
+    * tables (band slice width 32/b hex chars, the kernel's rule). */
+  private[graft] def q178BandSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandSweep(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, bandCounts = Seq(2, 4, 8))
+      .withColumn("precision",
+        round(when(col("n_candidates") > 0,
+          col("n_verified").cast("double") / col("n_candidates"))
+          .otherwise(lit(0.0)), 4))
+      .orderBy("bands")
+
+  private[graft] def bandSweepSql(corpusFilter: String): String = {
+    val blocks = Seq(2, 4, 8).map { b =>
+      val w = 32 / b
+      val bandList = (0 until b).mkString("[", ",", "]")
+      s"""SELECT * FROM (WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+        |  FROM documents $corpusFilter),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id, band.b AS band,
+        |    min(substr(md5(s.sh_el), band.b * $w + 1, $w)) AS sig
+        |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest($bandList) AS b) AS band
+        |  GROUP BY doc_id, band.b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT c.id_a FROM cand c
+        |  JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+        |  WHERE 2 * len(list_intersect(x.sh, y.sh)) >=
+        |        len(list_distinct(list_concat(x.sh, y.sh))))
+        |SELECT CAST($b AS BIGINT) AS bands,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_verified)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT bands, n_candidates, n_verified,
+      |  round(CASE WHEN n_candidates > 0
+      |    THEN CAST(n_verified AS DOUBLE) / n_candidates ELSE 0.0 END, 4)
+      |    AS precision
+      |FROM (
+      |$blocks)
+      |ORDER BY bands""".stripMargin
+  }
+
+  private[graft] val q178Sql = bandSweepSql("")
+
+  /** Sampled-calibration posture for the estimator tier — the 100 TB
+    * form of q178: the band sweep over a DETERMINISTIC salted-hash
+    * sample of the corpus (the q53 membership idiom —
+    * `substr(md5('calib:'||doc_id),1,8) < thresholdHex(frac)`), because
+    * nobody prices estimator operating points on the full corpus at
+    * scale; candidate/verify cost is bounded by the sample, and the
+    * operating-point CURVE (how candidates and precision move with b)
+    * is what transfers, not the absolute counts. Salted membership is
+    * partitioning-independent and replayed verbatim by the oracle. */
+  private[graft] def q197BandSweepSampled(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandSweep(
+      t(s, dir, "documents").filter(
+        Sampling.hashBucket(col("doc_id"), "calib") <
+          lit(Sampling.thresholdHex(0.25))),
+      "text", "doc_id", n = 3, bandCounts = Seq(2, 4, 8))
+      .withColumn("precision",
+        round(when(col("n_candidates") > 0,
+          col("n_verified").cast("double") / col("n_candidates"))
+          .otherwise(lit(0.0)), 4))
+      .orderBy("bands")
+
+  private[graft] val q197Sql = bandSweepSql(
+    "WHERE substr(md5('calib:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'")
+
+}

@@ -1,0 +1,1880 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The index-family lifecycle tier: IVF build/probe plus the PQ /
+  * SQ / RQ / OPQ / PCA / ITQ / binary stores and their search forms,
+  * with the fingerprint-keyed artifact caches — split out of SparkEntry.scala (round 13).
+  * Mechanical move, zero behavior change; the self-type
+  * gives every tier the shared helpers and sibling-tier
+  * members, with `SparkEntry.queries` staying the single
+  * assembly point. */
+private[graft] trait SparkEntryIndex { this: SparkEntry.type =>
+
+  // ====================================================================
+  // IVF search: index lifecycle split build-from-probe — the quantizer
+  // trains ONCE per dataset and persists (`IvfIndex.buildOrLoad`), the
+  // corpus is written cell-partitioned so probes prune parquet partitions,
+  // and queries only load + probe. Centroids are inlined into the oracle
+  // SQL at Verify time (`ivfOracleSqls`), making IVF hash-checked.
+  // ====================================================================
+
+  private[graft] val ivfNlist = 16
+
+  /** Dataset identity (total length ^ rotated mtime) via the Hadoop
+    * FileSystem API, not java.io.File — File.length()/lastModified()
+    * return 0 for non-local paths (hdfs://, s3://), which would
+    * degenerate the key to the path hash and silently reuse a stale
+    * index after the remote dataset is regenerated. */
+  private[graft] def datasetFingerprint(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    // the caller's session, never the thread-local getActiveSession: a
+    // query submitted from a pool thread has no active session there and
+    // a bare Configuration would lack its fs settings (s3a credentials,
+    // defaultFS) — fs.exists would fail and the key would silently
+    // collapse to the path hash, resurrecting the stale-cache bug
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else {
+      val st = fs.getFileStatus(p)
+      val len = if (st.isDirectory) fs.getContentSummary(p).getLength else st.getLen
+      len ^ java.lang.Long.rotateLeft(st.getModificationTime, 17)
+    }
+  }
+
+  private[graft] val pqM = 8
+  private[graft] val pqKsub = 16
+
+  /** PQ codebook/encoded-corpus cache, keyed like [[ivfCachePath]]. */
+  private[graft] def pqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (pqM * 131L + pqKsub) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-pq-$key"
+  }
+
+  /** Build-or-load the PQ index: persisted codebooks + the CODES-ONLY
+    * encoded corpus (the embedding column is deliberately dropped — at
+    * query time ADC reads m ints per row, never the floats; that
+    * compression is the operator's point). */
+  private[graft] def pqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, PqIndex.Pq) = {
+    GraftFunctions.register(s)
+    val base = pqCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val pq = PqIndex.buildOrLoad(s, emb, pqM, pqKsub, s"$base/codebooks.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      PqIndex.encode(emb, pq).select("doc_id", "codes")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), pq)
+  }
+
+  private[graft] val pcaK = 16
+
+  /** PCA artifact/projected-corpus cache, keyed like [[pqCachePath]]. */
+  private[graft] def pcaCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0xbca0L + pcaK) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-pca-$key"
+  }
+
+  /** Build-or-load the PCA transform + the projected corpus — the FAISS
+    * `IndexPreTransform` lifecycle: train once at ingest, persist the
+    * k-dim reduced corpus, queries read only the 4×-smaller floats. */
+  private[graft] def pcaCorpus(s: SparkSession, dir: String)
+      : (DataFrame, PcaTransform.Pca) = {
+    GraftFunctions.register(s)
+    val base = pcaCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val pca = PcaTransform.buildOrLoad(s, emb, pcaK, s"$base/pca.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      PcaTransform.project(emb, pca).select("doc_id", "pca")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), pca)
+  }
+
+  /** ITQ code length (bits) for the gated query — half the input dims,
+    * like the PCA front's 64→16, so the rotation has room to matter. */
+  private[graft] val itqK = 32
+
+  private[graft] def itqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0x17c0L + itqK) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-itq-$key"
+  }
+
+  /** Build-or-load the composed PCA+ITQ transform + the k-bit sign-code
+    * corpus (one word per row at k=32) — the binary family's trained
+    * front, [[pcaCorpus]] lifecycle. */
+  private[graft] def itqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, PcaTransform.Pca) = {
+    GraftFunctions.register(s)
+    val base = itqCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val apath = s"$base/itq.txt"
+    val itq =
+      if (IvfIndex.exists(s, apath)) PcaTransform.load(s, apath)
+      else {
+        val trained = ItqTransform.train(emb, itqK)
+        PcaTransform.save(s, trained, apath)
+        trained
+      }
+    val cpath = s"$base/codes"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      ItqTransform.encode(emb, itq)
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), itq)
+  }
+
+  /** IVF-SQ8 bounds/codes cache, keyed like [[sqCachePath]]; the coarse
+    * quantizer is SHARED with the whole IVF family ([[ivfCorpus]]). */
+  private[graft] def ivfSqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x1f58L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-ivfsq-$key"
+  }
+
+  /** Build-or-load the IVF-SQ8 index: shared quantizer + residual-trained
+    * bounds + the cell-partitioned residual-codes corpus (4× lighter than
+    * floats, probes prune partitions). */
+  private[graft] def ivfSqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf, SqIndex.Sq) = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val base = ivfSqCachePath(s, dir)
+    val sq =
+      if (IvfIndex.exists(s, s"$base/bounds.txt"))
+        SqIndex.load(s, s"$base/bounds.txt")
+      else {
+        val trained = SqIndex.trainResidual(withCells, ivf)
+        SqIndex.save(s, trained, s"$base/bounds.txt")
+        trained
+      }
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      SqIndex.encodeIvf(withCells, ivf, sq)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    (s.read.parquet(cpath), ivf, sq)
+  }
+
+  /** IVF-SQ4 bounds/codes cache, keyed like [[ivfSqCachePath]]. */
+  private[graft] def ivfSq4CachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x1f54L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-ivfsq4-$key"
+  }
+
+  /** Build-or-load the IVF-SQ4 index: shared quantizer + 4-bit
+    * residual-trained bounds + the cell-partitioned PACKED-codes corpus
+    * (8× lighter than floats, probes prune partitions). */
+  private[graft] def ivfSq4Corpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf, SqIndex.Sq) = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val base = ivfSq4CachePath(s, dir)
+    val sq =
+      if (IvfIndex.exists(s, s"$base/bounds.txt"))
+        SqIndex.load(s, s"$base/bounds.txt")
+      else {
+        val trained = SqIndex.trainResidual4(withCells, ivf)
+        SqIndex.save(s, trained, s"$base/bounds.txt")
+        trained
+      }
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      SqIndex.encodeIvf4(withCells, ivf, sq)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    (s.read.parquet(cpath), ivf, sq)
+  }
+
+  /** Quality-classifier artifact cache, keyed on the documents table. */
+  private[graft] def qcCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x9c1aL ^
+        datasetFingerprint(s, s"$dir/documents.parquet"))
+    s"${GraftConfig.storeRoot}/graft-qc-$key"
+  }
+
+  /** Binary-IVF codes cache, keyed like [[ivfSqCachePath]]; quantizer
+    * shared with the IVF family. (Salt bumped when the code column went
+    * from one clamped BIGINT to the full-width `array<bigint>`.) */
+  private[graft] def bivfCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0xb1f1L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-bivf-$key"
+  }
+
+  /** The binary family's gate corpus is the WIDENED 768-d view
+    * ([[widenEmb]]): blocks of rotated copies of the 64-d testdata
+    * vectors, so the multi-word packing (12 words/row, the reference's
+    * embedding dimension) sits under the oracle — cells still come from
+    * the shared 64-d quantizer, exactly the posture of an IVF built on a
+    * reduced front with full-width codes behind it. */
+  private[graft] val wideBlocks = 12
+
+  /** Deterministic 768-d widening of a 64-d embedding column: block j
+    * element i = `embedding[(i + j) % 64]` — pure re-indexing, no float
+    * arithmetic, so the DuckDB replay ([[OracleSqlGen.wideCte]]) is
+    * bit-exact. Guarded: a non-64-d input would silently null-pad
+    * blocks (non-ANSI `element_at` out of range → NULL → `sign_pack`
+    * reads unset bits), so `assert_true` fails loudly instead. */
+  private[graft] def widenEmb(emb: Column): Column =
+    when(assert_true(size(emb) === 64,
+        lit("widenEmb expects 64-d embeddings")).isNull,
+      flatten(transform(sequence(lit(0), lit(wideBlocks - 1)), j =>
+        transform(sequence(lit(0), lit(63)), i =>
+          element_at(emb, ((i + j) % 64) + 1)))))
+
+  /** Driver-side [[widenEmb]] (query-vector path). */
+  private[graft] def widenVec(v: Array[Float]): Array[Float] =
+    Array.tabulate(wideBlocks * v.length)(e => v((e % v.length + e / v.length) % v.length))
+
+  /** Build-or-load the binary-IVF index: shared quantizer + the
+    * cell-partitioned sign-codes corpus (d/8 B/row — 96 B at the widened
+    * 768-d). */
+  private[graft] def bivfCorpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf) = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val cpath = s"${bivfCachePath(s, dir)}/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      BinaryIndex.encodeIvf(
+          withCells.withColumn("embedding", widenEmb(col("embedding"))))
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    (s.read.parquet(cpath), ivf)
+  }
+
+  /** Binary hash-bucket corpus cache (IndexBinaryHash/MultiHash layout),
+    * keyed like [[bivfCachePath]]. */
+  private[graft] def bhashCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0xb4a5L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-bha-$key"
+  }
+
+  /** Build-or-load the binary hash index: widened 768-d sign codes with
+    * the three 8-bit bucket keys, written `partitionBy(bucket_0)` so the
+    * single-table probe is parquet partition pruning (the MultiHash
+    * tables 1..2 are scan predicates over the same ONE copy — the
+    * documented posture: columnar key columns are ~free, a second
+    * physical layout is not). All ids stored; queries filter themselves
+    * out at scan time. */
+  private[graft] def bhashCorpus(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cpath = s"${bhashCachePath(s, dir)}/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
+      BinaryIndex.hashEncode(
+          BinaryIndex.encode(emb, idCol = "vec_id"), b = 8, nhash = 3)
+        .repartition(col("bucket_0"))
+        .write.mode("overwrite").partitionBy("bucket_0").parquet(cpath)
+    }
+    s.read.parquet(cpath)
+  }
+
+  /** OPQ rotation/rotated-PQ cache, keyed like [[pqCachePath]]. */
+  private[graft] def opqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0x09c0L + pqM) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-opq-$key"
+  }
+
+  /** Build-or-load the OPQ chain: driver-sample-trained rotation
+    * (persisted in the PCA artifact format — a rotation IS a zero-mean
+    * projection), rotated corpus parquet, then the ordinary PQ
+    * train/encode over the rotated vectors. */
+  private[graft] def opqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, PcaTransform.Pca, PqIndex.Pq) = {
+    GraftFunctions.register(s)
+    val base = opqCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val rot =
+      if (IvfIndex.exists(s, s"$base/rot.txt"))
+        PcaTransform.load(s, s"$base/rot.txt")
+      else {
+        val r = OpqTransform.train(emb, pqM)
+        PcaTransform.save(s, r, s"$base/rot.txt")
+        r
+      }
+    val rpath = s"$base/rotated"
+    if (!graft.sources.CorpusStore.exists(s, s"$rpath/_SUCCESS"))
+      OpqTransform.rotate(emb, rot)
+        .select(col("doc_id"), col("rot").as("embedding"))
+        .write.mode("overwrite").parquet(rpath)
+    val rotated = s.read.parquet(rpath)
+    val pq = PqIndex.buildOrLoad(s, rotated, pqM, pqKsub, s"$base/codebooks.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      PqIndex.encode(rotated, pq).select("doc_id", "codes")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), rot, pq)
+  }
+
+  /** OPQ+IVF+PQ cache (the three-artifact `OPQ<m>,IVF<n>,PQ<m>` factory
+    * chain), keyed like [[opqCachePath]]. */
+  private[graft] def opqIvfCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0x09c1L * (ivfNlist + pqM)) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-opqivf-$key"
+  }
+
+  /** Build-or-load the full `OPQ,IVF,PQ` chain (FAISS
+    * `index_factory("OPQ8,IVF16,PQ8")`): the OPQ rotation is SHARED with
+    * [[opqCorpus]] (same artifact, loaded not retrained), then the
+    * coarse quantizer is trained IN ROTATED SPACE and the residual PQ
+    * encodes rotated residuals — cell-partitioned codes corpus, floats
+    * never read at query time. Guard on the LAST artifact (corpus
+    * _SUCCESS): quantizer and codebooks are saved first, so a run killed
+    * mid-corpus-write rebuilds all three. */
+  private[graft] def opqIvfCorpus(s: SparkSession, dir: String)
+      : (DataFrame, PcaTransform.Pca, IvfIndex.Ivf, PqIndex.Pq) = {
+    val (_, rot, _) = opqCorpus(s, dir)
+    val base = opqIvfCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val rpath = s"$base/rotated"
+    if (!graft.sources.CorpusStore.exists(s, s"$rpath/_SUCCESS"))
+      OpqTransform.rotate(emb, rot)
+        .select(col("doc_id"), col("rot").as("embedding"))
+        .write.mode("overwrite").parquet(rpath)
+    val rotated = s.read.parquet(rpath)
+    val ivf = IvfIndex.buildOrLoad(s, rotated, ivfNlist, s"$base/quantizer.txt")
+    val cbPath = s"$base/codebooks.txt"
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
+      val withCells = IvfIndex.assign(rotated, ivf)
+      val (enc, pq0) = PqIndex.buildIvfAdc(withCells, ivf, pqM, pqKsub)
+      PqIndex.save(s, pq0, cbPath)
+      enc.select("doc_id", "cell_id", "codes")
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    }
+    (s.read.parquet(cpath), rot, ivf, PqIndex.load(s, cbPath))
+  }
+
+  private[graft] val rqLevels = 2
+  private[graft] val rqK = 16
+
+  /** Residual-quantizer cache, keyed like [[pqCachePath]]. */
+  private[graft] def rqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0xae90L + rqLevels * 131 + rqK) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-rq-$key"
+  }
+
+  /** Build-or-load the residual-quantizer index: persisted per-level
+    * codebooks (the PQ artifact format) + the codes-only corpus
+    * (L ints/row — the additive-family compression point). */
+  private[graft] def rqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, RqIndex.Rq) = {
+    GraftFunctions.register(s)
+    val base = rqCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val cbPath = s"$base/codebooks.txt"
+    val rq =
+      if (IvfIndex.exists(s, cbPath)) RqIndex.load(s, cbPath)
+      else {
+        val trained = RqIndex.train(emb, rqLevels, rqK)
+        RqIndex.save(s, trained, cbPath)
+        trained
+      }
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      RqIndex.encode(emb, rq).select("doc_id", "codes")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), rq)
+  }
+
+  /** SQ8 bounds/encoded-corpus cache, keyed like [[pqCachePath]]. */
+  private[graft] def sqCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x5108L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-sq-$key"
+  }
+
+  /** Build-or-load the SQ8 index: persisted per-dim bounds + the
+    * codes-only encoded corpus (same compression posture as
+    * [[pqCorpus]]: 4× lighter rows, floats never read at query time). */
+  private[graft] def sqCorpus(s: SparkSession, dir: String)
+      : (DataFrame, SqIndex.Sq) = {
+    GraftFunctions.register(s)
+    val base = sqCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val sq = SqIndex.buildOrLoad(s, emb, s"$base/bounds.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      SqIndex.encode(emb, sq).select("doc_id", "codes")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), sq)
+  }
+
+  /** SQ4 bounds/packed-codes cache, keyed like [[sqCachePath]]. */
+  private[graft] def sq4CachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x5104L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-sq4-$key"
+  }
+
+  /** Build-or-load the SQ4 index: persisted 4-bit bounds + the
+    * packed-nibble codes corpus — 8× lighter rows than the float store
+    * (half of [[sqCorpus]]'s), floats never read at query time. */
+  private[graft] def sq4Corpus(s: SparkSession, dir: String)
+      : (DataFrame, SqIndex.Sq) = {
+    GraftFunctions.register(s)
+    val base = sq4CachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val sq = SqIndex.buildOrLoad4(s, emb, s"$base/bounds.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      SqIndex.encode4(emb, sq).select("doc_id", "codes")
+        .write.mode("overwrite").parquet(cpath)
+    (s.read.parquet(cpath), sq)
+  }
+
+  /** Cache key ties the index to the dataset identity (path + file
+    * length/mtime), so regenerated testdata invalidates a stale index. */
+  private[graft] def ivfCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (ivfNlist * 31L) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-ivf-$key"
+  }
+
+  /** Build-or-load the IVF index for a dataset: persisted quantizer +
+    * cell-partitioned corpus parquet. Queries calling this pay only the
+    * read path once the index exists (the reference's save/load lifecycle,
+    * `components/core/index_service.py:103-125`). */
+  private[graft] def ivfCorpus(s: SparkSession, dir: String): (DataFrame, IvfIndex.Ivf) = {
+    GraftFunctions.register(s)
+    val base = ivfCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val ivf = IvfIndex.buildOrLoad(s, emb, ivfNlist, s"$base/quantizer.txt")
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      IvfIndex.assign(emb, ivf).write.mode("overwrite")
+        .partitionBy("cell_id").parquet(cpath)
+    (s.read.parquet(cpath), ivf)
+  }
+
+  /** q152's OWN cell-partitioned store copy (the shared [[ivfCorpus]] is
+    * immutable — every IVF query reads it; `remove_ids` mutates). Same
+    * shared quantizer, separate corpus path. The removal is idempotent,
+    * so the mutated cached store stays correct across runs. */
+  private[graft] def rmIvfCorpus(s: SparkSession, dir: String): (String, IvfIndex.Ivf) = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val ivf = IvfIndex.buildOrLoad(s, emb, ivfNlist,
+      s"${ivfCachePath(s, dir)}/quantizer.txt")
+    val path = s"${ivfCachePath(s, dir)}-rm/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS"))
+      IvfIndex.assign(emb, ivf).write.mode("overwrite")
+        .partitionBy("cell_id").parquet(path)
+    (path, ivf)
+  }
+
+  /** Bucket-partitioned LSH corpus, built once per (dataset, nbits) like
+    * the IVF cell corpus: ingest-time work the queries then prune
+    * (`HyperplaneLsh.saveBucketed` → probe-join DPP). */
+  private[graft] def lshCorpus(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (HyperplaneLsh.DefaultNbits * 131L) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    val path = s"${GraftConfig.storeRoot}/graft-lshb-$key"
+    val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
+    // _lsh_meta is written after the parquet job succeeds AND must record
+    // these exact planes; anything else (partial write, pre-fingerprint
+    // cache, other planes) rebuilds once instead of failing the load.
+    if (!HyperplaneLsh.bucketedMatches(s, path, planes))
+      HyperplaneLsh.saveBucketed(t(s, dir, "embeddings"), planes, path)
+    HyperplaneLsh.loadBucketed(s, path, planes)
+  }
+
+  /** One-time index preparation (called by Bench warmup before timing, the
+    * way a serving system builds indexes at ingest, not per query) —
+    * covers the WHOLE persisted index family, so per-query bench numbers
+    * measure search cost, not first-touch ingest. */
+  def prepareIndexes(s: SparkSession, dir: String): Unit = {
+    ivfCorpus(s, dir); lshCorpus(s, dir)
+    pqCorpus(s, dir); sqCorpus(s, dir); sq4Corpus(s, dir); ivfAdcCorpus(s, dir)
+    pcaCorpus(s, dir); opqCorpus(s, dir); opqIvfCorpus(s, dir)
+    ivfSqCorpus(s, dir); rqCorpus(s, dir)
+    ivfSq4Corpus(s, dir)
+    bivfCorpus(s, dir); graphCorpus(s, dir); itqCorpus(s, dir)
+    bhashCorpus(s, dir); lloydIvfCorpus(s, dir)
+    ivfPqrCorpus(s, dir)
+    rmIvfCorpus(s, dir); mgIvfCorpus(s, dir); mg2IvfCorpus(s, dir)
+    bpeMergesArtifact(s, dir)
+    componentsCorpus(s, dir)
+    sweepNlists.foreach { nl =>
+      val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+      IvfIndex.buildOrLoad(s, emb, nl, s"${ivfSweepPath(s, dir, nl)}/quantizer.txt")
+    }
+    ()
+  }
+
+  /** PQ/ADC approximate search (`PqIndex`): top-10 by asymmetric
+    * distance for query vec 0 over the codes-only encoded corpus — the
+    * FAISS IndexPQ shape. The oracle replays subspace assignment AND the
+    * ADC sum from the persisted codebooks (generated SQL, [[pqOracleSqls]]);
+    * `adc` compares as a raw double: driver LUT and SQL replay walk the
+    * same sequential double op chain. */
+  private[graft] def q77PqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, pq) = pqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.search(encoded, pq, qVec, k = 10)
+      // round(4): DuckDB's list_sum is not a plain left fold, so the raw
+      // double differs in the last ulp (observed in-round); the q21 ANN
+      // precedent — ORDER on the exact value, COMPARE rounded.
+      .select(col("doc_id"), round(col("adc"), 4).as("adc"))
+  }
+
+  /** SQ4 (FAISS ScalarQuantizer QT_4bit) search: reconstructed-inner-
+    * product top-10 over the PACKED-nibble codes corpus — the 8×
+    * compression point between SQ8 (4×) and PQ8 (32×); the scan reads
+    * one byte per PAIR of dims through the shared AdcLut kernel. The
+    * oracle replays the 15-level encode and the paired score terms from
+    * the persisted bounds (generated SQL, [[sq4OracleSqls]]). */
+  private[graft] def q100Sq4Search(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, sq) = sq4Corpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    SqIndex.search4(encoded, sq, qVec, k = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** SQ8 (FAISS IndexScalarQuantizer) search: reconstructed-inner-product
+    * top-10 for query vec 0 over the codes-only corpus — the middle
+    * compression point of the quantizer family (4× vs float32, lossier
+    * than exact, far finer than PQ's 32×). The oracle replays encode AND
+    * the per-dim score terms from the persisted bounds (generated SQL,
+    * [[sqOracleSqls]]). */
+  private[graft] def q79SqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, sq) = sqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    SqIndex.search(encoded, sq, qVec, k = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** IVFADC (FAISS IndexIVFPQ) search: PQ over per-cell residuals,
+    * `nprobe` L2-nearest cells scanned via the static partition filter,
+    * per-cell query-residual LUTs inlined. Both index artifacts (coarse
+    * quantizer + residual codebooks) feed the GENERATED oracle. */
+  /** Build-or-load the IVFADC artifacts: coarse quantizer (shared with
+    * [[ivfCorpus]]), residual codebooks, cell-partitioned codes corpus. */
+  private[graft] def ivfAdcCorpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf, PqIndex.Pq) = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val base = s"${pqCachePath(s, dir)}-ivfadc"
+    val cbPath = s"$base/codebooks.txt"
+    val cpath = s"$base/corpus"
+    // Guard on the LAST artifact (corpus _SUCCESS): codebooks are saved
+    // first, so a run killed mid-corpus-write rebuilds both.
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
+      val (enc, pq0) = PqIndex.buildIvfAdc(withCells, ivf, pqM, pqKsub)
+      PqIndex.save(s, pq0, cbPath)
+      enc.select("doc_id", "cell_id", "codes")
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    }
+    (s.read.parquet(cpath), ivf, PqIndex.load(s, cbPath))
+  }
+
+  /** Build-or-load the IVFPQR artifacts: shared coarse quantizer, the
+    * two-level codebooks, and a cell-partitioned corpus carrying BOTH
+    * code columns ([[PqIndex.buildIvfPqr]]). */
+  private[graft] def ivfPqrCorpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf, PqIndex.Pq, PqIndex.Pq) = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val base = s"${pqCachePath(s, dir)}-ivfpqr"
+    val cb1Path = s"$base/codebooks.txt"
+    val cb2Path = s"$base/refine.txt"
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
+      val (enc, pq1, pq2) = PqIndex.buildIvfPqr(withCells, ivf, pqM, pqM, pqKsub)
+      PqIndex.save(s, pq1, cb1Path)
+      PqIndex.save(s, pq2, cb2Path)
+      enc.select("doc_id", "cell_id", "codes", "codes2")
+        .write.mode("overwrite").partitionBy("cell_id").parquet(cpath)
+    }
+    (s.read.parquet(cpath), ivf, PqIndex.load(s, cb1Path), PqIndex.load(s, cb2Path))
+  }
+
+  /** IVFPQR (FAISS `IndexIVFPQR`) search: ADC candidates re-ranked
+    * against the TWO-level reconstruction (centroid + decode₁ +
+    * decode₂) — refinement without re-reading the float corpus. All
+    * THREE artifacts (quantizer + both codebook levels) feed the
+    * GENERATED oracle. */
+  private[graft] def q120IvfPqrSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, pq1, pq2) = ivfPqrCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.searchIvfPqr(encoded, ivf, pq1, pq2, qVec,
+        k = 10, rerank = 50, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("rdist"), 4).as("rdist"))
+  }
+
+  /** PQ ADC under `METRIC_INNER_PRODUCT` ([[PqIndex.searchIp]]): FAISS
+    * `IndexPQ(d, m, nbits, METRIC_INNER_PRODUCT)` — the IP companion to
+    * q77's L2 ADC. Same codes, same LUT accumulation; the lookup terms
+    * are query·codeword dots and the rank DESCENDS. Generated oracle
+    * replays assignment + dot LUT + the max rank. */
+  private[graft] def q183PqIpSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, pq) = pqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.searchIp(encoded, pq, qVec, k = 10)
+      .select(col("doc_id"), round(col("adc"), 4).as("adc"))
+  }
+
+  /** PQ codebook-utilization audit: per subspace, how many of its ksub
+    * codes the corpus actually uses and the hottest code's mass — the
+    * quantizer-health check (a collapsed codebook: few codes used or
+    * one code holding most mass ⇒ retrain or lower ksub; FAISS users
+    * read this off `IndexPQ` code histograms). One scan of the
+    * codes-only corpus: posexplode → (subspace, code) counts →
+    * m-row summary; the float corpus is never touched. Oracle assigns
+    * codes from the persisted codebooks exactly like the q77/q99
+    * replays ([[OracleSqlGen.pqUtilizationSql]]). */
+  private[graft] def q179PqUtilization(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, _) = pqCorpus(s, dir)
+    val per = encoded.select(posexplode(col("codes")).as(Seq("s", "code")))
+      .groupBy("s", "code").agg(count(lit(1)).as("n"))
+    val tot = encoded.agg(count(lit(1)).as("__t"))
+    per.groupBy("s")
+      .agg(count(lit(1)).cast("long").as("n_codes_used"),
+        max("n").cast("long").as("top_code_n"))
+      .crossJoin(broadcast(tot))
+      .select(col("s").cast("long").as("subspace"), col("n_codes_used"),
+        col("top_code_n"),
+        round(col("top_code_n").cast("double") / col("__t"), 4).as("top_code_frac"))
+      .orderBy("subspace")
+  }
+
+  private[graft] def q78IvfAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, pq) = ivfAdcCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.searchIvfAdc(encoded, ivf, pq, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("adc"), 4).as("adc"))
+  }
+
+  /** Batched IVFADC ([[PqIndex.searchIvfAdcBatch]]): FAISS
+    * `IndexIVFPQ::search` driven the way FAISS is actually driven — a
+    * query matrix. One scan of the UNION of probed cells; each row joins
+    * only the queries probing its cell; per-query top-k through the
+    * bounded aggregator (partial top-k before the exchange). */
+  private[graft] def q109IvfAdcBatch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, pq) = ivfAdcCorpus(s, dir)
+    val queries = t(s, dir, "embeddings").filter(col("vec_id") < 6)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    PqIndex.searchIvfAdcBatch(encoded, ivf, pq, queries, k = 10, nprobe = 4)
+      .select(col("query_id"), col("doc_id"), round(col("adc"), 4).as("adc"),
+        col("doc_rank").cast("long").as("doc_rank"))
+      .orderBy("query_id", "doc_rank")
+  }
+
+  /** `search_and_reconstruct` (FAISS `IndexIVF::search_and_reconstruct`):
+    * the probed ADC top-5 plus each hit's reconstructed vector —
+    * centroid + decoded residual, handed back from the codes-only store
+    * with no float-table join. Same probed scan as q78 (codes kept);
+    * only the 5 surviving rows decode. The oracle nests the full IVFADC
+    * replay as the hits CTE, then re-derives and decodes just those
+    * docs' codes with the engine's exact arithmetic. */
+  private[graft] def q104SearchReconstruct(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, pq) = ivfAdcCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    // Exploded to (doc_id, j, val) rows — the q62 vector-pinning idiom:
+    // the driver's compare sorts and hashes scalar columns, not arrays.
+    PqIndex.searchAndReconstruct(encoded, ivf, pq, qVec, k = 5, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("adc"), 4).as("adc"),
+        posexplode(col("recon")).as(Seq("j", "val")))
+      .select(col("doc_id"), col("cell_id"), col("adc"),
+        col("j").cast("long").as("j"), col("val"))
+      .orderBy("doc_id", "j")
+  }
+
+  /** Refined search (FAISS IndexRefineFlat): IVFADC proposes top-50 from
+    * codes alone, the exact inner product re-ranks just those ids over
+    * the float table — candidate ids become a static `isin` pushed to
+    * the parquet scan (`PqIndex.searchRefined`). The oracle nests the
+    * full IVFADC replay as the candidate CTE and re-ranks with the q16
+    * `list_dot_product` idiom. */
+  private[graft] def q80RefineSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, pq) = ivfAdcCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.searchRefined(encoded, emb, ivf, pq, qVec,
+        k = 10, rerank = 50, nprobe = 4)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  private[graft] def q21IvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(withCells, ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** IVF probe cost curve: cumulative candidate rows (and corpus
+    * fraction) as nprobe grows 1..8 — the COST axis q107's recall sweep
+    * needs beside it to pick an operating point (recall per probe is
+    * worthless without rows-scanned per probe). Cell ranking is the
+    * standard IP probe; counts are per-cell occupancies cumulated over
+    * a ≤ nlist-row frame. */
+  private[graft] def q166ProbeCost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val order = IvfIndex.probeCells(ivf, qVec, Int.MaxValue)
+    val rankDf = order.zipWithIndex
+      .map { case (c, i) => (c, (i + 1).toLong) }.toDF("cell_id", "pr")
+    val counts = withCells.groupBy(col("cell_id").cast("int").as("cell_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("pr")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    rankDf.join(counts, Seq("cell_id"), "left")
+      .withColumn("__n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_candidates", sum("__n").over(w))
+      .filter(col("pr") <= 8)
+      .crossJoin(broadcast(withCells.agg(count(lit(1)).as("__tot"))))
+      .select(col("pr").as("nprobe"), col("n_candidates"),
+        round(col("n_candidates").cast("double") /
+          col("__tot").cast("double"), 4).as("frac"))
+      .orderBy("nprobe")
+  }
+
+  /** Cluster interpretation: the top-3 terms per IVF cell by LIFT
+    * (`P(term|cell) / P(term)` over presence-based doc frequencies) —
+    * the "what is this cluster about" labeling table a curation
+    * pipeline reads next to q83's occupancy stats and q95's balanced
+    * sample. Lift is one IEEE division of exact long products, so the
+    * ranking key is bit-identical cross-engine; `df ≥ 5` drops noise
+    * terms, `df_cell ≥ 2` singleton flukes.
+    *
+    * Scale shape: the cell store joins documents id-to-id (co-shuffle,
+    * no skew — ids unique); ONE explode of distinct per-doc terms feeds
+    * both the global-df and per-cell aggregates; the final window is
+    * per-cell over already-aggregated (cell, term) rows. No collect, no
+    * all-pairs anything. */
+  private[graft] def q153CellTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, _) = ivfCorpus(s, dir)
+    val docs = t(s, dir, "documents")
+    val j = withCells.select(col("doc_id"), col("cell_id").cast("long").as("cell_id"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val terms = j.select(col("cell_id"), col("doc_id"),
+      explode(array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => length(t) > 0))).as("term"))
+    val tot = j.agg(count(lit(1)).as("__n"))
+    val ncell = j.groupBy("cell_id").agg(count(lit(1)).as("n_cell"))
+    val tdf = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfc = terms.groupBy("cell_id", "term").agg(count(lit(1)).as("df_cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell_id").orderBy(desc("__lift"), col("term").asc)
+    dfc.join(tdf, Seq("term"))
+      .join(ncell, Seq("cell_id"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") >= 5 && col("df_cell") >= 2)
+      .withColumn("__lift", (col("df_cell") * col("__n")).cast("double") /
+        (col("n_cell") * col("df")).cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("cell_id"), col("term"), col("df_cell"),
+        round(col("__lift"), 4).as("lift"), col("rnk"))
+      .orderBy("cell_id", "rnk")
+  }
+
+  /** Late max-pool retrieval (multi-vector / parent-entity search): the
+    * corpus unit is the PASSAGE (each `documents` row, hash-embedded),
+    * the result unit is its parent entity (`source`) — entity score =
+    * max over its passages' scores, argmax passage reported as the
+    * evidence hit. The standard two-level pattern when one embedding
+    * can't cover a long parent (chunked docs, multi-page sites): index
+    * the small units, aggregate at query time. Top-3 sources per q23
+    * query text; ONE scored scan, aggregation is two windows over the
+    * scored frame (max-per-(query, source) then rank-per-query) — no
+    * second pass, no per-entity re-scoring. */
+  private[graft] def q158SourceMaxpool(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("embedding", GraftFunctions.hashEmbed(col("text"), lit(64)))
+    val queries = s.createDataFrame(q23QueryTexts).toDF("query_id", "qtext")
+      .withColumn("q_embedding", GraftFunctions.hashEmbed(col("qtext"), lit(64)))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "source").orderBy(desc("__s"), col("doc_id").asc)
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__s"), col("source").asc)
+    docs.crossJoin(broadcast(queries))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("__rs", row_number().over(wSrc))
+      .filter(col("__rs") === 1)
+      .withColumn("rnk", row_number().over(wQ).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("source"),
+        col("doc_id").as("best_doc_id"), round(col("__s"), 4).as("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // lazy: q23QueryTexts is declared later in the file (object init order)
+  private[graft] lazy val q158Sql = {
+    val qVals = q23QueryTexts
+      .map { case (qid, txt) => s"(${-(qid + 1)}, '$txt')" }.mkString(", ")
+    val dot = OracleSqlGen.dotFold("d.embedding", "q.qe")
+    s"""WITH __docs AS (
+      |  SELECT doc_id AS id, text AS txt FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES $qVals) v(id, txt)),
+      |${OracleSqlGen.embedCtes(64)},
+      |q AS (SELECT -id - 1 AS query_id, embedding AS qe FROM __emb WHERE id < 0),
+      |d AS (SELECT e.id AS doc_id, dd.source, e.embedding
+      |      FROM __emb e JOIN documents dd ON dd.doc_id = e.id
+      |      WHERE e.id >= 0),
+      |scored AS (
+      |  SELECT q.query_id, d.source, d.doc_id, $dot AS s
+      |  FROM d CROSS JOIN q),
+      |best AS (
+      |  SELECT query_id, source, doc_id, s,
+      |    row_number() OVER (PARTITION BY query_id, source
+      |      ORDER BY s DESC, doc_id ASC) AS rsrc
+      |  FROM scored),
+      |ranked AS (
+      |  SELECT query_id, source, doc_id, s,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY s DESC, source ASC) AS rnk
+      |  FROM best WHERE rsrc = 1)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, source,
+      |  doc_id AS best_doc_id, round(s, 4) AS score
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Term co-occurrence lift over a bounded vocabulary — the corpus-
+    * statistics view of "which concepts travel together" (collocation /
+    * topic-drift audits). Vocabulary = top-30 terms by doc frequency
+    * excluding stopword-grade terms (df·2 > n), so the pair surface is
+    * ≤ C(30,2) per doc — BOUNDED BY CONSTRUCTION, never corpus-
+    * quadratic; pairs are counted presence-based per doc. The
+    * association score is LIFT `co·n/(df₁·df₂)` — one IEEE division of
+    * exact long products (the q153 discipline), NOT log-PMI: `ln` is
+    * libm-vs-JVM last-ulp territory and the monotone transform adds no
+    * ranking information. Top-20 pairs by (lift DESC, t1, t2). */
+  private[graft] def q155PmiCooccur(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => length(t) > 0))).as("term"))
+    val tot = docs.agg(count(lit(1)).as("__n"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") * 2 <= col("__n"))
+      .orderBy(desc("df"), col("term").asc).limit(30)
+      .select("term", "df")
+    val vt = terms.join(broadcast(vocab), Seq("term"))
+    val pairs = vt.select(col("doc_id"), col("term").as("t1"), col("df").as("df1"))
+      .join(vt.select(col("doc_id"), col("term").as("t2"), col("df").as("df2")),
+        Seq("doc_id"))
+      .filter(col("t1") < col("t2"))
+    pairs.groupBy("t1", "df1", "t2", "df2")
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 3)
+      .crossJoin(broadcast(tot))
+      .withColumn("__lift", (col("co") * col("__n")).cast("double") /
+        (col("df1") * col("df2")).cast("double"))
+      .orderBy(desc("__lift"), col("t1").asc, col("t2").asc).limit(20)
+      .select(col("t1"), col("t2"), col("co"),
+        col("df1"), col("df2"), round(col("__lift"), 4).as("lift"))
+  }
+
+  private[graft] val q155Sql =
+    s"""WITH terms AS (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |    x -> x <> ''))) AS term
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n FROM documents),
+      |vocab AS (
+      |  SELECT term, df FROM (
+      |    SELECT t.term, count(*) AS df FROM terms t GROUP BY t.term) v, tot
+      |  WHERE v.df * 2 <= tot.n
+      |  ORDER BY df DESC, term ASC LIMIT 30),
+      |vt AS (SELECT t.doc_id, t.term, v.df FROM terms t JOIN vocab v USING (term)),
+      |co AS (
+      |  SELECT a.term AS t1, a.df AS df1, b.term AS t2, b.df AS df2,
+      |    count(*) AS co
+      |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY 1, 2, 3, 4
+      |  HAVING count(*) >= 3)
+      |SELECT t1, t2, CAST(co AS BIGINT) AS co,
+      |  CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+      |  round(CAST(co * tot.n AS DOUBLE) / CAST(df1 * df2 AS DOUBLE), 4) AS lift
+      |FROM co, tot
+      |ORDER BY CAST(co * tot.n AS DOUBLE) / CAST(df1 * df2 AS DOUBLE) DESC,
+      |  t1 ASC, t2 ASC
+      |LIMIT 20""".stripMargin
+
+  /** Containment near-dup pairs ([[Dedup.containmentPairs]]): the
+    * excerpt/quote detector — `|A∩B| / min(|A|,|B|)` over the same
+    * distinct 3-shingles and LSH banding as q15, flagging the
+    * high-containment / low-Jaccard quadrant Jaccard alone misses.
+    * Same static md5-deterministic oracle family as q15. */
+  private[graft] def q162Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, bands = 4, minContainment = 0.25)
+      .orderBy("id_a", "id_b")
+
+  private[graft] val q162Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_intersect(x.sh, y.sh)) AS n_inter,
+      |    len(x.sh) AS n_a, len(y.sh) AS n_b
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+      |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+      |  round(CAST(n_inter AS DOUBLE) / least(n_a, n_b), 4) AS containment,
+      |  round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) AS jaccard,
+      |  (CAST(n_inter AS DOUBLE) / least(n_a, n_b) >= 0.6 AND
+      |   CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) < 0.5) AS excerpt
+      |FROM verified
+      |WHERE CAST(n_inter AS DOUBLE) / least(n_a, n_b) >= 0.25
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Delete blast-radius audit: how much do serving results change when
+    * a doc set is removed (takedown / GDPR delete)? Exact top-10 per
+    * eval query BEFORE vs AFTER dropping ids [100, 140), compared as
+    * Jaccard@10 (one division of exact longs), surviving-hit count, and
+    * the max rank shift among survivors — the table an operator reads
+    * before approving a purge against a live index. ONE scored scan
+    * serves both sides: the after-ranking re-ranks the same scored rows
+    * with the removal predicate, so the corpus is scanned once, not
+    * twice. */
+  private[graft] def q156DeleteBlast(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val scored = emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(queries))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .select(col("query_id"), col("vec_id"), col("__s"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__s"), col("vec_id").asc)
+    val before = scored.withColumn("rank_a", row_number().over(wA))
+      .filter(col("rank_a") <= 10)
+    val after = scored
+      .filter(!(col("vec_id") >= 100 && col("vec_id") < 140))
+      .withColumn("rank_b", row_number().over(wA))
+      .filter(col("rank_b") <= 10)
+    before.select(col("query_id"), col("vec_id"), col("rank_a"))
+      .join(after.select(col("query_id"), col("vec_id"), col("rank_b")),
+        Seq("query_id", "vec_id"), "full")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("rank_a").isNotNull && col("rank_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"),
+        count(lit(1)).as("__union"),
+        max(when(col("rank_a").isNotNull && col("rank_b").isNotNull,
+          abs(col("rank_a") - col("rank_b")))).as("max_shift"))
+      .select(col("query_id"), col("n_common"),
+        round(col("n_common").cast("double") / col("__union").cast("double"), 4)
+          .as("jaccard"),
+        coalesce(col("max_shift").cast("long"), lit(0L)).as("max_shift"))
+      .orderBy("query_id")
+  }
+
+  private[graft] val q156Sql = {
+    val dot = OracleSqlGen.dotFold("e.embedding", "q.qe")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id, $dot AS s
+      |  FROM embeddings e, q WHERE e.vec_id >= 8),
+      |a AS (
+      |  SELECT query_id, vec_id, rank_a FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY s DESC, vec_id ASC) AS rank_a
+      |    FROM scored) WHERE rank_a <= 10),
+      |b AS (
+      |  SELECT query_id, vec_id, rank_b FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY s DESC, vec_id ASC) AS rank_b
+      |    FROM scored WHERE NOT (vec_id >= 100 AND vec_id < 140))
+      |  WHERE rank_b <= 10),
+      |j AS (
+      |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+      |    a.rank_a, b.rank_b
+      |  FROM a FULL JOIN b ON a.query_id = b.query_id AND a.vec_id = b.vec_id)
+      |SELECT query_id,
+      |  CAST(count(*) FILTER (WHERE rank_a IS NOT NULL AND rank_b IS NOT NULL)
+      |    AS BIGINT) AS n_common,
+      |  round(CAST(count(*) FILTER (WHERE rank_a IS NOT NULL
+      |      AND rank_b IS NOT NULL) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+      |    AS jaccard,
+      |  CAST(coalesce(max(CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL
+      |    THEN abs(rank_a - rank_b) END), 0) AS BIGINT) AS max_shift
+      |FROM j GROUP BY query_id
+      |ORDER BY query_id""".stripMargin
+  }
+
+  /** Shard-then-merge index build: FAISS `IndexIVF::merge_from` — the
+    * corpus is split in two (even/odd ids), each half encoded into its
+    * OWN cell-partitioned store under the shared quantizer, then
+    * [[IvfIndex.mergeStores]] splices the halves file-by-file (renames
+    * only, no data read). The gate: probed search over the MERGED store
+    * must equal the plain full-corpus IVF replay — the same generated
+    * oracle as q21 proves the merge lost/duplicated/re-assigned
+    * nothing. */
+  private[graft] def q154IvfMerge(s: SparkSession, dir: String): DataFrame = {
+    val (dest, ivf) = mgIvfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(s.read.parquet(dest), ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** q154's merged store: two half-corpus shards under the shared
+    * quantizer, spliced by [[IvfIndex.mergeStores]]; `_MERGED` marks
+    * completion (ingest-time work, built once per dataset). */
+  private[graft] def mgIvfCorpus(s: SparkSession, dir: String): (String, IvfIndex.Ivf) = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val ivf = IvfIndex.buildOrLoad(s, emb, ivfNlist,
+      s"${ivfCachePath(s, dir)}/quantizer.txt")
+    val base = s"${ivfCachePath(s, dir)}-mg"
+    val dest = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$dest/_MERGED")) {
+      IvfIndex.assign(emb.filter(col("doc_id") % 2 === 0), ivf)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(dest)
+      IvfIndex.assign(emb.filter(col("doc_id") % 2 === 1), ivf)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(s"$base/shard1")
+      IvfIndex.mergeStores(s, dest, s"$base/shard1")
+      val p = new org.apache.hadoop.fs.Path(s"$dest/_MERGED")
+      p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true).close()
+    }
+    (dest, ivf)
+  }
+
+  /** FAISS `IndexIVF::merge_from(other, add_id)` with a NON-ZERO offset
+    * ([[IvfIndex.mergeStoresShifted]]): shards encoded with overlapping
+    * local id spaces merge into one store with the donor's ids remapped
+    * `+addId` — the multi-worker build where every worker numbers its
+    * vectors from 0. Gate = probed search over the merged store against
+    * the q21 replay with odd (donor) ids shifted; ties order on the
+    * shifted id, exactly what the store carries. Cost posture spec'd in
+    * IvfIndexSpec: donor rewritten ONCE (the remap), dest files never
+    * touched. */
+  private[graft] def q168IvfMergeShift(s: SparkSession, dir: String): DataFrame = {
+    val (dest, ivf) = mg2IvfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(s.read.parquet(dest), ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** The id offset q168's donor shard merges under (also the oracle's
+    * shift constant — keep the two in lockstep). */
+  private[graft] val MergeAddId = 10000000L
+
+  /** q168's merged store: dest = even-id half store, donor = odd-id half
+    * whose ids remap `+MergeAddId` as they splice. `_MERGED` marks
+    * completion (ingest-time work, built once per dataset). */
+  private[graft] def mg2IvfCorpus(s: SparkSession, dir: String): (String, IvfIndex.Ivf) = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val ivf = IvfIndex.buildOrLoad(s, emb, ivfNlist,
+      s"${ivfCachePath(s, dir)}/quantizer.txt")
+    val base = s"${ivfCachePath(s, dir)}-mg2"
+    val dest = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$dest/_MERGED")) {
+      IvfIndex.assign(emb.filter(col("doc_id") % 2 === 0), ivf)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(dest)
+      IvfIndex.assign(emb.filter(col("doc_id") % 2 === 1), ivf)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(s"$base/shard1")
+      IvfIndex.mergeStoresShifted(s, dest, s"$base/shard1", MergeAddId)
+      val p = new org.apache.hadoop.fs.Path(s"$dest/_MERGED")
+      p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true).close()
+    }
+    (dest, ivf)
+  }
+
+  /** FAISS `IndexIVFFlat` under its DEFAULT metric — METRIC_L2
+    * ([[IvfIndex.searchL2]]): L2 centroid probe + exact Euclidean top-k
+    * in the probed cells, over the SAME shared store as the IP search
+    * (assignment is L2 Voronoi either way; only probe order and ranking
+    * kernel change). Completes the IVF metric pair beside q21. */
+  private[graft] def q187IvfL2Search(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.searchL2(withCells, ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("dist"), 4).as("dist"))
+  }
+
+  /** Index maintenance: FAISS `remove_ids(IDSelectorRange(8, 40))` over
+    * the persisted cell-partitioned store ([[IvfIndex.removeIds]] — the
+    * STORE-mutating delete, vs q110's query-time selector), then the
+    * standard probed search over the mutated store. Only cells holding
+    * removed ids get rewritten (partition-pruned maintenance; rewrite
+    * accounting spec'd in IvfIndexSpec); the oracle replays the shared-
+    * quantizer search with the removed range excluded. */
+  private[graft] def q152IvfRemove(s: SparkSession, dir: String): DataFrame = {
+    val (path, ivf) = rmIvfCorpus(s, dir)
+    IvfIndex.removeIds(s, path,
+      col("doc_id") >= 8 && col("doc_id") < 40)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(s.read.parquet(path), ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Filtered ANN search (FAISS `IDSelector` / `SearchParameters.sel`):
+    * the probed IVF scan restricted to a metadata predicate
+    * (`label = 3`). In FAISS this needs a selector callback walking
+    * every candidate; in a relational engine the predicate simply
+    * composes — it lands in the SAME parquet scan as the cell partition
+    * filter (PushedFilters on `label`), so the filtered search reads
+    * less, not more. The persisted cell corpus carries the metadata
+    * columns for exactly this. */
+  private[graft] def q110FilteredSearch(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(withCells.filter(col("label") === 3), ivf, qVec,
+        k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Recall@10 of IVF vs the exact scan — both sides batched: one
+    * aggregated exact job, one probe-pruned `searchBatch` job, joined
+    * distributively (replaces 8 sequential per-query collect loops). */
+  private[graft] def q34IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val queries = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val qdf = queries.toDF("query_id", "q_embedding")
+    val exact = VectorSearch.knnBatchAggregated(qdf, emb, 10)
+      .select("query_id", "doc_id")
+    val approx = IvfIndex.searchBatch(withCells, ivf, queries, k = 10, nprobe = 4)
+      .select("query_id", "doc_id")
+    VectorSearch.recallVsExact(qdf, exact, approx, "doc_id", k = 10)
+  }
+
+  /** nprobe↦recall operating curve (FAISS `ParameterSpace`
+    * autotune): recall@10 of the probed IVF search vs the exact scan at
+    * nprobe ∈ {1,2,4,8} over the first 8 vectors as queries — the table
+    * an operator reads to pick the accuracy/cost point before raising
+    * nprobe corpus-wide. One exact batch job; per-sweep-point one
+    * probe-pruned batch job (the q34 machinery), overlap summed across
+    * queries. */
+  private[graft] def q107NprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val queries = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val qdf = queries.toDF("query_id", "q_embedding")
+    val exact = VectorSearch.knnBatchAggregated(qdf, emb, 10)
+      .select("query_id", "doc_id")
+    Seq(1, 2, 4, 8).map { np =>
+      val approx = IvfIndex.searchBatch(withCells, ivf, queries,
+          k = 10, nprobe = np)
+        .select("query_id", "doc_id")
+      VectorSearch.recallVsExact(qdf, exact, approx, "doc_id", k = 10)
+        .agg(coalesce(sum(col("n_overlap")), lit(0L)).cast("long")
+          .as("n_overlap"))
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("nprobe"), col("n_overlap"),
+        round(col("n_overlap") / lit(80.0), 4).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  /** BPE-budget packing ([[Packing.assignBinsByCost]] over
+    * [[TextAnalysis.bpeTokenCountPerDoc]]): the tokenizer and packing
+    * tiers composed — bins are laid out by what the TRAINED tokenizer
+    * will actually emit, not the whitespace estimate (q52's posture,
+    * real budgets). Same streaming-pack semantics: one window cumsum
+    * per shard, documents never reordered or split. */
+  private[graft] def q124BpePack(s: SparkSession, dir: String): DataFrame =
+    Packing.assignBinsByCost(
+        TextAnalysis.bpeTokenCountPerDoc(t(s, dir, "documents"),
+          bpeMergesArtifact(s, dir), keepCols = Seq("source")),
+        budget = 2000, costCol = "n_bpe_tokens")
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_bpe_tokens").cast("long").as("n_bpe_tokens"))
+      .orderBy("source", "bin")
+
+  /** Per-nlist sweep quantizer cache (q123) — each sweep point persists
+    * its own artifact, [[ivfCachePath]] lifecycle. */
+  private[graft] def ivfSweepPath(s: SparkSession, dir: String, nl: Int): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ (0x5eeb0L + nl) ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-ivfsweep-$key"
+  }
+
+  private[graft] val sweepNlists = Seq(4, 16, 64)
+
+  /** nlist tuning sweep: the OTHER FAISS `ParameterSpace` axis (q107
+    * sweeps nprobe at fixed nlist; this sweeps nlist at fixed
+    * nprobe=4). Per point: the list-balance diagnostic
+    * (`imbalance_factor`, FAISS's own health number), the quantization
+    * objective (mean squared residual to the assigned centroid — what
+    * KMeans minimizes, summed through DECIMAL so the corpus-wide mean
+    * is order-independent and cross-engine exact), and recall@10 over
+    * the q107 query batch. The table a deployment reads before fixing
+    * nlist: more cells = finer cells (residual ↓) but fewer probed
+    * rows (recall ↓ at fixed nprobe) and rising imbalance. Oracle
+    * GENERATED from all sweep quantizer artifacts. */
+  private[graft] def q123NlistSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val queries = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val qdf = queries.toDF("query_id", "q_embedding")
+    val exact = VectorSearch.knnBatchAggregated(qdf, emb, 10)
+      .select("query_id", "doc_id")
+    sweepNlists.map { nl =>
+      val ivf = IvfIndex.buildOrLoad(s, emb, nl,
+        s"${ivfSweepPath(s, dir, nl)}/quantizer.txt")
+      val withCells = IvfIndex.assign(emb, ivf)
+      val imb = withCells.groupBy("cell_id").agg(count(lit(1)).as("n"))
+        .agg((lit(nl.toDouble) * sum(col("n") * col("n")).cast("double") /
+          (sum(col("n")).cast("double") * sum(col("n")).cast("double")))
+          .as("imbalance"))
+      val res = PqIndex.residualColumn(ivf, col("embedding"), col("cell_id"))
+      val mr = withCells
+        .withColumn("__d2", GraftFunctions.dotF32(res, res))
+        .agg((sum(round(col("__d2"), 6).cast("decimal(22,6)")).cast("double") /
+          count(lit(1))).as("mean_resid"))
+      val approx = IvfIndex.searchBatch(withCells, ivf, queries,
+          k = 10, nprobe = 4)
+        .select("query_id", "doc_id")
+      val ov = VectorSearch.recallVsExact(qdf, exact, approx, "doc_id", k = 10)
+        .agg(coalesce(sum(col("n_overlap")), lit(0L)).cast("long")
+          .as("n_overlap"))
+      imb.crossJoin(mr).crossJoin(ov).withColumn("nlist", lit(nl.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("nlist"), round(col("imbalance"), 4).as("imbalance_factor"),
+        round(col("mean_resid"), 4).as("mean_resid"), col("n_overlap"),
+        round(col("n_overlap") / lit(80.0), 4).as("recall"))
+      .orderBy("nlist")
+  }
+
+  private[graft] def q22CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    // Documents concatenated per source simulate multi-paragraph files;
+    // chunk + embed into the canonical corpus schema (FIXTURES.md §1).
+    // collect_list order is partitioning-dependent — sort by doc_id so the
+    // concatenated content (and thus chunk ids) is deterministic.
+    val files = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("docs"))
+      .select(col("source").as("filename"),
+        concat_ws("\n\n", transform(col("docs"), d => d.getField("text"))).as("content"))
+    graft.sources.TextIngest.buildCorpus(files)
+      .select(col("doc_id"), col("filename"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("size").cast("long").as("size"),
+        col("start_line").cast("long").as("start_line"),
+        col("end_line").cast("long").as("end_line"))
+      .orderBy("filename", "chunk_index")
+  }
+
+  /** q22's oracle: the full S11 chain in SQL — the greedy chunker as a
+    * recursive CTE over per-source blocks, chunk sizes adjusted for tail
+    * merge + overlap, and the md5-derived chunk id (`OracleSqlGen`). */
+  private[graft] def q22Sql: String =
+    s"""WITH RECURSIVE ${OracleSqlGen.regularChunkCtes()}
+       |SELECT ${OracleSqlGen.chunkDocId("filename", "chunk_index")} AS doc_id,
+       |  filename, CAST(chunk_index AS BIGINT) AS chunk_index,
+       |  CAST(size AS BIGINT) AS size,
+       |  CAST(start_line AS BIGINT) AS start_line,
+       |  CAST(end_line AS BIGINT) AS end_line
+       |FROM __chunks ORDER BY filename, chunk_index""".stripMargin
+
+  /** S2→P1→E1 end-to-end: deterministic .docx fixtures (built once into a
+    * temp dir from documents text) → docx-to-markdown conversion →
+    * chunk + embed into the corpus schema. Hash-checked: the fixtures
+    * derive from `documents`, so the oracle replays the pipeline in SQL. */
+  private[graft] def q38DocxPipeline(s: SparkSession, dir: String): DataFrame = {
+    // Fixture dir keyed by the source sfDir (different dirs → different
+    // texts) and built atomically: write into a temp dir, rename into
+    // place, so a killed/concurrent run never leaves a partial cache.
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val docxDir = java.nio.file.Paths.get(
+      GraftConfig.storeRoot, s"graft-docx-fixture-$key")
+    if (!java.nio.file.Files.exists(docxDir)) {
+      java.nio.file.Files.createDirectories(docxDir.getParent)
+      // staging sibling-to-target: ATOMIC_MOVE needs one filesystem
+      val staging = java.nio.file.Files.createTempDirectory(
+        docxDir.getParent, "graft-docx-build")
+      def esc(x: String): String =
+        x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val texts = t(s, dir, "documents").filter(col("doc_id") < 6)
+        .select("doc_id", "text").collect()
+      texts.foreach { r =>
+        val paras = r.getString(1).split("(?<=\\G.{120})") // 120-char paras
+          .map(p => s"<w:p><w:r><w:t>${esc(p.trim)}</w:t></w:r></w:p>").mkString
+        val xml =
+          s"""<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body><w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Doc ${r.getLong(0)}</w:t></w:r></w:p>$paras</w:body></w:document>"""
+        val bos = new java.io.ByteArrayOutputStream()
+        val zos = new java.util.zip.ZipOutputStream(bos)
+        zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+        zos.write(xml.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+        java.nio.file.Files.write(
+          staging.resolve(s"doc_${r.getLong(0)}.docx"), bos.toByteArray)
+      }
+      try java.nio.file.Files.move(staging, docxDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.FileSystemException => () } // lost the race: use winner's
+    }
+    val docs = graft.sources.DocxIngest.readDocxDir(s, docxDir.toString)
+    graft.sources.TextIngest.buildCorpus(docs)
+      .select(col("doc_id"), col("filename"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("size").cast("long").as("size"),
+        round(graft.functions.GraftFunctions.normF32(col("embedding")), 4).as("norm"))
+      .orderBy("filename", "chunk_index")
+  }
+
+  /** q38's oracle: since the docx fixtures derive from `documents` rows,
+    * the whole binary pipeline (docx→Markdown→chunk→embed) is replayed in
+    * SQL — see [[OracleSqlGen.docxPipelineSql]]. */
+  private[graft] def q38Sql: String = OracleSqlGen.docxPipelineSql(64)
+
+  /** E1 execution shape: per-partition encoder with 256-row batches
+    * (`Embedders.embedPartitioned`) over the documents table. The output is
+    * a per-vector structural fingerprint (nonzero count, argmax position,
+    * max component, norm) — integer-exact or 4-dp-rounded values the DuckDB
+    * oracle recomputes from the md5 embedding replica, so the whole batch
+    * encode path is hash-checked, not rows-only. */
+  private[graft] def q35EmbedPartitioned(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.functions.Embedders
+      .embedPartitioned(t(s, dir, "documents"), "text", "doc_id", dim = 64)
+      .withColumn("nrm", graft.functions.GraftFunctions.normF32(col("embedding")))
+      .select(col("doc_id"),
+        size(filter(col("embedding"), x => x =!= lit(0.0f))).cast("long").as("n_nonzero"),
+        array_position(col("embedding"), array_max(col("embedding"))).as("argmax_j"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
+        round(col("nrm"), 4).as("norm"),
+        // invariant surfaced as a column (a filter would silently shrink
+        // the result on an embedder regression)
+        (col("nrm") > 0.999 && col("nrm") < 1.001).as("unit_norm"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] def q35Sql: String =
+    s"""WITH __docs AS (SELECT doc_id AS id, text AS txt FROM documents),
+       |${OracleSqlGen.embedCtes(64)}
+       |SELECT id AS doc_id,
+       |  CAST(len(list_filter(embedding, x -> x <> 0.0)) AS BIGINT) AS n_nonzero,
+       |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_j,
+       |  round(list_max(embedding), 4) AS max_val,
+       |  round(sqrt(list_sum(list_transform(embedding, x -> x * x))), 4) AS norm,
+       |  (sqrt(list_sum(list_transform(embedding, x -> x * x))) > 0.999 AND
+       |   sqrt(list_sum(list_transform(embedding, x -> x * x))) < 1.001) AS unit_norm
+       |FROM __emb ORDER BY doc_id""".stripMargin
+
+  private[graft] def q23DocSemanticSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("embedding", GraftFunctions.hashEmbed(col("text"), lit(64)))
+    val queries = s.createDataFrame(q23QueryTexts).toDF("query_id", "qtext")
+      .withColumn("q_embedding", GraftFunctions.hashEmbed(col("qtext"), lit(64)))
+    VectorSearch.knnBatch(queries, docs, 5, idCol = "doc_id")
+      .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"),
+        col("doc_rank").cast("long").as("doc_rank"))
+      .orderBy("query_id", "doc_rank")
+  }
+
+  private[graft] val q23QueryTexts = Seq(
+    (0L, "spark join vector stream merge"),
+    (1L, "customer order line query"),
+    (2L, "window batch group sort"))
+
+  /** q23's oracle: hash-embed documents AND the literal query texts in SQL
+    * (query rows ride along with negative ids), then exact batch top-5 by
+    * inner product with the engine-wide (score DESC, id ASC) tie order. */
+  private[graft] def q23Sql: String = {
+    val qVals = q23QueryTexts
+      .map { case (qid, txt) => s"(${-qid - 1}, '${txt}')" }.mkString(", ")
+    s"""WITH __docs AS (
+       |  SELECT doc_id AS id, text AS txt FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $qVals) v(id, txt)),
+       |${OracleSqlGen.embedCtes(64)},
+       |q AS (SELECT -id - 1 AS query_id, embedding AS qe FROM __emb WHERE id < 0),
+       |d AS (SELECT id AS doc_id, embedding FROM __emb WHERE id >= 0),
+       |ranked AS (
+       |  SELECT q.query_id, d.doc_id,
+       |    list_dot_product(d.embedding, q.qe) AS score,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_dot_product(d.embedding, q.qe) DESC, d.doc_id) AS doc_rank
+       |  FROM d CROSS JOIN q)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  round(score, 4) AS score, CAST(doc_rank AS BIGINT) AS doc_rank
+       |FROM ranked WHERE doc_rank <= 5 ORDER BY query_id, doc_rank""".stripMargin
+  }
+
+  /** P2 conversational chunker end-to-end: per-source K:/V: dialogs built
+    * from the documents rows (alternating speaker prefixes, one turn per
+    * line) through the full `buildCorpus` chain — `Chunker.chunk` detects
+    * the dialect and packs turn-granular with 1-turn overlap
+    * (`preprocessing/chunk_text_files.py:85-164`). Chunk boundaries, sizes
+    * and line spans hash-check against the recursive-CTE SQL replica. */
+  private[graft] def q40ConvChunks(s: SparkSession, dir: String): DataFrame = {
+    val files = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("docs"))
+      .select(col("source").as("filename"),
+        concat_ws("\n", transform(col("docs"),
+          (d, i) => concat(when(i % 2 === 0, lit("K: ")).otherwise(lit("V: ")),
+            d.getField("text")))).as("content"))
+    graft.sources.TextIngest.buildCorpus(files)
+      .select(col("doc_id"), col("filename"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("size").cast("long").as("size"),
+        col("start_line").cast("long").as("start_line"),
+        col("end_line").cast("long").as("end_line"))
+      .orderBy("filename", "chunk_index")
+  }
+
+  private[graft] def q40Sql: String =
+    s"""WITH RECURSIVE ${OracleSqlGen.conversationalChunkCtes()}
+       |SELECT ${OracleSqlGen.chunkDocId("filename", "chunk_index")} AS doc_id,
+       |  filename, CAST(chunk_index AS BIGINT) AS chunk_index,
+       |  CAST(size AS BIGINT) AS size,
+       |  CAST(start_line AS BIGINT) AS start_line,
+       |  CAST(end_line AS BIGINT) AS end_line
+       |FROM __chunks ORDER BY filename, chunk_index""".stripMargin
+
+  /** F8 + F9 (+ S10 shape): the reference's upload endpoint as a batch
+    * ingest — base64 wire content decoded, path components stripped from
+    * the filename, size + content digest reported
+    * (`server.py:498-525`: `Path(filename).name`, `base64.b64decode`). */
+  private[graft] def q41UploadIngest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("raw_name",
+        concat(lit("data/"), col("source"), lit("/doc_"), col("doc_id"), lit(".txt")))
+      .withColumn("b64", base64(col("text").cast("binary"))) // wire format
+      .select(col("doc_id"),
+        regexp_extract(col("raw_name"), "[^/\\\\]+$", 0).as("safe_name"), // F8
+        length(unbase64(col("b64"))).cast("long").as("n_bytes"),          // F9
+        md5(unbase64(col("b64"))).as("content_md5"))
+      .orderBy("doc_id")
+
+  private[graft] val q41Sql =
+    """SELECT doc_id,
+      |  regexp_extract('data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt',
+      |                 '[^/\\]+$', 0) AS safe_name,
+      |  CAST(octet_length(from_base64(to_base64(CAST(text AS BLOB)))) AS BIGINT) AS n_bytes,
+      |  md5(decode(from_base64(to_base64(CAST(text AS BLOB))))) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Full-mode lifecycle (retrieve → temperature sweep → iterative
+    * improvement → streamed response) with deterministic LLM fakes whose
+    * outputs are pure arithmetic over what the engine computed (response
+    * length = f(temperature, retrieved-doc count parsed back out of the
+    * assembled prompt)), so the COMPLETE ST1 event catalog — counts and
+    * canonical value sums per event type — is hash-checked against a
+    * first-principles SQL replica. */
+  private[graft] def q39FullEvents(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val corpus = t(s, dir, "documents")
+    // Doc count recovered from the prompt itself: proves the real context
+    // block (one "[Document i]" header per retained hit) reached the LLM.
+    def countDocs(prompt: String): Int = {
+      var c = 0
+      var i = prompt.indexOf("[Document ")
+      while (i >= 0) { c += 1; i = prompt.indexOf("[Document ", i + 1) }
+      c
+    }
+    val generate = (prompt: String, temp: Double) =>
+      "x" * (((temp * 100).toInt % 80) + 3 * countDocs(prompt))
+    val evaluate = (r: String) => math.min(r.length, 200).toDouble / 200.0
+    val improve = (cur: String, _score: Double) => cur + ("x" * 7)
+    val events = q23QueryTexts.map { case (qid, txt) =>
+      FullMode.fullQuery(s, corpus, txt, generate, evaluate, improve,
+        queryId = qid).events
+    }.reduce(_ unionByName _)
+    events.groupBy("query_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum("value").cast("long").as("sum_value"))
+      .orderBy("query_id", "event_type")
+  }
+
+  private[graft] def q39Sql: String = {
+    val qVals = q23QueryTexts
+      .map { case (qid, txt) => s"(${-qid - 1}, '$txt')" }.mkString(", ")
+    OracleSqlGen.fullEventsSql(qVals, GraftConfig().optimization.temperatures)
+  }
+
+  /** SimHash near-dup detection over documents (the third dedup family
+    * beside exact-fp and MinHash-LSH), fully oracle-checked: the oracle
+    * recomputes every per-bit vote from `md5(token)` hex, rebuilds the
+    * `%016x` rendering, forms the same 4×16-bit band buckets, and takes
+    * nibble-wise popcount Hamming distances. */
+  private[graft] def q42SimhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+
+  private[graft] val q42Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+')) AS t
+      |    FROM documents)
+      |  WHERE t <> ''),
+      |votes AS (
+      |  SELECT doc_id, b.bit,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), CAST(b.bit // 4 AS INT) + 1, 1)) - 1)
+      |                   >> CAST(3 - b.bit % 4 AS INT)) & 1 = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM toks, (SELECT unnest(range(0, 64)) AS bit) AS b
+      |  GROUP BY doc_id, b.bit),
+      |nibs AS (
+      |  SELECT doc_id, (63 - bit) // 4 AS nib,
+      |    sum(CASE WHEN v > 0 THEN 1 << CAST(3 - ((63 - bit) % 4) AS INT) ELSE 0 END) AS nv
+      |  FROM votes GROUP BY doc_id, (63 - bit) // 4),
+      |hexes AS (
+      |  SELECT doc_id,
+      |    string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' ORDER BY nib) AS hex
+      |  FROM nibs GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, bb.b AS band, substr(hex, 13 - 4 * CAST(bb.b AS INT), 4) AS key, hex
+      |  FROM hexes, (SELECT unnest([0,1,2,3]) AS b) AS bb),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.hex AS hex_a, b.hex AS hex_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |  WHERE a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT id_a, id_b,
+      |    sum(bit_count(xor(strpos('0123456789abcdef', substr(hex_a, CAST(p.i AS INT), 1)) - 1,
+      |                      strpos('0123456789abcdef', substr(hex_b, CAST(p.i AS INT), 1)) - 1))) AS hamming
+      |  FROM cand, (SELECT unnest(range(1, 17)) AS i) AS p
+      |  GROUP BY id_a, id_b)
+      |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+      |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
+
+  /** Hyperplane-LSH bucketed ANN (the second scale path beside IVF):
+    * 6-bit sign-random-projection buckets, Hamming-1 multi-probe, top-5
+    * cosine within probed buckets — fully oracle-checked with the planes
+    * inlined as SQL literals. */
+  private[graft] def q43LshSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    HyperplaneLsh.search(queries, lshCorpus(s, dir), 5, planes)
+      .select(col("query_id"), col("vec_id"),
+        round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] def q43Sql: String = OracleSqlGen.lshSearchSql(
+    HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64).toSeq, k = 5, nq = 8)
+
+  /** Label-free near-dup: embedding-cosine pairs blocked by LSH bucket —
+    * `Dedup.embeddingNearDups` composed with `HyperplaneLsh.withBuckets`,
+    * so near-dup detection needs no pre-existing blocking column (the
+    * 100 TB shape: bucket at ingest, equality-join within buckets). */
+  private[graft] def q44LshEmbNearDup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    // The prepared bucket-partitioned corpus reads its partition column
+    // back as int — cast to long so the output schema matches the
+    // compute-on-the-fly form (and the oracle's BIGINT) exactly.
+    val bucketed = lshCorpus(s, dir)
+      .withColumn("bucket", col("bucket").cast("long"))
+    Dedup.embeddingNearDups(bucketed, "bucket", "vec_id", "embedding", minCos = 0.3)
+      .orderBy("block", "id_a", "id_b")
+  }
+
+  private[graft] def q44Sql: String = OracleSqlGen.lshNearDupSql(
+    HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64).toSeq, minCos = 0.3)
+
+  /** REAL image decode, oracle-checked end-to-end: PNG fixtures are
+    * synthesized per documents row (solid gray level, dimensions — all
+    * arithmetic over doc_id), pushed through the actual
+    * `javax.imageio` decode + luminance-histogram kernel
+    * (`Multimodal.decodeImages`), and the oracle predicts the decoded
+    * width/height/histogram peak from the same arithmetic — if the codec
+    * or binning were wrong, every row would mismatch. */
+  private[graft] def q45ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").filter(col("doc_id") < 32)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val g = ((id * 37) % 256).toInt
+        val w = (8 + id % 16).toInt
+        val h = (6 + id % 9).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+      .toDF("asset_id", "payload")
+    Multimodal.decodeImages(assets, dim = 64)
+      .select(col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        (array_position(col("features"), array_max(col("features"))) - 1)
+          .cast("long").as("bin"),
+        round(array_max(col("features")).cast("double"), 4).as("peak"))
+      .orderBy("asset_id")
+  }
+
+  private[graft] val q45Sql =
+    """SELECT doc_id AS asset_id,
+      |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+      |  CAST(6 + doc_id % 9 AS BIGINT) AS height,
+      |  CAST((doc_id * 37 % 256) // 4 AS BIGINT) AS bin,
+      |  1.0 AS peak
+      |FROM documents WHERE doc_id < 32 ORDER BY asset_id""".stripMargin
+
+  /** REAL audio decode, oracle-checked: WAV fixtures synthesized per
+    * documents row — constant power-of-two amplitude, so the decoded RMS
+    * is IEEE-exact (2^-k) and needs no rounding; frame counts divisible
+    * by 8 make duration_ms integer-exact. The oracle predicts every
+    * output from doc_id arithmetic; a codec, endianness, or header bug
+    * would mismatch all rows. */
+  private[graft] def q46AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").filter(col("doc_id") < 32)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (800 + (id % 10) * 160).toInt
+        val amp = (1 << (6 + (id % 5)).toInt).toShort
+        (id, Multimodal.AudioCodec.encodeWav(Array.fill(n)(amp), 8000))
+      }
+      .toDF("asset_id", "payload")
+    Multimodal.decodeAudio(assets)
+      .select(col("asset_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("duration_ms").cast("long").as("duration_ms"),
+        col("rms"))
+      .orderBy("asset_id")
+  }
+
+  private[graft] val q46Sql =
+    """SELECT doc_id AS asset_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(800 + doc_id % 10 * 160 AS BIGINT) AS n_frames,
+      |  CAST((800 + doc_id % 10 * 160) / 8 AS BIGINT) AS duration_ms,
+      |  CAST(pow(2, 6 + doc_id % 5) AS DOUBLE) / 32768 AS rms
+      |FROM documents WHERE doc_id < 32 ORDER BY asset_id""".stripMargin
+
+  /** LSH ANN quality, quantified like q34 does for IVF: top-5 overlap
+    * between the multi-probe LSH search and the exact scan, per query —
+    * the recall number a user tuning nbits/probes actually needs. */
+  private[graft] def q47LshRecall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val planes = HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val approx = HyperplaneLsh.search(queries, lshCorpus(s, dir), 5, planes)
+      .select("query_id", "vec_id")
+    val exact = VectorSearch.knnBatchAggregated(queries, emb, 5, idCol = "vec_id")
+      .select("query_id", "vec_id")
+    VectorSearch.recallVsExact(queries, exact, approx, "vec_id", k = 5)
+  }
+
+  private[graft] def q47Sql: String = {
+    val lsh = OracleSqlGen.lshSearchSql(
+      HyperplaneLsh.hyperplanes(HyperplaneLsh.DefaultNbits, 64).toSeq, k = 5, nq = 8)
+    // Reuse the full q43 oracle as the approx side, wrap with the exact
+    // side + overlap (the q34 recall idiom).
+    s"""WITH approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    $lsh
+       |  )),
+       |qx AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qx.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY qx.query_id
+       |        ORDER BY ${OracleSqlGen.dotFold("e.embedding", "qx.qe")} DESC, e.vec_id ASC) AS rnk
+       |    FROM embeddings e CROSS JOIN qx)
+       |  WHERE rnk <= 5),
+       |ov AS (
+       |  SELECT e.query_id, count(*) AS n
+       |  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+       |  GROUP BY 1)
+       |SELECT q2.query_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+       |  round(coalesce(ov.n, 0) / 5.0, 2) AS recall_at_5
+       |FROM (SELECT DISTINCT query_id FROM qx) q2 LEFT JOIN ov USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
+  /** P4 chunk-header projection, oracle-checked end-to-end: the corpus
+    * chunks flow through the actual `Chunker.withHeader` (the reference's
+    * Finnish provenance header, `chunk_text_files.py:337-344`); the
+    * oracle rebuilds the header from the chunker-CTE columns and pins the
+    * full headed-chunk length (header + newline + chunk text incl.
+    * overlap). */
+  private[graft] def q48ChunkHeaders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("docs"))
+      .select(col("source").as("filename"),
+        concat_ws("\n\n", transform(col("docs"), d => d.getField("text"))).as("content"))
+    graft.sources.TextIngest.buildCorpus(files)
+      .select(col("doc_id"), col("filename"), col("chunk_index"),
+        col("start_line"), col("end_line"), col("content"))
+      .as[(Long, String, Int, Int, Int, String)]
+      .map { case (id, fn, ci, sl, el, text) =>
+        val headed = Chunker.withHeader(fn, ci, Chunker.Chunk(text, sl, el))
+        (id, headed.substring(0, headed.indexOf('\n')), headed.length.toLong)
+      }
+      .toDF("doc_id", "header", "headed_len")
+      .orderBy("doc_id")
+  }
+
+  private[graft] def q48Sql: String =
+    s"""WITH RECURSIVE ${OracleSqlGen.regularChunkCtes()},
+       |h AS (
+       |  SELECT ${OracleSqlGen.chunkDocId("filename", "chunk_index")} AS doc_id,
+       |    'Lähdetiedosto: ' || filename || ' | Lohko: ' ||
+       |      CAST(chunk_index + 1 AS VARCHAR) || ' | Rivit: ' ||
+       |      CAST(start_line AS VARCHAR) || '-' || CAST(end_line AS VARCHAR) AS header,
+       |    size
+       |  FROM __chunks)
+       |SELECT doc_id, header,
+       |  CAST(length(header) + 1 + size AS BIGINT) AS headed_len
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Skew-salted aggregation on a deliberately hot key (~70% of orders
+    * collapse onto skew_key 0): `Salting.saltedAggregate` fans the hot
+    * key over 32 salt buckets in the partial phase, then re-aggregates —
+    * the oracle is the plain one-phase GROUP BY, proving the two-phase
+    * plan is result-identical. Money is summed in integer cents (per-row
+    * round → bigint) so no float summation order can leak into the hash. */
+  private[graft] def q49SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .withColumn("skew_key",
+        when(col("o_custkey") % 10 < 7, lit(0L)).otherwise(col("o_custkey")))
+      .withColumn("price_cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    Salting.saltedAggregate(orders, Seq("skew_key"), buckets = 32,
+      Map("n_orders" -> (col("o_orderkey"), "count"),
+          "sum_cents" -> (col("price_cents"), "sum"),
+          "max_cents" -> (col("price_cents"), "max")))
+      .select(col("skew_key"), col("n_orders"), col("sum_cents"), col("max_cents"))
+      .orderBy("skew_key")
+  }
+
+  private[graft] val q49Sql =
+    """WITH o AS (
+      |  SELECT CASE WHEN o_custkey % 10 < 7 THEN 0 ELSE o_custkey END AS skew_key,
+      |    o_orderkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+      |  FROM orders)
+      |SELECT skew_key, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+      |  CAST(max(price_cents) AS BIGINT) AS max_cents
+      |FROM o GROUP BY skew_key ORDER BY skew_key""".stripMargin
+
+  /** Hot-bucket dedup, oracle-checked: every 7th document becomes shared
+    * boilerplate (the adversarial corpus the bucket cap exists for), and
+    * the query emits the ids [[Dedup.lshHotBucketDrops]] would remove —
+    * non-min members of every over-cap (band, sig) bucket. The oracle
+    * replays the full signature pipeline plus the HAVING-count cap in
+    * DuckDB, proving the cap's semantics (not just its existence) are
+    * engine-independent. */
+  private[graft] val q50Boiler =
+    "subscribe to our newsletter for updates terms of service apply all rights reserved"
+
+  private[graft] def q50HotBucketDedup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, lit(q50Boiler)).otherwise(col("text")))
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", n = 3, bands = 4)
+    Dedup.lshHotBucketDrops(sigs, maxBucketSize = 10)
+      .select(col("id").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val q50Sql =
+    s"""WITH docs2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN '$q50Boiler' ELSE text END AS text
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+      |  FROM docs2),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |hot AS (
+      |  SELECT band, sig, min(doc_id) AS rep_id
+      |  FROM sig GROUP BY band, sig HAVING count(*) > 10)
+      |SELECT DISTINCT s.doc_id
+      |FROM sig s JOIN hot h ON s.band = h.band AND s.sig = h.sig
+      |WHERE s.doc_id <> h.rep_id
+      |ORDER BY doc_id""".stripMargin
+
+}

@@ -1,0 +1,637 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Streaming gates + event-analytics tier (q193–q196, q201–q207,
+  * the four stateful Structured Streaming families and the funnel /
+  * cohort / as-of / range-count event queries) — split out of SparkEntry.scala (round 13).
+  * Mechanical move, zero behavior change; the self-type
+  * gives every tier the shared helpers and sibling-tier
+  * members, with `SparkEntry.queries` staying the single
+  * assembly point. */
+private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
+
+  /** Watermark / late-event audit, SMALL-LOG form: the BATCH replay of
+    * Structured Streaming's watermark rule over the events table — per
+    * 10-minute event-time window, how many events would arrive late
+    * under a 30 s watermark (arrival order = event_id; watermark before
+    * each event = max event-time seen so far − 30 s, the `withWatermark`
+    * semantics the streaming tier enforces statefully — the batch-size-1
+    * limit of Spark's per-micro-batch watermark update).
+    *
+    * SCOPE: the single GLOBAL arrival order makes this a one-task sort —
+    * deliberately so, and only for logs that fit one task (a diagnostic
+    * replay of one consumer's exact arrival sequence). The at-scale form
+    * is [[q196WatermarkByUser]]: per-unit watermark replay partitioned
+    * on the arrival-order unit, the way a multi-partition stream tracks
+    * watermarks per input partition. The stateful path itself
+    * (`EventStream.sessionizeEventTime` / `withWatermark`) is gated
+    * directly as q195 (streaming ≡ batch oracle) and its late-DROP
+    * behavior is parity-pinned in StreamingSpec. Window arithmetic is
+    * integer ns, `div` not `/`: 2024-epoch nanos exceed double's 53-bit
+    * mantissa. */
+  private[graft] def q193WatermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    val delayNs = 30L * 1000000000L
+    val winNs = 600L * 1000000000L
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    eventsNs(s, dir)
+      .withColumn("__wm", max("ts").over(w) - delayNs)
+      .withColumn("__late", col("__wm").isNotNull && col("ts") < col("__wm"))
+      .groupBy(expr(s"ts div $winNs").as("win"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("__late"), 1L).otherwise(0L)).cast("long").as("n_late"),
+        coalesce(max(when(col("__late"), col("__wm") - col("ts"))), lit(0L))
+          .cast("long").as("max_lateness_ns"))
+      .orderBy("win")
+  }
+
+  private[graft] val q193Sql =
+    """WITH e AS (SELECT event_id, epoch_ns(ts) AS tn FROM events),
+      |w AS (
+      |  SELECT event_id, tn,
+      |    max(tn) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - 30000000000 AS wm
+      |  FROM e)
+      |SELECT CAST(tn // 600000000000 AS BIGINT) AS win,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN wm IS NOT NULL AND tn < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(coalesce(max(CASE WHEN wm IS NOT NULL AND tn < wm
+      |    THEN wm - tn ELSE NULL END), 0) AS BIGINT) AS max_lateness_ns
+      |FROM w GROUP BY 1
+      |ORDER BY win""".stripMargin
+
+  /** Session-size/duration distribution: q9's 30-minute-gap
+    * sessionization carried to the sizing report — total sessions,
+    * exact p50/p90 of events-per-session and session duration, max
+    * duration. What a serving/state tier reads to size state stores
+    * and timeouts (`mapGroupsWithState` timeout = this table's tail).
+    * Gap arithmetic in integer nanos; percentiles on the q113
+    * contract; sessions form per user (the shuffle key), never a
+    * global order. */
+  private[graft] def q194SessionStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapNs = 1800000000000L // 30 min
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = eventsNs(s, dir)
+      .withColumn("__gap", col("ts") - lag("ts", 1).over(byUser))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapNs, 1L).otherwise(0L))
+      .withColumn("sess", sum("__new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        (max("ts") - min("ts")).as("dur_ns"))
+    sessions.agg(
+      count(lit(1)).cast("long").as("n_sessions"),
+      expr("percentile(CAST(n_events AS DOUBLE), array(0.5D, 0.9D))").as("eq"),
+      expr("percentile(CAST(dur_ns AS DOUBLE), array(0.5D, 0.9D))").as("dq"),
+      max("dur_ns").cast("long").as("max_dur_ns"))
+      .select(col("n_sessions"),
+        round(element_at(col("eq"), 1), 4).as("p50_events"),
+        round(element_at(col("eq"), 2), 4).as("p90_events"),
+        round(element_at(col("dq"), 1), 4).as("p50_dur_ns"),
+        round(element_at(col("dq"), 2), 4).as("p90_dur_ns"),
+        col("max_dur_ns"))
+  }
+
+  private[graft] val q194Sql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tn,
+      |    epoch_ns(ts) - lag(epoch_ns(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, tn,
+      |    sum(CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tn, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g),
+      |se AS (
+      |  SELECT user_id, sess, count(*) AS n_events,
+      |    max(tn) - min(tn) AS dur_ns
+      |  FROM m GROUP BY user_id, sess)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      |  round(quantile_cont(CAST(n_events AS DOUBLE), 0.5), 4) AS p50_events,
+      |  round(quantile_cont(CAST(n_events AS DOUBLE), 0.9), 4) AS p90_events,
+      |  round(quantile_cont(CAST(dur_ns AS DOUBLE), 0.5), 4) AS p50_dur_ns,
+      |  round(quantile_cont(CAST(dur_ns AS DOUBLE), 0.9), 4) AS p90_dur_ns,
+      |  CAST(max(dur_ns) AS BIGINT) AS max_dur_ns
+      |FROM se""".stripMargin
+
+  /** Watermark / late-event audit, AT-SCALE form (q193's partitioned
+    * sibling): per-USER watermark replay — each user's event sequence is
+    * treated as one input partition of the stream, with its own
+    * monotonic max-event-time tracker, exactly how a multi-partition
+    * source tracks watermarks per partition before the driver combines
+    * them. Per 10-minute event-time window: events, users active,
+    * events late against THEIR OWN partition's watermark, and the max
+    * such lateness. `Window.partitionBy(user_id)` — the replay
+    * parallelizes across users; no global order anywhere, so the plan
+    * survives a 100× log where q193's single-task form cannot. Same
+    * integer-ns window arithmetic as q193. */
+  private[graft] def q196WatermarkByUser(s: SparkSession, dir: String): DataFrame = {
+    val delayNs = 30L * 1000000000L
+    val winNs = 600L * 1000000000L
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    eventsNs(s, dir)
+      .withColumn("__wm", max("ts").over(w) - delayNs)
+      .withColumn("__late", col("__wm").isNotNull && col("ts") < col("__wm"))
+      .groupBy(expr(s"ts div $winNs").as("win"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct("user_id").cast("long").as("n_users"),
+        sum(when(col("__late"), 1L).otherwise(0L)).cast("long").as("n_late"),
+        coalesce(max(when(col("__late"), col("__wm") - col("ts"))), lit(0L))
+          .cast("long").as("max_lateness_ns"))
+      .orderBy("win")
+  }
+
+  private[graft] val q196Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tn FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, tn,
+      |    max(tn) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - 30000000000 AS wm
+      |  FROM e)
+      |SELECT CAST(tn // 600000000000 AS BIGINT) AS win,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN wm IS NOT NULL AND tn < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(coalesce(max(CASE WHEN wm IS NOT NULL AND tn < wm
+      |    THEN wm - tn ELSE NULL END), 0) AS BIGINT) AS max_lateness_ns
+      |FROM w GROUP BY 1
+      |ORDER BY win""".stripMargin
+
+  /** The stateful streaming path UNDER THE GATE: runs
+    * [[graft.streaming.EventStream.sessionizeEventTime]] — the real
+    * `flatMapGroupsWithState` + `withWatermark` + EventTimeTimeout
+    * session operator — over the events table staged as event_id-ordered
+    * micro-batches, then emits every closed session. A sentinel batch
+    * (user −1, far-future event time) advances the watermark so idle
+    * users' open sessions close via the event-time TIMEOUT path, not a
+    * test-only flush; the no-data batch Spark runs after a watermark
+    * advance fires them. The oracle replays the same 30-minute-gap
+    * sessionization in SQL — so this gate proves streaming ≡ batch on
+    * the session surface (the q193/q194 sizing tables' subject).
+    * Session bounds are ms-precision longs (`Timestamp.getTime` — the
+    * state fold's own unit; the oracle uses epoch_ms identically).
+    * Testdata arrival order is monotone, so no event is late under the
+    * 10-minute delay and the session output is exactly the batch
+    * sessionization (late-DROP parity under synthetic disorder is
+    * pinned in StreamingSpec, where arrival order can be forged). */
+  private[graft] def q195StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val ev = eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val maxTs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q195").toString
+    val inDir = s"$stage/in"
+    val nBatches = 3
+    def writeBatch(b: Int): Unit =
+      ev.filter(expr(s"event_id * $nBatches div ${maxId + 1}") === b)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val qname = "q195_sessions"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    import s.implicits._
+    writeBatch(0) // the file source checks the dir exists at definition
+    val out = EventStream.sessionizeEventTime(
+      s.readStream.schema(EventStream.RawEventSchema).parquet(inDir)
+        .as[EventStream.RawEvent],
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable()
+      (1 until nBatches).foreach { b => writeBatch(b); q.processAllAvailable() }
+      // one sentinel micro-batch (user −1, far-future) advances the
+      // watermark past every real timeout; the no-data batch Spark runs
+      // after a watermark change (SPARK-24156) fires them, and
+      // processAllAvailable waits for it.
+      Seq((maxId + 1, new java.sql.Timestamp(maxTs + 86400000L), -1L,
+        "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally { q.stop(); rmTree(stage) } // memory sink holds the rows
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  private[graft] val q195Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tm FROM events),
+      |g AS (
+      |  SELECT user_id, tm, event_id,
+      |    tm - lag(tm) OVER (PARTITION BY user_id ORDER BY tm, event_id) AS gap
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, tm, event_id,
+      |    sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tm, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g)
+      |SELECT user_id, CAST(min(tm) AS BIGINT) AS start_ms,
+      |  CAST(max(tm) AS BIGINT) AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM m GROUP BY user_id, sess
+      |ORDER BY user_id, start_ms""".stripMargin
+
+  /** The WINDOWED-AGGREGATION streaming path under the gate (ST1's
+    * other half — q195 gates the custom-state session operator, this
+    * gates `EventStream.windowedCounts`): the events table staged as a
+    * µs-timestamp stream, processed by the real watermarked
+    * tumbling-window aggregation (Structured Streaming state store,
+    * AvailableNow, complete mode), final table vs a DuckDB replay of
+    * the same 5-minute windows. `exactSum = true` uses the
+    * round(,6)→DECIMAL idiom so the value sums are associative and
+    * cross-engine exact. Window arithmetic replayed in integer µs. */
+  private[graft] def q201StreamWindows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q201").toString
+    val inDir = s"$stage/in"
+    eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(inDir)
+    val qname = "q201_windows"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    val out = EventStream.windowedCounts(
+      EventStream.readEvents(s, inDir), "5 minutes", "10 minutes",
+      exactSum = true)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    // memory sink holds the rows; a failed query must still drop the
+    // staged copy (the q195 discipline)
+    try q.awaitTermination() finally { q.stop(); rmTree(stage) }
+    s.table(qname)
+      .select(unix_millis(col("window_start")).as("win_ms"), col("event_type"),
+        col("n").cast("long").as("n"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("win_ms", "event_type")
+  }
+
+  private[graft] val q201Sql =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch_ns(ts) // 1000 AS tu FROM events)
+      |SELECT CAST((tu // 300000000) * 300000 AS BIGINT) AS win_ms,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(22,6))) AS DOUBLE), 4)
+      |    AS sum_value
+      |FROM e GROUP BY 1, 2
+      |ORDER BY win_ms, event_type""".stripMargin
+
+  /** Ordered funnel over the event log — the serving-analytics table a
+    * data platform reads beside the sessionization/sizing tiers: per
+    * user, first `view`, then first `click` STRICTLY after it, then
+    * first `purchase` strictly after that (the classic first-touch
+    * funnel; strict `>` on integer-ns timestamps is deterministic on
+    * both engines). One row per step with users reaching it and
+    * conversion vs step 1. Three user-keyed aggregations — each step
+    * is a shuffle on the SAME key, so the plan co-partitions and the
+    * events table is never globally ordered. */
+  private[graft] def q202Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val steps = Seq(("view", v), ("click", c), ("purchase", p)).zipWithIndex
+      .map { case ((et, df), i) =>
+        df.agg(count(lit(1)).cast("long").as("n_users"))
+          .select(lit((i + 1).toLong).as("step"), lit(et).as("event_type"),
+            col("n_users"))
+      }.reduce(_ unionByName _)
+    val base = steps.filter(col("step") === 1)
+      .select(col("n_users").as("__n1"))
+    steps.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n_users"),
+        round(when(col("__n1") > 0,
+          col("n_users").cast("double") / col("__n1")).otherwise(0.0), 4)
+          .as("conversion"))
+      .orderBy("step")
+  }
+
+  private[graft] val q202Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
+      |v AS (SELECT user_id, min(tn) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.tn) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.tn > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.tn) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.tn > c.t2 GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+      |    CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT))
+      |SELECT step, event_type, n_users,
+      |  round(CASE WHEN (SELECT n_users FROM s WHERE step = 1) > 0
+      |    THEN CAST(n_users AS DOUBLE) / (SELECT n_users FROM s WHERE step = 1)
+      |    ELSE 0.0 END, 4) AS conversion
+      |FROM s ORDER BY step""".stripMargin
+
+  /** Cohort retention matrix: users grouped by FIRST-SEEN epoch day,
+    * counted on each of their first 8 active-day offsets — the table
+    * behind every retention curve. Day arithmetic in integer ns
+    * (`ts div 86400e9`); exact distinct (user, day) activity then one
+    * aggregation to cohort×offset cells. Two shuffles on user-derived
+    * keys, corpus never ordered. */
+  private[graft] def q203CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val act = eventsNs(s, dir)
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    act.join(first, Seq("user_id"))
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .filter(col("offset") <= 7)
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .select(col("cohort_day").cast("long").as("cohort_day"),
+        col("offset").cast("long").as("offset"), col("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  private[graft] val q203Sql =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+      |SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+      |  CAST(a.day - f.cohort_day AS BIGINT) AS "offset",
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |WHERE a.day - f.cohort_day <= 7
+      |GROUP BY 1, 2 ORDER BY cohort_day, "offset"""".stripMargin
+
+  /** AS-OF join, Spark-first: each purchase attributed to the SAME
+    * user's most recent click at-or-before it (within 1 hour) — the
+    * operator class Spark lacks natively and naive implementations
+    * explode into range joins. The scale shape here is the sort-based
+    * union-tag plan: tag clicks 0 / purchases 1, ONE shuffle on
+    * user_id, one ordered window carrying
+    * `max(struct(ts, event_id)) over (rows unbounded preceding)` for
+    * the click side — the running "latest click" — then filter the
+    * purchase rows. No per-row range probe, no join explosion; cost is
+    * one exchange + one sort regardless of match density. Tie rule is
+    * explicit (equal-ts click attributes; among equal-ts clicks the
+    * highest event_id wins — struct lexicographic max), replayed by the
+    * oracle as a list-valued running max, so the pair set is exact. */
+  private[graft] def q204AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir)
+    val tagged = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val horizonNs = 3600L * 1000000000L
+    tagged
+      .withColumn("__lc",
+        max(when(col("kind") === 0, struct(col("ts"), col("event_id")))).over(w))
+      .filter(col("kind") === 1 && col("__lc").isNotNull &&
+        col("ts") - col("__lc.ts") <= horizonNs)
+      .select(col("event_id").as("purchase_id"),
+        col("__lc.event_id").as("click_id"),
+        (col("ts") - col("__lc.ts")).as("lag_ns"))
+      .orderBy("purchase_id")
+  }
+
+  private[graft] val q204Sql =
+    """WITH u AS (
+      |  SELECT user_id, epoch_ns(ts) AS tn, event_id, 0 AS kind
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_ns(ts), event_id, 1 FROM events
+      |  WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT user_id, tn, event_id, kind,
+      |    max(CASE WHEN kind = 0 THEN [tn, CAST(event_id AS BIGINT)] END)
+      |      OVER (PARTITION BY user_id ORDER BY tn, kind, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+      |  FROM u)
+      |SELECT event_id AS purchase_id, lc[2] AS click_id,
+      |  CAST(tn - lc[1] AS BIGINT) AS lag_ns
+      |FROM w
+      |WHERE kind = 1 AND lc IS NOT NULL AND tn - lc[1] <= 3600000000000
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Range-count join, Spark-first (q204's sibling for the INTERVAL
+    * case): for each purchase, how many `error` events the same user
+    * emitted within the following 5 minutes. The naive plan is a range
+    * join (quadratic blow-up on hot users); the scale shape here is the
+    * dual-anchor running count: union-tag errors (0), window-open
+    * anchors at the purchase time (1), window-close anchors at
+    * purchase+5min (2); ONE user_id exchange and ONE ordered window
+    * computing the running error count; each purchase's answer is
+    * count_at_close − count_at_open. Cost: one exchange + one sort,
+    * independent of match density — same discipline as q204. Tag order
+    * at equal timestamps fixes the bounds as EXCLUSIVE-open /
+    * INCLUSIVE-close: errors sort before anchors (tag 0 < 1, 2), so an
+    * error at exactly the purchase instant lands in the open snapshot
+    * and cancels out, while one at exactly close lands in the close
+    * snapshot and counts. Oracle replays the identical construction. */
+  private[graft] def q205RangeCount(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir)
+    val horizonNs = 300L * 1000000000L
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(0L).as("event_id"), lit(0).as("tag"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val opens = purchases.select(col("user_id"), col("ts"),
+      col("event_id"), lit(1).as("tag"))
+    val closes = purchases.select(col("user_id"),
+      (col("ts") + horizonNs).as("ts"), col("event_id"), lit(2).as("tag"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = errors.unionByName(opens).unionByName(closes)
+      .withColumn("__ce", sum(when(col("tag") === 0, 1L).otherwise(0L)).over(w))
+    counted.filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("__ce").as("c_open"))
+      .join(counted.filter(col("tag") === 2)
+        .select(col("event_id").as("purchase_id"), col("__ce").as("c_close")),
+        Seq("purchase_id"))
+      .select(col("purchase_id"),
+        (col("c_close") - col("c_open")).cast("long").as("n_errors_5m"))
+      .filter(col("n_errors_5m") > 0)
+      .orderBy("purchase_id")
+  }
+
+  private[graft] val q205Sql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type FROM events),
+      |tagged AS (
+      |  SELECT user_id, tn, CAST(0 AS BIGINT) AS event_id, 0 AS tag
+      |  FROM e WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT user_id, tn, event_id, 1 FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, tn + 300000000000, event_id, 2 FROM e
+      |  WHERE event_type = 'purchase'),
+      |counted AS (
+      |  SELECT user_id, tn, event_id, tag,
+      |    sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tn, tag, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+      |  FROM tagged)
+      |SELECT o.event_id AS purchase_id,
+      |  CAST(c.ce - o.ce AS BIGINT) AS n_errors_5m
+      |FROM counted o JOIN counted c
+      |  ON o.event_id = c.event_id AND o.tag = 1 AND c.tag = 2
+      |WHERE c.ce - o.ce > 0
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Spark's NATIVE `session_window` aggregation under the gate — the
+    * third stateful streaming operator family after q201's tumbling
+    * windows and q195's flatMapGroupsWithState (same sessions, entirely
+    * different executor: SessionWindowStateStore merge, no user state
+    * fold). Events staged as a µs stream, 30-minute-gap session windows
+    * per user in APPEND mode (a sentinel advances the watermark so
+    * every real session finalizes). Boundary rule, pinned empirically
+    * (StreamingSpec "session gap boundary"): `session_window` merges an
+    * event landing AT OR inside `last + gap` and breaks strictly
+    * beyond — the SAME inclusive boundary as foldSessions/q195, not the
+    * strict window-overlap reading of the docs; its window end is
+    * `last + gap`. The oracle replays exactly that rule in integer
+    * µs. */
+  private[graft] def q206SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    import s.implicits._
+    val ev = eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val maxTs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q206").toString
+    val inDir = s"$stage/in"
+    ev.write.parquet(inDir)
+    // the sentinel (user −1, far future) pushes the watermark past every
+    // real session's end so append mode emits them all
+    Seq((maxId + 1, new java.sql.Timestamp(maxTs + 86400000L), -1L,
+      "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val qname = "q206_sessions"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    val out = EventStream.readEvents(s, inDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("ws"),
+        col("session_window.end").as("we"), col("n_events"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally { q.stop(); rmTree(stage) }
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_millis(col("ws")).as("start_ms"),
+        unix_millis(col("we")).as("end_ms"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  private[graft] val q206Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tu FROM events),
+      |g AS (
+      |  SELECT user_id, tu, event_id,
+      |    tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS gap
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, tu, event_id,
+      |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tu, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g)
+      |SELECT user_id, CAST(min(tu) // 1000 AS BIGINT) AS start_ms,
+      |  CAST((max(tu) + 1800000000) // 1000 AS BIGINT) AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM m GROUP BY user_id, sess
+      |ORDER BY user_id, start_ms""".stripMargin
+
+  /** STREAM-STREAM interval join under the gate — the fourth stateful
+    * streaming operator family (StreamingSymmetricHashJoin): purchases
+    * joined to the same user's clicks in the preceding hour, both sides
+    * watermarked, the join range condition bounding the state Spark
+    * must retain. Inner joins emit matches as both sides arrive; one
+    * AvailableNow pass over the staged stream suffices. The oracle is
+    * the plain interval join — which is exactly the point: the
+    * streaming operator must produce the batch join's rows. */
+  private[graft] def q207StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q207").toString
+    val inDir = s"$stage/in"
+    eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(inDir)
+    val qname = "q207_pairs"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    val clicks = EventStream.readEvents(s, inDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = EventStream.readEvents(s, inDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally { q.stop(); rmTree(stage) }
+    s.table(qname)
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private[graft] val q207Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tu
+      |  FROM events)
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  CAST(p.tu - c.tu AS BIGINT) AS lag_us
+      |FROM e p JOIN e c
+      |  ON p.user_id = c.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.tu >= p.tu - 3600000000 AND c.tu <= p.tu
+      |ORDER BY purchase_id, click_id""".stripMargin
+
+}

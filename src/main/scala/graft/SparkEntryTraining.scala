@@ -1,0 +1,2355 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Tokenizer tier (BPE train/encode/pack), k-means training under
+  * the gate, estimator calibration, maintenance and audit queries — split out of SparkEntry.scala (round 13).
+  * Mechanical move, zero behavior change; the self-type
+  * gives every tier the shared helpers and sibling-tier
+  * members, with `SparkEntry.queries` staying the single
+  * assembly point. */
+private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
+
+  /** Corpus token vocabulary ([[TextAnalysis.tokenVocabulary]]): the
+    * GPT-2-style pre-tokenizer regex over lowered text, then the top-40
+    * tokens by occurrence count with document frequencies — the
+    * tokenizer-training / corpus-audit artifact. Two-phase aggregation
+    * (map-side-combinable (doc, token) counts, no count-distinct
+    * expand); the oracle runs the IDENTICAL Java∩RE2 pattern. */
+  private[graft] def q106TokenVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenVocabulary(t(s, dir, "documents"), topK = 40)
+
+  private[graft] val q106Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+      |        CAST(count(*) AS BIGINT) AS n_docs
+      |      FROM tf GROUP BY 1)
+      |SELECT token, n_occurrences, n_docs FROM v
+      |ORDER BY n_occurrences DESC, token LIMIT 40""".stripMargin
+  }
+
+  /** Per-language corpus length report: exact percentiles (p50/p90/p99)
+    * of character and token counts plus mean — the distribution table a
+    * pipeline reads before choosing chunk sizes, packing budgets, and
+    * truncation points. EXACT `percentile` here because the gate
+    * demands cross-engine value equality (DuckDB `quantile_cont`, same
+    * linear interpolation); at 100 TB swap in `approx_percentile`
+    * (same call shape, t-digest sketch, map-side combinable) — the
+    * exact form's per-group value map is the documented trade. */
+  private[graft] def q113CorpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), length(col("text")).cast("double").as("chars"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr("percentile(chars, array(0.5D, 0.9D, 0.99D))").as("cq"),
+        expr("percentile(toks, array(0.5D, 0.9D, 0.99D))").as("tq"),
+        round(avg("chars"), 4).as("mean_chars"))
+      .select(col("lang"), col("n_docs"),
+        round(element_at(col("cq"), 1), 4).as("chars_p50"),
+        round(element_at(col("cq"), 2), 4).as("chars_p90"),
+        round(element_at(col("cq"), 3), 4).as("chars_p99"),
+        round(element_at(col("tq"), 1), 4).as("toks_p50"),
+        round(element_at(col("tq"), 2), 4).as("toks_p90"),
+        round(element_at(col("tq"), 3), 4).as("toks_p99"),
+        col("mean_chars"))
+      .orderBy("lang")
+
+  private[graft] val q113Sql =
+    s"""WITH d AS (
+      |  SELECT lang, CAST(length(text) AS DOUBLE) AS chars,
+      |    CAST(len(regexp_split_to_array(trim(text),
+      |      '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS toks
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(quantile_cont(chars, 0.5), 4) AS chars_p50,
+      |  round(quantile_cont(chars, 0.9), 4) AS chars_p90,
+      |  round(quantile_cont(chars, 0.99), 4) AS chars_p99,
+      |  round(quantile_cont(toks, 0.5), 4) AS toks_p50,
+      |  round(quantile_cont(toks, 0.9), 4) AS toks_p90,
+      |  round(quantile_cont(toks, 0.99), 4) AS toks_p99,
+      |  round(avg(chars), 4) AS mean_chars
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Canonical text normalization ([[TextAnalysis.normalizeText]]):
+    * NFC + line-ending canon + control strip + whitespace collapse +
+    * trim — the step that makes dedup keys stable across encodings.
+    * md5-pinned (the q54 posture: one dialect divergence anywhere in
+    * the chain fails the gate). */
+  private[graft] def q112Normalize(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+        length(col("norm")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** The [[TextAnalysis.normalizeText]] chain as DuckDB SQL — shared by
+    * q112 and the q115 composition so the two oracles cannot drift. */
+  private[graft] def normSql(c: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    nfc_normalize($c),
+      |    '\\r\\n', chr(10), 'g'),
+      |    '\\r', chr(10), 'g'),
+      |    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+      |    '[ \\t]+', ' ', 'g'))""".stripMargin
+
+  private[graft] val q112Sql =
+    s"""SELECT doc_id, md5(norm) AS norm_md5,
+      |  CAST(length(norm) AS BIGINT) AS n_chars
+      |FROM (SELECT doc_id, ${normSql("text")} AS norm
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Normalization dedup-yield ladder: exact-duplicate counts under
+    * three progressively looser digests — raw md5, NFC-canonical (the
+    * q112 chain), and the alnum fingerprint (the q13/q14 key) — the
+    * "is each normalization stage earning its cost" table (each stage's
+    * extra dups over the previous are the docs ONLY that stage
+    * collapses). One scan computes all three digests; each stage is a
+    * digest-distinct count, exact longs only. */
+  private[graft] def q191NormYield(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val d = docs.select(
+      md5(col("text")).as("raw"),
+      md5(TextAnalysis.normalizeText(col("text"))).as("nrm"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    d.agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct("raw").cast("long").as("d_raw"),
+        countDistinct("nrm").cast("long").as("d_norm"),
+        countDistinct("fp").cast("long").as("d_fp"))
+      .select(col("n_docs"),
+        (col("n_docs") - col("d_raw")).as("dups_raw"),
+        (col("n_docs") - col("d_norm")).as("dups_nfc_norm"),
+        (col("n_docs") - col("d_fp")).as("dups_fingerprint"),
+        (col("d_raw") - col("d_norm")).as("extra_from_norm"),
+        (col("d_norm") - col("d_fp")).as("extra_from_fingerprint"))
+  }
+
+  private[graft] val q191Sql =
+    s"""WITH d AS (
+      |  SELECT md5(text) AS raw,
+      |    md5(${normSql("text")}) AS nrm,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) - count(DISTINCT raw) AS BIGINT) AS dups_raw,
+      |  CAST(count(*) - count(DISTINCT nrm) AS BIGINT) AS dups_nfc_norm,
+      |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dups_fingerprint,
+      |  CAST(count(DISTINCT raw) - count(DISTINCT nrm) AS BIGINT) AS extra_from_norm,
+      |  CAST(count(DISTINCT nrm) - count(DISTINCT fp) AS BIGINT) AS extra_from_fingerprint
+      |FROM d""".stripMargin
+
+  /** Prepare-training-shard composition: the pipeline tiers chained in
+    * ONE query — canonical normalization ([[TextAnalysis.normalizeText]],
+    * q112's op), exact dedup on the NORMALIZED digest (keep min doc_id —
+    * normalization is exactly what makes this digest stable), then
+    * token-budget packing per source ([[Packing.packBins]], q52's op)
+    * over the kept docs. One corpus scan feeds the dedup window; packing
+    * adds its per-source cumsum window; nothing else shuffles. The
+    * oracle composes the same three replays.
+    *
+    * Scale note: the digest window here (the [[Dedup.exactDedup]]
+    * shape) re-keys full rows by fingerprint — fine through the probed
+    * 250k-doc scale, but at 100 TB the production posture is
+    * [[Dedup.dedupCorpus]]'s kept-ids form: derive min-id per digest
+    * over a NARROW (fp, id) projection, then semi-join ids against a
+    * doc_id-bucketed corpus layout so no text column crosses an
+    * exchange. */
+  private[graft] def q115PrepareShard(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val normed = t(s, dir, "documents")
+      .withColumn("text", TextAnalysis.normalizeText(col("text")))
+      .withColumn("__fp", md5(col("text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col("doc_id"))
+    val kept = normed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
+    Packing.packBins(kept, budget = 256).orderBy("source", "bin")
+  }
+
+  private[graft] val q115Sql =
+    s"""WITH n AS (
+      |  SELECT source, doc_id, ${normSql("text")} AS ntext FROM documents),
+      |kept AS (
+      |  SELECT source, doc_id, ntext FROM (
+      |    SELECT n.*, row_number() OVER (
+      |      PARTITION BY md5(ntext) ORDER BY doc_id) AS rn FROM n)
+      |  WHERE rn = 1),
+      |tok AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(ntext)),
+      |      '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens
+      |  FROM kept),
+      |cum AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM tok)
+      |SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM cum GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
+  /** BPE trainer corpus surface ([[TextAnalysis.bpePairCounts]]):
+    * weighted adjacent-symbol-pair counts over the capped word-frequency
+    * table — iteration 0 of [[TextAnalysis.trainBpe]], and the only step
+    * of a BPE trainer that touches the corpus (one scan; the merge loop
+    * runs on the capped table). Top-20 pairs, count DESC, (lhs, rhs)
+    * ties. */
+  private[graft] def q111BpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairCounts(t(s, dir, "documents"),
+      maxWords = 1000, topK = 20)
+
+  private[graft] val q111Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+      |       ORDER BY cnt DESC, token LIMIT 1000),
+      |syms AS (SELECT cnt,
+      |    list_append(regexp_extract_all(token, '.'), '</w>') AS s
+      |  FROM tf),
+      |pr AS (SELECT cnt,
+      |    unnest(list_transform(range(len(s)-1),
+      |      i -> {'lhs': s[i+1], 'rhs': s[i+2]})) AS p
+      |  FROM syms)
+      |SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS n
+      |FROM pr GROUP BY 1, 2
+      |ORDER BY n DESC, lhs, rhs LIMIT 20""".stripMargin
+  }
+
+  /** BPE merges artifact cache, keyed on the documents table. */
+  private[graft] def bpeCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0xb9e5L ^
+        datasetFingerprint(s, s"$dir/documents.parquet"))
+    s"${GraftConfig.storeRoot}/graft-bpe-$key"
+  }
+
+  /** Train-or-load the BPE tokenizer artifact (trainer cap shared with
+    * q111's pair table: the merge loop runs on the top-1000
+    * word-frequency rows; 24 merges). */
+  private[graft] def bpeMergesArtifact(s: SparkSession, dir: String)
+      : Seq[TextAnalysis.BpeMerge] = {
+    val path = s"${bpeCachePath(s, dir)}/merges.txt"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      TextAnalysis.saveBpe(path, TextAnalysis.trainBpe(
+        t(s, dir, "documents"), nMerges = 24, maxWords = 1000))
+    TextAnalysis.loadBpe(path)
+  }
+
+  /** Corpus token frequencies under the trained BPE
+    * ([[TextAnalysis.bpeTokenCounts]]): the ENCODE half of the
+    * tokenizer tier — q111 trains the merges, this applies them, so a
+    * pipeline's real token budgets (packing, cost estimates, vocabulary
+    * audits) come from the tokenizer it actually trained. One corpus
+    * exchange (the `token_tf` word-frequency table); the `bpe_encode`
+    * kernel then runs on the distinct-word table only. The oracle is
+    * GENERATED from the persisted merges — every merge replayed as a
+    * `list_reduce` fold in rank order. */
+  private[graft] def q118BpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenCounts(t(s, dir, "documents"),
+      bpeMergesArtifact(s, dir), topK = 40)
+
+  /** Per-document BPE token counts ([[TextAnalysis.bpeTokenCountPerDoc]]):
+    * the packing/cost budget under the TRAINED tokenizer, not the
+    * `ceil(len/4)` estimate — zero shuffle (one per-row fold over the
+    * `token_tf` vocabulary). Same generated-oracle lifecycle as q118. */
+  private[graft] def q121BpeDocTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenCountPerDoc(t(s, dir, "documents"),
+      bpeMergesArtifact(s, dir)).orderBy("doc_id")
+
+  /** Tokenizer fertility per language ([[TextAnalysis.tokenizerFertility]]):
+    * BPE tokens per pre-token word and chars per BPE token rolled up per
+    * predicted language under the TRAINED merges — the multilingual
+    * tokenizer health report (a language the merges byte-shred shows
+    * fertility far above the rest). One scan; merges-artifact generated
+    * oracle composing the q12 language replay with the q121 count
+    * replay. */
+  private[graft] def q138TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerFertility(t(s, dir, "documents"),
+      bpeMergesArtifact(s, dir)).orderBy("lang_pred")
+
+  /** Tokenizer round-trip gate ([[TextAnalysis.bpeRoundtripPerDoc]]):
+    * decode∘encode over the TRAINED merges must reproduce every
+    * document's pre-token stream exactly — the engine runs the real
+    * encode kernel per token occurrence and strips the word marker;
+    * the oracle states the identity from the pre-tokenizer alone (the
+    * q96 identity-oracle posture). */
+  private[graft] def q133BpeRoundtrip(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeRoundtripPerDoc(t(s, dir, "documents"),
+      bpeMergesArtifact(s, dir)).orderBy("doc_id")
+
+  private[graft] val q133Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT)
+      |    AS n_tokens,
+      |  md5(array_to_string(regexp_extract_all(lower(text), '$pat'), ' '))
+      |    AS roundtrip_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unigram LM quality scoring (`TextAnalysis.unigramVocab` +
+    * `lmScore`): the CCNet/Gopher perplexity-filter shape — top-16
+    * vocabulary ML log-probs, OOV floor ln(1/(total+1)), per-doc mean
+    * token ln-prob as the quality signal. K=16 against this corpus's
+    * 31-token vocabulary so the OOV path is EXERCISED, not decorative.
+    * The oracle replays the vocab cut (cnt desc, token tie-break) and
+    * the ascending-token-order fold. */
+  private[graft] def q70LmQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.lmScore(docs, TextAnalysis.unigramVocab(docs, k = 16))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val q70Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_sort(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |    x -> x <> '')) AS ts
+      |  FROM documents),
+      |tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS total FROM toks),
+      |vc AS (
+      |  SELECT t.token, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(ts) AS token FROM toks) t GROUP BY 1),
+      |vocab AS (
+      |  SELECT token, ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) AS logp
+      |  FROM vc, tot t ORDER BY cnt DESC, token LIMIT 16),
+      |px AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+      |    i -> struct_pack(rn := i, tok := ts[i]))) AS p
+      |  FROM toks),
+      |lp AS (
+      |  SELECT doc_id, p.rn AS rn,
+      |    coalesce(v.logp, ln(1.0 / (CAST(t.total AS DOUBLE) + 1.0))) AS logp,
+      |    CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM px LEFT JOIN vocab v ON px.p.tok = v.token, tot t),
+      |agg AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0.0, list(logp ORDER BY rn)), (a, b) -> a + b) AS s,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(oov) AS BIGINT) AS n_oov
+      |  FROM lp GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  round(coalesce(a.s / CAST(a.n_tokens AS DOUBLE), 0.0), 4) AS lm_logprob,
+      |  coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.n_oov, 0) AS n_oov
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** IVF index health (`IvfIndex.cellStats`): per-cell occupancy +
+    * FAISS's `imbalance_factor` diagnostic over the shared quantizer —
+    * the report an operator reads before raising nlist or retraining. */
+  private[graft] def q83IvfStats(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    IvfIndex.cellStats(withCells, ivf).orderBy("cell_id")
+  }
+
+  /** Embedding-space outlier report: per-cell residual-distance
+    * z-scores over the shared quantizer — the hygiene check that
+    * catches corrupt/degenerate vectors (zeroed rows, wrong-model
+    * embeds, truncation artifacts) BEFORE they enter an index, where
+    * they quietly poison every cell they land in. dist = ‖x − c(x)‖
+    * (the `residual_f32` + `norm_f32` kernels); per-cell mean/stddev
+    * come from one nlist-row aggregate broadcast back — the corpus is
+    * scanned once and never shuffled. Flags z > 2. */
+  private[graft] def q116EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    GraftFunctions.register(s)
+    val withDist = withCells.withColumn("dist",
+      GraftFunctions.normF32(
+        PqIndex.residualColumn(ivf, col("embedding"), col("cell_id"))))
+    val stats = withDist.groupBy("cell_id")
+      .agg(avg("dist").as("mu"), stddev("dist").as("sd"))
+    withDist.join(broadcast(stats), "cell_id")
+      // when() guards sd = 0: a cell holding only copies of one vector
+      // (exact-dup embeddings — routine at corpus scale) has zero
+      // variance and NO outliers; the bare division threw DIVIDE_BY_ZERO
+      // under ANSI at the 100× replicated corpus. Single-member cells
+      // (sd NULL) drop the same way.
+      .withColumn("z",
+        when(col("sd") > 0, (col("dist") - col("mu")) / col("sd")))
+      .filter(col("z") > 2.0)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("dist"), 4).as("dist"), round(col("z"), 4).as("z"))
+      .orderBy("doc_id")
+  }
+
+  /** Binary Hamming search ([[BinaryIndex]]): FAISS `IndexBinaryFlat`
+    * over sign-packed multi-word codes (the `IndexLSH` zero-threshold
+    * binarizer, faiss/IndexLSH.cpp), run at the reference's 768-d via
+    * the widened corpus ([[widenEmb]] — 12 words/row, ALL d bits
+    * packed). The oracle replays the SEMANTICS — Hamming distance =
+    * count of sign-disagreeing dimensions over the full width — while
+    * the engine runs the packed per-word `bitCount(xor)` kernel, so the
+    * multi-word bit-packing itself sits under the gate. */
+  private[graft] def q84BinarySearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
+    val qCode = BinaryIndex.encode(emb.filter(col("vec_id") === 0), idCol = "vec_id")
+      .select("code").collect()(0).getSeq[Long](0).toArray
+    BinaryIndex.searchHamming(
+      BinaryIndex.encode(emb.filter(col("vec_id") =!= 0), idCol = "vec_id"),
+      qCode, 10, idCol = "vec_id")
+  }
+
+  private[graft] val q84Sql =
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |q AS (SELECT embedding AS qe FROM __wide WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(len(list_filter(range(len(e.embedding)),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
+      |FROM __wide e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY hamming, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Binary Hamming range search ([[BinaryIndex.rangeHamming]]): FAISS
+    * `IndexBinaryFlat::range_search` — every id within `maxDist` bits of
+    * the query, no top-k, run at 768-d over the widened multi-word codes
+    * (the q84 corpus). Pure probed scan + codegen predicate; the radius
+    * (300 of 768 bits) sits between the corpus minimum (~228) and the
+    * 5% quantile (~300) at every SF, so the slice is non-empty and stays
+    * proportional to corpus size. Oracle = the q84 sign-semantics replay
+    * with the radius filter instead of the LIMIT. */
+  private[graft] def q103BinaryRange(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
+    val qCode = BinaryIndex.encode(emb.filter(col("vec_id") === 0), idCol = "vec_id")
+      .select("code").collect()(0).getSeq[Long](0).toArray
+    BinaryIndex.rangeHamming(
+      BinaryIndex.encode(emb.filter(col("vec_id") =!= 0), idCol = "vec_id"),
+      qCode, maxDist = 300, idCol = "vec_id")
+  }
+
+  private[graft] val q103Sql =
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |q AS (SELECT embedding AS qe FROM __wide WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(len(list_filter(range(len(e.embedding)),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
+      |FROM __wide e, q
+      |WHERE e.vec_id <> 0
+      |  AND len(list_filter(range(len(e.embedding)),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) <= 300
+      |ORDER BY hamming, e.vec_id""".stripMargin
+
+  /** Binary hash-bucket search ([[BinaryIndex.searchHash]]): FAISS
+    * `IndexBinaryHash` — codes bucketed on their first `b` bits, the
+    * query probing every bucket within `nflip` bit flips of its own key
+    * (FAISS's FlipEnumerator, here a driver-enumerated static `isin` →
+    * partition/row-group pruning), candidates ranked by FULL Hamming
+    * distance. Run at 768-d over the widened multi-word codes (the q84
+    * corpus). The oracle replays the semantics: the bucket-key distance
+    * IS the sign-disagreement count over the first `b` dims, so the
+    * probe predicate needs no key arithmetic at all. */
+  private[graft] def q134BinaryHash(s: SparkSession, dir: String): DataFrame = {
+    val hashed = bhashCorpus(s, dir)
+    val qCode = hashed.filter(col("vec_id") === 0)
+      .select("code").collect()(0).getSeq[Long](0).toArray
+    BinaryIndex.searchHash(hashed.filter(col("vec_id") =!= 0), qCode,
+      b = 8, nflip = 1, k = 10, idCol = "vec_id")
+  }
+
+  private[graft] val q134Sql =
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |q AS (SELECT embedding AS qe FROM __wide WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(len(list_filter(range(len(e.embedding)),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
+      |FROM __wide e, q
+      |WHERE e.vec_id <> 0
+      |  AND len(list_filter(range(8),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) <= 1
+      |ORDER BY hamming, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Multi-table binary hash search ([[BinaryIndex.searchMultiHash]]):
+    * FAISS `IndexBinaryMultiHash` — `nhash` tables over disjoint b-bit
+    * code slices, a row admitted when ANY table's key is within `nflip`
+    * flips of the query's (FAISS dedups candidates with a per-query
+    * bloom filter; the disjunctive predicate evaluates once per row, so
+    * duplication cannot happen). Same widened 768-d corpus; the oracle's
+    * admit rule is the OR of three sign-disagreement windows. */
+  private[graft] def q135BinaryMultiHash(s: SparkSession, dir: String): DataFrame = {
+    val hashed = bhashCorpus(s, dir)
+    val qCode = hashed.filter(col("vec_id") === 0)
+      .select("code").collect()(0).getSeq[Long](0).toArray
+    BinaryIndex.searchMultiHash(hashed.filter(col("vec_id") =!= 0), qCode,
+      b = 8, nhash = 3, nflip = 1, k = 10, idCol = "vec_id")
+  }
+
+  private[graft] val q135Sql =
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |q AS (SELECT embedding AS qe FROM __wide WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(len(list_filter(range(len(e.embedding)),
+      |    i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) AS BIGINT) AS hamming
+      |FROM __wide e, q
+      |WHERE e.vec_id <> 0
+      |  AND (len(list_filter(range(8),
+      |         i -> (e.embedding[i+1] > 0) != (q.qe[i+1] > 0))) <= 1
+      |    OR len(list_filter(range(8),
+      |         i -> (e.embedding[i+9] > 0) != (q.qe[i+9] > 0))) <= 1
+      |    OR len(list_filter(range(8),
+      |         i -> (e.embedding[i+17] > 0) != (q.qe[i+17] > 0))) <= 1)
+      |ORDER BY hamming, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** k-means training loop ([[Clustering.lloyd]]): FAISS `Clustering` /
+    * `kmeans_clustering` with the TRAINING itself under the gate — the
+    * oracle unrolls every Lloyd iteration in SQL (init → argmin assign →
+    * integer-exact centroid update → next assign), so assignment rule,
+    * update arithmetic, empty-cell policy and per-iteration objective
+    * (FAISS `ClusteringIterationStats.obj`) are all hash-checked, not
+    * just a trained artifact. */
+  private[graft] def q136Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val res = Clustering.lloyd(emb, k = 8, iters = 3)
+    res.history.toDF()
+      .select(col("iter").cast("long").as("iter"),
+        col("cell").cast("long").as("cell_id"),
+        col("n"), round(col("obj"), 4).as("obj"))
+      .orderBy("iter", "cell_id")
+  }
+
+  private[graft] val q136Sql = OracleSqlGen.kmeansLloydSql(k = 8, iters = 3)
+
+  /** Weighted k-means ([[Clustering.lloyd]] `weightCol`): FAISS
+    * `Clustering::train_encoded`'s per-point weights with integer
+    * multiplicities — the dedup-then-train pattern (train on distinct
+    * representatives weighted by copy count and get the SAME solution
+    * as training on the raw corpus, at a fraction of the scan). Weights
+    * here are the deterministic `(id % 5) + 1` so the oracle replays
+    * them inline; every update stays exact (BIGINT `Σ w·x̂` sums, one
+    * IEEE division — see the operator doc for the overflow headroom). */
+  private[graft] def q171WeightedKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+      .withColumn("w", (col("doc_id") % 5) + 1)
+    val res = Clustering.lloyd(emb, k = 8, iters = 3, weightCol = Some("w"))
+    res.history.toDF()
+      .select(col("iter").cast("long").as("iter"),
+        col("cell").cast("long").as("cell_id"),
+        col("n"), round(col("obj"), 4).as("obj"))
+      .orderBy("iter", "cell_id")
+  }
+
+  private[graft] val q171Sql = OracleSqlGen.kmeansLloydSql(k = 8, iters = 3,
+    weightExpr = Some("(e.vec_id % 5) + 1"))
+
+  /** Spherical k-means ([[Clustering.lloyd]] `spherical = true`): FAISS
+    * `ClusteringParameters.spherical` — centroids re-normalized to the
+    * unit sphere after every update, the right quantizer geometry for
+    * inner-product/cosine indexes (the engine's IVF probe metric). Same
+    * unrolled-training oracle with the normalization step replayed
+    * (double fold norm + guarded division). */
+  private[graft] def q140SphericalKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val res = Clustering.lloyd(emb, k = 8, iters = 3, spherical = true)
+    res.history.toDF()
+      .select(col("iter").cast("long").as("iter"),
+        col("cell").cast("long").as("cell_id"),
+        col("n"), round(col("obj"), 4).as("obj"))
+      .orderBy("iter", "cell_id")
+  }
+
+  private[graft] val q140Sql =
+    OracleSqlGen.kmeansLloydSql(k = 8, iters = 3, spherical = true)
+
+  /** k-elbow sweep ([[Clustering.lloyd]] at k ∈ {4, 8, 16}): the third
+    * tuning axis beside q107 (nprobe) and q123 (nlist) — per-(k, iter)
+    * non-empty cell count and total objective, the curve an operator
+    * reads to size a quantizer before committing to an nlist. Objective
+    * totals are exact decimal re-sums of the per-cell decimal-born
+    * values (order-independent on both engines). */
+  private[graft] def q141KmeansSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val rows = Seq(4, 8, 16).flatMap { k =>
+      val res = Clustering.lloyd(emb, k, iters = 3)
+      res.history.groupBy(_.iter).toSeq.map { case (it, cells) =>
+        val obj = cells.map(c => BigDecimal(c.obj)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        (k.toLong, it.toLong, cells.size.toLong, obj.toDouble)
+      }
+    }
+    rows.toDF("k", "iter", "n_cells", "obj")
+      .select(col("k"), col("iter"), col("n_cells"),
+        round(col("obj"), 4).as("obj"))
+      .orderBy("k", "iter")
+  }
+
+  private[graft] val q141Sql = OracleSqlGen.kmeansSweepSql(ks = Seq(4, 8, 16), iters = 3)
+
+  /** Lloyd-trained IVF cache, keyed like [[ivfCachePath]]. */
+  private[graft] def lloydIvfCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x11fdL ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-livf-$key"
+  }
+
+  /** Build-or-load the Lloyd-trained IVF: quantizer = the GATED
+    * training loop's centroids ([[Clustering.lloyd]], k=16 × 3 iters),
+    * persisted in the standard quantizer artifact + cell-partitioned
+    * corpus. */
+  private[graft] def lloydIvfCorpus(s: SparkSession, dir: String)
+      : (DataFrame, IvfIndex.Ivf) = {
+    GraftFunctions.register(s)
+    val base = lloydIvfCachePath(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val ivf =
+      if (IvfIndex.exists(s, s"$base/quantizer.txt"))
+        IvfIndex.load(s, s"$base/quantizer.txt")
+      else {
+        val res = Clustering.lloyd(emb, k = 16, iters = 3)
+        val built = IvfIndex.Ivf(Some(res.centroids), nlist = 16)
+        IvfIndex.save(s, built, s"$base/quantizer.txt")
+        built
+      }
+    val cpath = s"$base/corpus"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS"))
+      IvfIndex.assign(emb, ivf).write.mode("overwrite")
+        .partitionBy("cell_id").parquet(cpath)
+    (s.read.parquet(cpath), ivf)
+  }
+
+  /** Quantizer-retrain churn: the clustering-agreement audit between
+    * the serving quantizer (the shared sampled-trained q21 artifact)
+    * and the Lloyd-retrained one (q143's) — how much co-residency a
+    * retrain would destroy (FAISS leaves this judgment to the operator;
+    * q137 triggers the retrain, THIS prices it: low retained
+    * co-residency means cached cell routing, SemDeDup cells and graph
+    * locality all reshuffle). Both cell-partitioned stores are read
+    * id+cell only (column-pruned); the contingency table is
+    * ≤ nlist² rows; pair counts are exact longs (`n·(n−1)/2`), one
+    * guarded division. Oracle replays BOTH Voronoi assignments from
+    * the two persisted quantizer artifacts. */
+  private[graft] def q190QuantizerChurn(s: SparkSession, dir: String): DataFrame = {
+    val (storeA, _) = ivfCorpus(s, dir)
+    val (storeB, _) = lloydIvfCorpus(s, dir)
+    val ct = storeA.select(col("doc_id"), col("cell_id").cast("int").as("ca"))
+      .join(storeB.select(col("doc_id"), col("cell_id").cast("int").as("cb")),
+        Seq("doc_id"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("n"))
+    val ta = ct.groupBy("ca").agg(sum("n").as("na"))
+      .agg(sum(expr("na * (na - 1) div 2")).cast("long").as("pairs_same_a"))
+    val tb = ct.groupBy("cb").agg(sum("n").as("nb"))
+      .agg(sum(expr("nb * (nb - 1) div 2")).cast("long").as("pairs_same_b"))
+    val tboth = ct.agg(
+      sum(expr("n * (n - 1) div 2")).cast("long").as("pairs_same_both"),
+      sum("n").cast("long").as("n_vectors"))
+    tboth.crossJoin(ta).crossJoin(tb)
+      .select(col("n_vectors"), col("pairs_same_a"), col("pairs_same_b"),
+        col("pairs_same_both"),
+        round(when(col("pairs_same_a") > 0,
+          col("pairs_same_both").cast("double") / col("pairs_same_a"))
+          .otherwise(lit(0.0)), 4).as("coresidency_retained"))
+  }
+
+  /** Trainer→index coherence gate: probed IVF search over a quantizer
+    * trained by the GATED Lloyd loop ([[Clustering.lloyd]]) — the q136
+    * training and the q21 search semantics composed end-to-end. The
+    * oracle is generated from the persisted Lloyd centroids through the
+    * SAME `ivfSearchSql` replay every IVF query uses, so trainer,
+    * artifact, assignment and probed scan all sit under one hash. */
+  private[graft] def q143LloydIvf(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = lloydIvfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(withCells, ivf, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Embedding-drift audit ([[IvfIndex.driftStats]]): two corpus
+    * snapshots (id slices — the ingest-growth shape: most ids shared,
+    * one decile removed, another added) compared under the SHARED
+    * persisted quantizer. Per-cell occupancy + mean residual distance
+    * for both sides, plus the absolute occupancy shift — the
+    * quantitative retrain trigger that closes the index-maintenance
+    * loop (q83 reports one snapshot's health; this reports the DELTA
+    * between corpus versions, the q125 diff idea lifted into embedding
+    * space). Generated oracle: assignment + residual-fold replay per
+    * slice from the persisted centroids. */
+  private[graft] def q137EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val (_, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    IvfIndex.driftStats(
+      emb.filter(col("doc_id") % 10 =!= 0),
+      emb.filter(col("doc_id") % 10 =!= 1), ivf)
+      .orderBy("cell_id")
+  }
+
+  /** Batch range search ([[VectorSearch.rangeSearchBatch]]): FAISS
+    * `Index::range_search` — every within-radius (query, doc) pair, no
+    * top-k. Emitted in the engine's total order; per-query counts
+    * (FAISS `lims`) are one groupBy away. */
+  private[graft] def q85RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    // Widened 768-d corpus ([[widenEmb]]); the radius scales with the 12
+    // rotation blocks (dot over the widened pair ≈ 12× the 64-d dot).
+    // Sort on the UNROUNDED score, then project the rounded one — the
+    // oracle ranks on its exact fold, and round(·,4) near-ties must not
+    // reorder rows across the two engines.
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), widenEmb(col("embedding")).as("embedding"))
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    VectorSearch.rangeSearchBatch(queries, emb.filter(col("vec_id") >= 8),
+        minScore = 2.4, idCol = "vec_id")
+      .orderBy(col("query_id"), desc("score"), col("vec_id"))
+      .select(col("query_id"), col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Sharded search ([[VectorSearch.knnSharded]]): FAISS `IndexShards` —
+    * the corpus split into 4 id-disjoint shard tables, each serving its
+    * own top-k, merged by the global total order in ONE job (per-shard
+    * bounded partial top-k; only 4·k candidate rows cross the shuffle).
+    * Result ≡ the flat scan; the oracle states exactly that (global
+    * top-10 with the shard tag recomputed). */
+  private[graft] def q139ShardSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val shards = (0 until 4).map(i => rest.filter(col("vec_id") % 4 === i))
+    VectorSearch.knnSharded(shards, qVec, k = 10, idCol = "vec_id")
+      .select(col("shard"), col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
+  private[graft] val q139Sql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT e.vec_id % 4 AS shard, e.vec_id,
+      |    ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS s
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0)
+      |SELECT CAST(shard AS BIGINT) AS shard, vec_id, round(s, 4) AS score
+      |FROM scored
+      |ORDER BY s DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label — the negatives that actually teach a retrieval/
+    * embedding model (random negatives are too easy; same-label hits
+    * are positives). The label predicate composes INTO the scored scan
+    * (the q110 filtered-ANN posture applied pre-top-k: negatives are
+    * ranked among negatives, not filtered after), broadcast queries,
+    * one window per query. */
+  private[graft] def q145HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__s"), col("vec_id").asc)
+    emb.filter(col("vec_id") >= 4)
+      .crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("label").cast("long").as("label"),
+        round(col("__s"), 4).as("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] val q145Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      |           FROM embeddings WHERE vec_id < 4),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id, e.label,
+      |    ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS s,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC,
+      |        e.vec_id ASC) AS rnk
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id >= 4 AND e.label <> q.ql)
+      |SELECT query_id, vec_id, CAST(label AS BIGINT) AS label,
+      |  round(s, 4) AS score, CAST(rnk AS BIGINT) AS rank
+      |FROM scored WHERE rnk <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Label-based retrieval evaluation (P@10 / MRR / nDCG@10): the IR
+    * metrics an embedding/retrieval training run reports against a
+    * labeled eval set — relevance = label match, per query over the
+    * exact top-10. DCG folds the rank-ordered relevance list (ordered
+    * fold, the q66 idiom — a bare SUM over doubles is addition-order
+    * nondeterministic); ideal DCG folds the first `min(10, R)` ranks;
+    * MRR = 1/first-relevant-rank. Completes the search-quality tooling
+    * beside the recall family (q34/q47/q89, which measure approx-vs-
+    * exact; this measures exact-vs-LABELS). */
+  private[graft] def q146RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__s"), col("vec_id").asc)
+    val hits = corpus.crossJoin(broadcast(queries))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"),
+        (col("label") === col("q_label")).as("rel"))
+    // R = relevant mass in the corpus per query label (broadcast k rows)
+    val rCounts = corpus.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_rel"))
+    val perQuery = hits.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("rel"))))
+        .as("__hl"))
+      .select(col("query_id"),
+        transform(col("__hl"), e => e.getField("rel")).as("__rels"))
+    val logFold = (l: Column) => aggregate(
+      sequence(lit(1), l), lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0))
+    queries.select(col("query_id"), col("q_label"))
+      .join(broadcast(rCounts), Seq("q_label"), "left")
+      .join(perQuery, Seq("query_id"))
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("__rels"))
+      .withColumn("p_at_10",
+        round(aggregate(col("__rels"), lit(0L),
+          (acc, r) => acc + when(r, 1L).otherwise(0L)).cast("double") / 10.0, 4))
+      .withColumn("mrr", round(coalesce(
+        lit(1.0) / aggregate(zip_with(col("__rels"),
+            sequence(lit(1), size(col("__rels"))),
+            (r, i) => when(r, i)).cast("array<int>"),
+          lit(null).cast("int"),
+          (acc, i) => least(coalesce(acc, i), coalesce(i, acc))).cast("double"),
+        lit(0.0)), 4))
+      .withColumn("__dcg", aggregate(
+        zip_with(col("__rels"), sequence(lit(1), size(col("__rels"))),
+          (r, i) => when(r, lit(1.0) / log2(i.cast("double") + 1.0))
+            .otherwise(lit(0.0))),
+        lit(0.0), (acc, t) => acc + t))
+      // guard on n_rel BEFORE building the fold: sequence(1, 0) in Spark
+      // DESCENDS ([1, 0] — step defaults to -1), which would fold a
+      // 1/log2(1) = 1/0 term; with n_rel > 0 the bound is always >= 1
+      .withColumn("__idcg",
+        when(col("n_rel") > 0, logFold(least(lit(10L), col("n_rel")))))
+      .withColumn("ndcg_at_10",
+        round(when(col("__idcg") > 0, col("__dcg") / col("__idcg")), 4))
+      .select("query_id", "n_rel", "p_at_10", "mrr", "ndcg_at_10")
+      .orderBy("query_id")
+  }
+
+  private[graft] val q146Sql = {
+    def dcgFold(rels: String) =
+      s"""list_reduce(list_prepend(0.0,
+         |    list_transform(range(1, len($rels) + 1),
+         |      i -> CASE WHEN $rels[i] THEN 1.0 / log2(i + 1.0) ELSE 0.0 END)),
+         |    (acc, t) -> acc + t)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, q.ql, e.vec_id, e.label,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC,
+      |        e.vec_id ASC) AS rnk
+      |  FROM embeddings e, q WHERE e.vec_id >= 8),
+      |rels AS (
+      |  SELECT query_id, list(label = ql ORDER BY rnk) AS rl,
+      |    min(CASE WHEN label = ql THEN rnk END) AS firstrel
+      |  FROM scored WHERE rnk <= 10 GROUP BY query_id),
+      |rc AS (
+      |  SELECT q.query_id,
+      |    (SELECT count(*) FROM embeddings e
+      |     WHERE e.vec_id >= 8 AND e.label = q.ql) AS n_rel
+      |  FROM q)
+      |SELECT r.query_id, CAST(rc.n_rel AS BIGINT) AS n_rel,
+      |  round(CAST(len(list_filter(r.rl, x -> x)) AS DOUBLE) / 10.0, 4) AS p_at_10,
+      |  round(coalesce(1.0 / r.firstrel, 0.0), 4) AS mrr,
+      |  round(CASE WHEN rc.n_rel > 0 THEN
+      |    ${dcgFold("r.rl")} /
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(range(1, CAST(least(10, rc.n_rel) AS INTEGER) + 1),
+      |        i -> 1.0 / log2(i + 1.0))),
+      |      (acc, t) -> acc + t)
+      |  END, 4) AS ndcg_at_10
+      |FROM rels r JOIN rc USING (query_id)
+      |ORDER BY r.query_id""".stripMargin
+  }
+
+  /** MMR diversified rerank ([[VectorSearch.mmrSelect]]): greedy
+    * maximal-marginal-relevance selection over the exact top-15
+    * candidates (λ = 0.7, 5 picks) — the serving-time diversity pass.
+    * The oracle UNROLLS the greedy loop (the q97/q136 posture): one CTE
+    * per pick, each an argmax of `λ·s − (1−λ)·max sim-to-selected` over
+    * the remaining candidates, with the penalty coefficient emitted as
+    * the exact Scala double of `1 − λ` (0.3 written as a literal is a
+    * DIFFERENT double than 1 − 0.7). */
+  private[graft] def q147MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val cands = emb.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding"),
+        GraftFunctions.dotF32(col("embedding"), typedLit(qVec)).as("s"))
+      .orderBy(desc("s"), col("vec_id").asc).limit(15)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getSeq[Float](1).toArray))
+      .toSeq
+    VectorSearch.mmrSelect(cands, lambda = 0.7, k = 5)
+      .zipWithIndex
+      .map { case ((id, sc, mmr), i) => (i + 1L, id, sc, mmr) }
+      .toDF("sel_rank", "vec_id", "score", "mmr")
+      .select(col("sel_rank"), col("vec_id"),
+        round(col("score"), 4).as("score"), round(col("mmr"), 4).as("mmr"))
+      .orderBy("sel_rank")
+  }
+
+  private[graft] val q147Sql = {
+    val lam = 0.7
+    val pen = (1 - lam).toString // the EXACT engine double (0.30000000000000004)
+    def selUnion(upTo: Int) =
+      (1 to upTo).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+    val steps = (2 to 5).map { i =>
+      s"""s$i AS (
+         |  SELECT c.vec_id, c.s, $lam * c.s - $pen * m.mx AS mmr
+         |  FROM cand c JOIN (
+         |    SELECT ia, max(sim) AS mx FROM sims
+         |    WHERE ib IN (${selUnion(i - 1)}) GROUP BY ia) m ON m.ia = c.vec_id
+         |  WHERE c.vec_id NOT IN (${selUnion(i - 1)})
+         |  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5)
+      .map(i => s"SELECT $i AS sel_rank, vec_id, s, mmr FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, embedding, s FROM (
+       |    SELECT e.vec_id, e.embedding,
+       |      ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS s,
+       |      row_number() OVER (ORDER BY
+       |        ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC,
+       |        e.vec_id ASC) AS rn
+       |    FROM embeddings e, q WHERE e.vec_id >= 8) WHERE rn <= 15),
+       |sims AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ${OracleSqlGen.dotFold("a.embedding", "b.embedding")} AS sim
+       |  FROM cand a, cand b),
+       |s1 AS (
+       |  SELECT vec_id, s, $lam * s AS mmr FROM cand
+       |  ORDER BY $lam * s DESC, vec_id ASC LIMIT 1),
+       |$steps
+       |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
+       |  round(s, 4) AS score, round(mmr, 4) AS mmr
+       |FROM (
+       |  $out)
+       |ORDER BY sel_rank""".stripMargin
+  }
+
+  /** k-NN majority-vote classification over the labeled eval slice:
+    * the classic `faiss.knn` eval-harness use (neighbors vote the
+    * label; FAISS's own benchmarks score indexes this way) and the
+    * label-propagation primitive a curation pipeline uses to spread
+    * sparse human labels over an unlabeled corpus. Exact top-10 per
+    * query, vote = neighbor count per label, ties broken toward the
+    * smaller label id (deterministic on both engines). Completes the
+    * eval family: q34/q47/q89 measure recall-vs-exact, q146 measures
+    * ranking-vs-labels, this measures CLASSIFICATION-vs-labels.
+    *
+    * Scale shape: queries broadcast (bounded eval slice), ONE corpus
+    * scan scores all of them, the vote is a per-query few-row
+    * aggregate over the top-k — the q17 batch posture. */
+  private[graft] def q148KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__s"), col("vec_id").asc)
+    val hits = corpus.crossJoin(broadcast(queries))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("votes"), col("label").asc)
+    hits.groupBy(col("query_id"), col("q_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__vr", row_number().over(vw))
+      .filter(col("__vr") === 1)
+      .select(col("query_id"),
+        col("q_label").cast("long").as("true_label"),
+        col("label").cast("long").as("pred_label"),
+        col("votes"),
+        (col("label") === col("q_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
+  private[graft] val q148Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, q.ql, e.vec_id, e.label,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY ${OracleSqlGen.dotFold("e.embedding", "q.qe")} DESC,
+      |        e.vec_id ASC) AS rnk
+      |  FROM embeddings e, q WHERE e.vec_id >= 8),
+      |votes AS (
+      |  SELECT query_id, ql, label, count(*) AS votes
+      |  FROM scored WHERE rnk <= 10 GROUP BY query_id, ql, label),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY votes DESC, label ASC) AS vr FROM votes)
+      |SELECT query_id, CAST(ql AS BIGINT) AS true_label,
+      |  CAST(label AS BIGINT) AS pred_label, CAST(votes AS BIGINT) AS votes,
+      |  label = ql AS correct
+      |FROM best WHERE vr = 1
+      |ORDER BY query_id""".stripMargin
+
+  /** Deterministic epoch shuffle + shard assignment — the training-order
+    * emitter at the very end of a data pipeline: every epoch gets its own
+    * seeded global permutation of the corpus, sharded for N data-loader
+    * workers. Assignment is pure hashing (shard = md5-prefix mod
+    * n_shards, balanced in expectation), order within a shard is the
+    * same hash — so the "shuffle" never actually shuffles more than a
+    * sort WITHIN each (epoch, shard) partition: at 1000 shards each sort
+    * covers corpus/1000, embarrassingly parallel, no global total order
+    * anywhere (a position-striped "exactly equal shards" design would
+    * need one, which is why loaders don't do it that way). Output is the
+    * audit form: per (epoch, shard) doc count + md5 fingerprint of the
+    * ordered id sequence (the q129 bounded-group concat idiom; production
+    * emits the (doc_id, epoch, shard, pos) rows themselves and never
+    * concatenates). */
+  /** Loader shard-balance audit over q149's epoch/shard assignment: per
+    * epoch, shard count, token min/max/total and the max/min balance
+    * ratio — what actually determines whether N data-loader workers
+    * finish an epoch together (doc counts balance by hashing; TOKEN
+    * mass is what stragglers are made of). Integer aggregates + one
+    * guarded division. */
+  private[graft] def q184ShardBalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+    val epochs = s.range(0, 2).toDF("epoch")
+    val keyed = docs.crossJoin(broadcast(epochs))
+      .withColumn("__k", md5(concat(lit("epoch:"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("__k"), 1, 8), 16, 10).cast("long") % 4)
+    keyed.groupBy("epoch", "shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("nt").cast("long").as("n_tokens"))
+      .groupBy("epoch")
+      .agg(count(lit(1)).cast("long").as("n_shards"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"),
+        sum("n_tokens").cast("long").as("total_tokens"))
+      .withColumn("balance", round(when(col("min_tokens") > 0,
+        col("max_tokens").cast("double") / col("min_tokens")).otherwise(lit(0.0)), 4))
+      .orderBy("epoch")
+  }
+
+  private[graft] val q184Sql =
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT e.epoch, d.doc_id, d.nt,
+      |    md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':' ||
+      |        CAST(d.doc_id AS VARCHAR)) AS k
+      |  FROM tok d, (SELECT unnest(range(2)) AS epoch) e),
+      |sharded AS (
+      |  SELECT epoch, ${OracleSqlGen.hexPrefixToBigint("k", 8)} % 4 AS shard, nt
+      |  FROM keyed),
+      |per AS (
+      |  SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens
+      |  FROM sharded GROUP BY epoch, shard)
+      |SELECT CAST(epoch AS BIGINT) AS epoch,
+      |  CAST(count(*) AS BIGINT) AS n_shards,
+      |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+      |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  round(CASE WHEN min(n_tokens) > 0
+      |    THEN CAST(max(n_tokens) AS DOUBLE) / min(n_tokens) ELSE 0.0 END, 4)
+      |    AS balance
+      |FROM per GROUP BY epoch
+      |ORDER BY epoch""".stripMargin
+
+  private[graft] def q149EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val epochs = s.range(0, 2).toDF("epoch")
+    val keyed = docs.crossJoin(broadcast(epochs))
+      .withColumn("__k", md5(concat(lit("epoch:"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("__k"), 1, 8), 16, 10).cast("long") % 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy(col("__k").asc, col("doc_id").asc)
+    keyed.withColumn("pos", row_number().over(w))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+          e => e.getField("doc_id").cast("string")), ",")).as("order_md5"))
+      .orderBy("epoch", "shard")
+  }
+
+  private[graft] val q149Sql =
+    s"""WITH keyed AS (
+      |  SELECT e.epoch, d.doc_id,
+      |    md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':' ||
+      |        CAST(d.doc_id AS VARCHAR)) AS k
+      |  FROM documents d, (SELECT unnest(range(2)) AS epoch) e),
+      |sharded AS (
+      |  SELECT epoch, doc_id, k,
+      |    ${OracleSqlGen.hexPrefixToBigint("k", 8)} % 4 AS shard
+      |  FROM keyed)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id))
+      |    AS order_md5
+      |FROM sharded GROUP BY epoch, shard
+      |ORDER BY epoch, shard""".stripMargin
+
+  /** Exact-quota stratified sampling ([[Sampling.stratifiedQuotaSample]]):
+    * exactly ⌈0.2·n⌉ docs per language — the "fixed-size eval slice per
+    * stratum" draw, vs q53/q57's hash-threshold membership which is only
+    * right in expectation. Audit output: per-stratum totals, the exact
+    * quota hit, and the md5 of the selected id set (the q129/q149
+    * bounded-group fingerprint idiom). */
+  private[graft] def q150QuotaSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Sampling.stratifiedQuotaSample(docs, 0.2, "lang", "doc_id", "quota")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",")).as("sample_md5"))
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("n_docs")), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_sampled"), col("sample_md5"))
+      .orderBy("lang")
+  }
+
+  private[graft] val q150Sql =
+    s"""WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8),
+      |        doc_id) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |sel AS (SELECT lang, doc_id, n FROM ranked
+      |        WHERE r <= ceil(CAST(n AS DOUBLE) * 0.2))
+      |SELECT lang, CAST(min(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_sampled,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+      |    AS sample_md5
+      |FROM sel GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** k-NN label purity: for each probe vector, how many of its 10
+    * nearest neighbors share its label — the embedding-quality metric
+    * reported per label (low purity = labels not separable in this
+    * space; read before trusting k-NN classification q148 or semantic
+    * dedup). Probes = ids [8, 40) (bounded slice, self excluded), ONE
+    * scored scan; purity = Σ same-label hits / (10 · n_probes), exact
+    * longs and one division. */
+  private[graft] def q164KnnPurity(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 40)
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").as("q_embedding"), col("label").as("p_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("__s"), col("vec_id").asc)
+    emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("__s", GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= 10)
+      .groupBy(col("p_label").cast("long").as("label"))
+      .agg(count_distinct(col("probe_id")).as("n_probes"),
+        sum(when(col("label") === col("p_label"), 1L).otherwise(0L)).as("n_same"))
+      .select(col("label"), col("n_probes"), col("n_same"),
+        round(col("n_same").cast("double") /
+          (col("n_probes") * 10L).cast("double"), 4).as("purity"))
+      .orderBy("label")
+  }
+
+  private[graft] val q164Sql =
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS qe, label AS pl
+      |           FROM embeddings WHERE vec_id >= 8 AND vec_id < 40),
+      |scored AS (
+      |  SELECT p.probe_id, p.pl, e.vec_id, e.label,
+      |    row_number() OVER (PARTITION BY p.probe_id
+      |      ORDER BY ${OracleSqlGen.dotFold("e.embedding", "p.qe")} DESC,
+      |        e.vec_id ASC) AS rnk
+      |  FROM embeddings e, p
+      |  WHERE e.vec_id >= 8 AND e.vec_id <> p.probe_id)
+      |SELECT CAST(pl AS BIGINT) AS label,
+      |  CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+      |  CAST(count(*) FILTER (WHERE label = pl) AS BIGINT) AS n_same,
+      |  round(CAST(count(*) FILTER (WHERE label = pl) AS DOUBLE) /
+      |    CAST(count(DISTINCT probe_id) * 10 AS DOUBLE), 4) AS purity
+      |FROM scored WHERE rnk <= 10
+      |GROUP BY pl ORDER BY label""".stripMargin
+
+  /** Pairwise distance matrix ([[VectorSearch.pairwiseDistances]]):
+    * FAISS `pairwise_distances` — every (query, doc) pair over a
+    * bounded eval slice, squared L2 + inner product together. No
+    * ranking, no top-k: the matrix IS the result (eval harnesses,
+    * calibration audits). Fixed id windows keep the pair surface
+    * constant across scale factors. */
+  private[graft] def q122PairwiseDist(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    VectorSearch.pairwiseDistances(queries,
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 28), idCol = "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(col("l2sq"), 4).as("l2sq"), round(col("ip"), 4).as("ip"))
+      .orderBy("query_id", "vec_id")
+  }
+
+  private[graft] val q122Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 4)
+      |SELECT q.query_id, e.vec_id,
+      |  round(list_reduce(list_prepend(0.0,
+      |    list_transform(list_zip(q.qe, e.embedding),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+      |           (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+      |    (acc, t) -> acc + t), 4) AS l2sq,
+      |  round(${OracleSqlGen.dotFold("e.embedding", "q.qe")}, 4) AS ip
+      |FROM embeddings e, q
+      |WHERE e.vec_id >= 8 AND e.vec_id < 28
+      |ORDER BY query_id, vec_id""".stripMargin
+
+  /** PCA-reduced search ([[PcaTransform]]): FAISS `PCAMatrix` 64→16 in
+    * front of a flat-IP scan (`IndexPreTransform`). The oracle is
+    * GENERATED from the persisted artifact — projection replay (strict
+    * left fold + float cast) and top-k in the reduced space, so the
+    * trained mean/eigenbasis itself is under the gate. */
+  private[graft] def q86PcaSearch(s: SparkSession, dir: String): DataFrame = {
+    val (projected, pca) = pcaCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PcaTransform.search(projected.filter(col("doc_id") =!= 0), pca, qVec, k = 10)
+      .select(col("doc_id").as("vec_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** ITQ binary search ([[ItqTransform]]): FAISS `ITQMatrix` — a
+    * trained orthogonal rotation of the PCA-reduced space minimizing
+    * sign-quantization error, in front of a flat Hamming scan (the
+    * `ITQ32,LSH` factory chain). The oracle is GENERATED from the
+    * composed persisted artifact: projection replayed as the strict
+    * double fold + float cast, Hamming as the count of sign-disagreeing
+    * projected dims. */
+  private[graft] def q119ItqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (codes, itq) = itqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    ItqTransform.search(codes.filter(col("doc_id") =!= 0), itq, qVec, k = 10)
+      .select(col("doc_id").as("vec_id"), col("hamming"))
+  }
+
+  /** Cell-blocked k-NN graph ([[KnnGraph]]): every vector's top-4
+    * neighbors within its IVF cell — the FAISS knn-graph build
+    * re-expressed as an equality self-join + one rank window that reuses
+    * the join's partitioning (no second exchange). Oracle GENERATED from
+    * the shared quantizer. */
+  private[graft] def q87KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val (_, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    KnnGraph.cellBlocked(emb, ivf, k = 4)
+      .select(col("src"), col("dst"), col("rnk"),
+        round(col("score"), 4).as("score"))
+      .orderBy("src", "rnk")
+  }
+
+  /** SQ8 reconstruction audit ([[SqIndex.reconstructionError]]): FAISS
+    * `reconstruct_n` paired with the originals — per-vector
+    * `‖x − decode(encode(x))‖₂` in one narrow projection (no join with
+    * the codes store; encode is deterministic). Oracle GENERATED from
+    * the persisted bounds. */
+  private[graft] def q88SqRecon(s: SparkSession, dir: String): DataFrame = {
+    val (_, sq) = sqCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    SqIndex.reconstructionError(emb, sq)
+      .select(col("doc_id"), round(col("err"), 4).as("err"))
+      .orderBy("doc_id")
+  }
+
+  /** Binary candidate recall ([[BinaryIndex]]): does the exact float
+    * top-10 survive into the Hamming top-100 candidate set? The
+    * measurement behind two-stage binary search (Hamming candidates →
+    * pushed-id exact re-rank); completes the per-path recall family
+    * (q34 IVF, q47 LSH, q89 binary). */
+  private[graft] def q89BinaryRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    // Both arms run over the widened 768-d view ([[widenEmb]]): the
+    // exact float top-10 and the 12-word Hamming top-100 candidates.
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), widenEmb(col("embedding")).as("embedding"))
+    val corpus = emb.filter(col("doc_id") >= 8)
+    val queries = emb.filter(col("doc_id") < 8).select("doc_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val qdf = queries.toDF("query_id", "q_embedding")
+    val exact = VectorSearch.knnBatchAggregated(qdf, corpus, 10)
+      .select("query_id", "doc_id")
+    val qCodes = queries.map { case (id, v) => (id, BinaryIndex.packOne(v)) }
+      .toDF("query_id", "q_code")
+    // aggregated batch form: partial top-k before the shuffle (window
+    // parity spec-pinned in BinaryIndexSpec)
+    val cand = BinaryIndex
+      .searchHammingBatchAggregated(qCodes, BinaryIndex.encode(corpus), k = 100)
+      .select("query_id", "doc_id")
+    VectorSearch.recallVsExact(qdf, exact, cand, "doc_id", k = 10)
+  }
+
+  /** OPQ + PQ search ([[OpqTransform]]): the learned rotation fronts
+    * the PQ/ADC pipeline (FAISS `OPQ8,PQ8`). Oracle GENERATED from BOTH
+    * artifacts — the rotation replayed as a zero-mean projection CTE,
+    * then the codebook replay over rotated vectors — so the trained
+    * rotation and the rotated-space codebooks are both under the gate. */
+  private[graft] def q90OpqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, rot, pq) = opqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.search(encoded, pq, OpqTransform.rotateOne(rot, qVec), k = 10)
+      .select(col("doc_id"), round(col("adc"), 4).as("adc"))
+  }
+
+  /** `OPQ8,IVF16,PQ8` ([[opqIvfCorpus]]): the full FAISS factory chain —
+    * learned rotation front, coarse quantizer trained in rotated space,
+    * residual PQ, probed ADC scan. The query rotates driver-side
+    * ([[OpqTransform.rotateOne]]) and the search is exactly q78's
+    * probed-cells codes-only plan; all THREE artifacts (rotation,
+    * quantizer, codebooks) feed the generated oracle. */
+  private[graft] def q105OpqIvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, rot, ivf, pq) = opqIvfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    PqIndex.searchIvfAdc(encoded, ivf, pq,
+        OpqTransform.rotateOne(rot, qVec), k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("adc"), 4).as("adc"))
+  }
+
+  /** Residual-quantizer search ([[RqIndex]]): FAISS
+    * `IndexResidualQuantizer` (greedy/beam-1 encode) — the ADDITIVE
+    * quantizer family beside PQ's concatenative one: 2 full-dim
+    * codebooks, codes = one argmin per level, score = reconstructed
+    * inner product through the shared `adc_lut` kernel (per-level
+    * q·centroid LUT summed in level order). Both level codebooks feed
+    * the GENERATED oracle, which replays the greedy encode chain. */
+  private[graft] def q114RqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, rq) = rqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    RqIndex.search(encoded, rq, qVec, k = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** RQ reconstruction audit ([[RqIndex.reconstructionError]]): the
+    * additive-quantizer quality number, completing the audit triple
+    * with q88 (SQ8) and q99 (PQ). Oracle GENERATED from the per-level
+    * codebooks, replaying the greedy encode chain + additive decode. */
+  private[graft] def q117RqRecon(s: SparkSession, dir: String): DataFrame = {
+    val (_, rq) = rqCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    RqIndex.reconstructionError(emb, rq)
+      .select(col("doc_id"), round(col("err"), 4).as("err"))
+      .orderBy("doc_id")
+  }
+
+  /** IVF-SQ8 search ([[SqIndex.searchIvf]]): FAISS
+    * `IndexIVFScalarQuantizer` (by-residual) — probed cells only, codes
+    * scanned through the shared `adc_lut_cells` kernel with the cell
+    * centroid folded into each per-dim LUT entry. Oracle GENERATED from
+    * the quantizer + residual bounds. */
+  private[graft] def q91IvfSqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, sq) = ivfSqCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    SqIndex.searchIvf(encoded, ivf, sq, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** IVF-SQ4 probed search ([[SqIndex.searchIvf4]]): FAISS
+    * `IndexIVFScalarQuantizer` QT_4bit (by-residual) — the 8× point of
+    * the IVF-coded family; packed-nibble residual codes scanned through
+    * the shared `adc_lut_cells` kernel with PAIRED per-cell LUT entries
+    * (centroid folded in). Oracle GENERATED from the quantizer + the
+    * 4-bit residual bounds. */
+  private[graft] def q102IvfSq4Search(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf, sq) = ivfSq4Corpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    SqIndex.searchIvf4(encoded, ivf, sq, qVec, k = 10, nprobe = 4)
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Binary IVF search ([[BinaryIndex.searchIvfHamming]]): FAISS
+    * `IndexBinaryIVF` (`BIVF<nlist>`) under the engine's SHARED coarse
+    * quantizer — probed cells only, d/8 B/row Hamming scan with partition
+    * pruning. Oracle GENERATED from the quantizer. */
+  private[graft] def q92BivfSearch(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf) = bivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    // Probe on the 64-d quantizer vector; match on the widened 768-d code.
+    BinaryIndex.searchIvfHamming(encoded, ivf, qVec, k = 10, nprobe = 4,
+        queryCode = BinaryIndex.packOne(widenVec(qVec)))
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        col("hamming"))
+  }
+
+  /** Probed binary range search ([[BinaryIndex.rangeIvfHamming]]): FAISS
+    * `IndexBinaryIVF::range_search` — the q103 semantics at the q92 scan
+    * cost (probed cells only; note: like FAISS, within-radius matches in
+    * UNPROBED cells are missed — that's the recall trade the nprobe knob
+    * buys). Probe on the 64-d quantizer vector; match on the widened
+    * 768-d code. */
+  private[graft] def q108BivfRange(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, ivf) = bivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    BinaryIndex.rangeIvfHamming(encoded, ivf, qVec, maxDist = 320, nprobe = 4,
+        queryCode = BinaryIndex.packOne(widenVec(qVec)))
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        col("hamming"))
+  }
+
+  /** Persisted k-NN graph cache (the q87 build, k=4), src-sorted so the
+    * beam walk's per-hop `In(src, …)` filters prune row groups via
+    * column statistics — a graph INDEX is ingest-time work; walking a
+    * computed graph frame would re-run the build self-join every hop. */
+  private[graft] def graphCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x96afL ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-knng-$key"
+  }
+
+  private[graft] def graphCorpus(s: SparkSession, dir: String): DataFrame = {
+    val (_, ivf) = ivfCorpus(s, dir)
+    val cpath = s"${graphCachePath(s, dir)}/graph"
+    if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
+      val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+      KnnGraph.cellBlocked(emb, ivf, k = 4)
+        .sort("src").write.mode("overwrite").parquet(cpath)
+    }
+    s.read.parquet(cpath)
+  }
+
+  /** HNSW-family graph search ([[GraphSearch.searchBeam]]): a greedy
+    * beam walk over the PERSISTED cell-blocked k-NN graph
+    * ([[graphCorpus]]), seeded by the coarse probe (the quantizer plays
+    * HNSW's upper layers). Oracle GENERATED from the shared quantizer
+    * with the hops UNROLLED in SQL — graph build, probe, entry, three
+    * expand/score/beam blocks, final top-k — so the whole walk (not
+    * just its output shape) sits under the gate. */
+  private[graft] def q97GraphSearch(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    GraphSearch.searchBeam(graphCorpus(s, dir), withCells, ivf, qVec, k = 10,
+        nprobe = 4, beamWidth = 8, hops = 3)
+      .select(col("rnk"), col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy("rnk")
+  }
+
+  /** Batched graph walk ([[GraphSearch.searchBeamBatch]]): 4 queries
+    * walk the persisted k-NN graph TOGETHER — per hop ONE `src IN
+    * (union of beams)` graph expansion and ONE multi-dot-column pruned
+    * corpus scan, instead of 2 driver jobs per query per hop (the
+    * searchIvfAdcBatch posture; the single walk is latency-bound at
+    * the scheduler's per-job floor). Oracle = the q97 replay per
+    * query, unioned — batching shares reads, never decisions. */
+  private[graft] def q132GraphBatch(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qs = t(s, dir, "embeddings").filter(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    GraphSearch.searchBeamBatch(graphCorpus(s, dir), withCells, ivf, qs,
+        k = 10, nprobe = 4, beamWidth = 8, hops = 3)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Incremental graph insert ([[GraphSearch.insert]] — FAISS
+    * `IndexHNSW::add` re-shaped): ONE new node (vec 0's embedding under
+    * a fresh id) inserted into the persisted k-NN graph via the
+    * existing beam walk — probe-top-1 cell assignment, in-cell
+    * forward top-k, reverse splice with degree re-cap, connectivity
+    * guard. Emits the TOUCHED slice (the new node's forward list +
+    * every chosen neighbor's final list); untouched nodes never appear,
+    * mirroring the affected-partition write a persisted store would do.
+    * Oracle replays the entire insert — walk, assignment, splice, cap,
+    * guard — in SQL ([[graft.OracleSqlGen.graphInsertSql]]), so the
+    * graph tier's maintenance mutation sits under the gate exactly like
+    * the IVF tier's q152/q154/q168. Sequential multi-insert semantics
+    * (later inserts see earlier ones) are spec-pinned in
+    * GraphSearchSpec. */
+  private[graft] def q198GraphInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val v = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val newId = 10000000L
+    val (grown, _) = GraphSearch.insert(graphCorpus(s, dir), withCells, ivf,
+      Seq((newId, v)), kGraph = 4, nprobe = 4, beamWidth = 8, hops = 3)
+    val chosen = grown.filter(col("src") === newId)
+      .select(col("dst").cast("long")).as[Long].collect().toSeq
+    grown.filter(col("src") === newId || col("src").isin(chosen: _*))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("rnk").cast("long").as("rnk"), round(col("score"), 4).as("score"))
+      .orderBy("src", "rnk")
+  }
+
+  /** Graph-side node REMOVAL ([[GraphSearch.removeNodes]] — the
+    * maintenance pair of q198's insert, mirroring the IVF tier's
+    * q152/q154): ids with `doc_id % 101 = 7` leave the corpus; their
+    * graph rows drop, and every surviving node that pointed at one gets
+    * a REBUILD-EQUIVALENT refill (exact top-k among its cell's
+    * re-capped survivors) so no dangling edge or shrunken list remains.
+    * Emits the refilled slice — the only rows a persisted store would
+    * rewrite. Oracle replays removal, re-cap, and refill from the
+    * shared quantizer ([[graft.OracleSqlGen.graphRemoveSql]]). */
+  private[graft] def q199GraphRemove(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val removed = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 101 === 7)
+      .select(col("vec_id").cast("long")).as[Long].collect().sorted.toSeq
+    val (pruned, affected) = GraphSearch.removeNodesWithAffected(
+      graphCorpus(s, dir), withCells, removed,
+      kGraph = 4, maxCellSize = SemanticDedup.DefaultMaxCellSize)
+    pruned.filter(col("src").isin(affected: _*))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("rnk").cast("long").as("rnk"), round(col("score"), 4).as("score"))
+      .orderBy("src", "rnk")
+  }
+
+  /** Deterministic farthest-first quantizer SEEDING under the gate —
+    * the k-means++-family init (Arthur & Vassilvitskii 2007; FAISS
+    * seeds by random subsample, this engine's deterministic analog is
+    * the classic k-center greedy): start from the lowest-id vector,
+    * then k−1 times pick the point FARTHEST from its nearest chosen
+    * seed (`max min-dist`, ties → lowest id). Complements the q136/q140
+    * Lloyd gates (which start from the lowest-k-ids init): this is the
+    * init a pipeline runs when the low-id prefix is geometrically
+    * degenerate. Each step is ONE corpus scan with a k-term `least()`
+    * of `l2_distance_f32` kernels — k scans total, corpus never
+    * shuffled; at 100 TB seeding runs on the documented train SAMPLE,
+    * like every trainer here. Emits (step, vec_id, min_dist): the
+    * distance ladder itself is the diagnostic (a sharp drop at step j
+    * says the data has ~j natural clusters). Oracle unrolls the greedy
+    * loop as k−1 CTE blocks over the strict sqrt-of-squared-delta
+    * fold. */
+  private[graft] def q200FarthestInit(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val k = 8
+    val first = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].head()
+    var chosen = Vector((first._1, first._2.toArray, 0.0))
+    while (chosen.size < k) {
+      val minD = chosen.map { case (_, v, _) =>
+        GraftFunctions.l2DistanceF32(col("embedding"), typedlit(v.toSeq))
+      }.reduce(least(_, _))
+      val next = emb
+        .select(col("vec_id").cast("long"), col("embedding"), minD.as("md"))
+        .orderBy(desc("md"), col("vec_id").asc).limit(1)
+        .as[(Long, Seq[Float], Double)].head()
+      chosen = chosen :+ ((next._1, next._2.toArray, next._3))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => ((i + 1).toLong, id, d) }
+      .toDF("step", "vec_id", "min_dist")
+      .select(col("step"), col("vec_id"), round(col("min_dist"), 4).as("min_dist"))
+      .orderBy("step")
+  }
+
+  private[graft] val q200Sql = {
+    def l2f(a: String, b: String): String =
+      s"""sqrt(list_reduce(list_prepend(0.0,
+         |      list_transform(list_zip($a, $b),
+         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+         |             (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+         |      (acc, t) -> acc + t))""".stripMargin
+    val k = 8
+    val steps = (2 to k).map { i =>
+      val dists = (1 until i).map(j => l2f("e.embedding", s"p$j.embedding"))
+      val minD = if (dists.size == 1) dists.head
+                 else s"least(${dists.mkString(", ")})"
+      val froms = (1 until i).map(j => s"p$j").mkString(", ")
+      s"""s$i AS (
+         |  SELECT e.vec_id, e.embedding, $minD AS md
+         |  FROM e, $froms),
+         |p$i AS (
+         |  SELECT vec_id, embedding, md FROM s$i
+         |  ORDER BY md DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      val md = if (i == 1) "0.0" else s"round(p$i.md, 4)"
+      s"SELECT CAST($i AS BIGINT) AS step, p$i.vec_id, $md AS min_dist FROM p$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |p1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+       |$steps
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  /** k-NN graph hygiene report: the audit an operator reads before
+    * trusting the graph tier — node/edge counts, degree extremes (a
+    * node under k edges means its cell was smaller than k), and
+    * reciprocity (mutual-edge rate: low reciprocity marks hub-and-
+    * spoke geometry where greedy walks strand — the property HNSW's
+    * heuristic pruning manages). Exact longs + one division; stats run
+    * over the SAME persisted graph the walks traverse. */
+  private[graft] def q159GraphStats(s: SparkSession, dir: String): DataFrame = {
+    val g = graphCorpus(s, dir).select("src", "dst")
+    val rec = g.as("a").join(g.as("b"),
+      col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+      "left_semi")
+    val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
+    g.agg(count_distinct(col("src")).as("n_nodes"),
+        count(lit(1)).as("n_edges"))
+      .crossJoin(rec.agg(count(lit(1)).as("n_reciprocal")))
+      .crossJoin(deg.agg(min("deg").as("min_deg"), max("deg").as("max_deg")))
+      .select(col("n_nodes"), col("n_edges"), col("n_reciprocal"),
+        round(col("n_reciprocal").cast("double") /
+          col("n_edges").cast("double"), 4).as("reciprocity"),
+        col("min_deg"), col("max_deg"))
+  }
+
+  /** Beam-width tuning sweep on the graph walk — the graph tier's
+    * `efSearch` axis, completing the tuning family (nprobe q107, nlist
+    * q123, k-elbow q141): the SAME persisted graph walked at beam ∈
+    * {2, 4, 8}, full top-10 surface per beam under the gate. A wider
+    * beam scores more frontier nodes per hop (recall ↑, cost ∝
+    * beam·degree); the oracle replays the whole walk per beam value —
+    * only the beam cutoff changes between blocks. */
+  private[graft] def q157BeamSweep(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val graph = graphCorpus(s, dir)
+    Seq(2, 4, 8).map { bw =>
+      GraphSearch.searchBeam(graph, withCells, ivf, qVec, k = 10,
+          nprobe = 4, beamWidth = bw, hops = 3)
+        .select(lit(bw.toLong).as("beam"), col("rnk"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+    }.reduce(_ unionAll _).orderBy("beam", "rnk")
+  }
+
+  /** Probed IVF range search ([[IvfIndex.rangeSearch]]): FAISS
+    * `IndexIVF::range_search` — every within-radius id in the probed
+    * cells, partition-pruned, no top-k. Oracle GENERATED from the
+    * shared quantizer; threshold and order on the UNROUNDED strict-fold
+    * dot (the q85 posture). */
+  private[graft] def q98IvfRange(s: SparkSession, dir: String): DataFrame = {
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    IvfIndex.rangeSearch(withCells, ivf, qVec, minScore = 0.2, nprobe = 4)
+      .orderBy(desc("score"), col("doc_id"))
+      .select(col("doc_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** PQ reconstruction audit ([[PqIndex.reconstructionError]]): FAISS
+    * `reconstruct_n` for IndexPQ — per-vector `‖x − decode(encode(x))‖₂`
+    * from the persisted codebooks, completing the audit pair with q88's
+    * SQ8 twin. Oracle GENERATED from the codebooks (assignment +
+    * float-cast decode + strict dim-order fold). */
+  private[graft] def q99PqRecon(s: SparkSession, dir: String): DataFrame = {
+    val (_, pq) = pqCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    PqIndex.reconstructionError(emb, pq)
+      .select(col("doc_id"), round(col("err"), 4).as("err"))
+      .orderBy("doc_id")
+  }
+
+  /** One-scan corpus screen: language, Gopher and C4 verdicts from a
+    * SINGLE projection over raw text — the FineWeb/RefinedWeb-style
+    * filter chain as one Spark job instead of one pass per rule. Every
+    * kernel is per-row (`text_stats`, `gopherFlags`, `c4Signals`), so
+    * a 100 TB corpus is read once for all verdicts; the per-rule
+    * queries (q12/q75/q65) remain the rule-level gates, this is the
+    * composed pipeline gate. */
+  private[graft] def q93CorpusScreen(s: SparkSession, dir: String): DataFrame =
+    screenVerdicts(s, dir).orderBy("doc_id")
+
+  /** The composed screen scan behind q93 and the q126 rollup —
+    * `keepCols` pass extra document columns (e.g. `source`) through the
+    * ONE scan so rollups never re-join the corpus. */
+  private[graft] def screenVerdicts(s: SparkSession, dir: String,
+                             keepCols: Seq[String] = Nil,
+                             withTokens: Boolean = false): DataFrame = {
+    GraftFunctions.register(s)
+    val kept = keepCols.map(col)
+    // withTokens rides the SAME text_stats struct the language id
+    // consumes — the q142 rollup gets ws-token counts with zero extra
+    // text passes (and q93's output schema stays untouched).
+    val tokenCols =
+      if (withTokens) Seq(col("__st.n_tokens").as("n_tokens")) else Nil
+    // Language is judged on the RAW text (the appended English sentences
+    // would drown the marker counts); the C4/Gopher verdicts run on a
+    // lightly seeded body — 3/4 of docs get a sentence-shaped tail so
+    // both verdict polarities occur (raw synthetic docs are one
+    // unpunctuated line and would all fail C4).
+    // The tail supplies BOTH C4 sentence shape and ≥2 distinct Gopher
+    // stopwords (the synthetic corpus vocabulary contains none).
+    val tail = ".\nThat sentence will have to be part of the document, " +
+      "and it ends with a period." +
+      "\nAnother proper sentence finishes the document."
+    // The verdict kernels are CPU-bound per row; spread the single-file
+    // testdata scan across cores (stats-gated — a no-op on real-scale
+    // multi-split inputs).
+    Dedup.spreadSmallInput(t(s, dir, "documents"))
+      .select(col("doc_id") +: kept :+
+        GraftFunctions.textStats(col("text")).as("__st") :+
+        (when(col("doc_id") % 4 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(tail)))).as("body"): _*)
+      .select(col("doc_id") +: kept ++: tokenCols :+
+        TextAnalysis.langIdFromStats(col("__st")).as("lang_pred") :+
+        col("body"): _*)
+      // ONE kernel pass for both verdicts (screen_flags ≡ the composed
+      // gopherFlags/c4Signals forms — parity-spec-pinned field-for-field)
+      .withColumn("sf", GraftFunctions.screenFlags(col("body"),
+        lit(50), lit(100000), lit(3), lit(2)))
+      .select(col("doc_id") +: kept ++:
+        (if (withTokens) Seq(col("n_tokens")) else Nil) :+ col("lang_pred") :+
+        col("sf.gopher_keep").as("gopher_keep") :+
+        col("sf.c4_keep").as("c4_keep") :+
+        (col("lang_pred") === "en" && col("sf.gopher_keep") &&
+          col("sf.c4_keep")).as("kept"): _*)
+  }
+
+  /** Per-source quality rollup ([[screenVerdicts]] + one groupBy): the
+    * "which domains are junk" table a pipeline reads before adjusting
+    * its crawl/mix — keep rates per source from the SAME single screen
+    * scan as q93 (`source` rides the scan; the corpus is never
+    * re-joined). Counts and a ratio of exact longs only — no
+    * order-dependent double accumulation. */
+  private[graft] def q126SourceQuality(s: SparkSession, dir: String): DataFrame =
+    screenVerdicts(s, dir, keepCols = Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).cast("long")
+          .as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("n_en"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4).as("keep_rate"))
+      .orderBy("source")
+
+  /** Dataset card ([[screenVerdicts]] with tokens, per (source,
+    * predicted language)): the release report a data team ships with a
+    * corpus — docs, ws-token and char volumes, screen keep counts and
+    * rate, per source × language, all from the SAME single screen scan
+    * as q93/q126 (the token count rides the text_stats struct the
+    * language id already computes — zero extra text passes). */
+  private[graft] def q142DatasetCard(s: SparkSession, dir: String): DataFrame =
+    screenVerdicts(s, dir, keepCols = Seq("source", "n_chars"),
+        withTokens = true)
+      .groupBy("source", "lang_pred")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum("n_chars").cast("long").as("n_chars"))
+      .select(col("source"), col("lang_pred"), col("n_docs"), col("n_kept"),
+        col("n_tokens"), col("n_chars"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4).as("keep_rate"))
+      .orderBy("source", "lang_pred")
+
+  // lazy: q93SqlParts is declared later in the file (val init order)
+  private[graft] lazy val q142Sql =
+    s"""WITH ${q93SqlParts},
+       |v AS (
+       |  SELECT d.source, langp.lang_pred,
+       |    (langp.lang_pred = 'en' AND gf.gopher_keep AND ckeep.c4_keep) AS kept,
+       |    len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+       |    d.n_chars
+       |  FROM documents d
+       |  JOIN langp USING (doc_id) JOIN gf USING (doc_id) JOIN ckeep USING (doc_id))
+       |SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+       |    AS keep_rate
+       |FROM v GROUP BY 1, 2 ORDER BY source, lang_pred""".stripMargin
+
+  /** Corpus snapshot diff ([[graft.sources.CorpusStore.diff]]): the
+    * added/removed/changed audit between two corpus versions. The "old"
+    * snapshot is constructed deterministically from the documents table
+    * (every 5th id missing = `added` in new; every 11th modified =
+    * `changed`; a shifted copy of every 7th = `removed`), so the oracle
+    * replays the construction and the classification both. */
+  private[graft] def q125CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.sources.CorpusStore.diff(old, docs)
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val q125Sql =
+    """WITH old AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |o AS (SELECT doc_id, coalesce(md5(text), 'null') AS old_fp FROM old),
+      |n AS (SELECT doc_id, coalesce(md5(text), 'null') AS new_fp FROM documents),
+      |j AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN old_fp IS NULL THEN 'added'
+      |       WHEN new_fp IS NULL THEN 'removed'
+      |       WHEN old_fp <> new_fp THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM j
+      |WHERE NOT (old_fp IS NOT NULL AND new_fp IS NOT NULL AND old_fp = new_fp)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Unigram-distribution drift between two corpus snapshots
+    * ([[TextAnalysis.unigramDrift]]): the term-level companion to
+    * q125's id-level diff and q137's embedding drift — which tokens'
+    * relative frequencies moved most between versions. The "old"
+    * snapshot is q125's deterministic construction, so the real drift
+    * drivers (dropped every-5th docs, duplicated every-7th docs, the
+    * " v2" edit) are known and the oracle replays construction,
+    * tokenization (the q106 pre-tokenizer pattern) and the exact
+    * cross-multiplied integer ranking `|tf_new·N_old − tf_old·N_new|`
+    * alike. */
+  private[graft] def q167UnigramDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    TextAnalysis.unigramDrift(old, docs, topK = 20)
+  }
+
+  private[graft] val q167Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH old AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |oc AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS tf_old
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |        FROM old) GROUP BY 1),
+      |nc AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS tf_new
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |        FROM documents) GROUP BY 1),
+      |tots AS (SELECT (SELECT CAST(sum(tf_old) AS BIGINT) FROM oc) AS tot_old,
+      |                (SELECT CAST(sum(tf_new) AS BIGINT) FROM nc) AS tot_new),
+      |j AS (
+      |  SELECT coalesce(o.token, n.token) AS token,
+      |    CAST(coalesce(o.tf_old, 0) AS BIGINT) AS tf_old,
+      |    CAST(coalesce(n.tf_new, 0) AS BIGINT) AS tf_new
+      |  FROM oc o FULL OUTER JOIN nc n ON o.token = n.token)
+      |SELECT token, tf_old, tf_new,
+      |  abs(tf_new * tot_old - tf_old * tot_new) AS drift,
+      |  round(CAST(tf_old AS DOUBLE) / tot_old, 6) AS rate_old,
+      |  round(CAST(tf_new AS DOUBLE) / tot_new, 6) AS rate_new
+      |FROM j, tots
+      |ORDER BY abs(tf_new * tot_old - tf_old * tot_new) DESC, token ASC
+      |LIMIT 20""".stripMargin
+  }
+
+  /** Tokenizer-staleness audit: how well the OLD snapshot's top-40
+    * vocabulary (the q106 artifact, built on q125's old snapshot)
+    * covers a NEW crawl — occurrence coverage rate + distinct-OOV
+    * count, the "retrain the tokenizer?" trigger that pairs with
+    * q167's term-level drift (q167 says WHAT moved; this prices the
+    * aggregate damage). Vocab is top-k-bounded and broadcast; the new
+    * corpus pays one token_tf scan. */
+  private[graft] def q182VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val vocab = TextAnalysis.tokenVocabulary(old, topK = 40).select("token")
+    GraftFunctions.register(s)
+    val counts = docs
+      .select(explode(GraftFunctions.tokenTf(col("text"))).as("e"))
+      .groupBy(col("e.token").as("token"))
+      .agg(sum("e.tf").cast("long").as("tf"))
+    val tot = counts.agg(sum("tf").cast("long").as("total_occurrences"),
+      count(lit(1)).cast("long").as("n_distinct_tokens"))
+    val cov = counts.join(broadcast(vocab), Seq("token"))
+      .agg(coalesce(sum("tf"), lit(0L)).cast("long").as("covered_occurrences"),
+        count(lit(1)).cast("long").as("n_vocab_tokens_seen"))
+    tot.crossJoin(cov)
+      .select(col("total_occurrences"), col("covered_occurrences"),
+        round(when(col("total_occurrences") > 0,
+          col("covered_occurrences").cast("double") / col("total_occurrences"))
+          .otherwise(lit(0.0)), 4).as("coverage"),
+        col("n_distinct_tokens"),
+        (col("n_distinct_tokens") - col("n_vocab_tokens_seen")).as("n_oov_tokens"))
+  }
+
+  private[graft] val q182Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH old AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |ov AS (
+      |  SELECT token FROM (
+      |    SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences
+      |    FROM (
+      |      SELECT doc_id, token, count(*) AS tf FROM (
+      |        SELECT doc_id, unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |        FROM old) GROUP BY 1, 2)
+      |    GROUP BY token)
+      |  ORDER BY n_occurrences DESC, token LIMIT 40),
+      |nc AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |        FROM documents) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_occurrences,
+      |               CAST(count(*) AS BIGINT) AS n_distinct_tokens FROM nc),
+      |cov AS (SELECT CAST(coalesce(sum(nc.tf), 0) AS BIGINT) AS covered_occurrences,
+      |               CAST(count(*) AS BIGINT) AS n_vocab_tokens_seen
+      |        FROM nc JOIN ov USING (token))
+      |SELECT t.total_occurrences, c.covered_occurrences,
+      |  round(CASE WHEN t.total_occurrences > 0
+      |    THEN CAST(c.covered_occurrences AS DOUBLE) / t.total_occurrences
+      |    ELSE 0.0 END, 4) AS coverage,
+      |  t.n_distinct_tokens,
+      |  CAST(t.n_distinct_tokens - c.n_vocab_tokens_seen AS BIGINT) AS n_oov_tokens
+      |FROM tot t, cov c""".stripMargin
+  }
+
+  /** Trained quality classifier ([[QualityClassifier]]): the
+    * FineWeb-Edu-style learned filter — weak labels (here the language
+    * id), hashed-histogram features through the SHARED `dsir_buckets`
+    * kernel, MLlib logistic regression, logit scores. Oracle GENERATED
+    * from the persisted coefficients — hashing, histogram, dot and
+    * intercept all replayed. */
+  private[graft] def q94QualityScore(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val model = QualityClassifier.buildOrLoad(s, docs,
+      col("lang") === "en", s"${qcCachePath(s, dir)}/model.txt")
+    QualityClassifier.score(Dedup.spreadSmallInput(docs), model)
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Screen-vs-classifier agreement audit: the 2×2 confusion between
+    * the rule-based composed screen (q93's `kept`) and the TRAINED
+    * classifier's verdict (q94's `pred`) — the calibration table a
+    * pipeline reads before trusting the learned filter to replace (or
+    * gate behind) the heuristics. ONE scan: the screen verdicts carry
+    * `text` through ([[screenVerdicts]] keepCols) and the classifier
+    * kernel scores the same frame; exact-long counts only. Oracle
+    * composes the q93 screen CTEs with the classifier-scoring CTEs
+    * (both artifact-generated, disjoint CTE names). */
+  private[graft] def q130ScreenVsClassifier(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val model = QualityClassifier.buildOrLoad(s, docs,
+      col("lang") === "en", s"${qcCachePath(s, dir)}/model.txt")
+    QualityClassifier.score(
+        screenVerdicts(s, dir, keepCols = Seq("text")), model,
+        keepCols = Seq("kept"))
+      .groupBy("kept", "pred")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy("kept", "pred")
+  }
+
+  /** 2-fold cross-validated classifier evaluation — the HONEST accuracy
+    * table beside q130 (which scores the model on its own training
+    * corpus): fold 0 trains on even doc_ids and evaluates on odd, fold
+    * 1 the reverse; truth = the training target itself (`lang = 'en'`),
+    * confusion + accuracy per fold, accuracy as ONE exact-long ratio.
+    * Each fold's coefficients persist under the artifact lifecycle, so
+    * the generated oracle replays BOTH trained models (two scoring
+    * chains as disjoint derived-table blocks). */
+  private[graft] def q163ClassifierCv(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val folds = Seq(
+      (0L, col("doc_id") % 2 === 0),
+      (1L, col("doc_id") % 2 =!= 0))
+    folds.map { case (fold, trainPred) =>
+      val m = QualityClassifier.buildOrLoad(s, docs.filter(trainPred),
+        col("lang") === "en", s"${qcCachePath(s, dir)}/cv_fold$fold.txt")
+      QualityClassifier.score(docs.filter(!trainPred), m,
+          keepCols = Seq("lang"))
+        .select(lit(fold).as("fold"),
+          (col("lang") === "en").as("__truth"), col("pred"))
+    }.reduce(_ unionAll _)
+      .groupBy("fold")
+      .agg(
+        sum(when(col("__truth") && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("__truth") && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__truth") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("__truth") && !col("pred"), 1L).otherwise(0L)).as("tn"),
+        count(lit(1)).as("__n"))
+      .select(col("fold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast("double") /
+          col("__n").cast("double"), 4).as("accuracy"))
+      .orderBy("fold")
+  }
+
+  /** Quality-threshold calibration: pick the classifier-score cutoff
+    * that keeps a TARGET fraction of the corpus (60% here — cutoff =
+    * exact 40th percentile of the trained score), then report what that
+    * cutoff does to each source — the tuning table read before freezing
+    * a quality gate. Spark exact `percentile` ≡ DuckDB `quantile_cont`
+    * (both linear interpolation — the q113 contract); the oracle scores
+    * via the same coefficient-generated CTEs as q94 so cutoff and
+    * comparisons run over bit-identical doubles. At 100 TB the
+    * documented swap is `approx_percentile` for the cutoff pass (the
+    * q113 posture); the per-source rollup is exact either way. */
+  private[graft] def q151QualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val model = QualityClassifier.buildOrLoad(s, docs,
+      col("lang") === "en", s"${qcCachePath(s, dir)}/model.txt")
+    val scored = QualityClassifier.score(
+      Dedup.spreadSmallInput(docs), model, keepCols = Seq("source"))
+    val cut = scored.agg(expr("percentile(score, 0.4)").as("__cut"))
+    scored.crossJoin(broadcast(cut))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("__cut"), 1L).otherwise(0L)).as("n_kept"),
+        round(min(col("__cut")), 6).as("cutoff"))
+      .withColumn("keep_rate",
+        round(col("n_kept").cast("double") / col("n_docs"), 4))
+      .select("source", "n_docs", "n_kept", "keep_rate", "cutoff")
+      .orderBy("source")
+  }
+
+  /** Cluster-balanced subsample ([[Sampling.clusterBalancedSample]]):
+    * ≤ 12 members per IVF cell, salted-md5 draw order — the
+    * diversity-preserving selection of cluster-pruning pipelines.
+    * Oracle GENERATED from the shared quantizer. */
+  private[graft] def q95ClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val (_, ivf) = ivfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    Sampling.clusterBalancedSample(emb, ivf, perCell = 12)
+      .orderBy("doc_id")
+  }
+
+  /** JSONL round trip ([[graft.sources.JsonlIngest]]): the documents
+    * table written as gzip JSONL shards and read back with an enforced
+    * schema — output must be BYTE-IDENTICAL to the parquet source of
+    * truth (md5 over text), which gates the writer's JSON escaping and
+    * the reader's decoding in one identity oracle. */
+  private[graft] def q96JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x150ca1L ^
+        datasetFingerprint(s, s"$dir/documents.parquet"))
+    val path = s"${GraftConfig.storeRoot}/graft-jsonl-$key"
+    val docs = t(s, dir, "documents")
+    if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS"))
+      graft.sources.JsonlIngest.writeJsonl(docs, path)
+    graft.sources.JsonlIngest
+      .readJsonlStrict(s, path, docs.schema)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val q96Sql =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The q93 screen-replay CTE chain (seeded -> langp -> gf -> ckeep),
+    * shared verbatim by [[q126Sql]]'s rollup. */
+  private[graft] val q93SqlParts: String = {
+    def markers(l: String) =
+      TextAnalysis.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val stopList = TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""seeded AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN text
+       |         ELSE text || '.' || chr(10) ||
+       |           'That sentence will have to be part of the document, and it ends with a period.' || chr(10) ||
+       |           'Another proper sentence finishes the document.'
+       |    END AS body
+       |  FROM documents),
+       |langsc AS (
+       |  SELECT doc_id,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("de")}, x))) AS n_de,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("en")}, x))) AS n_en,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("es")}, x))) AS n_es,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> list_contains(${markers("fr")}, x))) AS n_fr
+       |  FROM documents),
+       |langp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_de = 0 AND n_en = 0 AND n_es = 0 AND n_fr = 0 THEN 'und'
+       |         WHEN n_fr >= n_es AND n_fr >= n_en AND n_fr >= n_de THEN 'fr'
+       |         WHEN n_es >= n_en AND n_es >= n_de THEN 'es'
+       |         WHEN n_en >= n_de THEN 'en'
+       |         ELSE 'de' END AS lang_pred
+       |  FROM langsc),
+       |gm AS (
+       |  SELECT doc_id, body AS text,
+       |    list_filter(regexp_split_to_array(trim(body), '[ \\t\\n\\x0b\\f\\r]+'),
+       |      w -> length(w) > 0) AS words,
+       |    list_filter(list_transform(string_split(body, chr(10)), l -> trim(l)),
+       |      l -> length(l) > 0) AS lines
+       |  FROM seeded),
+       |gr AS (
+       |  SELECT doc_id,
+       |    len(words) AS n_words,
+       |    list_sum(list_transform(words, w -> length(w))) AS n_chars,
+       |    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
+       |    len(lines) AS n_lines,
+       |    len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+       |    len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS n_ellipsis,
+       |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+       |    len(list_filter(list_distinct(list_transform(words, w -> lower(w))),
+       |      w -> list_contains($stopList, w))) AS n_stop
+       |  FROM gm),
+       |gf AS (
+       |  SELECT doc_id,
+       |    (n_words >= 50 AND n_words <= 100000 AND
+       |     (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / n_words END) >= 3.0 AND
+       |     (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / n_words END) <= 10.0 AND
+       |     (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / n_words END) <= 0.1 AND
+       |     (CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_bullet AS DOUBLE) / n_lines END) < 0.9 AND
+       |     (CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_ellipsis AS DOUBLE) / n_lines END) < 0.3 AND
+       |     (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_words END) >= 0.8 AND
+       |     n_stop >= 2) AS gopher_keep
+       |  FROM gr),
+       |cl AS (
+       |  SELECT doc_id, body AS text,
+       |    list_filter(list_transform(string_split(body, chr(10)), x -> trim(x)),
+       |                x -> len(x) > 0) AS ls
+       |  FROM seeded),
+       |ck AS (
+       |  SELECT doc_id, text,
+       |    list_filter(ls, x -> regexp_matches(x, '[.!?]"?$$')
+       |      AND len(regexp_split_to_array(x, '[ \\t\\n\\x0b\\f\\r]+')) >= 3
+       |      AND NOT contains(lower(x), 'javascript')) AS ks
+       |  FROM cl),
+       |cm AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(coalesce(array_to_string(ks, chr(10)), ''),
+       |      '[.!?]')) AS n_sent,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |    contains(text, '{') AS has_brace
+       |  FROM ck),
+       |ckeep AS (
+       |  SELECT doc_id,
+       |    (NOT has_lorem AND NOT has_brace AND n_sent >= 2) AS c4_keep
+       |  FROM cm)""".stripMargin
+  }
+
+  private[graft] val q93Sql =
+    s"""WITH ${q93SqlParts}
+       |SELECT d.doc_id, langp.lang_pred, gf.gopher_keep, ckeep.c4_keep,
+       |  (langp.lang_pred = 'en' AND gf.gopher_keep AND ckeep.c4_keep) AS kept
+       |FROM documents d
+       |JOIN langp USING (doc_id) JOIN gf USING (doc_id) JOIN ckeep USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q126's oracle: the q93 screen replay rolled up per source — the
+    * SAME CTE chain (kept in lockstep via [[q93SqlParts]]), one GROUP
+    * BY; counts and a long/long ratio only. */
+  private[graft] val q126Sql =
+    s"""WITH ${q93SqlParts},
+       |v AS (
+       |  SELECT d.source,
+       |    (langp.lang_pred = 'en' AND gf.gopher_keep AND ckeep.c4_keep) AS kept,
+       |    langp.lang_pred
+       |  FROM documents d
+       |  JOIN langp USING (doc_id) JOIN gf USING (doc_id) JOIN ckeep USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+       |    AS keep_rate
+       |FROM v GROUP BY 1 ORDER BY source""".stripMargin
+
+  private[graft] val q89Sql =
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |qs AS (SELECT vec_id AS query_id, embedding AS qe
+      |       FROM __wide WHERE vec_id < 8),
+      |corpus AS (SELECT vec_id, embedding FROM __wide WHERE vec_id >= 8),
+      |exact AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${OracleSqlGen.dotFold("c.embedding", "q.qe")}
+      |          DESC, c.vec_id ASC) AS rn
+      |    FROM corpus c CROSS JOIN qs q) WHERE rn <= 10),
+      |ham AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY len(list_filter(range(len(c.embedding)),
+      |          i -> (c.embedding[i+1] > 0) != (q.qe[i+1] > 0))) ASC,
+      |          c.vec_id ASC) AS rn
+      |    FROM corpus c CROSS JOIN qs q) WHERE rn <= 100),
+      |ov AS (
+      |  SELECT e.query_id, count(*) AS n
+      |  FROM exact e JOIN ham h
+      |    ON e.query_id = h.query_id AND e.vec_id = h.vec_id
+      |  GROUP BY 1)
+      |SELECT q.query_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+      |  round(coalesce(ov.n, 0) / 10.0, 2) AS recall_at_10
+      |FROM (SELECT DISTINCT query_id FROM qs) q LEFT JOIN ov USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
+  // Strict double fold, NOT list_dot_product: DuckDB's FLOAT[] overload
+  // accumulates in float32, which can move rows across the radius and
+  // flip near-tie orderings vs the engine's double-accumulating dot_f32.
+  private[graft] val q85Sql =
+    s"""WITH ${OracleSqlGen.wideCte()},
+      |q AS (SELECT vec_id AS query_id, embedding AS qe
+      |      FROM __wide WHERE vec_id < 4),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${OracleSqlGen.dotFold("e.embedding", "q.qe")} AS s
+      |  FROM __wide e, q
+      |  WHERE e.vec_id >= 8)
+      |SELECT query_id, vec_id, round(s, 4) AS score
+      |FROM scored
+      |WHERE s >= 2.4
+      |ORDER BY query_id, s DESC, vec_id""".stripMargin
+
+  /** SemDeDup (`SemanticDedup.resolve`): embedding-space dedup over the
+    * SHARED IVF coarse quantizer — cell-blocked cosine pairs, component
+    * closure, keep each group's farthest-from-centroid member. The
+    * oracle is GENERATED from the persisted quantizer (cell assignment,
+    * capped pairs, recursive closure, float-cast residual distance). */
+  private[graft] def q82SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    // The persisted cell-partitioned IVF corpus IS the assigned frame:
+    // dedup reads ingest-time work, zero query-time assign passes
+    // (plan-asserted in SemanticDedupSpec).
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    SemanticDedup.resolveAssigned(withCells, ivf, minCos = 0.3)
+      .select(col("id"), col("comp"),
+        round(col("score"), 4).as("score"), col("kept"))
+      .orderBy("id")
+  }
+
+  /** DSIR importance weights (`Dsir`): hashed unigram+bigram LMs for
+    * the English slice (target) vs the whole corpus (raw), per-doc log
+    * likelihood ratio folded in document order. The resampling step is
+    * [[Dsir.gumbelTopK]] (spec-tested); the oracle pins the full weight
+    * surface — every doc's weight and feature count. */
+  private[graft] def q81DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ratio = Dsir.logRatio(
+      Dsir.hashedLm(docs.filter(col("lang") === "en")),
+      Dsir.hashedLm(docs))
+    Dsir.importanceWeights(docs, ratio).orderBy("doc_id")
+  }
+
+  private[graft] val q81Sql = {
+    val b = OracleSqlGen.hexPrefixToBigint("md5(p.f)", 8)
+    s"""WITH feats AS (
+      |  SELECT doc_id, lang, ts || CASE WHEN len(ts) >= 2 THEN
+      |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+      |    ELSE [] END AS fs
+      |  FROM (
+      |    SELECT doc_id, lang, list_filter(
+      |      regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      |      x -> x <> '') AS ts
+      |    FROM documents) t),
+      |fx AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(fs) + 1),
+      |    i -> struct_pack(rn := i, f := fs[i]))) AS p
+      |  FROM feats),
+      |fb AS (
+      |  SELECT doc_id, lang, p.rn AS rn, ($b) % 256 AS bucket
+      |  FROM fx),
+      |bkts AS (SELECT unnest(range(0, 256)) AS bucket),
+      |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM fb WHERE lang = 'en' GROUP BY 1),
+      |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM fb GROUP BY 1),
+      |tt AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM tc),
+      |rt AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM rc),
+      |lr AS (
+      |  SELECT b.bucket,
+      |    ln(CAST(coalesce(t.cnt, 0) + 1 AS DOUBLE) /
+      |       CAST(tt.total + 256 AS DOUBLE)) -
+      |    ln(CAST(coalesce(r.cnt, 0) + 1 AS DOUBLE) /
+      |       CAST(rt.total + 256 AS DOUBLE)) AS lr
+      |  FROM bkts b LEFT JOIN tc t ON b.bucket = t.bucket
+      |    LEFT JOIN rc r ON b.bucket = r.bucket, tt, rt),
+      |terms AS (
+      |  SELECT fb.doc_id, fb.rn, l.lr FROM fb JOIN lr l ON fb.bucket = l.bucket),
+      |agg AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0.0, list(lr ORDER BY rn)),
+      |      (a, b) -> a + b) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM terms GROUP BY doc_id)
+      |SELECT d.doc_id, round(coalesce(a.s, 0.0), 4) AS dsir_logw,
+      |  coalesce(a.n, 0) AS n_features
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
+}
