@@ -153,6 +153,42 @@ object OracleSqlGen {
        |ORDER BY s DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** q209's oracle: IVF-pruned MaxSim — per-token IP probe (the q21
+    * probe rule, PARTITIONed by query token), candidate docs = docs
+    * with ≥1 token vector assigned to the probe-cell union, then the
+    * exact q208 MaxSim replay restricted to candidates. Sum order is
+    * the engine's fixed left-associated fold (`list(mx ORDER BY qid)`
+    * prepended with 0.0). */
+  def maxsimIvfSql(cents: Seq[Array[Double]], k: Int, nprobe: Int,
+                   nq: Int, docSize: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |q AS (SELECT vec_id AS qid, embedding AS qe
+       |      FROM embeddings WHERE vec_id < $nq),
+       |probe AS (
+       |  SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_dot_product(c.c, q.qe) DESC, c.cell_id ASC) AS pr
+       |  FROM __cents c CROSS JOIN q),
+       |cells AS (SELECT DISTINCT cell_id FROM probe WHERE pr <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id // $docSize AS gdoc
+       |  FROM __assigned a JOIN cells ON a.cell_id = cells.cell_id
+       |  WHERE a.doc_id >= $docSize),
+       |m AS (
+       |  SELECT e.vec_id // $docSize AS gdoc, q.qid,
+       |    max(${dotFold("e.embedding", "q.qe")}) AS mx
+       |  FROM embeddings e
+       |  JOIN cand ON e.vec_id // $docSize = cand.gdoc
+       |  CROSS JOIN q
+       |  WHERE e.vec_id >= $docSize
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT gdoc,
+       |    list_reduce(list_prepend(0.0, list(mx ORDER BY qid)),
+       |      (a, b) -> a + b) AS sc
+       |  FROM m GROUP BY gdoc)
+       |SELECT CAST(gdoc AS BIGINT) AS doc_id, round(sc, 4) AS maxsim
+       |FROM s ORDER BY sc DESC, gdoc LIMIT $k""".stripMargin
+
   /** q190's oracle: quantizer-retrain churn — both quantizers' Voronoi
     * assignments replayed (the [[ivfAssignCtes]] body under distinct
     * CTE prefixes), then the pair-counting clustering-agreement

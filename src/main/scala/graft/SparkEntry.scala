@@ -246,6 +246,8 @@ object SparkEntry
     "q206_session_window" -> (q206SessionWindow _),
     "q207_stream_join" -> (q207StreamJoin _),
     "q208_maxsim_search" -> (q208MaxsimSearch _),
+    "q209_maxsim_ivf" -> (q209MaxsimIvf _),
+    "q210_mrl_search" -> (q210MrlSearch _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -418,6 +420,7 @@ object SparkEntry
     "q206_session_window" -> q206Sql,
     "q207_stream_join" -> q207Sql,
     "q208_maxsim_search" -> q208Sql,
+    "q210_mrl_search" -> q210Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
@@ -958,6 +961,8 @@ object SparkEntry
           k = 10, nprobes = Seq(1, 2, 4, 8), nq = 8),
         "q110_filtered_search" -> OracleSqlGen.ivfFilteredSearchSql(cents,
           k = 10, nprobe = 4, label = 3),
+        "q209_maxsim_ivf" -> OracleSqlGen.maxsimIvfSql(cents,
+          k = 10, nprobe = 4, nq = 4, docSize = 8),
         "q137_embedding_drift" -> OracleSqlGen.embeddingDriftSql(cents,
           oldPred = "e.vec_id % 10 <> 0", newPred = "e.vec_id % 10 <> 1"),
         "q116_embedding_outliers" -> OracleSqlGen.embeddingOutliersSql(cents))

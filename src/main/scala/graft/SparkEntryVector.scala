@@ -114,6 +114,84 @@ private[graft] trait SparkEntryVector { this: SparkEntry.type =>
       |SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sc, 4) AS maxsim
       |FROM s ORDER BY sc DESC, doc_id LIMIT 10""".stripMargin
 
+  /** [[q208MaxsimSearch]]'s 100 TB SCALE PATH: IVF-pruned MaxSim. The
+    * brute form scans the corpus once per batch of query tokens; here
+    * candidate GENERATION is partition-pruned — each query token probes
+    * its `nprobe` IP-nearest cells of the persisted IVF store (q21's
+    * probe rule), and only docs with ≥1 token vector in the probe-cell
+    * union survive — then the exact MaxSim refinement runs over the
+    * candidates' FULL token sets via one distinct-gdoc join (a
+    * candidate doc's other tokens live in arbitrary cells, so the
+    * gather is a join, not a partition read — the honest shape of
+    * late-interaction refinement at scale; the join side is ~n_cand
+    * ids, broadcast at any realistic candidate rate). Same scoring
+    * plan as q208 downstream: per-token partial max, fixed-order sum,
+    * TakeOrdered top-k. Oracle regenerates from the persisted
+    * centroids ([[graft.OracleSqlGen.maxsimIvfSql]] — the q21
+    * lifecycle). */
+  private[graft] def q209MaxsimIvf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val (withCells, ivf) = ivfCorpus(s, dir)
+    val qs = t(s, dir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val probed = qs.flatMap { case (_, v) =>
+      IvfIndex.probeCells(ivf, v, 4) }.distinct.toSeq
+    val cand = withCells
+      .filter(col("cell_id").isin(probed: _*) && col("doc_id") >= 8)
+      .select(expr("doc_id div 8").cast("long").as("gdoc")).distinct()
+    val maxes = qs.map { case (qid, v) =>
+      max(GraftFunctions.dotF32(col("embedding"), typedlit(v.toSeq))).as(s"m$qid") }
+    withCells.filter(col("doc_id") >= 8)
+      .withColumn("gdoc", expr("doc_id div 8").cast("long"))
+      .join(cand, Seq("gdoc"))
+      .groupBy("gdoc")
+      .agg(maxes.head, maxes.tail: _*)
+      .withColumn("__s", qs.map { case (qid, _) => col(s"m$qid") }.reduce(_ + _))
+      .orderBy(desc("__s"), col("gdoc"))
+      .limit(10)
+      .select(col("gdoc").as("doc_id"), round(col("__s"), 4).as("maxsim"))
+  }
+
+  /** Matryoshka-representation cascade search (MRL, Kusupati et al.
+    * 2022): rank the corpus by the PREFIX-16 dot — MRL-trained
+    * embeddings carry their information front-loaded, so the 16-d
+    * prefix is a 4×-cheaper scan — keep the top-50, exact full-dim
+    * rerank to top-10. The prefix scan needs NO new kernel or stored
+    * projection: `dot_f32` accumulates over `min(len)` elements, so a
+    * 16-d query literal against the full embedding column IS the
+    * prefix dot (contrast [[q86PcaSearch]], which pays a trained
+    * transform + a second stored corpus for the same cheap-first-pass
+    * role). Rerank touches 50 rows. Oracle replays both passes with
+    * 1-based list slices and the strict double fold. */
+  private[graft] def q210MrlSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        GraftFunctions.dotF32(col("embedding"), typedlit(qv.take(16).toSeq)).as("s16"))
+      .orderBy(desc("s16"), col("vec_id")).limit(50)
+      .withColumn("s", GraftFunctions.dotF32(col("embedding"), typedlit(qv.toSeq)))
+      .orderBy(desc("s"), col("vec_id")).limit(10)
+      .select(col("vec_id"), round(col("s"), 4).as("score"))
+  }
+
+  private[graft] val q210Sql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |pre AS (
+      |  SELECT e.vec_id, e.embedding,
+      |    ${OracleSqlGen.dotFold("e.embedding[1:16]", "q.qe[1:16]")} AS s16
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0
+      |  ORDER BY s16 DESC, e.vec_id LIMIT 50)
+      |SELECT p.vec_id,
+      |  round(${OracleSqlGen.dotFold("p.embedding", "q.qe")}, 4) AS score
+      |FROM pre p, q
+      |ORDER BY ${OracleSqlGen.dotFold("p.embedding", "q.qe")} DESC, p.vec_id
+      |LIMIT 10""".stripMargin
+
   private[graft] def q18KnnBatchAgg(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
