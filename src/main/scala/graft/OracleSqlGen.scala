@@ -981,6 +981,44 @@ object OracleSqlGen {
        |FROM ranked WHERE rnk <= $k
        |ORDER BY src, rnk""".stripMargin
 
+  /** q211's oracle: deterministic INTEGER-EXACT PageRank over the same
+    * capped cell-blocked k-NN graph the walk queries traverse. Rank
+    * mass is held in BIGINT micro-units (start 1_000_000 per node);
+    * each iteration a node keeps `(1−d)` = 150_000 and receives
+    * `(r·85) // (100·outdeg)` from each in-neighbor — all integer
+    * division and BIGINT sums, so the replay is bit-exact on both
+    * engines regardless of partitioning (the q136 kmeans idiom applied
+    * to graph analytics; floating PageRank would be addition-order
+    * nondeterministic). Iterations are unrolled CTE blocks. */
+  def graphPagerankSql(cents: Seq[Array[Double]], k: Int, cap: Int,
+                       iters: Int, topK: Int): String = {
+    val iterBlocks = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"i${i - 1}"
+      s"""i$i AS (
+         |  SELECT n.node,
+         |    CAST(150000 AS BIGINT) + CAST(coalesce(
+         |      sum((r.r * 85) // (100 * d.deg)), 0) AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN g ON g.dst = n.node
+         |  LEFT JOIN $prev r ON r.node = g.src
+         |  LEFT JOIN deg d ON d.src = g.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |    FROM __gscored) WHERE rnk <= $k),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM g GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM g),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iterBlocks
+       |SELECT CAST(node AS BIGINT) AS node, r AS rank_u
+       |FROM i$iters ORDER BY r DESC, node LIMIT $topK""".stripMargin
+  }
+
   /** q159's oracle: hygiene stats of the persisted k-NN graph — node and
     * edge counts, degree extremes, and reciprocity (fraction of edges
     * whose reverse edge also exists) over the SAME capped cell-blocked

@@ -248,6 +248,7 @@ object SparkEntry
     "q208_maxsim_search" -> (q208MaxsimSearch _),
     "q209_maxsim_ivf" -> (q209MaxsimIvf _),
     "q210_mrl_search" -> (q210MrlSearch _),
+    "q211_graph_pagerank" -> (q211GraphPagerank _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -963,6 +964,9 @@ object SparkEntry
           k = 10, nprobe = 4, label = 3),
         "q209_maxsim_ivf" -> OracleSqlGen.maxsimIvfSql(cents,
           k = 10, nprobe = 4, nq = 4, docSize = 8),
+        "q211_graph_pagerank" -> OracleSqlGen.graphPagerankSql(cents,
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize,
+          iters = 3, topK = 20),
         "q137_embedding_drift" -> OracleSqlGen.embeddingDriftSql(cents,
           oldPred = "e.vec_id % 10 <> 0", newPred = "e.vec_id % 10 <> 1"),
         "q116_embedding_outliers" -> OracleSqlGen.embeddingOutliersSql(cents))

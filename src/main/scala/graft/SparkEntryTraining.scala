@@ -1467,6 +1467,39 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     s.read.parquet(cpath)
   }
 
+  /** Deterministic PageRank over the persisted k-NN graph — the graph-
+    * ANALYTICS counterpart to the graph-SEARCH tier (node centrality is
+    * the standard importance prior for graph-guided corpus curation:
+    * high-rank nodes are hub documents, low-rank ones are isolates).
+    * Floating PageRank is addition-order nondeterministic, so rank mass
+    * is INTEGER-EXACT (the q136 kmeans idiom): BIGINT micro-units
+    * (1e6 per node at start), each of 3 iterations keeps
+    * `(1−0.85)·1e6 = 150_000` and adds `(r·85) // (100·outdeg)` per
+    * in-edge — integer division and BIGINT sums, bit-exact under any
+    * partitioning, replayed by the oracle as unrolled CTE blocks
+    * ([[graft.OracleSqlGen.graphPagerankSql]]). Per iteration: one join
+    * shuffle on src, one aggregation shuffle on dst — the canonical
+    * iterative-graph plan; lineage stays 3 deep. Top-20 by
+    * (rank DESC, node ASC). */
+  private[graft] def q211GraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val g = graphCorpus(s, dir)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val deg = g.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    val nodes = g.select(col("src").as("node")).distinct()
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = g.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(r * 85) div (100 * deg)").as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .groupBy("node")
+        .agg((lit(150000L) + coalesce(sum("c"), lit(0L))).as("r"))
+    }
+    ranks.orderBy(desc("r"), col("node")).limit(20)
+      .select(col("node"), col("r").as("rank_u"))
+  }
+
   /** HNSW-family graph search ([[GraphSearch.searchBeam]]): a greedy
     * beam walk over the PERSISTED cell-blocked k-NN graph
     * ([[graphCorpus]]), seeded by the coarse probe (the quantizer plays
