@@ -33,11 +33,13 @@ def main() -> int:
     steady = None
     with open(bench_path) as f:
         for line in f:
-            line = line.strip()
-            if not line.startswith("{"):
+            # sbt-captured lines carry an "[info] " prefix — parse from
+            # the first brace, not from column 0
+            brace = line.find("{")
+            if brace < 0:
                 continue
             try:
-                obj = json.loads(line)
+                obj = json.loads(line[brace:].strip())
             except json.JSONDecodeError:
                 continue
             if isinstance(obj.get("steady"), dict):
@@ -60,8 +62,13 @@ def main() -> int:
         sections.append((title, parts[i + 1]))
 
     def anchor(q: str) -> str:
-        base = q.split("_")[0]  # qNNN — sections cite queries by number
-        pat = re.compile(r"\b" + re.escape(base) + r"\b")
+        # Sections cite queries either bare ("q200") or by full name
+        # ("q200_farthest_init"). Underscore is a word character, so a
+        # \b-anchored bare pattern can NEVER match the full-name form;
+        # match the number and allow an optional suffix instead, while
+        # (?![0-9]) keeps q20 from matching q200.
+        base = q.split("_")[0]
+        pat = re.compile(r"(?<!\w)" + re.escape(base) + r"(?![0-9])")
         last = None
         for title, body in sections:
             if pat.search(body) or pat.search(title):

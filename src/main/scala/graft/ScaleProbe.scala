@@ -1516,9 +1516,13 @@ object ScaleProbe {
     // (the sequential reference is ~constant per row = linear total).
     // All work happens inside the call (walk collects + splice); the
     // returned frames are not materialized — same accounting both forms.
+    // fresh ids start PAST the scaled corpus (doc_ids run to
+    // factor·nBase − 1; a fixed +10M offset collides at factor ≥ 5000
+    // and would silently overwrite live nodes' lists)
+    val maxDocId = corpus.agg(max("doc_id")).head.getLong(0)
     val newRowsAll = base.filter(col("vec_id") < 256)
       .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0) + 10000000L, r.getSeq[Float](1).toArray))
+      .map(r => (r.getLong(0) + maxDocId + 1L, r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
     def timeInsert(name: String, rows: Seq[(Long, Array[Float])],
                    seq: Boolean): Double = {
@@ -1601,13 +1605,12 @@ object ScaleProbe {
     val maxTsMs = spark.read.parquet(stagePath)
       .agg(max(unix_millis(col("ts")))).as[Long].head()
 
-    def rmTree(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmTree)
-      p.delete()
-    }
     def drive(name: String)(mk: DataFrame => DataFrame): Unit = {
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft-stream-$name").toFile
+      // sibling of the stage dir: hard links need ONE filesystem, and
+      // java.io.tmpdir may be remapped off /tmp on Spark drivers
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(stagePath).getParent,
+        s"graft-stream-$name").toFile
       val inDir = new java.io.File(root, "in")
       inDir.mkdirs()
       def feed(b: Int): Unit = {
@@ -1641,7 +1644,7 @@ object ScaleProbe {
         q.processAllAvailable()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[scale] stream $name sentinel flush: $sec%6.2f s; data-batch total $total%.1f s")
-      } finally { q.stop(); rmTree(root) }
+      } finally { q.stop(); SparkEntry.rmTree(root.toString) }
     }
     drive("sessionize")(df =>
       EventStream.sessionizeEventTime(df.as[RawEvent],

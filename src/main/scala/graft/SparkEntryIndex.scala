@@ -1357,6 +1357,10 @@ private[graft] trait SparkEntryIndex { this: SparkEntry.type =>
       // staging sibling-to-target: ATOMIC_MOVE needs one filesystem
       val staging = java.nio.file.Files.createTempDirectory(
         docxDir.getParent, "graft-docx-build")
+      // the store root is DURABLE (no OS tmp-clean): a lost race or a
+      // failed build must delete its own staging dir, or orphans
+      // accumulate in spark-warehouse/graft-stores forever
+      try {
       def esc(x: String): String =
         x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       val texts = t(s, dir, "documents").filter(col("doc_id") < 6)
@@ -1377,6 +1381,7 @@ private[graft] trait SparkEntryIndex { this: SparkEntry.type =>
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException |
                    _: java.nio.file.FileSystemException => () } // lost the race: use winner's
+      } finally rmTree(staging.toString) // no-op when the move won
     }
     val docs = graft.sources.DocxIngest.readDocxDir(s, docxDir.toString)
     graft.sources.TextIngest.buildCorpus(docs)

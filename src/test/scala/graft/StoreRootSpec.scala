@@ -59,11 +59,7 @@ class StoreRootSpec extends AnyFunSuite {
       val tmp = s"$data/emb2"
       spark.read.parquet(s"$data/embeddings.parquet")
         .coalesce(1).write.parquet(tmp)
-      def rmTree(p: java.io.File): Unit = {
-        if (p.isDirectory) p.listFiles().foreach(rmTree)
-        p.delete()
-      }
-      rmTree(new java.io.File(s"$data/embeddings.parquet"))
+      SparkEntry.rmTree(s"$data/embeddings.parquet")
       assert(new java.io.File(tmp)
         .renameTo(new java.io.File(s"$data/embeddings.parquet")))
       SparkEntry.pqCorpus(spark, data)
