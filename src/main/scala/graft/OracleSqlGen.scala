@@ -1019,6 +1019,42 @@ object OracleSqlGen {
        |FROM i$iters ORDER BY r DESC, node LIMIT $topK""".stripMargin
   }
 
+  /** q212's oracle: [[graphPagerankSql]] personalized — initial and
+    * restart mass land only on the `node % seedMod = 0` seed set; the
+    * propagation arithmetic is identical. */
+  def graphPprSql(cents: Seq[Array[Double]], k: Int, cap: Int,
+                  iters: Int, topK: Int, seedMod: Long): String = {
+    def keep(node: String) =
+      s"CASE WHEN $node % $seedMod = 0 THEN CAST(150000 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    val iterBlocks = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"i${i - 1}"
+      s"""i$i AS (
+         |  SELECT n.node,
+         |    ${keep("n.node")} + CAST(coalesce(
+         |      sum((r.r * 85) // (100 * d.deg)), 0) AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN g ON g.dst = n.node
+         |  LEFT JOIN $prev r ON r.node = g.src
+         |  LEFT JOIN deg d ON d.src = g.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |    FROM __gscored) WHERE rnk <= $k),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM g GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM g),
+       |r0 AS (SELECT node,
+       |  CASE WHEN node % $seedMod = 0 THEN CAST(1000000 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS r FROM nodes),
+       |$iterBlocks
+       |SELECT CAST(node AS BIGINT) AS node, r AS rank_u
+       |FROM i$iters ORDER BY r DESC, node LIMIT $topK""".stripMargin
+  }
+
   /** q159's oracle: hygiene stats of the persisted k-NN graph — node and
     * edge counts, degree extremes, and reciprocity (fraction of edges
     * whose reverse edge also exists) over the SAME capped cell-blocked

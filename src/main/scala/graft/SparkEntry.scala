@@ -249,6 +249,7 @@ object SparkEntry
     "q209_maxsim_ivf" -> (q209MaxsimIvf _),
     "q210_mrl_search" -> (q210MrlSearch _),
     "q211_graph_pagerank" -> (q211GraphPagerank _),
+    "q212_graph_ppr" -> (q212GraphPpr _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -967,6 +968,9 @@ object SparkEntry
         "q211_graph_pagerank" -> OracleSqlGen.graphPagerankSql(cents,
           k = 4, cap = SemanticDedup.DefaultMaxCellSize,
           iters = 3, topK = 20),
+        "q212_graph_ppr" -> OracleSqlGen.graphPprSql(cents,
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize,
+          iters = 3, topK = 20, seedMod = 97L),
         "q137_embedding_drift" -> OracleSqlGen.embeddingDriftSql(cents,
           oldPred = "e.vec_id % 10 <> 0", newPred = "e.vec_id % 10 <> 1"),
         "q116_embedding_outliers" -> OracleSqlGen.embeddingOutliersSql(cents))

@@ -1481,12 +1481,34 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     * shuffle on src, one aggregation shuffle on dst — the canonical
     * iterative-graph plan; lineage stays 3 deep. Top-20 by
     * (rank DESC, node ASC). */
-  private[graft] def q211GraphPagerank(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q211GraphPagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankLoop(s, dir, init = lit(1000000L), keep = lit(150000L))
+
+  /** [[q211GraphPagerank]] personalized: restart mass lands ONLY on a
+    * deterministic seed set (`node % 97 = 0`) — random-walk-with-restart
+    * from query-relevant seeds, the standard graph-retrieval EXPANSION
+    * primitive (high-PPR nodes are the seeds' multi-hop neighborhood,
+    * ranked by walk reachability rather than raw similarity). Same
+    * integer-exact arithmetic and plan as q211; the oracle adds the
+    * seed CASE to the same unrolled replay. */
+  private[graft] def q212GraphPpr(s: SparkSession, dir: String): DataFrame = {
+    val seed = (col("node") % 97L) === 0L
+    pagerankLoop(s, dir,
+      init = when(seed, 1000000L).otherwise(0L).cast("long"),
+      keep = when(seed, 150000L).otherwise(0L).cast("long"))
+  }
+
+  /** Shared integer-exact rank loop over the persisted k-NN graph:
+    * `r'(v) = keep(v) + Σ_{u→v} (r(u)·85) // (100·outdeg(u))`, three
+    * iterations, BIGINT throughout (see [[q211GraphPagerank]]). */
+  private def pagerankLoop(s: SparkSession, dir: String,
+                           init: org.apache.spark.sql.Column,
+                           keep: org.apache.spark.sql.Column): DataFrame = {
     val g = graphCorpus(s, dir)
       .select(col("src").cast("long"), col("dst").cast("long"))
     val deg = g.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
     val nodes = g.select(col("src").as("node")).distinct()
-    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    var ranks = nodes.select(col("node"), init.as("r"))
     for (_ <- 1 to 3) {
       val contrib = g.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
@@ -1494,7 +1516,7 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
           expr("(r * 85) div (100 * deg)").as("c"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .groupBy("node")
-        .agg((lit(150000L) + coalesce(sum("c"), lit(0L))).as("r"))
+        .agg((keep + coalesce(sum("c"), lit(0L))).as("r"))
     }
     ranks.orderBy(desc("r"), col("node")).limit(20)
       .select(col("node"), col("r").as("rank_u"))
