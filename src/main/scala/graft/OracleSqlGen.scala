@@ -970,6 +970,143 @@ object OracleSqlGen {
        |  FROM __capped x JOIN __capped y
        |    ON x.cell_id = y.cell_id AND x.doc_id <> y.doc_id)""".stripMargin
 
+  /** Shared KMV-sketch CTE chain over the documents table (q217/q218):
+    * per-doc distinct 3-gram shingles (the q15 idiom), per-source
+    * distinct 60-bit hash points (`'0x'+md5-prefix` cast ≡ Spark's
+    * `conv(substr(md5,1,15),16,10)`), bottom-k per source as the sketch
+    * list. The estimate is the single IEEE division
+    * `(k−1)·2^60 / h_k` — the numerator literal is emitted as the
+    * EXACT double Scala computes, so both engines divide the same two
+    * doubles. */
+  private def kmvCtes(k: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, source,
+       |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+       |  FROM documents),
+       |shl AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+       |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+       |  FROM toks),
+       |pts AS (
+       |  SELECT DISTINCT source AS grp,
+       |    CAST(('0x' || substr(md5(s.sh_el), 1, 15)) AS BIGINT) AS h
+       |  FROM shl, unnest(shl.sh) AS s(sh_el)),
+       |rk AS (
+       |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |  FROM pts),
+       |sk AS (
+       |  SELECT grp, list(h ORDER BY h) AS sketch,
+       |    CAST(count(*) AS BIGINT) AS n_vals
+       |  FROM rk WHERE rn <= $k GROUP BY grp)""".stripMargin
+
+  /** The KMV estimate expression over a sketch list column. */
+  private def kmvEst(sketch: String, k: Int): String = {
+    val num = (k - 1).toDouble * graft.operators.Sketches.HashSpace
+    s"""CASE WHEN len($sketch) < $k THEN CAST(len($sketch) AS DOUBLE)
+       |     ELSE $num / CAST($sketch[$k] AS DOUBLE) END""".stripMargin
+  }
+
+  /** q217's oracle: per-source exact distinct-hash count beside the KMV
+    * estimate, replayed from the same hash points. */
+  def kmvDistinctSql(k: Int): String =
+    s"""WITH ${kmvCtes(k)},
+       |ex AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM pts GROUP BY grp)
+       |SELECT sk.grp AS source, ex.n_exact, sk.n_vals,
+       |  round(${kmvEst("sk.sketch", k)}, 4) AS est
+       |FROM sk JOIN ex USING (grp) ORDER BY source""".stripMargin
+
+  /** q218's oracle: pairwise union/intersection estimates from merged
+    * sketches — merge = k smallest of the deduped concatenation,
+    * inclusion–exclusion on the unrounded estimates. */
+  def kmvSetopsSql(k: Int): String = {
+    val merged = s"list_sort(list_distinct(list_concat(a.sketch, b.sketch)))[1:$k]"
+    s"""WITH ${kmvCtes(k)},
+       |pairs AS (
+       |  SELECT a.grp AS src_a, b.grp AS src_b,
+       |    ${kmvEst("a.sketch", k)} AS ea,
+       |    ${kmvEst("b.sketch", k)} AS eb,
+       |    ${kmvEst(merged, k)} AS eu
+       |  FROM sk a JOIN sk b ON a.grp < b.grp)
+       |SELECT src_a, src_b, round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+       |  round(eu, 4) AS est_union, round(ea + eb - eu, 4) AS est_inter
+       |FROM pairs ORDER BY src_a, src_b""".stripMargin
+  }
+
+  /** q215's oracle: triangle count + local clustering coefficient over
+    * the same capped cell-blocked k-NN graph — canonical low→high edge
+    * orientation, two oriented wedge joins closed by a third edge (each
+    * triangle counted exactly once), per-node participation by
+    * exploding the three corners. Exact longs + one rounded division. */
+  def graphTrianglesSql(cents: Seq[Array[Double]], k: Int, cap: Int,
+                        topK: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |    FROM __gscored) WHERE rnk <= $k),
+       |ue AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM g WHERE src <> dst),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM ue e1
+       |  JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |pn AS (
+       |  SELECT node, count(*) AS n_tri FROM (
+       |    SELECT x AS node FROM tri
+       |    UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri) GROUP BY node),
+       |deg AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM ue UNION ALL SELECT b FROM ue)
+       |  GROUP BY node)
+       |SELECT CAST(pn.node AS BIGINT) AS node,
+       |  CAST(pn.n_tri AS BIGINT) AS n_tri,
+       |  CAST(deg.deg AS BIGINT) AS deg,
+       |  round(CASE WHEN deg.deg > 1
+       |    THEN pn.n_tri * 2.0 / (deg.deg * (deg.deg - 1))
+       |    ELSE 0.0 END, 4) AS lcc
+       |FROM pn JOIN deg ON deg.node = pn.node
+       |ORDER BY n_tri DESC, node LIMIT $topK""".stripMargin
+
+  /** q216's oracle: the 5-round min-label WCC census replayed as
+    * unrolled CTE blocks — each round a node's label becomes the min of
+    * its own and its (symmetrized) neighbors'; integer min is
+    * associative so the fixed-round result is bit-exact on both
+    * engines. */
+  def graphWccSql(cents: Seq[Array[Double]], k: Int, cap: Int,
+                  rounds: Int): String = {
+    val roundBlocks = (1 to rounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT node, min(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM $prev
+         |    UNION ALL
+         |    SELECT u.dst AS node, p.lbl
+         |    FROM u JOIN $prev p ON p.node = u.src) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |    FROM __gscored) WHERE rnk <= $k),
+       |u AS (SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g),
+       |n AS (SELECT DISTINCT src AS node FROM u),
+       |l0 AS (SELECT node, node AS lbl FROM n),
+       |$roundBlocks
+       |SELECT CAST(lbl AS BIGINT) AS component,
+       |  CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM l$rounds GROUP BY lbl ORDER BY component""".stripMargin
+  }
+
   def knnGraphSql(cents: Seq[Array[Double]], k: Int, cap: Int): String =
     s"""WITH ${ivfAssignCtes(cents)},
        |${graphBaseCtes(cap)},

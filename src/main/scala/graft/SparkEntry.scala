@@ -250,6 +250,12 @@ object SparkEntry
     "q210_mrl_search" -> (q210MrlSearch _),
     "q211_graph_pagerank" -> (q211GraphPagerank _),
     "q212_graph_ppr" -> (q212GraphPpr _),
+    "q213_stream_dedup" -> (q213StreamDedup _),
+    "q215_graph_triangles" -> (q215GraphTriangles _),
+    "q216_graph_wcc" -> (q216GraphWcc _),
+    "q217_kmv_distinct" -> (q217KmvDistinct _),
+    "q218_kmv_setops" -> (q218KmvSetops _),
+    "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
     "q87_knn_graph" -> (q87KnnGraph _),
@@ -423,6 +429,10 @@ object SparkEntry
     "q207_stream_join" -> q207Sql,
     "q208_maxsim_search" -> q208Sql,
     "q210_mrl_search" -> q210Sql,
+    "q213_stream_dedup" -> q213Sql,
+    "q214_stream_enrich" -> q214Sql,
+    "q217_kmv_distinct" -> OracleSqlGen.kmvDistinctSql(k = 64),
+    "q218_kmv_setops" -> OracleSqlGen.kmvSetopsSql(k = 64),
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
@@ -971,6 +981,10 @@ object SparkEntry
         "q212_graph_ppr" -> OracleSqlGen.graphPprSql(cents,
           k = 4, cap = SemanticDedup.DefaultMaxCellSize,
           iters = 3, topK = 20, seedMod = 97L),
+        "q215_graph_triangles" -> OracleSqlGen.graphTrianglesSql(cents,
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize, topK = 20),
+        "q216_graph_wcc" -> OracleSqlGen.graphWccSql(cents,
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize, rounds = 5),
         "q137_embedding_drift" -> OracleSqlGen.embeddingDriftSql(cents,
           oldPred = "e.vec_id % 10 <> 0", newPred = "e.vec_id % 10 <> 1"),
         "q116_embedding_outliers" -> OracleSqlGen.embeddingOutliersSql(cents))

@@ -2059,4 +2059,59 @@ private[graft] trait SparkEntryHygiene { this: SparkEntry.type =>
       |SELECT doc_id, fused, lex_norm, vec_norm
       |FROM f ORDER BY fused DESC, doc_id LIMIT 15""".stripMargin
 
+  /** Per-source shingle-cardinality KMV sketch vs exact — the sketch
+    * tier opens ([[graft.operators.Sketches]]): each source's distinct
+    * 3-gram shingle count estimated from the k=64 minimum md5 hash
+    * points beside the exact count (the accuracy audit a pipeline runs
+    * before trusting sketches on the 100 TB corpus, where the exact
+    * count-distinct this query still affords is the thing the sketch
+    * replaces). Engine-portable by construction — md5 hash points, one
+    * IEEE division — so the ESTIMATE itself sits under the oracle, not
+    * just the exact side; `approx_count_distinct` (HLL) could never be
+    * gated this way. The bottom-k filter compiles to WindowGroupLimit:
+    * each partition keeps ≤ k rows per source before the exchange. */
+  private[graft] def q217KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val k = 64
+    val items = t(s, dir, "documents")
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+    val sk = Sketches.kmvSketch(items, "source", "sh", k)
+    val exact = items
+      .select(col("source").as("grp"), Sketches.hashPoint(col("sh")).as("h"))
+      .distinct()
+      .groupBy("grp").agg(count(lit(1)).cast("long").as("n_exact"))
+    sk.join(exact, Seq("grp"))
+      .select(col("grp").as("source"), col("n_exact"), col("n_vals"),
+        round(Sketches.estimate(col("sketch"), k), 4).as("est"))
+      .orderBy("source")
+  }
+
+  /** Cross-source set-operation estimates from MERGED KMV sketches
+    * ([[graft.operators.Sketches.merge]]) — the property that earns
+    * sketches their place at 100 TB: per-source sketches are built once
+    * (k longs each), then EVERY pairwise union/intersection estimate is
+    * a k-element merge + inclusion–exclusion on the driver-sized sketch
+    * table, never a re-scan of the corpus. est_inter can go slightly
+    * negative on near-disjoint pairs (estimator noise, not a bug);
+    * downstream consumers clamp at presentation. */
+  private[graft] def q218KmvSetops(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val k = 64
+    val items = t(s, dir, "documents")
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+    val sk = Sketches.kmvSketch(items, "source", "sh", k)
+    val a = sk.select(col("grp").as("src_a"), col("sketch").as("sk_a"))
+    val b = sk.select(col("grp").as("src_b"), col("sketch").as("sk_b"))
+    val estA = Sketches.estimate(col("sk_a"), k)
+    val estB = Sketches.estimate(col("sk_b"), k)
+    val estU = Sketches.estimate(
+      Sketches.merge(col("sk_a"), col("sk_b"), k), k)
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(estA, 4).as("est_a"), round(estB, 4).as("est_b"),
+        round(estU, 4).as("est_union"),
+        round(estA + estB - estU, 4).as("est_inter"))
+      .orderBy("src_a", "src_b")
+  }
+
 }

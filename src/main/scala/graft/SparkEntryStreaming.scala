@@ -634,4 +634,92 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       |  AND c.tu >= p.tu - 3600000000 AND c.tu <= p.tu
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** STREAMING DEDUP under the gate — the fifth stateful family
+    * (StreamingDeduplicateWithinWatermark; q195/q201/q206/q207 gate the
+    * other four): the events table staged as a µs-timestamp stream,
+    * deduplicated by content fingerprint through the real
+    * [[graft.streaming.EventStream.dedupStream]] path
+    * (`dropDuplicatesWithinWatermark` state store, AvailableNow), final
+    * table vs DuckDB's plain DISTINCT over the same fingerprints.
+    *
+    * The gate's watermark delay (60 days) exceeds the log's 30-day span,
+    * so no fingerprint is evicted mid-run and the streaming result is
+    * exactly one row per distinct key — the batch DISTINCT. (Production
+    * uses a bounded delay and accepts re-emission past the horizon;
+    * eviction + re-emission behavior is pinned in StreamingSpec, where
+    * micro-batch boundaries are explicit.) WHICH duplicate survives is
+    * arrival-order-defined — nondeterministic under a parallel file
+    * read — so the gated projection is the dedup KEY itself, which is
+    * survivor-independent. */
+  private[graft] def q213StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q213").toString
+    val inDir = s"$stage/in"
+    eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(inDir)
+    val qname = "q213_dedup"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    val out = EventStream.dedupStream(EventStream.readEvents(s, inDir),
+      textCol = "props", tsCol = "ts", watermarkDelay = "60 days")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally { q.stop(); rmTree(stage) }
+    GraftFunctions.register(s)
+    s.table(qname)
+      .select(TextAnalysis.fingerprint(col("props")).as("fp"))
+      .orderBy("fp")
+  }
+
+  private[graft] val q213Sql =
+    """SELECT DISTINCT md5(regexp_replace(lower(props), '[^a-z0-9]', '', 'g')) AS fp
+      |FROM events ORDER BY fp""".stripMargin
+
+  /** STREAM-STATIC broadcast join under the gate — the STATELESS
+    * streaming family the four stateful gates don't cover: each
+    * micro-batch of the staged event stream hash-joins against the
+    * BROADCAST customer dimension (no state store, no watermark — the
+    * static side is re-usable across batches, which is why enrichment
+    * belongs on this path rather than a stream-stream join at 100 TB:
+    * the dimension ships once per executor, the fact stream never
+    * shuffles). Append mode emits the enriched rows as they arrive; the
+    * oracle is the plain batch join — the point, as with q207, is that
+    * the streaming operator must produce the batch join's rows. */
+  private[graft] def q214StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q214").toString
+    val inDir = s"$stage/in"
+    eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(inDir)
+    val qname = "q214_enriched"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    val dim = broadcast(t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment")))
+    val out = EventStream.readEvents(s, inDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("event_type"), col("nationkey"),
+        col("mktsegment"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally { q.stop(); rmTree(stage) }
+    s.table(qname).orderBy("event_id")
+  }
+
+  private[graft] val q214Sql =
+    """SELECT e.event_id, e.event_type,
+      |  CAST(c.c_nationkey AS BIGINT) AS nationkey,
+      |  c.c_mktsegment AS mktsegment
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
 }

@@ -1522,6 +1522,45 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
       .select(col("node"), col("r").as("rank_u"))
   }
 
+  /** Triangle counting + local clustering coefficient over the persisted
+    * k-NN graph (graph-analytics tier #3, after q211/q212 centrality):
+    * triangles are the local-density signal — a document whose neighbors
+    * are also neighbors of EACH OTHER sits in a tight semantic cluster
+    * (near-dup families, template text), while a hub with zero closure
+    * bridges unrelated regions. Canonical low→high edge orientation
+    * makes each triangle enumerable exactly once as two oriented wedge
+    * joins closed by a third edge — all equi-joins, no row visited per
+    * triangle more than once. Orientation here is by id; the general
+    * 100 TB form orients by (degree, id) to bound wedge fan-out on
+    * skewed graphs — a k-NN graph's degree is already capped at ~2k, so
+    * id orientation carries no skew risk. Counts are exact longs; the
+    * coefficient is one division, rounded. Top-20 by (n_tri DESC,
+    * node ASC) — a total order. */
+  private[graft] def q215GraphTriangles(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.triangleStats(graphCorpus(s, dir)
+        .select(col("src").cast("long"), col("dst").cast("long")))
+      .select(col("node"), col("n_tri"), col("deg"),
+        round(col("lcc"), 4).as("lcc"))
+      .orderBy(desc("n_tri"), col("node")).limit(20)
+
+  /** Weakly-connected-component census of the persisted k-NN graph via
+    * min-label propagation, FIVE unrolled rounds (graph-analytics tier
+    * #4): each round every node takes the min of its own label and its
+    * neighbors' (graph symmetrized first) — after R rounds a node holds
+    * the minimum id within graph distance R, so equal labels = same
+    * component and the census reads the corpus's connectivity islands
+    * (isolated components are candidate off-topic / template clusters;
+    * q63 applies the same closure to the near-dup graph). Integer min
+    * is associative and order-free, so the fixed-round result is
+    * bit-exact on any partitioning and the oracle replays the rounds as
+    * unrolled CTE blocks. Per round: one join shuffle + one
+    * min-aggregation shuffle, lineage 5 deep — the q211 iterative-graph
+    * plan with min() for (+). */
+  private[graft] def q216GraphWcc(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.wccCensus(graphCorpus(s, dir)
+        .select(col("src").cast("long"), col("dst").cast("long")), rounds = 5)
+      .orderBy("component")
+
   /** HNSW-family graph search ([[GraphSearch.searchBeam]]): a greedy
     * beam walk over the PERSISTED cell-blocked k-NN graph
     * ([[graphCorpus]]), seeded by the coarse probe (the quantizer plays

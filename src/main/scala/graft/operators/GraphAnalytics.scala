@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics kernels over a directed edge list (`src`, `dst`) —
+  * the analysis tier for the persisted k-NN graph (GraphSearch walks it,
+  * these summarize it): triangle closure and connectivity census, the
+  * two standard curation signals (tight clusters = near-dup / template
+  * families; isolated components = off-topic islands).
+  *
+  * All kernels are exact-integer (counts, min-labels) so results are
+  * bit-identical under any partitioning and sit directly under the
+  * DuckDB hash oracle; the only floating output (the local clustering
+  * coefficient) is a single division left unrounded for callers to
+  * round at the presentation edge.
+  */
+object GraphAnalytics {
+
+  /** Canonical undirected edge set: orient every edge low→high and
+    * dedup — each undirected edge appears exactly once as (a < b). */
+  def undirectedEdges(g: DataFrame): DataFrame =
+    g.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** Per-node triangle participation + degree + local clustering
+    * coefficient. Each triangle {x<y<z} is enumerated exactly once as
+    * two oriented wedge joins closed by a third edge — equi-joins only,
+    * so the plan is three shuffle-hash/broadcast joins with no row
+    * visited per triangle more than once. Orientation here is by id;
+    * the general form for skewed graphs orients by (degree, id) to
+    * bound wedge fan-out — a k-NN graph's degree is capped by the build
+    * (k out-edges, ≤ cap in-edges per cell) so id orientation is safe.
+    * Nodes with no triangles are absent (join semantics — callers
+    * wanting zeros outer-join the degree table). */
+  def triangleStats(g: DataFrame): DataFrame = {
+    val e = undirectedEdges(g)
+    val tri = e.as("e1")
+      .join(e.as("e2"),
+        col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("n_tri"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+    perNode.join(deg, Seq("node"))
+      .select(col("node"), col("n_tri"), col("deg"),
+        when(col("deg") > 1,
+          col("n_tri") * lit(2.0) / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
+  /** Weakly-connected-component census via min-label propagation,
+    * `rounds` FIXED rounds (not run-to-fixpoint: a fixed round count is
+    * deterministic on any engine and replayable by an unrolled-CTE
+    * oracle; after R rounds a node holds the min id within distance R,
+    * so the census is exact once R ≥ the component diameter and a
+    * refinable upper bound below it). Each round: one join shuffle +
+    * one min-aggregation shuffle on the node key — the iterative-graph
+    * plan with min() as the combiner, lineage `rounds` deep. */
+  def wccCensus(g: DataFrame, rounds: Int): DataFrame = {
+    val und = g.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .unionAll(g.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = und.select(col("src").as("node")).distinct()
+    var lab = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val nb = und.join(lab.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("lbl"))
+      lab = lab.unionAll(nb).groupBy("node").agg(min("lbl").as("lbl"))
+    }
+    lab.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+  }
+}

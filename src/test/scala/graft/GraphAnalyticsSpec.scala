@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.GraphAnalytics
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // Two triangles sharing node 3 — {1,2,3} and {3,4,5} — plus an isolated
+  // edge {6,7}. Directed input with both duplicate and reversed edges to
+  // exercise the canonical orientation's dedup.
+  private def g = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), // triangle A (3-1 both ways)
+    (3L, 4L), (4L, 5L), (5L, 3L),           // triangle B
+    (6L, 7L), (7L, 6L),                     // isolated edge, both ways
+    (4L, 4L)                                // self-loop: ignored
+  ).toDF("src", "dst")
+
+  test("triangleStats counts each triangle once and computes lcc") {
+    val rows = GraphAnalytics.triangleStats(g)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // node 3 sits in both triangles, degree 4 → lcc = 2·2/(4·3) = 1/3
+    assert(rows(3L)._1 == 2L && rows(3L)._2 == 4L)
+    assert(math.abs(rows(3L)._3 - 1.0 / 3.0) < 1e-12)
+    // the other four triangle corners: 1 triangle, degree 2 → lcc 1.0
+    for (n <- Seq(1L, 2L, 4L, 5L)) {
+      assert(rows(n)._1 == 1L, s"node $n")
+      assert(rows(n)._2 == 2L && rows(n)._3 == 1.0)
+    }
+    // nodes without triangles (6, 7) are absent by join semantics
+    assert(!rows.contains(6L) && !rows.contains(7L))
+  }
+
+  test("wccCensus converges to the exact component census once rounds cover the diameter") {
+    val census = GraphAnalytics.wccCensus(g, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1..5} is one component labeled by its min id; {6,7} another.
+    // The self-loop on 4 adds no node and no component.
+    assert(census == Map(1L -> 5L, 6L -> 2L))
+  }
+
+  test("wccCensus with too few rounds is a refinement in progress, never a wrong merge") {
+    // A path 10-11-12-13-14 has diameter 4; after 1 round labels have
+    // traveled at most 1 hop, so the census splits the path — but every
+    // label is still a true member of the component (min over a subset).
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("src", "dst")
+    val r1 = GraphAnalytics.wccCensus(path, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.values.sum == 5L)      // every node counted exactly once
+    assert(r1.keySet.min == 10L)     // min label present
+    assert(r1.size > 1)              // not yet converged at 1 round
+    val r4 = GraphAnalytics.wccCensus(path, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r4 == Map(10L -> 5L))     // diameter covered → exact
+  }
+}

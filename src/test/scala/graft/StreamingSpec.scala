@@ -116,6 +116,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup re-emits a key once the watermark evicts it (bounded-state boundary)") {
+    import graft.streaming.EventStream
+    val staging = java.nio.file.Files.createTempDirectory("graft-sdedup2").toString
+    val base = 1700000000000L
+    val min10 = 10L * 60 * 1000
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      rows.map { case (id, ts, txt) => (id, new java.sql.Timestamp(ts), txt) }
+        .toDF("doc_id", "ts", "text")
+        .write.mode("append").parquet(staging)
+
+    write(Seq((1L, base, "Hello, World!")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val in = spark.readStream.schema(schema).parquet(staging)
+    val out = EventStream.dedupStream(in, "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup2").start()
+    try {
+      q.processAllAvailable()
+      // advance event time 30 min: after this batch the watermark is
+      // base+20min, past doc 1's ts+delay (base+10min) → its fingerprint
+      // is EVICTED from the dedup state (the bounded-state contract)
+      write(Seq((2L, base + 3 * min10, "advancer")))
+      q.processAllAvailable()
+      // same normalized content as doc 1, above the watermark → with the
+      // fingerprint evicted this is a NEW key and must re-emit; a plain
+      // dropDuplicates would still hold the key and silently drop it
+      write(Seq((3L, base + 3 * min10 - min10 / 2, "hello world")))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM sdedup2").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 3L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sdedup2")
+    }
+  }
+
   test("supervisor restarts a failing stream up to the budget, rethrows past it") {
     import graft.streaming.Supervisor
     val staging = java.nio.file.Files.createTempDirectory("graft-restart").toString
