@@ -970,6 +970,99 @@ object OracleSqlGen {
        |  FROM __capped x JOIN __capped y
        |    ON x.cell_id = y.cell_id AND x.doc_id <> y.doc_id)""".stripMargin
 
+  /** Shared RP-forest routing CTE chain (q219/q220): every embedding
+    * routed through the INLINED split heap level by level — at heap
+    * node i the side is `dot(emb, w_i) ≥ θ_i` on the strict double fold
+    * ([[dotFold]], the `tree_route_f32` accumulation) — ending at
+    * `__rleaves(doc_id, tree, leaf)`. The whole assignment, not just
+    * the search output, sits under the gate. */
+  private def rpfCtes(splits: Seq[(Int, Int, Array[Double], Double)],
+                      depth: Int): String = {
+    val values = splits.map { case (t, n, w, th) =>
+      s"($t, $n, [${w.mkString(", ")}], $th)"
+    }.mkString(",\n      ")
+    val trees = splits.map(_._1).distinct.sorted
+    val levels = (1 to depth).map { l =>
+      val prev = if (l == 1) "__r0" else s"__r${l - 1}"
+      s"""__r$l AS (
+         |  SELECT d.doc_id, d.embedding, d.tree,
+         |    d.node * 2 + CASE WHEN ${dotFold("d.embedding", "s.w")} >= s.theta
+         |      THEN 1 ELSE 0 END AS node
+         |  FROM $prev d JOIN __splits s ON s.tree = d.tree AND s.node = d.node)""".stripMargin
+    }.mkString(",\n")
+    s"""__splits(tree, node, w, theta) AS (VALUES
+       |      $values),
+       |__r0 AS (
+       |  SELECT e.vec_id AS doc_id, e.embedding, t.tree, 1 AS node
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT unnest([${trees.mkString(", ")}]) AS tree) t),
+       |$levels,
+       |__rleaves AS (
+       |  SELECT doc_id, tree, node - ${1 << depth} AS leaf FROM __r$depth)""".stripMargin
+  }
+
+  /** q219's oracle: RP-forest search — candidates = docs sharing a
+    * (tree, leaf) with the query's driver-routed leaves, deduped across
+    * trees, exact-IP reranked top-k. */
+  def rpfSearchSql(splits: Seq[(Int, Int, Array[Double], Double)],
+                   depth: Int, qLeaves: Seq[(Int, Int)], k: Int,
+                   qVecId: Long): String = {
+    val qlv = qLeaves.map { case (t, l) => s"($t, $l)" }.mkString(", ")
+    s"""WITH ${rpfCtes(splits, depth)},
+       |qleaf(tree, leaf) AS (VALUES $qlv),
+       |cand AS (
+       |  SELECT DISTINCT r.doc_id FROM __rleaves r
+       |  JOIN qleaf ql ON ql.tree = r.tree AND ql.leaf = r.leaf
+       |  WHERE r.doc_id <> $qVecId),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qVecId),
+       |scored AS (
+       |  SELECT c.doc_id, ${dotFold("e.embedding", "q.qe")} AS s
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q)
+       |SELECT doc_id, round(s, 4) AS score
+       |FROM scored ORDER BY s DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** q220's oracle: RP-forest recall vs exact (the q47 idiom) — approx
+    * = per-query leaf candidates reranked top-k, exact = full-scan
+    * top-k, overlap per query. */
+  def rpfRecallSql(splits: Seq[(Int, Int, Array[Double], Double)],
+                   depth: Int, qLeaves: Seq[(Long, Int, Int)], k: Int,
+                   nq: Int): String = {
+    val qlv = qLeaves.map { case (q, t, l) => s"($q, $t, $l)" }.mkString(", ")
+    s"""WITH ${rpfCtes(splits, depth)},
+       |qleaf(query_id, tree, leaf) AS (VALUES $qlv),
+       |qx AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $nq),
+       |cand AS (
+       |  SELECT DISTINCT ql.query_id, r.doc_id FROM __rleaves r
+       |  JOIN qleaf ql ON ql.tree = r.tree AND ql.leaf = r.leaf),
+       |approx AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT c.query_id, c.doc_id,
+       |      row_number() OVER (PARTITION BY c.query_id
+       |        ORDER BY ${dotFold("e.embedding", "qx.qe")} DESC, c.doc_id ASC) AS rnk
+       |    FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+       |    JOIN qx ON qx.query_id = c.query_id)
+       |  WHERE rnk <= $k),
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qx.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY qx.query_id
+       |        ORDER BY ${dotFold("e.embedding", "qx.qe")} DESC, e.vec_id ASC) AS rnk
+       |    FROM embeddings e CROSS JOIN qx)
+       |  WHERE rnk <= $k),
+       |ov AS (
+       |  SELECT e.query_id, count(*) AS n
+       |  FROM exact e JOIN approx a
+       |    ON e.query_id = a.query_id AND e.vec_id = a.doc_id
+       |  GROUP BY 1)
+       |SELECT q2.query_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+       |  round(coalesce(ov.n, 0) / $k.0, 2) AS recall_at_$k
+       |FROM (SELECT DISTINCT query_id FROM qx) q2 LEFT JOIN ov USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** Shared KMV-sketch CTE chain over the documents table (q217/q218):
     * per-doc distinct 3-gram shingles (the q15 idiom), per-source
     * distinct 60-bit hash points (`'0x'+md5-prefix` cast ≡ Spark's

@@ -255,6 +255,8 @@ object SparkEntry
     "q216_graph_wcc" -> (q216GraphWcc _),
     "q217_kmv_distinct" -> (q217KmvDistinct _),
     "q218_kmv_setops" -> (q218KmvSetops _),
+    "q219_rpf_search" -> (q219RpfSearch _),
+    "q220_rpf_recall" -> (q220RpfRecall _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -456,7 +458,8 @@ object SparkEntry
     sq4OracleSqls ++ pcaOracleSqls ++ opqOracleSqls ++ opqIvfOracleSqls ++
     ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ cvOracleSqls ++ rqOracleSqls ++
     bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls ++
-    nlistSweepOracleSqls ++ lloydIvfOracleSqls ++ churnOracleSqls
+    nlistSweepOracleSqls ++ lloydIvfOracleSqls ++ churnOracleSqls ++
+    rpfOracleSqls
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the
@@ -907,6 +910,33 @@ object SparkEntry
       Map("q120_ivfpqr_search" -> OracleSqlGen.ivfPqrSearchSql(cents,
         parseBooks(c1lines), parseBooks(c2lines),
         k = 10, rerank = 50, nprobe = 4))
+    }).getOrElse(Map.empty)
+
+  /** RP-forest oracles, generated from the forest artifact q219's run
+    * just persisted — [[ivfOracleSqls]] lifecycle; the query leaves are
+    * re-routed here with the same driver arithmetic the engine used. */
+  private[graft] def rpfOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      fpath = java.nio.file.Paths.get(s"${rpfCachePath(s, dir)}/forest.txt")
+      if java.nio.file.Files.exists(fpath)
+    } yield {
+      val f = RpForest.load(s, fpath.toString)
+      val splits = for (tr <- 0 until f.trees; node <- 1 to (1 << f.depth) - 1)
+        yield (tr, node, f.planes(tr)(node - 1), f.thetas(tr)(node - 1))
+      val qs = t(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val qLeaves0 = RpForest.routeQuery(f, qs.find(_._1 == 0L).get._2)
+      val qLeavesAll = qs.toSeq.flatMap { case (qid, qv) =>
+        RpForest.routeQuery(f, qv).map { case (tr, lf) => (qid, tr, lf) }
+      }
+      Map(
+        "q219_rpf_search" -> OracleSqlGen.rpfSearchSql(splits, f.depth,
+          qLeaves0, k = 10, qVecId = 0L),
+        "q220_rpf_recall" -> OracleSqlGen.rpfRecallSql(splits, f.depth,
+          qLeavesAll, k = 5, nq = 8))
     }).getOrElse(Map.empty)
 
   private[graft] def ivfOracleSqls: Map[String, String] =

@@ -1561,6 +1561,90 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
         .select(col("src").cast("long"), col("dst").cast("long")), rounds = 5)
       .orderBy("component")
 
+  private[graft] val RpfTrees = 2
+  private[graft] val RpfDepth = 3
+
+  /** Persisted RP-forest cache: forest artifact (text) + the
+    * (tree, leaf)-partitioned assignment store with embeddings inline
+    * (the Annoy space-for-reads layout — `trees` copies of the corpus,
+    * each pruned to `1/2^depth` per query read). */
+  private[graft] def rpfCachePath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x49fee7L ^
+        datasetFingerprint(s, s"$dir/embeddings.parquet"))
+    s"${GraftConfig.storeRoot}/graft-rpf-$key"
+  }
+
+  private[graft] def rpfCorpus(s: SparkSession, dir: String): (DataFrame, RpForest.Forest) = {
+    val root = rpfCachePath(s, dir)
+    val spath = s"$root/store"
+    val fpath = s"$root/forest.txt"
+    if (!graft.sources.CorpusStore.exists(s, s"$spath/_SUCCESS")) {
+      val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+      val f = RpForest.train(emb, trees = RpfTrees, depth = RpfDepth)
+      RpForest.save(s, f, fpath)
+      RpForest.assign(emb, f)
+        .write.mode("overwrite").partitionBy("tree", "leaf").parquet(spath)
+    }
+    (s.read.parquet(spath), RpForest.load(s, fpath))
+  }
+
+  /** Tree-routed ANN search — the RP-forest / Annoy family
+    * ([[graft.operators.RpForest]]), the fourth scale path beside IVF
+    * (Voronoi cells), LSH (oblivious hyperplanes), and the graph walk:
+    * the query routes through `depth` hyperplane tests per tree
+    * driver-side, reads ONLY its leaf partitions (static (tree, leaf)
+    * literal filter → partition pruning, ~trees/2^depth of the corpus),
+    * dedups across trees, exact-IP reranks. The oracle replays the
+    * ENTIRE assignment (every corpus vector through the inlined split
+    * heap) plus the candidate rerank, so routing semantics — not just
+    * the result shape — sit under the gate. */
+  private[graft] def q219RpfSearch(s: SparkSession, dir: String): DataFrame = {
+    val (store, f) = rpfCorpus(s, dir)
+    val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    RpForest.search(store.filter(col("doc_id") =!= 0L), f, qVec, k = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** RP-forest ANN quality, quantified like q34 (IVF) and q47 (LSH):
+    * top-5 overlap between the tree-routed search and the exact scan
+    * for 8 queries — the recall number a user tuning trees/depth needs.
+    * Batch form: ONE pruned store read serves all queries (leaf
+    * predicate = union of the queries' routed leaves; the per-query
+    * split rides the broadcast (query, tree, leaf) table). */
+  private[graft] def q220RpfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val (store, f) = rpfCorpus(s, dir)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val qRows = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val leaves = qRows.toSeq.flatMap { case (qid, qv) =>
+      RpForest.routeQuery(f, qv).map { case (tr, lf) => (qid, tr, lf) }
+    }
+    val leavesDf = leaves.toDF("query_id", "tree", "leaf")
+    val pred = leaves.map { case (_, tr, lf) =>
+      col("tree") === tr && col("leaf") === lf
+    }.reduce(_ || _)
+    val cands = store.filter(pred)
+      .join(broadcast(leavesDf), Seq("tree", "leaf"))
+      .select(col("query_id"), col("doc_id"), col("embedding")).distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("doc_id"))
+    val approx = cands.join(broadcast(queries), Seq("query_id"))
+      .withColumn("score",
+        GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("doc_id").as("vec_id"))
+    val exact = VectorSearch.knnBatchAggregated(queries, emb, 5, idCol = "vec_id")
+      .select("query_id", "vec_id")
+    VectorSearch.recallVsExact(queries, exact, approx, "vec_id", k = 5)
+  }
+
   /** HNSW-family graph search ([[GraphSearch.searchBeam]]): a greedy
     * beam walk over the PERSISTED cell-blocked k-NN graph
     * ([[graphCorpus]]), seeded by the coarse probe (the quantizer plays

@@ -60,6 +60,9 @@ object GraftFunctions {
       "residual_f32",
       exprs => ResidualF32(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "tree_route_f32",
+      exprs => TreeRouteF32(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "adc_lut", exprs => AdcLut(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "adc_lut_cells",
@@ -192,6 +195,10 @@ object GraftFunctions {
   /** Quantizer-code ADC: `Σ_i lut[i][codes[i]]` over a LUT literal. */
   def adcLut(codes: Column, lut: Column): Column =
     call_function("adc_lut", codes, lut)
+
+  /** RP-tree leaf routing over heap-ordered plane/threshold literals. */
+  def treeRouteF32(emb: Column, planes: Column, thetas: Column): Column =
+    call_function("tree_route_f32", emb, planes, thetas)
 
   /** IVFADC scan kernel: ADC against the row's coarse cell's LUT. */
   def adcLutCells(codes: Column, cellId: Column, luts: Column): Column =

@@ -985,3 +985,101 @@ case class NormF32(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): NormF32 =
     copy(child = newChild)
 }
+
+/** Route a float vector through a perfect binary tree of hyperplane
+  * splits to its leaf index (the RP-forest / Annoy assignment kernel,
+  * [[graft.operators.RpForest]]). `second` is the heap-ordered plane
+  * table (node i at index i−1, children 2i/2i+1; `array<array<double>>`
+  * literal), `third` the matching thresholds. At node i the side is
+  * `Σ_j double(x_j)·w_j ≥ θ_i` — the dot accumulates sequentially in
+  * double (the `dot_f32` order the oracles replay with the strict
+  * fold); ties go right. Returns the leaf ordinal in [0, 2^depth).
+  *
+  * Whole-tree routing in ONE codegen expression keeps the corpus-wide
+  * ingest projection (route per tree → assignment row) inside a single
+  * whole-stage span with the planes baked in as primitive `double[][]` —
+  * depth narrow-map work per row, no shuffle, the property that makes
+  * tree indexing an ingest-time O(depth) scan at 100 TB. */
+case class TreeRouteF32(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "tree_route_f32"
+
+  @transient private lazy val planes: Array[Array[Double]] = second match {
+    case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) if v != null =>
+      v.toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray())
+    case other =>
+      throw new IllegalArgumentException(
+        s"tree_route_f32 needs a foldable array<array<double>> plane literal, got $other")
+  }
+
+  @transient private lazy val thetas: Array[Double] = third match {
+    case Literal(v: ArrayData, ArrayType(DoubleType, _)) if v != null =>
+      v.toDoubleArray()
+    case other =>
+      throw new IllegalArgumentException(
+        s"tree_route_f32 needs a foldable array<double> threshold literal, got $other")
+  }
+
+  // planes.length = 2^depth − 1 for a complete tree
+  @transient private lazy val depth: Int = {
+    require(planes.length == thetas.length,
+      s"plane/threshold size mismatch: ${planes.length} vs ${thetas.length}")
+    val d = java.lang.Integer.numberOfTrailingZeros(planes.length + 1)
+    require((1 << d) - 1 == planes.length,
+      s"tree_route_f32 needs a complete heap (2^d - 1 splits), got ${planes.length}")
+    d
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var node = 1
+    var lvl = 0
+    while (lvl < depth) {
+      val w = planes(node - 1)
+      val n = math.min(x.numElements(), w.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * w(i); i += 1 }
+      node = 2 * node + (if (s >= thetas(node - 1)) 1 else 0)
+      lvl += 1
+    }
+    node - (1 << depth)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("planes", planes, "double[][]")
+    val t = ctx.addReferenceObj("thetas", thetas, "double[]")
+    val embGen = first.genCode(ctx)
+    val node = ctx.freshName("node")
+    val lvl = ctx.freshName("lvl")
+    val w = ctx.freshName("w")
+    val n = ctx.freshName("n")
+    val s = ctx.freshName("s")
+    val i = ctx.freshName("i")
+    val d = depth // force validation at codegen time
+    ev.copy(code = code"""
+      ${embGen.code}
+      boolean ${ev.isNull} = ${embGen.isNull};
+      int ${ev.value} = 0;
+      if (!${ev.isNull}) {
+        int $node = 1;
+        for (int $lvl = 0; $lvl < $d; $lvl++) {
+          double[] $w = $p[$node - 1];
+          int $n = java.lang.Math.min(${embGen.value}.numElements(), $w.length);
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += (double)${embGen.value}.getFloat($i) * $w[$i];
+          }
+          $node = 2 * $node + (($s >= $t[$node - 1]) ? 1 : 0);
+        }
+        ${ev.value} = $node - ${1 << d};
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): TreeRouteF32 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

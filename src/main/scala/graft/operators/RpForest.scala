@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Random-projection tree forest — the Annoy-style tree-routed ANN
+  * family (re-derived from the published Annoy design: split = the
+  * perpendicular bisector hyperplane between two well-separated corpus
+  * points, forest = several independently-split trees whose leaf unions
+  * form the candidate set). Complements the engine's IVF (Voronoi
+  * cells), LSH (data-oblivious hyperplanes), and graph (beam walk)
+  * scale paths with the fourth classic: data-DEPENDENT axis-free space
+  * partitioning with O(depth) routing.
+  *
+  * Determinism replaces Annoy's RNG everywhere, so the whole family
+  * sits under the DuckDB oracle:
+  *  - pole 1 of a node = member minimizing (md5(id:tree), id) — the
+  *    salted-hash pick varies across trees but never across runs;
+  *  - pole 2 = member farthest from pole 1 by exact L2 (ties → lowest
+  *    id) — the farthest-first idiom (q200);
+  *  - split plane w = p2 − p1 (exact: float−float in double), threshold
+  *    θ = w·midpoint(p1,p2) (driver doubles, persisted verbatim);
+  *  - routing: `Σ double(x_j)·w_j ≥ θ` goes right, the sequential
+  *    double fold ([[graft.functions.TreeRouteF32]]) the oracle replays.
+  *
+  * Scale shape: training is `depth` rounds of map-side-combinable
+  * (tree,node) aggregations — no corpus shuffle, poles collect
+  * driver-side (2^depth·trees rows). Assignment is ONE narrow codegen
+  * projection per corpus scan (all trees in one pass). The stored form
+  * partitions by (tree, leaf) with embeddings inline — Annoy's
+  * space-for-reads trade — so a query reads `trees` leaf partitions
+  * (~trees/2^depth of the corpus) with partition pruning, never a join.
+  */
+object RpForest {
+
+  /** Per-tree heap-ordered split tables: planes(i−1), thetas(i−1) for
+    * heap node i; children of i are 2i/2i+1; leaves are depth-level
+    * ordinals. */
+  final case class Forest(trees: Int, depth: Int, dim: Int,
+                          planes: IndexedSeq[Array[Array[Double]]],
+                          thetas: IndexedSeq[Array[Double]])
+
+  private def saltedHash(id: org.apache.spark.sql.Column,
+                         tree: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat_ws(":", id, tree)), 1, 15), 16, 10).cast("long")
+
+  /** Train a forest on (idCol, embCol) rows. Each level: one
+    * min-aggregation picks pole 1 per (tree, node), one max-aggregation
+    * picks pole 2 (distance to pole 1 via the exact L2 kernel), both
+    * map-side combinable; planes go to the driver and the next level's
+    * node ids come from re-routing through the partial heap (a narrow
+    * codegen map — cheaper at scale than materializing assignment
+    * state between levels). Nodes with < 2 distinct members get the
+    * degenerate split (w = 0, θ = 1): every member routes left, the
+    * replayable stand-in for Annoy's unsplit leaf. */
+  def train(corpus: DataFrame, trees: Int, depth: Int,
+            embCol: String = "embedding", idCol: String = "doc_id"): Forest = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    val base = corpus.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+      .crossJoin(spark.range(trees).select(col("id").cast("int").as("tree")))
+      .withColumn("salted", saltedHash(col("doc_id"), col("tree")))
+    val planes = Array.fill(trees)(
+      Array.ofDim[Array[Double]]((1 << depth) - 1))
+    val thetas = Array.fill(trees)(Array.ofDim[Double]((1 << depth) - 1))
+
+    def withNodes(lvl: Int): DataFrame =
+      if (lvl == 0) base.withColumn("node", lit(1))
+      else {
+        // route through the partial heap (levels 0..lvl−1 trained):
+        // leaf ordinal at depth lvl + 2^lvl = heap node entering lvl
+        val perTree = (0 until trees).map { t =>
+          val p = typedLit(planes(t).take((1 << lvl) - 1).map(_.toSeq).toSeq)
+          val th = typedLit(thetas(t).take((1 << lvl) - 1).toSeq)
+          (t, GraftFunctions.treeRouteF32(col("emb"), p, th) + lit(1 << lvl))
+        }
+        base.withColumn("node",
+          perTree.tail.foldLeft(when(col("tree") === perTree.head._1,
+            perTree.head._2)) { case (acc, (t, e)) =>
+            acc.when(col("tree") === t, e)
+          })
+      }
+
+    for (lvl <- 0 until depth) {
+      val a = withNodes(lvl)
+      // pole picks are self-joins on a's lineage: rename the grouped
+      // side's keys so the analyzer never sees an ambiguous reference
+      val p1 = a.groupBy("tree", "node")
+        .agg(min(struct(col("salted"), col("doc_id"))).as("m"))
+        .select(col("tree").as("__t"), col("node").as("__n"),
+          col("m.doc_id").as("p1_id"))
+      val p1emb = a.join(broadcast(p1),
+          col("tree") === col("__t") && col("node") === col("__n") &&
+            col("doc_id") === col("p1_id"))
+        .select(col("tree"), col("node"), col("emb").as("p1_emb"))
+      val withD = a.join(broadcast(p1emb.withColumnRenamed("tree", "__t")
+            .withColumnRenamed("node", "__n")),
+          col("tree") === col("__t") && col("node") === col("__n"))
+        .withColumn("d", GraftFunctions.l2DistanceF32(col("emb"), col("p1_emb")))
+      val p2 = withD.groupBy("tree", "node")
+        .agg(max(struct(col("d"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("tree").as("__t"), col("node").as("__n"),
+          (-col("m.nid")).as("p2_id"))
+      val poles = a.join(broadcast(p2),
+          col("tree") === col("__t") && col("node") === col("__n") &&
+            col("doc_id") === col("p2_id"))
+        .select(col("tree"), col("node"), col("emb").as("p2_emb"))
+        .join(broadcast(p1emb.withColumnRenamed("tree", "__t2")
+            .withColumnRenamed("node", "__n2")),
+          col("tree") === col("__t2") && col("node") === col("__n2"))
+        .select(col("tree"), col("node"), col("p1_emb"), col("p2_emb"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getSeq[Float](2).toArray, r.getSeq[Float](3).toArray)))
+        .toMap
+      for (t <- 0 until trees; node <- (1 << lvl) until (1 << (lvl + 1))) {
+        poles.get((t, node)) match {
+          case Some((e1, e2)) if !java.util.Arrays.equals(e1, e2) =>
+            val w = Array.tabulate(dim)(i => e2(i).toDouble - e1(i).toDouble)
+            var th = 0.0
+            var i = 0
+            while (i < dim) {
+              th += w(i) * ((e1(i).toDouble + e2(i).toDouble) / 2.0); i += 1
+            }
+            planes(t)(node - 1) = w
+            thetas(t)(node - 1) = th
+          case _ => // empty / singleton / duplicate-pole node
+            planes(t)(node - 1) = Array.fill(dim)(0.0)
+            thetas(t)(node - 1) = 1.0
+        }
+      }
+    }
+    Forest(trees, depth, dim,
+      planes.toIndexedSeq.map(identity), thetas.toIndexedSeq.map(identity))
+  }
+
+  /** Leaf assignment: one narrow projection emitting (idCol, embCol,
+    * tree, leaf) — all trees routed in one corpus pass. */
+  def assign(corpus: DataFrame, f: Forest,
+             embCol: String = "embedding", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val routes = array((0 until f.trees).map { t =>
+      GraftFunctions.treeRouteF32(col(embCol),
+        typedLit(f.planes(t).map(_.toSeq).toSeq), typedLit(f.thetas(t).toSeq))
+    }: _*)
+    corpus.select(col(idCol).as("doc_id"), col(embCol).as("embedding"),
+        posexplode(routes).as(Seq("tree", "leaf")))
+  }
+
+  /** Driver-side query routing — the same double arithmetic as
+    * [[graft.functions.TreeRouteF32]], one (tree, leaf) per tree. */
+  def routeQuery(f: Forest, q: Array[Float]): Seq[(Int, Int)] =
+    (0 until f.trees).map { t =>
+      var node = 1
+      for (_ <- 0 until f.depth) {
+        val w = f.planes(t)(node - 1)
+        var s = 0.0
+        var i = 0
+        val n = math.min(q.length, w.length)
+        while (i < n) { s += q(i).toDouble * w(i); i += 1 }
+        node = 2 * node + (if (s >= f.thetas(t)(node - 1)) 1 else 0)
+      }
+      (t, node - (1 << f.depth))
+    }
+
+  /** Search a PERSISTED (tree, leaf)-partitioned assignment store:
+    * route the query driver-side, read only the matching leaf
+    * partitions (static (tree,leaf) literal filter → partition
+    * pruning), dedup candidates across trees, exact-IP rerank top-k. */
+  def search(store: DataFrame, f: Forest, q: Array[Float], k: Int): DataFrame = {
+    GraftFunctions.register(store.sparkSession)
+    val leaves = routeQuery(f, q)
+    val pred = leaves.map { case (t, l) =>
+      col("tree") === t && col("leaf") === l
+    }.reduce(_ || _)
+    store.filter(pred)
+      .select(col("doc_id"), col("embedding")).distinct()
+      .withColumn("score", GraftFunctions.dotF32(col("embedding"),
+        typedLit(q.toSeq)))
+      .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  // -------------------------------------------------------------------
+  // Persistence: the quantizer-artifact text idiom (IvfIndex.save) —
+  // header `trees depth dim`, then one line per (tree, heap node):
+  // `tree node theta w_0 … w_{dim−1}` (Double.toString round-trips).
+  // -------------------------------------------------------------------
+
+  def save(spark: SparkSession, f: Forest, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      sb.append(s"${f.trees} ${f.depth} ${f.dim}\n")
+      for (t <- 0 until f.trees; node <- 1 to (1 << f.depth) - 1) {
+        sb.append(t).append(' ').append(node).append(' ')
+          .append(f.thetas(t)(node - 1)).append(' ')
+          .append(f.planes(t)(node - 1).mkString(" ")).append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  def load(spark: SparkSession, path: String): Forest = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try {
+      val Array(trees, depth, dim) = in.readLine().split(" ").map(_.toInt)
+      val planes = Array.fill(trees)(Array.ofDim[Array[Double]]((1 << depth) - 1))
+      val thetas = Array.fill(trees)(Array.ofDim[Double]((1 << depth) - 1))
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).foreach { line =>
+          val parts = line.split(" ")
+          val t = parts(0).toInt
+          val node = parts(1).toInt
+          thetas(t)(node - 1) = parts(2).toDouble
+          planes(t)(node - 1) = parts.drop(3).map(_.toDouble)
+        }
+      Forest(trees, depth, dim,
+        planes.toIndexedSeq.map(identity), thetas.toIndexedSeq.map(identity))
+    } finally in.close()
+  }
+}
