@@ -257,6 +257,7 @@ object SparkEntry
     "q218_kmv_setops" -> (q218KmvSetops _),
     "q219_rpf_search" -> (q219RpfSearch _),
     "q220_rpf_recall" -> (q220RpfRecall _),
+    "q221_bloom_decontaminate" -> (q221BloomDecontaminate _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -435,6 +436,7 @@ object SparkEntry
     "q214_stream_enrich" -> q214Sql,
     "q217_kmv_distinct" -> OracleSqlGen.kmvDistinctSql(k = 64),
     "q218_kmv_setops" -> OracleSqlGen.kmvSetopsSql(k = 64),
+    "q221_bloom_decontaminate" -> q221Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

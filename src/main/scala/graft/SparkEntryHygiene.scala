@@ -2059,6 +2059,80 @@ private[graft] trait SparkEntryHygiene { this: SparkEntry.type =>
       |SELECT doc_id, fused, lex_norm, vec_norm
       |FROM f ORDER BY fused DESC, doc_id LIMIT 15""".stripMargin
 
+  /** Bloom-pre-filtered decontamination — the CONSTANT-MEMORY form of
+    * q51's eval-overlap check ([[graft.operators.BloomFilter]]): the
+    * eval slice's shingles compress to a 2^16-bit filter (one bit_or
+    * aggregation, 2048 32-bit words to the driver), the corpus side
+    * tests membership in a narrow projection against the literal —
+    * 8 KB per executor at ANY eval-set size, where q51's broadcast
+    * hash join grows with the benchmark suite — and only surviving
+    * shingles join eval for exact confirmation. Output is the
+    * false-positive audit: per flagged doc, shingles passing the bloom
+    * vs truly contaminated (n_bloom − n_true = what the m/k sizing
+    * buys). Both build and membership replay exactly in DuckDB
+    * (md5-slice positions, bit_or words, arithmetic-shift `& 1` bit
+    * tests). */
+  private[graft] def q221BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val shing = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("sh"))
+    val evalSh = shing.filter(col("doc_id") % 100 === 0)
+      .select("sh").distinct()
+    val words = BloomFilter.build(evalSh, "sh")
+    val flagged = shing.filter(col("doc_id") % 100 =!= 0)
+      .withColumn("__d", md5(col("sh")))
+      .filter(BloomFilter.mightContainDigest(col("__d"), words))
+      .drop("__d")
+    flagged
+      .join(evalSh.withColumn("in_eval", lit(1L)), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bloom"),
+        sum(coalesce(col("in_eval"), lit(0L))).cast("long").as("n_true"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val q221Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM documents),
+      |shl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |ev AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE doc_id % 100 = 0),
+      |pos AS (
+      |  SELECT DISTINCT h FROM (
+      |    SELECT unnest([
+      |      CAST(('0x' || substr(md5(s), 1, 4)) AS BIGINT),
+      |      CAST(('0x' || substr(md5(s), 5, 4)) AS BIGINT),
+      |      CAST(('0x' || substr(md5(s), 9, 4)) AS BIGINT)]) AS h
+      |    FROM ev)),
+      |bloom AS (
+      |  SELECT h // 32 AS word,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INTEGER)) AS bits
+      |  FROM pos GROUP BY 1),
+      |cop AS (
+      |  SELECT doc_id, s,
+      |    CAST(('0x' || substr(md5(s), 1, 4)) AS BIGINT) AS h0,
+      |    CAST(('0x' || substr(md5(s), 5, 4)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substr(md5(s), 9, 4)) AS BIGINT) AS h2
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl WHERE doc_id % 100 <> 0)),
+      |flag AS (
+      |  SELECT c.doc_id, c.s FROM cop c
+      |  JOIN bloom b0 ON b0.word = c.h0 // 32
+      |  JOIN bloom b1 ON b1.word = c.h1 // 32
+      |  JOIN bloom b2 ON b2.word = c.h2 // 32
+      |  WHERE ((b0.bits >> CAST(c.h0 % 32 AS INTEGER)) & 1) = 1
+      |    AND ((b1.bits >> CAST(c.h1 % 32 AS INTEGER)) & 1) = 1
+      |    AND ((b2.bits >> CAST(c.h2 % 32 AS INTEGER)) & 1) = 1)
+      |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_bloom,
+      |  CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+      |FROM flag f LEFT JOIN ev ON ev.s = f.s
+      |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
   /** Per-source shingle-cardinality KMV sketch vs exact — the sketch
     * tier opens ([[graft.operators.Sketches]]): each source's distinct
     * 3-gram shingle count estimated from the k=64 minimum md5 hash
