@@ -1200,6 +1200,46 @@ object OracleSqlGen {
        |FROM l$rounds GROUP BY lbl ORDER BY component""".stripMargin
   }
 
+  /** q223's oracle: the bounded k-core peel replayed as unrolled CTE
+    * blocks — per round, edges among the alive set → degrees → the
+    * survivors with degree ≥ kCore; one (round, n_alive, n_edges) row
+    * each. */
+  def graphKcoreSql(cents: Seq[Array[Double]], k: Int, cap: Int,
+                    kCore: Int, rounds: Int): String = {
+    val blocks = (1 to rounds).map { r =>
+      val prevA = if (r == 1) "a0" else s"a${r - 1}"
+      s"""e$r AS (
+         |  SELECT src, dst FROM u
+         |  WHERE src IN (SELECT node FROM $prevA)
+         |    AND dst IN (SELECT node FROM $prevA)),
+         |a$r AS (
+         |  SELECT src AS node FROM (
+         |    SELECT src, count(*) AS deg FROM e$r GROUP BY src)
+         |  WHERE deg >= $kCore),
+         |s$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round,
+         |    CAST((SELECT count(*) FROM a$r) AS BIGINT) AS n_alive,
+         |    CAST((SELECT count(*) FROM e$r
+         |          WHERE src IN (SELECT node FROM a$r)
+         |            AND dst IN (SELECT node FROM a$r)) // 2 AS BIGINT)
+         |      AS n_edges)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r => s"SELECT * FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |    FROM __gscored) WHERE rnk <= $k),
+       |u AS (SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g),
+       |a0 AS (SELECT DISTINCT src AS node FROM u),
+       |$blocks
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
   def knnGraphSql(cents: Seq[Array[Double]], k: Int, cap: Int): String =
     s"""WITH ${ivfAssignCtes(cents)},
        |${graphBaseCtes(cap)},

@@ -258,6 +258,8 @@ object SparkEntry
     "q219_rpf_search" -> (q219RpfSearch _),
     "q220_rpf_recall" -> (q220RpfRecall _),
     "q221_bloom_decontaminate" -> (q221BloomDecontaminate _),
+    "q222_stream_outer_join" -> (q222StreamOuterJoin _),
+    "q223_graph_kcore" -> (q223GraphKcore _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -437,6 +439,7 @@ object SparkEntry
     "q217_kmv_distinct" -> OracleSqlGen.kmvDistinctSql(k = 64),
     "q218_kmv_setops" -> OracleSqlGen.kmvSetopsSql(k = 64),
     "q221_bloom_decontaminate" -> q221Sql,
+    "q222_stream_outer_join" -> q222Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
@@ -1017,6 +1020,9 @@ object SparkEntry
           k = 4, cap = SemanticDedup.DefaultMaxCellSize, topK = 20),
         "q216_graph_wcc" -> OracleSqlGen.graphWccSql(cents,
           k = 4, cap = SemanticDedup.DefaultMaxCellSize, rounds = 5),
+        "q223_graph_kcore" -> OracleSqlGen.graphKcoreSql(cents,
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize,
+          kCore = 3, rounds = 3),
         "q137_embedding_drift" -> OracleSqlGen.embeddingDriftSql(cents,
           oldPred = "e.vec_id % 10 <> 0", newPred = "e.vec_id % 10 <> 1"),
         "q116_embedding_outliers" -> OracleSqlGen.embeddingOutliersSql(cents))

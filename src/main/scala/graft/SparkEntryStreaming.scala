@@ -722,4 +722,78 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin
 
+  /** STREAM-STREAM LEFT OUTER interval join under the gate — q207's
+    * join exercising the behavior inner joins never reach: an unmatched
+    * purchase emits its NULL-extended row only once the watermark
+    * proves no click can still arrive (outer-join state closure — the
+    * attribution table's "organic purchase" rows at 100 TB, where
+    * waiting forever is not an option). TWO far-future sentinels (one
+    * per side) advance both input watermarks — the join's global
+    * watermark is their MIN, so a single-side sentinel would hold every
+    * outer row open — and the no-data batch after the advance
+    * (SPARK-24156) flushes the closed state; processAllAvailable waits
+    * for it. The oracle is the plain batch LEFT JOIN: matched rows ≡
+    * q207's inner join, unmatched rows NULL click_id/lag_us (both
+    * engines surface them as float-NaN through the compare). */
+  private[graft] def q222StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val ev = eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val maxTs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q222").toString
+    val inDir = s"$stage/in"
+    ev.write.parquet(inDir)
+    val qname = "q222_outer"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    val clicks = EventStream.readEvents(s, inDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = EventStream.readEvents(s, inDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"), "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable()
+      import s.implicits._
+      Seq(
+        (maxId + 1, new java.sql.Timestamp(maxTs + 86400000L), -1L,
+          "click", 0.0, "{}"),
+        (maxId + 2, new java.sql.Timestamp(maxTs + 86400000L), -1L,
+          "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally { q.stop(); rmTree(stage) } // memory sink holds the rows
+    s.table(qname)
+      .filter(col("purchase_id") <= maxId) // drop the sentinel's own outer row
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private[graft] val q222Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tu
+      |  FROM events)
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  CAST(p.tu - c.tu AS BIGINT) AS lag_us
+      |FROM e p LEFT JOIN e c
+      |  ON p.user_id = c.user_id
+      |  AND c.event_type = 'click'
+      |  AND c.tu >= p.tu - 3600000000 AND c.tu <= p.tu
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
 }

