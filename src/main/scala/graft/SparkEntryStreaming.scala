@@ -592,7 +592,10 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
     val stage = java.nio.file.Files
       .createTempDirectory("graft-q207").toString
     val inDir = s"$stage/in"
+    // stage only the two joined types — the other three never reach
+    // either side's filter, and the staged copy is the gate's main cost
     eventsNs(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
       .write.parquet(inDir)
@@ -737,11 +740,15 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
     * engines surface them as float-NaN through the compare). */
   private[graft] def q222StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.EventStream
+    // stage only the two joined types (the q207 discipline); the
+    // sentinel pair below still advances both watermarks
     val ev = eventsNs(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-    val maxId = ev.agg(max("event_id")).head.getLong(0)
-    val maxTs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val Array(maxId, maxTs) = ev
+      .agg(max("event_id"), max(unix_millis(col("ts")))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
     val stage = java.nio.file.Files
       .createTempDirectory("graft-q222").toString
     val inDir = s"$stage/in"
