@@ -38,6 +38,10 @@ object ScaleProbe {
       lshProbe(args.lift(1).map(_.toInt).getOrElse(1000))
       return
     }
+    if (args.headOption.contains("rpf")) {
+      rpfProbe(args.lift(1).map(_.toInt).getOrElse(1000))
+      return
+    }
     if (args.headOption.contains("sfgen")) {
       sfGen(args.lift(1).map(_.toInt).getOrElse(10))
       return
@@ -370,6 +374,106 @@ object ScaleProbe {
     timeWarm("lsh batch 16q (bucket-pruned aggregated)", 16L * scanRows)(
       HyperplaneLsh.search(q16df, bucketed, 10, planes, idCol = "doc_id")
         .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+
+  /** RP-forest scale probe (`runMain graft.ScaleProbe rpf <factor>`):
+    * the fourth ANN scale path beside IVF/LSH/graph — train a deeper
+    * forest on the replicated corpus (depth 6 → 64 leaves: the
+    * scan-fraction knob tree indexes turn at scale), persist the
+    * (tree, leaf)-partitioned store once, then compare exact
+    * brute-force against the leaf-pruned batch search for 16 queries,
+    * recording the STORE scan fraction partition pruning achieves and
+    * recall@10 vs exact. */
+  def rpfProbe(factor: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nBase = base.count()
+    val path = s"/tmp/graft-scale-${factor}x"
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("vec_id") + col("rep") * nBase).as("doc_id"),
+          col("embedding"), col("label"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val corpus = spark.read.parquet(path)
+    val n = corpus.count()
+    val trees = 2
+    val depth = 6
+    val rpfDir = s"/tmp/graft-scale-rpf-${factor}x"
+    if (!parquetComplete(spark, s"$rpfDir/store")) {
+      val t0 = System.nanoTime()
+      val f = graft.operators.RpForest.train(corpus, trees, depth)
+      graft.operators.RpForest.save(spark, f, s"$rpfDir/forest.txt")
+      println(f"[scale] rpf train (depth $depth, $trees trees): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      graft.operators.RpForest.assign(corpus, f)
+        .write.mode("overwrite").partitionBy("tree", "leaf")
+        .parquet(s"$rpfDir/store")
+      println(f"[scale] rpf ingest (route + partitioned write): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    }
+    val f = graft.operators.RpForest.load(spark, s"$rpfDir/forest.txt")
+    val store = spark.read.parquet(s"$rpfDir/store")
+
+    val q16 = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val qRows = q16.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val leaves = qRows.toSeq.flatMap { case (qid, qv) =>
+      graft.operators.RpForest.routeQuery(f, qv).map { case (t, l) => (qid, t, l) }
+    }
+    val treeLeaf = leaves.map(x => (x._2, x._3)).distinct
+    val pred = treeLeaf.map { case (t, l) =>
+      col("tree") === t && col("leaf") === l
+    }.reduce(_ || _)
+    val scanRows = store.filter(pred).count()
+    println(f"[scale] rpf corpus rows = $n (store ${n * trees}), " +
+      f"leaves probed = ${treeLeaf.size}/${trees * (1 << depth)}, " +
+      f"store scan fraction = ${100.0 * scanRows / (n * trees)}%.1f%% ($scanRows rows)")
+
+    def timeWarm(name: String, perRow: Long)(body: => Unit): Unit = {
+      body; body
+      val t0 = System.nanoTime(); body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $sec%.2f s warm (${perRow / sec / 1e6}%.1f M rows/s)")
+    }
+    def rpfBatch = {
+      val leavesDf = leaves.toDF("query_id", "tree", "leaf")
+      val cands = store.filter(pred)
+        .join(broadcast(leavesDf), Seq("tree", "leaf"))
+        .select(col("query_id"), col("doc_id"), col("embedding")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      cands.join(broadcast(q16), Seq("query_id"))
+        .withColumn("score",
+          GraftFunctions.dotF32(col("embedding"), col("q_embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("doc_id").as("vec_id"))
+    }
+    timeWarm("exact batch 16q (aggregated)", 16L * n)(
+      VectorSearch.knnBatchAggregated(q16, corpus, 10, idCol = "doc_id")
+        .write.format("noop").mode("overwrite").save())
+    timeWarm("rpf batch 16q (leaf-pruned)", 16L * scanRows)(
+      rpfBatch.write.format("noop").mode("overwrite").save())
+    val exact = VectorSearch.knnBatchAggregated(q16, corpus, 10, idCol = "doc_id")
+      .select(col("query_id"), col("doc_id").as("vec_id"))
+    val overlap = exact.join(rpfBatch, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+      .agg(avg("n")).head().getDouble(0)
+    println(f"[scale] rpf recall@10 vs exact (16q mean): ${overlap / 10.0}%.2f")
     spark.stop()
   }
 
