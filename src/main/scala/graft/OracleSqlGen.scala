@@ -1240,6 +1240,39 @@ object OracleSqlGen {
        |ORDER BY round""".stripMargin
   }
 
+  /** q224's oracle: the 4-round multi-source BFS hop census replayed as
+    * unrolled CTE blocks — seeds (node % seedMod = 0) at hop 0, each
+    * round a node's hop becomes the min of its own and its neighbors'
+    * +1; integer min is associative so the fixed-round result is
+    * bit-exact on both engines. Unreached nodes never enter the d
+    * tables (join semantics, matching the engine). */
+  def graphBfsSql(cents: Seq[Array[Double]], k: Int, cap: Int,
+                  seedMod: Long, rounds: Int): String = {
+    val blocks = (1 to rounds).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS (
+         |  SELECT node, min(hop) AS hop FROM (
+         |    SELECT node, hop FROM $prev
+         |    UNION ALL
+         |    SELECT u.dst AS node, p.hop + 1 AS hop
+         |    FROM u JOIN $prev p ON p.node = u.src) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |    FROM __gscored) WHERE rnk <= $k),
+       |u AS (SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g),
+       |n AS (SELECT DISTINCT src AS node FROM u),
+       |d0 AS (SELECT node, 0 AS hop FROM n WHERE node % $seedMod = 0),
+       |$blocks
+       |SELECT CAST(hop AS BIGINT) AS hop,
+       |  CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM d$rounds GROUP BY hop ORDER BY hop""".stripMargin
+  }
+
   def knnGraphSql(cents: Seq[Array[Double]], k: Int, cap: Int): String =
     s"""WITH ${ivfAssignCtes(cents)},
        |${graphBaseCtes(cap)},

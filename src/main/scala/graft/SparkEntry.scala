@@ -260,6 +260,8 @@ object SparkEntry
     "q221_bloom_decontaminate" -> (q221BloomDecontaminate _),
     "q222_stream_outer_join" -> (q222StreamOuterJoin _),
     "q223_graph_kcore" -> (q223GraphKcore _),
+    "q224_graph_bfs" -> (q224GraphBfs _),
+    "q225_stream_tws" -> (q225StreamTws _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -440,6 +442,7 @@ object SparkEntry
     "q218_kmv_setops" -> OracleSqlGen.kmvSetopsSql(k = 64),
     "q221_bloom_decontaminate" -> q221Sql,
     "q222_stream_outer_join" -> q222Sql,
+    "q225_stream_tws" -> q225Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
@@ -1023,6 +1026,9 @@ object SparkEntry
         "q223_graph_kcore" -> OracleSqlGen.graphKcoreSql(cents,
           k = 4, cap = SemanticDedup.DefaultMaxCellSize,
           kCore = 3, rounds = 3),
+        "q224_graph_bfs" -> OracleSqlGen.graphBfsSql(cents,
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize,
+          seedMod = 97L, rounds = 4),
         "q137_embedding_drift" -> OracleSqlGen.embeddingDriftSql(cents,
           oldPred = "e.vec_id % 10 <> 0", newPred = "e.vec_id % 10 <> 1"),
         "q116_embedding_outliers" -> OracleSqlGen.embeddingOutliersSql(cents))

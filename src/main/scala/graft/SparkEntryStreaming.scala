@@ -266,6 +266,87 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       |FROM m GROUP BY user_id, sess
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** The `transformWithState` streaming path UNDER THE GATE — the SIXTH
+    * stateful family, and the first on Spark 4.x's new arbitrary-state
+    * API ([[graft.streaming.EventStream.SessionStatsProcessor]]): typed
+    * ValueState + ListState + EXPLICIT event-time timers, backed by the
+    * RocksDB state store provider (the only provider transformWithState
+    * supports — swapped in for this run and restored). Semantics =
+    * q195's 30-minute-gap sessionization extended with the per-session
+    * distinct event-type count the ListState tracks, so the oracle is
+    * the same session fold + `count(DISTINCT event_type)`. Staging,
+    * sentinel and sink discipline are q195's (3 event_id-sliced
+    * micro-batches, far-future sentinel fires the timers through the
+    * no-data batch, memory sink, try/finally rmTree). */
+  private[graft] def q225StreamTws(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val ev = eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val maxTs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q225").toString
+    val inDir = s"$stage/in"
+    val nBatches = 3
+    def writeBatch(b: Int): Unit =
+      ev.filter(expr(s"event_id * $nBatches div ${maxId + 1}") === b)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val qname = "q225_tws_sessions"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    import s.implicits._
+    writeBatch(0)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.get(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = EventStream.sessionStatsTws(
+        s.readStream.schema(EventStream.RawEventSchema).parquet(inDir)
+          .as[EventStream.RawEvent],
+        gapMinutes = 30, watermarkDelay = "10 minutes")
+      val q = withStateParts(s, 8)(out.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start())
+      try {
+        q.processAllAvailable()
+        (1 until nBatches).foreach { b => writeBatch(b); q.processAllAvailable() }
+        Seq((maxId + 1, new java.sql.Timestamp(maxTs + 86400000L), -1L,
+          "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      } finally { q.stop(); rmTree(stage) }
+    } finally s.conf.set(providerKey, prevProvider)
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events").cast("long").as("n_events"),
+        col("n_types").cast("long").as("n_types"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  private[graft] val q225Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tm FROM events),
+      |g AS (
+      |  SELECT user_id, tm, event_id, event_type,
+      |    tm - lag(tm) OVER (PARTITION BY user_id ORDER BY tm, event_id) AS gap
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, tm, event_id, event_type,
+      |    sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tm, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g)
+      |SELECT user_id, CAST(min(tm) AS BIGINT) AS start_ms,
+      |  CAST(max(tm) AS BIGINT) AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM m GROUP BY user_id, sess
+      |ORDER BY user_id, start_ms""".stripMargin
+
   /** The WINDOWED-AGGREGATION streaming path under the gate (ST1's
     * other half — q195 gates the custom-state session operator, this
     * gates `EventStream.windowedCounts`): the events table staged as a

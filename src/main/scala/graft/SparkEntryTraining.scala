@@ -1574,6 +1574,22 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
       k = 3, rounds = 3)
       .orderBy("round")
 
+  /** Multi-source BFS hop census over the persisted k-NN graph
+    * (graph-analytics tier #6 — [[graft.operators.GraphAnalytics.bfsHops]]):
+    * every node with `id % 97 == 0` seeds at hop 0 (the q212 PPR seed
+    * family), then four min-propagation rounds give each reached node
+    * its BFS distance; one (hop, n_nodes) row per distance — the
+    * reachability profile of the corpus around the seed family (how
+    * much of the graph is within R semantic hops of the seeds; the
+    * complement of the final censused total vs q216's node count is
+    * the unreached mass). Exact longs; oracle unrolls the rounds as
+    * CTE blocks. */
+  private[graft] def q224GraphBfs(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.bfsHops(graphCorpus(s, dir)
+        .select(col("src").cast("long"), col("dst").cast("long")),
+      seedPred = col("node") % 97 === 0, rounds = 4)
+      .orderBy("hop")
+
   private[graft] val RpfTrees = 2
   private[graft] val RpfDepth = 3
 

@@ -99,6 +99,37 @@ object GraphAnalytics {
     out.toDF("round", "n_alive", "n_edges")
   }
 
+  /** Multi-source BFS hop census: seed nodes (those satisfying
+    * `seedPred` over the node id) start at hop 0, then `rounds` FIXED
+    * rounds of `hop'(v) = min(hop(v), min over neighbors u of
+    * hop(u)+1)` over the symmetrized graph; the result is the census of
+    * REACHED nodes per hop distance (unreached nodes are absent — join
+    * semantics, same stance as [[triangleStats]]). After R rounds a
+    * node's hop is its true BFS distance iff ≤ R, so the census is
+    * exact out to the round bound and refines monotonically with more
+    * rounds — deterministic and unrolled-CTE-replayable (the q216
+    * stance: integer min is associative and order-free). Per round: one
+    * join shuffle + one min-aggregation shuffle on the node key; the
+    * frontier state is (node, hop), never the corpus. The census reads
+    * corpus reachability from a seed family — how much of the k-NN
+    * graph sits within R semantic hops of, e.g., a curated seed set. */
+  def bfsHops(g: DataFrame, seedPred: org.apache.spark.sql.Column,
+              rounds: Int): DataFrame = {
+    val und = g.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .unionAll(g.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = und.select(col("src").as("node")).distinct()
+    var dist = nodes.filter(seedPred).select(col("node"), lit(0L).as("hop"))
+    for (_ <- 1 to rounds) {
+      val nb = und.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("hop") + 1).as("hop"))
+      dist = dist.unionAll(nb).groupBy("node").agg(min("hop").as("hop"))
+    }
+    dist.groupBy("hop").agg(count(lit(1)).cast("long").as("n_nodes"))
+  }
+
   /** Weakly-connected-component census via min-label propagation,
     * `rounds` FIXED rounds (not run-to-fixpoint: a fixed round count is
     * deterministic on any engine and replayable by an unrolled-CTE

@@ -137,6 +137,107 @@ object EventStream {
       }
   }
 
+  final case class SessionTypes(user_id: Long, session_start: java.sql.Timestamp,
+                                session_end: java.sql.Timestamp,
+                                n_events: Int, n_types: Int)
+
+  /** Sessionization with per-session distinct-type counts over the NEW
+    * arbitrary-state API (`transformWithState`, Spark 4.x) — the sixth
+    * stateful streaming family: typed `ValueState` for the open
+    * session's bounds, `ListState` for the event types it has seen, and
+    * EXPLICIT event-time timers (register/delete per update) instead of
+    * `GroupState.setTimeoutTimestamp`. Semantics match
+    * [[sessionizeEventTime]]'s gap rule exactly (a session closes after
+    * `gapMinutes` of event-time silence; the close emits via the timer
+    * path once the watermark passes last+gap), so the batch oracle is
+    * the q195 session fold extended with `count(DISTINCT event_type)`.
+    * Requires the RocksDB state store provider (the only provider that
+    * backs transformWithState) — gates set it per-run.
+    *
+    * In-batch rows are folded in (ts, event_id) order; an in-batch gap
+    * splits the session immediately (emitted from `handleInputRows`),
+    * the open tail waits on its timer. State per key is one bounds
+    * tuple + the open session's distinct types — bounded by the active
+    * user set inside the watermark horizon, the [[sessionizeEventTime]]
+    * posture carried to the new API. */
+  class SessionStatsProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RawEvent, SessionTypes] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var open: ValueState[SessionState] = _
+    @transient private var types: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[SessionState]("open",
+        Encoders.product[SessionState], TTLConfig.NONE)
+      types = getHandle.getListState[String]("types",
+        Encoders.STRING, TTLConfig.NONE)
+    }
+
+    private def emitSess(userId: Long, s: SessionState,
+                         tset: Set[String]): SessionTypes =
+      SessionTypes(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last), s.n, tset.size)
+
+    override def handleInputRows(userId: Long, rows: Iterator[RawEvent],
+                                 timerValues: TimerValues): Iterator[SessionTypes] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur: Option[SessionState] =
+        if (open.exists()) Some(open.get()) else None
+      var tset: Set[String] = if (cur.isDefined) types.get().toSet else Set.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionTypes]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+            tset += e.event_type
+          case Some(s) =>
+            out += emitSess(userId, s, tset)
+            cur = Some(SessionState(t, t, 1)); tset = Set(e.event_type)
+          case None =>
+            cur = Some(SessionState(t, t, 1)); tset = Set(e.event_type)
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        types.clear(); tset.toSeq.sorted.foreach(types.appendValue)
+        // re-arm the close timer: explicit delete+register (the new
+        // API's contract — timers are per-key values, not a slot), at
+        // or after the current watermark or the timer could never fire
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(
+          math.max(s.last + gapMs, timerValues.getCurrentWatermarkInMs() + 1))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionTypes] = {
+      val out = if (open.exists())
+        Iterator.single(emitSess(userId, open.get(), types.get().toSet))
+      else Iterator.empty
+      open.clear(); types.clear()
+      out
+    }
+  }
+
+  /** [[SessionStatsProcessor]] wired to a raw event stream: watermark,
+    * key by user, transformWithState in event-time mode, append output. */
+  def sessionStatsTws(events: Dataset[RawEvent], gapMinutes: Int = 30,
+                      watermarkDelay: String = "10 minutes"): Dataset[SessionTypes] = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionStatsProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Event-time-timeout sessionization — the long-running-stream variant of
     * [[sessionize]]: each update arms a timeout at last_event + gap, and
     * when the WATERMARK passes it Spark invokes the group with

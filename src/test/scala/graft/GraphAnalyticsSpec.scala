@@ -54,6 +54,25 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(rows(3L) == ((4L, 6L))) // fixpoint: the true 2-core
   }
 
+  test("bfsHops censuses exact hop distances out to the round bound") {
+    import org.apache.spark.sql.functions.col
+    // Path 1-2-3-4-5 plus an isolated pair 10-11; seed = node 1 only.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val r2 = GraphAnalytics.bfsHops(path, col("node") === 1L, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hops 0..2 reached; 4, 5 and the 10-11 island absent
+    assert(r2 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    val r4 = GraphAnalytics.bfsHops(path, col("node") === 1L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r4 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // multi-source: seeds at both ends meet in the middle
+    val ends = GraphAnalytics.bfsHops(path,
+        col("node") === 1L || col("node") === 5L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ends == Map(0L -> 2L, 1L -> 2L, 2L -> 1L))
+  }
+
   test("wccCensus with too few rounds is a refinement in progress, never a wrong merge") {
     // A path 10-11-12-13-14 has diameter 4; after 1 round labels have
     // traveled at most 1 hop, so the census splits the path — but every

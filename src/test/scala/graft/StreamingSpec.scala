@@ -305,6 +305,98 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val parts = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val prevParts = spark.conf.get(parts)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(parts, "4")
+    try body finally { spark.conf.set(key, prev); spark.conf.set(parts, prevParts) }
+  }
+
+  test("transformWithState sessions: timer closes idle user, ListState counts distinct types") {
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.RawEvent
+    val staging = java.nio.file.Files.createTempDirectory("graft-tws").toString
+    val base = 1700000000000L
+    def write(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, ts, uid, et) =>
+        (id, new java.sql.Timestamp(ts), uid, et, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(staging)
+
+    withRocksDb {
+      // user 1: 3 events, 2 distinct types, then idle forever
+      write(Seq((1L, base, 1L, "click"), (2L, base + 60000, 1L, "view"),
+        (3L, base + 120000, 1L, "click")))
+      val in = spark.readStream.schema(EventStream.RawEventSchema)
+        .parquet(staging).as[RawEvent]
+      val out = EventStream.sessionStatsTws(in,
+        gapMinutes = 30, watermarkDelay = "10 minutes")
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("tws_sessions").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.sql("SELECT * FROM tws_sessions").count() == 0)
+        // other-user advancers push the watermark past user 1's timer
+        write(Seq((4L, base + 7200000, 2L, "click")))
+        q.processAllAvailable()
+        write(Seq((5L, base + 10800000, 2L, "click")))
+        q.processAllAvailable()
+        val emitted = spark.sql(
+          "SELECT user_id, n_events, n_types FROM tws_sessions")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+        assert(emitted.contains((1L, 3, 2)),
+          s"idle user 1's session not closed by the TWS timer: $emitted")
+      } finally {
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS tws_sessions")
+      }
+    }
+  }
+
+  test("transformWithState boundary: exact-gap MERGES, gap+1ms breaks (q225 ≡ q195 rule)") {
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.RawEvent
+    val gapMs = 30 * 60000L
+    val base = 1700000000000L
+    for ((delta, expSessions) <- Seq((gapMs, 1), (gapMs + 1, 2))) {
+      val staging = java.nio.file.Files.createTempDirectory("graft-twsb").toString
+      withRocksDb {
+        Seq((1L, new java.sql.Timestamp(base), 1L, "click", 1.0, "{}"),
+          (2L, new java.sql.Timestamp(base + delta), 1L, "view", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(staging)
+        val in = spark.readStream.schema(EventStream.RawEventSchema)
+          .parquet(staging).as[RawEvent]
+        val out = EventStream.sessionStatsTws(in,
+          gapMinutes = 30, watermarkDelay = "10 minutes")
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName("tws_boundary").start()
+        try {
+          q.processAllAvailable()
+          // far-future advancer fires every timer
+          Seq((9L, new java.sql.Timestamp(base + 86400000L), 2L, "x", 1.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .write.mode("append").parquet(staging)
+          q.processAllAvailable()
+          val rows = spark.sql(
+            "SELECT n_events, n_types FROM tws_boundary WHERE user_id = 1")
+            .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+          if (expSessions == 1) assert(rows == Seq((2, 2)),
+            s"exact-gap event must merge: $rows")
+          else assert(rows == Seq((1, 1), (1, 1)),
+            s"gap+1ms must break the session: $rows")
+        } finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS tws_boundary")
+        }
+      }
+    }
+  }
+
   test("sessionizeEventTime under disorder ≡ batch-boundary watermark replay (q193's rule)") {
     // The stateful session stream's late-DROP semantics, pinned against
     // the same replay the q193/q196 sizing audits compute in batch:
