@@ -262,6 +262,8 @@ object SparkEntry
     "q223_graph_kcore" -> (q223GraphKcore _),
     "q224_graph_bfs" -> (q224GraphBfs _),
     "q225_stream_tws" -> (q225StreamTws _),
+    "q226_cms_counts" -> (q226CmsCounts _),
+    "q227_weighted_sample" -> (q227WeightedSample _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -443,6 +445,8 @@ object SparkEntry
     "q221_bloom_decontaminate" -> q221Sql,
     "q222_stream_outer_join" -> q222Sql,
     "q225_stream_tws" -> q225Sql,
+    "q226_cms_counts" -> q226Sql,
+    "q227_weighted_sample" -> q227Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -2188,4 +2188,92 @@ private[graft] trait SparkEntryHygiene { this: SparkEntry.type =>
       .orderBy("src_a", "src_b")
   }
 
+  /** Weighted sampling WITHOUT replacement
+    * ([[graft.operators.Sampling.esTicket]] — Efraimidis–Spirakis by
+    * the min-of-w-tickets equivalence, integer-exact): documents weighted
+    * by length tier (w = 1 + chars/500, capped at 10 — "prefer long
+    * documents"), the 50 smallest (ticket, doc_id) pairs drawn. The
+    * deterministic salted tickets make the draw reproducible and
+    * oracle-replayable, and a re-run with one document added changes
+    * ONLY that document's membership margin — the property epoch-level
+    * curriculum sampling needs (q149's stance, now weight-aware). Plan:
+    * one projection + TakeOrdered; no shuffle of the corpus. */
+  private[graft] def q227WeightedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        least(lit(10L), lit(1L) + expr("length(text) div 500")).as("w"))
+      .withColumn("ticket", Sampling.esTicket(col("doc_id"), col("w"), "es"))
+      .orderBy(col("ticket"), col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("w"), col("ticket"))
+
+  private[graft] val q227Sql =
+    """WITH d AS (
+      |  SELECT doc_id, least(10, 1 + length(text) // 500) AS w FROM documents),
+      |t AS (
+      |  SELECT doc_id, w,
+      |    list_min(list_transform(range(1, CAST(w + 1 AS INTEGER)), j ->
+      |      CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR) || ':' ||
+      |        CAST(j AS VARCHAR)), 1, 15) AS BIGINT))) AS ticket
+      |  FROM d)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS w,
+      |  CAST(ticket AS BIGINT) AS ticket
+      |FROM t ORDER BY ticket, doc_id LIMIT 50""".stripMargin
+
+  /** Count-Min sketch frequency audit
+    * ([[graft.operators.Sketches.cmSketch]] — the FREQUENCY sibling of
+    * q217's KMV distinct-counter): a 4×4096-counter sketch built in one
+    * map-side-combinable pass over the token stream (the exchange moves
+    * ≤ 16k partial cells per task, never the corpus), then the top-20
+    * exact tokens probed back through [[graft.operators.Sketches.cmEstimate]]
+    * with the overcount under the gate — CM never undercounts (counters
+    * only add), so `overcount = n_est − n_exact ≥ 0` with expected
+    * collision mass N/width per row. Deterministic md5-derived row
+    * hashes make sketch cells, estimates, and the audit engine-portable
+    * (engine-private sketch libs never could sit under a SQL oracle).
+    * At 100 TB the exact side of this audit is the expensive half — the
+    * production posture is sketch-only with a SAMPLED exact audit; the
+    * gate runs both to prove the estimates. */
+  private[graft] def q226CmsCounts(s: SparkSession, dir: String): DataFrame = {
+    val depth = 4
+    val width = 4096
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.regexTokens(col("text"))).as("token"))
+    val sk = Sketches.cmSketch(toks, "token", depth, width)
+    val exact = toks.groupBy("token")
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+      .orderBy(desc("n_exact"), col("token")).limit(20)
+    Sketches.cmEstimate(exact, "token", Seq("n_exact"), sk, depth, width)
+      .select(col("token"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(desc("n_exact"), col("token"))
+  }
+
+  private[graft] val q226Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+       |  FROM documents),
+       |cells AS (
+       |  SELECT r.r AS r,
+       |    CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || token), 1, 15)
+       |      AS BIGINT) % 4096 AS c,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM toks CROSS JOIN range(4) r(r)
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM toks
+       |  GROUP BY 1 ORDER BY n_exact DESC, token LIMIT 20),
+       |est AS (
+       |  SELECT e.token, e.n_exact, min(c.v) AS n_est
+       |  FROM exact e CROSS JOIN range(4) r(r)
+       |  JOIN cells c ON c.r = r.r
+       |    AND c.c = CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || e.token), 1, 15)
+       |      AS BIGINT) % 4096
+       |  GROUP BY 1, 2)
+       |SELECT token, n_exact, CAST(n_est AS BIGINT) AS n_est,
+       |  CAST(n_est - n_exact AS BIGINT) AS overcount
+       |FROM est ORDER BY n_exact DESC, token""".stripMargin
+  }
+
 }

@@ -221,6 +221,27 @@ object Sampling {
       .drop("__r", "quota")
   }
 
+  /** Efraimidis–Spirakis weighted-sampling-without-replacement draw key,
+    * INTEGER-EXACT: a row with integer weight `w ≥ 1` holds `w` salted
+    * md5 "tickets" and its key is the MIN of them; ranking rows
+    * ascending by (ticket, key) is distributionally EXACT E–S WOR
+    * sampling — the min of w iid uniforms is Beta(1, w), whose
+    * ascending order is the descending order of E–S's u^(1/w) keys
+    * (CDF xʷ) — with none of the cross-engine pow/log last-ulp risk a
+    * float u^(1/w) carries (the q136 integer-exactness stance applied
+    * to sampling). One projection per row (no explode, no shuffle);
+    * selection of the top-k is a TakeOrdered. Cost is O(w) per row —
+    * the intended regime is small integer weights (quality buckets,
+    * length tiers); for huge weights the production path switches to
+    * the float exponential-race key, losing oracle exactness only.
+    * `weightCol` must be ≥ 1: `sequence(1, 0)` DESCENDS in Spark, so a
+    * zero weight would silently mint tickets instead of excluding the
+    * row — callers clamp or filter first. */
+  def esTicket(keyCol: Column, weightCol: Column, salt: String): Column =
+    array_min(transform(sequence(lit(1), weightCol.cast("int")),
+      j => conv(substring(md5(concat_ws(":", lit(salt), keyCol.cast("string"),
+        j.cast("string"))), 1, 15), 16, 10).cast("long")))
+
   def assignSplit(df: DataFrame, splits: Seq[(String, Double)],
                   keyCol: String = "doc_id",
                   salt: String = "split"): DataFrame = {

@@ -67,4 +67,60 @@ object Sketches {
   def merge(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
             k: Int): org.apache.spark.sql.Column =
     slice(array_sort(array_union(a, b)), 1, k)
+
+  // ---- Count-Min sketch: approximate FREQUENCIES (KMV counts DISTINCTS) --
+
+  /** Count-Min row hash: item's cell in sketch row `row` — the KMV
+    * 60-bit md5 point idiom salted with the row index, reduced mod
+    * `width`. Deterministic and engine-portable (DuckDB:
+    * `CAST('0x' || substr(md5(row || ':' || x),1,15) AS BIGINT) % w`). */
+  def cmHash(item: org.apache.spark.sql.Column, row: Int,
+             width: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws(":", lit(row), item)), 1, 15), 16, 10)
+      .cast("long") % width
+
+  /** Build a Count-Min sketch over an item-occurrence column: `depth`
+    * rows × `width` counters, materialized as (r, c, v) rows — at most
+    * depth·width of them regardless of input size. ONE pass: each
+    * occurrence explodes to its `depth` cells and the counter sums
+    * combine map-side, so the only exchange moves ≤ depth·width partial
+    * cells per task, never the corpus. Point-estimate property: for any
+    * item, min over rows of its cell value ≥ its true count (counters
+    * only ever add) — the overcount is bounded by collisions, 2·N/width
+    * in expectation per row. Sketches MERGE by cell-wise addition
+    * (counters are sums), making the build embarrassingly combinable
+    * across shards — see [[cmMerge]]. */
+  def cmSketch(items: DataFrame, itemCol: String, depth: Int,
+               width: Int): DataFrame = {
+    val cells = (0 until depth).map { r =>
+      struct(lit(r).as("r"), cmHash(col(itemCol), r, width).as("c"))
+    }
+    items.select(explode(array(cells: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).cast("long").as("v"))
+  }
+
+  /** Merge two CM sketches in (r, c, v) form: cell-wise addition. */
+  def cmMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("r", "c")
+      .agg(sum("v").cast("long").as("v"))
+
+  /** Point estimates for a probe set: each probe row explodes to its
+    * `depth` cells, broadcast-joins the (tiny) sketch, and takes the
+    * min across rows. `carryCols` are probe columns carried through
+    * (grouping keys of the output). Probes the sketch never saw
+    * estimate 0 (left join + coalesce — CM's floor for absent keys). */
+  def cmEstimate(probes: DataFrame, itemCol: String, carryCols: Seq[String],
+                 sketch: DataFrame, depth: Int, width: Int): DataFrame = {
+    val cells = (0 until depth).map { r =>
+      struct(lit(r).as("r"), cmHash(col(itemCol), r, width).as("c"))
+    }
+    val sk = sketch.select(col("r").as("__sr"), col("c").as("__sc"),
+      col("v").as("__sv"))
+    probes.withColumn("__rc", explode(array(cells: _*)))
+      .join(broadcast(sk),
+        col("__rc.r") === col("__sr") && col("__rc.c") === col("__sc"), "left")
+      .groupBy(itemCol, carryCols: _*)
+      .agg(min(coalesce(col("__sv"), lit(0L))).as("n_est"))
+  }
 }

@@ -255,4 +255,33 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(s20.toSet.subsetOf(s40))
   }
+
+  test("esTicket: weight-1 is the bare hash, tickets shrink monotonically in weight") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 100L).toDF("k")
+    val rows = df.select(col("k"),
+      Sampling.esTicket(col("k"), lit(1), "es").as("t1"),
+      Sampling.esTicket(col("k"), lit(3), "es").as("t3"),
+      Sampling.esTicket(col("k"), lit(9), "es").as("t9"),
+      conv(substring(md5(concat_ws(":", lit("es"), col("k").cast("string"),
+        lit("1"))), 1, 15), 16, 10).cast("long").as("h1"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(4))      // w=1 ⇒ the single ticket
+      assert(r.getLong(2) <= r.getLong(1))      // more tickets ⇒ min can only drop
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+  }
+
+  test("esTicket draw favors heavy rows proportionally (E–S WOR distribution)") {
+    import org.apache.spark.sql.functions._
+    // 1000 keys at w=1 vs 1000 at w=9: in the top-200 by ticket, heavy
+    // rows should win ~90% of slots (each slot independently ~9:1)
+    val df = (1L to 2000L).toDF("k")
+      .withColumn("w", when(col("k") <= 1000L, 1).otherwise(9))
+      .withColumn("t", Sampling.esTicket(col("k"), col("w"), "es"))
+    val heavy = df.orderBy("t", "k").limit(200)
+      .filter(col("w") === 9).count()
+    assert(heavy > 150 && heavy <= 200, s"heavy=$heavy of 200")
+  }
 }

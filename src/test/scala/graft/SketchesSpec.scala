@@ -47,6 +47,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("CM sketch never undercounts, is exact sans collisions, zero for absent keys") {
+    val depth = 4
+    val width = 4096
+    val occurrences = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val toks = occurrences.toDF("token")
+    val sk = Sketches.cmSketch(toks, "token", depth, width)
+    // total mass per row = total occurrences
+    val perRow = sk.groupBy("r").agg(sum("v")).collect()
+      .map(r => r.getLong(1))
+    assert(perRow.length == depth && perRow.forall(_ == occurrences.length))
+    val exact = Map("alpha" -> 5L, "beta" -> 3L, "gamma" -> 1L, "absent" -> 0L)
+    val probes = exact.keys.toSeq.toDF("token")
+    val est = Sketches.cmEstimate(probes, "token", Seq.empty, sk, depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // never undercounts; with 3 keys in 4096 cells any same-cell collision
+    // in ALL 4 rows is impossible, so estimates are exact here
+    exact.foreach { case (t, n) => assert(est(t) == n, s"token $t") }
+  }
+
+  test("CM merge is cell-wise addition ≡ the sketch of the concatenated input") {
+    val depth = 4
+    val width = 512
+    val a = (Seq.fill(7)("x") ++ Seq.fill(2)("y")).toDF("token")
+    val b = (Seq.fill(4)("y") ++ Seq.fill(3)("z")).toDF("token")
+    val merged = Sketches.cmMerge(
+      Sketches.cmSketch(a, "token", depth, width),
+      Sketches.cmSketch(b, "token", depth, width))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Sketches.cmSketch(a.unionAll(b), "token", depth, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == direct)
+  }
+
   test("hash points are the conv(md5-prefix) idiom (oracle parity pin)") {
     // the DuckDB side casts '0x' || substr(md5(x),1,15); pin one value
     // computed independently so neither side can drift silently
