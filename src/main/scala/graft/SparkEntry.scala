@@ -264,6 +264,7 @@ object SparkEntry
     "q225_stream_tws" -> (q225StreamTws _),
     "q226_cms_counts" -> (q226CmsCounts _),
     "q227_weighted_sample" -> (q227WeightedSample _),
+    "q228_prefix_jaccard" -> (q228PrefixJaccard _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -447,6 +448,7 @@ object SparkEntry
     "q225_stream_tws" -> q225Sql,
     "q226_cms_counts" -> q226Sql,
     "q227_weighted_sample" -> q227Sql,
+    "q228_prefix_jaccard" -> q228Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -379,6 +379,59 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
       |WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.15
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Prefix-filtered set-similarity near-dups
+    * ([[graft.operators.Dedup.prefixJaccardPairs]] — the PPJoin rule):
+    * the LOSSLESS-at-threshold candidate strategy beside q15's banded
+    * MinHash (probabilistic recall) and q42's SimHash (Hamming proxy) —
+    * every pair at J ≥ 1/2 is guaranteed to share a rare-first prefix
+    * shingle, so this is the dedup tier's exact-recall reference line
+    * at its operating point (what q169 calibrates the estimators
+    * AGAINST, computed without an all-pairs join). Same verified-pair
+    * projection as q15 for side-by-side reads. */
+  private[graft] def q228PrefixJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3)
+      .select(col("id_a"), col("id_b"), col("n_inter").cast("long").as("n_inter"),
+        col("n_union").cast("long").as("n_union"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  private[graft] val q228Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |e AS (
+      |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+      |freq AS (SELECT s, count(*) AS df FROM e GROUP BY 1),
+      |ranked AS (
+      |  SELECT e.doc_id, e.sz, e.s,
+      |    row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.s) AS rnk
+      |  FROM e JOIN freq f ON f.s = e.s),
+      |pref AS (
+      |  SELECT doc_id, s FROM ranked WHERE rnk <= sz - ((sz + 1) // 2) + 1),
+      |bsz AS (SELECT s, count(*) AS m FROM pref GROUP BY 1),
+      |prefc AS (
+      |  SELECT p.doc_id, p.s FROM pref p JOIN bsz ON bsz.s = p.s
+      |  WHERE bsz.m <= ${Dedup.DefaultMaxBucketSize}),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM prefc a JOIN prefc b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_intersect(x.sh, y.sh)) AS n_inter,
+      |    len(list_distinct(list_concat(x.sh, y.sh))) AS n_union
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+      |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+      |  CAST(n_union AS BIGINT) AS n_union,
+      |  round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+      |FROM verified
+      |WHERE 2 * n_inter >= n_union
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Near-dup detector overlap matrix: the pair sets MinHash-LSH
     * (q15's operating point) and SimHash (q42's) each find, and their
     * agreement — the method-selection capstone of the dedup tier

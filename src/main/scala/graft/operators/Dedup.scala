@@ -318,6 +318,53 @@ object Dedup {
       .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 4))
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
 
+  /** Prefix-filtered set-similarity join at Jaccard ≥ 1/2 — the PPJoin
+    * candidate rule, the dedup tier's THIRD candidate-generation
+    * strategy beside MinHash banding ([[nearDupPairs]]) and SimHash
+    * ([[simhashNearDups]]), and unlike both it is LOSSLESS at its
+    * threshold: order each document's distinct shingles globally
+    * rare-first (document frequency, ties by shingle), keep only the
+    * first `sz − ⌈τ·sz⌉ + 1` as the PREFIX; any pair with
+    * J ≥ τ MUST share a prefix shingle (pigeonhole: a pair sharing none
+    * has intersection ≤ min suffix length < τ·union), so
+    * candidates = prefix-token equality join and the exact verify loses
+    * nothing. τ is fixed at 1/2 and stated in integers end-to-end
+    * (`2·n_inter ≥ n_union`, prefix length `sz − (sz+1) div 2 + 1` —
+    * no float boundary anywhere).
+    *
+    * Scale shape: the frequency table is one (shingle → df) aggregation
+    * (map-side combinable); rare-first ordering makes prefix buckets
+    * SMALL by construction (the common shingles that would fan out live
+    * in suffixes), with the standard hot-bucket cap as the backstop for
+    * degenerate corpora (tiny docs made entirely of boilerplate);
+    * verify reuses [[jaccardVerifyOverlapping]]'s SMJ discipline. The
+    * corpus is never pair-joined — candidate volume is bounded by
+    * prefix-bucket sizes exactly as LSH's is by band buckets, but with
+    * a completeness GUARANTEE instead of a recall curve. */
+  def prefixJaccardPairs(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", n: Int = 3,
+                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+      .withColumn("sz", size(col("shs")))
+      .filter(col("sz") > 0)
+      .select(col("id"), col("sz"), explode(col("shs")).as("sh"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val pref = sh.join(freq, Seq("sh"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+      .filter(col("rnk") <= col("sz") - expr("(sz + 1) div 2") + lit(1))
+      .select(col("sh"), col("id"))
+    val capped = dropOverflow(pref, Seq("sh"), maxBucketSize)
+    val cands = capped.select(col("sh"), col("id").as("id_a"))
+      .join(capped.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardVerifyOverlapping(docs, cands, textCol, idCol, n)
+      .filter(col("n_inter") * 2 >= col("n_union"))
+  }
+
   /** Containment near-dup pairs — the EXCERPT/QUOTE detector Jaccard
     * structurally misses: a 100-shingle excerpt inside a 5000-shingle
     * doc has Jaccard ≈ 0.02 but containment 1.0 of its smaller side.

@@ -51,6 +51,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.size == 1) // unrelated docs do not pair
   }
 
+  test("prefixJaccardPairs is LOSSLESS at tau=1/2: equals brute-force J>=0.5 pairs") {
+    // word pools with controlled overlap; several pairs above and
+    // several below the threshold, including an exact duplicate
+    def doc(words: String*) = words.mkString(" ")
+    val docs = Seq(
+      (1L, doc("a b c d e f g h i j".split(" ").toSeq: _*)),
+      (2L, doc("a b c d e f g h i k".split(" ").toSeq: _*)), // near-dup of 1
+      (3L, doc("a b c d e f g h i j".split(" ").toSeq: _*)), // exact dup of 1
+      (4L, doc("z y x w v u t s r q".split(" ").toSeq: _*)), // disjoint
+      (5L, doc("a b c z y x w v u t".split(" ").toSeq: _*)), // partial: below tau
+      (6L, doc("z y x w v u t s r p".split(" ").toSeq: _*))  // near-dup of 4
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id", n = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force: exact Jaccard >= 1/2 over distinct 3-gram shingles
+    val sh = docs.select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap.map { case (k, v) => k -> v.toSet }
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      inter = (sh(a) & sh(b)).size
+      union = (sh(a) | sh(b)).size
+      if union > 0 && 2 * inter >= union
+    } yield (a, b)).toSet
+    assert(want.nonEmpty && want.contains((1L, 3L)))
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("overlapping-only verify equals keep-all verify on its domain") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
