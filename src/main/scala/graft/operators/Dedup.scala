@@ -345,24 +345,69 @@ object Dedup {
                          idCol: String = "doc_id", n: Int = 3,
                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    // ONE shingle-partitioned exploded frame feeds the frequency table,
+    // the prefix ranking, AND both verify sides — identical canonical
+    // subtrees, so ReuseExchange materializes the exchange once (the
+    // q178 lazy-sharing stance; an eager persist here measured slower
+    // for bandSweep's identical shape)
     val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
       .withColumn("sz", size(col("shs")))
       .filter(col("sz") > 0)
-      .select(col("id"), col("sz"), explode(col("shs")).as("sh"))
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val pref = sh.join(freq, Seq("sh"))
+      .select(col("id"), col("sz"), explode(col("shs")).as("shingle"))
+      .repartition(col("shingle"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val pref = sh.join(freq, Seq("shingle"))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+        Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
       .filter(col("rnk") <= col("sz") - expr("(sz + 1) div 2") + lit(1))
-      .select(col("sh"), col("id"))
-    val capped = dropOverflow(pref, Seq("sh"), maxBucketSize)
-    val cands = capped.select(col("sh"), col("id").as("id_a"))
-      .join(capped.select(col("sh"), col("id").as("id_b")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("shingle"), col("id"), col("sz"))
+    val capped = dropOverflow(pref, Seq("shingle"), maxBucketSize)
+    // size filter: J ≥ 1/2 forces 2·min(sz) ≥ max(sz) (i ≤ min and
+    // 3i ≥ sz_a+sz_b combine), so pruning cross-size candidates here
+    // changes NOTHING downstream — it only spares the verify join
+    // (~25% of candidates on the replicated testdata)
+    val cands = capped
+      .select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(capped.select(col("shingle"), col("id").as("id_b"),
+        col("sz").as("sz_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) * 2 >= greatest(col("sz_a"), col("sz_b")))
       .select("id_a", "id_b").distinct()
-    jaccardVerifyOverlapping(docs, cands, textCol, idCol, n)
+    // ARRAY-form verify, not the exploded SMJ ([[overlapSized]]): the
+    // prefix rule admits ~C(family,2) pairs on replica-dense corpora, and
+    // the exploded join pays Σ_pairs sz skinny rows (sorted, grouped);
+    // carrying each doc's shingle ARRAY to the pair and intersecting
+    // per-row pays Σ_pairs 1 rows — measured ~2× faster here and the
+    // per-pair intersect is codegen'd. Joins are id-keyed (broadcast at
+    // gate scale, shuffle at 100 TB — pairs move, the corpus moves once).
+    val baseArr = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+      .withColumn("sz", size(col("shs")))
+      .filter(col("sz") > 0)
+    // fan the pair set out BY BYTES-BLIND partition count: the distinct's
+    // 2-3 MB output AQE-coalesces to 1-2 partitions, and the per-pair
+    // intersect below is CPU-bound (~30 µs/pair), not bytes-bound — at 2
+    // tasks it ran near-serially (measured 9.5 s stages). An explicit
+    // repartition (not REBALANCE, which coalesces by size) buys the
+    // cluster's parallelism for the verify at one 3 MB exchange.
+    // key on id_a ONLY: a (id_a, id_b) repartition is keyed identically
+    // to the distinct's own exchange and Catalyst collapses it into the
+    // (AQE-coalescible) ENSURE_REQUIREMENTS exchange — silently back to
+    // 2 tasks (bit in-round; the plan must show a REPARTITION_BY_COL
+    // exchange or the fan-out didn't happen)
+    cands.repartition(cands.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"))
+      .join(broadcast(baseArr.select(col("id").as("id_a"), col("shs").as("sh_a"),
+        col("sz").as("n_a"))), Seq("id_a"))
+      .join(broadcast(baseArr.select(col("id").as("id_b"), col("shs").as("sh_b"),
+        col("sz").as("n_b"))), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .filter(col("n_inter") * 2 >= col("n_union"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / col("n_union"), 4))
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
   }
 
   /** Containment near-dup pairs — the EXCERPT/QUOTE detector Jaccard
