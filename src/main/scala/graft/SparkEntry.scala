@@ -265,6 +265,7 @@ object SparkEntry
     "q226_cms_counts" -> (q226CmsCounts _),
     "q227_weighted_sample" -> (q227WeightedSample _),
     "q228_prefix_jaccard" -> (q228PrefixJaccard _),
+    "q229_winnow_pairs" -> (q229WinnowPairs _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -449,6 +450,7 @@ object SparkEntry
     "q226_cms_counts" -> q226Sql,
     "q227_weighted_sample" -> q227Sql,
     "q228_prefix_jaccard" -> q228Sql,
+    "q229_winnow_pairs" -> q229Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -432,6 +432,55 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
       |WHERE 2 * n_inter >= n_union
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Winnowing-fingerprint shared-span pairs
+    * ([[graft.operators.Dedup.winnowPairs]] — the MOSS scheme): 8-token
+    * grams, 4-gram windows, per-window minimum hashes as each document's
+    * fingerprint set; the top-30 pairs by shared fingerprints are the
+    * copied-SPAN candidates the whole-set Jaccard tier dilutes on long
+    * documents (q74 then removes such spans token-exactly — this is the
+    * detector that FINDS them across documents cheaply). One window
+    * pass over the corpus, fingerprint-bucketed pair join. */
+  private[graft] def q229WinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 8, w = 4, minShared = 2)
+      .orderBy(desc("n_shared"), col("id_a"), col("id_b"))
+      .limit(30)
+
+  private[graft] val q229Sql = {
+    val (k, w) = (8, 4)
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, len(t) - ${k - 1} AS ng,
+      |    list_transform(range(1, len(t) - ${k - 2}), i ->
+      |      CAST('0x' || substr(md5(array_to_string(t[i:i + ${k - 1}], ' ')), 1, 15)
+      |        AS BIGINT)) AS gh
+      |  FROM toks WHERE len(t) - ${k - 1} >= $w),
+      |ex AS (
+      |  SELECT doc_id, ng, unnest(range(1, len(gh) + 1)) AS pos,
+      |    unnest(gh) AS h
+      |  FROM grams),
+      |sel AS (
+      |  SELECT doc_id, pos, ng,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+      |  FROM ex QUALIFY pos <= ng - ${w - 1}),
+      |fps AS (SELECT DISTINCT doc_id, m AS fp FROM sel),
+      |bsz AS (SELECT fp, count(*) AS nb FROM fps GROUP BY 1),
+      |capped AS (
+      |  SELECT f.doc_id, f.fp FROM fps f JOIN bsz ON bsz.fp = f.fp
+      |  WHERE bsz.nb <= ${Dedup.DefaultMaxBucketSize}),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+      |FROM pairs WHERE n_shared >= 2
+      |ORDER BY n_shared DESC, id_a, id_b LIMIT 30""".stripMargin
+  }
+
   /** Near-dup detector overlap matrix: the pair sets MinHash-LSH
     * (q15's operating point) and SimHash (q42's) each find, and their
     * agreement — the method-selection capstone of the dedup tier

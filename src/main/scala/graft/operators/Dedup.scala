@@ -410,6 +410,63 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
   }
 
+  /** Winnowing fingerprints (the MOSS document-fingerprint scheme):
+    * hash every k-token gram, slide a w-gram window, keep each FULL
+    * window's MINIMUM hash; a document's fingerprint set is the
+    * distinct kept hashes. Properties that earn it a place beside the
+    * shingle-set tier: fingerprints are POSITION-ROBUST (insertions
+    * far from a shared passage don't disturb its window minima, so
+    * shared-fingerprint counts localize copied SPANS, where q15's
+    * whole-set Jaccard dilutes a passage by document length) and the
+    * kept density is ~2/(w+1) of grams — a tunable sub-linear sketch of
+    * the token stream. Deterministic 60-bit md5 hashes (the KMV idiom),
+    * so sets, pair counts, and the oracle replay agree bit-exactly.
+    * Plan: one split+transform projection (no join) → one per-doc
+    * window pass (the only exchange, on the doc key) → distinct.
+    * At 100 TB the fingerprint table is the artifact consumers join —
+    * corpus-linear build, output w-fold smaller. */
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", k: Int = 8,
+                         w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
+    val grams = docs
+      .select(col(idCol).as("id"),
+        split(trim(lower(col(textCol))), "[ \\t\\n\\x0b\\f\\r]+").as("t"))
+      .withColumn("ng", size(col("t")) - lit(k - 1))
+      .filter(col("ng") >= w) // at least one full window
+      .select(col("id"), col("ng"),
+        posexplode(expr(s"transform(sequence(1, size(t) - ${k - 1}), i -> " +
+          s"conv(substring(md5(array_join(slice(t, i, $k), ' ')), 1, 15), 16, 10))"))
+          .as(Seq("p0", "hs")))
+      .select(col("id"), col("ng"), (col("p0") + 1).as("pos"),
+        col("hs").cast("long").as("h"))
+    val win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    grams.withColumn("m", min("h").over(win))
+      .filter(col("pos") <= col("ng") - lit(w - 1)) // full windows only
+      .select(col("id"), col("m").as("fp"))
+      .distinct()
+  }
+
+  /** Cross-document shared-fingerprint pairs over
+    * [[winnowFingerprints]] — the MOSS candidate detector: documents
+    * sharing `minShared`+ window-minimum hashes almost surely share
+    * k-token spans. Same bucketed-equality-join scale shape as the LSH
+    * tier (fingerprint buckets capped with the standard guard; the
+    * corpus is never pair-joined). */
+  def winnowPairs(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", k: Int = 8, w: Int = 4,
+                  minShared: Int = 2,
+                  maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val fps = winnowFingerprints(docs, textCol, idCol, k, w)
+    val capped = dropOverflow(fps, Seq("fp"), maxBucketSize)
+    capped.select(col("fp"), col("id").as("id_a"))
+      .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Containment near-dup pairs — the EXCERPT/QUOTE detector Jaccard
     * structurally misses: a 100-shingle excerpt inside a 5000-shingle
     * doc has Jaccard ≈ 0.02 but containment 1.0 of its smaller side.

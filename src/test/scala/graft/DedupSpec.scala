@@ -79,6 +79,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("winnowing: exact dups share all fingerprints; shared passage detected despite offset") {
+    val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val junkA = (1 to 15).map(i => s"ja$i").mkString(" ")
+    val junkB = (1 to 40).map(i => s"jb$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$junkA $passage"),
+      (2L, s"$junkB $passage"), // same passage at a DIFFERENT offset
+      (3L, s"$junkA $passage"), // exact dup of 1
+      (4L, (1 to 60).map(i => s"solo$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "text", "doc_id", k = 8, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert(fps(1L) == fps(3L)) // identical text => identical fingerprint set
+    // the 20-token passage spans 13 grams entirely inside it => its window
+    // minima coincide regardless of surrounding junk
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared passage must share fingerprints")
+    assert((fps(4L) & fps(1L)).isEmpty)
+    val pairs = Dedup.winnowPairs(docs, "text", "doc_id", k = 8, w = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((1L, 2L)) &&
+      pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("winnowing density: kept fingerprints are the full-window minima, 1..ng-w+1 of them") {
+    val doc = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val n = Dedup.winnowFingerprints(doc, "text", "doc_id", k = 8, w = 4).count()
+    val ng = 50 - 7 // grams
+    assert(n >= 1 && n <= ng - 3, s"kept $n of $ng grams")
+    // density should be well under 1 (the point of winnowing): ~2/(w+1)
+    assert(n < ng / 2, s"kept $n — not a sketch")
+  }
+
   test("overlapping-only verify equals keep-all verify on its domain") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
