@@ -1273,6 +1273,33 @@ object OracleSqlGen {
        |FROM d$rounds GROUP BY hop ORDER BY hop""".stripMargin
   }
 
+  /** q231's oracle: endpoint-degree assortativity over the symmetrized
+    * k-NN graph — all four sums exact BIGINTs, one IEEE division (the
+    * symmetrized marginals are equal, so no sqrt), zero-variance → 0. */
+  def graphAssortativitySql(cents: Seq[Array[Double]], k: Int,
+                            cap: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |    FROM __gscored) WHERE rnk <= $k),
+       |u AS (SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY 1),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(a.deg) AS BIGINT) AS sx,
+       |    CAST(sum(a.deg * a.deg) AS BIGINT) AS sxx,
+       |    CAST(sum(a.deg * b.deg) AS BIGINT) AS sxy
+       |  FROM u JOIN deg a ON a.src = u.src JOIN deg b ON b.src = u.dst)
+       |SELECT CAST(m // 2 AS BIGINT) AS n_edges, m AS n_directed,
+       |  round(CASE WHEN m * sxx - sx * sx > 0
+       |    THEN CAST(m * sxy - sx * sx AS DOUBLE) /
+       |         CAST(m * sxx - sx * sx AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS assortativity
+       |FROM sums""".stripMargin
+
   def knnGraphSql(cents: Seq[Array[Double]], k: Int, cap: Int): String =
     s"""WITH ${ivfAssignCtes(cents)},
        |${graphBaseCtes(cap)},

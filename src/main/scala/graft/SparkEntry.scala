@@ -266,6 +266,8 @@ object SparkEntry
     "q227_weighted_sample" -> (q227WeightedSample _),
     "q228_prefix_jaccard" -> (q228PrefixJaccard _),
     "q229_winnow_pairs" -> (q229WinnowPairs _),
+    "q230_stream_sliding" -> (q230StreamSliding _),
+    "q231_graph_assortativity" -> (q231GraphAssortativity _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -451,6 +453,7 @@ object SparkEntry
     "q227_weighted_sample" -> q227Sql,
     "q228_prefix_jaccard" -> q228Sql,
     "q229_winnow_pairs" -> q229Sql,
+    "q230_stream_sliding" -> q230Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
@@ -1037,6 +1040,8 @@ object SparkEntry
         "q224_graph_bfs" -> OracleSqlGen.graphBfsSql(cents,
           k = 4, cap = SemanticDedup.DefaultMaxCellSize,
           seedMod = 97L, rounds = 4),
+        "q231_graph_assortativity" -> OracleSqlGen.graphAssortativitySql(cents,
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize),
         "q137_embedding_drift" -> OracleSqlGen.embeddingDriftSql(cents,
           oldPred = "e.vec_id % 10 <> 0", newPred = "e.vec_id % 10 <> 1"),
         "q116_embedding_outliers" -> OracleSqlGen.embeddingOutliersSql(cents))

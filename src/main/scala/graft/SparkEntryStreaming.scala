@@ -383,6 +383,54 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       .orderBy("win_ms", "event_type")
   }
 
+  /** The SLIDING-WINDOW streaming path under the gate (q201's tumbling
+    * aggregation with overlap — [[graft.streaming.EventStream.slidingCounts]]):
+    * 10-minute windows hopping every 5, so every event feeds TWO
+    * concurrent window states — the overlap fan-out is the semantics
+    * under test (tumbling is slide = window). Same staging, AvailableNow
+    * complete-mode, exact-sum and cleanup discipline as q201; the
+    * oracle replays each event into its two window starts with integer
+    * µs arithmetic. */
+  private[graft] def q230StreamSliding(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q230").toString
+    val inDir = s"$stage/in"
+    eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(inDir)
+    val qname = "q230_sliding"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    val out = EventStream.slidingCounts(
+      EventStream.readEvents(s, inDir), "10 minutes", "5 minutes",
+      "10 minutes", exactSum = true)
+    val q = withStateParts(s, 8)(out.writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start())
+    try q.awaitTermination() finally { q.stop(); rmTree(stage) }
+    s.table(qname)
+      .select(unix_millis(col("window_start")).as("win_ms"), col("event_type"),
+        col("n").cast("long").as("n"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("win_ms", "event_type")
+  }
+
+  private[graft] val q230Sql =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch_ns(ts) // 1000 AS tu FROM events),
+      |x AS (
+      |  SELECT event_type, value,
+      |    unnest([((tu // 300000000) - 1) * 300000,
+      |            (tu // 300000000) * 300000]) AS win_ms
+      |  FROM e)
+      |SELECT CAST(win_ms AS BIGINT) AS win_ms, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(22,6))) AS DOUBLE), 4)
+      |    AS sum_value
+      |FROM x GROUP BY 1, 2
+      |ORDER BY win_ms, event_type""".stripMargin
+
   private[graft] val q201Sql =
     """WITH e AS (
       |  SELECT event_type, value, epoch_ns(ts) // 1000 AS tu FROM events)

@@ -1590,6 +1590,18 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
       seedPred = col("node") % 97 === 0, rounds = 4)
       .orderBy("hop")
 
+  /** Degree assortativity of the persisted k-NN graph (graph-analytics
+    * tier #7 — [[graft.operators.GraphAnalytics.assortativity]]): the
+    * endpoint-degree Pearson r, rational in exact BIGINT sums because
+    * symmetrization makes the marginals equal (one IEEE division, no
+    * sqrt). Negative values are the expected k-NN shape (capped-degree
+    * hubs attach to low-degree satellites); a drift toward 0/positive
+    * after maintenance (q198/q199 inserts/removals) flags hub
+    * concentration. One (n_edges, n_directed, assortativity) row. */
+  private[graft] def q231GraphAssortativity(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.assortativity(graphCorpus(s, dir)
+      .select(col("src").cast("long"), col("dst").cast("long")))
+
   private[graft] val RpfTrees = 2
   private[graft] val RpfDepth = 3
 

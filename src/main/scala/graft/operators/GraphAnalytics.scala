@@ -99,6 +99,44 @@ object GraphAnalytics {
     out.toDF("round", "n_alive", "n_edges")
   }
 
+  /** Degree assortativity of the symmetrized graph — the Pearson
+    * correlation of endpoint degrees over directed edge instances, the
+    * one-number health signal for hub structure (negative = hubs attach
+    * to leaves, the usual k-NN shape; positive = rich-club). Because
+    * the edge list is symmetrized, the two endpoint-degree marginals
+    * are IDENTICAL, so r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — degrees
+    * and all four sums are exact BIGINTs and the result is ONE IEEE
+    * division (no sqrt), bit-equal on any engine/partitioning. Zero
+    * variance (a regular graph) reports 0.0. At true 100 TB edge
+    * counts the BIGINT products approach 2⁶³ — the production form
+    * promotes the sums to DECIMAL(38,0); at gate scale longs are exact.
+    * Plan: one degree aggregation + two broadcast-or-shuffle joins on
+    * the edge key + one global fold. */
+  def assortativity(g: DataFrame): DataFrame = {
+    val und = g.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .unionAll(g.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    val sums = und
+      .join(deg.select(col("src"), col("deg").as("da")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("db")), Seq("dst"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("da")).cast("long").as("sx"),
+        sum(col("da") * col("da")).cast("long").as("sxx"),
+        sum(col("da") * col("db")).cast("long").as("sxy"))
+    sums.select(
+      expr("m div 2").as("n_edges"),
+      col("m"),
+      when(col("m") * col("sxx") - col("sx") * col("sx") > 0,
+        (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .otherwise(lit(0.0)).as("r"))
+      .select(col("n_edges"), col("m").as("n_directed"),
+        round(col("r"), 6).as("assortativity"))
+  }
+
   /** Multi-source BFS hop census: seed nodes (those satisfying
     * `seedPred` over the node id) start at hop 0, then `rounds` FIXED
     * rounds of `hop'(v) = min(hop(v), min over neighbors u of

@@ -55,6 +55,26 @@ object EventStream {
         col("window.end").as("window_end"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** SLIDING (hopping) watermarked window counts — q201's tumbling
+    * aggregation with overlap: each event lands in `window/slide`
+    * concurrent windows, so state size and update fan-out scale by the
+    * overlap factor (the knob a dashboard trades smoothness against
+    * state for; tumbling is the slide = window special case). Same
+    * exact-sum option as [[windowedCounts]]. */
+  def slidingCounts(events: DataFrame,
+                    window_ : String, slide: String, watermark: String,
+                    exactSum: Boolean = false): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (if (exactSum)
+          sum(round(col("value"), 6).cast("decimal(22,6)")).cast("double")
+        else sum("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("sum_value"))
+
   final case class RawEvent(event_id: Long, ts: java.sql.Timestamp,
                             user_id: Long, event_type: String,
                             value: Double, props: String)

@@ -54,6 +54,17 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(rows(3L) == ((4L, 6L))) // fixpoint: the true 2-core
   }
 
+  test("assortativity: star graph is exactly -1, regular cycle reports 0") {
+    import org.apache.spark.sql.functions.col
+    val star = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val rStar = GraphAnalytics.assortativity(star).collect().head
+    assert(rStar.getLong(0) == 4L && rStar.getLong(1) == 8L)
+    assert(rStar.getDouble(2) == -1.0) // (4,1)/(1,4) pairs correlate exactly -1
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rCyc = GraphAnalytics.assortativity(cycle).collect().head
+    assert(rCyc.getDouble(2) == 0.0) // all degrees equal: zero variance → 0
+  }
+
   test("bfsHops censuses exact hop distances out to the round bound") {
     import org.apache.spark.sql.functions.col
     // Path 1-2-3-4-5 plus an isolated pair 10-11; seed = node 1 only.
