@@ -894,6 +894,16 @@ object ScaleProbe {
     timeWarm("assignSplit 80/10/10")(
       Sampling.assignSplit(docs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split").count().count())
+    // Round-13 additions: the lossless prefix-join candidate strategy and
+    // the winnowing fingerprint detector over the same replicated corpus —
+    // candidate volumes here are the sfgen replication artifact (~N-copy
+    // families ⇒ ~C(N,2) pairs), so read THROUGHPUT, not pair counts,
+    // against the q15 legs above.
+    timeWarm("prefixJaccardPairs (lossless J>=1/2)")(
+      Dedup.prefixJaccardPairs(docs, "text", "doc_id", n = 3).count())
+    timeWarm("winnowPairs (k=8, w=4, minShared=2)")(
+      Dedup.winnowPairs(docs, "text", "doc_id", k = 8, w = 4,
+        minShared = 2).count())
     spark.stop()
   }
 

@@ -268,6 +268,7 @@ object SparkEntry
     "q229_winnow_pairs" -> (q229WinnowPairs _),
     "q230_stream_sliding" -> (q230StreamSliding _),
     "q231_graph_assortativity" -> (q231GraphAssortativity _),
+    "q232_vocab_growth" -> (q232VocabGrowth _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -478,7 +479,15 @@ object SparkEntry
     ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ cvOracleSqls ++ rqOracleSqls ++
     bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls ++
     nlistSweepOracleSqls ++ lloydIvfOracleSqls ++ churnOracleSqls ++
-    rpfOracleSqls
+    rpfOracleSqls ++ vocabGrowthOracleSqls
+
+  /** q232's oracle needs the dataset's max doc_id for its bucket rule —
+    * dataset-derived like the quantizer oracles, same gated lifecycle. */
+  private[graft] def vocabGrowthOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+    } yield Map("q232_vocab_growth" -> q232Sql(s, dir))).getOrElse(Map.empty)
 
   /** Set by Verify (after running the queries, before dumping oracle SQL)
     * so dataset-derived oracles — the IVF centroid literals — can read the

@@ -2220,6 +2220,58 @@ private[graft] trait SparkEntryHygiene { this: SparkEntry.type =>
       |  CAST(ticket AS BIGINT) AS ticket
       |FROM t ORDER BY ticket, doc_id LIMIT 50""".stripMargin
 
+  /** Vocabulary growth curve (the Heaps-law table for the dataset
+    * card): the corpus in 10 doc_id-order slices; per slice the number
+    * of NEVER-SEEN-BEFORE tokens (min first-occurrence bucket per
+    * token — ONE map-side-combinable aggregation over the token
+    * stream, output 10 rows) and the cumulative vocabulary. Sub-linear
+    * growth here is what justifies fixed-size vocabularies and predicts
+    * BPE coverage on unseen data (q182's drift is the two-slice
+    * special case); a LINEAR tail is the classic symptom of an
+    * id-/noise-polluted corpus. Integer-exact end to end. */
+  private[graft] def q232VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val bucket = expr(s"doc_id * 10 div ${maxId + 1}")
+    val toks = docs.select(bucket.as("b"),
+      explode(TextAnalysis.regexTokens(col("text"))).as("token"))
+    val newPer = toks.groupBy("token").agg(min("b").as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("new_tokens"))
+    val docsPer = docs.groupBy(bucket.as("b"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docsPer.join(newPer, Seq("b"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .select(col("b"),
+        sum("n_docs").over(w).cast("long").as("n_docs_cum"),
+        sum("new_tokens").over(w).cast("long").as("vocab_cum"),
+        col("new_tokens").cast("long").as("new_tokens"))
+      .orderBy("b")
+  }
+
+  private[graft] def q232Sql(s: SparkSession, dir: String): String = {
+    val maxId = t(s, dir, "documents").agg(max("doc_id")).head.getLong(0)
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH d AS (
+       |  SELECT doc_id, (doc_id * 10) // ${maxId + 1} AS b, text FROM documents),
+       |toks AS (
+       |  SELECT b, unnest(regexp_extract_all(lower(text), '$pat')) AS token
+       |  FROM d),
+       |np AS (
+       |  SELECT fb AS b, count(*) AS new_tokens FROM (
+       |    SELECT token, min(b) AS fb FROM toks GROUP BY 1) GROUP BY 1),
+       |dp AS (SELECT b, count(*) AS n_docs FROM d GROUP BY 1)
+       |SELECT CAST(dp.b AS BIGINT) AS b,
+       |  CAST(sum(dp.n_docs) OVER (ORDER BY dp.b) AS BIGINT) AS n_docs_cum,
+       |  CAST(sum(coalesce(np.new_tokens, 0)) OVER (ORDER BY dp.b) AS BIGINT)
+       |    AS vocab_cum,
+       |  CAST(coalesce(np.new_tokens, 0) AS BIGINT) AS new_tokens
+       |FROM dp LEFT JOIN np ON np.b = dp.b
+       |ORDER BY b""".stripMargin
+  }
+
   /** Count-Min sketch frequency audit
     * ([[graft.operators.Sketches.cmSketch]] — the FREQUENCY sibling of
     * q217's KMV distinct-counter): a 4×4096-counter sketch built in one
