@@ -1300,6 +1300,31 @@ object OracleSqlGen {
        |    ELSE 0.0 END, 6) AS assortativity
        |FROM sums""".stripMargin
 
+  /** q233's oracle: 2-hop ball sizes over the symmetrized k-NN graph —
+    * 1-hop ∪ 2-hop endpoints, self excluded, distinct, counted; exact
+    * quantile_cont on the q113 contract. */
+  def graphBallSql(cents: Seq[Array[Double]], k: Int, cap: Int): String =
+    s"""WITH ${ivfAssignCtes(cents)},
+       |${graphBaseCtes(cap)},
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rnk
+       |    FROM __gscored) WHERE rnk <= $k),
+       |u AS (SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g),
+       |ball AS (
+       |  SELECT src, count(*) AS ball FROM (
+       |    SELECT DISTINCT src, dst FROM (
+       |      SELECT src, dst FROM u
+       |      UNION ALL
+       |      SELECT e1.src, e2.dst FROM u e1 JOIN u e2 ON e2.src = e1.dst)
+       |    WHERE src <> dst) GROUP BY src)
+       |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |  round(quantile_cont(CAST(ball AS DOUBLE), 0.5), 4) AS p50_ball,
+       |  round(quantile_cont(CAST(ball AS DOUBLE), 0.9), 4) AS p90_ball,
+       |  CAST(max(ball) AS BIGINT) AS max_ball
+       |FROM ball""".stripMargin
+
   def knnGraphSql(cents: Seq[Array[Double]], k: Int, cap: Int): String =
     s"""WITH ${ivfAssignCtes(cents)},
        |${graphBaseCtes(cap)},

@@ -269,6 +269,8 @@ object SparkEntry
     "q230_stream_sliding" -> (q230StreamSliding _),
     "q231_graph_assortativity" -> (q231GraphAssortativity _),
     "q232_vocab_growth" -> (q232VocabGrowth _),
+    "q233_graph_ball" -> (q233GraphBall _),
+    "q234_zipf_fit" -> (q234ZipfFit _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -455,6 +457,7 @@ object SparkEntry
     "q228_prefix_jaccard" -> q228Sql,
     "q229_winnow_pairs" -> q229Sql,
     "q230_stream_sliding" -> q230Sql,
+    "q234_zipf_fit" -> q234Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
@@ -1050,6 +1053,8 @@ object SparkEntry
           k = 4, cap = SemanticDedup.DefaultMaxCellSize,
           seedMod = 97L, rounds = 4),
         "q231_graph_assortativity" -> OracleSqlGen.graphAssortativitySql(cents,
+          k = 4, cap = SemanticDedup.DefaultMaxCellSize),
+        "q233_graph_ball" -> OracleSqlGen.graphBallSql(cents,
           k = 4, cap = SemanticDedup.DefaultMaxCellSize),
         "q137_embedding_drift" -> OracleSqlGen.embeddingDriftSql(cents,
           oldPred = "e.vec_id % 10 <> 0", newPred = "e.vec_id % 10 <> 1"),

@@ -2272,6 +2272,81 @@ private[graft] trait SparkEntryHygiene { this: SparkEntry.type =>
        |ORDER BY b""".stripMargin
   }
 
+  /** Zipf-law fit for the dataset card: OLS of ln(freq) on ln(rank)
+    * over the top-1000 tokens — slope ≈ −1 is the healthy natural-text
+    * signature; a flat slope flags boilerplate/template domination, a
+    * steep one vocabulary collapse (complements q232's Heaps curve —
+    * the rank–frequency and vocabulary–size views of the same law).
+    * Cross-engine exactness: ranks and frequencies are integers; the
+    * ln values and their products are rounded to 6 dp and summed as
+    * DECIMAL(22,6) (the q123 associative-sum idiom), so the only
+    * engine-sensitive step is ln itself at 6 dp — the accepted risk
+    * class used by every rounded-double oracle in the repo. One token
+    * scan + a 1000-row fold. */
+  private[graft] def q234ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val topN = 1000
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("freq"), col("token"))
+    val pts = t(s, dir, "documents")
+      .select(explode(TextAnalysis.regexTokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token")).limit(topN)
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .select(round(log(col("rank").cast("double")), 6).as("xr"),
+        round(log(col("freq").cast("double")), 6).as("yr"))
+    val d226 = "decimal(22,6)"
+    val sums = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("xr").cast(d226)).cast("double").as("sx"),
+      sum(col("yr").cast(d226)).cast("double").as("sy"),
+      sum(round(col("xr") * col("yr"), 6).cast(d226)).cast("double").as("sxy"),
+      sum(round(col("xr") * col("xr"), 6).cast(d226)).cast("double").as("sxx"),
+      sum(round(col("yr") * col("yr"), 6).cast(d226)).cast("double").as("syy"))
+    sums.select(
+      col("n").cast("long").as("n_tokens"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+      round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 4)
+        .as("intercept"),
+      round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+        (col("n") * col("sxy") - col("sx") * col("sy"))) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
+
+  private[graft] val q234Sql = {
+    val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+       |  FROM documents),
+       |f AS (
+       |  SELECT token, count(*) AS freq FROM toks GROUP BY 1
+       |  ORDER BY freq DESC, token LIMIT 1000),
+       |r AS (
+       |  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+       |  FROM f),
+       |p AS (
+       |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS xr,
+       |    round(ln(CAST(freq AS DOUBLE)), 6) AS yr
+       |  FROM r),
+       |s AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(xr AS DECIMAL(22,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(yr AS DECIMAL(22,6))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(round(xr * yr, 6) AS DECIMAL(22,6))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(round(xr * xr, 6) AS DECIMAL(22,6))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(round(yr * yr, 6) AS DECIMAL(22,6))) AS DOUBLE) AS syy
+       |  FROM p)
+       |SELECT CAST(n AS BIGINT) AS n_tokens,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+       |    AS intercept,
+       |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+       |FROM s""".stripMargin
+  }
+
   /** Count-Min sketch frequency audit
     * ([[graft.operators.Sketches.cmSketch]] — the FREQUENCY sibling of
     * q217's KMV distinct-counter): a 4×4096-counter sketch built in one

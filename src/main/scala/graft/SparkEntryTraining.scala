@@ -1602,6 +1602,24 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     GraphAnalytics.assortativity(graphCorpus(s, dir)
       .select(col("src").cast("long"), col("dst").cast("long")))
 
+  /** 2-hop ball-size distribution of the persisted k-NN graph
+    * (graph-analytics tier #8 —
+    * [[graft.operators.GraphAnalytics.twoHopBallSizes]]): exact
+    * p50/p90/max of per-node 2-hop neighborhood sizes plus the node
+    * count — the candidate-set sizing table for the beam-walk tier
+    * (q97/q132's per-hop frontier is bounded by these balls).
+    * Percentiles on the q113 exact contract. */
+  private[graft] def q233GraphBall(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.twoHopBallSizes(graphCorpus(s, dir)
+        .select(col("src").cast("long"), col("dst").cast("long")))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        expr("percentile(CAST(ball AS DOUBLE), array(0.5D, 0.9D))").as("q"),
+        max("ball").cast("long").as("max_ball"))
+      .select(col("n_nodes"),
+        round(element_at(col("q"), 1), 4).as("p50_ball"),
+        round(element_at(col("q"), 2), 4).as("p90_ball"),
+        col("max_ball"))
+
   private[graft] val RpfTrees = 2
   private[graft] val RpfDepth = 3
 

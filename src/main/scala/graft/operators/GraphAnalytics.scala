@@ -168,6 +168,30 @@ object GraphAnalytics {
     dist.groupBy("hop").agg(count(lit(1)).cast("long").as("n_nodes"))
   }
 
+  /** 2-hop neighborhood (ball) size per node: |{v ≠ u : dist(u,v) ≤ 2}|
+    * over the symmetrized graph — the local-density sizing signal
+    * between q215's triangles (closure) and q224's global BFS (reach):
+    * how much corpus a 2-hop graph walk from each node can touch, i.e.
+    * the candidate-set size bound for the beam-search tier. One
+    * self-join on the shared endpoint + one distinct + one count per
+    * node; fan-out is bounded by degree² (a k-NN graph's degree is
+    * capped by the build, so the intermediate is ≤ cap² per node,
+    * never corpus-quadratic). */
+  def twoHopBallSizes(g: DataFrame): DataFrame = {
+    val und = g.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .unionAll(g.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val twoHop = und.as("e1")
+      .join(und.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+    und.unionAll(twoHop)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .groupBy("src").agg(count(lit(1)).cast("long").as("ball"))
+  }
+
   /** Weakly-connected-component census via min-label propagation,
     * `rounds` FIXED rounds (not run-to-fixpoint: a fixed round count is
     * deterministic on any engine and replayable by an unrolled-CTE

@@ -65,6 +65,17 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(rCyc.getDouble(2) == 0.0) // all degrees equal: zero variance → 0
   }
 
+  test("twoHopBallSizes: path graph balls are exact, self excluded, islands separate") {
+    // Path 1-2-3-4-5: ball(1)={2,3}, ball(2)={1,3,4}, ball(3)={1,2,4,5};
+    // isolated pair 10-11: ball=1 each
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val balls = GraphAnalytics.twoHopBallSizes(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(balls == Map(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 5L -> 2L,
+      10L -> 1L, 11L -> 1L))
+  }
+
   test("bfsHops censuses exact hop distances out to the round bound") {
     import org.apache.spark.sql.functions.col
     // Path 1-2-3-4-5 plus an isolated pair 10-11; seed = node 1 only.
