@@ -2353,6 +2353,42 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ORC source roundtrip under the gate (the third interchange format
+    * beside parquet-native and q96's JSONL): the corpus written once as
+    * a LANG-PARTITIONED ORC store (fingerprint-keyed under the managed
+    * store root), read back with a partition-pruning lang predicate and
+    * a pushed n_chars range filter, rolled up per source with an
+    * id-set fingerprint. The scan must show BOTH a non-empty
+    * PartitionFilters (the lang directory prune) and PushedFilters
+    * (the ORC reader evaluates n_chars at the stripe level) —
+    * plan-asserted in OrcRoundtripSpec; at 100 TB those two prunes are
+    * the difference between reading one language's stripes and the
+    * whole lake. Oracle reads the same rows off the parquet table. */
+  private[graft] def q235OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 1000003L) ^ 0x0e7c1L ^
+        datasetFingerprint(s, s"$dir/documents.parquet"))
+    val path = s"${GraftConfig.storeRoot}/graft-orc-$key"
+    val docs = t(s, dir, "documents")
+    if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS"))
+      docs.write.mode("overwrite").partitionBy("lang").orc(path)
+    s.read.orc(path)
+      .filter(col("lang") === "en" && col("n_chars") > 500)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          c => c.cast("string")), ",")).as("ids_md5"))
+      .orderBy("source")
+  }
+
+  private[graft] val q235Sql =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents WHERE lang = 'en' AND n_chars > 500
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** The q93 screen-replay CTE chain (seeded -> langp -> gf -> ckeep),
     * shared verbatim by [[q126Sql]]'s rollup. */
   private[graft] val q93SqlParts: String = {
