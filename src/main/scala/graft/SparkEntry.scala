@@ -272,6 +272,7 @@ object SparkEntry
     "q233_graph_ball" -> (q233GraphBall _),
     "q234_zipf_fit" -> (q234ZipfFit _),
     "q235_orc_roundtrip" -> (q235OrcRoundtrip _),
+    "q236_detector_recall" -> (q236DetectorRecall _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -460,6 +461,7 @@ object SparkEntry
     "q230_stream_sliding" -> q230Sql,
     "q234_zipf_fit" -> q234Sql,
     "q235_orc_roundtrip" -> q235Sql,
+    "q236_detector_recall" -> q236Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -481,6 +481,104 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
       |ORDER BY n_shared DESC, id_a, id_b LIMIT 30""".stripMargin
   }
 
+  /** TRUE recall of the banded-MinHash detector at J ≥ 1/2, measured
+    * against q228's LOSSLESS prefix-join pair set — the evaluation q169
+    * (calibration) and q186 (detector overlap) could not state: those
+    * compare detectors to each other or to exact Jaccard ON THE
+    * CANDIDATES; this one has ground truth for the whole corpus because
+    * the prefix rule provably surfaces every pair at the threshold.
+    * MinHash-verified pairs are exact-Jaccard-verified, so up to the
+    * two pipelines' hot-bucket caps (which never fire on this corpus —
+    * max prefix bucket 10 vs cap 1000) detected ⊆ truth and the number
+    * that matters is candidate-generation recall; the hit count is
+    * still taken from the explicit intersection so a capped corpus
+    * reports honestly. One row: n_true, n_detected, n_missed, recall
+    * (= hits / truth). */
+  private[graft] def q236DetectorRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val exact = Dedup.prefixJaccardPairs(docs, "text", "doc_id", n = 3)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_true"))
+    val mh = Dedup.nearDupPairs(docs, "text", "doc_id", n = 3, bands = 4,
+        minJaccard = 0.15)
+      .filter(col("n_inter") * 2 >= col("n_union")) // integer-stated J >= 1/2
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_mh"))
+    exact.join(mh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_true"), lit(0L))).cast("long").as("n_true"),
+        sum(coalesce(col("in_mh"), lit(0L))).cast("long").as("n_detected"),
+        sum(when(col("in_true").isNotNull && col("in_mh").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("n_hit"),
+        sum(when(col("in_true").isNotNull && col("in_mh").isNull, 1L)
+          .otherwise(0L)).cast("long").as("n_missed"))
+      .select(col("n_true"), col("n_detected"), col("n_missed"),
+        round(when(col("n_true") > 0,
+          col("n_hit").cast("double") / col("n_true"))
+          .otherwise(lit(0.0)), 4).as("recall"))
+  }
+
+  private[graft] val q236Sql = {
+    // truth = q228's prefix-join chain; detected = q15's banded chain
+    // verified at the integer J >= 1/2 rule; CTE names disjoint
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |e AS (
+      |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+      |freq AS (SELECT s, count(*) AS df FROM e GROUP BY 1),
+      |ranked AS (
+      |  SELECT e.doc_id, e.sz, e.s,
+      |    row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.s) AS rnk
+      |  FROM e JOIN freq f ON f.s = e.s),
+      |pref AS (
+      |  SELECT doc_id, sz, s FROM ranked WHERE rnk <= sz - ((sz + 1) // 2) + 1),
+      |bsz AS (SELECT s, count(*) AS m FROM pref GROUP BY 1),
+      |prefc AS (
+      |  SELECT p.doc_id, p.sz, p.s FROM pref p JOIN bsz ON bsz.s = p.s
+      |  WHERE bsz.m <= ${Dedup.DefaultMaxBucketSize}),
+      |tcand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM prefc a JOIN prefc b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |tpairs AS (
+      |  SELECT c.id_a, c.id_b FROM tcand c
+      |  JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+      |  WHERE 2 * len(list_intersect(x.sh, y.sh)) >=
+      |        len(list_distinct(list_concat(x.sh, y.sh)))),
+      |sig AS (
+      |  SELECT doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  GROUP BY doc_id, band.b),
+      |mcand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |mpairs AS (
+      |  SELECT c.id_a, c.id_b FROM mcand c
+      |  JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+      |  WHERE 2 * len(list_intersect(x.sh, y.sh)) >=
+      |        len(list_distinct(list_concat(x.sh, y.sh)))),
+      |j AS (
+      |  SELECT t.id_a IS NOT NULL AS in_true, m.id_a IS NOT NULL AS in_mh
+      |  FROM tpairs t FULL OUTER JOIN mpairs m
+      |    ON t.id_a = m.id_a AND t.id_b = m.id_b)
+      |SELECT
+      |  CAST(sum(CASE WHEN in_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |  CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+      |  CAST(sum(CASE WHEN in_true AND NOT in_mh THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missed,
+      |  round(CASE WHEN sum(CASE WHEN in_true THEN 1 ELSE 0 END) > 0
+      |    THEN CAST(sum(CASE WHEN in_true AND in_mh THEN 1 ELSE 0 END) AS DOUBLE) /
+      |         sum(CASE WHEN in_true THEN 1 ELSE 0 END)
+      |    ELSE 0.0 END, 4) AS recall
+      |FROM j""".stripMargin
+  }
+
   /** Near-dup detector overlap matrix: the pair sets MinHash-LSH
     * (q15's operating point) and SimHash (q42's) each find, and their
     * agreement — the method-selection capstone of the dedup tier
