@@ -273,6 +273,7 @@ object SparkEntry
     "q234_zipf_fit" -> (q234ZipfFit _),
     "q235_orc_roundtrip" -> (q235OrcRoundtrip _),
     "q236_detector_recall" -> (q236DetectorRecall _),
+    "q237_component_medoid" -> (q237ComponentMedoid _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -462,6 +463,7 @@ object SparkEntry
     "q234_zipf_fit" -> q234Sql,
     "q235_orc_roundtrip" -> q235Sql,
     "q236_detector_recall" -> q236Sql,
+    "q237_component_medoid" -> q237Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

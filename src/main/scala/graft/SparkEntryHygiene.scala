@@ -1020,6 +1020,63 @@ private[graft] trait SparkEntryHygiene { this: SparkEntry.type =>
     s.read.parquet(cpath)
   }
 
+  /** Near-dup component MEDOID canonicalization: per mined near-dup
+    * component (the PERSISTED q63 artifact — never re-mined here), the
+    * member with the highest total cosine affinity to its siblings —
+    * the most-REPRESENTATIVE survivor, where q71's keep-best picks by
+    * quality score and q14 by id. Pairwise dots stay WITHIN components
+    * (size-capped by the mining lineage, never corpus-quadratic); each
+    * dot is rounded to 6 dp and summed as DECIMAL(22,6) so the
+    * per-member affinity is associative and the argmax
+    * (score DESC, id ASC) is engine-exact. Singleton components have no
+    * pairs and are their own canonical doc by definition (absent here —
+    * join semantics, the q215 stance). */
+  private[graft] def q237ComponentMedoid(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val comps = componentsCorpus(s, dir)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val m = comps.join(emb, Seq("id"))
+    val pair = m.select(col("comp"), col("id").as("ia"), col("embedding").as("ea"))
+      .join(m.select(col("comp"), col("id").as("ib"), col("embedding").as("eb")),
+        Seq("comp"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("comp"), col("ia"),
+        round(GraftFunctions.dotF32(col("ea"), col("eb")), 6)
+          .cast("decimal(22,6)").as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(desc("score"), col("ia"))
+    pair.groupBy("comp", "ia")
+      .agg(sum("d").as("score"), count(lit(1)).cast("long").as("n_others"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("ia").as("medoid"),
+        (col("n_others") + 1).cast("long").as("n_members"),
+        round(col("score").cast("double"), 4).as("score"))
+      .orderBy("comp")
+  }
+
+  private[graft] lazy val q237Sql =
+    s"""${q63ComponentsCtes}m AS (
+      |  SELECT c.comp, c.doc_id AS id, e.embedding AS emb
+      |  FROM comps c JOIN embeddings e ON e.vec_id = c.doc_id),
+      |pair AS (
+      |  SELECT a.comp, a.id AS ia,
+      |    CAST(round(${OracleSqlGen.dotFold("a.emb", "b.emb")}, 6)
+      |      AS DECIMAL(22,6)) AS d
+      |  FROM m a JOIN m b ON a.comp = b.comp AND a.id <> b.id),
+      |scored AS (
+      |  SELECT comp, ia, sum(d) AS score, count(*) AS n_others
+      |  FROM pair GROUP BY 1, 2),
+      |r AS (
+      |  SELECT comp, ia, score, n_others,
+      |    row_number() OVER (PARTITION BY comp ORDER BY score DESC, ia) AS rn
+      |  FROM scored)
+      |SELECT CAST(comp AS BIGINT) AS comp, CAST(ia AS BIGINT) AS medoid,
+      |  CAST(n_others + 1 AS BIGINT) AS n_members,
+      |  round(CAST(score AS DOUBLE), 4) AS score
+      |FROM r WHERE rn = 1 ORDER BY comp""".stripMargin
+
   /** Leakage-safe train/val/test split: membership hashed on the
     * near-dup COMPONENT representative (singletons = their own id), so
     * near-duplicate documents can never straddle a split — the eval
