@@ -274,6 +274,7 @@ object SparkEntry
     "q235_orc_roundtrip" -> (q235OrcRoundtrip _),
     "q236_detector_recall" -> (q236DetectorRecall _),
     "q237_component_medoid" -> (q237ComponentMedoid _),
+    "q238_stream_cms" -> (q238StreamCms _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -464,6 +465,7 @@ object SparkEntry
     "q235_orc_roundtrip" -> q235Sql,
     "q236_detector_recall" -> q236Sql,
     "q237_component_medoid" -> q237Sql,
+    "q238_stream_cms" -> q238Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

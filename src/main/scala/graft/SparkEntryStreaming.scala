@@ -431,6 +431,85 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       |FROM x GROUP BY 1, 2
       |ORDER BY win_ms, event_type""".stripMargin
 
+  /** STREAMING Count-Min maintenance under the gate (the ST4 write-back
+    * pattern applied to q226's sketch tier): the staged event stream is
+    * consumed with `foreachBatch`; each micro-batch builds its own
+    * PARTIAL 4×1024 sketch and writes it to a batchId-keyed subdir
+    * (retry-idempotent — a replayed batch overwrites its own partial,
+    * the q56 ingest discipline), and the serving-side sketch is the
+    * cell-wise SUM of all partials ([[graft.operators.Sketches.cmMerge]]'s
+    * associativity is the whole point: batch-sliced partial sums equal
+    * the one-pass build EXACTLY, so the batch oracle gates the
+    * streaming artifact bit-for-bit). Probes: top-20 users by exact
+    * count, estimate vs exact with the overcount audit. At 100 TB this
+    * is the pattern that keeps a frequency dashboard fresh without
+    * re-scanning history: per-batch work is batch-sized, the merge is
+    * 16k cells. */
+  private[graft] def q238StreamCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val depth = 4
+    val width = 1024
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q238").toString
+    val inDir = s"$stage/in"
+    val skDir = s"$stage/sk"
+    val ev = eventsNs(s, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    ev.write.parquet(inDir)
+    try {
+      val q = withStateParts(s, 8)(
+        EventStream.readEvents(s, inDir)
+          .select(col("user_id").cast("string").as("item"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Sketches.cmSketch(batch, "item", depth, width)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$skDir/batch=$batchId")
+          }
+          .option("checkpointLocation", s"$stage/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      q.awaitTermination()
+      // serving-side merge: cell-wise sum over every batch partial
+      val sketch = s.read.parquet(skDir)
+        .groupBy("r", "c").agg(sum("v").cast("long").as("v"))
+      val exact = s.read.parquet(inDir)
+        .select(col("user_id").cast("string").as("item"))
+        .groupBy("item").agg(count(lit(1)).cast("long").as("n_exact"))
+        .orderBy(desc("n_exact"), col("item")).limit(20)
+      Sketches.cmEstimate(exact, "item", Seq("n_exact"), sketch, depth, width)
+        .select(col("item").as("user_key"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+        .orderBy(desc("n_exact"), col("user_key"))
+        // materialize BEFORE the staging dir is deleted
+        .localCheckpoint(true)
+    } finally rmTree(stage)
+  }
+
+  private[graft] val q238Sql =
+    """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+      |cells AS (
+      |  SELECT r.r AS r,
+      |    CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || item), 1, 15)
+      |      AS BIGINT) % 1024 AS c,
+      |    CAST(count(*) AS BIGINT) AS v
+      |  FROM u CROSS JOIN range(4) r(r)
+      |  GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT item, CAST(count(*) AS BIGINT) AS n_exact FROM u
+      |  GROUP BY 1 ORDER BY n_exact DESC, item LIMIT 20),
+      |est AS (
+      |  SELECT e.item, e.n_exact, min(c.v) AS n_est
+      |  FROM exact e CROSS JOIN range(4) r(r)
+      |  JOIN cells c ON c.r = r.r
+      |    AND c.c = CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || e.item), 1, 15)
+      |      AS BIGINT) % 1024
+      |  GROUP BY 1, 2)
+      |SELECT item AS user_key, n_exact, CAST(n_est AS BIGINT) AS n_est,
+      |  CAST(n_est - n_exact AS BIGINT) AS overcount
+      |FROM est ORDER BY n_exact DESC, user_key""".stripMargin
+
   private[graft] val q201Sql =
     """WITH e AS (
       |  SELECT event_type, value, epoch_ns(ts) // 1000 AS tu FROM events)
