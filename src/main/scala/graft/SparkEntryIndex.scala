@@ -1690,6 +1690,65 @@ private[graft] trait SparkEntryIndex { this: SparkEntry.type =>
       |  1.0 AS peak
       |FROM documents WHERE doc_id < 32 ORDER BY asset_id""".stripMargin
 
+  /** Perceptual image near-dup via average hash
+    * ([[graft.operators.Multimodal.ImageCodec.aHash]] — q42's SimHash
+    * posture carried to PIXELS): PNG fixtures synthesized per
+    * documents row in 16 four-member brightness-jittered families —
+    * the 8×8 bit pattern comes from md5 of the FAMILY id, the
+    * brightness offset from the member id, so family members are
+    * near-duplicate images (same structure, shifted exposure) that a
+    * byte-level fingerprint (q13) can never group. The engine path
+    * REALLY decodes and hashes pixels; the oracle predicts every hash
+    * from doc_id arithmetic (the construction keeps cell contrast far
+    * above the jitter, so aHash ≡ the md5-derived 60-bit pattern —
+    * a decode, gray, box-filter, or threshold bug mismatches all
+    * rows). Pairs = hash-equality join, the LSH-bucket scale shape. */
+  private[graft] def q239ImageAhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = t(s, dir, "documents").filter(col("doc_id") < 64)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val fam = id / 4
+        val delta = (id % 4).toInt
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"fam:$fam".getBytes("UTF-8"))
+        val hex = md.map(b => f"$b%02x").mkString
+        val bits60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          val bright = i >= 4 && ((bits60 >> (59 - (i - 4))) & 1L) == 1L
+          val v = if (bright) 200 + delta else 40 + delta
+          img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val hash = graft.operators.Multimodal.ImageCodec
+          .aHash(bos.toByteArray).getOrElse(-1L)
+        (id, f"$hash%016x")
+      }
+      .toDF("asset_id", "ahash")
+    hashed.as("a")
+      .join(hashed.as("b"),
+        col("a.ahash") === col("b.ahash") && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.ahash").as("ahash"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private[graft] val q239Sql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    lower(lpad(hex(CAST('0x' ||
+      |      substr(md5('fam:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
+      |      AS BIGINT)), 16, '0')) AS ahash
+      |  FROM documents WHERE doc_id < 64)
+      |SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.ahash
+      |FROM a x JOIN a y ON x.ahash = y.ahash AND x.doc_id < y.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** REAL audio decode, oracle-checked: WAV fixtures synthesized per
     * documents row — constant power-of-two amplitude, so the decoded RMS
     * is IEEE-exact (2^-k) and needs no rounding; frame counts divisible

@@ -133,6 +133,51 @@ object Multimodal {
 
     def dimensions(payload: Array[Byte]): Option[(Int, Int)] =
       decode(payload).map(img => (img.getWidth, img.getHeight))
+
+    /** 64-bit average hash (aHash) — the classic perceptual image
+      * fingerprint: integer BOX-downscale to an 8×8 grid (never
+      * Graphics2D scaling — box sums are exact integers, so the hash is
+      * platform-deterministic), per-cell mean gray ((r+g+b)/3 integer),
+      * bit i (row-major, MSB first) set iff cell i's gray is STRICTLY
+      * above the global mean. Near-duplicate images (re-encodes,
+      * brightness shifts smaller than the cell contrast) keep their
+      * hash; pairs then join on hash equality or small Hamming —
+      * q42's SimHash posture carried to pixels. */
+    def aHash(payload: Array[Byte]): Option[Long] =
+      decode(payload).map(aHashOf)
+
+    def aHashOf(img: BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val cell = new Array[Double](64)
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+          val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+          var s = 0L; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = img.getRGB(x, y)
+              s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          cell(by * 8 + bx) = if (n == 0) 0.0 else s.toDouble / n
+          bx += 1
+        }
+        by += 1
+      }
+      val mean = cell.sum / 64.0
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (cell(i) > mean) bits |= 1L << (63 - i); i += 1 }
+      bits
+    }
   }
 
   /** REAL audio kernel — JDK `javax.sound.sampled`, WAV/PCM. Decode

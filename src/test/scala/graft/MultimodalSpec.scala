@@ -8,6 +8,37 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("aHash: bit layout, box-downscale invariance, jitter invariance, contrast sensitivity") {
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def mk(scale: Int, jitter: Int, brightBit: Int => Boolean): BufferedImage = {
+      val img = new BufferedImage(8 * scale, 8 * scale, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8 * scale; x <- 0 until 8 * scale) {
+        val i = (y / scale) * 8 + (x / scale)
+        val v = (if (brightBit(i)) 200 else 40) + jitter
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // single bright pixel at cell 0 => only the MSB set
+    val one = Multimodal.ImageCodec.aHashOf(mk(1, 0, _ == 0))
+    assert(one == (1L << 63))
+    // 2x box-downscaled magnification hashes identically (exact box sums)
+    val pattern = (i: Int) => (i * 2654435761L & 1L) == 1L
+    val base = Multimodal.ImageCodec.aHashOf(mk(1, 0, pattern))
+    assert(Multimodal.ImageCodec.aHashOf(mk(2, 0, pattern)) == base)
+    // exposure jitter below the cell contrast never flips a bit
+    assert(Multimodal.ImageCodec.aHashOf(mk(1, 3, pattern)) == base)
+    // a structural change DOES flip: invert one cell of the pattern
+    val flipped = Multimodal.ImageCodec.aHashOf(mk(1, 0, i => pattern(i) ^ (i == 9)))
+    assert(flipped != base)
+    // decode path end-to-end (PNG roundtrip is lossless for TYPE_INT_RGB)
+    assert(Multimodal.ImageCodec.aHash(png(mk(1, 0, pattern))).contains(base))
+  }
+
   test("feature extraction: right schema, unit vectors, deterministic") {
     val assets = Multimodal.syntheticAssets(spark, 100).repartition(4)
     val feats = Multimodal.extractFeatures(assets, dim = 16, batchSize = 8)
