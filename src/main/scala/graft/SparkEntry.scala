@@ -276,6 +276,7 @@ object SparkEntry
     "q237_component_medoid" -> (q237ComponentMedoid _),
     "q238_stream_cms" -> (q238StreamCms _),
     "q239_image_ahash" -> (q239ImageAhash _),
+    "q240_asof_forward" -> (q240AsofForward _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -468,6 +469,7 @@ object SparkEntry
     "q237_component_medoid" -> q237Sql,
     "q238_stream_cms" -> q238Sql,
     "q239_image_ahash" -> q239Sql,
+    "q240_asof_forward" -> q240Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -644,6 +644,55 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       .orderBy("purchase_id")
   }
 
+  /** FORWARD as-of join with tolerance — q204's mirror, completing the
+    * as-of family: for each view, the FIRST purchase by the same user
+    * at-or-after it (equal-ns timestamps count, matching q204's
+    * inclusive stance via the kind sort) within a 1-hour horizon. Same
+    * sort-based single-exchange plan — union, one per-user sort, one
+    * window min over the FOLLOWING frame (struct min = (ts, id)
+    * lexicographic, so the earliest purchase with deterministic id
+    * tie-break) — no range join, match-density-independent. */
+  private[graft] def q240AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir)
+    val tagged = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val horizonNs = 3600L * 1000000000L
+    tagged
+      .withColumn("__np",
+        min(when(col("kind") === 1, struct(col("ts"), col("event_id")))).over(w))
+      .filter(col("kind") === 0 && col("__np").isNotNull &&
+        col("__np.ts") - col("ts") <= horizonNs)
+      .select(col("event_id").as("view_id"),
+        col("__np.event_id").as("purchase_id"),
+        (col("__np.ts") - col("ts")).as("lead_ns"))
+      .orderBy("view_id")
+  }
+
+  private[graft] val q240Sql =
+    """WITH u AS (
+      |  SELECT user_id, epoch_ns(ts) AS tn, event_id, 0 AS kind
+      |  FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, epoch_ns(ts), event_id, 1 FROM events
+      |  WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT user_id, tn, event_id, kind,
+      |    min(CASE WHEN kind = 1 THEN [tn, CAST(event_id AS BIGINT)] END)
+      |      OVER (PARTITION BY user_id ORDER BY tn, kind, event_id
+      |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+      |  FROM u)
+      |SELECT event_id AS view_id, np[2] AS purchase_id,
+      |  CAST(np[1] - tn AS BIGINT) AS lead_ns
+      |FROM w
+      |WHERE kind = 0 AND np IS NOT NULL AND np[1] - tn <= 3600000000000
+      |ORDER BY view_id""".stripMargin
+
   private[graft] val q204Sql =
     """WITH u AS (
       |  SELECT user_id, epoch_ns(ts) AS tn, event_id, 0 AS kind
