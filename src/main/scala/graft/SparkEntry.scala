@@ -277,6 +277,10 @@ object SparkEntry
     "q238_stream_cms" -> (q238StreamCms _),
     "q239_image_ahash" -> (q239ImageAhash _),
     "q240_asof_forward" -> (q240AsofForward _),
+    "q241_audio_ehash" -> (q241AudioEnergyHash _),
+    "q242_grouping_sets" -> (q242GroupingSets _),
+    "q243_range_frame" -> (q243RangeFrame _),
+    "q244_pivot" -> (q244Pivot _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -470,6 +474,10 @@ object SparkEntry
     "q238_stream_cms" -> q238Sql,
     "q239_image_ahash" -> q239Sql,
     "q240_asof_forward" -> q240Sql,
+    "q241_audio_ehash" -> q241Sql,
+    "q242_grouping_sets" -> q242Sql,
+    "q243_range_frame" -> q243Sql,
+    "q244_pivot" -> q244Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -579,6 +579,95 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
       |FROM j""".stripMargin
   }
 
+  /** CUBE / grouping-sets aggregation over lineitem — the subtotal
+    * lattice (every (returnflag, linestatus) cell, both marginals, and
+    * the grand total in ONE pass; Catalyst expands the sets and the
+    * partial aggs combine map-side, so the lattice costs one exchange,
+    * not 4 scans). GROUPING flags disambiguate genuine NULL keys from
+    * subtotal rows — the contract every BI layer reading this table
+    * relies on. */
+  private[graft] def q242GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+
+  private[graft] val q242Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  /** RANGE window frame over event time: per click, how many clicks
+    * and how much value the SAME user produced in the trailing hour —
+    * the value-based frame (`RANGE BETWEEN ... PRECEDING`) the
+    * rows-based tier (q7, q193) can't express: the frame is defined by
+    * TIMESTAMP DISTANCE, so ties and gaps are handled by value, not
+    * row position. Integer-ns bounds; the value sum uses the
+    * round(,6)→DECIMAL idiom so the windowed sum is
+    * association-order-free on both engines. One per-user sort — the
+    * q204 plan with a range frame on top. */
+  private[graft] def q243RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-3600000000000L, 0)
+    eventsNs(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w).cast("long"))
+      .withColumn("sum_1h",
+        sum(round(col("value"), 6).cast("decimal(22,6)")).over(w).cast("double"))
+      .select(col("event_id"), col("n_1h"), round(col("sum_1h"), 4).as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  private[graft] val q243Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS tn, value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT event_id,
+      |  CAST(count(*) OVER win AS BIGINT) AS n_1h,
+      |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(22,6))) OVER win
+      |    AS DOUBLE), 4) AS sum_1h
+      |FROM e
+      |WINDOW win AS (PARTITION BY user_id ORDER BY tn
+      |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** PIVOT: per user decile, event counts spread into one column per
+    * event type — the wide-table reshape every reporting layer asks
+    * for. Spark's `pivot` with an EXPLICIT value list compiles to the
+    * same single-pass conditional aggregation the oracle states (an
+    * implicit list would add a distinct-values job AND make the schema
+    * data-dependent — never on a 100 TB table). */
+  private[graft] def q244Pivot(s: SparkSession, dir: String): DataFrame =
+    eventsNs(s, dir)
+      .select(pmod(col("user_id"), lit(10L)).as("decile"), col("event_type"))
+      .groupBy("decile")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("decile"), col("click").cast("long").as("click"),
+        col("error").cast("long").as("error"),
+        col("purchase").cast("long").as("purchase"),
+        col("signup").cast("long").as("signup"),
+        col("view").cast("long").as("view"))
+      .orderBy("decile")
+
+  private[graft] val q244Sql =
+    """SELECT user_id % 10 AS decile,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY decile""".stripMargin
+
   /** Near-dup detector overlap matrix: the pair sets MinHash-LSH
     * (q15's operating point) and SimHash (q42's) each find, and their
     * agreement — the method-selection capstone of the dedup tier

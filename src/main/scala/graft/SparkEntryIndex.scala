@@ -1749,6 +1749,60 @@ private[graft] trait SparkEntryIndex { this: SparkEntry.type =>
       |FROM a x JOIN a y ON x.ahash = y.ahash AND x.doc_id < y.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Audio near-dup via energy hash
+    * ([[graft.operators.Multimodal.AudioCodec.energyHash]] — q239's
+    * construction carried to WAV): 16 four-member gain-jittered
+    * families, loud/quiet window structure from md5 of the family id,
+    * gain offset from the member id. The engine REALLY decodes PCM and
+    * hashes windowed energies; the oracle predicts every hash from
+    * doc_id arithmetic (constant per-window amplitudes make the energy
+    * hash ≡ the md5-derived 60-bit pattern — a codec, windowing, or
+    * threshold bug mismatches all rows). */
+  private[graft] def q241AudioEnergyHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = t(s, dir, "documents").filter(col("doc_id") < 64)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val fam = id / 4
+        val delta = (id % 4).toInt
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"afam:$fam".getBytes("UTF-8"))
+        val hex = md.map(b => f"$b%02x").mkString
+        val bits60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val samples = new Array[Short](64 * 50)
+        var w = 0
+        while (w < 64) {
+          val loud = w >= 4 && ((bits60 >> (59 - (w - 4))) & 1L) == 1L
+          val amp = (if (loud) 4096 + 16 * delta else 256 + 16 * delta).toShort
+          var i = 0
+          while (i < 50) { samples(w * 50 + i) = amp; i += 1 }
+          w += 1
+        }
+        val wav = graft.operators.Multimodal.AudioCodec.encodeWav(samples, 8000)
+        val hash = graft.operators.Multimodal.AudioCodec
+          .energyHash(wav).getOrElse(-1L)
+        (id, f"$hash%016x")
+      }
+      .toDF("asset_id", "ehash")
+    hashed.as("a")
+      .join(hashed.as("b"),
+        col("a.ehash") === col("b.ehash") && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.ehash").as("ehash"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private[graft] val q241Sql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    lower(lpad(hex(CAST('0x' ||
+      |      substr(md5('afam:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
+      |      AS BIGINT)), 16, '0')) AS ehash
+      |  FROM documents WHERE doc_id < 64)
+      |SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.ehash
+      |FROM a x JOIN a y ON x.ehash = y.ehash AND x.doc_id < y.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** REAL audio decode, oracle-checked: WAV fixtures synthesized per
     * documents row — constant power-of-two amplitude, so the decoded RMS
     * is IEEE-exact (2^-k) and needs no rounding; frame counts divisible

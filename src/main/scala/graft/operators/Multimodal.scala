@@ -216,6 +216,36 @@ object Multimodal {
     def rms(payload: Array[Byte]): Option[Double] =
       decode(payload).map { case (_, _, samples) => rmsOf(samples) }
 
+    /** 64-bit energy hash — [[ImageCodec.aHash]]'s audio sibling: the
+      * sample stream box-split into 64 equal windows, per-window mean
+      * ABSOLUTE amplitude (integer sums — exact), bit w (MSB first) set
+      * iff window w's energy is strictly above the global mean.
+      * Re-encodes and gain shifts smaller than the loud/quiet contrast
+      * keep the hash; jingle/clip near-dups then join on equality. */
+    def energyHash(payload: Array[Byte], nWin: Int = 64): Option[Long] =
+      decode(payload).map { case (_, _, samples) => energyHashOf(samples, nWin) }
+
+    def energyHashOf(samples: Array[Short], nWin: Int): Long = {
+      if (samples.isEmpty) return 0L
+      val e = new Array[Double](nWin)
+      var w = 0
+      while (w < nWin) {
+        val i0 = w * samples.length / nWin
+        val i1 = math.max(i0 + 1, (w + 1) * samples.length / nWin)
+        var s = 0L; var n = 0; var i = i0
+        while (i < i1 && i < samples.length) {
+          s += math.abs(samples(i).toLong); n += 1; i += 1
+        }
+        e(w) = if (n == 0) 0.0 else s.toDouble / n
+        w += 1
+      }
+      val mean = e.sum / nWin
+      var bits = 0L
+      var i = 0
+      while (i < nWin) { if (e(i) > mean) bits |= 1L << (63 - i); i += 1 }
+      bits
+    }
+
     /** RMS from samples already decoded (avoids a second payload parse). */
     def rmsOf(samples: Array[Short]): Double =
       if (samples.isEmpty) 0.0

@@ -39,6 +39,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ImageCodec.aHash(png(mk(1, 0, pattern))).contains(base))
   }
 
+  test("energyHash: window layout, gain invariance, WAV roundtrip, structure sensitivity") {
+    def mk(gain: Int, loudBit: Int => Boolean): Array[Short] = {
+      val s = new Array[Short](64 * 50)
+      for (w <- 0 until 64; i <- 0 until 50)
+        s(w * 50 + i) = ((if (loudBit(w)) 4096 else 256) + gain).toShort
+      s
+    }
+    val pattern = (w: Int) => (w * 2654435761L & 1L) == 1L
+    val base = Multimodal.AudioCodec.energyHashOf(mk(0, pattern), 64)
+    // one loud window => one bit, MSB-first layout
+    assert(Multimodal.AudioCodec.energyHashOf(mk(0, _ == 0), 64) == (1L << 63))
+    // gain shift below the loud/quiet contrast never flips a bit
+    assert(Multimodal.AudioCodec.energyHashOf(mk(48, pattern), 64) == base)
+    // structural change flips
+    assert(Multimodal.AudioCodec.energyHashOf(
+      mk(0, w => pattern(w) ^ (w == 9)), 64) != base)
+    // full WAV encode/decode path preserves the hash (PCM16 lossless)
+    val wav = Multimodal.AudioCodec.encodeWav(mk(0, pattern), 8000)
+    assert(Multimodal.AudioCodec.energyHash(wav).contains(base))
+  }
+
   test("feature extraction: right schema, unit vectors, deterministic") {
     val assets = Multimodal.syntheticAssets(spark, 100).repartition(4)
     val feats = Multimodal.extractFeatures(assets, dim = 16, batchSize = 8)
