@@ -281,6 +281,8 @@ object SparkEntry
     "q242_grouping_sets" -> (q242GroupingSets _),
     "q243_range_frame" -> (q243RangeFrame _),
     "q244_pivot" -> (q244Pivot _),
+    "q245_event_paths" -> (q245EventPaths _),
+    "q246_event_transitions" -> (q246EventTransitions _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -478,6 +480,8 @@ object SparkEntry
     "q242_grouping_sets" -> q242Sql,
     "q243_range_frame" -> q243Sql,
     "q244_pivot" -> q244Sql,
+    "q245_event_paths" -> q245Sql,
+    "q246_event_transitions" -> q246Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -693,6 +693,76 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       |WHERE kind = 0 AND np IS NOT NULL AND np[1] - tn <= 3600000000000
       |ORDER BY view_id""".stripMargin
 
+  /** Top user journey prefixes: each user's first five events in
+    * (event-time, id) order folded into a `a>b>c` path string, the
+    * top-20 paths by frequency — the sequence-mining companion to
+    * q202's fixed funnel (the funnel asks "how many passed THIS
+    * gate-chain"; this asks "which chains actually happen"). The
+    * ordered fold is one sort_array over per-user collected structs —
+    * per-user state is ≤ the prefix length after the slice, and the
+    * path census is a tiny second aggregation. */
+  private[graft] def q245EventPaths(s: SparkSession, dir: String): DataFrame = {
+    val paths = eventsNs(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("ev"))
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(slice(sort_array(collect_list(col("ev"))), 1, 5),
+          e => e.getField("event_type")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(desc("n"), col("path")).limit(20)
+  }
+
+  private[graft] val q245Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type FROM events),
+      |r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY tn, event_id) AS rn
+      |  FROM e),
+      |p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n
+      |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  /** Event-type Markov transition matrix: for each consecutive
+    * event-type pair within a user's (event-time, id)-ordered stream,
+    * the transition count and row-normalized probability — the
+    * one-step behavioral model a journey simulator or anomaly detector
+    * reads (q245 gives the empirical prefixes; this gives the
+    * generator). Counts exact; each probability is ONE IEEE division
+    * of two BIGINTs. Plan: one per-user sort (lead), one pair
+    * aggregation, one 25-row window normalization. */
+  private[graft] def q246EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byCur = Window.partitionBy("cur")
+    eventsNs(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead("cur", 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(byCur).cast("double"), 4))
+      .orderBy("cur", "nxt")
+  }
+
+  private[graft] val q246Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type FROM events),
+      |s AS (
+      |  SELECT user_id, event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS nxt
+      |  FROM e),
+      |c AS (
+      |  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      |SELECT cur, nxt, n,
+      |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 4) AS p
+      |FROM c ORDER BY cur, nxt""".stripMargin
+
   private[graft] val q204Sql =
     """WITH u AS (
       |  SELECT user_id, epoch_ns(ts) AS tn, event_id, 0 AS kind
