@@ -283,6 +283,9 @@ object SparkEntry
     "q244_pivot" -> (q244Pivot _),
     "q245_event_paths" -> (q245EventPaths _),
     "q246_event_transitions" -> (q246EventTransitions _),
+    "q247_unpivot" -> (q247Unpivot _),
+    "q248_length_deciles" -> (q248LengthDeciles _),
+    "q249_exists_anti" -> (q249ExistsAnti _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -482,6 +485,9 @@ object SparkEntry
     "q244_pivot" -> q244Sql,
     "q245_event_paths" -> q245Sql,
     "q246_event_transitions" -> q246Sql,
+    "q247_unpivot" -> q247Sql,
+    "q248_length_deciles" -> q248Sql,
+    "q249_exists_anti" -> q249Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

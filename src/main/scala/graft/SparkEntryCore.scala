@@ -668,6 +668,96 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
       |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       |FROM events GROUP BY 1 ORDER BY decile""".stripMargin
 
+  /** UNPIVOT — q244's inverse reshape: the wide per-decile event-count
+    * table melted back to (decile, event_type, n) long form with the
+    * typed `Dataset.unpivot` API (ids/values stated explicitly — the
+    * melt is a per-row flatMap, no shuffle beyond q244's own). Wide →
+    * long is the canonical feed for generic per-metric pipelines;
+    * round-tripping through both reshapes under one oracle pins that
+    * neither direction drops or fabricates cells. */
+  private[graft] def q247Unpivot(s: SparkSession, dir: String): DataFrame =
+    q244Pivot(s, dir)
+      .unpivot(Array(col("decile")),
+        Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        "event_type", "n")
+      .orderBy("decile", "event_type")
+
+  private[graft] val q247Sql =
+    """WITH d AS (SELECT DISTINCT user_id % 10 AS decile FROM events),
+      |ty AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+      |c AS (
+      |  SELECT user_id % 10 AS decile, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT d.decile, ty.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |FROM d CROSS JOIN ty
+      |LEFT JOIN c ON c.decile = d.decile AND c.event_type = ty.event_type
+      |ORDER BY d.decile, ty.event_type""".stripMargin
+
+  /** NTILE decile table over document length: equal-count length bands
+    * with their boundaries and mass — the bucketing a curriculum
+    * sampler (q176) consumes upstream. NTILE's fill rule (earlier
+    * tiles take the remainder) is identical on both engines given the
+    * same TOTAL order, so the tie-break on (n_chars, doc_id) is the
+    * load-bearing detail. One global sort — deciles of a corpus-wide
+    * distribution are a driver-sized result, the one justified
+    * single-partition window in the tier (the q193 scope note
+    * applies: at 100 TB swap in the q113 percentile cutoffs). */
+  private[graft] def q248LengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("tile", ntile(10).over(w).cast("long"))
+      .groupBy("tile")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min("n_chars").cast("long").as("min_chars"),
+        max("n_chars").cast("long").as("max_chars"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("tile")
+  }
+
+  private[graft] val q248Sql =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS tile
+      |  FROM documents)
+      |SELECT CAST(tile AS BIGINT) AS tile,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM t GROUP BY tile ORDER BY tile""".stripMargin
+
+  /** Correlated-subquery gate (EXISTS / NOT EXISTS): customers holding
+    * at least one order but none above a total-price threshold — the
+    * "active but never high-value" segment. Catalyst rewrites the pair
+    * of correlated predicates into a semi-join plus an anti-join on the
+    * same key — both co-partitioned on custkey, no row ever duplicated
+    * (the subquery form states intent; the plan is the two-join shape
+    * you would hand-write). */
+  private[graft] def q249ExistsAnti(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("__q249_c")
+    t(s, dir, "orders").createOrReplaceTempView("__q249_o")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name
+        |FROM __q249_c c
+        |WHERE EXISTS (SELECT 1 FROM __q249_o o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM __q249_o o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 150000)
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  private[graft] val q249Sql =
+    """SELECT c.c_custkey, c.c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 150000)
+      |ORDER BY c.c_custkey""".stripMargin
+
   /** Near-dup detector overlap matrix: the pair sets MinHash-LSH
     * (q15's operating point) and SimHash (q42's) each find, and their
     * agreement — the method-selection capstone of the dedup tier
