@@ -286,6 +286,7 @@ object SparkEntry
     "q247_unpivot" -> (q247Unpivot _),
     "q248_length_deciles" -> (q248LengthDeciles _),
     "q249_exists_anti" -> (q249ExistsAnti _),
+    "q250_budget_waterfill" -> (q250BudgetWaterfill _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -488,6 +489,7 @@ object SparkEntry
     "q247_unpivot" -> q247Sql,
     "q248_length_deciles" -> q248Sql,
     "q249_exists_anti" -> q249Sql,
+    "q250_budget_waterfill" -> q250Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -2404,6 +2404,64 @@ private[graft] trait SparkEntryHygiene { this: SparkEntry.type =>
        |FROM s""".stripMargin
   }
 
+  /** Capped WATER-FILLING budget allocation across sources — the
+    * mixing-tier algorithm q181's α-power quotas don't express:
+    * allocate a document budget proportionally to per-source weights
+    * but never above a source's capacity, redistributing the excess of
+    * saturated sources to the rest (the classic water-fill). Closed
+    * form in ONE sorted pass: in ascending cap/w order a source
+    * saturates iff `cap·W_rem ≤ w·B_rem` with the remaining sums taken
+    * over the PREFIX (window cumsums) — INTEGER cross-multiplication,
+    * no λ division anywhere; unsaturated sources get
+    * `⌊w·B_left/W_unsat⌋` with the remainder apportioned to the first
+    * sources in name order. Every quantity is a BIGINT, so allocation
+    * is bit-exact on both engines and Σ alloc = min(budget, Σ cap) by
+    * construction. The source table is tiny — the windows are
+    * driver-sized; the expensive half (executing the quotas) is
+    * [[graft.operators.Sampling.drawQuotas]], already gated as q185. */
+  private[graft] def q250BudgetWaterfill(s: SparkSession, dir: String): DataFrame =
+    Sampling.waterfill(
+      t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).cast("long").as("cap"))
+        .withColumn("w", least(col("cap"), lit(2000L))),
+      budget = 3000L)
+      .orderBy("source")
+
+  private[graft] val q250Sql =
+    """WITH src AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS cap FROM documents GROUP BY 1),
+      |w1 AS (SELECT source, cap, least(cap, 2000) AS w FROM src),
+      |c AS (
+      |  SELECT source, cap, w,
+      |    coalesce(sum(cap) OVER (ORDER BY CAST(cap AS DOUBLE)/w, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap,
+      |    coalesce(sum(w) OVER (ORDER BY CAST(cap AS DOUBLE)/w, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw,
+      |    sum(cap) OVER () AS totcap, sum(w) OVER () AS totw
+      |  FROM w1),
+      |s2 AS (
+      |  SELECT *, least(3000, totcap) AS bb,
+      |    (least(3000, totcap) = totcap) OR
+      |      (cap * (totw - cumw) <= w * (least(3000, totcap) - cumcap)) AS sat
+      |  FROM c),
+      |s3 AS (
+      |  SELECT *,
+      |    sum(CASE WHEN sat THEN cap ELSE 0 END) OVER () AS satcap,
+      |    sum(CASE WHEN sat THEN 0 ELSE w END) OVER () AS wunsat
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT *,
+      |    CASE WHEN sat THEN cap ELSE (w * (bb - satcap)) // wunsat END AS base,
+      |    bb - satcap - sum(CASE WHEN sat THEN 0
+      |      ELSE (w * (bb - satcap)) // wunsat END) OVER () AS rfloor,
+      |    row_number() OVER (PARTITION BY sat ORDER BY source) AS rn
+      |  FROM s3)
+      |SELECT source, cap, w,
+      |  CAST(CASE WHEN sat THEN 1 ELSE 0 END AS BIGINT) AS saturated,
+      |  CAST(base + CASE WHEN NOT sat AND rn <= rfloor THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc
+      |FROM s4 ORDER BY source""".stripMargin
+
   /** Count-Min sketch frequency audit
     * ([[graft.operators.Sketches.cmSketch]] — the FREQUENCY sibling of
     * q217's KMV distinct-counter): a 4×4096-counter sketch built in one

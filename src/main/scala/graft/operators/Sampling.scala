@@ -242,6 +242,45 @@ object Sampling {
       j => conv(substring(md5(concat_ws(":", lit(salt), keyCol.cast("string"),
         j.cast("string"))), 1, 15), 16, 10).cast("long")))
 
+  /** Capped water-filling allocation over a (source, cap, w) table —
+    * see q250's docstring for the algorithm contract: single sorted
+    * pass, integer cross-multiplied saturation test, floor + name-order
+    * remainder apportionment; Σ alloc = min(budget, Σ cap). All
+    * BIGINT — bit-exact on any engine. The table is mixture-sized
+    * (driver-tiny); executing the resulting quotas is [[drawQuotas]]. */
+  def waterfill(src: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ratioOrd = Window
+      .orderBy((col("cap").cast("double") / col("w")).asc, col("source"))
+    val cum = ratioOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    src
+      .withColumn("cumcap", coalesce(sum("cap").over(cum), lit(0L)))
+      .withColumn("cumw", coalesce(sum("w").over(cum), lit(0L)))
+      .withColumn("totcap", sum("cap").over(all))
+      .withColumn("totw", sum("w").over(all))
+      .withColumn("bb", least(lit(budget), col("totcap")))
+      .withColumn("sat", col("bb") === col("totcap") ||
+        col("cap") * (col("totw") - col("cumw")) <=
+          col("w") * (col("bb") - col("cumcap")))
+      .withColumn("satcap",
+        sum(when(col("sat"), col("cap")).otherwise(0L)).over(all))
+      .withColumn("wunsat",
+        sum(when(col("sat"), 0L).otherwise(col("w"))).over(all))
+      .withColumn("base", when(col("sat"), col("cap"))
+        .otherwise(expr("(w * (bb - satcap)) div wunsat")))
+      .withColumn("rfloor", col("bb") - col("satcap") -
+        sum(when(col("sat"), 0L).otherwise(
+          expr("(w * (bb - satcap)) div wunsat"))).over(all))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("sat").orderBy("source")))
+      .select(col("source"), col("cap"), col("w"),
+        col("sat").cast("long").as("saturated"),
+        (col("base") + when(!col("sat") && col("rn") <= col("rfloor"), 1L)
+          .otherwise(0L)).cast("long").as("alloc"))
+  }
+
   def assignSplit(df: DataFrame, splits: Seq[(String, Double)],
                   keyCol: String = "doc_id",
                   salt: String = "split"): DataFrame = {

@@ -256,6 +256,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(s20.toSet.subsetOf(s40))
   }
 
+  test("waterfill: saturation, exact budget, remainder order, capacity clamp") {
+    import org.apache.spark.sql.functions._
+    // skewed fixture: heavy-weight tiny-cap source saturates, the big
+    // three split the freed budget
+    val src = Seq(("a", 5L, 100L), ("b", 500L, 100L), ("c", 500L, 100L),
+      ("d", 500L, 100L)).toDF("source", "cap", "w")
+    val got = Sampling.waterfill(src, budget = 300L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // 'a': cap/w = 0.05 << lambda -> saturates at 5; remaining 295 over
+    // w=300: floors 98 each (sum 294), remainder 1 -> 'b' (name order)
+    assert(got("a") == ((1L, 5L)))
+    assert(got("b") == ((0L, 99L)))
+    assert(got("c") == ((0L, 98L)) && got("d") == ((0L, 98L)))
+    assert(got.values.map(_._2).sum == 300L) // exact budget
+    // budget above capacity: everyone saturates at cap
+    val all = Sampling.waterfill(src, budget = 99999L)
+      .collect().map(r => (r.getLong(3), r.getLong(1), r.getLong(4)))
+    assert(all.forall { case (sat, cap, alloc) => sat == 1L && alloc == cap })
+  }
+
   test("esTicket: weight-1 is the bare hash, tickets shrink monotonically in weight") {
     import org.apache.spark.sql.functions._
     val df = (1L to 100L).toDF("k")
