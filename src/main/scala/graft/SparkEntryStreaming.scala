@@ -470,7 +470,9 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
           .option("checkpointLocation", s"$stage/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start())
-      q.awaitTermination()
+      // a failing query must still be stopped before the staged dir it
+      // reads is deleted (the q195 discipline)
+      try q.awaitTermination() finally q.stop()
       // serving-side merge: cell-wise sum over every batch partial
       val sketch = s.read.parquet(skDir)
         .groupBy("r", "c").agg(sum("v").cast("long").as("v"))

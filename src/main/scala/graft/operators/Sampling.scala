@@ -247,7 +247,10 @@ object Sampling {
     * pass, integer cross-multiplied saturation test, floor + name-order
     * remainder apportionment; Σ alloc = min(budget, Σ cap). All
     * BIGINT — bit-exact on any engine. The table is mixture-sized
-    * (driver-tiny); executing the resulting quotas is [[drawQuotas]]. */
+    * (driver-tiny — the unpartitioned windows are deliberate);
+    * executing the resulting quotas is [[drawQuotas]]. Requires
+    * `cap ≥ 1` and `w ≥ 1` per row (ANSI division; a zero weight has
+    * no water-fill meaning — drop such sources first). */
   def waterfill(src: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ratioOrd = Window
