@@ -396,11 +396,23 @@ object Dedup {
     // (AQE-coalescible) ENSURE_REQUIREMENTS exchange — silently back to
     // 2 tasks (bit in-round; the plan must show a REPARTITION_BY_COL
     // exchange or the fan-out didn't happen)
+    // broadcast is GATED on the optimizer's size estimate of the array
+    // frame vs the session broadcast threshold: an unconditional hint
+    // would override autoBroadcastJoinThreshold and attempt to ship the
+    // full corpus to every executor at 100 TB (driver OOM). Below the
+    // threshold (gate scale) the hint stands — the estimate comes from
+    // the parquet scan, which UNDERcounts the shingle-array expansion,
+    // so threshold-crossing corpora fall back to the shuffle join a
+    // touch late but never catastrophically (arrays are ~4× the text).
+    val arrBytes = baseArr.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bcastOk = arrBytes <= BigInt(
+      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    def maybeBcast(d: DataFrame): DataFrame = if (bcastOk) broadcast(d) else d
     cands.repartition(cands.sparkSession.sessionState.conf.numShufflePartitions,
         col("id_a"))
-      .join(broadcast(baseArr.select(col("id").as("id_a"), col("shs").as("sh_a"),
+      .join(maybeBcast(baseArr.select(col("id").as("id_a"), col("shs").as("sh_a"),
         col("sz").as("n_a"))), Seq("id_a"))
-      .join(broadcast(baseArr.select(col("id").as("id_b"), col("shs").as("sh_b"),
+      .join(maybeBcast(baseArr.select(col("id").as("id_b"), col("shs").as("sh_b"),
         col("sz").as("n_b"))), Seq("id_b"))
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))

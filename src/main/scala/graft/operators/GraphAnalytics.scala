@@ -105,11 +105,16 @@ object GraphAnalytics {
     * to leaves, the usual k-NN shape; positive = rich-club). Because
     * the edge list is symmetrized, the two endpoint-degree marginals
     * are IDENTICAL, so r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — degrees
-    * and all four sums are exact BIGINTs and the result is ONE IEEE
-    * division (no sqrt), bit-equal on any engine/partitioning. Zero
-    * variance (a regular graph) reports 0.0. At true 100 TB edge
-    * counts the BIGINT products approach 2⁶³ — the production form
-    * promotes the sums to DECIMAL(38,0); at gate scale longs are exact.
+    * are exact BIGINTs, the sums and their products are carried in
+    * DECIMAL(38,0) (exact integer arithmetic, associative, any
+    * partitioning), and the result is ONE IEEE division (no sqrt),
+    * bit-equal on any engine. The DECIMAL promotion is load-bearing at
+    * scale: over ~10¹¹ directed edges with hub degrees ~10⁴,
+    * M·Σ(da·db) ≈ 10³⁰ — a BIGINT product wraps (ANSI off) or aborts
+    * (ANSI on) near 2⁶³, while DECIMAL(38,0) holds to 10³⁸
+    * (GraphAnalyticsSpec pins a graph whose products exceed
+    * Long.MaxValue and the q237 affinity sums use the same
+    * discipline). Zero variance (a regular graph) reports 0.0.
     * Plan: one degree aggregation + two broadcast-or-shuffle joins on
     * the edge key + one global fold. */
   def assortativity(g: DataFrame): DataFrame = {
@@ -119,19 +124,21 @@ object GraphAnalytics {
         .select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val deg = und.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    val dec = "decimal(38,0)"
     val sums = und
       .join(deg.select(col("src"), col("deg").as("da")), Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("db")), Seq("dst"))
       .agg(count(lit(1)).cast("long").as("m"),
-        sum(col("da")).cast("long").as("sx"),
-        sum(col("da") * col("da")).cast("long").as("sxx"),
-        sum(col("da") * col("db")).cast("long").as("sxy"))
+        sum(col("da").cast(dec)).cast(dec).as("sx"),
+        sum(col("da").cast(dec) * col("da").cast(dec)).cast(dec).as("sxx"),
+        sum(col("da").cast(dec) * col("db").cast(dec)).cast(dec).as("sxy"))
+    val mD = col("m").cast(dec)
     sums.select(
       expr("m div 2").as("n_edges"),
       col("m"),
-      when(col("m") * col("sxx") - col("sx") * col("sx") > 0,
-        (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
-          (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      when(mD * col("sxx") - col("sx") * col("sx") > 0,
+        (mD * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (mD * col("sxx") - col("sx") * col("sx")).cast("double"))
         .otherwise(lit(0.0)).as("r"))
       .select(col("n_edges"), col("m").as("n_directed"),
         round(col("r"), 6).as("assortativity"))

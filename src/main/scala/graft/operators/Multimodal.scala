@@ -226,6 +226,10 @@ object Multimodal {
       decode(payload).map { case (_, _, samples) => energyHashOf(samples, nWin) }
 
     def energyHashOf(samples: Array[Short], nWin: Int): Long = {
+      // mirrors winnowFingerprints' loud-failure stance: nWin > 64 would
+      // make `1L << (63 - i)` a negative shift, which the JVM masks
+      // mod 64 — silently aliasing window bits onto wrong positions
+      require(nWin >= 1 && nWin <= 64, s"nWin must be in [1, 64]: $nWin")
       if (samples.isEmpty) return 0L
       val e = new Array[Double](nWin)
       var w = 0

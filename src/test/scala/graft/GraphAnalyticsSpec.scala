@@ -65,6 +65,35 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(rCyc.getDouble(2) == 0.0) // all degrees equal: zero variance → 0
   }
 
+  test("assortativity survives sums whose BIGINT products would wrap past 2^63") {
+    // K_n plus one pendant leaf on node 0, n chosen so the denominator's
+    // M·Σx² product exceeds Long.MaxValue: with longs this aborts (ANSI)
+    // or wraps (ANSI off); the DECIMAL(38,0) form must return the exact
+    // closed-form r. Degrees: node 0 = n, clique nodes = n−1, leaf = 1.
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = 1500L
+    val r = spark.range(n)
+    val clique = r.select(col("id").as("src"))
+      .crossJoin(r.select(col("id").as("dst")))
+      .filter(col("src") < col("dst"))
+    val edges = clique.unionAll(
+      spark.range(1).select(lit(0L).as("src"), lit(n).as("dst")))
+    val row = GraphAnalytics.assortativity(edges).collect().head
+    // closed-form sums over DIRECTED edges, exact in BigInt
+    val N = BigInt(n)
+    val m = N * (N - 1) + 2
+    val sx = N * N + (N - 1).pow(3) + 1              // Σ deg(src)^2 over nodes
+    val sxx = N.pow(3) + (N - 1).pow(4) + 1          // Σ deg(src)^3
+    val sxy = 2 * ((N - 1) * N * (N - 1) +
+      (N - 1) * (N - 2) / 2 * (N - 1) * (N - 1) + N) // 2·Σ_undirected da·db
+    assert(m * sxx > BigInt(Long.MaxValue),
+      "fixture too small: the BIGINT product would not have wrapped")
+    val expected = (m * sxy - sx * sx).toDouble / (m * sxx - sx * sx).toDouble
+    assert(row.getLong(0) == (m / 2).toLong && row.getLong(1) == m.toLong)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-6,
+      s"got ${row.getDouble(2)}, expected ~$expected")
+  }
+
   test("twoHopBallSizes: path graph balls are exact, self excluded, islands separate") {
     // Path 1-2-3-4-5: ball(1)={2,3}, ball(2)={1,3,4}, ball(3)={1,2,4,5};
     // isolated pair 10-11: ball=1 each
