@@ -1063,6 +1063,19 @@ object OracleSqlGen {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** q252's oracle: per-tree leaf-occupancy stats over the full routed
+    * assignment — `imbalance` is max·2^depth / n as ONE double division
+    * of exact integers (both engines divide the same two values). */
+  def rpfOccupancySql(splits: Seq[(Int, Int, Array[Double], Double)],
+                      depth: Int): String =
+    s"""WITH ${rpfCtes(splits, depth)},
+       |occ AS (SELECT tree, leaf, count(*) AS n FROM __rleaves GROUP BY 1, 2)
+       |SELECT CAST(tree AS BIGINT) AS tree, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_leaves,
+       |  CAST(max(n) AS BIGINT) AS max_leaf, CAST(min(n) AS BIGINT) AS min_leaf,
+       |  round(max(n) * ${1 << depth}.0 / sum(n), 4) AS imbalance
+       |FROM occ GROUP BY tree ORDER BY tree""".stripMargin
+
   /** Shared KMV-sketch CTE chain over the documents table (q217/q218):
     * per-doc distinct 3-gram shingles (the q15 idiom), per-source
     * distinct 60-bit hash points (`'0x'+md5-prefix` cast ≡ Spark's

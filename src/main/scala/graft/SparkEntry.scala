@@ -287,6 +287,8 @@ object SparkEntry
     "q248_length_deciles" -> (q248LengthDeciles _),
     "q249_exists_anti" -> (q249ExistsAnti _),
     "q250_budget_waterfill" -> (q250BudgetWaterfill _),
+    "q251_rpf_append_search" -> (q251RpfAppendSearch _),
+    "q252_rpf_occupancy" -> (q252RpfOccupancy _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -514,7 +516,7 @@ object SparkEntry
     ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ cvOracleSqls ++ rqOracleSqls ++
     bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls ++
     nlistSweepOracleSqls ++ lloydIvfOracleSqls ++ churnOracleSqls ++
-    rpfOracleSqls ++ vocabGrowthOracleSqls
+    rpfOracleSqls ++ rpfAppendOracleSqls ++ vocabGrowthOracleSqls
 
   /** q232's oracle needs the dataset's max doc_id for its bucket rule —
     * dataset-derived like the quantizer oracles, same gated lifecycle. */
@@ -999,7 +1001,28 @@ object SparkEntry
         "q219_rpf_search" -> OracleSqlGen.rpfSearchSql(splits, f.depth,
           qLeaves0, k = 10, qVecId = 0L),
         "q220_rpf_recall" -> OracleSqlGen.rpfRecallSql(splits, f.depth,
-          qLeavesAll, k = 5, nq = 8))
+          qLeavesAll, k = 5, nq = 8),
+        "q252_rpf_occupancy" -> OracleSqlGen.rpfOccupancySql(splits, f.depth))
+    }).getOrElse(Map.empty)
+
+  /** q251's oracle — generated from the APPEND-grown forest's artifact
+    * ([[rpfAppendCorpus]]): routes the FULL corpus through the
+    * base-trained heap, which is what append ≡ rebuild-route makes the
+    * grown store equal to. Same gated lifecycle as [[rpfOracleSqls]]. */
+  private[graft] def rpfAppendOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      fpath = java.nio.file.Paths.get(s"${rpfAppendCachePath(s, dir)}/forest.txt")
+      if java.nio.file.Files.exists(fpath)
+    } yield {
+      val f = RpForest.load(s, fpath.toString)
+      val splits = for (tr <- 0 until f.trees; node <- 1 to (1 << f.depth) - 1)
+        yield (tr, node, f.planes(tr)(node - 1), f.thetas(tr)(node - 1))
+      val q0 = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      Map("q251_rpf_append_search" -> OracleSqlGen.rpfSearchSql(splits,
+        f.depth, RpForest.routeQuery(f, q0), k = 10, qVecId = 0L))
     }).getOrElse(Map.empty)
 
   private[graft] def ivfOracleSqls: Map[String, String] =

@@ -93,6 +93,93 @@ class RpForestSpec extends AnyFunSuite {
       s"expected non-empty partition filters in:\n$scan")
   }
 
+  test("append == rebuild-route, touches only affected leaf files, rejects dup ids") {
+    val all = corpus(400)
+    val base = all.filter(col("doc_id") < 300)
+    val delta = all.filter(col("doc_id") >= 300)
+    val f = RpForest.train(base, trees = 2, depth = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-rpf-app").toString + "/store"
+    RpForest.assign(base, f)
+      .write.mode("overwrite").partitionBy("tree", "leaf").parquet(path)
+    // snapshot the base store's data files before the append
+    def dataFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before = dataFiles()
+    val n = RpForest.append(path, f, delta)
+    assert(n == 100L)
+    // 1) existing leaf files are untouched (affected-partition APPEND,
+    //    never a rewrite)
+    val after = dataFiles()
+    for ((file, mtime) <- before)
+      assert(after(file) == mtime, s"base file rewritten: $file")
+    assert(after.size > before.size) // the delta landed as new files
+    // 2) grown store ≡ assign over the union corpus, row for row
+    val grown = spark.read.parquet(path)
+      .select("doc_id", "tree", "leaf").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val rebuilt = RpForest.assign(all, f)
+      .select("doc_id", "tree", "leaf").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(grown == rebuilt)
+    // 3) duplicate ids are rejected loudly, store unchanged
+    val ex = intercept[IllegalArgumentException] {
+      RpForest.append(path, f, all.filter(col("doc_id") === 5L))
+    }
+    assert(ex.getMessage.contains("already present"))
+    assert(spark.read.parquet(path).count() == grown.size.toLong)
+  }
+
+  test("leafStats/needsRetrain: balanced store is quiet, skewed growth trips the policy") {
+    val base = corpus(400)
+    val f = RpForest.train(base, trees = 2, depth = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-rpf-stats").toString + "/store"
+    RpForest.assign(base, f)
+      .write.mode("overwrite").partitionBy("tree", "leaf").parquet(path)
+    val store = spark.read.parquet(path)
+    val stats = RpForest.leafStats(store, f).collect()
+    assert(stats.length == 2) // one row per tree
+    for (r <- stats) {
+      assert(r.getLong(1) == 400L)           // n_rows
+      assert(r.getLong(2) <= 8L)             // n_leaves ≤ 2^depth (empty absent)
+      assert(r.getDouble(5) >= 1.0)          // imbalance ≥ 1 by construction
+    }
+    // the natural imbalance of a midpoint-split RP tree is corpus-shaped
+    // (pole midpoints are not medians), so the policy threshold is
+    // derived from the trained store's own level, not a magic number —
+    // exactly how a production deployment would calibrate it
+    val natural = stats.map(_.getDouble(5)).max
+    val threshold = natural * 1.5
+    assert(!RpForest.needsRetrain(store, f, maxImbalance = threshold))
+    // skewed growth: 600 copies of doc 7's vector all route to one leaf
+    // per tree — imbalance blows past any calibrated threshold
+    import spark.implicits._
+    val v7 = base.filter(col("doc_id") === 7L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val skew = (1000L until 1600L).map(id => (id, v7)).toDF("doc_id", "embedding")
+    RpForest.append(path, f, skew)
+    val grownStore = spark.read.parquet(path)
+    assert(RpForest.needsRetrain(grownStore, f, maxImbalance = threshold))
+    // the policy's answer: retrain on the grown corpus rebalances
+    val grownCorpus = base.unionByName(skew)
+    val f2 = RpForest.train(grownCorpus, trees = 2, depth = 3)
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft-rpf-stats2").toString + "/store"
+    RpForest.assign(grownCorpus, f2)
+      .write.mode("overwrite").partitionBy("tree", "leaf").parquet(path2)
+    val rebal = RpForest.leafStats(spark.read.parquet(path2), f2)
+      .agg(max("imbalance")).head.getDouble(0)
+    val skewed = RpForest.leafStats(grownStore, f)
+      .agg(max("imbalance")).head.getDouble(0)
+    assert(rebal < skewed)
+  }
+
   test("forest artifact round-trips through save/load") {
     val c = corpus(150)
     val f = RpForest.train(c, trees = 2, depth = 3)
