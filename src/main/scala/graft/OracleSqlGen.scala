@@ -2810,6 +2810,97 @@ object OracleSqlGen {
     e
   }
 
+  /** Shared unigram-Viterbi CTE chain (q254/q255): every distinct word
+    * of the `tf` CTE segmented under the persisted piece table by the
+    * EXACT DP the `unigram_encode` kernel runs — a recursive CTE grows
+    * per-word dp/backpointer LISTS position by position (`dp[i] = max
+    * over the window of dp[j] + lp(substr)`, candidate window
+    * [max(0, i−maxLen), i), first-position-of-max ≡ smallest-j ties,
+    * UNK floor for absent single chars, −∞ for absent longer
+    * substrings), then a second recursive CTE walks the backpointers
+    * into the piece sequence. Each candidate is ONE double addition of
+    * artifact-literal doubles — bit-equal to the kernel on both
+    * engines. Ends at `useg(token, cnt, pieces)`. */
+  private def unigramViterbiCtes(
+      pieces: Seq[(String, Double)], unkLogp: Double, maxLen: Int): String = {
+    def esc(x: String) = x.replace("'", "''")
+    val keys = pieces.map(p => s"'${esc(p._1)}'").mkString(", ")
+    val vals = pieces.map(_._2).mkString(", ")
+    s"""vm AS (SELECT MAP([$keys], CAST([$vals] AS DOUBLE[])) AS m),
+       |urec AS (
+       |  WITH RECURSIVE r(token, cnt, i, dp, bp, m) AS (
+       |    SELECT token, cnt, 0, CAST([0.0] AS DOUBLE[]),
+       |      CAST([] AS INTEGER[]), m
+       |    FROM tf, vm
+       |    UNION ALL
+       |    SELECT token, cnt, i + 1, list_append(dp, list_max(cand)),
+       |      list_append(bp, greatest(0, i + 1 - $maxLen)
+       |        + list_position(cand, list_max(cand)) - 1), m
+       |    FROM (
+       |      SELECT token, cnt, i, dp, bp, m,
+       |        list_transform(range(greatest(0, i + 1 - $maxLen), i + 1), j ->
+       |          dp[j + 1] + coalesce(m[substr(token, j + 1, i + 1 - j)][1],
+       |            CASE WHEN i + 1 - j = 1 THEN CAST($unkLogp AS DOUBLE)
+       |                 ELSE '-infinity'::DOUBLE END)) AS cand
+       |      FROM r WHERE i < len(token)))
+       |  SELECT token, cnt, bp FROM r WHERE i = len(token)),
+       |useg AS (
+       |  WITH RECURSIVE w(token, cnt, i, ps, bp) AS (
+       |    SELECT token, cnt, len(token), CAST([] AS VARCHAR[]), bp FROM urec
+       |    UNION ALL
+       |    SELECT token, cnt, bp[i],
+       |      list_append(ps, substr(token, bp[i] + 1, i - bp[i])), bp
+       |    FROM w WHERE i > 0)
+       |  SELECT token, cnt, ps AS pieces FROM w WHERE i = 0)""".stripMargin
+  }
+
+  /** q254's oracle: corpus piece frequencies under the trained unigram
+    * LM — the q118 shape with [[unigramViterbiCtes]] replacing the
+    * merge fold. */
+  def unigramEncodeSql(pieces: Seq[(String, Double)], unkLogp: Double,
+                       maxLen: Int, topK: Int): String = {
+    val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM toks GROUP BY 1),
+      |${unigramViterbiCtes(pieces, unkLogp, maxLen)},
+      |enc AS (SELECT cnt, unnest(pieces) AS piece FROM useg)
+      |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+      |FROM enc GROUP BY 1
+      |ORDER BY n_occurrences DESC, piece LIMIT $topK""".stripMargin
+  }
+
+  /** q255's oracle: BPE-vs-unigram corpus fertility — the BPE merge
+    * fold and the unigram Viterbi replay over ONE shared word table,
+    * rolled into the two dataset-card rows. */
+  def tokenizerCompareSql(merges: Seq[(String, String)],
+                          pieces: Seq[(String, Double)], unkLogp: Double,
+                          maxLen: Int): String = {
+    val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+    val e = bpeFoldExpr("token", merges)
+    s"""WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM toks GROUP BY 1),
+      |${unigramViterbiCtes(pieces, unkLogp, maxLen)},
+      |b AS (SELECT tf.cnt, CAST(len($e) AS BIGINT) AS nb,
+      |        CAST(len(u.pieces) AS BIGINT) AS nu
+      |      FROM tf JOIN useg u USING (token)),
+      |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+      |        CAST(sum(cnt * nb) AS BIGINT) AS bpe_tokens,
+      |        CAST(sum(cnt * nu) AS BIGINT) AS uni_tokens
+      |      FROM b)
+      |SELECT 'bpe' AS tokenizer, n_words, bpe_tokens AS n_tokens,
+      |  round(CAST(bpe_tokens AS DOUBLE) / n_words, 4) AS fertility FROM s
+      |UNION ALL
+      |SELECT 'unigram' AS tokenizer, n_words, uni_tokens AS n_tokens,
+      |  round(CAST(uni_tokens AS DOUBLE) / n_words, 4) AS fertility FROM s
+      |ORDER BY tokenizer""".stripMargin
+  }
+
   /** q118's oracle: corpus token frequencies under a trained BPE merge
     * list (the `bpe_encode` kernel's contract, generated from the
     * persisted merges artifact) — full distinct-word table, every word

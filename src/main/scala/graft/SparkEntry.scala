@@ -289,6 +289,9 @@ object SparkEntry
     "q250_budget_waterfill" -> (q250BudgetWaterfill _),
     "q251_rpf_append_search" -> (q251RpfAppendSearch _),
     "q252_rpf_occupancy" -> (q252RpfOccupancy _),
+    "q253_unigram_seed" -> (q253UnigramSeed _),
+    "q254_unigram_encode" -> (q254UnigramEncode _),
+    "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
     "q85_range_search" -> (q85RangeSearch _),
     "q86_pca_search" -> (q86PcaSearch _),
@@ -492,6 +495,7 @@ object SparkEntry
     "q248_length_deciles" -> q248Sql,
     "q249_exists_anti" -> q249Sql,
     "q250_budget_waterfill" -> q250Sql,
+    "q253_unigram_seed" -> q253Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
@@ -516,7 +520,8 @@ object SparkEntry
     ivfSqOracleSqls ++ ivfSq4OracleSqls ++ qcOracleSqls ++ cvOracleSqls ++ rqOracleSqls ++
     bpeOracleSqls ++ itqOracleSqls ++ ivfPqrOracleSqls ++
     nlistSweepOracleSqls ++ lloydIvfOracleSqls ++ churnOracleSqls ++
-    rpfOracleSqls ++ rpfAppendOracleSqls ++ vocabGrowthOracleSqls
+    rpfOracleSqls ++ rpfAppendOracleSqls ++ unigramOracleSqls ++
+    vocabGrowthOracleSqls
 
   /** q232's oracle needs the dataset's max doc_id for its bucket rule —
     * dataset-derived like the quantizer oracles, same gated lifecycle. */
@@ -618,6 +623,29 @@ object SparkEntry
         merges.map(m => (m.lhs, m.rhs)), budget = 2000),
       "q138_tokenizer_fertility" -> OracleSqlGen.tokenizerFertilitySql(
         merges.map(m => (m.lhs, m.rhs))))).getOrElse(Map.empty)
+
+  /** Unigram-LM oracles, generated from the piece table q254's run just
+    * persisted (plus the BPE merges for the q255 comparison) — same
+    * lifecycle as [[bpeOracleSqls]]. */
+  private[graft] def unigramOracleSqls: Map[String, String] =
+    (for {
+      dir <- oracleSfDir
+      s <- SparkSession.getActiveSession
+      upath = java.nio.file.Paths.get(s"${unigramCachePath(s, dir)}/model.txt")
+      if java.nio.file.Files.exists(upath)
+      bpath = java.nio.file.Paths.get(s"${bpeCachePath(s, dir)}/merges.txt")
+      if java.nio.file.Files.exists(bpath)
+      model = TextAnalysis.loadUnigram(upath.toString)
+      merges = TextAnalysis.loadBpe(bpath.toString)
+      if model.pieces.nonEmpty && merges.nonEmpty
+    } yield {
+      val ps = model.pieces.map(p => (p.piece, p.logp))
+      Map(
+        "q254_unigram_encode" -> OracleSqlGen.unigramEncodeSql(
+          ps, model.unkLogp, model.maxLen, topK = 40),
+        "q255_tokenizer_compare" -> OracleSqlGen.tokenizerCompareSql(
+          merges.map(m => (m.lhs, m.rhs)), ps, model.unkLogp, model.maxLen))
+    }).getOrElse(Map.empty)
 
   /** Quality-classifier oracle, generated from the coefficients q94's
     * run just persisted — same lifecycle as [[pqOracleSqls]]. */

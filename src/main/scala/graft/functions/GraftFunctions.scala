@@ -101,6 +101,9 @@ object GraftFunctions {
       "bpe_encode",
       exprs => BpeEncodeExpression(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "unigram_encode",
+      exprs => UnigramEncodeExpression(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "decode_num_refs", exprs => DecodeNumRefs(exprs.head), "built-in")
     // Mark AFTER the registrations: marking first would let a concurrent
     // caller observe the key and return before the functions exist. Two
@@ -166,6 +169,15 @@ object GraftFunctions {
     call_function("bpe_encode", word,
       org.apache.spark.sql.functions.typedlit(merges.map(_._1)),
       org.apache.spark.sql.functions.typedlit(merges.map(_._2)))
+
+  /** Viterbi-encode one pre-token under a trained unigram LM; the
+    * vocabulary rides as (piece, logp) literal arrays with the UNK
+    * floor at slot 0 (empty-string piece). */
+  def unigramEncode(word: Column, pieces: Seq[(String, Double)],
+                    unkLogp: Double): Column =
+    call_function("unigram_encode", word,
+      org.apache.spark.sql.functions.typedlit("" +: pieces.map(_._1)),
+      org.apache.spark.sql.functions.typedlit(unkLogp +: pieces.map(_._2)))
 
   /** Unicode NFC normalization of a string column. */
   def nfc(text: Column): Column = call_function("nfc", text)

@@ -364,6 +364,215 @@ object TextAnalysis {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-family) tokenizer — Kudo 2018, "Subword
+  // Regularization: Improving Neural Network Translation Models with
+  // Multiple Subword Candidates" (arXiv:1804.10959), re-derived for
+  // cross-engine determinism: hard (Viterbi) EM replaces the paper's
+  // soft EM + loss-ranked pruning, so every step is an exact integer
+  // count or one IEEE ln/add — run-to-run and partition-invariant,
+  // and the encode sits under the DuckDB oracle as a recursive-CTE
+  // Viterbi replay.
+  // -------------------------------------------------------------------
+
+  final case class UnigramPiece(piece: String, logp: Double)
+
+  /** Trained unigram model: pieces (sorted asc) with ML log-probs, the
+    * UNK floor for out-of-alphabet codepoints, and the longest piece
+    * length (the DP window). */
+  final case class UnigramModel(pieces: Seq[UnigramPiece], unkLogp: Double) {
+    def maxLen: Int =
+      if (pieces.isEmpty) 1
+      else pieces.map(p => p.piece.codePointCount(0, p.piece.length)).max
+  }
+
+  /** Weighted substring-candidate counts over the capped word-frequency
+    * table — the seed statistic of [[trainUnigram]] (its "iteration 0",
+    * the [[bpePairCounts]] analog) and a gated query in its own right:
+    * each substring of length ∈ [minLen, maxLen] of each capped word,
+    * weighted by the word's corpus count. The corpus contributes ONE
+    * scan (the shared `token_tf` word-frequency aggregation); the
+    * substring explode runs over ≤ maxWords rows. */
+  def unigramSeedCounts(docs: DataFrame, maxWords: Int, minLen: Int,
+                        maxLen: Int, topK: Int,
+                        textCol: String = "text"): DataFrame = {
+    val vocab = wordFrequencies(docs, maxWords, textCol)
+    vocab
+      .select(col("cnt"),
+        explode(flatten(transform(sequence(lit(1), length(col("token"))), st =>
+          transform(sequence(lit(minLen), lit(maxLen)), l =>
+            when(st + l - lit(1) <= length(col("token")),
+              col("token").substr(st, l)))))).as("piece"))
+      .filter(col("piece").isNotNull)
+      .groupBy("piece").agg(sum("cnt").cast("long").as("n"))
+      .orderBy(desc("n"), col("piece")).limit(topK)
+  }
+
+  /** Unigram-LM tokenizer training — hard-EM over the capped
+    * word-frequency table (the [[trainBpe]] loop discipline: the corpus
+    * contributes exactly ONE scan, everything after runs driver-side on
+    * ≤ maxWords rows, which is why every production subword trainer
+    * works on word frequencies, never the token stream):
+    *
+    *  1. SEED: the alphabet (every codepoint of the capped words — the
+    *     char-fallback floor that keeps any word segmentable) plus the
+    *     `seedCandidates` highest-count substrings of length
+    *     [seedMinLen, seedMaxLen] (ties → piece asc) — the
+    *     [[unigramSeedCounts]] rule, recomputed driver-side
+    *     (UnigramSpec pins the two equal).
+    *  2. EM rounds: E-step Viterbi-segments every capped word under the
+    *     current model ([[graft.functions.UnigramEncodeExpression
+    *     .viterbi]] — the SAME DP the encode kernel runs, so train and
+    *     encode share one segmentation definition, the
+    *     `applyMergePass` stance) and accumulates piece counts weighted
+    *     by word frequency; the M-step re-estimates `p = count/total`
+    *     and PRUNES to the alphabet + the top `vocabSize − |alphabet|`
+    *     multi-codepoint pieces by (count desc, piece asc). Alphabet
+    *     pieces carry +1 smoothing so the fallback never dies.
+    *  3. UNK floor = ln(1/(Σ word counts + 1)) — the q70 OOV idiom,
+    *     fixed from the word table.
+    *
+    * Exactness: counts are exact longs under any partitioning (the one
+    * corpus aggregation is a sum); each logp is ONE IEEE ln of one IEEE
+    * division; the Viterbi adds one double per candidate — no
+    * accumulation-order sensitivity anywhere. */
+  def trainUnigram(docs: DataFrame, vocabSize: Int, maxWords: Int = 1000,
+                   seedMinLen: Int = 2, seedMaxLen: Int = 4,
+                   seedCandidates: Int = 200, emRounds: Int = 3,
+                   textCol: String = "text"): UnigramModel = {
+    import graft.functions.UnigramEncodeExpression.{codepoints, viterbi}
+    val words = wordFrequencies(docs, maxWords, textCol)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totalW = words.map(_._2).sum
+    val unkLogp = math.log(1.0 / (totalW.toDouble + 1.0))
+    val alphabet = words.flatMap(w => codepoints(w._1)).distinct.sorted
+    require(vocabSize > alphabet.length,
+      s"vocabSize $vocabSize must exceed the alphabet (${alphabet.length})")
+
+    // seed counts: chars (always kept) + capped multi-codepoint pieces
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, c) <- words) {
+      val cps = codepoints(w)
+      for (st <- cps.indices; l <- 1 to seedMaxLen
+           if l == 1 || l >= seedMinLen; if st + l <= cps.length)
+        sub.updateWith(cps.slice(st, st + l).mkString)(v =>
+          Some(v.getOrElse(0L) + c))
+    }
+    val seedMulti = sub.toSeq
+      .filter { case (p, _) => p.codePointCount(0, p.length) >= seedMinLen }
+      .sortBy { case (p, n) => (-n, p) }.take(seedCandidates).map(_._1)
+
+    def estimate(counts: Map[String, Long]): Seq[UnigramPiece] = {
+      // prune: alphabet + top multi-codepoint pieces, then normalize
+      val alphaKept = alphabet.map(a => (a, counts.getOrElse(a, 0L) + 1L))
+      val multiKept = counts.toSeq
+        .filter { case (p, n) =>
+          n > 0 && p.codePointCount(0, p.length) >= 2 }
+        .sortBy { case (p, n) => (-n, p) }
+        .take(vocabSize - alphabet.length)
+      val kept = alphaKept ++ multiKept
+      val tot = kept.map(_._2).sum.toDouble
+      kept.map { case (p, n) => UnigramPiece(p, math.log(n.toDouble / tot)) }
+        .sortBy(_.piece).toIndexedSeq
+    }
+
+    var model = UnigramModel(
+      estimate((alphabet.map(a => (a, sub.getOrElse(a, 0L))) ++
+        seedMulti.map(p => (p, sub(p)))).toMap), unkLogp)
+    for (_ <- 1 to emRounds) {
+      val vm = new java.util.HashMap[String, java.lang.Double]()
+      model.pieces.foreach(p => vm.put(p.piece, p.logp))
+      val ml = model.maxLen
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words; p <- viterbi(codepoints(w), vm, unkLogp, ml))
+        counts.updateWith(p)(v => Some(v.getOrElse(0L) + c))
+      model = UnigramModel(estimate(counts.toMap), unkLogp)
+    }
+    model
+  }
+
+  /** Corpus piece frequencies UNDER a trained unigram LM — the
+    * [[bpeTokenCounts]] analog: ONE corpus exchange (the `token_tf`
+    * word-frequency table), the `unigram_encode` kernel over the
+    * distinct-word table only, a (piece, count) aggregation bounded by
+    * vocabulary. */
+  def unigramTokenCounts(docs: DataFrame, model: UnigramModel, topK: Int,
+                         textCol: String = "text"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val words = docs
+      .select(explode(GraftFunctions.tokenTf(col(textCol))).as("e"))
+      .select(col("e.token").as("token"), col("e.tf").as("tf"))
+      .groupBy("token").agg(sum("tf").cast("long").as("cnt"))
+    words
+      .select(col("cnt"), explode(GraftFunctions.unigramEncode(col("token"),
+        model.pieces.map(p => (p.piece, p.logp)), model.unkLogp)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").cast("long").as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("piece"))
+      .limit(topK)
+  }
+
+  /** Tokenizer comparison row for the dataset card: corpus-wide
+    * fertility (tokens per pre-token word) under the trained BPE vs the
+    * trained unigram LM, from ONE shared word-frequency exchange — the
+    * number that picks a tokenizer family for a training run. Exact
+    * integer sums; fertility is one rounded division. */
+  def tokenizerCompare(docs: DataFrame, merges: Seq[BpeMerge],
+                       model: UnigramModel,
+                       textCol: String = "text"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val words = docs
+      .select(explode(GraftFunctions.tokenTf(col(textCol))).as("e"))
+      .select(col("e.token").as("token"), col("e.tf").as("tf"))
+      .groupBy("token").agg(sum("tf").cast("long").as("cnt"))
+    val enc = words.select(col("token"), col("cnt"),
+      size(GraftFunctions.bpeEncode(col("token"),
+        merges.map(m => (m.lhs, m.rhs)))).cast("long").as("n_bpe"),
+      size(GraftFunctions.unigramEncode(col("token"),
+        model.pieces.map(p => (p.piece, p.logp)),
+        model.unkLogp)).cast("long").as("n_uni"))
+    val sums = enc.agg(sum("cnt").cast("long").as("n_words"),
+      sum(col("cnt") * col("n_bpe")).cast("long").as("bpe_tokens"),
+      sum(col("cnt") * col("n_uni")).cast("long").as("uni_tokens"))
+    sums.select(
+      lit("bpe").as("tokenizer"), col("n_words"),
+      col("bpe_tokens").as("n_tokens"),
+      round(col("bpe_tokens").cast("double") / col("n_words"), 4)
+        .as("fertility"))
+      .unionAll(sums.select(
+        lit("unigram").as("tokenizer"), col("n_words"),
+        col("uni_tokens").as("n_tokens"),
+        round(col("uni_tokens").cast("double") / col("n_words"), 4)
+          .as("fertility")))
+      .orderBy("tokenizer")
+  }
+
+  /** Persist a unigram model — the [[saveBpe]] text idiom: header
+    * `n unkLogp`, then `piece logp` lines (Double.toString
+    * round-trips; pieces never contain whitespace — [[BpeTokenPattern]]
+    * excludes it). */
+  def saveUnigram(path: String, model: UnigramModel): Unit = {
+    val sb = new StringBuilder
+    sb.append(model.pieces.length).append(' ')
+      .append(model.unkLogp).append('\n')
+    model.pieces.foreach(p =>
+      sb.append(p.piece).append(' ').append(p.logp).append('\n'))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def loadUnigram(path: String): UnigramModel = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    val head = lines.get(0).split(" ")
+    val n = head(0).toInt
+    val pieces = (1 to n).map { i =>
+      val parts = lines.get(i).split(" ")
+      UnigramPiece(parts(0), parts(1).toDouble)
+    }
+    UnigramModel(pieces, head(1).toDouble)
+  }
+
   /** Codepoint split (surrogate-pair safe — the `regexp_extract_all(., '.')`
     * symbol rule [[bpePairCounts]] uses, kept identical here). */
   private def splitCodepoints(w: String): Array[String] = {
