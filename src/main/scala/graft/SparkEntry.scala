@@ -290,6 +290,7 @@ object SparkEntry
     "q251_rpf_append_search" -> (q251RpfAppendSearch _),
     "q252_rpf_occupancy" -> (q252RpfOccupancy _),
     "q253_unigram_seed" -> (q253UnigramSeed _),
+    "q256_containment_recall" -> (q256ContainmentRecall _),
     "q254_unigram_encode" -> (q254UnigramEncode _),
     "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
@@ -496,6 +497,7 @@ object SparkEntry
     "q249_exists_anti" -> q249Sql,
     "q250_budget_waterfill" -> q250Sql,
     "q253_unigram_seed" -> q253Sql,
+    "q256_containment_recall" -> q256Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -79,6 +79,40 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("containmentPairsLossless is LOSSLESS at C>=1/4: equals brute force, catches the tiny excerpt LSH misses") {
+    // doc 2 is a tiny excerpt of host doc 1: containment 1.0 of the
+    // small side but Jaccard ~0.1 — the pair class the banded detector
+    // (which recalls by JACCARD) structurally misses
+    val host = (1 to 40).map(i => s"h$i").mkString(" ")
+    val excerpt = (10 to 14).map(i => s"h$i").mkString(" ")
+    val docs = Seq(
+      (1L, host),
+      (2L, excerpt),                                   // contained in 1
+      (3L, (1 to 40).map(i => s"x$i").mkString(" ")),  // disjoint
+      (4L, host + " tail1 tail2"),                     // near-dup of 1
+      (5L, (1 to 10).map(i => s"y$i").mkString(" ") + " " + excerpt)
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsLossless(docs, "text", "doc_id",
+        n = 3, invTheta = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap.map { case (k, v) => k -> v.toSet }
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      inter = (sh(a) & sh(b)).size
+      mn = math.min(sh(a).size, sh(b).size)
+      if mn > 0 && 4 * inter >= mn
+    } yield (a, b)).toSet
+    assert(want.contains((1L, 2L))) // the excerpt pair is real truth
+    assert(got == want, s"got=$got want=$want")
+    // and the banded detector misses the tiny-excerpt pair — the
+    // measured trade q256 quantifies at corpus scale
+    val banded = Dedup.containmentPairs(docs, "text", "doc_id", n = 3,
+        bands = 4, minContainment = 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(want)) // verified pairs are never false
+  }
+
   test("winnowing: exact dups share all fingerprints; shared passage detected despite offset") {
     val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
     val junkA = (1 to 15).map(i => s"ja$i").mkString(" ")
