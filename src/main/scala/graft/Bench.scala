@@ -225,7 +225,12 @@ object Bench {
       else midContended.sortBy(-_._5).take(6)
         .map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")
     val nAdj = results.count(_._8)
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steady_total":${r4(steadyTotal)},"steady_quiet_total":${r4(quietTotal)},"n_adjudicated":$nAdj,"quiet_failed":$quietFailed,"contended_jvms":${contended.size},"max_load":${r1(maxLoad)},"mid_contended":$midC,"slowest_quiet":$slowest}""")
+    // the compact line carries the quiet-failed COUNT, not the list — a
+    // sustained-load host can flag 100+ queries and the name list would
+    // blow the ~2000-char tail budget this line exists to fit (the full
+    // list is in the big line's quiet_failed)
+    val nQF = results.count(_._7)
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steady_total":${r4(steadyTotal)},"steady_quiet_total":${r4(quietTotal)},"n_adjudicated":$nAdj,"quiet_failed_n":$nQF,"contended_jvms":${contended.size},"max_load":${r1(maxLoad)},"mid_contended":$midC,"slowest_quiet":$slowest}""")
     spark.stop()
   }
 }
