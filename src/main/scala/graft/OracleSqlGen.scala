@@ -1124,6 +1124,27 @@ object OracleSqlGen {
        |  round(${kmvEst("sk.sketch", k)}, 4) AS est
        |FROM sk JOIN ex USING (grp) ORDER BY source""".stripMargin
 
+  /** q257's oracle: per-event-type distinct-USER KMV over the events
+    * table — exactly the one-pass sketch the streaming gate's
+    * per-batch partials must merge into bit-for-bit (merge
+    * associativity is the claim under test; the batch replay IS the
+    * spec of the merged result). */
+  def kmvStreamSql(k: Int): String =
+    s"""WITH pts AS (
+       |  SELECT DISTINCT event_type AS grp,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      AS h
+       |  FROM events),
+       |sk AS (
+       |  SELECT grp, list_sort(list(h ORDER BY h))[1:$k] AS sketch,
+       |    CAST(least(count(*), $k) AS BIGINT) AS n_vals
+       |  FROM pts GROUP BY grp),
+       |ex AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM pts GROUP BY grp)
+       |SELECT sk.grp AS event_type, ex.n_exact, sk.n_vals,
+       |  round(${kmvEst("sk.sketch", k)}, 4) AS est
+       |FROM sk JOIN ex USING (grp) ORDER BY event_type""".stripMargin
+
   /** q218's oracle: pairwise union/intersection estimates from merged
     * sketches — merge = k smallest of the deduped concatenation,
     * inclusion–exclusion on the unrounded estimates. */
@@ -2899,6 +2920,35 @@ object OracleSqlGen {
       |SELECT 'unigram' AS tokenizer, n_words, uni_tokens AS n_tokens,
       |  round(CAST(uni_tokens AS DOUBLE) / n_words, 4) AS fertility FROM s
       |ORDER BY tokenizer""".stripMargin
+  }
+
+  /** q259's oracle: corpus NLL under the trained unigram LM — the
+    * Viterbi replay's pieces re-scored piece by piece with the strict
+    * left fold (the engine's `aggregate` order), totals via the
+    * round(,6)→DECIMAL(22,6) exact-sum idiom. */
+  def unigramNllSql(pieces: Seq[(String, Double)], unkLogp: Double,
+                    maxLen: Int): String = {
+    val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM toks GROUP BY 1),
+      |${unigramViterbiCtes(pieces, unkLogp, maxLen)},
+      |scored AS (
+      |  SELECT u.cnt, CAST(len(u.pieces) AS BIGINT) AS np,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(u.pieces, p ->
+      |        coalesce(m[p][1], CAST($unkLogp AS DOUBLE)))),
+      |      (a, b) -> a + b) AS lp
+      |  FROM useg u, vm)
+      |SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+      |  CAST(sum(cnt * np) AS BIGINT) AS n_pieces,
+      |  round(CAST(sum(CAST(round(lp, 6) AS DECIMAL(22,6)) * cnt) AS DOUBLE),
+      |    4) AS total_logp,
+      |  round(CAST(sum(CAST(round(lp, 6) AS DECIMAL(22,6)) * cnt) AS DOUBLE)
+      |    / sum(cnt * np), 4) AS mean_logp_per_piece
+      |FROM scored""".stripMargin
   }
 
   /** q118's oracle: corpus token frequencies under a trained BPE merge

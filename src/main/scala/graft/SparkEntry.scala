@@ -291,6 +291,9 @@ object SparkEntry
     "q252_rpf_occupancy" -> (q252RpfOccupancy _),
     "q253_unigram_seed" -> (q253UnigramSeed _),
     "q256_containment_recall" -> (q256ContainmentRecall _),
+    "q257_stream_kmv" -> (q257StreamKmv _),
+    "q258_image_hamming" -> (q258ImageHamming _),
+    "q259_unigram_nll" -> (q259UnigramNll _),
     "q254_unigram_encode" -> (q254UnigramEncode _),
     "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
@@ -498,6 +501,8 @@ object SparkEntry
     "q250_budget_waterfill" -> q250Sql,
     "q253_unigram_seed" -> q253Sql,
     "q256_containment_recall" -> q256Sql,
+    "q257_stream_kmv" -> OracleSqlGen.kmvStreamSql(k = 64),
+    "q258_image_hamming" -> q258Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
@@ -646,7 +651,9 @@ object SparkEntry
         "q254_unigram_encode" -> OracleSqlGen.unigramEncodeSql(
           ps, model.unkLogp, model.maxLen, topK = 40),
         "q255_tokenizer_compare" -> OracleSqlGen.tokenizerCompareSql(
-          merges.map(m => (m.lhs, m.rhs)), ps, model.unkLogp, model.maxLen))
+          merges.map(m => (m.lhs, m.rhs)), ps, model.unkLogp, model.maxLen),
+        "q259_unigram_nll" -> OracleSqlGen.unigramNllSql(
+          ps, model.unkLogp, model.maxLen))
     }).getOrElse(Map.empty)
 
   /** Quality-classifier oracle, generated from the coefficients q94's

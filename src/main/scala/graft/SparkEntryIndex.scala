@@ -1749,6 +1749,100 @@ private[graft] trait SparkEntryIndex { this: SparkEntry.type =>
       |FROM a x JOIN a y ON x.ahash = y.ahash AND x.doc_id < y.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** BANDED-HAMMING image near-dup (q239's equality join extended to
+    * the Hamming radius a perceptual hash actually needs — exposure
+    * jitter shifts brightness, CONTENT edits flip bits, and equality
+    * recalls only the former): 16 four-member families where member m
+    * carries {0, 1, 2, 4} md5-positioned bit FLIPS of the family's
+    * base pattern, rendered to PNG and pushed through the REAL
+    * decode + aHash path. Candidates come from 4×16-bit band-equality
+    * joins (LSH over hash substrings — ≤ 2 flips leave ≥ 2 bands
+    * intact, so the banding is LOSSLESS at the verify radius);
+    * verify = `bit_count(xor) ≤ 2`. Within a family that admits
+    * exactly (0,1) (1 flip), (0,2) (2), (1,2) (1), (2,3) (2 — members
+    * share flips p1,p2, differ at p3,p4) and excludes (0,3)/(1,3)
+    * (4/3 flips) — the oracle predicts every hash, band key, and
+    * Hamming distance from doc_id arithmetic. At 100 TB this is the
+    * image-dedup plan: one decode scan, 4 band-bucket joins, per-pair
+    * popcount — never an all-pairs comparison. */
+  private[graft] def q258ImageHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = t(s, dir, "documents").filter(col("doc_id") < 64)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val fam = id / 4
+        val m = (id % 4).toInt
+        def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val bits60 = java.lang.Long.parseLong(md5hex(s"bfam:$fam").substring(0, 15), 16)
+        val base = java.lang.Integer.parseInt(md5hex(s"bpos:$fam").substring(0, 2), 16) % 56
+        val nFlips = if (m == 3) 4 else m
+        val pattern = (0 until nFlips).foldLeft(bits60) { (acc, j) =>
+          acc ^ (1L << ((base + 7 * j) % 56))
+        }
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          val bright = i >= 4 && ((pattern >> (59 - (i - 4))) & 1L) == 1L
+          val v = if (bright) 200 + m else 40 + m
+          img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val hash = graft.operators.Multimodal.ImageCodec
+          .aHash(bos.toByteArray).getOrElse(-1L)
+        (id, hash)
+      }
+      .toDF("asset_id", "ahash")
+    val banded = hashed.select(col("asset_id"), col("ahash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ahash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 2)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private[graft] val q258Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5('bfam:' || CAST(doc_id // 4 AS VARCHAR)),
+      |      1, 15) AS BIGINT) AS bits,
+      |    CAST('0x' || substr(md5('bpos:' || CAST(doc_id // 4 AS VARCHAR)),
+      |      1, 2) AS BIGINT) % 56 AS base,
+      |    doc_id % 4 AS m
+      |  FROM documents WHERE doc_id < 64),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(bits,
+      |      list_transform(range(0, CASE WHEN m = 3 THEN 4 ELSE m END),
+      |        j -> 1::BIGINT << CAST((base + 7 * j) % 56 AS INTEGER))),
+      |      (acc, x) -> xor(acc, x)) AS ahash
+      |  FROM f),
+      |bands AS (
+      |  SELECT doc_id, ahash, b.b AS band,
+      |    (ahash >> CAST(16 * b.b AS INTEGER)) & 65535 AS key
+      |  FROM h CROSS JOIN range(4) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.ahash AS ha, b.ahash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Audio near-dup via energy hash
     * ([[graft.operators.Multimodal.AudioCodec.energyHash]] — q239's
     * construction carried to WAV): 16 four-member gain-jittered

@@ -525,6 +525,64 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       |  CAST(n_est - n_exact AS BIGINT) AS overcount
       |FROM est ORDER BY n_exact DESC, user_key""".stripMargin
 
+  /** STREAMING KMV maintenance (q238's CMS pattern applied to the
+    * DISTINCT-count sketch — the sketch tier's second ST4 write-back
+    * leg): each micro-batch of the shared event stage builds per-
+    * event-type bottom-k PARTIAL sketches and writes the hash POINTS
+    * to a batchId-keyed subdir (retry-idempotent overwrite); the
+    * serving-side sketch is the k smallest DISTINCT points across all
+    * partials. KMV mergeability is the claim under test: any point in
+    * the global bottom-k is in its own batch's bottom-k (fewer than k
+    * smaller points exist globally, a fortiori per batch), so the
+    * merged sketch equals the one-pass build BIT-FOR-BIT and the batch
+    * oracle gates the streaming artifact exactly (the
+    * [[graft.operators.Sketches]] contract). Probes: distinct USERS
+    * per event type, estimate vs exact. At 100 TB this keeps a
+    * cardinality dashboard fresh per micro-batch: partial work is
+    * batch-sized, the merge handles k longs per group. */
+  private[graft] def q257StreamKmv(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val k = 64
+    val shared = sharedEventStage(s, dir)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q257").toString
+    val skDir = s"$stage/sk"
+    try {
+      val q = withStateParts(s, 8)(
+        EventStream.readEvents(s, shared)
+          .select(col("event_type"), col("user_id").cast("string").as("item"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Sketches.kmvSketch(batch, "event_type", "item", k)
+              .select(col("grp"), explode(col("sketch")).as("h"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$skDir/batch=$batchId")
+          }
+          .option("checkpointLocation", s"$stage/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      try q.awaitTermination() finally q.stop()
+      val pts = s.read.parquet(skDir).select(col("grp"), col("h")).distinct()
+      val w = Window.partitionBy("grp").orderBy("h")
+      val merged = pts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .groupBy("grp")
+        .agg(sort_array(collect_list("h")).as("sketch"),
+          count(lit(1)).cast("long").as("n_vals"))
+      val exact = s.read.parquet(shared)
+        .select(col("event_type").as("grp"),
+          Sketches.hashPoint(col("user_id").cast("string")).as("h"))
+        .distinct()
+        .groupBy("grp").agg(count(lit(1)).cast("long").as("n_exact"))
+      merged.join(exact, Seq("grp"))
+        .select(col("grp").as("event_type"), col("n_exact"), col("n_vals"),
+          round(Sketches.estimate(col("sketch"), k), 4).as("est"))
+        .orderBy("event_type")
+        // materialize BEFORE the partials dir is deleted
+        .localCheckpoint(true)
+    } finally rmTree(stage)
+  }
+
   private[graft] val q201Sql =
     """WITH e AS (
       |  SELECT event_type, value, epoch_ns(ts) // 1000 AS tu FROM events)

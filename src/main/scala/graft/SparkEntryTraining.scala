@@ -355,6 +355,16 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     TextAnalysis.tokenizerCompare(t(s, dir, "documents"),
       bpeMergesArtifact(s, dir), unigramModelArtifact(s, dir))
 
+  /** Corpus NLL under the trained unigram LM
+    * ([[TextAnalysis.unigramCorpusNll]]) — the dataset-card scoring row
+    * beside q255's fertility: total and per-piece mean log-prob of the
+    * corpus under its own tokenizer (the number that compares tokenizer
+    * candidates as LANGUAGE MODELS, not just by token counts). Same
+    * artifact-generated recursive-Viterbi oracle family as q254. */
+  private[graft] def q259UnigramNll(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramCorpusNll(t(s, dir, "documents"),
+      unigramModelArtifact(s, dir))
+
   private[graft] val q253Sql = {
     val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
     s"""WITH toks AS (

@@ -546,6 +546,40 @@ object TextAnalysis {
       .orderBy("tokenizer")
   }
 
+  /** Corpus negative-log-likelihood under the trained unigram LM — the
+    * dataset-card scoring row (the tokenizer-side companion of q70's
+    * word-level LM score): every distinct word Viterbi-encoded, its
+    * best-path log-prob re-summed piece by piece (one sequential
+    * double fold per word — the kernel's own accumulation order, which
+    * the oracle replays as the dotFold idiom), then corpus totals via
+    * the round(,6)→DECIMAL exact-sum discipline (associative — any
+    * partitioning). Output: word/piece totals, total log-prob, mean
+    * log-prob per piece. */
+  def unigramCorpusNll(docs: DataFrame, model: UnigramModel,
+                       textCol: String = "text"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val ps = model.pieces.map(p => (p.piece, p.logp))
+    val lookup = typedLit(ps.toMap)
+    val words = docs
+      .select(explode(GraftFunctions.tokenTf(col(textCol))).as("e"))
+      .select(col("e.token").as("token"), col("e.tf").as("tf"))
+      .groupBy("token").agg(sum("tf").cast("long").as("cnt"))
+    val enc = words.withColumn("pieces",
+      GraftFunctions.unigramEncode(col("token"), ps, model.unkLogp))
+    val scored = enc.select(col("cnt"),
+      size(col("pieces")).cast("long").as("np"),
+      aggregate(col("pieces"), lit(0.0), (acc, p) =>
+        acc + coalesce(element_at(lookup, p), lit(model.unkLogp))).as("lp"))
+    scored.agg(
+        sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("cnt") * col("np")).cast("long").as("n_pieces"),
+        sum(round(col("lp"), 6).cast("decimal(22,6)") * col("cnt")).as("tot"))
+      .select(col("n_words"), col("n_pieces"),
+        round(col("tot").cast("double"), 4).as("total_logp"),
+        round(col("tot").cast("double") / col("n_pieces"), 4)
+          .as("mean_logp_per_piece"))
+  }
+
   /** Persist a unigram model — the [[saveBpe]] text idiom: header
     * `n unkLogp`, then `piece logp` lines (Double.toString
     * round-trips; pieces never contain whitespace — [[BpeTokenPattern]]
