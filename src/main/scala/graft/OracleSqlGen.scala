@@ -2951,6 +2951,36 @@ object OracleSqlGen {
       |FROM scored""".stripMargin
   }
 
+  /** q261's oracle: per-document mean piece log-prob — the Viterbi
+    * replay's distinct-word scores joined back to the per-doc tf table
+    * and rolled up with the DECIMAL exact-sum idiom (order-free, like
+    * the engine's decimal fold). Tokenless docs drop via the inner
+    * join, mirroring the engine's n_pieces > 0 filter. */
+  def unigramDocScoreSql(pieces: Seq[(String, Double)], unkLogp: Double,
+                         maxLen: Int): String = {
+    val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH toksd AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tfd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |        FROM toksd GROUP BY 1, 2),
+      |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM toksd GROUP BY 1),
+      |${unigramViterbiCtes(pieces, unkLogp, maxLen)},
+      |ws AS (
+      |  SELECT u.token, CAST(len(u.pieces) AS BIGINT) AS np,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(u.pieces, p ->
+      |        coalesce(m[p][1], CAST($unkLogp AS DOUBLE)))),
+      |      (a, b) -> a + b) AS lp
+      |  FROM useg u, vm)
+      |SELECT t.doc_id, CAST(sum(t.tf * ws.np) AS BIGINT) AS n_pieces,
+      |  round(CAST(sum(CAST(round(ws.lp, 6) AS DECIMAL(22,6)) * t.tf)
+      |    AS DOUBLE) / sum(t.tf * ws.np), 4) AS mean_logp
+      |FROM tfd t JOIN ws USING (token)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
   /** q118's oracle: corpus token frequencies under a trained BPE merge
     * list (the `bpe_encode` kernel's contract, generated from the
     * persisted merges artifact) — full distinct-word table, every word

@@ -294,6 +294,8 @@ object SparkEntry
     "q257_stream_kmv" -> (q257StreamKmv _),
     "q258_image_hamming" -> (q258ImageHamming _),
     "q259_unigram_nll" -> (q259UnigramNll _),
+    "q260_stream_full_outer" -> (q260StreamFullOuter _),
+    "q261_unigram_doc_score" -> (q261UnigramDocScore _),
     "q254_unigram_encode" -> (q254UnigramEncode _),
     "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
@@ -503,6 +505,7 @@ object SparkEntry
     "q256_containment_recall" -> q256Sql,
     "q257_stream_kmv" -> OracleSqlGen.kmvStreamSql(k = 64),
     "q258_image_hamming" -> q258Sql,
+    "q260_stream_full_outer" -> q260Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,
@@ -653,6 +656,8 @@ object SparkEntry
         "q255_tokenizer_compare" -> OracleSqlGen.tokenizerCompareSql(
           merges.map(m => (m.lhs, m.rhs)), ps, model.unkLogp, model.maxLen),
         "q259_unigram_nll" -> OracleSqlGen.unigramNllSql(
+          ps, model.unkLogp, model.maxLen),
+        "q261_unigram_doc_score" -> OracleSqlGen.unigramDocScoreSql(
           ps, model.unkLogp, model.maxLen))
     }).getOrElse(Map.empty)
 

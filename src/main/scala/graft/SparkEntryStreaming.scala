@@ -1201,6 +1201,76 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       .orderBy("purchase_id", "click_id")
   }
 
+  /** STREAM-STREAM FULL OUTER interval join — the one outer-join class
+    * q222's left-outer gate doesn't reach: clicks that never converted
+    * (right-side null extension) must ALSO flush when the watermark
+    * proves no purchase can still match — at 100 TB this is the
+    * both-directions attribution table (organic purchases AND dead-end
+    * clicks) in one pass. Same shared-stage / per-side sentinel / state
+    * partitioning discipline as q222; the gated projection keeps both
+    * null classes and drops only the sentinels' own rows. */
+  private[graft] def q260StreamFullOuter(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val shared = sharedEventStage(s, dir)
+    val Array(maxId, maxTs) = s.read.parquet(shared)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(max("event_id"), max(unix_millis(col("ts")))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q260").toString
+    val sent = sentinelDir(stage)
+    val qname = "q260_full_outer"
+    s.sql(s"DROP TABLE IF EXISTS $qname")
+    def side(tpe: String) = EventStream.readEvents(s, shared)
+      .unionByName(EventStream.readEvents(s, sent))
+      .filter(col("event_type") === tpe)
+    val clicks = side("click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = side("purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"), "fullOuter")
+    val q = withStateParts(s, 8)(joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start())
+    try {
+      q.processAllAvailable()
+      import s.implicits._
+      Seq(
+        (maxId + 1, new java.sql.Timestamp(maxTs + 86400000L), -1L,
+          "click", 0.0, "{}"),
+        (maxId + 2, new java.sql.Timestamp(maxTs + 86400000L), -1L,
+          "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(sent)
+      q.processAllAvailable()
+    } finally { q.stop(); rmTree(stage) }
+    s.table(qname)
+      .filter((col("purchase_id").isNull || col("purchase_id") <= maxId) &&
+        (col("click_id").isNull || col("click_id") <= maxId))
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private[graft] val q260Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tu
+      |  FROM events),
+      |p AS (SELECT user_id, event_id, tu FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id, tu FROM e WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  CAST(p.tu - c.tu AS BIGINT) AS lag_us
+      |FROM p FULL OUTER JOIN c
+      |  ON p.user_id = c.user_id
+      |  AND c.tu >= p.tu - 3600000000 AND c.tu <= p.tu
+      |ORDER BY p.event_id, c.event_id""".stripMargin
+
   private[graft] val q222Sql =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tu

@@ -365,6 +365,14 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     TextAnalysis.unigramCorpusNll(t(s, dir, "documents"),
       unigramModelArtifact(s, dir))
 
+  /** Per-document perplexity-filter scores under the trained unigram
+    * LM ([[TextAnalysis.unigramDocScores]]) — the CCNet-style quality
+    * signal with the corpus's OWN tokenizer; ordered by doc for the
+    * gate. Same artifact-generated oracle family as q254/q259. */
+  private[graft] def q261UnigramDocScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramDocScores(t(s, dir, "documents"),
+      unigramModelArtifact(s, dir)).orderBy("doc_id")
+
   private[graft] val q253Sql = {
     val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
     s"""WITH toks AS (

@@ -580,6 +580,44 @@ object TextAnalysis {
           .as("mean_logp_per_piece"))
   }
 
+  /** Per-document quality score under the trained unigram LM — the
+    * CCNet-style perplexity filter run with the corpus's OWN trained
+    * tokenizer (q70's word-level LM score graduated to subwords):
+    * mean piece log-prob per document, the ranking signal a
+    * perplexity-window curriculum or quality cut reads. Zero corpus
+    * shuffle — the [[bpeTokenCountPerDoc]] generator-barrier shape:
+    * `token_tf` materialized once per row, then per-row folds; the
+    * per-doc log-prob accumulates as round(,6)→DECIMAL(22,6)
+    * (associative — fold order CANNOT matter), piece counts as longs.
+    * Docs with no pre-tokens are dropped (no 0/0 rows). */
+  def unigramDocScores(docs: DataFrame, model: UnigramModel,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val ps = model.pieces.map(p => (p.piece, p.logp))
+    val lookup = typedLit(ps.toMap)
+    def lpOf(tok: org.apache.spark.sql.Column) = aggregate(
+      GraftFunctions.unigramEncode(tok, ps, model.unkLogp), lit(0.0),
+      (acc, p) => acc + coalesce(element_at(lookup, p), lit(model.unkLogp)))
+    def npOf(tok: org.apache.spark.sql.Column) =
+      size(GraftFunctions.unigramEncode(tok, ps, model.unkLogp)).cast("long")
+    docs
+      .select(col(idCol),
+        explode(array(GraftFunctions.tokenTf(col(textCol)))).as("__tf"))
+      .select(col(idCol),
+        coalesce(aggregate(col("__tf"), lit(0L),
+          (acc, e) => acc + npOf(e.getField("token")) * e.getField("tf")),
+          lit(0L)).as("n_pieces"),
+        aggregate(col("__tf"), lit(0.0).cast("decimal(38,6)"),
+          (acc, e) => (acc + round(lpOf(e.getField("token")), 6)
+            .cast("decimal(22,6)") * e.getField("tf"))
+            .cast("decimal(38,6)")).as("__lp"))
+      .filter(col("n_pieces") > 0)
+      .select(col(idCol), col("n_pieces"),
+        round(col("__lp").cast("double") / col("n_pieces"), 4)
+          .as("mean_logp"))
+  }
+
   /** Persist a unigram model — the [[saveBpe]] text idiom: header
     * `n unkLogp`, then `piece logp` lines (Double.toString
     * round-trips; pieces never contain whitespace — [[BpeTokenPattern]]
