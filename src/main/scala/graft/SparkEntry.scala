@@ -296,6 +296,7 @@ object SparkEntry
     "q259_unigram_nll" -> (q259UnigramNll _),
     "q260_stream_full_outer" -> (q260StreamFullOuter _),
     "q261_unigram_doc_score" -> (q261UnigramDocScore _),
+    "q262_stream_rpf_ingest" -> (q262StreamRpfIngest _),
     "q254_unigram_encode" -> (q254UnigramEncode _),
     "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
@@ -1063,8 +1064,12 @@ object SparkEntry
         yield (tr, node, f.planes(tr)(node - 1), f.thetas(tr)(node - 1))
       val q0 = t(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
-      Map("q251_rpf_append_search" -> OracleSqlGen.rpfSearchSql(splits,
-        f.depth, RpForest.routeQuery(f, q0), k = 10, qVecId = 0L))
+      val searchSql = OracleSqlGen.rpfSearchSql(splits,
+        f.depth, RpForest.routeQuery(f, q0), k = 10, qVecId = 0L)
+      // q262 streams the SAME delta through append — its grown store
+      // must equal q251's, so they share one oracle
+      Map("q251_rpf_append_search" -> searchSql,
+        "q262_stream_rpf_ingest" -> searchSql)
     }).getOrElse(Map.empty)
 
   private[graft] def ivfOracleSqls: Map[String, String] =

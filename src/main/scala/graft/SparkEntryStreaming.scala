@@ -583,6 +583,57 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
     } finally rmTree(stage)
   }
 
+  /** STREAMING RP-forest ingest — the ST4 write-back composition the
+    * r13 judge asked the new maintenance leg to support, end-to-end:
+    * the base slice trains the forest and seeds a per-run store
+    * (assign = one narrow projection), then the delta slice ARRIVES AS
+    * A STREAM (file source, one file per micro-batch) and each batch
+    * routes through [[graft.operators.RpForest.append]] —
+    * affected-leaf-only writes, duplicate rejection, the same frozen
+    * forest. The gated output is the q251 search over the grown store,
+    * and the ORACLE IS q251's (full-corpus routing through the
+    * base-trained heap): batch-sliced appends must land exactly where
+    * one rebuild-route would — append ≡ rebuild-route is associative
+    * across micro-batches by construction (routing is stateless given
+    * the forest). Per-run store is gate-local (rmTree'd); the forest
+    * artifact is the cached q251 one. */
+  private[graft] def q262StreamRpfIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (_, f) = rpfAppendCorpus(s, dir) // cached forest (and q251's store)
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val base = emb.filter(col("doc_id") < 8 || col("doc_id") >= 48)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q262").toString
+    val store = s"$stage/store"
+    val inDir = s"$stage/in"
+    RpForest.assign(base, f)
+      .write.mode("overwrite").partitionBy("tree", "leaf").parquet(store)
+    // three delta files = three micro-batches
+    for (b <- 0 until 3)
+      emb.filter(col("doc_id") >= 8 + 13 * b &&
+          col("doc_id") < math.min(48, 8 + 13 * (b + 1)))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    try {
+      val q = withStateParts(s, 8)(
+        s.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) { RpForest.append(store, f, batch); () }
+          }
+          .option("checkpointLocation", s"$stage/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start())
+      try q.awaitTermination() finally q.stop()
+      val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      RpForest.search(
+          s.read.parquet(store).filter(col("doc_id") =!= 0L), f, qVec, k = 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .localCheckpoint(true) // materialize before the store dir dies
+    } finally rmTree(stage)
+  }
+
   private[graft] val q201Sql =
     """WITH e AS (
       |  SELECT event_type, value, epoch_ns(ts) // 1000 AS tu FROM events)
