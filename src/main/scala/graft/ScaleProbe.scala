@@ -909,6 +909,16 @@ object ScaleProbe {
     timeWarm("winnowPairs (k=8, w=4, minShared=2)")(
       Dedup.winnowPairs(docs, "text", "doc_id", k = 8, w = 4,
         minShared = 2).count())
+    // Round-14: the containment pair (q256's finding — banded recall
+    // 0.64 at sf0.1 means the lossless rule is the production
+    // recommendation; this leg prices it): prefix-vs-full-index
+    // candidates vs the banded detector at the same C >= 1/4.
+    timeWarm("containmentPairsLossless (C>=1/4, prefix-vs-full)")(
+      Dedup.containmentPairsLossless(docs, "text", "doc_id", n = 3,
+        invTheta = 4).count())
+    timeWarm("containmentPairs banded (4 bands, C>=0.25)")(
+      Dedup.containmentPairs(docs, "text", "doc_id", n = 3, bands = 4,
+        minContainment = 0.25).count())
     spark.stop()
   }
 
