@@ -596,7 +596,16 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
     * one rebuild-route would — append ≡ rebuild-route is associative
     * across micro-batches by construction (routing is stateless given
     * the forest). Per-run store is gate-local (rmTree'd); the forest
-    * artifact is the cached q251 one. */
+    * artifact is the cached q251 one.
+    *
+    * Retry posture: a foreachBatch parquet append is NOT
+    * retry-idempotent — but a replayed batch here trips
+    * [[graft.operators.RpForest.append]]'s duplicate-id check and
+    * fails LOUDLY (partial files are visible to the store read), never
+    * silently double-appends. A production ingest that must survive
+    * replays stages each batch under a batchId-keyed dir and renames
+    * (the q238 partial-sketch idiom / GraphSearch's staged-rename
+    * ceremony). */
   private[graft] def q262StreamRpfIngest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val (_, f) = rpfAppendCorpus(s, dir) // cached forest (and q251's store)
