@@ -1843,6 +1843,92 @@ private[graft] trait SparkEntryIndex { this: SparkEntry.type =>
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** BANDED-HAMMING audio near-dup — q258's radius-2 detector on the
+    * ENERGY hash: 16 four-member families with {0, 1, 2, 4}
+    * md5-positioned loud/quiet window flips (clip edits), rendered to
+    * WAV and pushed through the REAL PCM decode + windowed-energy hash;
+    * 4×16-bit band candidates, `bit_count(xor) ≤ 2` verify — the same
+    * lossless-at-radius banding, so a re-encoded clip with a couple of
+    * edited sections still groups with its source. Oracle predicts
+    * every hash/band/distance from doc_id arithmetic (q241's
+    * construction + q258's flip rule). */
+  private[graft] def q263AudioHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = t(s, dir, "documents").filter(col("doc_id") < 64)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val fam = id / 4
+        val m = (id % 4).toInt
+        def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val bits60 = java.lang.Long.parseLong(md5hex(s"hfam:$fam").substring(0, 15), 16)
+        val base = java.lang.Integer.parseInt(md5hex(s"hpos:$fam").substring(0, 2), 16) % 56
+        val nFlips = if (m == 3) 4 else m
+        val pattern = (0 until nFlips).foldLeft(bits60) { (acc, j) =>
+          acc ^ (1L << ((base + 7 * j) % 56))
+        }
+        val samples = new Array[Short](64 * 50)
+        var w = 0
+        while (w < 64) {
+          val loud = w >= 4 && ((pattern >> (59 - (w - 4))) & 1L) == 1L
+          val amp = (if (loud) 4096 + 16 * m else 256 + 16 * m).toShort
+          var i = 0
+          while (i < 50) { samples(w * 50 + i) = amp; i += 1 }
+          w += 1
+        }
+        val wav = graft.operators.Multimodal.AudioCodec.encodeWav(samples, 8000)
+        val hash = graft.operators.Multimodal.AudioCodec
+          .energyHash(wav).getOrElse(-1L)
+        (id, hash)
+      }
+      .toDF("asset_id", "ehash")
+    val banded = hashed.select(col("asset_id"), col("ehash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ehash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.ehash").as("ha"), col("b.ehash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 2)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private[graft] val q263Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5('hfam:' || CAST(doc_id // 4 AS VARCHAR)),
+      |      1, 15) AS BIGINT) AS bits,
+      |    CAST('0x' || substr(md5('hpos:' || CAST(doc_id // 4 AS VARCHAR)),
+      |      1, 2) AS BIGINT) % 56 AS base,
+      |    doc_id % 4 AS m
+      |  FROM documents WHERE doc_id < 64),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(bits,
+      |      list_transform(range(0, CASE WHEN m = 3 THEN 4 ELSE m END),
+      |        j -> 1::BIGINT << CAST((base + 7 * j) % 56 AS INTEGER))),
+      |      (acc, x) -> xor(acc, x)) AS ehash
+      |  FROM f),
+      |bands AS (
+      |  SELECT doc_id, ehash, b.b AS band,
+      |    (ehash >> CAST(16 * b.b AS INTEGER)) & 65535 AS key
+      |  FROM h CROSS JOIN range(4) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.ehash AS ha, b.ehash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Audio near-dup via energy hash
     * ([[graft.operators.Multimodal.AudioCodec.energyHash]] — q239's
     * construction carried to WAV): 16 four-member gain-jittered
