@@ -50,11 +50,35 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       (dir.hashCode.toLong * 1000003L) ^
         datasetFingerprint(s, s"$dir/events.parquet"))
     val path = s"${GraftConfig.storeRoot}/graft-events-us-$key"
-    if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS"))
+    if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS")) {
+      // GC superseded copies FIRST (r14 ADVICE: a regenerated dataset =
+      // a new fingerprint = a new key, and the old staged copy was
+      // orphaned forever): each copy records its source dataset dir in
+      // a `_source` sidecar; any sibling staged from THIS dir under a
+      // different key is stale by construction. Copies from other
+      // datasets are untouched — multi-dataset runs share the root.
+      val rootP = new org.apache.hadoop.fs.Path(GraftConfig.storeRoot)
+      val fs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+      val sibs = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"${GraftConfig.storeRoot}/graft-events-us-*"))
+      for (st <- Option(sibs).getOrElse(Array.empty)
+           if st.getPath.getName != s"graft-events-us-$key") {
+        val src = new org.apache.hadoop.fs.Path(st.getPath, "_source")
+        val stale = fs.exists(src) && {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(src), "UTF-8"))
+          try Option(in.readLine()).exists(_.trim == dir)
+          finally in.close()
+        }
+        if (stale) fs.delete(st.getPath, true)
+      }
       eventsNs(s, dir)
         .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").parquet(path)
+      val out = fs.create(new org.apache.hadoop.fs.Path(path, "_source"), true)
+      try out.write(dir.getBytes("UTF-8")) finally out.close()
+    }
     path
   }
 
@@ -596,19 +620,23 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
     * one rebuild-route would — append ≡ rebuild-route is associative
     * across micro-batches by construction (routing is stateless given
     * the forest). Per-run store is gate-local (rmTree'd); the forest
-    * artifact is the cached q251 one.
+    * artifact is the cached q251 one. The delta slices tile [8, 48)
+    * EXACTLY (stride 14 × 3 batches, last capped — the r14 ADVICE
+    * fix: stride 13 silently dropped doc 47) and the grown store's row
+    * count is ASSERTED equal to q251's append-grown store, so a
+    * coverage gap fails the gate directly instead of riding on what
+    * the query's top-10 happens to contain.
     *
-    * Retry posture: a foreachBatch parquet append is NOT
-    * retry-idempotent — but a replayed batch here trips
-    * [[graft.operators.RpForest.append]]'s duplicate-id check and
-    * fails LOUDLY (partial files are visible to the store read), never
-    * silently double-appends. A production ingest that must survive
-    * replays stages each batch under a batchId-keyed dir and renames
-    * (the q238 partial-sketch idiom / GraphSearch's staged-rename
-    * ceremony). */
+    * Retry posture: each micro-batch lands through
+    * [[graft.operators.RpForest.appendBatch]] — the staged-rename,
+    * batchId-keyed, committed-marker form — so a foreachBatch REPLAY
+    * (Structured Streaming's failure contract) skips the
+    * already-committed batch instead of failing or double-appending;
+    * a crashed half-written batch is scrubbed by its batch tag and
+    * re-laid. Replay ≡ no-op is spec-pinned in RpForestSpec. */
   private[graft] def q262StreamRpfIngest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val (_, f) = rpfAppendCorpus(s, dir) // cached forest (and q251's store)
+    val (refStore, f) = rpfAppendCorpus(s, dir) // cached forest (and q251's store)
     val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
     val base = emb.filter(col("doc_id") < 8 || col("doc_id") >= 48)
     val stage = java.nio.file.Files
@@ -617,23 +645,33 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
     val inDir = s"$stage/in"
     RpForest.assign(base, f)
       .write.mode("overwrite").partitionBy("tree", "leaf").parquet(store)
-    // three delta files = three micro-batches
+    // three delta files = three micro-batches, tiling [8, 48) exactly
     for (b <- 0 until 3)
-      emb.filter(col("doc_id") >= 8 + 13 * b &&
-          col("doc_id") < math.min(48, 8 + 13 * (b + 1)))
+      emb.filter(col("doc_id") >= 8 + 14 * b &&
+          col("doc_id") < math.min(48, 8 + 14 * (b + 1)))
         .coalesce(1).write.mode("append").parquet(inDir)
     try {
       val q = withStateParts(s, 8)(
         s.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1")
           .parquet(inDir)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty) { RpForest.append(store, f, batch); () }
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (!batch.isEmpty) {
+              RpForest.appendBatch(store, f, batch, batchId); ()
+            }
           }
           .option("checkpointLocation", s"$stage/ckpt")
           .trigger(Trigger.AvailableNow())
           .start())
       try q.awaitTermination() finally q.stop()
+      // coverage assertion (r14 ADVICE): the streamed store must hold
+      // exactly what q251's batch-grown store holds — both are
+      // base ∪ [8,48) routed through the same frozen forest
+      val grownCnt = s.read.parquet(store).count()
+      val refCnt = refStore.count()
+      require(grownCnt == refCnt,
+        s"q262: streamed store has $grownCnt rows, q251's has $refCnt — " +
+          "a delta slice missed or double-landed")
       val qVec = t(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       RpForest.search(
