@@ -309,6 +309,43 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("hammingNearDups: lossless at radius <= bands-1, sign-safe banding, cap drops") {
+    // constructed 64-bit hashes (sign bit EXERCISED): a family around a
+    // negative base with 1/2/3-bit flips in DISTINCT bands, plus a far
+    // point — pigeonhole says every pair within radius 3 of a 4-band
+    // split must surface, and arithmetic-shift banding must not smear
+    // the sign across keys
+    val base = 0xF00DFACE12345678L // negative as a signed long
+    val hs = Seq(
+      (0L, base),
+      (1L, base ^ (1L << 3)),             // d=1 (band 0)
+      (2L, base ^ (1L << 3) ^ (1L << 20)), // d=2 (bands 0,1)
+      (3L, base ^ (1L << 3) ^ (1L << 20) ^ (1L << 62)), // d=3, flips the TOP band
+      (4L, ~base)                          // d=64 — never a candidate
+    ).toDF("doc_id", "h")
+    val pairs = Dedup.hammingNearDups(hs, "h", "doc_id",
+        bands = 4, bandBits = 16, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // all C(4,2) pairs among 0..3 are within radius 3 -> all lossless
+    val expected = Map(
+      (0L, 1L) -> 1L, (0L, 2L) -> 2L, (0L, 3L) -> 3L,
+      (1L, 2L) -> 1L, (1L, 3L) -> 2L, (2L, 3L) -> 1L)
+    assert(pairs == expected)
+    // cap: 12 identical hashes = one 12-member bucket per band; cap 10
+    // drops them all, the honest distinct pair survives
+    val pile = ((0 until 12).map(i => (100L + i, 42L)) ++
+      Seq((1L, base), (2L, base ^ 1L))).toDF("doc_id", "h")
+    val capped = Dedup.hammingNearDups(pile, "h", "doc_id",
+        bands = 4, bandBits = 16, maxHamming = 3, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)))
+    val dropped = Dedup.hammingDroppedBuckets(pile, "h", "doc_id",
+        bands = 4, bandBits = 16, maxBucketSize = 10)
+      .select("n_members").as[Long].collect().toSeq
+    assert(dropped.length == 4 && dropped.forall(_ == 12L))
+  }
+
   test("simhash near-dup plan: band self-join is an equality join, never all-pairs") {
     val docs = (0 until 64).map(i =>
       (i.toLong, (1 to 30).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
