@@ -299,6 +299,7 @@ object SparkEntry
     "q262_stream_rpf_ingest" -> (q262StreamRpfIngest _),
     "q263_audio_hamming" -> (q263AudioHamming _),
     "q264_image_neardup_corpus" -> (q264ImageNearDupCorpus _),
+    "q265_containment_decon" -> (q265ContainmentDecon _),
     "q254_unigram_encode" -> (q254UnigramEncode _),
     "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
@@ -511,6 +512,7 @@ object SparkEntry
     "q260_stream_full_outer" -> q260Sql,
     "q263_audio_hamming" -> q263Sql,
     "q264_image_neardup_corpus" -> q264Sql,
+    "q265_containment_decon" -> q265Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

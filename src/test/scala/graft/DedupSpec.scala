@@ -309,6 +309,70 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("containment modes: Tiered recovers the small excerpt Banded misses; Banded <= Tiered <= Lossless") {
+    import graft.operators.Dedup.ContainmentMode
+    // host doc of ~200 distinct trigrams; excerpt = a 12-trigram slice
+    // (C = 1.0 of the small side, Jaccard ~ 0.06 — the q256 miss class);
+    // plus a near-full-overlap pair banding reliably finds
+    val hostWords = (1 to 202).map(i => s"w$i")
+    val host = hostWords.mkString(" ")
+    val excerpt = hostWords.slice(50, 64).mkString(" ") // 14 words = 12 trigrams
+    val bigA = (1 to 120).map(i => s"a$i").mkString(" ")
+    val bigB = ((1 to 110).map(i => s"a$i") ++ (1 to 10).map(i => s"b$i")).mkString(" ")
+    val docs = Seq(
+      (1L, host), (2L, excerpt), (3L, bigA), (4L, bigB)
+    ).toDF("doc_id", "text")
+    def pairs(m: ContainmentMode) =
+      Dedup.containmentPairsRouted(docs, "text", "doc_id", n = 3,
+          invTheta = 4, mode = m, bands = 4, smallSideMax = 64)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = pairs(ContainmentMode.Banded)
+    val tiered = pairs(ContainmentMode.Tiered)
+    val lossless = pairs(ContainmentMode.Lossless)
+    // the excerpt pair is invisible to banding (no shared minhash band
+    // at J ~ 0.06 with deterministic md5 signatures), guaranteed by the
+    // small-side lossless leg, and in the full lossless set
+    assert(!banded.contains((1L, 2L)))
+    assert(tiered.contains((1L, 2L)))
+    assert(lossless.contains((1L, 2L)))
+    // the big-big overlap pair survives every mode (banded leg covers it)
+    assert(banded.contains((3L, 4L)) && tiered.contains((3L, 4L)) &&
+      lossless.contains((3L, 4L)))
+    // candidate-set monotonicity at this fixture
+    assert(banded.subsetOf(tiered) && tiered.subsetOf(lossless))
+    // values agree across modes on shared pairs
+    val tRows = Dedup.containmentPairsRouted(docs, "text", "doc_id", n = 3,
+        invTheta = 4, mode = ContainmentMode.Tiered, bands = 4, smallSideMax = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    val lRows = Dedup.containmentPairsRouted(docs, "text", "doc_id", n = 3,
+        invTheta = 4, mode = ContainmentMode.Lossless)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    for ((k, v) <- tRows) assert(lRows(k) == v)
+  }
+
+  test("containmentContamination: lossless one-sided screen flags the quoting doc") {
+    // corpus doc 1 QUOTES eval doc 100 in full (C(E->D) = 1.0, Jaccard
+    // tiny); corpus doc 2 shares nothing; corpus doc 3 holds exactly
+    // 1/4 of eval 200's trigrams (boundary: 4*n_inter == |E| admits)
+    val evalWords = (1 to 22).map(i => s"e$i") // 20 trigrams
+    val eval2Words = (1 to 18).map(i => s"f$i") // 16 trigrams
+    val quote = ((1 to 150).map(i => s"c$i") ++ evalWords).mkString(" ")
+    // 4 of eval2's 16 trigrams = exactly 1/4: take words f1..f6 (4 trigrams)
+    val boundary = ((1 to 80).map(i => s"d$i") ++ (1 to 6).map(i => s"f$i")).mkString(" ")
+    val corpus = Seq(
+      (1L, quote), (2L, (1 to 60).map(i => s"z$i").mkString(" ")), (3L, boundary)
+    ).toDF("doc_id", "text")
+    val evals = Seq(
+      (100L, evalWords.mkString(" ")), (200L, eval2Words.mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentContamination(corpus, evals, "text", "doc_id",
+        n = 3, invTheta = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1L, 1.0, 100L)))
+    assert(out(3L) == ((1L, 0.25, 200L)))
+    assert(!out.contains(2L))
+  }
+
   test("hammingNearDups: lossless at radius <= bands-1, sign-safe banding, cap drops") {
     // constructed 64-bit hashes (sign bit EXERCISED): a family around a
     // negative base with 1/2/3-bit flips in DISTINCT bands, plus a far
