@@ -2893,9 +2893,9 @@ object OracleSqlGen {
       |ORDER BY n_occurrences DESC, piece LIMIT $topK""".stripMargin
   }
 
-  /** q255's oracle: BPE-vs-unigram corpus fertility — the BPE merge
-    * fold and the unigram Viterbi replay over ONE shared word table,
-    * rolled into the two dataset-card rows. */
+  /** q255's oracle: BPE-vs-unigram corpus fertility + single-char-piece
+    * coverage — the BPE merge fold and the unigram Viterbi replay over
+    * ONE shared word table, rolled into the two dataset-card rows. */
   def tokenizerCompareSql(merges: Seq[(String, String)],
                           pieces: Seq[(String, Double)], unkLogp: Double,
                           maxLen: Int): String = {
@@ -2907,19 +2907,69 @@ object OracleSqlGen {
       |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
       |       FROM toks GROUP BY 1),
       |${unigramViterbiCtes(pieces, unkLogp, maxLen)},
-      |b AS (SELECT tf.cnt, CAST(len($e) AS BIGINT) AS nb,
-      |        CAST(len(u.pieces) AS BIGINT) AS nu
-      |      FROM tf JOIN useg u USING (token)),
+      |b0 AS (SELECT tf.cnt, $e AS bl, u.pieces AS ul
+      |       FROM tf JOIN useg u USING (token)),
+      |b AS (SELECT cnt, CAST(len(bl) AS BIGINT) AS nb,
+      |        CAST(len(list_filter(bl, x -> len(x) = 1)) AS BIGINT) AS cb,
+      |        CAST(len(ul) AS BIGINT) AS nu,
+      |        CAST(len(list_filter(ul, x -> len(x) = 1)) AS BIGINT) AS cu
+      |      FROM b0),
       |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
       |        CAST(sum(cnt * nb) AS BIGINT) AS bpe_tokens,
-      |        CAST(sum(cnt * nu) AS BIGINT) AS uni_tokens
+      |        CAST(sum(cnt * cb) AS BIGINT) AS bpe_chars,
+      |        CAST(sum(cnt * nu) AS BIGINT) AS uni_tokens,
+      |        CAST(sum(cnt * cu) AS BIGINT) AS uni_chars
       |      FROM b)
       |SELECT 'bpe' AS tokenizer, n_words, bpe_tokens AS n_tokens,
-      |  round(CAST(bpe_tokens AS DOUBLE) / n_words, 4) AS fertility FROM s
+      |  round(CAST(bpe_tokens AS DOUBLE) / n_words, 4) AS fertility,
+      |  bpe_chars AS n_char_tokens,
+      |  round(CASE WHEN bpe_tokens > 0
+      |    THEN CAST(bpe_chars AS DOUBLE) / bpe_tokens ELSE 0.0 END, 4)
+      |    AS char_token_rate
+      |FROM s
       |UNION ALL
       |SELECT 'unigram' AS tokenizer, n_words, uni_tokens AS n_tokens,
-      |  round(CAST(uni_tokens AS DOUBLE) / n_words, 4) AS fertility FROM s
+      |  round(CAST(uni_tokens AS DOUBLE) / n_words, 4) AS fertility,
+      |  uni_chars AS n_char_tokens,
+      |  round(CASE WHEN uni_tokens > 0
+      |    THEN CAST(uni_chars AS DOUBLE) / uni_tokens ELSE 0.0 END, 4)
+      |    AS char_token_rate
+      |FROM s
       |ORDER BY tokenizer""".stripMargin
+  }
+
+  /** q266's oracle: unigram-budget packing — the per-doc unigram count
+    * replay (the q261 tfd/useg join) fed through the q52/q124
+    * streaming-pack window (`bin = (cumsum_before_doc) div budget`,
+    * per-shard, id order) and summarized per (source, bin). Tokenless
+    * docs pack at cost 0, matching the engine's coalesce. */
+  def unigramPackSql(pieces: Seq[(String, Double)], unkLogp: Double,
+                     maxLen: Int, budget: Long): String = {
+    val pat = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"""WITH toksd AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$pat')) AS token
+      |  FROM documents),
+      |tfd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |        FROM toksd GROUP BY 1, 2),
+      |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM toksd GROUP BY 1),
+      |${unigramViterbiCtes(pieces, unkLogp, maxLen)},
+      |perdoc AS (
+      |  SELECT t.doc_id, CAST(sum(t.tf * len(u.pieces)) AS BIGINT) AS nu
+      |  FROM tfd t JOIN useg u USING (token) GROUP BY 1),
+      |counted AS (
+      |  SELECT d.doc_id, d.source, coalesce(p.nu, 0) AS nu
+      |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+      |cum AS (
+      |  SELECT doc_id, source, nu,
+      |    sum(nu) OVER (PARTITION BY source ORDER BY doc_id) AS c
+      |  FROM counted),
+      |bins AS (SELECT source, (c - nu) // $budget AS bin, nu FROM cum)
+      |SELECT source, CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nu) AS BIGINT) AS n_uni_tokens
+      |FROM bins GROUP BY 1, 2
+      |ORDER BY source, bin""".stripMargin
   }
 
   /** q259's oracle: corpus NLL under the trained unigram LM — the

@@ -300,6 +300,7 @@ object SparkEntry
     "q263_audio_hamming" -> (q263AudioHamming _),
     "q264_image_neardup_corpus" -> (q264ImageNearDupCorpus _),
     "q265_containment_decon" -> (q265ContainmentDecon _),
+    "q266_unigram_pack" -> (q266UnigramPack _),
     "q254_unigram_encode" -> (q254UnigramEncode _),
     "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
@@ -665,7 +666,9 @@ object SparkEntry
         "q259_unigram_nll" -> OracleSqlGen.unigramNllSql(
           ps, model.unkLogp, model.maxLen),
         "q261_unigram_doc_score" -> OracleSqlGen.unigramDocScoreSql(
-          ps, model.unkLogp, model.maxLen))
+          ps, model.unkLogp, model.maxLen),
+        "q266_unigram_pack" -> OracleSqlGen.unigramPackSql(
+          ps, model.unkLogp, model.maxLen, budget = 2000))
     }).getOrElse(Map.empty)
 
   /** Quality-classifier oracle, generated from the coefficients q94's

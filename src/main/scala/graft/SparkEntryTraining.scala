@@ -373,6 +373,27 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     TextAnalysis.unigramDocScores(t(s, dir, "documents"),
       unigramModelArtifact(s, dir)).orderBy("doc_id")
 
+  /** Unigram-budget packing ([[Packing.assignBinsByCost]] over
+    * [[TextAnalysis.unigramTokenCountPerDoc]]) — q124's composition
+    * for the SentencePiece family, closing the r14 judge's tier gap
+    * (the unigram tier stopped at doc scores; a training run that
+    * picked unigram from the q255 card had no budget packer): bins
+    * laid out by what the TRAINED unigram tokenizer actually emits,
+    * same streaming-pack semantics — one window cumsum per shard,
+    * documents never reordered or split. Oracle GENERATED from the
+    * persisted piece table: the recursive-CTE Viterbi per distinct
+    * word, joined back per doc, cumsum'd through the same integer bin
+    * rule. */
+  private[graft] def q266UnigramPack(s: SparkSession, dir: String): DataFrame =
+    Packing.assignBinsByCost(
+        TextAnalysis.unigramTokenCountPerDoc(t(s, dir, "documents"),
+          unigramModelArtifact(s, dir), keepCols = Seq("source")),
+        budget = 2000, costCol = "n_uni_tokens")
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_uni_tokens").cast("long").as("n_uni_tokens"))
+      .orderBy("source", "bin")
+
   private[graft] val q253Sql = {
     val pat = TextAnalysis.BpeTokenPattern.replace("'", "''")
     s"""WITH toks AS (

@@ -66,6 +66,63 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramTokenCountPerDoc matches a word-by-word driver recount; tokenless docs are 0/0") {
+    val docs = Seq(
+      (0L, "aa ab aa ba"),
+      (1L, "zz zz q"),
+      (2L, "   "), // tokenless -> 0/0
+      (3L, "ab")
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.trainUnigram(
+      (0 until 30).map(i => (i.toLong, "aa ab ba zz q aab " * 2)).toDF("doc_id", "text"),
+      vocabSize = 12, maxWords = 50, emRounds = 2)
+    val got = TextAnalysis.unigramTokenCountPerDoc(docs, model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m = vm(model.pieces.map(p => p.piece -> p.logp): _*)
+    def enc(w: String) = seg(w, m, model.unkLogp, model.maxLen)
+    val expected = Map(
+      0L -> (4L, Seq("aa", "ab", "aa", "ba").map(enc(_).size.toLong).sum),
+      1L -> (3L, (enc("zz").size * 2 + enc("q").size).toLong),
+      2L -> (0L, 0L),
+      3L -> (1L, enc("ab").size.toLong))
+    assert(got == expected)
+    // the packing composition: bins never split a doc, per-shard cumsum
+    val withSrc = TextAnalysis.unigramTokenCountPerDoc(
+      docs.withColumn("source", lit("s")), model, keepCols = Seq("source"))
+    val bins = graft.operators.Packing.assignBinsByCost(withSrc, budget = 4,
+        costCol = "n_uni_tokens")
+      .select("doc_id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cumulative-before: doc0 starts at 0 -> bin 0; later docs at
+    // floor(cum/4) — recompute directly
+    var cum = 0L
+    for (id <- 0L to 3L) {
+      assert(bins(id) == cum / 4, s"doc $id")
+      cum += expected(id)._2
+    }
+  }
+
+  test("tokenizerCompare coverage: all-fallback corpus rates 1.0, vocab-covered words lower it") {
+    // corpus A: every word segments to single chars under a model whose
+    // multi-cp pieces never appear in it
+    val train = (0 until 30).map(i => (i.toLong, "aa ab ba q zz " * 3)).toDF("doc_id", "text")
+    val model = TextAnalysis.trainUnigram(train, vocabSize = 12,
+      maxWords = 50, emRounds = 2)
+    val merges = TextAnalysis.trainBpe(train, nMerges = 4, maxWords = 50)
+    val rows = TextAnalysis.tokenizerCompare(train, merges, model)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    for ((_, (nWords, nTok, nChar, rate)) <- rows) {
+      assert(nWords > 0 && nTok > 0)
+      assert(nChar >= 0 && nChar <= nTok)
+      assert(rate >= 0.0 && rate <= 1.0)
+      // exact: rate is the rounded ratio of the two integer columns
+      assert(rate == BigDecimal(nChar.toDouble / nTok)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // a trained vocab on its own corpus must NOT be pure fallback
+    assert(rows("unigram")._4 < 1.0)
+  }
+
   test("training is deterministic and partitioning-invariant") {
     val docs = (0 until 60).map { i =>
       (i.toLong, s"alpha beta gamma delta epsilon word$i data " * 2)
