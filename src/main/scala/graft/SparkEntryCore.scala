@@ -680,6 +680,80 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
       |FROM j""".stripMargin
   }
 
+  /** TIERED containment pairs ([[Dedup.containmentPairsRouted]] at
+    * `ContainmentMode.Tiered`) — the middle posture of the r14 judge's
+    * routed choice, gated end to end: docs of ≤ 40 shingles (the
+    * excerpt class q256 measured banding missing) route through the
+    * LOSSLESS prefix-vs-full-index rule, pairs of two larger docs
+    * through 4-band MinHash-LSH; admission is the shared integer rule
+    * 4·|A∩B| ≥ min. The oracle replays BOTH candidate chains (size
+    * split included) and verifies the distinct union once — identical
+    * by construction to the engine's per-leg verify + dropDuplicates,
+    * since verification is pair-deterministic. */
+  private[graft] def q267ContainmentTiered(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairsRouted(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, invTheta = 4, mode = Dedup.ContainmentMode.Tiered,
+        bands = 4, smallSideMax = 40)
+      .select(col("id_a"), col("id_b"), col("n_inter").cast("long").as("n_inter"),
+        col("containment"))
+      .orderBy("id_a", "id_b")
+
+  private[graft] val q267Sql = {
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM toks),
+      |e AS (
+      |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+      |freq AS (SELECT s, count(*) AS df FROM e GROUP BY 1),
+      |ranked AS (
+      |  SELECT e.doc_id, e.sz, e.s,
+      |    row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.s) AS rnk
+      |  FROM e JOIN freq f ON f.s = e.s
+      |  WHERE e.sz <= 40),
+      |pref AS (
+      |  SELECT doc_id, s FROM ranked
+      |  WHERE rnk <= sz - ((sz + 3) // 4) + 1),
+      |pbsz AS (SELECT s, count(*) AS m FROM pref GROUP BY 1),
+      |prefc AS (
+      |  SELECT p.doc_id, p.s FROM pref p JOIN pbsz ON pbsz.s = p.s
+      |  WHERE pbsz.m <= ${Dedup.DefaultMaxBucketSize}),
+      |fbsz AS (SELECT s, count(*) AS m FROM e GROUP BY 1),
+      |fullc AS (
+      |  SELECT e.doc_id, e.s FROM e JOIN fbsz ON fbsz.s = e.s
+      |  WHERE fbsz.m <= ${Dedup.DefaultMaxBucketSize}),
+      |scand AS (
+      |  SELECT DISTINCT least(p.doc_id, f.doc_id) AS id_a,
+      |    greatest(p.doc_id, f.doc_id) AS id_b
+      |  FROM prefc p JOIN fullc f ON p.s = f.s AND p.doc_id <> f.doc_id),
+      |sig AS (
+      |  SELECT x.doc_id, band.b AS band,
+      |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
+      |  FROM sh x, unnest(x.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
+      |  WHERE len(x.sh) > 40
+      |  GROUP BY x.doc_id, band.b),
+      |mcand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |cand AS (SELECT id_a, id_b FROM scand UNION SELECT id_a, id_b FROM mcand)
+      |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+      |  round(CAST(n_inter AS DOUBLE) / m, 4) AS containment
+      |FROM (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_intersect(x.sh, y.sh)) AS n_inter,
+      |    least(len(x.sh), len(y.sh)) AS m
+      |  FROM cand c JOIN sh x ON c.id_a = x.doc_id
+      |  JOIN sh y ON c.id_b = y.doc_id)
+      |WHERE 4 * n_inter >= m
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** CUBE / grouping-sets aggregation over lineitem — the subtotal
     * lattice (every (returnflag, linestatus) cell, both marginals, and
     * the grand total in ONE pass; Catalyst expands the sets and the
