@@ -129,13 +129,25 @@ object Bench {
     val loadFlag = sys.env.getOrElse("SPARK_GRAFT_LOAD_FLAG", "4.0").toDouble
     var quietBudgetMs =
       sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_SEC", "90").toLong * 1000L
+    // EXTERNAL-load meter (r15 flag-quality fix): the raw 1-min loadavg
+    // counts the bench's OWN Spark threads, so a busy bench flagged
+    // itself on a quiet host (154/267 quiet_failed, zero foreign JVMs)
+    // and every end-of-run quiet wait paid the ~60 s decay of its own
+    // load history. Flagging and quiet-waiting now read /proc/stat
+    // busy jiffies MINUS /proc/self over the exact query window —
+    // cores someone ELSE burns. loadavg still rides along in the
+    // artifact's `load` map for cross-round comparison.
+    val extMeter = new MeasureGuard.ExternalLoadMeter
+    val quietMeter = new MeasureGuard.ExternalLoadMeter
     def waitForQuiet(): Boolean = {
-      var quiet = MeasureGuard.loadAvg1() < loadFlag &&
-        MeasureGuard.foreignJvms().isEmpty
-      while (!quiet && quietBudgetMs > 0) {
-        Thread.sleep(3000); quietBudgetMs -= 3000
-        quiet = MeasureGuard.loadAvg1() < loadFlag &&
-          MeasureGuard.foreignJvms().isEmpty
+      quietMeter.sample() // reset the window to now
+      var quiet = false
+      var first = true
+      while (!quiet && (first || quietBudgetMs > 0)) {
+        Thread.sleep(1500); quietBudgetMs -= 1500
+        first = false
+        val ext = quietMeter.sample()
+        quiet = ext >= 0 && ext < loadFlag && MeasureGuard.foreignJvms().isEmpty
       }
       quiet
     }
@@ -166,6 +178,7 @@ object Bench {
     // PASS 1 — measure everything, NO inline quiet waits (a sustained
     // load would burn the whole budget on the first flagged queries;
     // r14's artifact did exactly that). Flagged queries retry in pass 2.
+    extMeter.sample() // align the meter window to the first query
     val measured = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % canaryEvery == 0) runCanary(i)
       val load0 = MeasureGuard.loadAvg1()
@@ -178,8 +191,12 @@ object Bench {
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       val load = math.max(load0, MeasureGuard.loadAvg1())
       val fj = math.max(fj0, MeasureGuard.foreignJvms().size)
-      val flagged = median >= 0 && (fj > 0 || load >= loadFlag)
-      (n, i, cold, median, load, fj, flagged)
+      // external busy cores over THIS query's reps window — self-load
+      // excluded, no 1-min smoothing; -1 (no /proc) falls back to loadavg
+      val ext = extMeter.sample()
+      val flagged = median >= 0 && (fj > 0 ||
+        (if (ext >= 0) ext >= loadFlag else load >= loadFlag))
+      (n, i, cold, median, load, fj, flagged, ext)
     }
     runCanary(names.size)
     // PASS 2 — END-OF-RUN quiet retries (the load that contended pass 1
@@ -187,7 +204,8 @@ object Bench {
     // same acceptance rule as before — a retry must START quiet and
     // still be quiet AFTER its reps to count; otherwise keep the
     // least-inflated median seen and flag the query in quiet_failed.
-    val results = measured.map { case (n, i, cold, median, load, fj, flagged) =>
+    val retryMeter = new MeasureGuard.ExternalLoadMeter
+    val results = measured.map { case (n, i, cold, median, load, fj, flagged, _) =>
       var quietMedian = median
       var contended = false
       if (flagged) {
@@ -195,10 +213,11 @@ object Bench {
         var accepted = false
         while (!accepted && attempt < 3 && waitForQuiet()) {
           attempt += 1
+          retryMeter.sample() // window = this retry's reps
           val redo = (1 to reps).map(_ => materialize(n)).filter(_ >= 0).sorted
-          val reLoad = MeasureGuard.loadAvg1()
+          val reExt = retryMeter.sample()
           val reFj = MeasureGuard.foreignJvms().size
-          if (redo.nonEmpty && reFj == 0 && reLoad < loadFlag) {
+          if (redo.nonEmpty && reFj == 0 && reExt >= 0 && reExt < loadFlag) {
             quietMedian = redo(redo.size / 2)
             accepted = true
           } else if (redo.nonEmpty) {
@@ -249,6 +268,11 @@ object Bench {
     val qs = obj(r => (r._1, r._2))
     val steady = obj(r => (r._1, r._3))
     val loads = obj(r => (r._1, r._4), r1)
+    // external busy cores per query window (self-load excluded) — the
+    // number the flag actually read; loadavg stays for cross-round
+    // comparison
+    val xloads = measured
+      .map(m => "\"" + m._1 + "\":" + r1(m._8)).mkString("{", ",", "}")
     val steadyQuiet = obj(r => (r._1, r._6))
     val steadyDeflated = obj(r => (r._1, deflated(r)))
     val quietFailed = results.filter(_._7).map("\"" + _._1 + "\"")
@@ -260,7 +284,7 @@ object Bench {
     val canaryJson = canaryObs
       .map(o => s"[${o._1},${r4(o._2)},${r1(o._3)}]").mkString("[", ",", "]")
     val anchorJson = canaryAnchor.map(r4).getOrElse("-1")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"steady":$steady,"steady_quiet":$steadyQuiet,"steady_deflated":$steadyDeflated,"load":$loads,"steady_total":${r4(steadyTotal)},"steady_quiet_total":${r4(quietTotal)},"deflated_total":${r4(deflTotal)},"canary":{"name":"$canaryName","anchor":$anchorJson,"obs":$canaryJson},"quiet_failed":$quietFailed,"sf":"$sfDir","contended_jvms":${contended.size}}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"steady":$steady,"steady_quiet":$steadyQuiet,"steady_deflated":$steadyDeflated,"load":$loads,"xload":$xloads,"steady_total":${r4(steadyTotal)},"steady_quiet_total":${r4(quietTotal)},"deflated_total":${r4(deflTotal)},"canary":{"name":"$canaryName","anchor":$anchorJson,"obs":$canaryJson},"quiet_failed":$quietFailed,"sf":"$sfDir","contended_jvms":${contended.size}}""")
     // The full line above overflows a 2000-char tail capture with 130+
     // queries, so no prior round's harness artifact ever parsed it.
     // Emit a LAST compact line that always fits: headline totals + the

@@ -40,6 +40,61 @@ object MeasureGuard {
       finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** Busy jiffies across all CPUs (user+nice+system+irq+softirq+steal,
+    * NOT idle/iowait) from /proc/stat's aggregate cpu line. -1 where
+    * /proc is unavailable. */
+  private def totalBusyJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+") // "cpu u n s idle iow irq sirq steal ..."
+        // skip idle (f(4)) and iowait (f(5)); sum the rest of the counters
+        f.drop(1).zipWithIndex
+          .filter { case (_, i) => i != 3 && i != 4 }
+          .map(_._1.toLong).sum
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** This process's own consumed jiffies (utime+stime from
+    * /proc/self/stat — GC and all JVM threads included). */
+  private def ownJiffies(): Long =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+      // comm (field 2) may contain spaces — split after its closing paren
+      val f = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      f(11).toLong + f(12).toLong // utime (field 14), stime (field 15)
+    } catch { case _: Throwable => -1L }
+
+  /** EXTERNAL busy-core meter — the r15 flag-quality fix: 1-min loadavg
+    * counts this process's OWN 32-thread Spark work, so a busy bench on
+    * a quiet host flags ITSELF (r15 closing run: 154/267 quiet_failed
+    * with zero foreign JVMs and a quiet machine) — and the 1-minute
+    * smoothing makes a post-run quiet wait pay a ~60 s decay tax on the
+    * bench's own history. Sampling /proc/stat total busy jiffies MINUS
+    * /proc/self jiffies over an explicit window measures what the flag
+    * actually means: CPU cores someone ELSE is burning right now.
+    * jiffy rate = USER_HZ = 100 on Linux (pinned; no JVM sysconf). */
+  final class ExternalLoadMeter {
+    private var lastBusy = totalBusyJiffies()
+    private var lastOwn = ownJiffies()
+    private var lastNs = System.nanoTime()
+    /** External busy cores averaged since the previous sample (or
+      * construction); advances the window. -1 where /proc is absent. */
+    def sample(): Double = {
+      val busy = totalBusyJiffies()
+      val own = ownJiffies()
+      val ns = System.nanoTime()
+      if (busy < 0 || own < 0 || lastBusy < 0 || lastOwn < 0) { -1.0 }
+      else {
+        val wallSec = math.max(1e-3, (ns - lastNs) / 1e9)
+        val ext = ((busy - lastBusy) - (own - lastOwn)) / 100.0 / wallSec
+        lastBusy = busy; lastOwn = own; lastNs = ns
+        math.max(0.0, ext)
+      }
+    }
+  }
+
   /** Warn (always, stderr) and abort (SPARK_GRAFT_STRICT=1) when a
     * foreign JVM is alive at timing start. Returns the offending pids so
     * callers can flag their output artifact — a contended measurement
