@@ -93,6 +93,11 @@ object ScaleProbe {
         args.lift(2).map(_.toInt).getOrElse(20))
       return
     }
+    if (args.headOption.contains("hamming")) {
+      hammingProbe(args.lift(1).map(_.toInt).getOrElse(1000),
+        uncapped = args.lift(2).contains("uncapped"))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1804,6 +1809,95 @@ object ScaleProbe {
     * from an argument into a measurement. Batch feeding is hard-linked
     * (same /tmp fs) and outside the timed section; sinks are noop so
     * driver memory stays flat at 100M events. */
+  /** Banded-Hamming near-dup at scale (`ScaleProbe hamming 1000` = 2M
+    * 64-bit hashes) — the JOIN-dominated leg of the
+    * [[graft.operators.Dedup.hammingNearDups]] scale story (q264's ×100
+    * Profile leg is decode-dominated; this isolates the band-bucket
+    * join + popcount verify). Corpus: 4-member flip families (the q258
+    * construction — members {0,1,2,4} bit flips, so truth at radius 2
+    * is exactly {01,02,12,23} per clean family) plus a BOILERPLATE pile
+    * (id % 101 = one fixed hash, ~1% of the corpus — at 2M rows that is
+    * a ~20k-member bucket per band, C(20k,2)·4 ≈ 8×10⁸ candidate rows
+    * if uncapped). Legs: capped detector wall + pair count, EXACT
+    * set-equality vs the planted truth (banding is lossless at
+    * radius ≤ bands−1; cross-family 60-bit coincidences are ~2⁻⁴⁰),
+    * dropped-bucket accounting; `uncapped` appends the degenerate mode
+    * (run it at a smaller factor). */
+  def hammingProbe(factor: Int, uncapped: Boolean): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    MeasureGuard.checkQuietHost("hamming-probe")
+    val n = factor * 2000L
+    val path = s"/tmp/graft-hamming-$factor"
+    if (!parquetComplete(spark, path)) {
+      def bit(j: Int) = expr(
+        s"""shiftleft(CAST(1 AS BIGINT), CAST(
+           |  (CAST(conv(substring(md5(concat('hpos:', CAST(id DIV 4 AS STRING))), 1, 2), 16, 10) AS INT) % 56
+           |   + 7 * $j) % 56 AS INT))""".stripMargin)
+      val baseBits = expr(
+        "CAST(conv(substring(md5(concat('hfam:', CAST(id DIV 4 AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+      val m = (col("id") % 4).cast("int")
+      val mask = when(m === 0, lit(0L))
+        .when(m === 1, bit(0))
+        .when(m === 2, bit(0).bitwiseXOR(bit(1)))
+        .otherwise(bit(0).bitwiseXOR(bit(1)).bitwiseXOR(bit(2)).bitwiseXOR(bit(3)))
+      spark.range(n)
+        .select(col("id"),
+          when(col("id") % 101 === 0, lit(0x123456789ABCDL))
+            .otherwise(baseBits.bitwiseXOR(mask)).as("h"))
+        .write.mode("overwrite").parquet(path)
+      println(s"[scale] staged $path (one-off, $n hashes)")
+    }
+    val hashes = spark.read.parquet(path)
+    def timeWarm(name: String)(f: => Long): Unit = {
+      f // warmup
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val out = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-34s $sec%7.2f s  ($out rows)")
+    }
+    timeWarm(s"hammingNearDups capped (n=$n)")(
+      Dedup.hammingNearDups(hashes, "h", "id").count())
+    timeWarm("hammingDroppedBuckets")(
+      Dedup.hammingDroppedBuckets(hashes, "h", "id", bands = 4,
+        bandBits = 16).count())
+    // planted-truth recall vs CLEAN (non-boilerplate) intra-family
+    // pairs at d <= 2. recall must be 1.0 at every factor (lossless
+    // banding at the radius). precision against this truth reads the
+    // cap regime: once the pile exceeds maxBucketSize (factor >= ~51)
+    // its pairs drop and precision goes to ~1.0; under-cap factors
+    // honestly detect the pile's C(m,2) identical pairs (precision
+    // ~0.5 at factor 10) — they ARE near-dups, just not in `truth`.
+    val clean = hashes.filter(col("id") % 101 =!= 0)
+      .select(expr("id div 4").as("fam"), col("id"), col("h"))
+    val truth = clean.as("a")
+      .join(clean.as("b"), expr("a.fam = b.fam AND a.id < b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("d"))
+      .filter(col("d") <= 2)
+    val got = Dedup.hammingNearDups(hashes, "h", "id")
+      .select(col("id_a"), col("id_b"))
+    val nTruth = truth.count()
+    val nGot = got.count()
+    val nHit = got.join(truth.select("id_a", "id_b"), Seq("id_a", "id_b")).count()
+    println(f"[scale] hamming truth=$nTruth%d detected=$nGot%d hit=$nHit%d " +
+      f"recall=${nHit.toDouble / math.max(1, nTruth)}%.4f " +
+      f"precision=${nHit.toDouble / math.max(1, nGot)}%.4f")
+    if (uncapped)
+      timeWarm("hammingNearDups UNCAPPED (degenerate)")(
+        Dedup.hammingNearDups(hashes, "h", "id",
+          maxBucketSize = Int.MaxValue).count())
+    spark.stop()
+  }
+
   def streamProbe(factor: Int, nBatches: Int): Unit = {
     import graft.streaming.EventStream
     import graft.streaming.EventStream.RawEvent
