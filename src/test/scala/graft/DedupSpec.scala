@@ -410,6 +410,31 @@ class DedupSpec extends AnyFunSuite {
     assert(dropped.length == 4 && dropped.forall(_ == 12L))
   }
 
+  test("hammingNearDups evaluates the hash input ONCE (shared stage feeds both join sides)") {
+    // the image/audio callers pay a real DECODE per row — if the
+    // band-bucket self-join re-evaluated its input per side, every
+    // asset would decode twice. AQE builds the broadcast side FROM the
+    // probe side's shuffle stage (exchange reuse), so the input runs
+    // once; pin that with an accumulator on a parquet-backed frame
+    // (LocalTableScan would fold the map away — the PcaTransformSpec
+    // idiom).
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ham-once").toString + "/hashes"
+    spark.range(20000)
+      .select(col("id"),
+        (expr("CAST(conv(substring(md5(concat('f:', CAST(id DIV 4 AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .bitwiseXOR(when(col("id") % 4 === 0, 0L)
+            .otherwise(shiftleft(lit(1L), 3)))).as("h"))
+      .write.mode("overwrite").parquet(p)
+    val acc = spark.sparkContext.longAccumulator("hamMapRuns")
+    val counted = spark.read.parquet(p).as[(Long, Long)]
+      .map { x => acc.add(1); x }.toDF("id", "h")
+    val n = Dedup.hammingNearDups(counted, "h", "id", maxHamming = 2).count()
+    assert(n == 30000L) // 5000 families x C(4,2) intra-family pairs at d<=1
+    assert(acc.value == 20000L,
+      s"hash input evaluated ${acc.value.toDouble / 20000}x — the decode would run per join side")
+  }
+
   test("simhash near-dup plan: band self-join is an equality join, never all-pairs") {
     val docs = (0 until 64).map(i =>
       (i.toLong, (1 to 30).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
