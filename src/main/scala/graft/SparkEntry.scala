@@ -302,6 +302,7 @@ object SparkEntry
     "q265_containment_decon" -> (q265ContainmentDecon _),
     "q266_unigram_pack" -> (q266UnigramPack _),
     "q267_containment_tiered" -> (q267ContainmentTiered _),
+    "q268_stream_asset_screen" -> (q268StreamAssetScreen _),
     "q254_unigram_encode" -> (q254UnigramEncode _),
     "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
@@ -516,6 +517,7 @@ object SparkEntry
     "q264_image_neardup_corpus" -> q264Sql,
     "q265_containment_decon" -> q265Sql,
     "q267_containment_tiered" -> q267Sql,
+    "q268_stream_asset_screen" -> q268Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -1849,39 +1849,13 @@ private[graft] trait SparkEntryIndex { this: SparkEntry.type =>
     import s.implicits._
     val hashed = t(s, dir, "documents")
       .select(col("doc_id")).as[Long]
-      .map { id =>
-        val bp = id % 7 == 0
-        val fam = id / 4
-        val m = (id % 4).toInt
-        def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
-          .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-        val bits60 = java.lang.Long.parseLong(
-          md5hex(if (bp) "bpile" else s"bfam:$fam").substring(0, 15), 16)
-        val base = java.lang.Integer.parseInt(md5hex(s"bpos:$fam").substring(0, 2), 16) % 56
-        val nFlips = if (bp) 0 else if (m == 3) 4 else m
-        val pattern = (0 until nFlips).foldLeft(bits60) { (acc, j) =>
-          acc ^ (1L << ((base + 7 * j) % 56))
-        }
-        val img = new java.awt.image.BufferedImage(
-          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < 64) {
-          val bright = i >= 4 && ((pattern >> (59 - (i - 4))) & 1L) == 1L
-          val v = if (bright) 200 + m else 40 + m
-          img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
-          i += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        val hash = graft.operators.Multimodal.ImageCodec
-          .aHash(bos.toByteArray).getOrElse(-1L)
-        (id, hash)
-      }
+      .map(id => (id, Multimodal.syntheticAssetHash(id)))
       .toDF("asset_id", "ahash")
     Dedup.hammingNearDups(hashed, "ahash", "asset_id",
         bands = 4, bandBits = 16, maxHamming = 2, maxBucketSize = 8)
       .orderBy("id_a", "id_b")
   }
+
 
   private[graft] val q264Sql =
     """WITH f AS (

@@ -681,6 +681,97 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
     } finally rmTree(stage)
   }
 
+  /** STREAMING multimodal asset-dedup screen
+    * ([[graft.operators.Dedup.hammingScreenedIngest]]) — the
+    * screened-ingest posture (q213/q214's tier) carried to PERCEPTUAL
+    * hashes: assets arrive in micro-batches, each batch REALLY renders
+    * + decodes + aHashes its PNGs inside the stream (the q264 fixture,
+    * boilerplate pile included), is screened against every PRIOR
+    * batch's stored hashes via the banded-Hamming join (radius 2,
+    * lossless at ≤ bands−1), and its own hashes join the store
+    * (per-batch-id overwrite — retry-idempotent). Batches are the
+    * doc_id % 3 residue slices with PINNED file mtimes, so the file
+    * source's (modTime, path) ordering makes "prior" deterministic.
+    * The oracle replays hash construction and the screen directly as
+    * the distance join (banding is lossless at the radius and the
+    * store-side bucket cap cannot fire at the gate SFs — the largest
+    * prior bucket is the pile's ≤ ~480 members vs cap 1000). Output:
+    * one row per flagged asset (n_matches, argmin-(hamming, id)
+    * match). */
+  private[graft] def q268StreamAssetScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q268").toString
+    val inDir = s"$stage/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    for (b <- 0 until 3) {
+      val tmp = s"$stage/tmp$b"
+      docs.filter(col("doc_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(inDir, s"b$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
+    }
+    val store = s"$stage/store"
+    val flagged = s"$stage/flagged"
+    try {
+      val q = withStateParts(s, 8) {
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .as[Long].map(id => (id, Multimodal.syntheticAssetHash(id)))
+          .toDF("asset_id", "h")
+        Dedup.hammingScreenedIngest(stream, store, flagged, s"$stage/ckpt")
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(flagged)
+        .select(col("asset_id"), col("n_matches"), col("top_match_id"),
+          col("hamming"))
+        .orderBy("asset_id")
+        .localCheckpoint(true) // materialize before the stage dir dies
+    } finally rmTree(stage)
+  }
+
+  private[graft] val q268Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN CAST('0x' || substr(md5('bpile'), 1, 15) AS BIGINT)
+      |         ELSE CAST('0x' || substr(md5('bfam:' || CAST(doc_id // 4 AS VARCHAR)),
+      |           1, 15) AS BIGINT) END AS bits,
+      |    CAST('0x' || substr(md5('bpos:' || CAST(doc_id // 4 AS VARCHAR)),
+      |      1, 2) AS BIGINT) % 56 AS base,
+      |    CASE WHEN doc_id % 7 = 0 THEN 0
+      |         WHEN doc_id % 4 = 3 THEN 4
+      |         ELSE doc_id % 4 END AS nf
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(bits,
+      |      list_transform(range(0, nf),
+      |        j -> 1::BIGINT << CAST((base + 7 * j) % 56 AS INTEGER))),
+      |      (acc, x) -> xor(acc, x)) AS ahash
+      |  FROM f),
+      |m AS (
+      |  SELECT a.doc_id AS asset_id, p.doc_id AS stored_id,
+      |    bit_count(xor(a.ahash, p.ahash)) AS d
+      |  FROM h a JOIN h p ON (p.doc_id % 3) < (a.doc_id % 3)
+      |  WHERE bit_count(xor(a.ahash, p.ahash)) <= 2),
+      |r AS (
+      |  SELECT asset_id, stored_id,
+      |    row_number() OVER (PARTITION BY asset_id ORDER BY d, stored_id) AS rn
+      |  FROM m)
+      |SELECT g.asset_id, g.n_matches, r.stored_id AS top_match_id, g.hamming
+      |FROM (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_matches,
+      |        CAST(min(d) AS BIGINT) AS hamming
+      |      FROM m GROUP BY 1) g
+      |JOIN (SELECT asset_id, stored_id FROM r WHERE rn = 1) r
+      |  ON g.asset_id = r.asset_id
+      |ORDER BY g.asset_id""".stripMargin
+
   private[graft] val q201Sql =
     """WITH e AS (
       |  SELECT event_type, value, epoch_ns(ts) // 1000 AS tu FROM events)

@@ -1662,6 +1662,96 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Screen a BATCH of hashed assets against a STORED hash table —
+    * [[screenAgainst]]'s contract carried to Hamming space (the
+    * multimodal face of the screened-ingest tier: "has an asset within
+    * radius r of this one been ingested before?"). Banded candidates
+    * (batch side × capped store side on (band, key) — never
+    * all-pairs), one popcount verify per candidate, lossless at
+    * radius ≤ bands − 1. Per flagged asset one row:
+    * (idCol, n_matches, top_match_id, hamming) — argmin by
+    * (hamming asc, stored id asc), the q101 report shape. */
+  def hammingScreenAgainst(batch: DataFrame, stored: DataFrame,
+                           hashCol: String = "h", idCol: String = "asset_id",
+                           bands: Int = 4, bandBits: Int = 16,
+                           maxHamming: Int = 2,
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val bBands = hammingBands(batch, hashCol, idCol, bands, bandBits)
+    val sBands = dropOverflow(
+      hammingBands(stored, hashCol, idCol, bands, bandBits),
+      Seq("band", "key"), maxBucketSize)
+    bBands
+      .join(sBands.select(col("band"), col("key"),
+        col("id").as("stored_id"), col("h").as("stored_h")), Seq("band", "key"))
+      .select(col("id"), col("stored_id"),
+        bit_count(col("h").bitwiseXOR(col("stored_h"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        min(struct(col("hamming"), col("stored_id"))).as("__m"))
+      .select(col(idCol), col("n_matches"),
+        col("__m").getField("stored_id").as("top_match_id"),
+        col("__m").getField("hamming").as("hamming"))
+  }
+
+  /** One micro-batch of [[hammingScreenedIngest]] — [[screenBatch]]'s
+    * retry discipline on the hash store: screen against every PRIOR
+    * `batch=<id>` dir (own dir excluded, so an at-least-once replay
+    * never self-flags), then overwrite this batch's own store dir
+    * (per-batch-id overwrite = idempotent retry). Store rows are
+    * (idCol, hashCol) only — the 100 TB posture stores 8 bytes per
+    * asset, never payloads. */
+  private[graft] def hammingScreenBatch(batch: DataFrame, batchId: Long,
+                                        storePath: String, flaggedPath: String,
+                                        hashCol: String, idCol: String,
+                                        bands: Int, bandBits: Int,
+                                        maxHamming: Int,
+                                        maxBucketSize: Int): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
+      val seen = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$storePath/batch=*"))
+      val prior =
+        if (seen == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else seen.filterNot(_.getPath.getName == s"batch=$batchId")
+      if (prior.nonEmpty)
+        hammingScreenAgainst(b,
+            spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+              .select(idCol, hashCol),
+            hashCol, idCol, bands, bandBits, maxHamming, maxBucketSize)
+          .write.mode("overwrite").parquet(s"$flaggedPath/batch=$batchId")
+      b.select(idCol, hashCol)
+        .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    } finally b.unpersist()
+  }
+
+  /** STREAMING asset-dedup screen — [[screenedIngest]] for perceptual
+    * hashes: each micro-batch of (idCol, hashCol) assets is screened
+    * against everything ingested before it and its hashes join the
+    * store. The caller owns hashing (decode + aHash / energy-hash maps
+    * stay outside so the operator works for any ≤ 64-bit hash). */
+  def hammingScreenedIngest(assets: DataFrame, storePath: String,
+                            flaggedPath: String, checkpointPath: String,
+                            hashCol: String = "h", idCol: String = "asset_id",
+                            bands: Int = 4, bandBits: Int = 16,
+                            maxHamming: Int = 2,
+                            maxBucketSize: Int = DefaultMaxBucketSize)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(assets.isStreaming, "hammingScreenedIngest expects a streaming DataFrame")
+    assets.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        hammingScreenBatch(batch.toDF(), batchId, storePath, flaggedPath,
+          hashCol, idCol, bands, bandBits, maxHamming, maxBucketSize)
+      }
+      .start()
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (e.g. a label or
     * IVF cell): equality-join on the block, codegen dot product, keep pairs
     * above `minCos`. Blocking keeps the join linear-ish instead of

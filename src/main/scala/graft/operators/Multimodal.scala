@@ -395,4 +395,35 @@ object Multimodal {
         payload)
     }.toDF("asset_id", "media_type", "payload")
   }
+
+  /** The q264/q268 asset fixture: render the doc's synthetic PNG (flip
+    * family or boilerplate-pile pattern) and push it through the REAL
+    * decode + aHash path. Every output bit is predictable from doc_id
+    * arithmetic — the q258 construction with the pile override. */
+  def syntheticAssetHash(id: Long): Long = {
+    val bp = id % 7 == 0
+    val fam = id / 4
+    val m = (id % 4).toInt
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val bits60 = java.lang.Long.parseLong(
+      md5hex(if (bp) "bpile" else s"bfam:$fam").substring(0, 15), 16)
+    val base = java.lang.Integer.parseInt(md5hex(s"bpos:$fam").substring(0, 2), 16) % 56
+    val nFlips = if (bp) 0 else if (m == 3) 4 else m
+    val pattern = (0 until nFlips).foldLeft(bits60) { (acc, j) =>
+      acc ^ (1L << ((base + 7 * j) % 56))
+    }
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val bright = i >= 4 && ((pattern >> (59 - (i - 4))) & 1L) == 1L
+      val v = if (bright) 200 + m else 40 + m
+      img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    ImageCodec.aHash(bos.toByteArray).getOrElse(-1L)
+  }
 }

@@ -410,6 +410,40 @@ class DedupSpec extends AnyFunSuite {
     assert(dropped.length == 4 && dropped.forall(_ == 12L))
   }
 
+  test("hammingScreenBatch: prior-only flags, argmin report, replay-idempotent, no self-flag") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hamscreen").toString
+    val store = s"$dir/store"; val flagged = s"$dir/flagged"
+    def run(ids: Seq[(Long, Long)], batchId: Long): Unit =
+      Dedup.hammingScreenBatch(ids.toDF("asset_id", "h"), batchId, store,
+        flagged, "h", "asset_id", bands = 4, bandBits = 16,
+        maxHamming = 2, maxBucketSize = 1000)
+    val base = 0x0F0E0D0C0B0A09L
+    // batch 0: no prior -> no flagged dir; identical in-batch hashes do
+    // NOT self-flag (the screen is cross-batch by contract)
+    run(Seq((1L, base), (2L, base)), 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(flagged, "batch=0")))
+    // batch 1: 10 matches both stored at d 0/1 -> argmin (0, id 1);
+    // 11 matches only via d=2; 12 is far
+    run(Seq((10L, base ^ 1L), (11L, base ^ 3L), (12L, ~base)), 1L)
+    def readFlagged(b: Long) =
+      spark.read.parquet(s"$flagged/batch=$b")
+        .select("asset_id", "n_matches", "top_match_id", "hamming")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val f1 = readFlagged(1L)
+    assert(f1 == Set((10L, 2L, 1L, 1L), (11L, 2L, 1L, 2L)))
+    // REPLAY batch 1 (at-least-once): own store dir excluded from the
+    // screen -> identical flagged output, store unchanged
+    run(Seq((10L, base ^ 1L), (11L, base ^ 3L), (12L, ~base)), 1L)
+    assert(readFlagged(1L) == f1)
+    assert(spark.read.parquet(store).count() == 5L)
+    // batch 2 screens against BOTH prior batches
+    run(Seq((20L, base ^ 1L)), 2L)
+    // 20 matches 1,2 (d=1) and 10 (d=0) and 11 (d=2... h=base^1 vs base^3 -> d=1)
+    assert(readFlagged(2L) == Set((20L, 4L, 10L, 0L)))
+  }
+
   test("hammingNearDups evaluates the hash input ONCE (shared stage feeds both join sides)") {
     // the image/audio callers pay a real DECODE per row — if the
     // band-bucket self-join re-evaluated its input per side, every
