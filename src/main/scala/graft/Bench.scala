@@ -127,8 +127,25 @@ object Bench {
     // `quiet_failed` (their steady_quiet is the MIN median observed —
     // the least-inflated estimate available — still marked contended).
     val loadFlag = sys.env.getOrElse("SPARK_GRAFT_LOAD_FLAG", "4.0").toDouble
+    // SUB-THRESHOLD taint (r15 judge #1: six phantom 2-3× regressions
+    // rode xload 1.6-4.0 windows that the 4.0 flag accepted as quiet —
+    // a 2-core thief doubles a 0.3 s query but is invisible at 4.0).
+    // Any pass-1 window with external busy cores above this is TAINTED:
+    // it gets an end-of-run quiet retry (bounded by the retry budget,
+    // flagged queries first) and, failing that, canary deflation — so
+    // steady_deflated never silently accepts a load-inflated number.
+    val xloadTaint = sys.env.getOrElse("SPARK_GRAFT_XLOAD_DEFLATE", "0.5").toDouble
     var quietBudgetMs =
       sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_SEC", "90").toLong * 1000L
+    // Separate wall-clock budget for pass-2 RE-RUNS (the wait budget
+    // above bounds only sleeps): with the taint threshold at 0.5 cores
+    // a loaded host can taint most of the surface, and unbounded
+    // retries would multiply the bench's wall time past the driver's
+    // patience. Flagged (≥ loadFlag) queries always retry — their
+    // numbers are the most corrupted; tainted ones retry while this
+    // budget lasts, worst windows first.
+    var retryBudgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET_SEC", "180").toLong * 1000L
     // EXTERNAL-load meter (r15 flag-quality fix): the raw 1-min loadavg
     // counts the bench's OWN Spark threads, so a busy bench flagged
     // itself on a quiet host (154/267 quiet_failed, zero foreign JVMs)
@@ -139,6 +156,16 @@ object Bench {
     // artifact's `load` map for cross-round comparison.
     val extMeter = new MeasureGuard.ExternalLoadMeter
     val quietMeter = new MeasureGuard.ExternalLoadMeter
+    // Quiet predicate shared by the wait loop and retry acceptance:
+    // STRICT (ext < xloadTaint, not < loadFlag) — an "accepted quiet"
+    // number must be genuinely quiet or the taint machinery above it is
+    // circular (a retry at 1.9 cores external would re-enter the
+    // artifact unmarked). On a /proc-less host ext is -1: fall back to
+    // 1-min loadavg < loadFlag (the r15 ADVICE gap — without this every
+    // flagged query burned its sleeps and landed in quiet_failed).
+    def isQuiet(ext: Double): Boolean =
+      (if (ext >= 0) ext < xloadTaint else MeasureGuard.loadAvg1() < loadFlag) &&
+        MeasureGuard.foreignJvms().isEmpty
     def waitForQuiet(): Boolean = {
       quietMeter.sample() // reset the window to now
       var quiet = false
@@ -146,8 +173,7 @@ object Bench {
       while (!quiet && (first || quietBudgetMs > 0)) {
         Thread.sleep(1500); quietBudgetMs -= 1500
         first = false
-        val ext = quietMeter.sample()
-        quiet = ext >= 0 && ext < loadFlag && MeasureGuard.foreignJvms().isEmpty
+        quiet = isQuiet(quietMeter.sample())
       }
       quiet
     }
@@ -178,6 +204,12 @@ object Bench {
     // PASS 1 — measure everything, NO inline quiet waits (a sustained
     // load would burn the whole budget on the first flagged queries;
     // r14's artifact did exactly that). Flagged queries retry in pass 2.
+    case class Meas(name: String, pos: Int, cold: Double, median: Double,
+                    load: Double, fj: Int, flagged: Boolean, ext: Double) {
+      // sub-threshold external load: not contended enough to flag, but
+      // enough to corrupt sub-second medians (the r15 phantom class)
+      def tainted: Boolean = median >= 0 && ext >= 0 && ext > xloadTaint
+    }
     extMeter.sample() // align the meter window to the first query
     val measured = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % canaryEvery == 0) runCanary(i)
@@ -196,46 +228,64 @@ object Bench {
       val ext = extMeter.sample()
       val flagged = median >= 0 && (fj > 0 ||
         (if (ext >= 0) ext >= loadFlag else load >= loadFlag))
-      (n, i, cold, median, load, fj, flagged, ext)
+      Meas(n, i, cold, median, load, fj, flagged, ext)
     }
     runCanary(names.size)
     // PASS 2 — END-OF-RUN quiet retries (the load that contended pass 1
-    // may have subsided by now; inline retries could never see that):
-    // same acceptance rule as before — a retry must START quiet and
-    // still be quiet AFTER its reps to count; otherwise keep the
-    // least-inflated median seen and flag the query in quiet_failed.
+    // may have subsided by now; inline retries could never see that).
+    // Retry set = flagged ∪ tainted, worst windows first (flagged, then
+    // descending xload); flagged queries always retry, tainted ones
+    // while the retry wall-clock budget lasts. Acceptance is the STRICT
+    // quiet predicate — a retry must start quiet and still be quiet
+    // after its reps; otherwise the raw retry medians only ever LOWER
+    // the estimate, never launder a loaded window into "quiet".
     val retryMeter = new MeasureGuard.ExternalLoadMeter
-    val results = measured.map { case (n, i, cold, median, load, fj, flagged, _) =>
-      var quietMedian = median
-      var contended = false
-      if (flagged) {
-        var attempt = 0
-        var accepted = false
-        while (!accepted && attempt < 3 && waitForQuiet()) {
-          attempt += 1
-          retryMeter.sample() // window = this retry's reps
-          val redo = (1 to reps).map(_ => materialize(n)).filter(_ >= 0).sorted
-          val reExt = retryMeter.sample()
-          val reFj = MeasureGuard.foreignJvms().size
-          if (redo.nonEmpty && reFj == 0 && reExt >= 0 && reExt < loadFlag) {
-            quietMedian = redo(redo.size / 2)
-            accepted = true
-          } else if (redo.nonEmpty) {
-            // contended re-run: keep the least-inflated estimate seen
-            quietMedian = math.min(quietMedian, redo(redo.size / 2))
-          }
+    // name -> (min raw retry median, accepted-quiet?)
+    val retryOut = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
+    val retryable = measured
+      .filter(m => m.flagged || m.tainted)
+      .sortBy(m => (!m.flagged, -m.ext))
+    for (m <- retryable if m.flagged || retryBudgetMs > 0) {
+      var attempt = 0
+      var accepted = false
+      var best = Double.MaxValue
+      while (!accepted && attempt < 3 && waitForQuiet()) {
+        attempt += 1
+        val t0 = System.nanoTime()
+        retryMeter.sample() // window = this retry's reps
+        val redo = (1 to reps).map(_ => materialize(m.name)).filter(_ >= 0).sorted
+        val reExt = retryMeter.sample()
+        retryBudgetMs -= (System.nanoTime() - t0) / 1000000L
+        if (redo.nonEmpty) {
+          best = math.min(best, redo(redo.size / 2))
+          accepted = isQuiet(reExt)
         }
-        contended = !accepted
-        if (contended) System.err.println(
-          s"[bench] $n: no quiet window within budget — steady_quiet is " +
-            "the min contended median; deflate by canary_ratio at pos " + i)
       }
-      (n, cold, median, load, fj, quietMedian, contended, flagged, i)
+      retryOut(m.name) = (best, accepted)
+      if (!accepted) System.err.println(
+        s"[bench] ${m.name}: no quiet window within budget — steady_quiet " +
+          "is the min contended median; steady_deflated divides the pass-1 " +
+          "median by the canary ratio at pos " + m.pos)
+    }
+    case class Res(m: Meas, quietMedian: Double, accepted: Boolean) {
+      def contended: Boolean = (m.flagged || m.tainted) && !accepted
+    }
+    val results = measured.map { m =>
+      val (best, accepted) = retryOut.getOrElse(m.name, (Double.MaxValue, false))
+      val quietMedian =
+        if (m.median < 0 || best == Double.MaxValue) m.median
+        else math.min(m.median, best)
+      Res(m, quietMedian, accepted)
     }
     // deflation: anchor from env (committed quiet value) or run minimum;
     // a query's ratio is the nearest canary observation's obs/anchor
-    // (clamped ≥ 1 — a canary can't run FASTER than quiet). Only
-    // still-contended queries deflate; accepted-quiet numbers stand.
+    // (clamped ≥ 1 — a canary can't run FASTER than quiet). Accepted
+    // -quiet numbers stand. For never-quiet (flagged or tainted)
+    // queries, the ratio divides ONLY the pass-1 median — the r15
+    // ADVICE pairing rule: a pass-2 retry median was measured in a
+    // DIFFERENT load window than the pass-1 canary ratio, so dividing
+    // it by that ratio can undershoot the true quiet time. The retained
+    // value is min(raw medians seen, pass1 / pass1-ratio).
     val canaryAnchor = sys.env.get("SPARK_GRAFT_CANARY_ANCHOR").map(_.toDouble)
       .orElse(if (canaryObs.nonEmpty) Some(canaryObs.map(_._2).min) else None)
     def ratioAt(pos: Int): Double =
@@ -243,14 +293,16 @@ object Bench {
         val obs = canaryObs.minBy(o => math.abs(o._1 - pos))._2
         math.max(1.0, obs / a)
       }).getOrElse(1.0)
-    def deflated(r: (String, Double, Double, Double, Int, Double, Boolean, Boolean, Int)): Double =
-      if (r._6 < 0) r._6
-      else if (r._7) r._6 / ratioAt(r._9)
-      else r._6
+    def deflated(r: Res): Double =
+      if (r.quietMedian < 0) r.quietMedian
+      else if (r.accepted) r.quietMedian
+      else if (r.m.flagged || r.m.tainted)
+        math.min(r.quietMedian, r.m.median / ratioAt(r.m.pos))
+      else r.quietMedian
     // guard the folds: SPARK_GRAFT_ONLY with a stale name yields zero
     // queries, and the artifact must still print (not throw empty.max)
-    val maxLoad = if (results.isEmpty) -1.0 else results.map(_._4).max
-    val midContended = results.filter(_._5 > 0)
+    val maxLoad = if (results.isEmpty) -1.0 else results.map(_.m.load).max
+    val midContended = results.filter(_.m.fj > 0)
     // 4-decimal values: sub-0.1ms precision is noise, and the full
     // two-map line must stay as short as possible — the harness keeps
     // only the LAST ~2000 chars of output, so every wasted digit
@@ -261,25 +313,24 @@ object Bench {
     def r1(v: Double): String =
       if (v < 0) "-1" else
         BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-    def obj(f: ((String, Double, Double, Double, Int, Double, Boolean, Boolean, Int)) => (String, Double),
-            fmt: Double => String = r4): String =
+    def obj(f: Res => (String, Double), fmt: Double => String = r4): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val qs = obj(r => (r._1, r._2))
-    val steady = obj(r => (r._1, r._3))
-    val loads = obj(r => (r._1, r._4), r1)
+    val qs = obj(r => (r.m.name, r.m.cold))
+    val steady = obj(r => (r.m.name, r.m.median))
+    val loads = obj(r => (r.m.name, r.m.load), r1)
     // external busy cores per query window (self-load excluded) — the
     // number the flag actually read; loadavg stays for cross-round
     // comparison
     val xloads = measured
-      .map(m => "\"" + m._1 + "\":" + r1(m._8)).mkString("{", ",", "}")
-    val steadyQuiet = obj(r => (r._1, r._6))
-    val steadyDeflated = obj(r => (r._1, deflated(r)))
-    val quietFailed = results.filter(_._7).map("\"" + _._1 + "\"")
+      .map(m => "\"" + m.name + "\":" + r1(m.ext)).mkString("{", ",", "}")
+    val steadyQuiet = obj(r => (r.m.name, r.quietMedian))
+    val steadyDeflated = obj(r => (r.m.name, deflated(r)))
+    val quietFailed = results.filter(_.contended).map("\"" + _.m.name + "\"")
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val steadyTotal = results.map(_._3).filter(_ >= 0).sum
-    val quietTotal = results.map(_._6).filter(_ >= 0).sum
+    val total = results.map(_.m.cold).filter(_ >= 0).sum
+    val steadyTotal = results.map(_.m.median).filter(_ >= 0).sum
+    val quietTotal = results.map(_.quietMedian).filter(_ >= 0).sum
     val deflTotal = results.map(deflated).filter(_ >= 0).sum
     val canaryJson = canaryObs
       .map(o => s"[${o._1},${r4(o._2)},${r1(o._3)}]").mkString("[", ",", "]")
@@ -294,20 +345,21 @@ object Bench {
     // the slowest list now ranks by the QUIET column — the number a
     // plan-regression hunt should read first (load inflation no longer
     // reorders it)
-    val slowest = results.filter(_._6 >= 0).sortBy(-_._6).take(10)
-      .map(r => "\"" + r._1 + "\":" + r4(r._6)).mkString("{", ",", "}")
+    val slowest = results.filter(_.quietMedian >= 0).sortBy(-_.quietMedian).take(10)
+      .map(r => "\"" + r.m.name + "\":" + r4(r.quietMedian)).mkString("{", ",", "}")
     // worst contended windows first (r12 advice: run-order take(6)
     // under-reported a widely contended run's worst stretches)
     val midC =
       if (midContended.isEmpty) "{}"
-      else midContended.sortBy(-_._5).take(6)
-        .map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")
-    val nAdj = results.count(_._8)
+      else midContended.sortBy(-_.m.fj).take(6)
+        .map(r => "\"" + r.m.name + "\":" + r.m.fj).mkString("{", ",", "}")
+    val nAdj = results.count(r => r.m.flagged || r.m.tainted)
     // the compact line carries the quiet-failed COUNT, not the list — a
     // sustained-load host can flag 100+ queries and the name list would
     // blow the ~2000-char tail budget this line exists to fit (the full
     // list is in the big line's quiet_failed)
-    val nQF = results.count(_._7)
+    val nQF = results.count(_.contended)
+    val nTaint = results.count(_.m.tainted)
     // canary summary for the compact line: min observation (the run's
     // own quiet estimate) and the worst inflation ratio seen — enough
     // for a tail-window reader to judge whether deflated_total is a
@@ -315,7 +367,7 @@ object Bench {
     val cMin = if (canaryObs.isEmpty) -1.0 else canaryObs.map(_._2).min
     val cMaxRatio = canaryAnchor.filter(_ > 0).map(a =>
       if (canaryObs.isEmpty) -1.0 else canaryObs.map(_._2).max / a).getOrElse(-1.0)
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steady_total":${r4(steadyTotal)},"steady_quiet_total":${r4(quietTotal)},"deflated_total":${r4(deflTotal)},"canary_min":${r4(cMin)},"canary_max_ratio":${r4(cMaxRatio)},"n_adjudicated":$nAdj,"quiet_failed_n":$nQF,"contended_jvms":${contended.size},"max_load":${r1(maxLoad)},"mid_contended":$midC,"slowest_quiet":$slowest}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steady_total":${r4(steadyTotal)},"steady_quiet_total":${r4(quietTotal)},"deflated_total":${r4(deflTotal)},"canary_min":${r4(cMin)},"canary_max_ratio":${r4(cMaxRatio)},"n_adjudicated":$nAdj,"n_tainted":$nTaint,"quiet_failed_n":$nQF,"contended_jvms":${contended.size},"max_load":${r1(maxLoad)},"mid_contended":$midC,"slowest_quiet":$slowest}""")
     spark.stop()
   }
 }

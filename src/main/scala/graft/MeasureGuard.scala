@@ -41,15 +41,19 @@ object MeasureGuard {
     } catch { case _: Throwable => -1.0 }
 
   /** Busy jiffies across all CPUs (user+nice+system+irq+softirq+steal,
-    * NOT idle/iowait) from /proc/stat's aggregate cpu line. -1 where
-    * /proc is unavailable. */
+    * NOT idle/iowait) from /proc/stat's aggregate cpu line. guest and
+    * guest_nice (fields 9-10) are excluded too: Linux already folds
+    * guest time into user/nice, so summing them double-counts VM work
+    * on virtualization hosts and over-flags external load (the r15
+    * ADVICE finding). -1 where /proc is unavailable. */
   private def totalBusyJiffies(): Long =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
-        val f = src.getLines().next().trim.split("\\s+") // "cpu u n s idle iow irq sirq steal ..."
-        // skip idle (f(4)) and iowait (f(5)); sum the rest of the counters
-        f.drop(1).zipWithIndex
+        val f = src.getLines().next().trim.split("\\s+") // "cpu u n s idle iow irq sirq steal guest gnice ..."
+        // keep user,nice,system,irq,softirq,steal: skip idle (i=3),
+        // iowait (i=4) and everything past steal (i=7)
+        f.drop(1).take(8).zipWithIndex
           .filter { case (_, i) => i != 3 && i != 4 }
           .map(_._1.toLong).sum
       } finally src.close()

@@ -655,9 +655,14 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
       |    min(substr(md5(s.sh_el), band.b * 8 + 1, 8)) AS sig
       |  FROM sh, unnest(sh.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
       |  GROUP BY doc_id, band.b),
+      |sbsz AS (SELECT band, sig, count(*) AS m FROM sig GROUP BY 1, 2),
+      |sigc AS (
+      |  SELECT s.doc_id, s.band, s.sig FROM sig s
+      |  JOIN sbsz ON sbsz.band = s.band AND sbsz.sig = s.sig
+      |  WHERE sbsz.m <= ${Dedup.DefaultMaxBucketSize}),
       |mcand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  FROM sigc a JOIN sigc b ON a.band = b.band AND a.sig = b.sig
       |  WHERE a.doc_id < b.doc_id),
       |mpairs AS (
       |  SELECT c.id_a, c.id_b FROM mcand c
@@ -737,9 +742,14 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
       |  FROM sh x, unnest(x.sh) AS s(sh_el), (SELECT unnest([0,1,2,3]) AS b) AS band
       |  WHERE len(x.sh) > 40
       |  GROUP BY x.doc_id, band.b),
+      |sbsz AS (SELECT band, sig, count(*) AS m FROM sig GROUP BY 1, 2),
+      |sigc AS (
+      |  SELECT s.doc_id, s.band, s.sig FROM sig s
+      |  JOIN sbsz ON sbsz.band = s.band AND sbsz.sig = s.sig
+      |  WHERE sbsz.m <= ${Dedup.DefaultMaxBucketSize}),
       |mcand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  FROM sigc a JOIN sigc b ON a.band = b.band AND a.sig = b.sig
       |  WHERE a.doc_id < b.doc_id),
       |cand AS (SELECT id_a, id_b FROM scand UNION SELECT id_a, id_b FROM mcand)
       |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,

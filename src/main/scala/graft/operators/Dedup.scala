@@ -715,11 +715,15 @@ object Dedup {
       .withColumn("n_inter", size(array_intersect(col("shs"), col("e_shs"))))
       .filter(col("n_inter") * invTheta >= col("e_sz"))
       .withColumn("cont", col("n_inter").cast("double") / col("e_sz"))
+    // argmax-cont / min-eval_id via lexicographic MIN over (-cont, id):
+    // negating the always-numeric cont (not the id) keeps the report
+    // id-type-generic — a string eval_id works here exactly like it
+    // does in the dup probes (the r15 ADVICE consistency finding).
     hits.groupBy(col("id").as(idCol))
       .agg(count(lit(1)).cast("long").as("n_eval_hits"),
         round(max(col("cont")), 4).as("max_containment"),
-        (-max(struct(col("cont"), (-col("eval_id")).as("neg")))("neg"))
-          .as("top_eval_id"))
+        min(struct((-col("cont")).as("nc"), col("eval_id")))
+          .getField("eval_id").as("top_eval_id"))
   }
 
   /** MinHash estimator calibration: per band-agreement count m (1..bands)
