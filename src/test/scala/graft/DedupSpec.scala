@@ -434,14 +434,93 @@ class DedupSpec extends AnyFunSuite {
     val f1 = readFlagged(1L)
     assert(f1 == Set((10L, 2L, 1L, 1L), (11L, 2L, 1L, 2L)))
     // REPLAY batch 1 (at-least-once): own store dir excluded from the
-    // screen -> identical flagged output, store unchanged
+    // screen -> identical flagged output, store unchanged (banded
+    // layout: bands rows per asset, so distinct assets is the count)
     run(Seq((10L, base ^ 1L), (11L, base ^ 3L), (12L, ~base)), 1L)
     assert(readFlagged(1L) == f1)
-    assert(spark.read.parquet(store).count() == 5L)
+    assert(spark.read.parquet(store).select("id").distinct().count() == 5L)
+    assert(spark.read.parquet(store).count() == 20L) // 5 assets x 4 bands
     // batch 2 screens against BOTH prior batches
     run(Seq((20L, base ^ 1L)), 2L)
     // 20 matches 1,2 (d=1) and 10 (d=0) and 11 (d=2... h=base^1 vs base^3 -> d=1)
     assert(readFlagged(2L) == Set((20L, 4L, 10L, 0L)))
+  }
+
+  test("banded hash store: pruned probe plan, compaction equivalence, absorbed replay no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hamstore").toString
+    val store = s"$dir/store"; val flagged = s"$dir/flagged"
+    def run(ids: Seq[(Long, Long)], batchId: Long): Unit =
+      Dedup.hammingScreenBatch(ids.toDF("asset_id", "h"), batchId, store,
+        flagged, "h", "asset_id", bands = 4, bandBits = 16,
+        maxHamming = 2, maxBucketSize = 1000)
+    val base = 0x7A5C3E1D0B090807L
+    run((0 until 32).map(i => (i.toLong, base + (i.toLong << 32))), 0L)
+    run((0 until 32).map(i => (100L + i, base ^ (1L << i))), 1L)
+    run(Seq((200L, base ^ 1L), (201L, ~base)), 2L)
+    def readFlagged(b: Long) =
+      spark.read.parquet(s"$flagged/batch=$b")
+        .select("asset_id", "n_matches", "top_match_id", "hamming")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val f2 = readFlagged(2L)
+    assert(f2.exists(_._1 == 200L)) // base^1 is near base and base^(1<<i) flips
+    // the probe's store scan PRUNES (band, kp) partitions — the static
+    // driver-known prune set reaches PartitionFilters (the non-empty
+    // assert form; an empty list prints too)
+    val kps = Dedup.hammingBands(Seq((200L, base ^ 1L)).toDF("asset_id", "h"),
+        "h", "asset_id", 4, 16)
+      .withColumn("kp", org.apache.spark.sql.functions
+        .shiftrightunsigned(col("key"), 10).cast("int"))
+      .select("band", "kp").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val kpPred = kps.groupBy(_._1).map { case (b, ps) =>
+      col("band") === b && col("kp").isin(ps.map(_._2).toSeq: _*)
+    }.reduce(_ || _)
+    val scan = spark.read.parquet(store).filter(col("batch") =!= 3L)
+      .filter(kpPred).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*kp".r.findFirstIn(scan).isDefined,
+      s"kp partition filter missing from scan:\n$scan")
+    // store row-set snapshot (data + partition cols, batch excluded)
+    def storeRows() = spark.read.parquet(store)
+      .select("id", "h", "key", "band", "kp")
+      .as[(Long, Long, Long, Int, Int)].collect().toSet
+    val pre = storeRows()
+    val preFiles = new java.io.File(store) // file-count probe: dust -> consolidated
+    def countFiles(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(countFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val nBefore = countFiles(preFiles)
+    // compact (keepNewest = 0: fold everything — no live stream here)
+    val absorbed = Dedup.compactHammingStore(spark, store, keepNewest = 0)
+    assert(absorbed == 3L)
+    assert(storeRows() == pre) // compaction ≡ uncompacted reads
+    val nAfter = countFiles(preFiles)
+    assert(nAfter < nBefore, s"expected fewer files: $nBefore -> $nAfter")
+    // replay of an ABSORBED batch is a no-op: store unchanged, flagged
+    // output for that id untouched
+    run(Seq((999L, 0L)), 1L)
+    assert(storeRows() == pre)
+    assert(readFlagged(2L) == f2)
+    // post-compaction screens still work (probe against batch=-1)
+    run(Seq((300L, base ^ 2L)), 5L)
+    assert(readFlagged(5L).exists(_._1 == 300L))
+    // duplicate-window harmlessness: a reader seeing absorbed rows
+    // TWICE (consolidated + not-yet-deleted dir) reports identically —
+    // the screen tail is distinct-then-argmin
+    val storedOnce = spark.read.parquet(store)
+      .select(col("id"), col("h"), col("band"), col("key"))
+    val storedTwice = storedOnce.unionAll(storedOnce)
+    val probe = Dedup.hammingBands(Seq((400L, base ^ 3L)).toDF("asset_id", "h"),
+      "h", "asset_id", 4, 16)
+    def report(stored: org.apache.spark.sql.DataFrame) =
+      probe.join(stored.select(col("band"), col("key"),
+          col("id").as("stored_id"), col("h").as("stored_h")), Seq("band", "key"))
+        .select(col("id"), col("stored_id"),
+          org.apache.spark.sql.functions.bit_count(
+            col("h").bitwiseXOR(col("stored_h"))).cast("long").as("hamming"))
+        .distinct().filter(col("hamming") <= 2)
+        .groupBy("id").agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toSet
+    assert(report(storedOnce) == report(storedTwice))
   }
 
   test("hammingNearDups evaluates the hash input ONCE (shared stage feeds both join sides)") {
