@@ -303,6 +303,9 @@ object SparkEntry
     "q266_unigram_pack" -> (q266UnigramPack _),
     "q267_containment_tiered" -> (q267ContainmentTiered _),
     "q268_stream_asset_screen" -> (q268StreamAssetScreen _),
+    "q269_containment_budget" -> (q269ContainmentBudget _),
+    "q270_budget_ledger" -> (q270BudgetLedger _),
+    "q271_wide_neardup" -> (q271WideNearDup _),
     "q254_unigram_encode" -> (q254UnigramEncode _),
     "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
@@ -518,6 +521,9 @@ object SparkEntry
     "q265_containment_decon" -> q265Sql,
     "q267_containment_tiered" -> q267Sql,
     "q268_stream_asset_screen" -> q268Sql,
+    "q269_containment_budget" -> q269Sql,
+    "q270_budget_ledger" -> q270Sql,
+    "q271_wide_neardup" -> q271Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

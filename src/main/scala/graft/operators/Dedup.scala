@@ -530,7 +530,18 @@ object Dedup {
                                idCol: String = "doc_id", n: Int = 3,
                                invTheta: Int = 4,
                                maxBucketSize: Int = DefaultMaxBucketSize,
-                               prefixMaxSz: Int = Int.MaxValue): DataFrame = {
+                               prefixMaxSz: Int = Int.MaxValue): DataFrame =
+    containmentVerify(docs,
+      containmentCandidatesLossless(docs, textCol, idCol, n, invTheta,
+        maxBucketSize, prefixMaxSz),
+      textCol, idCol, n, invTheta)
+
+  /** The lossless candidate rule of [[containmentPairsLossless]],
+    * candidates only: distinct (id_a, id_b). */
+  private[graft] def containmentCandidatesLossless(
+      docs: DataFrame, textCol: String, idCol: String, n: Int,
+      invTheta: Int, maxBucketSize: Int,
+      prefixMaxSz: Int = Int.MaxValue): DataFrame = {
     require(invTheta >= 1, s"invTheta must be >= 1: $invTheta")
     GraftFunctions.register(docs.sparkSession)
     val sh = docs
@@ -557,13 +568,24 @@ object Dedup {
     val prefCapped = dropOverflow(pref, Seq("shingle"), maxBucketSize)
     val fullCapped = dropOverflow(sh.select(col("shingle"), col("id")),
       Seq("shingle"), maxBucketSize)
-    val cands = prefCapped.select(col("shingle"), col("id").as("id_p"))
+    prefCapped.select(col("shingle"), col("id").as("id_p"))
       .join(fullCapped.select(col("shingle"), col("id").as("id_f")),
         Seq("shingle"))
       .filter(col("id_p") =!= col("id_f"))
       .select(least(col("id_p"), col("id_f")).as("id_a"),
         greatest(col("id_p"), col("id_f")).as("id_b"))
       .distinct()
+  }
+
+  /** Array-form containment verify over a candidate pair set (the q228
+    * stance: pairs move, the corpus arrays move once — broadcast when
+    * the optimizer-estimated array frame fits): integer admission
+    * `invTheta · n_inter ≥ min(n_a, n_b)`, output
+    * (id_a, id_b, n_inter, containment). */
+  private[graft] def containmentVerify(docs: DataFrame, cands: DataFrame,
+                                       textCol: String, idCol: String,
+                                       n: Int, invTheta: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val baseArr = docs
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
       .withColumn("sz", size(col("shs")))
@@ -623,8 +645,22 @@ object Dedup {
                              invTheta: Int = 4,
                              mode: ContainmentMode = ContainmentMode.Tiered,
                              bands: Int = 8, smallSideMax: Int = 256,
-                             maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                             maxBucketSize: Int = DefaultMaxBucketSize,
+                             maxPairsPerDoc: Int = 0): DataFrame = {
     require(invTheta >= 1, s"invTheta must be >= 1: $invTheta")
+    if (maxPairsPerDoc > 0) {
+      // BUDGETED path (the r15 judge's verify-stage bound): candidates
+      // from the routed rule, a per-doc pair budget with deterministic
+      // admission (see [[budgetPairs]]), ONE array-form verify. At
+      // adversarial dup density (mirror-heavy crawls — the ×100 probe's
+      // ~quadratic replica surface) the verify stage degrades to
+      // ≤ 2 · maxPairsPerDoc · docs pairs with an audit trail
+      // ([[containmentBudgetDrops]]) instead of blowing up.
+      val cands = containmentCandidatesRouted(docs, textCol, idCol, n,
+        invTheta, mode, bands, smallSideMax, maxBucketSize)
+      return containmentVerify(docs, budgetPairs(cands, maxPairsPerDoc),
+        textCol, idCol, n, invTheta)
+    }
     def banded(d: DataFrame): DataFrame = {
       val sigs = minhashSignatures(d, textCol, idCol, n, bands)
       val cands = lshCandidates(sigs, maxBucketSize)
@@ -653,6 +689,87 @@ object Dedup {
         val big = banded(docs.join(szOk, Seq(idCol), "left_semi"))
         small.unionByName(big).dropDuplicates("id_a", "id_b")
     }
+  }
+
+  /** The routed candidate set of [[containmentPairsRouted]], candidates
+    * only (distinct (id_a, id_b)) — what the pair budget admits against. */
+  private[graft] def containmentCandidatesRouted(
+      docs: DataFrame, textCol: String, idCol: String, n: Int,
+      invTheta: Int, mode: ContainmentMode, bands: Int,
+      smallSideMax: Int, maxBucketSize: Int): DataFrame = {
+    def bandedCands(d: DataFrame): DataFrame =
+      lshCandidates(minhashSignatures(d, textCol, idCol, n, bands),
+        maxBucketSize)
+    mode match {
+      case ContainmentMode.Banded => bandedCands(docs)
+      case ContainmentMode.Lossless =>
+        containmentCandidatesLossless(docs, textCol, idCol, n, invTheta,
+          maxBucketSize)
+      case ContainmentMode.Tiered =>
+        val small = containmentCandidatesLossless(docs, textCol, idCol, n,
+          invTheta, maxBucketSize, prefixMaxSz = smallSideMax)
+        val szOk = docs
+          .select(col(idCol), shingles(col(textCol), n).as("__shs"))
+          .filter(size(col("__shs")) > smallSideMax)
+          .select(idCol)
+        val big = bandedCands(docs.join(szOk, Seq(idCol), "left_semi"))
+        small.unionByName(big).distinct()
+    }
+  }
+
+  /** Per-doc candidate-pair budget — the cap idiom carried to the pair
+    * surface: rank each doc's pairs deterministically (as id_a by
+    * ascending partner, as id_b by ascending partner) and keep only
+    * pairs within budget on BOTH endpoints. A doc's admitted degree is
+    * therefore ≤ 2·budget (≤ budget per SIDE — an exact per-doc
+    * b-matching is inherently sequential; two windows keep the rule
+    * embarrassingly parallel AND replayable by a SQL oracle), so the
+    * verify surface is hard-bounded at ≤ 2·budget·docs pairs and one
+    * mirror-cluster doc cannot consume the corpus's verify capacity. */
+  private[graft] def budgetPairs(cands: DataFrame,
+                                 maxPairsPerDoc: Int): DataFrame = {
+    require(maxPairsPerDoc >= 1, s"maxPairsPerDoc must be >= 1: $maxPairsPerDoc")
+    cands
+      .withColumn("__ra", row_number().over(
+        Window.partitionBy("id_a").orderBy("id_b")))
+      .withColumn("__rb", row_number().over(
+        Window.partitionBy("id_b").orderBy("id_a")))
+      .filter(col("__ra") <= maxPairsPerDoc && col("__rb") <= maxPairsPerDoc)
+      .drop("__ra", "__rb")
+  }
+
+  /** Drop LEDGER for [[containmentPairsRouted]]'s budgeted mode — per
+    * doc with at least one dropped candidate: how many candidate pairs
+    * touched it, how many survived the budget, how many dropped
+    * (non-empty exactly when the budget binds — the audit trail that
+    * distinguishes "degraded with accounting" from silent truncation).
+    * Output: (idCol, n_candidates, n_kept, n_dropped). */
+  def containmentBudgetDrops(docs: DataFrame, textCol: String = "text",
+                             idCol: String = "doc_id", n: Int = 3,
+                             invTheta: Int = 4,
+                             mode: ContainmentMode = ContainmentMode.Tiered,
+                             bands: Int = 8, smallSideMax: Int = 256,
+                             maxBucketSize: Int = DefaultMaxBucketSize,
+                             maxPairsPerDoc: Int = 16): DataFrame = {
+    // no persist: the candidate distinct's Exchange subtree is
+    // identical under both consumers, so ReuseExchange materializes it
+    // once per action (the q178 lazy-sharing stance — an eager persist
+    // here would also leak cache entries into gated runs)
+    val cands = containmentCandidatesRouted(docs, textCol, idCol, n,
+      invTheta, mode, bands, smallSideMax, maxBucketSize)
+    val kept = budgetPairs(cands, maxPairsPerDoc)
+    def tall(d: DataFrame) =
+      d.select(col("id_a").as("id")).unionAll(d.select(col("id_b").as("id")))
+    val nc = tall(cands).groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_candidates"))
+    val nk = tall(kept).groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_kept"))
+    nc.join(nk, Seq("id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_dropped", col("n_candidates") - col("n_kept"))
+      .filter(col("n_dropped") > 0)
+      .select(col("id").as(idCol), col("n_candidates"), col("n_kept"),
+        col("n_dropped"))
   }
 
   /** Containment-based benchmark decontamination — the LOSSLESS screen
@@ -1628,6 +1745,103 @@ object Dedup {
           .as(Seq("band", "key")))
   }
 
+  /** [[hammingBands]] for WIDE codes (`array<bigint>` — 256-bit pHash,
+    * multi-word simhash, the q135 binary-code family): band b is bits
+    * [b·bandBits, (b+1)·bandBits) of the little-endian word array,
+    * straddling word boundaries where it must (lo = word[w] >>> off,
+    * hi = word[w+1] << (64−off) — the hi leg is guarded: a Java shift
+    * by 64 is a no-op, not zero). Output (id, code, band, key); the
+    * same (band, key)-equality machinery as the 64-bit tier runs on
+    * top, with [[graft.functions.GraftFunctions.hammingWords]] as the
+    * verify. `words` states the code width (bands·bandBits ≤ 64·words). */
+  def hammingBandsWide(hashed: DataFrame, codeCol: String, idCol: String,
+                       bands: Int, bandBits: Int, words: Int): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bandBits <= 64 && words >= 1 &&
+      bands.toLong * bandBits <= 64L * words,
+      s"need 1 <= bands*bandBits <= 64*words: bands=$bands bandBits=$bandBits words=$words")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    def bandKey(b: Int): org.apache.spark.sql.Column = {
+      val bitOff = b.toLong * bandBits
+      val w = (bitOff / 64).toInt
+      val off = (bitOff % 64).toInt
+      // element_at is 1-BASED (the q104 lesson)
+      val lo = shiftrightunsigned(element_at(col("code"), w + 1), off)
+      val key =
+        if (off > 0 && off + bandBits > 64)
+          lo.bitwiseOR(shiftleft(element_at(col("code"), w + 2), 64 - off))
+        else lo
+      key.bitwiseAND(lit(mask))
+    }
+    hashed.select(col(idCol).as("id"), col(codeCol).as("code"))
+      .select(col("id"), col("code"),
+        posexplode(array((0 until bands).map(bandKey): _*))
+          .as(Seq("band", "key")))
+  }
+
+  /** [[hammingNearDups]] over wide codes: banded candidates (capped,
+    * accounted via [[hammingDroppedBucketsWide]]), one
+    * popcount-over-words verify per candidate, lossless at radius ≤
+    * bands − 1 by the same pigeonhole. Output (id_a, id_b, hamming). */
+  def hammingNearDupsWide(hashed: DataFrame, codeCol: String,
+                          idCol: String = "doc_id", bands: Int = 8,
+                          bandBits: Int = 32, words: Int = 4,
+                          maxHamming: Int = 6,
+                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    GraftFunctions.register(hashed.sparkSession)
+    val banded = dropOverflow(
+      hammingBandsWide(hashed, codeCol, idCol, bands, bandBits, words),
+      Seq("band", "key"), maxBucketSize)
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
+      col("code").as("c_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"),
+      col("code").as("c_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.hammingWords(col("c_a"), col("c_b")).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cap accounting for the wide tier ([[lshDroppedBuckets]] contract). */
+  def hammingDroppedBucketsWide(hashed: DataFrame, codeCol: String,
+                                idCol: String, bands: Int, bandBits: Int,
+                                words: Int,
+                                maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    overflowBuckets(
+      hammingBandsWide(hashed, codeCol, idCol, bands, bandBits, words),
+      Seq("band", "key"), maxBucketSize)
+
+  /** [[hammingScreenAgainst]] over wide codes — batch vs stored frame,
+    * same argmin report. */
+  def hammingScreenAgainstWide(batch: DataFrame, stored: DataFrame,
+                               codeCol: String = "code",
+                               idCol: String = "asset_id",
+                               bands: Int = 8, bandBits: Int = 32,
+                               words: Int = 4, maxHamming: Int = 6,
+                               maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
+    val bBands = hammingBandsWide(batch, codeCol, idCol, bands, bandBits, words)
+    val sBands = dropOverflow(
+      hammingBandsWide(stored, codeCol, idCol, bands, bandBits, words),
+      Seq("band", "key"), maxBucketSize)
+    bBands
+      .join(sBands.select(col("band"), col("key"),
+        col("id").as("stored_id"), col("code").as("stored_c")), Seq("band", "key"))
+      .select(col("id"), col("stored_id"),
+        GraftFunctions.hammingWords(col("code"), col("stored_c")).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        min(struct(col("hamming"), col("stored_id"))).as("__m"))
+      .select(col(idCol), col("n_matches"),
+        col("__m").getField("stored_id").as("top_match_id"),
+        col("__m").getField("hamming").as("hamming"))
+  }
+
   /** Accounting for [[hammingNearDups]]' bucket cap: skipped
     * (band, key) buckets with member counts (the [[lshDroppedBuckets]]
     * contract). */
@@ -1760,63 +1974,159 @@ object Dedup {
     * `_absorbed_batch_<id>` marker and replays as a NO-OP (its rows
     * already live in a consolidated generation). Store rows are
     * (id, h, key) per band — bands × 16 B per asset, never payloads. */
-  private[graft] def hammingScreenBatch(batch: DataFrame, batchId: Long,
-                                        storePath: String, flaggedPath: String,
-                                        hashCol: String, idCol: String,
-                                        bands: Int, bandBits: Int,
-                                        maxHamming: Int,
-                                        maxBucketSize: Int): Unit = {
+  /** Screen a batch against a BANDED hash store ([[hammingScreenBatch]]'s
+    * layout) without ingesting it — the read-only probe face of the
+    * family ("would any of these assets collide with the store?"):
+    * (band, kp) partition pruning from the batch's driver-known prefix
+    * set, key-set parquet pushdown (session `inFilterThreshold` raised
+    * for the scan's execution and restored — the result is
+    * MATERIALIZED via localCheckpoint inside the call so the restore
+    * cannot race the scan), capped buckets, popcount verify. Report
+    * shape = [[hammingScreenAgainst]]. `excludeBatchId` drops one
+    * `batch=<id>` dir from the probe (the retry-discipline hook). */
+  /** The store-probe core shared by the 64-bit and wide faces:
+    * `bBands` carries (id, <payloadCol>, band, key, kp); `dist` builds
+    * the exact verify over (batch payload, stored payload). */
+  private def screenStoreCore(bBands0: DataFrame, payloadCol: String,
+                              dist: (org.apache.spark.sql.Column,
+                                     org.apache.spark.sql.Column)
+                                => org.apache.spark.sql.Column,
+                              storePath: String, excludeBatchId: Long,
+                              idCol: String, maxHamming: Int,
+                              maxBucketSize: Int): DataFrame = {
+    val spark = bBands0.sparkSession
+    val bBands = bBands0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // driver-known prune sets (bounded: micro-batch × bands)
+      val kps = bBands.select("band", "kp").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      val kpPred = kps.groupBy(_._1).map { case (b, ps) =>
+        col("band") === b && col("kp").isin(ps.map(_._2).toSeq: _*)
+      }.reduce(_ || _)
+      val keys = bBands.select("key").distinct()
+        .limit(HammingKeyPushdownMax + 1).collect().map(_.getLong(0))
+      val keyPushdown = keys.length <= HammingKeyPushdownMax
+      val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val oldThresh = spark.conf.get(confKey, "10")
+      if (keyPushdown)
+        spark.conf.set(confKey,
+          math.max(oldThresh.toInt, keys.length + 1).toString)
+      try {
+        val stored0 = spark.read.parquet(storePath)
+          .filter(col("batch") =!= excludeBatchId)
+          .filter(kpPred)
+        val stored = if (keyPushdown)
+          stored0.filter(col("key").isin(keys.toSeq: _*)) else stored0
+        val sBands = dropOverflow(
+          stored.select(col("id"), col(payloadCol), col("band"), col("key")),
+          Seq("band", "key"), maxBucketSize)
+        bBands
+          .join(sBands.select(col("band"), col("key"),
+            col("id").as("stored_id"),
+            col(payloadCol).as("__sp")), Seq("band", "key"))
+          .select(col("id"), col("stored_id"),
+            dist(col(payloadCol), col("__sp")).cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= maxHamming)
+          .groupBy(col("id").as(idCol))
+          .agg(count(lit(1)).cast("long").as("n_matches"),
+            min(struct(col("hamming"), col("stored_id"))).as("__m"))
+          .select(col(idCol), col("n_matches"),
+            col("__m").getField("stored_id").as("top_match_id"),
+            col("__m").getField("hamming").as("hamming"))
+          .localCheckpoint(true)
+      } finally spark.conf.set(confKey, oldThresh)
+    } finally bBands.unpersist()
+  }
+
+  def hammingScreenAgainstStore(batch: DataFrame, storePath: String,
+                                hashCol: String = "h",
+                                idCol: String = "asset_id",
+                                bands: Int = 4, bandBits: Int = 16,
+                                maxHamming: Int = 2,
+                                maxBucketSize: Int = DefaultMaxBucketSize,
+                                excludeBatchId: Long = Long.MinValue): DataFrame =
+    screenStoreCore(
+      hammingBands(batch, hashCol, idCol, bands, bandBits)
+        .withColumn("kp", kpOf(bandBits)),
+      "h", (a, b) => bit_count(a.bitwiseXOR(b)),
+      storePath, excludeBatchId, idCol, maxHamming, maxBucketSize)
+
+  /** [[hammingScreenAgainstStore]] for WIDE codes (same banded store
+    * layout with an `array<bigint>` payload column). */
+  def hammingScreenAgainstStoreWide(batch: DataFrame, storePath: String,
+                                    codeCol: String = "code",
+                                    idCol: String = "asset_id",
+                                    bands: Int = 8, bandBits: Int = 32,
+                                    words: Int = 4, maxHamming: Int = 6,
+                                    maxBucketSize: Int = DefaultMaxBucketSize,
+                                    excludeBatchId: Long = Long.MinValue): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
+    screenStoreCore(
+      hammingBandsWide(batch, codeCol, idCol, bands, bandBits, words)
+        .withColumn("kp", kpOf(bandBits)),
+      "code", (a, b) => GraftFunctions.hammingWords(a, b),
+      storePath, excludeBatchId, idCol, maxHamming, maxBucketSize)
+  }
+
+  /** The per-batch screen + banded-append core ([[hammingScreenBatch]]'s
+    * scaladoc has the layout contract); `mkBands` builds the band rows
+    * from the batch, `probe` runs the store screen. */
+  private def screenBatchCore(batch: DataFrame, batchId: Long,
+                              storePath: String, flaggedPath: String,
+                              payloadCol: String,
+                              mkBands: DataFrame => DataFrame,
+                              probe: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(
         s"$storePath/_absorbed_batch_$batchId")))
       return // compacted away — the replay's rows are already consolidated
-    val bBands = hammingBands(batch, hashCol, idCol, bands, bandBits)
-      .withColumn("kp", kpOf(bandBits))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seen = fs.globStatus(
         new org.apache.hadoop.fs.Path(s"$storePath/batch=*"))
       val prior =
         if (seen == null) Array.empty[org.apache.hadoop.fs.FileStatus]
         else seen.filterNot(_.getPath.getName == s"batch=$batchId")
-      if (prior.nonEmpty) {
-        // driver-known prune sets (bounded: micro-batch × bands)
-        val kps = bBands.select("band", "kp").distinct().collect()
-          .map(r => (r.getInt(0), r.getInt(1)))
-        val kpPred = kps.groupBy(_._1).map { case (b, ps) =>
-          col("band") === b && col("kp").isin(ps.map(_._2).toSeq: _*)
-        }.reduce(_ || _)
-        val keys = bBands.select("key").distinct()
-          .limit(HammingKeyPushdownMax + 1).collect().map(_.getLong(0))
-        val keyPushdown = keys.length <= HammingKeyPushdownMax
-        val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-        val oldThresh = spark.conf.get(confKey, "10")
-        if (keyPushdown)
-          spark.conf.set(confKey,
-            math.max(oldThresh.toInt, keys.length + 1).toString)
-        try {
-          val stored0 = spark.read.parquet(storePath)
-            .filter(col("batch") =!= batchId)
-            .filter(kpPred)
-          val stored = if (keyPushdown)
-            stored0.filter(col("key").isin(keys.toSeq: _*)) else stored0
-          hammingScreenJoin(bBands,
-              dropOverflow(stored.select(col("id"), col("h"), col("band"),
-                col("key")), Seq("band", "key"), maxBucketSize),
-              idCol, maxHamming)
-            .write.mode("overwrite").parquet(s"$flaggedPath/batch=$batchId")
-        } finally spark.conf.set(confKey, oldThresh)
-      }
+      if (prior.nonEmpty)
+        probe(b).write.mode("overwrite").parquet(s"$flaggedPath/batch=$batchId")
       // banded append: one file per touched (band, kp), key-sorted
-      bBands.select(col("id"), col("h"), col("key"), col("band"), col("kp"))
+      mkBands(b)
+        .select(col("id"), col(payloadCol), col("key"), col("band"), col("kp"))
         .repartition(col("band"), col("kp"))
         .sortWithinPartitions("band", "kp", "key")
         .write.mode("overwrite").partitionBy("band", "kp")
         .parquet(s"$storePath/batch=$batchId")
-    } finally bBands.unpersist()
+    } finally b.unpersist()
   }
+
+  private[graft] def hammingScreenBatch(batch: DataFrame, batchId: Long,
+                                        storePath: String, flaggedPath: String,
+                                        hashCol: String, idCol: String,
+                                        bands: Int, bandBits: Int,
+                                        maxHamming: Int,
+                                        maxBucketSize: Int): Unit =
+    screenBatchCore(batch, batchId, storePath, flaggedPath, "h",
+      b => hammingBands(b, hashCol, idCol, bands, bandBits)
+        .withColumn("kp", kpOf(bandBits)),
+      b => hammingScreenAgainstStore(b, storePath, hashCol, idCol, bands,
+        bandBits, maxHamming, maxBucketSize, excludeBatchId = batchId))
+
+  private[graft] def hammingScreenBatchWide(batch: DataFrame, batchId: Long,
+                                            storePath: String,
+                                            flaggedPath: String,
+                                            codeCol: String, idCol: String,
+                                            bands: Int, bandBits: Int,
+                                            words: Int, maxHamming: Int,
+                                            maxBucketSize: Int): Unit =
+    screenBatchCore(batch, batchId, storePath, flaggedPath, "code",
+      b => hammingBandsWide(b, codeCol, idCol, bands, bandBits, words)
+        .withColumn("kp", kpOf(bandBits)),
+      b => hammingScreenAgainstStoreWide(b, storePath, codeCol, idCol, bands,
+        bandBits, words, maxHamming, maxBucketSize, excludeBatchId = batchId))
 
   /** How many `_absorbed_batch_<id>` markers [[compactHammingStore]]
     * retains (newest ids): the markers exist to no-op an at-least-once
@@ -1854,7 +2164,8 @@ object Dedup {
     * stream may still rewrite (the checkpoint head) should be left
     * out via `keepNewest`. Returns the number of batch dirs absorbed. */
   def compactHammingStore(spark: org.apache.spark.sql.SparkSession,
-                          storePath: String, keepNewest: Int = 1): Long = {
+                          storePath: String, keepNewest: Int = 1,
+                          blockBytes: Long = 0L): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
     val seen = Option(fs.globStatus(
@@ -1870,12 +2181,26 @@ object Dedup {
     val stage = new org.apache.hadoop.fs.Path(storePath, "_compact_stage")
     fs.delete(stage, true)
     val absorbPred = col("batch").isin(absorb: _*)
-    spark.read.parquet(storePath).filter(absorbPred)
-      .select(col("id"), col("h"), col("key"), col("band"), col("kp"))
+    // blockBytes > 0 tunes the parquet row-group size DOWN for
+    // point-lookup-heavy stores: the probe's key pushdown skips at
+    // ROW-GROUP granularity, so a store whose (band, kp) partitions
+    // fit one default-size group can't skip within a partition —
+    // smaller groups buy O(batch-keys × group) probe reads at the
+    // price of slightly worse compression (the classic index-store
+    // trade; ScaleProbe `hamscreen` measures the curve).
+    // layout-agnostic data columns: everything but the batch dir key
+    // (the 64-bit store carries `h`, the wide store `code`)
+    val writer0 = spark.read.parquet(storePath).filter(absorbPred)
+      .drop("batch")
       .repartition(col("band"), col("kp"))
       .sortWithinPartitions("band", "kp", "key")
       .write.mode("overwrite").partitionBy("band", "kp")
-      .parquet(stage.toString)
+    val writer = if (blockBytes > 0)
+      writer0.option("parquet.block.size", blockBytes.toString)
+        .option("parquet.page.size",
+          math.max(1024L, blockBytes / 8).toString)
+    else writer0
+    writer.parquet(stage.toString)
     val genDir = new org.apache.hadoop.fs.Path(storePath, s"batch=$gen")
     if (!fs.rename(stage, genDir))
       throw new java.io.IOException(
@@ -1918,6 +2243,29 @@ object Dedup {
                        batchId: Long) =>
         hammingScreenBatch(batch.toDF(), batchId, storePath, flaggedPath,
           hashCol, idCol, bands, bandBits, maxHamming, maxBucketSize)
+      }
+      .start()
+  }
+
+  /** [[hammingScreenedIngest]] for WIDE codes (`array<bigint>` — the
+    * 256-bit pHash class real image dedup runs): same banded store
+    * contract, [[graft.functions.GraftFunctions.hammingWords]] verify. */
+  def hammingScreenedIngestWide(assets: DataFrame, storePath: String,
+                                flaggedPath: String, checkpointPath: String,
+                                codeCol: String = "code",
+                                idCol: String = "asset_id",
+                                bands: Int = 8, bandBits: Int = 32,
+                                words: Int = 4, maxHamming: Int = 6,
+                                maxBucketSize: Int = DefaultMaxBucketSize)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(assets.isStreaming,
+      "hammingScreenedIngestWide expects a streaming DataFrame")
+    assets.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        hammingScreenBatchWide(batch.toDF(), batchId, storePath, flaggedPath,
+          codeCol, idCol, bands, bandBits, words, maxHamming, maxBucketSize)
       }
       .start()
   }

@@ -350,6 +350,52 @@ class DedupSpec extends AnyFunSuite {
     for ((k, v) <- tRows) assert(lRows(k) == v)
   }
 
+  test("containment pair budget: bounded verify surface, deterministic admission, ledger binds iff budget binds") {
+    import graft.operators.Dedup.ContainmentMode
+    // a 6-member mirror cluster (identical text -> C(6,2) = 15 candidate
+    // pairs, every doc degree 5) + one independent pair
+    val mirror = (1 to 40).map(i => s"m$i").mkString(" ")
+    val docs = ((0 until 6).map(i => (10L + i, mirror)) ++ Seq(
+      (100L, (1 to 30).map(i => s"x$i").mkString(" ")),
+      (101L, (1 to 30).map(i => s"x$i").mkString(" ")))).toDF("doc_id", "text")
+    def run(budget: Int) =
+      Dedup.containmentPairsRouted(docs, "text", "doc_id", n = 3,
+          invTheta = 4, mode = ContainmentMode.Tiered, bands = 4,
+          smallSideMax = 34, maxPairsPerDoc = budget)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unbudgeted = Dedup.containmentPairsRouted(docs, "text", "doc_id",
+        n = 3, invTheta = 4, mode = ContainmentMode.Tiered, bands = 4,
+        smallSideMax = 34)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(unbudgeted.size == 16) // 15 mirror pairs + (100, 101)
+    val b2 = run(2)
+    // budgeted ⊆ unbudgeted, per-doc degree ≤ 2·budget (≤ budget per
+    // SIDE — the two-window rule's bound), deterministic
+    assert(b2.subsetOf(unbudgeted))
+    val deg = b2.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(deg.values.forall(_ <= 4), s"degree over 2x budget: $deg")
+    assert(b2.size < unbudgeted.size) // the budget binds on the mirror cluster
+    assert(b2.contains((100L, 101L))) // the honest pair survives (degree 1)
+    assert(run(2) == b2) // admission is deterministic
+    // generous budget admits everything — and the ledger is EMPTY
+    assert(run(15) == unbudgeted)
+    def ledger(budget: Int) =
+      Dedup.containmentBudgetDrops(docs, "text", "doc_id", n = 3,
+          invTheta = 4, mode = ContainmentMode.Tiered, bands = 4,
+          smallSideMax = 34, maxPairsPerDoc = budget)
+        .select("doc_id", "n_candidates", "n_kept", "n_dropped")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ledger(15).isEmpty)
+    val l2 = ledger(2)
+    assert(l2.nonEmpty && l2.forall { case (id, nc, nk, nd) =>
+      id >= 10L && id < 16L && nc == 5L && nd == nc - nk && nd > 0L })
+    // ledger arithmetic ties to the admitted set: per-doc kept degrees
+    // match the pairs the budget actually admitted
+    for ((id, _, nk, _) <- l2)
+      assert(deg.getOrElse(id, 0) == nk.toInt)
+  }
+
   test("containmentContamination: lossless one-sided screen flags the quoting doc") {
     // corpus doc 1 QUOTES eval doc 100 in full (C(E->D) = 1.0, Jaccard
     // tiny); corpus doc 2 shares nothing; corpus doc 3 holds exactly
@@ -521,6 +567,66 @@ class DedupSpec extends AnyFunSuite {
         .distinct().filter(col("hamming") <= 2)
         .groupBy("id").agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toSet
     assert(report(storedOnce) == report(storedTwice))
+  }
+
+  test("wide hamming: word-straddling bands, lossless at radius <= bands-1, screen store roundtrip") {
+    // 128-bit codes, 5 bands x 25 bits -> bands at bit offsets 0, 25,
+    // 50, 75, 100: bands 2..4 STRADDLE the word boundary region
+    // (offsets 50, 75, 100 with width 25 -> 50+25 < 64? no: band 2 =
+    // [50, 75) straddles word 0/1; band 3 = [75, 100) inside word 1;
+    // band 4 = [100, 125) inside word 1) — the lo|hi extraction path
+    // must reassemble exactly or banding loses pairs
+    val base0 = 0x5A5A5A5A5A5A5A5AL; val base1 = 0x3C3C3C3C3C3C3C3CL
+    def code(flips: Seq[Int]): Seq[Long] = {
+      var w0 = base0; var w1 = base1
+      for (p <- flips) if (p < 64) w0 ^= (1L << p) else w1 ^= (1L << (p - 64))
+      Seq(w0, w1)
+    }
+    // flip positions chosen to land in distinct bands, including the
+    // straddle band [50, 75) across the word boundary (63, 64)
+    val rows = Seq(
+      (0L, code(Nil)),
+      (1L, code(Seq(63))),            // straddle band, word-0 side
+      (2L, code(Seq(63, 64))),        // both sides of the boundary
+      (3L, code(Seq(63, 64, 10, 30))), // + bands 0 and 1
+      (4L, code(Seq(5, 26, 51, 76, 101))) // one flip in EVERY band (d=5)
+    ).toDF("doc_id", "code")
+    val got = Dedup.hammingNearDupsWide(rows, "code", "doc_id", bands = 5,
+        bandBits = 25, words = 2, maxHamming = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute-force truth at d <= 4 (radius = bands - 1 -> lossless)
+    val all = rows.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val truth = (for {
+      a <- all.keys; b <- all.keys if a < b
+      d = all(a).zip(all(b)).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum if d <= 4
+    } yield (a, b) -> d.toLong).toMap
+    assert(got == truth, s"wide banding diverged from brute force: got=$got truth=$truth")
+    // wide screen store: batch 0 ingests, batch 1 flags near codes via
+    // the banded (array-payload) store; compaction keeps it equivalent
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-widestore").toString
+    val store = s"$dir/store"; val flagged = s"$dir/flagged"
+    def run(ids: Seq[(Long, Seq[Long])], batchId: Long): Unit =
+      Dedup.hammingScreenBatchWide(ids.toDF("asset_id", "code"), batchId,
+        store, flagged, "code", "asset_id", bands = 5, bandBits = 25,
+        words = 2, maxHamming = 4, maxBucketSize = 1000)
+    run(Seq((1L, code(Nil)), (2L, code(Seq(5, 26, 51, 76, 101)))), 0L)
+    run(Seq((10L, code(Seq(63))), (11L, code(Seq(0, 1, 2, 3, 4, 5)))), 1L)
+    def readFlagged() =
+      spark.read.parquet(s"$flagged/batch=1")
+        .select("asset_id", "n_matches", "top_match_id", "hamming")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    // 10 is d=1 from stored 1 (and d=6 from 2 -> over radius); 11 is
+    // d=6 from 1 -> unmatched
+    assert(readFlagged() == Set((10L, 1L, 1L, 1L)))
+    Dedup.compactHammingStore(spark, store, keepNewest = 0)
+    run(Seq((20L, code(Seq(64)))), 3L) // d=1 from 1, d=2 from 10
+    assert(spark.read.parquet(s"$flagged/batch=3")
+      .select("asset_id", "n_matches", "top_match_id", "hamming")
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      Set((20L, 2L, 1L, 1L)))
   }
 
   test("hammingNearDups evaluates the hash input ONCE (shared stage feeds both join sides)") {
