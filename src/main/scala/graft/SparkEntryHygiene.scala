@@ -1080,7 +1080,7 @@ private[graft] trait SparkEntryHygiene { this: SparkEntry.type =>
       (dir.hashCode.toLong * 1000003L) ^ 0xc09c5L ^
         (3L * 1009 + 4L * 131 + (0.85 * 100).toLong) ^
         datasetFingerprint(s, s"$dir/documents.parquet"))
-    val cpath = s"${GraftConfig.storeRoot}/graft-comps-$key/comps"
+    val cpath = fingerprintedCache(s, "comps", key, dir, "documents.parquet") + "/comps"
     if (!graft.sources.CorpusStore.exists(s, s"$cpath/_SUCCESS")) {
       val (_, comps) = chainComponents(s, dir)
       comps.write.mode("overwrite").parquet(cpath)

@@ -236,7 +236,7 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0xb9e5L ^
         datasetFingerprint(s, s"$dir/documents.parquet"))
-    s"${GraftConfig.storeRoot}/graft-bpe-$key"
+    fingerprintedCache(s, "bpe", key, dir, "documents.parquet")
   }
 
   /** Train-or-load the BPE tokenizer artifact (trainer cap shared with
@@ -312,7 +312,7 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x04a16aL ^
         datasetFingerprint(s, s"$dir/documents.parquet"))
-    s"${GraftConfig.storeRoot}/graft-unigram-$key"
+    fingerprintedCache(s, "unigram", key, dir, "documents.parquet")
   }
 
   private[graft] def unigramModelArtifact(s: SparkSession, dir: String)
@@ -712,7 +712,7 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x11fdL ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${GraftConfig.storeRoot}/graft-livf-$key"
+    fingerprintedCache(s, "livf", key, dir, "embeddings.parquet")
   }
 
   /** Build-or-load the Lloyd-trained IVF: quantizer = the GATED
@@ -1563,7 +1563,7 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x96afL ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${GraftConfig.storeRoot}/graft-knng-$key"
+    fingerprintedCache(s, "knng", key, dir, "embeddings.parquet")
   }
 
   private[graft] def graphCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -1741,7 +1741,7 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x49fee7L ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${GraftConfig.storeRoot}/graft-rpf-$key"
+    fingerprintedCache(s, "rpf", key, dir, "embeddings.parquet")
   }
 
   private[graft] def rpfCorpus(s: SparkSession, dir: String): (DataFrame, RpForest.Forest) = {
@@ -1828,7 +1828,7 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x49fee8L ^
         datasetFingerprint(s, s"$dir/embeddings.parquet"))
-    s"${GraftConfig.storeRoot}/graft-rpfapp-$key"
+    fingerprintedCache(s, "rpfapp", key, dir, "embeddings.parquet")
   }
 
   private[graft] def rpfAppendCorpus(s: SparkSession, dir: String): (DataFrame, RpForest.Forest) = {
@@ -2514,7 +2514,7 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x150ca1L ^
         datasetFingerprint(s, s"$dir/documents.parquet"))
-    val path = s"${GraftConfig.storeRoot}/graft-jsonl-$key"
+    val path = fingerprintedCache(s, "jsonl", key, dir, "documents.parquet")
     val docs = t(s, dir, "documents")
     if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS"))
       graft.sources.JsonlIngest.writeJsonl(docs, path)
@@ -2544,7 +2544,7 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
     val key = java.lang.Long.toHexString(
       (dir.hashCode.toLong * 1000003L) ^ 0x0e7c1L ^
         datasetFingerprint(s, s"$dir/documents.parquet"))
-    val path = s"${GraftConfig.storeRoot}/graft-orc-$key"
+    val path = fingerprintedCache(s, "orc", key, dir, "documents.parquet")
     val docs = t(s, dir, "documents")
     if (!graft.sources.CorpusStore.exists(s, s"$path/_SUCCESS"))
       docs.write.mode("overwrite").partitionBy("lang").orc(path)

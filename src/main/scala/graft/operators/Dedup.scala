@@ -1232,6 +1232,7 @@ object Dedup {
                      idCol: String = "doc_id", n: Int = 3, bands: Int = 8,
                      maxBucketSize: Int = DefaultMaxBucketSize): Unit =
     capBuckets(minhashSignatures(docs, textCol, idCol, n, bands), maxBucketSize)
+      .sortWithinPartitions("band", "sig") // narrow row groups -> sig-set skip
       .write.mode("overwrite").parquet(path)
 
   def loadSignatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
@@ -1403,15 +1404,22 @@ object Dedup {
     // `pruneStoredBySig` collects the batch's DISTINCT signatures to the
     // driver (bounded: ≤ bands × batch rows — a micro-batch, not a
     // corpus) and pushes them into the stored scan as an `isin`, giving
-    // row-group skip over a sig-sorted compacted store. Costs a constant
-    // ~1 s (collect + wide-IN planning) plus one extra execution of the
-    // (tiny, capped) batch signature subplan — see
-    // [[screenAgainstCompacted]] for when that trade pays.
+    // row-group skip over a sig-sorted store (per-batch dirs are
+    // written band/sig-sorted since r16; the compacted table always
+    // was). Costs a constant ~1 s (collect + wide-IN planning) plus one
+    // extra execution of the (tiny, capped) batch signature subplan —
+    // see [[screenAgainstCompacted]] for when that trade pays. A batch
+    // whose sig set exceeds [[HammingKeyPushdownMax]] is NOT a
+    // micro-batch — the prune degrades to the unpruned scan rather
+    // than shipping a 100k-term IN to every row group.
     val stored =
       if (pruneStoredBySig) {
         val sigSet = newSigs.select("sig").distinct()
+          .limit(HammingKeyPushdownMax + 1)
           .collect().map(_.getString(0)).toSeq
-        storedSigs.filter(col("sig").isin(sigSet: _*))
+        if (sigSet.size <= HammingKeyPushdownMax)
+          storedSigs.filter(col("sig").isin(sigSet: _*))
+        else storedSigs
       } else storedSigs
     newSigs.join(stored.select(col("band"), col("sig"), col("id").as("stored_id")),
         Seq("band", "sig"))
@@ -1502,16 +1510,35 @@ object Dedup {
         else seen.filterNot(_.getPath.getName == s"batch=$batchId")
       // Screen BEFORE this batch's signatures join the store: a doc is
       // flagged against prior corpus + prior batches, never itself —
-      // including on retry (see scaladoc).
-      if (prior.nonEmpty)
-        screenAgainst(b,
-            spark.read.parquet(storePath)
-              .filter(col("batch") =!= batchId)
-              .select("id", "band", "sig"),
-            textCol, idCol, n, bands, minBands, maxBucketSize,
-            pruneStoredBySig)
-          .write.mode("overwrite").parquet(s"$flaggedPath/batch=$batchId")
+      // including on retry (see scaladoc). Under `pruneStoredBySig` the
+      // parquet IN-pushdown threshold is raised for the screen's
+      // execution (and restored) so the batch's sig set reaches the
+      // row-group stats of the sorted store files instead of degrading
+      // to a useless full-range min/max check — with per-batch dirs
+      // written (band, sig)-sorted below, the probe's read cost is
+      // O(batch sigs × row-group), flat in store size (the banded
+      // hash-store posture carried to the text tier; partition DIRS are
+      // deliberately not used here — they would conflict with
+      // [[compactSignatureStore]]'s bucketed batch=-1 layout, and
+      // sorted row groups deliver the same skip).
+      if (prior.nonEmpty) {
+        val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+        val oldThresh = spark.conf.get(confKey, "10")
+        if (pruneStoredBySig)
+          spark.conf.set(confKey, math.max(oldThresh.toInt,
+            HammingKeyPushdownMax + 1).toString)
+        try
+          screenAgainst(b,
+              spark.read.parquet(storePath)
+                .filter(col("batch") =!= batchId)
+                .select("id", "band", "sig"),
+              textCol, idCol, n, bands, minBands, maxBucketSize,
+              pruneStoredBySig)
+            .write.mode("overwrite").parquet(s"$flaggedPath/batch=$batchId")
+        finally spark.conf.set(confKey, oldThresh)
+      }
       capBuckets(minhashSignatures(b, textCol, idCol, n, bands), storeCap)
+        .sortWithinPartitions("band", "sig")
         .write.mode("overwrite")
         .parquet(s"$storePath/batch=$batchId")
       // Density health rides along (the IndexIngest statsPath pattern,

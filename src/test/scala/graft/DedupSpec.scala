@@ -629,6 +629,55 @@ class DedupSpec extends AnyFunSuite {
       Set((20L, 2L, 1L, 1L)))
   }
 
+  test("text signature store: sorted batch dirs, sig-set pushdown prunes the probe scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigstore").toString
+    val store = s"$dir/store"; val flagged = s"$dir/flagged"
+    def mk(ids: Seq[Long], tag: Long => String) =
+      ids.map(i => (i, s"alpha beta gamma delta epsilon ${tag(i)} eta theta"))
+        .toDF("doc_id", "text")
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Dedup.screenBatch(batch, id, store, flagged, "text", "doc_id",
+        n = 3, bands = 8, minBands = 1,
+        maxBucketSize = Dedup.ScreenBatchBucketCap,
+        storeCap = Dedup.DefaultMaxBucketSize, pruneStoredBySig = true)
+    run(mk(0L until 50L, i => s"zeta$i"), 0L)
+    run(mk(Seq(100L), _ => "zeta7"), 1L) // same text as doc 7 -> all bands hit
+    val f1 = spark.read.parquet(s"$flagged/batch=1")
+      .select("id", "stored_id", "n_bands")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(f1.contains((100L, 7L, 8L)), s"expected full-band flag, got $f1")
+    // store files are (band, sig)-sorted within each file — the layout
+    // the row-group skip relies on
+    import org.apache.spark.sql.functions.input_file_name
+    val rows = spark.read.parquet(store)
+      .select(input_file_name().as("f"), col("band"), col("sig"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      val seq = grp.map(r => (r._2, r._3)).toSeq
+      assert(seq == seq.sorted, "store file rows not (band, sig)-sorted")
+    }
+    // pruned ≡ unpruned, and the sig set reaches the scan's
+    // PushedFilters under a raised IN threshold (the screenBatch path
+    // raises it around the screen; replicate here for the plan read)
+    val probe = mk(Seq(100L), _ => "zeta7")
+    val stored = spark.read.parquet(store).select("id", "band", "sig")
+    val unpruned = Dedup.screenAgainst(probe, stored, "text", "doc_id",
+        n = 3, bands = 8, minBands = 1).collect().map(_.toString).sorted
+    val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val old = spark.conf.get(confKey, "10")
+    spark.conf.set(confKey, "5000")
+    try {
+      val pruned = Dedup.screenAgainst(probe, stored, "text", "doc_id",
+        n = 3, bands = 8, minBands = 1,
+        maxBucketSize = Dedup.DefaultMaxBucketSize, pruneStoredBySig = true)
+      assert(pruned.collect().map(_.toString).sorted.sameElements(unpruned))
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert("PushedFilters: \\[[^\\]]*sig".r.findFirstIn(plan).isDefined,
+        s"sig pushdown missing from probe scan:\n$plan")
+    } finally spark.conf.set(confKey, old)
+  }
+
   test("hammingNearDups evaluates the hash input ONCE (shared stage feeds both join sides)") {
     // the image/audio callers pay a real DECODE per row — if the
     // band-bucket self-join re-evaluated its input per side, every

@@ -52,10 +52,21 @@ class StoreRootSpec extends AnyFunSuite {
       assert(pqDirs == first && marker.lastModified() == mtime,
         "cache hit must not rewrite the store")
 
-      // MISS: same dir string, same content, new file identity -> the
-      // dataset fingerprint folds into the leaf, so a NEW store is built
-      // and the old one is left untouched (staleness = miss, never a
-      // wrong read)
+      // a SECOND dataset's cache shares the root and must never be
+      // touched by the first dataset's lifecycle
+      val data2 = java.nio.file.Files.createTempDirectory("graft-rootdata2").toString
+      spark.read.parquet(s"$data/embeddings.parquet").limit(100)
+        .coalesce(1).write.parquet(s"$data2/embeddings.parquet")
+      SparkEntry.pqCorpus(spark, data2)
+      val withSecond = pqDirs
+      assert(withSecond.size == 2, s"expected two pq stores, got $withSecond")
+      val secondDir = withSecond.filterNot(_ == first.head).head
+
+      // MISS + GC (r16): same dir string, same content, new file
+      // identity -> the fingerprint folds into the leaf, a NEW store is
+      // built, and the SUPERSEDED sibling (same `_source` dataset dir,
+      // old key) is swept — a regenerated dataset leaves zero stale
+      // siblings; the other dataset's cache is untouched
       val tmp = s"$data/emb2"
       spark.read.parquet(s"$data/embeddings.parquet")
         .coalesce(1).write.parquet(tmp)
@@ -64,9 +75,12 @@ class StoreRootSpec extends AnyFunSuite {
         .renameTo(new java.io.File(s"$data/embeddings.parquet")))
       SparkEntry.pqCorpus(spark, data)
       val after = pqDirs
-      assert(after.size == 2, s"dataset change must be a cache MISS: $after")
-      assert(after.contains(first.head) && marker.lastModified() == mtime,
-        "old store must survive a fingerprint miss untouched")
+      assert(after.size == 2, s"regeneration must GC the stale sibling: $after")
+      assert(!after.contains(first.head), "stale sibling must be deleted")
+      assert(after.contains(secondDir), "other dataset's cache must survive")
+      val fresh = after.filterNot(_ == secondDir).head
+      assert(new java.io.File(fresh, "_source").exists(),
+        "fresh cache must carry its _source sidecar")
     } finally {
       sys.props.remove("graft.store.root")
       had.foreach(v => sys.props("graft.store.root") = v)
