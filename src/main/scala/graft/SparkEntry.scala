@@ -306,6 +306,7 @@ object SparkEntry
     "q269_containment_budget" -> (q269ContainmentBudget _),
     "q270_budget_ledger" -> (q270BudgetLedger _),
     "q271_wide_neardup" -> (q271WideNearDup _),
+    "q272_stream_wide_screen" -> (q272StreamWideScreen _),
     "q254_unigram_encode" -> (q254UnigramEncode _),
     "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
@@ -524,6 +525,7 @@ object SparkEntry
     "q269_containment_budget" -> q269Sql,
     "q270_budget_ledger" -> q270Sql,
     "q271_wide_neardup" -> q271Sql,
+    "q272_stream_wide_screen" -> q272Sql,
     "q197_band_sweep_sampled" -> q197Sql,
     "q85_range_search" -> q85Sql,
     "q122_pairwise_dist" -> q122Sql,

@@ -891,12 +891,16 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
     * bands − 1, so banding is LOSSLESS at the radius and the oracle
     * replays the screen as the direct distance join (the q268 stance;
     * the pile bucket stays under the cap at gate SFs). */
-  private[graft] def q271WideNearDup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"))
-    // nested flip schedule: member m of a 4-doc family flips the first
-    // nf(m) positions of the family's shared sequence -> intra-family
-    // distance |nf_a - nf_b|, cross-family ~ uniform(120)
-    val coded = docs
+  /** The q271/q272 synthetic 256-bit code table: per doc a 4×60-bit
+    * md5-derived family base with a nested flip schedule — member m of
+    * a 4-doc family flips the first nf(m) positions of the family's
+    * shared sequence, so intra-family distance is |nf_a − nf_b| and
+    * cross-family distance is ~uniform(120); a doc_id % 7 pile shares
+    * one fixed code. Pure deterministic Column arithmetic, so it runs
+    * identically on a batch frame (q271) and inside a micro-batch
+    * stream (q272), and a SQL oracle replays it verbatim. */
+  private[graft] def wideSyntheticCodes(docs: DataFrame): DataFrame =
+    docs
       .withColumn("__fam", expr("doc_id div 4"))
       .withColumn("__nf", expr(
         "CASE WHEN doc_id % 7 = 0 THEN 0 WHEN doc_id % 4 = 3 THEN 4 " +
@@ -917,6 +921,9 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
         }
       }: _*))
       .select(col("doc_id"), col("code"))
+
+  private[graft] def q271WideNearDup(s: SparkSession, dir: String): DataFrame = {
+    val coded = wideSyntheticCodes(t(s, dir, "documents").select(col("doc_id")))
     Dedup.hammingNearDupsWide(coded, "code", "doc_id", bands = 8,
         bandBits = 32, words = 4, maxHamming = 6)
       .select(col("id_a"), col("id_b"), col("hamming"))

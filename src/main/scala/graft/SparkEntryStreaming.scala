@@ -772,6 +772,99 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
       |  ON g.asset_id = r.asset_id
       |ORDER BY g.asset_id""".stripMargin
 
+  /** STREAMING WIDE-hash asset screen — q268's contract at 256-bit
+    * codes ([[graft.operators.Dedup.hammingScreenedIngestWide]], the
+    * r15 judge's pHash-width ask carried to the streaming store):
+    * micro-batches of (asset_id, 4-word code) are screened against
+    * every prior batch via the banded array-payload store (8 × 32-bit
+    * bands, popcount-over-words verify at radius 6 — lossless, ≤
+    * bands − 1) and join the store under the same per-batch-id
+    * idempotence. Codes are the q271 synthetic family table computed
+    * IN-STREAM (deterministic Column arithmetic — the caller-owns-
+    * hashing contract); batches are the doc_id % 3 residue slices with
+    * pinned mtimes, so "prior" is deterministic and the oracle replays
+    * the screen as the direct wide distance join over residue order. */
+  private[graft] def q272StreamWideScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q272").toString
+    val inDir = s"$stage/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    for (b <- 0 until 3) {
+      val tmp = s"$stage/tmp$b"
+      docs.filter(col("doc_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(inDir, s"b$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
+    }
+    val store = s"$stage/store"
+    val flagged = s"$stage/flagged"
+    try {
+      val q = withStateParts(s, 8) {
+        val stream = wideSyntheticCodes(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir))
+          .withColumnRenamed("doc_id", "asset_id")
+        Dedup.hammingScreenedIngestWide(stream, store, flagged,
+          s"$stage/ckpt", codeCol = "code", idCol = "asset_id",
+          bands = 8, bandBits = 32, words = 4, maxHamming = 6)
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(flagged)
+        .select(col("asset_id"), col("n_matches"), col("top_match_id"),
+          col("hamming"))
+        .orderBy("asset_id")
+        .localCheckpoint(true) // materialize before the stage dir dies
+    } finally rmTree(stage)
+  }
+
+  private[graft] val q272Sql =
+    """WITH f AS (
+      |  SELECT doc_id, doc_id // 4 AS fam,
+      |    CASE WHEN doc_id % 7 = 0 THEN 0
+      |         WHEN doc_id % 4 = 3 THEN 4
+      |         ELSE doc_id % 4 END AS nf,
+      |    CAST('0x' || substr(md5('wp:' || CAST(doc_id // 4 AS VARCHAR)), 1, 2)
+      |      AS BIGINT) % 240 AS pb
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    [list_reduce(list_prepend(
+      |       CASE WHEN doc_id % 7 = 0
+      |         THEN CAST('0x' || substr(md5('wpile:' || CAST(w AS VARCHAR)), 1, 15) AS BIGINT)
+      |         ELSE CAST('0x' || substr(md5('wf:' || CAST(w AS VARCHAR) || ':' ||
+      |                CAST(fam AS VARCHAR)), 1, 15) AS BIGINT) END,
+      |       list_transform(range(0, 4), j ->
+      |         CASE WHEN nf > j AND ((pb + 17 * j) % 240) // 60 = w
+      |           THEN 1::BIGINT << CAST((pb + 17 * j) % 60 AS INTEGER)
+      |           ELSE 0::BIGINT END)),
+      |      (acc, x) -> xor(acc, x))
+      |     FOR w IN [0, 1, 2, 3]] AS code
+      |  FROM f),
+      |m AS (
+      |  SELECT a.doc_id AS asset_id, p.doc_id AS stored_id,
+      |    CAST(bit_count(xor(a.code[1], p.code[1])) AS INTEGER) +
+      |    CAST(bit_count(xor(a.code[2], p.code[2])) AS INTEGER) +
+      |    CAST(bit_count(xor(a.code[3], p.code[3])) AS INTEGER) +
+      |    CAST(bit_count(xor(a.code[4], p.code[4])) AS INTEGER) AS d
+      |  FROM h a JOIN h p ON (p.doc_id % 3) < (a.doc_id % 3)),
+      |n AS (SELECT asset_id, stored_id, d FROM m WHERE d <= 6),
+      |r AS (
+      |  SELECT asset_id, stored_id,
+      |    row_number() OVER (PARTITION BY asset_id ORDER BY d, stored_id) AS rn
+      |  FROM n)
+      |SELECT g.asset_id, g.n_matches, r.stored_id AS top_match_id, g.hamming
+      |FROM (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_matches,
+      |        CAST(min(d) AS BIGINT) AS hamming
+      |      FROM n GROUP BY 1) g
+      |JOIN (SELECT asset_id, stored_id FROM r WHERE rn = 1) r
+      |  ON g.asset_id = r.asset_id
+      |ORDER BY g.asset_id""".stripMargin
+
   private[graft] val q201Sql =
     """WITH e AS (
       |  SELECT event_type, value, epoch_ns(ts) // 1000 AS tu FROM events)
