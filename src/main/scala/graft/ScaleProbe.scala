@@ -103,6 +103,11 @@ object ScaleProbe {
         args.lift(2).map(_.toInt).getOrElse(8))
       return
     }
+    if (args.headOption.contains("rpfcompact")) {
+      rpfCompactProbe(args.lift(1).map(_.toInt).getOrElse(1000),
+        args.lift(2).map(_.toInt).getOrElse(32))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -489,6 +494,123 @@ object ScaleProbe {
       .groupBy("query_id").agg(count(lit(1)).as("n"))
       .agg(avg("n")).head().getDouble(0)
     println(f"[scale] rpf recall@10 vs exact (16q mean): ${overlap / 10.0}%.2f")
+    spark.stop()
+  }
+
+  /** RP-forest store compaction probe (`runMain graft.ScaleProbe
+    * rpfcompact <factor> [nBatches]`) — prices the small-files problem
+    * [[graft.operators.RpForest.compactStore]] exists to fix: a store
+    * seeded from the bulk corpus then grown by `nBatches` committed
+    * micro-batches carries ~nBatches × touched-leaf-count file dust;
+    * every subsequent append pays the dup probe (a tree-0 scan) and
+    * every search pays the leaf read over that many extra file opens.
+    * Reports data-file count, warm dup-probe wall and warm 16-query
+    * search wall BEFORE and AFTER one compaction, plus row-count
+    * parity. /tmp/graft-rpf-compact-<factor> is rebuilt each run. */
+  def rpfCompactProbe(factor: Int, nBatches: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nBase = base.count()
+    val path = s"/tmp/graft-scale-${factor}x"
+    if (!parquetComplete(spark, path)) {
+      val reps = (0 until factor).toDF("rep")
+      base.crossJoin(reps)
+        .select((col("vec_id") + col("rep") * nBase).as("doc_id"),
+          col("embedding"), col("label"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val corpus = spark.read.parquet(path)
+    val n = corpus.count()
+    val trees = 2
+    val depth = 6
+    // reuse the rpf probe's forest artifact when present
+    val rpfDir = s"/tmp/graft-scale-rpf-${factor}x"
+    val fPath = s"$rpfDir/forest.txt"
+    val f =
+      if (new java.io.File(fPath).exists)
+        graft.operators.RpForest.load(spark, fPath)
+      else {
+        val t = graft.operators.RpForest.train(corpus, trees, depth)
+        graft.operators.RpForest.save(spark, t, fPath)
+        t
+      }
+    val dir = s"/tmp/graft-rpf-compact-${factor}x"
+    SparkEntry.rmTree(dir)
+    val store = s"$dir/store"
+    val batchSize = 4096L
+    val cut = n - nBatches * batchSize
+    val t0 = System.nanoTime()
+    graft.operators.RpForest.assign(corpus.filter(col("doc_id") < cut), f)
+      .write.mode("overwrite").partitionBy("tree", "leaf").parquet(store)
+    println(f"[scale] rpfcompact seed: ${cut} docs in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val t1 = System.nanoTime()
+    for (b <- 0 until nBatches)
+      graft.operators.RpForest.appendBatch(store, f,
+        corpus.filter(col("doc_id") >= cut + b * batchSize &&
+          col("doc_id") < cut + (b + 1) * batchSize), batchId = b.toLong)
+    println(f"[scale] rpfcompact grow: $nBatches batches x $batchSize in " +
+      f"${(System.nanoTime() - t1) / 1e9}%.1f s " +
+      f"(${(System.nanoTime() - t1) / 1e9 / nBatches}%.2f s/batch)")
+
+    def dataFiles(): Long = {
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$store/tree=*/leaf=*/*.parquet")))
+        .map(_.length.toLong).getOrElse(0L)
+    }
+    // the per-append dup probe (requireNoDups' exact shape) against a
+    // hypothetical next batch — the cost every future append pays
+    val nextIds = spark.range(n, n + batchSize).toDF("doc_id")
+    def dupProbe(): Unit = {
+      spark.read.parquet(store).filter(col("tree") === 0).select("doc_id")
+        .join(broadcast(nextIds), Seq("doc_id")).limit(1).collect()
+      ()
+    }
+    val q16 = base.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def searchAll(): Unit =
+      q16.foreach { case (_, qv) =>
+        graft.operators.RpForest.search(
+          spark.read.parquet(store), f, qv, k = 10).collect()
+        ()
+      }
+    def timeWarm(name: String)(body: => Unit): Double = {
+      body
+      val t = System.nanoTime(); body
+      val sec = (System.nanoTime() - t) / 1e9
+      println(f"[scale] rpfcompact $name: $sec%.2f s warm")
+      sec
+    }
+    def phase(tag: String): (Long, Long) = {
+      val nf = dataFiles()
+      val rows = spark.read.parquet(store).count()
+      println(s"[scale] rpfcompact $tag: $nf data files, $rows rows")
+      timeWarm(s"$tag dup-probe"){ dupProbe() }
+      timeWarm(s"$tag search 16q"){ searchAll() }
+      (nf, rows)
+    }
+    val (filesBefore, rowsBefore) = phase("pre-compact")
+    val t2 = System.nanoTime()
+    val absorbed = graft.operators.RpForest.compactStore(spark, store,
+      keepNewest = 1)
+    println(f"[scale] rpfcompact compaction: absorbed $absorbed files in " +
+      f"${(System.nanoTime() - t2) / 1e9}%.1f s")
+    val (filesAfter, rowsAfter) = phase("post-compact")
+    println(s"[scale] rpfcompact files $filesBefore -> $filesAfter, " +
+      s"rows $rowsBefore -> $rowsAfter (${rowsBefore == rowsAfter})")
     spark.stop()
   }
 

@@ -307,6 +307,7 @@ object SparkEntry
     "q270_budget_ledger" -> (q270BudgetLedger _),
     "q271_wide_neardup" -> (q271WideNearDup _),
     "q272_stream_wide_screen" -> (q272StreamWideScreen _),
+    "q273_rpf_compacted_search" -> (q273RpfCompactedSearch _),
     "q254_unigram_encode" -> (q254UnigramEncode _),
     "q255_tokenizer_compare" -> (q255TokenizerCompare _),
     "q214_stream_enrich" -> (q214StreamEnrich _),
@@ -1087,10 +1088,12 @@ object SparkEntry
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       val searchSql = OracleSqlGen.rpfSearchSql(splits,
         f.depth, RpForest.routeQuery(f, q0), k = 10, qVecId = 0L)
-      // q262 streams the SAME delta through append — its grown store
-      // must equal q251's, so they share one oracle
+      // q262 streams the SAME delta through append, and q273 compacts
+      // the streamed store before searching — all three stores must be
+      // row-identical to q251's, so they share one oracle
       Map("q251_rpf_append_search" -> searchSql,
-        "q262_stream_rpf_ingest" -> searchSql)
+        "q262_stream_rpf_ingest" -> searchSql,
+        "q273_rpf_compacted_search" -> searchSql)
     }).getOrElse(Map.empty)
 
   private[graft] def ivfOracleSqls: Map[String, String] =

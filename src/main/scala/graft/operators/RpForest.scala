@@ -323,6 +323,108 @@ object RpForest {
     n
   }
 
+  /** How many `_rpf_batch_<id>` committed markers [[compactStore]]
+    * retains (newest ids — [[graft.operators.Dedup.AbsorbedMarkerRetention]]'s
+    * analog): the marker is [[appendBatch]]'s replay guard, and
+    * Structured Streaming replays only ids near the checkpoint head,
+    * so an unbounded marker pile is the small-files problem wearing a
+    * different hat. A replay of an id whose marker was pruned fails
+    * LOUDLY at the dup probe (its rows live in the consolidated
+    * files) — safe, and unreachable when the store and the stream's
+    * checkpoint share a lifecycle. */
+  val BatchMarkerRetention = 64
+
+  /** Compact an [[appendBatch]]-grown store: fold the base files, the
+    * committed `b<id>-*` batch files and any prior `c<gen>-*`
+    * consolidated generations into ONE doc_id-sorted file set per
+    * (tree, leaf) partition — the maintenance pass that turns a year
+    * of micro-batch file dust back into a scan-efficient store (the
+    * classic small-files remedy; every per-batch store in this engine
+    * gets one: [[graft.operators.Dedup.compactHammingStore]],
+    * [[graft.operators.Dedup.compactSignatureStore]], this).
+    *
+    * Ceremony (the [[appendBatch]] staged-rename discipline):
+    *  1. write the consolidated rows to `_rpf_compact_stage`
+    *     (underscore-prefixed — readers skip it mid-write), with a
+    *     `dropDuplicates(tree, doc_id)` on the way in: a genuine store
+    *     never carries (tree, doc) twice, so this is normally a no-op,
+    *     and it HEALS the duplicate rows a crash in a previous
+    *     compaction's rename window left behind, restoring exact
+    *     [[leafStats]] counts (stronger than the hamming store's
+    *     tolerate-forever posture);
+    *  2. rename each staged file into its live leaf dir under a
+    *     `c<gen>-` prefix (gen strictly above every prior generation;
+    *     the prefix never matches [[appendBatch]]'s `b<id>-*` crash
+    *     scrub glob);
+    *  3. delete the absorbed files;
+    *  4. prune `_rpf_batch_*` markers beyond [[BatchMarkerRetention]].
+    *
+    * A concurrent READER between (2) and (3) can see absorbed rows
+    * twice — harmless by construction: [[search]] is
+    * distinct-then-rerank, the dup probe is a semi-join (both
+    * spec-pinned); [[leafStats]] counts drift until (3) completes. A
+    * crash between (2) and (3) leaves duplicates that the NEXT
+    * compaction's step-1 dedup folds away — idempotent, never lossy.
+    * Writer concurrency: single maintenance writer (stop the stream or
+    * rely on `keepNewest` ≥ 1 to keep the checkpoint-head batch — the
+    * only id an at-least-once replay can still touch — out of the
+    * fold). Batch files whose marker is MISSING (an in-flight or
+    * crashed, uncommitted batch) are never absorbed — their lifecycle
+    * belongs to [[appendBatch]]'s own scrub. Returns files absorbed. */
+  def compactStore(spark: SparkSession, storePath: String,
+                   keepNewest: Int = 1): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(storePath).getFileSystem(spark.sessionState.newHadoopConf())
+    def glob(pat: String) =
+      Option(fs.globStatus(new Path(pat)))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    val committed = glob(s"$storePath/_rpf_batch_*")
+      .map(_.getPath.getName.stripPrefix("_rpf_batch_").toLong).sorted
+    val protectIds = committed.takeRight(keepNewest).toSet
+    val BatchFile = """^b(\d+)-.*""".r
+    val GenFile = """^c(\d+)-.*""".r
+    val files = glob(s"$storePath/tree=*/leaf=*/*.parquet")
+    val absorb = files.filter { st =>
+      st.getPath.getName match {
+        case BatchFile(id) =>
+          committed.contains(id.toLong) && !protectIds(id.toLong)
+        case _ => true // base assign/append files and c<gen>- generations
+      }
+    }
+    if (absorb.length < 2) return 0L // nothing to fold
+    val gen = files.map(_.getPath.getName)
+      .collect { case GenFile(g) => g.toLong }
+      .foldLeft(0L)(math.max) + 1L
+    val stage = new Path(storePath, "_rpf_compact_stage")
+    fs.delete(stage, true)
+    spark.read.option("basePath", storePath)
+      .parquet(absorb.map(_.getPath.toString).toIndexedSeq: _*)
+      .dropDuplicates("tree", "doc_id") // [[assign]] always emits doc_id
+      .repartition(col("tree"), col("leaf"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("tree", "leaf")
+      .parquet(stage.toString)
+    val staged = glob(s"$stage/tree=*/leaf=*/*.parquet")
+    for (st <- staged) {
+      val leafDir = st.getPath.getParent
+      val live = new Path(new Path(new Path(storePath),
+        leafDir.getParent.getName), leafDir.getName)
+      fs.mkdirs(live)
+      val dst = new Path(live, s"c$gen-${st.getPath.getName}")
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(
+          s"rpf compactStore: cannot rename ${st.getPath} -> $dst")
+    }
+    fs.delete(stage, true)
+    absorb.foreach(st => fs.delete(st.getPath, false))
+    val markers = glob(s"$storePath/_rpf_batch_*")
+      .map(m => m.getPath.getName.stripPrefix("_rpf_batch_").toLong -> m.getPath)
+      .sortBy(_._1)
+    markers.dropRight(BatchMarkerRetention)
+      .foreach { case (_, p) => fs.delete(p, false) }
+    absorb.length.toLong
+  }
+
   /** Per-tree leaf-occupancy statistics over a persisted store — the
     * staleness signal ([[graft.operators.IvfIndex]]'s cellStats analog):
     * row count, non-empty leaf count, max/min leaf size, and

@@ -223,6 +223,94 @@ class RpForestSpec extends AnyFunSuite {
       java.nio.file.Paths.get(p2, "_rpf_stage_9")))
   }
 
+  test("compactStore: compacted == uncompacted reads, replay no-op, crash dups healed") {
+    val all = corpus(400)
+    val base = all.filter(col("doc_id") < 200)
+    val f = RpForest.train(base, trees = 2, depth = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-rpf-comp").toString + "/store"
+    RpForest.assign(base, f)
+      .write.mode("overwrite").partitionBy("tree", "leaf").parquet(path)
+    // grow by four committed micro-batches
+    for (b <- 0 until 4)
+      assert(RpForest.appendBatch(path, f,
+        all.filter(col("doc_id") >= 200 + 50 * b &&
+          col("doc_id") < 250 + 50 * b), batchId = b.toLong) == 50L)
+    // plus one UNCOMMITTED (crashed, marker-less) batch file that
+    // compaction must leave alone — its lifecycle belongs to
+    // appendBatch's own scrub
+    import scala.jdk.CollectionConverters._
+    val leafDir = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala.find(_.getFileName.toString.startsWith("tree=")).get
+    val anyLeaf = java.nio.file.Files.list(leafDir)
+      .iterator().asScala.find(_.getFileName.toString.startsWith("leaf=")).get
+    val victim = java.nio.file.Files.list(anyLeaf)
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    val uncommitted = anyLeaf.resolve("b99-crashed-partial.parquet")
+    java.nio.file.Files.copy(victim, uncommitted)
+    // and a crash-window DUPLICATE from a previous compaction (rename-in
+    // done, delete-old not): a prior-generation file whose rows also
+    // live in the base files — absorbable, so step-1 dedup must heal it
+    java.nio.file.Files.copy(victim, anyLeaf.resolve("c0-recovered.parquet"))
+    def snapshot(): Set[(Long, Int, Int)] =
+      spark.read.parquet(path).select("doc_id", "tree", "leaf").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    def files(): Seq[String] = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(path)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val preRows = spark.read.parquet(path).count()
+    val ref = snapshot() // set form: dedup'd truth
+    val nBefore = files().size
+    // keepNewest = 1 protects the checkpoint-head batch (id 3)
+    val absorbed = RpForest.compactStore(spark, path, keepNewest = 1)
+    assert(absorbed > 0)
+    val after = files()
+    assert(after.size < nBefore)
+    // head batch's files and the uncommitted b99 file survive
+    assert(after.exists(_.contains("b3-")), "head batch was absorbed")
+    assert(java.nio.file.Files.exists(uncommitted), "uncommitted file absorbed")
+    // compacted reads ≡ uncompacted reads, and the compaction's dedup
+    // HEALED the absorbed crash-window duplicate (c0-recovered); only
+    // the untouched b99 dup rows remain
+    assert(snapshot() == ref)
+    val dupRows = spark.read.parquet(uncommitted.toString).count()
+    assert(preRows == ref.size.toLong + 2 * dupRows) // sanity: dups existed
+    assert(spark.read.parquet(path).count() == ref.size.toLong + dupRows)
+    // replay of an absorbed batch id is still a no-op (marker survives)
+    assert(RpForest.appendBatch(path, f,
+      all.filter(col("doc_id") >= 200 && col("doc_id") < 250),
+      batchId = 0L) == 0L)
+    assert(snapshot() == ref)
+    // a NEW batch with an already-present id still fails loudly against
+    // the consolidated files
+    val ex = intercept[IllegalArgumentException] {
+      RpForest.append(path, f, all.filter(col("doc_id") === 210L))
+    }
+    assert(ex.getMessage.contains("already present"))
+    // search over the compacted store ≡ search over a rebuild-route
+    val q = all.filter(col("doc_id") === 42L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = RpForest.search(spark.read.parquet(path), f, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = RpForest.assign(all, f)
+    val want = RpForest.search(rebuilt, f, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // second compaction folds the now-idle head batch + prior gen into
+    // gen 2; marker retention keeps the newest BatchMarkerRetention ids
+    for (id <- 100L until (100L + RpForest.BatchMarkerRetention))
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(path, s"_rpf_batch_$id"))
+    assert(RpForest.compactStore(spark, path, keepNewest = 0) > 0)
+    val markerIds = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("_rpf_batch_"))
+      .map(_.stripPrefix("_rpf_batch_").toLong).toSeq.sorted
+    assert(markerIds.size == RpForest.BatchMarkerRetention)
+    assert(!markerIds.contains(0L), "oldest markers should be pruned first")
+    assert(files().exists(_.contains("c2-")), "expected a gen-2 file")
+  }
+
   test("leafStats/needsRetrain: balanced store is quiet, skewed growth trips the policy") {
     val base = corpus(400)
     val f = RpForest.train(base, trees = 2, depth = 3)
