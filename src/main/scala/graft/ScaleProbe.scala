@@ -611,6 +611,18 @@ object ScaleProbe {
     val (filesAfter, rowsAfter) = phase("post-compact")
     println(s"[scale] rpfcompact files $filesBefore -> $filesAfter, " +
       s"rows $rowsBefore -> $rowsAfter (${rowsBefore == rowsAfter})")
+    // third phase: re-compact with capped file sizes — one file per
+    // leaf minimizes metadata but caps the leaf-pruned scan at one
+    // task per sub-128MB file; maxRecordsPerFile restores scan
+    // parallelism at a bounded file count
+    val t3 = System.nanoTime()
+    val absorbed2 = graft.operators.RpForest.compactStore(spark, store,
+      keepNewest = 0, maxRecordsPerFile = 8192L)
+    println(f"[scale] rpfcompact re-compaction (maxRecordsPerFile=8192): " +
+      f"absorbed $absorbed2 files in ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    val (filesSplit, rowsSplit) = phase("post-split")
+    println(s"[scale] rpfcompact split files $filesAfter -> $filesSplit, " +
+      s"rows $rowsSplit (${rowsBefore == rowsSplit})")
     spark.stop()
   }
 

@@ -382,7 +382,7 @@ object RpForest {
     * crashed, uncommitted batch) are never absorbed — their lifecycle
     * belongs to [[appendBatch]]'s own scrub. Returns files absorbed. */
   def compactStore(spark: SparkSession, storePath: String,
-                   keepNewest: Int = 1): Long = {
+                   keepNewest: Int = 1, maxRecordsPerFile: Long = 0L): Long = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(storePath).getFileSystem(spark.sessionState.newHadoopConf())
     def glob(pat: String) =
@@ -407,12 +407,23 @@ object RpForest {
       .foldLeft(0L)(math.max) + 1L
     val stage = new Path(storePath, "_rpf_compact_stage")
     fs.delete(stage, true)
-    spark.read.option("basePath", storePath)
+    // maxRecordsPerFile > 0 splits each consolidated leaf into capped
+    // files: ONE file per leaf minimizes file count but caps the
+    // leaf-pruned SCAN at one task per leaf when the file is below
+    // spark.sql.files.maxPartitionBytes (parquet splits at row-group
+    // boundaries, and a sub-128MB file is one group's worth of task) —
+    // measured 16.4 vs 11.3 s on the 16-query probe leg. Production
+    // guidance: size files to stay splittable (or leave several per
+    // leaf); the dup probe and listing win either way.
+    val writer = spark.read.option("basePath", storePath)
       .parquet(absorb.map(_.getPath.toString).toIndexedSeq: _*)
       .dropDuplicates("tree", "doc_id") // [[assign]] always emits doc_id
       .repartition(col("tree"), col("leaf"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("tree", "leaf")
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+     else writer)
       .parquet(stage.toString)
     val staged = glob(s"$stage/tree=*/leaf=*/*.parquet")
     for (st <- staged) {

@@ -301,7 +301,15 @@ class RpForestSpec extends AnyFunSuite {
     for (id <- 100L until (100L + RpForest.BatchMarkerRetention))
       java.nio.file.Files.createFile(
         java.nio.file.Paths.get(path, s"_rpf_batch_$id"))
-    assert(RpForest.compactStore(spark, path, keepNewest = 0) > 0)
+    assert(RpForest.compactStore(spark, path, keepNewest = 0,
+      maxRecordsPerFile = 20L) > 0)
+    // the file-size cap split at least one consolidated leaf into
+    // multiple gen-2 files (scan-parallelism knob), reads unchanged
+    val gen2PerLeaf = files().filter(_.contains("c2-"))
+      .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    assert(gen2PerLeaf.exists(_._2.size > 1),
+      s"expected a split leaf among ${gen2PerLeaf.view.mapValues(_.size).toMap}")
+    assert(snapshot() == ref)
     val markerIds = java.nio.file.Files.list(java.nio.file.Paths.get(path))
       .iterator().asScala.map(_.getFileName.toString)
       .filter(_.startsWith("_rpf_batch_"))
