@@ -166,6 +166,27 @@ object Bench {
     def isQuiet(ext: Double): Boolean =
       (if (ext >= 0) ext < xloadTaint else MeasureGuard.loadAvg1() < loadFlag) &&
         MeasureGuard.foreignJvms().isEmpty
+    // SELF-KERNEL-LOAD leak (r16): a query's own kernel-side work —
+    // page-cache writeback, FS journaling, kworker CPU — is system
+    // time NOT attributed to /proc/self, so an I/O-heavy query taints
+    // its own window and its retry re-runs can never pass the strict
+    // acceptance (observed: 12/273 permanent quiet_failed, ALL of them
+    // streaming/checkpoint gates, on a host whose ambient ext was
+    // ~0.0). Disambiguation: a genuine thief keeps burning cores when
+    // WE go idle; our own kernel load decays as soon as the work
+    // stops. For an above-threshold reading, re-measure ext over three
+    // short IDLE samples and take the minimum (the tail of a writeback
+    // decays across the window; a thief holds all three samples high).
+    // Cost ~1.2 s, paid only on above-threshold windows.
+    def corroborate(ext: Double): Double =
+      if (ext < 0 || ext < xloadTaint) ext
+      else {
+        val m = new MeasureGuard.ExternalLoadMeter
+        m.sample()
+        val idle = (1 to 3).map { _ => Thread.sleep(400); m.sample() }
+          .filter(_ >= 0)
+        if (idle.isEmpty) ext else math.min(ext, idle.min)
+      }
     def waitForQuiet(): Boolean = {
       quietMeter.sample() // reset the window to now
       var quiet = false
@@ -224,8 +245,11 @@ object Bench {
       val load = math.max(load0, MeasureGuard.loadAvg1())
       val fj = math.max(fj0, MeasureGuard.foreignJvms().size)
       // external busy cores over THIS query's reps window — self-load
-      // excluded, no 1-min smoothing; -1 (no /proc) falls back to loadavg
-      val ext = extMeter.sample()
+      // excluded, no 1-min smoothing; -1 (no /proc) falls back to
+      // loadavg. Above-threshold readings are idle-corroborated (see
+      // corroborate) so self-induced kernel load doesn't taint; the
+      // artifact's xload map carries the corroborated value.
+      val ext = corroborate(extMeter.sample())
       val flagged = median >= 0 && (fj > 0 ||
         (if (ext >= 0) ext >= loadFlag else load >= loadFlag))
       Meas(n, i, cold, median, load, fj, flagged, ext)
@@ -254,7 +278,7 @@ object Bench {
         val t0 = System.nanoTime()
         retryMeter.sample() // window = this retry's reps
         val redo = (1 to reps).map(_ => materialize(m.name)).filter(_ >= 0).sorted
-        val reExt = retryMeter.sample()
+        val reExt = corroborate(retryMeter.sample())
         retryBudgetMs -= (System.nanoTime() - t0) / 1000000L
         if (redo.nonEmpty) {
           best = math.min(best, redo(redo.size / 2))
