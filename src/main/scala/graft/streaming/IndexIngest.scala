@@ -58,6 +58,11 @@ object IndexIngest {
         PqIndex.residualColumn(ivf, col(embCol), col("cell_id")))
       PqIndex.encode(withRes, pq, "__res")
         .select(col(idCol), col("cell_id"), col("codes"))
+        // one file per touched cell per micro-batch (the RpForest
+        // appendBatch rule): staged at full shuffle parallelism this
+        // write sprays tasks × touched-cell files of dust per batch;
+        // the batch is micro by contract, the extra exchange is noise
+        .repartition(col("cell_id"))
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"$corpusPath/batch=$batchId")
       // Health record: occupancy imbalance + the batch's mean residual
