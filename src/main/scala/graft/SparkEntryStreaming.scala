@@ -775,30 +775,48 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
     * prior bucket is the pile's ≤ ~480 members vs cap 1000). Output:
     * one row per flagged asset (n_matches, argmin-(hamming, id)
     * match). */
-  private[graft] def q268StreamAssetScreen(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = t(s, dir, "documents").select(col("doc_id"))
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-q268").toString
+  /** Stage `docs` (a doc_id projection) as three doc_id % 3 residue
+    * slice files with PINNED mtimes 60 s apart — the file source's
+    * (modTime, path) order makes micro-batch arrival deterministic.
+    * ONE partitioned write (each residue wholly in one task → one file
+    * per slice) instead of three coalesce(1) jobs — the q268/q272
+    * staging cost measured as 3 × ~70 ms of separate scan jobs. */
+  private[graft] def stageResidueSlices(docs: DataFrame, stage: String): String = {
     val inDir = s"$stage/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val tmp = s"$stage/tmpslices"
+    docs.withColumn("__b", col("doc_id") % 3)
+      .repartition(col("__b"))
+      .write.mode("overwrite").partitionBy("__b").parquet(tmp)
     for (b <- 0 until 3) {
-      val tmp = s"$stage/tmp$b"
-      docs.filter(col("doc_id") % 3 === b).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+      val part = new java.io.File(s"$tmp/__b=$b").listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val dst = java.nio.file.Paths.get(inDir, s"b$b.parquet")
       java.nio.file.Files.move(part.toPath, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
     }
+    inDir
+  }
+
+  private[graft] def q268StreamAssetScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q268").toString
+    val inDir = stageResidueSlices(docs, stage)
     val store = s"$stage/store"
     val flagged = s"$stage/flagged"
     try {
       val q = withStateParts(s, 8) {
+        // repartition BEFORE the decode map: each micro-batch arrives
+        // as one file = one partition, so the per-asset decode+hash
+        // (the gate's dominant compute) would otherwise run on a
+        // single task (guide §2.5 input skew; measured 1.09 s/batch
+        // single-task vs ~0.15 s at 8)
         val stream = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .repartition(8)
           .as[Long].map(id => (id, Multimodal.syntheticAssetHash(id)))
           .toDF("asset_id", "h")
         Dedup.hammingScreenedIngest(stream, store, flagged, s"$stage/ckpt")
@@ -865,26 +883,17 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val stage = java.nio.file.Files
       .createTempDirectory("graft-q272").toString
-    val inDir = s"$stage/in"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
-    for (b <- 0 until 3) {
-      val tmp = s"$stage/tmp$b"
-      docs.filter(col("doc_id") % 3 === b).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.Paths.get(inDir, s"b$b.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
-    }
+    val inDir = stageResidueSlices(docs, stage)
     val store = s"$stage/store"
     val flagged = s"$stage/flagged"
     try {
       val q = withStateParts(s, 8) {
+        // repartition before the code computation — the q268 rationale
+        // (one file per micro-batch = one task otherwise)
         val stream = wideSyntheticCodes(
           s.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir))
+            .option("maxFilesPerTrigger", "1").parquet(inDir)
+            .repartition(8))
           .withColumnRenamed("doc_id", "asset_id")
         Dedup.hammingScreenedIngestWide(stream, store, flagged,
           s"$stage/ckpt", codeCol = "code", idCol = "asset_id",

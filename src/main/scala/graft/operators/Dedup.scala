@@ -1975,6 +1975,28 @@ object Dedup {
     shiftrightunsigned(col("key"), bandBits - p).cast("int")
   }
 
+  /** kp partition value for FRESH (not-yet-compacted) batch dirs. A
+    * micro-batch append writing the real key prefix fans out into
+    * bands × 2^[[HammingStorePrefixBits]] partition dirs (256 at the
+    * 64-bit defaults, 512 wide) — and because the batch is tiny, AQE
+    * coalesces the pre-write exchange to ONE task, which then creates
+    * those hundreds of files SEQUENTIALLY (~8–10 ms each of open/
+    * footer/rename: measured 2.5–4.9 s per micro-batch at sf0.1, the
+    * whole cost of the q268/q272 gates). Fresh dirs instead carry this
+    * single constant kp, so an append writes `bands` dirs; the real
+    * prefix dirs appear when [[compactHammingStore]] folds batches
+    * (reading bandBits from the [[HammingLayoutSidecar]]). The probe
+    * treats kp = [[FreshKp]] dirs as always-probed — sound AND flat:
+    * a fresh dir is micro-batch-sized by contract, so scanning it is
+    * O(batch), and its files are key-sorted so the key-set pushdown
+    * still row-group-skips within it. */
+  val FreshKp = -1
+
+  /** Sidecar file recording the store's band geometry (`bandBits=<n>`)
+    * so [[compactHammingStore]] can assign real kp dirs without the
+    * caller re-stating it. Written once by the first append. */
+  val HammingLayoutSidecar = "_layout"
+
   /** One micro-batch of [[hammingScreenedIngest]] against the BANDED
     * store layout (the r15 judge's streaming-screen scale finding: the
     * flat per-batch layout re-read and re-banded the ENTIRE store
@@ -2020,20 +2042,31 @@ object Dedup {
                                 => org.apache.spark.sql.Column,
                               storePath: String, excludeBatchId: Long,
                               idCol: String, maxHamming: Int,
-                              maxBucketSize: Int): DataFrame = {
+                              maxBucketSize: Int,
+                              sink: Option[DataFrame => Unit] = None): DataFrame = {
     val spark = bBands0.sparkSession
     val bBands = bBands0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // driver-known prune sets (bounded: micro-batch × bands)
-      val kps = bBands.select("band", "kp").distinct().collect()
-        .map(r => (r.getInt(0), r.getInt(1)))
+      // driver-known prune sets (bounded: micro-batch × bands) — ONE
+      // collect serves both layers (kp is functional on (band, key));
+      // only the >4096-key fallback pays a second job
+      val bk = bBands.select("band", "kp", "key").distinct()
+        .limit(HammingKeyPushdownMax + 1).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val keyPushdown = bk.length <= HammingKeyPushdownMax
+      val kps: Array[(Int, Int)] =
+        if (keyPushdown) bk.map(t => (t._1, t._2)).distinct
+        else bBands.select("band", "kp").distinct().collect()
+          .map(r => (r.getInt(0), r.getInt(1)))
       val kpPred = kps.groupBy(_._1).map { case (b, ps) =>
-        col("band") === b && col("kp").isin(ps.map(_._2).toSeq: _*)
+        // kp = FreshKp dirs (uncompacted appends) are always probed:
+        // micro-batch-sized by contract, and their key-sorted files
+        // still row-group-skip under the key pushdown below
+        col("band") === b &&
+          col("kp").isin((ps.map(_._2).toSeq :+ FreshKp): _*)
       }.reduce(_ || _)
-      val keys = bBands.select("key").distinct()
-        .limit(HammingKeyPushdownMax + 1).collect().map(_.getLong(0))
-      val keyPushdown = keys.length <= HammingKeyPushdownMax
+      val keys = bk.map(_._3).distinct
       val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
       val oldThresh = spark.conf.get(confKey, "10")
       if (keyPushdown)
@@ -2048,7 +2081,7 @@ object Dedup {
         val sBands = dropOverflow(
           stored.select(col("id"), col(payloadCol), col("band"), col("key")),
           Seq("band", "key"), maxBucketSize)
-        bBands
+        val report = bBands
           .join(sBands.select(col("band"), col("key"),
             col("id").as("stored_id"),
             col(payloadCol).as("__sp")), Seq("band", "key"))
@@ -2062,7 +2095,14 @@ object Dedup {
           .select(col(idCol), col("n_matches"),
             col("__m").getField("stored_id").as("top_match_id"),
             col("__m").getField("hamming").as("hamming"))
-          .localCheckpoint(true)
+        // batch path: run the caller's terminal action INSIDE the
+        // raised-threshold window (one job, no extra materialization);
+        // standalone path: materialize before the conf restore so the
+        // restore cannot race the scan
+        sink match {
+          case Some(run) => run(report); report.limit(0)
+          case None => report.localCheckpoint(true)
+        }
       } finally spark.conf.set(confKey, oldThresh)
     } finally bBands.unpersist()
   }
@@ -2073,12 +2113,13 @@ object Dedup {
                                 bands: Int = 4, bandBits: Int = 16,
                                 maxHamming: Int = 2,
                                 maxBucketSize: Int = DefaultMaxBucketSize,
-                                excludeBatchId: Long = Long.MinValue): DataFrame =
+                                excludeBatchId: Long = Long.MinValue,
+                                sink: Option[DataFrame => Unit] = None): DataFrame =
     screenStoreCore(
       hammingBands(batch, hashCol, idCol, bands, bandBits)
         .withColumn("kp", kpOf(bandBits)),
       "h", (a, b) => bit_count(a.bitwiseXOR(b)),
-      storePath, excludeBatchId, idCol, maxHamming, maxBucketSize)
+      storePath, excludeBatchId, idCol, maxHamming, maxBucketSize, sink)
 
   /** [[hammingScreenAgainstStore]] for WIDE codes (same banded store
     * layout with an `array<bigint>` payload column). */
@@ -2088,13 +2129,14 @@ object Dedup {
                                     bands: Int = 8, bandBits: Int = 32,
                                     words: Int = 4, maxHamming: Int = 6,
                                     maxBucketSize: Int = DefaultMaxBucketSize,
-                                    excludeBatchId: Long = Long.MinValue): DataFrame = {
+                                    excludeBatchId: Long = Long.MinValue,
+                                    sink: Option[DataFrame => Unit] = None): DataFrame = {
     GraftFunctions.register(batch.sparkSession)
     screenStoreCore(
       hammingBandsWide(batch, codeCol, idCol, bands, bandBits, words)
         .withColumn("kp", kpOf(bandBits)),
       "code", (a, b) => GraftFunctions.hammingWords(a, b),
-      storePath, excludeBatchId, idCol, maxHamming, maxBucketSize)
+      storePath, excludeBatchId, idCol, maxHamming, maxBucketSize, sink)
   }
 
   /** The per-batch screen + banded-append core ([[hammingScreenBatch]]'s
@@ -2102,9 +2144,9 @@ object Dedup {
     * from the batch, `probe` runs the store screen. */
   private def screenBatchCore(batch: DataFrame, batchId: Long,
                               storePath: String, flaggedPath: String,
-                              payloadCol: String,
+                              payloadCol: String, bandBits: Int,
                               mkBands: DataFrame => DataFrame,
-                              probe: DataFrame => DataFrame): Unit = {
+                              probeWrite: (DataFrame, String) => Unit): Unit = {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
@@ -2119,14 +2161,25 @@ object Dedup {
         if (seen == null) Array.empty[org.apache.hadoop.fs.FileStatus]
         else seen.filterNot(_.getPath.getName == s"batch=$batchId")
       if (prior.nonEmpty)
-        probe(b).write.mode("overwrite").parquet(s"$flaggedPath/batch=$batchId")
-      // banded append: one file per touched (band, kp), key-sorted
+        probeWrite(b, s"$flaggedPath/batch=$batchId")
+      // banded append: one key-sorted file per touched band, under the
+      // constant kp = FreshKp dir (see [[FreshKp]] — real kp fan-out is
+      // compaction's job; an append writing 2^HammingStorePrefixBits
+      // dirs per band was the whole gate cost at micro-batch scale)
       mkBands(b)
-        .select(col("id"), col(payloadCol), col("key"), col("band"), col("kp"))
-        .repartition(col("band"), col("kp"))
-        .sortWithinPartitions("band", "kp", "key")
+        .select(col("id"), col(payloadCol), col("key"), col("band"))
+        .withColumn("kp", lit(FreshKp))
+        .repartition(col("band"))
+        .sortWithinPartitions("band", "key")
         .write.mode("overwrite").partitionBy("band", "kp")
         .parquet(s"$storePath/batch=$batchId")
+      val sidecar = new org.apache.hadoop.fs.Path(
+        storePath, HammingLayoutSidecar)
+      if (!fs.exists(sidecar)) {
+        val out = fs.create(sidecar, true)
+        out.write(s"bandBits=$bandBits\n".getBytes("UTF-8"))
+        out.close()
+      }
     } finally b.unpersist()
   }
 
@@ -2136,11 +2189,11 @@ object Dedup {
                                         bands: Int, bandBits: Int,
                                         maxHamming: Int,
                                         maxBucketSize: Int): Unit =
-    screenBatchCore(batch, batchId, storePath, flaggedPath, "h",
-      b => hammingBands(b, hashCol, idCol, bands, bandBits)
-        .withColumn("kp", kpOf(bandBits)),
-      b => hammingScreenAgainstStore(b, storePath, hashCol, idCol, bands,
-        bandBits, maxHamming, maxBucketSize, excludeBatchId = batchId))
+    screenBatchCore(batch, batchId, storePath, flaggedPath, "h", bandBits,
+      b => hammingBands(b, hashCol, idCol, bands, bandBits),
+      (b, path) => hammingScreenAgainstStore(b, storePath, hashCol, idCol,
+        bands, bandBits, maxHamming, maxBucketSize, excludeBatchId = batchId,
+        sink = Some(df => df.write.mode("overwrite").parquet(path))))
 
   private[graft] def hammingScreenBatchWide(batch: DataFrame, batchId: Long,
                                             storePath: String,
@@ -2149,11 +2202,12 @@ object Dedup {
                                             bands: Int, bandBits: Int,
                                             words: Int, maxHamming: Int,
                                             maxBucketSize: Int): Unit =
-    screenBatchCore(batch, batchId, storePath, flaggedPath, "code",
-      b => hammingBandsWide(b, codeCol, idCol, bands, bandBits, words)
-        .withColumn("kp", kpOf(bandBits)),
-      b => hammingScreenAgainstStoreWide(b, storePath, codeCol, idCol, bands,
-        bandBits, words, maxHamming, maxBucketSize, excludeBatchId = batchId))
+    screenBatchCore(batch, batchId, storePath, flaggedPath, "code", bandBits,
+      b => hammingBandsWide(b, codeCol, idCol, bands, bandBits, words),
+      (b, path) => hammingScreenAgainstStoreWide(b, storePath, codeCol, idCol,
+        bands, bandBits, words, maxHamming, maxBucketSize,
+        excludeBatchId = batchId,
+        sink = Some(df => df.write.mode("overwrite").parquet(path))))
 
   /** How many `_absorbed_batch_<id>` markers [[compactHammingStore]]
     * retains (newest ids): the markers exist to no-op an at-least-once
@@ -2216,9 +2270,25 @@ object Dedup {
     // price of slightly worse compression (the classic index-store
     // trade; ScaleProbe `hamscreen` measures the curve).
     // layout-agnostic data columns: everything but the batch dir key
-    // (the 64-bit store carries `h`, the wide store `code`)
-    val writer0 = spark.read.parquet(storePath).filter(absorbPred)
+    // (the 64-bit store carries `h`, the wide store `code`).
+    // Fresh batch dirs carry kp = FreshKp (see [[FreshKp]]); compaction
+    // assigns the REAL key prefix from the layout sidecar so the
+    // consolidated generation gets the full (band, kp) prune fan-out.
+    val sidecarPath = new org.apache.hadoop.fs.Path(
+      storePath, HammingLayoutSidecar)
+    val sidecarBits: Option[Int] = if (fs.exists(sidecarPath)) {
+      val in = fs.open(sidecarPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      "bandBits=(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    } else None
+    val folded0 = spark.read.parquet(storePath).filter(absorbPred)
       .drop("batch")
+    val folded = sidecarBits match {
+      case Some(bits) => folded0.drop("kp").withColumn("kp", kpOf(bits))
+      case None => folded0 // pre-sidecar store: keep dir-recorded kp
+    }
+    val writer0 = folded
       .repartition(col("band"), col("kp"))
       .sortWithinPartitions("band", "kp", "key")
       .write.mode("overwrite").partitionBy("band", "kp")

@@ -520,28 +520,53 @@ class DedupSpec extends AnyFunSuite {
       .select("band", "kp").distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1)))
     val kpPred = kps.groupBy(_._1).map { case (b, ps) =>
-      col("band") === b && col("kp").isin(ps.map(_._2).toSeq: _*)
+      // mirrors the engine's probe: FreshKp dirs are always probed
+      col("band") === b && col("kp").isin((ps.map(_._2).toSeq :+ -1): _*)
     }.reduce(_ || _)
     val scan = spark.read.parquet(store).filter(col("batch") =!= 3L)
       .filter(kpPred).queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*kp".r.findFirstIn(scan).isDefined,
       s"kp partition filter missing from scan:\n$scan")
-    // store row-set snapshot (data + partition cols, batch excluded)
+    // store row-set snapshot (kp excluded: fresh appends carry the
+    // constant FreshKp dir; compaction assigns the real key prefix)
     def storeRows() = spark.read.parquet(store)
-      .select("id", "h", "key", "band", "kp")
-      .as[(Long, Long, Long, Int, Int)].collect().toSet
+      .select("id", "h", "key", "band")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    def kpVals() = spark.read.parquet(store)
+      .select("kp").distinct().as[Int].collect().toSet
+    assert(kpVals() == Set(-1), s"fresh dirs must be kp=FreshKp: ${kpVals()}")
     val pre = storeRows()
     val preFiles = new java.io.File(store) // file-count probe: dust -> consolidated
     def countFiles(f: java.io.File): Int =
       if (f.isDirectory) f.listFiles().map(countFiles).sum
       else if (f.getName.endsWith(".parquet")) 1 else 0
     val nBefore = countFiles(preFiles)
+    assert(nBefore == 12, s"fresh appends: one file per (batch, band): $nBefore")
     // compact (keepNewest = 0: fold everything — no live stream here)
     val absorbed = Dedup.compactHammingStore(spark, store, keepNewest = 0)
     assert(absorbed == 3L)
     assert(storeRows() == pre) // compaction ≡ uncompacted reads
+    // compaction assigned the REAL key prefix dirs (bandBits = 16 from
+    // the _layout sidecar -> kp = top 6 of 16 bits, all non-negative)
+    assert(!kpVals().contains(-1) && kpVals().nonEmpty,
+      s"compacted store should carry real kp dirs: ${kpVals()}")
+    assert(spark.read.parquet(store)
+      .filter(col("kp") =!= org.apache.spark.sql.functions
+        .shiftrightunsigned(col("key"), 10).cast("int")).count() == 0L,
+      "compacted kp must equal the key's top-6-of-16 bits")
+    // consolidation contract: ONE generation dir remains, with exactly
+    // one key-sorted file per occupied (band, kp) — at production
+    // cadence (many batches) that's the file-count collapse
+    // (ScaleProbe rpfcompact/hamscreen measure it); at this 3-batch
+    // toy scale the kp fan-out can exceed the per-band dust it folds
     val nAfter = countFiles(preFiles)
-    assert(nAfter < nBefore, s"expected fewer files: $nBefore -> $nAfter")
+    assert(new java.io.File(store).listFiles()
+      .count(_.getName.startsWith("batch=")) == 1,
+      "compaction should leave one consolidated generation")
+    val occupied = spark.read.parquet(store)
+      .select("band", "kp").distinct().count()
+    assert(nAfter == occupied,
+      s"one file per occupied (band, kp): $nAfter files vs $occupied cells")
     // replay of an ABSORBED batch is a no-op: store unchanged, flagged
     // output for that id untouched
     run(Seq((999L, 0L)), 1L)
