@@ -45,15 +45,25 @@ object Profile {
     // don't bleed across queries (diagnostic tolerance, not correctness).
     def settle(): Unit = if (stagesOn) Thread.sleep(500)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // per-rep EXTERNAL busy-core column (the Bench xload meter): this
+    // host carries non-JVM load spikes that silently inflate steady
+    // reps 2-4x — a Profile reading without its load context cost two
+    // discarded measurement batches in round 16. "x=a/b/c" = external
+    // cores averaged over each rep's window; treat any rep with
+    // x > ~0.5 as contaminated.
+    val xmeter = new MeasureGuard.ExternalLoadMeter
     names.foreach { n =>
-      val times = (1 to reps).map { r =>
+      val timesX = (1 to reps).map { r =>
         if (r == reps) { settle(); stageLog.clear() }
+        xmeter.sample() // close the inter-query window
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, xmeter.sample())
       }
-      println(f"$n%-28s ${times.map(t => f"$t%.2f").mkString("  ")}")
+      val tCol = timesX.map(t => f"${t._1}%.2f").mkString("  ")
+      val xCol = timesX.map(t => f"${t._2}%.1f").mkString("/")
+      println(f"$n%-28s $tCol  x=$xCol")
       settle()
       stageLog.forEach(l => println(l))
       stageLog.clear()
