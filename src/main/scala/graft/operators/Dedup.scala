@@ -2144,7 +2144,7 @@ object Dedup {
     * from the batch, `probe` runs the store screen. */
   private def screenBatchCore(batch: DataFrame, batchId: Long,
                               storePath: String, flaggedPath: String,
-                              payloadCol: String, bandBits: Int,
+                              payloadCol: String, bands: Int, bandBits: Int,
                               mkBands: DataFrame => DataFrame,
                               probeWrite: (DataFrame, String) => Unit): Unit = {
     val spark = batch.sparkSession
@@ -2177,7 +2177,7 @@ object Dedup {
         storePath, HammingLayoutSidecar)
       if (!fs.exists(sidecar)) {
         val out = fs.create(sidecar, true)
-        out.write(s"bandBits=$bandBits\n".getBytes("UTF-8"))
+        out.write(s"bands=$bands bandBits=$bandBits\n".getBytes("UTF-8"))
         out.close()
       }
     } finally b.unpersist()
@@ -2189,7 +2189,7 @@ object Dedup {
                                         bands: Int, bandBits: Int,
                                         maxHamming: Int,
                                         maxBucketSize: Int): Unit =
-    screenBatchCore(batch, batchId, storePath, flaggedPath, "h", bandBits,
+    screenBatchCore(batch, batchId, storePath, flaggedPath, "h", bands, bandBits,
       b => hammingBands(b, hashCol, idCol, bands, bandBits),
       (b, path) => hammingScreenAgainstStore(b, storePath, hashCol, idCol,
         bands, bandBits, maxHamming, maxBucketSize, excludeBatchId = batchId,
@@ -2202,7 +2202,7 @@ object Dedup {
                                             bands: Int, bandBits: Int,
                                             words: Int, maxHamming: Int,
                                             maxBucketSize: Int): Unit =
-    screenBatchCore(batch, batchId, storePath, flaggedPath, "code", bandBits,
+    screenBatchCore(batch, batchId, storePath, flaggedPath, "code", bands, bandBits,
       b => hammingBandsWide(b, codeCol, idCol, bands, bandBits, words),
       (b, path) => hammingScreenAgainstStoreWide(b, storePath, codeCol, idCol,
         bands, bandBits, words, maxHamming, maxBucketSize,
@@ -2276,20 +2276,32 @@ object Dedup {
     // consolidated generation gets the full (band, kp) prune fan-out.
     val sidecarPath = new org.apache.hadoop.fs.Path(
       storePath, HammingLayoutSidecar)
-    val sidecarBits: Option[Int] = if (fs.exists(sidecarPath)) {
+    val sidecarTxt: Option[String] = if (fs.exists(sidecarPath)) {
       val in = fs.open(sidecarPath)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                finally in.close()
-      "bandBits=(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+           finally in.close())
     } else None
+    def field(name: String): Option[Int] = sidecarTxt.flatMap(t =>
+      s"$name=(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt))
+    val sidecarBits = field("bandBits")
     val folded0 = spark.read.parquet(storePath).filter(absorbPred)
       .drop("batch")
     val folded = sidecarBits match {
       case Some(bits) => folded0.drop("kp").withColumn("kp", kpOf(bits))
       case None => folded0 // pre-sidecar store: keep dir-recorded kp
     }
-    val writer0 = folded
-      .repartition(col("band"), col("kp"))
+    // explicit partition count = the occupied-cell upper bound: the
+    // keyed repartition is otherwise an ENSURE_REQUIREMENTS exchange
+    // AQE coalesces to a handful of tasks, each writing dozens of
+    // (band, kp) dirs sequentially — the append-side fan-out problem
+    // in the maintenance pass (hash collisions double up a few cells;
+    // still ~cells-way parallel vs ~1)
+    val cells = (for { b <- field("bands"); m <- sidecarBits }
+      yield b * (1 << math.min(m, HammingStorePrefixBits))).getOrElse(0)
+    val keyedRepart =
+      if (cells > 0) folded.repartition(cells, col("band"), col("kp"))
+      else folded.repartition(col("band"), col("kp"))
+    val writer0 = keyedRepart
       .sortWithinPartitions("band", "kp", "key")
       .write.mode("overwrite").partitionBy("band", "kp")
     val writer = if (blockBytes > 0)
