@@ -310,7 +310,29 @@ object Bench {
     // DIFFERENT load window than the pass-1 canary ratio, so dividing
     // it by that ratio can undershoot the true quiet time. The retained
     // value is min(raw medians seen, pass1 / pass1-ratio).
+    // committed quiet-window anchor (bench_anchors.properties in the
+    // repo root, "<sf-basename>=<sec>"): the driver host is routinely
+    // loaded, and without a cross-run anchor the deflator can only use
+    // this run's own minimum — which under SUSTAINED load never sees a
+    // quiet window (round-16 verdict #3 asked for the committed anchor
+    // to be exported). Env var still wins; raw columns are untouched —
+    // the anchor only feeds the clearly-labeled steady_deflated model.
+    val committedAnchor: Option[Double] = {
+      val p = java.nio.file.Paths.get("bench_anchors.properties")
+      if (!java.nio.file.Files.isRegularFile(p)) None
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala.iterator
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap(_.split("=", 2) match {
+            case Array(k, v) if sfDir.stripSuffix("/").endsWith(k.trim) =>
+              scala.util.Try(v.trim.toDouble).toOption
+            case _ => None
+          }).toSeq.headOption
+      }
+    }
     val canaryAnchor = sys.env.get("SPARK_GRAFT_CANARY_ANCHOR").map(_.toDouble)
+      .orElse(committedAnchor)
       .orElse(if (canaryObs.nonEmpty) Some(canaryObs.map(_._2).min) else None)
     def ratioAt(pos: Int): Double =
       (for (a <- canaryAnchor if a > 0 && canaryObs.nonEmpty) yield {

@@ -39,6 +39,13 @@ object Explain {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files
       .createTempDirectory("graft-explain-hamstore").toString
+    try hammingStoreProbePlanIn(spark, dir)
+    finally SparkEntry.rmTree(dir) // also on failure — no leaked temp store
+  }
+
+  private def hammingStoreProbePlanIn(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     val store = s"$dir/store"; val flagged = s"$dir/flagged"
     val base = 0x7A5C3E1D0B090807L
     def run(ids: Seq[(Long, Long)], batchId: Long): Unit =
@@ -77,6 +84,5 @@ object Explain {
       scan.explain("formatted")
     } finally spark.conf.set(
       "spark.sql.parquet.pushdown.inFilterThreshold", old)
-    SparkEntry.rmTree(dir)
   }
 }

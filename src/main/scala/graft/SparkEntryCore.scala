@@ -1090,15 +1090,46 @@ private[graft] trait SparkEntryCore { this: SparkEntry.type =>
     * applies: at 100 TB swap in the q113 percentile cutoffs). */
   private[graft] def q248LengthDeciles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    // NTILE from the length PROFILE alone, replacing the full-corpus
+    // single-partition sort (round-16 verdict #6). Under the
+    // (n_chars, doc_id) total order a length group occupies the rank
+    // interval [off+1, off+c] (off = docs strictly shorter, c = group
+    // count), and NTILE's fill rule makes tile t the rank interval
+    //   lo_t = (t−1)·base + min(t−1, rem) + 1,  sz_t = base + [t ≤ rem]
+    // (base = N div 10, rem = N mod 10 — earlier tiles take the
+    // remainder). Every output column of this query — count, min, max,
+    // sum of n_chars per tile — depends only on HOW MANY rows of each
+    // length land in each tile (docs of equal length are
+    // interchangeable), i.e. on interval overlaps: the corpus pass is
+    // ONE groupBy(n_chars), the doc_id tie-break never needs
+    // materializing, and the only unpartitioned window left runs over
+    // the DISTINCT-LENGTH aggregate — bounded by max document length,
+    // a driver-sized frame at any corpus scale.
+    val wLen = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     t(s, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("tile", ntile(10).over(w).cast("long"))
+      .groupBy("n_chars").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(wLen), lit(0L)))
+      .withColumn("__n", sum("__c").over(wAll))
+      .select(col("n_chars"), col("__c"), col("__off"), col("__n"),
+        explode(expr("sequence(1L, 10L)")).as("tile"))
+      .withColumn("__base", expr("__n div 10"))
+      .withColumn("__rem", col("__n") % 10)
+      .withColumn("__lo",
+        (col("tile") - 1) * col("__base") + least(col("tile") - 1, col("__rem")) + 1)
+      .withColumn("__hi", col("__lo") + col("__base") +
+        when(col("tile") <= col("__rem"), 1L).otherwise(0L) - 1)
+      .withColumn("__ov", greatest(lit(0L),
+        least(col("__hi"), col("__off") + col("__c")) -
+          greatest(col("__lo"), col("__off") + 1) + 1))
+      .filter(col("__ov") > 0)
       .groupBy("tile")
-      .agg(count(lit(1)).cast("long").as("n_docs"),
+      .agg(sum("__ov").cast("long").as("n_docs"),
         min("n_chars").cast("long").as("min_chars"),
         max("n_chars").cast("long").as("max_chars"),
-        sum("n_chars").cast("long").as("sum_chars"))
+        sum(col("__ov") * col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("tile")
   }
 

@@ -116,10 +116,25 @@ private[graft] trait SparkEntryStreaming { this: SparkEntry.type =>
     val delayNs = 30L * 1000000000L
     val winNs = 600L * 1000000000L
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("event_id")
+    // Bucketed two-pass running max replacing the full-log
+    // single-partition window (round-16 verdict #6): bucket the
+    // arrival order by `event_id div 4096` (div is monotonic, so
+    // bucket order ≡ arrival order), compute the strictly-previous
+    // max as greatest(max of all PRIOR buckets, within-bucket running
+    // max over prior rows). The within-bucket window is partitioned
+    // (parallel, bounded state); the only unpartitioned window left
+    // runs over the PER-BUCKET max table — |log| / 4096 rows.
+    // greatest() skips nulls, and both sides null ⇔ first event
+    // overall ⇔ the original window's null — identical semantics.
+    val wB = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val wIn = Window.partitionBy("__b").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    eventsNs(s, dir)
-      .withColumn("__wm", max("ts").over(w) - delayNs)
+    val ev = eventsNs(s, dir).withColumn("__b", expr("event_id div 4096"))
+    val priorBucketMax = ev.groupBy("__b").agg(max("ts").as("__bm"))
+      .withColumn("__pm", max("__bm").over(wB))
+      .select("__b", "__pm")
+    ev.join(broadcast(priorBucketMax), Seq("__b"))
+      .withColumn("__wm", greatest(col("__pm"), max("ts").over(wIn)) - delayNs)
       .withColumn("__late", col("__wm").isNotNull && col("ts") < col("__wm"))
       .groupBy(expr(s"ts div $winNs").as("win"))
       .agg(count(lit(1)).cast("long").as("n_events"),

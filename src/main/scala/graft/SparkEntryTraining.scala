@@ -691,9 +691,12 @@ private[graft] trait SparkEntryTraining { this: SparkEntry.type =>
   private[graft] def q141KmeansSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    // fused multi-k sweep: one barrier job per iteration for ALL ks
+    // (was |ks| independent lloyd() runs ≈ 21 tiny barrier jobs — the
+    // round-16 anti-scaling finding); history is bit-identical
+    val sweep = Clustering.lloydSweep(emb, Seq(4, 8, 16), iters = 3)
     val rows = Seq(4, 8, 16).flatMap { k =>
-      val res = Clustering.lloyd(emb, k, iters = 3)
-      res.history.groupBy(_.iter).toSeq.map { case (it, cells) =>
+      sweep(k).groupBy(_.iter).toSeq.map { case (it, cells) =>
         val obj = cells.map(c => BigDecimal(c.obj)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
         (k.toLong, it.toLong, cells.size.toLong, obj.toDouble)

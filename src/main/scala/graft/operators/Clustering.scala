@@ -160,4 +160,89 @@ object Clustering {
     }
     LloydResult(cents, history.result().sortBy(s => (s.iter, s.cell)))
   }
+
+  /** Multi-k Lloyd sweep ([[lloyd]] at every k in `ks`, unweighted,
+    * non-spherical) fused into ONE Spark job per iteration — the
+    * k-elbow shape (q141) runs the SAME deterministic training as
+    * |ks| independent [[lloyd]] calls but with the driver-barrier
+    * count collapsed from |ks|·(1 + iters·(2 jobs + persist)) to
+    * 1 init collect + iters collects:
+    *
+    *  - INIT is shared: the k lowest-id vectors are a PREFIX of the
+    *    kMax lowest-id vectors, so one `orderBy.limit(kMax)` collect
+    *    seeds every k.
+    *  - Each iteration assigns all |ks| cell ids in one projection,
+    *    `stack`s to (k, cell, d2) rows, and aggregates occupancy,
+    *    objective AND the per-dimension integer-exact centroid sums in
+    *    a single groupBy — the per-dim sums ride as `dim` extra agg
+    *    buffers instead of [[lloyd]]'s second posexplode pass, so the
+    *    MEMORY_AND_DISK persist that existed only to share the argmin
+    *    kernel between the two passes disappears entirely.
+    *  - The LAST iteration skips the centroid update (the sweep's
+    *    consumer reads the history, never the final centroids).
+    *
+    * Every expression is bit-identical to [[lloyd]]'s (same argmin
+    * kernel, same decimal objective fold, same scaled-long sums, same
+    * empty-cell keep rule), so the history matches the per-k [[lloyd]]
+    * runs and the unrolled SQL oracle exactly. Fewer, fatter barriers
+    * is the whole point: at local[32] under external load each tiny
+    * barrier job pays a straggler tail, and q141's ~21 of them
+    * amplified a 2.2 s quiet profile to ~20 s (driver round 16). */
+  def lloydSweep(corpus: DataFrame, ks: Seq[Int], iters: Int,
+                 embCol: String = "embedding", idCol: String = "doc_id")
+      : Map[Int, Seq[LloydStat]] = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    require(ks.nonEmpty && ks.forall(_ >= 1) && iters >= 1,
+      s"ks and iters must be positive: ks=$ks iters=$iters")
+    val kMax = ks.max
+    val init = corpus
+      .orderBy(col(idCol).asc).limit(kMax)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(init.length == kMax, s"corpus has fewer than k=$kMax rows")
+    val dim = init.head.length
+    var cents: Map[Int, Array[Array[Double]]] =
+      ks.map(k => k -> init.take(k).map(_.clone())).toMap
+    val history = ks.map(k => k -> Seq.newBuilder[LloydStat]).toMap
+    for (it <- 1 to iters) {
+      val centsLit = ks.map(k => k -> typedLit(cents(k).map(_.toSeq).toSeq)).toMap
+      val assigned = corpus.select(
+        col(embCol).as("__e") +:
+          ks.map(k => GraftFunctions.nearestCentroidF32(col(embCol), centsLit(k))
+            .as(s"__c$k")): _*)
+      val withD2 = ks.foldLeft(assigned) { (df, k) =>
+        df.withColumn(s"__d$k", d2Col(col("__e"), centsLit(k), col(s"__c$k")))
+      }
+      val stacked = withD2.selectExpr("__e",
+        s"stack(${ks.size}, " +
+          ks.map(k => s"$k, __c$k, __d$k").mkString(", ") +
+          ") AS (__k, cell, __d2)")
+      val aggCols =
+        Seq(count(lit(1)).as("n"),
+          sum(round(col("__d2"), 6).cast("decimal(22,6)"))
+            .cast("double").as("obj")) ++
+          (0 until dim).map(j =>
+            sum(floor(element_at(col("__e"), j + 1).cast("double") * 1e6 + 0.5)
+              .cast("long")).as(s"__s$j"))
+      val rows = stacked.groupBy("__k", "cell")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      rows.foreach { r =>
+        history(r.getInt(0)) +=
+          LloydStat(it, r.getInt(1), r.getLong(2), r.getDouble(3))
+      }
+      if (it < iters) {
+        val next = cents.map { case (k, c) => k -> c.map(_.clone()) }
+        rows.foreach { r =>
+          val (k, cell, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          val tgt = next(k)(cell)
+          var j = 0
+          while (j < dim) { tgt(j) = r.getLong(4 + j).toDouble / (n.toDouble * 1e6); j += 1 }
+        }
+        cents = next
+      }
+    }
+    history.map { case (k, b) => k -> b.result().sortBy(s => (s.iter, s.cell)) }
+  }
 }

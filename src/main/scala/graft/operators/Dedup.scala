@@ -297,7 +297,15 @@ object Dedup {
           posexplode(slice(col("msig"), offsets(li) + 1, b))
             .as(Seq("band", "sig")))
         val cands = lshCandidates(sigs, maxBucketSize)
-        val ver = jaccardVerifyOverlapping(docs, cands, textCol, idCol, n)
+        // ARRAY-form verify (round-17): a sweep's wide-band legs admit
+        // candidates ≈ the whole corpus (117k pairs / 5k docs at sf0.1,
+        // b=8) — the candidates-≫-corpus shape where the per-pair
+        // intersect beats the exploded SMJ's Σ_pairs·|set| rows (q228's
+        // measured 2×). All legs' array frames are identical subtrees,
+        // so the single action below materializes ONE broadcast for
+        // every leg. Zero-intersect pairs fail the J ≥ 1/2 threshold,
+        // so the count is unchanged vs the overlap join.
+        val ver = verifyPairsByArray(docs, cands, textCol, idCol, n)
           .filter(col("n_inter") * 2 >= col("n_union"))
         cands.agg(count(lit(1)).cast("long").as("n_candidates"))
           .crossJoin(ver.agg(count(lit(1)).cast("long").as("n_verified")))
@@ -375,51 +383,77 @@ object Dedup {
         least(col("sz_a"), col("sz_b")) * 2 >= greatest(col("sz_a"), col("sz_b")))
       .select("id_a", "id_b").distinct()
     // ARRAY-form verify, not the exploded SMJ ([[overlapSized]]): the
-    // prefix rule admits ~C(family,2) pairs on replica-dense corpora, and
-    // the exploded join pays Σ_pairs sz skinny rows (sorted, grouped);
-    // carrying each doc's shingle ARRAY to the pair and intersecting
-    // per-row pays Σ_pairs 1 rows — measured ~2× faster here and the
-    // per-pair intersect is codegen'd. Joins are id-keyed (broadcast at
-    // gate scale, shuffle at 100 TB — pairs move, the corpus moves once).
-    val baseArr = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
-      .withColumn("sz", size(col("shs")))
-      .filter(col("sz") > 0)
-    // fan the pair set out BY BYTES-BLIND partition count: the distinct's
-    // 2-3 MB output AQE-coalesces to 1-2 partitions, and the per-pair
-    // intersect below is CPU-bound (~30 µs/pair), not bytes-bound — at 2
-    // tasks it ran near-serially (measured 9.5 s stages). An explicit
-    // repartition (not REBALANCE, which coalesces by size) buys the
-    // cluster's parallelism for the verify at one 3 MB exchange.
-    // key on id_a ONLY: a (id_a, id_b) repartition is keyed identically
-    // to the distinct's own exchange and Catalyst collapses it into the
-    // (AQE-coalescible) ENSURE_REQUIREMENTS exchange — silently back to
-    // 2 tasks (bit in-round; the plan must show a REPARTITION_BY_COL
-    // exchange or the fan-out didn't happen)
-    // broadcast is GATED on the optimizer's size estimate of the array
-    // frame vs the session broadcast threshold: an unconditional hint
-    // would override autoBroadcastJoinThreshold and attempt to ship the
-    // full corpus to every executor at 100 TB (driver OOM). Below the
-    // threshold (gate scale) the hint stands — the estimate comes from
-    // the parquet scan, which UNDERcounts the shingle-array expansion,
-    // so threshold-crossing corpora fall back to the shuffle join a
-    // touch late but never catastrophically (arrays are ~4× the text).
-    val arrBytes = baseArr.queryExecution.optimizedPlan.stats.sizeInBytes
-    val bcastOk = arrBytes <= BigInt(
-      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
-    def maybeBcast(d: DataFrame): DataFrame = if (bcastOk) broadcast(d) else d
-    cands.repartition(cands.sparkSession.sessionState.conf.numShufflePartitions,
-        col("id_a"))
-      .join(maybeBcast(baseArr.select(col("id").as("id_a"), col("shs").as("sh_a"),
-        col("sz").as("n_a"))), Seq("id_a"))
-      .join(maybeBcast(baseArr.select(col("id").as("id_b"), col("shs").as("sh_b"),
-        col("sz").as("n_b"))), Seq("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+    // prefix rule admits ~C(family,2) pairs on replica-dense corpora —
+    // exactly [[verifyPairsByArray]]'s sweet spot.
+    verifyPairsByArray(docs, cands, textCol, idCol, n)
       .filter(col("n_inter") * 2 >= col("n_union"))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / col("n_union"), 4))
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+  }
+
+  /** ARRAY-form pair verify — the alternative to the exploded SMJ
+    * ([[overlapSized]]) for shapes where candidate volume ≫ corpus
+    * size: the exploded join pays Σ_pairs·|set| skinny rows (sorted,
+    * grouped); carrying each doc's shingle ARRAY to the pair and
+    * intersecting per-row pays Σ_pairs rows — measured ~2× faster on
+    * q228's replica-dense 400k pairs, and the per-pair intersect is
+    * codegen'd. Joins are id-keyed (broadcast at gate scale, shuffle
+    * at 100 TB — pairs move, the corpus moves once). Returns
+    * (id_a, id_b, n_inter, n_union) for every candidate pair (pairs
+    * with ZERO shared shingles included, unlike [[overlapSized]] —
+    * callers thresholding at J > 0 see no difference).
+    *
+    * Shape notes (all measured, BASELINE r13/r16):
+    * - fan the pair set out BY BYTES-BLIND partition count: the
+    *   distinct's 2-3 MB output AQE-coalesces to 1-2 partitions, and
+    *   the per-pair intersect is CPU-bound (~30 µs/pair), not
+    *   bytes-bound — at 2 tasks it ran near-serially (9.5 s stages).
+    *   An explicit repartition (not REBALANCE, which coalesces by
+    *   size) buys the cluster's parallelism at one 3 MB exchange;
+    *   key on id_a ONLY — a (id_a, id_b) repartition is keyed
+    *   identically to the distinct's own exchange and Catalyst
+    *   collapses it into the (AQE-coalescible) ENSURE_REQUIREMENTS
+    *   exchange (the plan must show a REPARTITION_BY_COL exchange or
+    *   the fan-out didn't happen).
+    * - broadcast is GATED on the optimizer's size estimate of the
+    *   array frame vs the session broadcast threshold: an
+    *   unconditional hint would override autoBroadcastJoinThreshold
+    *   and ship the full corpus to every executor at 100 TB (driver
+    *   OOM). The estimate comes from the parquet scan, which
+    *   UNDERcounts the shingle-array expansion, so threshold-crossing
+    *   corpora fall back to the shuffle join a touch late but never
+    *   catastrophically (arrays are ~4× the text).
+    * - ONE exchange of the array frame serves BOTH sides: per-side
+    *   renames used to live UNDER the broadcast, making the two
+    *   exchange subtrees canonically distinct — the full shingle-array
+    *   corpus was collected, framed and shipped TWICE per run (the
+    *   round-16 driver's q228 61.8 s loaded-window reading, 20× its
+    *   quiet profile). Renaming AFTER the join keeps both broadcast
+    *   (or shuffle) children bit-identical, so exchange reuse
+    *   materializes the relation once. */
+  private[graft] def verifyPairsByArray(docs: DataFrame, cands: DataFrame,
+                                        textCol: String, idCol: String,
+                                        n: Int): DataFrame = {
+    val baseArr = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+      .withColumn("sz", size(col("shs")))
+      .filter(col("sz") > 0)
+    val arrBytes = baseArr.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bcastOk = arrBytes <= BigInt(
+      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    def maybeBcast(d: DataFrame): DataFrame = if (bcastOk) broadcast(d) else d
+    val arr = baseArr.select(col("id"), col("shs"), col("sz"))
+    cands.repartition(cands.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"))
+      .join(maybeBcast(arr), col("id_a") === col("id"))
+      .select(col("id_a"), col("id_b"), col("shs").as("sh_a"), col("sz").as("n_a"))
+      .join(maybeBcast(arr), col("id_b") === col("id"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("n_a"),
+        col("shs").as("sh_b"), col("sz").as("n_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .select("id_a", "id_b", "n_inter", "n_union")
   }
 
   /** Winnowing fingerprints (the MOSS document-fingerprint scheme):
@@ -1106,52 +1140,58 @@ object Dedup {
     val sigs = minhashSignatures(docs, textCol, idCol, n, bands).persist(lvl)
     val bsz = sigs.groupBy("band", "sig")
       .agg(count(lit(1)).as("m"), min("id").as("rep")).persist(lvl)
-    try {
-      // Fused stat jobs (one action each, never one per number):
-      // docs pass = corpus count + exact-drop count in one aggregation;
-      // bucket pass = every bucket statistic at once, with total
-      // signature rows derived as hot + in-cap mass (≡ sigs.count);
-      // verify pass = pair count + distinct-dropped count in one agg.
-      val fpWin = Window.partitionBy("fp").orderBy(col(idCol).asc)
-      // coalesce: sum()/max() over ZERO rows aggregate to NULL, and
-      // Row.getLong on that NULL throws — an empty corpus must yield a
-      // zeroed stats row, not an NPE.
-      val d = docs
-        .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-        .withColumn("rn", row_number().over(fpWin))
-        .agg(count(lit(1)).as("nd"),
-          coalesce(sum(when(col("rn") > 1, 1L).otherwise(0L)), lit(0L)).as("nex"))
-        .head()
-      val b = bsz.agg(
-        count(lit(1)).as("nb"), coalesce(max("m"), lit(0L)).as("mx"),
-        coalesce(sum(when(col("m") > maxBucketSize, 1L).otherwise(0L)), lit(0L)).as("oc"),
-        coalesce(sum(when(col("m") > maxBucketSize, col("m")).otherwise(0L)), lit(0L)).as("hr"),
-        coalesce(sum(when(col("m") <= maxBucketSize, col("m")).otherwise(0L)), lit(0L)).as("ic"))
-        .head()
+    val cands = {
       val inCap = sigs.join(bsz.filter(col("m") <= maxBucketSize),
         Seq("band", "sig"), "left_semi")
-      val cands = inCap.select(col("band"), col("sig"), col("id").as("id_a"))
+      inCap.select(col("band"), col("sig"), col("id").as("id_a"))
         .join(inCap.select(col("band"), col("sig"), col("id").as("id_b")),
           Seq("band", "sig"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct().persist(lvl)
-      val nCand = cands.count()
-      val v = verifyThreshold(docs, cands, textCol, idCol, n, minJaccard)
+    }
+    try {
+      // ONE driver action for every statistic (was five sequential
+      // barriers — each a straggler-tail exposure at local[32] under
+      // external load, the round-16 q131 contention finding): the four
+      // independent single-row aggregates — docs pass (corpus + exact-
+      // drop counts), bucket pass (every bucket statistic, signature
+      // rows derived as hot + in-cap mass ≡ sigs.count), candidate +
+      // verify pass, hot-drop pass — crossJoin into one row and collect
+      // once. The persisted sigs/bsz/cands frames are each consumed by
+      // multiple subtrees of the single DAG, so the persists still pay.
+      val fpWin = Window.partitionBy("fp").orderBy(col(idCol).asc)
+      // coalesce: sum()/max() over ZERO rows aggregate to NULL, and
+      // Row.getLong on that NULL throws — an empty corpus must yield a
+      // zeroed stats row, not an NPE.
+      val dAgg = docs
+        .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+        .withColumn("rn", row_number().over(fpWin))
+        .agg(count(lit(1)).as("nd"),
+          coalesce(sum(when(col("rn") > 1, 1L).otherwise(0L)), lit(0L)).as("nex"))
+      val bAgg = bsz.agg(
+        count(lit(1)).as("nb"), coalesce(max("m"), lit(0L)).as("mx"),
+        coalesce(sum(when(col("m") > maxBucketSize, 1L).otherwise(0L)), lit(0L)).as("oc"),
+        coalesce(sum(when(col("m") > maxBucketSize, col("m")).otherwise(0L)), lit(0L)).as("hr"),
+        coalesce(sum(when(col("m") <= maxBucketSize, col("m")).otherwise(0L)), lit(0L)).as("ic"))
+      val cAgg = cands.agg(count(lit(1)).as("ncand"))
+      val vAgg = verifyThreshold(docs, cands, textCol, idCol, n, minJaccard)
         .agg(count(lit(1)).as("nv"), countDistinct("id_b").as("npd"))
-        .head()
-      cands.unpersist(blocking = false)
-      val nHotDrops = sigs
+      val hAgg = sigs
         .join(bsz.filter(col("m") > maxBucketSize), Seq("band", "sig"))
         .filter(col("id") =!= col("rep"))
-        .select("id").distinct().count()
-      Seq((d.getLong(0), b.getLong(3) + b.getLong(4), b.getLong(0),
-          b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4), nCand,
-          v.getLong(0), d.getLong(1), v.getLong(1), nHotDrops))
+        .select("id").distinct()
+        .agg(count(lit(1)).as("nhot"))
+      val r = dAgg.crossJoin(bAgg).crossJoin(cAgg).crossJoin(vAgg).crossJoin(hAgg)
+        .head()
+      Seq((r.getLong(0), r.getLong(5) + r.getLong(6), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(1), r.getLong(9), r.getLong(10)))
         .toDF("n_docs", "n_signature_rows", "n_buckets", "max_bucket",
           "buckets_over_cap", "hot_bucket_rows", "in_cap_rows",
           "candidate_pairs", "verified_pairs", "exact_drops", "pair_drops",
           "hot_drops")
     } finally {
+      cands.unpersist(blocking = false)
       bsz.unpersist(blocking = false)
       sigs.unpersist(blocking = false)
     }
@@ -1997,6 +2037,15 @@ object Dedup {
     * caller re-stating it. Written once by the first append. */
   val HammingLayoutSidecar = "_layout"
 
+  /** Uncompacted `batch=*` dir count above which the append path warns:
+    * fresh kp=[[FreshKp]] dirs are always probed, so the documented
+    * flat probe cost holds only while the CALLER runs
+    * [[compactHammingStore]] on a cadence — a long-running stream that
+    * never compacts degrades toward scanning every fresh dir per
+    * micro-batch. The threshold matches [[AbsorbedMarkerRetention]]
+    * (the same "unbounded small dirs" budget). */
+  val FreshBatchWarnThreshold = 64
+
   /** One micro-batch of [[hammingScreenedIngest]] against the BANDED
     * store layout (the r15 judge's streaming-screen scale finding: the
     * flat per-batch layout re-read and re-banded the ENTIRE store
@@ -2049,16 +2098,24 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // driver-known prune sets (bounded: micro-batch × bands) — ONE
-      // collect serves both layers (kp is functional on (band, key));
-      // only the >4096-key fallback pays a second job
-      val bk = bBands.select("band", "kp", "key").distinct()
-        .limit(HammingKeyPushdownMax + 1).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      val keyPushdown = bk.length <= HammingKeyPushdownMax
-      val kps: Array[(Int, Int)] =
-        if (keyPushdown) bk.map(t => (t._1, t._2)).distinct
-        else bBands.select("band", "kp").distinct().collect()
-          .map(r => (r.getInt(0), r.getInt(1)))
+      // collect serves both layers: per-(band, kp) key sets, each
+      // capped at HammingKeyPushdownMax+1 entries so driver memory
+      // stays bounded even on an oversized batch. The pushdown gate
+      // compares DISTINCT KEY VALUES ([[HammingKeyPushdownMax]]'s
+      // documented contract — the earlier (band,kp,key)-triple count
+      // silently dropped the pushdown for ~1k-asset batches whose
+      // 16-bit keys collide across bands); a capped group implies
+      // ≥ Max+1 distinct keys overall, so whenever the gate passes
+      // the collected key set is COMPLETE and the isin filter below
+      // can never drop a real probe key.
+      val grouped = bBands.groupBy("band", "kp")
+        .agg(slice(sort_array(collect_set(col("key"))), 1,
+          HammingKeyPushdownMax + 1).as("ks"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      val kps: Array[(Int, Int)] = grouped.map(t => (t._1, t._2))
+      val bk = grouped.flatMap { case (b, p, ks) => ks.map(k => (b, p, k)) }
+      val keyPushdown = bk.map(_._3).distinct.length <= HammingKeyPushdownMax
       val kpPred = kps.groupBy(_._1).map { case (b, ps) =>
         // kp = FreshKp dirs (uncompacted appends) are always probed:
         // micro-batch-sized by contract, and their key-sorted files
@@ -2160,6 +2217,29 @@ object Dedup {
       val prior =
         if (seen == null) Array.empty[org.apache.hadoop.fs.FileStatus]
         else seen.filterNot(_.getPath.getName == s"batch=$batchId")
+      // fresh kp=FreshKp dirs are ALWAYS probed, so flat probe cost
+      // depends on the caller's compactHammingStore cadence — surface
+      // a drifting store instead of silently degrading per micro-batch
+      if (prior.length > FreshBatchWarnThreshold)
+        System.err.println(s"[graft] hamming store $storePath holds " +
+          s"${prior.length} uncompacted batch dirs (> " +
+          s"$FreshBatchWarnThreshold) — every one is probed per " +
+          "micro-batch; run compactHammingStore to restore flat probe cost")
+      // _layout sidecar BEFORE the first append, created atomically
+      // (write-to-temp + rename): a crash between append and a
+      // trailing sidecar write used to leave compactHammingStore
+      // geometry-blind (it baked kp=-1 into the consolidated
+      // generation — correct but permanently probe-scanned)
+      val sidecar = new org.apache.hadoop.fs.Path(
+        storePath, HammingLayoutSidecar)
+      if (!fs.exists(sidecar)) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          storePath, s"$HammingLayoutSidecar.tmp-$batchId")
+        val out = fs.create(tmp, true)
+        out.write(s"bands=$bands bandBits=$bandBits\n".getBytes("UTF-8"))
+        out.close()
+        if (!fs.rename(tmp, sidecar)) fs.delete(tmp, false) // lost race: another writer won
+      }
       if (prior.nonEmpty)
         probeWrite(b, s"$flaggedPath/batch=$batchId")
       // banded append: one key-sorted file per touched band, under the
@@ -2173,13 +2253,6 @@ object Dedup {
         .sortWithinPartitions("band", "key")
         .write.mode("overwrite").partitionBy("band", "kp")
         .parquet(s"$storePath/batch=$batchId")
-      val sidecar = new org.apache.hadoop.fs.Path(
-        storePath, HammingLayoutSidecar)
-      if (!fs.exists(sidecar)) {
-        val out = fs.create(sidecar, true)
-        out.write(s"bands=$bands bandBits=$bandBits\n".getBytes("UTF-8"))
-        out.close()
-      }
     } finally b.unpersist()
   }
 

@@ -154,4 +154,25 @@ class ClusteringSpec extends AnyFunSuite {
       Clustering.lloyd(docs, k = 10, iters = 1)
     }
   }
+
+  test("lloydSweep history is bit-identical to the per-k lloyd runs") {
+    val data = randVecs(250, dim = 9, seed = 42)
+    val docs = data.toDF("doc_id", "embedding")
+    val ks = Seq(3, 5, 8)
+    val sweep = Clustering.lloydSweep(docs, ks, iters = 3)
+    ks.foreach { k =>
+      val single = Clustering.lloyd(docs, k, iters = 3)
+      assert(sweep(k) == single.history, s"k=$k history diverged")
+    }
+    // partitioning independence carries over (integer-exact sums)
+    val sweep2 = Clustering.lloydSweep(docs.repartition(13), ks, iters = 3)
+    assert(sweep2 == sweep)
+  }
+
+  test("lloydSweep: kMax larger than corpus fails loudly") {
+    val docs = randVecs(4).toDF("doc_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Clustering.lloydSweep(docs, Seq(2, 10), iters = 1)
+    }
+  }
 }
