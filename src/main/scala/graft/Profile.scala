@@ -33,7 +33,12 @@ object Profile {
           val i = sc.stageInfo
           val ms = (for { s <- i.submissionTime; c <- i.completionTime } yield c - s).getOrElse(-1L)
           val m = i.taskMetrics
-          stageLog.add(f"    stage ${i.stageId}%3d ${ms}%6d ms  tasks=${i.numTasks}%3d " +
+          // wall-clock submit/complete (ms mod 1e6) so inter-stage GAPS —
+          // driver planning, AQE replan, stream commit I/O — are visible;
+          // the r17 streaming-gate hunt needed exactly this column
+          val sub = i.submissionTime.map(_ % 1000000L).getOrElse(-1L)
+          val fin = i.completionTime.map(_ % 1000000L).getOrElse(-1L)
+          stageLog.add(f"    [$sub%6d-$fin%6d] stage ${i.stageId}%3d ${ms}%6d ms  tasks=${i.numTasks}%3d " +
             f"run=${m.executorRunTime}%5d ms cpu=${m.executorCpuTime / 1000000}%5d ms " +
             f"shufWrite=${m.shuffleWriteMetrics.bytesWritten / 1024}%6d KB " +
             f"shufRead=${m.shuffleReadMetrics.totalBytesRead / 1024}%6d KB  ${i.name.take(60)}")

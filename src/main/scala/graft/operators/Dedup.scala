@@ -2211,6 +2211,19 @@ object Dedup {
         s"$storePath/_absorbed_batch_$batchId")))
       return // compacted away — the replay's rows are already consolidated
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SIZE-GATED AQE bypass for the micro-batch's own jobs (probe
+    // collect, report write, banded append): on a micro-batch-sized
+    // input every exchange's AQE replan submits a separate sub-job —
+    // ~10 tiny stages with driver-planning gaps between them per
+    // probing batch. Below the estimate threshold the batch plans
+    // statically (shuffle partitions are already gate-sized by the
+    // caller); a big batch keeps AQE — this is a data-derived gate,
+    // not a local[32] hardcode. Restored after the batch.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeOld = spark.conf.get(aqeKey, "true")
+    val tinyBatch = batch.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(64L * 1024 * 1024)
+    if (tinyBatch) spark.conf.set(aqeKey, "false")
     try {
       val seen = fs.globStatus(
         new org.apache.hadoop.fs.Path(s"$storePath/batch=*"))
@@ -2253,7 +2266,10 @@ object Dedup {
         .sortWithinPartitions("band", "key")
         .write.mode("overwrite").partitionBy("band", "kp")
         .parquet(s"$storePath/batch=$batchId")
-    } finally b.unpersist()
+    } finally {
+      if (tinyBatch) spark.conf.set(aqeKey, aqeOld)
+      b.unpersist()
+    }
   }
 
   private[graft] def hammingScreenBatch(batch: DataFrame, batchId: Long,

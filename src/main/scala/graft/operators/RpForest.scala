@@ -293,6 +293,15 @@ object RpForest {
     val stage = new org.apache.hadoop.fs.Path(storePath, s"_rpf_stage_$batchId")
     fs.delete(stage, true)
     // 3. dup probe + staged routed write, then rename into the live tree
+    // size-gated AQE bypass (the screenBatchCore posture): a
+    // micro-batch's probe/count/write jobs each pay an AQE replan +
+    // sub-job per exchange — static planning drops the per-batch
+    // driver-gap overhead; a big batch keeps AQE. Restored after.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeOld = spark.conf.get(aqeKey, "true")
+    val tinyBatch = newRows.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(64L * 1024 * 1024)
+    if (tinyBatch) spark.conf.set(aqeKey, "false")
     val routed = assign(newRows, f, embCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n =
@@ -326,7 +335,10 @@ object RpForest {
               s"${st.getPath} -> $dst")
         }
         cnt
-      } finally routed.unpersist()
+      } finally {
+        if (tinyBatch) spark.conf.set(aqeKey, aqeOld)
+        routed.unpersist()
+      }
     fs.delete(stage, true)
     // 4. commit
     fs.create(marker, true).close()
