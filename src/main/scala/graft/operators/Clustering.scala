@@ -100,52 +100,54 @@ object Clustering {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(cents.length == k, s"corpus has fewer than k=$k rows")
 
+    val dim = cents.head.length
     val history = Seq.newBuilder[LloydStat]
     for (it <- 1 to iters) {
       val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-      // The iteration's two aggregates (occupancy+objective, per-dim
-      // sums) both need the assignment; persist it so the k-way argmin
-      // kernel runs ONCE per iteration, not once per pass.
+      // ONE job per iteration (round-17, the [[lloydSweep]] fusion
+      // carried back to the single-k loop): occupancy + objective AND
+      // the per-dimension integer-exact centroid sums ride one groupBy
+      // — the per-dim sums are `dim` extra agg buffers instead of a
+      // second posexplode pass, so the MEMORY_AND_DISK persist that
+      // existed only to share the argmin kernel between the two passes
+      // is gone. Every expression is unchanged (same decimal/scaled
+      // objective, same `Σ w·floor(x·1e6 + 0.5)` long sums, same
+      // division), so history and centroids stay bit-identical —
+      // ClusteringSpec pins replication/partitioning equivalence and
+      // lloydSweep ≡ per-k lloyd.
       val wCol = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
       val assigned = corpus.select(
         col(embCol).as("__e"), wCol.as("__w"),
         GraftFunctions.nearestCentroidF32(col(embCol), centsLit).as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // Pass 1: per-cell occupancy + objective (k rows). Unweighted
-        // keeps the original decimal objective (q136/q140/q141 oracles
-        // replay it); weighted uses the scaled-long form (see doc).
-        val statsAgg =
-          if (weightCol.isEmpty)
-            Seq(count(lit(1)).as("n"),
-              sum(round(col("__d2"), 6).cast("decimal(22,6)"))
-                .cast("double").as("obj"))
-          else
-            Seq(sum("__w").cast("long").as("n"),
-              (sum(floor(col("__d2") * 1e6 + lit(0.5)).cast("long") * col("__w"))
-                .cast("double") / 1e6).as("obj"))
-        val stats = assigned
-          .withColumn("__d2", d2Col(col("__e"), centsLit, col("cell")))
-          .groupBy("cell")
-          .agg(statsAgg.head, statsAgg.tail: _*)
-          .collect()
-        stats.foreach(r => history +=
-          LloydStat(it, r.getInt(0), r.getLong(1), r.getDouble(2)))
-
-        // Pass 2: integer-exact per-(cell, dim) scaled sums (k·d rows).
-        val sums = assigned
-          .select(col("cell"), col("__w"), posexplode(col("__e")).as(Seq("j", "x")))
-          .groupBy("cell", "j")
-          .agg(sum(col("__w") *
-              floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("sv"),
-            sum("__w").cast("long").as("n"))
-          .collect()
+      val statsAgg =
+        if (weightCol.isEmpty)
+          Seq(count(lit(1)).as("n"),
+            sum(round(col("__d2"), 6).cast("decimal(22,6)"))
+              .cast("double").as("obj"))
+        else
+          Seq(sum("__w").cast("long").as("n"),
+            (sum(floor(col("__d2") * 1e6 + lit(0.5)).cast("long") * col("__w"))
+              .cast("double") / 1e6).as("obj"))
+      val dimAggs = (0 until dim).map(j =>
+        sum(col("__w") *
+          floor(element_at(col("__e"), j + 1).cast("double") * 1e6 + 0.5)
+            .cast("long")).as(s"__s$j"))
+      val aggs = statsAgg ++ dimAggs
+      val rows = assigned
+        .withColumn("__d2", d2Col(col("__e"), centsLit, col("cell")))
+        .groupBy("cell")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      rows.foreach(r => history +=
+        LloydStat(it, r.getInt(0), r.getLong(1), r.getDouble(2)))
 
       val next = cents.map(_.clone()) // empty cells keep their centroid
       val updated = Array.fill(k)(false)
-      sums.foreach { r =>
-        val (cell, j) = (r.getInt(0), r.getInt(1))
-        next(cell)(j) = r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e6)
+      rows.foreach { r =>
+        val (cell, n) = (r.getInt(0), r.getLong(1))
+        val tgt = next(cell)
+        var j = 0
+        while (j < dim) { tgt(j) = r.getLong(3 + j).toDouble / (n.toDouble * 1e6); j += 1 }
         updated(cell) = true
       }
       if (spherical) for (c <- 0 until k if updated(c)) {
@@ -156,7 +158,6 @@ object Clustering {
         if (nrm > 0) { j = 0; while (j < next(c).length) { next(c)(j) /= nrm; j += 1 } }
       }
       cents = next
-      } finally assigned.unpersist()
     }
     LloydResult(cents, history.result().sortBy(s => (s.iter, s.cell)))
   }

@@ -2426,7 +2426,12 @@ object Dedup {
     * stay outside so the operator works for any ≤ 64-bit hash). The
     * store is the BANDED layout (see [[hammingScreenBatch]]) — per-batch
     * probe cost is partition-pruned + key-pushed, flat in store size
-    * once [[compactHammingStore]] has consolidated the generations. */
+    * once [[compactHammingStore]] has consolidated the generations.
+    * THE CALLER OWNS THE COMPACTION CADENCE: fresh appends land under
+    * always-probed kp=[[FreshKp]] dirs, so a long-running stream that
+    * never runs [[compactHammingStore]] degrades toward scanning every
+    * fresh batch dir per micro-batch (the append path warns past
+    * [[FreshBatchWarnThreshold]] uncompacted dirs). */
   def hammingScreenedIngest(assets: DataFrame, storePath: String,
                             flaggedPath: String, checkpointPath: String,
                             hashCol: String = "h", idCol: String = "asset_id",
