@@ -453,7 +453,7 @@ object Dedup {
         col("shs").as("sh_b"), col("sz").as("n_b"))
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
-      .select("id_a", "id_b", "n_inter", "n_union")
+      .select("id_a", "id_b", "n_a", "n_b", "n_inter", "n_union")
   }
 
   /** Winnowing fingerprints (the MOSS document-fingerprint scheme):
@@ -627,6 +627,13 @@ object Dedup {
     // the q228 fan-out stance: key the repartition on id_a ALONE (an
     // (id_a, id_b) key collapses into the distinct's exchange and
     // AQE-coalesces the CPU-bound verify to 2 tasks)
+    // (round-17 measured non-result, recorded: routing this through
+    // [[verifyPairsByArray]]'s single-reused-exchange form measured
+    // WITHIN NOISE here and slightly worse at REPS=5 (25.4 vs 23.8 s
+    // family sum, individual queries split both ways across runs with
+    // ±30% run-to-run variance) — the containment compositions are
+    // candidate-generation-bound, not broadcast-build-bound, so the
+    // per-side form stays.)
     val arrBytes = baseArr.queryExecution.optimizedPlan.stats.sizeInBytes
     val bcastOk = arrBytes <= BigInt(
       docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
